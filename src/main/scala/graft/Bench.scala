@@ -1,5 +1,23 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * $SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Protocol fixes vs round 1 (VERDICT items 2-3):
+  *   - full materialization via queryExecution.toRdd.count() — count()
+  *     lets Catalyst prune every expression a row-count doesn't need,
+  *     under-measuring the real work; toRdd.count() produces every
+  *     output row of the final physical plan;
+  *   - one warm-up pass (JVM/codegen/parquet-footer caches) before the
+  *     timed pass, mirroring the reference's warm-cache protocol
+  *     (reference: README.md:206-213);
+  *   - failures are NOT swallowed into timings: a failed query reports
+  *     -1 and the process exits non-zero, so a regression can't
+  *     masquerade as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +25,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Either[Throwable, Unit] =
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); Right(()) }
+      catch { case e: Throwable => Left(e) }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warm-up pass (untimed)
+    names.foreach(materialize)
+
+    var failed = List.empty[String]
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = materialize(name) match {
+        case Right(_) => true
+        case Left(e) =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

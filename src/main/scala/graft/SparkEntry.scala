@@ -1,13 +1,461 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.logs.LogSuite
+import graft.operators._
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline operator set), each paired with an
+  * ANSI/DuckDB oracle twin in `oracleSql`.
+  *
+  * Oracle-parity rules applied throughout (SURVEY.md §5):
+  *   - every aggregate/computed column aliased identically both sides;
+  *   - DuckDB SUM(int) casts to BIGINT (HUGEINT otherwise);
+  *   - fractional double sums go through exact DECIMAL(18,2) casts and
+  *     back to DOUBLE (deterministic under any partitioning — see
+  *     CorpusQueries scaladoc);
+  *   - total-order ORDER BY on both sides;
+  *   - hour kept a zero-padded string; session timezone UTC both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the star-schema join, on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CorpusQueries.q7StarJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- log engine (fixture-driven; sfDir unused) ----
+    "log_stg" -> ((s, _) => LogSuite.stg(s)),
+    "log_dim_client" -> ((s, _) => LogSuite.dimClient(s)),
+    "log_dim_endpoint" -> ((s, _) => LogSuite.dimEndpoint(s)),
+    "log_fct_hourly" -> ((s, _) => LogSuite.fctHourly(s)),
+    "log_errors_by_endpoint" -> ((s, _) => LogSuite.errorsByEndpoint(s)),
+    "log_top_endpoints" -> ((s, _) => LogSuite.topEndpoints(s)),
+    "log_available_dates" -> ((s, _) => LogSuite.availableDates(s)),
+    "log_hourly_breakdown" -> ((s, _) => LogSuite.hourlyBreakdown(s)),
+    "log_kpi_totals" -> ((s, _) => LogSuite.kpiTotals(s)),
+    "log_per_hour_pivot" -> ((s, _) => LogSuite.perHourPivot(s)),
+    "log_bench_errors" -> ((s, _) => LogSuite.benchErrors(s)),
+    // ---- relational corpus ----
+    "q1_lineitem_agg" -> (CorpusQueries.q1LineitemAgg _),
+    "q2_filter_project" -> (CorpusQueries.q2FilterProject _),
+    "q3_join_inner" -> (CorpusQueries.q3JoinInner _),
+    "q4_join_left" -> (CorpusQueries.q4JoinLeft _),
+    "q5_join_semi" -> (CorpusQueries.q5JoinSemi _),
+    "q6_join_anti" -> (CorpusQueries.q6JoinAnti _),
+    "q7_star_join" -> (CorpusQueries.q7StarJoin _),
+    "q8_topk" -> (CorpusQueries.q8TopK _),
+    "q9_window_rownum" -> (CorpusQueries.q9WindowRowNumber _),
+    "q10_window_lag" -> (CorpusQueries.q10WindowLag _),
+    "q11_window_running" -> (CorpusQueries.q11WindowRunning _),
+    "q12_union" -> (CorpusQueries.q12Union _),
+    "q13_intersect" -> (CorpusQueries.q13Intersect _),
+    "q14_except" -> (CorpusQueries.q14Except _),
+    "q15_rollup" -> (CorpusQueries.q15Rollup _),
+    "q16_distinct_agg" -> (CorpusQueries.q16DistinctAgg _),
+    "q17_events_json" -> (CorpusQueries.q17EventsJson _),
+    "q18_events_hourly" -> (CorpusQueries.q18EventsHourly _),
+    "q19_sessions" -> (CorpusQueries.q19Sessions _),
+    // ---- LLM-pipeline: dedup ----
+    "d1_dedup_exact" -> (Dedup.exactDedup _),
+    "d2_dedup_hash" -> (Dedup.hashDedup _),
+    "d3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "d4_simhash" -> (Dedup.simhash _),
+    "d5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // ---- LLM-pipeline: text analysis ----
+    "t1_token_counts" -> (TextAnalysis.tokenCounts _),
+    "t2_quality_score" -> (TextAnalysis.qualityScore _),
+    "t3_lang_id" -> (TextAnalysis.langId _),
+    "t4_fingerprint" -> (TextAnalysis.fingerprint _),
+    // ---- LLM-pipeline: similarity search ----
+    "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
+    "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
+    "s3_label_centroids" -> (Similarity.labelCentroids _),
+    // ---- multimodal plumbing ----
+    "m1_media_features" -> (Multimodal.mediaFeaturesSql _)
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared oracle CTE: the 7-line fixture as parsed records, with the
+    * stg/fct derivations recomputed in DuckDB SQL exactly as the
+    * reference's stg_logs.sql / fct_requests_hourly.sql do — a true
+    * semantic cross-check of the Spark lineage (values are NOT
+    * hand-derived; only the parse output is inlined).
+    */
+  private val logCte: String =
+    """WITH raw(client_ip, ts, request_path, status, bytes_sent, user_agent) AS (VALUES
+      | ('127.0.0.1',   TIMESTAMP '2025-11-10 10:21:34', '/api/v1/items?id=42', 200, CAST(1234 AS BIGINT), 'Mozilla/5.0'),
+      | ('127.0.0.1',   TIMESTAMP '2025-11-10 10:22:01', '/api/v1/items?id=42', 304, CAST(0 AS BIGINT),    'Mozilla/5.0'),
+      | ('127.0.0.1',   TIMESTAMP '2025-11-10 11:01:12', '/auth/login',         401, CAST(512 AS BIGINT),  'Mozilla/5.0'),
+      | ('192.168.1.9', TIMESTAMP '2025-11-10 11:17:45', '/health',             200, CAST(8 AS BIGINT),    'curl/8.1.2'),
+      | ('192.168.1.9', TIMESTAMP '2025-11-10 12:05:55', '/api/v1/items?id=77', 500, CAST(256 AS BIGINT),  'curl/8.1.2'),
+      | ('127.0.0.1',   TIMESTAMP '2025-11-11 10:01:01', '/api/v1/items?id=88', 200, CAST(777 AS BIGINT),  'Mozilla/5.0'),
+      | ('127.0.0.1',   TIMESTAMP '2025-11-11 12:59:59', '/health',             503, CAST(16 AS BIGINT),   'curl/8.1.2')
+      |), stg AS (
+      | SELECT ts, status, bytes_sent,
+      |        split_part(request_path, '?', 1) AS endpoint,
+      |        client_ip, user_agent,
+      |        CAST(ts AS DATE) AS date,
+      |        strftime(ts, '%H') AS hour,
+      |        CASE WHEN status >= 400 THEN 1 ELSE 0 END AS is_error
+      | FROM raw
+      |), fct AS (
+      | SELECT date, hour, endpoint,
+      |        COUNT(*) AS requests,
+      |        CAST(SUM(is_error) AS BIGINT) AS errors,
+      |        percentile_cont(0.95) WITHIN GROUP (ORDER BY bytes_sent) AS p95_bytes
+      | FROM stg GROUP BY date, hour, endpoint
+      |)""".stripMargin
+
+  /** Exact-decimal revenue term (see CorpusQueries.revenueTerm). */
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "log_stg" ->
+      s"""$logCte SELECT ts, status, bytes_sent, endpoint, client_ip, user_agent, date, hour, is_error
+         |FROM stg ORDER BY ts, endpoint""".stripMargin,
+    "log_dim_client" ->
+      s"""$logCte SELECT DISTINCT client_ip AS client_id, user_agent FROM stg
+         |ORDER BY client_id, user_agent""".stripMargin,
+    "log_dim_endpoint" ->
+      s"$logCte SELECT DISTINCT endpoint FROM stg ORDER BY endpoint",
+    "log_fct_hourly" ->
+      s"""$logCte SELECT date, hour, endpoint, requests, errors, ROUND(p95_bytes, 4) AS p95_bytes
+         |FROM fct ORDER BY date, hour, endpoint""".stripMargin,
+    "log_errors_by_endpoint" ->
+      s"""$logCte SELECT endpoint, CAST(SUM(errors) AS BIGINT) AS errors, CAST(SUM(requests) AS BIGINT) AS requests
+         |FROM fct WHERE date = DATE '2025-11-10' GROUP BY endpoint
+         |ORDER BY errors DESC, requests DESC, endpoint""".stripMargin,
+    "log_top_endpoints" ->
+      s"""$logCte SELECT endpoint, CAST(SUM(requests) AS BIGINT) AS requests, CAST(SUM(errors) AS BIGINT) AS errors
+         |FROM fct WHERE date = DATE '2025-11-10' GROUP BY endpoint
+         |ORDER BY requests DESC, errors DESC, endpoint LIMIT 3""".stripMargin,
+    "log_available_dates" ->
+      s"$logCte SELECT DISTINCT date FROM fct ORDER BY date",
+    "log_hourly_breakdown" ->
+      s"""$logCte SELECT date, hour, endpoint, requests, errors, ROUND(p95_bytes, 4) AS p95_bytes
+         |FROM fct WHERE date = DATE '2025-11-10' ORDER BY hour, endpoint""".stripMargin,
+    "log_kpi_totals" ->
+      s"""$logCte SELECT total_requests, total_errors,
+         |  CASE WHEN total_requests > 0 THEN total_errors / total_requests * 100.0 ELSE 0.0 END AS error_rate_pct
+         |FROM (SELECT CAST(SUM(requests) AS BIGINT) AS total_requests, CAST(SUM(errors) AS BIGINT) AS total_errors
+         |      FROM fct WHERE date = DATE '2025-11-10')""".stripMargin,
+    "log_per_hour_pivot" ->
+      s"""$logCte SELECT hour, CAST(SUM(errors) AS BIGINT) AS errors, CAST(SUM(requests) AS BIGINT) AS requests
+         |FROM fct WHERE date = DATE '2025-11-10' GROUP BY hour ORDER BY hour""".stripMargin,
+    "log_bench_errors" ->
+      s"""$logCte SELECT endpoint, CAST(SUM(errors) AS BIGINT) AS errors
+         |FROM fct WHERE date = DATE '2025-11-10' GROUP BY endpoint
+         |ORDER BY errors DESC, endpoint""".stripMargin,
+
+    "q1_lineitem_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         |  CAST(SUM($rev) AS DOUBLE) AS sum_disc,
+         |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1998-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_inner" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q5_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_star_join" ->
+      s"""SELECT r_name, n_name, CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q8_topk" ->
+      s"""SELECT o_custkey, CAST(SUM($rev) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+    "q9_window_rownum" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q10_window_lag" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(LAG(rev_dec) OVER (ORDER BY order_date) AS DOUBLE) AS prev_revenue,
+        |  CAST(rev_dec - LAG(rev_dec) OVER (ORDER BY order_date) AS DOUBLE) AS delta
+        |FROM daily ORDER BY order_date""".stripMargin,
+    "q11_window_running" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_date,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, order_date,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER (PARTITION BY o_orderpriority ORDER BY order_date
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM daily ORDER BY o_orderpriority, order_date""".stripMargin,
+    "q12_union" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q13_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+    "q14_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q15_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+        |  CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        |  CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q16_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q17_events_json" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q19_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id,
+        |         epoch_us(ts) AS us,
+        |         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+        |         ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM y),
+        |g AS (
+        |  SELECT user_id, session_id, COUNT(*) AS session_events
+        |  FROM z GROUP BY user_id, session_id)
+        |SELECT user_id, MAX(session_id) AS n_sessions,
+        |       MAX(session_events) AS max_session_events,
+        |       CAST(SUM(session_events) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY rep_doc_id""".stripMargin,
+    "d2_dedup_hash" ->
+      """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT sha256(text)) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d3_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS sh
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id,
+        |    MIN(md5('0|' || sh)) AS s0,  MIN(md5('1|' || sh)) AS s1,  MIN(md5('2|' || sh)) AS s2,
+        |    MIN(md5('3|' || sh)) AS s3,  MIN(md5('4|' || sh)) AS s4,  MIN(md5('5|' || sh)) AS s5,
+        |    MIN(md5('6|' || sh)) AS s6,  MIN(md5('7|' || sh)) AS s7,  MIN(md5('8|' || sh)) AS s8,
+        |    MIN(md5('9|' || sh)) AS s9,  MIN(md5('10|' || sh)) AS s10, MIN(md5('11|' || sh)) AS s11
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1 || '|' || s2) AS key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s3 || '|' || s4 || '|' || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s6 || '|' || s7 || '|' || s8) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s9 || '|' || s10 || '|' || s11) FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT d1, d2, COUNT(*) AS c
+        |  FROM cand
+        |  JOIN sh p1 ON p1.doc_id = d1
+        |  JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
+        |  GROUP BY d1, d2)
+        |SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
+        |FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+        |WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "d4_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h, range(32) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d5_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM tok),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT d1, d2, COUNT(*) AS c
+        |  FROM cand
+        |  JOIN sh p1 ON p1.doc_id = d1
+        |  JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
+        |  GROUP BY d1, d2)
+        |SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
+        |FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+        |WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    "t1_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_re_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_tokens,
+        |  len(list_distinct(w)) / len(w) AS distinct_ratio,
+        |  len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w) AS stopword_ratio,
+        |  (length(text) - (len(w) - 1)) / len(w) AS avg_token_len,
+        |  0.5 * (len(list_distinct(w)) / len(w))
+        |    + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w))
+        |    + 0.2 * least((length(text) - (len(w) - 1)) / len(w) / 8.0, 1.0) AS quality
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','and','of'], t))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['der','die','und','das'], t))) AS INTEGER) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['el','la','los','que'], t))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['le','les','des','une'], t))) AS INTEGER) AS s_fr,
+        |    CAST(len(list_filter(string_split(text,' '), t -> list_contains(['de5','shi4','le5','zai4'], t))) AS INTEGER) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+        |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+        |    WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+        |    WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(('0x' || substring(md5(t), 1, 12)) AS BIGINT))),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s1_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id >= 8),
+        |p AS (
+        |  SELECT q_id, c_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * c[i])), (a, b) -> a + b) AS dqc,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * q[i])), (a, b) -> a + b) AS dqq,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c)+1), i -> c[i] * c[i])), (a, b) -> a + b) AS dcc
+        |  FROM q, c),
+        |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+        |rk AS (SELECT q_id, c_id, cos6,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+        |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s2_knn_bucketed" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q, bucket FROM b WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS c, bucket FROM b WHERE vec_id >= 8),
+        |p AS (
+        |  SELECT q_id, c_id, q.bucket,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (a, x) -> a + x) AS dqc,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (a, x) -> a + x) AS dqq,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (a, x) -> a + x) AS dcc
+        |  FROM q JOIN c ON q.bucket = c.bucket),
+        |r AS (SELECT q_id, c_id, bucket, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+        |rk AS (SELECT q_id, c_id, bucket, cos6,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+        |SELECT q_id, rank, c_id, cos6, bucket FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s3_label_centroids" ->
+      """WITH tall AS (
+        |  SELECT label, 0 AS pos, embedding[1] AS x FROM embeddings
+        |  UNION ALL SELECT label, 1, embedding[2] FROM embeddings
+        |  UNION ALL SELECT label, 2, embedding[3] FROM embeddings
+        |  UNION ALL SELECT label, 3, embedding[4] FROM embeddings),
+        |m AS (
+        |  SELECT label, pos, CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS micro FROM tall)
+        |SELECT label, pos,
+        |  CAST(CAST(SUM(micro) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS mean,
+        |  COUNT(*) AS n
+        |FROM m GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS width,
+        |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

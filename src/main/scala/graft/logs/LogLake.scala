@@ -23,10 +23,20 @@ object LogLake {
   /** ETL sink (reference: ingest_logs.py:63-70). `date` is kept a STRING
     * partition column at rest, exactly like the reference's directory names.
     */
+  /** Salt buckets per date partition: enough parallelism inside a single
+    * day's write without exploding the file count. On a real cluster
+    * size this to (day volume / target file size).
+    */
+  val WriteBucketsPerDate = 8
+
   def writePartitioned(stg: DataFrame, root: String): Unit =
     stg
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-      .repartition(col("date"))
+      // SALTED repartition: (date, hash(ts) % buckets). Repartitioning by
+      // date alone maps one whole day to one task — the skewed-write
+      // scale-killer at 100 TB (one executor writes an entire date).
+      .repartition(col("date"), pmod(hash(col("ts"), col("client_ip")),
+        lit(WriteBucketsPerDate)))
       .write
       .partitionBy("date")
       .option("partitionOverwriteMode", "dynamic")

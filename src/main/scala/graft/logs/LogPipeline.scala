@@ -1,0 +1,55 @@
+package graft.logs
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** End-to-end pipeline main, mirroring the reference's orchestrated flow
+  * (reference: orchestration/flow.py:29-35 — etl → dbt run → dbt test):
+  *
+  *   raw log file → parse (drop malformed) → ingest asserts →
+  *   date-partitioned lake → stg → dims + hourly fact persisted as
+  *   parquet tables (closes the S6 materialization gap) → quality gate.
+  *
+  * One command produces the queryable warehouse; serving queries
+  * (LogQueries) then read the small persisted fact, not the raw lake —
+  * at 100 TB the fact is orders of magnitude smaller than staging, and
+  * partition pruning on `date` keeps serve-time scans to one day.
+  */
+object LogPipeline {
+
+  def run(spark: SparkSession, rawPath: String, warehouseDir: String): Unit = {
+    // 1. ETL (reference: ingest_logs.py main)
+    val parsed = LogParser.readLogs(spark, rawPath)
+    LogQuality.assertIngest(parsed)
+    val stg = LogModels.stgLogs(parsed)
+    LogLake.writePartitioned(stg, s"$warehouseDir/lake")
+
+    // 2. Model build from the lake (reference: dbt run) — read back so
+    // downstream models consume the persisted, partition-pruned lake
+    val lakeStg = LogLake.readLake(spark, s"$warehouseDir/lake")
+    def persist(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$warehouseDir/$name")
+    persist("dim_client", LogModels.dimClient(lakeStg))
+    persist("dim_endpoint", LogModels.dimEndpoint(lakeStg))
+    persist("fct_requests_hourly", LogModels.fctRequestsHourly(lakeStg))
+
+    // 3. Quality gate (reference: dbt test) — fail the run on violations
+    val fct = spark.read.parquet(s"$warehouseDir/fct_requests_hourly")
+    val violations = LogQuality.runAll(lakeStg, fct).filter(_._2 > 0)
+    require(violations.isEmpty, s"quality checks failed: $violations")
+  }
+
+  /** CLI: LogPipeline <raw log path> <warehouse dir> */
+  def main(args: Array[String]): Unit = {
+    val Array(raw, wh) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, raw, wh)
+    spark.stop()
+  }
+}

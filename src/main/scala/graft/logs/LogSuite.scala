@@ -1,0 +1,53 @@
+package graft.logs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference log engine's queries, exposed in driver-contract shape
+  * ((SparkSession, sfDir) => DataFrame — sfDir unused, the input is the
+  * golden fixture routed through the full raw → parse → stg → fact
+  * lineage). p95 columns are rounded to 4 decimals at the OUTPUT edge
+  * only, so a last-ulp interpolation difference vs the oracle's
+  * percentile_cont can never flip the hash; the engine itself keeps the
+  * exact value.
+  */
+object LogSuite {
+
+  private def fct(s: SparkSession): DataFrame = LogFixture.fct(s)
+
+  def stg(s: SparkSession): DataFrame =
+    LogFixture.stg(s).orderBy("ts", "endpoint")
+
+  def dimClient(s: SparkSession): DataFrame =
+    LogModels.dimClient(LogFixture.stg(s)).orderBy("client_id", "user_agent")
+
+  def dimEndpoint(s: SparkSession): DataFrame =
+    LogModels.dimEndpoint(LogFixture.stg(s)).orderBy("endpoint")
+
+  def fctHourly(s: SparkSession): DataFrame =
+    fct(s)
+      .withColumn("p95_bytes", round(col("p95_bytes"), 4))
+      .orderBy("date", "hour", "endpoint")
+
+  def errorsByEndpoint(s: SparkSession): DataFrame =
+    LogQueries.errorsByEndpoint(fct(s), "2025-11-10")
+
+  def topEndpoints(s: SparkSession): DataFrame =
+    LogQueries.topEndpoints(fct(s), "2025-11-10", 3)
+
+  def availableDates(s: SparkSession): DataFrame =
+    LogQueries.availableDates(fct(s))
+
+  def hourlyBreakdown(s: SparkSession): DataFrame =
+    LogQueries.hourlyBreakdown(fct(s), "2025-11-10")
+      .withColumn("p95_bytes", round(col("p95_bytes"), 4))
+
+  def kpiTotals(s: SparkSession): DataFrame =
+    LogQueries.kpiTotals(fct(s), "2025-11-10")
+
+  def perHourPivot(s: SparkSession): DataFrame =
+    LogQueries.perHourPivot(fct(s), "2025-11-10")
+
+  def benchErrors(s: SparkSession): DataFrame =
+    LogQueries.benchErrorsByEndpoint(fct(s), "2025-11-10")
+}

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage over the driver's TPC-H-ish corpus
+  * (TESTDATA.md): scans with pushdown, hash aggregation, broadcast /
+  * shuffle joins (inner, left, semi, anti, star), top-k, window
+  * functions, set operations, rollup, JSON extraction, sessionization.
+  *
+  * Oracle-determinism rule used throughout: any SUM over a fractional
+  * double column is computed over an exact DECIMAL cast and only cast
+  * back to DOUBLE at the end. Double addition is not associative, so a
+  * raw sum(double) differs between Spark's partial/final partition sums
+  * and DuckDB's sequential sum in low-order bits; decimal sums are exact
+  * and therefore bit-identical on both sides — and, at 100 TB, also
+  * independent of the partition count. Integral-valued doubles
+  * (l_quantity) are exact in IEEE754 and safe to sum directly.
+  */
+object CorpusQueries {
+
+  /** Exact-decimal view of a monetary/fractional double column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** sum(decimal) surfaced as a deterministic DOUBLE. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  private def revenueTerm: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: scan + filter + grouped multi-agg.
+    * Filter is pushed into the parquet scan; aggregation is
+    * partial+final hash agg (map-side combine) — no full-row shuffle.
+    */
+  def q1LineitemAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(revenueTerm).cast("double").as("sum_disc"),
+        (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + selective filter — exercises parquet predicate pushdown
+    * and column pruning (ReadSchema should list only the 4 columns).
+    */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(
+        col("l_shipdate").between(
+          lit("1998-01-01 00:00:00").cast("timestamp"),
+          lit("1998-12-31 23:59:59").cast("timestamp")) &&
+        col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Inner join orders ⋈ customer with the dim side broadcast — no
+    * shuffle of the fact at any scale where the dim fits in memory.
+    */
+  def q3JoinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Left outer join keeping customers with zero orders (count = 0). */
+  def q4JoinLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Left-semi join: customers having at least one finished order. */
+  def q5JoinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers with no orders at all. */
+  def q6JoinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Star-schema join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    * revenue rolled up by region/nation. Dims are broadcast; the only
+    * shuffle joins are fact-to-fact (lineitem⋈orders), which co-partition
+    * on the join key.
+    */
+  def q7StarJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revenueTerm).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  /** Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition heap + driver merge, no full sort).
+    */
+  def q8TopK(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_custkey"))
+      .limit(10)
+
+  /** row_number window: top-2 orders per customer by price. */
+  def q9WindowRowNumber(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag window over the daily revenue series: day-over-day delta. */
+  def q10WindowLag(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.orderBy("order_date")
+    daily
+      .withColumn("prev_dec", lag("rev_dec", 1).over(w))
+      .select(
+        col("order_date"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("prev_dec").cast("double").as("prev_revenue"),
+        (col("rev_dec") - col("prev_dec")).cast("double").as("delta"))
+      .orderBy("order_date")
+  }
+
+  /** Running (cumulative) revenue per order priority. The running sum is
+    * kept in DECIMAL so it is exact — associativity-independent — and
+    * only cast to DOUBLE for output.
+    */
+  def q11WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("order_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .select(
+        col("o_orderpriority"), col("order_date"),
+        col("rev_dec").cast("double").as("revenue"),
+        sum(col("rev_dec")).over(w).cast("double").as("running_revenue"))
+      .orderBy("o_orderpriority", "order_date")
+  }
+
+  /** UNION (distinct) of customer keys from two order-status slices. */
+  def q12Union(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .union(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** INTERSECT of customer keys between two order-status slices. */
+  def q13Intersect(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "P").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** EXCEPT: customers with 'O' orders but no 'F' orders. */
+  def q14Except(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  /** ROLLUP over (region, nation) with explicit grouping flags — via the
+    * SQL surface: the DataFrame rollup+grouping() combination trips
+    * Spark's ambiguous-attribute analyzer check, and GROUP BY ROLLUP is
+    * the idiomatic SQL form anyway (plans identically: Expand + hash agg).
+    */
+  def q15Rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.region(s, d).createOrReplaceTempView("v_region")
+    s.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+        |  CAST(grouping(r_name) AS INT) AS g_region,
+        |  CAST(grouping(n_name) AS INT) AS g_nation
+        |FROM v_customer
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Exact multi-column distinct counts per group. */
+  def q16DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag")
+
+  /** JSON extraction over events.props ({"k": <int>}) — native
+    * get_json_object, no UDF; integer sums are exact.
+    */
+  def q17EventsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Tumbling-hour aggregation of the event stream (batch twin of the
+    * Structured Streaming hourly window; hour surfaced as a string so
+    * the timestamp physical unit (µs vs ns) cannot skew the compare).
+    */
+  def q18EventsHourly(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: a session breaks after a >30-minute gap per user.
+    * Two windows (lag for gap detection, running sum for session ids) —
+    * the standard scalable formulation, one shuffle on user_id.
+    */
+  def q19Sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("is_new").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy("user_id")
+      .agg(
+        max("session_id").as("n_sessions"),
+        max("session_events").as("max_session_events"),
+        sum("session_events").as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over the `documents` table — the core of a
+  * training-data pipeline. Five families:
+  *
+  *   1. exact dedup (group by full text),
+  *   2. content-hash dedup (sha256 — constant-width shuffle keys, the
+  *      practical exact-dedup at 100 TB where shuffling full documents
+  *      would be prohibitive),
+  *   3. MinHash-LSH near-dup (banded signatures → bucket join → exact
+  *      Jaccard verify; NEVER an all-pairs cartesian),
+  *   4. SimHash signatures (bitwise majority over token hashes),
+  *   5. direct n-gram Jaccard for pairs sharing at least one shingle.
+  *
+  * Determinism/oracle notes: all hashing is md5-based (`md5()` exists
+  * verbatim in DuckDB, so the oracle recomputes identical signatures);
+  * min() over fixed-width hex strings is a numeric min; Jaccard is a
+  * ratio of small ints — deterministic IEEE division.
+  *
+  * Scale notes: every self-join here is keyed (shingle, band bucket) —
+  * candidate generation is O(collisions), not O(n²). At 100 TB the
+  * shingle explode is a map-only stage; the band join shuffles only
+  * (band_key, doc_id) pairs, ~64 bytes/row.
+  */
+object Dedup {
+
+  /** Word tokens of `text`. */
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct word n-gram shingles of `text` (positions 1..len-n+1).
+    * Guarded for short docs: Spark's `sequence(1, x)` runs DESCENDING when
+    * x < 1, which would index element 0/-1 and throw under ANSI.
+    */
+  private def shingles(n: Int): Column = {
+    val w = tokens
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - lit(n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: one representative (min doc_id) per distinct text.
+    * dropDuplicates("text") picks an arbitrary survivor; min(doc_id) is
+    * the deterministic equivalent (same set of survivors, stable choice).
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("rep_doc_id", "n_copies")
+      .orderBy("rep_doc_id")
+
+  /** Content-hash dedup stats per source: at 100 TB you shuffle the
+    * 64-char sha256, not the document body.
+    */
+  def hashDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", sha2(col("text"), 256))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"))
+      .orderBy("source")
+
+  /** MinHash signature columns: sig_i = min over shingles of
+    * md5(i || '|' || shingle). Hex strings are fixed-width, so string
+    * min == numeric min; md5 exists identically in the DuckDB oracle.
+    */
+  private def minhashSigs(df: DataFrame, numHashes: Int, n: Int): DataFrame = {
+    val exploded = df
+      .select(col("doc_id"), explode(shingles(n)).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"sig_$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs over word-bigram shingles.
+    * 12 hashes, 4 bands × 3 rows (b=4, r=3 → S-curve threshold
+    * (1/b)^(1/r) ≈ 0.63); candidates = pairs sharing any band bucket;
+    * survivors verified with EXACT bigram Jaccard ≥ minJaccard.
+    * The plan contains no cartesian product — candidate generation is a
+    * hash join on (band index, band key).
+    */
+  def minhashLsh(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val numHashes = 12
+    val rowsPerBand = 3
+    val sigs = minhashSigs(docs, numHashes, n = 2)
+
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+          .as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    verifiedJaccard(docs, cand, n = 2)
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (d1, d2). */
+  private def verifiedJaccard(docs: DataFrame, cand: DataFrame, n: Int): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sh.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.sh") === col("s2.sh"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(
+        col("d1"), col("d2"),
+        (col("n_common") /
+          (col("z1.n_sh") + col("z2.n_sh") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Direct n-gram (trigram) Jaccard near-dup: pairs sharing ≥1 shingle
+    * (keyed join on the shingle — no cartesian), filtered by threshold.
+    */
+  def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"), explode(shingles(3)).as("sh"))
+    val cand = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifiedJaccard(docs, cand, n = 3)
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  /** 32-bit SimHash per document: token hash = first 8 md5 hex chars as
+    * int; bit b of the signature is set iff the majority of (distinct)
+    * tokens have bit b set (strict majority — sum of ±1 > 0).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      // bit test via exact power-of-two division (shiftright takes only a
+      // literal shift amount; doubles are exact for 2^b, b ≤ 31)
+      .withColumn("vote",
+        when((col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1, 1)
+          .otherwise(-1))
+      .groupBy("doc_id", "b")
+      .agg(sum("vote").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

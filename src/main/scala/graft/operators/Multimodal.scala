@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) modeled as an
+  * opaque BINARY column plus typed metadata — the schema a 100 TB
+  * training-data lake uses (media bytes co-located with metadata,
+  * decode deferred to batched executor-side functions).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (`fakeDecode`) — but every
+  * Spark-side piece is real and tested: the binary schema, the batched
+  * mapPartitions execution shape (one "decoder init" per partition, the
+  * same shape a JNI/codec binding needs), partitioning, and the typed
+  * output row.
+  */
+object Multimodal {
+
+  /** A media record: bytes + metadata. */
+  final case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Decoded (fake) features. */
+  final case class MediaFeatures(
+    media_id: Long, kind: String, n_bytes: Long,
+    width: Int, height: Int, n_frames: Int)
+
+  /** Manufacture a media table from `documents`: the text bytes stand in
+    * for encoded media (binary column, realistic sizes/skew).
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id").as("media_id"),
+        // deterministic modality assignment
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "utf-8").as("bytes"))
+
+  /** DETERMINISTIC FAKE DECODE — stands in for a real codec. A real
+    * implementation would replace the body with a JNI/codec call; the
+    * batching shape (iterator-in/iterator-out per partition, decoder
+    * "session" initialized once per partition) is the real contract.
+    */
+  def fakeDecode(rec: MediaRecord): MediaFeatures = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rec.bytes).map("%02x".format(_)).mkString
+    val w = 1 + java.lang.Long.parseLong(md5.substring(0, 4), 16).toInt % 64
+    val h = 1 + java.lang.Long.parseLong(md5.substring(4, 8), 16).toInt % 64
+    MediaFeatures(rec.media_id, rec.kind, rec.bytes.length.toLong,
+      w, h, 1 + (rec.bytes.length % 16))
+  }
+
+  /** Batched decode over partitions: the executor-side pattern for real
+    * codecs (init once per partition, stream records through).
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real impl: initialize decoder/codec context HERE, once per task
+      it.map(fakeDecode)
+    }.toDF()
+  }
+
+  /** Declarative twin of the fake decode — same features computed as
+    * pure Catalyst expressions over the binary column (codegen'd, no
+    * JVM object churn); used as the oracle-checkable query and as the
+    * cross-check for the mapPartitions path.
+    */
+  def mediaFeaturesSql(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .select(
+        col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"),
+        (conv(substring(md5(col("bytes")), 1, 4), 16, 10).cast("long") % 64 + 1)
+          .cast("int").as("width"),
+        (conv(substring(md5(col("bytes")), 5, 4), 16, 10).cast("long") % 64 + 1)
+          .cast("int").as("height"),
+        (length(col("bytes")) % 16 + 1).cast("int").as("n_frames"))
+      .orderBy("media_id")
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (64-dim array<float>).
+  *
+  *   - Brute-force cosine top-k: broadcast the (small) query set against
+  *     the corpus — the correct baseline at any scale where |queries| is
+  *     bounded; the corpus side streams, no shuffle of the corpus.
+  *   - Sign-LSH bucketed top-k: bucket both sides by the sign bits of
+  *     the leading dimensions (an axis-aligned random-hyperplane LSH);
+  *     the join is keyed on the bucket — candidate count collapses by
+  *     ~2^bits, the 100 TB scale path (trade recall for a keyed join).
+  *   - Label centroids: element-wise mean via posexplode + exact
+  *     DECIMAL sums (deterministic at any partitioning).
+  *
+  * Determinism: dot products fold the 64 element products strictly
+  * left-to-right (higher-order `aggregate`), matching the oracle's
+  * sequential `list_reduce` — bit-identical IEEE sums. Ranking uses the
+  * cosine ROUNDED to 6 decimals with a vec_id tie-break so a last-ulp
+  * difference can never flip an ordering.
+  */
+object Similarity {
+
+  /** float[] → double[] so all arithmetic is IEEE double both sides. */
+  private def dbl(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: query vectors vec_id < nQueries against
+    * the rest of the corpus. Broadcast nested-loop on the tiny query
+    * side is intentional (queries are a constant-size set).
+    */
+  def knnBrute(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("q"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    corpus.join(broadcast(queries))
+      .withColumn("cos6", round(cosine(col("q"), col("c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos6")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Sign-LSH bucket of a vector: bits = sign of dims 1..nBits. */
+  private def signBucket(v: Column, nBits: Int): Column =
+    (1 to nBits).map(i =>
+      when(element_at(v, i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: candidates restricted to the query's sign-LSH bucket;
+    * the join is a keyed hash join on the bucket id (the scale path —
+    * no broadcast of the corpus, no cartesian).
+    */
+  def knnBucketed(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3,
+                  nBits: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("q"),
+        signBucket(col("embedding"), nBits).as("bucket"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("c_id"), dbl(col("embedding")).as("c"),
+        signBucket(col("embedding"), nBits).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    corpus.join(queries, "bucket")
+      .withColumn("cos6", round(cosine(col("q"), col("c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos6", "bucket")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label centroids in tall form (label, dim, mean). Elements are
+    * quantized to integer micro-units (round(x·1e6)) before summing:
+    * integer sums are exact, so the mean is independent of row order and
+    * partitioning — deterministic at any scale, and hash-identical in
+    * the oracle. (A DECIMAL cast of an arbitrary float is NOT safe: the
+    * engines' float→decimal rounding paths can differ by one ulp.)
+    */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 4) // keep output compact: leading 4 dims
+      .withColumn("micro",
+        round(col("x").cast("double") * lit(1000000.0)).cast("long"))
+      .groupBy("label", "pos")
+      .agg(
+        (sum(col("micro")).cast("double") / lit(1000000.0) / count(lit(1)))
+          .as("mean"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+}

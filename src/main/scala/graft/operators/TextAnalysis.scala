@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting (whitespace + regex "BPE-ish"),
+  * quality scoring, heuristic language ID, and rolling-hash document
+  * fingerprints. All pure Catalyst expressions (split / regexp /
+  * higher-order functions) — map-only stages, no shuffle except the
+  * final orderBy; linear scaling to 100 TB.
+  *
+  * Determinism: ratios are small-int divisions (deterministic IEEE);
+  * the fingerprint uses md5-derived token ints folded left-to-right
+  * with modular arithmetic — bit-identical in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** English-ish stopwords present in the corpus vocabulary. */
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Token counting: whitespace tokens vs regex tokens (a BPE-ish
+    * word/digit/punct split) plus a char-count sanity column.
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_re_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: distinct-token ratio, stopword ratio, mean token
+    * length; score = 0.5·distinct_ratio + 0.3·(1−stopword_ratio)
+    * + 0.2·min(avg_len/8, 1). The exact formula is this engine's
+    * definition (the reference has no text ops); the oracle recomputes it.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks).cast("double")
+    val stopArr = array(StopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    // sum of token lengths = chars - separators
+    val sumLen = (length(col("text")) - (size(toks) - lit(1))).cast("double")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        (nDistinct / n).as("distinct_ratio"),
+        (nStop / n).as("stopword_ratio"),
+        (sumLen / n).as("avg_token_len"),
+        (lit(0.5) * (nDistinct / n) + lit(0.3) * (lit(1.0) - nStop / n) +
+          lit(0.2) * least(sumLen / n / lit(8.0), lit(1.0))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID: score = marker-token hits per language,
+    * argmax with a fixed priority tie-break (en > de > es > fr > zh,
+    * 'und' when nothing matches). N-gram/stopword LangID is standard for
+    * pipeline pre-filtering; markers here match the synthetic corpus
+    * vocabulary so the operator exercises real code paths.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of"),
+      "de" -> Seq("der", "die", "und", "das"),
+      "es" -> Seq("el", "la", "los", "que"),
+      "fr" -> Seq("le", "les", "des", "une"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4"))
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(ws.map(lit): _*), t)))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id") +: markers.map { case (l, ws) => score(ws).as(s"s_$l") }: _*)
+    // argmax with priority tie-break: first lang (in declared order) whose
+    // score equals the row max and is > 0
+    val maxScore = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pick = markers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"s_$l") === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_pred", pick)
+      .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "s_zh", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint: token → 48-bit md5 prefix int,
+    * folded left-to-right as h = (h·131 + tok) mod 1e9+7. Order-sensitive
+    * (unlike a bag-of-words hash) — a token swap changes the fingerprint.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(toks,
+            t => conv(substring(md5(t), 1, 12), 16, 10).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 131L + x) % 1000000007L).as("fingerprint"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The multimodal plumbing: binary schema, batched mapPartitions decode,
+  * and equivalence between the typed (Dataset) path and the declarative
+  * (Catalyst expression) twin.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("media table has a real binary column with typed metadata") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val schema = m.schema
+    assert(schema("bytes").dataType.typeName === "binary")
+    assert(schema("kind").dataType.typeName === "string")
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+
+  test("mapPartitions decode path == declarative expression twin") {
+    val typed = Multimodal.decodeFeatures(Multimodal.mediaTable(spark, sf))
+      .orderBy("media_id").collect()
+    val sql = Multimodal.mediaFeaturesSql(spark, sf).collect()
+    assert(typed.length === sql.length)
+    typed.zip(sql).foreach { case (a, b) =>
+      assert(a.getAs[Long]("media_id") === b.getAs[Long]("media_id"))
+      assert(a.getAs[Long]("n_bytes") === b.getAs[Long]("n_bytes"))
+      assert(a.getAs[Int]("width") === b.getAs[Int]("width"))
+      assert(a.getAs[Int]("height") === b.getAs[Int]("height"))
+      assert(a.getAs[Int]("n_frames") === b.getAs[Int]("n_frames"))
+    }
+  }
+}
