@@ -72,7 +72,10 @@ object SparkEntry {
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
     "s3_label_centroids" -> (Similarity.labelCentroids _),
     // ---- multimodal plumbing ----
-    "m1_media_features" -> (Multimodal.mediaFeaturesSql _)
+    "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
+    // ---- sketches (no oracle: estimates are engine-specific; the
+    // driver records a rows-only check) ----
+    "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -342,18 +345,13 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (
         |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |         unnest(list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS sh
         |  FROM tok),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
-        |  SELECT d1, d2, COUNT(*) AS c
-        |  FROM cand
-        |  JOIN sh p1 ON p1.doc_id = d1
-        |  JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
-        |  GROUP BY d1, d2)
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
         |SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
         |FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
         |WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8

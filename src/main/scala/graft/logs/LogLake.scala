@@ -43,6 +43,20 @@ object LogLake {
       .mode(SaveMode.Overwrite)
       .parquet(root)
 
+  /** Catalog materialization (reference: dbt `materialized='table'`,
+    * dbt_project.yml:8-13 — every model persisted as a warehouse table).
+    * saveAsTable registers the data in the session catalog so
+    * `spark.sql("SELECT ... FROM <name>")` serves it by name, the CTAS
+    * equivalent of the reference's DuckDB tables.
+    */
+  def materializeTable(df: DataFrame, name: String): Unit = {
+    // full refresh (the reference's dbt table materialization semantics);
+    // also clears an orphaned location left by a previous session whose
+    // in-memory catalog no longer knows the table
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode(SaveMode.Overwrite).saveAsTable(name)
+  }
+
   /** Staging re-read (reference: stg_logs.sql:4-6 glob scan). Spark
     * partition discovery turns `date=…` dirs back into a column; kept
     * LAZY (no eager full materialization) so date filters prune partitions

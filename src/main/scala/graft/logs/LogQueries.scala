@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object LogQueries {
 
+  private val DatePattern = """^\d{4}-\d{2}-\d{2}$""".r
+
+  /** Serve-time parameter validation (reference: serve/api.py:26-29,
+    * 56-59 rejects malformed dates with HTTP 400; here: IllegalArgument
+    * before any Spark job is launched). Checks shape AND calendar
+    * validity, like the reference's strptime.
+    */
+  def validateDate(date: String): Unit = {
+    require(DatePattern.matches(date), s"invalid date format: '$date' (want YYYY-MM-DD)")
+    try java.time.LocalDate.parse(date)
+    catch { case _: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(s"invalid calendar date: '$date'")
+    }
+  }
+
+  /** Bounds check for top-k limits (reference: serve/api.py:53). */
+  def validateLimit(k: Int): Unit =
+    require(k >= 1 && k <= 100, s"limit must be in [1,100], got $k")
+
   /** GET /errors_by_endpoint?date=… (reference: serve/api.py:33-41).
     * Equality filter on the partition-style date column → partition
     * pruning when the fact is stored partitioned by date.

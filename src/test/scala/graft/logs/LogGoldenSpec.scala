@@ -85,6 +85,23 @@ class LogGoldenSpec extends SparkSpec {
     assert(LogQuality.statusRangeViolations(LogModels.stgLogs(parsed)).isEmpty)
   }
 
+  test("serve-time parameter validation rejects bad dates and limits") {
+    LogQueries.validateDate("2025-11-10") // ok
+    intercept[IllegalArgumentException](LogQueries.validateDate("2025-13-40"))
+    intercept[IllegalArgumentException](LogQueries.validateDate("not-a-date"))
+    intercept[IllegalArgumentException](LogQueries.validateDate("2025-1-1"))
+    LogQueries.validateLimit(1); LogQueries.validateLimit(100)
+    intercept[IllegalArgumentException](LogQueries.validateLimit(0))
+    intercept[IllegalArgumentException](LogQueries.validateLimit(101))
+  }
+
+  test("saveAsTable materialization: fact queryable by name via SQL") {
+    LogLake.materializeTable(LogFixture.fct(spark), "fct_requests_hourly_t")
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM fct_requests_hourly_t").collect()(0).getLong(0)
+    assert(n === 6L)
+  }
+
   test("quality checks pass on fixture and catch violations") {
     val stg = LogFixture.stg(spark)
     val fct = LogFixture.fct(spark)
