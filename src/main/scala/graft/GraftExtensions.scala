@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: install with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`) to get the engine's native
+  * functions in ANY session — including plain `spark.sql` users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (FunctionIdentifier(CosineSimilarity.name),
+        CosineSimilarity.info,
+        CosineSimilarity.builder))
+  }
+}

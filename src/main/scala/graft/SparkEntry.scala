@@ -56,6 +56,7 @@ object SparkEntry {
     "q17_events_json" -> (CorpusQueries.q17EventsJson _),
     "q18_events_hourly" -> (CorpusQueries.q18EventsHourly _),
     "q19_sessions" -> (CorpusQueries.q19Sessions _),
+    "q20_grouping_sets" -> (CorpusQueries.q20GroupingSets _),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
     "s3_label_centroids" -> (Similarity.labelCentroids _),
+    "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     // ---- sketches (no oracle: estimates are engine-specific; the
@@ -268,6 +270,14 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q19_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id,
@@ -434,6 +444,23 @@ object SparkEntry {
         |rk AS (SELECT q_id, c_id, bucket, cos6,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, bucket FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s4_embed_neardup" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id1, b2.vec_id AS id2,
+        |    ROUND(
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * b2.v[i])), (s, x) -> s + x)
+        |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])), (s, x) -> s + x))
+        |       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b2.v)+1), i -> b2.v[i] * b2.v[i])), (s, x) -> s + x))),
+        |      6) AS cos6
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT id1, id2, cos6 FROM p WHERE cos6 >= 0.4 ORDER BY id1, id2""".stripMargin,
     "s3_label_centroids" ->
       """WITH tall AS (
         |  SELECT label, 0 AS pos, embedding[1] AS x FROM embeddings

@@ -248,6 +248,21 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** GROUPING SETS with mixed grains (status×priority, status, grand
+    * total) — one Expand + single hash aggregation, not three scans.
+    */
+  def q20GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM v_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Approximate distinct-count sketch (HyperLogLog++) next to the exact
     * count — the 100 TB path where exact distinct is a full shuffle of
     * the key domain but the sketch is mergeable, constant-size state.
