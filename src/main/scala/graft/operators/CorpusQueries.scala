@@ -132,7 +132,13 @@ object CorpusQueries {
       .orderBy("o_custkey", "rn")
   }
 
-  /** lag window over the daily revenue series: day-over-day delta. */
+  /** lag window over the daily revenue series: day-over-day delta.
+    * The unpartitioned window (global date order) runs on the
+    * POST-AGGREGATION series — one row per calendar day, bounded input
+    * regardless of raw scale — so the single-partition WindowExec is
+    * inherent to the semantics, not a scale hazard. (q11 shows the
+    * partitioned form.)
+    */
   def q10WindowLag(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("order_date"))

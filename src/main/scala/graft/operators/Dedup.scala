@@ -72,16 +72,16 @@ object Dedup {
     * md5(i || '|' || shingle). Hex strings are fixed-width, so string
     * min == numeric min; md5 exists identically in the DuckDB oracle.
     */
-  private def minhashSigs(df: DataFrame, numHashes: Int, n: Int): DataFrame = {
-    val exploded = df
-      .select(col("doc_id"), explode(shingles(n)).as("sh"))
+  /** MinHash signatures from an (already materialized) shingle frame.
+    * localCheckpoint: the band self-join downstream would otherwise
+    * DUPLICATE this subtree (12 md5 min-aggs over every shingle) —
+    * Spark self-joins re-execute shared lineage. One materialization,
+    * tiny result (|docs| rows).
+    */
+  private def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"sig_$i"))
-    // localCheckpoint: the band self-join below would otherwise DUPLICATE
-    // this whole subtree (scan + explode + 12 md5 min-aggs) — Spark
-    // self-joins re-execute shared lineage. One materialization, tiny
-    // result (|docs| rows).
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).localCheckpoint()
   }
 
   /** MinHash-LSH near-duplicate pairs over word-bigram shingles.
@@ -95,7 +95,11 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val numHashes = 12
     val rowsPerBand = 3
-    val sigs = minhashSigs(docs, numHashes, n = 2)
+    // ONE shingle explode shared by signature building AND the exact
+    // verify below (materialized once)
+    val sh = docs.select(col("doc_id"), explode(shingles(2)).as("sh"))
+      .localCheckpoint()
+    val sigs = minhashSigs(sh, numHashes)
 
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
@@ -114,16 +118,15 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    verifiedJaccard(docs, cand, n = 2)
+    verifiedJaccard(sh, cand)
       .filter(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (d1, d2). */
-  private def verifiedJaccard(docs: DataFrame, cand: DataFrame, n: Int): DataFrame = {
-    // reused 3× below (two pair-side joins + sizes) — materialize once
-    val sh = docs.select(col("doc_id"), explode(shingles(n)).as("sh"))
-      .localCheckpoint()
+  /** Exact Jaccard for candidate pairs (d1, d2) over a materialized
+    * (doc_id, sh) shingle frame (reused 3×: two pair-side joins + sizes).
+    */
+  private def verifiedJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("s1"), col("d1") === col("s1.doc_id"))

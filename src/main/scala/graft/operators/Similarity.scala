@@ -112,6 +112,59 @@ object Similarity {
       .orderBy("id1", "id2")
   }
 
+  /** IVF-style ANN: label centroids act as the coarse quantizer
+    * ("inverted file" cells); every vector is assigned to its
+    * highest-dot-product centroid, and search runs only within the
+    * query's cell — the classic IVF trade (recall for a keyed join)
+    * and the second scale path next to sign-LSH bucketing.
+    *
+    * Determinism: centroid means use exact integer micro-units, and
+    * cell assignment scores are per-term-quantized integer sums
+    * (`round(v[pos]·mean·1e12)` per dimension, summed as BIGINT), so
+    * the argmax cell is bit-identical in the oracle — no float sum
+    * order dependence anywhere in the pipeline.
+    */
+  def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val tall = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double")).drop("xf")
+    val eLab = e.select(col("vec_id"), col("label"))
+    // full-dim centroids in exact micro-units
+    val centroids = tall.join(eLab, "vec_id")
+      .withColumn("micro", round(col("x") * lit(1000000.0)).cast("long"))
+      .groupBy(col("label").as("c_label"), col("pos"))
+      .agg((sum("micro").cast("double") / lit(1000000.0) / count(lit(1)))
+        .as("c_mean"))
+      .localCheckpoint() // reused by every assignment below
+    // cell assignment: argmax over integer-quantized dot terms
+    val scores = tall.join(centroids, "pos")
+      .withColumn("term",
+        round(col("x") * col("c_mean") * lit(1000000000000.0)).cast("long"))
+      .groupBy("vec_id", "c_label")
+      .agg(sum("term").as("score"))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(desc("score"), asc("c_label"))
+    val cells = scores
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("cell"))
+      .localCheckpoint() // self-joined below (queries vs corpus)
+    val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .join(cells, "vec_id")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("cell"))
+    val corpus = vecs.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("c_id"), col("v").as("c"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    corpus.join(queries, "cell")
+      .withColumn("cos6", round(cosine(col("q"), col("c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos6", "cell")
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-label centroids in tall form (label, dim, mean). Elements are
     * quantized to integer micro-units (round(x·1e6)) before summing:
     * integer sums are exact, so the mean is independent of row order and

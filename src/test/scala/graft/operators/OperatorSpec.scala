@@ -59,6 +59,14 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("IVF knn assigns cells and searches only within the query's cell") {
+    val rows = Similarity.knnIvf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 3))
+    val cells = rows.map(_.getAs[Int]("cell")).toSet
+    assert(cells.subsetOf((0 to 9).toSet))
+  }
+
   test("bucketed knn candidates all share the query's sign bucket") {
     val rows = Similarity.knnBucketed(spark, sf).collect()
     assert(rows.nonEmpty)
