@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object LogLake {
 
-  /** ETL sink (reference: ingest_logs.py:63-70). `date` is kept a STRING
-    * partition column at rest, exactly like the reference's directory names.
+  /** ETL sink (reference: ingest_logs.py:63-70). `date` is written as a
+    * STRING directory name (`date=YYYY-MM-DD/`, like the reference's
+    * layout); note Spark's partition-column TYPE INFERENCE re-reads it
+    * as DateType in readLake — schema-sensitive consumers should cast,
+    * or disable spark.sql.sources.partitionColumnTypeInference.enabled.
     */
   /** Salt buckets per date partition: enough parallelism inside a single
     * day's write without exploding the file count. On a real cluster

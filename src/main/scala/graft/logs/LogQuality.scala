@@ -21,17 +21,27 @@ object LogQuality {
     stg.filter(!col("status").between(100, 599))
 
   /** The reference's full test suite over stg + fct; returns
-    * (check name → violation count). Counts run as one job each;
-    * callers wanting pass/fail only should use the *Violations frames
-    * with `.isEmpty`.
+    * (check name → violation count). All checks run as ONE Spark job:
+    * the violation frames are unioned with a check label and counted
+    * in a single grouped aggregation — at 100 TB that is one scan per
+    * input table instead of one scan per check.
     */
-  def runAll(stg: DataFrame, fct: DataFrame): Map[String, Long] = Map(
-    "stg_not_null" -> notNullViolations(
-      stg, Seq("ts", "status", "bytes_sent", "endpoint")).count(),
-    "fct_not_null" -> notNullViolations(
-      fct, Seq("date", "hour", "endpoint", "requests", "errors")).count(),
-    "status_range" -> statusRangeViolations(stg).count()
-  )
+  def runAll(stg: DataFrame, fct: DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions.lit
+    val labeled = Seq(
+      "stg_not_null" -> notNullViolations(
+        stg, Seq("ts", "status", "bytes_sent", "endpoint")),
+      "fct_not_null" -> notNullViolations(
+        fct, Seq("date", "hour", "endpoint", "requests", "errors")),
+      "status_range" -> statusRangeViolations(stg)
+    )
+    val unioned = labeled
+      .map { case (name, df) => df.select(lit(name).as("check")) }
+      .reduce(_ union _)
+    val counts = unioned.groupBy("check").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    labeled.map { case (name, _) => name -> counts.getOrElse(name, 0L) }.toMap
+  }
 
   /** ETL inline asserts (reference: ingest_logs.py:55-57). */
   def assertIngest(parsed: DataFrame): Unit = {

@@ -29,6 +29,16 @@ class LogLakeSpec extends SparkSpec {
     assert(d0.exists, "hive-style date= dir missing")
   }
 
+  test("pipeline rejects a log file with zero parseable lines") {
+    val raw = Files.createTempFile("garbage", ".log")
+    Files.write(raw, "not a log line\nanother garbage line\n".getBytes)
+    val wh = Files.createTempDirectory("whbad").toString
+    val e = intercept[IllegalArgumentException] {
+      LogPipeline.run(spark, raw.toString, wh)
+    }
+    assert(e.getMessage.contains("no rows parsed"))
+  }
+
   test("end-to-end pipeline main: raw → lake → models → quality gate") {
     val raw = Files.createTempFile("nginx", ".log")
     Files.write(raw, LogFixture.lines.mkString("\n").getBytes)
