@@ -76,6 +76,7 @@ object SparkEntry {
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
+    "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // ---- sketches (no oracle: estimates are engine-specific; the
     // driver records a rows-only check) ----
     "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _)
@@ -510,6 +511,12 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM m GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(unnest(range(0, CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER), 4)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "m1_media_features" ->
       """SELECT doc_id AS media_id,
         |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,

@@ -64,6 +64,22 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Frame sampling: emit one row per sampled frame (every `step`-th
+    * frame of the fake-decoded frame count) — the explode-shaped
+    * operator a video pipeline runs before per-frame feature
+    * extraction. Real generator semantics (explode/sequence); only the
+    * frame COUNT comes from the fake decode.
+    */
+  def sampleFrames(s: SparkSession, d: String, step: Int = 4,
+                   maxMediaId: Long = 50L): DataFrame =
+    mediaTable(s, d)
+      .filter(col("media_id") < maxMediaId)
+      .select(
+        col("media_id"), col("kind"),
+        explode(sequence(lit(0),
+          (length(col("bytes")) % 16 + 1) - 1, lit(step))).as("frame_idx"))
+      .orderBy("media_id", "frame_idx")
+
   /** Declarative twin of the fake decode — same features computed as
     * pure Catalyst expressions over the binary column (codegen'd, no
     * JVM object churn); used as the oracle-checkable query and as the
