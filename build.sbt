@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one generated class per plan stage; a run
+  // of ~50 distinct queries fills the default 240m code cache, the JIT
+  // shuts off, and CPU-bound queries degrade ~10x mid-run (measured:
+  // d5 5.5s solo → 52s late in a bench pass). Size both pools for a
+  // many-plan session.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MaxMetaspaceSize=2g",
 )

@@ -33,7 +33,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Either[Throwable, Unit] =
-      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); Right(()) }
+      try {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+        // free localCheckpoint blocks (persisted RDDs) between queries:
+        // left to the ContextCleaner they pile up in the block manager
+        // across 2×N query runs and degrade the whole JVM (measured
+        // 30.8s → 116s across one bench run before this)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        Right(())
+      }
       catch { case e: Throwable => Left(e) }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

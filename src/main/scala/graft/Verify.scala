@@ -27,6 +27,8 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // free localCheckpoint blocks between queries (see Bench)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
