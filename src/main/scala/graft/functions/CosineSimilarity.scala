@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Arithmetic is a strict left-to-right fold (dot, |a|², |b|² in one
   * pass, division at the end) — bit-identical to the sequential
   * list_reduce the DuckDB oracle runs, so results stay hash-matchable.
+  *
+  * Edge-case contract (deliberate, matching the oracle's list_reduce):
+  *   - mismatched lengths fold over the SHORTER array (extra elements
+  *     of the longer one are ignored, not an error);
+  *   - a zero-norm input yields NaN (0/0) — callers filter or rank
+  *     with a rounded tie-broken key, so NaN never decides an order;
+  *   - array elements must be non-null: ArrayData.getDouble on a null
+  *     slot reads an undefined value. All call sites pass
+  *     transform(embedding, cast) output, which preserves non-null
+  *     float inputs; SQL users must ensure containsNull-free arrays.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -23,8 +23,10 @@ object LogQuality {
   /** The reference's full test suite over stg + fct; returns
     * (check name → violation count). All checks run as ONE Spark job:
     * the violation frames are unioned with a check label and counted
-    * in a single grouped aggregation — at 100 TB that is one scan per
-    * input table instead of one scan per check.
+    * in a single grouped aggregation — one job per run instead of one
+    * job per check. (The union plans independent subtrees, so an input
+    * appearing in two checks is still scanned twice within that job;
+    * callers that need single-scan semantics should cache stg first.)
     */
   def runAll(stg: DataFrame, fct: DataFrame): Map[String, Long] = {
     import org.apache.spark.sql.functions.lit

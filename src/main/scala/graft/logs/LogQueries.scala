@@ -34,37 +34,45 @@ object LogQueries {
     * Equality filter on the partition-style date column → partition
     * pruning when the fact is stored partitioned by date.
     */
-  def errorsByEndpoint(fct: DataFrame, date: String): DataFrame =
+  def errorsByEndpoint(fct: DataFrame, date: String): DataFrame = {
+    validateDate(date)
     fct
       .filter(col("date") === lit(date))
       .groupBy("endpoint")
       .agg(sum("errors").as("errors"), sum("requests").as("requests"))
       .orderBy(desc("errors"), desc("requests"), asc("endpoint"))
+  }
 
   /** GET /top_endpoints?date=…&limit=k (reference: serve/api.py:63-72).
     * orderBy+limit plans as TakeOrderedAndProject — a true distributed
     * top-k (per-partition heap + driver merge), no full sort at scale.
     */
-  def topEndpoints(fct: DataFrame, date: String, k: Int): DataFrame =
+  def topEndpoints(fct: DataFrame, date: String, k: Int): DataFrame = {
+    validateDate(date)
+    validateLimit(k)
     fct
       .filter(col("date") === lit(date))
       .groupBy("endpoint")
       .agg(sum("requests").as("requests"), sum("errors").as("errors"))
       .orderBy(desc("requests"), desc("errors"), asc("endpoint"))
       .limit(k)
+  }
 
   /** Dashboard date picker (reference: serve/app.py:23). */
   def availableDates(fct: DataFrame): DataFrame =
     fct.select("date").distinct().orderBy("date")
 
   /** Dashboard hourly table (reference: serve/app.py:31-36). */
-  def hourlyBreakdown(fct: DataFrame, date: String): DataFrame =
+  def hourlyBreakdown(fct: DataFrame, date: String): DataFrame = {
+    validateDate(date)
     fct.filter(col("date") === lit(date)).orderBy("hour", "endpoint")
+  }
 
   /** Dashboard KPI row: day totals + derived error-rate %
     * (reference: serve/app.py:63-65).
     */
-  def kpiTotals(fct: DataFrame, date: String): DataFrame =
+  def kpiTotals(fct: DataFrame, date: String): DataFrame = {
+    validateDate(date)
     fct
       .filter(col("date") === lit(date))
       .agg(sum("requests").as("total_requests"), sum("errors").as("total_errors"))
@@ -73,20 +81,25 @@ object LogQueries {
         when(col("total_requests") > 0,
           col("total_errors") / col("total_requests") * 100.0).otherwise(lit(0.0))
       )
+  }
 
   /** Dashboard per-hour chart re-group (reference: serve/app.py:77-81). */
-  def perHourPivot(fct: DataFrame, date: String): DataFrame =
+  def perHourPivot(fct: DataFrame, date: String): DataFrame = {
+    validateDate(date)
     fct
       .filter(col("date") === lit(date))
       .groupBy("hour")
       .agg(sum("errors").as("errors"), sum("requests").as("requests"))
       .orderBy("hour")
+  }
 
   /** Benchmark query (reference: README.md:202-205). */
-  def benchErrorsByEndpoint(fct: DataFrame, date: String): DataFrame =
+  def benchErrorsByEndpoint(fct: DataFrame, date: String): DataFrame = {
+    validateDate(date)
     fct
       .filter(col("date") === lit(date))
       .groupBy("endpoint")
       .agg(sum("errors").as("errors"))
       .orderBy(desc("errors"), asc("endpoint"))
+  }
 }
