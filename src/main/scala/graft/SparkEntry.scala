@@ -57,6 +57,16 @@ object SparkEntry {
     "q18_events_hourly" -> (CorpusQueries.q18EventsHourly _),
     "q19_sessions" -> (CorpusQueries.q19Sessions _),
     "q20_grouping_sets" -> (CorpusQueries.q20GroupingSets _),
+    "q21_cube" -> (CorpusQueries.q21Cube _),
+    "q22_pivot" -> (CorpusQueries.q22Pivot _),
+    "q24_topk_agg" -> (CorpusQueries.q24TopKAgg _),
+    "q25_salted_join" -> (CorpusQueries.q25SaltedJoin _),
+    // ---- temporal joins ----
+    "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
+    "a2_range_join" -> (TemporalJoins.rangeJoinFollowups _),
+    // ---- deterministic sampling / splits ----
+    "p1_split_assign" -> (Sampling.splitAssign _),
+    "p2_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
@@ -68,6 +78,7 @@ object SparkEntry {
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
     "t3_lang_id" -> (TextAnalysis.langId _),
     "t4_fingerprint" -> (TextAnalysis.fingerprint _),
+    "t5_repetition" -> (TextAnalysis.repetition _),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -303,6 +314,94 @@ object SparkEntry {
         |       MAX(session_events) AS max_session_events,
         |       CAST(SUM(session_events) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q22_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) FILTER (WHERE event_type='click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type='view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type='error') AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q24_topk_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_suppkey, SUM(l_quantity) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, l_suppkey, qty,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY qty DESC, l_suppkey) AS INTEGER) AS rank
+        |  FROM g)
+        |SELECT l_returnflag, rank, l_suppkey, qty FROM r
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
+    "q25_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // window-formulation as-of twin; cross-checked equal to DuckDB's
+    // native ASOF JOIN on this data (the window form has a defined
+    // tie-break where ASOF's same-timestamp pick is unspecified)
+    "a1_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |c AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    LAST_VALUE(CASE WHEN event_type='click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |  FROM e)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  click_id, click_ts, epoch_us(ts) - epoch_us(click_ts) AS gap_us
+        |FROM c WHERE event_type='purchase' ORDER BY purchase_id""".stripMargin,
+    "a2_range_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+        |  COUNT(c.ts) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        | AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin,
+    "p1_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "p2_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 < 30 AS kept
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS sampled_id_sum
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "t5_repetition" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id, tok, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+        |  FROM c)
+        |SELECT doc_id, tok AS top_token, cnt AS top_count, n_tokens,
+        |  cnt / CAST(n_tokens AS DOUBLE) AS top_ratio
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies

@@ -286,6 +286,84 @@ object CorpusQueries {
           col("exact_parts").cast("double"))
       .orderBy("l_returnflag")
 
+  /** CUBE over (status, priority): all four grains in one Expand +
+    * hash aggregation (SQL surface for grouping(), as in q15Rollup).
+    */
+  def q21Cube(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders_cube")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM v_orders_cube
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot: daily event counts spread across one column per event type
+    * (explicit value list, so the plan is a single pass — no distinct-
+    * values pre-query — and the output schema is stable at any scale).
+    * Absent (day, type) combinations surface as 0, matching the
+    * oracle's FILTER-ed counts.
+    */
+  def q22Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error")
+    val p = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+      .orderBy("day")
+  }
+
+  /** Per-group top-k via the typed TopKAggregator (map-side partial
+    * top-k: each task shuffles at most k rows per group instead of the
+    * whole group — see TopKAggregator scaladoc). Pre-aggregated to
+    * (flag, supplier) totals first, then the aggregator keeps the top 3
+    * suppliers per return flag. Deterministic: score is an exact
+    * integral-double sum; ties break on the smaller supplier key.
+    */
+  def q24TopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val pre = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+      .select(col("l_returnflag").as("flag"),
+        col("l_suppkey").cast("long").as("id"), col("qty"))
+      .as[(String, Long, Double)]
+    pre
+      .groupByKey(_._1)
+      .mapValues { case (_, id, qty) => Scored(qty, id) }
+      .agg(new TopKAggregator(3).toColumn.name("top"))
+      .toDF("l_returnflag", "top")
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(
+        col("l_returnflag"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("sc.id").as("l_suppkey"),
+        col("sc.score").as("qty"))
+      .orderBy("l_returnflag", "rank")
+  }
+
+  /** Salted skew join (SkewJoin.saltedJoin): the fact side's hot order
+    * keys are spread across 8 salt buckets, the dim side is replicated
+    * 8×. Result is IDENTICAL to the plain join (salting only changes
+    * the shuffle layout), which is exactly what the oracle checks.
+    */
+  def q25SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedJoin(
+        Tables.lineitem(s, d), dim, "l_orderkey",
+        discriminator = col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * Two windows (lag for gap detection, running sum for session ids) —
     * the standard scalable formulation, one shuffle on user_id.

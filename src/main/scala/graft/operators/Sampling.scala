@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling / split-assignment operators for a
+  * training-data pipeline. Random sampling (`df.sample`) is
+  * partition-order-dependent and irreproducible across engines; both
+  * operators here derive their randomness from a content hash instead —
+  * every row's fate is a pure function of the row, so the split is
+  * stable under repartitioning, re-runs, engine changes, and (at
+  * 100 TB) across incremental ingestion batches. This is the standard
+  * hash-split technique for train/eval hygiene: a document's split
+  * never changes when the corpus around it grows.
+  *
+  * Hash: first 60 bits of md5 (hex chars 1-15) as a BIGINT — exists
+  * verbatim in the DuckDB oracle (`('0x' || substr(md5(x),1,15))::BIGINT`),
+  * so assignments are bit-identical. Map-only; no shuffle except the
+  * final presentation sort / group.
+  */
+object Sampling {
+
+  /** 60-bit integer hash of a salted document identity. */
+  private def hash60(salt: String): Column =
+    conv(substring(md5(concat(lit(salt),
+      col("doc_id").cast("string"), lit(":"), col("text"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Train/val/test assignment: bucket = hash % 100 → 80/10/10.
+    * Per-document so membership itself is oracle-checked.
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", hash60("") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Stratified 30% sample per source stratum (deterministic, salted
+    * independently of splitAssign). Output is per-stratum: totals,
+    * sampled count, and the exact sum of sampled doc_ids — the id sum
+    * pins the sampled MEMBERSHIP, not just its size, under the oracle
+    * hash compare.
+    */
+  def stratifiedSample(s: SparkSession, d: String, pct: Int = 30): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("kept", hash60("strat|") % 100 < pct)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("kept"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy("source")
+}

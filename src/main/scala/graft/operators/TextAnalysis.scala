@@ -88,6 +88,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition profile (Gopher-style quality signal): each document's
+    * most frequent token and the fraction of the document it occupies.
+    * High top_ratio flags degenerate/boilerplate text for pipeline
+    * filtering. Shape: explode → (doc, token) count → per-doc argmax
+    * via row_number (tie-break: lexicographically smallest token).
+    * The window partitions by doc_id — groups are document-sized, so
+    * no skew at any corpus scale.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = Window.partitionBy("doc_id")
+    val argmax = perDoc.orderBy(desc("cnt"), asc("tok"))
+    cnt
+      .withColumn("n_tokens", sum("cnt").over(perDoc))
+      .withColumn("rn", row_number().over(argmax))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("tok").as("top_token"),
+        col("cnt").as("top_count"),
+        col("n_tokens"),
+        (col("cnt") / col("n_tokens").cast("double")).as("top_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash document fingerprint: token → 48-bit md5 prefix int,
     * folded left-to-right as h = (h·131 + tok) mod 1e9+7. Order-sensitive
     * (unlike a bag-of-words hash) — a token swap changes the fingerprint.
