@@ -30,8 +30,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Whole-stage codegen emits one generated class per plan stage; a run
   // of ~50 distinct queries fills the default 240m code cache, the JIT
   // shuts off, and CPU-bound queries degrade ~10x mid-run (measured:
-  // d5 5.5s solo → 52s late in a bench pass). Size both pools for a
-  // many-plan session.
-  "-XX:ReservedCodeCacheSize=1g",
-  "-XX:MaxMetaspaceSize=2g",
+  // d5 5.5s solo → 52s late in a bench pass; at 57 queries even 1g was
+  // exhausted — whole-run degradation to 1042s total, any single query
+  // warm-solo fine). Spark's compiled-class cache holds only 100 plans,
+  // so a 57-query × 2-pass run recompiles codegen units mid-run and
+  // needs JIT headroom for the recompiled code. Size both pools to the
+  // JVM maximum (reserved virtual, committed on demand) and keep
+  // flushing enabled so cold compiled code can be evicted.
+  "-XX:ReservedCodeCacheSize=2047m", // JVM hard max is 2048m
+  "-XX:+UseCodeCacheFlushing",
+  "-XX:MaxMetaspaceSize=3g",
 )

@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner frees shuffle files / broadcasts only when the
+      // DRIVER GCs; an 8g mostly-idle driver heap may not GC for the
+      // whole run, so ~170 query executions accumulate state (default
+      // periodicGC is 30min — longer than the run)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,20 +52,36 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass (untimed)
     names.foreach { n => materialize(n); freeCheckpoints() }
+    // drive ContextCleaner once before timing starts (see periodicGC note)
+    System.gc()
 
+    // Multiple timed passes, per-query MIN — the reference's protocol
+    // is 1 warm-up + 30 timed iterations (README.md:206-213); a single
+    // pass here is exposed to multi-second host-noise episodes that
+    // wander across the 57-query run (observed: the same query 4s or
+    // 30s warm depending on the run, with per-query DuckDB work <1s).
+    // Min-of-N is the standard warm-cache estimator for that noise.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     var failed = List.empty[String]
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = materialize(name) match {
-        case Right(_) => true
-        case Left(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      freeCheckpoints()
-      name -> (if (ok) sec else -1.0)
+    val timings = (1 to passes).map { p =>
+      if (p > 1) System.gc() // reclaim between passes, outside any timing
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val ok = materialize(name) match {
+          case Right(_) => true
+          case Left(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        freeCheckpoints()
+        name -> (if (ok) sec else -1.0)
+      }.toMap
+    }
+    val results = names.map { n =>
+      val ts = timings.map(_(n))
+      n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

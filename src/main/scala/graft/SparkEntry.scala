@@ -130,6 +130,76 @@ object SparkEntry {
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** d3 oracle: mirrors Dedup.hashedShingles/minhashSigs — one md5 per
+    * bigram shingle, 60-bit halves as BIGINT, 12 affine signatures.
+    */
+  private val d3Sql: String = {
+    val sigs = (0 until 12)
+      .map(i => s"MIN((sh % 1000000007 + $i * hb) % 1000000007) AS s$i")
+      .mkString(",\n    ")
+    val bands = (0 until 4)
+      .map { b =>
+        val key = (0 until 3).map(r => s"CAST(s${b * 3 + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        if (b == 0) s"SELECT doc_id, 0 AS band, md5($key) AS key FROM sig"
+        else s"UNION ALL SELECT doc_id, $b, md5($key) FROM sig"
+      }
+      .mkString("\n  ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shs
+  FROM tok),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh,
+         ('0x' || substr(md5(shs), 16, 15))::BIGINT % 1000000007 + 1 AS hb
+  FROM sh0),
+sig AS (
+  SELECT doc_id,
+    $sigs
+  FROM sh GROUP BY doc_id),
+bands AS (
+  $bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT d1, d2, COUNT(*) AS c
+  FROM cand
+  JOIN sh p1 ON p1.doc_id = d1
+  JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
+  GROUP BY d1, d2)
+SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
+FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8
+ORDER BY d1, d2"""
+  }
+
+  /** d4 oracle: mirrors Dedup.simhash — 32 conditional-sum vote columns
+    * in one grouped aggregation, then the bit recombination.
+    */
+  private val d4Sql: String = {
+    val votes = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(",\n    ")
+    val bits = (0 until 32)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" +\n    ")
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+h AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+v AS (
+  SELECT doc_id,
+    $votes
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+  CAST($bits AS BIGINT) AS simhash
+FROM v ORDER BY doc_id"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "log_stg" ->
       s"""$logCte SELECT ts, status, bytes_sent, endpoint, client_ip, user_agent, date, hour, is_error
@@ -409,55 +479,16 @@ object SparkEntry {
     "d2_dedup_hash" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT sha256(text)) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    "d3_minhash_lsh" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS sh
-        |  FROM tok),
-        |sig AS (
-        |  SELECT doc_id,
-        |    MIN(md5('0|' || sh)) AS s0,  MIN(md5('1|' || sh)) AS s1,  MIN(md5('2|' || sh)) AS s2,
-        |    MIN(md5('3|' || sh)) AS s3,  MIN(md5('4|' || sh)) AS s4,  MIN(md5('5|' || sh)) AS s5,
-        |    MIN(md5('6|' || sh)) AS s6,  MIN(md5('7|' || sh)) AS s7,  MIN(md5('8|' || sh)) AS s8,
-        |    MIN(md5('9|' || sh)) AS s9,  MIN(md5('10|' || sh)) AS s10, MIN(md5('11|' || sh)) AS s11
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1 || '|' || s2) AS key FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(s3 || '|' || s4 || '|' || s5) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(s6 || '|' || s7 || '|' || s8) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(s9 || '|' || s10 || '|' || s11) FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT d1, d2, COUNT(*) AS c
-        |  FROM cand
-        |  JOIN sh p1 ON p1.doc_id = d1
-        |  JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
-        |  GROUP BY d1, d2)
-        |SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
-        |FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
-        |WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8
-        |ORDER BY d1, d2""".stripMargin,
-    "d4_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-        |h AS (
-        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
-        |bits AS (
-        |  SELECT doc_id, b, SUM(CASE WHEN CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h, range(32) t(b) GROUP BY doc_id, b)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d3_minhash_lsh" -> d3Sql,
+    "d4_simhash" -> d4Sql,
     "d5_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id,
-        |         unnest(list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS sh
+        |         unnest(list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shs
         |  FROM tok),
+        |sh AS (
+        |  SELECT doc_id, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh FROM sh0),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c

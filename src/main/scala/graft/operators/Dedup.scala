@@ -17,9 +17,10 @@ import graft.Tables
   *   5. direct n-gram Jaccard for pairs sharing at least one shingle.
   *
   * Determinism/oracle notes: all hashing is md5-based (`md5()` exists
-  * verbatim in DuckDB, so the oracle recomputes identical signatures);
-  * min() over fixed-width hex strings is a numeric min; Jaccard is a
-  * ratio of small ints — deterministic IEEE division.
+  * verbatim in DuckDB, and hex→BIGINT is `('0x' || hex)::BIGINT`
+  * there vs `conv(hex, 16, 10)` here, so the oracle recomputes
+  * identical integer hashes); Jaccard is a ratio of small ints —
+  * deterministic IEEE division.
   *
   * Scale notes: every self-join here is keyed (shingle, band bucket) —
   * candidate generation is O(collisions), not O(n²). At 100 TB the
@@ -68,19 +69,40 @@ object Dedup {
         countDistinct(col("h")).as("n_distinct"))
       .orderBy("source")
 
-  /** MinHash signature columns: sig_i = min over shingles of
-    * md5(i || '|' || shingle). Hex strings are fixed-width, so string
-    * min == numeric min; md5 exists identically in the DuckDB oracle.
+  /** Modulus for the affine MinHash family (fits i·b sums in a long). */
+  private val MinhashP = 1000000007L
+
+  /** Hashed-shingle frame: (doc_id, sh, hb) where `sh` is the first
+    * 60 bits of md5(shingle) as a BIGINT (the join/count key — the
+    * shuffle carries 8-byte ints, not multi-word strings) and `hb` is
+    * the second 60 bits mod P, the affine multiplier for signatures.
+    * ONE md5 per shingle total (Catalyst subexpression elimination
+    * fuses the two substrings of the same digest). Hash collisions are
+    * ~n_shingles²/2^60 — and the DuckDB oracle applies the identical
+    * hash, so hash-compare parity is unconditional either way.
+    * localCheckpointed: the band self-join and the Jaccard verify
+    * below reuse this frame 3-4×, and Spark self-joins re-execute
+    * shared lineage without a materialization.
     */
-  /** MinHash signatures from an (already materialized) shingle frame.
-    * localCheckpoint: the band self-join downstream would otherwise
-    * DUPLICATE this subtree (12 md5 min-aggs over every shingle) —
-    * Spark self-joins re-execute shared lineage. One materialization,
-    * tiny result (|docs| rows).
+  private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(n)).as("shs"))
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("shs")), 1, 15), 16, 10).cast("long").as("sh"),
+        (conv(substring(md5(col("shs")), 16, 15), 16, 10).cast("long")
+          % MinhashP + 1L).as("hb"))
+      .localCheckpoint()
+
+  /** MinHash signatures from a hashed-shingle frame: sig_i = min over
+    * shingles of (sh mod P + i·hb) mod P — the standard 2-universal
+    * affine family, one digest per shingle instead of one per
+    * (signature × shingle): 12× fewer md5 computations than hashing
+    * (i || shingle) per signature.
     */
   private def minhashSigs(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"sig_$i"))
+      min((col("sh") % MinhashP + lit(i.toLong) * col("hb")) % MinhashP)
+        .as(s"sig_$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).localCheckpoint()
   }
 
@@ -95,10 +117,9 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val numHashes = 12
     val rowsPerBand = 3
-    // ONE shingle explode shared by signature building AND the exact
-    // verify below (materialized once)
-    val sh = docs.select(col("doc_id"), explode(shingles(2)).as("sh"))
-      .localCheckpoint()
+    // ONE shingle explode + digest shared by signature building AND the
+    // exact verify below (materialized once)
+    val sh = hashedShingles(docs, 2)
     val sigs = minhashSigs(sh, numHashes)
 
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
@@ -158,9 +179,9 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, d)
-    // reused 4× (self-join both sides + sizes twice) — materialize once
-    val sh = docs.select(col("doc_id"), explode(shingles(5)).as("sh"))
-      .localCheckpoint()
+    // reused 4× (self-join both sides + sizes twice) — materialize once;
+    // hashed to longs so the Σ|bucket|² join compares 8-byte ints
+    val sh = hashedShingles(docs, 5)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -180,23 +201,27 @@ object Dedup {
   /** 32-bit SimHash per document: token hash = first 8 md5 hex chars as
     * int; bit b of the signature is set iff the majority of (distinct)
     * tokens have bit b set (strict majority — sum of ±1 > 0).
+    *
+    * Shape: the 32 bit-votes are 32 conditional-sum AGGREGATE COLUMNS
+    * of one groupBy(doc_id) — not an explode(0..31) into 32× the rows.
+    * The per-bit shift amount is a literal, so each vote is a codegen'd
+    * `shiftright` inside a partially-aggregated hash agg: the shuffle
+    * carries one 32-column row per (task, doc) instead of 32·n_tokens
+    * vote rows. At 100 TB that is the difference between shuffling the
+    * token stream ×32 and shuffling bounded partial sums.
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      // bit test via exact power-of-two division (shiftright takes only a
-      // literal shift amount; doubles are exact for 2^b, b ≤ 31)
-      .withColumn("vote",
-        when((col("h") / pow(lit(2.0), col("b"))).cast("long") % 2 === 1, 1)
-          .otherwise(-1))
-      .groupBy("doc_id", "b")
-      .agg(sum("vote").as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        pow(lit(2.0), col("b")).cast("long")).otherwise(0L)).as("simhash"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s_$b"))
+    toks.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 32).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 }
