@@ -73,12 +73,15 @@ object SparkEntry {
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d4_simhash" -> (Dedup.simhash _),
     "d5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "d6_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "c1_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d)),
     // ---- LLM-pipeline: text analysis ----
     "t1_token_counts" -> (TextAnalysis.tokenCounts _),
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
     "t3_lang_id" -> (TextAnalysis.langId _),
     "t4_fingerprint" -> (TextAnalysis.fingerprint _),
     "t5_repetition" -> (TextAnalysis.repetition _),
+    "t6_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -130,10 +133,12 @@ object SparkEntry {
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
-  /** d3 oracle: mirrors Dedup.hashedShingles/minhashSigs — one md5 per
-    * bigram shingle, 60-bit halves as BIGINT, 12 affine signatures.
+  /** d3 oracle CTE prefix: mirrors Dedup.hashedShingles/minhashSigs —
+    * one md5 per bigram shingle, 60-bit halves as BIGINT, 12 affine
+    * signatures — ending in a `pairs(d1, d2, jaccard)` CTE of verified
+    * near-dup pairs. Shared by d3 and the d6 clustering oracle.
     */
-  private val d3Sql: String = {
+  private val d3PairsCte: String = {
     val sigs = (0 until 12)
       .map(i => s"MIN((sh % 1000000007 + $i * hb) % 1000000007) AS s$i")
       .mkString(",\n    ")
@@ -145,7 +150,7 @@ object SparkEntry {
         else s"UNION ALL SELECT doc_id, $b, md5($key) FROM sig"
       }
       .mkString("\n  ")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS shs
@@ -170,12 +175,51 @@ common AS (
   FROM cand
   JOIN sh p1 ON p1.doc_id = d1
   JOIN sh p2 ON p2.doc_id = d2 AND p1.sh = p2.sh
-  GROUP BY d1, d2)
-SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
-FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
-WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8
-ORDER BY d1, d2"""
+  GROUP BY d1, d2),
+pairs AS (
+  SELECT d1, d2, c / (z1.n_sh + z2.n_sh - c) AS jaccard
+  FROM common JOIN sizes z1 ON z1.doc_id = d1 JOIN sizes z2 ON z2.doc_id = d2
+  WHERE c / (z1.n_sh + z2.n_sh - c) >= 0.8)"""
   }
+
+  private val d3Sql: String =
+    s"$d3PairsCte SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
+
+  /** d6 oracle: connected components of the verified near-dup pair
+    * graph via recursive label propagation (transitive closure is fine
+    * at oracle scale; the Spark operator iterates min-label frontier
+    * joins instead).
+    */
+  private val d6Sql: String =
+    s"""$d3PairsCte,
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id),
+comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id)
+SELECT cluster, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS member_id_sum
+FROM comp GROUP BY cluster ORDER BY cluster"""
+
+  /** c1 oracle: near-dup pairs that CROSS train/val/test boundaries —
+    * the contamination a hash-split pipeline must surface before
+    * training (same split derivation as p1_split_assign).
+    */
+  private val c1Sql: String =
+    s"""$d3PairsCte,
+spl AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT d1, d2, s1.split AS split1, s2.split AS split2, jaccard
+FROM pairs JOIN spl s1 ON d1 = s1.doc_id JOIN spl s2 ON d2 = s2.doc_id
+WHERE s1.split <> s2.split
+ORDER BY d1, d2"""
 
   /** d4 oracle: mirrors Dedup.simhash — 32 conditional-sum vote columns
     * in one grouped aggregation, then the bit recombination.
@@ -481,6 +525,13 @@ FROM v ORDER BY doc_id"""
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
+    "d6_dedup_clusters" -> d6Sql,
+    "c1_contamination" -> c1Sql,
+    "t6_vocab" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf
+        |FROM t GROUP BY tok
+        |ORDER BY df DESC, cf DESC, tok LIMIT 50""".stripMargin,
     "d5_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh0 AS (

@@ -198,6 +198,80 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Connected components over the verified near-dup pair graph —
+    * dedup CLUSTERING: "keep one representative per group of mutually
+    * similar documents" needs the transitive closure of the pairwise
+    * relation, not the pairs themselves.
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * large-graph connected-components formulation — HashToMin-style):
+    * every node starts labeled with itself; each round, a node adopts
+    * the smallest label among itself and its neighbors; fixpoint after
+    * O(component diameter) rounds. Near-dup clusters are shallow
+    * (dozens of docs), so 2-4 rounds in practice. Each round is ONE
+    * keyed join + ONE aggregation — no collect of the graph; the
+    * driver only checks the converged flag. localCheckpoint per round
+    * truncates the otherwise exponentially-growing lineage.
+    */
+  def dedupClusters(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(s, d, minJaccard).select("d1", "d2")
+    // symmetric edge list, materialized once (reused every round)
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels, col("d2") === col("id"))
+        .groupBy(col("d1").as("nid"))
+        .agg(min("label").as("nlabel"))
+      val next = labels
+        .join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    labels
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum("id").as("member_id_sum"))
+      .orderBy("cluster")
+  }
+
+  /** Cross-split contamination: near-dup pairs whose members land in
+    * DIFFERENT train/val/test splits (split derivation identical to
+    * Sampling.splitAssign). The decontamination step of a training
+    * pipeline: an eval document with a near-duplicate in train
+    * invalidates the eval — these pairs are what you quarantine.
+    */
+  def crossSplitContamination(s: SparkSession, d: String,
+                              minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashLsh(s, d, minJaccard).select("d1", "d2", "jaccard")
+    val spl = Tables.documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("text"))), 1, 15), 16, 10).cast("long") % 100)
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    pairs
+      .join(spl.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(spl.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(col("s1.split") =!= col("s2.split"))
+      .select(col("d1"), col("d2"),
+        col("s1.split").as("split1"), col("s2.split").as("split2"),
+        col("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
   /** 32-bit SimHash per document: token hash = first 8 md5 hex chars as
     * int; bit b of the signature is set iff the majority of (distinct)
     * tokens have bit b set (strict majority — sum of ±1 > 0).

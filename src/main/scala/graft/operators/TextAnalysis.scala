@@ -88,6 +88,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build: top-K tokens by document frequency (df = docs
+    * containing the token; cf = total occurrences). The tokenizer-prep
+    * step of a text pipeline. Two partial-aggregated shuffles of
+    * (token) keys — never a collect; top-K via TakeOrderedAndProject.
+    * Deterministic: ties break on the token string.
+    */
+  def vocab(s: SparkSession, d: String, k: Int = 50): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(desc("df"), desc("cf"), asc("tok"))
+      .limit(k)
+
   /** Repetition profile (Gopher-style quality signal): each document's
     * most frequent token and the fraction of the document it occupies.
     * High top_ratio flags degenerate/boilerplate text for pipeline

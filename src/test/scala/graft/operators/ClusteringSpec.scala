@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup clustering, contamination, vocabulary — and the bucketed-table
+  * co-located join (the zero-shuffle join path at 100 TB).
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("dedup clusters: every cluster has >= 2 members and a min-id rep") {
+    val rows = Dedup.dedupClusters(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val cluster = r.getAs[Long]("cluster")
+      val idSum = r.getAs[Long]("member_id_sum")
+      assert(n >= 2, "a component of the pair graph has >= 2 nodes")
+      // rep is the min member id, so sum of the other ids > rep*(n-1)
+      assert(idSum >= cluster * n, "cluster label must be the minimum id")
+    }
+  }
+
+  test("clusters are consistent with the pair graph (every pair co-clustered)") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // rebuild membership: cluster of each doc via union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => find(x) -> x).toSeq
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).size.toLong, xs.map(_._2).sum) }
+      .toSet
+    val got = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("member_id_sum"))).toSet
+    assert(got === expected)
+  }
+
+  test("contamination pairs always cross a split boundary") {
+    val rows = Dedup.crossSplitContamination(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("split1") !== r.getAs[String]("split2"))
+    }
+  }
+
+  test("vocab: df bounded by corpus size, ordered by df desc") {
+    val rows = TextAnalysis.vocab(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val dfs = rows.map(_.getAs[Long]("df")).toSeq
+    assert(dfs === dfs.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= 500)
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    import org.apache.spark.sql.SaveMode
+    graft.Tables.orders(spark, sf)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    graft.Tables.customer(spark, sf)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    // disable auto-broadcast so the join exercises the bucketed
+    // (co-located sort-merge) path, which is what a 100 TB fact-to-fact
+    // join would take — restore the conf afterwards
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    // pre-bucketed layout: the join reads co-located buckets — the plan
+    // must contain NO exchange on the join keys (the aggregation above
+    // it may still exchange on its own grouping key). Textual check:
+    // AdaptiveSparkPlanExec hides the wrapped plan from collect().
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join must not shuffle on the join keys:\n${plan.take(2000)}")
+    // and it still returns correct results
+    assert(joined.collect().map(_.getAs[Long]("count")).sum ===
+      graft.Tables.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
