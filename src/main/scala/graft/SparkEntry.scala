@@ -61,6 +61,9 @@ object SparkEntry {
     "q22_pivot" -> (CorpusQueries.q22Pivot _),
     "q24_topk_agg" -> (CorpusQueries.q24TopKAgg _),
     "q25_salted_join" -> (CorpusQueries.q25SaltedJoin _),
+    "q26_scalar_subquery" -> (CorpusQueries.q26ScalarSubquery _),
+    "q27_window_range" -> (CorpusQueries.q27WindowRange _),
+    "q28_ntile" -> (CorpusQueries.q28Ntile _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
     "a2_range_join" -> (TemporalJoins.rangeJoinFollowups _),
@@ -459,6 +462,33 @@ FROM v ORDER BY doc_id"""
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_scalar_subquery" ->
+      """SELECT l_returnflag, COUNT(*) AS n_above,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_window_range" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_no
+        |  FROM orders GROUP BY 1)
+        |SELECT order_date,
+        |  CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS ma7_revenue
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY order_date""".stripMargin,
+    "q28_ntile" ->
+      """WITH q AS (
+        |  SELECT c_custkey, c_acctbal,
+        |         NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        |  FROM customer)
+        |SELECT quartile, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+        |  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin,
     // window-formulation as-of twin; cross-checked equal to DuckDB's
     // native ASOF JOIN on this data (the window form has a defined
     // tie-break where ASOF's same-timestamp pick is unspecified)

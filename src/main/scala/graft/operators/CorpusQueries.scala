@@ -364,6 +364,56 @@ object CorpusQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Scalar subquery: rows above the GLOBAL average — the subquery
+    * computes once (SubqueryExec, broadcast as a literal), not per row.
+    */
+  def q26ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem_sq")
+    s.sql(
+      """SELECT l_returnflag, COUNT(*) AS n_above,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+        |FROM v_lineitem_sq
+        |WHERE l_quantity > (SELECT AVG(l_quantity) FROM v_lineitem_sq)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** RANGE-frame window: 7-day moving revenue average. The frame is a
+    * VALUE range over a day number (rangeBetween needs a numeric sort
+    * key), so sparse dates still average over the true 7-day span —
+    * a rows-frame would silently average "last 7 rows" instead.
+    */
+  def q27WindowRange(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      .withColumn("day_no", datediff(col("order_date"), lit("1992-01-01").cast("date")))
+    val w = Window.orderBy("day_no").rangeBetween(-6, 0)
+    daily
+      .select(
+        col("order_date"),
+        col("rev_dec").cast("double").as("revenue"),
+        // exact decimal sum / exact count → deterministic double
+        (sum(col("rev_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("ma7_revenue"))
+      .orderBy("order_date")
+  }
+
+  /** NTILE quartiles of customers by account balance (tie-break on the
+    * key so bucket membership is deterministic), rolled up per bucket.
+    */
+  def q28Ntile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("acctbal_sum"),
+        min("c_custkey").as("min_key"),
+        max("c_custkey").as("max_key"))
+      .orderBy("quartile")
+  }
+
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * Two windows (lag for gap detection, running sum for session ids) —
     * the standard scalable formulation, one shuffle on user_id.
