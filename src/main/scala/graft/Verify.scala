@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 63 queries x several codegen units far exceed the default
+      // 100-entry compiled-class cache; recompiled units restart cold
+      // in the interpreter and md5-heavy queries degrade 5-20x
+      // nondeterministically. One JVM-wide cache large enough to hold
+      // every unit compiles each exactly once.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.ui.enabled", "false")
       // see Bench: drive ContextCleaner on long single-JVM runs
       .config("spark.cleaner.periodicGC.interval", "1min")
