@@ -64,6 +64,7 @@ object SparkEntry {
     "q26_scalar_subquery" -> (CorpusQueries.q26ScalarSubquery _),
     "q27_window_range" -> (CorpusQueries.q27WindowRange _),
     "q28_ntile" -> (CorpusQueries.q28Ntile _),
+    "q29_correlated_subquery" -> (CorpusQueries.q29CorrelatedSubquery _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
     "a2_range_join" -> (TemporalJoins.rangeJoinFollowups _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "t4_fingerprint" -> (TextAnalysis.fingerprint _),
     "t5_repetition" -> (TextAnalysis.repetition _),
     "t6_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
+    "t7_chunking" -> ((s, d) => TextAnalysis.chunk(s, d)),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -535,6 +537,27 @@ FROM v ORDER BY doc_id"""
         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS sampled_id_sum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "q29_correlated_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM orders i
+        |       WHERE i.o_orderstatus = o.o_orderstatus) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+        |       WHERE i.o_orderstatus = o.o_orderstatus)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "t7_chunking" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS start FROM tok),
+        |ch AS (
+        |  SELECT doc_id,
+        |    CAST((start - 1) // 48 AS INTEGER) AS chunk_idx,
+        |    w[start : start + 63] AS chunk
+        |  FROM st)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk) AS INTEGER) AS n_tokens,
+        |  chunk[1] AS first_token, chunk[-1] AS last_token
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "t5_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

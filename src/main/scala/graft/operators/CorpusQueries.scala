@@ -398,6 +398,24 @@ object CorpusQueries {
       .orderBy("order_date")
   }
 
+  /** Correlated scalar subquery (Catalyst decorrelates it into a join):
+    * orders priced above their own status-group's average. The
+    * comparison is cross-multiplied (price·count > sum) in exact
+    * DECIMAL so no engine-specific AVG rounding can flip boundary rows.
+    */
+  def q29CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders_corr")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_above
+        |FROM v_orders_corr o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM v_orders_corr i
+        |       WHERE i.o_orderstatus = o.o_orderstatus) >
+        |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM v_orders_corr i
+        |       WHERE i.o_orderstatus = o.o_orderstatus)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** NTILE quartiles of customers by account balance (tie-break on the
     * key so bucket membership is deterministic), rolled up per bucket.
     */

@@ -88,6 +88,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window chunking: split each document's token stream into
+    * fixed-size overlapping chunks — the sequence-prep step before
+    * training/embedding (context windows with overlap so no boundary
+    * information is lost). Pure per-row generator (explode over chunk
+    * starts + array slice): map-only, no shuffle except the
+    * presentation sort; chunk boundaries depend only on the row, so
+    * the operator is embarrassingly parallel at any corpus size.
+    */
+  def chunk(s: SparkSession, d: String, chunkSize: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than the chunk")
+    val stride = chunkSize - overlap
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("start"))
+      .select(col("doc_id"),
+        // starts are 1, 1+stride, 2·stride+1, …: (start-1)/stride is an
+        // exact integral double, so the int cast is rounding-mode-proof
+        ((col("start") - 1) / stride).cast("int").as("chunk_idx"),
+        slice(col("w"), col("start"), lit(chunkSize)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        element_at(col("chunk"), 1).as("first_token"),
+        element_at(col("chunk"), -1).as("last_token"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Vocabulary build: top-K tokens by document frequency (df = docs
     * containing the token; cf = total occurrences). The tokenizer-prep
     * step of a text pipeline. Two partial-aggregated shuffles of

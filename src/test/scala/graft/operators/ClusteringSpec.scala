@@ -63,6 +63,24 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("chunking: strided starts, bounded sizes, full coverage") {
+    val chunks = TextAnalysis.chunk(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size === 500, "every document chunks")
+    byDoc.values.foreach { g =>
+      val idx = g.map(_.getAs[Int]("chunk_idx")).sorted.toSeq
+      assert(idx === (0 until g.length), "contiguous chunk indices")
+      g.foreach { r =>
+        val n = r.getAs[Int]("n_tokens")
+        assert(n >= 1 && n <= 64)
+      }
+      // a non-last chunk's start is followed by at least one more
+      // stride, so it holds at least stride+1 = 49 tokens
+      val nonLast = g.sortBy(_.getAs[Int]("chunk_idx")).dropRight(1)
+      assert(nonLast.forall(_.getAs[Int]("n_tokens") >= 49))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     import org.apache.spark.sql.SaveMode
