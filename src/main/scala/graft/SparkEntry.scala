@@ -87,6 +87,7 @@ object SparkEntry {
     "t5_repetition" -> (TextAnalysis.repetition _),
     "t6_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "t7_chunking" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "t8_length_stats" -> (TextAnalysis.lengthStats _),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -558,6 +559,18 @@ FROM v ORDER BY doc_id"""
         |  CAST(len(chunk) AS INTEGER) AS n_tokens,
         |  chunk[1] AS first_token, chunk[-1] AS last_token
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t8_length_stats" ->
+      """WITH q AS (
+        |  SELECT source, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MIN(n_tokens) AS min_tokens,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens) AS p50_tokens,
+        |  percentile_cont(0.95) WITHIN GROUP (ORDER BY n_tokens) AS p95_tokens,
+        |  MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "t5_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

@@ -160,6 +160,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source length-distribution profile: doc counts and exact
+    * interpolated length percentiles (p50/p95) — the corpus-curation
+    * report that decides per-source length filters. Exact `percentile`
+    * (same interpolation as DuckDB's percentile_cont, like the log
+    * fact's p95): the per-group buffer is bounded by the docs of one
+    * source. At larger cardinality switch to percentile_approx —
+    * mergeable constant-size sketch state (see StreamingHourly for the
+    * same trade).
+    */
+  def lengthStats(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks)
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), n.as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+        expr("percentile(n_tokens, 0.95)").as("p95_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
   /** Rolling-hash document fingerprint: token → 48-bit md5 prefix int,
     * folded left-to-right as h = (h·131 + tok) mod 1e9+7. Order-sensitive
     * (unlike a bag-of-words hash) — a token swap changes the fingerprint.
