@@ -32,29 +32,58 @@ import graft.Tables
   */
 object TemporalJoins {
 
+  /** General backward as-of join: for each left row, carry forward the
+    * most recent right row (by `(tsCol, tieCol)` at-or-before the left
+    * row's time) within the same `keyCol` group. `carry` names the
+    * right-side columns to surface (prefixed `asof_`).
+    *
+    * Union + carry-forward window: one shuffle of each input on
+    * `keyCol`, one sort per group — never a per-row range probe.
+    * Ties: right rows ordering exactly equal to a left row's
+    * (ts, tie) sort ahead of it match; the tie column makes the pick
+    * total-order deterministic.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String,
+               carry: Seq[String]): DataFrame = {
+    val leftTagged = left.withColumn("__side", lit(1))
+    val rightTagged = right.withColumn("__side", lit(0))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // right rows sort before left rows at identical (ts, tie) so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = carry.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side")
+      .drop(carry.filter(c => right.columns.contains(c) && !left.columns.contains(c)): _*)
+  }
+
   /** For every purchase event: the most recent click event of the same
     * user with (ts, event_id) at-or-before it, plus the gap in µs
     * (null when the user never clicked before the purchase).
+    * Thin oracle-checked instantiation of [[asofJoin]].
     */
   def asofPurchaseClick(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-      .filter(col("event_type").isin("click", "purchase"))
       .select("event_id", "user_id", "ts", "event_type")
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e
-      .withColumn("click_id",
-        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("click_ts",
-        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    asofJoin(
+      left = e.filter(col("event_type") === "purchase"),
+      right = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts")),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      carry = Seq("click_id", "click_ts"))
       .select(
         col("event_id").as("purchase_id"),
         col("user_id"),
         col("ts").as("purchase_ts"),
-        col("click_id"),
-        col("click_ts"),
-        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        col("asof_click_id").as("click_id"),
+        col("asof_click_ts").as("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_click_ts"))).as("gap_us"))
       .orderBy("purchase_id")
   }
 

@@ -25,6 +25,28 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("general asofJoin: carries latest right row, equal-ts rights visible") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    // left: (event_id, user_id, ts); right: (event_id, user_id, ts, price)
+    val left = Seq((10L, 1L, ts(5)), (11L, 1L, ts(1)), (12L, 2L, ts(5)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(2), 100.0),  // before left#10, after left#11
+      (2L, 1L, ts(5), 200.0),  // same ts as left#10, smaller tie id... (2 < 10)
+      (3L, 3L, ts(0), 999.0)   // other key
+    ).toDF("event_id", "user_id", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right,
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        carry = Seq("price"))
+      .select("event_id", "asof_price")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(10L) === Some(200.0), "equal-ts right with smaller tie id is visible")
+    assert(out(11L) === None, "no right row at-or-before")
+    assert(out(12L) === None, "right rows never cross keys")
+  }
+
   test("range join: every purchase kept; clicks counted only in-window") {
     val df = TemporalJoins.rangeJoinFollowups(spark, sf)
     val nPurchases = graft.Tables.events(spark, sf)
