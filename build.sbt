@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to stdout, NOT through sbt's logger:
+// the logger prefixes every line with "[info] ", which breaks any
+// harness that parses the one-line JSON that graft.Bench prints.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,7 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 concurrent tasks over md5-heavy shingle pipelines allocate
+  // fast; the host has 128 GiB — headroom keeps GC off the critical
+  // path even when the host is contended
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Whole-stage codegen emits one generated class per plan stage; a run
   // of ~50 distinct queries fills the default 240m code cache, the JIT
   // shuts off, and CPU-bound queries degrade ~10x mid-run (measured:

@@ -56,8 +56,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up pass (untimed)
-    names.foreach { n => materialize(n); freeCheckpoints() }
+    // warm-up pass (untimed) — failures are logged, not discarded: a
+    // query broken in warm-up will fail the timed passes too, and the
+    // earliest report makes the log readable
+    names.foreach { n =>
+      materialize(n).left.foreach(e =>
+        System.err.println(s"[bench] $n FAILED in warm-up: ${e.getMessage}"))
+      freeCheckpoints()
+    }
     // drive ContextCleaner once before timing starts (see periodicGC note)
     System.gc()
 
@@ -94,6 +100,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    val distinctFailed = failed.distinct.sorted
+    if (distinctFailed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${distinctFailed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -65,6 +65,9 @@ object SparkEntry {
     "q27_window_range" -> (CorpusQueries.q27WindowRange _),
     "q28_ntile" -> (CorpusQueries.q28Ntile _),
     "q29_correlated_subquery" -> (CorpusQueries.q29CorrelatedSubquery _),
+    "q30_join_full" -> (CorpusQueries.q30JoinFull _),
+    "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
+    "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
     "a2_range_join" -> (TemporalJoins.rangeJoinFollowups _),
@@ -88,6 +91,8 @@ object SparkEntry {
     "t6_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "t7_chunking" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "t8_length_stats" -> (TextAnalysis.lengthStats _),
+    "t9_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "t10_pii_redact" -> (TextAnalysis.piiRedact _),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -210,6 +215,18 @@ comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id)
 SELECT cluster, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS member_id_sum
 FROM comp GROUP BY cluster ORDER BY cluster"""
 
+  /** Split-bucket expression shared by the p1 and c1 oracles — the
+    * DuckDB twin of Sampling.bucketCol, defined ONCE so the split rule
+    * cannot diverge between split assignment and contamination
+    * detection (mirrors the Scala side, where crossSplitContamination
+    * reuses Sampling.splitCol).
+    */
+  private val splitBucketSql: String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100"
+
+  private def splitCaseSql(bucket: String): String =
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+
   /** c1 oracle: near-dup pairs that CROSS train/val/test boundaries —
     * the contamination a hash-split pipeline must surface before
     * training (same split derivation as p1_split_assign).
@@ -217,10 +234,7 @@ FROM comp GROUP BY cluster ORDER BY cluster"""
   private val c1Sql: String =
     s"""$d3PairsCte,
 spl AS (
-  SELECT doc_id,
-    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 < 90 THEN 'val'
-         ELSE 'test' END AS split
+  SELECT doc_id, ${splitCaseSql(splitBucketSql)} AS split
   FROM documents)
 SELECT d1, d2, s1.split AS split1, s2.split AS split2, jaccard
 FROM pairs JOIN spl s1 ON d1 = s1.doc_id JOIN spl s2 ON d2 = s2.doc_id
@@ -521,14 +535,11 @@ FROM v ORDER BY doc_id"""
         |WHERE p.event_type = 'purchase'
         |GROUP BY 1, 2, 3 ORDER BY purchase_id""".stripMargin,
     "p1_split_assign" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100 AS bucket
-        |  FROM documents)
-        |SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+      s"""WITH b AS (
+         |  SELECT doc_id, $splitBucketSql AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket, ${splitCaseSql("bucket")} AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "p2_stratified_sample" ->
       """WITH k AS (
         |  SELECT source, doc_id,
@@ -547,6 +558,36 @@ FROM v ORDER BY doc_id"""
         |      (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
         |       WHERE i.o_orderstatus = o.o_orderstatus)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q30_join_full" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+        |pend AS (
+        |  SELECT o_custkey, COUNT(*) AS n_pending
+        |  FROM orders WHERE o_orderstatus = 'P' AND o_totalprice > 250000
+        |  GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_pending
+        |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q31_rank_family" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |    CAST(DENSE_RANK() OVER w AS INTEGER) AS pos,
+        |    PERCENT_RANK() OVER w AS pct,
+        |    FIRST_VALUE(c_custkey) OVER w AS top_custkey
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |SELECT c_nationkey, c_custkey, acctbal, pos, pct, top_custkey
+        |FROM r WHERE pos <= 2 ORDER BY c_nationkey, pos, c_custkey""".stripMargin,
+    "e1_props_struct" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY event_type, k % 10
+        |ORDER BY event_type NULLS FIRST, k_mod NULLS FIRST""".stripMargin,
     "t7_chunking" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS start FROM tok),
@@ -571,6 +612,35 @@ FROM v ORDER BY doc_id"""
         |  MAX(n_tokens) AS max_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "t9_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tfc AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tf GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tfc GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, tf, df,
+        |         CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+        |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, tok, tf, df, tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INTEGER) AS rank
+        |  FROM sc)
+        |SELECT doc_id, rank, tok, tf, df, tfidf
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "t10_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS withpii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(withpii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(withpii, '\+1-555-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(withpii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM w ORDER BY doc_id""".stripMargin,
     "t5_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

@@ -456,4 +456,68 @@ object CorpusQueries {
         sum("session_events").as("n_events"))
       .orderBy("user_id")
   }
+
+  /** FULL OUTER join: high-balance customers ⟗ per-customer counts of
+    * pending orders — each side keeps rows the other lacks (customer
+    * with no pending orders / pending order whose customer is below
+    * the balance cut). Nullable columns from BOTH sides surface
+    * unmatched rows, the outer-join semantics the oracle pins down.
+    * Shuffle-hash/sort-merge on the key; no broadcast (Spark cannot
+    * broadcast the stream side of a full outer join).
+    */
+  def q30JoinFull(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val pend = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_pending"))
+    cust.join(pend, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("n_pending"))
+      .orderBy("custkey")
+  }
+
+  /** Ranking-function family in one window: per-nation customer
+    * balance leaderboard with dense_rank (selection), percent_rank
+    * (exact (rank-1)/(n-1) small-int division — deterministic IEEE),
+    * and first_value (the nation's top customer carried onto every
+    * row). The full ordering includes the key, so every rank is
+    * total-order deterministic; groups are nation-sized — no skew.
+    */
+  def q31RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        dense_rank().over(w).cast("int").as("pos"),
+        percent_rank().over(w).as("pct"),
+        first_value(col("c_custkey")).over(w).as("top_custkey"))
+      .filter(col("pos") <= 2)
+      .orderBy("c_nationkey", "pos", "c_custkey")
+  }
+
+  /** Typed JSON parse: from_json with an explicit schema (vs q17's
+    * path-extraction) — the malformed-tolerant typed-struct route a
+    * pipeline takes when the props schema is known. Struct field
+    * access, bucketed aggregation; null k (unparseable props) counted
+    * separately as the data-quality signal.
+    */
+  def e1PropsStruct(s: SparkSession, d: String): DataFrame = {
+    val parsed = Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), lit("k BIGINT")))
+      .select(col("event_type"), col("p.k").as("k"))
+    parsed
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"))
+      // explicit NULLS FIRST: Spark's ASC default, but DuckDB's is
+      // NULLS LAST — pin the same total order on both sides
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("k_mod"))
+  }
 }

@@ -29,6 +29,17 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Drop the block-manager blocks behind a localCheckpointed frame.
+    * A checkpointed Dataset's analyzed plan is a single LogicalRDD over
+    * the persisted RDD; unpersisting it frees the blocks immediately.
+    * ONLY safe once the frame will never be read again — the truncated
+    * lineage cannot be recomputed.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   /** Word tokens of `text`. */
   private def tokens: Column = split(col("text"), " ")
 
@@ -237,8 +248,17 @@ object Dedup {
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") < col("o.label"))
         .isEmpty
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized and compared — free them NOW instead of
+      // leaking one labels RDD per round into the block manager for the
+      // life of the session (the operator is self-cleaning; callers
+      // need no harness-side unpersist sweeps)
+      unpersistCheckpoint(labels)
       labels = next
     }
+    // edges are only read inside the loop — the result below derives
+    // solely from the final labels frame
+    unpersistCheckpoint(edges)
     labels
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_members"), sum("id").as("member_id_sum"))
@@ -254,14 +274,11 @@ object Dedup {
   def crossSplitContamination(s: SparkSession, d: String,
                               minJaccard: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(s, d, minJaccard).select("d1", "d2", "jaccard")
+    // split derivation comes from Sampling — the SAME column expression
+    // splitAssign uses, so contamination detection can never diverge
+    // from the actual split rule
     val spl = Tables.documents(s, d)
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("text"))), 1, 15), 16, 10).cast("long") % 100)
-      .select(col("doc_id"),
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), Sampling.splitCol.as("split"))
     pairs
       .join(spl.as("s1"), col("d1") === col("s1.doc_id"))
       .join(spl.as("s2"), col("d2") === col("s2.doc_id"))

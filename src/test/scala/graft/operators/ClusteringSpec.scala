@@ -82,7 +82,6 @@ class ClusteringSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     import org.apache.spark.sql.SaveMode
     graft.Tables.orders(spark, sf)
       .write.mode(SaveMode.Overwrite)

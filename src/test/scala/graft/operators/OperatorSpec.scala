@@ -96,4 +96,65 @@ class OperatorSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fps(0) !== fps(1))
   }
+
+  test("full outer join keeps unmatched rows from BOTH sides") {
+    val rows = CorpusQueries.q30JoinFull(spark, sf).collect()
+    // customer-only rows: balance present, pending count null
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("acctbal")) &&
+      r.isNullAt(r.fieldIndex("n_pending"))))
+    // order-only rows: pending count present, balance null
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("acctbal")) &&
+      !r.isNullAt(r.fieldIndex("n_pending"))))
+  }
+
+  test("rank family: dense_rank selection, percent_rank in [0,1], first_value is rank 1") {
+    val rows = CorpusQueries.q31RankFamily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("pos") <= 2))
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("pct"); p >= 0.0 && p <= 1.0
+    })
+    // within each nation, top_custkey equals the pos=1 row's custkey
+    rows.groupBy(_.getAs[Number]("c_nationkey").longValue).values.foreach { g =>
+      val top = g.filter(_.getAs[Int]("pos") === 1)
+        .map(_.getAs[Number]("c_custkey").longValue).min
+      assert(g.forall(_.getAs[Number]("top_custkey").longValue === top))
+    }
+  }
+
+  test("from_json struct parse yields null k for malformed props") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("""{"k": 7}""", "not json", """{"x": 1}""")
+      .toDF("props")
+      .select(from_json(col("props"), lit("k BIGINT")).as("p"))
+      .select(col("p.k"))
+    val ks = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(ks.toSeq === Seq(Some(7L), None, None))
+  }
+
+  test("tfidf: rare terms outrank common ones; k rows per doc max") {
+    val rows = TextAnalysis.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      val scores = sorted.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores === scores.sorted.reverse) // descending by construction
+    }
+    // tfidf = tf * N / df exactly (spot-check one row)
+    val n = graft.Tables.documents(spark, sf).count()
+    val r = rows.head
+    assert(r.getAs[Double]("tfidf") ===
+      r.getAs[Long]("tf").toDouble * n / r.getAs[Long]("df"))
+  }
+
+  test("pii redaction scrubs planted email+phone and leaves clean text alone") {
+    val rows = TextAnalysis.piiRedact(spark, sf).collect()
+    // every row got exactly the planted email and phone (corpus body is
+    // PII-free, so no extra matches — the false-positive control)
+    assert(rows.forall(_.getAs[Int]("n_emails") === 1))
+    assert(rows.forall(_.getAs[Int]("n_phones") === 1))
+  }
 }
