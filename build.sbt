@@ -47,4 +47,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=2047m", // JVM hard max is 2048m
   "-XX:+UseCodeCacheFlushing",
   "-XX:MaxMetaspaceSize=3g",
+  // Whole-stage codegen emits HUGE methods (12-way min-agg, md5
+  // chains); while C2 churns through its queue, query threads run
+  // INTERPRETED at 10-30x (observed: the same warm query 3s or 60s
+  // depending on whether the C2 thread was busy — thread-level CPU
+  // sampling showed C2 CompilerThread as the only hot thread during
+  // every slow episode). More compiler threads drain the queue
+  // proportionally faster on a 32-core box.
+  "-XX:CICompilerCount=12",
 )

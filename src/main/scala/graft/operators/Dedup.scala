@@ -91,12 +91,22 @@ object Dedup {
     * fuses the two substrings of the same digest). Hash collisions are
     * ~n_shingles²/2^60 — and the DuckDB oracle applies the identical
     * hash, so hash-compare parity is unconditional either way.
+    *
+    * The input is hash-repartitioned by doc_id BEFORE the explode:
+    * (a) the CPU-heavy shingle hashing parallelizes across the cluster
+    * even when the source is a handful of fat parquet splits, and
+    * (b) the exchange moves compact text rows once, pre-satisfying
+    * every downstream doc_id requirement (signature groupBy, size
+    * groupBy, verify joins) that would otherwise shuffle the ~10×
+    * larger exploded shingle frame.
+    *
     * localCheckpointed: the band self-join and the Jaccard verify
     * below reuse this frame 3-4×, and Spark self-joins re-execute
     * shared lineage without a materialization.
     */
   private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(n)).as("shs"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(n)).as("shs"))
       .select(
         col("doc_id"),
         conv(substring(md5(col("shs")), 1, 15), 16, 10).cast("long").as("sh"),
@@ -239,22 +249,22 @@ object Dedup {
         .join(labels, col("d2") === col("id"))
         .groupBy(col("d1").as("nid"))
         .agg(min("label").as("nlabel"))
+      // carry the old label inline: the convergence check is then a
+      // filter over the checkpointed frame instead of a join back onto
+      // the previous round (one fewer shuffle per round)
       val next = labels
         .join(neighborMin, col("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
+      converged = next.filter(col("label") < col("old_label")).isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized and compared — free them NOW instead of
       // leaking one labels RDD per round into the block manager for the
       // life of the session (the operator is self-cleaning; callers
       // need no harness-side unpersist sweeps)
       unpersistCheckpoint(labels)
-      labels = next
+      labels = next.select("id", "label")
     }
     // edges are only read inside the loop — the result below derives
     // solely from the final labels frame
