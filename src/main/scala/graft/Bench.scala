@@ -98,7 +98,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two lines, detail FIRST and a compact total LAST: the driver's
+    // tail capture is ~2000 chars, so the ~2.5 KB per-query line gets
+    // truncated mid-object if it is the final line (BENCH_r01-r04 all
+    // recorded "parsed": null for exactly this reason). The short final
+    // line always fits; the detail line above it remains grep-able.
+    println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
     val distinctFailed = failed.distinct.sorted
     if (distinctFailed.nonEmpty) {

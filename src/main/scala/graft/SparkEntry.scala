@@ -102,9 +102,13 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
-    // ---- sketches (no oracle: estimates are engine-specific; the
-    // driver records a rows-only check) ----
-    "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _)
+    // ---- sketches ----
+    // x1: no oracle — HLL estimates are engine-specific; the driver
+    // records a rows-only check. x1a is its exact companion: the same
+    // grouping with the exact countDistinct column only, which IS
+    // oracle-checkable, so the approx family carries a green hash row.
+    "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _),
+    "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -313,6 +317,9 @@ FROM v ORDER BY doc_id"""
          |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "x1a_distinct_exact" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q2_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -674,8 +681,10 @@ FROM v ORDER BY doc_id"""
         |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shs
         |  FROM tok),
-        |sh AS (
+        |shall AS (
         |  SELECT doc_id, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh FROM sh0),
+        |hot AS (SELECT sh FROM shall GROUP BY sh HAVING COUNT(*) > 100),
+        |sh AS (SELECT doc_id, sh FROM shall WHERE sh NOT IN (SELECT sh FROM hot)),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c

@@ -286,6 +286,16 @@ object CorpusQueries {
           col("exact_parts").cast("double"))
       .orderBy("l_returnflag")
 
+  /** Exact companion to [[qxApproxDistinct]]: the same grouping with
+    * only the exact distinct count — oracle-checkable (the HLL estimate
+    * is not), so the approx-distinct family has a hash-verified row.
+    */
+  def qx1aDistinctExact(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** CUBE over (status, priority): all four grains in one Expand +
     * hash aggregation (SQL surface for grouping(), as in q15Rollup).
     */

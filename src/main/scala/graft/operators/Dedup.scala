@@ -33,12 +33,38 @@ object Dedup {
     * A checkpointed Dataset's analyzed plan is a single LogicalRDD over
     * the persisted RDD; unpersisting it frees the blocks immediately.
     * ONLY safe once the frame will never be read again — the truncated
-    * lineage cannot be recomputed.
+    * lineage cannot be recomputed. (For a reliable `checkpoint()` the
+    * RDD is file-backed and unpersist is a harmless no-op; the files
+    * are cleaned by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set, or at
+    * application end.)
     */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     }
+
+  /** Materialize a frame, truncating lineage. Default is
+    * `localCheckpoint()` — blocks pinned to executors, fastest, but an
+    * executor loss kills the job because the truncated lineage cannot
+    * be recomputed. Fine in local[*]; on a real cluster running a
+    * long iterative job, set `spark.graft.reliableCheckpoint=true` to
+    * route through fault-tolerant `checkpoint()` (files under
+    * `spark.graft.checkpointDir`, or a temp dir), which survives
+    * executor loss at the cost of a write to storage per round.
+    */
+  private def persistFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          s.conf.getOption("spark.graft.checkpointDir").getOrElse(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
 
   /** Word tokens of `text`. */
   private def tokens: Column = split(col("text"), " ")
@@ -112,7 +138,7 @@ object Dedup {
         conv(substring(md5(col("shs")), 1, 15), 16, 10).cast("long").as("sh"),
         (conv(substring(md5(col("shs")), 16, 15), 16, 10).cast("long")
           % MinhashP + 1L).as("hb"))
-      .localCheckpoint()
+      .transform(persistFrame)
 
   /** MinHash signatures from a hashed-shingle frame: sig_i = min over
     * shingles of (sh mod P + i·hb) mod P — the standard 2-universal
@@ -124,7 +150,7 @@ object Dedup {
     val aggs = (0 until numHashes).map(i =>
       min((col("sh") % MinhashP + lit(i.toLong) * col("hb")) % MinhashP)
         .as(s"sig_$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    persistFrame(sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*))
   }
 
   /** MinHash-LSH near-duplicate pairs over word-bigram shingles.
@@ -198,11 +224,33 @@ object Dedup {
     * ~97% of 5-grams. minhashLsh remains the scale path that prunes
     * candidates before any pairwise arithmetic.
     */
-  def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def ngramJaccard(s: SparkSession, d: String, minJaccard: Double = 0.8,
+                   maxDf: Int = 100): DataFrame =
+    ngramJaccardDocs(Tables.documents(s, d), minJaccard, maxDf)
+
+  /** [[ngramJaccard]] over an explicit (doc_id, text) frame. `maxDf`
+    * is the hot-shingle guard: a shingle present in more than `maxDf`
+    * documents is dropped from BOTH the intersection join and the
+    * per-document sizes (Jaccard over the frequency-capped shingle
+    * sets; the DuckDB oracle applies the identical filter). Without
+    * the cap, ONE boilerplate shingle shared by B documents — headers,
+    * license blocks, templated text, all common in real crawl data —
+    * makes the self-join emit B(B-1)/2 rows, a data-dependent
+    * quadratic cliff; corpus-wide boilerplate carries no
+    * discriminative signal for near-dup detection, so capping df
+    * bounds every bucket at maxDf² join rows while leaving genuine
+    * near-dup pairs (cluster sizes ≪ maxDf) untouched.
+    */
+  def ngramJaccardDocs(docs: DataFrame, minJaccard: Double = 0.8,
+                       maxDf: Int = 100): DataFrame = {
     // reused 4× (self-join both sides + sizes twice) — materialize once;
     // hashed to longs so the Σ|bucket|² join compares 8-byte ints
-    val sh = hashedShingles(docs, 5)
+    val sh0 = hashedShingles(docs, 5)
+    // shingles are distinct per doc, so count(*) per sh == document
+    // frequency; the hot set is tiny (boilerplate only) and broadcasts
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    val sh = sh0.join(hot, Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -231,18 +279,18 @@ object Dedup {
     * O(component diameter) rounds. Near-dup clusters are shallow
     * (dozens of docs), so 2-4 rounds in practice. Each round is ONE
     * keyed join + ONE aggregation — no collect of the graph; the
-    * driver only checks the converged flag. localCheckpoint per round
-    * truncates the otherwise exponentially-growing lineage.
+    * driver only checks the converged flag. A checkpoint per round
+    * truncates the otherwise exponentially-growing lineage
+    * (localCheckpoint by default; `spark.graft.reliableCheckpoint=true`
+    * for the executor-loss-tolerant variant — see [[persistFrame]]).
     */
   def dedupClusters(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(s, d, minJaccard).select("d1", "d2")
     // symmetric edge list, materialized once (reused every round)
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
-    var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val edges = persistFrame(pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var labels = persistFrame(edges.select(col("d1").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -252,11 +300,10 @@ object Dedup {
       // carry the old label inline: the convergence check is then a
       // filter over the checkpointed frame instead of a join back onto
       // the previous round (one fewer shuffle per round)
-      val next = labels
+      val next = persistFrame(labels
         .join(neighborMin, col("id") === col("nid"), "left")
         .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       converged = next.filter(col("label") < col("old_label")).isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized and compared — free them NOW instead of

@@ -45,6 +45,43 @@ class ClusteringSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dedup clusters: reliable-checkpoint mode returns identical clusters") {
+    val expected = Dedup.dedupClusters(spark, sf).collect().toSet
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    spark.conf.set("spark.graft.checkpointDir",
+      java.nio.file.Files.createTempDirectory("graft-rckpt").toString)
+    try {
+      val got = Dedup.dedupClusters(spark, sf).collect().toSet
+      assert(got === expected)
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  test("ngram jaccard: hot-shingle guard bounds boilerplate blow-up") {
+    import spark.implicits._
+    // 150 docs share ONE boilerplate 5-gram (a header/license analogue);
+    // every other shingle is doc-unique. Ungated, the self-join emits
+    // 150*149/2 rows for that single bucket; with the df cap the bucket
+    // vanishes and only the genuine near-dup pair survives.
+    val boiler = (1 to 150).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon u${i}a u${i}b u${i}c u${i}d u${i}e"))
+    val dupText = "zeta eta theta iota kappa lambda mu nu xi omicron"
+    val docs = (boiler :+ (1001L, dupText) :+ (1002L, dupText))
+      .toDF("doc_id", "text")
+    val gated = Dedup.ngramJaccardDocs(docs, minJaccard = 0.8, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gated.toSeq === Seq((1001L, 1002L, 1.0)),
+      "only the genuine duplicate pair survives; boilerplate emits none")
+    // the cap changes no verdicts here: ungated, boilerplate pairs share
+    // 1 of 11 shingles (jaccard ~0.09, far below 0.8) — same output, but
+    // only after materializing the quadratic bucket the guard avoids
+    val ungated = Dedup.ngramJaccardDocs(docs, minJaccard = 0.8, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ungated.toSeq === gated.toSeq)
+  }
+
   test("contamination pairs always cross a split boundary") {
     val rows = Dedup.crossSplitContamination(spark, sf).collect()
     rows.foreach { r =>
