@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth smoke for the heavy operator family: derives a K×
+  * corpus from the provided sf0.1 tables (no synthetic data — replicas
+  * of the driver's own corpus), times each heavy query at 1× and K×,
+  * and prints the growth ratio. Sub-linear-or-linear growth is the
+  * pass signal; super-linear growth flags a scale hazard.
+  *
+  * Replica construction keeps the near-dup structure REALISTIC instead
+  * of quadratically degenerate: replica 0 is the corpus verbatim;
+  * replica k>0 suffixes every whitespace token with `_k`, which is a
+  * bijection on token streams — all within-replica similarity
+  * relations (exact dups, near-dups, Jaccard values) are preserved
+  * exactly, while no shingle is ever shared across replicas. A naive
+  * text-identical replication would instead give every document K
+  * exact copies, inflating every dedup family quadratically for
+  * reasons that say nothing about real scaling.
+  *
+  * Usage: runMain graft.ScaleSmoke [baseDir] [replicas] [iters]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val replicas = if (args.length > 1) args(1).toInt else 10
+    val iters = if (args.length > 2) args(2).toInt else 2
+    val outDir = s"target/scale${replicas}x"
+    val heavy = Seq("d3_minhash_lsh", "d5_ngram_jaccard", "d6_dedup_clusters",
+      "c1_contamination", "t9_tfidf", "s5_knn_ivf")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- derive the K× corpus (documents + embeddings) if absent ----
+    val IdStride = 100000000L // replica id offset: far above any base id
+    def replicate(base: DataFrame, idCol: String,
+                  perturb: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map { k =>
+        perturb(base, k).withColumn(idCol, col(idCol) + lit(k * IdStride))
+      }.reduce(_ unionByName _)
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      replicate(docs, "doc_id", (df, k) =>
+        if (k == 0) df
+        else df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_$k")))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      replicate(emb, "vec_id", (df, _) => df)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+
+    // ---- time each heavy query at 1× and K× (min of warm iters) ----
+    def time(name: String, dir: String): Double =
+      (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    val rows = heavy.map { name =>
+      val t1 = time(name, baseDir)
+      val tk = time(name, outDir)
+      println(f"[scale] $name%-20s 1x ${t1}%6.1fs  ${replicas}x ${tk}%6.1fs  ratio ${tk / t1}%5.2f")
+      (name, t1, tk)
+    }
+    val qs = rows.map { case (n, t1, tk) =>
+      f""""$n":{"t1":$t1%.2f,"tk":$tk%.2f,"ratio":${tk / t1}%.2f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","replicas":$replicas,"unit":"sec","queries":$qs}""")
+    spark.stop()
+  }
+}

@@ -69,20 +69,6 @@ object Dedup {
   /** Word tokens of `text`. */
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word n-gram shingles of `text` (positions 1..len-n+1).
-    * Guarded for short docs: Spark's `sequence(1, x)` runs DESCENDING when
-    * x < 1, which would index element 0/-1 and throw under ANSI.
-    */
-  private def shingles(n: Int): Column = {
-    val w = tokens
-    when(size(w) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(w) - lit(n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(w, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
-
   /** Exact dedup: one representative (min doc_id) per distinct text.
     * dropDuplicates("text") picks an arbitrary survivor; min(doc_id) is
     * the deterministic equivalent (same set of survivors, stable choice).
@@ -122,23 +108,47 @@ object Dedup {
     * (a) the CPU-heavy shingle hashing parallelizes across the cluster
     * even when the source is a handful of fat parquet splits, and
     * (b) the exchange moves compact text rows once, pre-satisfying
-    * every downstream doc_id requirement (signature groupBy, size
-    * groupBy, verify joins) that would otherwise shuffle the ~10×
-    * larger exploded shingle frame.
+    * every downstream doc_id requirement (token window, distinct,
+    * signature groupBy, size groupBy, verify joins) that would
+    * otherwise shuffle the ~10× larger exploded shingle frame.
+    *
+    * Shingle construction is posexplode + lead() — NOT a higher-order
+    * `transform(sequence(...), i => element_at(split(text), i+o))`
+    * lambda. Higher-order functions evaluate interpreted (outside
+    * whole-stage codegen) with no subexpression elimination, so that
+    * formulation re-ran the regex `split` of the WHOLE document for
+    * every element_at — O(tokens²) string-array allocations per
+    * document (measured: a GC-bound straggler stage with 3-20×
+    * run-to-run variance). Here split runs once per document inside
+    * the codegen'd generate; lead(tok, o) over (doc_id, pos) builds
+    * each n-gram from already-exploded tokens; the window sort and the
+    * distinct reuse the doc_id partitioning (no extra exchange).
     *
     * localCheckpointed: the band self-join and the Jaccard verify
     * below reuse this frame 3-4×, and Spark self-joins re-execute
     * shared lineage without a materialization.
     */
-  private def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles(n)).as("shs"))
+  private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+    val withNext = (1 until n).foldLeft(toks)((df, o) =>
+      df.withColumn(s"t_$o", lead(col("tok"), o).over(byDoc)))
+    withNext
+      // rows whose window ran off the document end are incomplete
+      // n-grams (the old formulation never generated them)
+      .filter((1 until n).map(o => col(s"t_$o").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok") +: (1 until n).map(o => col(s"t_$o")): _*).as("shs"))
+      .dropDuplicates("doc_id", "shs")
       .select(
         col("doc_id"),
         conv(substring(md5(col("shs")), 1, 15), 16, 10).cast("long").as("sh"),
         (conv(substring(md5(col("shs")), 16, 15), 16, 10).cast("long")
           % MinhashP + 1L).as("hb"))
       .transform(persistFrame)
+  }
 
   /** MinHash signatures from a hashed-shingle frame: sig_i = min over
     * shingles of (sh mod P + i·hb) mod P — the standard 2-universal
