@@ -67,6 +67,7 @@ object SparkEntry {
     "q29_correlated_subquery" -> (CorpusQueries.q29CorrelatedSubquery _),
     "q30_join_full" -> (CorpusQueries.q30JoinFull _),
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
+    "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
@@ -74,6 +75,7 @@ object SparkEntry {
     // ---- deterministic sampling / splits ----
     "p1_split_assign" -> (Sampling.splitAssign _),
     "p2_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "p3_reservoir" -> ((s, d) => Sampling.reservoirSample(s, d)),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
@@ -556,6 +558,26 @@ FROM v ORDER BY doc_id"""
         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS sampled_id_sum
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "p3_reservoir" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('res|' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS rk
+        |  FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, rk,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY rk, doc_id) AS INTEGER) AS rn
+        |  FROM r)
+        |SELECT source, rn, doc_id, rk FROM w WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+    // q32's oracle is deliberately the PLAIN join: the bloom prunes
+    // but never changes the result (false positives are cleared by the
+    // exact join; false negatives are impossible)
+    "q32_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q29_correlated_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above
         |FROM orders o

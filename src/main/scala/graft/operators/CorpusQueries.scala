@@ -286,6 +286,28 @@ object CorpusQueries {
           col("exact_parts").cast("double"))
       .orderBy("l_returnflag")
 
+  /** Bloom-pruned fact-dim join: lineitems of URGENT orders. The fact
+    * side is cut by [[BloomPrune]] (8 KB sketch of the urgent
+    * orderkeys, map-side membership test — no shuffle to prune) before
+    * the exact join clears the bloom's false positives. Result is
+    * identical to the plain join (the oracle IS the plain SQL); the
+    * point is what reaches the join at 100 TB.
+    */
+  def q32BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = BloomPrune.prefilter(
+      Tables.lineitem(s, d), "l_orderkey", urgent, "o_orderkey")
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact companion to [[qxApproxDistinct]]: the same grouping with
     * only the exact distinct count — oracle-checkable (the HLL estimate
     * is not), so the approx-distinct family has a hash-verified row.

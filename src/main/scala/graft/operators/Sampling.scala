@@ -53,6 +53,29 @@ object Sampling {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Fixed-size deterministic "reservoir" per source stratum: the n
+    * documents with the smallest salted content hash — the
+    * distributed, reproducible equivalent of reservoir sampling
+    * (hash order is uniform and content-pinned, so the chosen set is
+    * stable under repartitioning, re-runs, and engine changes, and
+    * each stratum yields EXACTLY n rows however large it grows —
+    * unlike rate-based sampling, whose output scales with the data).
+    * Shape: map-only hash + per-stratum top-n window; at 100 TB the
+    * window groups are stratum-sized but row_number short-circuits
+    * through WindowGroupLimit (partial top-n per task before the
+    * shuffle).
+    */
+  def reservoirSample(s: SparkSession, d: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", hash60("res|"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("source", "rn", "doc_id", "rk")
+      .orderBy("source", "rn")
+  }
+
   /** Stratified 30% sample per source stratum (deterministic, salted
     * independently of splitAssign). Output is per-stratum: totals,
     * sampled count, and the exact sum of sampled doc_ids — the id sum

@@ -80,6 +80,18 @@ class TemporalSamplingSpec extends SparkSpec {
     }
   }
 
+  test("reservoir sample: exactly n per stratum, deterministic, stable under repartition") {
+    val n = 5
+    val a = Sampling.reservoirSample(spark, sf, n).collect()
+    a.groupBy(_.getAs[String]("source")).values.foreach { g =>
+      assert(g.length === n, "every stratum yields exactly n rows")
+      assert(g.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to n))
+    }
+    // content-hash ranking: the chosen SET may not depend on physical layout
+    val b = Sampling.reservoirSample(spark, sf, n).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("repetition: top token accounts for a (0,1] fraction of the doc") {
     val rows = TextAnalysis.repetition(spark, sf).collect()
     assert(rows.length === 500)
