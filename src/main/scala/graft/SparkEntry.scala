@@ -76,6 +76,8 @@ object SparkEntry {
     "p1_split_assign" -> (Sampling.splitAssign _),
     "p2_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "p3_reservoir" -> ((s, d) => Sampling.reservoirSample(s, d)),
+    "p4_packing" -> ((s, d) => Sampling.packSequences(s, d)),
+    "p5_mixture" -> (Sampling.mixtureSample _),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
@@ -84,6 +86,7 @@ object SparkEntry {
     "d5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d6_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "c1_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d)),
+    "d7_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     // ---- LLM-pipeline: text analysis ----
     "t1_token_counts" -> (TextAnalysis.tokenCounts _),
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
@@ -95,12 +98,15 @@ object SparkEntry {
     "t8_length_stats" -> (TextAnalysis.lengthStats _),
     "t9_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "t10_pii_redact" -> (TextAnalysis.piiRedact _),
+    "t11_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "t12_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
     "s3_label_centroids" -> (Similarity.labelCentroids _),
     "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "s6_quantize" -> (Similarity.quantizeEmbeddings _),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -247,28 +253,71 @@ FROM pairs JOIN spl s1 ON d1 = s1.doc_id JOIN spl s2 ON d2 = s2.doc_id
 WHERE s1.split <> s2.split
 ORDER BY d1, d2"""
 
-  /** d4 oracle: mirrors Dedup.simhash — 32 conditional-sum vote columns
-    * in one grouped aggregation, then the bit recombination.
+  /** Simhash-signature CTE generator: mirrors Dedup.simhashSigs —
+    * width (= 4·hexChars) conditional-sum vote columns in one grouped
+    * aggregation, then the bit recombination. Ends with a
+    * `sig(doc_id, simhash)` relation so d4 (32-bit projection) and d7
+    * (60-bit Hamming-LSH near-dup) derive from one generator.
     */
-  private val d4Sql: String = {
-    val votes = (0 until 32)
+  private def simhashSigCte(hexChars: Int): String = {
+    val width = hexChars * 4
+    val votes = (0 until width)
       .map(b => s"SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b")
       .mkString(",\n    ")
-    val bits = (0 until 32)
+    val bits = (0 until width)
       .map(b => s"(CASE WHEN s_$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" +\n    ")
     s"""WITH tok AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
 h AS (
-  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok),
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, $hexChars)) AS BIGINT) AS h FROM tok),
 v AS (
   SELECT doc_id,
     $votes
-  FROM h GROUP BY doc_id)
-SELECT doc_id,
-  CAST($bits AS BIGINT) AS simhash
-FROM v ORDER BY doc_id"""
+  FROM h GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+    CAST($bits AS BIGINT) AS simhash
+  FROM v)"""
   }
+
+  private val d4Sql: String =
+    s"${simhashSigCte(8)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** d7 oracle: four 15-bit bands per 60-bit signature, candidate pairs
+    * share a band value, popcount(xor) ≤ 3 verify, per-document
+    * neighbor profile — mirrors Dedup.simhashNearDup (including the
+    * integer-encoded argmin for the nearest neighbor).
+    */
+  private val d7Sql: String =
+    s"""${simhashSigCte(15)},
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (15 * band)) % 32768 AS v
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+    a.simhash AS h1, b.simhash AS h2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+  FROM cand WHERE bit_count(xor(h1, h2)) <= 3),
+sym AS (
+  SELECT d1 AS doc_id, d2 AS nbr, hamming FROM pairs
+  UNION ALL
+  SELECT d2 AS doc_id, d1 AS nbr, hamming FROM pairs)
+SELECT doc_id, COUNT(*) AS n_near,
+  CAST(MIN(hamming * 1000000000000 + nbr) % 1000000000000 AS BIGINT) AS nn_id,
+  CAST(MIN(hamming * 1000000000000 + nbr) // 1000000000000 AS INTEGER) AS nn_hamming
+FROM sym GROUP BY doc_id ORDER BY doc_id"""
+
+  /** p5 oracle weights VALUES list — generated from Sampling.MixtureRates
+    * so the Spark operator and the oracle can never disagree on the mix.
+    */
+  private val mixtureValuesSql: String =
+    graft.operators.Sampling.MixtureRates
+      .map { case (src, r) => s"('$src', $r)" }
+      .mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "log_stg" ->
@@ -569,6 +618,32 @@ FROM v ORDER BY doc_id"""
         |  FROM r)
         |SELECT source, rn, doc_id, rk FROM w WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
+    "p4_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+        |FROM c GROUP BY source, bin
+        |ORDER BY source, bin""".stripMargin,
+    "p5_mixture" ->
+      s"""WITH w AS (
+         |  SELECT * FROM (VALUES $mixtureValuesSql) AS t(source, rate_pct)),
+         |k AS (
+         |  SELECT d.source, COALESCE(w.rate_pct, 50) AS rate_pct, doc_id,
+         |    ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 100
+         |      < COALESCE(w.rate_pct, 50) AS kept
+         |  FROM documents d LEFT JOIN w ON d.source = w.source)
+         |SELECT source, rate_pct, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_sum
+         |FROM k GROUP BY source, rate_pct ORDER BY source""".stripMargin,
     // q32's oracle is deliberately the PLAIN join: the bloom prunes
     // but never changes the result (false positives are cleared by the
     // exact join; false negatives are impossible)
@@ -670,6 +745,42 @@ FROM v ORDER BY doc_id"""
         |        regexp_replace(withpii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |        '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
         |FROM w ORDER BY doc_id""".stripMargin,
+    "t11_quality_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS sum_len,
+        |    len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+        |    len(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  n_tokens BETWEEN 15 AND 90 AS ok_len,
+        |  sum_len / n_tokens BETWEEN 3.0 AND 9.0 AS ok_word_len,
+        |  n_stop > 0 AS ok_stop,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 AS ok_distinct,
+        |  CAST(n_digits AS DOUBLE) / n_chars <= 0.2 AS ok_digit,
+        |  (n_tokens BETWEEN 15 AND 90) AND (sum_len / n_tokens BETWEEN 3.0 AND 9.0)
+        |    AND n_stop > 0 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+        |    AND CAST(n_digits AS DOUBLE) / n_chars <= 0.2 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "t12_bigrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM t),
+        |c AS (
+        |  SELECT bigram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+        |  FROM b WHERE bigram IS NOT NULL GROUP BY bigram)
+        |SELECT bigram, cnt, df FROM c
+        |ORDER BY cnt DESC, df DESC, bigram LIMIT 40""".stripMargin,
     "t5_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
@@ -690,6 +801,7 @@ FROM v ORDER BY doc_id"""
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
+    "d7_simhash_neardup" -> d7Sql,
     "d6_dedup_clusters" -> d6Sql,
     "c1_contamination" -> c1Sql,
     "t6_vocab" ->
@@ -846,6 +958,31 @@ FROM v ORDER BY doc_id"""
         |rk AS (SELECT q_id, c_id, cell, cos6,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s6_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS micro
+        |  FROM embeddings),
+        |mm AS (
+        |  SELECT vec_id, micro,
+        |    list_max(list_transform(micro, x -> abs(x))) AS maxabs_micro
+        |  FROM m),
+        |t AS (
+        |  SELECT vec_id, maxabs_micro,
+        |    unnest(micro) AS mv,
+        |    unnest(range(0, len(micro))) AS pos
+        |  FROM mm),
+        |q AS (
+        |  SELECT vec_id, maxabs_micro, mv, pos,
+        |    CAST(floor(CAST(mv * 127 AS DOUBLE) / greatest(maxabs_micro, 1)) AS BIGINT) AS qv
+        |  FROM t)
+        |SELECT vec_id, CAST(COUNT(*) AS INTEGER) AS dim, maxabs_micro,
+        |  CAST(SUM(mv * mv) AS BIGINT) AS norm_sq_micro,
+        |  CAST(SUM(qv) AS BIGINT) AS q_sum,
+        |  CAST(SUM(abs(qv)) AS BIGINT) AS q_abs_sum,
+        |  CAST(SUM(qv * (pos + 1)) AS BIGINT) AS q_dot
+        |FROM q GROUP BY vec_id, maxabs_micro ORDER BY vec_id""".stripMargin,
     "s3_label_centroids" ->
       """WITH tall AS (
         |  SELECT label, 0 AS pos, embedding[1] AS x FROM embeddings

@@ -368,18 +368,87 @@ object Dedup {
     * vote rows. At 100 TB that is the difference between shuffling the
     * token stream ×32 and shuffling bounded partial sums.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d, hexChars = 8).orderBy("doc_id")
+
+  /** Unsorted (doc_id, simhash) signature frame, width = 4·hexChars
+    * bits (md5 hex prefix → token hash). Shared by the d4 projection
+    * (32-bit, the published signature contract) and the near-dup
+    * banding (60-bit — see simhashNearDup) so a signature definition
+    * exists in exactly one place per width.
+    */
+  private def simhashSigs(s: SparkSession, d: String, hexChars: Int): DataFrame = {
+    val width = hexChars * 4
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val votes = (0 until 32).map(b =>
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, hexChars), 16, 10).cast("long"))
+    val votes = (0 until width).map(b =>
       sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s_$b"))
     toks.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(
         col("doc_id"),
-        (0 until 32).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until width).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Per-document SimHash near-dup profile via Hamming-LSH banding:
+    * split each 60-bit signature into four 15-bit bands; any pair
+    * agreeing on at least one band is a candidate, verified with
+    * popcount(xor) ≤ maxHamming; the output is each document's
+    * neighbor count and nearest neighbor (min Hamming, min-id
+    * tie-break). Pigeonhole guarantee: ≤3 differing bits can touch at
+    * most 3 of the 4 bands, so every pair within Hamming distance 3
+    * shares an intact band — EXACT recall at the default threshold,
+    * with candidate generation a keyed equi-join on (band, value),
+    * never an all-pairs scan.
+    *
+    * Scale design: (a) the output contract is PER DOCUMENT (n rows),
+    * not per pair — on a self-similar corpus the pair set is
+    * quadratic-ish and unboundedly data-dependent, while the profile
+    * stays linear; (b) the signature is 60-bit (not d4's 32) because
+    * discrimination, not storage, is the binding constraint — Hamming
+    * ≤3 of 60 is a far stricter relative bar, and 15-bit bands give
+    * 32k buckets per band (candidate cost Σ|bucket|² ≈ n²/2^15 under
+    * uniform hashing); (c) the nearest neighbor is picked through an
+    * exact integer encoding (hamming·10^12 + id) so the argmin is one
+    * mergeable MIN aggregate — no window, deterministic everywhere.
+    * The signature frame is checkpointed once and fed to both sides of
+    * the self-join.
+    */
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val bandBits = 15
+    val sigs = persistFrame(simhashSigs(s, d, hexChars = 15))
+    val bands = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        (shiftright(col("simhash"), b * bandBits) % (1 << bandBits)).as("v"))): _*))
+        .as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming", expr("CAST(bit_count(h1 ^ h2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+    val sym = pairs.select(col("d1").as("doc_id"), col("d2").as("nbr"), col("hamming"))
+      .union(pairs.select(col("d2").as("doc_id"), col("d1").as("nbr"), col("hamming")))
+    val enc = lit(1000000000000L)
+    sym
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_near"),
+        (min(col("hamming") * enc + col("nbr")) % enc).as("nn_id"),
+        floor(min(col("hamming") * enc + col("nbr")) / enc).cast("int")
+          .as("nn_hamming"))
       .orderBy("doc_id")
   }
 }

@@ -76,6 +76,66 @@ object Sampling {
       .orderBy("source", "rn")
   }
 
+  /** Sequence packing: lay each source's documents out in doc_id order
+    * and assign every document to the token-budget bin where its first
+    * token lands (bin = preceding cumulative tokens ÷ budget) — the
+    * contiguous greedy packing a training pipeline uses to fill
+    * fixed-length context windows without reordering the corpus.
+    * Packing is PER SOURCE deliberately: a global layout would need a
+    * total sort, while per-source packing is one window over
+    * source-partitioned data — at 100 TB each shard packs
+    * independently and the layout of one source never depends on
+    * another's size. Output is the per-bin manifest (doc count, token
+    * fill, and an id-sum that pins exact membership under the oracle's
+    * hash compare).
+    */
+  def packSequences(s: SparkSession, d: String, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      // (cum - n_tokens) / budget: integer division of the tokens that
+      // precede this document — exact in both engines
+      .withColumn("bin",
+        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy("source", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        sum("doc_id").as("doc_id_sum"))
+      .orderBy("source", "bin")
+  }
+
+  /** Weighted source mixture: per-source sampling rates from a small
+    * mixture-weights dimension (the up/down-sampling step that shapes
+    * a training corpus — e.g. upweight curated sources, downweight
+    * crawl). The weights frame is a broadcast dim join — never a
+    * shuffle of the corpus side; membership is the same content-hash
+    * gate as every sampler here, so a document's fate is pinned under
+    * re-runs and ingestion growth. Unknown sources fall back to a
+    * default rate rather than silently dropping.
+    */
+  /** Mixture config (source → sampling rate %); public so the oracle
+    * SQL is generated from the SAME table — one source of truth. */
+  val MixtureRates: Seq[(String, Int)] =
+    (0 until 20).map(i => s"src$i" -> (10 + (i % 7) * 12))
+
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val rates = s.createDataFrame(MixtureRates).toDF("source", "rate_pct")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"), "left")
+      .withColumn("rate_pct", coalesce(col("rate_pct"), lit(50)))
+      .withColumn("kept", hash60("mix|") % 100 < col("rate_pct"))
+      .groupBy("source", "rate_pct")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
   /** Stratified 30% sample per source stratum (deterministic, salted
     * independently of splitAssign). Output is per-stratum: totals,
     * sampled count, and the exact sum of sampled doc_ids — the id sum

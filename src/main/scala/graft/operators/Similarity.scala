@@ -165,6 +165,50 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Int8 scalar quantization per vector — the storage/serving prep
+    * step that shrinks an embedding corpus 4× (float32 → int8) before
+    * ANN indexing. Per vector: elements quantized to exact integer
+    * micro-units (round(x·1e6), the labelCentroids trick), then
+    * max-abs-scaled to int8 as floor(micro·127 / maxabs_micro) — the
+    * numerator is an exact long, the division is one correctly-rounded
+    * IEEE op, and floor of a correctly-rounded double is
+    * engine-identical, so every quantized value is bit-identical in the
+    * oracle with no float-sum order hazard anywhere. Output is the
+    * per-vector manifest: L2 norm in exact micro-unit² space, the
+    * scale, and integer checksums (sum, |sum|, position-weighted dot)
+    * that pin the full quantized vector under the hash compare.
+    * Shape: posexplode (64 rows per vector) → partial-aggregated
+    * groupBy(vec_id) — groups are vector-sized, no skew, linear at
+    * 100 TB.
+    */
+  def quantizeEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")).as("micro"))
+      // per-vector scale from the array itself — no self-join back onto
+      // an exploded frame (that shape would re-shuffle the corpus on
+      // vec_id just to rejoin a scalar each row already owns)
+      .withColumn("maxabs_micro", array_max(transform(col("micro"), abs(_))))
+      .select(col("vec_id"), col("maxabs_micro"),
+        posexplode(col("micro")).as(Seq("pos", "m")))
+      // greatest(·,1) guards the all-zero vector: 0/0 would be NaN, and
+      // NaN→BIGINT casts diverge between engines (the quantized values
+      // are all zero then anyway, so the guard changes nothing else)
+      .withColumn("q",
+        floor((col("m") * 127L).cast("double") /
+          greatest(col("maxabs_micro"), lit(1L))).cast("long"))
+      .groupBy("vec_id", "maxabs_micro")
+      .agg(
+        count(lit(1)).cast("int").as("dim"),
+        sum(col("m") * col("m")).as("norm_sq_micro"),
+        sum("q").as("q_sum"),
+        sum(abs(col("q"))).as("q_abs_sum"),
+        sum(col("q") * (col("pos") + 1)).as("q_dot"))
+      .select("vec_id", "dim", "maxabs_micro", "norm_sq_micro",
+        "q_sum", "q_abs_sum", "q_dot")
+      .orderBy("vec_id")
+
   /** Per-label centroids in tall form (label, dim, mean). Elements are
     * quantized to integer micro-units (round(x·1e6)) before summing:
     * integer sums are exact, so the mean is independent of row order and

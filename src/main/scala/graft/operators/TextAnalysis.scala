@@ -238,6 +238,66 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Composite quality filter (C4/Gopher-style): five independent
+    * per-document rules — token-count bounds, mean-word-length bounds,
+    * stopword presence, distinct-token ratio, digit-character ratio —
+    * each reported as its own flag so curation can audit WHY a document
+    * was dropped, plus the combined keep decision. All rules are pure
+    * row-local expressions: the filter is map-only and embarrassingly
+    * parallel at any corpus size (this is the shape of the C4 cleanup
+    * and the Gopher quality rules — cheap rule cascades run before any
+    * expensive dedup/model scoring).
+    */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks)
+    val nD = n.cast("double")
+    val stopArr = array(StopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nDistinct = size(array_distinct(toks))
+    val sumLen = (length(col("text")) - (n - lit(1))).cast("double")
+    val nDigits = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val okLen = n.between(15, 90)
+    val okWordLen = (sumLen / nD).between(3.0, 9.0)
+    val okStop = nStop > 0
+    val okDistinct = nDistinct.cast("double") / nD >= 0.3
+    val okDigit = nDigits.cast("double") / length(col("text")) <= 0.2
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        okLen.as("ok_len"),
+        okWordLen.as("ok_word_len"),
+        okStop.as("ok_stop"),
+        okDistinct.as("ok_distinct"),
+        okDigit.as("ok_digit"),
+        (okLen && okWordLen && okStop && okDistinct && okDigit).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus bigram statistics: top-K adjacent token pairs by total
+    * count (with document frequency) — the n-gram LM / phrase-mining
+    * counting step. Pairs come from posexplode + lead() over the
+    * per-document token position (the same codegen'd shape as
+    * Dedup.hashedShingles — no higher-order lambda re-scanning the
+    * array per element), then ONE partial-aggregated shuffle of
+    * (bigram) keys and a TakeOrderedAndProject top-K. The per-doc
+    * window partitions by doc_id — groups are document-sized, no skew;
+    * the bigram agg carries bounded partials, never the pair stream.
+    */
+  def bigrams(s: SparkSession, d: String, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byPos))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+      .orderBy(desc("cnt"), desc("df"), asc("bigram"))
+      .limit(k)
+  }
+
   /** PII redaction: scrub email addresses and phone numbers from text,
     * reporting per-document match counts and an md5 of the redacted
     * body (narrow hash instead of re-shuffling whole documents for the

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the round-5 pipeline operators: sequence
+  * packing, mixture sampling, composite quality filtering, bigram
+  * statistics, embedding quantization, and the SimHash near-dup
+  * profile. (End-to-end value equality is the DuckDB oracle's job;
+  * these tests pin the invariants the oracle can't express.)
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packing: mass-preserving, bins match a driver-side recompute") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val out = Sampling.packSequences(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("bin_tokens")).sum === docs.map(_._3).sum,
+      "every token lands in exactly one bin")
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    // independent driver-side recompute of the greedy contiguous layout
+    val assigned: Seq[(String, Long, Long, Long)] =
+      docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, id, n) =>
+          val bin = cum / 256; cum += n; (src, bin, id, n)
+        }
+      }
+    val expected = assigned.groupBy(t => (t._1, t._2))
+      .map { case ((src, bin), ts) =>
+        (src, bin, ts.length.toLong, ts.map(_._4).sum, ts.map(_._3).sum)
+      }.toSet
+    val got = out.map(r => (r.getString(0), r.getLong(1),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+      r.getAs[Long]("doc_id_sum"))).toSet
+    assert(got === expected)
+  }
+
+  test("mixture: configured rates, bounded keeps, rerun-deterministic") {
+    val out = Sampling.mixtureSample(spark, sf).collect()
+    val rates = Sampling.MixtureRates.toMap
+    out.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Int]("rate_pct") === rates.getOrElse(src, 50))
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+    val again = Sampling.mixtureSample(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "membership is content-hashed — identical across runs")
+  }
+
+  test("quality filter: keep is exactly the conjunction of its rules") {
+    val rows = TextAnalysis.qualityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq("ok_len", "ok_word_len", "ok_stop", "ok_distinct",
+        "ok_digit").map(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("keep") === flags.forall(identity))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "filter keeps something")
+  }
+
+  test("bigrams: cnt >= df >= 1, ordered desc, capped at k") {
+    val rows = TextAnalysis.bigrams(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt") >= r.getAs[Long]("df"))
+      assert(r.getAs[Long]("df") >= 1L)
+      assert(r.getAs[String]("bigram").split(" ").length === 2)
+    }
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse, "ordered by cnt desc")
+  }
+
+  test("quantize: int8 range respected, scale element hits ±127") {
+    val rows = Similarity.quantizeEmbeddings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dim") === 64)
+      assert(r.getAs[Long]("maxabs_micro") > 0L)
+      assert(r.getAs[Long]("norm_sq_micro") > 0L)
+      val absSum = r.getAs[Long]("q_abs_sum")
+      // the max-magnitude element quantizes to exactly ±127; nothing
+      // can exceed it — so |q|₁ is within [127, 127·64]
+      assert(absSum >= 127L && absSum <= 127L * 64)
+    }
+  }
+
+  test("simhash near-dup profile: thresholds, symmetry, self-exclusion") {
+    val rows = Dedup.simhashNearDup(spark, sf).collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups")
+    rows.foreach { r =>
+      val h = r.getAs[Int]("nn_hamming")
+      assert(h >= 0 && h <= 3)
+      assert(r.getAs[Long]("nn_id") !== r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_near") >= 1L)
+    }
+    // every near-dup relation is mutual: total degree is even
+    assert(rows.map(_.getAs[Long]("n_near")).sum % 2 === 0L)
+  }
+}
