@@ -24,16 +24,21 @@ import org.apache.spark.sql.functions._
   * map-side codegen'd expression — the fact table never shuffles,
   * aggregates, or joins to be pruned.
   *
-  * Determinism: bit positions come from md5 (hash_j(x) =
-  * md5(j ':' x) mod mBits) — reproducible across engines and runs,
-  * unlike hash-seed-dependent native bloom builds.
+  * Determinism: bit positions come from xxhash64 with the salt as a
+  * leading hashed value (hash_j(x) = xxhash64(j, x)) — deterministic
+  * across runs and partitionings within Spark, and codegen'd native
+  * long arithmetic on the probe side (no per-row string conversion or
+  * hex digest; the result never depends on the hash because false
+  * positives are cleared by the exact join that follows, so
+  * cross-engine hash parity — the reason other operators here use
+  * md5 — buys nothing and md5's per-row allocation cost is real on a
+  * 100 TB probe side).
   */
 object BloomPrune {
 
-  /** 60-bit integer hash of the j-th salted key. */
+  /** Integer hash of the j-th salted key. */
   private def hash(j: Int, key: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+    xxhash64(lit(j), key)
 
   /** Build the bloom over `keys(keyCol)`: mBits/64 longs. One
     * map-side partial-aggregated pass over the key side (small by
@@ -61,12 +66,16 @@ object BloomPrune {
     * closure, exactly like a broadcast scalar.
     */
   def mightContain(key: Column, bits: Array[Long], mBits: Int = 1 << 16,
-                   k: Int = 3): Column =
+                   k: Int = 3): Column = {
+    // one shared array literal — k copies of an mBits/64-element
+    // literal would bloat the plan and generated code k-fold
+    val words = typedLit(bits.toSeq)
     (0 until k).map { j =>
       val idx = pmod(hash(j, key), lit(mBits.toLong))
-      val word = element_at(typedLit(bits.toSeq), (idx / 64).cast("int") + 1)
+      val word = element_at(words, (idx / 64).cast("int") + 1)
       word.bitwiseAND(call_function("shiftleft", lit(1L), (idx % 64).cast("int"))) =!= 0L
     }.reduce(_ && _)
+  }
 
   /** Rows of `probe` whose `probeCol` passes the bloom built over
     * `keys(keyCol)`. A superset of the exact semi-join (false
