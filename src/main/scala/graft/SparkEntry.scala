@@ -110,6 +110,7 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "m3_resize" -> ((s, d) => Multimodal.resizeSpecSql(s, d)),
     // ---- sketches ----
     // x1: no oracle — HLL estimates are engine-specific; the driver
     // records a rows-only check. x1a is its exact companion: the same
@@ -1009,6 +1010,22 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS width,
         |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m3_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |    CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS width,
+        |    CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS height,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, kind, width, height, n_bytes,
+        |    CAST(greatest(1, width * 32 // greatest(width, height, 32)) AS INTEGER) AS new_width,
+        |    CAST(greatest(1, height * 32 // greatest(width, height, 32)) AS INTEGER) AS new_height
+        |  FROM f)
+        |SELECT media_id, kind, width, height, new_width, new_height, n_bytes,
+        |  CAST(greatest(1, n_bytes * (CAST(new_width AS BIGINT) * new_height) // (CAST(width AS BIGINT) * height)) AS BIGINT) AS new_n_bytes
+        |FROM r ORDER BY media_id""".stripMargin
   )
 }

@@ -80,6 +80,64 @@ object Multimodal {
           (length(col("bytes")) % 16 + 1) - 1, lit(step))).as("frame_idx"))
       .orderBy("media_id", "frame_idx")
 
+  /** Resized (fake) media metadata. */
+  final case class ResizedMedia(
+    media_id: Long, kind: String, width: Int, height: Int,
+    new_width: Int, new_height: Int, n_bytes: Long, new_n_bytes: Long)
+
+  /** DETERMINISTIC FAKE RESIZE — scale-to-fit a target×target box,
+    * never upscaling. All arithmetic is integer-exact (w·target div
+    * max(w,h,target)), so the spec is engine-portable; the byte count
+    * scales by the integer area ratio. A real implementation replaces
+    * the body with the scaler call; the contract (metadata in, scaled
+    * metadata + bytes out) is what the pipeline schema depends on.
+    */
+  def fakeResize(f: MediaFeatures, target: Int = 32): ResizedMedia = {
+    val den = math.max(math.max(f.width, f.height), target)
+    val nw = math.max(1, f.width * target / den)
+    val nh = math.max(1, f.height * target / den)
+    ResizedMedia(f.media_id, f.kind, f.width, f.height, nw, nh, f.n_bytes,
+      math.max(1L, f.n_bytes * (nw.toLong * nh) / (f.width.toLong * f.height)))
+  }
+
+  /** Batched resize over partitions — decode + resize fused in one
+    * executor pass (one codec/scaler init per task, the same shape as
+    * decodeFeatures; a real pipeline never materializes decoded frames
+    * between the two steps).
+    */
+  def resizeMedia(media: DataFrame, target: Int = 32): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real impl: initialize decoder + scaler HERE, once per task
+      it.map(r => fakeResize(fakeDecode(r), target))
+    }.toDF()
+  }
+
+  /** Declarative twin of decode+resize — the oracle-checkable query
+    * (pure codegen'd expressions, integer-exact throughout) and the
+    * cross-check for the mapPartitions path.
+    */
+  def resizeSpecSql(s: SparkSession, d: String, target: Int = 32): DataFrame =
+    mediaFeaturesSql(s, d)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_bytes"))
+      .withColumn("den",
+        greatest(col("width"), col("height"), lit(target)))
+      .withColumn("new_width",
+        greatest(lit(1), expr(s"CAST(width AS BIGINT) * $target div den"))
+          .cast("int"))
+      .withColumn("new_height",
+        greatest(lit(1), expr(s"CAST(height AS BIGINT) * $target div den"))
+          .cast("int"))
+      .withColumn("new_n_bytes",
+        greatest(lit(1L),
+          expr("n_bytes * (CAST(new_width AS BIGINT) * new_height) div " +
+            "(CAST(width AS BIGINT) * height)")))
+      .select("media_id", "kind", "width", "height", "new_width",
+        "new_height", "n_bytes", "new_n_bytes")
+      .orderBy("media_id")
+
   /** Declarative twin of the fake decode — same features computed as
     * pure Catalyst expressions over the binary column (codegen'd, no
     * JVM object churn); used as the oracle-checkable query and as the

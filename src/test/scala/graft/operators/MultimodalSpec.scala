@@ -32,4 +32,19 @@ class MultimodalSpec extends SparkSpec {
       assert(a.getAs[Int]("n_frames") === b.getAs[Int]("n_frames"))
     }
   }
+
+  test("mapPartitions resize path == declarative twin; fits target, never upscales") {
+    val typed = Multimodal.resizeMedia(Multimodal.mediaTable(spark, sf))
+      .orderBy("media_id").collect()
+    val sql = Multimodal.resizeSpecSql(spark, sf).collect()
+    assert(typed.length === sql.length && typed.nonEmpty)
+    typed.zip(sql).foreach { case (a, b) =>
+      assert(a.toSeq === b.toSeq)
+      val (w, h) = (a.getAs[Int]("width"), a.getAs[Int]("height"))
+      val (nw, nh) = (a.getAs[Int]("new_width"), a.getAs[Int]("new_height"))
+      assert(nw >= 1 && nh >= 1 && nw <= 32 && nh <= 32)
+      assert(nw <= w && nh <= h, "never upscale")
+      assert(a.getAs[Long]("new_n_bytes") <= a.getAs[Long]("n_bytes"))
+    }
+  }
 }
