@@ -285,16 +285,22 @@ sig AS (
   private val d4Sql: String =
     s"${simhashSigCte(8)} SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
-  /** d7 oracle: four 15-bit bands per 60-bit signature, candidate pairs
-    * share a band value, popcount(xor) ≤ 3 verify, per-document
-    * neighbor profile — mirrors Dedup.simhashNearDup (including the
+  /** d7 oracle: four 15-bit bands per 60-bit signature, hot band
+    * buckets (>2048 docs) dropped, candidate pairs share a surviving
+    * band value, popcount(xor) ≤ 3 verify, per-document neighbor
+    * profile — mirrors Dedup.simhashNearDup (including the
     * integer-encoded argmin for the nearest neighbor).
     */
   private val d7Sql: String =
     s"""${simhashSigCte(15)},
-bands AS (
+allbands AS (
   SELECT doc_id, simhash, band, (simhash >> (15 * band)) % 32768 AS v
   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+hot AS (
+  SELECT band, v FROM allbands GROUP BY band, v HAVING COUNT(*) > 2048),
+bands AS (
+  SELECT b.doc_id, b.simhash, b.band, b.v
+  FROM allbands b ANTI JOIN hot h ON b.band = h.band AND b.v = h.v),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
     a.simhash AS h1, b.simhash AS h2

@@ -377,9 +377,12 @@ object Dedup {
     * banding (60-bit — see simhashNearDup) so a signature definition
     * exists in exactly one place per width.
     */
-  private def simhashSigs(s: SparkSession, d: String, hexChars: Int): DataFrame = {
+  private def simhashSigs(s: SparkSession, d: String, hexChars: Int): DataFrame =
+    simhashSigsOf(Tables.documents(s, d), hexChars)
+
+  private def simhashSigsOf(docs: DataFrame, hexChars: Int): DataFrame = {
     val width = hexChars * 4
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, hexChars), 16, 10).cast("long"))
@@ -413,13 +416,36 @@ object Dedup {
     * 32k buckets per band (candidate cost Σ|bucket|² ≈ n²/2^15 under
     * uniform hashing); (c) the nearest neighbor is picked through an
     * exact integer encoding (hamming·10^12 + id) so the argmin is one
-    * mergeable MIN aggregate — no window, deterministic everywhere.
+    * mergeable MIN aggregate — no window, deterministic everywhere;
+    * (d) band buckets larger than maxBucket are dropped before the
+    * self-join — the hot-bucket guard (same principle as
+    * ngramJaccard's hot-shingle cap). A bucket of c docs costs c²
+    * candidate pairs; buckets that large are mass clusters of
+    * (near-)identical signatures, which upstream EXACT dedup (d1/d2,
+    * which any production stack runs first) should already have
+    * collapsed. The default (2048) never triggers at the oracle-gate
+    * scales — measured max bucket: 155 at sf0.01, 1582 at sf0.1 —
+    * and bounds the 10× smoke corpus (max bucket 2484, 33.5M
+    * candidate pairs uncapped at 50k docs). The cap trades exact
+    * recall ONLY for members of mass clusters; the oracle applies the
+    * identical filter. Beyond ~10^5 docs the 15-bit band capacity
+    * itself saturates (Σ|bucket|² ≈ n²/2^15 uniform floor): the
+    * production shape then widens the signature past one long
+    * (BINARY sig, 16+-bit bands) — banding algebra unchanged.
     * The signature frame is checkpointed once and fed to both sides of
     * the self-join.
     */
-  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDup(s: SparkSession, d: String, maxHamming: Int = 3,
+                     maxBucket: Int = 2048): DataFrame =
+    simhashNearDupDocs(Tables.documents(s, d), maxHamming, maxBucket)
+
+  /** simhashNearDup over an explicit documents frame (doc_id, text) —
+    * injectable for tests.
+    */
+  def simhashNearDupDocs(docs: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 2048): DataFrame = {
     val bandBits = 15
-    val sigs = persistFrame(simhashSigs(s, d, hexChars = 15))
+    val sigs = persistFrame(simhashSigsOf(docs, hexChars = 15))
     val bands = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(
@@ -428,7 +454,14 @@ object Dedup {
         .as("bv"))
       .select(col("doc_id"), col("simhash"),
         col("bv.band").as("band"), col("bv.v").as("v"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // hot-bucket guard: the (band, value) buckets above the cap are a
+    // SMALL set (each holds >maxBucket docs), so the filter is a
+    // broadcast anti-join — the bands stream never shuffles to be pruned
+    val hot = bands.groupBy("band", "v")
+      .agg(count(lit(1)).as("c")).filter(col("c") > maxBucket)
+      .select("band", "v")
+    val kept = bands.join(broadcast(hot), Seq("band", "v"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(

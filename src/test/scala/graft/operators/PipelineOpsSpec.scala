@@ -102,4 +102,31 @@ class PipelineOpsSpec extends SparkSpec {
     // every near-dup relation is mutual: total degree is even
     assert(rows.map(_.getAs[Long]("n_near")).sum % 2 === 0L)
   }
+
+  test("simhash near-dup: hot-bucket guard drops mass clusters, keeps genuine pairs") {
+    import spark.implicits._
+    // 60 identical docs = one mass cluster (identical signatures fill
+    // one bucket PER BAND, over the cap); plus one isolated duplicate
+    // pair whose bucket holds just 2 docs. With the cap at 50 the
+    // cluster contributes nothing; the small pair survives untouched.
+    val cluster = (1 to 60).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val nearA = (1001L, "iota kappa lambda mu nu xi omicron pi")
+    val nearB = (1002L, "iota kappa lambda mu nu xi omicron pi")
+    val docs = (cluster :+ nearA :+ nearB).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDupDocs(docs, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_near"),
+        r.getAs[Long]("nn_id"))).toSeq
+    assert(capped.forall(_._1 >= 1001L),
+      "mass-cluster members are excluded (upstream exact dedup's job)")
+    assert(capped.map(t => (t._1, t._3)).toSet === Set((1001L, 1002L), (1002L, 1001L)),
+      "the genuine near-dup pair survives the guard")
+    // without the cap the cluster dominates: every member near-dups
+    // with all 59 others
+    val uncapped = Dedup.simhashNearDupDocs(docs, maxBucket = Int.MaxValue)
+      .collect()
+    assert(uncapped.length === 62)
+    assert(uncapped.filter(_.getLong(0) <= 60L)
+      .forall(_.getAs[Long]("n_near") === 59L))
+  }
 }
