@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Deduplication operators over the `documents` table — the core of a
-  * training-data pipeline. Five families:
+  * training-data pipeline. Seven families:
   *
   *   1. exact dedup (group by full text),
   *   2. content-hash dedup (sha256 — constant-width shuffle keys, the
@@ -13,8 +13,14 @@ import graft.Tables
   *      would be prohibitive),
   *   3. MinHash-LSH near-dup (banded signatures → bucket join → exact
   *      Jaccard verify; NEVER an all-pairs cartesian),
-  *   4. SimHash signatures (bitwise majority over token hashes),
-  *   5. direct n-gram Jaccard for pairs sharing at least one shingle.
+  *   4. SimHash signatures (bitwise majority over token hashes) and
+  *      per-document Hamming-LSH near-dup profiles over them,
+  *   5. direct n-gram Jaccard for pairs sharing at least one shingle
+  *      (hot-shingle df cap against boilerplate blow-up),
+  *   6. connected-components clustering of the near-dup graph
+  *      (iterative min-label propagation, no graph collect),
+  *   7. cross-split contamination detection (near-dups spanning
+  *      train/val/test).
   *
   * Determinism/oracle notes: all hashing is md5-based (`md5()` exists
   * verbatim in DuckDB, and hex→BIGINT is `('0x' || hex)::BIGINT`
