@@ -87,6 +87,7 @@ object SparkEntry {
     "d6_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "c1_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d)),
     "d7_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "c2_benchmark_decontam" -> ((s, d) => Dedup.benchmarkDecontam(s, d)),
     // ---- LLM-pipeline: text analysis ----
     "t1_token_counts" -> (TextAnalysis.tokenCounts _),
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
@@ -253,6 +254,38 @@ SELECT d1, d2, s1.split AS split1, s2.split AS split2, jaccard
 FROM pairs JOIN spl s1 ON d1 = s1.doc_id JOIN spl s2 ON d2 = s2.doc_id
 WHERE s1.split <> s2.split
 ORDER BY d1, d2"""
+
+  /** c2 oracle: exact 5-gram shingle overlap between the train split
+    * and the held-out test split — same split derivation as p1/c1,
+    * same shingle tokenization+hash as d5, eval-side hot-shingle cap
+    * (df > 100) mirrored from the Spark operator.
+    */
+  private val c2Sql: String =
+    s"""WITH docs AS (
+  SELECT doc_id, text, ${splitCaseSql(splitBucketSql)} AS split FROM documents),
+tok AS (
+  SELECT doc_id, split, string_split(text, ' ') AS w
+  FROM docs WHERE split IN ('train', 'test')),
+sh0 AS (
+  SELECT doc_id, split,
+    unnest(list_distinct(list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS shs
+  FROM tok),
+sh AS (
+  SELECT doc_id, split, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh FROM sh0),
+tr AS (SELECT doc_id, sh FROM sh WHERE split = 'train'),
+ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE split = 'test'),
+hot AS (SELECT sh FROM ev GROUP BY sh HAVING COUNT(*) > 100),
+evk AS (SELECT e.eval_id, e.sh FROM ev e ANTI JOIN hot h ON e.sh = h.sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_overlap,
+    COUNT(DISTINCT e.eval_id) AS n_eval_docs
+  FROM tr t JOIN evk e ON t.sh = e.sh GROUP BY t.doc_id)
+SELECT h.doc_id, s.n_sh, h.n_overlap, h.n_eval_docs,
+  h.n_overlap / CAST(s.n_sh AS DOUBLE) AS overlap_ratio
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+WHERE h.n_overlap >= 1
+ORDER BY h.doc_id"""
 
   /** Simhash-signature CTE generator: mirrors Dedup.simhashSigs —
     * width (= 4·hexChars) conditional-sum vote columns in one grouped
@@ -811,6 +844,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "d7_simhash_neardup" -> d7Sql,
     "d6_dedup_clusters" -> d6Sql,
     "c1_contamination" -> c1Sql,
+    "c2_benchmark_decontam" -> c2Sql,
     "t6_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf

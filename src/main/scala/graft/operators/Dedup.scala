@@ -490,4 +490,65 @@ object Dedup {
           .as("nn_hamming"))
       .orderBy("doc_id")
   }
+
+  /** Benchmark decontamination: flag TRAIN documents sharing exact
+    * 5-gram shingles with the held-out eval set (the `test` split of
+    * the same deterministic hash split p1/c1 use). This is the exact
+    * n-gram overlap check of published LLM training pipelines —
+    * distinct from c1, which finds whole-document near-dups across
+    * splits: a train doc that QUOTES one eval passage verbatim is
+    * contamination even at a tiny whole-document Jaccard, and this
+    * operator catches exactly that.
+    *
+    * Per flagged train doc: its distinct-shingle count, how many of
+    * those shingles appear anywhere in the eval set, how many eval
+    * docs are touched, and the overlap ratio.
+    */
+  def benchmarkDecontam(s: SparkSession, d: String, maxEvalDf: Int = 100,
+                        minOverlap: Long = 1L): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Sampling.splitCol.as("split"))
+    benchmarkDecontamDocs(
+      docs.filter(col("split") === "train").select("doc_id", "text"),
+      docs.filter(col("split") === "test").select("doc_id", "text"),
+      maxEvalDf, minOverlap)
+  }
+
+  /** [[benchmarkDecontam]] over explicit (doc_id, text) train/eval
+    * frames — injectable for tests.
+    *
+    * Scale design: the probe join is keyed on the 60-bit shingle hash
+    * (8-byte join keys; document bodies never shuffle). Join output is
+    * Σ_sh trainDf(sh)·evalDf(sh), so the blow-up lever is a hot
+    * shingle on the EVAL side; dropping eval shingles with
+    * df > maxEvalDf (boilerplate carries no contamination signal)
+    * bounds the join at maxEvalDf·|trainShingles| — linear in corpus
+    * size. The eval side of a real pipeline is a benchmark suite —
+    * orders of magnitude smaller than train — so the per-shingle eval
+    * doc lists stay tiny and the aggregation state is bounded.
+    */
+  def benchmarkDecontamDocs(train: DataFrame, eval: DataFrame,
+                            maxEvalDf: Int = 100,
+                            minOverlap: Long = 1L): DataFrame = {
+    val trainSh = hashedShingles(train, 5).select("doc_id", "sh")
+    val evalSh = hashedShingles(eval, 5)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    // hot-shingle guard (eval side): the over-cap shingle set is small
+    // by construction, so the prune is a broadcast anti-join
+    val hot = evalSh.groupBy("sh")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxEvalDf)
+      .select("sh")
+    val evalKept = evalSh.join(broadcast(hot), Seq("sh"), "left_anti")
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    trainSh.join(evalKept, "sh")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("sh")).as("n_overlap"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .filter(col("n_overlap") >= minOverlap)
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"), col("n_eval_docs"),
+        (col("n_overlap") / col("n_sh")).as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -129,4 +129,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(uncapped.filter(_.getLong(0) <= 60L)
       .forall(_.getAs[Long]("n_near") === 59L))
   }
+
+  test("decontam: a verbatim quote of an eval passage flags the train doc") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated words here nothing shared at all whatsoever friends"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "xx yy the quick brown fox jumps over zz ww"),
+      (102L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.benchmarkDecontamDocs(train, eval).collect()
+    assert(out.length === 1, "only the quoting doc is flagged")
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") === 1L)
+    assert(r.getAs[Long]("n_sh") === 6L)       // 10 tokens -> 6 distinct 5-grams
+    assert(r.getAs[Long]("n_overlap") === 2L)  // the two 5-grams inside the quote
+    assert(r.getAs[Long]("n_eval_docs") === 1L)
+    assert(math.abs(r.getAs[Double]("overlap_ratio") - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("decontam: eval-side hot-shingle cap ignores boilerplate, keeps real quotes") {
+    import spark.implicits._
+    // 6 eval docs share one boilerplate 5-gram (df=6 > cap=3); eval 201
+    // additionally carries a unique passage
+    val evalDocs = ((202 to 206).map(i =>
+      (i.toLong, s"copyright notice all rights reserved u$i v$i")) :+
+      (201L, "copyright notice all rights reserved unique passage about quantum gravity research"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // touches ONLY the boilerplate shingle
+      (11L, "intro copyright notice all rights reserved outro"),
+      // quotes eval 201's unique passage (2 shared 5-grams)
+      (12L, "prefix unique passage about quantum gravity research suffix"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.benchmarkDecontamDocs(train, evalDocs, maxEvalDf = 3)
+      .collect()
+    assert(capped.map(_.getAs[Long]("doc_id")).toSeq === Seq(12L),
+      "boilerplate-only contact is not contamination; the real quote is")
+    assert(capped.head.getAs[Long]("n_overlap") === 2L)
+    assert(capped.head.getAs[Long]("n_eval_docs") === 1L)
+    // uncapped, the boilerplate match also fires and touches all 6 evals
+    val uncapped = Dedup.benchmarkDecontamDocs(train, evalDocs,
+      maxEvalDf = Int.MaxValue).collect()
+    assert(uncapped.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_eval_docs"))).toSet === Set((11L, 6L), (12L, 1L)))
+  }
 }
