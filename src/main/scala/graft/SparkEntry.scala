@@ -101,6 +101,7 @@ object SparkEntry {
     "t10_pii_redact" -> (TextAnalysis.piiRedact _),
     "t11_quality_filter" -> (TextAnalysis.qualityFilter _),
     "t12_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
+    "t13_bigram_hitrate" -> ((s, d) => TextAnalysis.bigramHitRate(s, d)),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -821,6 +822,27 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  FROM b WHERE bigram IS NOT NULL GROUP BY bigram)
         |SELECT bigram, cnt, df FROM c
         |ORDER BY cnt DESC, df DESC, bigram LIMIT 40""".stripMargin,
+    "t13_bigram_hitrate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        |  FROM t),
+        |db AS (SELECT doc_id, bigram FROM b WHERE bigram IS NOT NULL),
+        |c AS (
+        |  SELECT bigram, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+        |  FROM db GROUP BY bigram),
+        |top AS (SELECT bigram FROM c ORDER BY cnt DESC, df DESC, bigram LIMIT 40)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN top.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN top.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+        |FROM db LEFT JOIN top ON db.bigram = top.bigram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t5_repetition" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),

@@ -298,6 +298,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-LM document scoring: the fraction of each document's
+    * bigram occurrences found in the corpus top-K bigram list — the
+    * cheap statistical stand-in for model-based perplexity filtering
+    * (a document whose word pairs never match the corpus's dominant
+    * phrases is noise, boilerplate, or another language). The top-K
+    * list is BOUNDED (k rows) and broadcast, so scoring is one
+    * map-side probe + a per-document partial aggregation; the window
+    * and the groupBy share the doc_id partitioning. Tie-break on the
+    * top-K boundary is (cnt, df, bigram) — deterministic both engines.
+    */
+  def bigramHitRate(s: SparkSession, d: String, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val top = broadcast(bigrams(s, d, k).select(col("bigram"), lit(1).as("in_top")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(byPos))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+      .join(top, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("in_top"), lit(0))).as("n_hits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+        (col("n_hits") / col("n_bigrams")).as("hit_rate"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction: scrub email addresses and phone numbers from text,
     * reporting per-document match counts and an md5 of the redacted
     * body (narrow hash instead of re-shuffling whole documents for the

@@ -130,6 +130,23 @@ class PipelineOpsSpec extends SparkSpec {
       .forall(_.getAs[Long]("n_near") === 59L))
   }
 
+  test("bigram hit-rate: bounded, consistent with the top list, broadcast probe") {
+    val out = TextAnalysis.bigramHitRate(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_bigrams"))
+      val hr = r.getAs[Double]("hit_rate")
+      assert(hr >= 0.0 && hr <= 1.0)
+      assert(math.abs(hr - r.getAs[Long]("n_hits").toDouble /
+        r.getAs[Long]("n_bigrams")) < 1e-12)
+    }
+    // the top-K list is bounded — the probe must be a broadcast join,
+    // never a shuffle of the corpus bigram stream on the bigram key
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+  }
+
   test("decontam: a verbatim quote of an eval passage flags the train doc") {
     import spark.implicits._
     val train = Seq(
