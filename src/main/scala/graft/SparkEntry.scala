@@ -68,6 +68,7 @@ object SparkEntry {
     "q30_join_full" -> (CorpusQueries.q30JoinFull _),
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
+    "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
@@ -548,6 +549,26 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(SUM(session_events) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q33_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(event_id) AS BIGINT) AS event_id_sum
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q21_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

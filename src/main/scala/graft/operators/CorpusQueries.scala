@@ -308,6 +308,31 @@ object CorpusQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Native session windows in batch mode: Spark's `session_window`
+    * (the same construct the streaming sessionizer uses) over per-user
+    * event streams, 30-minute gap. One shuffle on user_id, then the
+    * in-partition merge — no self-join, no window-function cascade.
+    * Boundary semantics pinned by the oracle: a session spans
+    * [first ts, last ts + gap), and an event arriving EXACTLY at the
+    * current end starts a new session (gap ≥ 30 min closes — note
+    * q19's manual formulation closes only on strict >; the two agree
+    * everywhere except exact-boundary ties, which µs timestamps make
+    * measure-zero). event_id_sum pins session membership under the
+    * hash compare, not just the count.
+    */
+  def q33SessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("event_id").as("event_id_sum"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("event_id_sum"))
+      .orderBy("user_id", "session_start")
+
   /** Exact companion to [[qxApproxDistinct]]: the same grouping with
     * only the exact distinct count — oracle-checkable (the HLL estimate
     * is not), so the approx-distinct family has a hash-verified row.

@@ -157,4 +157,28 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("n_emails") === 1))
     assert(rows.forall(_.getAs[Int]("n_phones") === 1))
   }
+
+  test("session_window sessions: gap-length spans, per-user non-overlap") {
+    val rows = CorpusQueries.q33SessionWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val gapUs = 30L * 60 * 1000000
+    rows.foreach { r =>
+      val start = r.getAs[java.sql.Timestamp]("session_start")
+      val end = r.getAs[java.sql.Timestamp]("session_end")
+      // end = last event + gap, so every session spans at least the gap
+      assert(end.getTime - start.getTime >= gapUs / 1000)
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+    // sessions of one user never overlap: each starts at or after the
+    // previous end (strictly >= — an event AT the end begins a new one)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("session_start").getTime >=
+            a.getAs[java.sql.Timestamp]("session_end").getTime)
+        case _ =>
+      }
+    }
+  }
 }
