@@ -69,6 +69,7 @@ object SparkEntry {
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
+    "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
     "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
@@ -569,6 +570,24 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(event_id) AS BIGINT) AS event_id_sum
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q34_anomaly" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day, strftime(ts, '%H') AS hour,
+        |    COUNT(*) AS n_events
+        |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, hour, n_events,
+        |    CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS day_hours,
+        |    CAST(SUM(n_events) OVER (PARTITION BY day) AS BIGINT) AS day_sum,
+        |    CAST(SUM(n_events * n_events) OVER (PARTITION BY day) AS BIGINT) AS day_sumsq
+        |  FROM h)
+        |SELECT day, hour, n_events,
+        |  day_sum / day_hours AS day_mean,
+        |  (day_sumsq - day_sum * day_sum / day_hours) / day_hours AS day_var,
+        |  (n_events - day_sum / day_hours) * (n_events - day_sum / day_hours)
+        |    > 4.0 * ((day_sumsq - day_sum * day_sum / day_hours) / day_hours)
+        |    AS is_anomaly
+        |FROM w ORDER BY day, hour""".stripMargin,
     "q21_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -333,6 +333,40 @@ object CorpusQueries {
         col("n_events"), col("event_id_sum"))
       .orderBy("user_id", "session_start")
 
+  /** Hourly anomaly detection over the error-event series: flag hours
+    * whose error count deviates from their day's mean by more than 2σ
+    * — the monitoring query a log pipeline serves from its hourly
+    * rollup. All statistics derive from EXACT integer sums (count,
+    * Σcnt, Σcnt² as BIGINT, partial-aggregated), and mean/variance are
+    * computed with the identical expression shape in the oracle, so
+    * every double is the same one IEEE result in both engines — no
+    * stddev_samp/sqrt built-in whose internal summation order could
+    * differ. The 2σ test compares (cnt − mean)² > 4·var, avoiding
+    * sqrt entirely. The day-window partitions carry ≤24 rows each at
+    * any raw data scale — the window is over the ROLLUP, not events.
+    */
+  def q34Anomaly(s: SparkSession, d: String): DataFrame = {
+    val wDay = Window.partitionBy("day")
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(
+        to_date(col("ts")).as("day"),
+        date_format(col("ts"), "HH").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_hours", count(lit(1)).over(wDay))
+      .withColumn("day_sum", sum("n_events").over(wDay))
+      .withColumn("day_sumsq", sum(col("n_events") * col("n_events")).over(wDay))
+      .withColumn("day_mean", col("day_sum") / col("day_hours"))
+      .withColumn("day_var",
+        (col("day_sumsq") - col("day_sum") * col("day_sum") / col("day_hours"))
+          / col("day_hours"))
+      .withColumn("is_anomaly",
+        (col("n_events") - col("day_mean")) * (col("n_events") - col("day_mean"))
+          > lit(4.0) * col("day_var"))
+      .select("day", "hour", "n_events", "day_mean", "day_var", "is_anomaly")
+      .orderBy("day", "hour")
+  }
+
   /** Exact companion to [[qxApproxDistinct]]: the same grouping with
     * only the exact distinct count — oracle-checkable (the HLL estimate
     * is not), so the approx-distinct family has a hash-verified row.

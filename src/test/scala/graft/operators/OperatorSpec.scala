@@ -158,6 +158,24 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("n_phones") === 1))
   }
 
+  test("anomaly flags equal a driver-side recompute from the integer sums") {
+    val rows = CorpusQueries.q34Anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("day").toString).values.foreach { g =>
+      val counts = g.map(_.getAs[Long]("n_events"))
+      val n = counts.length.toDouble
+      val mean = counts.sum / n
+      val varr = (counts.map(c => c * c).sum - counts.sum.toDouble * counts.sum / n) / n
+      g.foreach { r =>
+        assert(math.abs(r.getAs[Double]("day_mean") - mean) < 1e-9)
+        assert(r.getAs[Double]("day_var") >= 0.0)
+        val c = r.getAs[Long]("n_events")
+        val expected = (c - mean) * (c - mean) > 4.0 * varr
+        assert(r.getAs[Boolean]("is_anomaly") === expected)
+      }
+    }
+  }
+
   test("session_window sessions: gap-length spans, per-user non-overlap") {
     val rows = CorpusQueries.q33SessionWindow(spark, sf).collect()
     assert(rows.nonEmpty)
