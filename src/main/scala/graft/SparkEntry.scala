@@ -111,6 +111,7 @@ object SparkEntry {
     "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
+    "s7_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -1061,6 +1062,54 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |rk AS (SELECT q_id, c_id, cell, cos6,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s7_knn_pq" ->
+      """WITH tall AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cw AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS c_code, pos, x AS c_val
+        |  FROM tall WHERE vec_id >= 8 AND vec_id < 72),
+        |dist AS (
+        |  SELECT t.vec_id AS c_id, CAST(c.pos // 4 AS INTEGER) AS sub, c.c_code,
+        |    CAST(SUM(CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)
+        |           * CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)) AS BIGINT) AS dist
+        |  FROM tall t JOIN cw c USING (pos)
+        |  WHERE t.vec_id >= 8
+        |  GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT c_id, sub,
+        |    CAST(MIN(dist * 1024 + c_code) % 1024 AS INTEGER) AS code
+        |  FROM dist GROUP BY c_id, sub),
+        |nsq AS (
+        |  SELECT CAST(pos // 4 AS INTEGER) AS sub, c_code AS n_code,
+        |    CAST(SUM(CAST(ROUND(c_val * 1000000.0) AS BIGINT)
+        |           * CAST(ROUND(c_val * 1000000.0) AS BIGINT)) AS BIGINT) AS cw_nsq
+        |  FROM cw GROUP BY 1, 2),
+        |recon AS (
+        |  SELECT c_id, CAST(SUM(cw_nsq) AS BIGINT) AS recon_nsq
+        |  FROM codes k JOIN nsq n ON k.sub = n.sub AND k.code = n.n_code
+        |  GROUP BY c_id),
+        |lut AS (
+        |  SELECT t.vec_id AS q_id, CAST(c.pos // 4 AS INTEGER) AS q_sub, c.c_code,
+        |    CAST(SUM(CAST(ROUND(x * c_val * 1000000000000.0) AS BIGINT)) AS BIGINT) AS pdot
+        |  FROM tall t JOIN cw c USING (pos)
+        |  WHERE t.vec_id < 8
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT l.q_id, k.c_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+        |  FROM codes k JOIN lut l ON k.sub = l.q_sub AND k.code = l.c_code
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT q_id, s.c_id,
+        |    ROUND(adc / (1000000.0 * sqrt(CAST(GREATEST(recon_nsq, 1) AS DOUBLE))), 6) AS score6
+        |  FROM sc s JOIN recon r ON s.c_id = r.c_id),
+        |rk AS (
+        |  SELECT q_id, c_id, score6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score6 DESC, c_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, c_id, score6 FROM rk WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
     "s6_quantize" ->
       """WITH m AS (
         |  SELECT vec_id,
