@@ -70,6 +70,7 @@ object SparkEntry {
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
+    "z1_zvalue" -> (Layout.zValueQuery _),
     "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
     "a1_asof_join" -> (TemporalJoins.asofPurchaseClick _),
@@ -589,6 +590,14 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    > 4.0 * ((day_sumsq - day_sum * day_sum / day_hours) / day_hours)
         |    AS is_anomaly
         |FROM w ORDER BY day, hour""".stripMargin,
+    "z1_zvalue" ->
+      s"""WITH k AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+         |  FROM lineitem WHERE l_orderkey < 100)
+         |SELECT l_orderkey, l_linenumber, a, b,
+         |  ${graft.operators.Layout.zValueSql("a", "b")} AS z
+         |FROM k ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q21_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Z-order layout: bit-exactness of the Morton interleave and the
+  * file-skipping property that motivates it — after a Z-ordered write,
+  * BOTH key columns have narrow per-file ranges, so single-dimension
+  * and box predicates prune files; a plain sort only ever prunes its
+  * one sort column.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("zValue matches a driver-side Morton interleave") {
+    import spark.implicits._
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (43690L, 21845L), (12345L, 54321L))
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val out = cases.toDF("a", "b")
+      .withColumn("z", Layout.zValue(col("a"), col("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.foreach { case (a, b, z) => assert(z === morton(a, b), s"($a,$b)") }
+  }
+
+  test("z-ordered files prune on both dimensions; a plain sort only on one") {
+    import spark.implicits._
+    // deterministic 128×128 grid over [0,1016]²
+    val grid = spark.range(128L * 128)
+      .select(((col("id") % 128) * 8).as("a"), expr("(id div 128) * 8").as("b"))
+    val zDir = Files.createTempDirectory("graft-z").toString
+    val aDir = Files.createTempDirectory("graft-asort").toString
+    Layout.writeZOrdered(grid, "a", "b", zDir)
+    grid.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(aDir)
+
+    // per-file (min,max) of both keys — exactly the parquet footer
+    // stats a scan's file-skipping consults
+    def ranges(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("a"), max("a"), min("b"), max("b")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    def candA(rs: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long): Int =
+      rs.count { case (a0, a1, _, _) => a1 >= lo && a0 <= hi }
+    def candB(rs: Seq[(Long, Long, Long, Long)], lo: Long, hi: Long): Int =
+      rs.count { case (_, _, b0, b1) => b1 >= lo && b0 <= hi }
+
+    val zr = ranges(zDir)
+    val ar = ranges(aDir)
+    assert(zr.size === 8 && ar.size === 8)
+    // 1/8-of-domain predicates
+    val (lo, hi) = (256L, 383L)
+    // plain sort: perfect on its own column, useless on the other
+    assert(candA(ar, lo, hi) <= 2, s"a-sorted a-pred: ${candA(ar, lo, hi)}")
+    assert(candB(ar, lo, hi) >= 7, s"a-sorted b-pred prunes nothing")
+    // z-order: both dimensions prune
+    assert(candA(zr, lo, hi) <= 5, s"z a-pred: ${candA(zr, lo, hi)}")
+    assert(candB(zr, lo, hi) <= 4, s"z b-pred: ${candB(zr, lo, hi)}")
+    // 2-d box: a fraction of the files
+    val box = zr.count { case (a0, a1, b0, b1) =>
+      a1 >= lo && a0 <= hi && b1 >= lo && b0 <= hi }
+    assert(box <= 2, s"z 2-d box candidates: $box")
+  }
+}
