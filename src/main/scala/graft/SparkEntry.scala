@@ -70,6 +70,10 @@ object SparkEntry {
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
+    "q35_sql" -> (CorpusQueries.q35Sql _),
+    "h1_histogram" -> (CorpusQueries.h1Histogram _),
+    "u1_scd2" -> ((s, d) => History.scd2History(s, d)),
+    "g1_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "z1_zvalue" -> (Layout.zValueQuery _),
     "e1_props_struct" -> (CorpusQueries.e1PropsStruct _),
     // ---- temporal joins ----
@@ -105,6 +109,7 @@ object SparkEntry {
     "t11_quality_filter" -> (TextAnalysis.qualityFilter _),
     "t12_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
     "t13_bigram_hitrate" -> ((s, d) => TextAnalysis.bigramHitRate(s, d)),
+    "t14_token_freq" -> ((s, d) => TextAnalysis.tokenFreqScore(s, d)),
     // ---- LLM-pipeline: similarity search ----
     "s1_knn_brute" -> ((s, d) => Similarity.knnBrute(s, d)),
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
@@ -590,6 +595,90 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    > 4.0 * ((day_sumsq - day_sum * day_sum / day_hours) / day_hours)
         |    AS is_anomaly
         |FROM w ORDER BY day, hour""".stripMargin,
+    // the SQL-surface query IS its own oracle: one string, two engines
+    "q35_sql" -> CorpusQueries.q35SharedSql,
+    "h1_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         l_quantity
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT CAST(cents // 500000 AS INTEGER) AS bin, cents, l_quantity FROM c)
+        |SELECT bin, CAST(bin AS BIGINT) * 5000 AS bin_lo,
+        |  COUNT(*) AS n_items,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_price,
+        |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "u1_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 25),
+        |m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        |  FROM e),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM m
+        |  WHERE prev_attr IS NULL OR prev_attr <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS version,
+        |  event_type,
+        |  ts AS effective_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, version""".stripMargin,
+    "g1_pagerank" ->
+      """WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node, n_name FROM nation),
+        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        |edges AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst,
+        |         COUNT(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+        |e AS (SELECT edges.src, dst, CAST(w AS BIGINT) AS w, out_w
+        |      FROM edges JOIN outw ON edges.src = outw.src),
+        |r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM cnt) AS BIGINT) AS r FROM nodes),
+        |i1 AS (
+        |  SELECT nd.node,
+        |    CAST(150000000000 // (SELECT n FROM cnt) AS BIGINT)
+        |      + (85 * COALESCE(t.s, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, CAST(SUM((r * w) // out_w) AS BIGINT) AS s
+        |    FROM e JOIN r0 ON e.src = r0.node GROUP BY dst) t ON nd.node = t.dst),
+        |i2 AS (
+        |  SELECT nd.node,
+        |    CAST(150000000000 // (SELECT n FROM cnt) AS BIGINT)
+        |      + (85 * COALESCE(t.s, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, CAST(SUM((r * w) // out_w) AS BIGINT) AS s
+        |    FROM e JOIN i1 ON e.src = i1.node GROUP BY dst) t ON nd.node = t.dst),
+        |i3 AS (
+        |  SELECT nd.node,
+        |    CAST(150000000000 // (SELECT n FROM cnt) AS BIGINT)
+        |      + (85 * COALESCE(t.s, 0)) // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, CAST(SUM((r * w) // out_w) AS BIGINT) AS s
+        |    FROM e JOIN i2 ON e.src = i2.node GROUP BY dst) t ON nd.node = t.dst)
+        |SELECT nodes.node AS node, n_name, r AS rank_micro,
+        |  CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM nodes JOIN i3 ON nodes.node = i3.node
+        |ORDER BY rank_micro DESC, nodes.node""".stripMargin,
+    "t14_token_freq" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |f AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(CAST(SUM(df) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_df,
+        |  CAST(CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS rare_ratio,
+        |  CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS hapax_ratio
+        |FROM dt JOIN f ON dt.tok = f.tok
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "z1_zvalue" ->
       s"""WITH k AS (
          |  SELECT l_orderkey, l_linenumber,

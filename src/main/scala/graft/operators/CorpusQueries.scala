@@ -611,4 +611,67 @@ object CorpusQueries {
       // NULLS LAST — pin the same total order on both sides
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("k_mod"))
   }
+
+  /** The SQL-surface demonstration text, shared VERBATIM with the
+    * DuckDB oracle: one string, two engines, identical results — the
+    * strongest possible statement that the library speaks ANSI SQL
+    * (reference serving surface: serve/api.py query strings). Written
+    * in the dialect intersection: CAST(SUM(decimal)) for exact sums,
+    * RANK cast to INTEGER (DuckDB's is BIGINT, Spark's INT), shares
+    * divided in DOUBLE (decimal-division scale rules differ between
+    * engines; a single IEEE divide of two exact doubles does not).
+    */
+  val q35SharedSql: String =
+    """WITH nrev AS (
+      |  SELECT r_name, n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+      |    COUNT(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, n_orders,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev_dec DESC, n_name) AS INTEGER) AS rev_rank,
+      |  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS rev_share
+      |FROM nrev
+      |ORDER BY r_name, rev_rank""".stripMargin
+
+  /** SQL API surface: register the corpus tables as temp views and run
+    * [[q35SharedSql]] through `spark.sql` — the same Catalyst plan
+    * (broadcast dims, partial aggregation, one window) the DataFrame
+    * API would declare, arrived at from the SQL front door.
+    */
+  def q35Sql(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
+    s.sql(q35SharedSql)
+  }
+
+  /** Fixed-width histogram of l_extendedprice in exact integer cents:
+    * bin = cents div 500000 ($5,000 buckets). The binning is pure
+    * integer arithmetic off the exact DECIMAL(18,2) cast — no float
+    * rounding can move a value across a bin edge on either engine.
+    * Shape: map-side bin id + partial-aggregated count per bin —
+    * the per-bin group count is bounded by the price domain, linear
+    * at any corpus scale.
+    */
+  def h1Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select((dec(col("l_extendedprice")) * lit(100)).cast("long").as("cents"),
+        col("l_quantity"))
+      .select(expr("cents div 500000").cast("int").as("bin"),
+        col("cents"), col("l_quantity"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("l_quantity").as("sum_qty"),
+        (min("cents").cast("double") / lit(100.0)).as("min_price"),
+        (max("cents").cast("double") / lit(100.0)).as("max_price"))
+      .withColumn("bin_lo", (col("bin") * 5000L).cast("long"))
+      .select("bin", "bin_lo", "n_items", "sum_qty", "min_price", "max_price")
+      .orderBy("bin")
 }

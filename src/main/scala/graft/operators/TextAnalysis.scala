@@ -353,4 +353,40 @@ object TextAnalysis {
         md5(redacted).as("redacted_md5"))
       .orderBy("doc_id")
   }
+
+  /** Corpus-frequency profile per document — the language-model-free
+    * perplexity proxy: documents whose tokens are corpus-rare score as
+    * unusual (specialist or garbage), all-common documents as
+    * boilerplate. Per doc over its DISTINCT tokens: mean document
+    * frequency, rare-token ratio (df ≤ rareDf) and hapax ratio
+    * (df = 1). All-integer aggregation (mean = one exact-int division
+    * at the end) — no transcendental log whose last ulp could differ
+    * between engines, which is why this proxy is hash-checkable and a
+    * log-prob one is not.
+    *
+    * Shape: distinct (doc, token) → token-keyed join against the df
+    * table built from the same frame → per-doc partial aggregation.
+    * The df table is token-keyed (never collected/broadcast: at corpus
+    * scale the vocabulary is large, the JOIN key is the token hash) and
+    * the per-doc groups are document-sized — both shuffles bounded,
+    * linear at 100 TB.
+    */
+  def tokenFreqScore(s: SparkSession, d: String, rareDf: Int = 2): DataFrame = {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    val df = docTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    docTok.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum("df").as("df_sum"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("doc_id"), col("n_distinct"),
+        (col("df_sum").cast("double") / col("n_distinct")).as("mean_df"),
+        (col("n_rare").cast("double") / col("n_distinct")).as("rare_ratio"),
+        (col("n_hapax").cast("double") / col("n_distinct")).as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the iterative PageRank, the SCD2 history
+  * build, the token-frequency profile, and the price histogram —
+  * the properties the value-equality oracle can't express.
+  */
+class GraphHistorySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pagerank: all nodes ranked, mass ≈ conserved, teleport floor holds") {
+    val rows = Graph.pageRank(spark, sf).collect()
+    assert(rows.length === 25, "every nation is ranked")
+    val s = 1000000000000L
+    val mass = rows.map(_.getAs[Long]("rank_micro")).sum
+    // each truncating division loses < 1 micro-unit per edge/node; with
+    // 625 edges × 3 rounds the loss is bounded far under 0.1% of S
+    assert(mass <= s && mass > s - s / 1000, s"mass drift: $mass vs $s")
+    val base = s * 15L / 100L / 25L
+    assert(rows.forall(_.getAs[Long]("rank_micro") >= base),
+      "teleport term is a hard floor for every node")
+    // output is ordered by rank desc, node asc
+    val order = rows.map(r => (-r.getAs[Long]("rank_micro"), r.getAs[Long]("node")))
+    assert(order.sameElements(order.sorted), "total-order output")
+  }
+
+  test("pagerank: uniform synthetic graph converges to uniform ranks") {
+    // complete 4-node digraph with equal weights: the stationary
+    // distribution is uniform, so after any number of rounds every
+    // node's rank must be identical (same integer ops per node)
+    import spark.implicits._
+    val ranks = {
+      // run the same arithmetic as Graph.pageRank on an inline frame:
+      // 4 nodes, every ordered pair an edge with w=1
+      val edges = (for { a <- 0 to 3; b <- 0 to 3 if a != b }
+        yield (a.toLong, b.toLong, 1L)).toDF("src", "dst", "w")
+      val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
+      val e = edges.join(outW, "src")
+      val s0 = 1000000000000L
+      var r = (0 to 3).map(n => (n.toLong, s0 / 4)).toDF("node", "r")
+      for (_ <- 1 to 3) {
+        val inSum = e.join(r, col("src") === col("node"))
+          .select(col("dst"), expr("(r * w) div out_w").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_sum"))
+        r = inSum.select(col("dst").as("node"),
+          (lit(s0 * 15L / 100L / 4L) + expr("(85 * in_sum) div 100")).as("r"))
+      }
+      r.collect().map(_.getAs[Long]("r"))
+    }
+    assert(ranks.distinct.length === 1, "uniform graph ⇒ uniform ranks")
+  }
+
+  test("scd2: runs collapse, bounds chain, exactly one current version") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: A A B B A  → versions A, B, A
+      (1L, "A", 1L, 1L), (1L, "A", 2L, 2L), (1L, "B", 3L, 3L),
+      (1L, "B", 4L, 4L), (1L, "A", 5L, 5L),
+      // user 2: single run
+      (2L, "X", 1L, 6L), (2L, "X", 9L, 7L))
+      .toDF("user_id", "event_type", "mins", "event_id")
+      .withColumn("ts", timestamp_seconds(col("mins") * 60)).drop("mins")
+    val h = History.scd2(events, "user_id", "event_type", "ts", "event_id")
+      .collect()
+    val u1 = h.filter(_.getLong(0) == 1L).map(r =>
+      (r.getAs[Int]("version"), r.getString(2), r.getAs[Boolean]("is_current")))
+    assert(u1.toSeq === Seq((1, "A", false), (2, "B", false), (3, "A", true)))
+    val u2 = h.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current"))
+    // validity bounds chain: each non-current row's effective_to equals
+    // the next version's effective_from
+    h.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("version"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("effective_to") ===
+            b.getAs[java.sql.Timestamp]("effective_from"))
+        case _ => ()
+      }
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1)
+    }
+  }
+
+  test("scd2: rejects frames missing a named column") {
+    import spark.implicits._
+    val bad = Seq((1L, "A")).toDF("user_id", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      History.scd2(bad, "user_id", "event_type", "ts", "event_id")
+    }
+    assert(e.getMessage.contains("missing column"))
+  }
+
+  test("token-freq: hapax ⊆ rare, ratios in [0,1], df floor of 1") {
+    val rows = TextAnalysis.tokenFreqScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rare = r.getAs[Double]("rare_ratio")
+      val hapax = r.getAs[Double]("hapax_ratio")
+      assert(hapax >= 0.0 && rare <= 1.0 && hapax <= rare,
+        "df=1 tokens are a subset of df≤2 tokens")
+      assert(r.getAs[Double]("mean_df") >= 1.0,
+        "every token appears in at least its own document")
+    }
+  }
+
+  test("histogram: bins partition the corpus, edges are exact") {
+    val rows = CorpusQueries.h1Histogram(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_items")).sum
+    val corpus = graft.Tables.lineitem(spark, sf).count()
+    assert(total === corpus, "every row lands in exactly one bin")
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bin_lo").toDouble
+      assert(r.getAs[Double]("min_price") >= lo)
+      assert(r.getAs[Double]("max_price") < lo + 5000.0)
+    }
+  }
+}
