@@ -95,6 +95,7 @@ object SparkEntry {
     "c1_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d)),
     "d7_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "c2_benchmark_decontam" -> ((s, d) => Dedup.benchmarkDecontam(s, d)),
+    "d8_dup_passages" -> ((s, d) => Dedup.dupPassages(s, d)),
     // ---- LLM-pipeline: text analysis ----
     "t1_token_counts" -> (TextAnalysis.tokenCounts _),
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
@@ -1006,6 +1007,21 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "d6_dedup_clusters" -> d6Sql,
     "c1_contamination" -> c1Sql,
     "c2_benchmark_decontam" -> c2Sql,
+    "d8_dup_passages" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(w) - 6),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS shs
+        |  FROM tok),
+        |sh AS (SELECT doc_id, ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh FROM sh0),
+        |f AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS dup_ratio,
+        |  MAX(df) AS max_window_df
+        |FROM sh JOIN f USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t6_vocab" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |SELECT tok, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS cf

@@ -551,4 +551,40 @@ object Dedup {
         (col("n_overlap") / col("n_sh")).as("overlap_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Duplicated-passage profile — substring-level dedup signal (the
+    * "deduplicating training data" span-dedup family): for each doc,
+    * how many of its distinct n-token windows also occur in ANOTHER
+    * document (or repeat later in the corpus). Unlike the
+    * whole-document family (d1-d7) this catches partial copies —
+    * quoted passages, shared boilerplate paragraphs — that leave
+    * whole-doc similarity low.
+    *
+    * Shape: one shingle pass ([[hashedShingles]], window size n) → a
+    * window-keyed df count → join back on the 60-bit window hash →
+    * per-doc partial aggregation. Both shuffles carry 8-byte keys;
+    * nothing is quadratic — the df count is a pure aggregation, never
+    * a self-join, so a boilerplate window shared by a million docs
+    * costs one counter, not 10¹² pairs (the reason this profile scales
+    * where d5's pairwise verify needs its frequency cap).
+    */
+  def dupPassages(s: SparkSession, d: String, n: Int = 8): DataFrame =
+    dupPassagesDocs(Tables.documents(s, d), n)
+
+  /** [[dupPassages]] over an explicit (doc_id, text) frame. */
+  def dupPassagesDocs(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = hashedShingles(docs.select("doc_id", "text"), n)
+      .select("doc_id", "sh")
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_windows"),
+        max("df").as("max_window_df"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows")).as("dup_ratio"),
+        col("max_window_df"))
+      .orderBy("doc_id")
+  }
 }

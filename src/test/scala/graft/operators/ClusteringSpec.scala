@@ -82,6 +82,21 @@ class ClusteringSpec extends SparkSpec {
     assert(ungated.toSeq === gated.toSeq)
   }
 
+  test("dup passages: planted shared passage flagged, unique docs clean") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"epsilon zeta $passage eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupPassagesDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_windows")).toMap
+    assert(out(1L) === 1L && out(2L) === 1L,
+      "exactly the one shared 8-token window is flagged in each copy")
+    assert(out(3L) === 0L, "a unique doc has no duplicated windows")
+  }
+
   test("contamination pairs always cross a split boundary") {
     val rows = Dedup.crossSplitContamination(spark, sf).collect()
     rows.foreach { r =>
