@@ -71,6 +71,9 @@ object SparkEntry {
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
     "q35_sql" -> (CorpusQueries.q35Sql _),
+    "q36_sliding_window" -> (CorpusQueries.q36SlidingWindow _),
+    "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
+    "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
     "h1_histogram" -> (CorpusQueries.h1Histogram _),
     "u1_scd2" -> ((s, d) => History.scd2History(s, d)),
     "g1_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -598,6 +601,47 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM w ORDER BY day, hour""".stripMargin,
     // the SQL-surface query IS its own oracle: one string, two engines
     "q35_sql" -> CorpusQueries.q35SharedSql,
+    "q36_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    make_timestamp((us // 900000000) * 900000000 - k * 900000000) AS ws
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks)
+        |SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
+    "k1_skew_profile" ->
+      """WITH g AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM orders)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share
+        |FROM g CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "dq1_ref_integrity" ->
+      """WITH a AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)))
+        |SELECT relationship, n_child, n_orphans,
+        |  CAST(n_orphans AS DOUBLE) / n_child AS orphan_ratio
+        |FROM a ORDER BY relationship""".stripMargin,
     "h1_histogram" ->
       """WITH c AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,

@@ -651,6 +651,60 @@ object CorpusQueries {
     s.sql(q35SharedSql)
   }
 
+  /** Sliding-window event aggregation in BATCH via the native
+    * `window(ts, "1 hour", "15 minutes")` generator — each event lands
+    * in exactly 4 overlapping hour windows (the batch twin of the
+    * streaming hourly aggregate, with slide). The window explode is
+    * map-side (4 rows per event) feeding one partial-aggregated
+    * shuffle on (window, type) — linear at any event volume.
+    */
+  def q36SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Join-key skew profile over the orders fact (see
+    * SkewJoin.skewProfile): the top-10 heaviest customer keys and
+    * their share — the measurement that justifies q25's salting.
+    */
+  def k1SkewProfile(s: SparkSession, d: String): DataFrame =
+    SkewJoin.skewProfile(Tables.orders(s, d), "o_custkey")
+
+  /** Referential-integrity audit across the star schema — the
+    * relationships test of a dbt-style quality suite (the reference
+    * ships not_null/accepted-range checks; FK audits are the same
+    * contract one level up). Each FK edge reports child rows, orphan
+    * rows (left-anti against the parent key), and the orphan ratio.
+    * Four anti-joins, each keyed and partial-aggregated to one row —
+    * at 100 TB each audit is a semi-join-shaped scan, never a fetch
+    * of the parent table to the driver.
+    */
+  def dq1RefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def audit(name: String, child: DataFrame, key: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pk)), col(key) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child")).as("orphan_ratio"))
+    }
+    audit("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .orderBy("relationship")
+  }
+
   /** Fixed-width histogram of l_extendedprice in exact integer cents:
     * bin = cents div 500000 ($5,000 buckets). The binning is pure
     * integer arithmetic off the exact DECIMAL(18,2) cast — no float

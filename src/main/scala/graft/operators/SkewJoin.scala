@@ -27,4 +27,23 @@ object SkewJoin {
       .join(explodedDim, Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Join-key skew profile — the diagnostic that decides whether
+    * [[saltedJoin]] (or AQE skew split) is needed at all: the top-k
+    * heaviest key groups with their share of the table. One
+    * partial-aggregated count per key, top-k via
+    * TakeOrderedAndProject; the table total rides in as a broadcast
+    * 1-row cross join (never a window over the full key set, which
+    * would funnel every key through one task at scale).
+    */
+  def skewProfile(child: DataFrame, key: String, k: Int = 10): DataFrame = {
+    val total = child.agg(count(lit(1)).as("total"))
+    child.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy(desc("cnt"), asc("key"))
+      .limit(k)
+  }
 }

@@ -106,6 +106,31 @@ class GraphHistorySpec extends SparkSpec {
     }
   }
 
+  test("skew profile: planted hot key dominates, shares are exact") {
+    import spark.implicits._
+    val rows = (1 to 90).map(_ => 100L) ++ (1 to 10).map(_.toLong)
+    val out = SkewJoin.skewProfile(rows.toDF("k"), "k", k = 3).collect()
+    assert(out.head.getLong(0) === 100L && out.head.getLong(1) === 90L)
+    assert(out.head.getAs[Double]("share") === 0.9)
+    assert(out.length === 3)
+  }
+
+  test("referential integrity: star schema has zero orphans") {
+    val rows = CorpusQueries.dq1RefIntegrity(spark, sf).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") === 0L, r.getString(0))
+      assert(r.getAs[Long]("n_child") > 0L)
+    }
+  }
+
+  test("sliding window: every event lands in exactly 4 windows") {
+    val n = CorpusQueries.q36SlidingWindow(spark, sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    val events = graft.Tables.events(spark, sf).count()
+    assert(n === events * 4)
+  }
+
   test("histogram: bins partition the corpus, edges are exact") {
     val rows = CorpusQueries.h1Histogram(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_items")).sum
