@@ -74,6 +74,9 @@ object SparkEntry {
     "q36_sliding_window" -> (CorpusQueries.q36SlidingWindow _),
     "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
+    "f1_funnel" -> (CorpusQueries.f1Funnel _),
+    "f2_retention" -> (CorpusQueries.f2Retention _),
+    "pipe1_manifest" -> (Pipeline.trainingManifest _),
     "h1_histogram" -> (CorpusQueries.h1Histogram _),
     "u1_scd2" -> ((s, d) => History.scd2History(s, d)),
     "g1_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -612,6 +615,54 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+    "f1_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(ts) AS c_ts FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > v_ts GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(ts) AS p_ts FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > c_ts GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "f2_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "pipe1_manifest" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS sum_len,
+         |    len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         |    len(text) AS n_chars
+         |  FROM documents),
+         |keep AS (
+         |  SELECT doc_id FROM q
+         |  WHERE (n_tokens BETWEEN 15 AND 90) AND (sum_len / n_tokens BETWEEN 3.0 AND 9.0)
+         |    AND n_stop > 0 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+         |    AND CAST(n_digits AS DOUBLE) / n_chars <= 0.2),
+         |k AS (
+         |  SELECT d.doc_id, d.text, d.n_chars, sha256(d.text) AS h
+         |  FROM documents d JOIN keep USING (doc_id)),
+         |w AS (SELECT MIN(doc_id) AS doc_id FROM k GROUP BY h),
+         |m AS (SELECT k.doc_id, k.text, k.n_chars FROM k JOIN w ON k.doc_id = w.doc_id)
+         |SELECT ${splitCaseSql(splitBucketSql)} AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+         |FROM m GROUP BY 1 ORDER BY split""".stripMargin,
     "k1_skew_profile" ->
       """WITH g AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
         |t AS (SELECT COUNT(*) AS total FROM orders)

@@ -705,6 +705,53 @@ object CorpusQueries {
       .orderBy("relationship")
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * at a stage only if the stage event happened strictly AFTER their
+    * entry into the previous stage (min-ts semantics, the standard
+    * product-analytics funnel). Three per-user MIN aggregations
+    * chained by keyed joins — each stage is one partial-aggregated
+    * shuffle on user_id, groups are user-sized, no skew at any event
+    * volume.
+    */
+  def f1Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Cohort retention: users grouped by first-activity day, counted on
+    * each later active day as an offset from the cohort day. Two
+    * shuffles (per-user cohort min, then the cohort-offset count) —
+    * the dashboard query behind every retention curve.
+    */
+  def f2Retention(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .dropDuplicates("user_id", "day")
+    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    active.join(cohort, "user_id")
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("int"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Fixed-width histogram of l_extendedprice in exact integer cents:
     * bin = cents div 500000 ($5,000 buckets). The binning is pure
     * integer arithmetic off the exact DECIMAL(18,2) cast — no float

@@ -131,6 +131,41 @@ class GraphHistorySpec extends SparkSpec {
     assert(n === events * 4)
   }
 
+  test("funnel: stage counts are monotonically non-increasing") {
+    val counts = CorpusQueries.f1Funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(counts.size === 3)
+    assert(counts("1_view") >= counts("2_click"))
+    assert(counts("2_click") >= counts("3_purchase"))
+  }
+
+  test("retention: offset-0 row equals the cohort size") {
+    val rows = CorpusQueries.f2Retention(spark, sf).collect()
+    val cohortSizes = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(r => r.getDate(0) -> r.getAs[Long]("n_users")).toMap
+    // every user is active on their own cohort day, so no later offset
+    // of a cohort can exceed its day-0 count
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") <= cohortSizes(r.getDate(0)))
+      assert(r.getAs[Int]("day_offset") >= 0)
+    }
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohortSizes.values.sum === users, "cohorts partition the users")
+  }
+
+  test("manifest: splits partition the kept+deduped docs") {
+    val m = Pipeline.trainingManifest(spark, sf).collect()
+    assert(m.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    val total = m.map(_.getAs[Long]("n_docs")).sum
+    val expected = TextAnalysis.qualityFilter(spark, sf)
+      .filter(col("keep"))
+      .join(graft.Tables.documents(spark, sf), "doc_id")
+      .select(sha2(col("text"), 256)).distinct().count()
+    assert(total === expected,
+      "one manifest doc per distinct kept content hash")
+  }
+
   test("histogram: bins partition the corpus, edges are exact") {
     val rows = CorpusQueries.h1Histogram(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_items")).sum
