@@ -28,7 +28,8 @@ object ScaleSmoke {
     val iters = if (args.length > 2) args(2).toInt else 2
     val outDir = s"target/scale${replicas}x"
     val heavy = Seq("d3_minhash_lsh", "d5_ngram_jaccard", "d6_dedup_clusters",
-      "c1_contamination", "t9_tfidf", "s5_knn_ivf", "d7_simhash_neardup")
+      "c1_contamination", "t9_tfidf", "s5_knn_ivf", "d7_simhash_neardup",
+      "d8_dup_passages", "pipe1_manifest")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
