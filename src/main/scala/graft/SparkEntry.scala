@@ -74,6 +74,8 @@ object SparkEntry {
     "q36_sliding_window" -> (CorpusQueries.q36SlidingWindow _),
     "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
+    "q37_except_all" -> (CorpusQueries.q37ExceptAll _),
+    "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -615,6 +617,32 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+    "q37_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    // u2 oracle: an INDEPENDENT formulation of the same merge — the
+    // change batch replayed as filter+union instead of a full-outer
+    // apply join (valid because the demo ops are key-disjoint), so the
+    // compare cross-checks semantics, not just arithmetic
+    "u2_merge_upsert" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

@@ -705,6 +705,18 @@ object CorpusQueries {
       .orderBy("relationship")
   }
 
+  /** Multiset EXCEPT ALL (bag semantics — each occurrence counts):
+    * completes the set-op family next to q12-q14's DISTINCT variants.
+    * Spark plans it as an aggregate over a tagged union (sum of
+    * ±counts), one shuffle, no join.
+    */
+  def q37ExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user counts
     * at a stage only if the stage event happened strictly AFTER their
     * entry into the previous stage (min-ts semantics, the standard

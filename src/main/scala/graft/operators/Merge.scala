@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MERGE INTO (CDC-apply / upsert) semantics as a batch operator — the
+  * lakehouse table-maintenance primitive: apply a change batch of
+  * inserts, updates, and deletes to a base snapshot in one pass.
+  * Spark has no MERGE against plain parquet (that's the table-format
+  * layer), but the relational core IS expressible: a single full-outer
+  * join on the key, with per-row action resolution — which is exactly
+  * what the format engines execute underneath.
+  *
+  * Scale shape: ONE shuffle of each side on the merge key (or zero for
+  * the base if it is bucketed/clustered by key, the layout
+  * [[graft.logs.LogLake]] writes); the change batch is typically a
+  * small fraction of the base, so AQE picks a broadcast for it.
+  * Nothing driver-side; actions resolve row-local after the join.
+  *
+  * The demo batch is derived DETERMINISTICALLY from the base snapshot
+  * (delete every 97th key, reprice every 7th, re-insert every 13th
+  * under a shifted key) so the oracle can replay the identical
+  * derivation — the operator under test is the apply, not the batch.
+  */
+object Merge {
+
+  /** Apply a change batch to a base frame. `changes` must carry the
+    * key, an `op` column in {I, U, D}, and the full row payload for
+    * I/U rows.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
+    val payload = base.columns.filterNot(_ == key)
+    payload.foreach(c => require(changes.columns.contains(c),
+      s"changes missing payload column: $c"))
+    val b = base.select(col(key).as("__bk"), struct(payload.map(col): _*).as("__bv"))
+    val c = changes.select(col(key).as("__ck"), col("op"),
+      struct(payload.map(col): _*).as("__cv"))
+    b.join(c, col("__bk") === col("__ck"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D") // deletes drop
+      .select(
+        coalesce(col("__bk"), col("__ck")).as(key),
+        // updates and inserts take the change payload; untouched rows
+        // keep the base payload
+        when(col("op").isin("I", "U"), col("__cv")).otherwise(col("__bv")).as("__v"))
+      .select(col(key) +: payload.map(p => col(s"__v.$p").as(p)): _*)
+  }
+
+  /** The demo merge over orders, summarized per status with exact
+    * decimal sums (the post-merge audit a pipeline would run).
+    */
+  def u2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val deletes = base.filter(col("o_orderkey") % 97 === 0)
+      .select(base.columns.map(col): _*).withColumn("op", lit("D"))
+    val updates = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .withColumn("op", lit("U"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("op", lit("I"))
+    val merged = applyChanges(base,
+      deletes.unionByName(updates).unionByName(inserts), "o_orderkey")
+    merged.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+}
