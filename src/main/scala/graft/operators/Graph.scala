@@ -55,9 +55,9 @@ object Graph {
     val n = nodes.count()
     val edges = tradeEdges(s, d)
     val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
-    val e = edges.join(outW, "src")
-      .select(col("src"), col("dst"), col("w"), col("out_w"))
-      .localCheckpoint() // read every round; don't re-run the fact join
+    val e = Checkpoints.persistFrame( // read every round; don't re-run
+      edges.join(outW, "src")         // the fact join (reliable-ckpt
+        .select(col("src"), col("dst"), col("w"), col("out_w"))) // aware)
     val base = S * 15L / 100L / n // teleport mass per node, exact longs
     var ranks = nodes.select(col("node"), lit(S / n).as("r"))
     for (_ <- 1 to iters) {

@@ -27,6 +27,17 @@ class GraphHistorySpec extends SparkSpec {
     assert(order.sameElements(order.sorted), "total-order output")
   }
 
+  test("pagerank: reliable-checkpoint mode returns identical ranks") {
+    val normal = Graph.pageRank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_micro"))).toSeq
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = Graph.pageRank(spark, sf).collect()
+        .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_micro"))).toSeq
+      assert(reliable === normal)
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("pagerank: uniform synthetic graph converges to uniform ranks") {
     // complete 4-node digraph with equal weights: the stationary
     // distribution is uniform, so after any number of rounds every
