@@ -28,12 +28,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 63 queries x several codegen units far exceed the default
+      // 100 queries x ~10 codegen units far exceed the default
       // 100-entry compiled-class cache; recompiled units restart cold
       // in the interpreter and md5-heavy queries degrade 5-20x
-      // nondeterministically. One JVM-wide cache large enough to hold
-      // every unit compiles each exactly once.
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // nondeterministically. 4000 entries (was 1000 — the 100-query
+      // suite x 2 passes crept past it and late-suite queries drifted
+      // 1.4->2.6s) holds every unit so each compiles exactly once.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       // ContextCleaner frees shuffle files / broadcasts only when the
       // DRIVER GCs; an 8g mostly-idle driver heap may not GC for the
