@@ -127,6 +127,7 @@ object SparkEntry {
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
     "s7_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
+    "s8_knn_hybrid" -> ((s, d) => Similarity.knnHybrid(s, d)),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -1299,6 +1300,52 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |rk AS (SELECT q_id, c_id, cell, cos6,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s8_knn_hybrid" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        |  FROM embeddings),
+        |tall AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+        |  FROM tall JOIN lab USING (vec_id)
+        |  GROUP BY label, pos),
+        |scores AS (
+        |  SELECT vec_id, c_label,
+        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tall JOIN cent USING (pos)
+        |  GROUP BY vec_id, c_label),
+        |cells AS (
+        |  SELECT vec_id, c_label AS cell
+        |  FROM scores
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+        |ids AS (SELECT b.vec_id, b.v, b.bucket, cells.cell
+        |        FROM b JOIN cells ON b.vec_id = cells.vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS q, bucket AS q_bucket, cell AS q_cell
+        |      FROM ids WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS c, bucket, cell FROM ids WHERE vec_id >= 8),
+        |cand AS (
+        |  SELECT q_id, c_id FROM q JOIN c ON q.q_bucket = c.bucket
+        |  UNION
+        |  SELECT q_id, c_id FROM q JOIN c ON q.q_cell = c.cell),
+        |p AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
+        |  FROM cand JOIN q USING (q_id) JOIN c USING (c_id)),
+        |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+        |rk AS (SELECT q_id, c_id, cos6,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+        |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "s7_knn_pq" ->
       """WITH tall AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -140,16 +140,19 @@ object Similarity {
       .groupBy(col("label").as("c_label"), col("pos"))
       .agg((sum("micro").cast("double") / lit(1000000.0) / count(lit(1)))
         .as("c_mean"))
-      .localCheckpoint()
+      .transform(Checkpoints.persistFrame)
 
-  def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
-    val e = Tables.embeddings(s, d)
+  /** IVF coarse-quantizer cell per vector (vec_id, cell): argmax over
+    * integer-quantized centroid dot terms — shared by [[knnIvf]] and
+    * [[knnHybrid]]. Checkpointed: callers join it on both the query
+    * and the corpus side.
+    */
+  private def ivfCells(e: DataFrame): DataFrame = {
     val tall = tallView(e)
     val eLab = e.select(col("vec_id"), col("label"))
     // full-dim centroids in exact micro-units, reused by every
     // assignment below
     val centroids = labelMeans(tall, eLab)
-    // cell assignment: argmax over integer-quantized dot terms
     val scores = tall.join(centroids, "pos")
       .withColumn("term",
         round(col("x") * col("c_mean") * lit(1000000000000.0)).cast("long"))
@@ -157,11 +160,16 @@ object Similarity {
       .agg(sum("term").as("score"))
     val wCell = Window.partitionBy("vec_id")
       .orderBy(desc("score"), asc("c_label"))
-    val cells = scores
+    scores
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-      .localCheckpoint() // self-joined below (queries vs corpus)
+      .transform(Checkpoints.persistFrame)
+  }
+
+  def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cells = ivfCells(e)
     val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
       .join(cells, "vec_id")
     val queries = vecs.filter(col("vec_id") < nQueries)
@@ -174,6 +182,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos6", "cell")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hybrid multi-probe ANN: candidates are the UNION of the sign-LSH
+    * bucket collisions (s2's probe) and the IVF cell co-residents
+    * (s5's probe), exact-cosine re-ranked — the standard recall
+    * booster when a single probe's blind spots matter (each probe
+    * misses different neighbors; their union dominates either alone
+    * at ~2× candidate cost). Both probes stay KEYED joins; the union
+    * dedups (q_id, c_id) id pairs only — vectors join back by id
+    * afterward, so a candidate pair costs 16 bytes in the distinct,
+    * not two 64-dim vectors.
+    */
+  def knnHybrid(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3,
+                nBits: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cells = ivfCells(e)
+    val ids = e.select(col("vec_id"),
+        signBucket(col("embedding"), nBits).as("bucket"))
+      .join(cells, "vec_id")
+    val qIds = ids.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+        col("cell").as("q_cell"))
+    val cIds = ids.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("c_id"), col("bucket"), col("cell"))
+    val cand = cIds.join(qIds, col("bucket") === col("q_bucket"))
+      .select("q_id", "c_id")
+      .union(cIds.join(qIds, col("cell") === col("q_cell"))
+        .select("q_id", "c_id"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    cand
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("q")), "q_id")
+      .join(vecs.select(col("vec_id").as("c_id"), col("v").as("c")), "c_id")
+      .withColumn("cos6", round(cosine(col("q"), col("c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos6")
       .orderBy("q_id", "rank")
   }
 
@@ -263,7 +310,7 @@ object Similarity {
       .groupBy("c_id", "sub")
       .agg((min(col("dist") * lit(1024L) + col("c_code")) % 1024L)
         .cast("int").as("code"))
-      .localCheckpoint()
+      .transform(Checkpoints.persistFrame)
     // per-(subspace, codeword) squared norm in micro² units — nCodes·M
     // rows, straight projection off the broadcast codebook
     val nsq = cw.withColumn("n_sub", subs)

@@ -142,6 +142,23 @@ class GraphHistorySpec extends SparkSpec {
     assert(n === events * 4)
   }
 
+  test("hybrid ANN: recall dominates each single probe") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val truth = pairs(Similarity.knnBrute(spark, sf, k = 3))
+    val lsh = pairs(Similarity.knnBucketed(spark, sf))
+    val ivf = pairs(Similarity.knnIvf(spark, sf))
+    val hybrid = pairs(Similarity.knnHybrid(spark, sf))
+    val rL = (lsh & truth).size
+    val rI = (ivf & truth).size
+    val rH = (hybrid & truth).size
+    // the hybrid candidate set is a superset of each probe's, and
+    // true-top-k members rank highest among any candidate set that
+    // contains them — so its recall can never be below either probe's
+    assert(rH >= math.max(rL, rI), s"hybrid $rH vs lsh $rL / ivf $rI")
+  }
+
   test("funnel: stage counts are monotonically non-increasing") {
     val counts = CorpusQueries.f1Funnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
