@@ -79,6 +79,7 @@ object SparkEntry {
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
+    "pipe2_multimodal" -> (Pipeline.multimodalManifest _),
     "h1_histogram" -> (CorpusQueries.h1Histogram _),
     "u1_scd2" -> ((s, d) => History.scd2History(s, d)),
     "g1_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -692,6 +693,41 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
          |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
          |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
          |FROM m GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipe2_multimodal" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) AS sum_len,
+         |    len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         |    len(text) AS n_chars
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id,
+         |    (n_tokens BETWEEN 15 AND 90) AND (sum_len / n_tokens BETWEEN 3.0 AND 9.0)
+         |      AND n_stop > 0 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+         |      AND CAST(n_digits AS DOUBLE) / n_chars <= 0.2 AS keep
+         |  FROM q),
+         |s AS (
+         |  SELECT d.doc_id, ${splitCaseSql(splitBucketSql)} AS split, k.keep,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents d JOIN k USING (doc_id)),
+         |e AS (
+         |  SELECT vec_id, label,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(embedding,
+         |          x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))),
+         |      (a, m) -> a + m * m) AS norm_sq
+         |  FROM embeddings)
+         |SELECT split, label, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(norm_sq) AS BIGINT) AS norm_sq_sum,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum
+         |FROM s JOIN e ON s.doc_id = e.vec_id
+         |GROUP BY split, label ORDER BY split, label""".stripMargin,
     "k1_skew_profile" ->
       """WITH g AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
         |t AS (SELECT COUNT(*) AS total FROM orders)

@@ -42,4 +42,34 @@ object Pipeline {
         sum("n_chars").as("n_chars"))
       .orderBy("split")
   }
+
+  /** Cross-modal training-row assembly: documents joined 1:1 to their
+    * embedding rows (doc_id = vec_id), rolled up per (split, label)
+    * with the quality-keep count and exact integer embedding-norm
+    * checksums — the manifest of a multimodal (text + vector) training
+    * set. The modality join is a keyed equi-join (at scale: both sides
+    * bucketed by id, zero-shuffle); norms fold per row in exact
+    * micro-units² so the checksum is partition- and engine-independent.
+    */
+  def multimodalManifest(s: SparkSession, d: String): DataFrame = {
+    val keep = TextAnalysis.qualityFilter(s, d).select(col("doc_id"), col("keep"))
+    val docs = Tables.documents(s, d)
+      .join(keep, "doc_id")
+      .select(col("doc_id"), Sampling.splitCol.as("split"), col("keep"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") * lit(1000000.0)).cast("long")),
+          lit(0L), (a, m) => a + m * m).as("norm_sq"))
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .groupBy("split", "label")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("norm_sq").as("norm_sq_sum"),
+        sum("n_tokens").as("tokens_sum"))
+      .orderBy("split", "label")
+  }
 }

@@ -182,6 +182,15 @@ class GraphHistorySpec extends SparkSpec {
     assert(cohortSizes.values.sum === users, "cohorts partition the users")
   }
 
+  test("multimodal manifest: rows partition the doc-embedding join") {
+    val m = Pipeline.multimodalManifest(spark, sf).collect()
+    val total = m.map(_.getAs[Long]("n_rows")).sum
+    val docs = graft.Tables.documents(spark, sf).count()
+    assert(total === docs, "every doc has exactly one embedding row")
+    m.foreach(r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_rows")))
+  }
+
   test("manifest: splits partition the kept+deduped docs") {
     val m = Pipeline.trainingManifest(spark, sf).collect()
     assert(m.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
