@@ -5,14 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** End-to-end training-data pipeline assembly — the capstone
-  * composition: quality-rule cascade (TextAnalysis.qualityFilter) →
-  * exact content-hash dedup (keep the min-id representative, d2's
-  * rule) → deterministic hash split (Sampling.splitCol) → per-split
-  * corpus manifest. One DAG, one pass over the corpus: Catalyst fuses
-  * the rule cascade and the hash projections into the scan, so
-  * composing the operators costs no extra scans — the point of
-  * declaring each step as a DataFrame transform instead of a
-  * materialized stage.
+  * composition: quality-rule cascade (TextAnalysis.QualityRules, the
+  * same Column expressions behind the t11 audit view) → exact
+  * content-hash dedup (keep the min-id representative, d2's rule) →
+  * deterministic hash split (Sampling.splitCol) → per-split corpus
+  * manifest. One DAG, one pass over the corpus: Catalyst fuses the
+  * rule cascade and the hash projections into the scan, so composing
+  * the operators costs no extra scans — the point of sharing Column
+  * expressions instead of joining materialized operator outputs.
   *
   * Scale shape: the only shuffles are the dedup groupBy (64-char hash
   * keys, never bodies twice) and the final 3-group split agg; every
@@ -22,16 +22,23 @@ import graft.Tables
 object Pipeline {
 
   def trainingManifest(s: SparkSession, d: String): DataFrame = {
-    val kept = TextAnalysis.qualityFilter(s, d)
-      .filter(col("keep")).select("doc_id")
+    // the quality cascade evaluates MAP-SIDE on this scan
+    // (TextAnalysis.QualityRules — same expressions as the t11 audit
+    // view; joining that view back here would re-scan and shuffle the
+    // corpus just to fetch a flag each row can compute itself)
     val docs = Tables.documents(s, d)
-      .join(kept, "doc_id")
+      .filter(TextAnalysis.QualityRules.keep)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .withColumn("h", sha2(col("text"), 256))
-    // exact dedup among the kept docs: min doc_id per content hash
-    val winners = docs.groupBy("h").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    docs.join(winners, "doc_id")
+    // exact dedup among the kept docs: min doc_id per content hash,
+    // as a window over h — ONE shuffle and one scan (a groupBy-min +
+    // join-back reads the corpus twice for the same answer); groups
+    // are duplicate-set-sized, no skew
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("doc_id")
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_chars"),
         Sampling.splitCol.as("split"),
         size(split(col("text"), " ")).as("n_tokens"))
@@ -52,10 +59,9 @@ object Pipeline {
     * micro-units² so the checksum is partition- and engine-independent.
     */
   def multimodalManifest(s: SparkSession, d: String): DataFrame = {
-    val keep = TextAnalysis.qualityFilter(s, d).select(col("doc_id"), col("keep"))
     val docs = Tables.documents(s, d)
-      .join(keep, "doc_id")
-      .select(col("doc_id"), Sampling.splitCol.as("split"), col("keep"),
+      .select(col("doc_id"), Sampling.splitCol.as("split"),
+        TextAnalysis.QualityRules.keep.as("keep"),
         size(split(col("text"), " ")).as("n_tokens"))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),

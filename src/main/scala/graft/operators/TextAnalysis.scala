@@ -248,31 +248,42 @@ object TextAnalysis {
     * and the Gopher quality rules — cheap rule cascades run before any
     * expensive dedup/model scoring).
     */
-  def qualityFilter(s: SparkSession, d: String): DataFrame = {
-    val n = size(toks)
-    val nD = n.cast("double")
-    val stopArr = array(StopWords.map(lit): _*)
-    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
-    val nDistinct = size(array_distinct(toks))
-    val sumLen = (length(col("text")) - (n - lit(1))).cast("double")
-    val nDigits = length(regexp_replace(col("text"), "[^0-9]", ""))
-    val okLen = n.between(15, 90)
-    val okWordLen = (sumLen / nD).between(3.0, 9.0)
-    val okStop = nStop > 0
-    val okDistinct = nDistinct.cast("double") / nD >= 0.3
-    val okDigit = nDigits.cast("double") / length(col("text")) <= 0.2
+  /** The five quality rules as named Columns over a `text` column —
+    * exposed so composers ([[graft.operators.Pipeline]]) can evaluate
+    * the cascade MAP-SIDE on their own scan instead of joining this
+    * operator's output back to the corpus (one scan, zero shuffle, at
+    * any scale). The same expressions back [[qualityFilter]], so the
+    * rule set cannot diverge between the audit view and the pipeline.
+    */
+  private[operators] object QualityRules {
+    private val n = size(toks)
+    private val nD = n.cast("double")
+    private val stopArr = array(StopWords.map(lit): _*)
+    private val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    private val nDistinct = size(array_distinct(toks))
+    private val sumLen = (length(col("text")) - (n - lit(1))).cast("double")
+    private val nDigits = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val nTokens: Column = n
+    val okLen: Column = n.between(15, 90)
+    val okWordLen: Column = (sumLen / nD).between(3.0, 9.0)
+    val okStop: Column = nStop > 0
+    val okDistinct: Column = nDistinct.cast("double") / nD >= 0.3
+    val okDigit: Column = nDigits.cast("double") / length(col("text")) <= 0.2
+    val keep: Column = okLen && okWordLen && okStop && okDistinct && okDigit
+  }
+
+  def qualityFilter(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        n.as("n_tokens"),
-        okLen.as("ok_len"),
-        okWordLen.as("ok_word_len"),
-        okStop.as("ok_stop"),
-        okDistinct.as("ok_distinct"),
-        okDigit.as("ok_digit"),
-        (okLen && okWordLen && okStop && okDistinct && okDigit).as("keep"))
+        QualityRules.nTokens.as("n_tokens"),
+        QualityRules.okLen.as("ok_len"),
+        QualityRules.okWordLen.as("ok_word_len"),
+        QualityRules.okStop.as("ok_stop"),
+        QualityRules.okDistinct.as("ok_distinct"),
+        QualityRules.okDigit.as("ok_digit"),
+        QualityRules.keep.as("keep"))
       .orderBy("doc_id")
-  }
 
   /** Corpus bigram statistics: top-K adjacent token pairs by total
     * count (with document frequency) — the n-gram LM / phrase-mining
