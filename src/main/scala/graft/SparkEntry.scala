@@ -75,6 +75,7 @@ object SparkEntry {
     "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
     "q37_except_all" -> (CorpusQueries.q37ExceptAll _),
+    "q38_string_ops" -> (CorpusQueries.q38StringOps _),
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
@@ -619,6 +620,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+    "q38_string_ops" ->
+      """SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) AS brand_no,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widgets,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,
+        |  MIN(upper(p_name)) AS first_uname,
+        |  CAST(SUM(p_size) AS BIGINT) AS size_sum,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum
+        |FROM part GROUP BY 1 ORDER BY brand_no""".stripMargin,
     "q37_except_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |EXCEPT ALL

@@ -705,6 +705,29 @@ object CorpusQueries {
       .orderBy("relationship")
   }
 
+  /** String-predicate family over the part dim: LIKE containment,
+    * regexp group extraction (brand number), case mapping, string
+    * MIN under binary collation — the scan-level string operators a
+    * log/text warehouse leans on, all codegen'd and pushdown-friendly.
+    */
+  def q38StringOps(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("int").as("brand_no"),
+        col("p_name").like("%widget%").cast("int").as("is_widget"),
+        (col("p_type") === "PROMO").cast("int").as("is_promo"),
+        upper(col("p_name")).as("uname"),
+        col("p_size"), dec(col("p_retailprice")).as("price_dec"))
+      .groupBy("brand_no")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("is_widget").as("n_widgets"),
+        sum("is_promo").as("n_promo"),
+        min("uname").as("first_uname"),
+        sum("p_size").as("size_sum"),
+        sum("price_dec").cast("double").as("retail_sum"))
+      .orderBy("brand_no")
+
   /** Multiset EXCEPT ALL (bag semantics — each occurrence counts):
     * completes the set-op family next to q12-q14's DISTINCT variants.
     * Spark plans it as an aggregate over a tagged union (sum of
