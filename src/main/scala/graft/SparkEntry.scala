@@ -76,6 +76,7 @@ object SparkEntry {
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
     "q37_except_all" -> (CorpusQueries.q37ExceptAll _),
     "q38_string_ops" -> (CorpusQueries.q38StringOps _),
+    "q39_null_semantics" -> (CorpusQueries.q39NullSemantics _),
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
@@ -609,6 +610,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM w ORDER BY day, hour""".stripMargin,
     // the SQL-surface query IS its own oracle: one string, two engines
     "q35_sql" -> CorpusQueries.q35SharedSql,
+    "q39_null_semantics" -> CorpusQueries.q39SharedSql,
     "q36_sliding_window" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(ts) AS us FROM events),

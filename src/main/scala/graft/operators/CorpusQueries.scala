@@ -787,6 +787,34 @@ object CorpusQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Three-valued-logic semantics pin, shared VERBATIM with the
+    * oracle like [[q35SharedSql]]: NOT IN over a set containing NULL
+    * matches nothing (x <> NULL is UNKNOWN, so the conjunction never
+    * becomes TRUE), while NOT EXISTS over the same predicate counts
+    * normally — the classic anti-join trap. An engine migration that
+    * silently rewrites one into the other corrupts results; this row
+    * pair proves both engines agree on BOTH semantics.
+    */
+  val q39SharedSql: String =
+    """SELECT 'not_in' AS semantics, COUNT(*) AS n FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT CASE WHEN o_orderstatus = 'P' THEN o_custkey ELSE NULL END
+      |   FROM orders)
+      |UNION ALL
+      |SELECT 'not_exists' AS semantics, COUNT(*) AS n FROM customer
+      |WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_orderstatus = 'P' AND o_custkey = c_custkey)
+      |ORDER BY semantics""".stripMargin
+
+  /** SQL front door for [[q39SharedSql]] (same registration pattern
+    * as [[q35Sql]]).
+    */
+  def q39NullSemantics(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q39SharedSql)
+  }
+
   /** Fixed-width histogram of l_extendedprice in exact integer cents:
     * bin = cents div 500000 ($5,000 buckets). The binning is pure
     * integer arithmetic off the exact DECIMAL(18,2) cast — no float
