@@ -10,6 +10,55 @@ class PqSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("pq_encode expression matches a driver-side recompute (both eval paths)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val rnd = new scala.util.Random(11)
+    val m = 4; val dims = 16; val nCodes = 5
+    val cb = Seq.fill(nCodes)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val ids = Seq(8, 9, 10, 11, 12)
+    // half-away-from-zero, matching Spark/DuckDB ROUND on doubles
+    def r(x: Double): Long =
+      if (x < 0) -Math.round(-x) else Math.round(x)
+    def expected(v: Seq[Double]): Seq[Int] = (0 until m).map { sub =>
+      val w = dims / m
+      (0 until nCodes).map { c =>
+        val dist = (0 until w).map { j =>
+          val t = r((v(sub * w + j) - cb(c)(sub * w + j)) * 1000000.0)
+          t * t
+        }.sum
+        dist * 1024L + ids(c)
+      }.min % 1024L
+    }.map(_.toInt)
+    val conv = (x: Any) => CatalystTypeConverters.convertToCatalyst(x)
+    for (_ <- 1 to 20) {
+      val v = Seq.fill(dims)(rnd.nextDouble() * 2 - 1)
+      // interpreted path: direct eval on Literal children
+      val e = graft.functions.PqEncode(
+        Literal(conv(v), ArrayType(DoubleType)),
+        Literal(conv(cb), ArrayType(ArrayType(DoubleType))),
+        Literal(conv(ids), ArrayType(IntegerType)), m)
+      val got = e.eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+      assert(got === expected(v), s"eval path diverged for $v")
+    }
+    // codegen path: run through a real plan over a non-literal column
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val vs = Seq.fill(10)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val encCol = Bridge.column(graft.functions.PqEncode(
+      Bridge.expression(col("v")),
+      Bridge.expression(typedLit(cb)),
+      Bridge.expression(typedLit(ids)), m))
+    val got = vs.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v").select(col("i"), encCol.as("codes"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getAs[scala.collection.Seq[Int]]("codes").toSeq)
+    assert(got.toSeq === vs.map(expected), "codegen path diverged")
+  }
+
   test("pq top-k: k rows per query, corpus-only ids, descending scores") {
     val rows = Similarity.knnPq(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
