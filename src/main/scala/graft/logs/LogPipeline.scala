@@ -40,6 +40,10 @@ object LogPipeline {
 
   /** CLI: LogPipeline <raw log path> <warehouse dir> */
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: LogPipeline <raw log path> <warehouse dir>")
+      sys.exit(2)
+    }
     val Array(raw, wh) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
