@@ -77,6 +77,7 @@ object SparkEntry {
     "q37_except_all" -> (CorpusQueries.q37ExceptAll _),
     "q38_string_ops" -> (CorpusQueries.q38StringOps _),
     "q39_null_semantics" -> (CorpusQueries.q39NullSemantics _),
+    "q40_aqe_skew" -> (CorpusQueries.q40AqeSkew _),
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
@@ -636,6 +637,13 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin,
+    // q40's oracle is the PLAIN join (same as q25): AQE's skew split
+    // only changes the physical partitioning, never the result
+    "q40_aqe_skew" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // u2 oracle: an INDEPENDENT formulation of the same merge — the
     // change batch replayed as filter+union instead of a full-outer
     // apply join (valid because the demo ops are key-disjoint), so the

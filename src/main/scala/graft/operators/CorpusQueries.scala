@@ -439,17 +439,44 @@ object CorpusQueries {
       .orderBy("l_returnflag", "rank")
   }
 
-  /** Salted skew join (SkewJoin.saltedJoin): the fact side's hot order
-    * keys are spread across 8 salt buckets, the dim side is replicated
-    * 8×. Result is IDENTICAL to the plain join (salting only changes
-    * the shuffle layout), which is exactly what the oracle checks.
+  /** Two-path salted skew join (SkewJoin.saltedJoinHotKeys): the fact
+    * side's key distribution is profiled first, ONLY keys above the
+    * hot-share threshold get salted (spread across 8 salt buckets,
+    * with only the hot slice of the dim replicated 8×); the cold
+    * majority takes the plain keyed join. On TPC-H l_orderkey no key
+    * exceeds the threshold (≤7 lines per order), so this correctly
+    * degenerates to the plain join — the profile's verdict, not a
+    * hand-tuned special case. Result is IDENTICAL to the plain join
+    * either way (salting only changes the shuffle layout), which is
+    * exactly what the oracle checks; the hot path itself is exercised
+    * on synthetic skew in SkewJoinSpec.
     */
   def q25SaltedJoin(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.orders(s, d)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    SkewJoin.saltedJoin(
+    SkewJoin.saltedJoinHotKeys(
         Tables.lineitem(s, d), dim, "l_orderkey",
         discriminator = col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The zero-code alternative to q25's manual salting: the same
+    * workload as a sort-merge join under AQE, whose skew-join rule
+    * splits oversized shuffle partitions at runtime
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default). The merge
+    * hint pins the join shape AQE's skew split applies to (a broadcast
+    * join has no shuffle partitions to split); no salting, no dim
+    * replication, no code. SkewJoinSpec forces the split on synthetic
+    * skew with lowered thresholds and asserts `isSkewJoin` in the
+    * final adaptive plan. Oracle = the plain join, same as q25.
+    */
+  def q40AqeSkew(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Tables.lineitem(s, d).hint("merge")
+      .join(dim, Seq("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("price_sum"))
       .orderBy("o_orderpriority")

@@ -53,7 +53,7 @@ class TopKAggregatorSpec extends SparkSpec {
       .withColumnRenamed("c_custkey", "o_custkey")
     val plain = fact.join(dim, Seq("o_custkey"))
       .groupBy("o_custkey").count()
-    val salted = SkewJoin.saltedJoin(fact, dim, "o_custkey",
+    val salted = SkewJoin.saltedJoinAll(fact, dim, "o_custkey",
       discriminator = col("o_orderkey"), salts = 8)
       .groupBy("o_custkey").count()
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
