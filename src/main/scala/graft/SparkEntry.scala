@@ -29,6 +29,7 @@ object SparkEntry {
     "log_dim_client" -> ((s, _) => LogSuite.dimClient(s)),
     "log_dim_endpoint" -> ((s, _) => LogSuite.dimEndpoint(s)),
     "log_fct_hourly" -> ((s, _) => LogSuite.fctHourly(s)),
+    "log_fct_hourly_approx" -> ((s, _) => LogSuite.fctHourlyApprox(s)),
     "log_errors_by_endpoint" -> ((s, _) => LogSuite.errorsByEndpoint(s)),
     "log_top_endpoints" -> ((s, _) => LogSuite.topEndpoints(s)),
     "log_available_dates" -> ((s, _) => LogSuite.availableDates(s)),
@@ -395,6 +396,13 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "log_fct_hourly" ->
       s"""$logCte SELECT date, hour, endpoint, requests, errors, ROUND(p95_bytes, 4) AS p95_bytes
          |FROM fct ORDER BY date, hour, endpoint""".stripMargin,
+    // the approx fact's oracle pins the error-bound verdict to 1 (the
+    // sketch's answer is engine-specific; its exact twin p95_bytes and
+    // the in-[p90, max] verdict are not)
+    "log_fct_hourly_approx" ->
+      s"""$logCte SELECT date, hour, endpoint, requests, errors, ROUND(p95_bytes, 4) AS p95_bytes,
+         |  1 AS p95_approx_ok
+         |FROM fct ORDER BY date, hour, endpoint""".stripMargin,
     "log_errors_by_endpoint" ->
       s"""$logCte SELECT endpoint, CAST(SUM(errors) AS BIGINT) AS errors, CAST(SUM(requests) AS BIGINT) AS requests
          |FROM fct WHERE date = DATE '2025-11-10' GROUP BY endpoint
@@ -623,8 +631,11 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+    // NULLIF keeps the no-match case engine-agreed: Spark's
+    // regexp_extract→cast yields NULL on a brand without '#digits',
+    // DuckDB's CAST('' AS INTEGER) would raise instead
     "q38_string_ops" ->
-      """SELECT CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INTEGER) AS brand_no,
+      """SELECT CAST(NULLIF(regexp_extract(p_brand, '#([0-9]+)', 1), '') AS INTEGER) AS brand_no,
         |  COUNT(*) AS n_parts,
         |  CAST(SUM(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_widgets,
         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT) AS n_promo,

@@ -59,4 +59,36 @@ object LogModels {
         sum("is_error").as("errors"),
         percentile(col("bytes_sent"), lit(0.95)).as("p95_bytes")
       )
+
+  /** The 100 TB escape hatch for [[fctRequestsHourly]]'s exact
+    * percentile (which buffers every group value — SURVEY §7.3's known
+    * scale cliff): the same fact with `percentile_approx`, whose
+    * KLL-style sketch is constant-memory per group and mergeable
+    * map-side, so a pathological group (one endpoint taking a traffic
+    * spike) costs O(accuracy) instead of O(rows).
+    *
+    * Because the sketch's answer is engine-specific, the fact carries
+    * an explicit error-bound VERDICT instead of exposing the raw
+    * approx value to the oracle: `p95_approx_ok` = 1 iff the approx
+    * p95 lands in [exact p90, group max] — implied by the sketch's
+    * rank-error guarantee (≤ n/accuracy ranks off 0.95·n, far inside
+    * the 0.90 band whenever n < 0.05·accuracy·20) — while `p95_bytes`
+    * stays the exact value the oracle recomputes. An approx drift out
+    * of band flips the verdict to 0 and fails the hash compare, so the
+    * tolerance IS oracle-checked.
+    */
+  def fctRequestsHourlyApprox(stg: DataFrame, accuracy: Int = 10000): DataFrame =
+    stg
+      .groupBy("date", "hour", "endpoint")
+      .agg(
+        count(lit(1)).as("requests"),
+        sum("is_error").as("errors"),
+        percentile(col("bytes_sent"), lit(0.95)).as("p95_bytes"),
+        percentile_approx(col("bytes_sent"), lit(0.95), lit(accuracy)).as("p95_approx"),
+        percentile(col("bytes_sent"), lit(0.90)).as("p90_exact"),
+        max("bytes_sent").as("max_bytes"))
+      .select(col("date"), col("hour"), col("endpoint"),
+        col("requests"), col("errors"), col("p95_bytes"),
+        (col("p95_approx") >= col("p90_exact") &&
+          col("p95_approx") <= col("max_bytes")).cast("int").as("p95_approx_ok"))
 }

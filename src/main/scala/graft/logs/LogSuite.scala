@@ -29,6 +29,11 @@ object LogSuite {
       .withColumn("p95_bytes", round(col("p95_bytes"), 4))
       .orderBy("date", "hour", "endpoint")
 
+  def fctHourlyApprox(s: SparkSession): DataFrame =
+    LogModels.fctRequestsHourlyApprox(LogFixture.stg(s))
+      .withColumn("p95_bytes", round(col("p95_bytes"), 4))
+      .orderBy("date", "hour", "endpoint")
+
   def errorsByEndpoint(s: SparkSession): DataFrame =
     LogQueries.errorsByEndpoint(fct(s), "2025-11-10")
 

@@ -18,11 +18,22 @@ private[graft] object Checkpoints {
     * route through fault-tolerant `checkpoint()` (files under
     * `spark.graft.checkpointDir`, or a temp dir), which survives
     * executor loss at the cost of a write to storage per round.
+    *
+    * Cleanup expectation in reliable mode: checkpoint files are
+    * reclaimed by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
+    * otherwise they persist past the session — deployments should set
+    * `spark.graft.checkpointDir` to a managed location (the fallback
+    * temp dir is per-session and is NOT auto-deleted, by design: a
+    * crashed job's operator state stays inspectable).
     */
   def persistFrame(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val reliable =
-      s.conf.getOption("spark.graft.reliableCheckpoint").exists(_.toBoolean)
+    // tolerant parse: "1"/"yes" read as true rather than throwing the
+    // IllegalArgumentException `_.toBoolean` would
+    val reliable = s.conf.getOption("spark.graft.reliableCheckpoint")
+      .exists(v => v.equalsIgnoreCase("true") || v == "1" ||
+        v.equalsIgnoreCase("yes"))
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
         s.sparkContext.setCheckpointDir(

@@ -51,12 +51,30 @@ object Dedup {
   /** Exact dedup: one representative (min doc_id) per distinct text.
     * dropDuplicates("text") picks an arbitrary survivor; min(doc_id) is
     * the deterministic equivalent (same set of survivors, stable choice).
+    *
+    * The GROUP KEY is sha2(text) — a 64-char constant-width string —
+    * not the text itself, so the shuffle carries hashes, never
+    * document bodies (the same reason [[hashDedup]] exists; at 100 TB
+    * a full-text shuffle key is prohibitive). Exact semantics are kept
+    * by a collision AUDIT riding the same aggregation: min(text) and
+    * max(text) per hash group (partial aggregation sends at most two
+    * candidate texts per group per partition, not every row) must be
+    * equal — min==max ⟺ all texts in the group are identical. A
+    * sha256 collision (~n²/2²⁵⁶ — never, but the audit makes the
+    * assumption checkable) raises instead of silently merging two
+    * distinct documents.
     */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .groupBy("text")
-      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
-      .select("rep_doc_id", "n_copies")
+      .groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(
+        min("doc_id").as("rep"), count(lit(1)).as("n_copies"),
+        min("text").as("__tmin"), max("text").as("__tmax"))
+      .select(
+        when(col("__tmin") === col("__tmax"), col("rep"))
+          .otherwise(raise_error(lit("sha256 collision: distinct texts in one hash group")))
+          .as("rep_doc_id"),
+        col("n_copies"))
       .orderBy("rep_doc_id")
 
   /** Content-hash dedup stats per source: at 100 TB you shuffle the

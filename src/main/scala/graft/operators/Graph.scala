@@ -53,6 +53,7 @@ object Graph {
     val nodes = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("node"), col("n_name"))
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node set (S/n division)")
     val edges = tradeEdges(s, d)
     val outW = edges.groupBy("src").agg(sum("w").as("out_w"))
     val e = Checkpoints.persistFrame( // read every round; don't re-run
@@ -70,9 +71,16 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
     }
-    nodes.join(ranks, "node")
-      .select(col("node"), col("n_name"), col("r").as("rank_micro"),
-        (col("r").cast("double") / lit(1000000000000.0)).as("rank"))
-      .orderBy(desc("rank_micro"), asc("node"))
+    // materialize the (bounded, node-count-sized) result, then free
+    // the edge frame's block-manager blocks immediately — left to the
+    // ContextCleaner they linger until a driver GC (same discipline as
+    // Dedup.dedupClusters)
+    val result = Checkpoints.persistFrame(
+      nodes.join(ranks, "node")
+        .select(col("node"), col("n_name"), col("r").as("rank_micro"),
+          (col("r").cast("double") / lit(1000000000000.0)).as("rank"))
+        .orderBy(desc("rank_micro"), asc("node")))
+    Checkpoints.unpersistCheckpoint(e)
+    result
   }
 }

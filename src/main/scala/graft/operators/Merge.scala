@@ -28,6 +28,17 @@ object Merge {
   /** Apply a change batch to a base frame. `changes` must carry the
     * key, an `op` column in {I, U, D}, and the full row payload for
     * I/U rows.
+    *
+    * Contract (the parts MERGE INTO would enforce with errors):
+    *   - AT MOST ONE change row per key. The apply is a full-outer
+    *     join, so multiple change rows for one key fan out multiple
+    *     output rows (MERGE raises "multiple source rows matched"
+    *     instead). Callers with a multi-row CDC feed must first
+    *     collapse it to the latest change per key (window by sequence
+    *     number — the standard CDC-compaction step).
+    *   - A 'U' (or 'I') whose key is absent from the base is applied
+    *     as an INSERT (upsert semantics — WHEN NOT MATCHED THEN
+    *     INSERT), not an error. A 'D' for an absent key is a no-op.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")

@@ -54,6 +54,35 @@ class LogGoldenSpec extends SparkSpec {
     assert(login.getAs[Double]("p95_bytes") === 512.0)
   }
 
+  test("approx hourly fact: verdict is 1 on every group, exact twin unchanged") {
+    val approx = LogSuite.fctHourlyApprox(spark).collect()
+    assert(approx.length === 6)
+    assert(approx.forall(_.getAs[Int]("p95_approx_ok") === 1))
+    // the exact columns are identical to the exact fact's
+    val exact = LogSuite.fctHourly(spark).collect()
+    approx.zip(exact).foreach { case (a, e) =>
+      Seq("date", "hour", "endpoint", "requests", "errors", "p95_bytes")
+        .foreach(c => assert(a.getAs[Any](c) === e.getAs[Any](c), c))
+    }
+  }
+
+  test("percentile_approx error bound holds on large dense groups") {
+    // lineitem at sf0.001 (~6k rows, 3 return flags): the approx p95
+    // of a dense numeric column must sit within 1% of the exact
+    // interpolated p95 at accuracy=10000 (rank error ≤ n/accuracy)
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.95)).as("exact"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx"))
+      .collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (e, a) = (r.getAs[Double]("exact"), r.getAs[Double]("approx"))
+      assert(math.abs(a - e) / e <= 0.01, s"exact=$e approx=$a")
+    }
+  }
+
   test("malformed / junk / edge lines are dropped, never throw (ANSI on)") {
     import spark.implicits._
     val junk = Seq(
