@@ -80,6 +80,7 @@ object SparkEntry {
     "q39_null_semantics" -> (CorpusQueries.q39NullSemantics _),
     "q40_aqe_skew" -> (CorpusQueries.q40AqeSkew _),
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
+    "u3_time_travel" -> (graft.sources.Snapshots.u3TimeTravel _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -676,6 +677,22 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u3 oracle: each manifest version's state replayed relationally —
+    // v0 = orders, v1 = v0 + the re-keyed late batch, v2 = v1 minus 'F'
+    "u3_time_travel" ->
+      """WITH late AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3),
+        |v1 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM late)
+        |SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders
+        |UNION ALL SELECT CAST(1 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) FROM v1
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM v1 WHERE o_orderstatus <> 'F'
+        |ORDER BY version""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events
