@@ -81,6 +81,7 @@ object SparkEntry {
     "q40_aqe_skew" -> (CorpusQueries.q40AqeSkew _),
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "u3_time_travel" -> (graft.sources.Snapshots.u3TimeTravel _),
+    "u4_file_skip" -> (graft.sources.Snapshots.u4FileSkip _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -693,6 +694,12 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM v1 WHERE o_orderstatus <> 'F'
         |ORDER BY version""".stripMargin,
+    // u4 oracle: the same key-range aggregate over the raw table —
+    // manifest-stat file skipping must be result-invisible
+    "u4_file_skip" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

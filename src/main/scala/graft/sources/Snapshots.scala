@@ -42,7 +42,35 @@ object Snapshots {
 
   private val Header = "graft-manifest-v1"
 
-  final case class Manifest(version: Long, files: Seq[String])
+  /** Per-file column statistics (merged over the file's row groups),
+    * read from the parquet FOOTER at commit time — no data scan. The
+    * `kind` is inferred from the footer's typed min/max ("long" covers
+    * int32/int64 physical types, so dates ride as epoch days and
+    * timestamps as epoch micros; "double" covers float/double;
+    * "string" is UTF-8 binary). Files whose footer carries no usable
+    * statistics simply have no entry — readers treat them as
+    * un-prunable, never as empty.
+    */
+  final case class FileStat(kind: String, min: String, max: String) {
+    def overlaps(lo: Any, hi: Any): Boolean = kind match {
+      case "long"   => min.toLong <= asLong(hi) && max.toLong >= asLong(lo)
+      case "double" => min.toDouble <= asDouble(hi) && max.toDouble >= asDouble(lo)
+      case _        => min <= hi.toString && max >= lo.toString
+    }
+    private def asLong(a: Any): Long = a match {
+      case n: Number => n.longValue()
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case other => other.toString.toLong
+    }
+    private def asDouble(a: Any): Double = a match {
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+  }
+
+  final case class Manifest(version: Long, files: Seq[String],
+                            stats: Map[(String, String), FileStat] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,7 +112,8 @@ object Snapshots {
     * commit time.
     */
   def commit(df: DataFrame, tableDir: String, mode: String = "overwrite",
-             expectedVersion: Option[Long] = None): Long = {
+             expectedVersion: Option[Long] = None,
+             statsColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
@@ -96,16 +125,28 @@ object Snapshots {
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
-    val carried =
+    val prev =
       if (mode == "append" && version > 0)
-        readManifest(spark, tableDir, version - 1).files
-      else Seq.empty
+        Some(readManifest(spark, tableDir, version - 1))
+      else None
+    val carried = prev.map(_.files).getOrElse(Seq.empty)
+    val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
+    val newStats =
+      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
+      else written.flatMap { rel =>
+        footerStats(spark, new Path(tableDir, rel), statsColumns)
+          .map { case (c, st) => (rel, c) -> st }
+      }.toMap
     val tmp = new Path(tableDir, s"_manifests/.tmp-$version-${UUID.randomUUID()}")
     val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
     try {
       w.write(s"$Header\n")
       w.write(s"version=$version\n")
       (carried ++ written).foreach(p => w.write(s"file=$p\n"))
+      (carriedStats ++ newStats).toSeq.sortBy(_._1).foreach {
+        case ((file, c), st) =>
+          w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
+      }
     } finally w.close()
     // THE commit point: atomic rename-if-absent. A concurrent winner
     // already holds v<N>.manifest and rename returns false.
@@ -118,6 +159,70 @@ object Snapshots {
     version
   }
 
+  /** Min/max per requested column from one parquet file's FOOTER —
+    * metadata only, no row read; merged across the file's row groups.
+    * Columns whose statistics are absent/empty, whose min/max class is
+    * not a numeric/binary primitive, or whose string bounds contain
+    * the manifest's separator characters are skipped (→ un-prunable,
+    * still correct).
+    */
+  private def footerStats(spark: SparkSession, file: Path,
+                          columns: Seq[String]): Map[String, FileStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import scala.jdk.CollectionConverters._
+    val want = columns.toSet
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(file, spark.sparkContext.hadoopConfiguration))
+    try {
+      val perCol = scala.collection.mutable.Map.empty[String, FileStat]
+      val poisoned = scala.collection.mutable.Set.empty[String]
+      for (block <- reader.getFooter.getBlocks.asScala;
+           col <- block.getColumns.asScala) {
+        val name = col.getPath.toDotString
+        if (want.contains(name)) {
+          val st = col.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            val repr: Option[FileStat] = (st.genericGetMin, st.genericGetMax) match {
+              case (a: java.lang.Integer, b: java.lang.Integer) =>
+                Some(FileStat("long", a.toString, b.toString))
+              case (a: java.lang.Long, b: java.lang.Long) =>
+                Some(FileStat("long", a.toString, b.toString))
+              case (a: java.lang.Float, b: java.lang.Float) =>
+                Some(FileStat("double", a.toDouble.toString, b.toDouble.toString))
+              case (a: java.lang.Double, b: java.lang.Double) =>
+                Some(FileStat("double", a.toString, b.toString))
+              case (a: Binary, b: Binary) =>
+                val (lo, hi) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
+                if ((lo + hi).exists(c => c == '\t' || c == '\n')) None
+                else Some(FileStat("string", lo, hi))
+              case _ => None
+            }
+            repr match {
+              case None => poisoned += name
+              case Some(s) =>
+                perCol(name) = perCol.get(name) match {
+                  case None => s
+                  case Some(prev) => // merge row groups: widen the range
+                    if (s.kind == "long") FileStat("long",
+                      math.min(prev.min.toLong, s.min.toLong).toString,
+                      math.max(prev.max.toLong, s.max.toLong).toString)
+                    else if (s.kind == "double") FileStat("double",
+                      math.min(prev.min.toDouble, s.min.toDouble).toString,
+                      math.max(prev.max.toDouble, s.max.toDouble).toString)
+                    else FileStat("string",
+                      if (prev.min <= s.min) prev.min else s.min,
+                      if (prev.max >= s.max) prev.max else s.max)
+                }
+            }
+          } else poisoned += name // a stat-less row group poisons the file
+        }
+      }
+      (perCol -- poisoned).toMap
+    } finally reader.close()
+  }
+
   /** Parse one manifest (bounded: one small file read on the driver). */
   def readManifest(spark: SparkSession, tableDir: String, version: Long): Manifest = {
     val f = fs(spark, tableDir)
@@ -128,12 +233,20 @@ object Snapshots {
     try {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
       val files = ArrayBuffer.empty[String]
+      val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
+        else if (line.startsWith("stat=")) {
+          line.stripPrefix("stat=").split('\t') match {
+            case Array(file, c, kind, min, max) =>
+              stats((file, c)) = FileStat(kind, min, max)
+            case _ => // ignore malformed stat lines (forward compat)
+          }
+        }
         line = r.readLine()
       }
-      Manifest(version, files.toSeq)
+      Manifest(version, files.toSeq, stats.toMap)
     } finally r.close()
   }
 
@@ -150,6 +263,54 @@ object Snapshots {
     val abs = m.files.map(rel => new Path(tableDir, rel).toString)
     spark.read.parquet(abs: _*)
   }
+
+  /** The files of `version` that can contain rows with `column` in
+    * [lo, hi] — manifest-stat file skipping, the driver-side analog of
+    * parquet row-group pruning one level up. Files without a recorded
+    * stat are kept (unknown ≠ empty); range overlap is evaluated in
+    * the stat's own kind (long/double/string). O(files) driver work on
+    * the already-loaded manifest, no filesystem access.
+    */
+  def pruneFiles(m: Manifest, column: String, lo: Any, hi: Any): Seq[String] =
+    m.files.filter(f => m.stats.get((f, column)).forall(_.overlaps(lo, hi)))
+
+  /** Time travel + file skipping: the rows of `version` after pruning
+    * files whose [min,max] for `column` cannot intersect [lo, hi].
+    * The caller still applies the row-level filter — pruning is a scan
+    * reducer, never a semantic change (exactly parquet's own
+    * footer-pruning contract).
+    */
+  def readVersionPruned(spark: SparkSession, tableDir: String, version: Long,
+                        column: String, lo: Any, hi: Any): DataFrame = {
+    val m = readManifest(spark, tableDir, version)
+    val keep = pruneFiles(m, column, lo, hi)
+    require(keep.nonEmpty || m.files.isEmpty,
+      s"every file pruned — read the unpruned version for schema-only results")
+    spark.read.parquet(keep.map(rel => new Path(tableDir, rel).toString): _*)
+  }
+
+  /** Exactly-once streaming sink over the snapshot layer, for
+    * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`: the
+    * committed version IS the micro-batch id, so a replayed batch
+    * (failure between sink and checkpoint write) finds its version
+    * already committed and becomes a no-op — idempotence from the
+    * same compare-and-swap that arbitrates concurrent writers, no
+    * transaction log beyond the manifests.
+    */
+  def exactlyOnceSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit =
+    try { commit(batch, tableDir, "append", expectedVersion = Some(batchId)); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
+
+  /** Small-file compaction: rewrite the latest version's data as
+    * `numFiles` files in a new version (same rows — `coalesce`, no
+    * shuffle), leaving every prior version readable. The lakehouse
+    * OPTIMIZE primitive; streaming-sink tables call this periodically
+    * so the per-batch file accretion never degrades readers.
+    */
+  def compact(spark: SparkSession, tableDir: String, numFiles: Int,
+              statsColumns: Seq[String] = Nil): Long =
+    commit(readVersion(spark, tableDir).coalesce(numFiles),
+      tableDir, "overwrite", statsColumns = statsColumns)
 
   /** The time-travel demo over orders, deterministic so the oracle can
     * replay each version's state relationally:
@@ -182,5 +343,30 @@ object Snapshots {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(lit(v).as("version"), col("n_rows"), col("total"))
     }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** File-skipping demo: orders range-laid-out by o_orderkey into 8
+    * files with footer stats in the manifest, then a key-range
+    * aggregate reading ONLY the overlapping files (the row-level
+    * filter still applies — pruning is a scan reducer). The oracle is
+    * the same predicate over the raw table, so the compare proves
+    * pruning changed nothing; SnapshotSpec asserts it actually
+    * skipped files. At 100 TB this layout+stats pair is the
+    * difference between touching ~1/8 of the table and all of it —
+    * same contract as z-ordering one level up (see
+    * [[graft.operators.Layout]]).
+    */
+  def u4FileSkip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-fileskip").toString
+    val orders = graft.Tables.orders(s, d)
+    commit(orders.repartitionByRange(8, col("o_orderkey")),
+      tableDir, "overwrite", statsColumns = Seq("o_orderkey"))
+    readVersionPruned(s, tableDir, 0L, "o_orderkey", 100L, 2000L)
+      .filter(col("o_orderkey").between(100L, 2000L))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
   }
 }

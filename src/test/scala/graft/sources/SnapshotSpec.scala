@@ -74,6 +74,100 @@ class SnapshotSpec extends SparkSpec {
     assert(onDisk === referenced)
   }
 
+  test("footer stats + file skipping: prunes non-overlapping files, result unchanged") {
+    val dir = freshDir()
+    // 4 range-partitioned files over ids 0..399 → tight per-file ranges
+    val df = spark.range(400).select(col("id"), (col("id") % 7).as("payload"))
+      .repartitionByRange(4, col("id"))
+    Snapshots.commit(df, dir, "overwrite", statsColumns = Seq("id"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.files.size === 4)
+    assert(m.stats.size === 4, "every file needs an id stat")
+    // a range inside one file's span keeps 1 file; full span keeps all
+    val narrow = Snapshots.pruneFiles(m, "id", 10L, 20L)
+    assert(narrow.size === 1, s"expected 1 surviving file: $narrow")
+    assert(Snapshots.pruneFiles(m, "id", 0L, 399L).size === 4)
+    // pruning is result-invisible
+    val pruned = Snapshots.readVersionPruned(spark, dir, 0L, "id", 10L, 20L)
+      .filter(col("id").between(10L, 20L)).agg(sum("id")).head.getLong(0)
+    assert(pruned === (10L to 20L).sum)
+    // unknown column → nothing pruned (unknown is never empty)
+    assert(Snapshots.pruneFiles(m, "nope", 0L, 0L).size === 4)
+  }
+
+  test("string-kind stats prune lexicographic ranges") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    val df = Seq("apple", "banana", "cherry", "kiwi", "mango", "peach")
+      .toDF("fruit").repartitionByRange(3, col("fruit"))
+    Snapshots.commit(df, dir, "overwrite", statsColumns = Seq("fruit"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    val keep = Snapshots.pruneFiles(m, "fruit", "aaa", "b~")
+    assert(keep.size < m.files.size, s"expected pruning: $keep of ${m.files}")
+    val rows = Snapshots.readVersionPruned(spark, dir, 0L, "fruit", "aaa", "b~")
+      .filter(col("fruit") <= "b~").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows === Seq("apple", "banana"))
+  }
+
+  test("exactly-once sink: a replayed micro-batch is a no-op") {
+    val dir = freshDir()
+    val b0 = frame(0 until 5, "b0")
+    val b1 = frame(5 until 8, "b1")
+    Snapshots.exactlyOnceSink(dir)(b0, 0L)
+    Snapshots.exactlyOnceSink(dir)(b1, 1L)
+    assert(Snapshots.readVersion(spark, dir).count() === 8L)
+    // replay batch 1 (sink ran, checkpoint write was lost): no dupes
+    Snapshots.exactlyOnceSink(dir)(b1, 1L)
+    assert(Snapshots.latestVersion(spark, dir) === Some(1L))
+    assert(Snapshots.readVersion(spark, dir).count() === 8L)
+  }
+
+  test("exactly-once sink end-to-end under a streaming query") {
+    val dir = freshDir()
+    val sqlCtx = spark.sqlContext
+    val s = spark
+    import s.implicits._
+    implicit val sq = sqlCtx
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF().toDF("id")
+      .writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir) _)
+      .outputMode("append").start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.readVersion(spark, dir).count() === 5L)
+  }
+
+  test("compaction: fewer files, same rows, prior versions intact") {
+    val dir = freshDir()
+    (0 until 5).foreach(i =>
+      Snapshots.commit(frame(i * 10 until (i + 1) * 10, s"b$i"), dir, "append"))
+    val before = Snapshots.readManifest(spark, dir, 4L).files.size
+    assert(before >= 5)
+    val v = Snapshots.compact(spark, dir, numFiles = 1)
+    assert(v === 5L)
+    assert(Snapshots.readManifest(spark, dir, 5L).files.size === 1)
+    assert(Snapshots.readVersion(spark, dir, Some(5L)).count() === 50L)
+    // pre-compaction snapshot still serves
+    assert(Snapshots.readVersion(spark, dir, Some(4L)).count() === 50L)
+    assert(Snapshots.readVersion(spark, dir, Some(0L)).count() === 10L)
+  }
+
+  test("u4 demo: pruned key-range aggregate equals the raw filter") {
+    val d = "/root/testdata/sf0.001"
+    val got = Snapshots.u4FileSkip(spark, d).head
+    val want = graft.Tables.orders(spark, d)
+      .filter(col("o_orderkey").between(100L, 2000L))
+      .agg(count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getDouble(1) === want.getDouble(1))
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
