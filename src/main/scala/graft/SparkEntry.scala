@@ -82,6 +82,7 @@ object SparkEntry {
     "u2_merge_upsert" -> (Merge.u2MergeUpsert _),
     "u3_time_travel" -> (graft.sources.Snapshots.u3TimeTravel _),
     "u4_file_skip" -> (graft.sources.Snapshots.u4FileSkip _),
+    "u5_incremental" -> (graft.sources.Snapshots.u5Incremental _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -700,6 +701,13 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin,
+    // u5 oracle: the full-table aggregate — incremental maintenance
+    // over the change feed must equal the recompute exactly
+    "u5_incremental" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

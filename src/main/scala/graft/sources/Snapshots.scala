@@ -289,6 +289,42 @@ object Snapshots {
     spark.read.parquet(keep.map(rel => new Path(tableDir, rel).toString): _*)
   }
 
+  /** The files version `toVersion` has that `fromVersion` does not —
+    * the manifest diff, O(files) driver set work, no data read. Pass
+    * `fromVersion = -1` for "everything in toVersion". For an
+    * append-only range this is exactly the change feed (each commit's
+    * new files); an overwrite inside the range makes the diff the
+    * rewrite's output files instead — callers doing incremental
+    * maintenance across rewrites must restart from the rewrite (the
+    * same contract the table formats expose as "change data feed
+    * unavailable across non-append commits").
+    */
+  def addedFiles(spark: SparkSession, tableDir: String,
+                 fromVersion: Long, toVersion: Long): Seq[String] = {
+    val to = readManifest(spark, tableDir, toVersion)
+    if (fromVersion < 0) to.files
+    else {
+      val before = readManifest(spark, tableDir, fromVersion).files.toSet
+      to.files.filterNot(before)
+    }
+  }
+
+  /** Change-feed read: the rows in files added between `fromVersion`
+    * (exclusive) and `toVersion` (inclusive) — the "process only data
+    * that arrived since the last run" primitive that turns a periodic
+    * full recompute into an incremental one. Scan cost is O(new data),
+    * independent of table size: at 100 TB with hourly appends, the
+    * hourly job reads the hour, not the decade. See [[addedFiles]] for
+    * the append-only contract.
+    */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val added = addedFiles(spark, tableDir, fromVersion, toVersion)
+    require(added.nonEmpty,
+      s"no files added between v$fromVersion and v$toVersion of $tableDir")
+    spark.read.parquet(added.map(rel => new Path(tableDir, rel).toString): _*)
+  }
+
   /** Exactly-once streaming sink over the snapshot layer, for
     * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`: the
     * committed version IS the micro-batch id, so a replayed batch
@@ -343,6 +379,39 @@ object Snapshots {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(lit(v).as("version"), col("n_rows"), col("total"))
     }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Incremental-maintenance demo: orders arrive as three append
+    * commits (keys ≡ 0, 1, 2 mod 3); the per-status fact is maintained
+    * INCREMENTALLY — each step aggregates only that commit's change
+    * feed ([[readChanges]]) into a distributive partial (count +
+    * exact-decimal sum), and the partials merge by re-aggregation.
+    * The oracle is the full-table aggregate, so the compare proves
+    * incremental == recompute. Decimal partial sums keep the merge
+    * order-invariant (double partials would drift in low-order bits).
+    * At 100 TB each maintenance step scans one commit's files, not the
+    * table — the view's cost tracks the arrival rate, not table size.
+    */
+  def u5Incremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-incremental").toString
+    val orders = graft.Tables.orders(s, d)
+    (0 to 2).foreach { m =>
+      commit(orders.filter(col("o_orderkey") % 3 === m), tableDir,
+        if (m == 0) "overwrite" else "append")
+    }
+    val partials = (0L to 2L).map { v =>
+      readChanges(s, tableDir, v - 1, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("t"))
+    }
+    partials.reduce(_ unionByName _)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n_rows"),
+        sum(col("t")).cast("double").as("total"))
+      .orderBy("o_orderstatus")
   }
 
   /** File-skipping demo: orders range-laid-out by o_orderkey into 8

@@ -157,6 +157,50 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, Some(0L)).count() === 10L)
   }
 
+  test("change feed: addedFiles is the manifest diff, readChanges reads only the batch") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "b0"), dir)
+    Snapshots.commit(frame(10 until 14, "b1"), dir, "append")
+    Snapshots.commit(frame(14 until 19, "b2"), dir, "append")
+    // each version's change feed is exactly that commit's rows
+    assert(Snapshots.readChanges(spark, dir, -1L, 0L).count() === 10L)
+    assert(Snapshots.readChanges(spark, dir, 0L, 1L).count() === 4L)
+    assert(Snapshots.readChanges(spark, dir, 1L, 2L).count() === 5L)
+    // a multi-version range accumulates the appends in between
+    assert(Snapshots.readChanges(spark, dir, 0L, 2L).count() === 9L)
+    val tags = Snapshots.readChanges(spark, dir, 0L, 2L)
+      .select("tag").distinct().collect().map(_.getString(0)).toSet
+    assert(tags === Set("b1", "b2"))
+    // the diff is over file identity: added files ∩ carried files = ∅
+    val added = Snapshots.addedFiles(spark, dir, 1L, 2L).toSet
+    val carried = Snapshots.readManifest(spark, dir, 1L).files.toSet
+    assert(added.intersect(carried).isEmpty)
+    // an overwrite's "changes" are its full output (documented contract)
+    Snapshots.commit(frame(0 until 2, "rw"), dir, "overwrite")
+    assert(Snapshots.readChanges(spark, dir, 2L, 3L).count() === 2L)
+    // an empty diff (same version twice) refuses rather than
+    // fabricating an empty frame with a guessed schema
+    intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, dir, 2L, 2L)
+    }
+  }
+
+  test("u5 demo: incremental partial-merge equals the full recompute") {
+    val d = "/root/testdata/sf0.001"
+    val got = Snapshots.u5Incremental(spark, d).collect()
+    val want = graft.Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) === w.getString(0))
+      assert(g.getLong(1) === w.getLong(1))
+      assert(g.getDouble(2) === w.getDouble(2)) // decimal partials: exact
+    }
+  }
+
   test("u4 demo: pruned key-range aggregate equals the raw filter") {
     val d = "/root/testdata/sf0.001"
     val got = Snapshots.u4FileSkip(spark, d).head
