@@ -70,7 +70,8 @@ object Snapshots {
   }
 
   final case class Manifest(version: Long, files: Seq[String],
-                            stats: Map[(String, String), FileStat] = Map.empty)
+                            stats: Map[(String, String), FileStat] = Map.empty,
+                            schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -131,6 +132,28 @@ object Snapshots {
       else None
     val carried = prev.map(_.files).getOrElse(Seq.empty)
     val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
+    // Schema evolution (manifest-recorded, Delta-log style: readers
+    // plan from the manifest schema in O(1), never from file footers).
+    // An append may ADD nullable columns or OMIT existing ones (old
+    // files lack new columns, new files lack omitted ones — the
+    // explicit read schema fills both with NULL); a same-name column
+    // with a different type is refused — that is a rewrite, not an
+    // append.
+    val schema = prev.flatMap(_.schema) match {
+      case None => df.schema
+      case Some(old) =>
+        val byName = old.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          byName.get(f.name).foreach { o =>
+            require(o.dataType == f.dataType,
+              s"append changes type of '${f.name}': ${o.dataType} -> ${f.dataType}")
+          }
+        }
+        val added = df.schema.fields.filterNot(f => byName.contains(f.name))
+          .map(_.copy(nullable = true))
+        org.apache.spark.sql.types.StructType(
+          old.fields.map(_.copy(nullable = true)) ++ added)
+    }
     val newStats =
       if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
       else written.flatMap { rel =>
@@ -142,6 +165,7 @@ object Snapshots {
     try {
       w.write(s"$Header\n")
       w.write(s"version=$version\n")
+      w.write(s"schema=${schema.json}\n") // DataType.json is one line
       (carried ++ written).foreach(p => w.write(s"file=$p\n"))
       (carriedStats ++ newStats).toSeq.sortBy(_._1).foreach {
         case ((file, c), st) =>
@@ -234,9 +258,14 @@ object Snapshots {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
       val files = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
+      var schema: Option[org.apache.spark.sql.types.StructType] = None
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
+        else if (line.startsWith("schema="))
+          schema = Some(org.apache.spark.sql.types.DataType
+            .fromJson(line.stripPrefix("schema="))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
         else if (line.startsWith("stat=")) {
           line.stripPrefix("stat=").split('\t') match {
             case Array(file, c, kind, min, max) =>
@@ -246,7 +275,7 @@ object Snapshots {
         }
         line = r.readLine()
       }
-      Manifest(version, files.toSeq, stats.toMap)
+      Manifest(version, files.toSeq, stats.toMap, schema)
     } finally r.close()
   }
 
@@ -260,8 +289,19 @@ object Snapshots {
     val v = version.orElse(latestVersion(spark, tableDir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     val m = readManifest(spark, tableDir, v)
-    val abs = m.files.map(rel => new Path(tableDir, rel).toString)
-    spark.read.parquet(abs: _*)
+    readFiles(spark, tableDir, m, m.files)
+  }
+
+  /** Read `rels` with the manifest's recorded schema when present —
+    * files predating an additive schema change read NULL for columns
+    * they lack (and vice versa for omitted ones), with O(1) planning
+    * (no footer merge). Manifests from before the schema line fall
+    * back to footer inference.
+    */
+  private def readFiles(spark: SparkSession, tableDir: String,
+                        m: Manifest, rels: Seq[String]): DataFrame = {
+    val abs = rels.map(rel => new Path(tableDir, rel).toString)
+    m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
   }
 
   /** The files of `version` that can contain rows with `column` in
@@ -286,7 +326,7 @@ object Snapshots {
     val keep = pruneFiles(m, column, lo, hi)
     require(keep.nonEmpty || m.files.isEmpty,
       s"every file pruned — read the unpruned version for schema-only results")
-    spark.read.parquet(keep.map(rel => new Path(tableDir, rel).toString): _*)
+    readFiles(spark, tableDir, m, keep)
   }
 
   /** The files version `toVersion` has that `fromVersion` does not —
@@ -322,7 +362,7 @@ object Snapshots {
     val added = addedFiles(spark, tableDir, fromVersion, toVersion)
     require(added.nonEmpty,
       s"no files added between v$fromVersion and v$toVersion of $tableDir")
-    spark.read.parquet(added.map(rel => new Path(tableDir, rel).toString): _*)
+    readFiles(spark, tableDir, readManifest(spark, tableDir, toVersion), added)
   }
 
   /** Exactly-once streaming sink over the snapshot layer, for
@@ -379,6 +419,44 @@ object Snapshots {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(lit(v).as("version"), col("n_rows"), col("total"))
     }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Expire every version below `keepFromVersion`: delete their
+    * manifests, then delete the data files no LIVE version references
+    * (a file carried forward by an append chain into a live version
+    * survives — reference counting over the manifest union, O(files)
+    * driver set work). Returns the number of data files deleted.
+    * Time travel below `keepFromVersion` stops working, by design;
+    * concurrent readers of a live version are unaffected because live
+    * files are never touched. The retention knob that keeps a
+    * streaming-sink table's storage bounded, paired with [[compact]].
+    */
+  def vacuum(spark: SparkSession, tableDir: String,
+             keepFromVersion: Long): Int = {
+    val f = fs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    require(keepFromVersion <= latest,
+      s"keepFromVersion $keepFromVersion > latest $latest would empty the table")
+    val (dead, live) = (0L to latest)
+      .filter(v => f.exists(manifestPath(tableDir, v)))
+      .partition(_ < keepFromVersion)
+    val liveFiles = live.flatMap(readManifest(spark, tableDir, _).files).toSet
+    val deadOnly = dead.flatMap(readManifest(spark, tableDir, _).files)
+      .distinct.filterNot(liveFiles)
+    deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
+    dead.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    // sweep commit dirs with no live file left — each data dir belongs
+    // to exactly one commit, so dir-level liveness is well defined;
+    // this also clears the _SUCCESS/.crc sidecars the manifest never
+    // listed
+    val liveDirs = liveFiles.map(_.split("/")(1))
+    val dataRoot = new Path(tableDir, "data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      if (st.isDirectory && !liveDirs.contains(st.getPath.getName))
+        f.delete(st.getPath, true)
+    }
+    deadOnly.size
   }
 
   /** Incremental-maintenance demo: orders arrive as three append

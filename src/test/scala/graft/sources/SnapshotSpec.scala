@@ -201,6 +201,68 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: appends add and omit columns, reads plan from the manifest schema") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(frame(0 until 4, "v0"), dir)
+    // v1 adds a score column old files don't have
+    Snapshots.commit(
+      (4 until 6).map(i => (i.toLong, "v1", i * 1.5)).toDF("id", "tag", "score"),
+      dir, "append")
+    // v2's batch omits tag entirely (and score)
+    Snapshots.commit((6 until 8).map(_.toLong).toDF("id"), dir, "append")
+    val latest = Snapshots.readVersion(spark, dir)
+    assert(latest.columns.toSeq === Seq("id", "tag", "score"))
+    assert(latest.count() === 8L)
+    // old files read NULL for the added column; new files NULL for omitted
+    assert(latest.filter(col("score").isNull).count() === 6L)
+    assert(latest.filter(col("tag").isNull).count() === 2L)
+    assert(latest.filter(col("score").isNotNull).agg(sum("score"))
+      .head.getDouble(0) === (4 * 1.5 + 5 * 1.5))
+    // time travel serves each version's own schema
+    assert(Snapshots.readVersion(spark, dir, Some(0L)).columns.toSeq
+      === Seq("id", "tag"))
+    // the change feed carries the evolved schema too
+    assert(Snapshots.readChanges(spark, dir, 0L, 1L).columns.toSeq
+      === Seq("id", "tag", "score"))
+    // a same-name type change is refused (that's a rewrite, not an append)
+    intercept[IllegalArgumentException] {
+      Snapshots.commit((0 until 2).map(i => (i.toLong, i))
+        .toDF("id", "tag"), dir, "append")
+    }
+  }
+
+  test("vacuum: expires old versions, keeps files any live version references") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "a"), dir)            // v0: files A
+    Snapshots.commit(frame(10 until 14, "b"), dir, "append") // v1: A + B
+    Snapshots.commit(frame(0 until 3, "c"), dir, "overwrite") // v2: C
+    val deleted = Snapshots.vacuum(spark, dir, keepFromVersion = 1L)
+    // v0's files all live on in v1 — nothing was deletable
+    assert(deleted === 0)
+    assert(Snapshots.readVersion(spark, dir, Some(1L)).count() === 14L)
+    intercept[IllegalArgumentException] {
+      Snapshots.readManifest(spark, dir, 0L)
+    }
+    // expiring v1 frees A and B (only v2's C is live)
+    val deleted2 = Snapshots.vacuum(spark, dir, keepFromVersion = 2L)
+    assert(deleted2 > 0)
+    assert(Snapshots.readVersion(spark, dir, Some(2L)).count() === 3L)
+    // on-disk data dirs now hold exactly v2's files
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val remaining = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    val v2Dirs = Snapshots.readManifest(spark, dir, 2L).files
+      .map(_.split("/")(1)).toSet
+    assert(remaining === v2Dirs)
+    // vacuuming past latest is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, dir, keepFromVersion = 3L)
+    }
+  }
+
   test("u4 demo: pruned key-range aggregate equals the raw filter") {
     val d = "/root/testdata/sf0.001"
     val got = Snapshots.u4FileSkip(spark, d).head
