@@ -83,6 +83,7 @@ object SparkEntry {
     "u3_time_travel" -> (graft.sources.Snapshots.u3TimeTravel _),
     "u4_file_skip" -> (graft.sources.Snapshots.u4FileSkip _),
     "u5_incremental" -> (graft.sources.Snapshots.u5Incremental _),
+    "u6_zorder_skip" -> (graft.sources.Snapshots.u6ZorderSkip _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -708,6 +709,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // u6 oracle: the raw-table 2-d box aggregate — z-order layout +
+    // two-column file skipping must be result-invisible
+    "u6_zorder_skip" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

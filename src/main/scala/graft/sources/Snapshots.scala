@@ -61,6 +61,10 @@ object Snapshots {
       case n: Number => n.longValue()
       case d: java.sql.Date => d.toLocalDate.toEpochDay
       case d: java.time.LocalDate => d.toEpochDay
+      // TimestampType parquet stats are epoch MICROS (TIMESTAMP_MICROS)
+      case t: java.sql.Timestamp => t.getTime * 1000L
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
       case other => other.toString.toLong
     }
     private def asDouble(a: Any): Double = a match {
@@ -314,6 +318,16 @@ object Snapshots {
   def pruneFiles(m: Manifest, column: String, lo: Any, hi: Any): Seq[String] =
     m.files.filter(f => m.stats.get((f, column)).forall(_.overlaps(lo, hi)))
 
+  /** Conjunctive multi-column pruning: a file survives only if EVERY
+    * `(column, lo, hi)` range can overlap its stats — the reader-side
+    * half of Z-ordering ([[graft.operators.Layout]]): a z-ordered
+    * layout gives tight per-file boxes in BOTH dimensions, so a 2-d
+    * box predicate multiplies the two single-column skip rates.
+    */
+  def pruneFiles(m: Manifest, preds: Seq[(String, Any, Any)]): Seq[String] =
+    m.files.filter(f => preds.forall { case (c, lo, hi) =>
+      m.stats.get((f, c)).forall(_.overlaps(lo, hi)) })
+
   /** Time travel + file skipping: the rows of `version` after pruning
     * files whose [min,max] for `column` cannot intersect [lo, hi].
     * The caller still applies the row-level filter — pruning is a scan
@@ -324,6 +338,16 @@ object Snapshots {
                         column: String, lo: Any, hi: Any): DataFrame = {
     val m = readManifest(spark, tableDir, version)
     val keep = pruneFiles(m, column, lo, hi)
+    require(keep.nonEmpty || m.files.isEmpty,
+      s"every file pruned — read the unpruned version for schema-only results")
+    readFiles(spark, tableDir, m, keep)
+  }
+
+  /** Multi-predicate variant of [[readVersionPruned]]. */
+  def readVersionPruned(spark: SparkSession, tableDir: String, version: Long,
+                        preds: Seq[(String, Any, Any)]): DataFrame = {
+    val m = readManifest(spark, tableDir, version)
+    val keep = pruneFiles(m, preds)
     require(keep.nonEmpty || m.files.isEmpty,
       s"every file pruned — read the unpruned version for schema-only results")
     readFiles(spark, tableDir, m, keep)
@@ -387,6 +411,44 @@ object Snapshots {
               statsColumns: Seq[String] = Nil): Long =
     commit(readVersion(spark, tableDir).coalesce(numFiles),
       tableDir, "overwrite", statsColumns = statsColumns)
+
+  /** Z-order × file-skipping demo — the full layout loop: orders
+    * committed Z-ordered on (o_custkey, order day) with footer stats
+    * on both columns, then a 2-d box predicate reads only the files
+    * whose (custkey, date) boxes intersect it. A single-column sort
+    * would give one tight dimension and one full-range dimension; the
+    * Morton interleave ([[graft.operators.Layout.zValue]]) keeps both
+    * tight, so the box predicate multiplies the two skip rates — at
+    * 100 TB this is the difference between scanning a few files and
+    * a full dimension's worth. The oracle is the same predicate over
+    * the raw table: pruning must be result-invisible.
+    */
+  def u6ZorderSkip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val orders = graft.Tables.orders(s, d)
+    val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+    val zOrdered = orders
+      .withColumn("__z", graft.operators.Layout.zValue(col("o_custkey"), day))
+      .repartitionByRange(16, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(zOrdered, tableDir, "overwrite",
+      statsColumns = Seq("o_custkey", "o_orderdate"))
+    val (loK, hiK) = (100L, 500L)
+    // o_orderdate is a TIMESTAMP (midnight-valued) — prune bounds in
+    // the stat's own unit (epoch micros via the Timestamp case)
+    val (loD, hiD) = (java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1995-12-31 23:59:59.999999"))
+    readVersionPruned(s, tableDir, 0L,
+      Seq(("o_custkey", loK, hiK), ("o_orderdate", loD, hiD)))
+      .filter(col("o_custkey").between(loK, hiK) &&
+        to_date(col("o_orderdate")).between(lit("1995-01-01"), lit("1995-12-31")))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+  }
 
   /** The time-travel demo over orders, deterministic so the oracle can
     * replay each version's state relationally:

@@ -263,6 +263,51 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("z-order + 2-d stats: both dimensions prune, conjunction prunes hardest") {
+    val dir = freshDir()
+    // a 64x64 grid of (a, b) points, z-ordered into 16 files: each
+    // file covers a compact box in BOTH dimensions
+    val grid = spark.range(64L * 64L).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    val z = graft.operators.Layout.zValue(col("a"), col("b"))
+    Snapshots.commit(
+      grid.withColumn("__z", z).repartitionByRange(16, col("__z"))
+        .sortWithinPartitions("__z").drop("__z"),
+      dir, "overwrite", statsColumns = Seq("a", "b"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.files.size === 16)
+    val onA = Snapshots.pruneFiles(m, "a", 0L, 15L)
+    val onB = Snapshots.pruneFiles(m, "b", 0L, 15L)
+    // each single dimension skips files (impossible for b under a
+    // plain sort on a)
+    assert(onA.size < m.files.size, s"a-range kept all: $onA")
+    assert(onB.size < m.files.size, s"b-range kept all: $onB")
+    // the 2-d box keeps no more than either dimension alone
+    val box = Snapshots.pruneFiles(m,
+      Seq(("a", 0L, 15L), ("b", 0L, 15L)))
+    assert(box.size <= math.min(onA.size, onB.size))
+    assert(box.nonEmpty)
+    // and the pruned read still returns exactly the box
+    val n = Snapshots.readVersionPruned(spark, dir, 0L,
+      Seq(("a", 0L, 15L), ("b", 0L, 15L)))
+      .filter(col("a").between(0, 15) && col("b").between(0, 15))
+      .count()
+    assert(n === 16L * 16L)
+  }
+
+  test("u6 demo: z-order box aggregate equals the raw 2-d filter") {
+    val d = "/root/testdata/sf0.001"
+    val got = Snapshots.u6ZorderSkip(spark, d).head
+    val want = graft.Tables.orders(spark, d)
+      .filter(col("o_custkey").between(100L, 500L) &&
+        to_date(col("o_orderdate")).between(lit("1995-01-01"), lit("1995-12-31")))
+      .agg(count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(0) > 0L)
+    assert(got.getDouble(1) === want.getDouble(1))
+  }
+
   test("u4 demo: pruned key-range aggregate equals the raw filter") {
     val d = "/root/testdata/sf0.001"
     val got = Snapshots.u4FileSkip(spark, d).head
