@@ -84,6 +84,7 @@ object SparkEntry {
     "u4_file_skip" -> (graft.sources.Snapshots.u4FileSkip _),
     "u5_incremental" -> (graft.sources.Snapshots.u5Incremental _),
     "u6_zorder_skip" -> (graft.sources.Snapshots.u6ZorderSkip _),
+    "u7_merge_snapshot" -> (graft.sources.Snapshots.u7MergeSnapshot _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -718,6 +719,30 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin,
+    // u7 oracle: v0 = raw orders, v1 = the u2 merge semantics replayed
+    // relationally — both versions must serve through the manifests
+    "u7_merge_snapshot" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), o_orderstatus, o_totalprice FROM merged)
+        |SELECT version, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM v GROUP BY version, o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "f1_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS v_ts FROM events

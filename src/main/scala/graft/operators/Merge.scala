@@ -61,8 +61,13 @@ object Merge {
   /** The demo merge over orders, summarized per status with exact
     * decimal sums (the post-merge audit a pipeline would run).
     */
-  def u2MergeUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.orders(s, d)
+  /** The deterministic CDC batch the u2/u7 demos share: delete keys
+    * ≡0 mod 97, update keys ≡0 mod 7 (price +10), insert re-keyed
+    * copies of keys ≡0 mod 13 — disjoint op sets per key, so the
+    * one-change-per-key precondition holds (97 is prime to 7 and 13's
+    * overlaps are re-keyed out of the base's key space).
+    */
+  def demoChanges(base: DataFrame): DataFrame = {
     val deletes = base.filter(col("o_orderkey") % 97 === 0)
       .select(base.columns.map(col): _*).withColumn("op", lit("D"))
     val updates = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 97 =!= 0)
@@ -71,8 +76,12 @@ object Merge {
     val inserts = base.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
       .withColumn("op", lit("I"))
-    val merged = applyChanges(base,
-      deletes.unionByName(updates).unionByName(inserts), "o_orderkey")
+    deletes.unionByName(updates).unionByName(inserts)
+  }
+
+  def u2MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val merged = applyChanges(base, demoChanges(base), "o_orderkey")
     merged.groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n_orders"),

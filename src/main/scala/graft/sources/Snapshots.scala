@@ -412,6 +412,38 @@ object Snapshots {
     commit(readVersion(spark, tableDir).coalesce(numFiles),
       tableDir, "overwrite", statsColumns = statsColumns)
 
+  /** MERGE-into-snapshot demo — the full lakehouse write loop:
+    * orders committed as v0, a deterministic CDC batch
+    * ([[graft.operators.Merge.demoChanges]]) applied with
+    * [[graft.operators.Merge.applyChanges]] and committed back as v1
+    * (copy-on-write: the merge result IS the overwrite commit — at
+    * scale this is MERGE's rewrite path, with [[readVersionPruned]]
+    * narrowing which files need rewriting). Output: per-status audits
+    * of BOTH versions read back through the manifests, so the oracle
+    * proves the merge landed as the new version AND the pre-merge
+    * snapshot still serves untouched.
+    */
+  def u7MergeSnapshot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-merge-snap").toString
+    val base = graft.Tables.orders(s, d)
+    commit(base, tableDir, "overwrite")
+    val merged = graft.operators.Merge.applyChanges(
+      readVersion(s, tableDir, Some(0L)),
+      graft.operators.Merge.demoChanges(base), "o_orderkey")
+    commit(merged, tableDir, "overwrite")
+    (0L to 1L).map { v =>
+      readVersion(s, tableDir, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+          col("n_orders"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version", "o_orderstatus")
+  }
+
   /** Z-order × file-skipping demo — the full layout loop: orders
     * committed Z-ordered on (o_custkey, order day) with footer stats
     * on both columns, then a 2-d box predicate reads only the files

@@ -319,6 +319,25 @@ class SnapshotSpec extends SparkSpec {
     assert(got.getDouble(1) === want.getDouble(1))
   }
 
+  test("u7 demo: merge lands as v1, pre-merge snapshot serves unchanged") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Snapshots.u7MergeSnapshot(spark, d).collect()
+    val (v0, v1) = rows.partition(_.getLong(0) == 0L)
+    assert(v0.nonEmpty && v1.nonEmpty)
+    // v0's audit is exactly the raw table's
+    val raw = graft.Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .orderBy("o_orderstatus").collect()
+    assert(v0.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      === raw.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // the merge changed the table (deletes + inserts shift counts)
+    val n0 = v0.map(_.getLong(2)).sum
+    val n1 = v1.map(_.getLong(2)).sum
+    assert(n1 !== n0)
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
