@@ -176,15 +176,62 @@ object Snapshots {
           w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
       }
     } finally w.close()
-    // THE commit point: atomic rename-if-absent. A concurrent winner
-    // already holds v<N>.manifest and rename returns false.
-    if (!f.rename(tmp, manifestPath(tableDir, version))) {
+    // THE commit point: atomic publish-if-absent. A concurrent winner
+    // already holds v<N>.manifest and the publish returns false.
+    if (!atomicPublish(f, tmp, manifestPath(tableDir, version))) {
       f.delete(tmp, false)
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
+  }
+
+  /** Publish `tmp` as `dst` iff `dst` does not exist, atomically.
+    * On HDFS and namespace-atomic object stores, `rename` IS that
+    * operation (the namenode arbitrates). Hadoop's LOCAL filesystem,
+    * though, implements rename as a non-atomic exists-check + POSIX
+    * rename (which overwrites) — two racing writers could both
+    * "win". There, hard-link creation (link(2), atomic EEXIST) is the
+    * arbitration, so the concurrent-writer guarantee holds in local
+    * tests exactly as it does on a real cluster.
+    */
+  private def atomicPublish(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, dst)
+
+  /** Optimistic-retry wrapper around [[commit]]: on a CAS loss
+    * (another writer took the version first) re-read the latest
+    * version and retry, up to `maxAttempts`. This is the writer loop
+    * every concurrent producer runs — append-mode retries are always
+    * safe (the batch lands on top of whatever won); overwrite-mode
+    * retries re-assert the caller's full-snapshot intent, which the
+    * caller must want applied regardless of interleaved commits
+    * (read-modify-write flows should instead re-derive from the new
+    * latest inside their own loop).
+    */
+  def commitRetry(df: DataFrame, tableDir: String, mode: String = "append",
+                  maxAttempts: Int = 10,
+                  statsColumns: Seq[String] = Nil): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return commit(df, tableDir, mode, statsColumns = statsColumns)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Min/max per requested column from one parquet file's FOOTER —
@@ -388,6 +435,25 @@ object Snapshots {
       s"no files added between v$fromVersion and v$toVersion of $tableDir")
     readFiles(spark, tableDir, readManifest(spark, tableDir, toVersion), added)
   }
+
+  /** The streaming half of the change feed: tail the table's data
+    * dirs as a Structured Streaming file source — each commit's new
+    * files arrive as (one or more) micro-batches, so downstream
+    * incremental jobs are plain `writeStream` consumers with
+    * checkpointed progress. The glob re-evaluates every batch, so
+    * commit dirs created after the query starts are picked up.
+    * Append-only contract, same as [[readChanges]]: an overwrite
+    * commit's files would re-deliver their rows (they are new files);
+    * tail append-only tables, restart consumers across rewrites.
+    * `maxFilesPerTrigger` bounds per-batch work at scale.
+    */
+  def streamAppends(spark: SparkSession, tableDir: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(new Path(tableDir, "data/*").toString)
 
   /** Exactly-once streaming sink over the snapshot layer, for
     * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`: the
