@@ -105,6 +105,7 @@ object SparkEntry {
     "p5_mixture" -> (Sampling.mixtureSample _),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
+    "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d4_simhash" -> (Dedup.simhash _),
@@ -1259,6 +1260,11 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "d2_dedup_hash" ->
       """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT sha256(text)) AS n_distinct
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // d9 oracle: the ONE-SHOT dedup of the full table — the
+    // incremental change-feed run must converge to exactly this
+    "d9_incremental_dedup" ->
+      """SELECT MIN(doc_id) AS rep_doc_id
+        |FROM documents GROUP BY sha256(text) ORDER BY rep_doc_id""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d7_simhash_neardup" -> d7Sql,

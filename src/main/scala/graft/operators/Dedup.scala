@@ -77,6 +77,49 @@ object Dedup {
         col("n_copies"))
       .orderBy("rep_doc_id")
 
+  /** Incremental exact dedup — the composition that makes dedup
+    * affordable at 100 TB: documents arrive as three append commits
+    * to a snapshot table ([[graft.sources.Snapshots]]), and each step
+    * processes ONLY that commit's change feed: dedup the batch within
+    * itself (min doc_id per sha256), anti-join the fingerprint INDEX
+    * table (hashes seen so far), append the survivors to the index.
+    * Per-step cost is O(new batch + index probe) — the corpus is
+    * never re-deduped. The batches split on doc_id ranges, so
+    * first-seen-wins equals the global min(doc_id) representative and
+    * the whole incremental run is oracle-checkable against the
+    * one-shot dedup of the full table. At scale the index probe is a
+    * shuffle on 64-char hashes (or a bloom prefilter — see
+    * [[BloomPrune]]); the index table itself is exactly the shape
+    * [[graft.sources.Snapshots.compact]] maintains.
+    */
+  def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Snapshots
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head.getLong(0) // one tiny action
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-lake").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-incdedup-index").toString
+    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite")
+    Snapshots.commit(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      lakeDir, "append")
+    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append")
+    (0L to 2L).foreach { v =>
+      val batchReps = Snapshots.readChanges(s, lakeDir, v - 1, v)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("rep_doc_id"))
+      val survivors =
+        if (v == 0) batchReps
+        else batchReps.join(
+          Snapshots.readVersion(s, indexDir).select("h"), Seq("h"), "left_anti")
+      Snapshots.commit(survivors, indexDir,
+        if (v == 0) "overwrite" else "append")
+    }
+    Snapshots.readVersion(s, indexDir)
+      .select("rep_doc_id").orderBy("rep_doc_id")
+  }
+
   /** Content-hash dedup stats per source: at 100 TB you shuffle the
     * 64-char sha256, not the document body.
     */

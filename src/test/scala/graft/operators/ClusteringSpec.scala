@@ -10,6 +10,18 @@ class ClusteringSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("incremental dedup equals the one-shot dedup, reps unique") {
+    val inc = Dedup.d9IncrementalDedup(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val oneShot = graft.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("text"), 256))
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("rep"))
+      .select("rep").collect().map(_.getLong(0)).toSeq.sorted
+    assert(inc === oneShot)
+    assert(inc.distinct.size === inc.size)
+  }
+
   test("dedup clusters: every cluster has >= 2 members and a min-id rep") {
     val rows = Dedup.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups")
