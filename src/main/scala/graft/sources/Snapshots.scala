@@ -83,6 +83,27 @@ object Snapshots {
   private def manifestPath(tableDir: String, v: Long): Path =
     new Path(tableDir, f"_manifests/v$v%06d.manifest")
 
+  private def floorPath(tableDir: String): Path =
+    new Path(tableDir, "_manifests/_floor")
+
+  /** Lowest version still readable (0 if never vacuumed). Versions
+    * below the floor were expired by [[vacuum]]; [[commit]] refuses to
+    * (re-)create them, so a replayed producer whose version was
+    * already compacted away sees the same
+    * `ConcurrentModificationException` as a CAS loss — and
+    * [[exactlyOnceSink]] treats it as the no-op it is.
+    */
+  def vacuumFloor(spark: SparkSession, tableDir: String): Long = {
+    val f = fs(spark, tableDir)
+    val p = floorPath(tableDir)
+    if (!f.exists(p)) 0L
+    else {
+      val r = new BufferedReader(
+        new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+      try r.readLine().trim.toLong finally r.close()
+    }
+  }
+
   /** Latest committed version, or None for an uninitialized table.
     * One listing of the (small) manifest dir.
     */
@@ -124,6 +145,12 @@ object Snapshots {
     val f = fs(spark, tableDir)
     val version = expectedVersion.getOrElse(
       latestVersion(spark, tableDir).map(_ + 1).getOrElse(0L))
+    // a version below the vacuum floor was expired — recreating it
+    // would corrupt history; surface as the CAS-style conflict so
+    // replayed producers no-op (see [[vacuumFloor]])
+    if (version < vacuumFloor(spark, tableDir))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir is below the vacuum floor")
     val dataRel = f"data/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(tableDir, dataRel)
     df.write.parquet(dataDir.toString)
@@ -615,6 +642,14 @@ object Snapshots {
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
       if (st.isDirectory && !liveDirs.contains(st.getPath.getName))
         f.delete(st.getPath, true)
+    }
+    // raise the floor so an expired version can never be re-committed
+    // (admin op: plain overwrite, coordinate vacuums externally)
+    if (keepFromVersion > vacuumFloor(spark, tableDir)) {
+      val p = floorPath(tableDir)
+      val w = new OutputStreamWriter(
+        f.create(p, true), StandardCharsets.UTF_8)
+      try w.write(s"$keepFromVersion\n") finally w.close()
     }
     deadOnly.size
   }

@@ -196,6 +196,35 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 5L)
   }
 
+  test("ops lifecycle: sink -> compact -> vacuum keeps the table correct and bounded") {
+    val dir = freshDir()
+    // a streaming producer lands 6 micro-batches via the
+    // exactly-once sink (6 versions, 1+ file each)
+    (0 until 6).foreach(b =>
+      Snapshots.exactlyOnceSink(dir)(frame(b * 10 until (b + 1) * 10, s"b$b"), b.toLong))
+    assert(Snapshots.latestVersion(spark, dir) === Some(5L))
+    // periodic OPTIMIZE: compact to 2 files (version 6)
+    val compacted = Snapshots.compact(spark, dir, numFiles = 2)
+    assert(compacted === 6L)
+    assert(Snapshots.readManifest(spark, dir, 6L).files.size === 2)
+    // retention: expire everything before the compacted version
+    Snapshots.vacuum(spark, dir, keepFromVersion = 6L)
+    // the table still serves, with all 60 rows exactly once
+    val served = Snapshots.readVersion(spark, dir)
+    assert(served.count() === 60L)
+    assert(served.select("id").distinct().count() === 60L)
+    // storage is bounded: only the compacted files remain on disk
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "data"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk === Snapshots.readManifest(spark, dir, 6L)
+      .files.map(_.split("/")(1)).toSet)
+    // and a late replay of an already-compacted batch is still a no-op
+    Snapshots.exactlyOnceSink(dir)(frame(0 until 10, "b0"), 0L)
+    assert(Snapshots.latestVersion(spark, dir) === Some(6L))
+  }
+
   test("compaction: fewer files, same rows, prior versions intact") {
     val dir = freshDir()
     (0 until 5).foreach(i =>
