@@ -106,6 +106,7 @@ object SparkEntry {
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
     "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
+    "d10_incremental_lsh" -> ((s, d) => Dedup.d10IncrementalLsh(s, d)),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d4_simhash" -> (Dedup.simhash _),
@@ -1266,6 +1267,9 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
       """SELECT MIN(doc_id) AS rep_doc_id
         |FROM documents GROUP BY sha256(text) ORDER BY rep_doc_id""".stripMargin,
     "d3_minhash_lsh" -> d3Sql,
+    // d10 shares d3's oracle verbatim: the incremental change-feed run
+    // must accumulate to exactly the one-shot LSH result
+    "d10_incremental_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d7_simhash_neardup" -> d7Sql,
     "d6_dedup_clusters" -> d6Sql,

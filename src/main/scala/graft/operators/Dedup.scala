@@ -210,6 +210,22 @@ object Dedup {
     * The plan contains no cartesian product — candidate generation is a
     * hash join on (band index, band key).
     */
+  /** (doc_id, band, key) rows from a signature frame: key = md5 of
+    * the band's `rowsPerBand` signature values — docs sharing any
+    * (band, key) are LSH candidates.
+    */
+  private def bandKeys(sigs: DataFrame, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+          .as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   def minhashLsh(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, d)
     val numHashes = 12
@@ -219,15 +235,7 @@ object Dedup {
     val sh = hashedShingles(docs, 2)
     val sigs = minhashSigs(sh, numHashes)
 
-    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|",
-          (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
-          .as("key"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(sigs, numHashes, rowsPerBand)
 
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -239,6 +247,70 @@ object Dedup {
     verifiedJaccard(sh, cand)
       .filter(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
+  }
+
+  /** Incremental MinHash-LSH near-dedup — [[minhashLsh]] as the
+    * maintenance loop a 100 TB corpus actually runs: documents arrive
+    * as three append commits; each step shingles and signs ONLY its
+    * change feed, finds candidates as (new×new within the batch) ∪
+    * (new bands ⋈ the band-bucket INDEX of everything seen), verifies
+    * with exact Jaccard, and appends its bands to the index. Per-step
+    * cost: O(batch) hashing + a keyed join against the index — never
+    * a re-sign of the corpus. The old side of a verified pair is
+    * re-shingled ONLY for docs that appear in candidates
+    * (O(candidates) recompute; a production index would store shingle
+    * sets alongside bands to trade storage for that recompute).
+    * Batches split on doc_id ranges, so every cross-step pair has
+    * d1(old) < d2(new) and the accumulated output is EXACTLY
+    * [[minhashLsh]]'s — same oracle, proving one-shot == incremental.
+    */
+  def d10IncrementalLsh(s: SparkSession, d: String,
+                        minJaccard: Double = 0.8): DataFrame = {
+    import graft.sources.Snapshots
+    val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft-inclsh-lake").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-inclsh-index").toString
+    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite")
+    Snapshots.commit(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+      lakeDir, "append")
+    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append")
+    val stepPairs = (0L to 2L).map { v =>
+      val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
+      val shNew = hashedShingles(batch, 2)
+      val bandsNew = bandKeys(minhashSigs(shNew, 12), 12, 3)
+      val within = bandsNew.as("a")
+        .join(bandsNew.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val cand = persistFrame(
+        if (v == 0) {
+          Snapshots.commit(bandsNew, indexDir, "overwrite")
+          within.distinct()
+        } else {
+          // the index read is resolved BEFORE this step's append, so
+          // it holds exactly the previously-seen docs' bands
+          val index = Snapshots.readVersion(s, indexDir)
+          val cross = index.as("a")
+            .join(bandsNew.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          Snapshots.commit(bandsNew, indexDir, "append")
+          within.unionByName(cross).distinct()
+        })
+      val oldCandDocs = cand.select(col("d1").as("doc_id")).distinct()
+        .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      val shOld = hashedShingles(
+        Snapshots.readVersion(s, lakeDir, Some(v))
+          .join(oldCandDocs, Seq("doc_id"), "left_semi"), 2)
+      verifiedJaccard(shNew.unionByName(shOld), cand)
+        .filter(col("jaccard") >= minJaccard)
+    }
+    stepPairs.reduce(_ unionByName _).orderBy("d1", "d2")
   }
 
   /** Exact Jaccard for candidate pairs (d1, d2) over a materialized

@@ -22,6 +22,16 @@ class ClusteringSpec extends SparkSpec {
     assert(inc.distinct.size === inc.size)
   }
 
+  test("incremental LSH equals the one-shot LSH pair-for-pair") {
+    val inc = Dedup.d10IncrementalLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShot = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc === oneShot)
+    assert(inc.nonEmpty)
+    inc.foreach { case (d1, d2) => assert(d1 < d2) }
+  }
+
   test("dedup clusters: every cluster has >= 2 members and a min-id rep") {
     val rows = Dedup.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups")
