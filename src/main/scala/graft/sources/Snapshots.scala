@@ -505,6 +505,27 @@ object Snapshots {
     commit(readVersion(spark, tableDir).coalesce(numFiles),
       tableDir, "overwrite", statsColumns = statsColumns)
 
+  /** Clustering compaction: rewrite the latest version range-sorted on
+    * `sortCol` into `numFiles` files WITH footer stats on it — the
+    * OPTIMIZE-with-ZORDER/sort shape. A streaming-sink table's commit
+    * order is arrival order, so its per-file [min,max] spans on query
+    * columns drift toward the full range and file skipping decays;
+    * sorted compaction is when clustering (and so pruning) is
+    * restored. One shuffle (repartitionByRange's sampled balanced
+    * ranges), prior versions untouched.
+    */
+  def compactSorted(spark: SparkSession, tableDir: String, numFiles: Int,
+                    sortCol: String,
+                    statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val cols = if (statsColumns.isEmpty) Seq(sortCol) else statsColumns
+    commit(
+      readVersion(spark, tableDir)
+        .repartitionByRange(numFiles, col(sortCol))
+        .sortWithinPartitions(sortCol),
+      tableDir, "overwrite", statsColumns = cols)
+  }
+
   /** MERGE-into-snapshot demo — the full lakehouse write loop:
     * orders committed as v0, a deterministic CDC batch
     * ([[graft.operators.Merge.demoChanges]]) applied with

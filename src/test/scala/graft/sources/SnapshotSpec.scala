@@ -225,6 +225,31 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) === Some(6L))
   }
 
+  test("sorted compaction restores file skipping that arrival order destroyed") {
+    val dir = freshDir()
+    // interleaved arrival: every batch spans the whole id range, so
+    // every file's [min,max] covers everything — nothing can prune
+    (0 until 4).foreach { b =>
+      val batch = spark.range(400).filter(col("id") % 4 === b)
+        .select(col("id"), (col("id") % 7).as("payload"))
+        .coalesce(1) // one file per batch, spanning the full id range
+      Snapshots.commit(batch, dir, "append", statsColumns = Seq("id"))
+    }
+    val before = Snapshots.readManifest(spark, dir, 3L)
+    assert(before.files.size === 4)
+    assert(Snapshots.pruneFiles(before, "id", 10L, 20L).size === 4,
+      "arrival order: no file should prune")
+    // sorted compaction re-clusters: now a narrow range keeps 1 file
+    val v = Snapshots.compactSorted(spark, dir, numFiles = 4, sortCol = "id")
+    val after = Snapshots.readManifest(spark, dir, v)
+    assert(after.files.size === 4)
+    assert(Snapshots.pruneFiles(after, "id", 10L, 20L).size === 1)
+    // rows unchanged
+    assert(Snapshots.readVersion(spark, dir).count() === 400L)
+    assert(Snapshots.readVersion(spark, dir).agg(sum("id")).head.getLong(0)
+      === (0L until 400L).sum)
+  }
+
   test("compaction: fewer files, same rows, prior versions intact") {
     val dir = freshDir()
     (0 until 5).foreach(i =>
