@@ -257,9 +257,11 @@ object Dedup {
     * with exact Jaccard, and appends its bands to the index. Per-step
     * cost: O(batch) hashing + a keyed join against the index — never
     * a re-sign of the corpus. The old side of a verified pair is
-    * re-shingled ONLY for docs that appear in candidates
-    * (O(candidates) recompute; a production index would store shingle
-    * sets alongside bands to trade storage for that recompute).
+    * re-shingled ONLY for docs that appear in candidates: the lake's
+    * doc_id footer stats prune the re-read to the files overlapping
+    * the candidate id range, and the recompute is O(candidates)
+    * (a production index would store shingle sets alongside bands to
+    * trade storage for even that).
     * Batches split on doc_id ranges, so every cross-step pair has
     * d1(old) < d2(new) and the accumulated output is EXACTLY
     * [[minhashLsh]]'s — same oracle, proving one-shot == incremental.
@@ -274,10 +276,12 @@ object Dedup {
       .createTempDirectory("graft-inclsh-lake").toString
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft-inclsh-index").toString
-    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite")
+    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite",
+      statsColumns = Seq("doc_id"))
     Snapshots.commit(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-      lakeDir, "append")
-    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append")
+      lakeDir, "append", statsColumns = Seq("doc_id"))
+    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append",
+      statsColumns = Seq("doc_id"))
     val stepPairs = (0L to 2L).map { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
       val shNew = hashedShingles(batch, 2)
@@ -304,10 +308,18 @@ object Dedup {
         })
       val oldCandDocs = cand.select(col("d1").as("doc_id")).distinct()
         .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
-      val shOld = hashedShingles(
-        Snapshots.readVersion(s, lakeDir, Some(v))
-          .join(oldCandDocs, Seq("doc_id"), "left_semi"), 2)
-      verifiedJaccard(shNew.unionByName(shOld), cand)
+      // re-read of old candidate docs: the lake commits carry doc_id
+      // footer stats, so the scan prunes to the files overlapping the
+      // candidate id range instead of touching the whole corpus (the
+      // bounds agg is a bounded 2-column action, like skewProfile's)
+      val bounds = oldCandDocs.agg(min("doc_id"), max("doc_id")).head
+      val shVerify =
+        if (bounds.isNullAt(0)) shNew // no cross-batch candidates
+        else shNew.unionByName(hashedShingles(
+          Snapshots.readVersionPruned(s, lakeDir, v, "doc_id",
+              bounds.getLong(0), bounds.getLong(1))
+            .join(oldCandDocs, Seq("doc_id"), "left_semi"), 2))
+      verifiedJaccard(shVerify, cand)
         .filter(col("jaccard") >= minJaccard)
     }
     stepPairs.reduce(_ unionByName _).orderBy("d1", "d2")
