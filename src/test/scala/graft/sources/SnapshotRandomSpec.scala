@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import scala.util.Random
+
+/** Randomized (fixed-seed) protocol check: random sequences of
+  * commit/append/compact/vacuum against a driver-side reference model
+  * of what every version must contain — the snapshot contract holds
+  * on interleavings no hand-written fixture thought of.
+  */
+class SnapshotRandomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("random op sequences: every live version serves exactly its model rows") {
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-snap-rand-$seed").toString
+      var nextId = 0L
+      def batch(): (Set[(Long, String)], org.apache.spark.sql.DataFrame) = {
+        val n = 1 + rnd.nextInt(20)
+        val tag = s"t${rnd.nextInt(1000)}"
+        val rows = (0 until n).map { _ => nextId += 1; (nextId, tag) }.toSet
+        (rows, rows.toSeq.toDF("id", "tag"))
+      }
+      // model(v) = Some(expected row set) or None once vacuumed
+      var model = Vector.empty[Option[Set[(Long, String)]]]
+      val (r0, df0) = batch()
+      Snapshots.commit(df0, dir, "overwrite")
+      model :+= Some(r0)
+      var floor = 0L
+
+      for (_ <- 1 to 14) {
+        rnd.nextInt(10) match {
+          case i if i < 5 => // append
+            val (rows, df) = batch()
+            Snapshots.commit(df, dir, "append")
+            model :+= Some(model.last.get ++ rows)
+          case i if i < 7 => // overwrite (copy-on-write rewrite)
+            val (rows, df) = batch()
+            Snapshots.commit(df, dir, "overwrite")
+            model :+= Some(rows)
+          case i if i < 9 => // compact: same rows, new version
+            Snapshots.compact(spark, dir, numFiles = 1 + rnd.nextInt(3))
+            model :+= Some(model.last.get)
+          case _ => // vacuum to a random floor ≤ latest
+            val latest = model.size - 1L
+            val keep = floor + rnd.nextInt((latest - floor + 1).toInt)
+            if (keep > floor) {
+              Snapshots.vacuum(spark, dir, keep)
+              model = model.zipWithIndex.map { case (m, v) =>
+                if (v < keep) None else m
+              }
+              floor = keep
+            }
+        }
+      }
+
+      assert(Snapshots.latestVersion(spark, dir) === Some(model.size - 1L))
+      assert(Snapshots.vacuumFloor(spark, dir) === floor)
+      model.zipWithIndex.foreach {
+        case (Some(rows), v) =>
+          val got = Snapshots.readVersion(spark, dir, Some(v.toLong))
+            .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+          assert(got === rows, s"seed=$seed version=$v")
+        case (None, v) =>
+          intercept[IllegalArgumentException] {
+            Snapshots.readManifest(spark, dir, v.toLong)
+          }
+          // an expired version can never be re-committed
+          intercept[java.util.ConcurrentModificationException] {
+            Snapshots.commit(Seq((0L, "x")).toDF("id", "tag"), dir,
+              "overwrite", expectedVersion = Some(v.toLong))
+          }
+      }
+    }
+  }
+}
