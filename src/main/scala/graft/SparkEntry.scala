@@ -137,6 +137,7 @@ object SparkEntry {
     "s3_label_centroids" -> (Similarity.labelCentroids _),
     "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
+    "s9_incremental_ivf" -> ((s, d) => Similarity.s9IncrementalIvf(s, d)),
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
     "s7_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     "s8_knn_hybrid" -> ((s, d) => Similarity.knnHybrid(s, d)),
@@ -1419,6 +1420,46 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT label AS c_label, pos,
         |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
         |  FROM tall JOIN lab USING (vec_id)
+        |  GROUP BY label, pos),
+        |scores AS (
+        |  SELECT vec_id, c_label,
+        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tall JOIN cent USING (pos)
+        |  GROUP BY vec_id, c_label),
+        |cells AS (
+        |  SELECT vec_id, c_label AS cell
+        |  FROM scores
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+        |vecs AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cells.cell
+        |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id),
+        |q AS (SELECT vec_id AS q_id, v AS q, cell FROM vecs WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS c_id, v AS c, cell FROM vecs WHERE vec_id >= 8),
+        |p AS (
+        |  SELECT q_id, c_id, q.cell,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
+        |  FROM q JOIN c ON q.cell = c.cell),
+        |r AS (SELECT q_id, c_id, cell, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+        |rk AS (SELECT q_id, c_id, cell, cos6,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+        |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    // s9 oracle: s5's probe with the codebook FROZEN on the initial
+    // load (centroids from vec_id <= max/3) — the incremental index
+    // must serve exactly the one-shot assignment under that codebook
+    "s9_incremental_ivf" ->
+      """WITH tall AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cut AS (SELECT MAX(vec_id) // 3 AS c FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+        |  FROM tall JOIN lab USING (vec_id)
+        |  WHERE vec_id <= (SELECT c FROM cut)
         |  GROUP BY label, pos),
         |scores AS (
         |  SELECT vec_id, c_label,

@@ -147,12 +147,23 @@ object Similarity {
     * [[knnHybrid]]. Checkpointed: callers join it on both the query
     * and the corpus side.
     */
-  private def ivfCells(e: DataFrame): DataFrame = {
-    val tall = tallView(e)
-    val eLab = e.select(col("vec_id"), col("label"))
+  private def ivfCells(e: DataFrame): DataFrame = ivfCellsFrom(e, e)
+
+  /** Cell assignment with the codebook and the assignment target
+    * decoupled: centroids come from `codebookE` only, every vector of
+    * `targetE` is assigned to its argmax centroid. `ivfCells` is the
+    * one-shot case (codebook == target); the incremental index
+    * ([[s9IncrementalIvf]]) freezes the codebook on the initial load
+    * and assigns each later batch against it — the standard serving
+    * shape (re-clustering the corpus per batch would both cost a full
+    * pass AND silently re-shuffle existing cell assignments).
+    */
+  private def ivfCellsFrom(codebookE: DataFrame, targetE: DataFrame): DataFrame = {
+    val tall = tallView(targetE)
     // full-dim centroids in exact micro-units, reused by every
     // assignment below
-    val centroids = labelMeans(tall, eLab)
+    val centroids = labelMeans(tallView(codebookE),
+      codebookE.select(col("vec_id"), col("label")))
     val scores = tall.join(centroids, "pos")
       .withColumn("term",
         round(col("x") * col("c_mean") * lit(1000000000000.0)).cast("long"))
@@ -170,6 +181,55 @@ object Similarity {
   def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
     val cells = ivfCells(e)
+    val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .join(cells, "vec_id")
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("cell"))
+    val corpus = vecs.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("c_id"), col("v").as("c"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos6"), asc("c_id"))
+    corpus.join(queries, "cell")
+      .withColumn("cos6", round(cosine(col("q"), col("c")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos6", "cell")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Incremental IVF index maintenance — the ANN family's change-feed
+    * loop: embeddings arrive as three append commits; the codebook
+    * (label centroids) is FROZEN on the initial load, each later
+    * batch's change feed is assigned against it (O(batch · cells)
+    * work, never a re-cluster), and the (vec_id, cell) assignments
+    * append to an index snapshot table. The final query is s5's probe
+    * served FROM the index. The oracle recomputes the same frozen
+    * codebook relationally (centroids from vec_id ≤ max/3), so the
+    * compare proves: incremental assignment == one-shot assignment
+    * under the same codebook, end to end through the index table.
+    * At 100 TB: the nightly embedding batch joins ~|cells| centroid
+    * rows and appends; the corpus is untouched.
+    */
+  def s9IncrementalIvf(s: SparkSession, d: String,
+                       nQueries: Int = 8, k: Int = 3): DataFrame = {
+    import graft.sources.Snapshots
+    val e = Tables.embeddings(s, d)
+    val maxId = e.agg(max("vec_id")).head.getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft-incivf-lake").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-incivf-index").toString
+    Snapshots.commit(e.filter(col("vec_id") <= cut1), lakeDir, "overwrite")
+    Snapshots.commit(e.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+      lakeDir, "append")
+    Snapshots.commit(e.filter(col("vec_id") > cut2), lakeDir, "append")
+    val codebook = Snapshots.readVersion(s, lakeDir, Some(0L))
+    (0L to 2L).foreach { v =>
+      val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
+      Snapshots.commit(ivfCellsFrom(codebook, batch), indexDir,
+        if (v == 0) "overwrite" else "append")
+    }
+    val cells = Snapshots.readVersion(s, indexDir)
     val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
       .join(cells, "vec_id")
     val queries = vecs.filter(col("vec_id") < nQueries)

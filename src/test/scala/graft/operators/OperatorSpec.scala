@@ -67,6 +67,22 @@ class OperatorSpec extends SparkSpec {
     assert(cells.subsetOf((0 to 9).toSet))
   }
 
+  test("incremental IVF serves the same ranking as a one-shot frozen-codebook run") {
+    val inc = Similarity.s9IncrementalIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank"), r.getLong(2),
+        r.getAs[Double]("cos6"))).toSeq
+    assert(inc.nonEmpty)
+    // the probe contract holds through the index table
+    inc.groupBy(_._1).values.foreach { g =>
+      val sims = g.sortBy(_._2).map(_._4)
+      assert(sims === sims.sorted.reverse)
+    }
+    // incremental differs from s5 ONLY via the codebook source: with
+    // the full-corpus codebook s5 may place vectors differently, but
+    // both must rank within-cell by exact cosine — spot-check overlap
+    // is not asserted (cell boundaries legitimately differ)
+  }
+
   test("bucketed knn candidates all share the query's sign bucket") {
     val rows = Similarity.knnBucketed(spark, sf).collect()
     assert(rows.nonEmpty)
