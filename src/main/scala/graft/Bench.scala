@@ -56,7 +56,12 @@ object Bench {
     def freeCheckpoints(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — iteration tooling;
+    // the recorded protocol is always the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up pass (untimed) — failures are logged, not discarded: a
     // query broken in warm-up will fail the timed passes too, and the
     // earliest report makes the log readable

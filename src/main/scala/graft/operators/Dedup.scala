@@ -293,7 +293,11 @@ object Dedup {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       val cand = persistFrame(
         if (v == 0) {
-          Snapshots.commit(bandsNew, indexDir, "overwrite")
+          // coalesce(1): a batch's bands are ~100 KB — one right-sized
+          // file per commit beats one tiny file per shuffle partition
+          // (the index is re-read every later step; small files tax
+          // every one of those reads)
+          Snapshots.commit(bandsNew.coalesce(1), indexDir, "overwrite")
           within.distinct()
         } else {
           // the index read is resolved BEFORE this step's append, so
@@ -303,7 +307,7 @@ object Dedup {
             .join(bandsNew.as("b"),
               col("a.band") === col("b.band") && col("a.key") === col("b.key"))
             .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          Snapshots.commit(bandsNew, indexDir, "append")
+          Snapshots.commit(bandsNew.coalesce(1), indexDir, "append")
           within.unionByName(cross).distinct()
         })
       val oldCandDocs = cand.select(col("d1").as("doc_id")).distinct()

@@ -158,12 +158,26 @@ object Similarity {
     * shape (re-clustering the corpus per batch would both cost a full
     * pass AND silently re-shuffle existing cell assignments).
     */
-  private def ivfCellsFrom(codebookE: DataFrame, targetE: DataFrame): DataFrame = {
-    val tall = tallView(targetE)
-    // full-dim centroids in exact micro-units, reused by every
-    // assignment below
-    val centroids = labelMeans(tallView(codebookE),
+  private def ivfCellsFrom(codebookE: DataFrame, targetE: DataFrame): DataFrame =
+    assignCells(codebookCentroids(codebookE), targetE)
+      .transform(Checkpoints.persistFrame)
+
+  /** The stored codebook artifact: per-label full-dim centroids in
+    * exact micro-units, checkpointed. Incremental maintainers compute
+    * this ONCE and assign every later batch against it — the codebook
+    * is the persisted thing, not something re-derived per batch.
+    */
+  private def codebookCentroids(codebookE: DataFrame): DataFrame =
+    labelMeans(tallView(codebookE),
       codebookE.select(col("vec_id"), col("label")))
+
+  /** Argmax-centroid assignment of `targetE` against a prebuilt
+    * centroid frame. Not checkpointed — callers that immediately
+    * materialize the result (e.g. a snapshot commit) would otherwise
+    * pay a second, redundant materialization.
+    */
+  private def assignCells(centroids: DataFrame, targetE: DataFrame): DataFrame = {
+    val tall = tallView(targetE)
     val scores = tall.join(centroids, "pos")
       .withColumn("term",
         round(col("x") * col("c_mean") * lit(1000000000000.0)).cast("long"))
@@ -175,7 +189,6 @@ object Similarity {
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_label").as("cell"))
-      .transform(Checkpoints.persistFrame)
   }
 
   def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
@@ -223,12 +236,20 @@ object Similarity {
     Snapshots.commit(e.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
       lakeDir, "append")
     Snapshots.commit(e.filter(col("vec_id") > cut2), lakeDir, "append")
-    val codebook = Snapshots.readVersion(s, lakeDir, Some(0L))
+    // the frozen codebook's centroids are built ONCE (checkpointed)
+    // and reused by every batch assignment — re-deriving them per
+    // batch would triple the agg over the initial load for nothing
+    val centroids = codebookCentroids(
+      Snapshots.readVersion(s, lakeDir, Some(0L)))
     (0L to 2L).foreach { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
-      Snapshots.commit(ivfCellsFrom(codebook, batch), indexDir,
+      // coalesce(1): a batch's (vec_id, cell) assignment is a few KB —
+      // one right-sized file per commit, not one per shuffle partition
+      // (table formats target file SIZE; at this scale that is 1 file)
+      Snapshots.commit(assignCells(centroids, batch).coalesce(1), indexDir,
         if (v == 0) "overwrite" else "append")
     }
+    Checkpoints.unpersistCheckpoint(centroids)
     val cells = Snapshots.readVersion(s, indexDir)
     val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
       .join(cells, "vec_id")
