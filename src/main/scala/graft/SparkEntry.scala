@@ -105,7 +105,7 @@ object SparkEntry {
     "p5_mixture" -> (Sampling.mixtureSample _),
     // ---- LLM-pipeline: dedup ----
     "d1_dedup_exact" -> (Dedup.exactDedup _),
-    "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
+    "d9_incremental_dedup" -> ((s, d) => Dedup.d9IncrementalDedup(s, d)),
     "d10_incremental_lsh" -> ((s, d) => Dedup.d10IncrementalLsh(s, d)),
     "d2_dedup_hash" -> (Dedup.hashDedup _),
     "d3_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),

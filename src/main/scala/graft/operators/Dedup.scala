@@ -92,20 +92,16 @@ object Dedup {
     * [[BloomPrune]]); the index table itself is exactly the shape
     * [[graft.sources.Snapshots.compact]] maintains.
     */
-  def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+  def d9IncrementalDedup(s: SparkSession, d: String,
+                         cuts: Option[Seq[Long]] = None): DataFrame = {
     import graft.sources.Snapshots
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val maxId = docs.agg(max("doc_id")).head.getLong(0) // one tiny action
-    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val lakeDir = java.nio.file.Files
       .createTempDirectory("graft-incdedup-lake").toString
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft-incdedup-index").toString
-    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite")
-    Snapshots.commit(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-      lakeDir, "append")
-    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append")
-    (0L to 2L).foreach { v =>
+    val nBatches = commitIdRangeBatches(s, docs, lakeDir, cuts, Nil)
+    (0L until nBatches).foreach { v =>
       val batchReps = Snapshots.readChanges(s, lakeDir, v - 1, v)
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min("doc_id").as("rep_doc_id"))
@@ -113,11 +109,36 @@ object Dedup {
         if (v == 0) batchReps
         else batchReps.join(
           Snapshots.readVersion(s, indexDir).select("h"), Seq("h"), "left_anti")
-      Snapshots.commit(survivors, indexDir,
+      Snapshots.commit(survivors.coalesce(1), indexDir,
         if (v == 0) "overwrite" else "append")
     }
     Snapshots.readVersion(s, indexDir)
       .select("rep_doc_id").orderBy("rep_doc_id")
+  }
+
+  /** Split `docs` into doc_id-RANGE batches at `cuts` (interior cut
+    * points, default thirds of max doc_id) and commit each as one lake
+    * version. Range cuts are what make "incremental == one-shot" hold
+    * for min-id representatives and ordered pairs: the first batch
+    * containing a fingerprint also contains its minimum doc_id, and
+    * every cross-step candidate pair has d1(old) < d2(new). Returns
+    * the number of batches committed.
+    */
+  private def commitIdRangeBatches(s: SparkSession, docs: DataFrame,
+                                   lakeDir: String, cuts: Option[Seq[Long]],
+                                   statsColumns: Seq[String]): Long = {
+    import graft.sources.Snapshots
+    val cutPoints = cuts.getOrElse {
+      val maxId = docs.agg(max("doc_id")).head.getLong(0) // one tiny action
+      Seq(maxId / 3, 2 * maxId / 3)
+    }.sorted
+    val bounds = (Long.MinValue +: cutPoints) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      Snapshots.commit(
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi), lakeDir,
+        if (i == 0) "overwrite" else "append", statsColumns = statsColumns)
+    }
+    bounds.size - 1L
   }
 
   /** Content-hash dedup stats per source: at 100 TB you shuffle the
@@ -267,22 +288,17 @@ object Dedup {
     * [[minhashLsh]]'s — same oracle, proving one-shot == incremental.
     */
   def d10IncrementalLsh(s: SparkSession, d: String,
-                        minJaccard: Double = 0.8): DataFrame = {
+                        minJaccard: Double = 0.8,
+                        cuts: Option[Seq[Long]] = None): DataFrame = {
     import graft.sources.Snapshots
     val docs = Tables.documents(s, d)
-    val maxId = docs.agg(max("doc_id")).head.getLong(0)
-    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val lakeDir = java.nio.file.Files
       .createTempDirectory("graft-inclsh-lake").toString
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft-inclsh-index").toString
-    Snapshots.commit(docs.filter(col("doc_id") <= cut1), lakeDir, "overwrite",
-      statsColumns = Seq("doc_id"))
-    Snapshots.commit(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-      lakeDir, "append", statsColumns = Seq("doc_id"))
-    Snapshots.commit(docs.filter(col("doc_id") > cut2), lakeDir, "append",
-      statsColumns = Seq("doc_id"))
-    val stepPairs = (0L to 2L).map { v =>
+    val nBatches =
+      commitIdRangeBatches(s, docs, lakeDir, cuts, statsColumns = Seq("doc_id"))
+    val stepPairs = (0L until nBatches).map { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
       val shNew = hashedShingles(batch, 2)
       val bandsNew = bandKeys(minhashSigs(shNew, 12), 12, 3)

@@ -32,6 +32,36 @@ class ClusteringSpec extends SparkSpec {
     inc.foreach { case (d1, d2) => assert(d1 < d2) }
   }
 
+  test("incremental == one-shot holds under randomized batch cuts and counts") {
+    // the equality claim is not an artifact of the default thirds
+    // split: any id-RANGE partition of the corpus, at any batch count,
+    // must reproduce the one-shot result exactly (range cuts are the
+    // load-bearing part — see commitIdRangeBatches scaladoc)
+    val ids = graft.Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val oneShotReps = graft.Tables.documents(spark, sf)
+      .groupBy(sha2(col("text"), 256))
+      .agg(min("doc_id").as("rep"))
+      .select("rep").collect().map(_.getLong(0)).toSeq.sorted
+    val rnd = new scala.util.Random(20260813L)
+    // interior cuts sampled from real ids (max excluded) => every
+    // batch of (lo, hi] ranges is non-empty by construction
+    def randomCuts(n: Int): Seq[Long] =
+      rnd.shuffle(ids.init.toSeq).take(n).sorted
+    (1 to 3).foreach { round =>
+      val cuts = randomCuts(1 + rnd.nextInt(4)) // 2-5 batches
+      val inc = Dedup.d9IncrementalDedup(spark, sf, Some(cuts))
+        .collect().map(_.getLong(0)).toSeq
+      assert(inc === oneShotReps, s"d9 diverged for cuts=$cuts (round $round)")
+    }
+    val lshCuts = randomCuts(3) // 4 batches, one more than the default demo
+    val incPairs = Dedup.d10IncrementalLsh(spark, sf, cuts = Some(lshCuts))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val oneShotPairs = Dedup.minhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(incPairs === oneShotPairs, s"d10 diverged for cuts=$lshCuts")
+  }
+
   test("dedup clusters: every cluster has >= 2 members and a min-id rep") {
     val rows = Dedup.dedupClusters(spark, sf).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups")
