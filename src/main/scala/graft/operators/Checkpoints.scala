@@ -29,11 +29,18 @@ private[graft] object Checkpoints {
     */
   def persistFrame(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    // tolerant parse: "1"/"yes" read as true rather than throwing the
-    // IllegalArgumentException `_.toBoolean` would
+    // common truthy/falsy spellings accepted; anything else FAILS
+    // FAST — a typo ("ture") silently reading as false would strip
+    // the fault tolerance the deployment explicitly opted into, and
+    // only surface at the first executor loss
     val reliable = s.conf.getOption("spark.graft.reliableCheckpoint")
-      .exists(v => v.equalsIgnoreCase("true") || v == "1" ||
-        v.equalsIgnoreCase("yes"))
+      .map(_.toLowerCase) match {
+      case None => false
+      case Some("true" | "1" | "yes" | "on") => true
+      case Some("false" | "0" | "no" | "off") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.reliableCheckpoint=$other (want true/false)")
+    }
     if (reliable) {
       if (s.sparkContext.getCheckpointDir.isEmpty)
         s.sparkContext.setCheckpointDir(

@@ -96,10 +96,8 @@ object Dedup {
                          cuts: Option[Seq[Long]] = None): DataFrame = {
     import graft.sources.Snapshots
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val lakeDir = java.nio.file.Files
-      .createTempDirectory("graft-incdedup-lake").toString
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-incdedup-index").toString
+    val lakeDir = graft.TempDirs.create("graft-incdedup-lake")
+    val indexDir = graft.TempDirs.create("graft-incdedup-index")
     val nBatches = commitIdRangeBatches(s, docs, lakeDir, cuts, Nil)
     (0L until nBatches).foreach { v =>
       val batchReps = Snapshots.readChanges(s, lakeDir, v - 1, v)
@@ -292,16 +290,15 @@ object Dedup {
                         cuts: Option[Seq[Long]] = None): DataFrame = {
     import graft.sources.Snapshots
     val docs = Tables.documents(s, d)
-    val lakeDir = java.nio.file.Files
-      .createTempDirectory("graft-inclsh-lake").toString
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-inclsh-index").toString
+    val lakeDir = graft.TempDirs.create("graft-inclsh-lake")
+    val indexDir = graft.TempDirs.create("graft-inclsh-index")
     val nBatches =
       commitIdRangeBatches(s, docs, lakeDir, cuts, statsColumns = Seq("doc_id"))
     val stepPairs = (0L until nBatches).map { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
       val shNew = hashedShingles(batch, 2)
-      val bandsNew = bandKeys(minhashSigs(shNew, 12), 12, 3)
+      val sigs = minhashSigs(shNew, 12)
+      val bandsNew = bandKeys(sigs, 12, 3)
       val within = bandsNew.as("a")
         .join(bandsNew.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -333,14 +330,23 @@ object Dedup {
       // candidate id range instead of touching the whole corpus (the
       // bounds agg is a bounded 2-column action, like skewProfile's)
       val bounds = oldCandDocs.agg(min("doc_id"), max("doc_id")).head
-      val shVerify =
-        if (bounds.isNullAt(0)) shNew // no cross-batch candidates
-        else shNew.unionByName(hashedShingles(
+      val shOld =
+        if (bounds.isNullAt(0)) None // no cross-batch candidates
+        else Some(hashedShingles(
           Snapshots.readVersionPruned(s, lakeDir, v, "doc_id",
               bounds.getLong(0), bounds.getLong(1))
             .join(oldCandDocs, Seq("doc_id"), "left_semi"), 2))
-      verifiedJaccard(shVerify, cand)
-        .filter(col("jaccard") >= minJaccard)
+      val shVerify = shOld.fold(shNew)(shNew.unionByName(_))
+      // each step ends by materializing its (small) verified-pair set
+      // and FREEING the step's big checkpointed frames — otherwise N
+      // steps of shingle/signature/candidate blocks pile up in the
+      // block manager for the life of the session (the same immediate-
+      // release discipline as Graph.pageRank's edge frame)
+      val stepResult = persistFrame(
+        verifiedJaccard(shVerify, cand).filter(col("jaccard") >= minJaccard))
+      Seq(Some(shNew), Some(sigs), Some(cand), shOld)
+        .flatten.foreach(unpersistCheckpoint)
+      stepResult
     }
     stepPairs.reduce(_ unionByName _).orderBy("d1", "d2")
   }
@@ -726,3 +732,4 @@ object Dedup {
       .orderBy("doc_id")
   }
 }
+

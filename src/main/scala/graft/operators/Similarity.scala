@@ -228,10 +228,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val maxId = e.agg(max("vec_id")).head.getLong(0)
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-    val lakeDir = java.nio.file.Files
-      .createTempDirectory("graft-incivf-lake").toString
-    val indexDir = java.nio.file.Files
-      .createTempDirectory("graft-incivf-index").toString
+    val lakeDir = graft.TempDirs.create("graft-incivf-lake")
+    val indexDir = graft.TempDirs.create("graft-incivf-index")
     Snapshots.commit(e.filter(col("vec_id") <= cut1), lakeDir, "overwrite")
     Snapshots.commit(e.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
       lakeDir, "append")

@@ -61,8 +61,12 @@ object Snapshots {
       case n: Number => n.longValue()
       case d: java.sql.Date => d.toLocalDate.toEpochDay
       case d: java.time.LocalDate => d.toEpochDay
-      // TimestampType parquet stats are epoch MICROS (TIMESTAMP_MICROS)
-      case t: java.sql.Timestamp => t.getTime * 1000L
+      // TimestampType parquet stats are epoch MICROS (TIMESTAMP_MICROS).
+      // getTime is floor-millis; the nanos field carries the full
+      // fraction — getTime*1000 would truncate to millis and shift a
+      // .999999 bound by up to 999us, wrongly pruning boundary files
+      case t: java.sql.Timestamp =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       case i: java.time.Instant =>
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       case other => other.toString.toLong
@@ -73,9 +77,17 @@ object Snapshots {
     }
   }
 
+  /** `txns` is the per-producer ingest watermark (appId → highest
+    * committed batch id), the Delta-log `txn` action re-expressed: it
+    * rides in the manifest and is carried forward by EVERY commit
+    * (appends and overwrites alike — compaction and MERGE rewrites
+    * must not amnesia a sink's progress), so replay detection survives
+    * arbitrary interleaved table maintenance.
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
-                            schema: Option[org.apache.spark.sql.types.StructType] = None)
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            txns: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -139,7 +151,8 @@ object Snapshots {
     */
   def commit(df: DataFrame, tableDir: String, mode: String = "overwrite",
              expectedVersion: Option[Long] = None,
-             statsColumns: Seq[String] = Nil): Long = {
+             statsColumns: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
@@ -157,12 +170,21 @@ object Snapshots {
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
-    val prev =
-      if (mode == "append" && version > 0)
+    // txn watermarks carry through BOTH modes (the previous manifest
+    // is read for overwrites too, when one exists); files/stats/schema
+    // carry only through appends — an overwrite replaces the snapshot
+    // but must not forget any producer's ingest progress
+    val prevAny =
+      if (version > 0 && f.exists(manifestPath(tableDir, version - 1)))
         Some(readManifest(spark, tableDir, version - 1))
       else None
+    val prev = prevAny.filter(_ => mode == "append")
     val carried = prev.map(_.files).getOrElse(Seq.empty)
     val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
+    val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
+    val txns = txn.fold(carriedTxns) { case (app, b) =>
+      carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
+    }
     // Schema evolution (manifest-recorded, Delta-log style: readers
     // plan from the manifest schema in O(1), never from file footers).
     // An append may ADD nullable columns or OMIT existing ones (old
@@ -202,6 +224,7 @@ object Snapshots {
         case ((file, c), st) =>
           w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
       }
+      txns.toSeq.sorted.foreach { case (app, b) => w.write(s"txn=$app\t$b\n") }
     } finally w.close()
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
@@ -336,6 +359,7 @@ object Snapshots {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
       val files = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
+      val txns = scala.collection.mutable.Map.empty[String, Long]
       var schema: Option[org.apache.spark.sql.types.StructType] = None
       var line = r.readLine()
       while (line != null) {
@@ -350,10 +374,15 @@ object Snapshots {
               stats((file, c)) = FileStat(kind, min, max)
             case _ => // ignore malformed stat lines (forward compat)
           }
+        } else if (line.startsWith("txn=")) {
+          line.stripPrefix("txn=").split('\t') match {
+            case Array(app, b) => txns(app) = b.toLong
+            case _ => // ignore malformed txn lines (forward compat)
+          }
         }
         line = r.readLine()
       }
-      Manifest(version, files.toSeq, stats.toMap, schema)
+      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap)
     } finally r.close()
   }
 
@@ -483,16 +512,42 @@ object Snapshots {
       .parquet(new Path(tableDir, "data/*").toString)
 
   /** Exactly-once streaming sink over the snapshot layer, for
-    * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`: the
-    * committed version IS the micro-batch id, so a replayed batch
-    * (failure between sink and checkpoint write) finds its version
-    * already committed and becomes a no-op — idempotence from the
-    * same compare-and-swap that arbitrates concurrent writers, no
-    * transaction log beyond the manifests.
+    * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`.
+    * Replay detection is the manifest's per-producer txn watermark,
+    * NOT the version number: a batch id at or below `appId`'s recorded
+    * watermark is a replay (failure between sink and checkpoint write)
+    * and no-ops; anything newer appends with the watermark riding in
+    * the same atomic commit. Versions stay free for table maintenance
+    * — an earlier design used "version == batch id" and silently
+    * DROPPED the live batch whose id collided with a version that
+    * compact/vacuum/MERGE had taken in the meantime. On a CAS loss the
+    * loop re-reads the watermark before retrying, so two racing
+    * replays of the same batch (zombie driver) resolve to one append:
+    * the loser sees the winner's watermark and no-ops.
     */
-  def exactlyOnceSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit =
-    try { commit(batch, tableDir, "append", expectedVersion = Some(batchId)); () }
-    catch { case _: java.util.ConcurrentModificationException => () }
+  def exactlyOnceSink(tableDir: String, appId: String = "sink")
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(spark, tableDir)
+      val watermark = latest
+        .map(v => readManifest(spark, tableDir, v).txns
+          .getOrElse(appId, Long.MinValue))
+        .getOrElse(Long.MinValue)
+      if (batchId <= watermark) return // replay (or lost race): durable already
+      val expected = latest.map(_ + 1).getOrElse(0L)
+      try {
+        commit(batch, tableDir, "append", expectedVersion = Some(expected),
+          txn = Some(appId -> batchId))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+  }
 
   /** Small-file compaction: rewrite the latest version's data as
     * `numFiles` files in a new version (same rows — `coalesce`, no
@@ -501,9 +556,17 @@ object Snapshots {
     * so the per-batch file accretion never degrades readers.
     */
   def compact(spark: SparkSession, tableDir: String, numFiles: Int,
-              statsColumns: Seq[String] = Nil): Long =
-    commit(readVersion(spark, tableDir).coalesce(numFiles),
-      tableDir, "overwrite", statsColumns = statsColumns)
+              statsColumns: Seq[String] = Nil): Long = {
+    // pin the rewrite to the version it read: a concurrent append
+    // landing in between turns this into a CAS failure (retry the
+    // compaction from the new latest) instead of silently erasing the
+    // appended rows from the new snapshot
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    commit(readVersion(spark, tableDir, Some(base)).coalesce(numFiles),
+      tableDir, "overwrite", expectedVersion = Some(base + 1),
+      statsColumns = statsColumns)
+  }
 
   /** Clustering compaction: rewrite the latest version range-sorted on
     * `sortCol` into `numFiles` files WITH footer stats on it — the
@@ -519,11 +582,14 @@ object Snapshots {
                     statsColumns: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val cols = if (statsColumns.isEmpty) Seq(sortCol) else statsColumns
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
     commit(
-      readVersion(spark, tableDir)
+      readVersion(spark, tableDir, Some(base))
         .repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol),
-      tableDir, "overwrite", statsColumns = cols)
+      tableDir, "overwrite", expectedVersion = Some(base + 1),
+      statsColumns = cols)
   }
 
   /** MERGE-into-snapshot demo — the full lakehouse write loop:
@@ -539,8 +605,7 @@ object Snapshots {
     */
   def u7MergeSnapshot(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-merge-snap").toString
+    val tableDir = graft.TempDirs.create("graft-merge-snap")
     val base = graft.Tables.orders(s, d)
     commit(base, tableDir, "overwrite")
     val merged = graft.operators.Merge.applyChanges(
@@ -571,8 +636,7 @@ object Snapshots {
     */
   def u6ZorderSkip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-zorder").toString
+    val tableDir = graft.TempDirs.create("graft-zorder")
     val orders = graft.Tables.orders(s, d)
     val day = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
     val zOrdered = orders
@@ -583,10 +647,13 @@ object Snapshots {
     commit(zOrdered, tableDir, "overwrite",
       statsColumns = Seq("o_custkey", "o_orderdate"))
     val (loK, hiK) = (100L, 500L)
-    // o_orderdate is a TIMESTAMP (midnight-valued) — prune bounds in
-    // the stat's own unit (epoch micros via the Timestamp case)
-    val (loD, hiD) = (java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
-      java.sql.Timestamp.valueOf("1995-12-31 23:59:59.999999"))
+    // o_orderdate is a TIMESTAMP (midnight-valued, session TZ pinned
+    // UTC) — bounds as Instants, which are epoch-anchored: a
+    // java.sql.Timestamp.valueOf wall-clock string would shift by the
+    // JVM default TZ offset and silently prune boundary files on any
+    // non-UTC host
+    val (loD, hiD) = (java.time.Instant.parse("1995-01-01T00:00:00Z"),
+      java.time.Instant.parse("1995-12-31T23:59:59.999999Z"))
     readVersionPruned(s, tableDir, 0L,
       Seq(("o_custkey", loK, hiK), ("o_orderdate", loD, hiD)))
       .filter(col("o_custkey").between(loK, hiK) &&
@@ -611,8 +678,7 @@ object Snapshots {
     */
   def u3TimeTravel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-snapshots").toString
+    val tableDir = graft.TempDirs.create("graft-snapshots")
     val orders = graft.Tables.orders(s, d)
     commit(orders, tableDir, "overwrite")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
@@ -638,9 +704,17 @@ object Snapshots {
     * concurrent readers of a live version are unaffected because live
     * files are never touched. The retention knob that keeps a
     * streaming-sink table's storage bounded, paired with [[compact]].
+    *
+    * Data dirs referenced by NO manifest at all are a writer's
+    * in-flight commit (data written, manifest not yet published) or a
+    * CAS loser's debris; they are deleted only once older than
+    * `orphanRetainMs` (the same age-threshold guard the table formats
+    * use), so a vacuum racing a slow commit cannot delete the files
+    * out from under a manifest about to publish.
     */
   def vacuum(spark: SparkSession, tableDir: String,
-             keepFromVersion: Long): Int = {
+             keepFromVersion: Long,
+             orphanRetainMs: Long = 600000L): Int = {
     val f = fs(spark, tableDir)
     val latest = latestVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
@@ -650,18 +724,24 @@ object Snapshots {
       .filter(v => f.exists(manifestPath(tableDir, v)))
       .partition(_ < keepFromVersion)
     val liveFiles = live.flatMap(readManifest(spark, tableDir, _).files).toSet
-    val deadOnly = dead.flatMap(readManifest(spark, tableDir, _).files)
-      .distinct.filterNot(liveFiles)
+    val deadFiles = dead.flatMap(readManifest(spark, tableDir, _).files).distinct
+    val deadOnly = deadFiles.filterNot(liveFiles)
     deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
     dead.foreach(v => f.delete(manifestPath(tableDir, v), false))
     // sweep commit dirs with no live file left — each data dir belongs
     // to exactly one commit, so dir-level liveness is well defined;
     // this also clears the _SUCCESS/.crc sidecars the manifest never
-    // listed
+    // listed. Dirs from EXPIRED manifests go immediately; dirs no
+    // manifest ever referenced are possibly in-flight and only go
+    // once older than `orphanRetainMs` (see scaladoc).
     val liveDirs = liveFiles.map(_.split("/")(1))
+    val deadDirs = deadFiles.map(_.split("/")(1)).toSet
+    val orphanCutoff = System.currentTimeMillis() - orphanRetainMs
     val dataRoot = new Path(tableDir, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      if (st.isDirectory && !liveDirs.contains(st.getPath.getName))
+      val name = st.getPath.getName
+      if (st.isDirectory && !liveDirs.contains(name) &&
+          (deadDirs.contains(name) || st.getModificationTime < orphanCutoff))
         f.delete(st.getPath, true)
     }
     // raise the floor so an expired version can never be re-committed
@@ -688,8 +768,7 @@ object Snapshots {
     */
   def u5Incremental(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-incremental").toString
+    val tableDir = graft.TempDirs.create("graft-incremental")
     val orders = graft.Tables.orders(s, d)
     (0 to 2).foreach { m =>
       commit(orders.filter(col("o_orderkey") % 3 === m), tableDir,
@@ -721,8 +800,7 @@ object Snapshots {
     */
   def u4FileSkip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-fileskip").toString
+    val tableDir = graft.TempDirs.create("graft-fileskip")
     val orders = graft.Tables.orders(s, d)
     commit(orders.repartitionByRange(8, col("o_orderkey")),
       tableDir, "overwrite", statsColumns = Seq("o_orderkey"))
@@ -733,3 +811,4 @@ object Snapshots {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
   }
 }
+

@@ -196,6 +196,46 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 5L)
   }
 
+  test("a live batch whose id collides with a maintenance version still lands") {
+    // regression: the sink once used version==batchId as its replay
+    // check, so compaction taking a version number made the next live
+    // batch look like a replay and silently dropped it
+    val dir = freshDir()
+    (0 until 3).foreach(b =>
+      Snapshots.exactlyOnceSink(dir)(frame(b * 10 until (b + 1) * 10, s"b$b"), b.toLong))
+    assert(Snapshots.compact(spark, dir, numFiles = 1) === 3L)
+    // batch 3 arrives AFTER compact committed version 3: it must land
+    Snapshots.exactlyOnceSink(dir)(frame(30 until 40, "b3"), 3L)
+    assert(Snapshots.readVersion(spark, dir).count() === 40L)
+    // and a genuine replay of batch 3 is still a no-op
+    Snapshots.exactlyOnceSink(dir)(frame(30 until 40, "b3"), 3L)
+    assert(Snapshots.readVersion(spark, dir).count() === 40L)
+    assert(Snapshots.readVersion(spark, dir)
+      .select("id").distinct().count() === 40L)
+    // the watermark rode through the compact overwrite
+    val latest = Snapshots.latestVersion(spark, dir).get
+    assert(Snapshots.readManifest(spark, dir, latest).txns("sink") === 3L)
+  }
+
+  test("vacuum retains young unreferenced dirs (in-flight commits), sweeps old ones") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "a"), dir)
+    Snapshots.commit(frame(10 until 20, "b"), dir, "append")
+    // simulate a writer mid-commit: data written, manifest not yet
+    // published — vacuum must NOT delete it (age < retention)
+    val inflight = new java.io.File(s"$dir/data/v000002-inflight")
+    assert(inflight.mkdirs())
+    new java.io.FileOutputStream(new java.io.File(inflight, "part-0.parquet")).close()
+    Snapshots.vacuum(spark, dir, keepFromVersion = 1L)
+    assert(inflight.exists(), "young unreferenced dir must survive vacuum")
+    // an abandoned orphan older than the retention window goes
+    assert(inflight.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    Snapshots.vacuum(spark, dir, keepFromVersion = 1L, orphanRetainMs = 60000L)
+    assert(!inflight.exists(), "aged orphan dir must be swept")
+    // the live version still serves in full
+    assert(Snapshots.readVersion(spark, dir).count() === 20L)
+  }
+
   test("ops lifecycle: sink -> compact -> vacuum keeps the table correct and bounded") {
     val dir = freshDir()
     // a streaming producer lands 6 micro-batches via the
