@@ -100,10 +100,11 @@ object Snapshots {
 
   /** Lowest version still readable (0 if never vacuumed). Versions
     * below the floor were expired by [[vacuum]]; [[commit]] refuses to
-    * (re-)create them, so a replayed producer whose version was
-    * already compacted away sees the same
-    * `ConcurrentModificationException` as a CAS loss — and
-    * [[exactlyOnceSink]] treats it as the no-op it is.
+    * (re-)create them, so a replayed producer pinned to an expired
+    * version sees the same `ConcurrentModificationException` as a CAS
+    * loss instead of corrupting history. ([[exactlyOnceSink]] never
+    * hits the floor itself — its replay check is the manifest txn
+    * watermark, resolved before any commit is attempted.)
     */
   def vacuumFloor(spark: SparkSession, tableDir: String): Long = {
     val f = fs(spark, tableDir)
