@@ -165,6 +165,14 @@ object Snapshots {
     if (version < vacuumFloor(spark, tableDir))
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir is below the vacuum floor")
+    // an append MUST have its predecessor to carry (silently carrying
+    // nothing would shrink the table); checked BEFORE the data write
+    // so a misuse (explicit expectedVersion past a gap) leaves no
+    // orphaned data dir. Overwrites tolerate the gap — the previous
+    // manifest is only a txn-watermark source for them.
+    require(mode != "append" || version == 0 ||
+        f.exists(manifestPath(tableDir, version - 1)),
+      s"append at version $version of $tableDir has no v${version - 1} manifest to carry")
     val dataRel = f"data/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(tableDir, dataRel)
     df.write.parquet(dataDir.toString)
@@ -183,6 +191,10 @@ object Snapshots {
     val carried = prev.map(_.files).getOrElse(Seq.empty)
     val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
     val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txn appId must be non-empty with no tab/newline: '$app'")
+    }
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
     }
