@@ -29,7 +29,11 @@ object ScaleSmoke {
     val outDir = s"target/scale${replicas}x"
     val heavy = Seq("d3_minhash_lsh", "d5_ngram_jaccard", "d6_dedup_clusters",
       "c1_contamination", "t9_tfidf", "s5_knn_ivf", "d7_simhash_neardup",
-      "d8_dup_passages", "pipe1_manifest")
+      "d8_dup_passages", "pipe1_manifest",
+      // incremental-maintenance family: growth here measures the whole
+      // loop (all batches) over a K× corpus — the per-step O(batch)
+      // claim shows up as the ratio staying at-or-below data growth
+      "d9_incremental_dedup", "d10_incremental_lsh", "s9_incremental_ivf")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
