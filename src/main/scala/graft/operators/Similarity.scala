@@ -172,23 +172,35 @@ object Similarity {
       codebookE.select(col("vec_id"), col("label")))
 
   /** Argmax-centroid assignment of `targetE` against a prebuilt
-    * centroid frame. Not checkpointed — callers that immediately
-    * materialize the result (e.g. a snapshot commit) would otherwise
-    * pay a second, redundant materialization.
+    * centroid frame — computed ROW-LOCALLY by the codegen'd
+    * [[graft.functions.IvfAssign]] expression against the centroids
+    * inlined as a ~5 KB literal (a bounded cells×dims collect, the
+    * PQ-codebook class of driver action). The prior relational shape —
+    * posexplode ⋈ centroids on pos → per-(vec, cell) SUM → window
+    * argmax — shuffled |corpus|·cells score rows (and the tall explode
+    * before them) to answer a question each row can answer alone; same
+    * preference order and arithmetic contract as [[knnPq]]'s encoder
+    * (oracle hashes unchanged). Not checkpointed — callers that
+    * immediately materialize the result (e.g. a snapshot commit) would
+    * otherwise pay a second, redundant materialization.
     */
   private def assignCells(centroids: DataFrame, targetE: DataFrame): DataFrame = {
-    val tall = tallView(targetE)
-    val scores = tall.join(centroids, "pos")
-      .withColumn("term",
-        round(col("x") * col("c_mean") * lit(1000000000000.0)).cast("long"))
-      .groupBy("vec_id", "c_label")
-      .agg(sum("term").as("score"))
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(desc("score"), asc("c_label"))
-    scores
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("cell"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rows = centroids.select("c_label", "pos", "c_mean").collect()
+    val dims = rows.iterator.map(_.getAs[Number]("pos").intValue()).max + 1
+    val byLabel = rows.toSeq
+      .groupBy(_.getAs[Number]("c_label").intValue()).toSeq.sortBy(_._1)
+    val matrix = byLabel.map { case (_, rs) =>
+      val arr = new Array[Double](dims)
+      rs.foreach(r =>
+        arr(r.getAs[Number]("pos").intValue()) = r.getAs[Double]("c_mean"))
+      arr.toSeq
+    }
+    val cell = Bridge.column(graft.functions.IvfAssign(
+      Bridge.expression(dbl(col("embedding"))),
+      Bridge.expression(typedLit(matrix)),
+      Bridge.expression(typedLit(byLabel.map(_._1)))))
+    targetE.select(col("vec_id"), cell.as("cell"))
   }
 
   def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {

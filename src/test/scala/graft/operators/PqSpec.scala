@@ -59,6 +59,54 @@ class PqSpec extends SparkSpec {
     assert(got.toSeq === vs.map(expected), "codegen path diverged")
   }
 
+  test("ivf_assign expression matches a driver-side recompute; ties break to the smallest label") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    val rnd = new scala.util.Random(17)
+    val dims = 16; val nCells = 6
+    val cents = Seq.fill(nCells)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val labels = Seq(2, 3, 5, 7, 11, 13) // ascending, non-contiguous
+    def r(x: Double): Long =
+      if (x < 0) -Math.round(-x) else Math.round(x)
+    def expected(v: Seq[Double]): Int = {
+      val scores = cents.map(c =>
+        (0 until dims).map(p => r((v(p) * c(p)) * 1000000000000.0)).sum)
+      // argmax, first (smallest) label on ties — the relational
+      // row_number over (desc score, asc label) pick
+      labels(scores.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2)
+    }
+    val conv = (x: Any) => CatalystTypeConverters.convertToCatalyst(x)
+    for (_ <- 1 to 20) {
+      val v = Seq.fill(dims)(rnd.nextDouble() * 2 - 1)
+      val e = graft.functions.IvfAssign(
+        Literal(conv(v), ArrayType(DoubleType)),
+        Literal(conv(cents), ArrayType(ArrayType(DoubleType))),
+        Literal(conv(labels), ArrayType(IntegerType)))
+      assert(e.eval(null) === expected(v), s"eval path diverged for $v")
+    }
+    // tie-break: two identical centroids — the smaller label must win
+    val tieCents = Seq(cents.head, cents.head)
+    val tie = graft.functions.IvfAssign(
+      Literal(conv(cents.head), ArrayType(DoubleType)),
+      Literal(conv(tieCents), ArrayType(ArrayType(DoubleType))),
+      Literal(conv(Seq(4, 9)), ArrayType(IntegerType)))
+    assert(tie.eval(null) === 4)
+    // codegen path through a real plan over a non-literal column
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val vs = Seq.fill(10)(Seq.fill(dims)(rnd.nextDouble() * 2 - 1))
+    val cellCol = Bridge.column(graft.functions.IvfAssign(
+      Bridge.expression(col("v")),
+      Bridge.expression(typedLit(cents)),
+      Bridge.expression(typedLit(labels))))
+    val got = vs.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v").select(col("i"), cellCol.as("cell"))
+      .collect().sortBy(_.getInt(0)).map(_.getInt(1)).toSeq
+    assert(got === vs.map(expected), "codegen path diverged")
+  }
+
   test("pq top-k: k rows per query, corpus-only ids, descending scores") {
     val rows = Similarity.knnPq(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
