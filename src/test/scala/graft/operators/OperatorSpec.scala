@@ -91,6 +91,31 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("rank") <= 3))
   }
 
+  test("ANN recall: every method x query present, hybrid dominates single probes") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    // 3 methods x 8 queries — the scaffold keeps 0-hit queries visible
+    assert(rows.length === 24)
+    assert(rows.map(_.getAs[String]("method")).toSet ===
+      Set("bucketed", "hybrid", "ivf"))
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 3L)
+      assert(r.getAs[Double]("recall") ===
+        math.round(hits / 3.0 * 1e6) / 1e6)
+    }
+    // hybrid's candidate set is a superset of each single probe's, and
+    // truth is the GLOBAL top-k: a truth member a probe surfaces is in
+    // hybrid's candidates and cannot be displaced from hybrid's top-k
+    // by non-truth members (at most k-1 candidates rank above it
+    // anywhere) — so per-query hybrid hits >= each single-probe hits
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val h = g.map(r => r.getAs[String]("method") -> r.getAs[Long]("hits")).toMap
+      assert(h("hybrid") >= h("bucketed"))
+      assert(h("hybrid") >= h("ivf"))
+    }
+  }
+
   test("exact dedup is a no-op on all-distinct corpus but counts copies") {
     val rows = Dedup.exactDedup(spark, sf).collect()
     assert(rows.length === 500)
