@@ -75,6 +75,7 @@ object SparkEntry {
     "q36_sliding_window" -> (CorpusQueries.q36SlidingWindow _),
     "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
+    "dq2_profile" -> (CorpusQueries.dq2Profile _),
     "q37_except_all" -> (CorpusQueries.q37ExceptAll _),
     "q38_string_ops" -> (CorpusQueries.q38StringOps _),
     "q39_null_semantics" -> (CorpusQueries.q39NullSemantics _),
@@ -984,6 +985,23 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share
         |FROM g CROSS JOIN t
         |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    // dq2 oracle: per-column scans UNION'd — the oracle states the
+    // CONTRACT (each column's stats over the table); the Spark side's
+    // one-scan wide-agg + stack is the efficiency claim under test
+    "dq2_profile" ->
+      Seq("l_orderkey" -> "l_orderkey",
+          "l_quantity" -> "CAST(l_quantity AS DECIMAL(18,2))",
+          "l_extendedprice" -> "CAST(l_extendedprice AS DECIMAL(18,2))",
+          "l_returnflag" -> "l_returnflag",
+          "l_shipdate" -> "CAST(l_shipdate AS DATE)")
+        .map { case (n, e) =>
+          s"""SELECT '$n' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($e) AS n_null,
+             |  COUNT(DISTINCT $e) AS n_distinct,
+             |  CAST(MIN($e) AS VARCHAR) AS min_val,
+             |  CAST(MAX($e) AS VARCHAR) AS max_val
+             |FROM lineitem""".stripMargin }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "dq1_ref_integrity" ->
       """WITH a AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS relationship,

@@ -116,6 +116,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("dq2 profile: single lineitem scan; stats match per-column recompute") {
+    val df = CorpusQueries.dq2Profile(spark, sf)
+    // the efficiency claim: ONE scan feeds every column's statistics
+    val scans = "FileScan".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans === 1)
+    val byCol = df.collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(byCol.keySet === Set("l_orderkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate"))
+    // independent recompute of one numeric and one string column
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sf)
+    val flag = li.agg(count(lit(1)), countDistinct(col("l_returnflag")),
+      min("l_returnflag"), max("l_returnflag")).head
+    val r = byCol("l_returnflag")
+    assert(r.getAs[Long]("n_rows") === flag.getLong(0))
+    assert(r.getAs[Long]("n_null") === 0L)
+    assert(r.getAs[Long]("n_distinct") === flag.getLong(1))
+    assert(r.getAs[String]("min_val") === flag.getString(2))
+    assert(r.getAs[String]("max_val") === flag.getString(3))
+    val ok = byCol("l_orderkey")
+    assert(ok.getAs[Long]("n_distinct") ===
+      li.select("l_orderkey").distinct().count())
+  }
+
   test("exact dedup is a no-op on all-distinct corpus but counts copies") {
     val rows = Dedup.exactDedup(spark, sf).collect()
     assert(rows.length === 500)
