@@ -113,6 +113,7 @@ object SparkEntry {
     "d4_simhash" -> (Dedup.simhash _),
     "d5_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "d6_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "d11_canonical_docs" -> ((s, d) => Dedup.d11CanonicalDocs(s, d)),
     "c1_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d)),
     "d7_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "c2_benchmark_decontam" -> ((s, d) => Dedup.benchmarkDecontam(s, d)),
@@ -250,7 +251,10 @@ pairs AS (
     * at oracle scale; the Spark operator iterates min-label frontier
     * joins instead).
     */
-  private val d6Sql: String =
+  /** Shared d6/d11 prefix: near-dup pairs → connected components as a
+    * `comp(id, cluster)` relation (recursive label walk).
+    */
+  private val d6CompCte: String =
     s"""$d3PairsCte,
 edges AS (
   SELECT d1 AS a, d2 AS b FROM pairs
@@ -260,9 +264,33 @@ walk(id, label) AS (
   SELECT id, id FROM nodes
   UNION
   SELECT e.a, w.label FROM edges e JOIN walk w ON e.b = w.id),
-comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id)
+comp AS (SELECT id, MIN(label) AS cluster FROM walk GROUP BY id)"""
+
+  private val d6Sql: String =
+    s"""$d6CompCte
 SELECT cluster, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS member_id_sum
 FROM comp GROUP BY cluster ORDER BY cluster"""
+
+  /** d11 oracle: d6's components + t2's quality formula → one keeper
+    * per cluster (max rounded quality, doc_id tie-break); docs outside
+    * the near-dup graph are their own singleton cluster.
+    */
+  private val d11Sql: String =
+    s"""$d6CompCte,
+qual AS (
+  SELECT doc_id,
+    ROUND(0.5 * (len(list_distinct(w)) / len(w))
+      + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w))
+      + 0.2 * least((length(text) - (len(w) - 1)) / len(w) / 8.0, 1.0), 6) AS quality
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t),
+j AS (
+  SELECT q.doc_id, COALESCE(comp.cluster, q.doc_id) AS cluster, q.quality
+  FROM qual q LEFT JOIN comp ON q.doc_id = comp.id)
+SELECT doc_id, cluster, quality,
+  CAST(CASE WHEN ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY quality DESC, doc_id) = 1
+    THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM j ORDER BY doc_id"""
 
   /** Split-bucket expression shared by the p1 and c1 oracles — the
     * DuckDB twin of Sampling.bucketCol, defined ONCE so the split rule
@@ -1441,6 +1469,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "d4_simhash" -> d4Sql,
     "d7_simhash_neardup" -> d7Sql,
     "d6_dedup_clusters" -> d6Sql,
+    "d11_canonical_docs" -> d11Sql,
     "c1_contamination" -> c1Sql,
     "c2_benchmark_decontam" -> c2Sql,
     "d8_dup_passages" ->

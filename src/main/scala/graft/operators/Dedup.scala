@@ -444,7 +444,20 @@ object Dedup {
     * (localCheckpoint by default; `spark.graft.reliableCheckpoint=true`
     * for the executor-loss-tolerant variant — see [[persistFrame]]).
     */
-  def dedupClusters(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame =
+    clusterLabels(s, d, minJaccard)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum("id").as("member_id_sum"))
+      .orderBy("cluster")
+
+  /** Per-document component labels of the verified near-dup graph —
+    * (id, label) for every document that appears in at least one pair;
+    * label = the component's minimum doc_id. The reusable core of
+    * [[dedupClusters]] (which aggregates it to per-cluster counts) and
+    * [[d11CanonicalDocs]] (which joins it back to pick a keeper per
+    * cluster).
+    */
+  def clusterLabels(s: SparkSession, d: String, minJaccard: Double = 0.8): DataFrame = {
     val pairs = minhashLsh(s, d, minJaccard).select("d1", "d2")
     // symmetric edge list, materialized once (reused every round)
     val edges = persistFrame(pairs
@@ -477,9 +490,37 @@ object Dedup {
     // solely from the final labels frame
     unpersistCheckpoint(edges)
     labels
-      .groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_members"), sum("id").as("member_id_sum"))
-      .orderBy("cluster")
+  }
+
+  /** Canonical-document selection — the keep/drop decision that
+    * FOLLOWS near-dup clustering in a dedup pipeline: every document
+    * gets its component label (its own doc_id when it has no near-dup
+    * — a singleton cluster), the per-doc quality score joins in, and
+    * exactly one keeper per cluster is flagged (highest quality,
+    * doc_id tie-break). Downstream consumes `keep = 1` and the full
+    * frame IS the audit trail for what was dropped and why.
+    *
+    * Scale shape: quality is one text-scan pass; labels cost the d6
+    * loop; the decision itself shuffles only (doc_id, cluster,
+    * quality) — slim fixed-width rows keyed by cluster, and window
+    * groups are cluster-sized (bounded by the LSH candidate caps), so
+    * no skewed partition can form. Ordering uses the ROUNDED quality
+    * on both engines so a last-ulp double difference can never flip a
+    * keeper.
+    */
+  def d11CanonicalDocs(s: SparkSession, d: String,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val labels = clusterLabels(s, d, minJaccard)
+    val q = TextAnalysis.qualityScore(s, d)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(desc("quality"), asc("doc_id"))
+    q.join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"), col("quality"))
+      .withColumn("keep",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .orderBy("doc_id")
   }
 
   /** Cross-split contamination: near-dup pairs whose members land in

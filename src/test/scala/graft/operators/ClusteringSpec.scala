@@ -97,6 +97,34 @@ class ClusteringSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("canonical docs: exactly one keeper per cluster, best quality wins") {
+    val rows = Dedup.d11CanonicalDocs(spark, sf).collect()
+    // every document decided exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === rows.length)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, g) =>
+      val keepers = g.filter(_.getAs[Int]("keep") === 1)
+      assert(keepers.length === 1, s"cluster $c needs exactly one keeper")
+      // the keeper's (quality, -doc_id) dominates every member
+      val k = keepers.head
+      g.foreach { m =>
+        val better = m.getAs[Double]("quality") > k.getAs[Double]("quality") ||
+          (m.getAs[Double]("quality") == k.getAs[Double]("quality") &&
+            m.getAs[Long]("doc_id") < k.getAs[Long]("doc_id"))
+        assert(!better, s"cluster $c keeper is not the best member")
+      }
+    }
+    // drops happen only inside multi-member clusters, and the cluster
+    // partition agrees with dedupClusters' membership counts
+    val multi = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_members")).toMap
+    byCluster.foreach { case (c, g) =>
+      assert(g.length.toLong === multi.getOrElse(c, 1L))
+    }
+    assert(rows.count(_.getAs[Int]("keep") === 0) ===
+      multi.values.map(_ - 1).sum)
+  }
+
   test("dedup clusters: reliable-checkpoint mode returns identical clusters") {
     val expected = Dedup.dedupClusters(spark, sf).collect().toSet
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
