@@ -33,7 +33,10 @@ object ScaleSmoke {
       // incremental-maintenance family: growth here measures the whole
       // loop (all batches) over a K× corpus — the per-step O(batch)
       // claim shows up as the ratio staying at-or-below data growth
-      "d9_incremental_dedup", "d10_incremental_lsh", "s9_incremental_ivf")
+      "d9_incremental_dedup", "d10_incremental_lsh", "s9_incremental_ivf",
+      // round-6 additions over the replicated tables (dq2 profiles
+      // lineitem, which this harness does not replicate — not listed)
+      "s10_ann_recall", "d11_canonical_docs")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
