@@ -154,7 +154,8 @@ object SparkEntry {
     // grouping with the exact countDistinct column only, which IS
     // oracle-checkable, so the approx family carries a green hash row.
     "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _),
-    "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _)
+    "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _),
+    "x2_sketch_rollup" -> (CorpusQueries.x2SketchRollup _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -626,6 +627,24 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
          |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // x2 oracle: the exact columns and the invariants' claimed value
+    // (the estimates themselves never appear in the output — x1's
+    // engine-specific caveat; the invariant COMPUTATION is in-engine)
+    "x2_sketch_rollup" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |daily AS (SELECT day, COUNT(DISTINCT user_id) AS exact_users FROM ev GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+        |nn AS (SELECT day, COUNT(*) AS n_new FROM fs GROUP BY day),
+        |cum AS (
+        |  SELECT d.day, d.exact_users,
+        |    SUM(COALESCE(nn.n_new, 0)) OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cum_exact_users
+        |  FROM daily d LEFT JOIN nn ON d.day = nn.day)
+        |SELECT 'day:' || CAST(day AS VARCHAR) AS scope, exact_users,
+        |  CAST(cum_exact_users AS BIGINT) AS cum_exact_users, 1 AS sketch_consistent
+        |FROM cum
+        |UNION ALL
+        |SELECT 'total', COUNT(DISTINCT user_id), COUNT(DISTINCT user_id), 1 FROM ev
+        |ORDER BY scope""".stripMargin,
     "x1a_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

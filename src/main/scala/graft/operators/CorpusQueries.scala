@@ -377,6 +377,62 @@ object CorpusQueries {
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Mergeable-sketch rollup — the re-aggregatable distinct-count
+    * architecture at 100 TB: per-day Datasketches HLL partials are
+    * built ONCE over raw events (constant-size state per group,
+    * map-side mergeable), and every coarser grain is served by
+    * UNIONING sketches — no rescan of raw data. x1 shows the estimate;
+    * this query pins the property the whole architecture rests on,
+    * in-engine, as oracle-checkable invariants next to exact counts:
+    *
+    *   - per day: `sketch_consistent` = the cumulative-union estimate
+    *     (sketches of days ≤ D merged) is non-decreasing in D — HLL
+    *     union only raises registers, so a dip would mean the merge
+    *     path is broken;
+    *   - total row: the merged-daily-sketches estimate EQUALS the
+    *     estimate of one sketch built directly over all events (HLL
+    *     union at equal lgK is lossless) — the store-partials-serve-
+    *     merged design gives up nothing vs a full rescan.
+    *
+    * Exact columns (per-day distinct, cumulative distinct via
+    * first-seen-day) are DuckDB-checked; estimates themselves stay
+    * out of the output (engine-specific, x1's caveat). The cumulative
+    * window is a single partition BY DESIGN: it runs over the per-day
+    * aggregate (|days| rows), not over events.
+    */
+  def x2SketchRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day").agg(
+      expr("hll_sketch_agg(user_id, 14)").as("sk"),
+      countDistinct("user_id").as("exact_users"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy("day")
+    val perDay = daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("cum_exact_users",
+        sum(coalesce(col("n_new"), lit(0L))).over(wCum))
+      .withColumn("cum_sk", expr("hll_union_agg(sk)").over(wCum))
+      .withColumn("cum_est", expr("hll_sketch_estimate(cum_sk)"))
+      .withColumn("sketch_consistent",
+        when(col("cum_est") >= coalesce(lag(col("cum_est"), 1).over(wLag),
+          lit(Long.MinValue)), 1).otherwise(0))
+      .select(concat(lit("day:"), col("day").cast("string")).as("scope"),
+        col("exact_users"), col("cum_exact_users"), col("sketch_consistent"))
+    val total = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged_est"))
+      .crossJoin(ev.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("direct_est"),
+        countDistinct("user_id").as("exact_users")))
+      .select(lit("total").as("scope"), col("exact_users"),
+        col("exact_users").as("cum_exact_users"),
+        when(col("merged_est") === col("direct_est"), 1).otherwise(0)
+          .as("sketch_consistent"))
+    perDay.unionByName(total).orderBy("scope")
+  }
+
   /** CUBE over (status, priority): all four grains in one Expand +
     * hash aggregation (SQL surface for grouping(), as in q15Rollup).
     */

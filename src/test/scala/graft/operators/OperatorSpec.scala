@@ -145,6 +145,24 @@ class OperatorSpec extends SparkSpec {
       li.select("l_orderkey").distinct().count())
   }
 
+  test("sketch rollup: merged == direct, cumulative estimates monotone") {
+    val rows = CorpusQueries.x2SketchRollup(spark, sf).collect()
+    // every invariant the query computes in-engine must hold: per-day
+    // cumulative-union monotonicity and the total merged==direct check
+    assert(rows.forall(_.getAs[Int]("sketch_consistent") === 1))
+    val total = rows.filter(_.getAs[String]("scope") === "total")
+    assert(total.length === 1)
+    // exact total == last day's exact cumulative (first-seen identity)
+    val lastCum = rows.filter(_.getAs[String]("scope").startsWith("day:"))
+      .map(r => r.getAs[String]("scope") -> r.getAs[Long]("cum_exact_users"))
+      .maxBy(_._1)._2
+    assert(total.head.getAs[Long]("exact_users") === lastCum)
+    // cumulative exact is non-decreasing and ends at the total
+    val cums = rows.filter(_.getAs[String]("scope").startsWith("day:"))
+      .sortBy(_.getAs[String]("scope")).map(_.getAs[Long]("cum_exact_users"))
+    assert(cums === cums.sorted)
+  }
+
   test("exact dedup is a no-op on all-distinct corpus but counts copies") {
     val rows = Dedup.exactDedup(spark, sf).collect()
     assert(rows.length === 500)
