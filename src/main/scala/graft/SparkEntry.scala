@@ -86,6 +86,7 @@ object SparkEntry {
     "u5_incremental" -> (graft.sources.Snapshots.u5Incremental _),
     "u6_zorder_skip" -> (graft.sources.Snapshots.u6ZorderSkip _),
     "u7_merge_snapshot" -> (graft.sources.Snapshots.u7MergeSnapshot _),
+    "u8_shallow_clone" -> (graft.sources.Snapshots.u8ShallowClone _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -921,6 +922,21 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin,
     // u7 oracle: v0 = raw orders, v1 = the u2 merge semantics replayed
     // relationally — both versions must serve through the manifests
+    // u8 oracle: clone v0 == all orders (zero-copy read through the
+    // borrowed refs), clone v1 == all orders + the re-keyed URGENT
+    // delta, source latest == all orders (write isolation)
+    "u8_shallow_clone" ->
+      """WITH base AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t FROM orders),
+        |urg AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'clone_v0' AS scope, base.n AS n_rows, CAST(base.t AS DOUBLE) AS total FROM base
+        |UNION ALL
+        |SELECT 'clone_v1', base.n + urg.n, CAST(base.t + urg.t AS DOUBLE) FROM base, urg
+        |UNION ALL
+        |SELECT 'source_latest', base.n, CAST(base.t AS DOUBLE) FROM base
+        |ORDER BY scope""".stripMargin,
     "u7_merge_snapshot" ->
       """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
         |upd AS (

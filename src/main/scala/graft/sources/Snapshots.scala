@@ -708,6 +708,85 @@ object Snapshots {
     }.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** A file reference held by ABSOLUTE path — borrowed from another
+    * table by [[cloneShallow]]. Borrowed refs read normally (Hadoop
+    * Path resolution lets an absolute child win over the parent dir)
+    * but are never deleted by the borrowing table's maintenance.
+    */
+  private def isBorrowed(p: String): Boolean = new Path(p).isAbsolute
+
+  /** Shallow clone (the table formats' CLONE): create `targetDir` as
+    * a NEW table whose v0 manifest references the source version's
+    * data files by absolute path — an O(manifest) fork, zero data
+    * copied or rewritten, the standard cheap branch for
+    * experimentation over a production table. The clone is fully
+    * functional from v0: reads (including stat-pruned reads — the
+    * carried stats are re-keyed to the absolute refs), appends,
+    * incremental reads, and [[compact]] — which MATERIALIZES it (the
+    * rewrite produces local files, cutting the source dependency).
+    * Writes to either table never disturb the other; txn watermarks
+    * do NOT carry (the clone is a fresh producer space — a replayed
+    * source batch landing in the clone is a different table's
+    * ingest, not a duplicate).
+    *
+    * The shallow-clone caveat every format shares, enforced on the
+    * delete side here: the borrowing table's [[vacuum]] never deletes
+    * borrowed refs, but the SOURCE's vacuum cannot see clone refs —
+    * coordinate source vacuums with live clones externally, or
+    * compact the clone first.
+    */
+  def cloneShallow(spark: SparkSession, sourceDir: String, targetDir: String,
+                   version: Option[Long] = None): Long = {
+    val f = fs(spark, targetDir)
+    require(latestVersion(spark, targetDir).isEmpty,
+      s"clone target $targetDir already has commits")
+    val v = version.orElse(latestVersion(spark, sourceDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $sourceDir"))
+    val m = readManifest(spark, sourceDir, v)
+    val srcRoot = fs(spark, sourceDir).makeQualified(new Path(sourceDir))
+    def absolutize(p: String): String =
+      if (isBorrowed(p)) p else new Path(srcRoot, p).toString
+    val files = m.files.map(absolutize)
+    val stats = m.stats.map { case ((file, c), st) => (absolutize(file), c) -> st }
+    val tmp = new Path(targetDir, s"_manifests/.tmp-0-${UUID.randomUUID()}")
+    val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
+    try {
+      w.write(s"$Header\n")
+      w.write("version=0\n")
+      m.schema.foreach(sc => w.write(s"schema=${sc.json}\n"))
+      files.foreach(p => w.write(s"file=$p\n"))
+      stats.toSeq.sortBy(_._1).foreach { case ((file, c), st) =>
+        w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
+      }
+    } finally w.close()
+    if (!atomicPublish(f, tmp, manifestPath(targetDir, 0L))) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version 0 of $targetDir was committed concurrently")
+    }
+    0L
+  }
+
+  /** DESCRIBE HISTORY: one row per LIVE version (vacuumed versions are
+    * gone) with its file/stat/txn-watermark footprint and how many of
+    * its refs are borrowed from a clone source. O(live versions)
+    * driver work over already-small manifests; no data access.
+    */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val latest = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val f = fs(spark, tableDir)
+    (0L to latest)
+      .filter(v => f.exists(manifestPath(tableDir, v)))
+      .map { v =>
+        val m = readManifest(spark, tableDir, v)
+        (v, m.files.size.toLong, m.files.count(isBorrowed).toLong,
+          m.stats.size.toLong, m.txns.size.toLong)
+      }
+      .toDF("version", "n_files", "n_borrowed", "n_stats", "n_txns")
+  }
+
   /** Expire every version below `keepFromVersion`: delete their
     * manifests, then delete the data files no LIVE version references
     * (a file carried forward by an append chain into a live version
@@ -738,7 +817,9 @@ object Snapshots {
       .partition(_ < keepFromVersion)
     val liveFiles = live.flatMap(readManifest(spark, tableDir, _).files).toSet
     val deadFiles = dead.flatMap(readManifest(spark, tableDir, _).files).distinct
-    val deadOnly = deadFiles.filterNot(liveFiles)
+    // borrowed (absolute) refs belong to the clone SOURCE — expiring a
+    // version that held them must never reach into the other table
+    val deadOnly = deadFiles.filterNot(liveFiles).filterNot(isBorrowed)
     deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
     dead.foreach(v => f.delete(manifestPath(tableDir, v), false))
     // sweep commit dirs with no live file left — each data dir belongs
@@ -746,9 +827,10 @@ object Snapshots {
     // this also clears the _SUCCESS/.crc sidecars the manifest never
     // listed. Dirs from EXPIRED manifests go immediately; dirs no
     // manifest ever referenced are possibly in-flight and only go
-    // once older than `orphanRetainMs` (see scaladoc).
-    val liveDirs = liveFiles.map(_.split("/")(1))
-    val deadDirs = deadFiles.map(_.split("/")(1)).toSet
+    // once older than `orphanRetainMs` (see scaladoc). Borrowed refs
+    // live under the source table, not this data root — excluded.
+    val liveDirs = liveFiles.filterNot(isBorrowed).map(_.split("/")(1))
+    val deadDirs = deadFiles.filterNot(isBorrowed).map(_.split("/")(1)).toSet
     val orphanCutoff = System.currentTimeMillis() - orphanRetainMs
     val dataRoot = new Path(tableDir, "data")
     if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
@@ -766,6 +848,36 @@ object Snapshots {
       try w.write(s"$keepFromVersion\n") finally w.close()
     }
     deadOnly.size
+  }
+
+  /** Shallow-clone demo: a 2-commit source lake of orders is forked
+    * with [[cloneShallow]] (zero data copied), then the CLONE diverges
+    * with an appended re-keyed URGENT batch. The audit reads clone v0
+    * (== source, through borrowed refs), clone v1 (diverged), and the
+    * source's latest (must be UNTOUCHED by the clone's append) — the
+    * oracle replays all three relationally, so the compare proves
+    * both the zero-copy read path and the write isolation.
+    */
+  def u8ShallowClone(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val srcDir = graft.TempDirs.create("graft-clone-src")
+    val cloneDir = graft.TempDirs.create("graft-clone-dst")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders.filter(col("o_orderkey") % 2 === 0), srcDir, "overwrite")
+    commit(orders.filter(col("o_orderkey") % 2 === 1), srcDir, "append")
+    cloneShallow(s, srcDir, cloneDir)
+    val delta = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
+    commit(delta, cloneDir, "append")
+    def audit(scope: String, df: DataFrame): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(scope).as("scope"), col("n_rows"), col("total"))
+    audit("clone_v0", readVersion(s, cloneDir, Some(0L)))
+      .unionByName(audit("clone_v1", readVersion(s, cloneDir, Some(1L))))
+      .unionByName(audit("source_latest", readVersion(s, srcDir)))
+      .orderBy("scope")
   }
 
   /** Incremental-maintenance demo: orders arrive as three append

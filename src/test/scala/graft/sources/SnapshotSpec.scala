@@ -486,6 +486,42 @@ class SnapshotSpec extends SparkSpec {
     assert(n1 !== n0)
   }
 
+  test("shallow clone: zero-copy fork, write isolation both ways, safe vacuum") {
+    val src = freshDir(); val dst = freshDir()
+    Snapshots.commit(frame(0 until 20, "a"), src, statsColumns = Seq("id"))
+    Snapshots.commit(frame(20 until 30, "b"), src, "append",
+      statsColumns = Seq("id"))
+    assert(Snapshots.cloneShallow(spark, src, dst) === 0L)
+    // zero data copied: the clone dir holds no parquet of its own yet
+    val h0 = Snapshots.history(spark, dst).collect()
+    assert(h0.length === 1 &&
+      h0.head.getAs[Long]("n_borrowed") === h0.head.getAs[Long]("n_files"))
+    // clone v0 reads the source's rows through the borrowed refs
+    assert(Snapshots.readVersion(spark, dst, Some(0L)).count() === 30L)
+    // carried stats re-keyed: a pruned read on the clone still works
+    assert(Snapshots.readVersionPruned(spark, dst, 0L, "id", 0L, 5L)
+      .filter(col("id") <= 5L).count() === 6L)
+    // writes diverge independently in BOTH directions
+    Snapshots.commit(frame(100 until 110, "c"), dst, "append")
+    Snapshots.commit(frame(200 until 220, "d"), src, "append")
+    assert(Snapshots.readVersion(spark, dst).count() === 40L)
+    assert(Snapshots.readVersion(spark, dst, Some(0L)).count() === 30L)
+    assert(Snapshots.readVersion(spark, src).count() === 50L)
+    // expiring the clone's v0 must NOT reach into the source table
+    Snapshots.vacuum(spark, dst, keepFromVersion = 1L)
+    assert(Snapshots.readVersion(spark, src, Some(1L)).count() === 30L,
+      "clone vacuum deleted borrowed source files")
+    // compaction materializes: the rewritten version owns local files
+    Snapshots.compact(spark, dst, numFiles = 1)
+    val h = Snapshots.history(spark, dst).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_borrowed")).toMap
+    assert(h(h.keys.max) === 0L, "compacted clone still borrows")
+    // a clone refuses a non-empty target
+    intercept[IllegalArgumentException] {
+      Snapshots.cloneShallow(spark, src, dst)
+    }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
