@@ -57,6 +57,26 @@ class SnapshotRandomSpec extends SparkSpec {
         }
       }
 
+      // clone the table at a random LIVE version mid-history, then
+      // push both tables forward independently — the clone must pin
+      // its fork point and neither table may see the other's writes
+      val liveVs = model.zipWithIndex.collect { case (Some(_), v) => v }
+      val forkV = liveVs(rnd.nextInt(liveVs.size)).toLong
+      val cloneDir = java.nio.file.Files
+        .createTempDirectory(s"graft-snap-rand-clone-$seed").toString
+      Snapshots.cloneShallow(spark, dir, cloneDir, Some(forkV))
+      val forkRows = model(forkV.toInt).get
+      val (extraRows, extraDf) = batch()
+      Snapshots.commit(extraDf, cloneDir, "append")
+      def rowsAt(d: String, v: Long): Set[(Long, String)] =
+        Snapshots.readVersion(spark, d, Some(v))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rowsAt(cloneDir, 0L) === forkRows, s"seed=$seed clone v0")
+      assert(rowsAt(cloneDir, 1L) === forkRows ++ extraRows,
+        s"seed=$seed clone v1")
+      assert(rowsAt(dir, model.size - 1L) === model.last.get,
+        s"seed=$seed source after clone write")
+
       assert(Snapshots.latestVersion(spark, dir) === Some(model.size - 1L))
       assert(Snapshots.vacuumFloor(spark, dir) === floor)
       model.zipWithIndex.foreach {
