@@ -281,9 +281,9 @@ FROM comp GROUP BY cluster ORDER BY cluster"""
     s"""$d6CompCte,
 qual AS (
   SELECT doc_id,
-    ROUND(0.5 * (len(list_distinct(w)) / len(w))
+    0.5 * (len(list_distinct(w)) / len(w))
       + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w))
-      + 0.2 * least((length(text) - (len(w) - 1)) / len(w) / 8.0, 1.0), 6) AS quality
+      + 0.2 * least((length(text) - (len(w) - 1)) / len(w) / 8.0, 1.0) AS quality
   FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t),
 j AS (
   SELECT q.doc_id, COALESCE(comp.cluster, q.doc_id) AS cluster, q.quality

@@ -504,15 +504,18 @@ object Dedup {
     * loop; the decision itself shuffles only (doc_id, cluster,
     * quality) — slim fixed-width rows keyed by cluster, and window
     * groups are cluster-sized (bounded by the LSH candidate caps), so
-    * no skewed partition can form. Ordering uses the ROUNDED quality
-    * on both engines so a last-ulp double difference can never flip a
-    * keeper.
+    * no skewed partition can form. Ordering uses the RAW quality
+    * double: t2's formula is bit-identical on both engines (its
+    * oracle hash-matches), so raw ordering is deterministic — while
+    * ROUND(x, 6) is NOT cross-engine-stable at .5 boundaries (Spark
+    * rounds the exact binary value; DuckDB's x·1e6 multiply can land
+    * on the other side — observed at sf0.1, one row in 20k).
     */
   def d11CanonicalDocs(s: SparkSession, d: String,
                        minJaccard: Double = 0.8): DataFrame = {
     val labels = clusterLabels(s, d, minJaccard)
     val q = TextAnalysis.qualityScore(s, d)
-      .select(col("doc_id"), round(col("quality"), 6).as("quality"))
+      .select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
       .orderBy(desc("quality"), asc("doc_id"))
     q.join(labels, col("doc_id") === col("id"), "left")
