@@ -28,13 +28,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 100 queries x ~10 codegen units far exceed the default
-      // 100-entry compiled-class cache; recompiled units restart cold
-      // in the interpreter and md5-heavy queries degrade 5-20x
-      // nondeterministically. 4000 entries (was 1000 — the 100-query
-      // suite x 2 passes crept past it and late-suite queries drifted
-      // 1.4->2.6s) holds every unit so each compiles exactly once.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // 120 queries x up to ~30 codegen units (x2 bench passes) brush
+      // the prior 4000-entry compiled-class cache; evicted units
+      // recompile and restart cold in the interpreter, degrading
+      // md5-heavy queries 5-20x nondeterministically (this limit was
+      // 100 by default, then 1000, then 4000 — each ceiling was hit
+      // as the suite grew). 8000 holds every unit with headroom.
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       // ContextCleaner frees shuffle files / broadcasts only when the
       // DRIVER GCs; an 8g mostly-idle driver heap may not GC for the

@@ -23,7 +23,7 @@ object PerfOne {
       // in the interpreter and md5-heavy queries degrade 5-20x
       // nondeterministically. One JVM-wide cache large enough to hold
       // every unit compiles each exactly once.
-      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
