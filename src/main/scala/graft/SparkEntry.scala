@@ -68,6 +68,7 @@ object SparkEntry {
     "q29_correlated_subquery" -> (CorpusQueries.q29CorrelatedSubquery _),
     "q30_join_full" -> (CorpusQueries.q30JoinFull _),
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
+    "q41_window_family2" -> (CorpusQueries.q41WindowFamily2 _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
@@ -1345,6 +1346,16 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_pending
         |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q41_window_family2" ->
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal,
+        |  LEAD(c_custkey, 1) OVER w AS next_custkey,
+        |  CUME_DIST() OVER w AS cdist,
+        |  LAST_VALUE(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey,
+        |  NTH_VALUE(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_custkey
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q31_rank_family" ->
       """WITH r AS (
         |  SELECT c_nationkey, c_custkey,

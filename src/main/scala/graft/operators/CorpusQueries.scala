@@ -675,6 +675,29 @@ object CorpusQueries {
       .orderBy("c_nationkey", "pos", "c_custkey")
   }
 
+  /** Completes the window-function surface next to q9/q10/q11/q27/q28/
+    * q31: lead (forward peek), cume_dist (exact m/n rational — integer
+    * division both engines, bit-identical), and the full-frame
+    * navigation pair last_value / nth_value, which REQUIRE the
+    * unbounded-following frame (the default running frame silently
+    * returns the current row — the classic window bug, pinned here).
+    */
+  def q41WindowFamily2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .select(
+        col("c_nationkey"), col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        lead(col("c_custkey"), 1).over(w).as("next_custkey"),
+        cume_dist().over(w).as("cdist"),
+        last_value(col("c_custkey")).over(wFull).as("richest_custkey"),
+        nth_value(col("c_custkey"), 2).over(wFull).as("second_custkey"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   /** Typed JSON parse: from_json with an explicit schema (vs q17's
     * path-extraction) — the malformed-tolerant typed-struct route a
     * pipeline takes when the props schema is known. Struct field
