@@ -69,6 +69,7 @@ object SparkEntry {
     "q30_join_full" -> (CorpusQueries.q30JoinFull _),
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
     "q41_window_family2" -> (CorpusQueries.q41WindowFamily2 _),
+    "q42_string_agg" -> (CorpusQueries.q42StringAgg _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
@@ -1346,6 +1347,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_pending
         |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q42_string_agg" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer QUALIFY rn <= 3)
+        |SELECT c_nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rn) AS top3_custkeys,
+        |  COUNT(*) AS n
+        |FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q41_window_family2" ->
       """SELECT c_nationkey, c_custkey,
         |  CAST(c_acctbal AS DOUBLE) AS acctbal,

@@ -698,6 +698,31 @@ object CorpusQueries {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** Ordered string aggregation (LISTAGG / string_agg): the reporting
+    * op that turns a ranked group into one delimited string. Spark's
+    * collect_list is ORDER-NONDETERMINISTIC by contract (partial-agg
+    * arrival order), so the deterministic form pins the order
+    * structurally: collect (rank, value) structs, array_sort (structs
+    * sort lexicographically, rank first), then project+join — same
+    * result on any partitioning, matching the oracle's
+    * `string_agg(... ORDER BY ...)`.
+    */
+  def q42StringAgg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("c_nationkey")
+      .agg(
+        concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("rn"), col("c_custkey")))),
+            x => x("c_custkey").cast("string"))).as("top3_custkeys"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
   /** Typed JSON parse: from_json with an explicit schema (vs q17's
     * path-extraction) — the malformed-tolerant typed-struct route a
     * pipeline takes when the props schema is known. Struct field
