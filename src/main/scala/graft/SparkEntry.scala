@@ -70,6 +70,7 @@ object SparkEntry {
     "q31_rank_family" -> (CorpusQueries.q31RankFamily _),
     "q41_window_family2" -> (CorpusQueries.q41WindowFamily2 _),
     "q42_string_agg" -> (CorpusQueries.q42StringAgg _),
+    "q43_date_rollup" -> (CorpusQueries.q43DateRollup _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
@@ -1347,6 +1348,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_pending
         |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q43_date_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(MIN(DATE '1998-12-31' - CAST(o_orderdate AS DATE)) AS INTEGER) AS min_age_days,
+        |  CAST(MAX(DATE '1998-12-31' - CAST(o_orderdate AS DATE)) AS INTEGER) AS max_age_days
+        |FROM orders
+        |GROUP BY month_start, qtr ORDER BY month_start""".stripMargin,
     "q42_string_agg" ->
       """WITH ranked AS (
         |  SELECT c_nationkey, c_custkey,

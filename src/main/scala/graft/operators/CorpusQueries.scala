@@ -723,6 +723,30 @@ object CorpusQueries {
       .orderBy("c_nationkey")
   }
 
+  /** Calendar-dimension surface: date_trunc month rollup, quarter
+    * extraction, and day-difference arithmetic against a fixed anchor
+    * — the date-function family every reporting layer leans on,
+    * exercised end to end against the oracle's calendar (both engines
+    * must agree on month boundaries, quarter mapping, and day counts
+    * across the whole order history). All derivations are exact
+    * integer/calendar ops — no float in the grouping path.
+    */
+  def q43DateRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .as("age_days"),
+        dec(col("o_totalprice")).as("price_dec"))
+      .groupBy("month_start", "qtr")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum("price_dec").cast("double").as("revenue"),
+        min("age_days").as("min_age_days"),
+        max("age_days").as("max_age_days"))
+      .orderBy("month_start")
+
   /** Typed JSON parse: from_json with an explicit schema (vs q17's
     * path-extraction) — the malformed-tolerant typed-struct route a
     * pipeline takes when the props schema is known. Struct field
