@@ -22,26 +22,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 120 queries x up to ~30 codegen units (x2 bench passes) brush
-      // the prior 4000-entry compiled-class cache; evicted units
-      // recompile and restart cold in the interpreter, degrading
-      // md5-heavy queries 5-20x nondeterministically (this limit was
-      // 100 by default, then 1000, then 4000 — each ceiling was hit
-      // as the suite grew). 8000 holds every unit with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.ui.enabled", "false")
-      // ContextCleaner frees shuffle files / broadcasts only when the
-      // DRIVER GCs; an 8g mostly-idle driver heap may not GC for the
-      // whole run, so ~170 query executions accumulate state (default
-      // periodicGC is 30min — longer than the run)
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String): Either[Throwable, Unit] =

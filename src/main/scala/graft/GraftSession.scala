@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's recommended SparkSession — the one-line entry point a
+  * user switching from the reference instantiates, and the single
+  * source of truth for the session knobs every harness in this repo
+  * (Verify/Bench/Plans/PerfOne/ScaleSmoke, and the test base) was
+  * duplicating:
+  *
+  *   - `spark.sql.extensions = graft.GraftExtensions` — registers the
+  *     engine's native functions (cosine_sim) for plain-SQL users.
+  *   - `spark.sql.shuffle.partitions = cores` — sized to the session's
+  *     parallelism instead of the 200 default; on a real cluster set
+  *     this to ~2-3× total executor cores (or rely on AQE coalescing).
+  *   - `spark.sql.session.timeZone = UTC` — all timestamp semantics in
+  *     the engine (and its oracle parity) are UTC-pinned.
+  *   - `spark.sql.legacy.parquet.nanosAsLong = true` — the events
+  *     table carries TIMESTAMP(NANOS); Tables.events converts.
+  *   - `spark.sql.codegen.cache.maxEntries = 8000` — the full query
+  *     suite compiles >4000 codegen units across two bench passes;
+  *     evicted units restart cold in the interpreter and degrade
+  *     md5-heavy queries 5-20× nondeterministically.
+  *   - `spark.cleaner.periodicGC.interval = 1min` — the ContextCleaner
+  *     only reclaims shuffle/checkpoint blocks on driver GC; long
+  *     single-JVM runs otherwise accumulate them for hours.
+  *
+  * Returns a Builder so callers can still layer master/UI/app-specific
+  * settings before `getOrCreate()`.
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+
+  /** The harness shape: local master with `cores` threads, UI off. */
+  def local(cores: Int): SparkSession.Builder =
+    builder(cores)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+}

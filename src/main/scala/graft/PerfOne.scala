@@ -12,21 +12,7 @@ object PerfOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 63 queries x several codegen units far exceed the default
-      // 100-entry compiled-class cache; recompiled units restart cold
-      // in the interpreter and md5-heavy queries degrade 5-20x
-      // nondeterministically. One JVM-wide cache large enough to hold
-      // every unit compiles each exactly once.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     queryNames.foreach { name =>
       (1 to iters).foreach { i =>

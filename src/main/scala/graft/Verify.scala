@@ -10,23 +10,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 120 queries x up to ~30 codegen units (x2 bench passes) brush
-      // the prior 4000-entry compiled-class cache; evicted units
-      // recompile and restart cold in the interpreter, degrading
-      // md5-heavy queries 5-20x nondeterministically (this limit was
-      // 100 by default, then 1000, then 4000 — each ceiling was hit
-      // as the suite grew). 8000 holds every unit with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.ui.enabled", "false")
-      // see Bench: drive ContextCleaner on long single-JVM runs
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]

@@ -15,22 +15,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    val s = GraftSession.local(4)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 120 queries x up to ~30 codegen units (x2 bench passes) brush
-      // the prior 4000-entry compiled-class cache; evicted units
-      // recompile and restart cold in the interpreter, degrading
-      // md5-heavy queries 5-20x nondeterministically (this limit was
-      // 100 by default, then 1000, then 4000 — each ceiling was hit
-      // as the suite grew). 8000 holds every unit with headroom.
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
-      .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
