@@ -71,6 +71,7 @@ object SparkEntry {
     "q41_window_family2" -> (CorpusQueries.q41WindowFamily2 _),
     "q42_string_agg" -> (CorpusQueries.q42StringAgg _),
     "q43_date_rollup" -> (CorpusQueries.q43DateRollup _),
+    "q44_nullsafe_join" -> (CorpusQueries.q44NullsafeJoin _),
     "q32_bloom_join" -> (CorpusQueries.q32BloomJoin _),
     "q33_session_window" -> (CorpusQueries.q33SessionWindow _),
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
@@ -1348,6 +1349,16 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_pending
         |FROM cust FULL OUTER JOIN pend ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q44_nullsafe_join" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         TRY_CAST(NULLIF(regexp_extract(props, '"k": *([0-9]+)', 1), '') AS BIGINT) % 5 AS k
+        |  FROM events),
+        |c AS (SELECT k, COUNT(*) AS n_clicks FROM e WHERE event_type = 'click' GROUP BY k),
+        |v AS (SELECT k, COUNT(*) AS n_views FROM e WHERE event_type = 'view' GROUP BY k)
+        |SELECT c.k AS k, n_clicks, n_views
+        |FROM c JOIN v ON c.k IS NOT DISTINCT FROM v.k
+        |ORDER BY c.k NULLS FIRST""".stripMargin,
     "q43_date_rollup" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,

@@ -747,6 +747,30 @@ object CorpusQueries {
         max("age_days").as("max_age_days"))
       .orderBy("month_start")
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * semantics where NULL keys MATCH each other — what a plain equi
+    * join silently drops (q39 pins the predicate-level 3VL story;
+    * this pins the operator level). Both sides derive a nullable key
+    * from events.props (`k` is NULL for unparseable props), aggregate
+    * per key, and join null-safely: the NULL group must survive with
+    * both sides' counts. Spark plans `<=>` as a hash join on the
+    * null-safe-wrapped key — still a keyed shuffle, not a nested
+    * loop, so the shape scales like any equi join.
+    */
+  def q44NullsafeJoin(s: SparkSession, d: String): DataFrame = {
+    val parsed = Tables.events(s, d)
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("bigint") % 5)
+    val clicks = parsed.filter(col("event_type") === "click")
+      .groupBy("k").agg(count(lit(1)).as("n_clicks"))
+    val views = parsed.filter(col("event_type") === "view")
+      .groupBy("k").agg(count(lit(1)).as("n_views"))
+    clicks.as("c")
+      .join(views.as("v"), col("c.k") <=> col("v.k"))
+      .select(col("c.k").as("k"), col("n_clicks"), col("n_views"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** Typed JSON parse: from_json with an explicit schema (vs q17's
     * path-extraction) — the malformed-tolerant typed-struct route a
     * pipeline takes when the props schema is known. Struct field
