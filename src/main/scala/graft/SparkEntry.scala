@@ -153,6 +153,7 @@ object SparkEntry {
     "m1_media_features" -> (Multimodal.mediaFeaturesSql _),
     "m2_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     "m3_resize" -> ((s, d) => Multimodal.resizeSpecSql(s, d)),
+    "m4_batch_pack" -> ((s, d) => Multimodal.m4BatchPack(s, d)),
     // ---- sketches ----
     // x1: no oracle — HLL estimates are engine-specific; the driver
     // records a rows-only check. x1a is its exact companion: the same
@@ -1795,6 +1796,22 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 64 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    // m4 oracle: documents text is ASCII-safe here, so strlen(text)
+    // (bytes) equals Spark's length(encode(text,'utf-8')) exactly
+    "m4_batch_pack" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[(doc_id % 3 + 1)] AS kind,
+        |    CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT media_id, kind, n_bytes,
+        |    SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
+        |  FROM m)
+        |SELECT kind, (cum_bytes - 1) // 4096 AS batch_id, COUNT(*) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes,
+        |  MIN(media_id) AS first_id, MAX(media_id) AS last_id
+        |FROM c GROUP BY kind, batch_id ORDER BY kind, batch_id""".stripMargin,
     "m3_resize" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id,

@@ -52,6 +52,37 @@ object Multimodal {
       w, h, 1 + (rec.bytes.length % 16))
   }
 
+  /** Payload-budget batch packing — the GPU-inference batching step: a
+    * decode/embed service consumes media in batches bounded by BYTES
+    * (device memory), not row count, so batches are packed by running
+    * payload size. Per (modality) stream, records are laid out in
+    * media_id order and assigned batch = floor(cumulative_bytes /
+    * budget) — the same deterministic window-cumsum shape as p4's
+    * token packing (Sampling.packSequences), applied to the binary
+    * column's length. Per-modality windows partition the work: at
+    * 100 TB each modality packs independently, and a batch id is
+    * reproducible from the data alone (no scan order dependence).
+    */
+  def m4BatchPack(s: SparkSession, d: String,
+                  budgetBytes: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind").orderBy("media_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    mediaTable(s, d)
+      .select(col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      .withColumn("cum_bytes", sum("n_bytes").over(w))
+      .withColumn("batch_id", expr(s"(cum_bytes - 1) div $budgetBytes"))
+      .groupBy("kind", "batch_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("n_bytes").as("batch_bytes"),
+        min("media_id").as("first_id"),
+        max("media_id").as("last_id"))
+      .orderBy("kind", "batch_id")
+  }
+
   /** Batched decode over partitions: the executor-side pattern for real
     * codecs (init once per partition, stream records through).
     */

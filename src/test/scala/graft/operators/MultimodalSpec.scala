@@ -47,4 +47,34 @@ class MultimodalSpec extends SparkSpec {
       assert(a.getAs[Long]("new_n_bytes") <= a.getAs[Long]("n_bytes"))
     }
   }
+
+  test("batch packing: byte budget respected, batches are contiguous id ranges") {
+    val rows = Multimodal.m4BatchPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("kind")).foreach { case (kind, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("batch_id"))
+      // batch ids are dense from 0 within each modality
+      assert(sorted.map(_.getAs[Long]("batch_id")).toSeq ===
+        (0L until sorted.length).toSeq, s"kind=$kind")
+      // cum-based packing overshoots the budget by at most ONE item's
+      // carry-in (the item whose end crosses the window boundary), so
+      // every batch is bounded by budget + the largest single payload
+      val maxItem = Multimodal.mediaTable(spark, sf)
+        .select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("bytes")))).head.getInt(0).toLong
+      sorted.foreach { b =>
+        val bytes = b.getAs[Long]("batch_bytes")
+        assert(b.getAs[Long]("n_items") >= 1L)
+        assert(bytes < 4096L + maxItem,
+          s"kind=$kind batch=$b exceeds budget + one payload")
+      }
+      // contiguous, non-overlapping id ranges in batch order
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_id") < b.getAs[Long]("first_id"))
+        case _ =>
+      }
+    }
+  }
 }
