@@ -336,6 +336,9 @@ object Similarity {
     */
   def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     import s.implicits._
+    // truth is s1's top-5 filtered to k, so the oracle can reuse
+    // s1's SQL verbatim — which bounds the valid k
+    require(k >= 1 && k <= 5, s"annRecall k must be in [1,5], got $k")
     val truth = knnBrute(s, d).filter(col("rank") <= k)
       .select("q_id", "c_id")
     val approx =

@@ -16,8 +16,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.local(4)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", TempDirs.create("graft-wh"))
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -15,8 +15,7 @@ class SnapshotRandomSpec extends SparkSpec {
   test("random op sequences: every live version serves exactly its model rows") {
     for (seed <- Seq(7, 23, 91)) {
       val rnd = new Random(seed)
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-snap-rand-$seed").toString
+      val dir = graft.TempDirs.create(s"graft-snap-rand-$seed")
       var nextId = 0L
       def batch(): (Set[(Long, String)], org.apache.spark.sql.DataFrame) = {
         val n = 1 + rnd.nextInt(20)
@@ -62,8 +61,7 @@ class SnapshotRandomSpec extends SparkSpec {
       // its fork point and neither table may see the other's writes
       val liveVs = model.zipWithIndex.collect { case (Some(_), v) => v }
       val forkV = liveVs(rnd.nextInt(liveVs.size)).toLong
-      val cloneDir = java.nio.file.Files
-        .createTempDirectory(s"graft-snap-rand-clone-$seed").toString
+      val cloneDir = graft.TempDirs.create(s"graft-snap-rand-clone-$seed")
       Snapshots.cloneShallow(spark, dir, cloneDir, Some(forkV))
       val forkRows = model(forkV.toInt).get
       val (extraRows, extraDf) = batch()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class SnapshotSpec extends SparkSpec {
 
   private def freshDir(): String =
-    java.nio.file.Files.createTempDirectory("graft-snap-spec").toString
+    graft.TempDirs.create("graft-snap-spec") // registered for exit cleanup
 
   private def frame(ids: Range, tag: String) = {
     val s = spark
