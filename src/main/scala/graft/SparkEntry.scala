@@ -133,6 +133,7 @@ object SparkEntry {
     "t7_chunking" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "t8_length_stats" -> (TextAnalysis.lengthStats _),
     "t9_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "t15_bm25" -> ((s, d) => TextAnalysis.t15Bm25(s, d)),
     "t10_pii_redact" -> (TextAnalysis.piiRedact _),
     "t11_quality_filter" -> (TextAnalysis.qualityFilter _),
     "t12_bigrams" -> ((s, d) => TextAnalysis.bigrams(s, d)),
@@ -1431,6 +1432,34 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  MAX(n_tokens) AS max_tokens,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // t15 oracle: every fractional literal CAST to DOUBLE — DuckDB
+    // decimal literals would compute an exact product and round once,
+    // diverging from IEEE double-literal arithmetic in the last ulp
+    "t15_bm25" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS total_tokens FROM docs),
+        |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM docs) t
+        |  WHERE tok IN ('query', 'window', 'merge') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    (CAST(n_docs AS DOUBLE) / df) *
+        |    (tf * CAST(2.2 AS DOUBLE)) /
+        |    (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl.dl * n_docs AS DOUBLE) / total_tokens)) AS term_score
+        |  FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        |ag AS (
+        |  SELECT doc_id,
+        |    COALESCE(MAX(CASE WHEN tok = 'query' THEN term_score END), CAST(0 AS DOUBLE))
+        |    + COALESCE(MAX(CASE WHEN tok = 'window' THEN term_score END), CAST(0 AS DOUBLE))
+        |    + COALESCE(MAX(CASE WHEN tok = 'merge' THEN term_score END), CAST(0 AS DOUBLE)) AS score,
+        |    COUNT(*) AS n_terms_hit
+        |  FROM sc GROUP BY doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, n_terms_hit, score
+        |FROM ag QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
     "t9_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -238,6 +238,64 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 retrieval ranking over a fixed query-term set — the search
+    * serving twin of [[tfidf]]'s per-doc keywords: every document is
+    * scored against the query and the global top-k returned. Same
+    * oracle-determinism discipline as t9: the idf term is the LINEAR
+    * N/df (a log idf is non-correctly-rounded and engine-divergent —
+    * the one transcendental this engine keeps out of every hash-
+    * compared value), and the saturation term keeps k1/b as exact
+    * decimal literals with dl/avgdl expanded to the rational
+    * dl·N/total_tokens — one double division per factor, same
+    * evaluation order both engines, bit-identical results. Scale
+    * shape: tf rows for the query terms only (a semi-join on a
+    * 3-term broadcast), score is map-side arithmetic, and the top-k
+    * is a TakeOrdered — no global sort.
+    */
+  def t15Bm25(s: SparkSession, d: String,
+              terms: Seq[String] = Seq("query", "window", "merge"),
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("total_tokens"))
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      // BM25 with linear idf: (N/df) * tf*(k1+1) / (tf + k1*(1-b + b*dl*N/total))
+      .withColumn("term_score",
+        (col("n_docs").cast("double") / col("df")) *
+          (col("tf") * lit(2.2)).cast("double") /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl") * col("n_docs")).cast("double") / col("total_tokens"))))
+    // per-doc total in FIXED term order: a plain sum(double) adds in
+    // partition-arrival order (non-deterministic across engines); one
+    // exact single-row value per term (max of the unique (doc,term)
+    // score) added left-to-right is bit-identical everywhere
+    val perTerm = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("term_score"))), lit(0.0)))
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    scored
+      .groupBy("doc_id")
+      .agg(perTerm.reduce(_ + _).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k) // TakeOrdered — no global sort, no single-partition window
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "doc_id", "n_terms_hit", "score")
+      .orderBy("rank")
+  }
+
   /** Composite quality filter (C4/Gopher-style): five independent
     * per-document rules — token-count bounds, mean-word-length bounds,
     * stopword presence, distinct-token ratio, digit-character ratio —
