@@ -553,20 +553,70 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
       |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
       |SELECT q_id, rank, c_id, cos6 FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  /** s10 oracle: recall@3 of the s2/s5/s8 probes against s1's exact
+  private val s7Sql: String =
+    """WITH tall AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |cw AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS c_code, pos, x AS c_val
+      |  FROM tall WHERE vec_id >= 8 AND vec_id < 72),
+      |dist AS (
+      |  SELECT t.vec_id AS c_id, CAST(c.pos // 4 AS INTEGER) AS sub, c.c_code,
+      |    CAST(SUM(CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)
+      |           * CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)) AS BIGINT) AS dist
+      |  FROM tall t JOIN cw c USING (pos)
+      |  WHERE t.vec_id >= 8
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT c_id, sub,
+      |    CAST(MIN(dist * 1024 + c_code) % 1024 AS INTEGER) AS code
+      |  FROM dist GROUP BY c_id, sub),
+      |nsq AS (
+      |  SELECT CAST(pos // 4 AS INTEGER) AS sub, c_code AS n_code,
+      |    CAST(SUM(CAST(ROUND(c_val * 1000000.0) AS BIGINT)
+      |           * CAST(ROUND(c_val * 1000000.0) AS BIGINT)) AS BIGINT) AS cw_nsq
+      |  FROM cw GROUP BY 1, 2),
+      |recon AS (
+      |  SELECT c_id, CAST(SUM(cw_nsq) AS BIGINT) AS recon_nsq
+      |  FROM codes k JOIN nsq n ON k.sub = n.sub AND k.code = n.n_code
+      |  GROUP BY c_id),
+      |lut AS (
+      |  SELECT t.vec_id AS q_id, CAST(c.pos // 4 AS INTEGER) AS q_sub, c.c_code,
+      |    CAST(SUM(CAST(ROUND(x * c_val * 1000000000000.0) AS BIGINT)) AS BIGINT) AS pdot
+      |  FROM tall t JOIN cw c USING (pos)
+      |  WHERE t.vec_id < 8
+      |  GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT l.q_id, k.c_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
+      |  FROM codes k JOIN lut l ON k.sub = l.q_sub AND k.code = l.c_code
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT q_id, s.c_id,
+      |    ROUND(adc / (1000000.0 * sqrt(CAST(GREATEST(recon_nsq, 1) AS DOUBLE))), 6) AS score6
+      |  FROM sc s JOIN recon r ON s.c_id = r.c_id),
+      |rk AS (
+      |  SELECT q_id, c_id, score6,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score6 DESC, c_id) AS INTEGER) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id, score6 FROM rk WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** s10 oracle: recall@3 of the s2/s5/s7/s8 probes against s1's exact
     * top-3, composed from the component oracles VERBATIM (each runs as
     * a derived table) — the metric's ground truth is by construction
     * the same SQL the component queries are graded against.
     */
   private val s10Sql: String =
     s"""WITH truth AS (SELECT q_id, c_id FROM ($s1Sql) t1 WHERE rank <= 3),
-       |methods AS (SELECT UNNEST(['bucketed', 'hybrid', 'ivf']) AS method),
+       |methods AS (SELECT UNNEST(['bucketed', 'hybrid', 'ivf', 'pq']) AS method),
        |ab AS (SELECT 'bucketed' AS method, q_id, c_id FROM ($s2Sql) t2),
        |av AS (SELECT 'ivf' AS method, q_id, c_id FROM ($s5Sql) t5),
        |ah AS (SELECT 'hybrid' AS method, q_id, c_id FROM ($s8Sql) t8),
+       |ap AS (SELECT 'pq' AS method, q_id, c_id FROM ($s7Sql) t7),
        |hits AS (
        |  SELECT method, q_id, COUNT(*) AS hits
-       |  FROM (SELECT * FROM ab UNION ALL SELECT * FROM av UNION ALL SELECT * FROM ah) a
+       |  FROM (SELECT * FROM ab UNION ALL SELECT * FROM av UNION ALL SELECT * FROM ah UNION ALL SELECT * FROM ap) a
        |  JOIN truth USING (q_id, c_id)
        |  GROUP BY method, q_id),
        |scaffold AS (
@@ -1725,54 +1775,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS INTEGER) AS rank FROM r)
         |SELECT q_id, rank, c_id, cos6, cell FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "s8_knn_hybrid" -> s8Sql,
-    "s7_knn_pq" ->
-      """WITH tall AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |cw AS (
-        |  SELECT CAST(vec_id AS INTEGER) AS c_code, pos, x AS c_val
-        |  FROM tall WHERE vec_id >= 8 AND vec_id < 72),
-        |dist AS (
-        |  SELECT t.vec_id AS c_id, CAST(c.pos // 4 AS INTEGER) AS sub, c.c_code,
-        |    CAST(SUM(CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)
-        |           * CAST(ROUND((x - c_val) * 1000000.0) AS BIGINT)) AS BIGINT) AS dist
-        |  FROM tall t JOIN cw c USING (pos)
-        |  WHERE t.vec_id >= 8
-        |  GROUP BY 1, 2, 3),
-        |codes AS (
-        |  SELECT c_id, sub,
-        |    CAST(MIN(dist * 1024 + c_code) % 1024 AS INTEGER) AS code
-        |  FROM dist GROUP BY c_id, sub),
-        |nsq AS (
-        |  SELECT CAST(pos // 4 AS INTEGER) AS sub, c_code AS n_code,
-        |    CAST(SUM(CAST(ROUND(c_val * 1000000.0) AS BIGINT)
-        |           * CAST(ROUND(c_val * 1000000.0) AS BIGINT)) AS BIGINT) AS cw_nsq
-        |  FROM cw GROUP BY 1, 2),
-        |recon AS (
-        |  SELECT c_id, CAST(SUM(cw_nsq) AS BIGINT) AS recon_nsq
-        |  FROM codes k JOIN nsq n ON k.sub = n.sub AND k.code = n.n_code
-        |  GROUP BY c_id),
-        |lut AS (
-        |  SELECT t.vec_id AS q_id, CAST(c.pos // 4 AS INTEGER) AS q_sub, c.c_code,
-        |    CAST(SUM(CAST(ROUND(x * c_val * 1000000000000.0) AS BIGINT)) AS BIGINT) AS pdot
-        |  FROM tall t JOIN cw c USING (pos)
-        |  WHERE t.vec_id < 8
-        |  GROUP BY 1, 2, 3),
-        |sc AS (
-        |  SELECT l.q_id, k.c_id, CAST(SUM(l.pdot) AS BIGINT) AS adc
-        |  FROM codes k JOIN lut l ON k.sub = l.q_sub AND k.code = l.c_code
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT q_id, s.c_id,
-        |    ROUND(adc / (1000000.0 * sqrt(CAST(GREATEST(recon_nsq, 1) AS DOUBLE))), 6) AS score6
-        |  FROM sc s JOIN recon r ON s.c_id = r.c_id),
-        |rk AS (
-        |  SELECT q_id, c_id, score6,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score6 DESC, c_id) AS INTEGER) AS rank
-        |  FROM scored)
-        |SELECT q_id, rank, c_id, score6 FROM rk WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+    "s7_knn_pq" -> s7Sql,
     "s6_quantize" ->
       """WITH m AS (
         |  SELECT vec_id,

@@ -316,8 +316,8 @@ object Similarity {
   }
 
   /** Recall@k of the approximate ANN paths (sign-LSH buckets, IVF
-    * cells, and their hybrid union probe) against exact brute-force
-    * ground truth — the quality metric that justifies an approximate
+    * cells, their hybrid union probe, and the PQ-ADC ranker — graded
+    * on its serving top-3) against exact brute-force ground truth — the quality metric that justifies an approximate
     * index: every ANN deployment reports recall next to latency, or
     * the "fast" path silently degrades as the corpus drifts. One row
     * per (method, query): hits = |approx top-k ∩ exact top-k|,
@@ -348,10 +348,12 @@ object Similarity {
           .select(lit("ivf").as("method"), col("q_id"), col("c_id")))
         .unionByName(knnHybrid(s, d, k = k)
           .select(lit("hybrid").as("method"), col("q_id"), col("c_id")))
+        .unionByName(knnPq(s, d).filter(col("rank") <= k)
+          .select(lit("pq").as("method"), col("q_id"), col("c_id")))
     val hits = approx.join(truth, Seq("q_id", "c_id"))
       .groupBy("method", "q_id").agg(count(lit(1)).as("hits"))
     truth.select("q_id").distinct()
-      .crossJoin(Seq("bucketed", "hybrid", "ivf").toDF("method"))
+      .crossJoin(Seq("bucketed", "hybrid", "ivf", "pq").toDF("method"))
       .join(hits, Seq("method", "q_id"), "left")
       .select(col("method"), col("q_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),

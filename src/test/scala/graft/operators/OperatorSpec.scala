@@ -93,10 +93,10 @@ class OperatorSpec extends SparkSpec {
 
   test("ANN recall: every method x query present, hybrid dominates single probes") {
     val rows = Similarity.annRecall(spark, sf).collect()
-    // 3 methods x 8 queries — the scaffold keeps 0-hit queries visible
-    assert(rows.length === 24)
+    // 4 methods x 8 queries — the scaffold keeps 0-hit queries visible
+    assert(rows.length === 32)
     assert(rows.map(_.getAs[String]("method")).toSet ===
-      Set("bucketed", "hybrid", "ivf"))
+      Set("bucketed", "hybrid", "ivf", "pq"))
     rows.foreach { r =>
       val hits = r.getAs[Long]("hits")
       assert(hits >= 0L && hits <= 3L)
