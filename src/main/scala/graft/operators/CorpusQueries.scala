@@ -830,6 +830,30 @@ object CorpusQueries {
     s.sql(q35SharedSql)
   }
 
+  /** LATERAL correlated derived table — top-2 customers per nation,
+    * SQL-level (the FROM-clause correlation a reporting tool emits;
+    * q29 pins the correlated SCALAR subquery, this pins the table
+    * form). ONE SQL string runs verbatim on both engines (the q35
+    * pattern): Spark plans the lateral as a window-equivalent
+    * (rank-per-partition) under the hood — no per-row re-execution.
+    */
+  val q45SharedSql: String =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n,
+      |  LATERAL (
+      |    SELECT c_custkey, c_acctbal FROM customer
+      |    WHERE c_nationkey = n.n_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey
+      |    LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin
+
+  /** SQL front door for [[q45SharedSql]]. */
+  def q45Lateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(q45SharedSql)
+  }
+
   /** Sliding-window event aggregation in BATCH via the native
     * `window(ts, "1 hour", "15 minutes")` generator — each event lands
     * in exactly 4 overlapping hour windows (the batch twin of the
