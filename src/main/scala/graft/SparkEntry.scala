@@ -77,6 +77,7 @@ object SparkEntry {
     "q34_anomaly" -> (CorpusQueries.q34Anomaly _),
     "q35_sql" -> (CorpusQueries.q35Sql _),
     "q45_lateral" -> (CorpusQueries.q45Lateral _),
+    "q46_recursive_cte" -> (CorpusQueries.q46RecursiveCte _),
     "q36_sliding_window" -> (CorpusQueries.q36SlidingWindow _),
     "k1_skew_profile" -> (CorpusQueries.k1SkewProfile _),
     "dq1_ref_integrity" -> (CorpusQueries.dq1RefIntegrity _),
@@ -883,6 +884,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     // the SQL-surface query IS its own oracle: one string, two engines
     "q35_sql" -> CorpusQueries.q35SharedSql,
     "q45_lateral" -> CorpusQueries.q45SharedSql,
+    "q46_recursive_cte" -> CorpusQueries.q46SharedSql,
     "q39_null_semantics" -> CorpusQueries.q39SharedSql,
     "q36_sliding_window" ->
       """WITH e AS (

@@ -854,6 +854,43 @@ object CorpusQueries {
     s.sql(q45SharedSql)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): bounded-depth BFS over
+    * the nation trade graph — min-hop distance and bounded-walk count
+    * from nation 0 over edges carrying ≥ 50 lineitems. ONE SQL string
+    * verbatim on both engines; the recursion is depth-bounded
+    * (hops < 2) with UNION ALL, the portable recursive form (both
+    * engines iterate the frontier; the bound, not dedup semantics,
+    * terminates it). The relational sibling of [[graft.operators.Graph]]'s
+    * iterative PageRank and Dedup's label propagation — same frontier
+    * expansion, declared instead of loop-driven.
+    */
+  val q46SharedSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY c.c_nationkey, s.s_nationkey
+      |  HAVING COUNT(*) >= 50),
+      |walk(node, hops) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      |  UNION ALL
+      |  SELECT e.dst, w.hops + 1
+      |  FROM walk w JOIN edges e ON e.src = w.node
+      |  WHERE w.hops < 2)
+      |SELECT node, MIN(hops) AS min_hops, COUNT(*) AS n_walks
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
+  /** SQL front door for [[q46SharedSql]]. */
+  def q46RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(q46SharedSql)
+  }
+
   /** Sliding-window event aggregation in BATCH via the native
     * `window(ts, "1 hour", "15 minutes")` generator — each event lands
     * in exactly 4 overlapping hour windows (the batch twin of the
