@@ -127,7 +127,7 @@ object Dedup {
                                    statsColumns: Seq[String]): Long = {
     import graft.sources.Snapshots
     val cutPoints = cuts.getOrElse {
-      val maxId = docs.agg(max("doc_id")).head.getLong(0) // one tiny action
+      val maxId = docs.agg(max("doc_id")).head().getLong(0) // one tiny action
       Seq(maxId / 3, 2 * maxId / 3)
     }.sorted
     val bounds = (Long.MinValue +: cutPoints) :+ Long.MaxValue
@@ -329,7 +329,7 @@ object Dedup {
       // footer stats, so the scan prunes to the files overlapping the
       // candidate id range instead of touching the whole corpus (the
       // bounds agg is a bounded 2-column action, like skewProfile's)
-      val bounds = oldCandDocs.agg(min("doc_id"), max("doc_id")).head
+      val bounds = oldCandDocs.agg(min("doc_id"), max("doc_id")).head()
       val shOld =
         if (bounds.isNullAt(0)) None // no cross-batch candidates
         else Some(hashedShingles(

@@ -45,9 +45,9 @@ object Merge {
     val payload = base.columns.filterNot(_ == key)
     payload.foreach(c => require(changes.columns.contains(c),
       s"changes missing payload column: $c"))
-    val b = base.select(col(key).as("__bk"), struct(payload.map(col): _*).as("__bv"))
+    val b = base.select(col(key).as("__bk"), struct(payload.toIndexedSeq.map(col): _*).as("__bv"))
     val c = changes.select(col(key).as("__ck"), col("op"),
-      struct(payload.map(col): _*).as("__cv"))
+      struct(payload.toIndexedSeq.map(col): _*).as("__cv"))
     b.join(c, col("__bk") === col("__ck"), "full_outer")
       .filter(coalesce(col("op"), lit("")) =!= "D") // deletes drop
       .select(
@@ -55,7 +55,7 @@ object Merge {
         // updates and inserts take the change payload; untouched rows
         // keep the base payload
         when(col("op").isin("I", "U"), col("__cv")).otherwise(col("__bv")).as("__v"))
-      .select(col(key) +: payload.map(p => col(s"__v.$p").as(p)): _*)
+      .select(col(key) +: payload.toIndexedSeq.map(p => col(s"__v.$p").as(p)): _*)
   }
 
   /** The demo merge over orders, summarized per status with exact
@@ -69,7 +69,7 @@ object Merge {
     */
   def demoChanges(base: DataFrame): DataFrame = {
     val deletes = base.filter(col("o_orderkey") % 97 === 0)
-      .select(base.columns.map(col): _*).withColumn("op", lit("D"))
+      .select(base.columns.toIndexedSeq.map(col): _*).withColumn("op", lit("D"))
     val updates = base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
       .withColumn("op", lit("U"))

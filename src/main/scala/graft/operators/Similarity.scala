@@ -238,7 +238,7 @@ object Similarity {
                        nQueries: Int = 8, k: Int = 3): DataFrame = {
     import graft.sources.Snapshots
     val e = Tables.embeddings(s, d)
-    val maxId = e.agg(max("vec_id")).head.getLong(0)
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val lakeDir = graft.TempDirs.create("graft-incivf-lake")
     val indexDir = graft.TempDirs.create("graft-incivf-index")

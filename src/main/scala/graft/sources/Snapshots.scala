@@ -320,7 +320,8 @@ object Snapshots {
            col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
         if (want.contains(name)) {
-          val st = col.getStatistics
+          val st: org.apache.parquet.column.statistics.Statistics[_] =
+            col.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             val repr: Option[FileStat] = (st.genericGetMin, st.genericGetMax) match {
               case (a: java.lang.Integer, b: java.lang.Integer) =>
@@ -357,7 +358,7 @@ object Snapshots {
           } else poisoned += name // a stat-less row group poisons the file
         }
       }
-      (perCol -- poisoned).toMap
+      (perCol.toMap -- poisoned)
     } finally reader.close()
   }
 
