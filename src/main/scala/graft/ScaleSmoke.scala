@@ -36,7 +36,7 @@ object ScaleSmoke {
       "d9_incremental_dedup", "d10_incremental_lsh", "s9_incremental_ivf",
       // round-6 additions over the replicated tables (dq2 profiles
       // lineitem, which this harness does not replicate — not listed)
-      "s10_ann_recall", "d11_canonical_docs")
+      "s10_ann_recall", "d11_canonical_docs", "t15_bm25", "m4_batch_pack")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt).getOrCreate()
