@@ -250,6 +250,33 @@ object Snapshots {
     version
   }
 
+  /** Commit with a CHECK constraint (the table formats' CHECK /
+    * NOT NULL enforcement): the batch is validated BEFORE any data is
+    * written — a violating commit leaves the table completely
+    * untouched (no orphan data dir, no version consumed). The check
+    * is one aggregate over the batch (count of violating rows, not a
+    * collect); its cost is a scan of the data about to be written —
+    * the same data the write itself scans. Violations raise with the
+    * violating-row count so the producer can quarantine the batch.
+    */
+  def commitChecked(df: DataFrame, tableDir: String,
+                    constraint: org.apache.spark.sql.Column,
+                    mode: String = "overwrite",
+                    expectedVersion: Option[Long] = None,
+                    statsColumns: Seq[String] = Nil,
+                    txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{count, lit, not, coalesce}
+    // NULL constraint results count as violations (CHECK semantics in
+    // SQL let NULL pass; a lakehouse quality gate must not — an
+    // unevaluable predicate is a dirty row, not a free pass)
+    val bad = df.filter(not(coalesce(constraint, lit(false))))
+      .agg(count(lit(1))).head().getLong(0)
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated by $bad row(s); commit to $tableDir refused")
+    commit(df, tableDir, mode, expectedVersion, statsColumns, txn)
+  }
+
   /** Publish `tmp` as `dst` iff `dst` does not exist, atomically.
     * On HDFS and namespace-atomic object stores, `rename` IS that
     * operation (the namenode arbitrates). Hadoop's LOCAL filesystem,

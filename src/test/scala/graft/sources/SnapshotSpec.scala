@@ -554,6 +554,34 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("commit-time CHECK constraint: violating batch refused, table untouched") {
+    val dir = freshDir()
+    Snapshots.commitChecked(frame(0 until 10, "clean"), dir,
+      col("id") >= 0L)
+    // a violating batch raises and consumes NOTHING — no version, no
+    // orphan data dir
+    intercept[IllegalArgumentException] {
+      Snapshots.commitChecked(frame(0 until 5, "dirty"), dir,
+        col("id") > 2L, "append")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(0L))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(dir, "data")).length === 1)
+    // NULL constraint results are violations, not a free pass
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("id", "tag").select(col("id").cast("long").as("id"), col("tag"))
+    intercept[IllegalArgumentException] {
+      Snapshots.commitChecked(withNull, dir, col("id") > 0L, "append")
+    }
+    // a clean batch still lands normally afterward
+    Snapshots.commitChecked(frame(10 until 15, "ok"), dir,
+      col("id").isNotNull && col("id") < 100L, "append")
+    assert(Snapshots.readVersion(spark, dir).count() === 15L)
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
