@@ -15,8 +15,17 @@ import org.apache.spark.sql.SparkSession
   *     this to ~2-3× total executor cores (or rely on AQE coalescing).
   *   - `spark.sql.session.timeZone = UTC` — all timestamp semantics in
   *     the engine (and its oracle parity) are UTC-pinned.
-  *   - `spark.sql.legacy.parquet.nanosAsLong = true` — the events
-  *     table carries TIMESTAMP(NANOS); Tables.events converts.
+  *   - `spark.sql.legacy.parquet.nanosAsLong = true` — some corpus
+  *     drops carry events.ts as TIMESTAMP(NANOS); Tables.events
+  *     converts the resulting long to µs.
+  *   - `spark.sql.parquet.inferTimestampNTZ.enabled = false` — corpus
+  *     drops that write events.ts as NAIVE µs (isAdjustedToUTC=false)
+  *     would otherwise read as TIMESTAMP_NTZ, a different type from
+  *     round to round. Disabling the inference pins every parquet
+  *     timestamp to TimestampType; with the session timezone fixed to
+  *     UTC the wall-clock values are identical to the NTZ reading and
+  *     to DuckDB's naive TIMESTAMP — one timestamp type everywhere,
+  *     whatever the producer wrote.
   *   - `spark.sql.codegen.cache.maxEntries = 8000` — the full query
   *     suite compiles >4000 codegen units across two bench passes;
   *     evicted units restart cold in the interpreter and degrade
@@ -35,6 +44,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.cleaner.periodicGC.interval", "1min")
 

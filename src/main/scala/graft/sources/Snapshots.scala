@@ -87,7 +87,8 @@ object Snapshots {
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            dvs: Seq[String] = Seq.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -189,6 +190,10 @@ object Snapshots {
       else None
     val prev = prevAny.filter(_ => mode == "append")
     val carried = prev.map(_.files).getOrElse(Seq.empty)
+    // deletion vectors ride appends (an append must not resurrect
+    // masked rows) and drop on overwrites (a rewritten snapshot has
+    // no masked rows left to hide)
+    val carriedDvs = prev.map(_.dvs).getOrElse(Seq.empty)
     val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
     val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
     txn.foreach { case (app, _) =>
@@ -233,6 +238,7 @@ object Snapshots {
       w.write(s"version=$version\n")
       w.write(s"schema=${schema.json}\n") // DataType.json is one line
       (carried ++ written).foreach(p => w.write(s"file=$p\n"))
+      carriedDvs.foreach(p => w.write(s"dv=$p\n"))
       (carriedStats ++ newStats).toSeq.sortBy(_._1).foreach {
         case ((file, c), st) =>
           w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
@@ -399,6 +405,7 @@ object Snapshots {
     try {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
       val files = ArrayBuffer.empty[String]
+      val dvs = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
       val txns = scala.collection.mutable.Map.empty[String, Long]
       var schema: Option[org.apache.spark.sql.types.StructType] = None
@@ -420,10 +427,10 @@ object Snapshots {
             case Array(app, b) => txns(app) = b.toLong
             case _ => // ignore malformed txn lines (forward compat)
           }
-        }
+        } else if (line.startsWith("dv=")) dvs += line.stripPrefix("dv=")
         line = r.readLine()
       }
-      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap)
+      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap, dvs.toSeq)
     } finally r.close()
   }
 
@@ -447,9 +454,39 @@ object Snapshots {
     * back to footer inference.
     */
   private def readFiles(spark: SparkSession, tableDir: String,
-                        m: Manifest, rels: Seq[String]): DataFrame = {
+                        m: Manifest, rels: Seq[String]): DataFrame =
+    readFilesMeta(spark, tableDir, m, rels).drop(FpCol, RiCol)
+
+  private val FpCol = "__graft_fp"
+  private val RiCol = "__graft_ri"
+
+  /** The manifest read with per-row provenance (`__graft_fp` = source
+    * file URI, `__graft_ri` = row index within it) and the version's
+    * DELETION VECTORS applied: rows listed in any dv file are masked
+    * out by a (file, row_index) anti-join. The dv side is the set of
+    * DELETED rows — tiny relative to the table until a purge is due —
+    * so the join broadcasts and the base table neither shuffles nor
+    * rewrites: the merge-on-read half of row-level deletes. (When the
+    * dv side outgrows the broadcast threshold the join degrades to a
+    * shuffle — the signal that [[purgeDeletes]] is overdue, exactly
+    * the rewrite-vs-mask tradeoff the table formats expose.)
+    */
+  private def readFilesMeta(spark: SparkSession, tableDir: String,
+                            m: Manifest, rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
-    m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
+    val base = m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
+      .select(col("*"), col("_metadata.file_path").as(FpCol),
+        col("_metadata.row_index").as(RiCol))
+    if (m.dvs.isEmpty) base
+    else {
+      val dvAbs = m.dvs.map(rel =>
+        if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+      val dv = spark.read.parquet(dvAbs: _*)
+      base.join(broadcast(dv),
+        base(FpCol) === dv("file_path") && base(RiCol) === dv("row_index"),
+        "left_anti")
+    }
   }
 
   /** The files of `version` that can contain rows with `column` in
