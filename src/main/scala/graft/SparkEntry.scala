@@ -1844,7 +1844,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT media_id, kind, n_bytes,
         |    SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
         |  FROM m)
-        |SELECT kind, (cum_bytes - 1) // 4096 AS batch_id, COUNT(*) AS n_items,
+        |SELECT kind, CAST((cum_bytes - 1) // 4096 AS BIGINT) AS batch_id, COUNT(*) AS n_items,
         |  CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes,
         |  MIN(media_id) AS first_id, MAX(media_id) AS last_id
         |FROM c GROUP BY kind, batch_id ORDER BY kind, batch_id""".stripMargin,

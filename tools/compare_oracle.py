@@ -12,12 +12,42 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries whose oracle dtype legitimately differs ACROSS families
+# (documented per entry: {query: (columns...)}). Everything else is
+# family-strict: int-vs-float (the r6 m4 HUGEINT bug) FAILS instead of
+# being silently astype-coerced like the r6 gate did. Within-family
+# representation differences (date-as-object vs datetime64, int32 vs
+# int64, float32 vs float64) are canonicalized in norm() — the driver's
+# value-based hash tolerates exactly those and nothing more.
+DTYPE_TOLERANT = {
+    # (none currently)
+}
+
+def canon(s: pd.Series) -> pd.Series:
+    """Family-preserving canonical representation of one column."""
+    dt = s.dtype
+    if str(dt).startswith("datetime64"):
+        return s.astype("datetime64[us]")
+    if pd.api.types.is_integer_dtype(dt):
+        return s.astype("int64")
+    if pd.api.types.is_float_dtype(dt):
+        return s.astype("float64")
+    if dt == object and len(s) and all(
+            x is None or isinstance(x, (pd.Timestamp,) +
+                tuple([__import__("datetime").date]))
+            for x in s.dropna().head(100)):
+        # Spark DATE reads back as python date objects; DuckDB DATE as
+        # datetime64 — same family, canonicalize to datetime64[us]
+        try:
+            return pd.to_datetime(s).astype("datetime64[us]")
+        except Exception:
+            return s
+    return s
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison: datetimes -> iso strings, dates ok
     for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[us]")
+        df[c] = canon(df[c])
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
@@ -58,10 +88,14 @@ def main(sf_dir, out_dir):
         for c in s.columns:
             a, b = s[c].to_numpy(), o[c].to_numpy()
             if a.dtype != b.dtype:
-                try:
-                    b = b.astype(a.dtype)
-                except Exception:
-                    mism.append((c, "dtype", str(s[c].dtype), str(o[c].dtype)))
+                if c in DTYPE_TOLERANT.get(name, ()):
+                    try:
+                        b = b.astype(a.dtype)
+                    except Exception:
+                        mism.append((c, "dtype", str(s[c].dtype), str(o[c].dtype)))
+                        continue
+                else:
+                    mism.append((c, "dtype-strict", str(s[c].dtype), str(o[c].dtype)))
                     continue
             eq = (pd.Series(a) == pd.Series(b)) | (pd.isna(a) & pd.isna(b))
             if not eq.all():
