@@ -93,6 +93,7 @@ object SparkEntry {
     "u6_zorder_skip" -> (graft.sources.Snapshots.u6ZorderSkip _),
     "u7_merge_snapshot" -> (graft.sources.Snapshots.u7MergeSnapshot _),
     "u8_shallow_clone" -> (graft.sources.Snapshots.u8ShallowClone _),
+    "u9_delete_vectors" -> (graft.sources.Snapshots.u9DeleteVectors _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -980,6 +981,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin,
+    // u9 oracle: v0 = all orders; v1 (dv-masked) and v2 (purged) both
+    // equal the filtered table — the deletion-vector mask must be
+    // exact and its physical purge result-identical
+    "u9_delete_vectors" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders
+        |UNION ALL SELECT CAST(1 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY version""".stripMargin,
     // u7 oracle: v0 = raw orders, v1 = the u2 merge semantics replayed
     // relationally — both versions must serve through the manifests
     // u8 oracle: clone v0 == all orders (zero-copy read through the

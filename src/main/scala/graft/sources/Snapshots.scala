@@ -88,7 +88,8 @@ object Snapshots {
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             txns: Map[String, Long] = Map.empty,
-                            dvs: Seq[String] = Seq.empty)
+                            dvs: Seq[String] = Seq.empty,
+                            checks: Map[String, String] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -174,21 +175,34 @@ object Snapshots {
     require(mode != "append" || version == 0 ||
         f.exists(manifestPath(tableDir, version - 1)),
       s"append at version $version of $tableDir has no v${version - 1} manifest to carry")
+    // txn watermarks and CHECK constraints carry through BOTH modes
+    // (the previous manifest is read for overwrites too, when one
+    // exists); files/stats/schema carry only through appends — an
+    // overwrite replaces the snapshot but must not forget any
+    // producer's ingest progress or the table's quality contract
+    val prevAny =
+      if (version > 0 && f.exists(manifestPath(tableDir, version - 1)))
+        Some(readManifest(spark, tableDir, version - 1))
+      else None
+    val prev = prevAny.filter(_ => mode == "append")
+    // table-level CHECK constraints are enforced on EVERY data commit
+    // — append (the new batch), overwrite (the full new snapshot),
+    // and therefore also MERGE results, compaction and purge rewrites,
+    // which all land through this path: a constraint cannot be
+    // bypassed by a non-append commit. Validated BEFORE any data is
+    // written, so a refused commit leaves the table untouched.
+    val checks = prevAny.map(_.checks).getOrElse(Map.empty)
+    val violated = checkViolations(df, checks)
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
+          s"$mode commit to $tableDir refused")
     val dataRel = f"data/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(tableDir, dataRel)
     df.write.parquet(dataDir.toString)
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
-    // txn watermarks carry through BOTH modes (the previous manifest
-    // is read for overwrites too, when one exists); files/stats/schema
-    // carry only through appends — an overwrite replaces the snapshot
-    // but must not forget any producer's ingest progress
-    val prevAny =
-      if (version > 0 && f.exists(manifestPath(tableDir, version - 1)))
-        Some(readManifest(spark, tableDir, version - 1))
-      else None
-    val prev = prevAny.filter(_ => mode == "append")
     val carried = prev.map(_.files).getOrElse(Seq.empty)
     // deletion vectors ride appends (an append must not resurrect
     // masked rows) and drop on overwrites (a rewritten snapshot has
@@ -231,29 +245,119 @@ object Snapshots {
         footerStats(spark, new Path(tableDir, rel), statsColumns)
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
-    val tmp = new Path(tableDir, s"_manifests/.tmp-$version-${UUID.randomUUID()}")
-    val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
-    try {
-      w.write(s"$Header\n")
-      w.write(s"version=$version\n")
-      w.write(s"schema=${schema.json}\n") // DataType.json is one line
-      (carried ++ written).foreach(p => w.write(s"file=$p\n"))
-      carriedDvs.foreach(p => w.write(s"dv=$p\n"))
-      (carriedStats ++ newStats).toSeq.sortBy(_._1).foreach {
-        case ((file, c), st) =>
-          w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
-      }
-      txns.toSeq.sorted.foreach { case (app, b) => w.write(s"txn=$app\t$b\n") }
-    } finally w.close()
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
-    if (!atomicPublish(f, tmp, manifestPath(tableDir, version))) {
-      f.delete(tmp, false)
+    if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
+        carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
+  }
+
+  /** Violation summary ("name (N rows)") per table-level CHECK whose
+    * predicate fails (or is NULL — an unevaluable predicate is a dirty
+    * row, not a free pass) for at least one row of `df`. One aggregate
+    * job over the batch regardless of constraint count; empty checks
+    * cost nothing.
+    */
+  private def checkViolations(df: DataFrame,
+                              checks: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    if (checks.isEmpty) Nil
+    else {
+      val named = checks.toSeq.sortBy(_._1)
+      val aggs = named.map { case (n, e) =>
+        sum(when(not(coalesce(expr(e), lit(false))), 1L).otherwise(0L)).as(n) }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      named.zipWithIndex.collect {
+        case ((n, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$n (${row.getLong(i)} rows)"
+      }
+    }
+  }
+
+  /** Serialize + atomically publish `m` as `tableDir`'s manifest for
+    * its version. Returns false (after cleaning its temp file) when a
+    * concurrent writer already published that version — the caller
+    * owns any data-dir cleanup and the conflict signaling.
+    */
+  private def publishManifest(f: FileSystem, tableDir: String,
+                              m: Manifest): Boolean = {
+    val tmp = new Path(tableDir,
+      s"_manifests/.tmp-${m.version}-${UUID.randomUUID()}")
+    val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
+    try {
+      w.write(s"$Header\n")
+      w.write(s"version=${m.version}\n")
+      m.schema.foreach(sc => w.write(s"schema=${sc.json}\n")) // one line
+      m.files.foreach(p => w.write(s"file=$p\n"))
+      m.dvs.foreach(p => w.write(s"dv=$p\n"))
+      m.stats.toSeq.sortBy(_._1).foreach { case ((file, c), st) =>
+        w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
+      }
+      m.txns.toSeq.sorted.foreach { case (app, b) => w.write(s"txn=$app\t$b\n") }
+      m.checks.toSeq.sorted.foreach { case (n, e) => w.write(s"check=$n\t$e\n") }
+    } finally w.close()
+    val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
+    if (!ok) f.delete(tmp, false)
+    ok
+  }
+
+  /** Register a named table-level CHECK constraint (the table formats'
+    * ALTER TABLE ADD CONSTRAINT): a metadata-only commit — no data
+    * written — after which EVERY commit kind (append, overwrite/MERGE,
+    * compaction, purge) validates its batch against the constraint and
+    * refuses on violation. Existing data is validated first (one scan
+    * of the current snapshot, DVs applied) unless `validateExisting`
+    * is false — the admin "trust me" escape hatch for constraints
+    * known to hold, which also makes the enforcement-on-rewrite path
+    * independently testable. `exprSql` must be a single-line Spark SQL
+    * boolean expression (no tab/newline — manifest line format).
+    */
+  def addCheckConstraint(spark: SparkSession, tableDir: String,
+                         name: String, exprSql: String,
+                         validateExisting: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, not}
+    require(name.nonEmpty && !name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"constraint name must be non-empty with no tab/newline: '$name'")
+    require(!exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"constraint expression must be a single line: '$exprSql'")
+    val f = fs(spark, tableDir)
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, base)
+    require(!m.checks.contains(name), s"constraint '$name' already exists")
+    if (validateExisting && m.files.nonEmpty) {
+      val bad = readVersion(spark, tableDir, Some(base))
+        .filter(not(coalesce(expr(exprSql), lit(false))))
+        .agg(count(lit(1))).head().getLong(0)
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"existing data violates CHECK '$name' in $bad row(s); " +
+            s"constraint not added to $tableDir")
+    }
+    val next = m.copy(version = base + 1, checks = m.checks + (name -> exprSql))
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${base + 1} of $tableDir was committed concurrently")
+    base + 1
+  }
+
+  /** Remove a table-level CHECK constraint (metadata-only commit). */
+  def dropCheckConstraint(spark: SparkSession, tableDir: String,
+                          name: String): Long = {
+    val f = fs(spark, tableDir)
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, base)
+    require(m.checks.contains(name), s"no constraint '$name' at $tableDir")
+    val next = m.copy(version = base + 1, checks = m.checks - name)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${base + 1} of $tableDir was committed concurrently")
+    base + 1
   }
 
   /** Commit with a CHECK constraint (the table formats' CHECK /
@@ -408,6 +512,7 @@ object Snapshots {
       val dvs = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
       val txns = scala.collection.mutable.Map.empty[String, Long]
+      val checks = scala.collection.mutable.Map.empty[String, String]
       var schema: Option[org.apache.spark.sql.types.StructType] = None
       var line = r.readLine()
       while (line != null) {
@@ -428,9 +533,16 @@ object Snapshots {
             case _ => // ignore malformed txn lines (forward compat)
           }
         } else if (line.startsWith("dv=")) dvs += line.stripPrefix("dv=")
+        else if (line.startsWith("check=")) {
+          line.stripPrefix("check=").split('\t') match {
+            case Array(n, e) => checks(n) = e
+            case _ => // ignore malformed check lines (forward compat)
+          }
+        }
         line = r.readLine()
       }
-      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap, dvs.toSeq)
+      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
+        dvs.toSeq, checks.toMap)
     } finally r.close()
   }
 
@@ -465,15 +577,26 @@ object Snapshots {
     * DELETION VECTORS applied: rows listed in any dv file are masked
     * out by a (file, row_index) anti-join. The dv side is the set of
     * DELETED rows — tiny relative to the table until a purge is due —
-    * so the join broadcasts and the base table neither shuffles nor
-    * rewrites: the merge-on-read half of row-level deletes. (When the
-    * dv side outgrows the broadcast threshold the join degrades to a
-    * shuffle — the signal that [[purgeDeletes]] is overdue, exactly
-    * the rewrite-vs-mask tradeoff the table formats expose.)
+    * so the planner broadcasts it while it fits
+    * `spark.sql.autoBroadcastJoinThreshold` and the base table neither
+    * shuffles nor rewrites: the merge-on-read half of row-level
+    * deletes. No broadcast hint on purpose: a dv side grown past the
+    * threshold degrades to a shuffle join instead of a driver OOM —
+    * that shuffle appearing in plans is the operational signal that
+    * [[purgeDeletes]] is overdue, exactly the rewrite-vs-mask tradeoff
+    * the table formats expose.
+    *
+    * DV file contract (what [[deleteWhere]] produces and any external
+    * writer must match): parquet with columns `file_path: string` —
+    * the fully-qualified URI exactly as `_metadata.file_path` reports
+    * it for the table's data files — and `row_index: long` —
+    * `_metadata.row_index` within that file. Relative dv refs resolve
+    * under `tableDir` (they live under `dv/`, see [[deleteWhere]]);
+    * absolute refs are clone-borrowed.
     */
   private def readFilesMeta(spark: SparkSession, tableDir: String,
                             m: Manifest, rels: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
     val base = m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
       .select(col("*"), col("_metadata.file_path").as(FpCol),
@@ -483,10 +606,76 @@ object Snapshots {
       val dvAbs = m.dvs.map(rel =>
         if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
       val dv = spark.read.parquet(dvAbs: _*)
-      base.join(broadcast(dv),
+      base.join(dv,
         base(FpCol) === dv("file_path") && base(RiCol) === dv("row_index"),
         "left_anti")
     }
+  }
+
+  /** Row-level DELETE as a deletion vector (merge-on-read): mark every
+    * current row matching `predicate` deleted by writing their
+    * (file_path, row_index) keys as a small parquet under `dv/` and
+    * committing a new version with the SAME data files plus the new dv
+    * ref — no data rewritten, commit cost O(matched rows), the
+    * mask-now-rewrite-later half of the table formats' DELETE. Readers
+    * of the new version apply the mask via the [[readFilesMeta]]
+    * anti-join; prior versions still serve the rows (snapshot
+    * isolation). Returns the committed version, or the current one
+    * unchanged when nothing matched (no empty commit). Appends carry
+    * dv refs forward; an overwrite (e.g. [[purgeDeletes]], [[compact]])
+    * drops them with the files they masked. NOT visible to
+    * [[streamAppends]] consumers — deletes are not appends; dv files
+    * deliberately live outside the stream's `data` glob so they can
+    * never surface as ghost batches.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, tableDir)
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, base)
+    val version = base + 1
+    val dvRel = f"dv/v$version%06d-${UUID.randomUUID().toString.take(8)}"
+    val dvDir = new Path(tableDir, dvRel)
+    // the matched keys are a tiny fraction of the table — one output
+    // file keeps the dv side broadcast-friendly at read time
+    readFilesMeta(spark, tableDir, m, m.files)
+      .filter(predicate)
+      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+      .coalesce(1)
+      .write.parquet(dvDir.toString)
+    val written = f.listStatus(dvDir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$dvRel/$n").toSeq.sorted
+    val matched = spark.read.parquet(dvDir.toString).count()
+    if (matched == 0L) { // nothing to mask: leave the table untouched
+      f.delete(dvDir, true)
+      return base
+    }
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        dvs = m.dvs ++ written))) {
+      f.delete(dvDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    version
+  }
+
+  /** Rewrite the latest version with its deletion vectors applied and
+    * commit as an overwrite — the deferred physical half of
+    * [[deleteWhere]]'s logical delete. The new snapshot owns fresh
+    * files and (by overwrite semantics) no dv refs; prior masked
+    * versions remain readable until [[vacuum]]. Run when `history()`'s
+    * `n_dvs` (or a shuffle appearing in the read plan) says the mask
+    * has outgrown merge-on-read.
+    */
+  def purgeDeletes(spark: SparkSession, tableDir: String,
+                   statsColumns: Seq[String] = Nil): Long = {
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    commit(readVersion(spark, tableDir, Some(base)), tableDir, "overwrite",
+      expectedVersion = Some(base + 1), statsColumns = statsColumns)
   }
 
   /** The files of `version` that can contain rows with `column` in
@@ -813,22 +1002,18 @@ object Snapshots {
       if (isBorrowed(p)) p else new Path(srcRoot, p).toString
     val files = m.files.map(absolutize)
     val stats = m.stats.map { case ((file, c), st) => (absolutize(file), c) -> st }
-    val tmp = new Path(targetDir, s"_manifests/.tmp-0-${UUID.randomUUID()}")
-    val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
-    try {
-      w.write(s"$Header\n")
-      w.write("version=0\n")
-      m.schema.foreach(sc => w.write(s"schema=${sc.json}\n"))
-      files.foreach(p => w.write(s"file=$p\n"))
-      stats.toSeq.sortBy(_._1).foreach { case ((file, c), st) =>
-        w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
-      }
-    } finally w.close()
-    if (!atomicPublish(f, tmp, manifestPath(targetDir, 0L))) {
-      f.delete(tmp, false)
+    // deletion vectors MUST ride the clone (absolutized like file refs
+    // — relative dv paths point into the source table): a clone of a
+    // masked version that dropped them would silently resurrect the
+    // deleted rows. The dv keys stay valid because `file_path` in a dv
+    // is the fully-qualified URI _metadata reports, which is the same
+    // however the file is referenced. CHECK constraints carry too — a
+    // fork of a constrained table stays constrained.
+    val dvs = m.dvs.map(absolutize)
+    if (!publishManifest(f, targetDir,
+        Manifest(0L, files, stats, m.schema, Map.empty, dvs, m.checks)))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
-    }
     0L
   }
 
@@ -847,9 +1032,11 @@ object Snapshots {
       .map { v =>
         val m = readManifest(spark, tableDir, v)
         (v, m.files.size.toLong, m.files.count(isBorrowed).toLong,
-          m.stats.size.toLong, m.txns.size.toLong)
+          m.stats.size.toLong, m.txns.size.toLong, m.dvs.size.toLong,
+          m.checks.size.toLong)
       }
-      .toDF("version", "n_files", "n_borrowed", "n_stats", "n_txns")
+      .toDF("version", "n_files", "n_borrowed", "n_stats", "n_txns",
+        "n_dvs", "n_checks")
   }
 
   /** Expire every version below `keepFromVersion`: delete their
@@ -880,29 +1067,41 @@ object Snapshots {
     val (dead, live) = (0L to latest)
       .filter(v => f.exists(manifestPath(tableDir, v)))
       .partition(_ < keepFromVersion)
-    val liveFiles = live.flatMap(readManifest(spark, tableDir, _).files).toSet
-    val deadFiles = dead.flatMap(readManifest(spark, tableDir, _).files).distinct
+    // liveness counts BOTH data files and deletion-vector files: a dv
+    // referenced by any live manifest masks rows that must stay masked
+    // — sweeping it as an orphan would silently resurrect them
+    val liveMs = live.map(readManifest(spark, tableDir, _))
+    val deadMs = dead.map(readManifest(spark, tableDir, _))
+    val liveFiles = liveMs.flatMap(m => m.files ++ m.dvs).toSet
+    val deadFiles = deadMs.flatMap(m => m.files ++ m.dvs).distinct
     // borrowed (absolute) refs belong to the clone SOURCE — expiring a
     // version that held them must never reach into the other table
     val deadOnly = deadFiles.filterNot(liveFiles).filterNot(isBorrowed)
     deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
     dead.foreach(v => f.delete(manifestPath(tableDir, v), false))
-    // sweep commit dirs with no live file left — each data dir belongs
-    // to exactly one commit, so dir-level liveness is well defined;
-    // this also clears the _SUCCESS/.crc sidecars the manifest never
-    // listed. Dirs from EXPIRED manifests go immediately; dirs no
-    // manifest ever referenced are possibly in-flight and only go
-    // once older than `orphanRetainMs` (see scaladoc). Borrowed refs
-    // live under the source table, not this data root — excluded.
-    val liveDirs = liveFiles.filterNot(isBorrowed).map(_.split("/")(1))
-    val deadDirs = deadFiles.filterNot(isBorrowed).map(_.split("/")(1)).toSet
+    // sweep commit dirs with no live file left — each data/dv dir
+    // belongs to exactly one commit, so dir-level liveness is well
+    // defined; this also clears the _SUCCESS/.crc sidecars the
+    // manifest never listed. Dirs from EXPIRED manifests go
+    // immediately; dirs no manifest ever referenced are possibly
+    // in-flight and only go once older than `orphanRetainMs` (see
+    // scaladoc). Borrowed refs live under the source table, not these
+    // roots — excluded. Dir keys are root-prefixed ("data/vN-x",
+    // "dv/vN-x") so the two roots cannot shadow each other.
+    def dirKey(rel: String): String = {
+      val parts = rel.split("/"); s"${parts(0)}/${parts(1)}"
+    }
+    val liveDirs = liveFiles.filterNot(isBorrowed).map(dirKey)
+    val deadDirs = deadFiles.filterNot(isBorrowed).map(dirKey).toSet
     val orphanCutoff = System.currentTimeMillis() - orphanRetainMs
-    val dataRoot = new Path(tableDir, "data")
-    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && !liveDirs.contains(name) &&
-          (deadDirs.contains(name) || st.getModificationTime < orphanCutoff))
-        f.delete(st.getPath, true)
+    for (root <- Seq("data", "dv")) {
+      val rootPath = new Path(tableDir, root)
+      if (f.exists(rootPath)) f.listStatus(rootPath).foreach { st =>
+        val key = s"$root/${st.getPath.getName}"
+        if (st.isDirectory && !liveDirs.contains(key) &&
+            (deadDirs.contains(key) || st.getModificationTime < orphanCutoff))
+          f.delete(st.getPath, true)
+      }
     }
     // raise the floor so an expired version can never be re-committed
     // (admin op: plain overwrite, coordinate vacuums externally)
@@ -943,6 +1142,33 @@ object Snapshots {
       .unionByName(audit("clone_v1", readVersion(s, cloneDir, Some(1L))))
       .unionByName(audit("source_latest", readVersion(s, srcDir)))
       .orderBy("scope")
+  }
+
+  /** Deletion-vector demo — the merge-on-read DELETE loop end-to-end:
+    * orders committed as v0, the 'F' rows logically deleted as a
+    * deletion vector ([[deleteWhere]] — v1 keeps v0's data files
+    * untouched and masks at read time), then physically purged
+    * ([[purgeDeletes]] — v2 rewrites without the masked rows and drops
+    * the dv). The audit reads all three versions back through the
+    * manifests; the oracle replays each state relationally, so the
+    * compare proves the mask is exact (v1 == v2 == the filtered
+    * table) AND snapshot isolation held (v0 still serves every row
+    * after both the logical and the physical delete).
+    */
+  def u9DeleteVectors(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-dv")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    purgeDeletes(s, tableDir)
+    (0L to 2L).map { v =>
+      readVersion(s, tableDir, Some(v))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version")
   }
 
   /** Incremental-maintenance demo: orders arrive as three append

@@ -582,6 +582,131 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 15L)
   }
 
+  test("deleteWhere: merge-on-read mask, snapshot isolation, no data rewritten") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 30, "a"), dir)
+    Snapshots.commit(frame(30 until 40, "b"), dir, "append")
+    val v1Files = Snapshots.readManifest(spark, dir, 1L).files
+    // mask every id divisible by 3 — a logical delete, no rewrite
+    val v2 = Snapshots.deleteWhere(spark, dir, col("id") % 3 === 0L)
+    assert(v2 === 2L)
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.files === v1Files, "delete must not touch data files")
+    assert(m2.dvs.size === 1)
+    val left = Snapshots.readVersion(spark, dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(left.toSeq === (0L until 40L).filter(_ % 3 != 0))
+    // prior versions still serve the masked rows (snapshot isolation)
+    assert(Snapshots.readVersion(spark, dir, Some(1L)).count() === 40L)
+    // appends carry the mask; the new batch is NOT masked
+    Snapshots.commit(frame(100 until 103, "c"), dir, "append")
+    assert(Snapshots.readVersion(spark, dir).count() ===
+      (0 until 40).count(_ % 3 != 0) + 3L)
+    // a pruned read applies the mask too (same readFiles path)
+    val pruned = Snapshots.readVersionPruned(spark, dir, 3L, "id", 0L, 10L)
+      .filter(col("id") <= 10L).select("id").collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === (0L to 10L).filter(_ % 3 != 0))
+    // nothing-matched delete is a no-op: no version consumed
+    assert(Snapshots.deleteWhere(spark, dir, col("id") > 9999L) === 3L)
+    assert(Snapshots.latestVersion(spark, dir) === Some(3L))
+    // history surfaces the dv count for purge scheduling
+    val h = Snapshots.history(spark, dir).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[Long]("n_dvs")).toMap
+    assert(h === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("purgeDeletes: rewrite drops the mask; vacuum never sweeps a live dv") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 20, "a"), dir)
+    Snapshots.deleteWhere(spark, dir, col("id") < 5L)
+    // vacuum keeping the dv-carrying version must preserve the dv file
+    Snapshots.vacuum(spark, dir, keepFromVersion = 1L, orphanRetainMs = 0L)
+    assert(Snapshots.readVersion(spark, dir).count() === 15L,
+      "vacuum swept a dv file referenced by a live manifest")
+    // purge materializes the delete: fresh files, no dv refs
+    val v = Snapshots.purgeDeletes(spark, dir)
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.dvs.isEmpty)
+    assert(Snapshots.readVersion(spark, dir, Some(v)).count() === 15L)
+    // expiring the masked version sweeps the now-dead dv dir
+    Snapshots.vacuum(spark, dir, keepFromVersion = v, orphanRetainMs = 0L)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvRoot = new org.apache.hadoop.fs.Path(dir, "dv")
+    assert(!f.exists(dvRoot) || f.listStatus(dvRoot).isEmpty,
+      "expired dv dir not swept")
+    assert(Snapshots.readVersion(spark, dir).count() === 15L)
+  }
+
+  test("shallow clone carries deletion vectors: no resurrected rows") {
+    val src = freshDir(); val dst = freshDir()
+    Snapshots.commit(frame(0 until 20, "a"), src)
+    Snapshots.deleteWhere(spark, src, col("id") >= 15L)
+    Snapshots.cloneShallow(spark, src, dst)
+    val m0 = Snapshots.readManifest(spark, dst, 0L)
+    assert(m0.dvs.size === 1 && m0.dvs.forall(p =>
+      new org.apache.hadoop.fs.Path(p).isAbsolute),
+      "clone must borrow the source dv by absolute path")
+    assert(Snapshots.readVersion(spark, dst, Some(0L)).count() === 15L,
+      "clone resurrected rows the source version had deleted")
+    // the clone's own appends keep the borrowed mask
+    Snapshots.commit(frame(100 until 105, "c"), dst, "append")
+    assert(Snapshots.readVersion(spark, dst).count() === 20L)
+    // and the clone's vacuum never reaches the source's dv file
+    Snapshots.vacuum(spark, dst, keepFromVersion = 1L, orphanRetainMs = 0L)
+    assert(Snapshots.readVersion(spark, src).count() === 15L)
+  }
+
+  test("table-level CHECK: enforced on append, MERGE overwrite, and compaction") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "clean"), dir)
+    // registration is a metadata-only commit, validated against
+    // existing data first
+    intercept[IllegalArgumentException] {
+      Snapshots.addCheckConstraint(spark, dir, "pos", "id > 5")
+    }
+    val v1 = Snapshots.addCheckConstraint(spark, dir, "pos", "id >= 0")
+    assert(v1 === 1L)
+    assert(Snapshots.readManifest(spark, dir, v1).checks === Map("pos" -> "id >= 0"))
+    // 1) violating APPEND refused, no version consumed, no orphan dir
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(frame(-3 until 2, "bad"), dir, "append")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(1L))
+    // 2) violating OVERWRITE (the MERGE/CoW result shape) refused —
+    // the constraint cannot be bypassed by a non-append commit
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(frame(-5 until 0, "merge"), dir, "overwrite")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(1L))
+    // 3) COMPACTION rewrite also validates: plant violating data under
+    // a trusted (unvalidated) constraint, then compact — refused
+    val dir2 = freshDir()
+    Snapshots.commit(frame(0 until 8, "x"), dir2)
+    Snapshots.addCheckConstraint(spark, dir2, "big", "id >= 5",
+      validateExisting = false)
+    intercept[IllegalArgumentException] {
+      Snapshots.compact(spark, dir2, numFiles = 1)
+    }
+    // constraints carry through a VALID overwrite and keep enforcing
+    Snapshots.commit(frame(20 until 25, "rewrite"), dir, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(frame(-1 until 0, "bad2"), dir, "append")
+    }
+    // NULL check results are violations, not a free pass
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("id", "tag")
+      .select(col("id").cast("long").as("id"), col("tag"))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(withNull, dir, "append")
+    }
+    // dropping the constraint re-opens the gate
+    Snapshots.dropCheckConstraint(spark, dir, "pos")
+    Snapshots.commit(frame(-1 until 0, "now-ok"), dir, "append")
+    assert(Snapshots.readVersion(spark, dir).count() === 6L)
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
