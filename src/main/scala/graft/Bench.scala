@@ -82,7 +82,13 @@ object Bench {
       val ts = timings.map(_(n))
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Detail entries CHEAPEST-FIRST so the heaviest queries sit at the
+    // END of the line: the driver's bounded tail capture (~2000 chars)
+    // keeps the line's tail, and the informative half for regression
+    // diffs is the expensive head of the suite, not the alphabetical
+    // tail (r6 recorded only 64/128 queries and hid the heavy family).
+    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Two lines, detail FIRST and a compact total LAST: the driver's

@@ -275,12 +275,17 @@ object Dedup {
     * (new bands ⋈ the band-bucket INDEX of everything seen), verifies
     * with exact Jaccard, and appends its bands to the index. Per-step
     * cost: O(batch) hashing + a keyed join against the index — never
-    * a re-sign of the corpus. The old side of a verified pair is
-    * re-shingled ONLY for docs that appear in candidates: the lake's
-    * doc_id footer stats prune the re-read to the files overlapping
-    * the candidate id range, and the recompute is O(candidates)
-    * (a production index would store shingle sets alongside bands to
-    * trade storage for even that).
+    * a re-sign of the corpus. The old side of a verified pair reads
+    * from the session's RETAINED per-step shingle checkpoints — the
+    * in-JVM stand-in for the shingle store a production index keeps
+    * alongside its bands (store O(corpus) hashes once, never re-derive
+    * them): each verify is a semi-join of that store down to the
+    * candidate docs, no lake re-read, no re-hash. (An earlier shape
+    * re-shingled old candidate docs from the lake through a
+    * footer-stats-pruned read — correct, but it re-paid the hashing
+    * and two extra actions per step; retention total is exactly the
+    * one-shot [[minhashLsh]]'s own shingle footprint, freed when the
+    * loop ends.)
     * Batches split on doc_id ranges, so every cross-step pair has
     * d1(old) < d2(new) and the accumulated output is EXACTLY
     * [[minhashLsh]]'s — same oracle, proving one-shot == incremental.
@@ -294,6 +299,7 @@ object Dedup {
     val indexDir = graft.TempDirs.create("graft-inclsh-index")
     val nBatches =
       commitIdRangeBatches(s, docs, lakeDir, cuts, statsColumns = Seq("doc_id"))
+    var shSeen = List.empty[DataFrame] // retained shingle checkpoints
     val stepPairs = (0L until nBatches).map { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
       val shNew = hashedShingles(batch, 2)
@@ -323,31 +329,24 @@ object Dedup {
           Snapshots.commit(bandsNew.coalesce(1), indexDir, "append")
           within.unionByName(cross).distinct()
         })
-      val oldCandDocs = cand.select(col("d1").as("doc_id")).distinct()
-        .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
-      // re-read of old candidate docs: the lake commits carry doc_id
-      // footer stats, so the scan prunes to the files overlapping the
-      // candidate id range instead of touching the whole corpus (the
-      // bounds agg is a bounded 2-column action, like skewProfile's)
-      val bounds = oldCandDocs.agg(min("doc_id"), max("doc_id")).head()
-      val shOld =
-        if (bounds.isNullAt(0)) None // no cross-batch candidates
-        else Some(hashedShingles(
-          Snapshots.readVersionPruned(s, lakeDir, v, "doc_id",
-              bounds.getLong(0), bounds.getLong(1))
-            .join(oldCandDocs, Seq("doc_id"), "left_semi"), 2))
-      val shVerify = shOld.fold(shNew)(shNew.unionByName(_))
-      // each step ends by materializing its (small) verified-pair set
-      // and FREEING the step's big checkpointed frames — otherwise N
-      // steps of shingle/signature/candidate blocks pile up in the
-      // block manager for the life of the session (the same immediate-
-      // release discipline as Graph.pageRank's edge frame)
+      // verify reads the shingle store (this step's + every retained
+      // step's checkpoint) semi-joined down to candidate docs: the
+      // tiny cand side broadcasts, per-doc shingle sizes stay exact
+      // (the semi-join drops whole docs, never individual shingles)
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val shVerify = (shNew :: shSeen).reduce(_ unionByName _)
+        .join(candDocs, Seq("doc_id"), "left_semi")
       val stepResult = persistFrame(
         verifiedJaccard(shVerify, cand).filter(col("jaccard") >= minJaccard))
-      Seq(Some(shNew), Some(sigs), Some(cand), shOld)
-        .flatten.foreach(unpersistCheckpoint)
+      // signatures and candidates are step-local — free them now; the
+      // shingle checkpoint joins every LATER step's verify, so it is
+      // retained until the loop ends (the store's lifetime)
+      Seq(sigs, cand).foreach(unpersistCheckpoint)
+      shSeen ::= shNew
       stepResult
     }
+    shSeen.foreach(unpersistCheckpoint)
     stepPairs.reduce(_ unionByName _).orderBy("d1", "d2")
   }
 

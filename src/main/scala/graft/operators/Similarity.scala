@@ -205,7 +205,15 @@ object Similarity {
 
   def knnIvf(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cells = ivfCells(e)
+    knnIvfFrom(e, ivfCells(e), nQueries, k)
+  }
+
+  /** [[knnIvf]] against a prebuilt cell assignment — lets callers that
+    * run several IVF-backed probes ([[annRecall]]) build the centroid
+    * codebook and assignment ONCE instead of once per probe.
+    */
+  private def knnIvfFrom(e: DataFrame, cells: DataFrame,
+                         nQueries: Int, k: Int): DataFrame = {
     val vecs = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
       .join(cells, "vec_id")
     val queries = vecs.filter(col("vec_id") < nQueries)
@@ -289,7 +297,14 @@ object Similarity {
   def knnHybrid(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 3,
                 nBits: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val cells = ivfCells(e)
+    knnHybridFrom(e, ivfCells(e), nQueries, k, nBits)
+  }
+
+  /** [[knnHybrid]] against a prebuilt cell assignment (see
+    * [[knnIvfFrom]]).
+    */
+  private def knnHybridFrom(e: DataFrame, cells: DataFrame, nQueries: Int,
+                            k: Int, nBits: Int): DataFrame = {
     val ids = e.select(col("vec_id"),
         signBucket(col("embedding"), nBits).as("bucket"))
       .join(cells, "vec_id")
@@ -339,14 +354,19 @@ object Similarity {
     // truth is s1's top-5 filtered to k, so the oracle can reuse
     // s1's SQL verbatim — which bounds the valid k
     require(k >= 1 && k <= 5, s"annRecall k must be in [1,5], got $k")
+    // the IVF cell assignment (centroid build + argmax scan, the
+    // harness's one corpus-scale precomputation) is shared by the ivf
+    // AND hybrid probes instead of each rebuilding it
+    val e = Tables.embeddings(s, d)
+    val cells = ivfCells(e)
     val truth = knnBrute(s, d).filter(col("rank") <= k)
       .select("q_id", "c_id")
     val approx =
       knnBucketed(s, d, k = k)
         .select(lit("bucketed").as("method"), col("q_id"), col("c_id"))
-        .unionByName(knnIvf(s, d, k = k)
+        .unionByName(knnIvfFrom(e, cells, nQueries = 8, k = k)
           .select(lit("ivf").as("method"), col("q_id"), col("c_id")))
-        .unionByName(knnHybrid(s, d, k = k)
+        .unionByName(knnHybridFrom(e, cells, nQueries = 8, k = k, nBits = 4)
           .select(lit("hybrid").as("method"), col("q_id"), col("c_id")))
         .unionByName(knnPq(s, d).filter(col("rank") <= k)
           .select(lit("pq").as("method"), col("q_id"), col("c_id")))
