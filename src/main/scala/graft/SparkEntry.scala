@@ -94,6 +94,7 @@ object SparkEntry {
     "u7_merge_snapshot" -> (graft.sources.Snapshots.u7MergeSnapshot _),
     "u8_shallow_clone" -> (graft.sources.Snapshots.u8ShallowClone _),
     "u9_delete_vectors" -> (graft.sources.Snapshots.u9DeleteVectors _),
+    "u10_change_feed" -> (graft.sources.Snapshots.u10ChangeFeed _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -981,6 +982,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND CAST(o_orderdate AS DATE)
         |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""".stripMargin,
+    // u10 oracle: inserts = the late batch minus its 'F' rows (masked
+    // by the range's deletion vector before they were ever visible);
+    // deletes = v0's 'F' rows read back full-row — net CDC semantics
+    "u10_change_feed" ->
+      """SELECT 'delete' AS _change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'insert', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 10 = 3 AND o_orderstatus <> 'F'
+        |ORDER BY _change_type""".stripMargin,
     // u9 oracle: v0 = all orders; v1 (dv-masked) and v2 (purged) both
     // equal the filtered table — the deletion-vector mask must be
     // exact and its physical purge result-identical

@@ -759,6 +759,66 @@ object Snapshots {
     readFiles(spark, tableDir, readManifest(spark, tableDir, toVersion), added)
   }
 
+  /** Change DATA feed (CDC read): one row per net row-level change
+    * between `fromVersion` (exclusive) and `toVersion` (inclusive),
+    * tagged `_change_type` ∈ {insert, delete} — the row-granular
+    * sibling of [[readChanges]] that downstream incremental consumers
+    * (sync jobs, materialized views with deletes) subscribe to:
+    *   - insert = a row of a file added in the range, not masked by
+    *     `toVersion`'s deletion vectors (a row inserted AND deleted
+    *     inside the range nets out — it was never visible at either
+    *     endpoint);
+    *   - delete = a row visible at `fromVersion` that a deletion
+    *     vector added in the range masks, read back FULL-ROW from its
+    *     source file by (file, row_index) provenance — consumers get
+    *     the deleted content, not just a key.
+    * Cost is O(changed data): added files + the dv-matched slice of
+    * the old snapshot; the unchanged corpus is never read. Append and
+    * [[deleteWhere]] commits are exactly representable; an overwrite
+    * in the range throws (a rewrite is not a row-level change set —
+    * the same "change feed unavailable across non-append commits"
+    * contract as [[readChanges]], detected here structurally: the
+    * from-side files/dvs must be subsets of the to-side's).
+    */
+  def readChangeFeed(spark: SparkSession, tableDir: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val to = readManifest(spark, tableDir, toVersion)
+    val from =
+      if (fromVersion < 0) Manifest(-1L, Seq.empty)
+      else readManifest(spark, tableDir, fromVersion)
+    require(from.files.toSet.subsetOf(to.files.toSet) &&
+        from.dvs.toSet.subsetOf(to.dvs.toSet),
+      s"non-append commit between v$fromVersion and v$toVersion of " +
+        s"$tableDir: change feed unavailable across rewrites")
+    val added = to.files.filterNot(from.files.toSet)
+    val addedDvs = to.dvs.filterNot(from.dvs.toSet)
+    require(added.nonEmpty || addedDvs.nonEmpty,
+      s"no changes between v$fromVersion and v$toVersion of $tableDir")
+    // inserts: added files with the TO version's masks applied
+    val inserts =
+      if (added.isEmpty) None
+      else Some(readFiles(spark, tableDir, to, added)
+        .withColumn("_change_type", lit("insert")))
+    // deletes: from-visible rows matched by the range's new dvs
+    val deletes =
+      if (addedDvs.isEmpty || from.files.isEmpty) None
+      else {
+        val dvAbs = addedDvs.map(rel =>
+          if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+        val dv = spark.read.parquet(dvAbs: _*)
+        val base = readFilesMeta(spark, tableDir, from, from.files)
+        Some(base.join(dv,
+            base(FpCol) === dv("file_path") && base(RiCol) === dv("row_index"),
+            "left_semi")
+          .drop(FpCol, RiCol)
+          .withColumn("_change_type", lit("delete")))
+      }
+    (inserts.toSeq ++ deletes.toSeq).reduce(_ unionByName _)
+  }
+
   /** The streaming half of the change feed: tail the table's data
     * dirs as a Structured Streaming file source — each commit's new
     * files arrive as (one or more) micro-batches, so downstream
@@ -1169,6 +1229,33 @@ object Snapshots {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
         .select(lit(v).as("version"), col("n_rows"), col("total"))
     }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Change-data-feed demo — the CDC subscription end-to-end: orders
+    * as v0, a re-keyed late batch appended as v1, the 'F' rows
+    * logically deleted (deletion vector) as v2; the feed over
+    * (v0, v2] must emit exactly the late batch's surviving rows as
+    * inserts and v0's 'F' rows as full-row deletes — late 'F' rows
+    * net out (inserted and deleted inside the range). The oracle
+    * replays both sides relationally from the raw table, so the
+    * compare proves net-change semantics, mask-aware insert
+    * filtering, and provenance-joined delete readback at once.
+    */
+  def u10ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-cdf")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    commit(late, tableDir, "append")
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    readChangeFeed(s, tableDir, 0L, 2L)
+      .groupBy("_change_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("_change_type")
   }
 
   /** Incremental-maintenance demo: orders arrive as three append

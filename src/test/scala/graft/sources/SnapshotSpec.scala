@@ -707,6 +707,40 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 6L)
   }
 
+  test("change data feed: net inserts/deletes reconcile the two snapshots") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 20, "base"), dir)
+    Snapshots.commit(frame(20 until 30, "late"), dir, "append")
+    // delete spans BOTH the old snapshot (ids 0,4,8,...) and the new
+    // batch (ids 20,24,28) — the latter must net out of the feed
+    Snapshots.deleteWhere(spark, dir, col("id") % 4 === 0L)
+    val feed = Snapshots.readChangeFeed(spark, dir, 0L, 2L)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val del = feed.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ins.toSeq === (20L until 30L).filter(_ % 4 != 0))
+    assert(del.toSeq === (0L until 20L).filter(_ % 4 == 0))
+    // deletes are FULL rows (provenance readback), not just keys
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("tag").distinct().collect().map(_.getString(0)).toSeq === Seq("base"))
+    // reconciliation: from-snapshot + inserts − deletes == to-snapshot
+    val v0 = Snapshots.readVersion(spark, dir, Some(0L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val v2 = Snapshots.readVersion(spark, dir, Some(2L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((v0 ++ ins) -- del === v2)
+    // an overwrite inside the range breaks the feed contract: refused
+    Snapshots.commit(frame(0 until 5, "rewrite"), dir, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangeFeed(spark, dir, 0L, 3L)
+    }
+    // no-change range refused (same contract as readChanges)
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangeFeed(spark, dir, 3L, 3L)
+    }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
