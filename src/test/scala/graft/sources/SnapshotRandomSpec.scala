@@ -1,12 +1,15 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 /** Randomized (fixed-seed) protocol check: random sequences of
-  * commit/append/compact/vacuum against a driver-side reference model
-  * of what every version must contain — the snapshot contract holds
-  * on interleavings no hand-written fixture thought of.
+  * commit/append/compact/deleteWhere/purgeDeletes/vacuum against a
+  * driver-side reference model of what every version must contain —
+  * the snapshot contract holds on interleavings no hand-written
+  * fixture thought of (e.g. delete-then-compact, purge-then-vacuum,
+  * clone-at-masked-version).
   */
 class SnapshotRandomSpec extends SparkSpec {
 
@@ -30,18 +33,28 @@ class SnapshotRandomSpec extends SparkSpec {
       model :+= Some(r0)
       var floor = 0L
 
-      for (_ <- 1 to 14) {
-        rnd.nextInt(10) match {
-          case i if i < 5 => // append
+      for (_ <- 1 to 16) {
+        rnd.nextInt(13) match {
+          case i if i < 4 => // append
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "append")
             model :+= Some(model.last.get ++ rows)
-          case i if i < 7 => // overwrite (copy-on-write rewrite)
+          case i if i < 6 => // overwrite (copy-on-write rewrite)
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "overwrite")
             model :+= Some(rows)
-          case i if i < 9 => // compact: same rows, new version
+          case i if i < 8 => // compact: same rows (masks applied), new version
             Snapshots.compact(spark, dir, numFiles = 1 + rnd.nextInt(3))
+            model :+= Some(model.last.get)
+          case i if i < 10 => // DV delete of a random residue class —
+            // a no-match delete must consume NO version
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            val keep = model.last.get.filterNot(_._1 % m == r)
+            Snapshots.deleteWhere(spark, dir, col("id") % m === r.toLong)
+            if (keep.size < model.last.get.size) model :+= Some(keep)
+          case 10 => // purge: physical rewrite of the masked snapshot
+            Snapshots.purgeDeletes(spark, dir)
             model :+= Some(model.last.get)
           case _ => // vacuum to a random floor ≤ latest
             val latest = model.size - 1L
