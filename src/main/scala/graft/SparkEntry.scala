@@ -95,6 +95,7 @@ object SparkEntry {
     "u8_shallow_clone" -> (graft.sources.Snapshots.u8ShallowClone _),
     "u9_delete_vectors" -> (graft.sources.Snapshots.u9DeleteVectors _),
     "u10_change_feed" -> (graft.sources.Snapshots.u10ChangeFeed _),
+    "u11_merge_on_read" -> (graft.sources.Snapshots.u11MergeOnRead _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1024,6 +1025,30 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL
         |SELECT 'source_latest', base.n, CAST(base.t AS DOUBLE) FROM base
         |ORDER BY scope""".stripMargin,
+    // u11 oracle: u7's VERBATIM — merge-on-read (DV mask + append in
+    // one commit) must be result-identical to the copy-on-write MERGE
+    "u11_merge_on_read" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v AS (
+        |  SELECT CAST(0 AS BIGINT) AS version, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), o_orderstatus, o_totalprice FROM merged)
+        |SELECT version, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM v GROUP BY version, o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
     "u7_merge_snapshot" ->
       """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
         |upd AS (

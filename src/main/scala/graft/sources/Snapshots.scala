@@ -662,6 +662,94 @@ object Snapshots {
     version
   }
 
+  /** MERGE on read (low-shuffle MERGE): apply a CDC batch to the
+    * latest version by MASKING every matched target row with a
+    * deletion vector and APPENDING the batch's I/U payloads as new
+    * files — both published in ONE atomic commit, so no reader can
+    * observe the deletes without the inserts. Semantics are exactly
+    * [[graft.operators.Merge.applyChanges]]'s (same one-change-per-key
+    * contract: D drops, U/I replace-or-insert); the difference is
+    * cost: copy-on-write MERGE rewrites the full snapshot
+    * (O(table), see [[u7MergeSnapshot]]), merge-on-read touches
+    * O(changes) new bytes plus one provenance scan of the target for
+    * the mask join — at 100 TB with a per-mille change rate that is
+    * the difference between rewriting the table and appending a few
+    * files. The deferred cost is the read-side anti-join until
+    * [[purgeDeletes]]/[[compact]] materializes. `changes` needs the
+    * key, an `op` column in {I,U,D}, and the full payload for I/U
+    * rows; payload columns must match the table schema (MERGE schema
+    * evolution is deliberately not supported here). Table CHECK
+    * constraints validate the appended payloads before anything is
+    * written. Returns the committed version.
+    */
+  def mergeOnRead(spark: SparkSession, tableDir: String,
+                  changes: DataFrame, key: String,
+                  statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
+    val f = fs(spark, tableDir)
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, base)
+    m.schema.foreach { sc =>
+      val names = sc.fieldNames.toSet
+      val have = changes.columns.filterNot(_ == "op").toSet
+      require(names == have,
+        s"merge payload columns $have must equal table schema $names")
+    }
+    val upserts = changes.filter(col("op").isin("I", "U")).drop("op")
+    // table CHECK constraints gate the new rows BEFORE any write —
+    // masks cannot violate a CHECK, appended payloads can
+    val violated = checkViolations(upserts, m.checks)
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
+          s"merge into $tableDir refused")
+    val version = base + 1
+    val tag = UUID.randomUUID().toString.take(8)
+    // mask side: provenance keys of every target row the batch touches
+    // (any op — U replaces, D drops, I with an existing key upserts)
+    val keys = changes.select(col(key)).distinct()
+    val baseMeta = readFilesMeta(spark, tableDir, m, m.files)
+    val dvRel = f"dv/v$version%06d-$tag"
+    val dvDir = new Path(tableDir, dvRel)
+    baseMeta.join(keys, Seq(key), "left_semi")
+      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+      .coalesce(1)
+      .write.parquet(dvDir.toString)
+    val nMasked = spark.read.parquet(dvDir.toString).count()
+    val dvs =
+      if (nMasked > 0)
+        f.listStatus(dvDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
+      else { f.delete(dvDir, true); Seq.empty } // pure-insert batch
+    // data side: the appended payloads
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    upserts.write.parquet(dataDir.toString)
+    val nAppended = spark.read.parquet(dataDir.toString).count()
+    val written =
+      if (nAppended > 0)
+        f.listStatus(dataDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
+      else { f.delete(dataDir, true); Seq.empty } // pure-delete batch
+    val newStats =
+      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
+      else written.flatMap { rel =>
+        footerStats(spark, new Path(tableDir, rel), statsColumns)
+          .map { case (c, st) => (rel, c) -> st }
+      }.toMap
+    // ONE commit point for mask + append together
+    if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
+        m.stats ++ newStats, m.schema, m.txns, m.dvs ++ dvs, m.checks))) {
+      if (dvs.nonEmpty) f.delete(dvDir, true)
+      if (written.nonEmpty) f.delete(dataDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    version
+  }
+
   /** Rewrite the latest version with its deletion vectors applied and
     * commit as an overwrite — the deferred physical half of
     * [[deleteWhere]]'s logical delete. The new snapshot owns fresh
@@ -939,6 +1027,33 @@ object Snapshots {
       readVersion(s, tableDir, Some(0L)),
       graft.operators.Merge.demoChanges(base), "o_orderkey")
     commit(merged, tableDir, "overwrite")
+    (0L to 1L).map { v =>
+      readVersion(s, tableDir, Some(v))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+          col("n_orders"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version", "o_orderstatus")
+  }
+
+  /** Merge-on-read demo — [[u7MergeSnapshot]]'s exact workload served
+    * through the LOW-SHUFFLE path: the same deterministic CDC batch
+    * applied by [[mergeOnRead]] (one atomic mask+append commit,
+    * O(changes) new bytes) instead of the copy-on-write full rewrite.
+    * Output and oracle are u7's verbatim — v0 = raw orders, v1 = the
+    * merge semantics replayed relationally — so the compare proves the
+    * two MERGE strategies are result-identical while SnapshotSpec
+    * pins the cost difference (v0's data files untouched by v1).
+    */
+  def u11MergeOnRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-mor")
+    val base = graft.Tables.orders(s, d)
+    commit(base, tableDir, "overwrite")
+    mergeOnRead(s, tableDir,
+      graft.operators.Merge.demoChanges(base), "o_orderkey")
     (0L to 1L).map { v =>
       readVersion(s, tableDir, Some(v))
         .groupBy("o_orderstatus")

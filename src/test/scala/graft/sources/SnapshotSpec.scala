@@ -741,6 +741,57 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("mergeOnRead == copy-on-write merge, without rewriting the target") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val base = (1L to 100L).map(i => (i, s"p$i", i * 10.0))
+      .toDF("id", "payload", "price")
+    Snapshots.commit(base, dir)
+    val v0Files = Snapshots.readManifest(spark, dir, 0L).files
+    // CDC batch: delete ids %10==0, reprice ids %7==0 (not deleted),
+    // insert re-keyed copies of ids %13==0
+    val changes =
+      base.filter(col("id") % 10 === 0).withColumn("op", lit("D"))
+        .unionByName(base.filter(col("id") % 7 === 0 && col("id") % 10 =!= 0)
+          .withColumn("price", col("price") + 1.0).withColumn("op", lit("U")))
+        .unionByName(base.filter(col("id") % 13 === 0)
+          .withColumn("id", col("id") + 1000L).withColumn("op", lit("I")))
+    val v1 = Snapshots.mergeOnRead(spark, dir, changes, "id")
+    assert(v1 === 1L)
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    // the cost shape: target files untouched, one mask + one append
+    assert(m1.files.startsWith(v0Files), "merge rewrote target files")
+    assert(m1.dvs.size === 1)
+    // result identity with the relational CoW apply
+    val expected = graft.operators.Merge
+      .applyChanges(base, changes, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = Snapshots.readVersion(spark, dir, Some(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    // v0 still serves the pre-merge snapshot (snapshot isolation)
+    assert(Snapshots.readVersion(spark, dir, Some(0L)).count() === 100L)
+    // pure-insert batch: no dv ref added
+    val insOnly = base.filter(col("id") === 1L)
+      .withColumn("id", col("id") + 5000L).withColumn("op", lit("I"))
+    Snapshots.mergeOnRead(spark, dir, insOnly, "id")
+    assert(Snapshots.readManifest(spark, dir, 2L).dvs.size === 1)
+    // pure-delete batch: no data file added
+    val delOnly = base.filter(col("id") === 2L).withColumn("op", lit("D"))
+    Snapshots.mergeOnRead(spark, dir, delOnly, "id")
+    val m3 = Snapshots.readManifest(spark, dir, 3L)
+    assert(m3.files.size === Snapshots.readManifest(spark, dir, 2L).files.size)
+    assert(m3.dvs.size === 2)
+    // table CHECK constraints gate merge payloads too
+    Snapshots.addCheckConstraint(spark, dir, "pos_price", "price > 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeOnRead(spark, dir,
+        base.filter(col("id") === 3L).withColumn("price", lit(-1.0))
+          .withColumn("op", lit("U")), "id")
+    }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
