@@ -44,7 +44,7 @@ object ScaleSmoke {
       // dominates (u3 commit chain + 3 reads, u5 change-feed loop,
       // u7 MERGE rewrite, u9 DV delete + purge)
       "u3_time_travel", "u5_incremental", "u7_merge_snapshot",
-      "u9_delete_vectors")
+      "u9_delete_vectors", "u10_change_feed", "u11_merge_on_read")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt).getOrCreate()
