@@ -131,6 +131,7 @@ object SparkEntry {
     // ---- LLM-pipeline: text analysis ----
     "t1_token_counts" -> (TextAnalysis.tokenCounts _),
     "t2_quality_score" -> (TextAnalysis.qualityScore _),
+    "t16_quality_model" -> (TextAnalysis.qualityModel _),
     "t3_lang_id" -> (TextAnalysis.langId _),
     "t4_fingerprint" -> (TextAnalysis.fingerprint _),
     "t5_repetition" -> (TextAnalysis.repetition _),
@@ -1742,6 +1743,23 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w))
         |    + 0.2 * least((length(text) - (len(w) - 1)) / len(w) / 8.0, 1.0) AS quality
         |FROM q ORDER BY doc_id""".stripMargin,
+    // t16 oracle: the identical integer-micro feature quantization,
+    // exact BIGINT margin, and rational squash — weight-for-weight
+    "t16_quality_model" ->
+      """WITH q AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(round(1000000.0 * len(list_distinct(w)) / len(w)) AS BIGINT) AS x_distinct,
+        |  CAST(round(1000000.0 * len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','is'], t))) / len(w)) AS BIGINT) AS x_stopword,
+        |  CAST(round(1000000.0 * (length(text) - (len(w) - 1)) / len(w) / 8.0) AS BIGINT) AS x_len,
+        |  CAST(len(w) AS BIGINT) AS n_tokens FROM q),
+        |m AS (SELECT *,
+        |  3 * x_distinct - 2 * x_stopword + x_len + 800 * n_tokens - 1900000 AS margin_micro
+        |FROM f)
+        |SELECT doc_id, x_distinct, x_stopword, x_len, n_tokens,
+        |  CAST(margin_micro AS BIGINT) AS margin_micro,
+        |  round(CAST(margin_micro AS DOUBLE) / (1000000.0 + CAST(abs(margin_micro) AS DOUBLE)), 6) AS score6,
+        |  CAST(CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "t3_lang_id" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -59,6 +59,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality filtering — the fasttext-style linear
+    * classifier gate a large training-data pipeline runs after the
+    * heuristic filters (t2/t11): margin = w·x + b over engineered
+    * features, keep = margin ≥ 0. The "trained" weights are fixed
+    * literals riding the codegen'd projection (a real deployment
+    * broadcasts them identically — weights are KBs, corpora are TBs),
+    * so inference is map-only: the corpus never shuffles, linear at
+    * 100 TB. Determinism end to end: each ratio feature is quantized
+    * to integer micro-units with ONE IEEE division + round (the
+    * labelCentroids trick), the margin is exact BIGINT arithmetic
+    * (the keep decision can never flip across engines — even an
+    * exactly-zero margin is exact), and the reported score squashes
+    * the margin through the rational m/(1e6+|m|) — one more division,
+    * no transcendental sigmoid (whose libm rounding differs between
+    * engines).
+    */
+  def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks).cast("long")
+    val stopArr = array(StopWords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val sumLen = (length(col("text")) - (size(toks) - lit(1))).cast("long")
+    val x1 = round(lit(1000000.0) * nDist / n).cast("long")  // distinct ratio
+    val x2 = round(lit(1000000.0) * nStop / n).cast("long")  // stopword ratio
+    val x3 = round(lit(1000000.0) * sumLen / n / lit(8.0)).cast("long") // len/8
+    // w = (+3, −2, +1) on the micro features, +800 per token,
+    // bias −1.9e6 — centered near the corpus median so the gate is a
+    // real split (~47% keep), not a rubber stamp
+    val margin = lit(3L) * x1 - lit(2L) * x2 + x3 + lit(800L) * n -
+      lit(1900000L)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        x1.as("x_distinct"), x2.as("x_stopword"), x3.as("x_len"),
+        n.as("n_tokens"),
+        margin.as("margin_micro"),
+        round(margin.cast("double") /
+          (lit(1000000.0) + abs(margin).cast("double")), 6).as("score6"),
+        (margin >= 0L).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID: score = marker-token hits per language,
     * argmax with a fixed priority tie-break (en > de > es > fr > zh,
     * 'und' when nothing matches). N-gram/stopword LangID is standard for

@@ -64,6 +64,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("keep")), "filter keeps something")
   }
 
+  test("quality model: keep == (margin >= 0), squash bounded and sign-true") {
+    val rows = TextAnalysis.qualityModel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("margin_micro")
+      val s6 = r.getAs[Double]("score6")
+      assert(r.getAs[Int]("keep") === (if (m >= 0) 1 else 0))
+      assert(s6 > -1.0 && s6 < 1.0, "rational squash must stay in (-1,1)")
+      assert(m == 0 || math.signum(s6.toDouble) === math.signum(m.toDouble),
+        s"squash flipped the sign: margin=$m score=$s6")
+      // exact linear model: margin reconstructs from the features
+      val rec = 3L * r.getAs[Long]("x_distinct") -
+        2L * r.getAs[Long]("x_stopword") + r.getAs[Long]("x_len") +
+        800L * r.getAs[Long]("n_tokens") - 1900000L
+      assert(rec === m)
+    }
+    // a real gate: both classes present in the corpus
+    assert(rows.exists(_.getAs[Int]("keep") == 1) &&
+      rows.exists(_.getAs[Int]("keep") == 0))
+  }
+
   test("bigrams: cnt >= df >= 1, ordered desc, capped at k") {
     val rows = TextAnalysis.bigrams(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 40)
