@@ -680,17 +680,27 @@ object Snapshots {
     * rows; payload columns must match the table schema (MERGE schema
     * evolution is deliberately not supported here). Table CHECK
     * constraints validate the appended payloads before anything is
-    * written. Returns the committed version.
+    * written. `txn` rides the commit like [[commit]]'s — the
+    * exactly-once hook [[cdcSink]] builds on. Returns the committed
+    * version.
     */
   def mergeOnRead(spark: SparkSession, tableDir: String,
                   changes: DataFrame, key: String,
-                  statsColumns: Seq[String] = Nil): Long = {
+                  statsColumns: Seq[String] = Nil,
+                  txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
     val f = fs(spark, tableDir)
     val base = latestVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     val m = readManifest(spark, tableDir, base)
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txn appId must be non-empty with no tab/newline: '$app'")
+    }
+    val txns = txn.fold(m.txns) { case (app, b) =>
+      m.txns + (app -> math.max(b, m.txns.getOrElse(app, Long.MinValue)))
+    }
     m.schema.foreach { sc =>
       val names = sc.fieldNames.toSet
       val have = changes.columns.filterNot(_ == "op").toSet
@@ -741,7 +751,7 @@ object Snapshots {
       }.toMap
     // ONE commit point for mask + append together
     if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
-        m.stats ++ newStats, m.schema, m.txns, m.dvs ++ dvs, m.checks))) {
+        m.stats ++ newStats, m.schema, txns, m.dvs ++ dvs, m.checks))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
@@ -955,6 +965,46 @@ object Snapshots {
       try {
         commit(batch, tableDir, "append", expectedVersion = Some(expected),
           txn = Some(appId -> batchId))
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+  }
+
+  /** Exactly-once streaming CDC apply — the streaming-MERGE pattern,
+    * for `writeStream.foreachBatch(Snapshots.cdcSink(dir, key))` over
+    * a change stream (rows carry the key, the payload, and `op` ∈
+    * {I,U,D}): each micro-batch lands through [[mergeOnRead]] (one
+    * atomic mask+append commit, O(batch)), with the same per-producer
+    * txn-watermark replay protection as [[exactlyOnceSink]] — a
+    * replayed batch id at or below the watermark no-ops, a CAS loss
+    * re-reads the watermark before retrying, so a zombie driver's
+    * duplicate apply resolves to exactly one merge. The upsert-stream
+    * sibling of the append-only sink: at 100 TB this is how a CDC feed
+    * maintains a versioned table without ever rewriting it.
+    */
+  def cdcSink(tableDir: String, key: String, appId: String = "cdc")
+             (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(spark, tableDir)
+      val watermark = latest
+        .map(v => readManifest(spark, tableDir, v).txns
+          .getOrElse(appId, Long.MinValue))
+        .getOrElse(Long.MinValue)
+      if (batchId <= watermark) return // replay (or lost race): durable already
+      try {
+        if (latest.isEmpty) // first batch bootstraps the table
+          commit(batch.filter(col("op").isin("I", "U")).drop("op"),
+            tableDir, "overwrite", expectedVersion = Some(0L),
+            txn = Some(appId -> batchId))
+        else
+          mergeOnRead(spark, tableDir, batch, key, txn = Some(appId -> batchId))
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

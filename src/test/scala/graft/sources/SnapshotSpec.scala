@@ -228,6 +228,51 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 5L)
   }
 
+  test("cdc sink: streaming MERGE applies batches exactly once") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def cdc(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "tag", "op")
+    // batch 0 bootstraps the table (I rows only matter)
+    Snapshots.cdcSink(dir, "id")(cdc((1L to 10L).map(i => (i, s"v1-$i", "I"))), 0L)
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+    // batch 1: update 3, delete 7, insert 11
+    val b1 = cdc(Seq((3L, "v2-3", "U"), (7L, "", "D"), (11L, "v1-11", "I")))
+    Snapshots.cdcSink(dir, "id")(b1, 1L)
+    val got = Snapshots.readVersion(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === ((1L to 11L).toSet - 7L))
+    assert(got(3L) === "v2-3" && got(11L) === "v1-11" && got(4L) === "v1-4")
+    // zombie replay of batch 1 (sink ran, checkpoint write lost): no-op
+    val vBefore = Snapshots.latestVersion(spark, dir)
+    Snapshots.cdcSink(dir, "id")(b1, 1L)
+    assert(Snapshots.latestVersion(spark, dir) === vBefore)
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+    // the watermark is in the manifest; maintenance preserves it
+    Snapshots.compact(spark, dir, numFiles = 1)
+    Snapshots.cdcSink(dir, "id")(b1, 1L) // replay after compact: still no-op
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+    // end-to-end under a real streaming query
+    val sqlCtx = spark.sqlContext
+    implicit val sq = sqlCtx
+    val dir2 = freshDir()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = input.toDF().toDF("id", "tag", "op")
+      .writeStream.foreachBatch(Snapshots.cdcSink(dir2, "id") _)
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a", "I"), (2L, "b", "I"))
+      q.processAllAvailable()
+      input.addData((1L, "a2", "U"), (2L, "", "D"), (3L, "c", "I"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = Snapshots.readVersion(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin === Map(1L -> "a2", 3L -> "c"))
+  }
+
   test("a live batch whose id collides with a maintenance version still lands") {
     // regression: the sink once used version==batchId as its replay
     // check, so compaction taking a version number made the next live
