@@ -54,8 +54,12 @@ class LayoutSpec extends SparkSpec {
     assert(zr.size === 8 && ar.size === 8)
     // 1/8-of-domain predicates
     val (lo, hi) = (256L, 383L)
-    // plain sort: perfect on its own column, useless on the other
-    assert(candA(ar, lo, hi) <= 2, s"a-sorted a-pred: ${candA(ar, lo, hi)}")
+    // plain sort: near-perfect on its own column, useless on the
+    // other. ≤3 not ≤2: repartitionByRange SAMPLES its boundaries
+    // (default 100 rows/partition of the 16384-row grid), so a
+    // boundary can land mid-range and a third file can graze the
+    // predicate — the contrast against ≥7 on the b side is the claim
+    assert(candA(ar, lo, hi) <= 3, s"a-sorted a-pred: ${candA(ar, lo, hi)}")
     assert(candB(ar, lo, hi) >= 7, s"a-sorted b-pred prunes nothing")
     // z-order: both dimensions prune
     assert(candA(zr, lo, hi) <= 5, s"z a-pred: ${candA(zr, lo, hi)}")
