@@ -718,21 +718,40 @@ object Snapshots {
     val version = base + 1
     val tag = UUID.randomUUID().toString.take(8)
     // mask side: provenance keys of every target row the batch touches
-    // (any op — U replaces, D drops, I with an existing key upserts)
+    // (any op — U replaces, D drops, I with an existing key upserts).
+    // When the manifest carries footer stats on the key, the provenance
+    // scan is PRUNED to the files whose [min,max] overlaps the batch's
+    // key range (one tiny agg on the batch buys it): at 100 TB a CDC
+    // batch touching one day's keys masks against that day's files,
+    // not the decade — the same narrowing the CoW path gets from
+    // readVersionPruned, applied to the mask join. Files without a
+    // recorded stat are kept (unknown ≠ empty), so this is a scan
+    // reducer, never a semantic change.
     val keys = changes.select(col(key)).distinct()
-    val baseMeta = readFilesMeta(spark, tableDir, m, m.files)
+    val hasKeyStats = m.stats.keys.exists(_._2 == key)
+    val maskFiles =
+      if (!hasKeyStats) m.files
+      else {
+        val b = changes.agg(org.apache.spark.sql.functions.min(col(key)),
+          org.apache.spark.sql.functions.max(col(key))).head()
+        if (b.isNullAt(0)) Seq.empty else pruneFiles(m, key, b.get(0), b.get(1))
+      }
     val dvRel = f"dv/v$version%06d-$tag"
     val dvDir = new Path(tableDir, dvRel)
-    baseMeta.join(keys, Seq(key), "left_semi")
-      .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
-      .coalesce(1)
-      .write.parquet(dvDir.toString)
-    val nMasked = spark.read.parquet(dvDir.toString).count()
     val dvs =
-      if (nMasked > 0)
-        f.listStatus(dvDir).iterator.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
-      else { f.delete(dvDir, true); Seq.empty } // pure-insert batch
+      if (maskFiles.isEmpty) Seq.empty // every file pruned: nothing to mask
+      else {
+        val baseMeta = readFilesMeta(spark, tableDir, m, maskFiles)
+        baseMeta.join(keys, Seq(key), "left_semi")
+          .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+          .coalesce(1)
+          .write.parquet(dvDir.toString)
+        val nMasked = spark.read.parquet(dvDir.toString).count()
+        if (nMasked > 0)
+          f.listStatus(dvDir).iterator.map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
+        else { f.delete(dvDir, true); Seq.empty } // pure-insert batch
+      }
     // data side: the appended payloads
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)

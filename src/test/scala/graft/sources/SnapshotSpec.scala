@@ -837,6 +837,32 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("mergeOnRead prunes its mask scan with key stats, result unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val base = (1L to 100L).map(i => (i, s"p$i")).toDF("id", "tag")
+    // 4 range-partitioned files with footer stats on the merge key
+    Snapshots.commit(base.repartitionByRange(4, col("id")), dir,
+      statsColumns = Seq("id"))
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    assert(m0.files.size === 4 && m0.stats.size === 4)
+    // the batch touches only the top of the key range — the mask scan
+    // needs a strict subset of the files
+    assert(Snapshots.pruneFiles(m0, "id", 90L, 99L).size < m0.files.size)
+    val changes =
+      base.filter(col("id").isin(90L, 95L)).withColumn("op", lit("D"))
+        .unionByName(base.filter(col("id") === 92L)
+          .withColumn("tag", lit("updated")).withColumn("op", lit("U")))
+    Snapshots.mergeOnRead(spark, dir, changes, "id")
+    val expected = graft.operators.Merge.applyChanges(base, changes, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = Snapshots.readVersion(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === expected)
+    assert(got.size === 98 && got.contains((92L, "updated")))
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
