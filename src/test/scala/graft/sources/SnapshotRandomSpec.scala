@@ -34,7 +34,7 @@ class SnapshotRandomSpec extends SparkSpec {
       var floor = 0L
 
       for (_ <- 1 to 16) {
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case i if i < 4 => // append
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "append")
@@ -56,6 +56,25 @@ class SnapshotRandomSpec extends SparkSpec {
           case 10 => // purge: physical rewrite of the masked snapshot
             Snapshots.purgeDeletes(spark, dir)
             model :+= Some(model.last.get)
+          case 11 => // merge-on-read: random CDC batch (D/U/I mix)
+            val cur = model.last.get
+            val ids = cur.map(_._1).toSeq.sorted
+            val dels = ids.filter(_ => rnd.nextInt(8) == 0).toSet
+            val upds = ids.filterNot(dels).filter(_ => rnd.nextInt(8) == 0).toSet
+            val ins = (1 to rnd.nextInt(4))
+              .map { _ => nextId += 1; (nextId, s"i${rnd.nextInt(1000)}") }
+            val utag = s"u${rnd.nextInt(1000)}"
+            val batch =
+              dels.toSeq.map(id => (id, "", "D")) ++
+                upds.toSeq.map(id => (id, utag, "U")) ++
+                ins.map { case (id, t) => (id, t, "I") }
+            if (batch.nonEmpty) {
+              Snapshots.mergeOnRead(spark, dir,
+                batch.toDF("id", "tag", "op"), "id")
+              model :+= Some(
+                cur.filterNot(r => dels(r._1) || upds(r._1)) ++
+                  upds.map(id => (id, utag)) ++ ins)
+            }
           case _ => // vacuum to a random floor ≤ latest
             val latest = model.size - 1L
             val keep = floor + rnd.nextInt((latest - floor + 1).toInt)
