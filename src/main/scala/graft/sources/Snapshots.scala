@@ -499,6 +499,26 @@ object Snapshots {
     } finally reader.close()
   }
 
+  /** Total row count of the parquet files under `dir`, from their
+    * FOOTERS — a driver-side metadata read, no Spark job. Used by the
+    * write paths that need "did anything land?" right after writing a
+    * small file (dv masks, merge appends): a `spark.read...count()`
+    * there costs a whole scheduled job to learn a number the footer
+    * already holds.
+    */
+  private def footerRowCount(spark: SparkSession, f: FileSystem,
+                             dir: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    f.listStatus(dir).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          st.getPath, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
   /** Parse one manifest (bounded: one small file read on the driver). */
   def readManifest(spark: SparkSession, tableDir: String, version: Long): Manifest = {
     val f = fs(spark, tableDir)
@@ -648,7 +668,7 @@ object Snapshots {
     val written = f.listStatus(dvDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dvRel/$n").toSeq.sorted
-    val matched = spark.read.parquet(dvDir.toString).count()
+    val matched = footerRowCount(spark, f, dvDir)
     if (matched == 0L) { // nothing to mask: leave the table untouched
       f.delete(dvDir, true)
       return base
@@ -746,7 +766,7 @@ object Snapshots {
           .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
           .coalesce(1)
           .write.parquet(dvDir.toString)
-        val nMasked = spark.read.parquet(dvDir.toString).count()
+        val nMasked = footerRowCount(spark, f, dvDir)
         if (nMasked > 0)
           f.listStatus(dvDir).iterator.map(_.getPath.getName)
             .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
@@ -756,7 +776,7 @@ object Snapshots {
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
     upserts.write.parquet(dataDir.toString)
-    val nAppended = spark.read.parquet(dataDir.toString).count()
+    val nAppended = footerRowCount(spark, f, dataDir)
     val written =
       if (nAppended > 0)
         f.listStatus(dataDir).iterator.map(_.getPath.getName)
