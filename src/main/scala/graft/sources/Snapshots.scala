@@ -1053,6 +1053,32 @@ object Snapshots {
     }
   }
 
+  /** RESTORE TABLE TO VERSION — roll the table back to `toVersion` by
+    * publishing its file/dv/stat/schema state as a NEW version: an
+    * O(manifest) metadata-only commit, zero data copied or rewritten
+    * (the old files are referenced, not duplicated), and the botched
+    * intermediate versions stay readable for forensics until
+    * [[vacuum]]. Producer txn watermarks and CHECK constraints carry
+    * from the LATEST version, not the restore point — replay
+    * protection and the table's quality contract must never rewind
+    * with the data (the same rule every commit kind follows). Fails
+    * if `toVersion` was vacuumed. Returns the new version.
+    */
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
+    val f = fs(spark, tableDir)
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    require(toVersion <= base, s"cannot restore to future version $toVersion")
+    val target = readManifest(spark, tableDir, toVersion) // throws if vacuumed
+    val latest = readManifest(spark, tableDir, base)
+    val next = target.copy(version = base + 1,
+      txns = latest.txns, checks = latest.checks)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version ${base + 1} of $tableDir was committed concurrently")
+    base + 1
+  }
+
   /** Small-file compaction: rewrite the latest version's data as
     * `numFiles` files in a new version (same rows — `coalesce`, no
     * shuffle), leaving every prior version readable. The lakehouse

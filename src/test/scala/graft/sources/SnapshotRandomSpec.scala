@@ -34,7 +34,7 @@ class SnapshotRandomSpec extends SparkSpec {
       var floor = 0L
 
       for (_ <- 1 to 16) {
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
           case i if i < 4 => // append
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "append")
@@ -75,6 +75,11 @@ class SnapshotRandomSpec extends SparkSpec {
                 cur.filterNot(r => dels(r._1) || upds(r._1)) ++
                   upds.map(id => (id, utag)) ++ ins)
             }
+          case 12 => // restore to a random LIVE version (rollback)
+            val liveNow = model.zipWithIndex.collect { case (Some(_), v) => v }
+            val tgt = liveNow(rnd.nextInt(liveNow.size))
+            Snapshots.restore(spark, dir, tgt.toLong)
+            model :+= model(tgt)
           case _ => // vacuum to a random floor ≤ latest
             val latest = model.size - 1L
             val keep = floor + rnd.nextInt((latest - floor + 1).toInt)

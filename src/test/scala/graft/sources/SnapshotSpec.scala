@@ -863,6 +863,34 @@ class SnapshotSpec extends SparkSpec {
     assert(got.size === 98 && got.contains((92L, "updated")))
   }
 
+  test("restore: metadata-only rollback, files by reference, watermarks don't rewind") {
+    val dir = freshDir()
+    Snapshots.exactlyOnceSink(dir, "app")(frame(0 until 10, "good"), 0L) // v0
+    Snapshots.commit(frame(100 until 105, "bad"), dir, "overwrite")      // v1 botched
+    assert(Snapshots.restore(spark, dir, 0L) === 2L)
+    // v2 serves v0's state through v0's OWN files — nothing copied
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+    assert(Snapshots.readManifest(spark, dir, 2L).files ===
+      Snapshots.readManifest(spark, dir, 0L).files)
+    // the botched version stays readable for forensics
+    assert(Snapshots.readVersion(spark, dir, Some(1L)).count() === 5L)
+    // the producer watermark carried from LATEST: a replay still no-ops
+    Snapshots.exactlyOnceSink(dir, "app")(frame(0 until 10, "dup"), 0L)
+    assert(Snapshots.latestVersion(spark, dir) === Some(2L))
+    // vacuuming past the restore keeps the restored (old) files alive
+    Snapshots.vacuum(spark, dir, keepFromVersion = 2L, orphanRetainMs = 0L)
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+    // restoring to a dv-masked version restores the mask with it
+    Snapshots.deleteWhere(spark, dir, col("id") < 3L) // v3
+    Snapshots.purgeDeletes(spark, dir)                // v4
+    assert(Snapshots.restore(spark, dir, 3L) === 5L)
+    assert(Snapshots.readVersion(spark, dir).count() === 7L)
+    // a vacuumed restore point is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, 1L)
+    }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
