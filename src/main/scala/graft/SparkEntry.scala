@@ -162,10 +162,10 @@ object SparkEntry {
     "m3_resize" -> ((s, d) => Multimodal.resizeSpecSql(s, d)),
     "m4_batch_pack" -> ((s, d) => Multimodal.m4BatchPack(s, d)),
     // ---- sketches ----
-    // x1: no oracle — HLL estimates are engine-specific; the driver
-    // records a rows-only check. x1a is its exact companion: the same
-    // grouping with the exact countDistinct column only, which IS
-    // oracle-checkable, so the approx family carries a green hash row.
+    // x1: the raw HLL estimate is engine-specific, so the compared
+    // output carries a bounded-error witness (estimate within 5·rsd of
+    // the exact count, emitted as a deterministic int the oracle CAN
+    // verify) next to the exact count. x1a is the exact-only companion.
     "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _),
     "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _),
     "x2_sketch_rollup" -> (CorpusQueries.x2SketchRollup _)
@@ -708,6 +708,13 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL
         |SELECT 'total', COUNT(DISTINCT user_id), COUNT(DISTINCT user_id), 1 FROM ev
         |ORDER BY scope""".stripMargin,
+    // x1 oracle: the exact count plus the bounded-error witness — the
+    // oracle asserts the witness is 1 (the Spark side computes it from
+    // the actual HLL estimate; the estimate itself is not compared)
+    "x1_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  1 AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x1a_distinct_exact" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -272,18 +272,25 @@ object CorpusQueries {
   /** Approximate distinct-count sketch (HyperLogLog++) next to the exact
     * count — the 100 TB path where exact distinct is a full shuffle of
     * the key domain but the sketch is mergeable, constant-size state.
-    * No DuckDB oracle (sketch estimates are engine-specific); the driver
-    * records a rows/schema-only check.
+    * The raw estimate is engine-specific (no cross-engine oracle can
+    * pin it), so the output carries a BOUNDED-ERROR WITNESS instead:
+    * `within_rsd` asserts |estimate - exact| <= 5·rsd·exact — with the
+    * requested rsd of 0.02 that is a ±10% (5-sigma) envelope the HLL++
+    * accuracy guarantee (rsd ≈ 1.04/√(2^p)) makes all-but-certain, and
+    * Spark's sketch is deterministic for a fixed input so the column
+    * is a stable 1 the DuckDB oracle CAN verify next to the exact
+    * count. The estimate itself stays out of the compared output.
     */
   def qxApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      .withColumn("rel_err",
-        abs(col("approx_parts") - col("exact_parts")) /
-          col("exact_parts").cast("double"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+      .withColumn("within_rsd",
+        when(abs(col("__approx") - col("exact_parts"))
+          <= lit(5 * 0.02) * col("exact_parts").cast("double"), 1).otherwise(0))
+      .select(col("l_returnflag"), col("exact_parts"), col("within_rsd"))
       .orderBy("l_returnflag")
 
   /** Bloom-pruned fact-dim join: lineitems of URGENT orders. The fact

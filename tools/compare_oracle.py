@@ -24,14 +24,28 @@ DTYPE_TOLERANT = {
 }
 
 def canon(s: pd.Series) -> pd.Series:
-    """Family-preserving canonical representation of one column."""
+    """Family-preserving canonical representation of one column.
+
+    Each astype is guarded: a nullable-Int column holding pd.NA (or any
+    other non-coercible value) falls back to the original series, so the
+    query records a dtype-strict mismatch instead of crashing the gate.
+    """
     dt = s.dtype
     if str(dt).startswith("datetime64"):
-        return s.astype("datetime64[us]")
+        try:
+            return s.astype("datetime64[us]")
+        except Exception:
+            return s
     if pd.api.types.is_integer_dtype(dt):
-        return s.astype("int64")
+        try:
+            return s.astype("int64")
+        except Exception:
+            return s
     if pd.api.types.is_float_dtype(dt):
-        return s.astype("float64")
+        try:
+            return s.astype("float64")
+        except Exception:
+            return s
     if dt == object and len(s) and all(
             x is None or isinstance(x, (pd.Timestamp,) +
                 tuple([__import__("datetime").date]))
