@@ -96,6 +96,8 @@ object SparkEntry {
     "u9_delete_vectors" -> (graft.sources.Snapshots.u9DeleteVectors _),
     "u10_change_feed" -> (graft.sources.Snapshots.u10ChangeFeed _),
     "u11_merge_on_read" -> (graft.sources.Snapshots.u11MergeOnRead _),
+    "u12_restore" -> (graft.sources.Snapshots.u12Restore _),
+    "u13_cdc_apply" -> (graft.sources.Snapshots.u13CdcApply _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1057,6 +1059,39 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM v GROUP BY version, o_orderstatus
         |ORDER BY version, o_orderstatus""".stripMargin,
+    // u12 oracle: v0 = all orders; v1 (dv-masked), v2 (purged), and
+    // v3 (RESTORED to the masked v1) all equal the filtered table —
+    // the metadata-only rollback must read exactly as its target did
+    "u12_restore" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM orders
+        |UNION ALL SELECT CAST(v.v AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders CROSS JOIN (VALUES (1), (2), (3)) AS v(v)
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY v.v
+        |ORDER BY version""".stripMargin,
+    // u13 oracle: u7/u11's merged state (the split CDC apply must
+    // compose to the one-shot MERGE) with n_versions = 3 pinned — the
+    // replayed batch must have committed nothing
+    "u13_cdc_apply" ->
+      """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 10 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 97 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  3 AS n_versions
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "u7_merge_snapshot" ->
       """WITH del AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
         |upd AS (

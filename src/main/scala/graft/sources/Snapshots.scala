@@ -84,12 +84,24 @@ object Snapshots {
     * must not amnesia a sink's progress), so replay detection survives
     * arbitrary interleaved table maintenance.
     */
+  /** `dataRows`/`dvRows` are the version's row accounting, recorded at
+    * commit time from parquet FOOTERS (no data scan): total rows in the
+    * version's data files (pre-mask) and total masked keys in its
+    * deletion vectors. -1 = unknown (manifests from before the fields;
+    * unknown propagates through appends rather than guessing). They
+    * exist so `history()` can surface `mask_ratio` and the read path
+    * can raise the purge signal ACTIVELY — without them the only
+    * operational signal that a mask outgrew merge-on-read was a
+    * shuffle quietly appearing in read plans.
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
                             txns: Map[String, Long] = Map.empty,
                             dvs: Seq[String] = Seq.empty,
-                            checks: Map[String, String] = Map.empty)
+                            checks: Map[String, String] = Map.empty,
+                            dataRows: Long = -1L,
+                            dvRows: Long = -1L)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,16 +202,26 @@ object Snapshots {
     // and therefore also MERGE results, compaction and purge rewrites,
     // which all land through this path: a constraint cannot be
     // bypassed by a non-append commit. Validated BEFORE any data is
-    // written, so a refused commit leaves the table untouched.
+    // written, so a refused commit leaves the table untouched. The
+    // validation is a second evaluation of `df`, so when checks exist
+    // the batch is PINNED (persist) first — the rows validated must be
+    // the rows written even for a non-deterministic input (rand/uuid
+    // columns, re-read of mutable upstream).
     val checks = prevAny.map(_.checks).getOrElse(Map.empty)
-    val violated = checkViolations(df, checks)
-    if (violated.nonEmpty)
-      throw new IllegalArgumentException(
-        s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
-          s"$mode commit to $tableDir refused")
+    val pinned = checks.nonEmpty
+    val batch =
+      if (pinned) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val dataRel = f"data/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(tableDir, dataRel)
-    df.write.parquet(dataDir.toString)
+    try {
+      val violated = checkViolations(batch, checks)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
+            s"$mode commit to $tableDir refused")
+      batch.write.parquet(dataDir.toString)
+    } finally if (pinned) batch.unpersist(false)
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
@@ -226,18 +248,7 @@ object Snapshots {
     // append.
     val schema = prev.flatMap(_.schema) match {
       case None => df.schema
-      case Some(old) =>
-        val byName = old.fields.map(f => f.name -> f).toMap
-        df.schema.fields.foreach { f =>
-          byName.get(f.name).foreach { o =>
-            require(o.dataType == f.dataType,
-              s"append changes type of '${f.name}': ${o.dataType} -> ${f.dataType}")
-          }
-        }
-        val added = df.schema.fields.filterNot(f => byName.contains(f.name))
-          .map(_.copy(nullable = true))
-        org.apache.spark.sql.types.StructType(
-          old.fields.map(_.copy(nullable = true)) ++ added)
+      case Some(old) => evolveSchema(old, df.schema, "append")
     }
     val newStats =
       if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
@@ -245,15 +256,49 @@ object Snapshots {
         footerStats(spark, new Path(tableDir, rel), statsColumns)
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
+    // row accounting (footer metadata, no scan): appends extend the
+    // predecessor's totals (unknown propagates), overwrites restart
+    val writtenRows = footerRowCount(spark, f, dataDir)
+    val dataRows = prev match {
+      case Some(p) => if (p.dataRows < 0) -1L else p.dataRows + writtenRows
+      case None => writtenRows
+    }
+    val dvRows = prev match {
+      case Some(p) => if (p.dvs.isEmpty) 0L else p.dvRows
+      case None => 0L
+    }
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
-        carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks))) {
+        carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
+        dataRows, dvRows))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
+  }
+
+  /** Additive schema evolution shared by the append path and
+    * [[mergeOnRead]]: the incoming batch may ADD columns (recorded
+    * nullable — old files read NULL for them) or OMIT existing ones
+    * (new files read NULL there); a same-name column with a different
+    * type is refused — that is a rewrite, not an evolution.
+    */
+  private def evolveSchema(old: org.apache.spark.sql.types.StructType,
+                           incoming: org.apache.spark.sql.types.StructType,
+                           what: String): org.apache.spark.sql.types.StructType = {
+    val byName = old.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"$what changes type of '${f.name}': ${o.dataType} -> ${f.dataType}")
+      }
+    }
+    val added = incoming.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(
+      old.fields.map(_.copy(nullable = true)) ++ added)
   }
 
   /** Violation summary ("name (N rows)") per table-level CHECK whose
@@ -299,6 +344,8 @@ object Snapshots {
       }
       m.txns.toSeq.sorted.foreach { case (app, b) => w.write(s"txn=$app\t$b\n") }
       m.checks.toSeq.sorted.foreach { case (n, e) => w.write(s"check=$n\t$e\n") }
+      if (m.dataRows >= 0) w.write(s"rows=${m.dataRows}\n")
+      if (m.dvRows >= 0) w.write(s"dvrows=${m.dvRows}\n")
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) f.delete(tmp, false)
@@ -534,6 +581,8 @@ object Snapshots {
       val txns = scala.collection.mutable.Map.empty[String, Long]
       val checks = scala.collection.mutable.Map.empty[String, String]
       var schema: Option[org.apache.spark.sql.types.StructType] = None
+      var dataRows = -1L
+      var dvRows = -1L
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -559,10 +608,12 @@ object Snapshots {
             case _ => // ignore malformed check lines (forward compat)
           }
         }
+        else if (line.startsWith("rows=")) dataRows = line.stripPrefix("rows=").toLong
+        else if (line.startsWith("dvrows=")) dvRows = line.stripPrefix("dvrows=").toLong
         line = r.readLine()
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
-        dvs.toSeq, checks.toMap)
+        dvs.toSeq, checks.toMap, dataRows, dvRows)
     } finally r.close()
   }
 
@@ -591,6 +642,44 @@ object Snapshots {
 
   private val FpCol = "__graft_fp"
   private val RiCol = "__graft_ri"
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sources.Snapshots")
+
+  /** Rough bytes one dv row costs the read-side mask join (a file URI
+    * string plus a long). Powers the broadcast-threshold warning only
+    * — an estimate, never accounting.
+    */
+  private val DvRowEstBytes = 160L
+
+  /** The ACTIVE half of the purge signal (the passive half is a
+    * shuffle appearing in read plans, see [[readFilesMeta]]): when a
+    * masked read's recorded dv row count says the mask outgrew either
+    * the broadcast threshold (the anti-join silently degrades to a
+    * shuffle on EVERY read from here on) or `graft.dv.purgeWarnRatio`
+    * (default 0.1) of the table's rows, warn toward [[purgeDeletes]].
+    * Metadata-only — reads proceed unchanged; tables whose manifests
+    * predate row accounting (dvRows = -1) stay silent.
+    */
+  private def warnIfPurgeOverdue(spark: SparkSession, tableDir: String,
+                                 m: Manifest): Unit = {
+    if (m.dvRows > 0) {
+      val ratioThresh = spark.conf.getOption("graft.dv.purgeWarnRatio")
+        .map(_.toDouble).getOrElse(0.1)
+      val bcast = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val overBroadcast = bcast > 0 && m.dvRows * DvRowEstBytes > bcast
+      val overRatio = m.dataRows > 0 && m.dvRows.toDouble / m.dataRows > ratioThresh
+      if (overBroadcast || overRatio)
+        log.warn(s"table $tableDir v${m.version}: dv mask holds ${m.dvRows} rows" +
+          (if (overBroadcast)
+            s"; ~${m.dvRows * DvRowEstBytes} est bytes exceeds the broadcast " +
+              s"threshold ($bcast) — masked reads degrade to a shuffle anti-join"
+          else "") +
+          (if (overRatio)
+            f"; mask_ratio ${m.dvRows.toDouble / m.dataRows}%.3f > $ratioThresh%.2f"
+          else "") +
+          " — run purgeDeletes to rewrite the mask away")
+    }
+  }
 
   /** The manifest read with per-row provenance (`__graft_fp` = source
     * file URI, `__graft_ri` = row index within it) and the version's
@@ -623,6 +712,7 @@ object Snapshots {
         col("_metadata.row_index").as(RiCol))
     if (m.dvs.isEmpty) base
     else {
+      warnIfPurgeOverdue(spark, tableDir, m)
       val dvAbs = m.dvs.map(rel =>
         if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
       val dv = spark.read.parquet(dvAbs: _*)
@@ -658,29 +748,53 @@ object Snapshots {
     val version = base + 1
     val dvRel = f"dv/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dvDir = new Path(tableDir, dvRel)
-    // the matched keys are a tiny fraction of the table — one output
-    // file keeps the dv side broadcast-friendly at read time
-    readFilesMeta(spark, tableDir, m, m.files)
+    // pin the mask once (the count and the write must see the same
+    // rows), then size the write to the mask: a per-mille CDC delete
+    // lands as ONE broadcast-friendly file, while a large DELETE
+    // shards at `graft.dv.maxRowsPerFile` rows/file instead of
+    // funneling the whole mask through one task
+    val mask = readFilesMeta(spark, tableDir, m, m.files)
       .filter(predicate)
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
-      .coalesce(1)
-      .write.parquet(dvDir.toString)
-    val written = f.listStatus(dvDir).iterator.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"$dvRel/$n").toSeq.sorted
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val written = try {
+      val matched = mask.count()
+      if (matched == 0L) return base // nothing to mask: table untouched
+      dvSizedForWrite(mask, matched).write.parquet(dvDir.toString)
+      f.listStatus(dvDir).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(n => s"$dvRel/$n").toSeq.sorted
+    } finally mask.unpersist(false)
     val matched = footerRowCount(spark, f, dvDir)
-    if (matched == 0L) { // nothing to mask: leave the table untouched
-      f.delete(dvDir, true)
-      return base
-    }
     if (!publishManifest(f, tableDir, m.copy(version = version,
-        dvs = m.dvs ++ written))) {
+        dvs = m.dvs ++ written,
+        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, matched)))) {
       f.delete(dvDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
   }
+
+  /** Size a dv mask for writing: 1 output file while it fits the
+    * broadcast-friendly shape, sharded at `graft.dv.maxRowsPerFile`
+    * (default 4M rows/file) above it so a large DELETE neither funnels
+    * through one write task nor lands as one giant file. The common
+    * CDC case is a shuffle-free coalesce(1); a sharded mask is
+    * round-robin repartitioned so every shard actually carries rows
+    * (a coalesce would inherit the scan's skew and can leave shards
+    * empty) — a shuffle of the MASK, never the table.
+    */
+  private def dvSizedForWrite(mask: DataFrame, rows: Long): DataFrame = {
+    val maxPerFile = mask.sparkSession.conf.getOption("graft.dv.maxRowsPerFile")
+      .map(_.toLong).getOrElse(4000000L)
+    val shards = math.max(1L, (rows + maxPerFile - 1) / maxPerFile).toInt
+    if (shards <= 1) mask.coalesce(1) else mask.repartition(shards)
+  }
+
+  /** a + b where -1 (unknown) absorbs: unknown + anything = unknown. */
+  private def addRowCounts(a: Long, b: Long): Long =
+    if (a < 0 || b < 0) -1L else a + b
 
   /** MERGE on read (low-shuffle MERGE): apply a CDC batch to the
     * latest version by MASKING every matched target row with a
@@ -696,11 +810,18 @@ object Snapshots {
     * the difference between rewriting the table and appending a few
     * files. The deferred cost is the read-side anti-join until
     * [[purgeDeletes]]/[[compact]] materializes. `changes` needs the
-    * key, an `op` column in {I,U,D}, and the full payload for I/U
-    * rows; payload columns must match the table schema (MERGE schema
-    * evolution is deliberately not supported here). Table CHECK
-    * constraints validate the appended payloads before anything is
-    * written. `txn` rides the commit like [[commit]]'s — the
+    * key, an `op` column STRICTLY in {I,U,D} (any other value is
+    * refused up front — a typo'd op must not silently mask a matched
+    * row while appending nothing), and the payload for I/U rows.
+    * Payload columns evolve ADDITIVELY like the append path
+    * ([[evolveSchema]]): new columns are recorded nullable (old files
+    * read NULL for them), omitted ones read NULL in the new files; a
+    * type change is refused — that is a rewrite. The batch is PINNED
+    * (persist) for the duration, so validation, key extraction, the
+    * mask join, and the append all see ONE evaluation of a possibly
+    * non-deterministic source — no mask/append disagreement. Table
+    * CHECK constraints validate the appended payloads before anything
+    * is written. `txn` rides the commit like [[commit]]'s — the
     * exactly-once hook [[cdcSink]] builds on. Returns the committed
     * version.
     */
@@ -721,13 +842,15 @@ object Snapshots {
     val txns = txn.fold(m.txns) { case (app, b) =>
       m.txns + (app -> math.max(b, m.txns.getOrElse(app, Long.MinValue)))
     }
-    m.schema.foreach { sc =>
-      val names = sc.fieldNames.toSet
-      val have = changes.columns.filterNot(_ == "op").toSet
-      require(names == have,
-        s"merge payload columns $have must equal table schema $names")
-    }
-    val upserts = changes.filter(col("op").isin("I", "U")).drop("op")
+    val schema = m.schema.map(evolveSchema(_, org.apache.spark.sql.types.StructType(
+      changes.schema.fields.filterNot(_.name == "op")), "merge"))
+      .orElse(Some(org.apache.spark.sql.types.StructType(
+        changes.schema.fields.filterNot(_.name == "op"))))
+    val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    require(batch.filter(!col("op").isin("I", "U", "D")).isEmpty,
+      s"changes has op values outside I/U/D; merge into $tableDir refused")
+    val upserts = batch.filter(col("op").isin("I", "U")).drop("op")
     // table CHECK constraints gate the new rows BEFORE any write —
     // masks cannot violate a CHECK, appended payloads can
     val violated = checkViolations(upserts, m.checks)
@@ -747,30 +870,40 @@ object Snapshots {
     // readVersionPruned, applied to the mask join. Files without a
     // recorded stat are kept (unknown ≠ empty), so this is a scan
     // reducer, never a semantic change.
-    val keys = changes.select(col(key)).distinct()
+    val keys = batch.select(col(key)).distinct()
     val hasKeyStats = m.stats.keys.exists(_._2 == key)
     val maskFiles =
       if (!hasKeyStats) m.files
       else {
-        val b = changes.agg(org.apache.spark.sql.functions.min(col(key)),
+        val b = batch.agg(org.apache.spark.sql.functions.min(col(key)),
           org.apache.spark.sql.functions.max(col(key))).head()
         if (b.isNullAt(0)) Seq.empty else pruneFiles(m, key, b.get(0), b.get(1))
       }
     val dvRel = f"dv/v$version%06d-$tag"
     val dvDir = new Path(tableDir, dvRel)
-    val dvs =
-      if (maskFiles.isEmpty) Seq.empty // every file pruned: nothing to mask
+    val nMasked = {
+      if (maskFiles.isEmpty) 0L // every file pruned: nothing to mask
       else {
         val baseMeta = readFilesMeta(spark, tableDir, m, maskFiles)
-        baseMeta.join(keys, Seq(key), "left_semi")
+        val mask = baseMeta.join(keys, Seq(key), "left_semi")
           .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
-          .coalesce(1)
-          .write.parquet(dvDir.toString)
-        val nMasked = footerRowCount(spark, f, dvDir)
-        if (nMasked > 0)
-          f.listStatus(dvDir).iterator.map(_.getPath.getName)
-            .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
-        else { f.delete(dvDir, true); Seq.empty } // pure-insert batch
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = mask.count()
+          // sized like deleteWhere's: one broadcast-friendly file
+          // until the mask outgrows maxRowsPerFile
+          if (n > 0) dvSizedForWrite(mask, n).write.parquet(dvDir.toString)
+          n
+        } finally mask.unpersist(false)
+      }
+    }
+    val dvs =
+      if (nMasked > 0)
+        f.listStatus(dvDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
+      else { // pure-insert batch (or every file pruned)
+        if (maskFiles.nonEmpty) f.delete(dvDir, true)
+        Seq.empty
       }
     // data side: the appended payloads
     val dataRel = f"data/v$version%06d-$tag"
@@ -790,13 +923,16 @@ object Snapshots {
       }.toMap
     // ONE commit point for mask + append together
     if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
-        m.stats ++ newStats, m.schema, txns, m.dvs ++ dvs, m.checks))) {
+        m.stats ++ newStats, schema, txns, m.dvs ++ dvs, m.checks,
+        addRowCounts(m.dataRows, nAppended),
+        addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked)))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
+    } finally batch.unpersist(false)
   }
 
   /** Rewrite the latest version with its deletion vectors applied and
@@ -804,8 +940,9 @@ object Snapshots {
     * [[deleteWhere]]'s logical delete. The new snapshot owns fresh
     * files and (by overwrite semantics) no dv refs; prior masked
     * versions remain readable until [[vacuum]]. Run when `history()`'s
-    * `n_dvs` (or a shuffle appearing in the read plan) says the mask
-    * has outgrown merge-on-read.
+    * `mask_ratio`, the read-path warning ([[warnIfPurgeOverdue]]), or
+    * a shuffle appearing in the read plan says the mask has outgrown
+    * merge-on-read.
     */
   def purgeDeletes(spark: SparkSession, tableDir: String,
                    statsColumns: Seq[String] = Nil): Long = {
@@ -1061,22 +1198,102 @@ object Snapshots {
     * [[vacuum]]. Producer txn watermarks and CHECK constraints carry
     * from the LATEST version, not the restore point — replay
     * protection and the table's quality contract must never rewind
-    * with the data (the same rule every commit kind follows). Fails
-    * if `toVersion` was vacuumed. Returns the new version.
+    * with the data (the same rule every commit kind follows) — and
+    * because constraints may POSTDATE the restore target, the restored
+    * snapshot is VALIDATED against them before publishing (one scan of
+    * the target version, DVs applied — the same scan
+    * [[addCheckConstraint]] runs): without it a rollback to a
+    * pre-constraint version would silently serve rows that violate
+    * the table's active contract. `validateChecks = false` is the
+    * admin escape hatch, mirroring `addCheckConstraint`'s
+    * `validateExisting`. Fails if `toVersion` was vacuumed. Returns
+    * the new version.
     */
-  def restore(spark: SparkSession, tableDir: String, toVersion: Long): Long = {
+  def restore(spark: SparkSession, tableDir: String, toVersion: Long,
+              validateChecks: Boolean = true): Long = {
     val f = fs(spark, tableDir)
     val base = latestVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     require(toVersion <= base, s"cannot restore to future version $toVersion")
     val target = readManifest(spark, tableDir, toVersion) // throws if vacuumed
     val latest = readManifest(spark, tableDir, base)
+    if (validateChecks && latest.checks.nonEmpty && target.files.nonEmpty) {
+      val violated = checkViolations(
+        readFiles(spark, tableDir, target, target.files), latest.checks)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated by version $toVersion: " +
+            s"${violated.mkString(", ")}; restore of $tableDir refused")
+    }
     val next = target.copy(version = base + 1,
       txns = latest.txns, checks = latest.checks)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
         s"version ${base + 1} of $tableDir was committed concurrently")
     base + 1
+  }
+
+  /** RESTORE demo — rollback-under-fire end-to-end: orders as v0, the
+    * 'F' rows logically deleted as a deletion vector (v1), the mask
+    * physically purged (v2 — an overwrite rewrite), then RESTORE back
+    * to the MASKED version v1 (v3). The restore is metadata-only, but
+    * v3 must read exactly as v1 did — which means the restored
+    * manifest's dv refs must survive the intervening rewrite and mask
+    * at read time. The audit reads all four versions through the
+    * manifests; the oracle replays each state relationally, so the
+    * compare proves restore-then-read correctness (v3 == v1 == v2 ==
+    * the filtered table) and that the rollback resurrected nothing
+    * (v0 still serves every row).
+    */
+  def u12Restore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-restore")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    purgeDeletes(s, tableDir)
+    restore(s, tableDir, 1L)
+    (0L to 3L).map { v =>
+      readVersion(s, tableDir, Some(v))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(v).as("version"), col("n_rows"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Batch twin of [[cdcSink]] — the exactly-once streaming CDC apply
+    * driven as plain function calls, so the full bootstrap + merge +
+    * replay protocol is oracle-checkable without a streaming runtime:
+    * batch 0 (all-insert) bootstraps the table, the deterministic
+    * [[graft.operators.Merge.demoChanges]] batch lands as TWO
+    * merge-on-read batches (split by key parity — each keeps the
+    * one-change-per-key contract), and batch 1 is then REPLAYED (the
+    * failure-between-sink-and-checkpoint case) — the txn watermark
+    * must no-op it. Output: the final per-status audit (== u7/u11's
+    * merged state, proving the split apply composes to the one-shot
+    * MERGE) plus `n_versions` = 3 (bootstrap + two merges — the
+    * replay committed NOTHING).
+    */
+  def u13CdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-cdc-apply")
+    val base = graft.Tables.orders(s, d)
+    val changes = graft.operators.Merge.demoChanges(base)
+    val sink = cdcSink(tableDir, "o_orderkey") _
+    sink(base.withColumn("op", lit("I")), 0L)
+    val batch1 = changes.filter(col("o_orderkey") % 2 === 0)
+    sink(batch1, 1L)
+    sink(changes.filter(col("o_orderkey") % 2 === 1), 2L)
+    sink(batch1, 1L) // replayed batch: watermark must no-op it
+    val nVersions = latestVersion(s, tableDir).get + 1
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .orderBy("o_orderstatus")
   }
 
   /** Small-file compaction: rewrite the latest version's data as
@@ -1301,16 +1518,22 @@ object Snapshots {
     // fork of a constrained table stays constrained.
     val dvs = m.dvs.map(absolutize)
     if (!publishManifest(f, targetDir,
-        Manifest(0L, files, stats, m.schema, Map.empty, dvs, m.checks)))
+        Manifest(0L, files, stats, m.schema, Map.empty, dvs, m.checks,
+          m.dataRows, m.dvRows)))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L
   }
 
   /** DESCRIBE HISTORY: one row per LIVE version (vacuumed versions are
-    * gone) with its file/stat/txn-watermark footprint and how many of
-    * its refs are borrowed from a clone source. O(live versions)
-    * driver work over already-small manifests; no data access.
+    * gone) with its file/stat/txn-watermark footprint, how many of
+    * its refs are borrowed from a clone source, and the version's row
+    * accounting: `n_data_rows` (pre-mask), `n_dv_rows` (masked keys),
+    * and `mask_ratio` = dv/data — the operational purge signal (see
+    * [[deleteWhere]]; reads also warn past
+    * `graft.dv.purgeWarnRatio`). -1 rows / NULL ratio = recorded by a
+    * version predating row accounting. O(live versions) driver work
+    * over already-small manifests; no data access.
     */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._
@@ -1321,12 +1544,15 @@ object Snapshots {
       .filter(v => f.exists(manifestPath(tableDir, v)))
       .map { v =>
         val m = readManifest(spark, tableDir, v)
+        val ratio: Option[Double] =
+          if (m.dataRows > 0 && m.dvRows >= 0) Some(m.dvRows.toDouble / m.dataRows)
+          else None
         (v, m.files.size.toLong, m.files.count(isBorrowed).toLong,
           m.stats.size.toLong, m.txns.size.toLong, m.dvs.size.toLong,
-          m.checks.size.toLong)
+          m.checks.size.toLong, m.dataRows, m.dvRows, ratio)
       }
       .toDF("version", "n_files", "n_borrowed", "n_stats", "n_txns",
-        "n_dvs", "n_checks")
+        "n_dvs", "n_checks", "n_data_rows", "n_dv_rows", "mask_ratio")
   }
 
   /** Expire every version below `keepFromVersion`: delete their

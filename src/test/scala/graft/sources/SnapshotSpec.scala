@@ -891,6 +891,93 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("large delete shards its dv write; history records rows and mask_ratio") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 100, "base"), dir)
+    spark.conf.set("graft.dv.maxRowsPerFile", "10")
+    try Snapshots.deleteWhere(spark, dir, col("id") < 35L)
+    finally spark.conf.unset("graft.dv.maxRowsPerFile")
+    // ceil(35/10) = 4 shards: the mask neither funnels through one
+    // task nor lands as one giant file
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.dvs.size === 4, s"expected 4 dv shards, got ${m1.dvs}")
+    assert(Snapshots.readVersion(spark, dir).count() === 65L)
+    assert(m1.dataRows === 100L && m1.dvRows === 35L)
+    val h = Snapshots.history(spark, dir).collect().map { r =>
+      r.getAs[Long]("version") ->
+        (r.getAs[Long]("n_data_rows"), r.getAs[Long]("n_dv_rows"),
+          if (r.isNullAt(r.fieldIndex("mask_ratio"))) None
+          else Some(r.getAs[Double]("mask_ratio")))
+    }.toMap
+    assert(h(0L) === ((100L, 0L, Some(0.0))))
+    assert(h(1L)._1 === 100L && h(1L)._2 === 35L)
+    assert(math.abs(h(1L)._3.get - 0.35) < 1e-9)
+    // the accounting survives an append and resets on overwrite
+    Snapshots.commit(frame(100 until 110, "late"), dir, "append")
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.dataRows === 110L && m2.dvRows === 35L)
+    Snapshots.purgeDeletes(spark, dir)
+    val m3 = Snapshots.readManifest(spark, dir, 3L)
+    assert(m3.dataRows === 75L && m3.dvRows === 0L)
+  }
+
+  test("restore validates the target against the LATEST CHECK constraints") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "old"), dir)              // v0: ids 0-9
+    Snapshots.commit(frame(3 until 10, "new"), dir, "overwrite") // v1: ids 3-9
+    Snapshots.addCheckConstraint(spark, dir, "id_min", "id >= 3") // v2
+    // v0 predates the constraint and violates it: the metadata-only
+    // rollback must not silently serve rows the active contract bans
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, dir, 0L)
+    }
+    assert(e.getMessage.contains("id_min"))
+    assert(Snapshots.latestVersion(spark, dir) === Some(2L)) // nothing committed
+    // the admin escape hatch (mirrors addCheckConstraint's
+    // validateExisting) publishes anyway
+    assert(Snapshots.restore(spark, dir, 0L, validateChecks = false) === 3L)
+    assert(Snapshots.readVersion(spark, dir).count() === 10L)
+  }
+
+  test("mergeOnRead evolves schema additively; refuses type changes and bad ops") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "base"), dir)
+    // additive column: recorded nullable; pre-evolution rows read NULL
+    val evolved = Seq((1L, "upd", "x1"), (100L, "ins", "x100"))
+      .toDF("id", "tag", "extra")
+      .withColumn("op", when(col("id") === 1L, "U").otherwise("I"))
+    Snapshots.mergeOnRead(spark, dir, evolved, "id")
+    val v1 = Snapshots.readVersion(spark, dir)
+    assert(v1.columns.toSeq === Seq("id", "tag", "extra"))
+    val byId = v1.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(byId(1L) === (("upd", Some("x1"))))
+    assert(byId(100L) === (("ins", Some("x100"))))
+    assert(byId(2L) === (("base", None)))
+    assert(byId.size === 11)
+    // omitted payload columns: the new file reads NULL for them (the
+    // same fill the append path gives)
+    Snapshots.mergeOnRead(spark, dir, Seq((200L, "I")).toDF("id", "op"), "id")
+    val r200 = Snapshots.readVersion(spark, dir)
+      .where(col("id") === 200L).collect()
+    assert(r200.length === 1 && r200(0).isNullAt(1) && r200(0).isNullAt(2))
+    // a type change is a rewrite, not an evolution: refused
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeOnRead(spark, dir,
+        Seq((5L, 42)).toDF("id", "tag").withColumn("op", lit("U")), "id")
+    }
+    // an op outside I/U/D must not silently mask-and-drop: refused,
+    // table untouched
+    val before = Snapshots.latestVersion(spark, dir)
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeOnRead(spark, dir,
+        frame(1 until 2, "typo").withColumn("op", lit("u")), "id")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === before)
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
