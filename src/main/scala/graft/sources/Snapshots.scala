@@ -1112,6 +1112,74 @@ object Snapshots {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(new Path(tableDir, "data/*").toString)
 
+  /** The DELETE-AWARE streaming half of the change feed — what
+    * [[streamAppends]] cannot see (dv masks live outside its `data`
+    * glob, deliberately): tail the table's COMMITS by streaming the
+    * manifest dir itself as a file source — each published manifest is
+    * one immutable file (the atomic-rename commit point), so the file
+    * source's own checkpointed discovery IS the offset tracking; no
+    * bespoke offset store. One output row per discovered commit,
+    * `version: long`. Pair with [[changeFeedBatches]] in
+    * `foreachBatch` to turn each micro-batch of versions into the
+    * corresponding [[readChangeFeed]] slice (insert+delete rows,
+    * `_change_type`-tagged) — the subscription a downstream
+    * incremental consumer of a [[cdcSink]]-maintained table needs.
+    * `maxFilesPerTrigger = 1` (the default) delivers one commit per
+    * micro-batch; larger values fuse consecutive commits into one
+    * net-change slice (cheaper at scale, same net result — inserts
+    * deleted within the fused range drop out).
+    *
+    * Contract: the consumer must start at (or above) the table's
+    * vacuum floor, and an overwrite/restore inside a consumed range
+    * fails the feed computation (the same "change feed unavailable
+    * across rewrites" rule as [[readChangeFeed]]) — restart the
+    * consumer from the rewrite. Temp files and `_floor` never surface
+    * (dot/underscore names are hidden to the file source); a manifest
+    * appears only after its atomic publish, so no partial manifest is
+    * ever read.
+    */
+  def streamChangeFeed(spark: SparkSession, tableDir: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    spark.readStream
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(new Path(tableDir, "_manifests").toString)
+      .select(regexp_extract(col("_metadata.file_path"),
+        "v(\\d+)\\.manifest$", 1).cast("long").as("version"))
+  }
+
+  /** foreachBatch adapter for [[streamChangeFeed]]: resolve the
+    * micro-batch's commit versions to ONE [[readChangeFeed]] slice
+    * (fromVersion = lowest-1, exclusive; toVersion = highest) and hand
+    * it to `apply(feed, fromVersion, toVersion)`. Metadata-only
+    * ranges (CHECK add/drop, a no-op restore) produce no rows and are
+    * skipped. The initial batch of a fresh checkpoint delivers every
+    * existing manifest, so the first slice is the full snapshot as
+    * inserts (fromVersion = -1) — the standard initial-load-then-tail
+    * shape. For exactly-once downstream materialization, write the
+    * slice with [[exactlyOnceSink]]/[[cdcSink]] keyed by `toVersion`
+    * as the batch id — a replayed slice (failure between apply and
+    * checkpoint write) then no-ops on the txn watermark.
+    */
+  def changeFeedBatches(tableDir: String)
+                       (apply: (DataFrame, Long, Long) => Unit)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // bounded collect: ≤ maxFilesPerTrigger manifest names
+    val versions = batch.select("version").distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (versions.isEmpty) return
+    val (from, to) = (versions.head - 1, versions.last)
+    val fromM =
+      if (from < 0) Manifest(-1L, Seq.empty)
+      else readManifest(spark, tableDir, from)
+    val toM = readManifest(spark, tableDir, to)
+    if (toM.files.toSet == fromM.files.toSet &&
+        toM.dvs.toSet == fromM.dvs.toSet) return // metadata-only range
+    apply(readChangeFeed(spark, tableDir, from, to), from, to)
+  }
+
   /** Exactly-once streaming sink over the snapshot layer, for
     * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`.
     * Replay detection is the manifest's per-producer txn watermark,
