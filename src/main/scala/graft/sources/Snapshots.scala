@@ -1180,6 +1180,51 @@ object Snapshots {
     apply(readChangeFeed(spark, tableDir, from, to), from, to)
   }
 
+  /** Exactly-once TABLE REPLICATION over the streaming change feed —
+    * the composition the pieces exist for: tail the source with
+    * [[streamChangeFeed]], resolve each micro-batch to a net change
+    * slice ([[changeFeedBatches]]), collapse it to a one-change-per-
+    * key CDC batch, and apply it to the replica through [[cdcSink]]
+    * keyed by the slice's `toVersion` — so a replayed slice (failure
+    * between apply and checkpoint write) no-ops on the replica's txn
+    * watermark. Usage:
+    * {{{
+    *   streamChangeFeed(spark, src).writeStream
+    *     .option("checkpointLocation", ckpt)
+    *     .foreachBatch(Snapshots.replicaSink(src, dst, "id") _)
+    *     .start()
+    * }}}
+    * The collapse handles the one shape a net slice can carry that
+    * MERGE cannot: a key-unique source's update lands as delete(old
+    * row) + insert(new row) in the SAME slice (one mergeOnRead commit
+    * = mask + append atomically), which collapses to U with the
+    * inserted payload; a delete with no matching insert stays D. A
+    * net feed slice of a key-unique table carries at most one insert
+    * and one delete per key, so the one-change-per-key contract holds
+    * by construction. Cost per slice: O(changed data) — the replica
+    * is maintained without ever reading the unchanged corpus, the
+    * cross-table sync shape a 100 TB table needs. Source overwrites
+    * (compaction, purge) break the feed contract mid-stream, exactly
+    * as [[readChangeFeed]] documents: re-seed the replica from the
+    * rewrite (fresh checkpoint + fresh replica, or a clone) — the
+    * same rule every format's CDC-based replication exposes.
+    */
+  def replicaSink(sourceDir: String, targetDir: String, key: String,
+                  appId: String = "replica")
+                 (batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    changeFeedBatches(sourceDir) { (feed, _, to) =>
+      val ins = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val del = feed.filter(col("_change_type") === "delete")
+        .drop("_change_type")
+      val changes = ins.withColumn("op", lit("U"))
+        .unionByName(del.join(ins.select(col(key)), Seq(key), "left_anti")
+          .withColumn("op", lit("D")))
+      cdcSink(targetDir, key, appId)(changes, to)
+    }(batch, batchId)
+  }
+
   /** Exactly-once streaming sink over the snapshot layer, for
     * `writeStream.foreachBatch(Snapshots.exactlyOnceSink(dir))`.
     * Replay detection is the manifest's per-producer txn watermark,

@@ -119,6 +119,14 @@ class SnapshotRandomSpec extends SparkSpec {
           val got = Snapshots.readVersion(spark, dir, Some(v.toLong))
             .collect().map(r => (r.getLong(0), r.getString(1))).toSet
           assert(got === rows, s"seed=$seed version=$v")
+          // manifest row accounting is EXACT on every interleaving:
+          // visible rows == dataRows − dvRows (masks only ever target
+          // currently-visible rows, so the ledger can never drift)
+          val m = Snapshots.readManifest(spark, dir, v.toLong)
+          assert(m.dataRows >= 0 && m.dvRows >= 0,
+            s"seed=$seed version=$v accounting unknown")
+          assert(m.dataRows - m.dvRows === rows.size.toLong,
+            s"seed=$seed version=$v accounting ${m.dataRows}-${m.dvRows}")
         case (None, v) =>
           intercept[IllegalArgumentException] {
             Snapshots.readManifest(spark, dir, v.toLong)

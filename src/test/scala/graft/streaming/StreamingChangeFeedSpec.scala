@@ -66,6 +66,53 @@ class StreamingChangeFeedSpec extends SparkSpec {
     assert(streamedTail.sorted === oneCall.sorted)
   }
 
+  test("replicaSink: exactly-once replica == source across merges, deletes, restarts") {
+    val s = spark
+    import s.implicits._
+    val src = freshDir()
+    val dst = freshDir()
+    val ckpt = graft.TempDirs.create("graft-stream-replica-ckpt")
+    Snapshots.commit(frame(0 until 50, "base"), src) // v0
+    def rows(d: String) = Snapshots.readVersion(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def query() = Snapshots.streamChangeFeed(spark, src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(Snapshots.replicaSink(src, dst, "id") _)
+      .start()
+    val q1 = query()
+    try {
+      // initial load: the full snapshot bootstraps the replica
+      q1.processAllAvailable()
+      assert(rows(dst) === rows(src))
+      // a mergeOnRead UPDATE puts delete(old)+insert(new) of the SAME
+      // key in one slice — must collapse to U, not fan out; plus a
+      // pure delete, an upsert-insert, an append, and a later delete
+      Snapshots.mergeOnRead(spark, src,
+        Seq((1L, "upd", "U"), (2L, "", "D"), (100L, "new", "I"))
+          .toDF("id", "tag", "op"), "id")                       // v1
+      Snapshots.commit(frame(200 until 210, "late"), src, "append") // v2
+      Snapshots.deleteWhere(spark, src, col("id") >= 205L)      // v3
+      q1.processAllAvailable()
+      assert(rows(dst) === rows(src))
+      assert(rows(dst).contains((1L, "upd")) && !rows(dst).exists(_._1 == 2L))
+    } finally q1.stop()
+    // commits landing while the consumer is down arrive on restart
+    Snapshots.mergeOnRead(spark, src,
+      Seq((3L, "upd2", "U")).toDF("id", "tag", "op"), "id")     // v4
+    val q2 = query()
+    try {
+      q2.processAllAvailable()
+      assert(rows(dst) === rows(src))
+    } finally q2.stop()
+    // a REPLAYED slice (failure between apply and checkpoint write)
+    // no-ops on the replica's txn watermark: exactly-once
+    val before = Snapshots.latestVersion(spark, dst)
+    Snapshots.replicaSink(src, dst, "id")(Seq(4L).toDF("version"), 99L)
+    assert(Snapshots.latestVersion(spark, dst) === before)
+    assert(rows(dst) === rows(src))
+  }
+
   test("metadata-only commits are skipped; a restarted consumer resumes, no redelivery") {
     val dir = freshDir()
     val ckpt = graft.TempDirs.create("graft-stream-cdf-ckpt2")
