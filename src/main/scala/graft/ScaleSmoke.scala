@@ -44,7 +44,18 @@ object ScaleSmoke {
       // dominates (u3 commit chain + 3 reads, u5 change-feed loop,
       // u7 MERGE rewrite, u9 DV delete + purge)
       "u3_time_travel", "u5_incremental", "u7_merge_snapshot",
-      "u9_delete_vectors", "u10_change_feed", "u11_merge_on_read")
+      "u9_delete_vectors", "u10_change_feed", "u11_merge_on_read",
+      // round-8 storage additions: u12 = rollback across a purge
+      // rewrite (restore cost must stay O(manifest) as data grows —
+      // only its validation-free demo read scales), u13 = the full
+      // CDC bootstrap+merge+replay protocol (O(batch) per step)
+      "u12_restore", "u13_cdc_apply")
+
+    // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
+    // recorded protocol is always the full list
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = heavy.filter(n => only.forall(_.contains(n)))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt).getOrCreate()
@@ -89,7 +100,7 @@ object ScaleSmoke {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val rows = heavy.map { name =>
+    val rows = picked.map { name =>
       val t1 = time(name, baseDir)
       val tk = time(name, outDir)
       println(f"[scale] $name%-20s 1x ${t1}%6.1fs  ${replicas}x ${tk}%6.1fs  ratio ${tk / t1}%5.2f")
