@@ -98,6 +98,7 @@ object SparkEntry {
     "u11_merge_on_read" -> (graft.sources.Snapshots.u11MergeOnRead _),
     "u12_restore" -> (graft.sources.Snapshots.u12Restore _),
     "u13_cdc_apply" -> (graft.sources.Snapshots.u13CdcApply _),
+    "u14_schema_evolution" -> (graft.sources.Snapshots.u14SchemaEvolution _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1071,6 +1072,29 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_orderstatus <> 'F'
         |GROUP BY v.v
         |ORDER BY version""".stripMargin,
+    // u14 oracle: the whole two-step evolution replayed relationally —
+    // late rows carry o_channel (keyed mod 20, which the +3e9 rekey
+    // preserves), updated rows carry channel 'cdc' + the merge-added
+    // o_src, untouched rows read NULL for both
+    "u14_schema_evolution" ->
+      """WITH late AS (
+        |  SELECT o_orderkey + 3000000000 AS o_orderkey, o_orderstatus,
+        |    o_totalprice,
+        |    CASE WHEN o_orderkey % 20 = 3 THEN 'web' ELSE 'store' END AS ch,
+        |    CAST(NULL AS VARCHAR) AS src
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 5
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'cdc' END AS ch,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'cdc_feed' END AS src
+        |  FROM orders),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM late)
+        |SELECT COALESCE(ch, 'none') AS channel, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_src
+        |FROM allr GROUP BY 1 ORDER BY channel""".stripMargin,
     // u13 oracle: u7/u11's merged state (the split CDC apply must
     // compose to the one-shot MERGE) with n_versions = 3 pinned — the
     // replayed batch must have committed nothing

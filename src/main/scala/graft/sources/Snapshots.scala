@@ -662,7 +662,11 @@ object Snapshots {
     */
   private def warnIfPurgeOverdue(spark: SparkSession, tableDir: String,
                                  m: Manifest): Unit = {
-    if (m.dvRows > 0) {
+    // masks below graft.dv.purgeWarnMinRows (default 1024) never warn:
+    // at trivial sizes the ratio says nothing and a purge buys nothing
+    val minRows = spark.conf.getOption("graft.dv.purgeWarnMinRows")
+      .map(_.toLong).getOrElse(1024L)
+    if (m.dvRows >= minRows) {
       val ratioThresh = spark.conf.getOption("graft.dv.purgeWarnRatio")
         .map(_.toDouble).getOrElse(0.1)
       val bcast = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -1407,6 +1411,47 @@ object Snapshots {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
       .withColumn("n_versions", lit(nVersions).cast("int"))
       .orderBy("o_orderstatus")
+  }
+
+  /** Schema-evolution demo — both additive paths end-to-end: orders
+    * (3 columns) as v0; a re-keyed late batch carrying a NEW
+    * `o_channel` column appended as v1 (append-path evolution: the
+    * column is recorded nullable, v0's files read NULL for it); a CDC
+    * update batch carrying a SECOND new column `o_src` applied by
+    * [[mergeOnRead]] as v2 (merge-path evolution, round 8). The final
+    * audit groups by channel with a NULL bucket and counts `o_src`
+    * carriers, so the oracle — which replays the whole derivation
+    * relationally — verifies at once: old files read NULL for both
+    * added columns, evolved payloads land intact, and the update's
+    * mask+append touched exactly the intended rows. O(1) planning
+    * throughout: readers take the schema from the manifest, never
+    * from footer merges.
+    */
+  def u14SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-schema-evo")
+    val orders = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    commit(orders, tableDir, "overwrite")
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
+      .withColumn("o_channel", // %20 splits the %10==3 keys in two;
+        // the +3e9 rekey is ≡0 mod 20, so the split survives it
+        when(col("o_orderkey") % 20 === 3, "web").otherwise("store"))
+    commit(late, tableDir, "append") // additive column via append
+    val changes = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+      .withColumn("o_channel", lit("cdc"))
+      .withColumn("o_src", lit("cdc_feed")) // additive column via MERGE
+      .withColumn("op", lit("U"))
+    mergeOnRead(s, tableDir, changes, "o_orderkey")
+    readVersion(s, tableDir)
+      .groupBy(coalesce(col("o_channel"), lit("none")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        sum(when(col("o_src").isNotNull, 1L).otherwise(0L)).as("n_src"))
+      .orderBy("channel")
   }
 
   /** Small-file compaction: rewrite the latest version's data as
