@@ -99,6 +99,9 @@ object SparkEntry {
     "u12_restore" -> (graft.sources.Snapshots.u12Restore _),
     "u13_cdc_apply" -> (graft.sources.Snapshots.u13CdcApply _),
     "u14_schema_evolution" -> (graft.sources.Snapshots.u14SchemaEvolution _),
+    "u15_check_constraints" -> (graft.sources.Snapshots.u15CheckConstraints _),
+    "u16_exactly_once" -> (graft.sources.Snapshots.u16ExactlyOnce _),
+    "u17_compact_vacuum" -> (graft.sources.Snapshots.u17CompactVacuum _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1095,6 +1098,33 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  CAST(SUM(CASE WHEN src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_src
         |FROM allr GROUP BY 1 ORDER BY channel""".stripMargin,
+    // u15 oracle: base + the CLEAN re-keyed batch only — the refused
+    // violating append left no rows and consumed no version
+    "u15_check_constraints" ->
+      """WITH clean AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
+        |allr AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM clean)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  3 AS n_versions
+        |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u16 oracle: the three batch slices compose to the full table;
+    // n_versions = 4 pins that both replays (one straddling a
+    // compaction) committed nothing
+    "u16_exactly_once" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  4 AS n_versions
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u17 oracle: rewrite + expiry lose nothing (full table survives);
+    // one live version, floor 3
+    "u17_compact_vacuum" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS n_live_versions, 3 AS floor
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u13 oracle: u7/u11's merged state (the split CDC apply must
     // compose to the one-shot MERGE) with n_versions = 3 pinned — the
     // replayed batch must have committed nothing

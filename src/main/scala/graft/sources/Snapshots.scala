@@ -1454,6 +1454,102 @@ object Snapshots {
       .orderBy("channel")
   }
 
+  /** CHECK-enforcement demo, driver-visible: orders as v0, the
+    * `price_pos` constraint registered (validates existing data; v1,
+    * metadata-only), a VIOLATING append attempted — refused before any
+    * write — then a clean re-keyed append (v2). The audit is the final
+    * per-status state plus `n_versions` = 3: the refused commit
+    * consumed no version and left no rows, which is exactly what the
+    * oracle (base + clean batch only, 3 AS n_versions) asserts.
+    */
+  def u15CheckConstraints(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-check-demo")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    addCheckConstraint(s, tableDir, "price_pos", "o_totalprice > 0")
+    val dirty = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L))
+      .withColumn("o_totalprice", lit(-1.0))
+    try {
+      commit(dirty, tableDir, "append")
+      throw new IllegalStateException("violating append was not refused")
+    } catch { case _: IllegalArgumentException => () } // refused: correct
+    val clean = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L))
+    commit(clean, tableDir, "append")
+    val nVersions = latestVersion(s, tableDir).get + 1
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exactly-once append-sink demo, driver-visible — the protocol
+    * [[exactlyOnceSink]] runs under a streaming checkpoint, driven as
+    * plain calls: batches 0 and 1 land, batch 0 is REPLAYED (no-op on
+    * the watermark), table maintenance takes a version ([[compact]] —
+    * the case that broke the old version==batchId design), batch 1 is
+    * replayed AGAIN (the watermark must survive the overwrite), then
+    * batch 2 lands. Audit = final per-status state plus `n_versions`
+    * = 4 (three appends + one compaction; the two replays committed
+    * nothing) — the oracle replays the three batches as the full
+    * table.
+    */
+  def u16ExactlyOnce(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-eos-demo")
+    val orders = graft.Tables.orders(s, d)
+    val sink = exactlyOnceSink(tableDir, "app") _
+    def slice(k: Int) = orders.filter(col("o_orderkey") % 3 === k)
+    sink(slice(0), 0L)
+    sink(slice(1), 1L)
+    sink(slice(0), 0L) // replay: watermark no-op
+    compact(s, tableDir, numFiles = 4)
+    sink(slice(1), 1L) // replay AFTER maintenance: still a no-op
+    sink(slice(2), 2L)
+    val nVersions = latestVersion(s, tableDir).get + 1
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Compaction + retention demo, driver-visible: three append commits
+    * (v0–v2), compacted into 4 files (v3), then [[vacuum]] expires
+    * everything below the compaction. The audit pins the surviving
+    * state (== the full table — a rewrite + expiry must lose nothing),
+    * `n_live_versions` = 1 (only the compacted snapshot remains) and
+    * `floor` = 3 (expired versions can never be re-committed).
+    */
+  def u17CompactVacuum(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-compact-demo")
+    val orders = graft.Tables.orders(s, d)
+    (0 to 2).foreach { k =>
+      commit(orders.filter(col("o_orderkey") % 3 === k), tableDir,
+        if (k == 0) "overwrite" else "append")
+    }
+    compact(s, tableDir, numFiles = 4)
+    vacuum(s, tableDir, keepFromVersion = 3L, orphanRetainMs = 0L)
+    val nLive = history(s, tableDir).count()
+    val floor = vacuumFloor(s, tableDir)
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_live_versions", lit(nLive).cast("int"))
+      .withColumn("floor", lit(floor).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Small-file compaction: rewrite the latest version's data as
     * `numFiles` files in a new version (same rows — `coalesce`, no
     * shuffle), leaving every prior version readable. The lakehouse
