@@ -102,6 +102,8 @@ object SparkEntry {
     "u15_check_constraints" -> (graft.sources.Snapshots.u15CheckConstraints _),
     "u16_exactly_once" -> (graft.sources.Snapshots.u16ExactlyOnce _),
     "u17_compact_vacuum" -> (graft.sources.Snapshots.u17CompactVacuum _),
+    "u18_concurrent_writers" -> (graft.sources.Snapshots.u18ConcurrentWriters _),
+    "u19_incremental_deletes" -> (graft.sources.Snapshots.u19IncrementalDeletes _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1125,6 +1127,36 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  1 AS n_live_versions, 3 AS floor
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u18 oracle: base + winner + retried loser — the lost update
+    // lands exactly once on retry; the losing attempt consumed nothing
+    "u18_concurrent_writers" ->
+      """WITH w AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 = 0),
+        |l AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 11 = 0),
+        |allr AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM w
+        |  UNION ALL SELECT * FROM l)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  3 AS n_versions
+        |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u19 oracle: the direct aggregate of the FINAL state — signed
+    // incremental partials over the change feed (inserts +, deletes −)
+    // must merge to exactly the recompute, with fully-deleted groups
+    // netting out of the view
+    "u19_incremental_deletes" ->
+      """WITH late AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3),
+        |v2 AS (
+        |  SELECT * FROM (
+        |    SELECT o_orderstatus, o_totalprice FROM orders
+        |    UNION ALL SELECT * FROM late)
+        |  WHERE o_orderstatus <> 'F')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM v2 GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u13 oracle: u7/u11's merged state (the split CDC apply must
     // compose to the one-shot MERGE) with n_versions = 3 pinned — the
     // replayed batch must have committed nothing

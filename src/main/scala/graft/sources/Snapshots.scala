@@ -1550,6 +1550,79 @@ object Snapshots {
       .orderBy("o_orderstatus")
   }
 
+  /** Optimistic-concurrency demo, driver-visible: two writers both
+    * read latest = v0 and race to commit v1 — the second (stale
+    * `expectedVersion`) loses the CAS, throws, and cleans its orphaned
+    * data dir; a third writer retries from the NEW latest and lands as
+    * v2. Audit = the final state (base + winner + retried loser — the
+    * lost update is NOT silently dropped, it lands on retry exactly
+    * once) plus `n_versions` = 3: the losing attempt consumed nothing.
+    */
+  def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-cas-demo")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    val winner = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(5000000000L))
+    val loser = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(6000000000L))
+    commit(winner, tableDir, "append", expectedVersion = Some(1L))
+    try {
+      commit(loser, tableDir, "append", expectedVersion = Some(1L)) // stale CAS
+      throw new IllegalStateException("stale-version commit was not refused")
+    } catch { case _: java.util.ConcurrentModificationException => () }
+    commitRetry(loser, tableDir, "append") // the writer loop: retry from new latest
+    val nVersions = latestVersion(s, tableDir).get + 1
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Delete-aware incremental view maintenance — [[u5Incremental]]'s
+    * missing half: u5 maintains an aggregate from append-only change
+    * feeds; real tables also DELETE. Here the per-status fact is
+    * maintained from [[readChangeFeed]] slices with SIGNED partials —
+    * insert rows contribute (+1, +price), delete rows (−1, −price) —
+    * over a history of: initial load (v0), late append (v1), a DV
+    * delete of the 'F' rows (v2). The partials merge by plain
+    * re-aggregation (count and sum are distributive in both
+    * directions), and the result must equal the direct aggregate of
+    * the final state — which is exactly what the oracle replays. At
+    * 100 TB each maintenance step costs O(that slice's changed data);
+    * the view never rescans the table, even for deletes.
+    */
+  def u19IncrementalDeletes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-incr-del")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    commit(late, tableDir, "append")
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    val partials = (0L to 2L).map { v =>
+      val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+      readChangeFeed(s, tableDir, v - 1, v)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(sign).as("n"),
+          sum(sign * col("o_totalprice").cast("decimal(18,2)")).as("t"))
+    }
+    partials.reduce(_ unionByName _)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("t")).cast("double").as("total"))
+      // a status fully deleted nets to zero rows; the view drops it —
+      // exactly what the direct aggregate of the final state shows
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderstatus")
+  }
+
   /** Small-file compaction: rewrite the latest version's data as
     * `numFiles` files in a new version (same rows — `coalesce`, no
     * shuffle), leaving every prior version readable. The lakehouse
