@@ -104,6 +104,7 @@ object SparkEntry {
     "u17_compact_vacuum" -> (graft.sources.Snapshots.u17CompactVacuum _),
     "u18_concurrent_writers" -> (graft.sources.Snapshots.u18ConcurrentWriters _),
     "u19_incremental_deletes" -> (graft.sources.Snapshots.u19IncrementalDeletes _),
+    "u20_update_where" -> (graft.sources.Snapshots.u20UpdateWhere _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1126,6 +1127,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  1 AS n_live_versions, 3 AS floor
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u20 oracle: the UPDATE replayed relationally — masked-and-
+    // reappended rows carry exactly the SET result, nothing else moved
+    "u20_update_where" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice + 100 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  2 AS n_versions
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing

@@ -978,6 +978,63 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir) === before)
   }
 
+  test("updateWhere: mask + re-append in one commit, CHECK-gated, type-stable") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val base = (1L to 100L).map(i => (i, s"p$i", i * 10.0))
+      .toDF("id", "payload", "price")
+    Snapshots.commit(base, dir)
+    val v0Files = Snapshots.readManifest(spark, dir, 0L).files
+    // UPDATE price = price + 1 WHERE id % 10 == 0
+    assert(Snapshots.updateWhere(spark, dir, col("id") % 10 === 0L,
+      Map("price" -> (col("price") + lit(1.0)))) === 1L)
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.files.startsWith(v0Files), "update rewrote target files")
+    assert(m1.dvs.nonEmpty)
+    assert(m1.dataRows === 110L && m1.dvRows === 10L) // 10 masked + 10 reappended
+    val got = Snapshots.readVersion(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size === 100)
+    assert(got(10L) === 101.0 && got(20L) === 201.0 && got(11L) === 110.0)
+    // no match: no version consumed
+    assert(Snapshots.updateWhere(spark, dir, col("id") > 1000L,
+      Map("price" -> lit(0.0))) === 1L)
+    // CHECK constraints gate the updated rows; refusal leaves v1 live
+    Snapshots.addCheckConstraint(spark, dir, "pos_price", "price > 0")
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, dir, col("id") === 1L,
+        Map("price" -> lit(-5.0)))
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(2L)) // only the CHECK add
+    // a SET that changes the column's type is a rewrite: refused
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, dir, col("id") === 1L,
+        Map("price" -> lit("not a number")))
+    }
+    // an unknown SET column is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, dir, col("id") === 1L,
+        Map("nope" -> lit(1.0)))
+    }
+  }
+
+  test("versionAsOf: wall-clock time travel off manifest publish instants") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "v0"), dir)
+    Thread.sleep(30)
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(30)
+    Snapshots.commit(frame(10 until 15, "v1"), dir, "append")
+    assert(Snapshots.versionAsOf(spark, dir, afterV0) === 0L)
+    assert(Snapshots.versionAsOf(spark, dir, System.currentTimeMillis()) === 1L)
+    assert(Snapshots.readVersionAsOf(spark, dir, afterV0).count() === 10L)
+    // before the table existed: refused
+    intercept[IllegalArgumentException] {
+      Snapshots.versionAsOf(spark, dir, afterV0 - 3600000L)
+    }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
