@@ -49,7 +49,11 @@ object ScaleSmoke {
       // rewrite (restore cost must stay O(manifest) as data grows —
       // only its validation-free demo read scales), u13 = the full
       // CDC bootstrap+merge+replay protocol (O(batch) per step)
-      "u12_restore", "u13_cdc_apply")
+      "u12_restore", "u13_cdc_apply",
+      // u19 = delete-aware incremental view (signed partials over the
+      // feed, O(slice) per step), u20 = UPDATE as mask+re-append
+      // (O(matched) — at 10x the matched set is 10x, never the table)
+      "u19_incremental_deletes", "u20_update_where")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -56,6 +56,17 @@ class SnapshotRandomSpec extends SparkSpec {
           case 10 => // purge: physical rewrite of the masked snapshot
             Snapshots.purgeDeletes(spark, dir)
             model :+= Some(model.last.get)
+          case 11 if rnd.nextBoolean() => // UPDATE via mask+re-append:
+            // retag a random residue class (no-match must not commit)
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            val utag = s"w${rnd.nextInt(1000)}"
+            val cur = model.last.get
+            val hit = cur.exists(_._1 % m == r)
+            Snapshots.updateWhere(spark, dir, col("id") % m === r.toLong,
+              Map("tag" -> org.apache.spark.sql.functions.lit(utag)))
+            if (hit) model :+= Some(cur.map { case (id, t) =>
+              (id, if (id % m == r) utag else t) })
           case 11 => // merge-on-read: random CDC batch (D/U/I mix)
             val cur = model.last.get
             val ids = cur.map(_._1).toSeq.sorted
