@@ -105,6 +105,7 @@ object SparkEntry {
     "u18_concurrent_writers" -> (graft.sources.Snapshots.u18ConcurrentWriters _),
     "u19_incremental_deletes" -> (graft.sources.Snapshots.u19IncrementalDeletes _),
     "u20_update_where" -> (graft.sources.Snapshots.u20UpdateWhere _),
+    "u21_bucketed_lookup" -> (graft.sources.Snapshots.u21BucketedLookup _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1137,6 +1138,23 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  2 AS n_versions
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u21 oracle: three point-lookup states replayed relationally —
+    // bucket-pruned reads must be result-invisible across the DV
+    // delete (key 5 gone from leg 1) and the merge-on-read UPDATE
+    // (key 7 carries +100 in leg 2)
+    "u21_bucketed_lookup" ->
+      """WITH k AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey IN (2, 5, 7, 11, 13))
+        |SELECT CAST(0 AS INT) AS leg, o_orderkey, o_custkey, total FROM k
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderkey, o_custkey, total FROM k
+        |WHERE o_orderkey <> 5
+        |UNION ALL
+        |SELECT CAST(2 AS INT), o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey = 7 THEN total + 100 ELSE total END FROM k
+        |WHERE o_orderkey <> 5
+        |ORDER BY 1, 2""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing
     "u18_concurrent_writers" ->

@@ -94,6 +94,17 @@ object Snapshots {
     * operational signal that a mask outgrew merge-on-read was a
     * shuffle quietly appearing in read plans.
     */
+  /** `bucketSpec`/`buckets` are the HASH-CLUSTERED layout (the table
+    * formats' bucketing): `bucketSpec = (key, n)` declares the table
+    * clustered by `pmod(xxhash64(key), n)` and `buckets` maps each
+    * data file to the single bucket id it holds. Min/max footer stats
+    * cannot prune a hash-distributed key (every file spans the full
+    * range) — bucket pruning is what makes point lookups and CDC
+    * merges on such keys O(wanted buckets) instead of O(table). Files
+    * WITHOUT a bucket entry (plain appends, merge payloads) are
+    * always scanned — the mapping is a scan reducer, never a filter;
+    * [[compactBucketed]] re-clusters them in.
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -101,10 +112,46 @@ object Snapshots {
                             dvs: Seq[String] = Seq.empty,
                             checks: Map[String, String] = Map.empty,
                             dataRows: Long = -1L,
-                            dvRows: Long = -1L)
+                            dvRows: Long = -1L,
+                            bucketSpec: Option[(String, Int)] = None,
+                            buckets: Map[String, Int] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Internal partition column carrying the bucket id during a
+    * bucketed write; stripped from the files by `partitionBy` and
+    * never part of the table schema.
+    */
+  private val BucketCol = "__graft_bucket"
+
+  /** Flatten the `__graft_bucket=<b>` dirs a bucketed write produced
+    * into plain files in `dataDir` (bucket id in the file NAME — the
+    * same task writes the same part-stem into every bucket dir it
+    * holds, so the prefix also disambiguates) and return the
+    * file→bucket mapping. Driver-side metadata ops, O(buckets).
+    */
+  private def flattenBucketDirs(f: FileSystem, dataDir: Path,
+                                dataRel: String): Map[String, Int] = {
+    val out = scala.collection.mutable.Map.empty[String, Int]
+    f.listStatus(dataDir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(s"$BucketCol=")) {
+        val b = name.stripPrefix(s"$BucketCol=").toInt
+        f.listStatus(st.getPath).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { fileSt =>
+            val flat = f"b$b%05d-${fileSt.getPath.getName}"
+            if (!f.rename(fileSt.getPath, new Path(dataDir, flat)))
+              throw new java.io.IOException(
+                s"could not flatten bucket file ${fileSt.getPath} -> $flat")
+            out(s"$dataRel/$flat") = b
+          }
+        f.delete(st.getPath, true) // now-empty bucket dir
+      }
+    }
+    out.toMap
+  }
 
   private def manifestPath(tableDir: String, v: Long): Path =
     new Path(tableDir, f"_manifests/v$v%06d.manifest")
@@ -167,8 +214,19 @@ object Snapshots {
   def commit(df: DataFrame, tableDir: String, mode: String = "overwrite",
              expectedVersion: Option[Long] = None,
              statsColumns: Seq[String] = Nil,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             bucketBy: Option[(String, Int)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    bucketBy.foreach { case (k, n) =>
+      require(df.columns.contains(k), s"bucket key '$k' is not a column")
+      require(n >= 1 && n <= 65536, s"numBuckets must be in [1, 65536]: $n")
+      import org.apache.spark.sql.types._
+      val t = df.schema(k).dataType
+      require(t == ByteType || t == ShortType || t == IntegerType ||
+          t == LongType || t == StringType,
+        s"bucket key '$k' must be integral or string, not $t " +
+          "(lookup-side literals must hash identically to the stored column)")
+    }
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     val version = expectedVersion.getOrElse(
@@ -220,8 +278,27 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
-      batch.write.parquet(dataDir.toString)
+      bucketBy match {
+        case None => batch.write.parquet(dataDir.toString)
+        case Some((k, n)) =>
+          // hash-clustered write: ONE job — repartition on the bucket id
+          // (each bucket value lands in exactly one task) + partitionBy
+          // (each task writes its buckets to their own dirs), so each
+          // bucket yields exactly one file. The dirs are flattened into
+          // plain files right after (bucket id in the NAME, mapping in
+          // the manifest): readers get a flat file list — no hive-style
+          // partition discovery to fight on explicit-file reads.
+          import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+          batch
+            .withColumn(BucketCol,
+              pmod(xxhash64(col(k)), lit(n.toLong)).cast("int"))
+            .repartition(n, col(BucketCol))
+            .write.partitionBy(BucketCol).parquet(dataDir.toString)
+      }
     } finally if (pinned) batch.unpersist(false)
+    val newBuckets: Map[String, Int] =
+      if (bucketBy.isEmpty) Map.empty
+      else flattenBucketDirs(f, dataDir, dataRel)
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
@@ -267,11 +344,23 @@ object Snapshots {
       case Some(p) => if (p.dvs.isEmpty) 0L else p.dvRows
       case None => 0L
     }
+    // bucket layout: an append carries the table's mapping forward
+    // (its own files join it only when bucketed with the SAME spec —
+    // a conflicting spec is refused, it would poison every lookup);
+    // an overwrite defines the layout fresh (or drops it when plain)
+    for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
+      require(ps == bs,
+        s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
+    val bucketSpec =
+      if (mode == "append") prev.flatMap(_.bucketSpec).orElse(bucketBy) else bucketBy
+    val buckets =
+      (if (mode == "append") prev.map(_.buckets).getOrElse(Map.empty[String, Int])
+       else Map.empty[String, Int]) ++ newBuckets
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
-        dataRows, dvRows))) {
+        dataRows, dvRows, bucketSpec, buckets))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -346,6 +435,8 @@ object Snapshots {
       m.checks.toSeq.sorted.foreach { case (n, e) => w.write(s"check=$n\t$e\n") }
       if (m.dataRows >= 0) w.write(s"rows=${m.dataRows}\n")
       if (m.dvRows >= 0) w.write(s"dvrows=${m.dvRows}\n")
+      m.bucketSpec.foreach { case (k, n) => w.write(s"bucketspec=$k\t$n\n") }
+      m.buckets.toSeq.sorted.foreach { case (rel, b) => w.write(s"bucket=$rel\t$b\n") }
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) f.delete(tmp, false)
@@ -583,6 +674,8 @@ object Snapshots {
       var schema: Option[org.apache.spark.sql.types.StructType] = None
       var dataRows = -1L
       var dvRows = -1L
+      var bucketSpec: Option[(String, Int)] = None
+      val buckets = scala.collection.mutable.Map.empty[String, Int]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -610,10 +703,21 @@ object Snapshots {
         }
         else if (line.startsWith("rows=")) dataRows = line.stripPrefix("rows=").toLong
         else if (line.startsWith("dvrows=")) dvRows = line.stripPrefix("dvrows=").toLong
+        else if (line.startsWith("bucketspec=")) {
+          line.stripPrefix("bucketspec=").split('\t') match {
+            case Array(k, n) => bucketSpec = Some((k, n.toInt))
+            case _ => // ignore malformed (forward compat)
+          }
+        } else if (line.startsWith("bucket=")) {
+          line.stripPrefix("bucket=").split('\t') match {
+            case Array(rel, b) => buckets(rel) = b.toInt
+            case _ => // ignore malformed (forward compat)
+          }
+        }
         line = r.readLine()
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
-        dvs.toSeq, checks.toMap, dataRows, dvRows)
+        dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap)
     } finally r.close()
   }
 
@@ -876,13 +980,30 @@ object Snapshots {
     // reducer, never a semantic change.
     val keys = batch.select(col(key)).distinct()
     val hasKeyStats = m.stats.keys.exists(_._2 == key)
-    val maskFiles =
+    val statsPruned =
       if (!hasKeyStats) m.files
       else {
         val b = batch.agg(org.apache.spark.sql.functions.min(col(key)),
           org.apache.spark.sql.functions.max(col(key))).head()
         if (b.isNullAt(0)) Seq.empty else pruneFiles(m, key, b.get(0), b.get(1))
       }
+    // bucket pruning composes with the stat range: when the table is
+    // hash-clustered ON THE MERGE KEY, the provenance scan drops every
+    // bucketed file holding none of the batch's buckets (one distinct
+    // agg on the batch buys it, bounded by numBuckets). Min/max stats
+    // cannot narrow a hash-distributed key; this can — at 100 TB a
+    // 1000-key CDC batch against 4096 buckets masks against ≤1000
+    // bucket files, not the table. Unbucketed files always stay.
+    val maskFiles = m.bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        val wanted = keys
+          .select(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(col(key)),
+            org.apache.spark.sql.functions.lit(n.toLong)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        statsPruned.filter(rel => m.buckets.get(rel).forall(wanted.contains))
+      case _ => statsPruned
+    }
     val dvRel = f"dv/v$version%06d-$tag"
     val dvDir = new Path(tableDir, dvRel)
     val nMasked = {
@@ -929,7 +1050,8 @@ object Snapshots {
     if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
         m.stats ++ newStats, schema, txns, m.dvs ++ dvs, m.checks,
         addRowCounts(m.dataRows, nAppended),
-        addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked)))) {
+        addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
+        m.bucketSpec, m.buckets))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
@@ -1001,7 +1123,8 @@ object Snapshots {
       if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
           m.stats, schema, m.txns, m.dvs ++ dvs, m.checks,
           addRowCounts(m.dataRows, n),
-          addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n)))) {
+          addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
+          m.bucketSpec, m.buckets))) {
         f.delete(dvDir, true)
         f.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
@@ -1098,6 +1221,78 @@ object Snapshots {
     require(keep.nonEmpty || m.files.isEmpty,
       s"every file pruned — read the unpruned version for schema-only results")
     readFiles(spark, tableDir, m, keep)
+  }
+
+  /** The bucket ids `literals` hash to under the table's bucket spec.
+    * Evaluated through Spark's OWN `xxhash64` on the literal CAST to
+    * the stored column type — the write side hashed the native column,
+    * and xxhash64 is type-sensitive, so an `Int` literal probed
+    * against a `bigint` key must hash as bigint. One local job over
+    * `literals.size` rows, collect bounded by the same.
+    */
+  private def bucketIdsOf(spark: SparkSession, literals: Seq[Any],
+                          keyType: org.apache.spark.sql.types.DataType,
+                          n: Int): Set[Int] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    literals.map(_.toString).toDF("k")
+      .select(pmod(xxhash64(col("k").cast(keyType)), lit(n.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  /** Point lookup: the rows of `version` whose `key` is in `keys`,
+    * scanning only the bucket files those keys can live in (plus any
+    * unbucketed files — appends and merge payloads not yet
+    * re-clustered by [[compactBucketed]]). THE read path bucketing
+    * exists for: min/max stats cannot prune a hash-distributed key
+    * (every file spans the range), so without this a 100 TB point
+    * lookup scans the table; with it, ≤ `keys.size` bucket files plus
+    * the unclustered tail. Deletion vectors apply as on any read; the
+    * row-level `isin` filter still runs (bucket pruning is a scan
+    * reducer — a bucket holds every key hashing to it). Works on
+    * unbucketed tables too (no pruning, same answer).
+    */
+  def readVersionKeys(spark: SparkSession, tableDir: String,
+                      key: String, keys: Seq[Any],
+                      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "readVersionKeys needs at least one key")
+    val v = version.orElse(latestVersion(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val m = readManifest(spark, tableDir, v)
+    val pruned = m.bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        val keyType = m.schema.map(_(key).dataType).getOrElse(
+          org.apache.spark.sql.types.StringType)
+        val wanted = bucketIdsOf(spark, keys, keyType, n)
+        m.files.filter(rel => m.buckets.get(rel).forall(wanted.contains))
+      case _ => m.files
+    }
+    // stat pruning composes when the key carries footer stats: keep a
+    // file only if SOME wanted key overlaps its [min,max]
+    val keep = pruned.filter(rel =>
+      m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
+    // every file pruned ⇒ the keys cannot exist; one file is kept for
+    // the schema and the row filter (exact either way) returns empty
+    val keepNE = if (keep.nonEmpty) keep else m.files.take(1)
+    readFiles(spark, tableDir, m, keepNE).filter(col(key).isin(keys: _*))
+  }
+
+  /** Re-cluster the latest version into the bucket layout (the
+    * bucketed OPTIMIZE): one overwrite rewrite after which EVERY file
+    * carries a bucket id again — the maintenance step that folds the
+    * unbucketed tail (plain appends, merge payloads, masks) back into
+    * prunable form. CAS-pinned to the version it read, like
+    * [[compact]].
+    */
+  def compactBucketed(spark: SparkSession, tableDir: String,
+                      key: String, numBuckets: Int,
+                      statsColumns: Seq[String] = Nil): Long = {
+    val base = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    commit(readVersion(spark, tableDir, Some(base)), tableDir, "overwrite",
+      expectedVersion = Some(base + 1), statsColumns = statsColumns,
+      bucketBy = Some((key, numBuckets)))
   }
 
   /** The files version `toVersion` has that `fromVersion` does not —
@@ -1681,6 +1876,42 @@ object Snapshots {
     * lost update is NOT silently dropped, it lands on retry exactly
     * once) plus `n_versions` = 3: the losing attempt consumed nothing.
     */
+  /** Hash-bucketed layout demo — the point-lookup loop min/max stats
+    * cannot serve: orders committed hash-clustered on `o_orderkey`
+    * (16 buckets, one file per bucket, mapping in the manifest), then
+    * three lookups of the same key set read back through
+    * [[readVersionKeys]] — leg 0 against the clustered table, leg 1
+    * after a deletion-vector DELETE of one key (the mask must apply
+    * through the pruned scan), leg 2 after a [[mergeOnRead]] UPDATE of
+    * another key, whose mask scan itself bucket-prunes (merge key ==
+    * bucket key). The oracle replays all three states relationally
+    * from the raw table, so the compare proves bucket-pruned reads are
+    * result-invisible across the whole DV/merge lifecycle; the
+    * accompanying spec pins the SCAN side (≤ keys.size bucket files
+    * touched, not the table). At 100 TB this is the difference
+    * between a point lookup scanning ~5 files and scanning the table.
+    */
+  def u21BucketedLookup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-bucketed")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite", bucketBy = Some(("o_orderkey", 16)))
+    val keys: Seq[Any] = Seq(2L, 5L, 7L, 11L, 13L)
+    def leg(n: Int) = readVersionKeys(s, tableDir, "o_orderkey", keys)
+      .select(lit(n).cast("int").as("leg"), col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast("double").as("total"))
+    val l0 = leg(0)
+    deleteWhere(s, tableDir, col("o_orderkey") === 5L)
+    val l1 = leg(1)
+    mergeOnRead(s, tableDir,
+      readVersionKeys(s, tableDir, "o_orderkey", Seq(7L))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+        .withColumn("op", lit("U")),
+      "o_orderkey")
+    val l2 = leg(2)
+    l0.unionByName(l1).unionByName(l2).orderBy("leg", "o_orderkey")
+  }
+
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tableDir = graft.TempDirs.create("graft-cas-demo")
@@ -1969,7 +2200,8 @@ object Snapshots {
     val dvs = m.dvs.map(absolutize)
     if (!publishManifest(f, targetDir,
         Manifest(0L, files, stats, m.schema, Map.empty, dvs, m.checks,
-          m.dataRows, m.dvRows)))
+          m.dataRows, m.dvRows, m.bucketSpec,
+          m.buckets.map { case (p, b) => absolutize(p) -> b })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed layout: the manifest-recorded file→bucket mapping,
+  * bucket-pruned point lookups ([[Snapshots.readVersionKeys]]), the
+  * unbucketed-tail contract (appends always scanned until
+  * [[Snapshots.compactBucketed]] re-clusters), and the DV/merge
+  * interplay. The SCAN-side assertions here are what the u21 oracle
+  * cannot see: `DataFrame.inputFiles` counts the parquet files the
+  * plan actually reads.
+  */
+class BucketedLayoutSpec extends SparkSpec {
+
+  private def freshDir(): String = graft.TempDirs.create("graft-bucket-spec")
+
+  private def frame(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"row-$i")).toDF("id", "tag")
+  }
+
+  test("bucketed commit: one file per bucket, mapping in the manifest, flat layout") {
+    val dir = freshDir()
+    Snapshots.commit(frame(1000), dir, "overwrite", bucketBy = Some(("id", 8)))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.bucketSpec === Some(("id", 8)))
+    // every file carries a bucket id; ≤ one file per bucket
+    assert(m.files.toSet === m.buckets.keySet)
+    assert(m.buckets.values.toSet.subsetOf((0 until 8).toSet))
+    assert(m.files.size === m.buckets.values.toSet.size)
+    // layout is FLAT (no hive-style bucket dirs survive the flatten)
+    assert(m.files.forall(!_.contains("=")))
+    // the full table reads back exactly
+    assert(Snapshots.readVersion(spark, dir).count() === 1000L)
+  }
+
+  test("readVersionKeys scans only the wanted buckets, not the table") {
+    val dir = freshDir()
+    Snapshots.commit(frame(1000), dir, "overwrite", bucketBy = Some(("id", 16)))
+    val total = Snapshots.readManifest(spark, dir, 0L).files.size
+    val keys: Seq[Any] = Seq(3L, 500L, 997L)
+    val lookup = Snapshots.readVersionKeys(spark, dir, "id", keys)
+    // ≤ one file per wanted key (collisions can only shrink it)
+    assert(lookup.inputFiles.length <= keys.size)
+    assert(lookup.inputFiles.length < total)
+    assert(lookup.select("id").collect().map(_.getLong(0)).sorted
+      === Array(3L, 500L, 997L))
+    // Int literals against the BIGINT column hash through the cast to
+    // the stored type — the type-sensitivity trap xxhash64 sets
+    val intKeys: Seq[Any] = Seq(3, 500)
+    assert(Snapshots.readVersionKeys(spark, dir, "id", intKeys).count() === 2L)
+    // a key that cannot exist: pruning must still answer (empty), not throw
+    assert(Snapshots.readVersionKeys(spark, dir, "id", Seq(123456789L)).count() === 0L)
+  }
+
+  test("plain appends join the unbucketed tail; compactBucketed folds them back in") {
+    val dir = freshDir()
+    Snapshots.commit(frame(800), dir, "overwrite", bucketBy = Some(("id", 8)))
+    val s = spark
+    import s.implicits._
+    val tail = Seq((9001L, "late"), (9002L, "late"))
+      .toDF("id", "tag").coalesce(1)
+    Snapshots.commit(tail, dir, "append")
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.bucketSpec === Some(("id", 8))) // spec carried
+    assert(m1.files.size === m1.buckets.size + 1) // tail file unbucketed
+    // the tail is ALWAYS scanned (correctness over pruning): a lookup
+    // of one clustered key still finds a tail key when asked
+    val both = Snapshots.readVersionKeys(spark, dir, "id", Seq(5L, 9001L))
+    assert(both.select("id").collect().map(_.getLong(0)).sorted === Array(5L, 9001L))
+    assert(both.inputFiles.length <= 2 + 1) // ≤ wanted buckets + the tail
+    // re-cluster: everything bucketed again, lookups tighten back
+    Snapshots.compactBucketed(spark, dir, "id", 8)
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.files.toSet === m2.buckets.keySet)
+    val after = Snapshots.readVersionKeys(spark, dir, "id", Seq(5L, 9001L))
+    assert(after.count() === 2L)
+    assert(after.inputFiles.length <= 2)
+  }
+
+  test("conflicting bucketed append is refused; matching spec is accepted") {
+    val dir = freshDir()
+    Snapshots.commit(frame(100), dir, "overwrite", bucketBy = Some(("id", 8)))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(frame(10), dir, "append", bucketBy = Some(("id", 4)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(frame(10), dir, "append", bucketBy = Some(("tag", 8)))
+    }
+    val s = spark
+    import s.implicits._
+    val more = (2000 until 2100).map(i => (i.toLong, "b")).toDF("id", "tag")
+    Snapshots.commit(more, dir, "append", bucketBy = Some(("id", 8)))
+    val m = Snapshots.readManifest(spark, dir, 1L)
+    // both commits' files are bucketed now
+    assert(m.files.toSet === m.buckets.keySet)
+    assert(Snapshots.readVersionKeys(spark, dir, "id", Seq(2050L)).count() === 1L)
+  }
+
+  test("merge-on-read against the bucket key: mask scan prunes, reads stay exact") {
+    val dir = freshDir()
+    Snapshots.commit(frame(1000), dir, "overwrite", bucketBy = Some(("id", 16)))
+    val s = spark
+    import s.implicits._
+    val changes = Seq((7L, "updated", "U"), (13L, "", "D"), (5000L, "new", "I"))
+      .toDF("id", "tag", "op")
+    Snapshots.mergeOnRead(spark, dir, changes, "id")
+    val m = Snapshots.readManifest(spark, dir, 1L)
+    assert(m.bucketSpec === Some(("id", 16))) // layout survives the merge
+    val got = Snapshots.readVersionKeys(spark, dir, "id", Seq(7L, 13L, 5000L))
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(7L -> "updated", 5000L -> "new")) // 13 deleted
+    // untouched keys unharmed
+    assert(Snapshots.readVersionKeys(spark, dir, "id", Seq(3L)).count() === 1L)
+  }
+
+  test("bucketed layout survives clone, restore, and string keys") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    val byName = (0 until 500).map(i => (s"user-$i", i)).toDF("name", "score")
+    Snapshots.commit(byName, dir, "overwrite", bucketBy = Some(("name", 8)))
+    val one = Snapshots.readVersionKeys(spark, dir, "name", Seq("user-42"))
+    assert(one.inputFiles.length <= 1)
+    assert(one.select("score").head.getInt(0) === 42)
+    // clone: mapping rides the absolutized refs
+    val cloneDir = freshDir()
+    Snapshots.cloneShallow(spark, dir, cloneDir)
+    val cm = Snapshots.readManifest(spark, cloneDir, 0L)
+    assert(cm.bucketSpec === Some(("name", 8)))
+    assert(cm.files.toSet === cm.buckets.keySet)
+    assert(Snapshots.readVersionKeys(spark, cloneDir, "name", Seq("user-7"))
+      .inputFiles.length <= 1)
+    // restore: an overwrite drops the layout, restore brings it back
+    Snapshots.commit(byName.limit(10), dir, "overwrite")
+    assert(Snapshots.readManifest(spark, dir, 1L).bucketSpec.isEmpty)
+    Snapshots.restore(spark, dir, 0L)
+    assert(Snapshots.readManifest(spark, dir, 2L).bucketSpec === Some(("name", 8)))
+  }
+}
