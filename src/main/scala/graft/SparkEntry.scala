@@ -106,6 +106,7 @@ object SparkEntry {
     "u19_incremental_deletes" -> (graft.sources.Snapshots.u19IncrementalDeletes _),
     "u20_update_where" -> (graft.sources.Snapshots.u20UpdateWhere _),
     "u21_bucketed_lookup" -> (graft.sources.Snapshots.u21BucketedLookup _),
+    "u22_multi_table_txn" -> (graft.sources.Snapshots.u22MultiTableTxn _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1154,6 +1155,28 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT CAST(2 AS INT), o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey = 7 THEN total + 100 ELSE total END FROM k
         |WHERE o_orderkey <> 5
+        |ORDER BY 1, 2""".stripMargin,
+    // u22 oracle: the three transactional states replayed relationally
+    // — leg 0 must NOT contain the crashed txn's rows (atomicity), and
+    // legs 1 and 2 must be identical rollups computed from the fact
+    // table and stored in the rollup table (consistency)
+    "u22_multi_table_txn" ->
+      """WITH late AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 7),
+        |fin AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM late),
+        |seed AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |done AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM fin GROUP BY 1)
+        |SELECT CAST(0 AS INT) AS leg, * FROM seed
+        |UNION ALL SELECT CAST(1 AS INT), * FROM done
+        |UNION ALL SELECT CAST(2 AS INT), * FROM done
         |ORDER BY 1, 2""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing

@@ -114,7 +114,8 @@ object Snapshots {
                             dataRows: Long = -1L,
                             dvRows: Long = -1L,
                             bucketSpec: Option[(String, Int)] = None,
-                            buckets: Map[String, Int] = Map.empty)
+                            buckets: Map[String, Int] = Map.empty,
+                            pendingMarker: Option[String] = None)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -215,7 +216,8 @@ object Snapshots {
              expectedVersion: Option[Long] = None,
              statsColumns: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
-             bucketBy: Option[(String, Int)] = None): Long = {
+             bucketBy: Option[(String, Int)] = None,
+             pending: Option[String] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
@@ -250,9 +252,12 @@ object Snapshots {
     // exists); files/stats/schema carry only through appends — an
     // overwrite replaces the snapshot but must not forget any
     // producer's ingest progress or the table's quality contract
+    // the predecessor to build on is the last LIVE one — a dead or
+    // in-flight txn manifest at the head is skipped (forcing the
+    // decision, see manifestLive), never silently adopted
     val prevAny =
       if (version > 0 && f.exists(manifestPath(tableDir, version - 1)))
-        Some(readManifest(spark, tableDir, version - 1))
+        lastLive(spark, tableDir, version - 1, forWrite = true).map(_._2)
       else None
     val prev = prevAny.filter(_ => mode == "append")
     // table-level CHECK constraints are enforced on EVERY data commit
@@ -360,7 +365,7 @@ object Snapshots {
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
-        dataRows, dvRows, bucketSpec, buckets))) {
+        dataRows, dvRows, bucketSpec, buckets, pending))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -437,6 +442,7 @@ object Snapshots {
       if (m.dvRows >= 0) w.write(s"dvrows=${m.dvRows}\n")
       m.bucketSpec.foreach { case (k, n) => w.write(s"bucketspec=$k\t$n\n") }
       m.buckets.toSeq.sorted.foreach { case (rel, b) => w.write(s"bucket=$rel\t$b\n") }
+      m.pendingMarker.foreach(p => w.write(s"pending=$p\n"))
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) f.delete(tmp, false)
@@ -463,12 +469,10 @@ object Snapshots {
     require(!exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
       s"constraint expression must be a single line: '$exprSql'")
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, base)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
     require(!m.checks.contains(name), s"constraint '$name' already exists")
     if (validateExisting && m.files.nonEmpty) {
-      val bad = readVersion(spark, tableDir, Some(base))
+      val bad = readVersion(spark, tableDir, Some(m.version))
         .filter(not(coalesce(expr(exprSql), lit(false))))
         .agg(count(lit(1))).head().getLong(0)
       if (bad > 0)
@@ -476,26 +480,26 @@ object Snapshots {
           s"existing data violates CHECK '$name' in $bad row(s); " +
             s"constraint not added to $tableDir")
     }
-    val next = m.copy(version = base + 1, checks = m.checks + (name -> exprSql))
+    val next = m.copy(version = nextV, checks = m.checks + (name -> exprSql),
+      pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
-        s"version ${base + 1} of $tableDir was committed concurrently")
-    base + 1
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
   }
 
   /** Remove a table-level CHECK constraint (metadata-only commit). */
   def dropCheckConstraint(spark: SparkSession, tableDir: String,
                           name: String): Long = {
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, base)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
     require(m.checks.contains(name), s"no constraint '$name' at $tableDir")
-    val next = m.copy(version = base + 1, checks = m.checks - name)
+    val next = m.copy(version = nextV, checks = m.checks - name,
+      pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
-        s"version ${base + 1} of $tableDir was committed concurrently")
-    base + 1
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
   }
 
   /** Commit with a CHECK constraint (the table formats' CHECK /
@@ -546,6 +550,152 @@ object Snapshots {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else f.rename(tmp, dst)
+
+  // ------------------------------------------------------------------
+  // Multi-table transactions: two-phase commit over pending manifests.
+  //
+  // A cross-table atomic commit publishes each table's manifest with a
+  // `pending=<marker>` line (phase 1 — each publish is a normal CAS
+  // participant, owning its version number), then atomically creates
+  // ONE marker file whose CONTENT is the decision, "commit" or "abort"
+  // (phase 2 — create-if-absent arbitrates, the first creator decides
+  // for every table at once). A pending manifest is:
+  //   - decided "commit"  → a normal version,
+  //   - decided "abort"   → DEAD: invisible to readers, skipped by
+  //                         writers (its version number stays burned),
+  //   - undecided         → IN-FLIGHT: invisible to readers (the txn
+  //                         has not committed); a WRITER that needs to
+  //                         proceed FORCES the decision by racing an
+  //                         "abort" into the marker — it either kills
+  //                         the stale txn or loses to the committer
+  //                         and adopts the now-committed version.
+  // Optimistic concurrency all the way down: transactions are short,
+  // progress is guaranteed, and the reader-side cost for tables that
+  // never use transactions is ZERO (no pending line, no marker I/O).
+  // ------------------------------------------------------------------
+
+  /** Read a txn marker's decision, if published. */
+  private def markerDecision(spark: SparkSession, marker: String): Option[String] = {
+    val p = new Path(marker)
+    val mf = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!mf.exists(p)) None
+    else {
+      val r = new BufferedReader(
+        new InputStreamReader(mf.open(p), StandardCharsets.UTF_8))
+      try Option(r.readLine()).map(_.trim) finally r.close()
+    }
+  }
+
+  /** Atomically publish a txn decision; false if already decided. */
+  private def publishDecision(spark: SparkSession, marker: String,
+                              decision: String): Boolean = {
+    val p = new Path(marker)
+    val mf = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mf.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".tmp-${UUID.randomUUID()}")
+    val w = new OutputStreamWriter(mf.create(tmp, false), StandardCharsets.UTF_8)
+    try w.write(decision + "\n") finally w.close()
+    val ok = atomicPublish(mf, tmp, p)
+    if (!ok) mf.delete(tmp, false)
+    ok
+  }
+
+  /** Is this manifest's version visible? Non-pending manifests always
+    * are (zero I/O). For a pending one: committed → yes, aborted → no,
+    * undecided → readers see NO (snapshot excludes uncommitted data);
+    * a writer (`forWrite`) forces the decision with an "abort" race —
+    * kill the stale txn or adopt the committed version, never block.
+    */
+  private def manifestLive(spark: SparkSession, m: Manifest,
+                           forWrite: Boolean): Boolean = m.pendingMarker match {
+    case None => true
+    case Some(marker) => markerDecision(spark, marker) match {
+      case Some(d) => d == "commit"
+      case None if !forWrite => false
+      case None =>
+        publishDecision(spark, marker, "abort")
+        markerDecision(spark, marker).contains("commit") // lost to the committer?
+    }
+  }
+
+  /** Last LIVE version ≤ `from`, walking down past dead/in-flight
+    * pending manifests. O(1) for tables that never used transactions
+    * (the first manifest checked has no pending line).
+    */
+  private def lastLive(spark: SparkSession, tableDir: String, from: Long,
+                       forWrite: Boolean): Option[(Long, Manifest)] = {
+    val floor = vacuumFloor(spark, tableDir)
+    var v = from
+    while (v >= floor) {
+      val m = readManifest(spark, tableDir, v)
+      if (manifestLive(spark, m, forWrite)) return Some((v, m))
+      v -= 1
+    }
+    None
+  }
+
+  /** `readManifest` + the liveness gate for EXPLICIT-version reads:
+    * an aborted or in-flight version is not part of table history and
+    * must not serve rows.
+    */
+  private def readLiveManifest(spark: SparkSession, tableDir: String,
+                               version: Long): Manifest = {
+    val m = readManifest(spark, tableDir, version)
+    require(manifestLive(spark, m, forWrite = false),
+      s"version $version of $tableDir belongs to an uncommitted or aborted " +
+        "transaction")
+    m
+  }
+
+  /** The write-side base resolution every single-table mutation uses:
+    * the NEXT version number (raw latest + 1 — version numbers burn,
+    * aborted or not) and the last LIVE manifest to build on. Forces a
+    * decision on any in-flight txn at the head (see [[manifestLive]]).
+    */
+  private def resolveForWrite(spark: SparkSession,
+                              tableDir: String): (Long, Manifest) = {
+    val raw = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val (_, m) = lastLive(spark, tableDir, raw, forWrite = true).getOrElse(
+      throw new IllegalArgumentException(s"no live version at $tableDir"))
+    (raw + 1, m)
+  }
+
+  /** Cross-table ATOMIC commit (the multi-statement transaction a
+    * lakehouse needs when one logical event lands in several tables —
+    * a fact and its rollup, an entity and its index): every part
+    * becomes visible at the same instant, or none does. Protocol in
+    * the section comment above; returns the per-table versions. On
+    * any phase-1 CAS loss the txn self-aborts (marker = "abort") so
+    * already-published parts are dead, and the loss is rethrown for
+    * the caller's retry loop. Commit cost: one data write + manifest
+    * per table (same as N plain commits) + ONE marker file.
+    */
+  def commitTxn(parts: Seq[(DataFrame, String, String)],
+                txnDir: String): Seq[Long] = {
+    require(parts.nonEmpty, "commitTxn needs at least one (df, tableDir, mode)")
+    require(parts.map(_._2).distinct.size == parts.size,
+      "commitTxn parts must target distinct tables")
+    val spark = parts.head._1.sparkSession
+    val tf = fs(spark, txnDir)
+    val marker = tf.makeQualified(
+      new Path(txnDir, s"txn-${UUID.randomUUID()}.final")).toString
+    val versions =
+      try parts.map { case (df, dir, mode) =>
+        commit(df, dir, mode, pending = Some(marker))
+      } catch { case e: Throwable =>
+        // phase-1 failure: decide ABORT so any parts already published
+        // are dead (idempotent — the marker may already hold a decision
+        // if a concurrent writer raced us)
+        publishDecision(spark, marker, "abort")
+        throw e
+      }
+    if (!publishDecision(spark, marker, "commit") &&
+        !markerDecision(spark, marker).contains("commit"))
+      throw new java.util.ConcurrentModificationException(
+        s"transaction $marker was aborted by a concurrent writer")
+    versions
+  }
 
   /** Optimistic-retry wrapper around [[commit]]: on a CAS loss
     * (another writer took the version first) re-read the latest
@@ -676,6 +826,7 @@ object Snapshots {
       var dvRows = -1L
       var bucketSpec: Option[(String, Int)] = None
       val buckets = scala.collection.mutable.Map.empty[String, Int]
+      var pending: Option[String] = None
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -714,10 +865,12 @@ object Snapshots {
             case _ => // ignore malformed (forward compat)
           }
         }
+        else if (line.startsWith("pending=")) pending = Some(line.stripPrefix("pending="))
         line = r.readLine()
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
-        dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap)
+        dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap,
+        pending)
     } finally r.close()
   }
 
@@ -728,9 +881,14 @@ object Snapshots {
     */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, tableDir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, v)
+    val m = version match {
+      case Some(v) => readLiveManifest(spark, tableDir, v)
+      case None => // latest = last LIVE (uncommitted txns are invisible)
+        val raw = latestVersion(spark, tableDir).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $tableDir"))
+        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"no live version at $tableDir"))
+    }
     readFiles(spark, tableDir, m, m.files)
   }
 
@@ -850,10 +1008,7 @@ object Snapshots {
                   predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, base)
-    val version = base + 1
+    val (version, m) = resolveForWrite(spark, tableDir)
     val dvRel = f"dv/v$version%06d-${UUID.randomUUID().toString.take(8)}"
     val dvDir = new Path(tableDir, dvRel)
     // pin the mask once (the count and the write must see the same
@@ -867,7 +1022,7 @@ object Snapshots {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val written = try {
       val matched = mask.count()
-      if (matched == 0L) return base // nothing to mask: table untouched
+      if (matched == 0L) return m.version // nothing to mask: table untouched
       dvSizedForWrite(mask, matched).write.parquet(dvDir.toString)
       f.listStatus(dvDir).iterator.map(_.getPath.getName)
         .filter(_.endsWith(".parquet"))
@@ -876,7 +1031,8 @@ object Snapshots {
     val matched = footerRowCount(spark, f, dvDir)
     if (!publishManifest(f, tableDir, m.copy(version = version,
         dvs = m.dvs ++ written,
-        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, matched)))) {
+        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, matched),
+        pendingMarker = None))) {
       f.delete(dvDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -940,9 +1096,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, base)
+    val (version, m) = resolveForWrite(spark, tableDir)
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty with no tab/newline: '$app'")
@@ -966,7 +1120,6 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
           s"merge into $tableDir refused")
-    val version = base + 1
     val tag = UUID.randomUUID().toString.take(8)
     // mask side: provenance keys of every target row the batch touches
     // (any op — U replaces, D drops, I with an existing key upserts).
@@ -1082,9 +1235,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, "updateWhere needs at least one SET column")
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, base)
+    val (version, m) = resolveForWrite(spark, tableDir)
     sets.keys.foreach { c =>
       require(m.schema.forall(_.fieldNames.contains(c)),
         s"SET column '$c' is not in the table schema")
@@ -1094,7 +1245,7 @@ object Snapshots {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = matched.count()
-      if (n == 0L) return base // nothing matched: table untouched
+      if (n == 0L) return m.version // nothing matched: table untouched
       val updated = sets.foldLeft(matched.drop(FpCol, RiCol)) {
         case (df, (c, e)) => df.withColumn(c, e)
       }
@@ -1106,7 +1257,6 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"update of $tableDir refused")
-      val version = base + 1
       val tag = UUID.randomUUID().toString.take(8)
       val dvRel = f"dv/v$version%06d-$tag"
       val dvDir = new Path(tableDir, dvRel)
@@ -1153,7 +1303,10 @@ object Snapshots {
       .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
       .toSeq
     require(vs.nonEmpty, s"no version of $tableDir existed at $tsMillis")
-    vs.max
+    // a dead/in-flight txn manifest is not table history at any instant
+    lastLive(spark, tableDir, vs.max, forWrite = false).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live version of $tableDir existed at $tsMillis"))
   }
 
   /** Time travel by wall clock: [[readVersion]] at [[versionAsOf]]. */
@@ -1172,10 +1325,9 @@ object Snapshots {
     */
   def purgeDeletes(spark: SparkSession, tableDir: String,
                    statsColumns: Seq[String] = Nil): Long = {
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    commit(readVersion(spark, tableDir, Some(base)), tableDir, "overwrite",
-      expectedVersion = Some(base + 1), statsColumns = statsColumns)
+    val (next, m) = resolveForWrite(spark, tableDir)
+    commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
+      expectedVersion = Some(next), statsColumns = statsColumns)
   }
 
   /** The files of `version` that can contain rows with `column` in
@@ -1257,9 +1409,14 @@ object Snapshots {
                       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "readVersionKeys needs at least one key")
-    val v = version.orElse(latestVersion(spark, tableDir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val m = readManifest(spark, tableDir, v)
+    val m = version match {
+      case Some(v) => readLiveManifest(spark, tableDir, v)
+      case None =>
+        val raw = latestVersion(spark, tableDir).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $tableDir"))
+        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"no live version at $tableDir"))
+    }
     val pruned = m.bucketSpec match {
       case Some((bk, n)) if bk == key =>
         val keyType = m.schema.map(_(key).dataType).getOrElse(
@@ -1288,10 +1445,9 @@ object Snapshots {
   def compactBucketed(spark: SparkSession, tableDir: String,
                       key: String, numBuckets: Int,
                       statsColumns: Seq[String] = Nil): Long = {
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    commit(readVersion(spark, tableDir, Some(base)), tableDir, "overwrite",
-      expectedVersion = Some(base + 1), statsColumns = statsColumns,
+    val (next, m) = resolveForWrite(spark, tableDir)
+    commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
+      expectedVersion = Some(next), statsColumns = statsColumns,
       bucketBy = Some((key, numBuckets)))
   }
 
@@ -1357,10 +1513,13 @@ object Snapshots {
     import org.apache.spark.sql.functions.lit
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
-    val to = readManifest(spark, tableDir, toVersion)
+    // endpoints must be LIVE history — a dead txn version's files were
+    // never part of the table and must not surface as feed rows
+    // ([[changeFeedBatches]] resolves its endpoints before calling)
+    val to = readLiveManifest(spark, tableDir, toVersion)
     val from =
       if (fromVersion < 0) Manifest(-1L, Seq.empty)
-      else readManifest(spark, tableDir, fromVersion)
+      else readLiveManifest(spark, tableDir, fromVersion)
     require(from.files.toSet.subsetOf(to.files.toSet) &&
         from.dvs.toSet.subsetOf(to.dvs.toSet),
       s"non-append commit between v$fromVersion and v$toVersion of " +
@@ -1401,6 +1560,11 @@ object Snapshots {
     * commit's files would re-deliver their rows (they are new files);
     * tail append-only tables, restart consumers across rewrites.
     * `maxFilesPerTrigger` bounds per-batch work at scale.
+    * NOT transaction-aware: the raw data glob cannot consult txn
+    * markers, so a [[commitTxn]] participant's files surface here even
+    * if the txn aborts — tables written transactionally must be tailed
+    * with [[streamChangeFeed]] (manifest-driven, dead versions
+    * resolved away) instead.
     */
   def streamAppends(spark: SparkSession, tableDir: String,
                     schema: org.apache.spark.sql.types.StructType,
@@ -1468,11 +1632,20 @@ object Snapshots {
     val versions = batch.select("version").distinct().collect()
       .map(_.getLong(0)).sorted
     if (versions.isEmpty) return
-    val (from, to) = (versions.head - 1, versions.last)
-    val fromM =
-      if (from < 0) Manifest(-1L, Seq.empty)
-      else readManifest(spark, tableDir, from)
-    val toM = readManifest(spark, tableDir, to)
+    // resolve BOTH endpoints to live versions (forWrite: the feed is a
+    // consumer that must make progress — an in-flight txn at the slice
+    // boundary is forced to a decision, committed-adopted or aborted,
+    // exactly once; dead versions inside the range are invisible by
+    // construction — their files never entered live lineage)
+    val toLive = lastLive(spark, tableDir, versions.last, forWrite = true)
+    if (toLive.isEmpty) return // nothing live yet
+    val (to, toM) = toLive.get
+    val fromRaw = versions.head - 1
+    val (from, fromM) =
+      if (fromRaw < 0) (-1L, Manifest(-1L, Seq.empty))
+      else lastLive(spark, tableDir, fromRaw, forWrite = true)
+        .getOrElse((-1L, Manifest(-1L, Seq.empty)))
+    if (to <= from) return // every arrived manifest was dead
     if (toM.files.toSet == fromM.files.toSet &&
         toM.dvs.toSet == fromM.dvs.toSet) return // metadata-only range
     apply(readChangeFeed(spark, tableDir, from, to), from, to)
@@ -1623,11 +1796,10 @@ object Snapshots {
   def restore(spark: SparkSession, tableDir: String, toVersion: Long,
               validateChecks: Boolean = true): Long = {
     val f = fs(spark, tableDir)
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    require(toVersion <= base, s"cannot restore to future version $toVersion")
-    val target = readManifest(spark, tableDir, toVersion) // throws if vacuumed
-    val latest = readManifest(spark, tableDir, base)
+    val (nextV, latest) = resolveForWrite(spark, tableDir)
+    require(toVersion < nextV, s"cannot restore to future version $toVersion")
+    // throws if vacuumed; a dead txn version is not restorable history
+    val target = readLiveManifest(spark, tableDir, toVersion)
     if (validateChecks && latest.checks.nonEmpty && target.files.nonEmpty) {
       val violated = checkViolations(
         readFiles(spark, tableDir, target, target.files), latest.checks)
@@ -1636,12 +1808,12 @@ object Snapshots {
           s"CHECK constraint(s) violated by version $toVersion: " +
             s"${violated.mkString(", ")}; restore of $tableDir refused")
     }
-    val next = target.copy(version = base + 1,
-      txns = latest.txns, checks = latest.checks)
+    val next = target.copy(version = nextV,
+      txns = latest.txns, checks = latest.checks, pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
-        s"version ${base + 1} of $tableDir was committed concurrently")
-    base + 1
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
   }
 
   /** RESTORE demo — rollback-under-fire end-to-end: orders as v0, the
@@ -1912,6 +2084,59 @@ object Snapshots {
     l0.unionByName(l1).unionByName(l2).orderBy("leg", "o_orderkey")
   }
 
+  /** Multi-table transaction demo — atomicity under fire, end to end:
+    * a fact table and its per-status rollup seeded in ONE atomic
+    * [[commitTxn]], then a CRASHED transaction against both (phase-1
+    * pending manifests published, the decision marker never written —
+    * the exact torn state a driver death leaves), then a second,
+    * successful atomic commit whose writers force-abort the corpse
+    * and land on the live lineage. Output:
+    *   leg 0 = the fact table read WITH the torn txn at its head —
+    *           must equal the seeded state (uncommitted data is
+    *           invisible, the atomicity half);
+    *   leg 1 = the fact table after the committed txn;
+    *   leg 2 = the ROLLUP table's stored rows after the same txn —
+    *           must equal leg 1 exactly (both tables moved in the
+    *           same instant, the consistency half).
+    * The oracle replays all three relationally from raw orders; any
+    * torn visibility — crashed rows surfacing, or fact and rollup
+    * disagreeing — breaks the compare.
+    */
+  def u22MultiTableTxn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val factDir = graft.TempDirs.create("graft-txn-fact")
+    val rollDir = graft.TempDirs.create("graft-txn-roll")
+    val txnDir = graft.TempDirs.create("graft-txn-log")
+    val orders = graft.Tables.orders(s, d)
+    def rollup(df: DataFrame) = df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    // seed both tables in one atomic transaction
+    commitTxn(Seq((orders, factDir, "overwrite"),
+      (rollup(orders), rollDir, "overwrite")), txnDir)
+    // a transaction that DIES between phase 1 and phase 2: pending
+    // manifests on both tables, decision marker never published
+    val crashed = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    val deadMarker = new Path(txnDir, "crashed-txn.final").toString
+    commit(crashed, factDir, "append", pending = Some(deadMarker))
+    commit(rollup(orders.unionByName(crashed)), rollDir, "overwrite",
+      pending = Some(deadMarker))
+    val leg0 = readVersion(s, factDir) // torn txn at the head: invisible
+    val late = orders.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
+    // the successful retry: force-aborts the corpse, lands atomically
+    commitTxn(Seq((late, factDir, "append"),
+      (rollup(orders.unionByName(late)), rollDir, "overwrite")), txnDir)
+    def tag(df: DataFrame, leg: Int) = df
+      .select(lit(leg).cast("int").as("leg"), col("o_orderstatus"),
+        col("n_orders"), col("total"))
+    tag(rollup(leg0), 0)
+      .unionByName(tag(rollup(readVersion(s, factDir)), 1))
+      .unionByName(tag(readVersion(s, rollDir), 2))
+      .orderBy("leg", "o_orderstatus")
+  }
+
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tableDir = graft.TempDirs.create("graft-cas-demo")
@@ -1989,10 +2214,9 @@ object Snapshots {
     // landing in between turns this into a CAS failure (retry the
     // compaction from the new latest) instead of silently erasing the
     // appended rows from the new snapshot
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    commit(readVersion(spark, tableDir, Some(base)).coalesce(numFiles),
-      tableDir, "overwrite", expectedVersion = Some(base + 1),
+    val (next, m) = resolveForWrite(spark, tableDir)
+    commit(readVersion(spark, tableDir, Some(m.version)).coalesce(numFiles),
+      tableDir, "overwrite", expectedVersion = Some(next),
       statsColumns = statsColumns)
   }
 
@@ -2010,13 +2234,12 @@ object Snapshots {
                     statsColumns: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
     val cols = if (statsColumns.isEmpty) Seq(sortCol) else statsColumns
-    val base = latestVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val (next, m) = resolveForWrite(spark, tableDir)
     commit(
-      readVersion(spark, tableDir, Some(base))
+      readVersion(spark, tableDir, Some(m.version))
         .repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol),
-      tableDir, "overwrite", expectedVersion = Some(base + 1),
+      tableDir, "overwrite", expectedVersion = Some(next),
       statsColumns = cols)
   }
 
@@ -2182,9 +2405,14 @@ object Snapshots {
     val f = fs(spark, targetDir)
     require(latestVersion(spark, targetDir).isEmpty,
       s"clone target $targetDir already has commits")
-    val v = version.orElse(latestVersion(spark, sourceDir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $sourceDir"))
-    val m = readManifest(spark, sourceDir, v)
+    val m = version match {
+      case Some(v) => readLiveManifest(spark, sourceDir, v)
+      case None =>
+        val raw = latestVersion(spark, sourceDir).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $sourceDir"))
+        lastLive(spark, sourceDir, raw, forWrite = false).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"no live version at $sourceDir"))
+    }
     val srcRoot = fs(spark, sourceDir).makeQualified(new Path(sourceDir))
     def absolutize(p: String): String =
       if (isBorrowed(p)) p else new Path(srcRoot, p).toString
@@ -2215,7 +2443,11 @@ object Snapshots {
     * [[deleteWhere]]; reads also warn past
     * `graft.dv.purgeWarnRatio`). -1 rows / NULL ratio = recorded by a
     * version predating row accounting. O(live versions) driver work
-    * over already-small manifests; no data access.
+    * over already-small manifests; no data access. Versions belonging
+    * to aborted or in-flight transactions are RECORDED history (their
+    * numbers are burned) and appear here like any manifest; every read
+    * path ([[readVersion]], [[versionAsOf]], the change feed) excludes
+    * them.
     */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     import spark.implicits._

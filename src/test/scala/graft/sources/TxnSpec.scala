@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multi-table transactions: two-phase commit over pending manifests
+  * and one atomic decision marker. Pins the protocol edges the u22
+  * oracle cannot see — version accounting, explicit-version refusals,
+  * the force-abort race, phase-1 self-abort, and the change feed
+  * skipping dead versions.
+  */
+class TxnSpec extends SparkSpec {
+
+  private def freshDir(): String = graft.TempDirs.create("graft-txn-spec")
+
+  private def frame(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  test("commitTxn: both tables become visible atomically, versions returned") {
+    val (t1, t2, txn) = (freshDir(), freshDir(), freshDir())
+    val vs = Snapshots.commitTxn(Seq(
+      (frame(0 until 10, "a"), t1, "overwrite"),
+      (frame(0 until 5, "b"), t2, "overwrite")), txn)
+    assert(vs === Seq(0L, 0L))
+    assert(Snapshots.readVersion(spark, t1).count() === 10L)
+    assert(Snapshots.readVersion(spark, t2).count() === 5L)
+    // a second txn lands as v1 on both
+    val vs2 = Snapshots.commitTxn(Seq(
+      (frame(10 until 12, "a2"), t1, "append"),
+      (frame(5 until 6, "b2"), t2, "append")), txn)
+    assert(vs2 === Seq(1L, 1L))
+    assert(Snapshots.readVersion(spark, t1).count() === 12L)
+    assert(Snapshots.readVersion(spark, t2).count() === 6L)
+  }
+
+  test("a crashed txn (no marker) is invisible; explicit reads of it throw") {
+    val (t1, txn) = (freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 10, "seed"), t1)
+    val marker = new org.apache.hadoop.fs.Path(txn, "dead.final").toString
+    Snapshots.commit(frame(100 until 105, "torn"), t1, "append",
+      pending = Some(marker))
+    // latest-read resolves past the in-flight head
+    assert(Snapshots.readVersion(spark, t1).count() === 10L)
+    assert(Snapshots.readVersionKeys(spark, t1, "id", Seq(3L)).count() === 1L)
+    assert(Snapshots.readVersionKeys(spark, t1, "id", Seq(101L)).count() === 0L)
+    // explicit read of the uncommitted version is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t1, Some(1L)).count()
+    }
+    // a plain writer proceeding force-aborts the corpse and lands at v2
+    assert(Snapshots.commit(frame(200 until 202, "live"), t1, "append") === 2L)
+    assert(Snapshots.readVersion(spark, t1).count() === 12L) // 10 + 2, not +5
+    // the torn version is now DECIDED dead, permanently
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t1, Some(1L)).count()
+    }
+    // ...and a late arrival of the crashed committer cannot resurrect it
+    assert(!Snapshots.readVersion(spark, t1).columns.isEmpty)
+  }
+
+  test("phase-1 failure self-aborts the whole txn: no table moves") {
+    val (t1, t2, txn) = (freshDir(), freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 10, "s1"), t1)
+    Snapshots.commit(frame(0 until 10, "s2"), t2)
+    Snapshots.addCheckConstraint(spark, t2, "small_ids", "id < 1000")
+    // t1's part publishes its pending manifest, then t2's part is
+    // refused by the CHECK — the txn must die as a WHOLE: the marker
+    // is decided "abort", so t1's already-published part is dead
+    intercept[IllegalArgumentException] {
+      Snapshots.commitTxn(Seq(
+        (frame(100 until 103, "x"), t1, "append"),
+        (frame(5000 until 5003, "x"), t2, "append")), txn)
+    }
+    assert(Snapshots.readVersion(spark, t1).count() === 10L)
+    assert(Snapshots.readVersion(spark, t2).count() === 10L)
+    // t1's poisoned version number is burned and permanently dead
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t1, Some(1L)).count()
+    }
+    // both tables keep working on the live lineage
+    assert(Snapshots.commit(frame(20 until 22, "ok"), t1, "append") === 2L)
+    assert(Snapshots.readVersion(spark, t1).count() === 12L)
+  }
+
+  test("txn over the change feed: dead versions never surface as rows") {
+    val (t1, txn) = (freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 10, "seed"), t1)
+    val marker = new org.apache.hadoop.fs.Path(txn, "dead2.final").toString
+    Snapshots.commit(frame(100 until 110, "torn"), t1, "append",
+      pending = Some(marker))
+    Snapshots.commit(frame(10 until 13, "live"), t1, "append") // v2, aborts v1
+    val feed = Snapshots.readChangeFeed(spark, t1, 0L, 2L)
+    val inserted = feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(inserted === Array(10L, 11L, 12L)) // torn batch absent
+    // a dead endpoint is refused outright
+    intercept[IllegalArgumentException] {
+      Snapshots.readChangeFeed(spark, t1, 1L, 2L)
+    }
+  }
+
+  test("writers on every mutation path resolve past a torn head") {
+    val (t1, txn) = (freshDir(), freshDir())
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(frame(0 until 10, "seed"), t1)
+    val marker = new org.apache.hadoop.fs.Path(txn, "dead3.final").toString
+    Snapshots.commit(frame(100 until 105, "torn"), t1, "append",
+      pending = Some(marker))
+    // merge-on-read builds on the LIVE base, not the corpse
+    val changes = Seq((0L, "updated", "U"), (999L, "new", "I"))
+      .toDF("id", "tag", "op")
+    Snapshots.mergeOnRead(spark, t1, changes, "id")
+    val m = Snapshots.readManifest(spark, t1, 2L)
+    assert(m.pendingMarker.isEmpty)
+    val got = Snapshots.readVersion(spark, t1)
+    assert(got.count() === 11L) // 10 seeded + 1 insert, torn 5 absent
+    assert(got.filter(col("id") === 0L).select("tag").head.getString(0) === "updated")
+    // restore refuses the dead version as a target
+    intercept[IllegalArgumentException] { Snapshots.restore(spark, t1, 1L) }
+    // versionAsOf never resolves to the corpse: even a timestamp far in
+    // the future lands on the last LIVE version
+    val v = Snapshots.versionAsOf(spark, t1, System.currentTimeMillis() + 60000)
+    assert(v === 2L)
+  }
+}
