@@ -53,7 +53,12 @@ object ScaleSmoke {
       // u19 = delete-aware incremental view (signed partials over the
       // feed, O(slice) per step), u20 = UPDATE as mask+re-append
       // (O(matched) — at 10x the matched set is 10x, never the table)
-      "u19_incremental_deletes", "u20_update_where")
+      "u19_incremental_deletes", "u20_update_where",
+      // u21 = bucketed point lookups (the lookup cost is O(wanted
+      // buckets) — at 10x each bucket file is 10x, the clustered write
+      // is the linear part), u22 = two-phase multi-table txn (commit
+      // cost is the data writes; marker arbitration is O(1))
+      "u21_bucketed_lookup", "u22_multi_table_txn")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -5,70 +5,84 @@ import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 /** Randomized (fixed-seed) protocol check: random sequences of
-  * commit/append/compact/deleteWhere/purgeDeletes/vacuum against a
-  * driver-side reference model of what every version must contain —
-  * the snapshot contract holds on interleavings no hand-written
-  * fixture thought of (e.g. delete-then-compact, purge-then-vacuum,
-  * clone-at-masked-version).
+  * commit/append/compact/deleteWhere/updateWhere/mergeOnRead/restore/
+  * purgeDeletes/vacuum — plus CRASHED and COMMITTED transactions and
+  * bucketed re-clustering — against a driver-side reference model of
+  * what every version must contain. The snapshot contract holds on
+  * interleavings no hand-written fixture thought of (e.g.
+  * delete-then-compact, crashed-txn-then-merge, purge-then-vacuum,
+  * clone-at-masked-version). Model states: Live(rows) = serves exactly
+  * those rows; Dead = a txn version that aborted or never decided
+  * (manifest recorded, number burned, every read refuses); Gone =
+  * vacuumed (manifest expired).
   */
 class SnapshotRandomSpec extends SparkSpec {
 
   import spark.implicits._
 
+  private sealed trait St
+  private case class Live(rows: Set[(Long, String)]) extends St
+  private case object Dead extends St
+  private case object Gone extends St
+
   test("random op sequences: every live version serves exactly its model rows") {
     for (seed <- Seq(7, 23, 91)) {
       val rnd = new Random(seed)
       val dir = graft.TempDirs.create(s"graft-snap-rand-$seed")
+      val txnDir = graft.TempDirs.create(s"graft-snap-rand-txn-$seed")
       var nextId = 0L
+      var nextTxn = 0
       def batch(): (Set[(Long, String)], org.apache.spark.sql.DataFrame) = {
         val n = 1 + rnd.nextInt(20)
         val tag = s"t${rnd.nextInt(1000)}"
         val rows = (0 until n).map { _ => nextId += 1; (nextId, tag) }.toSet
         (rows, rows.toSeq.toDF("id", "tag"))
       }
-      // model(v) = Some(expected row set) or None once vacuumed
-      var model = Vector.empty[Option[Set[(Long, String)]]]
+      var model = Vector.empty[St]
+      def lastLive: Set[(Long, String)] =
+        model.reverseIterator.collectFirst { case Live(r) => r }.get
       val (r0, df0) = batch()
       Snapshots.commit(df0, dir, "overwrite")
-      model :+= Some(r0)
+      model :+= Live(r0)
       var floor = 0L
 
-      for (_ <- 1 to 16) {
-        rnd.nextInt(15) match {
+      for (_ <- 1 to 18) {
+        rnd.nextInt(18) match {
           case i if i < 4 => // append
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "append")
-            model :+= Some(model.last.get ++ rows)
+            model :+= Live(lastLive ++ rows)
           case i if i < 6 => // overwrite (copy-on-write rewrite)
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "overwrite")
-            model :+= Some(rows)
+            model :+= Live(rows)
           case i if i < 8 => // compact: same rows (masks applied), new version
             Snapshots.compact(spark, dir, numFiles = 1 + rnd.nextInt(3))
-            model :+= Some(model.last.get)
+            model :+= Live(lastLive)
           case i if i < 10 => // DV delete of a random residue class —
             // a no-match delete must consume NO version
             val m = 2 + rnd.nextInt(4)
             val r = rnd.nextInt(m)
-            val keep = model.last.get.filterNot(_._1 % m == r)
+            val cur = lastLive
+            val keep = cur.filterNot(_._1 % m == r)
             Snapshots.deleteWhere(spark, dir, col("id") % m === r.toLong)
-            if (keep.size < model.last.get.size) model :+= Some(keep)
+            if (keep.size < cur.size) model :+= Live(keep)
           case 10 => // purge: physical rewrite of the masked snapshot
             Snapshots.purgeDeletes(spark, dir)
-            model :+= Some(model.last.get)
+            model :+= Live(lastLive)
           case 11 if rnd.nextBoolean() => // UPDATE via mask+re-append:
             // retag a random residue class (no-match must not commit)
             val m = 2 + rnd.nextInt(4)
             val r = rnd.nextInt(m)
             val utag = s"w${rnd.nextInt(1000)}"
-            val cur = model.last.get
+            val cur = lastLive
             val hit = cur.exists(_._1 % m == r)
             Snapshots.updateWhere(spark, dir, col("id") % m === r.toLong,
               Map("tag" -> org.apache.spark.sql.functions.lit(utag)))
-            if (hit) model :+= Some(cur.map { case (id, t) =>
+            if (hit) model :+= Live(cur.map { case (id, t) =>
               (id, if (id % m == r) utag else t) })
           case 11 => // merge-on-read: random CDC batch (D/U/I mix)
-            val cur = model.last.get
+            val cur = lastLive
             val ids = cur.map(_._1).toSeq.sorted
             val dels = ids.filter(_ => rnd.nextInt(8) == 0).toSet
             val upds = ids.filterNot(dels).filter(_ => rnd.nextInt(8) == 0).toSet
@@ -82,22 +96,43 @@ class SnapshotRandomSpec extends SparkSpec {
             if (batch.nonEmpty) {
               Snapshots.mergeOnRead(spark, dir,
                 batch.toDF("id", "tag", "op"), "id")
-              model :+= Some(
+              model :+= Live(
                 cur.filterNot(r => dels(r._1) || upds(r._1)) ++
                   upds.map(id => (id, utag)) ++ ins)
             }
           case 12 => // restore to a random LIVE version (rollback)
-            val liveNow = model.zipWithIndex.collect { case (Some(_), v) => v }
+            val liveNow = model.zipWithIndex.collect { case (Live(_), v) => v }
             val tgt = liveNow(rnd.nextInt(liveNow.size))
             Snapshots.restore(spark, dir, tgt.toLong)
             model :+= model(tgt)
-          case _ => // vacuum to a random floor ≤ latest
-            val latest = model.size - 1L
-            val keep = floor + rnd.nextInt((latest - floor + 1).toInt)
+          case 13 => // CRASHED txn: pending manifest, decision never
+            // published — the version number burns, the data must
+            // never surface, and every later op resolves past it
+            val (_, df) = batch()
+            nextTxn += 1
+            val marker = new org.apache.hadoop.fs.Path(
+              txnDir, s"crash-$nextTxn.final").toString
+            val mode = if (rnd.nextBoolean()) "append" else "overwrite"
+            Snapshots.commit(df, dir, mode, pending = Some(marker))
+            model :+= Dead
+          case 14 => // COMMITTED txn: the two-phase path must land
+            // exactly like a plain append
+            val (rows, df) = batch()
+            Snapshots.commitTxn(Seq((df, dir, "append")), txnDir)
+            model :+= Live(lastLive ++ rows)
+          case 15 => // bucketed re-cluster: same rows, hash-clustered
+            Snapshots.compactBucketed(spark, dir, "id", 2 + rnd.nextInt(6))
+            model :+= Live(lastLive)
+          case _ => // vacuum to a random floor ≤ the LAST LIVE version
+            // (expiring every live version while a dead txn head
+            // survives would leave the table unreadable — a legal but
+            // degenerate state this model deliberately avoids)
+            val lastLiveV = model.lastIndexWhere(_.isInstanceOf[Live]).toLong
+            val keep = floor + rnd.nextInt((lastLiveV - floor + 1).toInt)
             if (keep > floor) {
               Snapshots.vacuum(spark, dir, keep)
               model = model.zipWithIndex.map { case (m, v) =>
-                if (v < keep) None else m
+                if (v < keep) Gone else m
               }
               floor = keep
             }
@@ -107,11 +142,11 @@ class SnapshotRandomSpec extends SparkSpec {
       // clone the table at a random LIVE version mid-history, then
       // push both tables forward independently — the clone must pin
       // its fork point and neither table may see the other's writes
-      val liveVs = model.zipWithIndex.collect { case (Some(_), v) => v }
+      val liveVs = model.zipWithIndex.collect { case (Live(_), v) => v }
       val forkV = liveVs(rnd.nextInt(liveVs.size)).toLong
       val cloneDir = graft.TempDirs.create(s"graft-snap-rand-clone-$seed")
       Snapshots.cloneShallow(spark, dir, cloneDir, Some(forkV))
-      val forkRows = model(forkV.toInt).get
+      val forkRows = model(forkV.toInt).asInstanceOf[Live].rows
       val (extraRows, extraDf) = batch()
       Snapshots.commit(extraDf, cloneDir, "append")
       def rowsAt(d: String, v: Long): Set[(Long, String)] =
@@ -120,13 +155,18 @@ class SnapshotRandomSpec extends SparkSpec {
       assert(rowsAt(cloneDir, 0L) === forkRows, s"seed=$seed clone v0")
       assert(rowsAt(cloneDir, 1L) === forkRows ++ extraRows,
         s"seed=$seed clone v1")
-      assert(rowsAt(dir, model.size - 1L) === model.last.get,
+      assert(rowsAt(dir, model.size - 1L) === lastLive,
         s"seed=$seed source after clone write")
 
       assert(Snapshots.latestVersion(spark, dir) === Some(model.size - 1L))
       assert(Snapshots.vacuumFloor(spark, dir) === floor)
+      // the default read resolves to the last LIVE version even when
+      // dead txn versions sit at or near the head
+      assert(Snapshots.readVersion(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet === lastLive,
+        s"seed=$seed latest-live resolution")
       model.zipWithIndex.foreach {
-        case (Some(rows), v) =>
+        case (Live(rows), v) =>
           val got = Snapshots.readVersion(spark, dir, Some(v.toLong))
             .collect().map(r => (r.getLong(0), r.getString(1))).toSet
           assert(got === rows, s"seed=$seed version=$v")
@@ -138,7 +178,15 @@ class SnapshotRandomSpec extends SparkSpec {
             s"seed=$seed version=$v accounting unknown")
           assert(m.dataRows - m.dvRows === rows.size.toLong,
             s"seed=$seed version=$v accounting ${m.dataRows}-${m.dvRows}")
-        case (None, v) =>
+        case (Dead, v) =>
+          // the manifest is recorded history (number burned)...
+          val m = Snapshots.readManifest(spark, dir, v.toLong)
+          assert(m.pendingMarker.nonEmpty, s"seed=$seed dead v=$v marker")
+          // ...but no read path serves it
+          intercept[IllegalArgumentException] {
+            Snapshots.readVersion(spark, dir, Some(v.toLong)).count()
+          }
+        case (Gone, v) =>
           intercept[IllegalArgumentException] {
             Snapshots.readManifest(spark, dir, v.toLong)
           }
