@@ -58,7 +58,10 @@ object ScaleSmoke {
       // buckets) — at 10x each bucket file is 10x, the clustered write
       // is the linear part), u22 = two-phase multi-table txn (commit
       // cost is the data writes; marker arbitration is O(1))
-      "u21_bucketed_lookup", "u22_multi_table_txn")
+      "u21_bucketed_lookup", "u22_multi_table_txn",
+      // u23 = ledger-served COUNT(*): the reads are O(manifest) — only
+      // the demo's own commits scale with data
+      "u23_fast_count")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

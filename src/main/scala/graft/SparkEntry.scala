@@ -107,6 +107,7 @@ object SparkEntry {
     "u20_update_where" -> (graft.sources.Snapshots.u20UpdateWhere _),
     "u21_bucketed_lookup" -> (graft.sources.Snapshots.u21BucketedLookup _),
     "u22_multi_table_txn" -> (graft.sources.Snapshots.u22MultiTableTxn _),
+    "u23_fast_count" -> (graft.sources.Snapshots.u23FastCount _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1178,6 +1179,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL SELECT CAST(1 AS INT), * FROM done
         |UNION ALL SELECT CAST(2 AS INT), * FROM done
         |ORDER BY 1, 2""".stripMargin,
+    // u23 oracle: the ledger-served counts replayed relationally —
+    // v0 = all orders, v1 = non-F orders (DV mask), v2 = v1 + the
+    // late re-keyed tenth
+    "u23_fast_count" ->
+      """SELECT CAST(0 AS INT) AS version, COUNT(*) AS n_rows FROM orders
+        |UNION ALL
+        |SELECT CAST(1 AS INT), COUNT(*) FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT CAST(2 AS INT),
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')
+        |  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3)
+        |ORDER BY 1""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing
     "u18_concurrent_writers" ->

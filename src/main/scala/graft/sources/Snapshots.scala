@@ -2128,6 +2128,9 @@ object Snapshots {
     // the successful retry: force-aborts the corpse, lands atomically
     commitTxn(Seq((late, factDir, "append"),
       (rollup(orders.unionByName(late)), rollDir, "overwrite")), txnDir)
+    // reclaim the torn txn's files — must be invisible to every read
+    vacuumAborted(s, factDir)
+    vacuumAborted(s, rollDir)
     def tag(df: DataFrame, leg: Int) = df
       .select(lit(leg).cast("int").as("leg"), col("o_orderstatus"),
         col("n_orders"), col("total"))
@@ -2135,6 +2138,33 @@ object Snapshots {
       .unionByName(tag(rollup(readVersion(s, factDir)), 1))
       .unionByName(tag(readVersion(s, rollDir), 2))
       .orderBy("leg", "o_orderstatus")
+  }
+
+  /** Metadata-only COUNT demo — the `SELECT COUNT(*)` fast path:
+    * orders committed (v0), one status logically deleted as a
+    * deletion vector (v1), a late re-keyed batch appended (v2); each
+    * version's visible row count served by [[fastCount]] from the
+    * manifest LEDGER — zero Spark jobs, zero data I/O (TxnSpec pins
+    * the no-job claim with a listener; the randomized protocol spec
+    * pins ledger exactness on arbitrary interleavings). The oracle
+    * replays the three counts relationally: at 100 TB this is a
+    * millisecond manifest read instead of a table scan.
+    */
+  def u23FastCount(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-fastcount")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite")
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    commit(late, tableDir, "append")
+    val s2 = s
+    import s2.implicits._
+    (0L to 2L).map(v => (v, fastCount(s, tableDir, Some(v))))
+      .toDF("version", "n_rows")
+      .select(col("version").cast("int").as("version"), col("n_rows"))
+      .orderBy("version")
   }
 
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
@@ -2486,6 +2516,74 @@ object Snapshots {
     * use), so a vacuum racing a slow commit cannot delete the files
     * out from under a manifest about to publish.
     */
+  /** Reclaim the data of ABORTED transactions: delete every file and
+    * commit dir referenced ONLY by decided-abort pending manifests —
+    * the garbage a torn [[commitTxn]] leaves once a later writer
+    * force-aborts it. The dead manifests themselves STAY (their
+    * version numbers are burned; deleting one would let a replayed
+    * committer recreate the version). In-flight (undecided) txns are
+    * never touched — they may still commit; files SHARED with any
+    * live manifest (an aborted append carries its predecessor's refs)
+    * are never touched either. Safe to run any time, no floor change.
+    * Returns the number of files deleted.
+    */
+  def vacuumAborted(spark: SparkSession, tableDir: String): Int = {
+    val f = fs(spark, tableDir)
+    val latest = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val ms = (vacuumFloor(spark, tableDir) to latest)
+      .filter(v => f.exists(manifestPath(tableDir, v)))
+      .map(readManifest(spark, tableDir, _))
+    val (abortedMs, keptMs) = ms.partition(m =>
+      m.pendingMarker.exists(p => markerDecision(spark, p).contains("abort")))
+    val keptFiles = keptMs.flatMap(m => m.files ++ m.dvs).toSet
+    val abortedOnly = abortedMs.flatMap(m => m.files ++ m.dvs).distinct
+      .filterNot(keptFiles).filterNot(isBorrowed)
+    // count only files actually removed (re-runs see the same dead
+    // refs but find nothing on disk — idempotent, returns 0)
+    val deleted = abortedOnly.count(rel =>
+      f.delete(new Path(tableDir, rel), false))
+    // sweep commit dirs now exclusively dead (same dir-ownership rule
+    // as [[vacuum]]: each data/dv dir belongs to exactly one commit)
+    def dirKey(rel: String): String = {
+      val parts = rel.split("/"); s"${parts(0)}/${parts(1)}"
+    }
+    val keptDirs = keptFiles.filterNot(isBorrowed).map(dirKey)
+    val abortedDirs = abortedOnly.map(dirKey).toSet
+    for (root <- Seq("data", "dv")) {
+      val rootPath = new Path(tableDir, root)
+      if (f.exists(rootPath)) f.listStatus(rootPath).foreach { st =>
+        val key = s"$root/${st.getPath.getName}"
+        if (st.isDirectory && abortedDirs.contains(key) &&
+            !keptDirs.contains(key))
+          f.delete(st.getPath, true)
+      }
+    }
+    deleted
+  }
+
+  /** Metadata-only COUNT(*): the visible row count of `version` served
+    * from the manifest's ledger (`dataRows − dvRows` — the randomized
+    * protocol spec pins this as EXACT on every commit interleaving),
+    * no Spark job, no file I/O beyond the manifest read. The fast path
+    * every format exposes for `SELECT COUNT(*)`; at 100 TB this is a
+    * millisecond driver read instead of a table scan. Falls back to a
+    * real count for manifests predating row accounting (-1).
+    */
+  def fastCount(spark: SparkSession, tableDir: String,
+                version: Option[Long] = None): Long = {
+    val m = version match {
+      case Some(v) => readLiveManifest(spark, tableDir, v)
+      case None =>
+        val raw = latestVersion(spark, tableDir).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $tableDir"))
+        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"no live version at $tableDir"))
+    }
+    if (m.dataRows >= 0 && m.dvRows >= 0) m.dataRows - m.dvRows
+    else readFiles(spark, tableDir, m, m.files).count()
+  }
+
   def vacuum(spark: SparkSession, tableDir: String,
              keepFromVersion: Long,
              orphanRetainMs: Long = 600000L): Int = {

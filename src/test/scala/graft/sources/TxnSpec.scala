@@ -102,6 +102,58 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("vacuumAborted reclaims decided-abort files, never shared or in-flight ones") {
+    val (t1, txn) = (freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 10, "seed"), t1)
+    val m1 = new org.apache.hadoop.fs.Path(txn, "a.final").toString
+    // an aborted APPEND: its manifest carries the seed files by
+    // reference — those must survive reclamation
+    Snapshots.commit(frame(100 until 110, "torn"), t1, "append",
+      pending = Some(m1))
+    Snapshots.commit(frame(10 until 12, "live"), t1, "append") // aborts v1
+    // an IN-FLIGHT txn (undecided): must not be touched
+    val m2 = new org.apache.hadoop.fs.Path(txn, "b.final").toString
+    Snapshots.commit(frame(200 until 205, "inflight"), t1, "append",
+      pending = Some(m2))
+    val n = Snapshots.vacuumAborted(spark, t1)
+    assert(n >= 1) // the torn batch's own files went
+    // table intact, history intact, in-flight batch still pending
+    assert(Snapshots.readVersion(spark, t1).count() === 12L)
+    assert(Snapshots.readVersion(spark, t1, Some(0L)).count() === 10L)
+    // the dead manifest still exists and still refuses reads
+    assert(Snapshots.readManifest(spark, t1, 1L).pendingMarker.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersion(spark, t1, Some(1L)).count()
+    }
+    // the in-flight txn can still commit afterwards — its files live
+    assert(Snapshots.vacuumAborted(spark, t1) === 0) // idempotent
+  }
+
+  test("fastCount serves the visible count from the ledger without a Spark job") {
+    val t1 = freshDir()
+    Snapshots.commit(frame(0 until 100, "seed"), t1)
+    Snapshots.deleteWhere(spark, t1, col("id") % 10 === 3L) // mask 10
+    Snapshots.commit(frame(200 until 220, "more"), t1, "append")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val c2 = Snapshots.fastCount(spark, t1)
+      val c1 = Snapshots.fastCount(spark, t1, Some(1L))
+      val c0 = Snapshots.fastCount(spark, t1, Some(0L))
+      Thread.sleep(300) // let any (unexpected) job-start events drain
+      assert((c0, c1, c2) === ((100L, 90L, 110L)))
+      assert(jobs === 0, "fastCount must not run a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and it agrees with the real scan
+    assert(Snapshots.fastCount(spark, t1) ===
+      Snapshots.readVersion(spark, t1).count())
+  }
+
   test("writers on every mutation path resolve past a torn head") {
     val (t1, txn) = (freshDir(), freshDir())
     val s = spark
