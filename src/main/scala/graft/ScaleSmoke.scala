@@ -61,7 +61,11 @@ object ScaleSmoke {
       "u21_bucketed_lookup", "u22_multi_table_txn",
       // u23 = ledger-served COUNT(*): the reads are O(manifest) — only
       // the demo's own commits scale with data
-      "u23_fast_count")
+      "u23_fast_count",
+      // u24 = bloom-pruned point lookups: the index build is the
+      // linear part (one agg over each commit's files); the lookups
+      // scan O(files whose blooms hit), not the table
+      "u24_bloom_lookup")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

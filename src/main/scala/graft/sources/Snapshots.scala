@@ -105,6 +105,20 @@ object Snapshots {
     * always scanned — the mapping is a scan reducer, never a filter;
     * [[compactBucketed]] re-clusters them in.
     */
+  /** Per-file BLOOM index over a column (the formats' bloom filter
+    * index): `words` is the bit set (mBits bits as mBits/64 longs),
+    * bit positions from `pmod(xxhash64(j, key), mBits)` for j in
+    * [0, k) — the same salted double-hash
+    * [[graft.operators.BloomPrune]] uses, so build (Spark agg) and
+    * probe (driver literal eval through one tiny Spark job) always
+    * agree. The third pruning primitive: min/max stats prune RANGES,
+    * buckets prune hash-CLUSTERED keys, blooms prune point lookups on
+    * any high-cardinality column the table is NOT clustered by.
+    * False positives only ever admit extra files to the exact row
+    * filter — a scan reducer, never a semantic change.
+    */
+  final case class Bloom(mBits: Int, k: Int, words: Array[Long])
+
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -115,7 +129,8 @@ object Snapshots {
                             dvRows: Long = -1L,
                             bucketSpec: Option[(String, Int)] = None,
                             buckets: Map[String, Int] = Map.empty,
-                            pendingMarker: Option[String] = None)
+                            pendingMarker: Option[String] = None,
+                            blooms: Map[(String, String), Bloom] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -153,6 +168,73 @@ object Snapshots {
     }
     out.toMap
   }
+
+  /** Default bloom geometry: 8192 bits (1 KB/file/column in the
+    * manifest) × 3 hashes ≈ 1% false positives at ~1000 distinct
+    * keys/file, ~10% at 10k — and a false positive only admits one
+    * extra file to the exact row filter.
+    */
+  private val BloomMBits = 8192
+  private val BloomK = 3
+
+  /** Build the per-file blooms for a commit's files: ONE aggregation
+    * job per indexed column over ONLY the files just written (the same
+    * O(commit) cost the write itself paid), grouped by source file via
+    * `_metadata.file_path`. Bit positions are
+    * `pmod(xxhash64(j, key), mBits)` — [[graft.operators.BloomPrune]]'s
+    * salted double-hash, evaluated by Spark on BOTH build and probe so
+    * they can never drift. Collect is bounded: ≤ files × mBits/64 rows.
+    */
+  private def buildBlooms(spark: SparkSession, tableDir: String,
+                          rels: Seq[String], columns: Seq[String])
+      : Map[(String, String), Bloom] = {
+    import org.apache.spark.sql.functions._
+    if (columns.isEmpty || rels.isEmpty) return Map.empty
+    val byName = rels.map(rel => new Path(tableDir, rel).getName -> rel).toMap
+    require(byName.size == rels.size,
+      "bloom build requires unique file names within the commit")
+    val abs = rels.map(rel => new Path(tableDir, rel).toString)
+    val df = spark.read.parquet(abs: _*)
+    columns.flatMap { c =>
+      val bitIdx = explode(array((0 until BloomK).map(j =>
+        pmod(xxhash64(lit(j), col(c)), lit(BloomMBits.toLong))): _*)).as("bit_idx")
+      df.select(col("_metadata.file_path").as("__fp"), col(c))
+        .select(col("__fp"), bitIdx)
+        .select(col("__fp"), (col("bit_idx") / 64).cast("int").as("word_idx"),
+          call_function("shiftleft", lit(1L),
+            (col("bit_idx") % 64).cast("int")).as("bit"))
+        .groupBy("__fp", "word_idx")
+        .agg(expr("bit_or(bit)").as("word"))
+        .collect() // ≤ files × mBits/64 rows
+        .groupBy(r => new Path(r.getString(0)).getName)
+        .map { case (name, rows) =>
+          val words = new Array[Long](BloomMBits / 64)
+          rows.foreach(r => words(r.getInt(1)) = r.getLong(2))
+          (byName(name), c) -> Bloom(BloomMBits, BloomK, words)
+        }
+    }.toMap
+  }
+
+  /** The k bit positions each literal probes, per (mBits, k) geometry
+    * — evaluated through Spark's own expressions (one tiny local job)
+    * so the probe can never disagree with the build. Returns
+    * literal.toString → bit positions.
+    */
+  private def bloomProbeBits(spark: SparkSession, literals: Seq[Any],
+                             keyType: org.apache.spark.sql.types.DataType,
+                             mBits: Int, k: Int): Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    literals.map(_.toString).distinct.toDF("key")
+      .select(col("key"), array((0 until k).map(j =>
+        pmod(xxhash64(lit(j), col("key").cast(keyType)),
+          lit(mBits.toLong))): _*).as("bits"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+  }
+
+  private def bloomMightContain(b: Bloom, bits: Seq[Long]): Boolean =
+    bits.forall(i => (b.words((i / 64).toInt) & (1L << (i % 64).toInt)) != 0L)
 
   private def manifestPath(tableDir: String, v: Long): Path =
     new Path(tableDir, f"_manifests/v$v%06d.manifest")
@@ -217,7 +299,8 @@ object Snapshots {
              statsColumns: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
              bucketBy: Option[(String, Int)] = None,
-             pending: Option[String] = None): Long = {
+             pending: Option[String] = None,
+             bloomColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
@@ -338,6 +421,9 @@ object Snapshots {
         footerStats(spark, new Path(tableDir, rel), statsColumns)
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
+    val newBlooms = buildBlooms(spark, tableDir, written, bloomColumns)
+    val carriedBlooms = prev.map(_.blooms).getOrElse(
+      Map.empty[(String, String), Bloom])
     // row accounting (footer metadata, no scan): appends extend the
     // predecessor's totals (unknown propagates), overwrites restart
     val writtenRows = footerRowCount(spark, f, dataDir)
@@ -365,7 +451,8 @@ object Snapshots {
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
-        dataRows, dvRows, bucketSpec, buckets, pending))) {
+        dataRows, dvRows, bucketSpec, buckets, pending,
+        carriedBlooms ++ newBlooms))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -443,6 +530,12 @@ object Snapshots {
       m.bucketSpec.foreach { case (k, n) => w.write(s"bucketspec=$k\t$n\n") }
       m.buckets.toSeq.sorted.foreach { case (rel, b) => w.write(s"bucket=$rel\t$b\n") }
       m.pendingMarker.foreach(p => w.write(s"pending=$p\n"))
+      m.blooms.toSeq.sortBy(_._1).foreach { case ((file, c), b) =>
+        val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
+        b.words.foreach(bb.putLong)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
+        w.write(s"bloom=$file\t$c\t${b.mBits}\t${b.k}\t$b64\n")
+      }
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) f.delete(tmp, false)
@@ -827,6 +920,7 @@ object Snapshots {
       var bucketSpec: Option[(String, Int)] = None
       val buckets = scala.collection.mutable.Map.empty[String, Int]
       var pending: Option[String] = None
+      val blooms = scala.collection.mutable.Map.empty[(String, String), Bloom]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -866,11 +960,21 @@ object Snapshots {
           }
         }
         else if (line.startsWith("pending=")) pending = Some(line.stripPrefix("pending="))
+        else if (line.startsWith("bloom=")) {
+          line.stripPrefix("bloom=").split('\t') match {
+            case Array(file, c, mBits, k, b64) =>
+              val bytes = java.util.Base64.getDecoder.decode(b64)
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              val words = Array.fill(bytes.length / 8)(bb.getLong)
+              blooms((file, c)) = Bloom(mBits.toInt, k.toInt, words)
+            case _ => // ignore malformed (forward compat)
+          }
+        }
         line = r.readLine()
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
         dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap,
-        pending)
+        pending, blooms.toMap)
     } finally r.close()
   }
 
@@ -1200,11 +1304,14 @@ object Snapshots {
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
     // ONE commit point for mask + append together
-    if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
-        m.stats ++ newStats, schema, txns, m.dvs ++ dvs, m.checks,
-        addRowCounts(m.dataRows, nAppended),
-        addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
-        m.bucketSpec, m.buckets))) {
+    // m.copy carries checks/bucketSpec/buckets/blooms; the merge's own
+    // payload files are unindexed until a bloom/bucket re-cluster
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        files = m.files ++ written, stats = m.stats ++ newStats,
+        schema = schema, txns = txns, dvs = m.dvs ++ dvs,
+        dataRows = addRowCounts(m.dataRows, nAppended),
+        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
+        pendingMarker = None))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
@@ -1270,11 +1377,12 @@ object Snapshots {
       updated.write.parquet(dataDir.toString)
       val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).map(x => s"$dataRel/$x").toSeq.sorted
-      if (!publishManifest(f, tableDir, Manifest(version, m.files ++ written,
-          m.stats, schema, m.txns, m.dvs ++ dvs, m.checks,
-          addRowCounts(m.dataRows, n),
-          addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
-          m.bucketSpec, m.buckets))) {
+      if (!publishManifest(f, tableDir, m.copy(version = version,
+          files = m.files ++ written, schema = schema,
+          dvs = m.dvs ++ dvs,
+          dataRows = addRowCounts(m.dataRows, n),
+          dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
+          pendingMarker = None))) {
         f.delete(dvDir, true)
         f.delete(dataDir, true)
         throw new java.util.ConcurrentModificationException(
@@ -1427,8 +1535,24 @@ object Snapshots {
     }
     // stat pruning composes when the key carries footer stats: keep a
     // file only if SOME wanted key overlaps its [min,max]
-    val keep = pruned.filter(rel =>
+    val statKeep = pruned.filter(rel =>
       m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
+    // bloom pruning composes last: a file indexed on `key` survives
+    // only if SOME wanted key might be in its bloom — the primitive
+    // that prunes point lookups on columns the table is NOT clustered
+    // by (stats span, buckets absent). Bit positions evaluated through
+    // Spark's own hash, per bloom geometry present in the manifest.
+    val keyType0 = m.schema.map(_(key).dataType).getOrElse(
+      org.apache.spark.sql.types.StringType)
+    val geometries = m.blooms.collect {
+      case ((_, c), b) if c == key => (b.mBits, b.k) }.toSet
+    val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
+      geometries.map(g =>
+        g -> bloomProbeBits(spark, keys, keyType0, g._1, g._2)).toMap
+    val keep = statKeep.filter(rel => m.blooms.get((rel, key)).forall { b =>
+      val bits = probeBits((b.mBits, b.k))
+      keys.exists(k => bloomMightContain(b, bits(k.toString)))
+    })
     // every file pruned ⇒ the keys cannot exist; one file is kept for
     // the schema and the row filter (exact either way) returns empty
     val keepNE = if (keep.nonEmpty) keep else m.files.take(1)
@@ -2167,6 +2291,38 @@ object Snapshots {
       .orderBy("version")
   }
 
+  /** Bloom-index demo — point-lookup pruning on a table with INGEST
+    * locality but no clustering and no stats: orders land as four
+    * append batches (the residue classes of `o_orderkey` — each file
+    * holds its slice, but min/max stats are deliberately NOT recorded
+    * and the table is not bucketed), each commit building a per-file
+    * bloom over the key. [[readVersionKeys]] then serves lookups
+    * scanning only the files whose blooms might hold the wanted keys —
+    * leg 0 against the fresh table, leg 1 after a deletion-vector
+    * DELETE of one key (the mask applies through the bloom-pruned
+    * scan). The oracle replays both states relationally; the spec pins
+    * the scan side. This is the pruning primitive for high-cardinality
+    * point lookups on columns a 100 TB table is NOT clustered by.
+    */
+  def u24BloomLookup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-bloom")
+    val orders = graft.Tables.orders(s, d)
+    (0 until 4).foreach { r =>
+      commit(orders.filter(col("o_orderkey") % 4 === r).coalesce(1), tableDir,
+        if (r == 0) "overwrite" else "append",
+        bloomColumns = Seq("o_orderkey"))
+    }
+    val keys: Seq[Any] = Seq(3L, 8L, 17L, 22L)
+    def leg(n: Int) = readVersionKeys(s, tableDir, "o_orderkey", keys)
+      .select(lit(n).cast("int").as("leg"), col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice").cast("double").as("total"))
+    val l0 = leg(0)
+    deleteWhere(s, tableDir, col("o_orderkey") === 17L)
+    val l1 = leg(1)
+    l0.unionByName(l1).orderBy("leg", "o_orderkey")
+  }
+
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tableDir = graft.TempDirs.create("graft-cas-demo")
@@ -2459,7 +2615,9 @@ object Snapshots {
     if (!publishManifest(f, targetDir,
         Manifest(0L, files, stats, m.schema, Map.empty, dvs, m.checks,
           m.dataRows, m.dvRows, m.bucketSpec,
-          m.buckets.map { case (p, b) => absolutize(p) -> b })))
+          m.buckets.map { case (p, b) => absolutize(p) -> b },
+          None,
+          m.blooms.map { case ((p, c), b) => (absolutize(p), c) -> b })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L
