@@ -108,6 +108,7 @@ object SparkEntry {
     "u21_bucketed_lookup" -> (graft.sources.Snapshots.u21BucketedLookup _),
     "u22_multi_table_txn" -> (graft.sources.Snapshots.u22MultiTableTxn _),
     "u23_fast_count" -> (graft.sources.Snapshots.u23FastCount _),
+    "u24_bloom_lookup" -> (graft.sources.Snapshots.u24BloomLookup _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "s2_knn_bucketed" -> ((s, d) => Similarity.knnBucketed(s, d)),
     "s3_label_centroids" -> (Similarity.labelCentroids _),
     "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
+    "sd1_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "s9_incremental_ivf" -> ((s, d) => Similarity.s9IncrementalIvf(s, d)),
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
@@ -1191,6 +1193,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus <> 'F')
         |  + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3)
         |ORDER BY 1""".stripMargin,
+    // u24 oracle: two bloom-pruned point-lookup states replayed
+    // relationally — pruning must be result-invisible, including
+    // through the DV delete of key 17
+    "u24_bloom_lookup" ->
+      """WITH k AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey IN (3, 8, 17, 22))
+        |SELECT CAST(0 AS INT) AS leg, o_orderkey, o_custkey, total FROM k
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderkey, o_custkey, total FROM k
+        |WHERE o_orderkey <> 17
+        |ORDER BY 1, 2""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing
     "u18_concurrent_writers" ->
@@ -2000,6 +2014,50 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT id1, id2, cos6 FROM p WHERE cos6 >= 0.4 ORDER BY id1, id2""".stripMargin,
     "s5_knn_ivf" -> s5Sql,
     "s10_ann_recall" -> s10Sql,
+    // sd1 oracle: the ε-dominance rule replayed relationally over the
+    // SAME deterministic IVF cells (s5's integer-micro codebook CTEs)
+    // — a vector is dropped iff a lower-id cell-mate is within cosine
+    // 0.4 (rounded 6dp, both engines)
+    "sd1_semantic_dedup" ->
+      """WITH tall AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+        |  FROM tall JOIN lab USING (vec_id)
+        |  GROUP BY label, pos),
+        |scores AS (
+        |  SELECT vec_id, c_label,
+        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tall JOIN cent USING (pos)
+        |  GROUP BY vec_id, c_label),
+        |cells AS (
+        |  SELECT vec_id, c_label AS cell
+        |  FROM scores
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+        |vecs AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cells.cell
+        |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM vecs a JOIN vecs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ROUND(
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])), (s, x) -> s + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])), (s, x) -> s + x))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])), (s, x) -> s + x))),
+        |    6) >= 0.4),
+        |sel AS (
+        |  SELECT v.cell, v.vec_id,
+        |    CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        |  FROM vecs v LEFT JOIN dup d ON v.vec_id = d.vec_id)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN is_dup = 0 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM sel GROUP BY cell ORDER BY cell""".stripMargin,
     // s9 oracle: s5's probe with the codebook FROZEN on the initial
     // load (centroids from vec_id <= max/3) — the incremental index
     // must serve exactly the one-shot assignment under that codebook

@@ -208,6 +208,51 @@ object Similarity {
     knnIvfFrom(e, ivfCells(e), nQueries, k)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023's shape): drop
+    * documents whose embeddings are near-identical in meaning even
+    * when their text is not. Candidates are restricted to IVF cells
+    * (the deterministic integer-micro codebook [[ivfCells]] shares
+    * with the ANN family — at 100 TB the n² pair space is never
+    * materialized, only within-cell collisions), and the keep rule is
+    * ε-DOMINANCE: a vector is dropped iff some LOWER-id vector in its
+    * cell has cosine ≥ `tau` with it. Deterministic (no float-order
+    * or init sensitivity anywhere: quantized centroid argmax + cosine
+    * rounded to 6dp), embarrassingly parallel (no sequential greedy
+    * pass), and a conservative superset of greedy ε-ball dedup
+    * (everything greedy drops, dominance drops). Output: per-cell
+    * vector/drop/keep counts plus the kept-id checksum the oracle
+    * pins exactly.
+    *
+    * Scale note: within-cell pairing is O(Σ cell²), so the cell count
+    * must grow with the corpus (k ≈ n / target-cell-size keeps the
+    * pair volume linear — the published setting uses tens of
+    * thousands of k-means cells at billions of docs). This demo's
+    * codebook is the 10-label corpus codebook shared with the ANN
+    * family; swap in a larger k-means codebook via [[ivfCellsFrom]]
+    * for production cell sizing.
+    */
+  def semanticDedup(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val v = e.select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .join(ivfCells(e), "vec_id")
+    val dropped = v.as("a")
+      .join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    v.join(dropped, Seq("vec_id"), "left")
+      .withColumn("dup", coalesce(col("is_dup"), lit(0)).cast("long"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("dup")).as("n_dropped"),
+        (count(lit(1)) - sum(col("dup"))).as("n_kept"),
+        sum(when(col("dup") === 0L, col("vec_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy("cell")
+  }
+
   /** [[knnIvf]] against a prebuilt cell assignment — lets callers that
     * run several IVF-backed probes ([[annRecall]]) build the centroid
     * codebook and assignment ONCE instead of once per probe.
