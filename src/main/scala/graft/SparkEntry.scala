@@ -164,6 +164,7 @@ object SparkEntry {
     "s3_label_centroids" -> (Similarity.labelCentroids _),
     "s4_embed_neardup" -> ((s, d) => Similarity.embedNearDup(s, d)),
     "sd1_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "sd2_incremental_semantic" -> ((s, d) => Similarity.sd2IncrementalSemanticDedup(s, d)),
     "s5_knn_ivf" -> ((s, d) => Similarity.knnIvf(s, d)),
     "s9_incremental_ivf" -> ((s, d) => Similarity.s9IncrementalIvf(s, d)),
     "s6_quantize" -> (Similarity.quantizeEmbeddings _),
@@ -2028,6 +2029,52 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT label AS c_label, pos,
         |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
         |  FROM tall JOIN lab USING (vec_id)
+        |  GROUP BY label, pos),
+        |scores AS (
+        |  SELECT vec_id, c_label,
+        |         CAST(SUM(CAST(ROUND(x * c_mean * 1000000000000.0) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tall JOIN cent USING (pos)
+        |  GROUP BY vec_id, c_label),
+        |cells AS (
+        |  SELECT vec_id, c_label AS cell
+        |  FROM scores
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) = 1),
+        |vecs AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, cells.cell
+        |  FROM embeddings e JOIN cells ON e.vec_id = cells.vec_id),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM vecs a JOIN vecs b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ROUND(
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])), (s, x) -> s + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i] * a.v[i])), (s, x) -> s + x))
+        |     * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v)+1), i -> b.v[i] * b.v[i])), (s, x) -> s + x))),
+        |    6) >= 0.4),
+        |sel AS (
+        |  SELECT v.cell, v.vec_id,
+        |    CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        |  FROM vecs v LEFT JOIN dup d ON v.vec_id = d.vec_id)
+        |SELECT cell, COUNT(*) AS n_vectors,
+        |  CAST(SUM(is_dup) AS BIGINT) AS n_dropped,
+        |  CAST(COUNT(*) - SUM(is_dup) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN is_dup = 0 THEN vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM sel GROUP BY cell ORDER BY cell""".stripMargin,
+    // sd2 oracle: sd1's dominance rule under the codebook FROZEN on
+    // the initial load (centroids from vec_id <= max/3, s9's cut) —
+    // the incrementally-maintained index must aggregate to exactly
+    // this one-shot replay
+    "sd2_incremental_semantic" ->
+      """WITH tall AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |cut AS (SELECT MAX(vec_id) // 3 AS c FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos,
+        |         CAST(CAST(SUM(CAST(ROUND(x * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000.0 / COUNT(*) AS c_mean
+        |  FROM tall JOIN lab USING (vec_id)
+        |  WHERE vec_id <= (SELECT c FROM cut)
         |  GROUP BY label, pos),
         |scores AS (
         |  SELECT vec_id, c_label,

@@ -287,6 +287,73 @@ object Similarity {
     * At 100 TB: the nightly embedding batch joins ~|cells| centroid
     * rows and appends; the corpus is untouched.
     */
+  /** INCREMENTAL [[semanticDedup]] — the maintenance shape a growing
+    * corpus needs: the embedding lake lands in three commits, the cell
+    * codebook is FROZEN on the initial load (re-clustering per batch
+    * would silently re-shuffle existing assignments), and each batch
+    * is dedup-checked against the INDEX (all prior vectors' cells) plus
+    * its own lower ids — O(batch × cell-mates) per step, never a
+    * corpus rescan. Because ε-dominance depends only on LOWER ids, and
+    * batches arrive id-monotone, each batch's verdicts are final at
+    * assignment time — so the incrementally-maintained index aggregates
+    * to EXACTLY the one-shot rule under the frozen codebook, which is
+    * what the oracle replays. The semantic sibling of
+    * [[s9IncrementalIvf]] / `d9`/`d10`.
+    */
+  def sd2IncrementalSemanticDedup(s: SparkSession, d: String,
+                                  tau: Double = 0.4): DataFrame = {
+    import graft.sources.Snapshots
+    val e = Tables.embeddings(s, d)
+    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    val lakeDir = graft.TempDirs.create("graft-semdedup-lake")
+    val indexDir = graft.TempDirs.create("graft-semdedup-index")
+    Snapshots.commit(e.filter(col("vec_id") <= cut1), lakeDir, "overwrite")
+    Snapshots.commit(e.filter(col("vec_id") > cut1 && col("vec_id") <= cut2),
+      lakeDir, "append")
+    Snapshots.commit(e.filter(col("vec_id") > cut2), lakeDir, "append")
+    val centroids = codebookCentroids(
+      Snapshots.readVersion(s, lakeDir, Some(0L)))
+    (0L to 2L).foreach { v =>
+      val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
+      val bv = assignCells(centroids, batch)
+        .join(batch.select(col("vec_id"), dbl(col("embedding")).as("v")),
+          "vec_id")
+      // lower side = every already-indexed vector (cells from the
+      // index, vectors from the lake) plus the batch itself; the
+      // strict id inequality keeps intra-batch pairs exact
+      val prior =
+        if (v == 0L) bv.limit(0)
+        else Snapshots.readVersion(s, indexDir).select("vec_id", "cell")
+          .join(Snapshots.readVersion(s, lakeDir)
+            .select(col("vec_id"), dbl(col("embedding")).as("v")), "vec_id")
+          .unionByName(bv.select("vec_id", "cell", "v"))
+      val lowers = if (v == 0L) bv.select("vec_id", "cell", "v") else prior
+      val dropped = bv.as("t")
+        .join(lowers.as("l"),
+          col("l.cell") === col("t.cell") && col("l.vec_id") < col("t.vec_id"))
+        .filter(round(cosine(col("l.v"), col("t.v")), 6) >= tau)
+        .select(col("t.vec_id").as("vec_id")).distinct()
+        .withColumn("is_dup", lit(1))
+      val indexed = bv.select("vec_id", "cell")
+        .join(dropped, Seq("vec_id"), "left")
+        .withColumn("dup", coalesce(col("is_dup"), lit(0)).cast("long"))
+        .select("vec_id", "cell", "dup")
+      Snapshots.commit(indexed.coalesce(1), indexDir,
+        if (v == 0L) "overwrite" else "append")
+    }
+    Checkpoints.unpersistCheckpoint(centroids)
+    Snapshots.readVersion(s, indexDir)
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("dup")).as("n_dropped"),
+        (count(lit(1)) - sum(col("dup"))).as("n_kept"),
+        sum(when(col("dup") === 0L, col("vec_id")).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy("cell")
+  }
+
   def s9IncrementalIvf(s: SparkSession, d: String,
                        nQueries: Int = 8, k: Int = 3): DataFrame = {
     import graft.sources.Snapshots
