@@ -65,7 +65,11 @@ object ScaleSmoke {
       // u24 = bloom-pruned point lookups: the index build is the
       // linear part (one agg over each commit's files); the lookups
       // scan O(files whose blooms hit), not the table
-      "u24_bloom_lookup")
+      "u24_bloom_lookup",
+      // u25 = partial compaction (cost tracks the small tail, the big
+      // file rides by reference), u26 = unique-key append (the probe
+      // is index-pruned, the writes are the linear part)
+      "u25_compact_small", "u26_unique_append")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

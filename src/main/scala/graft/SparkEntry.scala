@@ -109,6 +109,8 @@ object SparkEntry {
     "u22_multi_table_txn" -> (graft.sources.Snapshots.u22MultiTableTxn _),
     "u23_fast_count" -> (graft.sources.Snapshots.u23FastCount _),
     "u24_bloom_lookup" -> (graft.sources.Snapshots.u24BloomLookup _),
+    "u25_compact_small" -> (graft.sources.Snapshots.u25CompactSmall _),
+    "u26_unique_append" -> (graft.sources.Snapshots.u26UniqueAppend _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1206,6 +1208,43 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT CAST(1 AS INT), o_orderkey, o_custkey, total FROM k
         |WHERE o_orderkey <> 17
         |ORDER BY 1, 2""".stripMargin,
+    // u25 oracle: both legs replay the post-delete state (a partial
+    // rewrite is result-invisible); n_visible pins the consolidated
+    // ledger against the relational count
+    "u25_compact_small" ->
+      """WITH slices AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 2
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3),
+        |v4 AS (
+        |  SELECT * FROM (
+        |    SELECT o_orderstatus, o_totalprice FROM orders
+        |    UNION ALL SELECT * FROM slices)
+        |  WHERE o_orderstatus <> 'F'),
+        |agg AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM v4 GROUP BY 1)
+        |SELECT CAST(0 AS INT) AS leg, o_orderstatus, n_orders, total,
+        |  6 AS n_versions, (SELECT COUNT(*) FROM v4) AS n_visible FROM agg
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderstatus, n_orders, total,
+        |  6, (SELECT COUNT(*) FROM v4) FROM agg
+        |ORDER BY 1, 2""".stripMargin,
+    // u26 oracle: base + the late batch exactly once; the replayed
+    // and duplicate-key batches committed nothing (n_versions = 2)
+    "u26_unique_append" ->
+      """WITH late AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 7),
+        |allr AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM late)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  2 AS n_versions
+        |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing
     "u18_concurrent_writers" ->

@@ -2323,6 +2323,83 @@ object Snapshots {
     l0.unionByName(l1).orderBy("leg", "o_orderkey")
   }
 
+  /** Partial-compaction demo — the real OPTIMIZE under masks: one big
+    * file (v0) plus three small re-keyed append slices (v1–v3), a DV
+    * DELETE masking rows in BOTH the big and the small files (v4),
+    * then [[compactSmall]] with the threshold at half the big file's
+    * size — the big file is carried BY REFERENCE, the smalls are
+    * rewritten mask-applied, and the surviving mask rows (big-file
+    * ones) are consolidated (v5). Output: the same per-status audit
+    * read at v4 (pre) and v5 (post) — a partial rewrite must be
+    * result-invisible — plus `n_versions` and the LEDGER-served
+    * visible count ([[fastCount]]), which the oracle pins against the
+    * relational count: if mask consolidation dropped or kept a wrong
+    * row, the ledger breaks the compare.
+    */
+  def u25CompactSmall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-compact-small")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders.coalesce(1), tableDir, "overwrite")
+    (1 to 3).foreach { i =>
+      commit(orders.filter(col("o_orderkey") % 10 === i)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+        .coalesce(1), tableDir, "append")
+    }
+    deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    val f = fs(s, tableDir)
+    val m = readManifest(s, tableDir, latestVersion(s, tableDir).get)
+    val maxBytes = m.files.map(rel =>
+      f.getFileStatus(new Path(tableDir, rel)).getLen).max
+    val preV = m.version
+    compactSmall(s, tableDir, minBytes = maxBytes / 2)
+    val nVersions = latestVersion(s, tableDir).get + 1
+    val nVisible = fastCount(s, tableDir)
+    def audit(v: Long, leg: Int) = readVersion(s, tableDir, Some(v))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(lit(leg).cast("int").as("leg"), col("o_orderstatus"),
+        col("n_orders"), col("total"))
+    audit(preV, 0).unionByName(audit(preV + 1, 1))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .withColumn("n_visible", lit(nVisible))
+      .orderBy("leg", "o_orderstatus")
+  }
+
+  /** Unique-key append demo — the primary-key constraint served by
+    * the pruning indexes: orders hash-clustered on `o_orderkey` (v0),
+    * a fresh re-keyed batch lands through [[commitUnique]] (v1 — its
+    * existence probe bucket-prunes), then the SAME batch again and a
+    * batch with an in-batch duplicate are both REFUSED — each leaves
+    * the table untouched and consumes no version, which `n_versions`
+    * = 2 pins through the oracle.
+    */
+  def u26UniqueAppend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-unique")
+    val orders = graft.Tables.orders(s, d)
+    commit(orders, tableDir, "overwrite", bucketBy = Some(("o_orderkey", 16)))
+    val late = orders.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    commitUnique(late, tableDir, "o_orderkey")
+    def refused(attempt: => Long): Unit =
+      try {
+        attempt
+        throw new IllegalStateException("unique violation was NOT refused")
+      } catch { case _: IllegalArgumentException => () }
+    refused(commitUnique(late, tableDir, "o_orderkey")) // replay
+    val one = late.filter(col("o_orderkey") === lit(2000000007L))
+    refused(commitUnique(one.unionByName(one), tableDir, "o_orderkey")) // in-batch dup
+    val nVersions = latestVersion(s, tableDir).get + 1
+    readVersion(s, tableDir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("n_versions", lit(nVersions).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tableDir = graft.TempDirs.create("graft-cas-demo")
@@ -2740,6 +2817,157 @@ object Snapshots {
     }
     if (m.dataRows >= 0 && m.dvRows >= 0) m.dataRows - m.dvRows
     else readFiles(spark, tableDir, m, m.files).count()
+  }
+
+  /** Append with a UNIQUE-KEY guarantee — the primary-key constraint
+    * lakehouses usually refuse to enforce because the existence probe
+    * costs a table scan. Here the probe is served by the pruning
+    * indexes: the batch's distinct keys (bounded by `maxProbeKeys` —
+    * beyond it the probe falls back to one semi-join against the full
+    * snapshot) look up the current version through
+    * [[readVersionKeys]], so on a bucketed or bloom-indexed table the
+    * cost is O(batch × wanted files), not O(table). Refused commits
+    * (an in-batch duplicate, or any key already present) leave the
+    * table untouched and consume no version. Not a serializable
+    * uniqueness guarantee under concurrent writers — two racing
+    * batches with the same fresh key both pass the probe; pin
+    * `expectedVersion` (CAS) around the probe+commit to close that
+    * window, exactly like every optimistic writer loop here.
+    */
+  def commitUnique(df: DataFrame, tableDir: String, key: String,
+                   expectedVersion: Option[Long] = None,
+                   statsColumns: Seq[String] = Nil,
+                   maxProbeKeys: Int = 100000): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark = df.sparkSession
+    val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = batch.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"batch has duplicate '$key' values; unique append to $tableDir refused")
+      if (latestVersion(spark, tableDir).nonEmpty) {
+        val keys = batch.select(col(key)).distinct()
+          .limit(maxProbeKeys + 1).collect().map(_.get(0)).toSeq
+        val hits =
+          if (keys.size <= maxProbeKeys)
+            readVersionKeys(spark, tableDir, key, keys).limit(1).count()
+          else readVersion(spark, tableDir)
+            .join(batch.select(col(key)).distinct(), Seq(key), "left_semi")
+            .limit(1).count()
+        require(hits == 0L,
+          s"key '$key' value(s) already present; unique append to $tableDir refused")
+      }
+      commit(batch, tableDir,
+        if (latestVersion(spark, tableDir).isEmpty) "overwrite" else "append",
+        expectedVersion = expectedVersion, statsColumns = statsColumns)
+    } finally batch.unpersist(false)
+  }
+
+  /** PARTIAL compaction (the real OPTIMIZE shape): rewrite ONLY the
+    * files smaller than `minBytes` into right-sized ones and carry
+    * every other file BY REFERENCE — at 100 TB the small-file problem
+    * is a trailing-edge problem (streaming sinks, CDC payloads, merge
+    * appends), and a full-table rewrite to fix it is absurd; this
+    * costs O(small files), not O(table). Deletion-vector masks are
+    * handled exactly: masked rows of rewritten files are applied
+    * during the rewrite read (and their now-inert mask rows dropped),
+    * masks on carried files are CONSOLIDATED into one right-sized dv
+    * set — so the ledger invariant (dataRows − dvRows = visible rows)
+    * holds exactly, as the randomized protocol spec asserts. Stats,
+    * bucket ids, and blooms of carried files ride along; the new
+    * file(s) are unindexed until a full re-cluster. CAS-pinned like
+    * [[compact]]. Returns the committed version (unchanged when <2
+    * small files — nothing to gain).
+    */
+  def compactSmall(spark: SparkSession, tableDir: String,
+                   minBytes: Long,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val sizes = m.files.map { rel =>
+      val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+      rel -> f.getFileStatus(p).getLen
+    }.toMap
+    val (small, large) = m.files.partition(rel => sizes(rel) < minBytes)
+    if (small.size < 2) return m.version
+    val smallBytes = small.map(sizes).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    // rewrite the small files with their masks APPLIED (readFiles
+    // anti-joins the version's dvs); the surviving rows land clean
+    readFiles(spark, tableDir, m, small).coalesce(nOut)
+      .write.parquet(dataDir.toString)
+    val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
+    // mask consolidation: keep only dv rows that reference CARRIED
+    // files (rows for rewritten files are inert — already applied).
+    // Matching is on the URI TAIL (data/v<N>-<uuid>/<file> —
+    // uuid-unique per commit dir), which also matches BORROWED
+    // absolute refs: a clone's carried source files keep their masks.
+    val tailRe = "(data/v[^/]+/[^/]+)$"
+    val largeTails = large.map { rel =>
+      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
+      if (mt.find()) mt.group(1) else rel
+    }
+    val (dvs, dvRows) =
+      if (m.dvs.isEmpty) (Seq.empty[String], 0L)
+      else {
+        val dvAbs = m.dvs.map(rel =>
+          if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+        val live = spark.read.parquet(dvAbs: _*)
+          .withColumn("__rel", regexp_extract(col("file_path"), tailRe, 1))
+          .filter(col("__rel").isin(largeTails: _*)).drop("__rel")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = live.count()
+          if (n == 0) (Seq.empty[String], 0L)
+          else {
+            val dvRel = f"dv/v$version%06d-$tag"
+            val dvDir = new Path(tableDir, dvRel)
+            dvSizedForWrite(live, n).write.parquet(dvDir.toString)
+            (f.listStatus(dvDir).iterator.map(_.getPath.getName)
+              .filter(_.endsWith(".parquet"))
+              .map(x => s"$dvRel/$x").toSeq.sorted, n)
+          }
+        } finally live.unpersist(false)
+      }
+    val newStats =
+      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
+      else written.flatMap { rel =>
+        footerStats(spark, new Path(tableDir, rel), statsColumns)
+          .map { case (c, st) => (rel, c) -> st }
+      }.toMap
+    // exact per-file row accounting from footers (no scan)
+    val dataRows = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      def rows(p: Path): Long = {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }
+      large.map(rel => rows(
+        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))).sum +
+        written.map(rel => rows(new Path(tableDir, rel))).sum
+    }
+    val keep = large.toSet
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        files = large ++ written,
+        stats = m.stats.filter { case ((rel, _), _) => keep(rel) } ++ newStats,
+        dvs = dvs, dataRows = dataRows, dvRows = dvRows,
+        buckets = m.buckets.filter { case (rel, _) => keep(rel) },
+        blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+        pendingMarker = None))) {
+      f.delete(dataDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    version
   }
 
   def vacuum(spark: SparkSession, tableDir: String,

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partial compaction ([[Snapshots.compactSmall]]) and unique-key
+  * appends ([[Snapshots.commitUnique]]): file-level carry/rewrite
+  * behavior, mask consolidation exactness, ledger accounting, and the
+  * refusal semantics the u25/u26 oracles cannot observe file-by-file.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def freshDir(): String = graft.TempDirs.create("graft-maint-spec")
+
+  private def frame(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  test("compactSmall: big file carried by reference, smalls rewritten, masks exact") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 5000, "big").coalesce(1), dir, "overwrite",
+      statsColumns = Seq("id"))
+    (0 until 4).foreach { i =>
+      Snapshots.commit(
+        frame(10000 + i * 10 until 10000 + i * 10 + 10, s"s$i").coalesce(1),
+        dir, "append")
+    }
+    // masks in BOTH worlds: some big-file rows, some small-file rows
+    Snapshots.deleteWhere(spark, dir,
+      col("id").isin(3L, 7L, 10002L, 10013L))
+    val m1 = Snapshots.readManifest(spark, dir, 5L)
+    val bigRel = m1.files.head // v0's single file listed first
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigLen = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, bigRel)).getLen
+    val preRows = Snapshots.readVersion(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val v = Snapshots.compactSmall(spark, dir, minBytes = bigLen / 2)
+    assert(v === 6L)
+    val m2 = Snapshots.readManifest(spark, dir, 6L)
+    // the big file rode by reference; the four smalls became one
+    assert(m2.files.contains(bigRel))
+    assert(m2.files.size === 2)
+    // its stats rode too
+    assert(m2.stats.contains((bigRel, "id")))
+    // mask consolidation: the surviving dv masks ONLY big-file rows
+    assert(m2.dvRows === 2L) // ids 3 and 7; 10002/10013 applied inert
+    // content identical; ledger exact
+    val postRows = Snapshots.readVersion(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(postRows === preRows)
+    assert(m2.dataRows - m2.dvRows === preRows.size.toLong)
+    assert(Snapshots.fastCount(spark, dir) === preRows.size.toLong)
+    // prior masked version still serves its exact state
+    assert(Snapshots.readVersion(spark, dir, Some(5L)).count()
+      === preRows.size.toLong)
+    // fewer than 2 smalls: no-op, no version consumed
+    assert(Snapshots.compactSmall(spark, dir, minBytes = bigLen / 2) === 6L)
+  }
+
+  test("compactSmall on a clone: borrowed big file keeps its mask") {
+    val src = freshDir()
+    Snapshots.commit(frame(0 until 5000, "big").coalesce(1), src, "overwrite")
+    Snapshots.deleteWhere(spark, src, col("id").isin(3L, 7L))
+    val cl = freshDir()
+    Snapshots.cloneShallow(spark, src, cl)
+    (0 until 3).foreach { i =>
+      Snapshots.commit(frame(9000 + i until 9001 + i, s"s$i").coalesce(1),
+        cl, "append")
+    }
+    val pre = Snapshots.readVersion(spark, cl).count()
+    assert(pre === 5001L) // 5000 − 2 masked + 3 appends
+    val m = Snapshots.readManifest(spark, cl,
+      Snapshots.latestVersion(spark, cl).get)
+    val f = new org.apache.hadoop.fs.Path(cl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxLen = m.files.map { rel =>
+      val p = new org.apache.hadoop.fs.Path(rel)
+      val abs = if (p.isAbsolute) p else new org.apache.hadoop.fs.Path(cl, rel)
+      f.getFileStatus(abs).getLen
+    }.max
+    Snapshots.compactSmall(spark, cl, minBytes = maxLen / 2)
+    val m2 = Snapshots.readManifest(spark, cl,
+      Snapshots.latestVersion(spark, cl).get)
+    // the borrowed big file rode by reference WITH its mask
+    assert(m2.files.exists(new org.apache.hadoop.fs.Path(_).isAbsolute))
+    assert(m2.dvRows === 2L)
+    assert(Snapshots.readVersion(spark, cl).count() === pre)
+    assert(Snapshots.readVersion(spark, cl)
+      .filter(col("id").isin(3L, 7L)).count() === 0L) // still masked
+  }
+
+  test("commitUnique: fresh keys land; dups and replays are refused versionlessly") {
+    val dir = freshDir()
+    assert(Snapshots.commitUnique(frame(0 until 100, "a"), dir, "id") === 0L)
+    assert(Snapshots.commitUnique(frame(100 until 120, "b"), dir, "id") === 1L)
+    // replay: every key exists
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(frame(100 until 120, "b"), dir, "id")
+    }
+    // one overlapping key is enough
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(frame(119 until 130, "c"), dir, "id")
+    }
+    // in-batch duplicate
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(
+        Seq((500L, "x"), (500L, "y")).toDF("id", "tag"), dir, "id")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(1L))
+    assert(Snapshots.readVersion(spark, dir).count() === 120L)
+    // the fallback probe path (maxProbeKeys exceeded) refuses identically
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(frame(110 until 150, "d"), dir, "id",
+        maxProbeKeys = 5)
+    }
+    // and admits fresh keys identically
+    assert(Snapshots.commitUnique(frame(200 until 240, "e"), dir, "id",
+      maxProbeKeys = 5) === 2L)
+  }
+
+  test("commitUnique on a bucketed table probes through the index") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 1000, "base"), dir, "overwrite",
+      bucketBy = Some(("id", 16)))
+    assert(Snapshots.commitUnique(frame(5000 until 5010, "new"), dir, "id") === 1L)
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(frame(5005 until 5008, "clash"), dir, "id")
+    }
+    assert(Snapshots.readVersion(spark, dir).count() === 1010L)
+  }
+}

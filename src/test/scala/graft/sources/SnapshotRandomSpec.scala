@@ -47,7 +47,7 @@ class SnapshotRandomSpec extends SparkSpec {
       var floor = 0L
 
       for (_ <- 1 to 18) {
-        rnd.nextInt(18) match {
+        rnd.nextInt(19) match {
           case i if i < 4 => // append
             val (rows, df) = batch()
             Snapshots.commit(df, dir, "append")
@@ -123,6 +123,12 @@ class SnapshotRandomSpec extends SparkSpec {
           case 15 => // bucketed re-cluster: same rows, hash-clustered
             Snapshots.compactBucketed(spark, dir, "id", 2 + rnd.nextInt(6))
             model :+= Live(lastLive)
+          case 16 => // partial compaction: every file is "small" at
+            // this scale, so masks consolidate through the rewrite —
+            // same rows, exact ledger, and a no-op when <2 files
+            val before = Snapshots.latestVersion(spark, dir).get
+            val v = Snapshots.compactSmall(spark, dir, minBytes = 1L << 40)
+            if (v > before) model :+= Live(lastLive)
           case _ => // vacuum to a random floor ≤ the LAST LIVE version
             // (expiring every live version while a dead txn head
             // survives would leave the table unreadable — a legal but
