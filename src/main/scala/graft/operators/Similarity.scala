@@ -322,13 +322,12 @@ object Similarity {
       // lower side = every already-indexed vector (cells from the
       // index, vectors from the lake) plus the batch itself; the
       // strict id inequality keeps intra-batch pairs exact
-      val prior =
-        if (v == 0L) bv.limit(0)
+      val lowers =
+        if (v == 0L) bv.select("vec_id", "cell", "v")
         else Snapshots.readVersion(s, indexDir).select("vec_id", "cell")
           .join(Snapshots.readVersion(s, lakeDir)
             .select(col("vec_id"), dbl(col("embedding")).as("v")), "vec_id")
           .unionByName(bv.select("vec_id", "cell", "v"))
-      val lowers = if (v == 0L) bv.select("vec_id", "cell", "v") else prior
       val dropped = bv.as("t")
         .join(lowers.as("l"),
           col("l.cell") === col("t.cell") && col("l.vec_id") < col("t.vec_id"))

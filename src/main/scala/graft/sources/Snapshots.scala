@@ -713,19 +713,38 @@ object Snapshots {
 
   /** Last LIVE version ≤ `from`, walking down past dead/in-flight
     * pending manifests. O(1) for tables that never used transactions
-    * (the first manifest checked has no pending line).
+    * (the first manifest checked has no pending line), and the vacuum
+    * floor is never consulted — a vacuumed version's manifest simply
+    * does not exist, which ends the walk.
     */
   private def lastLive(spark: SparkSession, tableDir: String, from: Long,
                        forWrite: Boolean): Option[(Long, Manifest)] = {
-    val floor = vacuumFloor(spark, tableDir)
+    val f = fs(spark, tableDir)
     var v = from
-    while (v >= floor) {
+    while (v >= 0) {
+      if (!f.exists(manifestPath(tableDir, v))) return None // vacuumed
       val m = readManifest(spark, tableDir, v)
       if (manifestLive(spark, m, forWrite)) return Some((v, m))
       v -= 1
     }
     None
   }
+
+  /** The read-side twin of [[resolveForWrite]], shared by every
+    * default-or-explicit-version read path: an explicit version must
+    * be LIVE history ([[readLiveManifest]]); no version means the last
+    * live one (uncommitted/aborted txn heads are invisible).
+    */
+  private def resolveForRead(spark: SparkSession, tableDir: String,
+                             version: Option[Long]): Manifest =
+    version match {
+      case Some(v) => readLiveManifest(spark, tableDir, v)
+      case None =>
+        val raw = latestVersion(spark, tableDir).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $tableDir"))
+        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
+          throw new IllegalArgumentException(s"no live version at $tableDir"))
+    }
 
   /** `readManifest` + the liveness gate for EXPLICIT-version reads:
     * an aborted or in-flight version is not part of table history and
@@ -985,14 +1004,7 @@ object Snapshots {
     */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Option[Long] = None): DataFrame = {
-    val m = version match {
-      case Some(v) => readLiveManifest(spark, tableDir, v)
-      case None => // latest = last LIVE (uncommitted txns are invisible)
-        val raw = latestVersion(spark, tableDir).getOrElse(
-          throw new IllegalArgumentException(s"no committed version at $tableDir"))
-        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
-          throw new IllegalArgumentException(s"no live version at $tableDir"))
-    }
+    val m = resolveForRead(spark, tableDir, version)
     readFiles(spark, tableDir, m, m.files)
   }
 
@@ -1517,14 +1529,7 @@ object Snapshots {
                       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "readVersionKeys needs at least one key")
-    val m = version match {
-      case Some(v) => readLiveManifest(spark, tableDir, v)
-      case None =>
-        val raw = latestVersion(spark, tableDir).getOrElse(
-          throw new IllegalArgumentException(s"no committed version at $tableDir"))
-        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
-          throw new IllegalArgumentException(s"no live version at $tableDir"))
-    }
+    val m = resolveForRead(spark, tableDir, version)
     val pruned = m.bucketSpec match {
       case Some((bk, n)) if bk == key =>
         val keyType = m.schema.map(_(key).dataType).getOrElse(
@@ -1587,10 +1592,14 @@ object Snapshots {
     */
   def addedFiles(spark: SparkSession, tableDir: String,
                  fromVersion: Long, toVersion: Long): Seq[String] = {
-    val to = readManifest(spark, tableDir, toVersion)
+    // endpoints must be LIVE history — a dead/in-flight txn version's
+    // uncommitted files must never surface as "added" (same contract
+    // as readChangeFeed; versions INSIDE the range need no check:
+    // a dead version's files never enter live lineage)
+    val to = readLiveManifest(spark, tableDir, toVersion)
     if (fromVersion < 0) to.files
     else {
-      val before = readManifest(spark, tableDir, fromVersion).files.toSet
+      val before = readLiveManifest(spark, tableDir, fromVersion).files.toSet
       to.files.filterNot(before)
     }
   }
@@ -1760,15 +1769,42 @@ object Snapshots {
     // consumer that must make progress — an in-flight txn at the slice
     // boundary is forced to a decision, committed-adopted or aborted,
     // exactly once; dead versions inside the range are invisible by
-    // construction — their files never entered live lineage)
+    // construction — their files never entered live lineage). An
+    // in-flight txn racing toward its decision gets a bounded GRACE
+    // (`graft.txn.feedGraceMs`, default 1000) before the force-abort:
+    // without it a fast-polling consumer could starve every long
+    // multi-table txn on a streamed table. Txns whose decision latency
+    // exceeds the grace still lose to the feed — size the grace (or
+    // pause consumers) around long transactions.
+    readManifest(spark, tableDir, versions.last).pendingMarker.foreach { mk =>
+      val grace = spark.conf.getOption("graft.txn.feedGraceMs")
+        .map(_.toLong).getOrElse(1000L)
+      val deadline = System.currentTimeMillis() + grace
+      while (markerDecision(spark, mk).isEmpty &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    }
     val toLive = lastLive(spark, tableDir, versions.last, forWrite = true)
     if (toLive.isEmpty) return // nothing live yet
     val (to, toM) = toLive.get
     val fromRaw = versions.head - 1
     val (from, fromM) =
       if (fromRaw < 0) (-1L, Manifest(-1L, Seq.empty))
-      else lastLive(spark, tableDir, fromRaw, forWrite = true)
-        .getOrElse((-1L, Manifest(-1L, Seq.empty)))
+      else lastLive(spark, tableDir, fromRaw, forWrite = true) match {
+        case Some(x) => x
+        case None =>
+          // distinguish "everything at or below the checkpoint was an
+          // aborted txn" (restarting from the true beginning is exact)
+          // from "the checkpoint predates the vacuum floor" — there
+          // the slice is unreconstructable, and falling back to -1
+          // would silently re-deliver the whole table as inserts into
+          // an exactly-once sink. Fail loudly, like a rewrite does.
+          require(vacuumFloor(spark, tableDir) == 0L,
+            s"change-feed checkpoint at v$fromRaw of $tableDir predates the " +
+              "vacuum floor: the slice cannot be reconstructed — restart the " +
+              "consumer from a fresh checkpoint (same contract as rewrites)")
+          (-1L, Manifest(-1L, Seq.empty))
+      }
     if (to <= from) return // every arrived manifest was dead
     if (toM.files.toSet == fromM.files.toSet &&
         toM.dvs.toSet == fromM.dvs.toSet) return // metadata-only range
@@ -2668,14 +2704,7 @@ object Snapshots {
     val f = fs(spark, targetDir)
     require(latestVersion(spark, targetDir).isEmpty,
       s"clone target $targetDir already has commits")
-    val m = version match {
-      case Some(v) => readLiveManifest(spark, sourceDir, v)
-      case None =>
-        val raw = latestVersion(spark, sourceDir).getOrElse(
-          throw new IllegalArgumentException(s"no committed version at $sourceDir"))
-        lastLive(spark, sourceDir, raw, forWrite = false).map(_._2).getOrElse(
-          throw new IllegalArgumentException(s"no live version at $sourceDir"))
-    }
+    val m = resolveForRead(spark, sourceDir, version)
     val srcRoot = fs(spark, sourceDir).makeQualified(new Path(sourceDir))
     def absolutize(p: String): String =
       if (isBorrowed(p)) p else new Path(srcRoot, p).toString
@@ -2807,14 +2836,7 @@ object Snapshots {
     */
   def fastCount(spark: SparkSession, tableDir: String,
                 version: Option[Long] = None): Long = {
-    val m = version match {
-      case Some(v) => readLiveManifest(spark, tableDir, v)
-      case None =>
-        val raw = latestVersion(spark, tableDir).getOrElse(
-          throw new IllegalArgumentException(s"no committed version at $tableDir"))
-        lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
-          throw new IllegalArgumentException(s"no live version at $tableDir"))
-    }
+    val m = resolveForRead(spark, tableDir, version)
     if (m.dataRows >= 0 && m.dvRows >= 0) m.dataRows - m.dvRows
     else readFiles(spark, tableDir, m, m.files).count()
   }
@@ -2964,6 +2986,8 @@ object Snapshots {
         blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
         pendingMarker = None))) {
       f.delete(dataDir, true)
+      if (dvs.nonEmpty) // the consolidated mask dir is this commit's too
+        f.delete(new Path(tableDir, f"dv/v$version%06d-$tag"), true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }

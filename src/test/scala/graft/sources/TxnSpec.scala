@@ -154,6 +154,48 @@ class TxnSpec extends SparkSpec {
       Snapshots.readVersion(spark, t1).count())
   }
 
+  test("file-level change APIs refuse dead endpoints; feed boundary cases are exact") {
+    val (t1, txn) = (freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 10, "seed"), t1)
+    val marker = new org.apache.hadoop.fs.Path(txn, "d4.final").toString
+    Snapshots.commit(frame(100 until 105, "torn"), t1, "append",
+      pending = Some(marker))
+    Snapshots.commit(frame(10 until 12, "live"), t1, "append") // v2, aborts v1
+    // the file-level siblings hold the same liveness contract as the
+    // row-level feed: a dead endpoint never serves
+    intercept[IllegalArgumentException] {
+      Snapshots.addedFiles(spark, t1, 1L, 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.readChanges(spark, t1, 0L, 1L).count()
+    }
+    assert(Snapshots.readChanges(spark, t1, 0L, 2L).count() === 2L) // live slice
+    // feed fallback: a checkpoint whose whole prefix was aborted txns
+    // (floor still 0) restarts from the true beginning — exact
+    val (t2, txn2) = (freshDir(), freshDir())
+    val m2 = new org.apache.hadoop.fs.Path(txn2, "d5.final").toString
+    Snapshots.commit(frame(500 until 505, "torn0"), t2, "overwrite",
+      pending = Some(m2))
+    Snapshots.commit(frame(0 until 7, "live"), t2, "overwrite") // v1, aborts v0
+    var got = -1L
+    val s = spark
+    import s.implicits._
+    Snapshots.changeFeedBatches(t2) { (df, _, _) => got = df.count() }(
+      Seq(0L, 1L).toDF("version"), 0L)
+    assert(got === 7L) // from resolved to -1: the full live snapshot, once
+    // feed checkpoint BELOW the vacuum floor: loud failure, never a
+    // silent full re-delivery
+    val t3 = freshDir()
+    Snapshots.commit(frame(0 until 5, "a"), t3)
+    Snapshots.commit(frame(5 until 8, "b"), t3, "append")
+    Snapshots.commit(frame(8 until 9, "c"), t3, "append")
+    Snapshots.vacuum(spark, t3, 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeedBatches(t3) { (_, _, _) => () }(
+        Seq(2L).toDF("version"), 0L) // fromRaw = 1 < floor = 2
+    }
+  }
+
   test("writers on every mutation path resolve past a torn head") {
     val (t1, txn) = (freshDir(), freshDir())
     val s = spark
