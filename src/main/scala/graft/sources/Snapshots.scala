@@ -1870,7 +1870,9 @@ object Snapshots {
     * replays of the same batch (zombie driver) resolve to one append:
     * the loser sees the winner's watermark and no-ops.
     */
-  def exactlyOnceSink(tableDir: String, appId: String = "sink")
+  def exactlyOnceSink(tableDir: String, appId: String = "sink",
+                      bucketBy: Option[(String, Int)] = None,
+                      bloomColumns: Seq[String] = Nil)
                      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     var attempt = 0
@@ -1883,8 +1885,14 @@ object Snapshots {
       if (batchId <= watermark) return // replay (or lost race): durable already
       val expected = latest.map(_ + 1).getOrElse(0L)
       try {
+        // a streaming sink can keep the table's indexes warm as it
+        // lands: bucketBy clusters each micro-batch's files (matching
+        // the table spec — point lookups stay pruned without waiting
+        // for compactBucketed), bloomColumns indexes them (one agg
+        // over the batch's own files)
         commit(batch, tableDir, "append", expectedVersion = Some(expected),
-          txn = Some(appId -> batchId))
+          txn = Some(appId -> batchId), bucketBy = bucketBy,
+          bloomColumns = bloomColumns)
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

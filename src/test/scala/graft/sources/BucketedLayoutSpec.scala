@@ -116,6 +116,31 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(Snapshots.readVersionKeys(spark, dir, "id", Seq(3L)).count() === 1L)
   }
 
+  test("a bucketed streaming sink keeps lookups pruned; the key filter pushes down") {
+    val dir = freshDir()
+    Snapshots.commit(frame(1000), dir, "overwrite", bucketBy = Some(("id", 8)))
+    val s = spark
+    import s.implicits._
+    val b1 = (2000 until 2100).map(i => (i.toLong, "b1")).toDF("id", "tag")
+    val b2 = (3000 until 3100).map(i => (i.toLong, "b2")).toDF("id", "tag")
+    Snapshots.exactlyOnceSink(dir, "sinkA", bucketBy = Some(("id", 8)))(b1, 0L)
+    Snapshots.exactlyOnceSink(dir, "sinkA", bucketBy = Some(("id", 8)))(b2, 1L)
+    Snapshots.exactlyOnceSink(dir, "sinkA", bucketBy = Some(("id", 8)))(b1, 0L) // replay
+    val m = Snapshots.readManifest(spark, dir, 2L)
+    assert(Snapshots.latestVersion(spark, dir) === Some(2L)) // replay no-op
+    assert(m.files.toSet === m.buckets.keySet) // every batch clustered
+    val one = Snapshots.readVersionKeys(spark, dir, "id", Seq(2050L))
+    assert(one.count() === 1L)
+    // ≤ one file per commit for the wanted bucket, vs 8 per commit
+    assert(one.inputFiles.length <= 3)
+    // the residual isin filter reaches the parquet scan (row-group/page
+    // skipping inside the already-pruned files)
+    val pushed = one.queryExecution.executedPlan.toString()
+    assert(pushed.contains("PushedFilters") &&
+      (pushed.contains("EqualTo(id,2050)") || pushed.contains("In(id")),
+      s"expected key pushdown in:\n$pushed")
+  }
+
   test("bucketed layout survives clone, restore, and string keys") {
     val dir = freshDir()
     val s = spark
