@@ -196,6 +196,31 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("feed grace: an undecided head is waited on briefly, then aborted") {
+    val (t1, txn) = (freshDir(), freshDir())
+    Snapshots.commit(frame(0 until 6, "seed"), t1)
+    val marker = new org.apache.hadoop.fs.Path(txn, "g.final").toString
+    Snapshots.commit(frame(100 until 104, "inflight"), t1, "append",
+      pending = Some(marker))
+    val s = spark
+    import s.implicits._
+    spark.conf.set("graft.txn.feedGraceMs", "100")
+    try {
+      var applied = List.empty[(Long, Long, Long)]
+      val t0 = System.currentTimeMillis()
+      Snapshots.changeFeedBatches(t1) { (df, from, to) =>
+        applied ::= ((df.count(), from, to))
+      }(Seq(0L, 1L).toDF("version"), 0L)
+      assert(System.currentTimeMillis() - t0 >= 100) // grace was granted
+      // the txn never decided inside the grace: force-aborted, slice
+      // carries only the live seed
+      assert(applied === List((6L, -1L, 0L)))
+      intercept[IllegalArgumentException] {
+        Snapshots.readVersion(spark, t1, Some(1L)).count()
+      }
+    } finally spark.conf.unset("graft.txn.feedGraceMs")
+  }
+
   test("writers on every mutation path resolve past a torn head") {
     val (t1, txn) = (freshDir(), freshDir())
     val s = spark
