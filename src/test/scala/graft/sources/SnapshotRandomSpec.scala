@@ -47,10 +47,12 @@ class SnapshotRandomSpec extends SparkSpec {
       var floor = 0L
 
       for (_ <- 1 to 18) {
-        rnd.nextInt(19) match {
-          case i if i < 4 => // append
+        rnd.nextInt(20) match {
+          case i if i < 4 => // append (sometimes bloom-indexed: the
+            // index must ride every later protocol op unharmed)
             val (rows, df) = batch()
-            Snapshots.commit(df, dir, "append")
+            val blooms = if (rnd.nextBoolean()) Seq("id") else Nil
+            Snapshots.commit(df, dir, "append", bloomColumns = blooms)
             model :+= Live(lastLive ++ rows)
           case i if i < 6 => // overwrite (copy-on-write rewrite)
             val (rows, df) = batch()
@@ -129,6 +131,21 @@ class SnapshotRandomSpec extends SparkSpec {
             val before = Snapshots.latestVersion(spark, dir).get
             val v = Snapshots.compactSmall(spark, dir, minBytes = 1L << 40)
             if (v > before) model :+= Live(lastLive)
+          case 17 => // unique append: fresh keys land, a batch reusing
+            // ANY live key is refused and consumes no version
+            val cur = lastLive
+            if (rnd.nextBoolean() && cur.nonEmpty) {
+              val clash = cur.map(_._1).toSeq.sorted.apply(
+                rnd.nextInt(cur.size))
+              val dupDf = Seq((clash, "dup")).toDF("id", "tag")
+              intercept[IllegalArgumentException] {
+                Snapshots.commitUnique(dupDf, dir, "id")
+              } // model unchanged
+            } else {
+              val (rows, df) = batch()
+              Snapshots.commitUnique(df, dir, "id")
+              model :+= Live(cur ++ rows)
+            }
           case _ => // vacuum to a random floor ≤ the LAST LIVE version
             // (expiring every live version while a dead txn head
             // survives would leave the table unreadable — a legal but
@@ -171,6 +188,19 @@ class SnapshotRandomSpec extends SparkSpec {
       assert(Snapshots.readVersion(spark, dir)
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet === lastLive,
         s"seed=$seed latest-live resolution")
+      // point lookups through whatever index history the random walk
+      // left behind (bloomed appends, bucketed re-clusters, rewrites,
+      // masks) answer exactly: sampled present ids + one absent id
+      val finalRows = lastLive.toMap
+      val sample = finalRows.keys.toSeq.sorted.take(5)
+      sample.foreach { id =>
+        val got = Snapshots.readVersionKeys(spark, dir, "id", Seq(id))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(got.toSeq === Seq(id -> finalRows(id)),
+          s"seed=$seed lookup id=$id")
+      }
+      assert(Snapshots.readVersionKeys(spark, dir, "id",
+        Seq(nextId + 999999L)).count() === 0L, s"seed=$seed absent lookup")
       model.zipWithIndex.foreach {
         case (Live(rows), v) =>
           val got = Snapshots.readVersion(spark, dir, Some(v.toLong))
