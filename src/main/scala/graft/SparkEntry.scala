@@ -111,6 +111,7 @@ object SparkEntry {
     "u24_bloom_lookup" -> (graft.sources.Snapshots.u24BloomLookup _),
     "u25_compact_small" -> (graft.sources.Snapshots.u25CompactSmall _),
     "u26_unique_append" -> (graft.sources.Snapshots.u26UniqueAppend _),
+    "u27_materialized_view" -> (graft.sources.IncrementalViews.u27MaterializedView _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1245,6 +1246,33 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  2 AS n_versions
         |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // u27 oracle: the materialized view's full maintenance history
+    // replayed relationally — initial orders + the rekeyed late batch
+    // (append), minus the 'F' rows (DV delete), +10 on the %7 keys and
+    // the %13 re-keyed inserts (merge-on-read) — the refreshed view
+    // must equal the direct aggregate of that final state, and the
+    // literal 4 pins the replayed refresh as a no-op (bootstrap + 3
+    // real refreshes, nothing more)
+    "u27_materialized_view" ->
+      """WITH allr AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |vis AS (
+        |  SELECT * FROM allr WHERE o_orderstatus <> 'F'),
+        |merged AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+        |         ELSE o_totalprice END AS p
+        |  FROM vis
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice AS p
+        |  FROM vis WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  4 AS n_view_versions
+        |FROM merged GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u18 oracle: base + winner + retried loser — the lost update
     // lands exactly once on retry; the losing attempt consumed nothing
     "u18_concurrent_writers" ->
