@@ -186,7 +186,8 @@ object SparkEntry {
     // verify) next to the exact count. x1a is the exact-only companion.
     "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _),
     "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _),
-    "x2_sketch_rollup" -> (CorpusQueries.x2SketchRollup _)
+    "x2_sketch_rollup" -> (CorpusQueries.x2SketchRollup _),
+    "x3_quantile_sketch" -> (CorpusQueries.x3QuantileSketch _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -726,6 +727,30 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL
         |SELECT 'total', COUNT(DISTINCT user_id), COUNT(DISTINCT user_id), 1 FROM ev
         |ORDER BY scope""".stripMargin,
+    // x3 oracle: the ENTIRE sketch computation replayed relationally —
+    // DuckDB builds the per-flag histogram DIRECTLY (one level) while
+    // Spark goes through the flag×linestatus partial/merge rollup, so
+    // the hash-equality of the interpolated quantiles proves the merge
+    // lossless. All arithmetic is double (e0 literals keep DuckDB off
+    // its DECIMAL path); bin width 512 = 2^9 makes the bin ids exact
+    "x3_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    LEAST(CAST(FLOOR(l_extendedprice / 512e0) AS BIGINT), 255) AS bin,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bin, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT l_returnflag, MAX(n) AS n_rows,
+        |  MAX(CASE WHEN cum - cnt < 0.5e0 * n AND cum >= 0.5e0 * n
+        |    THEN (bin + (0.5e0 * n - (cum - cnt)) / cnt) * 512e0 END) AS est_p50,
+        |  MAX(CASE WHEN cum - cnt < 0.95e0 * n AND cum >= 0.95e0 * n
+        |    THEN (bin + (0.95e0 * n - (cum - cnt)) / cnt) * 512e0 END) AS est_p95
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // x1 oracle: the exact count plus the bounded-error witness — the
     // oracle asserts the witness is 1 (the Spark side computes it from
     // the actual HLL estimate; the estimate itself is not compared)

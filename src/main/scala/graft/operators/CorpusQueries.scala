@@ -407,6 +407,63 @@ object CorpusQueries {
     * window is a single partition BY DESIGN: it runs over the per-day
     * aggregate (|days| rows), not over events.
     */
+  /** Mergeable quantile sketch (x3): a fixed-geometry histogram —
+    * 256 bins of width 512 over [0, 131072), covering l_extendedprice
+    * with slack — whose partials ADD, so per-(flag, linestatus)
+    * sketches roll up to per-flag by plain re-aggregation; quantiles
+    * are then read off the merged histogram by cumulative-count
+    * search with linear interpolation inside the target bin. This is
+    * the approximate-percentile shape a 100 TB engine actually serves
+    * rollups from: O(groups × 256) state, one narrow shuffle, any
+    * rollup grain answerable WITHOUT rescanning rows (the GK/KLL
+    * sketches behind percentile_approx are mergeable too, but their
+    * estimates are compaction-order-dependent — this one is exactly
+    * deterministic, so the oracle replays the whole computation
+    * relationally instead of settling for a rows-only check).
+    * Accuracy contract: the estimate and the true quantile lie within
+    * one bin of each other — |est − exact| ≤ 2·512 (QuantileSketchSpec
+    * pins it against the exact interpolated percentile, plus partial/
+    * merge invariance over a random corpus split). The oracle-passed
+    * equality of Spark's two-level merge (flag×linestatus → flag)
+    * with DuckDB's direct one-level build IS the mergeability proof.
+    * Bin width a power of two: x/512 and ·512 are exact in binary
+    * floating point, so bin ids can never straddle engines; the
+    * interpolation arithmetic is all-double (IEEE-identical).
+    */
+  def x3QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val binW = 512.0
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_extendedprice"))
+    // level 0: the partial sketches (one histogram per flag×linestatus)
+    val partials = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        least(floor(col("l_extendedprice") / lit(binW)), lit(255L))
+          .cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // sketch MERGE = adding bin counts (the rollup to per-flag)
+    val mergedH = partials.groupBy("l_returnflag", "bin")
+      .agg(sum("cnt").as("cnt"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    val h = mergedH
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+    // quantile read-off: the first bin whose cumulative count reaches
+    // q·n, linearly interpolated within the bin; each flag matches
+    // exactly one bin per q, extracted by a conditional aggregate
+    def est(q: Double): Column = {
+      val t = lit(q) * col("n")
+      val before = col("cum") - col("cnt")
+      max(when(before < t && col("cum") >= t,
+        (col("bin") + (t - before) / col("cnt")) * lit(binW)))
+    }
+    h.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n_rows"),
+        est(0.5).as("est_p50"), est(0.95).as("est_p95"))
+      .orderBy("l_returnflag")
+  }
+
   def x2SketchRollup(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))
