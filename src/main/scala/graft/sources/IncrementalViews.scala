@@ -183,6 +183,38 @@ object IncrementalViews {
       expectedVersion = Some(viewV + 1), txn = Some((ViewTxnApp, to)))
   }
 
+  /** Continuous maintenance: pair with [[Snapshots.streamChangeFeed]]
+    * as `writeStream.foreachBatch(IncrementalViews.viewSink(src, view,
+    * vd) _)` — every discovered source commit triggers one [[refresh]]
+    * (a fresh view bootstraps on the first batch: initial-load-then-
+    * tail). The file source's checkpoint carries discovery progress
+    * and the view's OWN txn watermark carries fold progress, so a
+    * replayed micro-batch (failure between refresh and checkpoint
+    * write) no-ops and a racing refresher costs only a CAS retry —
+    * exactly-once materialization with no bespoke state. The batch's
+    * version rows are only a trigger: refresh always folds up to the
+    * source's latest, and the batches that then arrive for already-
+    * folded versions no-op on the watermark.
+    */
+  def viewSink(sourceDir: String, viewDir: String, vd: ViewDef,
+               rebootstrapOnRewrite: Boolean = false)
+              (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    var attempt = 0
+    while (true) {
+      try {
+        if (Snapshots.latestVersion(spark, viewDir).isEmpty)
+          bootstrap(spark, sourceDir, viewDir, vd)
+        else refresh(spark, sourceDir, viewDir, vd, rebootstrapOnRewrite)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+  }
+
   /** Demo + oracle entry (`u27_materialized_view`): a per-status
     * orders view maintained through the FULL change vocabulary —
     * bootstrap (v0), late append (v1), deletion-vector DELETE of the

@@ -70,6 +70,33 @@ class IncrementalViewSpec extends SparkSpec {
       === Snapshots.latestVersion(spark, src).get)
   }
 
+  test("viewSink: streamed maintenance == direct aggregate; restart no-ops") {
+    val src = graft.TempDirs.create("graft-ivspec-st-src")
+    val view = graft.TempDirs.create("graft-ivspec-st-view")
+    val ckpt = graft.TempDirs.create("graft-ivspec-st-ckpt")
+    Snapshots.commit(frame(0 until 600), src, "overwrite")
+    def query() = Snapshots.streamChangeFeed(spark, src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(IncrementalViews.viewSink(src, view, vd) _)
+      .start()
+    val q1 = query()
+    try {
+      q1.processAllAvailable() // first batch bootstraps the view
+      assert(served(view) === expect(Snapshots.readVersion(spark, src)))
+      Snapshots.commit(frame(700 until 800), src, "append")
+      Snapshots.deleteWhere(spark, src, col("id") % 5 === 0)
+      q1.processAllAvailable()
+      assert(served(view) === expect(Snapshots.readVersion(spark, src)))
+    } finally q1.stop()
+    val vBefore = Snapshots.latestVersion(spark, view).get
+    // restart from the checkpoint: nothing new → no view commit
+    val q2 = query()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snapshots.latestVersion(spark, view).get === vBefore)
+    assert(served(view) === expect(Snapshots.readVersion(spark, src)))
+  }
+
   test("rewrite in range: refresh refused; rebootstrapOnRewrite recovers") {
     val src = graft.TempDirs.create("graft-ivspec-rw-src")
     val view = graft.TempDirs.create("graft-ivspec-rw-view")
