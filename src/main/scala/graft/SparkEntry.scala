@@ -112,6 +112,7 @@ object SparkEntry {
     "u25_compact_small" -> (graft.sources.Snapshots.u25CompactSmall _),
     "u26_unique_append" -> (graft.sources.Snapshots.u26UniqueAppend _),
     "u27_materialized_view" -> (graft.sources.IncrementalViews.u27MaterializedView _),
+    "u28_sql_datasource" -> (graft.sources.GraftSource.u28SqlDatasource _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -727,6 +728,24 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL
         |SELECT 'total', COUNT(DISTINCT user_id), COUNT(DISTINCT user_id), 1 FROM ev
         |ORDER BY scope""".stripMargin,
+    // u28 oracle: both serving paths replayed — latest = initial +
+    // rekeyed late batch minus the DV-deleted 'F' rows (served through
+    // the SQL temp view over format("graft")), v0 = the initial load
+    // (served through the versionAsOf reader option)
+    "u28_sql_datasource" ->
+      """WITH late AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 = 3),
+        |allr AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM late)
+        |SELECT 'latest' AS scope, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM allr WHERE o_orderstatus <> 'F' GROUP BY 2
+        |UNION ALL
+        |SELECT 'v0', o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders GROUP BY 2
+        |ORDER BY scope, o_orderstatus""".stripMargin,
     // x3 oracle: the ENTIRE sketch computation replayed relationally —
     // DuckDB builds the per-flag histogram DIRECTLY (one level) while
     // Spark goes through the flag×linestatus partial/merge rollup, so

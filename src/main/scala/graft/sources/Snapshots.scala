@@ -57,6 +57,21 @@ object Snapshots {
       case "double" => min.toDouble <= asDouble(hi) && max.toDouble >= asDouble(lo)
       case _        => min <= hi.toString && max >= lo.toString
     }
+    /** One-sided bounds for `col >= v` / `col <= v` pruning (used by
+      * the [[GraftRelation]] pushed-filter path). Conservative: a file
+      * whose max equals a strict bound is kept — pruning is a scan
+      * reducer, never a row filter.
+      */
+    def mayGe(v: Any): Boolean = kind match {
+      case "long"   => max.toLong >= asLong(v)
+      case "double" => max.toDouble >= asDouble(v)
+      case _        => max >= v.toString
+    }
+    def mayLe(v: Any): Boolean = kind match {
+      case "long"   => min.toLong <= asLong(v)
+      case "double" => min.toDouble <= asDouble(v)
+      case _        => min <= v.toString
+    }
     private def asLong(a: Any): Long = a match {
       case n: Number => n.longValue()
       case d: java.sql.Date => d.toLocalDate.toEpochDay
@@ -1530,17 +1545,35 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "readVersionKeys needs at least one key")
     val m = resolveForRead(spark, tableDir, version)
-    val pruned = m.bucketSpec match {
+    val keep = pruneForKeys(spark, m, m.files, key, keys)
+    // every file pruned ⇒ the keys cannot exist; one file is kept for
+    // the schema and the row filter (exact either way) returns empty
+    val keepNE = if (keep.nonEmpty) keep else m.files.take(1)
+    readFiles(spark, tableDir, m, keepNE).filter(col(key).isin(keys: _*))
+  }
+
+  /** Equality/IN pruning shared by [[readVersionKeys]] and the
+    * [[GraftRelation]] pushed-filter path: of `candidates`, the files
+    * that might hold ANY of `keys` in `key`, composing all three
+    * pruning primitives — bucket (when `key` is the table's bucket
+    * key), footer min/max stats, then per-file blooms. Bit positions
+    * and bucket ids are evaluated through Spark's own hash (one tiny
+    * local job), so probe and build can never drift.
+    */
+  private def pruneForKeys(spark: SparkSession, m: Manifest,
+                           candidates: Seq[String], key: String,
+                           keys: Seq[Any]): Seq[String] = {
+    val bucketPruned = m.bucketSpec match {
       case Some((bk, n)) if bk == key =>
         val keyType = m.schema.map(_(key).dataType).getOrElse(
           org.apache.spark.sql.types.StringType)
         val wanted = bucketIdsOf(spark, keys, keyType, n)
-        m.files.filter(rel => m.buckets.get(rel).forall(wanted.contains))
-      case _ => m.files
+        candidates.filter(rel => m.buckets.get(rel).forall(wanted.contains))
+      case _ => candidates
     }
     // stat pruning composes when the key carries footer stats: keep a
     // file only if SOME wanted key overlaps its [min,max]
-    val statKeep = pruned.filter(rel =>
+    val statKeep = bucketPruned.filter(rel =>
       m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
     // bloom pruning composes last: a file indexed on `key` survives
     // only if SOME wanted key might be in its bloom — the primitive
@@ -1554,14 +1587,49 @@ object Snapshots {
     val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
       geometries.map(g =>
         g -> bloomProbeBits(spark, keys, keyType0, g._1, g._2)).toMap
-    val keep = statKeep.filter(rel => m.blooms.get((rel, key)).forall { b =>
+    statKeep.filter(rel => m.blooms.get((rel, key)).forall { b =>
       val bits = probeBits((b.mBits, b.k))
       keys.exists(k => bloomMightContain(b, bits(k.toString)))
     })
-    // every file pruned ⇒ the keys cannot exist; one file is kept for
-    // the schema and the row filter (exact either way) returns empty
+  }
+
+  /** The [[GraftRelation]] read path: `version`'s rows (deletion
+    * vectors applied) scanning only the files the pushed V1 filters
+    * cannot rule out. Top-level conjuncts prune: equality/IN through
+    * [[pruneForKeys]] (bucket ∧ stats ∧ bloom), one-sided ranges
+    * through footer stats; everything else (Or, Not, null tests,
+    * string matches) is left to the row-level filter the caller
+    * re-applies — pruning here is a scan reducer, never a row filter,
+    * exactly the parquet footer-pruning contract one level up.
+    */
+  def readVersionFiltered(spark: SparkSession, tableDir: String,
+                          version: Option[Long],
+                          filters: Seq[org.apache.spark.sql.sources.Filter])
+      : DataFrame = {
+    import org.apache.spark.sql.sources._
+    val m = resolveForRead(spark, tableDir, version)
+    var keep = m.files
+    filters.foreach {
+      case EqualTo(c, v) if v != null =>
+        keep = pruneForKeys(spark, m, keep, c, Seq(v))
+      case EqualNullSafe(c, v) if v != null =>
+        keep = pruneForKeys(spark, m, keep, c, Seq(v))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        keep = pruneForKeys(spark, m, keep, c, vs.toIndexedSeq)
+      case GreaterThan(c, v) if v != null =>
+        keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))
+      case GreaterThanOrEqual(c, v) if v != null =>
+        keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))
+      case LessThan(c, v) if v != null =>
+        keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
+      case LessThanOrEqual(c, v) if v != null =>
+        keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
+      case _ => () // residual-only: the row filter handles it exactly
+    }
+    // all files pruned ⇒ no row can match; keep one file for the
+    // schema, the re-applied row filter returns empty
     val keepNE = if (keep.nonEmpty) keep else m.files.take(1)
-    readFiles(spark, tableDir, m, keepNE).filter(col(key).isin(keys: _*))
+    readFiles(spark, tableDir, m, keepNE)
   }
 
   /** Re-cluster the latest version into the bucket layout (the

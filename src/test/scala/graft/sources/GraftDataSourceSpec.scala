@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The `graft` data source ([[GraftSource]]/[[GraftRelation]]):
+  * format-reader and SQL-view results must equal the Scala read path
+  * (deletion vectors applied, time travel honored), and pushed
+  * filters must prune files through the manifest's stats, buckets,
+  * and blooms without ever changing results.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+
+  private def frame(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, tag, i % 7)).toDF("id", "tag", "grp")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "tag", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  test("format read == Scala read, with masks and versionAsOf time travel") {
+    val dir = graft.TempDirs.create("graft-ds-spec")
+    Snapshots.commit(frame(0 until 500, "base"), dir, "overwrite")
+    Snapshots.commit(frame(500 until 600, "late"), dir, "append")
+    Snapshots.deleteWhere(spark, dir, col("id") % 9 === 0)
+    val viaFormat = spark.read.format("graft").load(dir)
+    assert(rows(viaFormat) === rows(Snapshots.readVersion(spark, dir)))
+    // time travel: pre-append snapshot through the option
+    val v0 = spark.read.format("graft").option("versionAsOf", "0").load(dir)
+    assert(rows(v0) === rows(Snapshots.readVersion(spark, dir, Some(0L))))
+    // SQL view surface, with a WHERE (re-applied row-level + pushed)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ds_spec_t " +
+      s"USING graft OPTIONS (path '$dir')")
+    val viaSql = spark.sql("SELECT * FROM ds_spec_t WHERE tag = 'late'")
+    assert(rows(viaSql) ===
+      rows(Snapshots.readVersion(spark, dir).filter(col("tag") === "late")))
+  }
+
+  test("pushed filters prune files: range stats, and bucket+bloom equality") {
+    val dir = graft.TempDirs.create("graft-ds-prune")
+    // two disjoint id ranges in separate files with footer stats
+    Snapshots.commit(frame(0 until 1000, "lo").coalesce(1), dir, "overwrite",
+      statsColumns = Seq("id"))
+    Snapshots.commit(frame(100000 until 101000, "hi").coalesce(1), dir,
+      "append", statsColumns = Seq("id"))
+    import org.apache.spark.sql.sources.{GreaterThan, EqualTo}
+    val pruned = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(GreaterThan("id", 50000L)))
+    assert(pruned.inputFiles.length === 1)
+    assert(Snapshots.readVersionFiltered(spark, dir, None, Nil)
+      .inputFiles.length === 2)
+    // results identical through the format reader despite pruning
+    val viaFormat = spark.read.format("graft").load(dir)
+      .filter(col("id") > 50000L)
+    assert(rows(viaFormat) ===
+      rows(Snapshots.readVersion(spark, dir).filter(col("id") > 50000L)))
+    // bucketed + bloomed table: equality on the bucket key scans ≤ 1
+    // bucket file; equality on the bloomed column prunes the rest
+    val bdir = graft.TempDirs.create("graft-ds-bucket")
+    Snapshots.commit(frame(0 until 2000, "b"), bdir, "overwrite",
+      bucketBy = Some(("id", 8)), bloomColumns = Seq("tag"))
+    val byKey = Snapshots.readVersionFiltered(spark, bdir, None,
+      Seq(EqualTo("id", 77L)))
+    assert(byKey.inputFiles.length === 1)
+    val byBloom = Snapshots.readVersionFiltered(spark, bdir, None,
+      Seq(EqualTo("tag", "nope")))
+    assert(byBloom.inputFiles.length === 1) // schema survivor only
+    assert(spark.read.format("graft").load(bdir)
+      .filter(col("id") === 77L).count() === 1L)
+  }
+
+  test("timestampAsOf parses millis, ISO instant, and UTC wall clock") {
+    assert(GraftSource.parseMillis("1723600000000") === 1723600000000L)
+    assert(GraftSource.parseMillis("2026-08-14T00:00:00Z") ===
+      java.time.Instant.parse("2026-08-14T00:00:00Z").toEpochMilli)
+    assert(GraftSource.parseMillis("2026-08-14 00:00:00") ===
+      java.time.Instant.parse("2026-08-14T00:00:00Z").toEpochMilli)
+  }
+}
