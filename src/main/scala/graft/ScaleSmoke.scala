@@ -69,7 +69,12 @@ object ScaleSmoke {
       // u25 = partial compaction (cost tracks the small tail, the big
       // file rides by reference), u26 = unique-key append (the probe
       // is index-pruned, the writes are the linear part)
-      "u25_compact_small", "u26_unique_append")
+      "u25_compact_small", "u26_unique_append",
+      // u27 = materialized view maintenance (each refresh O(that
+      // slice + view rows); the source commits are the linear part),
+      // u28 = the data-source serving loop (two aggregate scans plus
+      // the demo's own commits — read cost tracks surviving files)
+      "u27_materialized_view", "u28_sql_datasource")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -1292,7 +1292,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM allr GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     // u27 oracle: the materialized view's full maintenance history
     // replayed relationally — initial orders + the rekeyed late batch
-    // (append), minus the 'F' rows (DV delete), +10 on the %7 keys and
+    // (append), minus the %11 keys (DV delete), +10 on the %7 keys and
     // the %13 re-keyed inserts (merge-on-read) — the refreshed view
     // must equal the direct aggregate of that final state, and the
     // literal 4 pins the replayed refresh as a no-op (bootstrap + 3
@@ -1304,7 +1304,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT o_orderkey + 2000000000, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 10 = 3),
         |vis AS (
-        |  SELECT * FROM allr WHERE o_orderstatus <> 'F'),
+        |  SELECT * FROM allr WHERE o_orderkey % 11 <> 0),
         |merged AS (
         |  SELECT o_orderstatus,
         |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10

@@ -217,12 +217,14 @@ object IncrementalViews {
 
   /** Demo + oracle entry (`u27_materialized_view`): a per-status
     * orders view maintained through the FULL change vocabulary —
-    * bootstrap (v0), late append (v1), deletion-vector DELETE of the
-    * 'F' rows (v2), merge-on-read MERGE (updates + inserts, v3) —
-    * with one refresh after each commit plus a replayed refresh that
-    * must no-op (`n_view_versions` pins it through the oracle). The
-    * served view must equal the direct aggregate of the source's
-    * final state, which is what the oracle replays relationally.
+    * bootstrap (v0), late append (v1), a deletion-vector DELETE of a
+    * keyed ~9% slice (v2 — CDC-scale, not a third of the table; the
+    * net-to-zero group case is IncrementalViewSpec's job), merge-on-
+    * read MERGE (updates + inserts, v3) — with one refresh after each
+    * commit plus a replayed refresh that must no-op
+    * (`n_view_versions` pins it through the oracle). The served view
+    * must equal the direct aggregate of the source's final state,
+    * which is what the oracle replays relationally.
     */
   def u27MaterializedView(s: SparkSession, d: String): DataFrame = {
     val tableDir = graft.TempDirs.create("graft-mview-src")
@@ -235,9 +237,12 @@ object IncrementalViews {
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     Snapshots.commit(late, tableDir, "append")
     refresh(s, tableDir, viewDir, vd)
-    Snapshots.deleteWhere(s, tableDir, col("o_orderstatus") === "F")
+    Snapshots.deleteWhere(s, tableDir, col("o_orderkey") % 11 === 0)
     refresh(s, tableDir, viewDir, vd)
-    val visible = Snapshots.readVersion(s, tableDir)
+    // the masked read feeds BOTH change branches and the merge's own
+    // re-evaluation — materialize it once (freed by the harnesses'
+    // persistent-RDD sweep between queries)
+    val visible = Snapshots.readVersion(s, tableDir).localCheckpoint()
     val upd = visible.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
       .withColumn("op", lit("U"))
