@@ -7,7 +7,8 @@ import graft.functions.CosineSimilarity
 /** SparkSessionExtensions entry point: install with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
   * `.withExtensions(new GraftExtensions)`) to get the engine's native
-  * functions in ANY session — including plain `spark.sql` users.
+  * functions AND its optimizer rules in ANY session — including plain
+  * `spark.sql` users.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -15,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier(CosineSimilarity.name),
         CosineSimilarity.info,
         CosineSimilarity.builder))
+    // COUNT(*) over a graft relation answers from the manifest ledger
+    ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
   }
 }

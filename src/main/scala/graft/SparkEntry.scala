@@ -113,6 +113,7 @@ object SparkEntry {
     "u26_unique_append" -> (graft.sources.Snapshots.u26UniqueAppend _),
     "u27_materialized_view" -> (graft.sources.IncrementalViews.u27MaterializedView _),
     "u28_sql_datasource" -> (graft.sources.GraftSource.u28SqlDatasource _),
+    "u29_metadata_count" -> (graft.sources.GraftSource.u29MetadataCount _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -746,6 +747,22 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |FROM orders GROUP BY 2
         |ORDER BY scope, o_orderstatus""".stripMargin,
+    // u29 oracle: the three counts recomputed from the raw table —
+    // total and total_v0 are ledger-served in Spark (the optimizer
+    // rule; zero file reads, plan shape pinned by the spec), filtered
+    // takes the scan path; all three must equal the replay
+    "u29_metadata_count" ->
+      """WITH allr AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |vis AS (SELECT * FROM allr WHERE o_orderkey % 11 <> 0)
+        |SELECT 'filtered' AS scope, COUNT(*) AS n FROM vis
+        |WHERE o_orderstatus = 'O'
+        |UNION ALL SELECT 'total', COUNT(*) FROM vis
+        |UNION ALL SELECT 'total_v0', COUNT(*) FROM orders
+        |ORDER BY scope""".stripMargin,
     // x3 oracle: the ENTIRE sketch computation replayed relationally —
     // DuckDB builds the per-flag histogram DIRECTLY (one level) while
     // Spark goes through the flag×linestatus partial/merge rollup, so

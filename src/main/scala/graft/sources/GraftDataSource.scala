@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.StructType
   * parquet plan ([[GraftRelation.buildScan]]) — pruning can never
   * change results, only skip files.
   */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def createRelation(ctx: SQLContext,
@@ -56,6 +57,49 @@ class GraftSource extends RelationProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           s"$path has no committed version")))
     GraftRelation(ctx, path, version)
+  }
+
+  /** The write half: `df.write.format("graft").mode(...).save(dir)` is
+    * one atomic snapshot commit. Append/Overwrite map to the commit
+    * modes (CHECK constraints, schema-evolution rules, and txn
+    * carry-forward all apply — this IS [[Snapshots.commit]]);
+    * ErrorIfExists refuses a non-empty table; Ignore no-ops on one.
+    * Index options ride the write: `statsColumns` (csv),
+    * `bucketBy` (`col:n`), `bloomColumns` (csv) — the same layout
+    * controls the Scala API exposes, so a pure DataFrame-API user can
+    * build fully indexed tables.
+    */
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = p.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path: .save(tableDir) or option(\"path\", ...)"))
+    val exists = Snapshots.latestVersion(ctx.sparkSession, path).nonEmpty
+    val commitMode = mode match {
+      case SaveMode.Append        => Some("append")
+      case SaveMode.Overwrite     => Some("overwrite")
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"$path already has versions (SaveMode.ErrorIfExists)")
+        else Some("overwrite")
+      case SaveMode.Ignore        => if (exists) None else Some("overwrite")
+    }
+    val stats = p.get("statscolumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val blooms = p.get("bloomcolumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bucket = p.get("bucketby").map { s =>
+      val parts = s.split(":")
+      require(parts.length == 2,
+        s"bucketBy must be 'column:numBuckets', got '$s'")
+      (parts(0).trim, parts(1).trim.toInt)
+    }
+    commitMode.foreach(m => Snapshots.commit(data, path, m,
+      statsColumns = stats, bucketBy = bucket, bloomColumns = blooms))
+    createRelation(ctx, parameters - "versionasof" - "timestampasof")
   }
 }
 
@@ -96,6 +140,40 @@ object GraftSource {
     latest.unionByName(v0).orderBy("scope", "o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u29_metadata_count`): COUNT(*) served from
+    * the manifest ledger by the [[graft.plans.MetadataOnlyCount]]
+    * optimizer rule — `SELECT COUNT(*)` through the SQL view and
+    * `df.count()` through a versionAsOf reader both answer with zero
+    * file reads (the spec pins the LocalRelation plan shape), across
+    * an append and a DV delete; a filtered COUNT takes the scan path
+    * and must agree with the same relational replay. The oracle
+    * recomputes all three from the raw table.
+    */
+  def u29MetadataCount(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tableDir = graft.TempDirs.create("graft-meta-count")
+    val orders = graft.Tables.orders(s, d)
+    Snapshots.commit(orders, tableDir, "overwrite")
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Snapshots.commit(late, tableDir, "append")
+    Snapshots.deleteWhere(s, tableDir, col("o_orderkey") % 11 === 0)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_mc " +
+      s"USING graft OPTIONS (path '$tableDir')")
+    val sqlCounts = s.sql(
+      """SELECT 'filtered' AS scope, COUNT(*) AS n FROM graft_mc
+        |WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'total', COUNT(*) FROM graft_mc""".stripMargin)
+    val v0n = s.read.format("graft").option("versionAsOf", "0")
+      .load(tableDir).count() // Dataset.count(): same ledger answer
+    import s.implicits._
+    sqlCounts.unionByName(
+        Seq(("total_v0", v0n)).toDF("scope", "n"))
+      .orderBy("scope")
+  }
+
   /** `timestampAsOf` accepted as epoch millis, ISO-8601 instant, or
     * `yyyy-MM-dd HH:mm:ss[.f]` interpreted as UTC (the engine's
     * pinned session zone).
@@ -129,6 +207,18 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
   override def sqlContext: SQLContext = ctx
 
   override val needConversion: Boolean = false
+
+  /** The snapshot's visible row count from the manifest ledger
+    * (dataRows − dvRows), when the accounting is known — what the
+    * [[graft.plans.MetadataOnlyCount]] optimizer rule serves
+    * `SELECT COUNT(*)` from with zero file reads. None for manifests
+    * predating row accounting (the rule then leaves the plan alone).
+    */
+  private[graft] def ledgerCount: Option[Long] = {
+    val m = manifest
+    if (m.dataRows >= 0 && m.dvRows >= 0) Some(m.dataRows - m.dvRows)
+    else None
+  }
 
   override lazy val schema: StructType = manifest.schema.getOrElse {
     require(manifest.files.nonEmpty,

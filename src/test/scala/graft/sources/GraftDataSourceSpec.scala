@@ -72,6 +72,69 @@ class GraftDataSourceSpec extends SparkSpec {
       .filter(col("id") === 77L).count() === 1L)
   }
 
+  test("write path: append/overwrite/ErrorIfExists/Ignore with index options") {
+    import org.apache.spark.sql.SaveMode
+    val dir = graft.TempDirs.create("graft-ds-write")
+    frame(0 until 100, "a").write.format("graft")
+      .option("statsColumns", "id").option("bucketBy", "id:4").save(dir)
+    frame(100 until 150, "b").write.format("graft")
+      .mode(SaveMode.Append).save(dir)
+    assert(Snapshots.latestVersion(spark, dir).get === 1L)
+    assert(rows(spark.read.format("graft").load(dir)) ===
+      rows(frame(0 until 150, "x").withColumn("tag",
+        when(col("id") < 100, "a").otherwise("b"))))
+    val m = Snapshots.readManifest(spark, dir, 1L)
+    assert(m.bucketSpec === Some(("id", 4))) // layout rode the write
+    assert(m.stats.keys.exists(_._2 == "id"))
+    intercept[IllegalArgumentException] {
+      frame(0 until 5, "x").write.format("graft")
+        .mode(SaveMode.ErrorIfExists).save(dir)
+    }
+    frame(0 until 5, "x").write.format("graft")
+      .mode(SaveMode.Ignore).save(dir) // no-op on existing table
+    assert(Snapshots.latestVersion(spark, dir).get === 1L)
+    frame(900 until 910, "ow").write.format("graft")
+      .mode(SaveMode.Overwrite).save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 10L)
+  }
+
+  test("COUNT(*) answers from the ledger: LocalRelation plan, exact across deletes") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = graft.TempDirs.create("graft-ds-count")
+    Snapshots.commit(frame(0 until 400, "a"), dir, "overwrite")
+    Snapshots.deleteWhere(spark, dir, col("id") % 4 === 0)
+    def optimized(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+    val df = spark.read.format("graft").load(dir)
+    val cnt = df.groupBy().count()
+    assert(optimized(cnt).collectFirst { case l: LocalRelation => l }.nonEmpty,
+      "COUNT(*) over a graft relation must rewrite to a LocalRelation")
+    assert(cnt.collect().head.getLong(0) === 300L) // 400 − 100 masked
+    assert(df.count() === 300L)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ds_cnt_t " +
+      s"USING graft OPTIONS (path '$dir')")
+    val viaSql = spark.sql("SELECT COUNT(*) AS n FROM ds_cnt_t")
+    assert(optimized(viaSql).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(viaSql.collect().head.getLong(0) === 300L)
+    // NOT rewritten (and still exact): a filter, count(col), group-by
+    val filtered = df.filter(col("tag") === "a").groupBy().count()
+    assert(optimized(filtered).collectFirst { case l: LocalRelation => l }.isEmpty)
+    assert(filtered.collect().head.getLong(0) === 300L)
+    // COUNT(id) on the NON-nullable id: Catalyst's NullPropagation
+    // legally rewrites it to COUNT(1) first, so the ledger serves it —
+    // still exact (non-null count == row count)
+    val countNonNull = spark.sql("SELECT COUNT(id) AS n FROM ds_cnt_t")
+    assert(optimized(countNonNull).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(countNonNull.collect().head.getLong(0) === 300L)
+    // COUNT(tag) on a NULLABLE column must NOT be served by the ledger
+    val countCol = spark.sql("SELECT COUNT(tag) AS n FROM ds_cnt_t")
+    assert(optimized(countCol).collectFirst { case l: LocalRelation => l }.isEmpty)
+    assert(countCol.collect().head.getLong(0) === 300L)
+    val grouped = spark.sql("SELECT tag, COUNT(*) AS n FROM ds_cnt_t GROUP BY tag")
+    assert(optimized(grouped).collectFirst { case l: LocalRelation => l }.isEmpty)
+    assert(grouped.collect().map(_.getLong(1)).sum === 300L)
+  }
+
   test("timestampAsOf parses millis, ISO instant, and UTC wall clock") {
     assert(GraftSource.parseMillis("1723600000000") === 1723600000000L)
     assert(GraftSource.parseMillis("2026-08-14T00:00:00Z") ===
