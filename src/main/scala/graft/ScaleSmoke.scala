@@ -73,8 +73,10 @@ object ScaleSmoke {
       // u27 = materialized view maintenance (each refresh O(that
       // slice + view rows); the source commits are the linear part),
       // u28 = the data-source serving loop (two aggregate scans plus
-      // the demo's own commits — read cost tracks surviving files)
-      "u27_materialized_view", "u28_sql_datasource")
+      // the demo's own commits — read cost tracks surviving files),
+      // u29 = ledger-served COUNTs (the counts are O(manifest); only
+      // the demo's own commits and the one filtered scan grow)
+      "u27_materialized_view", "u28_sql_datasource", "u29_metadata_count")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
