@@ -99,7 +99,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     commitMode.foreach(m => Snapshots.commit(data, path, m,
       statsColumns = stats, bucketBy = bucket, bloomColumns = blooms))
-    createRelation(ctx, parameters - "versionasof" - "timestampasof")
+    // read-back relation pins the table's NEW latest — time-travel
+    // options (already-lowercased keys) must not leak into it
+    createRelation(ctx, p - "versionasof" - "timestampasof")
   }
 }
 
