@@ -50,10 +50,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val path = p.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: .load(tableDir) or OPTIONS (path '...')"))
     val spark = ctx.sparkSession
+    // "latest" means last LIVE version — an uncommitted/aborted
+    // multi-table txn's pending head must never serve as the table;
+    // an EXPLICIT versionAsOf of a dead version is refused by the
+    // relation's liveManifest read
     val version = p.get("versionasof").map(_.trim.toLong)
       .orElse(p.get("timestampasof").map(ts =>
         Snapshots.versionAsOf(spark, path, GraftSource.parseMillis(ts))))
-      .getOrElse(Snapshots.latestVersion(spark, path).getOrElse(
+      .getOrElse(Snapshots.latestLiveVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(
           s"$path has no committed version")))
     GraftRelation(ctx, path, version)
@@ -182,12 +186,17 @@ object GraftSource {
     */
   private[sources] def parseMillis(ts: String): Long = {
     val t = ts.trim
-    if (t.forall(c => c.isDigit || c == '-') && t.nonEmpty) t.toLong
+    if (t.matches("-?\\d+")) t.toLong
     else try java.time.Instant.parse(t).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDate.parse(t).atStartOfDay()
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
     }
   }
 }
@@ -204,7 +213,7 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
   private def spark = ctx.sparkSession
 
   @transient private lazy val manifest =
-    Snapshots.readManifest(spark, tableDir, version)
+    Snapshots.liveManifest(spark, tableDir, version)
 
   override def sqlContext: SQLContext = ctx
 
@@ -238,7 +247,7 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val base = Snapshots.readVersionFiltered(
-      spark, tableDir, Some(version), filters.toIndexedSeq)
+      spark, tableDir, manifest, filters.toIndexedSeq)
     // push the row-level filters into the inner plan too: they reach
     // the parquet scan (PushedFilters / row-group pruning) instead of
     // only running above the relation

@@ -116,7 +116,9 @@ object IncrementalViews {
     */
   def bootstrap(spark: SparkSession, sourceDir: String, viewDir: String,
                 vd: ViewDef): Long = {
-    val srcV = Snapshots.latestVersion(spark, sourceDir).getOrElse(
+    // "latest" = last LIVE source version: an uncommitted/aborted
+    // multi-table txn head must never become the view's watermark
+    val srcV = Snapshots.latestLiveVersion(spark, sourceDir).getOrElse(
       throw new IllegalArgumentException(s"source $sourceDir has no versions"))
     Snapshots.commit(
       aggregate(Snapshots.readVersion(spark, sourceDir, Some(srcV)), vd),
@@ -125,9 +127,9 @@ object IncrementalViews {
 
   /** Highest source version folded into the view. */
   def refreshedVersion(spark: SparkSession, viewDir: String): Long = {
-    val v = Snapshots.latestVersion(spark, viewDir).getOrElse(
+    val v = Snapshots.latestLiveVersion(spark, viewDir).getOrElse(
       throw new IllegalArgumentException(s"view $viewDir was never bootstrapped"))
-    Snapshots.readManifest(spark, viewDir, v).txns.getOrElse(ViewTxnApp,
+    Snapshots.liveManifest(spark, viewDir, v).txns.getOrElse(ViewTxnApp,
       throw new IllegalArgumentException(
         s"view $viewDir carries no $ViewTxnApp watermark"))
   }
@@ -150,10 +152,13 @@ object IncrementalViews {
     */
   def refresh(spark: SparkSession, sourceDir: String, viewDir: String,
               vd: ViewDef, rebootstrapOnRewrite: Boolean = false): Long = {
-    val viewV = Snapshots.latestVersion(spark, viewDir).getOrElse(
+    val viewV = Snapshots.latestLiveVersion(spark, viewDir).getOrElse(
       throw new IllegalArgumentException(s"view $viewDir was never bootstrapped"))
     val from = refreshedVersion(spark, viewDir)
-    val to = Snapshots.latestVersion(spark, sourceDir).getOrElse(
+    // fold up to the last LIVE source version: a concurrent in-flight
+    // (or aborted) txn head is not table history — folding stops just
+    // below it and the next refresh picks up whatever it decides into
+    val to = Snapshots.latestLiveVersion(spark, sourceDir).getOrElse(
       throw new IllegalArgumentException(s"source $sourceDir has no versions"))
     if (to <= from) return viewV // nothing new: replay-safe no-op
     val state = Snapshots.readVersion(spark, viewDir, Some(viewV))
@@ -162,8 +167,8 @@ object IncrementalViews {
         // metadata-only ranges (CHECK add, watermark-only commits)
         // yield an empty diff; readChangeFeed refuses them, so probe
         // the manifests first — the same O(1) driver-side diff
-        val toM = Snapshots.readManifest(spark, sourceDir, to)
-        val fromM = Snapshots.readManifest(spark, sourceDir, from)
+        val toM = Snapshots.liveManifest(spark, sourceDir, to)
+        val fromM = Snapshots.liveManifest(spark, sourceDir, from)
         if (!fromM.files.toSet.subsetOf(toM.files.toSet) ||
             !fromM.dvs.toSet.subsetOf(toM.dvs.toSet))
           throw new IllegalArgumentException(

@@ -55,7 +55,13 @@ object Snapshots {
     def overlaps(lo: Any, hi: Any): Boolean = kind match {
       case "long"   => min.toLong <= asLong(hi) && max.toLong >= asLong(lo)
       case "double" => min.toDouble <= asDouble(hi) && max.toDouble >= asDouble(lo)
-      case _        => min <= hi.toString && max >= lo.toString
+      case _ =>
+        // string stats compare in Java UTF-16 code-unit order, but
+        // Spark compares strings as UTF-8 bytes — the orders agree
+        // only inside ASCII; anything beyond is kept (unprunable),
+        // never compared: pruning is a scan reducer, not a row filter
+        !FileStat.asciiOnly(min, max, lo.toString, hi.toString) ||
+          (min <= hi.toString && max >= lo.toString)
     }
     /** One-sided bounds for `col >= v` / `col <= v` pruning (used by
       * the [[GraftRelation]] pushed-filter path). Conservative: a file
@@ -65,12 +71,12 @@ object Snapshots {
     def mayGe(v: Any): Boolean = kind match {
       case "long"   => max.toLong >= asLong(v)
       case "double" => max.toDouble >= asDouble(v)
-      case _        => max >= v.toString
+      case _ => !FileStat.asciiOnly(max, v.toString) || max >= v.toString
     }
     def mayLe(v: Any): Boolean = kind match {
       case "long"   => min.toLong <= asLong(v)
       case "double" => min.toDouble <= asDouble(v)
-      case _        => min <= v.toString
+      case _ => !FileStat.asciiOnly(min, v.toString) || min <= v.toString
     }
     private def asLong(a: Any): Long = a match {
       case n: Number => n.longValue()
@@ -132,6 +138,12 @@ object Snapshots {
     * False positives only ever admit extra files to the exact row
     * filter — a scan reducer, never a semantic change.
     */
+  object FileStat {
+    /** UTF-16 and UTF-8 orderings agree exactly on ASCII. */
+    private[Snapshots] def asciiOnly(ss: String*): Boolean =
+      ss.forall(_.forall(_ < 0x80))
+  }
+
   final case class Bloom(mBits: Int, k: Int, words: Array[Long])
 
   final case class Manifest(version: Long, files: Seq[String],
@@ -760,6 +772,24 @@ object Snapshots {
         lastLive(spark, tableDir, raw, forWrite = false).map(_._2).getOrElse(
           throw new IllegalArgumentException(s"no live version at $tableDir"))
     }
+
+  /** Last LIVE version — dead/in-flight txn heads skipped — for the
+    * layers that resolve "latest" OUTSIDE this object (the data
+    * source, the view registry). Resolving with raw [[latestVersion]]
+    * would let an uncommitted multi-table txn's pending manifest
+    * serve as the table's head.
+    */
+  private[sources] def latestLiveVersion(spark: SparkSession,
+                                         tableDir: String): Option[Long] =
+    latestVersion(spark, tableDir).flatMap(v =>
+      lastLive(spark, tableDir, v, forWrite = false).map(_._1))
+
+  /** [[readLiveManifest]] for same-package callers (the data source's
+    * schema/ledger path): explicit versions must be live history.
+    */
+  private[sources] def liveManifest(spark: SparkSession, tableDir: String,
+                                    version: Long): Manifest =
+    readLiveManifest(spark, tableDir, version)
 
   /** `readManifest` + the liveness gate for EXPLICIT-version reads:
     * an aborted or in-flight version is not part of table history and
@@ -1572,9 +1602,15 @@ object Snapshots {
       case _ => candidates
     }
     // stat pruning composes when the key carries footer stats: keep a
-    // file only if SOME wanted key overlaps its [min,max]
-    val statKeep = bucketPruned.filter(rel =>
-      m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
+    // file only if SOME wanted key overlaps its [min,max]; decimal
+    // literals never stat-prune (footer decimals are UNSCALED ints)
+    val statKeep =
+      if (keys.exists {
+        case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+        case _ => false
+      }) bucketPruned
+      else bucketPruned.filter(rel =>
+        m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
     // bloom pruning composes last: a file indexed on `key` survives
     // only if SOME wanted key might be in its bloom — the primitive
     // that prunes point lookups on columns the table is NOT clustered
@@ -1605,24 +1641,40 @@ object Snapshots {
   def readVersionFiltered(spark: SparkSession, tableDir: String,
                           version: Option[Long],
                           filters: Seq[org.apache.spark.sql.sources.Filter])
-      : DataFrame = {
+      : DataFrame =
+    readVersionFiltered(spark, tableDir,
+      resolveForRead(spark, tableDir, version), filters)
+
+  /** Core of the above against an already-resolved manifest — the
+    * [[GraftRelation]] passes its cached one, so a scan does not
+    * re-read the manifest the relation already parsed.
+    */
+  private[sources] def readVersionFiltered(spark: SparkSession,
+      tableDir: String, m: Manifest,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     import org.apache.spark.sql.sources._
-    val m = resolveForRead(spark, tableDir, version)
+    // decimal literals cannot be compared against footer stats (the
+    // parquet footer records UNSCALED integers for int-backed
+    // decimals) — such predicates do not prune, they only filter rows
+    def prunable(v: Any): Boolean = v match {
+      case _: java.math.BigDecimal | _: scala.math.BigDecimal => false
+      case _ => v != null
+    }
     var keep = m.files
     filters.foreach {
-      case EqualTo(c, v) if v != null =>
+      case EqualTo(c, v) if prunable(v) =>
         keep = pruneForKeys(spark, m, keep, c, Seq(v))
-      case EqualNullSafe(c, v) if v != null =>
+      case EqualNullSafe(c, v) if prunable(v) =>
         keep = pruneForKeys(spark, m, keep, c, Seq(v))
-      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+      case In(c, vs) if vs.nonEmpty && vs.forall(prunable) =>
         keep = pruneForKeys(spark, m, keep, c, vs.toIndexedSeq)
-      case GreaterThan(c, v) if v != null =>
+      case GreaterThan(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))
-      case GreaterThanOrEqual(c, v) if v != null =>
+      case GreaterThanOrEqual(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))
-      case LessThan(c, v) if v != null =>
+      case LessThan(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
-      case LessThanOrEqual(c, v) if v != null =>
+      case LessThanOrEqual(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
       case _ => () // residual-only: the row filter handles it exactly
     }

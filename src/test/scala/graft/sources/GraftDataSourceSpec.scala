@@ -135,11 +135,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum === 300L)
   }
 
-  test("timestampAsOf parses millis, ISO instant, and UTC wall clock") {
+  test("timestampAsOf parses millis, ISO instant, UTC wall clock, and bare date") {
     assert(GraftSource.parseMillis("1723600000000") === 1723600000000L)
     assert(GraftSource.parseMillis("2026-08-14T00:00:00Z") ===
       java.time.Instant.parse("2026-08-14T00:00:00Z").toEpochMilli)
     assert(GraftSource.parseMillis("2026-08-14 00:00:00") ===
       java.time.Instant.parse("2026-08-14T00:00:00Z").toEpochMilli)
+    assert(GraftSource.parseMillis("2026-08-14") ===
+      java.time.Instant.parse("2026-08-14T00:00:00Z").toEpochMilli)
+  }
+
+  test("an in-flight txn head never serves: reads, ledger count, and refresh fold to live") {
+    val dir = graft.TempDirs.create("graft-ds-torn")
+    Snapshots.commit(frame(0 until 100, "live"), dir, "overwrite")
+    val marker = new org.apache.hadoop.fs.Path(
+      graft.TempDirs.create("graft-ds-torn-txn"), "dead.final").toString
+    Snapshots.commit(frame(500 until 600, "torn"), dir, "append",
+      pending = Some(marker)) // crashed txn: marker never decided
+    // format reader resolves "latest" past the in-flight head
+    val df = spark.read.format("graft").load(dir)
+    assert(rows(df) === rows(Snapshots.readVersion(spark, dir)))
+    assert(df.count() === 100L) // ledger count from the LIVE manifest
+    // explicit versionAsOf of the uncommitted version is refused
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1").load(dir)
+        .schema // schema forces the manifest read
+    }
+    // a view refresh folds only to live history (no-op here)
+    val vdir = graft.TempDirs.create("graft-ds-torn-view")
+    val vdef = IncrementalViews.ViewDef(Seq("tag"), Seq(("grp", "total")))
+    IncrementalViews.bootstrap(spark, dir, vdir, vdef)
+    assert(IncrementalViews.refreshedVersion(spark, vdir) === 0L)
+    assert(IncrementalViews.refresh(spark, dir, vdir, vdef) === 0L)
   }
 }
