@@ -55,12 +55,24 @@ object IncrementalViews {
     * `n_rows`, and SUM(CAST(col AS DECIMAL(18,2))) AS alias for each
     * (col, alias) in `sums`. Exactly the shape whose partials merge
     * by re-aggregation in both directions (+insert / −delete).
+    *
+    * `maxs`/`mins` extend the view with MAX/MIN columns for
+    * APPEND-ONLY sources: max/min absorb inserts by re-aggregation
+    * but are NOT invertible under deletes (the departing row might
+    * have been the extremum — recomputing it needs the group's other
+    * rows). A refresh whose slice carries deletes therefore REFUSES a
+    * min/max view (or re-bootstraps with `rebootstrapOnRewrite`) —
+    * the honest contract, not a silently-stale extremum.
     */
-  final case class ViewDef(keys: Seq[String], sums: Seq[(String, String)]) {
+  final case class ViewDef(keys: Seq[String], sums: Seq[(String, String)],
+                           maxs: Seq[(String, String)] = Nil,
+                           mins: Seq[(String, String)] = Nil) {
     require(keys.nonEmpty, "a view needs at least one grouping key")
-    require(sums.map(_._2).distinct.size == sums.size &&
-        !sums.map(_._2).contains("n_rows"),
-      "sum aliases must be distinct and not collide with n_rows")
+    private val aliases = sums.map(_._2) ++ maxs.map(_._2) ++ mins.map(_._2)
+    require(aliases.distinct.size == aliases.size && !aliases.contains("n_rows"),
+      "view aliases must be distinct and not collide with n_rows")
+    private[IncrementalViews] def hasExtrema: Boolean =
+      maxs.nonEmpty || mins.nonEmpty
   }
 
   private def sumCast(c: String): Column = col(c).cast("decimal(18,2)")
@@ -71,43 +83,57 @@ object IncrementalViews {
     * DECIMAL(38,2) so bootstrap and refreshed states carry the same
     * schema (Spark widens sum-of-decimal precision; 38 is the cap).
     */
+  /** keys, n_rows, normalized sums, then extrema — the one column
+    * order every state/partial frame uses.
+    */
+  private def viewColumns(vd: ViewDef) =
+    vd.keys.map(col) ++ Seq(col("n_rows")) ++
+      vd.sums.map { case (_, a) => col(a).cast("decimal(38,2)").as(a) } ++
+      (vd.maxs ++ vd.mins).map { case (_, a) => col(a) }
+
   def aggregate(df: DataFrame, vd: ViewDef): DataFrame =
     df.groupBy(vd.keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        vd.sums.map { case (c, a) => sum(sumCast(c)).as(a) }: _*)
-      .select(vd.keys.map(col) ++ Seq(col("n_rows")) ++
-        vd.sums.map { case (_, a) => col(a).cast("decimal(38,2)").as(a) }: _*)
+        vd.sums.map { case (c, a) => sum(sumCast(c)).as(a) } ++
+          vd.maxs.map { case (c, a) => max(col(c)).as(a) } ++
+          vd.mins.map { case (c, a) => min(col(c)).as(a) }: _*)
+      .select(viewColumns(vd): _*)
 
   /** Signed partials of one change-feed slice: insert rows contribute
     * (+1, +value), delete rows (−1, −value). A MERGE's update arrives
     * as delete(old)+insert(new), so updates need no special case.
+    * Extrema partials take inserts only — [[refresh]] refuses a
+    * deleting slice for min/max views before this runs.
     */
   private def signedPartials(feed: DataFrame, vd: ViewDef): DataFrame = {
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val ins = col("_change_type") === "insert"
+    val sign = when(ins, 1L).otherwise(-1L)
     feed.groupBy(vd.keys.map(col): _*)
       .agg(sum(sign).as("n_rows"),
         vd.sums.map { case (c, a) =>
-          sum(when(col("_change_type") === "insert", sumCast(c))
-            .otherwise(-sumCast(c))).as(a)
-        }: _*)
-      .select(vd.keys.map(col) ++ Seq(col("n_rows")) ++
-        vd.sums.map { case (_, a) => col(a).cast("decimal(38,2)").as(a) }: _*)
+          sum(when(ins, sumCast(c)).otherwise(-sumCast(c))).as(a)
+        } ++
+          vd.maxs.map { case (c, a) => max(when(ins, col(c))).as(a) } ++
+          vd.mins.map { case (c, a) => min(when(ins, col(c))).as(a) }: _*)
+      .select(viewColumns(vd): _*)
   }
 
   /** Fold partials into the stored state: union + re-aggregate (count
-    * and decimal sum are distributive under signs), dropping groups
-    * that net to zero rows — a fully-deleted group disappears, which
-    * is exactly what the direct aggregate of the final state shows.
+    * and decimal sum are distributive under signs; max/min under
+    * inserts), dropping groups that net to zero rows — a fully-
+    * deleted group disappears, which is exactly what the direct
+    * aggregate of the final state shows.
     */
   private def merged(state: DataFrame, partials: DataFrame,
                      vd: ViewDef): DataFrame =
     state.unionByName(partials)
       .groupBy(vd.keys.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
-        vd.sums.map { case (_, a) => sum(col(a)).as(a) }: _*)
+        vd.sums.map { case (_, a) => sum(col(a)).as(a) } ++
+          vd.maxs.map { case (_, a) => max(col(a)).as(a) } ++
+          vd.mins.map { case (_, a) => min(col(a)).as(a) }: _*)
       .filter(col("n_rows") > 0)
-      .select(vd.keys.map(col) ++ Seq(col("n_rows")) ++
-        vd.sums.map { case (_, a) => col(a).cast("decimal(38,2)").as(a) }: _*)
+      .select(viewColumns(vd): _*)
 
   /** Materialize the view from the source's LATEST snapshot (one full
     * aggregation — the only O(source) step in the view's lifetime)
@@ -176,12 +202,23 @@ object IncrementalViews {
               "change feed unavailable across rewrites")
         if (toM.files.toSet == fromM.files.toSet &&
             toM.dvs.toSet == fromM.dvs.toSet) state
-        else merged(state,
-          signedPartials(Snapshots.readChangeFeed(spark, sourceDir, from, to), vd),
-          vd)
+        else {
+          // min/max views: a deleting slice cannot be absorbed (the
+          // departing row might have been the extremum) — refuse, or
+          // explicitly recompute, never serve a silently-stale value
+          if (vd.hasExtrema &&
+              toM.dvs.toSet.diff(fromM.dvs.toSet).nonEmpty)
+            throw new IllegalArgumentException(
+              s"slice v$from..v$to of $sourceDir deletes rows: a min/max " +
+                "view cannot absorb deletes — rebootstrap to recompute")
+          merged(state,
+            signedPartials(Snapshots.readChangeFeed(spark, sourceDir, from, to), vd),
+            vd)
+        }
       } catch {
         case e: IllegalArgumentException if rebootstrapOnRewrite &&
-            e.getMessage != null && e.getMessage.contains("rewrites") =>
+            e.getMessage != null && (e.getMessage.contains("rewrites") ||
+              e.getMessage.contains("cannot absorb deletes")) =>
           return bootstrap(spark, sourceDir, viewDir, vd)
       }
     Snapshots.commit(next, viewDir, "overwrite",

@@ -97,6 +97,32 @@ class IncrementalViewSpec extends SparkSpec {
     assert(served(view) === expect(Snapshots.readVersion(spark, src)))
   }
 
+  test("min/max view: append-only folds exactly; a deleting slice refuses or rebootstraps") {
+    val vdx = IncrementalViews.ViewDef(Seq("cat"), Seq(("v", "total")),
+      maxs = Seq(("v", "v_max")), mins = Seq(("v", "v_min")))
+    def both(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDouble(3), r.getDouble(4))).toSet
+    val src = graft.TempDirs.create("graft-ivspec-mm-src")
+    val view = graft.TempDirs.create("graft-ivspec-mm-view")
+    Snapshots.commit(frame(100 until 400), src, "overwrite")
+    IncrementalViews.bootstrap(spark, src, view, vdx)
+    Snapshots.commit(frame(1000 until 1100), src, "append") // new maxima
+    Snapshots.commit(frame(0 until 50), src, "append")      // new minima
+    IncrementalViews.refresh(spark, src, view, vdx)
+    assert(both(Snapshots.readVersion(spark, view)) ===
+      both(IncrementalViews.aggregate(Snapshots.readVersion(spark, src), vdx)))
+    // a delete arrives: the extremum may have departed — refuse...
+    Snapshots.deleteWhere(spark, src, col("id") >= 1000L)
+    intercept[IllegalArgumentException] {
+      IncrementalViews.refresh(spark, src, view, vdx)
+    }
+    // ...or explicitly recompute
+    IncrementalViews.refresh(spark, src, view, vdx, rebootstrapOnRewrite = true)
+    assert(both(Snapshots.readVersion(spark, view)) ===
+      both(IncrementalViews.aggregate(Snapshots.readVersion(spark, src), vdx)))
+  }
+
   test("rewrite in range: refresh refused; rebootstrapOnRewrite recovers") {
     val src = graft.TempDirs.create("graft-ivspec-rw-src")
     val view = graft.TempDirs.create("graft-ivspec-rw-view")
