@@ -216,9 +216,14 @@ object IncrementalViews {
             vd)
         }
       } catch {
+        // the three "restart the consumer" cases: a rewrite in range,
+        // a deleting slice against a min/max view, and a watermark
+        // whose manifest was vacuumed away ("no version N") — each
+        // means the feed cannot replay, so the explicit flag recomputes
         case e: IllegalArgumentException if rebootstrapOnRewrite &&
             e.getMessage != null && (e.getMessage.contains("rewrites") ||
-              e.getMessage.contains("cannot absorb deletes")) =>
+              e.getMessage.contains("cannot absorb deletes") ||
+              e.getMessage.contains("no version")) =>
           return bootstrap(spark, sourceDir, viewDir, vd)
       }
     Snapshots.commit(next, viewDir, "overwrite",

@@ -46,7 +46,30 @@ class SnapshotRandomSpec extends SparkSpec {
       model :+= Live(r0)
       var floor = 0L
 
+      // a materialized view rides the whole random walk: periodic
+      // refreshes (rebootstrap on rewrites/vacuumed watermarks) must
+      // always land exactly on the model's aggregate of the live rows
+      val viewDir = graft.TempDirs.create(s"graft-snap-rand-view-$seed")
+      val vdef = IncrementalViews.ViewDef(Seq("tag"), Seq(("id", "id_sum")))
+      IncrementalViews.bootstrap(spark, dir, viewDir, vdef)
+      def checkView(at: String): Unit = {
+        val got = Snapshots.readVersion(spark, viewDir)
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).longValueExact())).toSet
+        val want = lastLive.groupBy(_._2).map { case (tag, rs) =>
+          (tag, rs.size.toLong, rs.toSeq.map(_._1).sum) }.toSet
+        assert(got === want, s"seed=$seed view $at")
+      }
+      checkView("bootstrap")
+
+      var step = 0
       for (_ <- 1 to 18) {
+        step += 1
+        if (step % 5 == 0) {
+          IncrementalViews.refresh(spark, dir, viewDir, vdef,
+            rebootstrapOnRewrite = true)
+          checkView(s"step $step")
+        }
         rnd.nextInt(20) match {
           case i if i < 4 => // append (sometimes bloom-indexed: the
             // index must ride every later protocol op unharmed)
@@ -161,6 +184,11 @@ class SnapshotRandomSpec extends SparkSpec {
             }
         }
       }
+
+      // final view refresh after whatever the walk left at the head
+      IncrementalViews.refresh(spark, dir, viewDir, vdef,
+        rebootstrapOnRewrite = true)
+      checkView("final")
 
       // clone the table at a random LIVE version mid-history, then
       // push both tables forward independently — the clone must pin
