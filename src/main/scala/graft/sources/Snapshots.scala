@@ -266,6 +266,41 @@ object Snapshots {
   private def manifestPath(tableDir: String, v: Long): Path =
     new Path(tableDir, f"_manifests/v$v%06d.manifest")
 
+  private def commitMarkerDir(tableDir: String): Path =
+    new Path(tableDir, "_commits")
+
+  /** One 1-byte marker per published manifest, under `_commits/` —
+    * what [[streamChangeFeed]] tails instead of the manifests
+    * themselves: manifests carry stats, bucket maps, and base64 bloom
+    * payloads (KBs per file per column — multi-MB on wide tables),
+    * and a wholetext file source reads every discovered file in full,
+    * so discovery cost would scale with manifest size; a marker read
+    * costs one byte. Markers are created AFTER the manifest's atomic
+    * publish (a marker therefore always has its manifest) and this
+    * helper is idempotent + self-healing: each call creates every
+    * missing marker (covering a crash between publish and marker
+    * write — the next commit or stream start closes the hole).
+    */
+  private def ensureCommitMarkers(f: FileSystem, tableDir: String): Unit = {
+    val md = new Path(tableDir, "_manifests")
+    if (!f.exists(md)) return
+    val cd = commitMarkerDir(tableDir)
+    if (!f.exists(cd)) f.mkdirs(cd)
+    val have: Set[String] = f.listStatus(cd).iterator
+      .map(_.getPath.getName).filter(_.endsWith(".marker"))
+      .map(_.stripSuffix(".marker")).toSet
+    f.listStatus(md).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest"))
+      .filterNot(have)
+      .foreach { stem =>
+        try {
+          val o = f.create(new Path(cd, s"$stem.marker"), false)
+          try o.write('c'.toInt) finally o.close()
+        } catch { case _: java.io.IOException => () } // racer wrote it
+      }
+  }
+
   private def floorPath(tableDir: String): Path =
     new Path(tableDir, "_manifests/_floor")
 
@@ -381,6 +416,32 @@ object Snapshots {
     // the rows written even for a non-deterministic input (rand/uuid
     // columns, re-read of mutable upstream).
     val checks = prevAny.map(_.checks).getOrElse(Map.empty)
+    // everything refusable from METADATA is refused BEFORE the data
+    // write — a refused commit must not pay the O(batch) write or
+    // strand an orphaned data dir awaiting the vacuum sweep:
+    // Schema evolution (manifest-recorded, Delta-log style: readers
+    // plan from the manifest schema in O(1), never from file footers).
+    // An append may ADD nullable columns or OMIT existing ones (old
+    // files lack new columns, new files lack omitted ones — the
+    // explicit read schema fills both with NULL); a same-name column
+    // with a different type is refused — that is a rewrite, not an
+    // append.
+    val schema = prev.flatMap(_.schema) match {
+      case None => df.schema
+      case Some(old) => evolveSchema(old, df.schema, "append")
+    }
+    // bucket layout: an append carries the table's mapping forward
+    // (its own files join it only when bucketed with the SAME spec —
+    // a conflicting spec is refused, it would poison every lookup)
+    for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
+      require(ps == bs,
+        s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txn appId must be non-empty with no tab/newline: '$app'")
+    }
+    bloomColumns.foreach(c => require(df.columns.contains(c),
+      s"bloom column '$c' is not a column of the batch"))
     val pinned = checks.nonEmpty
     val batch =
       if (pinned) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -424,23 +485,8 @@ object Snapshots {
     val carriedDvs = prev.map(_.dvs).getOrElse(Seq.empty)
     val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
     val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
-    txn.foreach { case (app, _) =>
-      require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
-        s"txn appId must be non-empty with no tab/newline: '$app'")
-    }
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
-    }
-    // Schema evolution (manifest-recorded, Delta-log style: readers
-    // plan from the manifest schema in O(1), never from file footers).
-    // An append may ADD nullable columns or OMIT existing ones (old
-    // files lack new columns, new files lack omitted ones — the
-    // explicit read schema fills both with NULL); a same-name column
-    // with a different type is refused — that is a rewrite, not an
-    // append.
-    val schema = prev.flatMap(_.schema) match {
-      case None => df.schema
-      case Some(old) => evolveSchema(old, df.schema, "append")
     }
     val newStats =
       if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
@@ -462,13 +508,8 @@ object Snapshots {
       case Some(p) => if (p.dvs.isEmpty) 0L else p.dvRows
       case None => 0L
     }
-    // bucket layout: an append carries the table's mapping forward
-    // (its own files join it only when bucketed with the SAME spec —
-    // a conflicting spec is refused, it would poison every lookup);
+    // bucket layout carry (the conflicting-spec refusal ran pre-write):
     // an overwrite defines the layout fresh (or drops it when plain)
-    for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
-      require(ps == bs,
-        s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
     val bucketSpec =
       if (mode == "append") prev.flatMap(_.bucketSpec).orElse(bucketBy) else bucketBy
     val buckets =
@@ -566,6 +607,22 @@ object Snapshots {
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) f.delete(tmp, false)
+    // stamp the PUBLISH instant: rename preserves the tmp-write mtime,
+    // which predates visibility — [[versionAsOf]] resolves by mtime,
+    // so without the restamp a timestamp falling between the tmp
+    // write and the rename would classify the version as already
+    // committed. Best-effort (object stores may refuse setTimes); the
+    // residual skew is then the original sub-second write-to-rename gap
+    else {
+      try f.setTimes(manifestPath(tableDir, m.version),
+        System.currentTimeMillis(), -1L)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+      // feed-discovery marker (1 byte; see [[ensureCommitMarkers]]) —
+      // best-effort: a miss here is healed by the next publish or
+      // stream start
+      try ensureCommitMarkers(f, tableDir)
+      catch { case _: java.io.IOException => () }
+    }
     ok
   }
 
@@ -1271,7 +1328,11 @@ object Snapshots {
         changes.schema.fields.filterNot(_.name == "op"))))
     val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    require(batch.filter(!col("op").isin("I", "U", "D")).isEmpty,
+    // null-aware: `!isin` is NULL for a NULL op, which filter() would
+    // drop — a NULL-op row would then mask its target while appending
+    // nothing (silent delete), the exact failure this guard exists for
+    require(batch.filter(col("op").isNull ||
+        !col("op").isin("I", "U", "D")).isEmpty,
       s"changes has op values outside I/U/D; merge into $tableDir refused")
     val upserts = batch.filter(col("op").isin("I", "U")).drop("op")
     // table CHECK constraints gate the new rows BEFORE any write —
@@ -1574,6 +1635,9 @@ object Snapshots {
                       version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "readVersionKeys needs at least one key")
+    require(keys.forall(_ != null),
+      "readVersionKeys keys must be non-null (SQL NULL never equals NULL " +
+        "— an isin probe cannot match it, and the index probes cannot hash it)")
     val m = resolveForRead(spark, tableDir, version)
     val keep = pruneForKeys(spark, m, m.files, key, keys)
     // every file pruned ⇒ the keys cannot exist; one file is kept for
@@ -1830,38 +1894,48 @@ object Snapshots {
   /** The DELETE-AWARE streaming half of the change feed — what
     * [[streamAppends]] cannot see (dv masks live outside its `data`
     * glob, deliberately): tail the table's COMMITS by streaming the
-    * manifest dir itself as a file source — each published manifest is
-    * one immutable file (the atomic-rename commit point), so the file
-    * source's own checkpointed discovery IS the offset tracking; no
-    * bespoke offset store. One output row per discovered commit,
-    * `version: long`. Pair with [[changeFeedBatches]] in
-    * `foreachBatch` to turn each micro-batch of versions into the
-    * corresponding [[readChangeFeed]] slice (insert+delete rows,
-    * `_change_type`-tagged) — the subscription a downstream
-    * incremental consumer of a [[cdcSink]]-maintained table needs.
-    * `maxFilesPerTrigger = 1` (the default) delivers one commit per
-    * micro-batch; larger values fuse consecutive commits into one
-    * net-change slice (cheaper at scale, same net result — inserts
-    * deleted within the fused range drop out).
+    * per-commit 1-byte markers (`_commits/`, written right after each
+    * manifest's atomic publish — see [[ensureCommitMarkers]]) as a
+    * file source, so the source's own checkpointed discovery IS the
+    * offset tracking (no bespoke offset store) and discovery cost is
+    * O(commits), independent of manifest size. One output row per
+    * discovered commit, `version: long`. Pair with
+    * [[changeFeedBatches]] in `foreachBatch` to turn each micro-batch
+    * of versions into the corresponding [[readChangeFeed]] slice
+    * (insert+delete rows, `_change_type`-tagged) — the subscription a
+    * downstream incremental consumer of a [[cdcSink]]-maintained
+    * table needs. `maxFilesPerTrigger = 1` (the default) delivers one
+    * commit per micro-batch; larger values fuse consecutive commits
+    * into one net-change slice (cheaper at scale, same net result —
+    * inserts deleted within the fused range drop out).
     *
     * Contract: the consumer must start at (or above) the table's
     * vacuum floor, and an overwrite/restore inside a consumed range
     * fails the feed computation (the same "change feed unavailable
     * across rewrites" rule as [[readChangeFeed]]) — restart the
-    * consumer from the rewrite. Temp files and `_floor` never surface
-    * (dot/underscore names are hidden to the file source); a manifest
-    * appears only after its atomic publish, so no partial manifest is
-    * ever read.
+    * consumer from the rewrite. A marker only ever appears after its
+    * manifest's publish, so a discovered version is always readable;
+    * existing tables are backfilled at stream start, and vacuum
+    * expires markers with their manifests. Checkpoints created
+    * against the pre-marker layout (streaming `_manifests` directly)
+    * are not portable to this source — restart those consumers fresh.
     */
   def streamChangeFeed(spark: SparkSession, tableDir: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
+    // tail the 1-byte commit MARKERS, not the manifests: a wholetext
+    // file source reads each discovered file in full, and manifests
+    // grow with stats/bucket/bloom payloads — discovery must stay
+    // O(commits), not O(manifest bytes). Backfill covers tables whose
+    // history predates markers (and any publish/marker crash window);
+    // a marker only ever appears after its manifest's atomic publish.
+    ensureCommitMarkers(fs(spark, tableDir), tableDir)
     spark.readStream
       .option("wholetext", "true")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(new Path(tableDir, "_manifests").toString)
+      .text(commitMarkerDir(tableDir).toString)
       .select(regexp_extract(col("_metadata.file_path"),
-        "v(\\d+)\\.manifest$", 1).cast("long").as("version"))
+        "v(\\d+)\\.marker$", 1).cast("long").as("version"))
   }
 
   /** foreachBatch adapter for [[streamChangeFeed]]: resolve the
@@ -1998,9 +2072,14 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val latest = latestVersion(spark, tableDir)
+      // the replay watermark comes from the last LIVE manifest: a dead
+      // txn head records the txns it WOULD have committed, and reading
+      // it would let an aborted batch permanently suppress its own
+      // redelivery (silent data loss). The expectedVersion still comes
+      // from the raw head — burned numbers are never reused.
       val watermark = latest
-        .map(v => readManifest(spark, tableDir, v).txns
-          .getOrElse(appId, Long.MinValue))
+        .flatMap(v => lastLive(spark, tableDir, v, forWrite = false))
+        .map(_._2.txns.getOrElse(appId, Long.MinValue))
         .getOrElse(Long.MinValue)
       if (batchId <= watermark) return // replay (or lost race): durable already
       val expected = latest.map(_ + 1).getOrElse(0L)
@@ -2041,9 +2120,14 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val latest = latestVersion(spark, tableDir)
+      // the replay watermark comes from the last LIVE manifest: a dead
+      // txn head records the txns it WOULD have committed, and reading
+      // it would let an aborted batch permanently suppress its own
+      // redelivery (silent data loss). The expectedVersion still comes
+      // from the raw head — burned numbers are never reused.
       val watermark = latest
-        .map(v => readManifest(spark, tableDir, v).txns
-          .getOrElse(appId, Long.MinValue))
+        .flatMap(v => lastLive(spark, tableDir, v, forWrite = false))
+        .map(_._2.txns.getOrElse(appId, Long.MinValue))
         .getOrElse(Long.MinValue)
       if (batchId <= watermark) return // replay (or lost race): durable already
       try {
@@ -2992,6 +3076,13 @@ object Snapshots {
     val spark = df.sparkSession
     val batch = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // NULL keys are refused outright: SQL NULL never equals NULL, so
+      // neither the groupBy dup check nor the isin existence probe can
+      // see a second NULL — two null-keyed batches would both land,
+      // silently voiding the uniqueness contract (and a null literal
+      // crashes the bucket/bloom probe machinery)
+      require(batch.filter(col(key).isNull).isEmpty,
+        s"batch has NULL '$key' values; unique append to $tableDir refused")
       val dup = batch.groupBy(col(key)).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).limit(1).count()
       require(dup == 0L,
@@ -3144,7 +3235,12 @@ object Snapshots {
     // version that held them must never reach into the other table
     val deadOnly = deadFiles.filterNot(liveFiles).filterNot(isBorrowed)
     deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
-    dead.foreach(v => f.delete(manifestPath(tableDir, v), false))
+    dead.foreach { v =>
+      f.delete(manifestPath(tableDir, v), false)
+      // the feed-discovery marker goes with its manifest — a fresh
+      // stream checkpoint must not discover an expired version
+      f.delete(new Path(commitMarkerDir(tableDir), f"v$v%06d.marker"), false)
+    }
     // sweep commit dirs with no live file left — each data/dv dir
     // belongs to exactly one commit, so dir-level liveness is well
     // defined; this also clears the _SUCCESS/.crc sidecars the

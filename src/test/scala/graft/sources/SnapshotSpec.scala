@@ -976,6 +976,30 @@ class SnapshotSpec extends SparkSpec {
         frame(1 until 2, "typo").withColumn("op", lit("u")), "id")
     }
     assert(Snapshots.latestVersion(spark, dir) === before)
+    // a NULL op would slip a null-naive `!isin` filter and mask its
+    // target while appending nothing (silent delete): refused too
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeOnRead(spark, dir,
+        frame(1 until 2, "nullop")
+          .withColumn("op", lit(null).cast("string")), "id")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === before)
+  }
+
+  test("commitUnique refuses NULL keys (SQL NULL never equals NULL)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "base"), dir)
+    val nullKeyed = Seq((Option.empty[Long], "n1"))
+      .toDF("id", "tag")
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUnique(nullKeyed, dir, "id")
+    }
+    assert(Snapshots.latestVersion(spark, dir) === Some(0L))
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersionKeys(spark, dir, "id", Seq(null))
+    }
   }
 
   test("updateWhere: mask + re-append in one commit, CHECK-gated, type-stable") {
