@@ -76,7 +76,10 @@ object ScaleSmoke {
       // the demo's own commits — read cost tracks surviving files),
       // u29 = ledger-served COUNTs (the counts are O(manifest); only
       // the demo's own commits and the one filtered scan grow)
-      "u27_materialized_view", "u28_sql_datasource", "u29_metadata_count")
+      "u27_materialized_view", "u28_sql_datasource", "u29_metadata_count",
+      // u30 = the pure-SQL write loop (the INSERT's select + the two
+      // commits are the linear parts)
+      "u30_sql_insert")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

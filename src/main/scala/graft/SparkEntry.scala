@@ -114,6 +114,7 @@ object SparkEntry {
     "u27_materialized_view" -> (graft.sources.IncrementalViews.u27MaterializedView _),
     "u28_sql_datasource" -> (graft.sources.GraftSource.u28SqlDatasource _),
     "u29_metadata_count" -> (graft.sources.GraftSource.u29MetadataCount _),
+    "u30_sql_insert" -> (graft.sources.GraftSource.u30SqlInsert _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -763,6 +764,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL SELECT 'total', COUNT(*) FROM vis
         |UNION ALL SELECT 'total_v0', COUNT(*) FROM orders
         |ORDER BY scope""".stripMargin,
+    // u30 oracle: the SQL INSERT replayed relationally — the grown
+    // table = orders + the rekeyed %10=3 slice at +5 price
+    "u30_sql_insert" ->
+      """WITH allr AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 5
+        |  FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM allr GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // x3 oracle: the ENTIRE sketch computation replayed relationally —
     // DuckDB builds the per-flag histogram DIRECTLY (one level) while
     // Spark goes through the flag×linestatus partial/merge rollup, so

@@ -180,6 +180,36 @@ object GraftSource {
       .orderBy("scope")
   }
 
+  /** Demo + oracle entry (`u30_sql_insert`): the pure-SQL write loop —
+    * the table seeded through `df.write.format("graft")`, then grown
+    * by `INSERT INTO <view> SELECT ... FROM <view>` (the insert reads
+    * the view's own pinned snapshot — snapshot isolation makes
+    * self-insert well-defined), and served back through a fresh view.
+    * No Scala snapshot API anywhere in the loop. The oracle replays
+    * the insert relationally.
+    */
+  def u30SqlInsert(s: org.apache.spark.sql.SparkSession,
+                   d: String): org.apache.spark.sql.DataFrame = {
+    val tableDir = graft.TempDirs.create("graft-sql-insert")
+    graft.Tables.orders(s, d).write.format("graft")
+      .option("statsColumns", "o_orderkey").save(tableDir)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ins " +
+      s"USING graft OPTIONS (path '$tableDir')")
+    s.sql(
+      """INSERT INTO graft_ins
+        |SELECT o_orderkey + 4000000000, o_custkey, o_orderstatus,
+        |  o_totalprice + 5, o_orderdate, o_orderpriority
+        |FROM graft_ins WHERE o_orderkey % 10 = 3""".stripMargin)
+    // a fresh view resolves the post-insert latest
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_ins2 " +
+      s"USING graft OPTIONS (path '$tableDir')")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_ins2 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** `timestampAsOf` accepted as epoch millis, ISO-8601 instant, or
     * `yyyy-MM-dd HH:mm:ss[.f]` interpreted as UTC (the engine's
     * pinned session zone).
@@ -208,7 +238,7 @@ object GraftSource {
   */
 final case class GraftRelation(ctx: SQLContext, tableDir: String,
                                version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = ctx.sparkSession
 
@@ -243,6 +273,19 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
     * the inner parquet scan as PushedFilters, see [[buildScan]]).
     */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  /** `INSERT INTO t SELECT ...` / `INSERT OVERWRITE t ...` against a
+    * `USING graft` view: one atomic snapshot commit (CHECKs, schema
+    * evolution, txn carry all apply). The SQL write half of the
+    * serving surface — with [[buildScan]] a SQL-only user has the full
+    * read/write loop. Readers pinned to this relation's `version`
+    * keep serving it (snapshot isolation); re-create the view (or a
+    * new reader) to see the insert.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    Snapshots.commit(data, tableDir, if (overwrite) "overwrite" else "append")
+  }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {

@@ -98,6 +98,30 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() === 10L)
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE commit atomically through the view") {
+    val dir = graft.TempDirs.create("graft-ds-insert")
+    frame(0 until 100, "seed").write.format("graft").save(dir)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ds_ins_t " +
+      s"USING graft OPTIONS (path '$dir')")
+    spark.sql(
+      "INSERT INTO ds_ins_t SELECT id + 1000, 'ins', grp FROM ds_ins_t WHERE id < 10")
+    assert(Snapshots.latestVersion(spark, dir) === Some(1L))
+    assert(Snapshots.readVersion(spark, dir).count() === 110L)
+    assert(Snapshots.readVersion(spark, dir)
+      .filter(col("tag") === "ins").count() === 10L)
+    // the first view stays pinned to v0 (snapshot isolation) — a
+    // fresh view resolves the post-insert latest for the overwrite
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ds_ins_t2 " +
+      s"USING graft OPTIONS (path '$dir')")
+    spark.sql(
+      "INSERT OVERWRITE ds_ins_t2 SELECT id, 'ow', grp FROM ds_ins_t2 WHERE id >= 1000")
+    assert(Snapshots.latestVersion(spark, dir) === Some(2L))
+    val fin = Snapshots.readVersion(spark, dir).collect()
+    assert(fin.length === 10 && fin.forall(_.getString(1) == "ow"))
+    // prior snapshots still serve (the insert was a plain commit)
+    assert(Snapshots.readVersion(spark, dir, Some(0L)).count() === 100L)
+  }
+
   test("COUNT(*) answers from the ledger: LocalRelation plan, exact across deletes") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val dir = graft.TempDirs.create("graft-ds-count")
