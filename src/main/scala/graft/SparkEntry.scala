@@ -190,7 +190,8 @@ object SparkEntry {
     "x1_approx_distinct" -> (CorpusQueries.qxApproxDistinct _),
     "x1a_distinct_exact" -> (CorpusQueries.qx1aDistinctExact _),
     "x2_sketch_rollup" -> (CorpusQueries.x2SketchRollup _),
-    "x3_quantile_sketch" -> (CorpusQueries.x3QuantileSketch _)
+    "x3_quantile_sketch" -> (CorpusQueries.x3QuantileSketch _),
+    "x4_heavy_hitters" -> (CorpusQueries.x4HeavyHitters _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -800,6 +801,16 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  MAX(CASE WHEN cum - cnt < 0.95e0 * n AND cum >= 0.95e0 * n
         |    THEN (bin + (0.95e0 * n - (cum - cnt)) / cnt) * 512e0 END) AS est_p95
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // x4 oracle: the exact top-5 (deterministic tie-break) plus the
+    // CMS one-sided witness as literal 1 — the estimate is hash-
+    // dependent (x1's caveat) so only its guarantee is compared; the
+    // witness computation itself runs in-engine against the real CMS
+    "x4_heavy_hitters" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id)
+        |    AS INT) AS rank,
+        |  user_id, COUNT(*) AS n_events, 1 AS cms_ge_exact
+        |FROM events GROUP BY user_id
+        |ORDER BY COUNT(*) DESC, user_id LIMIT 5""".stripMargin,
     // x1 oracle: the exact count plus the bounded-error witness — the
     // oracle asserts the witness is 1 (the Spark side computes it from
     // the actual HLL estimate; the estimate itself is not compared)

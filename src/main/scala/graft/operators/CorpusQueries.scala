@@ -464,6 +464,48 @@ object CorpusQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Heavy hitters with a count-min sketch (x4) — the last member of
+    * the sketch family (x1/x2 distinct-HLL, x3 quantile histogram):
+    * a 3×1024 CMS over event users, built in ONE aggregation pass
+    * (explode the 3 salted `pmod(xxhash64(j, key), 1024)` bins, map-
+    * side partial count → ≤3072 cells regardless of corpus size —
+    * the mergeable fixed-size state a 100 TB stream keeps per window).
+    * Estimates are hash-dependent (cross-engine non-replayable — x1's
+    * caveat), so the compared output follows the x1 witness pattern:
+    * the EXACT top-5 users (tie-broken by id; oracle-checkable) each
+    * carry `cms_ge_exact` = estimate ≥ exact count, which the CMS
+    * one-sided error guarantee makes deterministically 1 — the
+    * estimate itself stays out of the hash. The sketch build, the
+    * probe join, and the witness all run in-engine.
+    */
+  def x4HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val (w, dRows) = (1024L, 3)
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val bins = array((0 until dRows).map(j =>
+      pmod(xxhash64(lit(j), col("user_id")), lit(w))): _*)
+    // ONE pass: 3 salted cells per row, partial-agg'd to ≤3·w cells
+    val cms = ev
+      .select(posexplode(bins).as(Seq("j", "bin")))
+      .groupBy("j", "bin").agg(count(lit(1)).as("cnt"))
+    // distributed top-k (TakeOrderedAndProject) first; the global
+    // row_number window then runs over FIVE rows, not all users
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(5)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))))
+    // probe: the 5 keys × 3 bins against the sketch; estimate = min
+    val probes = top
+      .select(col("rank"), col("user_id"), col("n_events"),
+        posexplode(bins).as(Seq("j", "bin")))
+    probes.join(cms, Seq("j", "bin"), "left")
+      .groupBy("rank", "user_id", "n_events")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        when(col("est") >= col("n_events"), 1).otherwise(0)
+          .as("cms_ge_exact"))
+      .orderBy("rank")
+  }
+
   def x2SketchRollup(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"))

@@ -29,6 +29,31 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: estimate >= exact for EVERY key (one-sided guarantee)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // skewed corpus: key k appears ~1/(k+1) as often as key 0
+    val rows = (0 until 20000).map(_ => rnd.nextInt(1 + rnd.nextInt(200)).toLong)
+    val df = rows.toDF("user_id")
+    val (w, dRows) = (1024L, 3)
+    val bins = array((0 until dRows).map(j =>
+      pmod(xxhash64(lit(j), col("user_id")), lit(w))): _*)
+    val cms = df.select(posexplode(bins).as(Seq("j", "bin")))
+      .groupBy("j", "bin").agg(count(lit(1)).as("cnt"))
+    val exact = df.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val est = exact.select(col("user_id"), col("n"),
+        posexplode(bins).as(Seq("j", "bin")))
+      .join(cms, Seq("j", "bin"))
+      .groupBy("user_id", "n").agg(min("cnt").as("est"))
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n"),
+        s"CMS under-counted key ${r.get(0)}")
+    }
+  }
+
   test("partials over a random split merge to the direct histogram") {
     val s = spark
     import s.implicits._
