@@ -127,7 +127,11 @@ object Dedup {
                                    statsColumns: Seq[String]): Long = {
     import graft.sources.Snapshots
     val cutPoints = cuts.getOrElse {
-      val maxId = docs.agg(max("doc_id")).head().getLong(0) // one tiny action
+      val maxId = docs.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => throw new IllegalArgumentException(
+        "source table is empty — nothing to cut into batches")
+      case r => r.getLong(0)
+    } // one tiny action
       Seq(maxId / 3, 2 * maxId / 3)
     }.sorted
     val bounds = (Long.MinValue +: cutPoints) :+ Long.MaxValue
@@ -667,14 +671,18 @@ object Dedup {
       .select("d1", "d2", "hamming")
     val sym = pairs.select(col("d1").as("doc_id"), col("d2").as("nbr"), col("hamming"))
       .union(pairs.select(col("d2").as("doc_id"), col("d1").as("nbr"), col("hamming")))
-    val enc = lit(1000000000000L)
+    // argmin by (hamming, nbr) via struct min — lexicographic struct
+    // ordering gives the deterministic tie-break without the
+    // hamming*K+nbr integer encoding, which silently corrupts both
+    // fields (and can mis-rank) once doc ids reach the K=1e12 radix
     sym
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_near"),
-        (min(col("hamming") * enc + col("nbr")) % enc).as("nn_id"),
-        floor(min(col("hamming") * enc + col("nbr")) / enc).cast("int")
-          .as("nn_hamming"))
+        min(struct(col("hamming"), col("nbr"))).as("nn"))
+      .select(col("doc_id"), col("n_near"),
+        col("nn.nbr").as("nn_id"),
+        col("nn.hamming").cast("int").as("nn_hamming"))
       .orderBy("doc_id")
   }
 

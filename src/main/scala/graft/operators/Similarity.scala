@@ -187,6 +187,9 @@ object Similarity {
   private def assignCells(centroids: DataFrame, targetE: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val rows = centroids.select("c_label", "pos", "c_mean").collect()
+    require(rows.nonEmpty,
+      "empty codebook: the centroid frame has no rows — the codebook " +
+        "source (initial lake commit / codebookE) must be non-empty")
     val dims = rows.iterator.map(_.getAs[Number]("pos").intValue()).max + 1
     val byLabel = rows.toSeq
       .groupBy(_.getAs[Number]("c_label").intValue()).toSeq.sortBy(_._1)
@@ -304,7 +307,11 @@ object Similarity {
                                   tau: Double = 0.4): DataFrame = {
     import graft.sources.Snapshots
     val e = Tables.embeddings(s, d)
-    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val maxId = e.agg(max("vec_id")).head() match {
+      case r if r.isNullAt(0) => throw new IllegalArgumentException(
+        "source table is empty — nothing to cut into batches")
+      case r => r.getLong(0)
+    }
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val lakeDir = graft.TempDirs.create("graft-semdedup-lake")
     val indexDir = graft.TempDirs.create("graft-semdedup-index")
@@ -320,12 +327,15 @@ object Similarity {
         .join(batch.select(col("vec_id"), dbl(col("embedding")).as("v")),
           "vec_id")
       // lower side = every already-indexed vector (cells from the
-      // index, vectors from the lake) plus the batch itself; the
-      // strict id inequality keeps intra-batch pairs exact
+      // index, vectors read back from the PRIOR lake version — never
+      // the latest, whose files include batches not yet processed:
+      // the index join would discard those rows only after scanning
+      // them, an O(corpus) rescan at scale) plus the batch itself;
+      // the strict id inequality keeps intra-batch pairs exact
       val lowers =
         if (v == 0L) bv.select("vec_id", "cell", "v")
         else Snapshots.readVersion(s, indexDir).select("vec_id", "cell")
-          .join(Snapshots.readVersion(s, lakeDir)
+          .join(Snapshots.readVersion(s, lakeDir, Some(v - 1))
             .select(col("vec_id"), dbl(col("embedding")).as("v")), "vec_id")
           .unionByName(bv.select("vec_id", "cell", "v"))
       val dropped = bv.as("t")
@@ -357,7 +367,11 @@ object Similarity {
                        nQueries: Int = 8, k: Int = 3): DataFrame = {
     import graft.sources.Snapshots
     val e = Tables.embeddings(s, d)
-    val maxId = e.agg(max("vec_id")).head().getLong(0)
+    val maxId = e.agg(max("vec_id")).head() match {
+      case r if r.isNullAt(0) => throw new IllegalArgumentException(
+        "source table is empty — nothing to cut into batches")
+      case r => r.getLong(0)
+    }
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
     val lakeDir = graft.TempDirs.create("graft-incivf-lake")
     val indexDir = graft.TempDirs.create("graft-incivf-index")

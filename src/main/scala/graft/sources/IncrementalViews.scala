@@ -68,9 +68,11 @@ object IncrementalViews {
                            maxs: Seq[(String, String)] = Nil,
                            mins: Seq[(String, String)] = Nil) {
     require(keys.nonEmpty, "a view needs at least one grouping key")
+    require(keys.distinct.size == keys.size, "view keys must be distinct")
     private val aliases = sums.map(_._2) ++ maxs.map(_._2) ++ mins.map(_._2)
-    require(aliases.distinct.size == aliases.size && !aliases.contains("n_rows"),
-      "view aliases must be distinct and not collide with n_rows")
+    require(aliases.distinct.size == aliases.size &&
+        !aliases.contains("n_rows") && !aliases.exists(keys.contains),
+      "view aliases must be distinct and collide with neither n_rows nor a key")
     private[IncrementalViews] def hasExtrema: Boolean =
       maxs.nonEmpty || mins.nonEmpty
   }
@@ -188,44 +190,45 @@ object IncrementalViews {
       throw new IllegalArgumentException(s"source $sourceDir has no versions"))
     if (to <= from) return viewV // nothing new: replay-safe no-op
     val state = Snapshots.readVersion(spark, viewDir, Some(viewV))
-    val next =
+    // Decide feed availability STRUCTURALLY (manifest probes + set
+    // diffs — O(1) driver work, no Spark jobs, no exception-message
+    // matching): Left(reason) = the feed cannot replay this range —
+    // a rewrite in range, a deleting slice against a min/max view, or
+    // a watermark whose manifest is gone (vacuumed) / not live.
+    val probe: Either[String, Option[(Set[String], Set[String])]] =
       try {
-        // metadata-only ranges (CHECK add, watermark-only commits)
-        // yield an empty diff; readChangeFeed refuses them, so probe
-        // the manifests first — the same O(1) driver-side diff
         val toM = Snapshots.liveManifest(spark, sourceDir, to)
         val fromM = Snapshots.liveManifest(spark, sourceDir, from)
         if (!fromM.files.toSet.subsetOf(toM.files.toSet) ||
             !fromM.dvs.toSet.subsetOf(toM.dvs.toSet))
-          throw new IllegalArgumentException(
-            s"non-append commit between v$from and v$to of $sourceDir: " +
-              "change feed unavailable across rewrites")
-        if (toM.files.toSet == fromM.files.toSet &&
-            toM.dvs.toSet == fromM.dvs.toSet) state
-        else {
-          // min/max views: a deleting slice cannot be absorbed (the
-          // departing row might have been the extremum) — refuse, or
-          // explicitly recompute, never serve a silently-stale value
-          if (vd.hasExtrema &&
-              toM.dvs.toSet.diff(fromM.dvs.toSet).nonEmpty)
-            throw new IllegalArgumentException(
-              s"slice v$from..v$to of $sourceDir deletes rows: a min/max " +
-                "view cannot absorb deletes — rebootstrap to recompute")
-          merged(state,
-            signedPartials(Snapshots.readChangeFeed(spark, sourceDir, from, to), vd),
-            vd)
-        }
+          Left(s"non-append commit between v$from and v$to of $sourceDir")
+        else if (toM.files.toSet == fromM.files.toSet &&
+            toM.dvs.toSet == fromM.dvs.toSet)
+          Right(None) // metadata-only range: nothing to fold
+        else if (vd.hasExtrema &&
+            toM.dvs.toSet.diff(fromM.dvs.toSet).nonEmpty)
+          Left(s"slice v$from..v$to of $sourceDir deletes rows — a min/max " +
+            "view cannot absorb deletes")
+        else Right(Some((fromM.files.toSet, fromM.dvs.toSet)))
       } catch {
-        // the three "restart the consumer" cases: a rewrite in range,
-        // a deleting slice against a min/max view, and a watermark
-        // whose manifest was vacuumed away ("no version N") — each
-        // means the feed cannot replay, so the explicit flag recomputes
-        case e: IllegalArgumentException if rebootstrapOnRewrite &&
-            e.getMessage != null && (e.getMessage.contains("rewrites") ||
-              e.getMessage.contains("cannot absorb deletes") ||
-              e.getMessage.contains("no version")) =>
-          return bootstrap(spark, sourceDir, viewDir, vd)
+        // the probe reads only manifests: any refusal here (vacuumed
+        // watermark, dead txn endpoint, unreadable manifest) IS feed
+        // unavailability for this range
+        case e: IllegalArgumentException => Left(e.getMessage)
       }
+    val next = probe match {
+      case Left(reason) if rebootstrapOnRewrite =>
+        return bootstrap(spark, sourceDir, viewDir, vd)
+      case Left(reason) =>
+        throw new IllegalArgumentException(
+          s"cannot refresh $viewDir: $reason — change feed unavailable; " +
+            "rebootstrap to recompute")
+      case Right(None) => state
+      case Right(Some(_)) =>
+        merged(state,
+          signedPartials(Snapshots.readChangeFeed(spark, sourceDir, from, to), vd),
+          vd)
+    }
     Snapshots.commit(next, viewDir, "overwrite",
       expectedVersion = Some(viewV + 1), txn = Some((ViewTxnApp, to)))
   }
@@ -250,7 +253,9 @@ object IncrementalViews {
     var attempt = 0
     while (true) {
       try {
-        if (Snapshots.latestVersion(spark, viewDir).isEmpty)
+        // gate on the last LIVE view version — a dead txn head on the
+        // view dir must route to bootstrap, not wedge refresh
+        if (Snapshots.latestLiveVersion(spark, viewDir).isEmpty)
           bootstrap(spark, sourceDir, viewDir, vd)
         else refresh(spark, sourceDir, viewDir, vd, rebootstrapOnRewrite)
         return
@@ -287,9 +292,11 @@ object IncrementalViews {
     Snapshots.deleteWhere(s, tableDir, col("o_orderkey") % 11 === 0)
     refresh(s, tableDir, viewDir, vd)
     // the masked read feeds BOTH change branches and the merge's own
-    // re-evaluation — materialize it once (freed by the harnesses'
+    // re-evaluation — materialize it once, through the repo-wide
+    // checkpoint policy switch (freed by the harnesses'
     // persistent-RDD sweep between queries)
-    val visible = Snapshots.readVersion(s, tableDir).localCheckpoint()
+    val visible =
+      graft.operators.Checkpoints.persistFrame(Snapshots.readVersion(s, tableDir))
     val upd = visible.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
       .withColumn("op", lit("U"))
