@@ -48,11 +48,23 @@ object LogParser {
     */
   def parse(lines: DataFrame): DataFrame = {
     val v = trim(col("value"))
-    def g(i: Int): Column = regexp_extract(v, LogPattern, i)
+    // ONE regex execution per line: a builtins formulation costs eight
+    // (rlike prefilter + regexp_extract per group — Catalyst shares no
+    // Matcher state across expressions), and on a 100 TB raw scan the
+    // regex is the dominant map-stage cost. The native expression
+    // ([[graft.functions.RegexpGroups]], codegen'd) matches once and
+    // returns all capture groups; its NULL-on-no-match doubles as the
+    // malformed-line drop and still guarantees every downstream cast
+    // sees grammar-shaped input (ANSI-safe)
+    val groups = {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.RegexpGroups(
+        Bridge.expression(v), LogPattern))
+    }
+    def g(i: Int): Column = element_at(col("__g"), i)
     lines
-      // prefilter: only lines matching the full grammar go further —
-      // guarantees every downstream cast sees digits-only input (ANSI-safe)
-      .filter(v.rlike(LogPattern))
+      .select(groups.as("__g"))
+      .filter(col("__g").isNotNull)
       .select(
         g(1).as("client_ip"),
         // TZ offset discarded: take the part before the space

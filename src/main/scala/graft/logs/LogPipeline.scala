@@ -17,11 +17,17 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 object LogPipeline {
 
   def run(spark: SparkSession, rawPath: String, warehouseDir: String): Unit = {
-    // 1. ETL (reference: ingest_logs.py main)
+    // 1. ETL (reference: ingest_logs.py main) — the parse is PINNED
+    // once: the ingest asserts take two actions and the lake write a
+    // third, and without the persist each re-executes the raw text
+    // scan + regex parse, tripling the pipeline's dominant stage
     val parsed = LogParser.readLogs(spark, rawPath)
-    LogQuality.assertIngest(parsed)
-    val stg = LogModels.stgLogs(parsed)
-    LogLake.writePartitioned(stg, s"$warehouseDir/lake")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      LogQuality.assertIngest(parsed)
+      val stg = LogModels.stgLogs(parsed)
+      LogLake.writePartitioned(stg, s"$warehouseDir/lake")
+    } finally parsed.unpersist(false)
 
     // 2. Model build from the lake (reference: dbt run) — read back so
     // downstream models consume the persisted, partition-pruned lake

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object LogQuality {
 
-  /** dbt `not_null` generic test: violations of non-null contract. */
+  /** dbt `not_null` generic test: violations of non-null contract.
+    * Zero columns means zero violations (not an empty.reduce crash).
+    */
   def notNullViolations(df: DataFrame, columns: Seq[String]): DataFrame =
-    df.filter(columns.map(c => col(c).isNull).reduce(_ || _))
+    columns.map(c => col(c).isNull).reduceOption(_ || _)
+      .fold(df.limit(0))(df.filter)
 
   /** Singular test: statuses outside [100, 599]. */
   def statusRangeViolations(stg: DataFrame): DataFrame =

@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object StreamingHourly {
 
-  /** stg-shaped stream (ts, endpoint, is_error, bytes_sent, ...) →
-    * windowed hourly fact stream.
+  /** The shared aggregation body: stream and batch twins differ ONLY
+    * by the watermark line, so their equivalence is true by
+    * construction (two hand-copied blocks would silently drift on the
+    * first one-sided edit). Label caveat: `window` boundaries are
+    * epoch-aligned (UTC), while `date_format`/`to_date` render in the
+    * session timezone — the hour/date labels match the batch model's
+    * derived-hour labels only for whole-hour zone offsets. The
+    * engine pins UTC ([[graft.GraftSession]]); reusing this twin
+    * under a fractional-offset zone (e.g. +05:30) would shift labels.
     */
-  def hourlyFact(stg: DataFrame): DataFrame =
-    stg
-      .withWatermark("ts", "1 hour")
+  private def shaped(df: DataFrame): DataFrame =
+    df
       .groupBy(window(col("ts"), "1 hour"), col("endpoint"))
       .agg(
         count(lit(1)).as("requests"),
@@ -38,22 +44,14 @@ object StreamingHourly {
         col("endpoint"), col("requests"), col("errors"),
         col("p95_bytes_approx"))
 
-  /** Batch shape with identical semantics, for equivalence testing:
-    * batch-mode execution of the same windowed plan.
+  /** stg-shaped stream (ts, endpoint, is_error, bytes_sent, ...) →
+    * windowed hourly fact stream.
     */
-  def hourlyFactBatch(stg: DataFrame): DataFrame =
-    stg
-      .groupBy(window(col("ts"), "1 hour"), col("endpoint"))
-      .agg(
-        count(lit(1)).as("requests"),
-        sum("is_error").as("errors"),
-        percentile_approx(col("bytes_sent"), lit(0.95), lit(10000))
-          .as("p95_bytes_approx"))
-      .select(
-        to_date(col("window.start")).as("date"),
-        date_format(col("window.start"), "HH").as("hour"),
-        col("endpoint"), col("requests"), col("errors"),
-        col("p95_bytes_approx"))
+  def hourlyFact(stg: DataFrame): DataFrame =
+    shaped(stg.withWatermark("ts", "1 hour"))
+
+  /** Batch twin for equivalence testing: the same plan, no watermark. */
+  def hourlyFactBatch(stg: DataFrame): DataFrame = shaped(stg)
 
   /** File-source stream over a parquet directory of stg rows. */
   def readStgStream(spark: SparkSession, dir: String,

@@ -43,7 +43,14 @@ object StreamingSessions {
       val t = e.ts.getTime
       cur match {
         case Some(s) if t - s.last_ms <= GapMs =>
-          cur = Some(s.copy(last_ms = t, n_events = s.n_events + 1))
+          // an admissible event may still be EARLIER than the stored
+          // state (late relative to this key's last event but at/above
+          // the watermark, so not dropped): session bounds only ever
+          // widen — a naive `last_ms = t` would move the end BACKWARD,
+          // yielding negative durations and premature timeouts, and
+          // diverge from the batch twin's min/max formulation
+          cur = Some(s.copy(start_ms = math.min(s.start_ms, t),
+            last_ms = math.max(s.last_ms, t), n_events = s.n_events + 1))
         case Some(s) =>
           closed ::= SessionOut(userId, s.start_ms, s.last_ms, s.n_events,
             s.last_ms - s.start_ms)

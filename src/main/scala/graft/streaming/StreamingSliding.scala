@@ -19,18 +19,16 @@ object StreamingSliding {
     * Emits in append mode once the watermark closes each window.
     */
   def slidingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(col("window.start").as("ws"), col("event_type"),
-        col("n"), col("sum_value"))
+    shaped(events.withWatermark("ts", delay))
 
-  /** Batch execution of the identical plan, for equivalence tests. */
-  def slidingCountsBatch(events: DataFrame): DataFrame =
-    events
+  /** Batch execution of the identical plan, for equivalence tests —
+    * the twins share ONE body ([[shaped]]), so their equivalence is
+    * true by construction rather than by keeping two copies in sync.
+    */
+  def slidingCountsBatch(events: DataFrame): DataFrame = shaped(events)
+
+  private def shaped(df: DataFrame): DataFrame =
+    df
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),

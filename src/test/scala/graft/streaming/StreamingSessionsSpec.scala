@@ -16,6 +16,33 @@ class StreamingSessionsSpec extends SparkSpec {
   private val Base = 1700000000000L
   private def ts(min: Long): Timestamp = new Timestamp(Base + min * 60000L)
 
+  test("late-but-admissible event widens the open session, never regresses it") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingSessions.{Event, SessionState}
+    // open session [t10, t20]; the watermark (t5) admits an event at
+    // t15 — five minutes BEHIND the stored last_ms. The session must
+    // keep end=t20 (and its timeout), not regress to end=t15
+    val st = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(
+        SessionState(ts(10).getTime, ts(20).getTime, 2L)),
+      GroupStateTimeout.EventTimeTimeout,
+      Base, org.apache.spark.api.java.Optional.of(ts(5).getTime),
+      hasTimedOut = false)
+    val closed = StreamingSessions.handle(
+      7L, Iterator(Event(7L, ts(15))), st).toList
+    assert(closed.isEmpty)
+    val s = st.get
+    assert(s.start_ms === ts(10).getTime)
+    assert(s.last_ms === ts(20).getTime, "session end must not move backward")
+    assert(s.n_events === 3L)
+    // an admissible event slightly BEFORE the session start widens it
+    val closed2 = StreamingSessions.handle(
+      7L, Iterator(Event(7L, ts(6))), st).toList
+    assert(closed2.isEmpty)
+    assert(st.get.start_ms === ts(6).getTime)
+    assert(st.get.last_ms === ts(20).getTime)
+  }
+
   test("sessions split on >30min gaps; state closes them in order") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
