@@ -1510,7 +1510,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
          |  FROM embeddings)
          |SELECT split, label, COUNT(*) AS n_rows,
          |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  CAST(SUM(norm_sq) AS BIGINT) AS norm_sq_sum,
+         |  CAST(SUM(CAST(norm_sq AS DECIMAL(38,0))) AS VARCHAR) AS norm_sq_sum,
          |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_sum
          |FROM s JOIN e ON s.doc_id = e.vec_id
          |GROUP BY split, label ORDER BY split, label""".stripMargin,
@@ -1876,7 +1876,8 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |ORDER BY event_type NULLS FIRST, k_mod NULLS FIRST""".stripMargin,
     "t7_chunking" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |st AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS start FROM tok),
+        |st0 AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 48)) AS start FROM tok),
+        |st AS (SELECT * FROM st0 WHERE start = 1 OR start <= len(w) - 16),
         |ch AS (
         |  SELECT doc_id,
         |    CAST((start - 1) // 48 AS INTEGER) AS chunk_idx,
@@ -2363,7 +2364,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT media_id, kind, n_bytes,
         |    SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
         |  FROM m)
-        |SELECT kind, CAST((cum_bytes - 1) // 4096 AS BIGINT) AS batch_id, COUNT(*) AS n_items,
+        |SELECT kind, CAST((cum_bytes - n_bytes) // 4096 AS BIGINT) AS batch_id, COUNT(*) AS n_items,
         |  CAST(SUM(n_bytes) AS BIGINT) AS batch_bytes,
         |  MIN(media_id) AS first_id, MAX(media_id) AS last_id
         |FROM c GROUP BY kind, batch_id ORDER BY kind, batch_id""".stripMargin,

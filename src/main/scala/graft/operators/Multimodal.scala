@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -17,6 +17,13 @@ import graft.Tables
   * output row.
   */
 object Multimodal {
+
+  /** THE fake-decode frame-count rule (len % FramesMod + 1) — one
+    * definition shared by the imperative decoder, the declarative
+    * twin, and the frame sampler, so the three can never drift.
+    */
+  private val FramesMod = 16
+  private def nFramesCol: Column = length(col("bytes")) % FramesMod + 1
 
   /** A media record: bytes + metadata. */
   final case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte])
@@ -49,17 +56,19 @@ object Multimodal {
     val w = 1 + java.lang.Long.parseLong(md5.substring(0, 4), 16).toInt % 64
     val h = 1 + java.lang.Long.parseLong(md5.substring(4, 8), 16).toInt % 64
     MediaFeatures(rec.media_id, rec.kind, rec.bytes.length.toLong,
-      w, h, 1 + (rec.bytes.length % 16))
+      w, h, 1 + (rec.bytes.length % FramesMod))
   }
 
   /** Payload-budget batch packing — the GPU-inference batching step: a
     * decode/embed service consumes media in batches bounded by BYTES
     * (device memory), not row count, so batches are packed by running
     * payload size. Per (modality) stream, records are laid out in
-    * media_id order and assigned batch = floor(cumulative_bytes /
-    * budget) — the same deterministic window-cumsum shape as p4's
-    * token packing (Sampling.packSequences), applied to the binary
-    * column's length. Per-modality windows partition the work: at
+    * media_id order and assigned batch = floor(preceding_bytes /
+    * budget) (preceding = cumulative − own) — the same deterministic
+    * window-cumsum rule as p4's token packing
+    * (Sampling.packSequences), applied to the binary column's length;
+    * batch ids start at 0 and stay contiguous even for an oversized
+    * first item. Per-modality windows partition the work: at
     * 100 TB each modality packs independently, and a batch id is
     * reproducible from the data alone (no scan order dependence).
     */
@@ -73,7 +82,13 @@ object Multimodal {
       .select(col("media_id"), col("kind"),
         length(col("bytes")).cast("long").as("n_bytes"))
       .withColumn("cum_bytes", sum("n_bytes").over(w))
-      .withColumn("batch_id", expr(s"(cum_bytes - 1) div $budgetBytes"))
+      // batch by PRECEDING bytes (cum − n) — the same rule as p4's
+      // token packing: batch ids start at 0 and stay contiguous even
+      // when a single item exceeds the budget (the old last-byte rule
+      // skipped batch 0 for an oversized first item, so a consumer
+      // iterating 0..max hit a hole)
+      .withColumn("batch_id",
+        expr(s"(cum_bytes - n_bytes) div $budgetBytes"))
       .groupBy("kind", "batch_id")
       .agg(
         count(lit(1)).as("n_items"),
@@ -108,7 +123,7 @@ object Multimodal {
       .select(
         col("media_id"), col("kind"),
         explode(sequence(lit(0),
-          (length(col("bytes")) % 16 + 1) - 1, lit(step))).as("frame_idx"))
+          nFramesCol - 1, lit(step))).as("frame_idx"))
       .orderBy("media_id", "frame_idx")
 
   /** Resized (fake) media metadata. */
@@ -183,6 +198,6 @@ object Multimodal {
           .cast("int").as("width"),
         (conv(substring(md5(col("bytes")), 5, 4), 16, 10).cast("long") % 64 + 1)
           .cast("int").as("height"),
-        (length(col("bytes")) % 16 + 1).cast("int").as("n_frames"))
+        nFramesCol.cast("int").as("n_frames"))
       .orderBy("media_id")
 }

@@ -41,7 +41,7 @@ object Pipeline {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("n_chars"),
         Sampling.splitCol.as("split"),
-        size(split(col("text"), " ")).as("n_tokens"))
+        size(TextAnalysis.toks).as("n_tokens"))
       .groupBy("split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -62,7 +62,7 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Sampling.splitCol.as("split"),
         TextAnalysis.QualityRules.keep.as("keep"),
-        size(split(col("text"), " ")).as("n_tokens"))
+        size(TextAnalysis.toks).as("n_tokens"))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         aggregate(
@@ -74,7 +74,13 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum("norm_sq").as("norm_sq_sum"),
+        // per-row norm_sq fits a long (64 dims × (1e6)² ≈ 6.4e13) but
+        // the GROUP sum wraps Long past ~144k rows — exactly the scale
+        // the checksum exists for — so it accumulates in DECIMAL(38,0)
+        // and serves as a STRING (exact at any cardinality, and the
+        // cross-engine compare stays representation-stable)
+        sum(col("norm_sq").cast("decimal(38,0)")).cast("string")
+          .as("norm_sq_sum"),
         sum("n_tokens").as("tokens_sum"))
       .orderBy("split", "label")
   }

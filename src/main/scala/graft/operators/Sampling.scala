@@ -94,12 +94,12 @@ object Sampling {
     val w = Window.partitionBy("source").orderBy("doc_id")
     Tables.documents(s, d)
       .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(TextAnalysis.toks).cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
       // (cum - n_tokens) / budget: integer division of the tokens that
       // precede this document — exact in both engines
       .withColumn("bin",
-        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+        expr(s"(cum - n_tokens) div $budget"))
       .groupBy("source", "bin")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -17,7 +17,10 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  private def toks: Column = split(col("text"), " ")
+  /** THE tokenizer of record — shared with Pipeline/Sampling so the
+    * rule can never drift between token counts and text operators.
+    */
+  private[operators] def toks: Column = split(col("text"), " ")
 
   /** English-ish stopwords present in the corpus vocabulary. */
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -146,6 +149,13 @@ object TextAnalysis {
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")), lit(stride))).as("start"))
+      // a trailing start within `overlap` of the end yields a chunk the
+      // previous chunk already covers ENTIRELY (prev start + chunkSize
+      // − 1 ≥ n ⟺ start > n − overlap) — emitting it would hand a
+      // training pipeline duplicated samples for ~overlap/stride of
+      // documents; the first chunk always survives
+      .filter(col("start") === 1 ||
+        col("start") <= size(col("w")) - overlap)
       .select(col("doc_id"),
         // starts are 1, 1+stride, 2·stride+1, …: (start-1)/stride is an
         // exact integral double, so the int cast is rounding-mode-proof
@@ -324,7 +334,7 @@ object TextAnalysis {
     // partition-arrival order (non-deterministic across engines); one
     // exact single-row value per term (max of the unique (doc,term)
     // score) added left-to-right is bit-identical everywhere
-    val perTerm = terms.map(t =>
+    val perTerm = terms.distinct.map(t =>
       coalesce(max(when(col("tok") === t, col("term_score"))), lit(0.0)))
     val w = Window.orderBy(desc("score"), asc("doc_id"))
     scored
@@ -395,7 +405,11 @@ object TextAnalysis {
     * window partitions by doc_id — groups are document-sized, no skew;
     * the bigram agg carries bounded partials, never the pair stream.
     */
-  def bigrams(s: SparkSession, d: String, k: Int = 40): DataFrame = {
+  /** The (doc_id, bigram) occurrence stream — the corpus-wide explode
+    * + per-doc lead window that is the dominant cost of every bigram
+    * operator; built ONCE and shared (see [[bigramHitRate]]).
+    */
+  private def bigramStream(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     Tables.documents(s, d)
@@ -403,11 +417,17 @@ object TextAnalysis {
       .withColumn("nxt", lead("tok", 1).over(byPos))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+  }
+
+  private def topBigrams(stream: DataFrame, k: Int): DataFrame =
+    stream
       .groupBy("bigram")
       .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
       .orderBy(desc("cnt"), desc("df"), asc("bigram"))
       .limit(k)
-  }
+
+  def bigrams(s: SparkSession, d: String, k: Int = 40): DataFrame =
+    topBigrams(bigramStream(s, d), k)
 
   /** Corpus-LM document scoring: the fraction of each document's
     * bigram occurrences found in the corpus top-K bigram list — the
@@ -420,14 +440,13 @@ object TextAnalysis {
     * top-K boundary is (cnt, df, bigram) — deterministic both engines.
     */
   def bigramHitRate(s: SparkSession, d: String, k: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val top = broadcast(bigrams(s, d, k).select(col("bigram"), lit(1).as("in_top")))
-    Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(byPos))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bigram"))
+    // the explode+window stream feeds BOTH the top-K build and the
+    // probe side — materialized once instead of paying the corpus-wide
+    // shuffle twice (Catalyst does not reuse it across the two scans)
+    val stream = Checkpoints.persistFrame(bigramStream(s, d))
+    val top = broadcast(topBigrams(stream, k)
+      .select(col("bigram"), lit(1).as("in_top")))
+    stream
       .join(top, Seq("bigram"), "left")
       .groupBy("doc_id")
       .agg(
