@@ -282,10 +282,19 @@ object CorpusQueries {
     * count. The estimate itself stays out of the compared output.
     */
   def qxApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // One distinct projection feeds BOTH halves: HLL++ is
+    // duplicate-insensitive (same deterministic hash set either way),
+    // and over distinct pairs the exact distinct is a plain count(*).
+    // Mixing countDistinct with approx_count_distinct in one Aggregate
+    // would make Catalyst Expand-duplicate every scanned row — twice
+    // the shuffle volume for identical output (plan-asserted in
+    // CorpusSpec: no Expand node).
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
       .groupBy("l_returnflag")
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
       .withColumn("within_rsd",
         when(abs(col("__approx") - col("exact_parts"))

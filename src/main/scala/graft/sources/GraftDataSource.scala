@@ -81,7 +81,10 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val path = p.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: .save(tableDir) or option(\"path\", ...)"))
-    val exists = Snapshots.latestVersion(ctx.sparkSession, path).nonEmpty
+    // liveness, not raw head: a table whose only version is a
+    // dead/aborted txn manifest must count as non-existent here,
+    // matching the read path's latestLiveVersion resolution
+    val exists = Snapshots.latestLiveVersion(ctx.sparkSession, path).nonEmpty
     val commitMode = mode match {
       case SaveMode.Append        => Some("append")
       case SaveMode.Overwrite     => Some("overwrite")

@@ -293,12 +293,20 @@ object Snapshots {
       .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest"))
       .filterNot(have)
-      .foreach { stem =>
-        try {
-          val o = f.create(new Path(cd, s"$stem.marker"), false)
-          try o.write('c'.toInt) finally o.close()
-        } catch { case _: java.io.IOException => () } // racer wrote it
-      }
+      .foreach(stem =>
+        try writeCommitMarker(f, tableDir, stem)
+        catch { case _: java.io.IOException => () }) // racer wrote it
+  }
+
+  /** One 1-byte marker for one version stem (`vN`) — the O(1) unit
+    * both the per-commit publish path and the backfill sweep use.
+    */
+  private def writeCommitMarker(f: FileSystem, tableDir: String,
+                                stem: String): Unit = {
+    val cd = commitMarkerDir(tableDir)
+    if (!f.exists(cd)) f.mkdirs(cd)
+    val o = f.create(new Path(cd, s"$stem.marker"), false)
+    try o.write('c'.toInt) finally o.close()
   }
 
   private def floorPath(tableDir: String): Path =
@@ -617,10 +625,12 @@ object Snapshots {
       try f.setTimes(manifestPath(tableDir, m.version),
         System.currentTimeMillis(), -1L)
       catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
-      // feed-discovery marker (1 byte; see [[ensureCommitMarkers]]) —
-      // best-effort: a miss here is healed by the next publish or
-      // stream start
-      try ensureCommitMarkers(f, tableDir)
+      // feed-discovery marker (1 byte) for THIS version only — O(1)
+      // per commit, not an O(history) directory sweep (the full
+      // backfill sweep runs once at stream start, see
+      // [[ensureCommitMarkers]]). Best-effort: a miss here is healed
+      // by the next stream start's sweep
+      try writeCommitMarker(f, tableDir, s"v${m.version}")
       catch { case _: java.io.IOException => () }
     }
     ok

@@ -39,10 +39,24 @@ object StreamingSessions {
       state.remove()
       cur = None
     }
+    // a late-but-admissible event more than GapMs BEFORE the open
+    // session's start belongs to a SEPARATE earlier session under gap
+    // semantics (merging it would widen across a gap the batch twin
+    // splits on). Assemble such events in their own accumulator;
+    // because events are processed in ascending order, the gap test
+    // between the early run and the (start-widened) open session is
+    // exactly the batch gap rule. The early session is emitted at
+    // batch end — state stays O(1); the one documented divergence is
+    // an admissible event in a LATER batch that would have extended
+    // the already-emitted early session.
+    var early: Option[SessionState] = None
+    def emit(s: SessionState): Unit =
+      closed ::= SessionOut(userId, s.start_ms, s.last_ms, s.n_events,
+        s.last_ms - s.start_ms)
     events.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       cur match {
-        case Some(s) if t - s.last_ms <= GapMs =>
+        case Some(s) if t >= s.start_ms - GapMs && t - s.last_ms <= GapMs =>
           // an admissible event may still be EARLIER than the stored
           // state (late relative to this key's last event but at/above
           // the watermark, so not dropped): session bounds only ever
@@ -51,14 +65,28 @@ object StreamingSessions {
           // diverge from the batch twin's min/max formulation
           cur = Some(s.copy(start_ms = math.min(s.start_ms, t),
             last_ms = math.max(s.last_ms, t), n_events = s.n_events + 1))
-        case Some(s) =>
-          closed ::= SessionOut(userId, s.start_ms, s.last_ms, s.n_events,
-            s.last_ms - s.start_ms)
+        case Some(s) if t - s.last_ms > GapMs =>
+          // a LATER session: flush the early run (older) then the open
+          // session, in timeline order
+          early.foreach(emit); early = None
+          emit(s)
           cur = Some(SessionState(t, t, 1))
+        case Some(_) =>
+          // t < open.start - GapMs: earlier-session run
+          early = early match {
+            case Some(es) if t >= es.start_ms - GapMs && t - es.last_ms <= GapMs =>
+              Some(es.copy(start_ms = math.min(es.start_ms, t),
+                last_ms = math.max(es.last_ms, t), n_events = es.n_events + 1))
+            case Some(es) => emit(es); Some(SessionState(t, t, 1))
+            case None => Some(SessionState(t, t, 1))
+          }
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
     }
+    // the early run is > GapMs before the open session by construction
+    // (events at/above open.start - GapMs merged into it instead)
+    early.foreach(emit)
     cur.foreach { s =>
       state.update(s)
       if (!state.hasTimedOut)

@@ -33,6 +33,18 @@ class OperatorSpec extends SparkSpec {
     assert(!scan.contains("l_returnflag"), scan)
   }
 
+  test("x1 approx-distinct plans without Expand (no doubled shuffle)") {
+    val df = CorpusQueries.qxApproxDistinct(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Expand"),
+      "exact+approx distinct must share one distinct projection, not " +
+        "an Expand-duplicated scan: " + p.take(2000))
+    // the witness must still hold on real data
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("within_rsd") == 1))
+  }
+
   test("minhash LSH plan contains no cartesian product") {
     val p = plan(Dedup.minhashLsh(spark, sf))
     assert(!p.contains("CartesianProduct"), "LSH candidate join must be keyed")

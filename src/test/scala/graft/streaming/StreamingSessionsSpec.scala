@@ -43,6 +43,43 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(st.get.last_ms === ts(20).getTime)
   }
 
+  test("admissible event >gap BEFORE the open session closes as its own earlier session") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingSessions.{Event, SessionState}
+    // open session [t100, t110]; admissible events at t5 and t20 are
+    // more than the 30-min gap before its start — batch gap-split
+    // semantics put them in a SEPARATE earlier session [t5, t20],
+    // which must be emitted closed, leaving [t100, t110] in state
+    val st = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(
+        SessionState(ts(100).getTime, ts(110).getTime, 2L)),
+      GroupStateTimeout.EventTimeTimeout,
+      Base, org.apache.spark.api.java.Optional.of(ts(0).getTime),
+      hasTimedOut = false)
+    val closed = StreamingSessions.handle(
+      7L, Iterator(Event(7L, ts(20)), Event(7L, ts(5))), st).toList
+    assert(closed.map(s => (s.start_ms, s.end_ms, s.n_events)) ===
+      List((ts(5).getTime, ts(20).getTime, 2L)))
+    assert(st.get === SessionState(ts(100).getTime, ts(110).getTime, 2L))
+    // an early run that reaches within the gap of the open start
+    // BRIDGES instead: t80 is 20 min before t100 → merges, widening
+    val st2 = TestGroupState.create[SessionState](
+      org.apache.spark.api.java.Optional.of(
+        SessionState(ts(100).getTime, ts(110).getTime, 2L)),
+      GroupStateTimeout.EventTimeTimeout,
+      Base, org.apache.spark.api.java.Optional.of(ts(0).getTime),
+      hasTimedOut = false)
+    val closed2 = StreamingSessions.handle(
+      7L, Iterator(Event(7L, ts(30)), Event(7L, ts(80))), st2).toList
+    // t30 is >gap before t100 AND >gap before t80's run start? No:
+    // ascending order → t30 starts the early run; t80 is within gap of
+    // t100 so it merges into the open session (start widens to t80);
+    // t30 is then 50 min before t80 → stays a separate closed singleton
+    assert(closed2.map(s => (s.start_ms, s.end_ms, s.n_events)) ===
+      List((ts(30).getTime, ts(30).getTime, 1L)))
+    assert(st2.get === SessionState(ts(80).getTime, ts(110).getTime, 3L))
+  }
+
   test("sessions split on >30min gaps; state closes them in order") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
