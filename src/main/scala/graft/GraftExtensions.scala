@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity.builder))
     // COUNT(*) over a graft relation answers from the manifest ledger
     ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
+    // DELETE FROM / UPDATE / MERGE INTO over a graft relation execute
+    // as merge-on-read snapshot commits (post-hoc: the main resolution
+    // batch binds their expressions first; checkAnalysis would refuse
+    // the v1 relation right after, so this rule converts in between)
+    ext.injectPostHocResolutionRule(graft.plans.GraftSqlDml.Dml.apply)
   }
 }

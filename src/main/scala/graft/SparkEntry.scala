@@ -115,6 +115,7 @@ object SparkEntry {
     "u28_sql_datasource" -> (graft.sources.GraftSource.u28SqlDatasource _),
     "u29_metadata_count" -> (graft.sources.GraftSource.u29MetadataCount _),
     "u30_sql_insert" -> (graft.sources.GraftSource.u30SqlInsert _),
+    "u31_sql_dml" -> (graft.plans.GraftSqlDml.u31SqlDml _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -776,6 +777,29 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM allr GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // u31 oracle: the pure-SQL DML lifecycle replayed relationally —
+    // DELETE of the F tier, UPDATE +100 on the P tier, then one CDC
+    // MERGE (U doubles %10=1 prices, D drops %10=2, I re-keys %10=3
+    // high with literal payload); 4 versions = seed + one atomic
+    // commit per statement
+    "u31_sql_dml" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |v3 AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM v2 WHERE o_orderkey % 10 <> 2
+        |  UNION ALL
+        |  SELECT 'N', o_totalprice FROM v2 WHERE o_orderkey % 10 = 3)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  4 AS n_versions
+        |FROM v3 GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // x3 oracle: the ENTIRE sketch computation replayed relationally —
     // DuckDB builds the per-flag histogram DIRECTLY (one level) while
