@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // batch binds their expressions first; checkAnalysis would refuse
     // the v1 relation right after, so this rule converts in between)
     ext.injectPostHocResolutionRule(graft.plans.GraftSqlDml.Dml.apply)
+    // name-based graft catalog tables resolve onto the V1 relation
+    // (same scan/pruning/DML surface as path-based access)
+    ext.injectResolutionRule(graft.plans.GraftCatalogRules.V2ToV1.apply)
   }
 }

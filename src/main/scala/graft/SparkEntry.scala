@@ -116,6 +116,9 @@ object SparkEntry {
     "u29_metadata_count" -> (graft.sources.GraftSource.u29MetadataCount _),
     "u30_sql_insert" -> (graft.sources.GraftSource.u30SqlInsert _),
     "u31_sql_dml" -> (graft.plans.GraftSqlDml.u31SqlDml _),
+    "u32_partitioned_table" -> (graft.sources.DemoFixtures.u32PartitionedTable _),
+    "u33_partition_count" -> (graft.sources.DemoFixtures.u33PartitionCount _),
+    "u34_catalog_table" -> (graft.sources.DemoFixtures.u34CatalogTable _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -800,6 +803,66 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  4 AS n_versions
         |FROM v3 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // u32 oracle: the partitioned table's three legs replayed
+    // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
+    // v0/latest); only_matching_dirs = 1 pins that the pruned scan
+    // touched only o_orderstatus=O files
+    "u32_partitioned_table" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT CAST(0 AS INT) AS leg, 'O' AS o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS only_matching_dirs
+        |FROM v1 WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1
+        |FROM v1 GROUP BY o_orderstatus
+        |ORDER BY 1, 2""".stripMargin,
+    // u33 oracle: the metadata-served counts replayed relationally;
+    // metadata_only = 1 pins that BOTH statements optimized to a
+    // LocalRelation (zero file reads), not just that the numbers agree
+    "u33_partition_count" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT 'filtered' AS scope, 'O' AS o_orderstatus,
+        |  COUNT(*) AS n, 1 AS metadata_only
+        |FROM v1 WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'grouped', o_orderstatus, COUNT(*), 1
+        |FROM v1 GROUP BY o_orderstatus
+        |ORDER BY scope, o_orderstatus""".stripMargin,
+    // u34 oracle: the name-based catalog lifecycle replayed
+    // relationally — fixture (orders + rekeyed %10=3 tail) + the
+    // INSERT of the re-keyed 'N' %10=5 slice, minus the DELETEd F
+    // tier; n_versions = 3 (clone + insert + delete), in_registry = 1
+    // (SHOW TABLES found the forked table)
+    "u34_catalog_table" ->
+      """WITH fixture AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |grown AS (
+        |  SELECT o_orderstatus, o_totalprice FROM fixture
+        |  UNION ALL
+        |  SELECT 'N', o_totalprice FROM fixture WHERE o_orderkey % 10 = 5)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  3 AS n_versions, 1 AS in_registry
+        |FROM grown WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // x3 oracle: the ENTIRE sketch computation replayed relationally —
     // DuckDB builds the per-flag histogram DIRECTLY (one level) while

@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.Bridge
+import graft.sources.{GraftCatalog, GraftCatalogTable, GraftSource, Snapshots}
+
+/** Name-based access to [[graft.sources.GraftCatalog]] tables, kept on
+  * the V1 serving surface: the catalog resolves `graft.db.t` to a
+  * DSv2 relation over the metadata-only [[GraftCatalogTable]]; this
+  * rule swaps it during resolution for the [[GraftRelation]] scan —
+  * REUSING the v2 relation's output attributes, so every reference
+  * the analyzer already bound stays bound. Catalog tables thereby get
+  * the exact same path as `USING graft` views: vectorized parquet
+  * scan, manifest pruning, DV masks, ledger counts
+  * ([[MetadataOnlyCount]]), and row-level SQL DML ([[GraftSqlDml]] —
+  * its rule runs post-hoc, after this one has already produced the V1
+  * relation it matches on).
+  *
+  * Writes (`INSERT INTO` / `INSERT OVERWRITE` / CTAS by name) land as
+  * leaf commands over [[Snapshots.commit]]: one atomic snapshot
+  * commit each, partitioned per the table's declared spec.
+  */
+object GraftCatalogRules {
+
+  case class V2ToV1(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    private def graftTable(p: LogicalPlan): Option[GraftCatalogTable] =
+      p match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftCatalogTable => Some(t)
+          case _ => None
+        }
+        case SubqueryAlias(_, child) => graftTable(child)
+        case _ => None
+      }
+
+    private def isTrue(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e match {
+      case Literal(true, _) => true
+      case _ => false
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsDown {
+        case a @ AppendData(rel, query, _, _, _, _)
+            if graftTable(rel).isDefined && a.outputResolved =>
+          val t = graftTable(rel).get
+          GraftCatalogWrite(t.dir, t.partitionCols, t.tableSchema, query,
+            mode = "append")
+        case o @ OverwriteByExpression(rel, cond, query, _, _, _, _)
+            if graftTable(rel).isDefined && o.outputResolved && isTrue(cond) =>
+          val t = graftTable(rel).get
+          GraftCatalogWrite(t.dir, t.partitionCols, t.tableSchema, query,
+            mode = "overwrite")
+        case ctas @ CreateTableAsSelect(
+            ResolvedIdentifier(catalog: GraftCatalog, ident),
+            partitioning, query, _, _, ifNotExists, _)
+            if query.resolved =>
+          GraftCtas(catalog, ident, partitioning, query, ifNotExists)
+        case r: DataSourceV2Relation if graftTable(r).isDefined =>
+          val t = graftTable(r).get
+          val base = new GraftSource().createRelation(
+            spark.sqlContext, Map("path" -> t.dir))
+          LogicalRelation(base, r.output, None, isStreaming = false, None)
+      }
+  }
+
+  /** INSERT INTO / OVERWRITE a catalog table: one snapshot commit,
+    * partitioned per the table's spec; the aligned query's columns are
+    * renamed positionally to the table's (the analyzer's output
+    * resolution already cast and ordered them).
+    */
+  case class GraftCatalogWrite(dir: String, partitionCols: Seq[String],
+                               tableSchema: org.apache.spark.sql.types.StructType,
+                               query: LogicalPlan, mode: String)
+      extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      val df = Bridge.ofRows(spark, query)
+        .toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+      Snapshots.commit(df, dir, mode, partitionBy = partitionCols)
+      Seq.empty
+    }
+  }
+
+  /** CREATE TABLE ... USING graft AS SELECT: empty declaration +
+    * first append, both through the catalog/commit path.
+    */
+  case class GraftCtas(catalog: GraftCatalog, ident: Identifier,
+                       partitioning: Seq[Transform], query: LogicalPlan,
+                       ifNotExists: Boolean) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (catalog.tableExists(ident)) {
+        if (ifNotExists) return Seq.empty
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+      }
+      val df = Bridge.ofRows(spark, query)
+      val t = catalog.createTable(ident, df.schema, partitioning.toArray,
+        java.util.Collections.emptyMap[String, String]())
+        .asInstanceOf[GraftCatalogTable]
+      Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols)
+      Seq.empty
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.{Collections => JCollections, Map => JMap, Set => JSet}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** A persistent named catalog over a warehouse of graft tables:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft-warehouse
+  * }}}
+  *
+  * after which `CREATE TABLE graft.db.t (...) USING graft
+  * [PARTITIONED BY (...)]`, `SHOW TABLES IN graft.db`, name-based
+  * reads/writes, and the SQL DML surface all work by NAME and survive
+  * sessions — the durable-named-warehouse role the reference's
+  * profiles.yml plays (`dbt_project/profiles.yml:4-7`). The registry
+  * IS the directory layout (`warehouse/<db>/<table>/_manifests`), so
+  * there is no second metadata store to drift from the tables: a dir
+  * with a manifest is a table, discoverability is one listing, and
+  * concurrent `CREATE TABLE` races collapse into the manifest CAS.
+  *
+  * Reads stay on the V1 relation: [[graft.plans.GraftSqlDml.V2ToV1]]
+  * swaps the DSv2 relation this catalog resolves to for the
+  * [[GraftRelation]] scan (same exprIds — references stay bound), so
+  * name-based access gets the same vectorized parquet path, manifest
+  * pruning, DV masking, ledger counts and DML rules as path-based.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace()), ident.name())
+
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      name() +: namespace)
+    fs.listStatus(d).iterator
+      .filter(st => st.isDirectory && isTable(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    val v = Snapshots.latestLiveVersion(spark, dir.toString).getOrElse(
+      throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
+    val m = Snapshots.readManifest(spark, dir.toString, v)
+    val schema = m.schema.getOrElse(
+      Snapshots.readVersion(spark, dir.toString, Some(v)).schema)
+    GraftCatalogTable(ident, dir.toString, schema, m.partitionCols)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    if (!fs.exists(nsDir(ident.namespace())))
+      throw new NoSuchNamespaceException(name() +: ident.namespace())
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support only identity partitioning, got $other")
+    }
+    Snapshots.createEmpty(spark, dir.toString, schema, partCols)
+    GraftCatalogTable(ident, dir.toString, schema, partCols)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft catalog tables: use the snapshot API " +
+        "(addCheckConstraint / schema evolution rides appends)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    val to = tableDir(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(
+      (oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    if (isTable(to)) throw new TableAlreadyExistsException(
+      (newIdent.namespace() :+ newIdent.name()).toSeq)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse).iterator
+      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .map(st => Array(st.getPath.getName))
+      .toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsDir(namespace)) && !isTable(nsDir(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace)
+    JCollections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(name() +: namespace)
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else if (!cascade && fs.listStatus(d).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    else fs.delete(d, true)
+  }
+}
+
+/** The catalog's Table handle: pure metadata (name, schema, partition
+  * spec, path). It deliberately implements NO read/write capability —
+  * [[graft.plans.GraftSqlDml.V2ToV1]] swaps its relation for the V1
+  * [[GraftRelation]] during resolution, which carries the whole
+  * serving surface.
+  */
+final case class GraftCatalogTable(ident: Identifier, dir: String,
+                                   tableSchema: StructType,
+                                   partitionCols: Seq[String]) extends Table {
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    JCollections.emptySet[TableCapability]()
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def properties(): JMap[String, String] =
+    Map("path" -> dir, "provider" -> "graft").asJava
+}

@@ -41,8 +41,32 @@ import org.apache.spark.sql.types.StructType
   * change results, only skip files.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  /** The streaming half (`spark.readStream.format("graft")`) — see
+    * [[GraftStreamSource]] for offsets, modes, and the V1-Source
+    * rationale.
+    */
+  override def sourceSchema(ctx: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val (path, cdc) = GraftStreamSource.parse(parameters)
+    ("graft", schema.getOrElse(
+      GraftStreamSource.schemaOf(ctx.sparkSession, path, cdc)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (path, cdc) = GraftStreamSource.parse(parameters)
+    new GraftStreamSource(ctx, path, cdc,
+      schema.getOrElse(GraftStreamSource.schemaOf(ctx.sparkSession, path, cdc)))
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -104,8 +128,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         s"bucketBy must be 'column:numBuckets', got '$s'")
       (parts(0).trim, parts(1).trim.toInt)
     }
+    // Hive-style partition layout: both the writer's own .partitionBy()
+    // (Spark passes it through as __partition_columns) and an explicit
+    // option("partitionBy", "c1,c2") reach the commit's layout control
+    val partCols = p.get("partitionby").orElse(p.get("__partition_columns"))
+      .map(GraftSource.parseColumnList).getOrElse(Nil)
     commitMode.foreach(m => Snapshots.commit(data, path, m,
-      statsColumns = stats, bucketBy = bucket, bloomColumns = blooms))
+      statsColumns = stats, bucketBy = bucket, bloomColumns = blooms,
+      partitionBy = partCols))
     // read-back relation pins the table's NEW latest — time-travel
     // options (already-lowercased keys) must not leak into it
     createRelation(ctx, p - "versionasof" - "timestampasof")
@@ -125,10 +155,8 @@ object GraftSource {
   def u28SqlDatasource(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-ds-demo")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-ds-demo")
     val orders = graft.Tables.orders(s, d)
-    Snapshots.commit(orders, tableDir, "overwrite",
-      statsColumns = Seq("o_orderkey"))
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     Snapshots.commit(late, tableDir, "append",
@@ -161,9 +189,8 @@ object GraftSource {
   def u29MetadataCount(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-meta-count")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-meta-count")
     val orders = graft.Tables.orders(s, d)
-    Snapshots.commit(orders, tableDir, "overwrite")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     Snapshots.commit(late, tableDir, "append")
@@ -213,6 +240,16 @@ object GraftSource {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Column list from either a plain csv option value or the JSON
+    * array Spark's writer encodes `partitionBy` as when
+    * `spark.sql.legacy.sources.write.passPartitionByAsOptions` is on
+    * (`["c1","c2"]`). Names with commas/quotes are not supported —
+    * the commit-side column-existence check catches any mis-parse.
+    */
+  private[sources] def parseColumnList(s: String): Seq[String] =
+    s.replace("[", "").replace("]", "").replace("\"", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** `timestampAsOf` accepted as epoch millis, ISO-8601 instant, or
     * `yyyy-MM-dd HH:mm:ss[.f]` interpreted as UTC (the engine's
     * pinned session zone).
@@ -258,6 +295,12 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
     * `SELECT COUNT(*)` from with zero file reads. None for manifests
     * predating row accounting (the rule then leaves the plan alone).
     */
+  /** The pinned manifest, for metadata-only planning rules
+    * ([[graft.plans.MetadataOnlyCount]]'s grouped/filtered rewrites
+    * read per-file rows and partition stats from it).
+    */
+  private[graft] def manifestSnapshot: Snapshots.Manifest = manifest
+
   private[graft] def ledgerCount: Option[Long] = {
     val m = manifest
     if (m.dataRows >= 0 && m.dvRows >= 0) Some(m.dataRows - m.dvRows)

@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** `spark.readStream.format("graft").load(tableDir)` — the streaming
+  * half of the graft source, so a structured-streaming consumer tails
+  * a versioned table through the SAME public source API the batch half
+  * serves (no switch to the Scala helpers).
+  *
+  * Built on the V1 streaming `Source` contract deliberately: its
+  * `getBatch` returns a DataFrame, which lets each micro-batch BE the
+  * existing manifest-diff readers — `readChanges` (appends mode) or
+  * `readChangeFeed` (CDC mode) — with all their pruning, DV masking
+  * and liveness rules intact. A DSv2 MicroBatchStream would force a
+  * row-level PartitionReader reimplementation of the parquet scan,
+  * exactly what the batch relation avoids (GraftDataSource.scala's V1
+  * rationale, applied to streaming).
+  *
+  * OFFSETS ARE TABLE VERSIONS: the checkpointed offset is the last
+  * processed commit, so recovery replays a deterministic version
+  * range (`(from, to]` manifest diff) — the replayed micro-batch is
+  * IDENTICAL to the lost one, which is what makes downstream
+  * exactly-once sinks (txn-watermark keyed by batch id) safe. A
+  * micro-batch may fuse several commits; inserts deleted within a
+  * fused CDC range net out, same as [[Snapshots.changeFeedBatches]].
+  *
+  * Modes (option `changeFeed`, default false):
+  *   - appends: rows of files added per version range — append-only
+  *     tables (DV deletes are invisible, same contract as
+  *     [[Snapshots.streamAppends]]); an overwrite in a consumed range
+  *     surfaces the rewrite's files (restart consumers at rewrites).
+  *   - changeFeed=true: `_change_type`-tagged insert/delete rows
+  *     ([[Snapshots.readChangeFeed]]) — delete-aware; fails loudly on
+  *     a rewrite inside a consumed range, the formats' shared
+  *     "change feed unavailable across non-append commits" rule.
+  *
+  * The first micro-batch of a fresh checkpoint is the full snapshot
+  * (from = -1) — the standard initial-load-then-tail shape.
+  */
+private[sources] class GraftStreamSource(
+    sqlCtx: SQLContext, tableDir: String, cdc: Boolean,
+    override val schema: StructType) extends Source {
+
+  private def spark = sqlCtx.sparkSession
+
+  /** Last LIVE version: an in-flight multi-table txn head is not yet
+    * an offset (its decision may abort it); versions are CAS-serial,
+    * so the offset resumes past it only once it is decided.
+    */
+  override def getOffset: Option[Offset] =
+    Snapshots.latestLiveVersion(spark, tableDir).map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
+    val batch: DataFrame =
+      if (cdc) Snapshots.readChangeFeed(spark, tableDir, from, to)
+      else {
+        val added = Snapshots.addedFiles(spark, tableDir, from, to)
+        if (added.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], schema)
+        else Snapshots.readChanges(spark, tableDir, from, to)
+      }
+    // the engine requires the returned frame to BE streaming-tagged
+    Bridge.streamingFrom(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private[sources] object GraftStreamSource {
+  /** Option parsing shared by sourceSchema/createSource (keys are
+    * matched lowercase; Spark hands V1 stream sources the raw map).
+    */
+  def parse(parameters: Map[String, String]): (String, Boolean) = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = p.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream source requires a path: .load(tableDir)"))
+    val cdc = p.get("changefeed").exists(_.trim.equalsIgnoreCase("true"))
+    (path, cdc)
+  }
+
+  /** The stream's schema: the table's manifest schema, plus
+    * `_change_type` in CDC mode (matching [[Snapshots.readChangeFeed]]
+    * output). Resolved from the latest live version at stream
+    * definition; additive evolution mid-stream keeps old columns
+    * readable (new ones appear on restart, like the file sources).
+    */
+  def schemaOf(spark: org.apache.spark.sql.SparkSession, path: String,
+               cdc: Boolean): StructType = {
+    val v = Snapshots.latestLiveVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no committed version to stream from"))
+    val m = Snapshots.readManifest(spark, path, v)
+    val base = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$path v$v has no recorded schema"))
+    if (cdc) StructType(base.fields :+ StructField("_change_type", StringType))
+    else base
+  }
+}

@@ -279,11 +279,10 @@ object IncrementalViews {
     * which is what the oracle replays relationally.
     */
   def u27MaterializedView(s: SparkSession, d: String): DataFrame = {
-    val tableDir = graft.TempDirs.create("graft-mview-src")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-mview-src")
     val viewDir = graft.TempDirs.create("graft-mview")
     val vd = ViewDef(Seq("o_orderstatus"), Seq(("o_totalprice", "total")))
     val orders = graft.Tables.orders(s, d)
-    Snapshots.commit(orders, tableDir, "overwrite")
     bootstrap(s, tableDir, viewDir, vd)
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))

@@ -157,7 +157,9 @@ object Snapshots {
                             bucketSpec: Option[(String, Int)] = None,
                             buckets: Map[String, Int] = Map.empty,
                             pendingMarker: Option[String] = None,
-                            blooms: Map[(String, String), Bloom] = Map.empty)
+                            blooms: Map[(String, String), Bloom] = Map.empty,
+                            partitionCols: Seq[String] = Nil,
+                            fileRows: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -309,6 +311,116 @@ object Snapshots {
     try o.write('c'.toInt) finally o.close()
   }
 
+  /** Shadow prefix for Hive-style partition writes: the batch is
+    * written `partitionBy("__p_<c>")` on a COPY of each partition
+    * column, so the data files KEEP the original columns (a per-file
+    * constant, RLE-dictionary ≈ free) while the directory layout gets
+    * the reference's `k=v/` idiom (`etl/ingest_logs.py:63-70`); the
+    * shadow dirs are renamed to plain `<c>=v` right after the write.
+    * Keeping the values in the files means every existing read path
+    * (explicit-file scans, DV provenance joins, change feeds, merge
+    * payloads landing unpartitioned) works untouched — no partition
+    * discovery, no NULL-filling, no mixed-layout conflicts; pruning
+    * comes from the manifest's per-file min=max partition stats
+    * through the same stats machinery as everything else.
+    */
+  private val PartShadowPrefix = "__p_"
+
+  /** Strip the shadow prefix from the `__p_<c>=v` dirs a partitioned
+    * write produced (recursively for multi-level specs) and refuse
+    * NULL partition values (`__HIVE_DEFAULT_PARTITION__` dirs): a
+    * null never equality-matches, so a null partition could never be
+    * addressed by a partition predicate — refusing at write keeps the
+    * layout total. Driver-side metadata ops, O(partition dirs).
+    */
+  private def unshadowPartitionDirs(f: FileSystem, dir: Path): Unit = {
+    f.listStatus(dir).foreach { st =>
+      if (st.isDirectory) {
+        val name = st.getPath.getName
+        val target =
+          if (name.startsWith(PartShadowPrefix)) {
+            val plain = name.stripPrefix(PartShadowPrefix)
+            if (plain.endsWith("=__HIVE_DEFAULT_PARTITION__"))
+              throw new IllegalArgumentException(
+                s"partition column '${plain.takeWhile(_ != '=')}' has NULL " +
+                  "values; partition columns must be non-null")
+            val t = new Path(st.getPath.getParent, plain)
+            if (!f.rename(st.getPath, t))
+              throw new java.io.IOException(
+                s"could not rename partition dir ${st.getPath} -> $t")
+            t
+          } else st.getPath
+        unshadowPartitionDirs(f, target)
+      }
+    }
+  }
+
+  /** All parquet files under `dataDir`, recursively (partitioned
+    * writes nest them in `k=v/` dirs), as table-relative paths.
+    */
+  private def listDataFiles(f: FileSystem, dataDir: Path,
+                            dataRel: String): Seq[String] = {
+    def walk(dir: Path, rel: String): Iterator[String] =
+      f.listStatus(dir).iterator.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, s"$rel/$name")
+        else if (name.endsWith(".parquet")) Iterator(s"$rel/$name")
+        else Iterator.empty
+      }
+    walk(dataDir, dataRel).toSeq.sorted
+  }
+
+  /** Per-file row counts under `dataDir` from parquet FOOTERS
+    * (driver-side metadata reads, no Spark job), recursive — the
+    * accounting [[graft.plans.MetadataOnlyCount]]'s grouped/filtered
+    * rewrites serve partition counts from.
+    */
+  private def footerFileRows(spark: SparkSession, f: FileSystem,
+                             dataDir: Path, dataRel: String): Map[String, Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    listDataFiles(f, dataDir, dataRel).map { rel =>
+      val p = new Path(dataDir, rel.stripPrefix(dataRel).stripPrefix("/"))
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration))
+      try rel -> r.getRecordCount finally r.close()
+    }.toMap
+  }
+
+  /** The min=max [[FileStat]] entries a partitioned file's `k=v` path
+    * segments pin: each partition column of the file is a per-file
+    * CONSTANT, so its stat is exact — the stats machinery
+    * ([[pruneFiles]], [[readVersionFiltered]], z-order composition)
+    * then prunes partition predicates with zero new code paths.
+    * Values are unescaped from the dir names; stat kinds follow
+    * [[footerStats]]'s (dates as epoch days). A string value the
+    * manifest line format cannot carry (tab/newline) just records no
+    * stat — the file stays unprunable, never wrong.
+    */
+  private def partitionStatsOf(rels: Seq[String], pcols: Seq[String],
+                               schema: org.apache.spark.sql.types.StructType)
+      : Map[(String, String), FileStat] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types._
+    val types = pcols.map(c => c -> schema(c).dataType).toMap
+    rels.flatMap { rel =>
+      rel.split('/').iterator.filter(_.contains('=')).flatMap { seg =>
+        val (c, raw) = seg.splitAt(seg.indexOf('='))
+        val v = ExternalCatalogUtils.unescapePathName(raw.drop(1))
+        types.get(c).flatMap {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some((rel, c) -> FileStat("long", v.toLong.toString, v.toLong.toString))
+          case DateType =>
+            val d = java.time.LocalDate.parse(v).toEpochDay.toString
+            Some((rel, c) -> FileStat("long", d, d))
+          case StringType if !v.exists(ch => ch == '\t' || ch == '\n') =>
+            Some((rel, c) -> FileStat("string", v, v))
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
   private def floorPath(tableDir: String): Path =
     new Path(tableDir, "_manifests/_floor")
 
@@ -370,8 +482,25 @@ object Snapshots {
              txn: Option[(String, Long)] = None,
              bucketBy: Option[(String, Int)] = None,
              pending: Option[String] = None,
-             bloomColumns: Seq[String] = Nil): Long = {
+             bloomColumns: Seq[String] = Nil,
+             partitionBy: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    // Hive-style partition layout (see [[PartShadowPrefix]]): `k=v/`
+    // data dirs, values kept in the files, per-file min=max partition
+    // stats in the manifest. Partition columns must be non-null
+    // (enforced at write) and of an exactly-representable stat type.
+    require(partitionBy.isEmpty || bucketBy.isEmpty,
+      "partitionBy and bucketBy cannot combine on one commit")
+    require(partitionBy.distinct.size == partitionBy.size,
+      s"duplicate partition columns: $partitionBy")
+    partitionBy.foreach { c =>
+      require(df.columns.contains(c), s"partition column '$c' is not a column")
+      import org.apache.spark.sql.types._
+      val t = df.schema(c).dataType
+      require(t == ByteType || t == ShortType || t == IntegerType ||
+          t == LongType || t == StringType || t == DateType,
+        s"partition column '$c' must be integral, string or date, not $t")
+    }
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
       require(n >= 1 && n <= 65536, s"numBuckets must be in [1, 65536]: $n")
@@ -444,6 +573,15 @@ object Snapshots {
     for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
       require(ps == bs,
         s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
+    // partition layout mirrors the bucket rule: an append keeps the
+    // table's spec; partitioned appends must match it exactly; an
+    // UNpartitioned append is allowed and lands as a flat tail (its
+    // files carry no partition stats — always scanned, never wrong —
+    // until a partitioned rewrite folds them in)
+    for (p <- prev if p.partitionCols.nonEmpty && partitionBy.nonEmpty)
+      require(p.partitionCols == partitionBy,
+        s"partitioned append spec $partitionBy conflicts with table " +
+          s"partition spec ${p.partitionCols} at $tableDir")
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty with no tab/newline: '$app'")
@@ -463,6 +601,20 @@ object Snapshots {
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
       bucketBy match {
+        case None if partitionBy.nonEmpty =>
+          // shadow-partitioned write: dirs get `k=v/`, files keep the
+          // columns (see [[PartShadowPrefix]])
+          import org.apache.spark.sql.functions.col
+          partitionBy.foldLeft(batch)((b, c) =>
+              b.withColumn(PartShadowPrefix + c, col(c)))
+            .write.partitionBy(partitionBy.map(PartShadowPrefix + _): _*)
+            .parquet(dataDir.toString)
+          // a NULL partition value is refused AFTER the write (it is
+          // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
+          // the orphaned data dir so the refusal leaves no residue
+          try unshadowPartitionDirs(f, dataDir)
+          catch { case e: IllegalArgumentException =>
+            f.delete(dataDir, true); throw e }
         case None => batch.write.parquet(dataDir.toString)
         case Some((k, n)) =>
           // hash-clustered write: ONE job — repartition on the bucket id
@@ -483,9 +635,7 @@ object Snapshots {
     val newBuckets: Map[String, Int] =
       if (bucketBy.isEmpty) Map.empty
       else flattenBucketDirs(f, dataDir, dataRel)
-    val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"$dataRel/$n").toSeq.sorted
+    val written = listDataFiles(f, dataDir, dataRel)
     val carried = prev.map(_.files).getOrElse(Seq.empty)
     // deletion vectors ride appends (an append must not resurrect
     // masked rows) and drop on overwrites (a rewritten snapshot has
@@ -497,17 +647,22 @@ object Snapshots {
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
     }
     val newStats =
-      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
-      else written.flatMap { rel =>
-        footerStats(spark, new Path(tableDir, rel), statsColumns)
-          .map { case (c, st) => (rel, c) -> st }
-      }.toMap
+      (if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
+       else written.flatMap { rel =>
+         footerStats(spark, new Path(tableDir, rel), statsColumns)
+           .map { case (c, st) => (rel, c) -> st }
+       }.toMap) ++
+        // partition values pin exact min=max stats per file — the
+        // stats machinery prunes partition predicates from here on
+        partitionStatsOf(written, partitionBy, schema)
     val newBlooms = buildBlooms(spark, tableDir, written, bloomColumns)
     val carriedBlooms = prev.map(_.blooms).getOrElse(
       Map.empty[(String, String), Bloom])
     // row accounting (footer metadata, no scan): appends extend the
-    // predecessor's totals (unknown propagates), overwrites restart
-    val writtenRows = footerRowCount(spark, f, dataDir)
+    // predecessor's totals (unknown propagates), overwrites restart;
+    // per-file counts feed the grouped/filtered metadata-count rewrites
+    val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+    val writtenRows = newFileRows.values.sum
     val dataRows = prev match {
       case Some(p) => if (p.dataRows < 0) -1L else p.dataRows + writtenRows
       case None => writtenRows
@@ -523,12 +678,20 @@ object Snapshots {
     val buckets =
       (if (mode == "append") prev.map(_.buckets).getOrElse(Map.empty[String, Int])
        else Map.empty[String, Int]) ++ newBuckets
+    // partition spec carry mirrors bucketSpec's
+    val partitionCols =
+      if (mode == "append")
+        prev.map(_.partitionCols).filter(_.nonEmpty).getOrElse(partitionBy)
+      else partitionBy
+    val fileRows =
+      (if (mode == "append") prev.map(_.fileRows).getOrElse(Map.empty[String, Long])
+       else Map.empty[String, Long]) ++ newFileRows
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
         dataRows, dvRows, bucketSpec, buckets, pending,
-        carriedBlooms ++ newBlooms))) {
+        carriedBlooms ++ newBlooms, partitionCols, fileRows))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -606,6 +769,11 @@ object Snapshots {
       m.bucketSpec.foreach { case (k, n) => w.write(s"bucketspec=$k\t$n\n") }
       m.buckets.toSeq.sorted.foreach { case (rel, b) => w.write(s"bucket=$rel\t$b\n") }
       m.pendingMarker.foreach(p => w.write(s"pending=$p\n"))
+      if (m.partitionCols.nonEmpty)
+        w.write(s"partcols=${m.partitionCols.mkString(",")}\n")
+      m.fileRows.toSeq.sorted.foreach { case (rel, n) =>
+        w.write(s"frow=$rel\t$n\n")
+      }
       m.blooms.toSeq.sortBy(_._1).foreach { case ((file, c), b) =>
         val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
         b.words.foreach(bb.putLong)
@@ -630,7 +798,7 @@ object Snapshots {
       // backfill sweep runs once at stream start, see
       // [[ensureCommitMarkers]]). Best-effort: a miss here is healed
       // by the next stream start's sweep
-      try writeCommitMarker(f, tableDir, s"v${m.version}")
+      try writeCommitMarker(f, tableDir, f"v${m.version}%06d")
       catch { case _: java.io.IOException => () }
     }
     ok
@@ -1052,6 +1220,8 @@ object Snapshots {
       val buckets = scala.collection.mutable.Map.empty[String, Int]
       var pending: Option[String] = None
       val blooms = scala.collection.mutable.Map.empty[(String, String), Bloom]
+      var partitionCols: Seq[String] = Nil
+      val fileRows = scala.collection.mutable.Map.empty[String, Long]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -1091,6 +1261,15 @@ object Snapshots {
           }
         }
         else if (line.startsWith("pending=")) pending = Some(line.stripPrefix("pending="))
+        else if (line.startsWith("partcols="))
+          partitionCols = line.stripPrefix("partcols=").split(',').toSeq
+            .map(_.trim).filter(_.nonEmpty)
+        else if (line.startsWith("frow=")) {
+          line.stripPrefix("frow=").split('\t') match {
+            case Array(rel, n) => fileRows(rel) = n.toLong
+            case _ => // ignore malformed (forward compat)
+          }
+        }
         else if (line.startsWith("bloom=")) {
           line.stripPrefix("bloom=").split('\t') match {
             case Array(file, c, mBits, k, b64) =>
@@ -1105,7 +1284,7 @@ object Snapshots {
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
         dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap,
-        pending, blooms.toMap)
+        pending, blooms.toMap, partitionCols, fileRows.toMap)
     } finally r.close()
   }
 
@@ -1200,6 +1379,20 @@ object Snapshots {
   private def readFilesMeta(spark: SparkSession, tableDir: String,
                             m: Manifest, rels: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // a zero-file snapshot (a just-created catalog table, an
+    // everything-deleted overwrite) serves an empty frame with the
+    // declared schema — the parquet reader cannot be given zero paths
+    if (rels.isEmpty) {
+      val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+        s"$tableDir v${m.version} has no files and no recorded schema"))
+      val withMeta = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(FpCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(RiCol,
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
+    }
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
     val base = m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
       .select(col("*"), col("_metadata.file_path").as(FpCol),
@@ -1419,11 +1612,10 @@ object Snapshots {
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
     upserts.write.parquet(dataDir.toString)
-    val nAppended = footerRowCount(spark, f, dataDir)
+    val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+    val nAppended = newFileRows.values.sum
     val written =
-      if (nAppended > 0)
-        f.listStatus(dataDir).iterator.map(_.getPath.getName)
-          .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
+      if (nAppended > 0) newFileRows.keys.toSeq.sorted
       else { f.delete(dataDir, true); Seq.empty } // pure-delete batch
     val newStats =
       if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
@@ -1439,6 +1631,7 @@ object Snapshots {
         schema = schema, txns = txns, dvs = m.dvs ++ dvs,
         dataRows = addRowCounts(m.dataRows, nAppended),
         dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
+        fileRows = if (written.nonEmpty) m.fileRows ++ newFileRows else m.fileRows,
         pendingMarker = None))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
@@ -1503,13 +1696,14 @@ object Snapshots {
       val dataRel = f"data/v$version%06d-$tag"
       val dataDir = new Path(tableDir, dataRel)
       updated.write.parquet(dataDir.toString)
-      val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(".parquet")).map(x => s"$dataRel/$x").toSeq.sorted
+      val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+      val written = newFileRows.keys.toSeq.sorted
       if (!publishManifest(f, tableDir, m.copy(version = version,
           files = m.files ++ written, schema = schema,
           dvs = m.dvs ++ dvs,
           dataRows = addRowCounts(m.dataRows, n),
           dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
+          fileRows = m.fileRows ++ newFileRows,
           pendingMarker = None))) {
         f.delete(dvDir, true)
         f.delete(dataDir, true)
@@ -1562,8 +1756,11 @@ object Snapshots {
   def purgeDeletes(spark: SparkSession, tableDir: String,
                    statsColumns: Seq[String] = Nil): Long = {
     val (next, m) = resolveForWrite(spark, tableDir)
+    // the purge rewrite keeps the table's partition layout: a masked
+    // partitioned table must not silently flatten on maintenance
     commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
-      expectedVersion = Some(next), statsColumns = statsColumns)
+      expectedVersion = Some(next), statsColumns = statsColumns,
+      partitionBy = m.partitionCols)
   }
 
   /** The files of `version` that can contain rows with `column` in
@@ -2212,9 +2409,7 @@ object Snapshots {
     */
   def u12Restore(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-restore")
-    val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-restore")
     deleteWhere(s, tableDir, col("o_orderstatus") === "F")
     purgeDeletes(s, tableDir)
     restore(s, tableDir, 1L)
@@ -2312,9 +2507,8 @@ object Snapshots {
     */
   def u15CheckConstraints(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-check-demo")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-check-demo")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
     addCheckConstraint(s, tableDir, "price_pos", "o_totalprice > 0")
     val dirty = orders.filter(col("o_orderkey") % 5 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(4000000000L))
@@ -2407,9 +2601,7 @@ object Snapshots {
     */
   def u20UpdateWhere(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-update-demo")
-    val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-update-demo")
     updateWhere(s, tableDir, col("o_orderstatus") === "F",
       Map("o_totalprice" -> (col("o_totalprice") + lit(100.0))))
     val nVersions = latestVersion(s, tableDir).get + 1
@@ -2534,9 +2726,8 @@ object Snapshots {
     */
   def u23FastCount(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-fastcount")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-fastcount")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
     deleteWhere(s, tableDir, col("o_orderstatus") === "F")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
@@ -2660,9 +2851,8 @@ object Snapshots {
 
   def u18ConcurrentWriters(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-cas-demo")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-cas-demo")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
     val winner = orders.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + lit(5000000000L))
     val loser = orders.filter(col("o_orderkey") % 11 === 0)
@@ -2698,9 +2888,8 @@ object Snapshots {
     */
   def u19IncrementalDeletes(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-incr-del")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-incr-del")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     commit(late, tableDir, "append")
@@ -2806,9 +2995,8 @@ object Snapshots {
     */
   def u11MergeOnRead(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-mor")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-mor")
     val base = graft.Tables.orders(s, d)
-    commit(base, tableDir, "overwrite")
     mergeOnRead(s, tableDir,
       graft.operators.Merge.demoChanges(base), "o_orderkey")
     (0L to 1L).map { v =>
@@ -2901,6 +3089,28 @@ object Snapshots {
     */
   private def isBorrowed(p: String): Boolean = new Path(p).isAbsolute
 
+  /** Create an EMPTY table: v0 is a zero-file manifest carrying only
+    * the declared schema (and partition spec) — the `CREATE TABLE`
+    * half of the catalog surface ([[GraftCatalog]]). Reads serve an
+    * empty frame with the schema; the ledger knows 0 rows; the first
+    * append evolves/validates against the declaration like any other.
+    */
+  def createEmpty(spark: SparkSession, tableDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String] = Nil): Long = {
+    val f = fs(spark, tableDir)
+    require(latestVersion(spark, tableDir).isEmpty,
+      s"$tableDir already has versions")
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the schema"))
+    if (!publishManifest(f, tableDir, Manifest(0L, Seq.empty,
+        schema = Some(schema), dataRows = 0L, dvRows = 0L,
+        partitionCols = partitionCols)))
+      throw new java.util.ConcurrentModificationException(
+        s"version 0 of $tableDir was committed concurrently")
+    0L
+  }
+
   /** Shallow clone (the table formats' CLONE): create `targetDir` as
     * a NEW table whose v0 manifest references the source version's
     * data files by absolute path — an O(manifest) fork, zero data
@@ -2945,7 +3155,9 @@ object Snapshots {
           m.dataRows, m.dvRows, m.bucketSpec,
           m.buckets.map { case (p, b) => absolutize(p) -> b },
           None,
-          m.blooms.map { case ((p, c), b) => (absolutize(p), c) -> b })))
+          m.blooms.map { case ((p, c), b) => (absolutize(p), c) -> b },
+          m.partitionCols,
+          m.fileRows.map { case (p, n) => absolutize(p) -> n })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L
@@ -3194,7 +3406,7 @@ object Snapshots {
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
     // exact per-file row accounting from footers (no scan)
-    val dataRows = {
+    val (dataRows, newFileRows) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       def rows(p: Path): Long = {
@@ -3202,9 +3414,11 @@ object Snapshots {
           p, spark.sparkContext.hadoopConfiguration))
         try r.getRecordCount finally r.close()
       }
-      large.map(rel => rows(
+      val fresh = written.map(rel =>
+        rel -> rows(new Path(tableDir, rel))).toMap
+      (large.map(rel => rows(
         if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))).sum +
-        written.map(rel => rows(new Path(tableDir, rel))).sum
+        fresh.values.sum, fresh)
     }
     val keep = large.toSet
     if (!publishManifest(f, tableDir, m.copy(version = version,
@@ -3213,6 +3427,7 @@ object Snapshots {
         dvs = dvs, dataRows = dataRows, dvRows = dvRows,
         buckets = m.buckets.filter { case (rel, _) => keep(rel) },
         blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+        fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++ newFileRows,
         pendingMarker = None))) {
       f.delete(dataDir, true)
       if (dvs.nonEmpty) // the consolidated mask dir is this commit's too
@@ -3329,9 +3544,7 @@ object Snapshots {
     */
   def u9DeleteVectors(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-dv")
-    val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-dv")
     deleteWhere(s, tableDir, col("o_orderstatus") === "F")
     purgeDeletes(s, tableDir)
     (0L to 2L).map { v =>
@@ -3355,9 +3568,8 @@ object Snapshots {
     */
   def u10ChangeFeed(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-cdf")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-cdf")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     commit(late, tableDir, "append")

@@ -24,4 +24,17 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a STREAMING one (the private[sql]
+    * `internalCreateDataFrame(..., isStreaming = true)`): what a V1
+    * streaming `Source.getBatch` must return — the engine asserts the
+    * returned frame's logical plan is streaming.
+    */
+  def streamingFrom(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

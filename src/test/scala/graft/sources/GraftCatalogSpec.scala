@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Named-catalog surface: `CREATE TABLE graftcat.db.t USING graft`,
+  * SHOW TABLES, name-based reads/writes/DML, CTAS, and durability (the
+  * registry is the warehouse directory layout).
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = graft.TempDirs.create("graft-warehouse")
+    spark.conf.set("spark.sql.catalog.graftcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", w)
+    w
+  }
+
+  private def init(): Unit = {
+    warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
+  }
+
+  test("create, list, insert, read by name, drop") {
+    init()
+    spark.sql(
+      """CREATE TABLE graftcat.db.t1 (id BIGINT, tag STRING, p STRING)
+        |USING graft PARTITIONED BY (p)""".stripMargin)
+    val shown = spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1))
+    assert(shown.contains("t1"))
+    // empty table serves an empty frame with the declared schema
+    assert(spark.table("graftcat.db.t1").count() === 0L)
+    assert(spark.table("graftcat.db.t1").schema.fieldNames.toSeq ===
+      Seq("id", "tag", "p"))
+    // metadata-only COUNT on the empty declaration
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.t1")
+      .head().getLong(0) === 0L)
+    spark.sql(
+      """INSERT INTO graftcat.db.t1
+        |SELECT id, CONCAT('x', id), CASE WHEN id % 2 = 0 THEN 'even'
+        |  ELSE 'odd' END FROM RANGE(100)""".stripMargin)
+    assert(spark.table("graftcat.db.t1").count() === 100L)
+    // the declared partition spec drove the layout: k=v dirs + stats
+    val dir = s"$warehouse/db/t1"
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m.partitionCols === Seq("p"))
+    assert(m.files.nonEmpty && m.files.forall(_.contains("/p=")))
+    // name-based grouped metadata count
+    val grouped = spark.sql(
+      "SELECT p, COUNT(*) AS n FROM graftcat.db.t1 GROUP BY p")
+    assert(grouped.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "grouped count by name must serve from the manifest")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("even" -> 50L, "odd" -> 50L))
+    // INSERT OVERWRITE replaces the snapshot
+    spark.sql(
+      "INSERT OVERWRITE graftcat.db.t1 SELECT id, 'ow', 'all' FROM RANGE(7)")
+    assert(spark.table("graftcat.db.t1").count() === 7L)
+    // time travel by name is reachable path-wise; drop removes the dir
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.t1").head().getLong(0) === 7L)
+    spark.sql("DROP TABLE graftcat.db.t1")
+    assert(!spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("t1"))
+  }
+
+  test("CTAS by name, and SQL DML routed through the named table") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t2")
+    spark.sql(
+      """CREATE TABLE graftcat.db.t2 USING graft AS
+        |SELECT id, CAST(id * 2 AS DOUBLE) AS price FROM RANGE(50)""".stripMargin)
+    assert(spark.table("graftcat.db.t2").count() === 50L)
+    // row-level SQL DML by NAME (the V1 swap feeds GraftSqlDml)
+    spark.sql("DELETE FROM graftcat.db.t2 WHERE id % 5 = 0")
+    spark.sql("UPDATE graftcat.db.t2 SET price = price + 1 WHERE id < 10")
+    val got = spark.table("graftcat.db.t2")
+      .agg(count(lit(1)), sum("price")).head()
+    val want = spark.range(50).filter(col("id") % 5 =!= 0)
+      .select(col("id"), (col("id") * 2.0).as("price"))
+      .withColumn("price",
+        when(col("id") < 10, col("price") + 1).otherwise(col("price")))
+      .agg(count(lit(1)), sum("price")).head()
+    assert(got === want)
+    // MERGE INTO by name
+    spark.range(3).select((col("id") + 1000).as("id"),
+      lit(9.0).as("price")).createOrReplaceTempView("cat_merge_src")
+    spark.sql(
+      """MERGE INTO graftcat.db.t2 t USING cat_merge_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, price) VALUES (s.id, s.price)""".stripMargin)
+    assert(spark.table("graftcat.db.t2")
+      .filter(col("id") >= 1000).count() === 3L)
+    spark.sql("DROP TABLE graftcat.db.t2")
+  }
+
+  test("durability: a second catalog instance sees the same registry") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t3")
+    spark.sql("CREATE TABLE graftcat.db.t3 USING graft AS SELECT 1 AS one")
+    // a NEW catalog instance over the same warehouse (what a fresh
+    // session constructs) resolves the table purely from the dirs
+    spark.conf.set("spark.sql.catalog.graftcat2",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat2.warehouse", warehouse)
+    assert(spark.sql("SHOW TABLES IN graftcat2.db").collect()
+      .map(_.getString(1)).contains("t3"))
+    assert(spark.table("graftcat2.db.t3").head().getInt(0) === 1)
+    spark.sql("DROP TABLE graftcat.db.t3")
+  }
+
+  test("errors: missing table, duplicate create, non-empty namespace drop") {
+    init()
+    intercept[Exception] { spark.table("graftcat.db.nope").collect() }
+    spark.sql("CREATE TABLE graftcat.db.t4 (x INT) USING graft")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.db.t4 (x INT) USING graft")
+    }
+    intercept[Exception] { spark.sql("DROP NAMESPACE graftcat.db") }
+    spark.sql("DROP TABLE graftcat.db.t4")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `readStream.format("graft")`: the streaming half of the data
+  * source. Offsets are table versions; micro-batches are manifest-diff
+  * reads — stream == batch is the core assertion, now through the
+  * PUBLIC source API (the r8 StreamingChangeFeedSpec cases re-run
+  * through readStream instead of the Scala helpers).
+  */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  private def frame(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  test("appends mode: initial snapshot then per-commit tail == batch reads") {
+    val dir = graft.TempDirs.create("gss-app")
+    val ckpt = graft.TempDirs.create("gss-app-ckpt")
+    Snapshots.commit(frame(0 until 20, "base"), dir) // v0
+    val stream = spark.readStream.format("graft").load(dir)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("gss_app")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_app").count() === 20L)
+      Snapshots.commit(frame(20 until 30, "late"), dir, "append") // v1
+      Snapshots.commit(frame(30 until 35, "late2"), dir, "append") // v2
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gss_app").select("id", "tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val want = Snapshots.readVersion(spark, dir).select("id", "tag")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got === want.toSeq)
+  }
+
+  test("changeFeed mode: _change_type-tagged stream == one readChangeFeed call") {
+    val dir = graft.TempDirs.create("gss-cdc")
+    val ckpt = graft.TempDirs.create("gss-cdc-ckpt")
+    Snapshots.commit(frame(0 until 20, "base"), dir) // v0
+    val stream = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(dir)
+    assert(stream.schema.fieldNames.contains("_change_type"))
+    val q = stream.writeStream.format("memory").queryName("gss_cdc")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial load: the full snapshot as inserts
+      assert(spark.table("gss_cdc").count() === 20L)
+      assert(spark.table("gss_cdc")
+        .filter(col("_change_type") =!= "insert").count() === 0L)
+      Snapshots.commit(frame(20 until 30, "late"), dir, "append")   // v1
+      q.processAllAvailable()
+      Snapshots.deleteWhere(spark, dir,
+        col("id") % 4 === 0L && col("id") < 20L)                    // v2
+      q.processAllAvailable()
+      Snapshots.commit(frame(30 until 35, "late2"), dir, "append")  // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val tail = spark.table("gss_cdc")
+      .filter(col("tag") =!= "base" || col("_change_type") === "delete")
+      .select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val oneCall = Snapshots.readChangeFeed(spark, dir, 0L, 3L)
+      .select("id", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(tail === oneCall.toSeq)
+    // deletes carry FULL rows (provenance readback), not just keys
+    assert(tail.filter(_._3 == "delete").forall(_._2 == "base"))
+  }
+
+  test("restart from checkpoint resumes at the stored version offset") {
+    val dir = graft.TempDirs.create("gss-restart")
+    val ckpt = graft.TempDirs.create("gss-restart-ckpt")
+    Snapshots.commit(frame(0 until 10, "base"), dir) // v0
+    // foreachBatch sink: checkpoint-recoverable (the memory sink is not)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = batch.select("id").collect().map(_.getLong(0))
+          seen.synchronized { seen ++= ids }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.sorted === (0L until 10L).toSeq)
+    Snapshots.commit(frame(10 until 16, "late"), dir, "append") // v1
+    // a NEW query on the SAME checkpoint: only the new version arrives
+    seen.clear()
+    run()
+    assert(seen.sorted === (10L until 16L).toSeq)
+  }
+}

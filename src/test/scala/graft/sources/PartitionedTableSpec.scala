@@ -1,0 +1,194 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hive-style partition columns in the graft layer: `k=v/` data dirs,
+  * values kept in the files, per-file min=max partition stats driving
+  * the shared pruning machinery, spec carry + conflict rules like
+  * bucketing's.
+  */
+class PartitionedTableSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitioned commit writes k=v dirs, keeps values, round-trips") {
+    val dir = graft.TempDirs.create("part-basic")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.partitionCols === Seq("o_orderstatus"))
+    // every file sits in a plain k=v dir (no shadow prefix leaks)
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(_.contains("/o_orderstatus=")))
+    assert(!m.files.exists(_.contains("__p_")))
+    // values survive IN the data (not only in the path)
+    val back = Snapshots.readVersion(spark, dir)
+    assert(back.schema.fieldNames.contains("o_orderstatus"))
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // each file carries an exact min=max stat for the partition col
+    m.files.foreach { f =>
+      val st = m.stats((f, "o_orderstatus"))
+      assert(st.min === st.max)
+    }
+    // per-file row accounting sums to the ledger
+    assert(m.fileRows.keySet === m.files.toSet)
+    assert(m.fileRows.values.sum === m.dataRows)
+  }
+
+  test("partition predicates prune the scan to matching dirs") {
+    val dir = graft.TempDirs.create("part-prune")
+    Snapshots.commit(graft.Tables.orders(spark, sf), dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    val total = m.files.size
+    val pruned = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O")))
+    assert(pruned.inputFiles.length < total)
+    assert(pruned.inputFiles.forall(_.contains("o_orderstatus=O")))
+    // and through the data source's pushed-filter path
+    val viaDs = spark.read.format("graft").load(dir)
+      .filter(col("o_orderstatus") === "O")
+    val plain = spark.read.format("graft").load(dir)
+      .where("o_orderstatus = 'O'").count()
+    assert(viaDs.count() === plain)
+  }
+
+  test("date partition columns prune ranges via epoch-day stats") {
+    val dir = graft.TempDirs.create("part-date")
+    import spark.implicits._
+    val df = Seq(
+      ("2026-01-01", 1L), ("2026-01-01", 2L),
+      ("2026-01-02", 3L), ("2026-01-03", 4L))
+      .toDF("d", "v").select(to_date(col("d")).as("day"), col("v"))
+      .coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", partitionBy = Seq("day"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.files.size === 3)
+    val lo = java.sql.Date.valueOf("2026-01-02")
+    val pruned = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("day", lo)))
+    assert(pruned.inputFiles.length === 2)
+    assert(pruned.where(s"day >= DATE'2026-01-02'").count() === 2)
+  }
+
+  test("append carries the spec; conflicts and NULL partitions refused") {
+    val dir = graft.TempDirs.create("part-rules")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    // matching partitioned append: files join the layout
+    val late = orders.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Snapshots.commit(late, dir, "append", partitionBy = Seq("o_orderstatus"))
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.partitionCols === Seq("o_orderstatus"))
+    assert(m1.files.forall(_.contains("/o_orderstatus=")))
+    // unpartitioned append: allowed, lands flat, spec kept
+    Snapshots.commit(late.withColumn("o_orderkey",
+      col("o_orderkey") + lit(1L)), dir, "append")
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.partitionCols === Seq("o_orderstatus"))
+    assert(m2.files.exists(!_.contains("o_orderstatus=")))
+    // conflicting partitioned append refused
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(late, dir, "append", partitionBy = Seq("o_orderpriority"))
+    }
+    // NULL partition value refused, no residue
+    val withNull = orders.limit(5)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 2 === 0, col("o_orderstatus")))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(withNull, graft.TempDirs.create("part-null"),
+        "overwrite", partitionBy = Seq("o_orderstatus"))
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
+  test("grouped and filtered COUNT(*) answer from the manifest (LocalRelation)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = graft.TempDirs.create("part-count")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    // a matching partitioned append extends the accounting
+    Snapshots.commit(orders.limit(60)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L)),
+      dir, "append", partitionBy = Seq("o_orderstatus"))
+    def optimized(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW part_cnt " +
+      s"USING graft OPTIONS (path '$dir')")
+    val df = spark.read.format("graft").load(dir)
+    val expect = orders.unionByName(orders.limit(60))
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // grouped: SELECT p, COUNT(*) GROUP BY p → LocalRelation
+    val grouped = spark.sql(
+      "SELECT o_orderstatus, COUNT(*) AS n FROM part_cnt GROUP BY o_orderstatus")
+    assert(optimized(grouped).collectFirst { case l: LocalRelation => l }.nonEmpty,
+      "grouped count on a partition column must serve from the manifest")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === expect)
+    // DataFrame groupBy().count() too
+    val gdf = df.groupBy("o_orderstatus").count()
+    assert(optimized(gdf).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(gdf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === expect)
+
+    // filtered total on the partition column → LocalRelation
+    val filtered = spark.sql(
+      "SELECT COUNT(*) AS n FROM part_cnt WHERE o_orderstatus = 'O'")
+    assert(optimized(filtered).collectFirst { case l: LocalRelation => l }.nonEmpty,
+      "partition-predicate count must serve from the manifest")
+    assert(filtered.collect().head.getLong(0) === expect("O"))
+    // no-match filter still returns one zero row
+    val none = spark.sql(
+      "SELECT COUNT(*) AS n FROM part_cnt WHERE o_orderstatus = 'ZZ'")
+    assert(optimized(none).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(none.collect().head.getLong(0) === 0L)
+
+    // a predicate on a NON-constant column must take the scan path
+    val scanPath = spark.sql(
+      "SELECT COUNT(*) AS n FROM part_cnt WHERE o_orderkey > 100")
+    assert(optimized(scanPath).collectFirst { case l: LocalRelation => l }.isEmpty)
+    // after a DV delete the grouped rewrite must bail — and stay exact
+    Snapshots.deleteWhere(spark, dir, col("o_orderkey") % 5 === 0)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW part_cnt2 " +
+      s"USING graft OPTIONS (path '$dir')")
+    val afterDv = spark.sql(
+      "SELECT o_orderstatus, COUNT(*) AS n FROM part_cnt2 GROUP BY o_orderstatus")
+    assert(optimized(afterDv).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "masked rows make per-group accounting unknown: scan path")
+    val expect2 = orders.unionByName(orders.limit(60))
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterDv.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === expect2)
+  }
+
+  test("deletion vectors and UPDATE compose with the partition layout") {
+    val dir = graft.TempDirs.create("part-dv")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    Snapshots.deleteWhere(spark, dir, col("o_orderkey") % 7 === 0)
+    Snapshots.updateWhere(spark, dir, col("o_orderkey") % 7 === 1,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(5.0))))
+    val want = orders.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 1, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+    val got = Snapshots.readVersion(spark, dir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // partition pruning still composes with the DV mask
+    val o = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F")))
+    assert(o.where("o_orderstatus = 'F'").count() ===
+      want.filter(col("o_orderstatus") === "F").count())
+  }
+}
