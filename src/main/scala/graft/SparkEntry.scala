@@ -782,23 +782,23 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM allr GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // u31 oracle: the pure-SQL DML lifecycle replayed relationally —
-    // DELETE of the F tier, UPDATE +100 on the P tier, then one CDC
-    // MERGE (U doubles %10=1 prices, D drops %10=2, I re-keys %10=3
-    // high with literal payload); 4 versions = seed + one atomic
-    // commit per statement
+    // DELETE of the %10=4 tenth, UPDATE +100 on the %10=6 tenth, then
+    // one CDC MERGE (U doubles %20=1 prices, D drops %20=2, I re-keys
+    // %20=3 high with literal payload); 4 versions = seed + one
+    // atomic commit per statement
     "u31_sql_dml" ->
       """WITH v2 AS (
         |  SELECT o_orderkey, o_orderstatus,
-        |    CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 100
+        |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 100
         |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderstatus <> 'F'),
+        |  FROM orders WHERE o_orderkey % 10 <> 4),
         |v3 AS (
         |  SELECT o_orderstatus,
-        |    CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 2
+        |    CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice * 2
         |         ELSE o_totalprice END AS o_totalprice
-        |  FROM v2 WHERE o_orderkey % 10 <> 2
+        |  FROM v2 WHERE o_orderkey % 20 <> 2
         |  UNION ALL
-        |  SELECT 'N', o_totalprice FROM v2 WHERE o_orderkey % 10 = 3)
+        |  SELECT 'N', o_totalprice FROM v2 WHERE o_orderkey % 20 = 3)
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  4 AS n_versions

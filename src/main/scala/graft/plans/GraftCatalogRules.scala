@@ -68,8 +68,10 @@ object GraftCatalogRules {
           GraftCtas(catalog, ident, partitioning, query, ifNotExists)
         case r: DataSourceV2Relation if graftTable(r).isDefined =>
           val t = graftTable(r).get
+          val opts = Map("path" -> t.dir) ++
+            t.versionAsOf.map(v => "versionAsOf" -> v.toString)
           val base = new GraftSource().createRelation(
-            spark.sqlContext, Map("path" -> t.dir))
+            spark.sqlContext, opts)
           LogicalRelation(base, r.output, None, isStreaming = false, None)
       }
   }

@@ -90,25 +90,27 @@ object GraftSqlDml {
       .option("statsColumns", "o_orderkey").save(dir)
     s.sql("CREATE OR REPLACE TEMPORARY VIEW sqldml " +
       s"USING graft OPTIONS (path '$dir')")
-    // u9 through SQL: mask the F tier with deletion vectors
-    s.sql("DELETE FROM sqldml WHERE o_orderstatus = 'F'")
-    // u20 through SQL: +100 on the P tier, mask + re-append
+    // u9 through SQL: a deletion-vector mask (the %10=4 tenth — the
+    // op classes are what is under test, not mask volume; demo-sized
+    // slices keep the driver bench honest)
+    s.sql("DELETE FROM sqldml WHERE o_orderkey % 10 = 4")
+    // u20 through SQL: +100 on the %10=6 tenth, mask + re-append
     s.sql("UPDATE sqldml SET o_totalprice = o_totalprice + 100 " +
-      "WHERE o_orderstatus = 'P'")
-    // u11 through SQL: one CDC MERGE — U doubles the %10=1 prices,
-    // D drops the %10=2 keys, I re-keys the %10=3 rows high
+      "WHERE o_orderkey % 10 = 6")
+    // u11 through SQL: one CDC MERGE — U doubles the %20=1 prices,
+    // D drops the %20=2 keys, I re-keys the %20=3 rows high
     s.sql("CREATE OR REPLACE TEMPORARY VIEW sqldml2 " +
       s"USING graft OPTIONS (path '$dir')")
     s.sql(
       """CREATE OR REPLACE TEMPORARY VIEW sqldml_src AS
         |SELECT o_orderkey AS k, 'U' AS what, o_totalprice * 2 AS newprice
-        |FROM sqldml2 WHERE o_orderkey % 10 = 1
+        |FROM sqldml2 WHERE o_orderkey % 20 = 1
         |UNION ALL
         |SELECT o_orderkey, 'D', CAST(0.0 AS DOUBLE) FROM sqldml2
-        |WHERE o_orderkey % 10 = 2
+        |WHERE o_orderkey % 20 = 2
         |UNION ALL
         |SELECT o_orderkey + 4000000000, 'I', o_totalprice FROM sqldml2
-        |WHERE o_orderkey % 10 = 3""".stripMargin)
+        |WHERE o_orderkey % 20 = 3""".stripMargin)
     s.sql(
       """MERGE INTO sqldml2 t USING sqldml_src s ON t.o_orderkey = s.k
         |WHEN MATCHED AND s.what = 'D' THEN DELETE

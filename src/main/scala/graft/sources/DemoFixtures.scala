@@ -42,6 +42,49 @@ object DemoFixtures {
     dir
   }
 
+  /** Orders hash-clustered on `o_orderkey` (16 buckets) — the shared
+    * seed for the bucketed-layout demos (u21/u26), forked per demo
+    * via clone (bucketSpec and mappings ride the clone).
+    */
+  def bucketedOrders(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"bucketed:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-bucketed")
+      Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
+        bucketBy = Some(("o_orderkey", 16)))
+      dir
+    })
+
+  /** A private mutable fork of [[bucketedOrders]]. */
+  def clonedBucketedOrders(s: SparkSession, d: String, tag: String): String = {
+    val dir = graft.TempDirs.create(tag)
+    Snapshots.cloneShallow(s, bucketedOrders(s, d), dir)
+    dir
+  }
+
+  /** Orders as four residue-class bloom-indexed commits (u24's seed:
+    * ingest locality, no stats, no clustering), forked via clone
+    * (per-file blooms ride it).
+    */
+  def bloomOrders(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"bloom:$d", {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.TempDirs.create("graft-fixture-bloom")
+      val orders = graft.Tables.orders(s, d)
+      (0 until 4).foreach { r =>
+        Snapshots.commit(orders.filter(col("o_orderkey") % 4 === r).coalesce(1),
+          dir, if (r == 0) "overwrite" else "append",
+          bloomColumns = Seq("o_orderkey"))
+      }
+      dir
+    })
+
+  /** A private mutable fork of [[bloomOrders]]. */
+  def clonedBloomOrders(s: SparkSession, d: String, tag: String): String = {
+    val dir = graft.TempDirs.create(tag)
+    Snapshots.cloneShallow(s, bloomOrders(s, d), dir)
+    dir
+  }
+
   /** The partitioned demo table (u32/u33): orders partitioned by
     * `o_orderstatus` as v0 plus a re-keyed partitioned late append as
     * v1 — built once, consumed read-only by both demos.

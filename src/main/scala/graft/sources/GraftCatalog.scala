@@ -76,15 +76,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** `SELECT ... FROM cat.db.t VERSION AS OF n` — SQL time travel by
+    * name, resolved here and pinned into the table handle (the
+    * [[graft.plans.GraftCatalogRules.V2ToV1]] swap passes the pin to
+    * the relation).
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.trim.toLong))
+
+  /** `TIMESTAMP AS OF` arrives as epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    loadAt(ident, Some(Snapshots.versionAsOf(
+      spark, dir.toString, timestampMicros / 1000L)))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-    val v = Snapshots.latestLiveVersion(spark, dir.toString).getOrElse(
+    val v = version.orElse(
+      Snapshots.latestLiveVersion(spark, dir.toString)).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
     val m = Snapshots.readManifest(spark, dir.toString, v)
     val schema = m.schema.getOrElse(
       Snapshots.readVersion(spark, dir.toString, Some(v)).schema)
-    GraftCatalogTable(ident, dir.toString, schema, m.partitionCols)
+    GraftCatalogTable(ident, dir.toString, schema, m.partitionCols, version)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -183,7 +203,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 final case class GraftCatalogTable(ident: Identifier, dir: String,
                                    tableSchema: StructType,
-                                   partitionCols: Seq[String]) extends Table {
+                                   partitionCols: Seq[String],
+                                   versionAsOf: Option[Long] = None)
+    extends Table {
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =

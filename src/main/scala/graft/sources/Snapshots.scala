@@ -2639,9 +2639,7 @@ object Snapshots {
     */
   def u21BucketedLookup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-bucketed")
-    val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite", bucketBy = Some(("o_orderkey", 16)))
+    val tableDir = DemoFixtures.clonedBucketedOrders(s, d, "graft-bucketed")
     val keys: Seq[Any] = Seq(2L, 5L, 7L, 11L, 13L)
     def leg(n: Int) = readVersionKeys(s, tableDir, "o_orderkey", keys)
       .select(lit(n).cast("int").as("leg"), col("o_orderkey"),
@@ -2755,13 +2753,7 @@ object Snapshots {
     */
   def u24BloomLookup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-bloom")
-    val orders = graft.Tables.orders(s, d)
-    (0 until 4).foreach { r =>
-      commit(orders.filter(col("o_orderkey") % 4 === r).coalesce(1), tableDir,
-        if (r == 0) "overwrite" else "append",
-        bloomColumns = Seq("o_orderkey"))
-    }
+    val tableDir = DemoFixtures.clonedBloomOrders(s, d, "graft-bloom")
     val keys: Seq[Any] = Seq(3L, 8L, 17L, 22L)
     def leg(n: Int) = readVersionKeys(s, tableDir, "o_orderkey", keys)
       .select(lit(n).cast("int").as("leg"), col("o_orderkey"),
@@ -2826,9 +2818,8 @@ object Snapshots {
     */
   def u26UniqueAppend(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-unique")
+    val tableDir = DemoFixtures.clonedBucketedOrders(s, d, "graft-unique")
     val orders = graft.Tables.orders(s, d)
-    commit(orders, tableDir, "overwrite", bucketBy = Some(("o_orderkey", 16)))
     val late = orders.filter(col("o_orderkey") % 10 === 7)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
     commitUnique(late, tableDir, "o_orderkey")
@@ -2966,9 +2957,8 @@ object Snapshots {
     */
   def u7MergeSnapshot(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val tableDir = graft.TempDirs.create("graft-merge-snap")
+    val tableDir = DemoFixtures.clonedOrders(s, d, "graft-merge-snap")
     val base = graft.Tables.orders(s, d)
-    commit(base, tableDir, "overwrite")
     val merged = graft.operators.Merge.applyChanges(
       readVersion(s, tableDir, Some(0L)),
       graft.operators.Merge.demoChanges(base), "o_orderkey")

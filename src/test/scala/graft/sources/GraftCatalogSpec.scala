@@ -111,6 +111,27 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t3")
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel by name") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t5")
+    spark.sql("CREATE TABLE graftcat.db.t5 USING graft AS " +
+      "SELECT id FROM RANGE(10)")
+    spark.sql("INSERT INTO graftcat.db.t5 SELECT id + 100 FROM RANGE(5)")
+    assert(spark.table("graftcat.db.t5").count() === 15L)
+    // CTAS = empty v0 declaration + v1 first data commit
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graftcat.db.t5 VERSION AS OF 0")
+      .head().getLong(0) === 0L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graftcat.db.t5 VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    // TIMESTAMP AS OF now = latest
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graftcat.db.t5 TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) === 15L)
+    spark.sql("DROP TABLE graftcat.db.t5")
+  }
+
   test("errors: missing table, duplicate create, non-empty namespace drop") {
     init()
     intercept[Exception] { spark.table("graftcat.db.nope").collect() }
