@@ -76,18 +76,16 @@ object GraftSqlDml {
     * (row-level UPDATE) and u11 (merge-on-read MERGE) protocols
     * replayed through PURE SQL — `DELETE FROM`, `UPDATE ... SET`,
     * `MERGE INTO` against `USING graft` views, no Scala snapshot API
-    * anywhere in the mutation loop (the seed is the public
-    * `df.write.format("graft")`; `latestVersion` appears only in the
-    * read-only `n_versions` audit column proving one atomic commit
-    * per statement). Views pin their creation-time snapshot, so each
+    * anywhere in the mutation loop (the seed is a fixture clone —
+    * `u30_sql_insert` already exercises the public write API;
+    * `latestVersion` appears only in the read-only `n_versions` audit
+    * column proving one atomic commit per statement). Views pin their creation-time snapshot, so each
     * read re-resolves through a fresh view; every statement mutates
     * the table's LATEST version regardless of the issuing view's pin.
     * The oracle replays the three mutations relationally.
     */
   def u31SqlDml(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = graft.TempDirs.create("graft-sql-dml")
-    graft.Tables.orders(s, d).write.format("graft")
-      .option("statsColumns", "o_orderkey").save(dir)
+    val dir = graft.sources.DemoFixtures.clonedOrders(s, d, "graft-sql-dml")
     s.sql("CREATE OR REPLACE TEMPORARY VIEW sqldml " +
       s"USING graft OPTIONS (path '$dir')")
     // u9 through SQL: a deletion-vector mask (the %10=4 tenth — the

@@ -41,8 +41,38 @@ import org.apache.spark.sql.types.StructType
   * change results, only skip files.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+    with DataSourceRegister with StreamSourceProvider
+    with StreamSinkProvider {
   override def shortName(): String = "graft"
+
+  /** The exactly-once streaming sink half
+    * (`df.writeStream.format("graft").start(tableDir)`) — see
+    * [[GraftStreamSink]].
+    */
+  override def createSink(ctx: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft streaming sink supports Append output mode only, got $outputMode")
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = p.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming sink requires a path: .start(tableDir)"))
+    val appId = p.getOrElse("appid", "sink")
+    val bucket = p.get("bucketby").map { sp =>
+      val parts = sp.split(":")
+      require(parts.length == 2,
+        s"bucketBy must be 'column:numBuckets', got '$sp'")
+      (parts(0).trim, parts(1).trim.toInt)
+    }
+    val blooms = p.get("bloomcolumns")
+      .map(GraftSource.parseColumnList).getOrElse(Nil)
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else p.get("partitionby").map(GraftSource.parseColumnList).getOrElse(Nil)
+    new GraftStreamSink(path, appId, bucket, blooms, partCols)
+  }
 
   /** The streaming half (`spark.readStream.format("graft")`) — see
     * [[GraftStreamSource]] for offsets, modes, and the V1-Source

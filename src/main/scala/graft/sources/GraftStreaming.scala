@@ -79,6 +79,41 @@ private[sources] class GraftStreamSource(
   override def stop(): Unit = ()
 }
 
+/** `df.writeStream.format("graft").option("checkpointLocation", ...)
+  * .start(tableDir)` — the exactly-once streaming SINK through the
+  * public API: every micro-batch is one [[Snapshots.exactlyOnceSink]]
+  * append (txn-watermark replay protection keyed by the engine's
+  * batch id, CAS retry on concurrent writers), with the same index
+  * options the batch writer takes (`bucketBy`, `bloomColumns`,
+  * `partitionBy` — a streaming sink keeps the table's layout warm as
+  * it lands). Append output mode only: a snapshot table's "update"
+  * is [[Snapshots.cdcSink]]'s MERGE territory, not a sink mode.
+  *
+  * The incoming micro-batch frame is re-anchored on its computed RDD
+  * ([[Bridge.batchFrom]]) before committing — the engine hands the
+  * sink an incremental plan that cannot re-enter a batch write as-is.
+  */
+private[sources] class GraftStreamSink(
+    tableDir: String, appId: String,
+    bucketBy: Option[(String, Int)], bloomColumns: Seq[String],
+    partitionBy: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = Bridge.batchFrom(data)
+    Snapshots.exactlyOnceSink(tableDir, appId, bucketBy, bloomColumns,
+      partitionBy)(batch, batchId)
+  }
+
+  override def name(): String = s"graft-sink[$tableDir]"
+  override def schema(): org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.types.StructType()
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
+}
+
 private[sources] object GraftStreamSource {
   /** Option parsing shared by sourceSchema/createSource (keys are
     * matched lowercase; Spark hands V1 stream sources the raw map).

@@ -2273,7 +2273,8 @@ object Snapshots {
     */
   def exactlyOnceSink(tableDir: String, appId: String = "sink",
                       bucketBy: Option[(String, Int)] = None,
-                      bloomColumns: Seq[String] = Nil)
+                      bloomColumns: Seq[String] = Nil,
+                      partitionBy: Seq[String] = Nil)
                      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     var attempt = 0
@@ -2298,7 +2299,7 @@ object Snapshots {
         // over the batch's own files)
         commit(batch, tableDir, "append", expectedVersion = Some(expected),
           txn = Some(appId -> batchId), bucketBy = bucketBy,
-          bloomColumns = bloomColumns)
+          bloomColumns = bloomColumns, partitionBy = partitionBy)
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

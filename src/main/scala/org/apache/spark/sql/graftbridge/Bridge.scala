@@ -37,4 +37,17 @@ object Bridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse of [[streamingFrom]]: re-anchor a streaming
+    * micro-batch frame on its computed RDD as a plain BATCH frame —
+    * what a V1 streaming `Sink.addBatch` needs before handing the
+    * data to a batch write path.
+    */
+  def batchFrom(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -74,6 +74,47 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(tail.filter(_._3 == "delete").forall(_._2 == "base"))
   }
 
+  test("writeStream.format(graft): exactly-once sink through the public API") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = graft.TempDirs.create("gss-sink")
+    val ckpt = graft.TempDirs.create("gss-sink-ckpt")
+    val input = MemoryStream[Long]
+    def start() = input.toDF().toDF("id")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    val q = start()
+    try {
+      input.addData(0L until 10L: _*)
+      q.processAllAvailable()
+      input.addData(10L until 15L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.readVersion(spark, dir).count() === 15L)
+    // restart on the same checkpoint: no redelivery (txn watermark)
+    val q2 = start()
+    try {
+      input.addData(15L until 18L: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = Snapshots.readVersion(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === (0L until 18L).toArray)
+    // every micro-batch was one atomic append commit with the
+    // watermark riding it
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m.txns.contains("sink"))
+    // source half composes: the graft table written by the sink is
+    // itself tailable
+    val rt = spark.readStream.format("graft").load(dir)
+    assert(rt.isStreaming)
+  }
+
   test("restart from checkpoint resumes at the stored version offset") {
     val dir = graft.TempDirs.create("gss-restart")
     val ckpt = graft.TempDirs.create("gss-restart-ckpt")
