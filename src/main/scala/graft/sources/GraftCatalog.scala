@@ -125,10 +125,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftCatalogTable(ident, dir.toString, schema, partCols)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft catalog tables: use the snapshot API " +
-        "(addCheckConstraint / schema evolution rides appends)")
+  /** `ALTER TABLE ... ADD COLUMNS (...)`: a metadata-only snapshot
+    * commit ([[Snapshots.addColumns]]) — existing files read NULL for
+    * the new nullable fields. Other change kinds are refused (type
+    * changes are rewrites; constraints go through the snapshot API).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.size == changes.size,
+      "graft ALTER TABLE supports only ADD COLUMNS; " +
+        s"got ${changes.filterNot(adds.contains).mkString(", ")}")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"only top-level columns can be added, got ${a.fieldNames.mkString(".")}")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)
+    }
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    Snapshots.addColumns(spark, dir.toString, fields)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -3102,6 +3102,31 @@ object Snapshots {
     0L
   }
 
+  /** Metadata-only ADDITIVE schema evolution (the formats' ALTER
+    * TABLE ADD COLUMNS): publish a new version whose manifest schema
+    * carries the added nullable fields — zero data written, existing
+    * files read NULL for them (the same additive machinery appends
+    * use). Duplicate names are refused.
+    */
+  def addColumns(spark: SparkSession, tableDir: String,
+                 added: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(added.nonEmpty, "addColumns needs at least one field")
+    val f = fs(spark, tableDir)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
+    val old = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to evolve"))
+    added.foreach(fd => require(!old.fieldNames.contains(fd.name),
+      s"column '${fd.name}' already exists at $tableDir"))
+    val next = m.copy(version = nextV,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        old.fields ++ added.map(_.copy(nullable = true)))),
+      pendingMarker = None)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
+  }
+
   /** Shallow clone (the table formats' CLONE): create `targetDir` as
     * a NEW table whose v0 manifest references the source version's
     * data files by absolute path — an O(manifest) fork, zero data

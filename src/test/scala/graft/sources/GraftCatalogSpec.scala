@@ -132,6 +132,30 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t5")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only, old files read NULL") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t6")
+    spark.sql("CREATE TABLE graftcat.db.t6 USING graft AS " +
+      "SELECT id FROM RANGE(5)")
+    spark.sql("ALTER TABLE graftcat.db.t6 ADD COLUMNS (note STRING, w DOUBLE)")
+    val t = spark.table("graftcat.db.t6")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "note", "w"))
+    assert(t.filter(col("note").isNotNull).count() === 0L)
+    // the evolution consumed one metadata-only version (CTAS = v0+v1)
+    val dir = s"$warehouse/db/t6"
+    assert(Snapshots.latestVersion(spark, dir).get === 2L)
+    // new columns are insertable; old rows still NULL
+    spark.sql("INSERT INTO graftcat.db.t6 SELECT 100, 'x', 1.5")
+    val rows = spark.table("graftcat.db.t6").collect()
+    assert(rows.length === 6)
+    assert(rows.count(r => !r.isNullAt(1)) === 1)
+    // non-add changes refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.t6 RENAME COLUMN note TO memo")
+    }
+    spark.sql("DROP TABLE graftcat.db.t6")
+  }
+
   test("errors: missing table, duplicate create, non-empty namespace drop") {
     init()
     intercept[Exception] { spark.table("graftcat.db.nope").collect() }
