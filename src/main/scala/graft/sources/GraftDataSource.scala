@@ -94,8 +94,12 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (path, cdc) = GraftStreamSource.parse(parameters)
+    val maxV = parameters.map { case (k, v) => k.toLowerCase -> v }
+      .get("maxversionspertrigger").map(_.trim.toLong)
+    maxV.foreach(m => require(m >= 1, s"maxVersionsPerTrigger must be >= 1: $m"))
     new GraftStreamSource(ctx, path, cdc,
-      schema.getOrElse(GraftStreamSource.schemaOf(ctx.sparkSession, path, cdc)))
+      schema.getOrElse(GraftStreamSource.schemaOf(ctx.sparkSession, path, cdc)),
+      maxV)
   }
 
   override def createRelation(ctx: SQLContext,

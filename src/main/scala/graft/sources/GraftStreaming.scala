@@ -43,16 +43,34 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 private[sources] class GraftStreamSource(
     sqlCtx: SQLContext, tableDir: String, cdc: Boolean,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   private def spark = sqlCtx.sparkSession
 
+  /** Highest version known processed (updated from getBatch's start
+    * and commit) — the floor `maxVersionsPerTrigger` caps against.
+    * -1 until the engine reveals it; the first trigger is then
+    * uncapped (it is the initial full-snapshot load anyway).
+    */
+  @volatile private var processedFloor: Long = -1L
+
   /** Last LIVE version: an in-flight multi-table txn head is not yet
     * an offset (its decision may abort it); versions are CAS-serial,
-    * so the offset resumes past it only once it is decided.
+    * so the offset resumes past it only once it is decided. With
+    * `maxVersionsPerTrigger`, the offered offset fuses at most that
+    * many commits per micro-batch (backfill of a long history arrives
+    * in bounded slices instead of one giant batch).
     */
   override def getOffset: Option[Offset] =
-    Snapshots.latestLiveVersion(spark, tableDir).map(LongOffset(_))
+    Snapshots.latestLiveVersion(spark, tableDir).map { v =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(max) if processedFloor >= 0L =>
+          math.min(v, processedFloor + max)
+        case _ => v
+      }
+      LongOffset(capped)
+    }
 
   private def versionOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -60,9 +78,14 @@ private[sources] class GraftStreamSource(
     case other => other.json.trim.toLong
   }
 
+  override def commit(end: Offset): Unit = {
+    processedFloor = math.max(processedFloor, versionOf(end))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
+    processedFloor = math.max(processedFloor, to)
     val batch: DataFrame =
       if (cdc) Snapshots.readChangeFeed(spark, tableDir, from, to)
       else {

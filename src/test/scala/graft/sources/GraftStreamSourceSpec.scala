@@ -74,6 +74,33 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(tail.filter(_._3 == "delete").forall(_._2 == "base"))
   }
 
+  test("maxVersionsPerTrigger bounds commit fusion per micro-batch") {
+    val dir = graft.TempDirs.create("gss-rate")
+    val ckpt = graft.TempDirs.create("gss-rate-ckpt")
+    Snapshots.commit(frame(0 until 5, "base"), dir) // v0
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0)).toSeq.sorted
+        batches.synchronized { if (ids.nonEmpty) batches += ids }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.size === 1) // initial load (uncapped by design)
+      (1 to 3).foreach(i =>
+        Snapshots.commit(frame(i * 10 until i * 10 + 2, s"b$i"), dir, "append"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the three appended versions arrived in THREE bounded micro-batches
+    assert(batches.size === 4, batches.toString)
+    assert(batches.drop(1).map(_.size) === Seq(2, 2, 2))
+  }
+
   test("writeStream.format(graft): exactly-once sink through the public API") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark
