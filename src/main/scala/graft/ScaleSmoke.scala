@@ -79,7 +79,16 @@ object ScaleSmoke {
       "u27_materialized_view", "u28_sql_datasource", "u29_metadata_count",
       // u30 = the pure-SQL write loop (the INSERT's select + the two
       // commits are the linear parts)
-      "u30_sql_insert")
+      "u30_sql_insert",
+      // round-9 additions: u31 = SQL DML (each statement O(matched
+      // mask + payload), never a rewrite), u32 = partitioned reads
+      // (the pruned leg reads one status dir — sublinear; the fixture
+      // build is the linear part), u33 = grouped metadata counts
+      // (O(manifest) — only the fixture build grows), u34 = the
+      // name-based catalog lifecycle (insert/delete are the linear
+      // parts, discovery and resolution O(registry))
+      "u31_sql_dml", "u32_partitioned_table", "u33_partition_count",
+      "u34_catalog_table")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
