@@ -37,6 +37,7 @@ object SparkEntry {
     "log_kpi_totals" -> ((s, _) => LogSuite.kpiTotals(s)),
     "log_per_hour_pivot" -> ((s, _) => LogSuite.perHourPivot(s)),
     "log_bench_errors" -> ((s, _) => LogSuite.benchErrors(s)),
+    "log_graft_lake" -> ((s, _) => LogSuite.graftLake(s)),
     // ---- relational corpus ----
     "q1_lineitem_agg" -> (CorpusQueries.q1LineitemAgg _),
     "q2_filter_project" -> (CorpusQueries.q2FilterProject _),
@@ -701,6 +702,15 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     "log_per_hour_pivot" ->
       s"""$logCte SELECT hour, CAST(SUM(errors) AS BIGINT) AS errors, CAST(SUM(requests) AS BIGINT) AS requests
          |FROM fct WHERE date = DATE '2025-11-10' GROUP BY hour ORDER BY hour""".stripMargin,
+    // log_graft_lake oracle: the one-day error rollup replayed
+    // relationally from the same literal log; only_matching_dirs = 1
+    // pins that the partition-pruned scan touched only the day's dir
+    "log_graft_lake" ->
+      s"""$logCte SELECT endpoint, COUNT(*) AS errors,
+         |  CAST(SUM(bytes_sent) AS BIGINT) AS error_bytes,
+         |  1 AS only_matching_dirs
+         |FROM stg WHERE date = DATE '2025-11-10' AND is_error = 1
+         |GROUP BY endpoint ORDER BY endpoint""".stripMargin,
     "log_bench_errors" ->
       s"""$logCte SELECT endpoint, CAST(SUM(errors) AS BIGINT) AS errors
          |FROM fct WHERE date = DATE '2025-11-10' GROUP BY endpoint

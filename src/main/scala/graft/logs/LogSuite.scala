@@ -55,4 +55,35 @@ object LogSuite {
 
   def benchErrors(s: SparkSession): DataFrame =
     LogQueries.benchErrorsByEndpoint(fct(s), "2025-11-10")
+
+  /** Demo + oracle entry (`log_graft_lake`): the reference's core
+    * layout idiom — `date=YYYY-MM-DD/` Parquet dirs
+    * (`etl/ingest_logs.py:63-70`) — hosted on the VERSIONED layer:
+    * the parsed staging log commits to a graft table
+    * `partitionBy("date")`, and the one-day serving query reads it
+    * with the date predicate pruned at the MANIFEST (per-file exact
+    * partition stats). `only_matching_dirs` = 1 pins through the
+    * oracle that the pruned scan touched only the wanted day's dir —
+    * the log lake's partition pruning, upgraded with snapshot
+    * isolation, DV deletes, and time travel for free. At 100 TB of
+    * logs a one-day error rollup reads one day.
+    */
+  def graftLake(s: SparkSession): DataFrame = {
+    import graft.sources.Snapshots
+    val dir = graft.TempDirs.create("graft-log-lake")
+    Snapshots.commit(LogFixture.stg(s), dir, "overwrite",
+      partitionBy = Seq("date"))
+    val day = java.sql.Date.valueOf("2025-11-10")
+    val pruned = Snapshots.readVersionFiltered(s, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("date", day)))
+    val witness =
+      if (pruned.inputFiles.forall(_.contains("date=2025-11-10"))) 1 else 0
+    pruned.where(col("date") === lit(day))
+      .filter(col("is_error") === 1)
+      .groupBy("endpoint")
+      .agg(count(lit(1)).as("errors"),
+        sum(col("bytes_sent")).as("error_bytes"))
+      .withColumn("only_matching_dirs", lit(witness).cast("int"))
+      .orderBy("endpoint")
+  }
 }
