@@ -1409,6 +1409,41 @@ object Snapshots {
     }
   }
 
+  /** File pruning for the row-level DML paths, driven by the DML
+    * predicate ITSELF: the prunable conjuncts of `predicate`
+    * (equality / IN / range comparisons between a bare column and a
+    * literal) are translated to the shared pruning primitives
+    * (bucket ∧ min/max stats ∧ bloom via [[pruneForKeys]], one-sided
+    * ranges via [[FileStat.mayGe]]/[[FileStat.mayLe]]), so a
+    * `DELETE WHERE day = X` masks against the files that can hold
+    * day X — on a partitioned/stat-covered 100 TB table that is one
+    * partition's files, not the table. Pruning is conservative by
+    * construction (a file survives unless its stats PROVE no row can
+    * match; unknown shapes and unknown columns prune nothing), so the
+    * mask computed from the survivors is exactly the mask a full scan
+    * would find — files with zero matching rows contribute zero mask
+    * keys either way.
+    */
+  private def pruneFilesByPredicate(spark: SparkSession, m: Manifest,
+                                    predicate: org.apache.spark.sql.Column)
+      : Seq[String] = {
+    var keep = m.files
+    org.apache.spark.sql.graftbridge.Bridge.prunableConjuncts(predicate)
+      .foreach {
+        case ("=", c, Seq(v)) => keep = pruneForKeys(spark, m, keep, c, Seq(v))
+        case ("in", c, vs) if vs.nonEmpty =>
+          keep = pruneForKeys(spark, m, keep, c, vs)
+        case (">=", c, Seq(v)) =>
+          keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))
+        case ("<=", c, Seq(v)) =>
+          keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
+        case _ => ()
+      }
+    // all files pruned ⇒ nothing can match; keep one file so callers
+    // need no schema-only special case (their row filter is exact)
+    if (keep.isEmpty) m.files.take(1) else keep
+  }
+
   /** Row-level DELETE as a deletion vector (merge-on-read): mark every
     * current row matching `predicate` deleted by writing their
     * (file_path, row_index) keys as a small parquet under `dv/` and
@@ -1436,8 +1471,12 @@ object Snapshots {
     // rows), then size the write to the mask: a per-mille CDC delete
     // lands as ONE broadcast-friendly file, while a large DELETE
     // shards at `graft.dv.maxRowsPerFile` rows/file instead of
-    // funneling the whole mask through one task
-    val mask = readFilesMeta(spark, tableDir, m, m.files)
+    // funneling the whole mask through one task. The mask SCAN is
+    // pruned by the predicate itself ([[pruneFilesByPredicate]]):
+    // a partition/stat-covered DELETE masks against the files that
+    // can match, not the table
+    val mask = readFilesMeta(spark, tableDir, m,
+        pruneFilesByPredicate(spark, m, predicate))
       .filter(predicate)
       .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1668,7 +1707,10 @@ object Snapshots {
       require(m.schema.forall(_.fieldNames.contains(c)),
         s"SET column '$c' is not in the table schema")
     }
-    val matched = readFilesMeta(spark, tableDir, m, m.files)
+    // like deleteWhere's, the matched-row scan is pruned by the
+    // predicate itself — an UPDATE of one partition scans it alone
+    val matched = readFilesMeta(spark, tableDir, m,
+        pruneFilesByPredicate(spark, m, predicate))
       .filter(predicate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -38,6 +38,91 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The PRUNABLE CONJUNCTS of a predicate Column, as neutral hints
+    * `(op, columnName, values)` with op ∈ {"=", "in", ">=", "<="}
+    * normalized to column-on-the-left semantics (strict comparisons
+    * relax to their inclusive hint — pruning is conservative). Handles
+    * BOTH Column flavors: ColumnNode trees (DataFrame-API predicates)
+    * and ExpressionColumnNode-wrapped catalyst expressions (what the
+    * SQL DML rules rebuild) — both are sql-private shapes, hence this
+    * lives in the bridge. Unknown shapes yield no hint (prune
+    * nothing); NULL and decimal literals yield no hint (NULL never
+    * equality-matches a stat range meaningfully; footer decimals are
+    * unscaled ints).
+    */
+  def prunableConjuncts(c: Column): Seq[(String, String, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{internal => in}
+    def ok(v: Any): Option[Any] = v match {
+      case null => None
+      case _: java.math.BigDecimal | _: scala.math.BigDecimal |
+           _: org.apache.spark.sql.types.Decimal => None
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case other => Some(other)
+    }
+    // ---- catalyst side ----
+    def exName(e: ce.Expression): Option[String] = e match {
+      case a: ce.AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 => Some(u.name)
+      case _ => None
+    }
+    def exVal(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, _) => ok(v)
+      case _ => None
+    }
+    def fromExpr(e: ce.Expression): Seq[(String, String, Seq[Any])] = e match {
+      case ce.And(a, b) => fromExpr(a) ++ fromExpr(b)
+      case ce.EqualTo(l, r) =>
+        (for (c0 <- exName(l); v <- exVal(r)) yield ("=", c0, Seq(v))).toSeq ++
+          (for (c0 <- exName(r); v <- exVal(l)) yield ("=", c0, Seq(v))).toSeq
+      case ce.In(l, vs) if vs.nonEmpty =>
+        (for (c0 <- exName(l); vals <- Option(vs.flatMap(exVal))
+              if vals.length == vs.length) yield ("in", c0, vals)).toSeq
+      case ce.GreaterThan(l, r) => fromExpr(ce.GreaterThanOrEqual(l, r))
+      case ce.LessThan(l, r) => fromExpr(ce.LessThanOrEqual(l, r))
+      case ce.GreaterThanOrEqual(l, r) =>
+        (for (c0 <- exName(l); v <- exVal(r)) yield (">=", c0, Seq(v))).toSeq ++
+          (for (c0 <- exName(r); v <- exVal(l)) yield ("<=", c0, Seq(v))).toSeq
+      case ce.LessThanOrEqual(l, r) =>
+        (for (c0 <- exName(l); v <- exVal(r)) yield ("<=", c0, Seq(v))).toSeq ++
+          (for (c0 <- exName(r); v <- exVal(l)) yield (">=", c0, Seq(v))).toSeq
+      case _ => Nil
+    }
+    // ---- ColumnNode side ----
+    def cnName(n: in.ColumnNode): Option[String] = n match {
+      case a: in.UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case _ => None
+    }
+    def cnVal(n: in.ColumnNode): Option[Any] = n match {
+      case l: in.Literal => ok(l.value)
+      case _ => None
+    }
+    def fromNode(n: in.ColumnNode): Seq[(String, String, Seq[Any])] = n match {
+      case org.apache.spark.sql.classic.ExpressionColumnNode(e, _) =>
+        fromExpr(e)
+      case f: in.UnresolvedFunction => (f.functionName, f.arguments) match {
+        case ("and", args) => args.flatMap(fromNode)
+        case ("=" | "==", Seq(l, r)) =>
+          (for (c0 <- cnName(l); v <- cnVal(r)) yield ("=", c0, Seq(v))).toSeq ++
+            (for (c0 <- cnName(r); v <- cnVal(l)) yield ("=", c0, Seq(v))).toSeq
+        case ("in", l +: vs) if vs.nonEmpty =>
+          (for (c0 <- cnName(l); vals <- Option(vs.flatMap(cnVal))
+                if vals.length == vs.length) yield ("in", c0, vals)).toSeq
+        case (">" | ">=", Seq(l, r)) =>
+          (for (c0 <- cnName(l); v <- cnVal(r)) yield (">=", c0, Seq(v))).toSeq ++
+            (for (c0 <- cnName(r); v <- cnVal(l)) yield ("<=", c0, Seq(v))).toSeq
+        case ("<" | "<=", Seq(l, r)) =>
+          (for (c0 <- cnName(l); v <- cnVal(r)) yield ("<=", c0, Seq(v))).toSeq ++
+            (for (c0 <- cnName(r); v <- cnVal(l)) yield (">=", c0, Seq(v))).toSeq
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    fromNode(c.node)
+  }
+
   /** The inverse of [[streamingFrom]]: re-anchor a streaming
     * micro-batch frame on its computed RDD as a plain BATCH frame —
     * what a V1 streaming `Sink.addBatch` needs before handing the

@@ -171,6 +171,48 @@ class PartitionedTableSpec extends SparkSpec {
       === expect2)
   }
 
+  test("DML mask scans prune by the predicate (partition/stat-covered)") {
+    val dir = graft.TempDirs.create("part-dml-prune")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"), statsColumns = Seq("o_orderkey"))
+    // count the parquet data-file reads a partition-predicate DELETE
+    // performs, via the scan metrics on a probe with the same pruning
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    val total = m.files.size
+    // the pruning helper itself: equality on the partition column
+    // keeps only that partition's files; an impossible predicate
+    // keeps exactly one schema file; a range on the stats column
+    // narrows; an unprunable shape keeps everything
+    def pruned(p: org.apache.spark.sql.Column) = {
+      val meth = Snapshots.getClass.getDeclaredMethods
+        .find(_.getName == "pruneFilesByPredicate").get
+      meth.setAccessible(true)
+      meth.invoke(Snapshots, spark, m, p).asInstanceOf[Seq[String]]
+    }
+    val onlyF = pruned(col("o_orderstatus") === "F")
+    assert(onlyF.nonEmpty && onlyF.size < total)
+    assert(onlyF.forall(_.contains("o_orderstatus=F")))
+    assert(pruned(col("o_orderstatus") === "ZZ").size === 1)
+    assert(pruned(col("o_orderkey") < -5).size === 1)
+    assert(pruned(col("o_orderkey") % 10 === 3).size === total)
+    // conjunction composes; the unprunable conjunct adds nothing
+    val both = pruned(col("o_orderstatus") === "F" &&
+      col("o_orderkey") % 10 === 3)
+    assert(both === onlyF)
+    // end to end: the partition-predicate DELETE and UPDATE stay exact
+    Snapshots.deleteWhere(spark, dir, col("o_orderstatus") === "F")
+    Snapshots.updateWhere(spark, dir,
+      col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+    val want = orders.filter(col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "P" && col("o_orderkey") % 2 === 0,
+          col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+    val got = Snapshots.readVersion(spark, dir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("deletion vectors and UPDATE compose with the partition layout") {
     val dir = graft.TempDirs.create("part-dv")
     val orders = graft.Tables.orders(spark, sf)
