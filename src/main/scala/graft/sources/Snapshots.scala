@@ -2954,6 +2954,11 @@ object Snapshots {
     */
   def compact(spark: SparkSession, tableDir: String, numFiles: Int,
               statsColumns: Seq[String] = Nil): Long = {
+    // NOTE: compact/compactSorted REDEFINE the layout (that is their
+    // point — exactly numFiles outputs); a partitioned table compacted
+    // this way flattens. purgeDeletes preserves partitionCols; a
+    // layout-preserving small-file fold is compactSmall (carried
+    // files keep their dirs/stats).
     // pin the rewrite to the version it read: a concurrent append
     // landing in between turns this into a CAS failure (retry the
     // compaction from the new latest) instead of silently erasing the
