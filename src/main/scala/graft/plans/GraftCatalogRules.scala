@@ -65,7 +65,19 @@ object GraftCatalogRules {
             ResolvedIdentifier(catalog: GraftCatalog, ident),
             partitioning, query, _, _, ifNotExists, _)
             if query.resolved =>
-          GraftCtas(catalog, ident, partitioning, query, ifNotExists)
+          GraftCtas(catalog, ident, partitioning, query, ifNotExists,
+            replace = false)
+        case rtas @ ReplaceTableAsSelect(
+            ResolvedIdentifier(catalog: GraftCatalog, ident),
+            partitioning, query, _, _, orCreate, _)
+            if query.resolved =>
+          // REPLACE = a fresh table definition: the registry entry is
+          // recreated (history restarts — matching the statement's
+          // semantics; an in-place redefinition is INSERT OVERWRITE)
+          GraftRtas(catalog, ident, partitioning, query, orCreate)
+        case TruncateTable(org.apache.spark.sql.catalyst.analysis
+            .ResolvedTable(catalog: GraftCatalog, _, t: GraftCatalogTable, _)) =>
+          GraftTruncate(t)
         case r: DataSourceV2Relation if graftTable(r).isDefined =>
           val t = graftTable(r).get
           val opts = Map("path" -> t.dir) ++
@@ -99,12 +111,14 @@ object GraftCatalogRules {
     */
   case class GraftCtas(catalog: GraftCatalog, ident: Identifier,
                        partitioning: Seq[Transform], query: LogicalPlan,
-                       ifNotExists: Boolean) extends LeafRunnableCommand {
+                       ifNotExists: Boolean, replace: Boolean)
+      extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(spark: SparkSession): Seq[Row] = {
       if (catalog.tableExists(ident)) {
-        if (ifNotExists) return Seq.empty
-        throw new org.apache.spark.sql.catalyst.analysis
+        if (replace) catalog.dropTable(ident)
+        else if (ifNotExists) return Seq.empty
+        else throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
       }
       val df = Bridge.ofRows(spark, query)
@@ -112,6 +126,36 @@ object GraftCatalogRules {
         java.util.Collections.emptyMap[String, String]())
         .asInstanceOf[GraftCatalogTable]
       Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols)
+      Seq.empty
+    }
+  }
+
+  /** REPLACE TABLE [OR CREATE] ... AS SELECT: recreate the registry
+    * entry (REPLACE without OR CREATE requires the table to exist).
+    */
+  case class GraftRtas(catalog: GraftCatalog, ident: Identifier,
+                       partitioning: Seq[Transform], query: LogicalPlan,
+                       orCreate: Boolean) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(spark: SparkSession): Seq[Row] = {
+      if (!catalog.tableExists(ident) && !orCreate)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+      GraftCtas(catalog, ident, partitioning, query,
+        ifNotExists = false, replace = true).run(spark)
+    }
+  }
+
+  /** TRUNCATE TABLE: one empty-overwrite snapshot commit — the rows
+    * are gone from the new version, prior versions still time-travel
+    * (truncation is a data change, not a registry change).
+    */
+  case class GraftTruncate(t: GraftCatalogTable) extends LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], t.tableSchema)
+      Snapshots.commit(empty, t.dir, "overwrite",
+        partitionBy = t.partitionCols)
       Seq.empty
     }
   }

@@ -156,6 +156,33 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t6")
   }
 
+  test("REPLACE TABLE AS SELECT and TRUNCATE TABLE complete the DDL surface") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t7")
+    // REPLACE without OR CREATE on a missing table is refused
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE graftcat.db.t7 USING graft AS SELECT 1 AS a")
+    }
+    spark.sql(
+      "CREATE OR REPLACE TABLE graftcat.db.t7 USING graft AS SELECT 1 AS a")
+    assert(spark.table("graftcat.db.t7").columns.toSeq === Seq("a"))
+    // REPLACE redefines schema and contents (fresh registry entry)
+    spark.sql(
+      """REPLACE TABLE graftcat.db.t7 USING graft AS
+        |SELECT id AS b, 'x' AS c FROM RANGE(4)""".stripMargin)
+    assert(spark.table("graftcat.db.t7").columns.toSeq === Seq("b", "c"))
+    assert(spark.table("graftcat.db.t7").count() === 4L)
+    // TRUNCATE empties the latest version; prior versions time-travel
+    spark.sql("TRUNCATE TABLE graftcat.db.t7")
+    assert(spark.table("graftcat.db.t7").count() === 0L)
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.t7 VERSION AS OF 1")
+      .head().getLong(0) === 4L)
+    // the declaration survives: inserts land against the same schema
+    spark.sql("INSERT INTO graftcat.db.t7 SELECT 9, 'y'")
+    assert(spark.table("graftcat.db.t7").count() === 1L)
+    spark.sql("DROP TABLE graftcat.db.t7")
+  }
+
   test("errors: missing table, duplicate create, non-empty namespace drop") {
     init()
     intercept[Exception] { spark.table("graftcat.db.nope").collect() }
