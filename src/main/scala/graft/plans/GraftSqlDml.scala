@@ -319,7 +319,7 @@ object GraftSqlDml {
       val changes = joined
         .withColumn("__op", opCol)
         .filter(col("__op").isNotNull)
-        .select(payload :+ col("__op").as("op"): _*)
+        .select(payload.toIndexedSeq :+ col("__op").as("op"): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // SQL MERGE cardinality rule, on the SURVIVING changes: two
