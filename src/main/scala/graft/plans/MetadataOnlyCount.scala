@@ -84,14 +84,20 @@ case class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** The EXACT per-file constant for `name`, when the manifest pins
-    * one: a min==max stat (partition values always do — written as
-    * such by the partitioned commit) converted to the column's
-    * Catalyst-internal representation. None = not constant / not
-    * representable → the rewrite bails and the scan path answers.
+    * one: a min==max stat on a DECLARED PARTITION column, converted to
+    * the column's Catalyst-internal representation. Restricted to
+    * partition columns deliberately — they are non-null by
+    * construction and path-derived, so min==max covers EVERY row of
+    * the file. A plain footer stat with min==max does NOT: parquet
+    * min/max ignore NULLs, so a file holding {42, NULL} reads as a
+    * "constant 42" and would misattribute the NULL row's count.
+    * None = not a partition constant → the rewrite bails, the scan
+    * path answers.
     */
   private def fileConstant(m: Snapshots.Manifest, rel: String,
                            name: String, dt: DataType): Option[Any] =
-    m.stats.get((rel, name)).filter(st => st.min == st.max).flatMap { st =>
+    (if (m.partitionCols.contains(name)) m.stats.get((rel, name)) else None)
+      .filter(st => st.min == st.max).flatMap { st =>
       (st.kind, dt) match {
         case ("long", ByteType)    => Some(st.min.toByte)
         case ("long", ShortType)   => Some(st.min.toShort)
