@@ -156,10 +156,17 @@ object DemoFixtures {
   def u34CatalogTable(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val wh = graft.TempDirs.create("graft-wh-demo")
+    // ONE warehouse per JVM: Spark caches catalog INSTANCES by name,
+    // so re-registering `graft_demo` with a fresh warehouse path on a
+    // later pass would silently keep resolving the first one — the
+    // demo instead reuses a stable warehouse and makes itself
+    // idempotent (drop + re-fork per run)
+    val wh = cache.getOrElseUpdate(s"wh:$d",
+      graft.TempDirs.create("graft-wh-demo"))
     s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft_demo.db")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.orders")
     Snapshots.cloneShallow(s, partitionedOrders(s, d), s"$wh/db/orders")
     val inRegistry =
       if (s.sql("SHOW TABLES IN graft_demo.db").collect()

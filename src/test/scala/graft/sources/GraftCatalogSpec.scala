@@ -183,6 +183,16 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t7")
   }
 
+  test("u34 demo is idempotent across bench passes (cached catalog instance)") {
+    // Spark caches catalog instances by name: the demo must produce
+    // identical rows on every in-JVM repetition (warm bench passes)
+    val first = DemoFixtures.u34CatalogTable(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    val second = DemoFixtures.u34CatalogTable(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted
+    assert(first.nonEmpty && first.sameElements(second))
+  }
+
   test("errors: missing table, duplicate create, non-empty namespace drop") {
     init()
     intercept[Exception] { spark.table("graftcat.db.nope").collect() }
