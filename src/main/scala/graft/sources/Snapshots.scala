@@ -2132,6 +2132,13 @@ object Snapshots {
     * with [[streamChangeFeed]] (manifest-driven, dead versions
     * resolved away) instead.
     */
+  /** LAYOUT NOTE: this helper globs the flat `data/*` layout; tables
+    * written with Hive-style partition dirs (`commit(partitionBy)`)
+    * nest their files one level deeper — tail those through
+    * `spark.readStream.format("graft")` instead, whose manifest-diff
+    * discovery is layout-independent (and delete-aware in changeFeed
+    * mode).
+    */
   def streamAppends(spark: SparkSession, tableDir: String,
                     schema: org.apache.spark.sql.types.StructType,
                     maxFilesPerTrigger: Int = 32): DataFrame =
