@@ -2132,8 +2132,8 @@ object Snapshots {
     * with [[streamChangeFeed]] (manifest-driven, dead versions
     * resolved away) instead.
     */
-  /** LAYOUT NOTE: this helper globs the flat `data/*` layout; tables
-    * written with Hive-style partition dirs (`commit(partitionBy)`)
+  /** LAYOUT NOTE: this helper globs the flat one-level `data` layout;
+    * tables written with Hive-style partition dirs (`commit(partitionBy)`)
     * nest their files one level deeper — tail those through
     * `spark.readStream.format("graft")` instead, whose manifest-diff
     * discovery is layout-independent (and delete-aware in changeFeed
