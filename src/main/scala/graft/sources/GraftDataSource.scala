@@ -59,7 +59,24 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val path = p.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming sink requires a path: .start(tableDir)"))
-    val appId = p.getOrElse("appid", "sink")
+    // the txn-watermark key must be QUERY-unique and checkpoint-stable:
+    // a constant default would let a second query (or a restart on a
+    // fresh checkpoint) silently no-op every batch at or below the
+    // first query's watermark — replay protection becoming data loss.
+    // The checkpoint location is exactly that identity (same
+    // checkpoint = same query = same batchId sequence), so the default
+    // derives from it; an explicit appId option still wins (e.g. to
+    // resume a watermark across an intentional checkpoint reset).
+    val appId = p.get("appid").getOrElse {
+      val ckpt = p.getOrElse("checkpointlocation",
+        throw new IllegalArgumentException(
+          "graft streaming sink needs an explicit option(\"appId\", ...) " +
+            "when no checkpointLocation is set: the exactly-once watermark " +
+            "is keyed by it and must be unique per query"))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "sink-" + digest.take(8).map(b => f"$b%02x").mkString
+    }
     val bucket = p.get("bucketby").map { sp =>
       val parts = sp.split(":")
       require(parts.length == 2,

@@ -50,8 +50,14 @@ private[sources] class GraftStreamSource(
 
   /** Highest version known processed (updated from getBatch's start
     * and commit) — the floor `maxVersionsPerTrigger` caps against.
-    * -1 until the engine reveals it; the first trigger is then
-    * uncapped (it is the initial full-snapshot load anyway).
+    * -1 until the engine reveals it; the first trigger of a FRESH
+    * checkpoint is then uncapped (it is the initial full-snapshot
+    * load anyway). On a RESTART the engine replays the restored
+    * offsets into the source (commit of the last committed offset /
+    * getBatch of the last uncommitted batch) before asking for a new
+    * one, so the floor is seeded and a backlog that accumulated while
+    * the query was down still arrives in capped slices — pinned by
+    * the "caps the first trigger after a restart" spec.
     */
   @volatile private var processedFloor: Long = -1L
 
@@ -86,17 +92,30 @@ private[sources] class GraftStreamSource(
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
     processedFloor = math.max(processedFloor, to)
+    // metadata-only ranges (ALTER TABLE ADD COLUMNS, CHECK add/drop, a
+    // no-op restore) advance the version without adding files or dvs;
+    // both modes emit an EMPTY micro-batch for them — the offset was
+    // durably logged before this call, so a throw here would replay
+    // the same range on every restart and wedge the stream on a
+    // routine metadata operation (same guard changeFeedBatches applies
+    // to the foreachBatch consumers).
+    val empty =
+      if (cdc) !Snapshots.hasRowChanges(spark, tableDir, from, to)
+      else Snapshots.addedFiles(spark, tableDir, from, to).isEmpty
     val batch: DataFrame =
-      if (cdc) Snapshots.readChangeFeed(spark, tableDir, from, to)
-      else {
-        val added = Snapshots.addedFiles(spark, tableDir, from, to)
-        if (added.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], schema)
-        else Snapshots.readChanges(spark, tableDir, from, to)
-      }
+      if (empty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else if (cdc) Snapshots.readChangeFeed(spark, tableDir, from, to)
+      else Snapshots.readChanges(spark, tableDir, from, to)
+    // project onto the schema PINNED at stream definition: additive
+    // evolution mid-stream adds columns the engine's plan does not
+    // carry (they appear on restart, like the file sources); the
+    // pinned columns always exist post-evolution, so this never drops
+    // a row — only the not-yet-visible new columns
+    val aligned = batch.select(schema.fieldNames.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
     // the engine requires the returned frame to BE streaming-tagged
-    Bridge.streamingFrom(batch)
+    Bridge.streamingFrom(aligned)
   }
 
   override def stop(): Unit = ()

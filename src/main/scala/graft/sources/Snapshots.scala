@@ -2037,6 +2037,29 @@ object Snapshots {
     }
   }
 
+  /** Whether the `(fromVersion, toVersion]` range carries any ROW
+    * changes — added data files or added deletion vectors. False for a
+    * metadata-only range (ALTER TABLE ADD COLUMNS, CHECK add/drop, a
+    * no-op restore): [[readChangeFeed]] refuses such a range ("no
+    * changes"), so streaming consumers consult this first and emit an
+    * empty micro-batch instead — a routine metadata commit must never
+    * wedge a checkpointed stream (the offset is logged before getBatch;
+    * a throw would replay the same range forever). Also false when the
+    * range removed files/dvs only (a rewrite with nothing added) —
+    * the CDC read would then throw its rewrite error on a LATER range
+    * that actually carries rows, same contract as [[readChangeFeed]].
+    */
+  private[sources] def hasRowChanges(spark: SparkSession, tableDir: String,
+                                     fromVersion: Long, toVersion: Long): Boolean = {
+    val to = readLiveManifest(spark, tableDir, toVersion)
+    val from =
+      if (fromVersion < 0) Manifest(-1L, Seq.empty)
+      else readLiveManifest(spark, tableDir, fromVersion)
+    val fromFiles = from.files.toSet
+    val fromDvs = from.dvs.toSet
+    to.files.exists(!fromFiles(_)) || to.dvs.exists(!fromDvs(_))
+  }
+
   /** Change-feed read: the rows in files added between `fromVersion`
     * (exclusive) and `toVersion` (inclusive) — the "process only data
     * that arrived since the last run" primitive that turns a periodic

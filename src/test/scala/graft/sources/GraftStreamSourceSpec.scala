@@ -132,14 +132,102 @@ class GraftStreamSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(got === (0L until 18L).toArray)
     // every micro-batch was one atomic append commit with the
-    // watermark riding it
+    // watermark riding it, keyed by the checkpoint-derived appId
+    // (query-unique: a second query on another checkpoint gets its
+    // own watermark instead of silently no-oping under this one's)
     val m = Snapshots.readManifest(spark, dir,
       Snapshots.latestVersion(spark, dir).get)
-    assert(m.txns.contains("sink"))
+    assert(m.txns.keys.exists(_.startsWith("sink-")), m.txns.toString)
     // source half composes: the graft table written by the sink is
     // itself tailable
     val rt = spark.readStream.format("graft").load(dir)
     assert(rt.isStreaming)
+  }
+
+  test("changeFeed mode survives a metadata-only commit (empty batch, no wedge)") {
+    val dir = graft.TempDirs.create("gss-meta")
+    val ckpt = graft.TempDirs.create("gss-meta-ckpt")
+    Snapshots.commit(frame(0 until 10, "base"), dir) // v0
+    val stream = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(dir)
+    val q = stream.writeStream.format("memory").queryName("gss_meta")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_meta").count() === 10L)
+      // a routine metadata operation: adds no files, no dvs — the
+      // stream must deliver an EMPTY micro-batch for it, not wedge on
+      // readChangeFeed's "no changes" refusal (the offset is logged
+      // before getBatch, so a throw would replay forever)
+      Snapshots.addColumns(spark, dir, Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))) // v1, metadata-only
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+      // and the stream still makes progress past it
+      Snapshots.deleteWhere(spark, dir, col("id") === 3L) // v2
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    assert(spark.table("gss_meta")
+      .filter(col("_change_type") === "delete").count() === 1L)
+  }
+
+  test("two sink queries with distinct checkpoints both land (no watermark clash)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = graft.TempDirs.create("gss-sink2")
+    // query A: 10 rows over batchIds 0..0 on checkpoint A
+    val inA = MemoryStream[Long]
+    val qA = inA.toDF().toDF("id").writeStream.format("graft")
+      .option("checkpointLocation", graft.TempDirs.create("gss-sink2-ckA"))
+      .outputMode("append").start(dir)
+    try { inA.addData(0L until 10L: _*); qA.processAllAvailable() }
+    finally qA.stop()
+    // query B: a FRESH checkpoint, so its batchIds restart at 0 — with
+    // a constant default appId its first batch would silently no-op
+    // under query A's watermark; the checkpoint-derived default keys
+    // the two queries separately
+    val inB = MemoryStream[Long]
+    val qB = inB.toDF().toDF("id").writeStream.format("graft")
+      .option("checkpointLocation", graft.TempDirs.create("gss-sink2-ckB"))
+      .outputMode("append").start(dir)
+    try { inB.addData(100L until 105L: _*); qB.processAllAvailable() }
+    finally qB.stop()
+    val got = Snapshots.readVersion(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got === ((0L until 10L) ++ (100L until 105L)).toArray)
+  }
+
+  test("maxVersionsPerTrigger still caps the first trigger after a restart") {
+    val dir = graft.TempDirs.create("gss-rate2")
+    val ckpt = graft.TempDirs.create("gss-rate2-ckpt")
+    Snapshots.commit(frame(0 until 4, "base"), dir) // v0
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          batches.synchronized { if (n > 0) batches += n }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // initial load, committed cleanly
+    batches.synchronized(batches.clear())
+    // backlog of 3 commits lands while the query is DOWN; on restart
+    // the first getOffset must still be capped (the processed floor is
+    // seeded from the restored committed offset, not left at -1)
+    (1 to 3).foreach(i =>
+      Snapshots.commit(frame(i * 10 until i * 10 + 2, s"b$i"), dir, "append"))
+    run()
+    assert(batches.toSeq === Seq(2, 2, 2), batches.toString)
   }
 
   test("restart from checkpoint resumes at the stored version offset") {
