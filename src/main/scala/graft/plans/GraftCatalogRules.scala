@@ -49,7 +49,18 @@ object GraftCatalogRules {
       case _ => false
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // relations that are the target of a v2 write this rule has not
+      // handled YET (append/overwrite before output resolution): left
+      // un-swapped, so the write either matches its own case on a
+      // later pass or is refused explicitly below — swapping the
+      // relation out from under a pending v2 write would strand the
+      // v2 command over a V1 relation and surface as a confusing
+      // analysis failure instead of a clean error
+      val pendingWriteTargets: Set[LogicalPlan] = plan.collect {
+        case a: AppendData if !a.outputResolved => a.table
+        case o: OverwriteByExpression if !o.outputResolved => o.table
+      }.toSet
       plan.resolveOperatorsDown {
         case a @ AppendData(rel, query, _, _, _, _)
             if graftTable(rel).isDefined && a.outputResolved =>
@@ -61,12 +72,27 @@ object GraftCatalogRules {
           val t = graftTable(rel).get
           GraftCatalogWrite(t.dir, t.partitionCols, t.tableSchema, query,
             mode = "overwrite")
+        // the v2 write shapes this rule does NOT support are refused
+        // with a clean error (instead of the relation swap leaving a
+        // half-converted plan): a static PARTITION spec arrives as a
+        // conditional OverwriteByExpression, dynamic partition
+        // overwrite mode as OverwritePartitionsDynamic
+        case o @ OverwriteByExpression(rel, cond, _, _, _, _, _)
+            if graftTable(rel).isDefined && o.outputResolved && !isTrue(cond) =>
+          throw new UnsupportedOperationException(
+            "graft INSERT OVERWRITE supports only a full-table overwrite; " +
+              "a static PARTITION spec is not supported — use DELETE FROM + " +
+              "INSERT INTO (row-level DML) for a partition-scoped rewrite")
+        case o: OverwritePartitionsDynamic if graftTable(o.table).isDefined =>
+          throw new UnsupportedOperationException(
+            "graft tables do not support dynamic partition overwrite " +
+              "(spark.sql.sources.partitionOverwriteMode=dynamic); use a " +
+              "full INSERT OVERWRITE, or MERGE INTO for a partial rewrite")
         case ctas @ CreateTableAsSelect(
             ResolvedIdentifier(catalog: GraftCatalog, ident),
             partitioning, query, _, _, ifNotExists, _)
             if query.resolved =>
-          GraftCtas(catalog, ident, partitioning, query, ifNotExists,
-            replace = false)
+          GraftCtas(catalog, ident, partitioning, query, ifNotExists)
         case rtas @ ReplaceTableAsSelect(
             ResolvedIdentifier(catalog: GraftCatalog, ident),
             partitioning, query, _, _, orCreate, _)
@@ -78,7 +104,8 @@ object GraftCatalogRules {
         case TruncateTable(org.apache.spark.sql.catalyst.analysis
             .ResolvedTable(catalog: GraftCatalog, _, t: GraftCatalogTable, _)) =>
           GraftTruncate(t)
-        case r: DataSourceV2Relation if graftTable(r).isDefined =>
+        case r: DataSourceV2Relation
+            if graftTable(r).isDefined && !pendingWriteTargets.contains(r) =>
           val t = graftTable(r).get
           val opts = Map("path" -> t.dir) ++
             t.versionAsOf.map(v => "versionAsOf" -> v.toString)
@@ -86,6 +113,7 @@ object GraftCatalogRules {
             spark.sqlContext, opts)
           LogicalRelation(base, r.output, None, isStreaming = false, None)
       }
+    }
   }
 
   /** INSERT INTO / OVERWRITE a catalog table: one snapshot commit,
@@ -107,17 +135,18 @@ object GraftCatalogRules {
   }
 
   /** CREATE TABLE ... USING graft AS SELECT: empty declaration +
-    * first append, both through the catalog/commit path.
+    * first append, both through the catalog/commit path. A query that
+    * fails AFTER the registry entry appeared drops the entry again —
+    * CTAS must not leave an orphan empty table behind.
     */
   case class GraftCtas(catalog: GraftCatalog, ident: Identifier,
                        partitioning: Seq[Transform], query: LogicalPlan,
-                       ifNotExists: Boolean, replace: Boolean)
+                       ifNotExists: Boolean)
       extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(spark: SparkSession): Seq[Row] = {
       if (catalog.tableExists(ident)) {
-        if (replace) catalog.dropTable(ident)
-        else if (ifNotExists) return Seq.empty
+        if (ifNotExists) return Seq.empty
         else throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
       }
@@ -125,24 +154,46 @@ object GraftCatalogRules {
       val t = catalog.createTable(ident, df.schema, partitioning.toArray,
         java.util.Collections.emptyMap[String, String]())
         .asInstanceOf[GraftCatalogTable]
-      Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols)
+      try Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols)
+      catch { case e: Throwable => catalog.dropTable(ident); throw e }
       Seq.empty
     }
   }
 
   /** REPLACE TABLE [OR CREATE] ... AS SELECT: recreate the registry
     * entry (REPLACE without OR CREATE requires the table to exist).
+    * ATOMIC against query failure: the replacement is fully written
+    * into a registry-invisible staging dir first and only swapped in
+    * after the SELECT succeeded — a failure mid-write leaves the
+    * original table, with its entire version history, untouched
+    * (a drop-then-recreate would have already destroyed both).
     */
   case class GraftRtas(catalog: GraftCatalog, ident: Identifier,
                        partitioning: Seq[Transform], query: LogicalPlan,
                        orCreate: Boolean) extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(spark: SparkSession): Seq[Row] = {
-      if (!catalog.tableExists(ident) && !orCreate)
-        throw new org.apache.spark.sql.catalyst.analysis
-          .NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
-      GraftCtas(catalog, ident, partitioning, query,
-        ifNotExists = false, replace = true).run(spark)
+      if (!catalog.tableExists(ident)) {
+        if (!orCreate)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+        // nothing to protect: plain CTAS (with its own failure cleanup)
+        return GraftCtas(catalog, ident, partitioning, query,
+          ifNotExists = false).run(spark)
+      }
+      val df = Bridge.ofRows(spark, query)
+      val partCols = catalog.partitionColsOf(partitioning)
+      val staging = catalog.newStagingDir(ident)
+      try {
+        // same two-commit shape as CTAS (empty declaration + first
+        // append), so version arithmetic is identical either way
+        Snapshots.createEmpty(spark, staging.toString, df.schema, partCols)
+        Snapshots.commit(df, staging.toString, "append", partitionBy = partCols)
+        catalog.promoteStaging(ident, staging)
+      } catch {
+        case e: Throwable => catalog.discardStaging(staging); throw e
+      }
+      Seq.empty
     }
   }
 

@@ -61,6 +61,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTable(p: Path): Boolean =
     fs.exists(new Path(p, "_manifests"))
 
+  /** Dot-prefixed dirs are NEVER part of the registry: they hold
+    * in-flight staging copies (see [[newStagingDir]]) and must not
+    * surface from SHOW TABLES / SHOW NAMESPACES while half-written.
+    */
+  private def isHidden(p: Path): Boolean = p.getName.startsWith(".")
+
+  /** Identity transforms → partition column names (shared by CREATE
+    * TABLE and the staged REPLACE path).
+    */
+  private[graft] def partitionColsOf(partitions: Seq[Transform]): Seq[String] =
+    partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support only identity partitioning, got $other")
+    }
+
+  /** A fresh dot-prefixed sibling dir for an atomic REPLACE TABLE AS
+    * SELECT: the replacement is fully written here first, so a SELECT
+    * that fails mid-write leaves the original table (and its whole
+    * version history) untouched, and a half-written replacement can
+    * never be discovered as a table (dot-dirs are registry-invisible).
+    */
+  private[graft] def newStagingDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace()),
+      s".${ident.name()}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** The commit point of a staged REPLACE: drop the old table dir and
+    * rename the fully-written staging dir into its place. The old
+    * table is deleted as LATE as possible — only after the
+    * replacement's query succeeded end-to-end.
+    */
+  private[graft] def promoteStaging(ident: Identifier, staging: Path): Unit = {
+    val dir = tableDir(ident)
+    if (fs.exists(dir) && !fs.delete(dir, true))
+      throw new IllegalStateException(s"could not drop $dir for REPLACE")
+    if (!fs.rename(staging, dir))
+      throw new IllegalStateException(s"rename $staging -> $dir failed")
+  }
+
+  private[graft] def discardStaging(staging: Path): Unit = {
+    fs.delete(staging, true); ()
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -68,7 +112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(d)) throw new NoSuchNamespaceException(
       name() +: namespace)
     fs.listStatus(d).iterator
-      .filter(st => st.isDirectory && isTable(st.getPath))
+      .filter(st => st.isDirectory && !isHidden(st.getPath) &&
+        isTable(st.getPath))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .toArray
   }
@@ -115,12 +160,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (ident.namespace() :+ ident.name()).toSeq)
     if (!fs.exists(nsDir(ident.namespace())))
       throw new NoSuchNamespaceException(name() +: ident.namespace())
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft tables support only identity partitioning, got $other")
-    }
+    val partCols = partitionColsOf(partitions.toSeq)
     Snapshots.createEmpty(spark, dir.toString, schema, partCols)
     GraftCatalogTable(ident, dir.toString, schema, partCols)
   }
@@ -170,7 +210,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     if (!fs.exists(warehouse)) return Array.empty
     fs.listStatus(warehouse).iterator
-      .filter(st => st.isDirectory && !isTable(st.getPath))
+      .filter(st => st.isDirectory && !isHidden(st.getPath) &&
+        !isTable(st.getPath))
       .map(st => Array(st.getPath.getName))
       .toArray
   }

@@ -183,6 +183,83 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t7")
   }
 
+  test("REPLACE TABLE is atomic: a failing SELECT leaves the table and its history") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t8")
+    spark.sql("CREATE TABLE graftcat.db.t8 USING graft AS " +
+      "SELECT id FROM RANGE(6)")
+    spark.sql("INSERT INTO graftcat.db.t8 SELECT id + 10 FROM RANGE(2)")
+    // the replacement query fails at EXECUTION (raise_error) — with a
+    // drop-then-recreate REPLACE the original table and its whole
+    // version history would already be gone; the staged swap must
+    // leave both untouched
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE graftcat.db.t8 USING graft AS
+          |SELECT id, CAST(raise_error('replace boom') AS STRING) AS c
+          |FROM RANGE(3)""".stripMargin)
+    }
+    assert(spark.table("graftcat.db.t8").count() === 8L)
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.t8 VERSION AS OF 1")
+      .head().getLong(0) === 6L) // full history intact
+    // no staging residue surfaces from the registry
+    assert(spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).forall(!_.contains("staging")))
+    // and a SUCCEEDING replace still swaps in fresh history
+    spark.sql("REPLACE TABLE graftcat.db.t8 USING graft AS " +
+      "SELECT id AS b FROM RANGE(4)")
+    assert(spark.table("graftcat.db.t8").columns.toSeq === Seq("b"))
+    assert(spark.table("graftcat.db.t8").count() === 4L)
+    spark.sql("DROP TABLE graftcat.db.t8")
+  }
+
+  test("CTAS failure leaves no orphan registry entry") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t9")
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graftcat.db.t9 USING graft AS
+          |SELECT CAST(raise_error('ctas boom') AS STRING) AS a""".stripMargin)
+    }
+    // the half-created entry was rolled back: the name is free again
+    assert(!spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("t9"))
+    spark.sql("CREATE TABLE graftcat.db.t9 USING graft AS SELECT 1 AS a")
+    assert(spark.table("graftcat.db.t9").count() === 1L)
+    spark.sql("DROP TABLE graftcat.db.t9")
+  }
+
+  test("unsupported v2 write shapes are refused with a clean error") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t10")
+    spark.sql(
+      """CREATE TABLE graftcat.db.t10 (id BIGINT, p STRING)
+        |USING graft PARTITIONED BY (p)""".stripMargin)
+    spark.sql("INSERT INTO graftcat.db.t10 SELECT id, 'a' FROM RANGE(3)")
+    // static PARTITION spec = conditional overwrite: refused cleanly
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graftcat.db.t10 PARTITION (p = 'a') " +
+        "SELECT id FROM RANGE(2)")
+    }
+    assert(e1.getMessage.contains("PARTITION spec") ||
+      Option(e1.getCause).exists(_.getMessage.contains("PARTITION spec")),
+      e1.toString)
+    // dynamic partition-overwrite mode: refused cleanly
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graftcat.db.t10 SELECT id, 'b' FROM RANGE(2)")
+      }
+      assert(e2.getMessage.contains("dynamic partition overwrite") ||
+        Option(e2.getCause).exists(
+          _.getMessage.contains("dynamic partition overwrite")), e2.toString)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // the table is untouched by both refusals
+    assert(spark.table("graftcat.db.t10").count() === 3L)
+    spark.sql("DROP TABLE graftcat.db.t10")
+  }
+
   test("u34 demo is idempotent across bench passes (cached catalog instance)") {
     // Spark caches catalog instances by name: the demo must produce
     // identical rows on every in-JVM repetition (warm bench passes)
