@@ -120,6 +120,7 @@ object SparkEntry {
     "u32_partitioned_table" -> (graft.sources.DemoFixtures.u32PartitionedTable _),
     "u33_partition_count" -> (graft.sources.DemoFixtures.u33PartitionCount _),
     "u34_catalog_table" -> (graft.sources.DemoFixtures.u34CatalogTable _),
+    "u35_merge_full" -> (graft.plans.GraftSqlDml.u35MergeFull _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -813,6 +814,32 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  4 AS n_versions
         |FROM v3 GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // u35 oracle: the one-statement snapshot sync replayed
+    // relationally — matched %3=0 keys (status O takes the +50 source
+    // price, others tagged SYNCED), the %10=7 rows re-keyed high and
+    // inserted as NEW, absent-from-source P rows tagged STALE, every
+    // other absent row deleted; 2 versions = clone seed + ONE atomic
+    // MERGE commit
+    "u35_merge_full" ->
+      """WITH final AS (
+        |  SELECT o_orderstatus, o_totalprice + 50 AS price, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 'SYNCED'
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'O'
+        |  UNION ALL
+        |  SELECT 'N', o_totalprice, 'NEW'
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 'STALE'
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'P')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('SYNCED', 'STALE', 'NEW')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+        |  2 AS n_versions
+        |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped

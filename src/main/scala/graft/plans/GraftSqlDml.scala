@@ -129,6 +129,58 @@ object GraftSqlDml {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Demo + oracle entry (`u35_merge_full`): general MERGE — the
+    * snapshot-sync idiom a real SQL consumer writes first, in ONE
+    * statement: conditional matched UPDATEs applied first-match-wins
+    * (status-O rows take the source price, every other matched row is
+    * tagged SYNCED), NOT MATCHED INSERT for the source's new keys,
+    * and the `WHEN NOT MATCHED BY SOURCE` pair (tag P-status
+    * stragglers STALE, DELETE the rest) — "make the target equal the
+    * source, keeping an audit trail of what fell out". One atomic
+    * merge-on-read commit for the whole statement (`n_versions` = 2
+    * audits it); the oracle replays the sync relationally.
+    */
+  def u35MergeFull(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.sources.DemoFixtures.clonedOrders(s, d, "graft-merge-full")
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW mf " +
+      s"USING graft OPTIONS (path '$dir')")
+    // the source snapshot: every %3=0 key at a bumped price, plus
+    // brand-new high keys from the %10=7 rows
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mf_src AS
+        |SELECT o_orderkey AS k, o_totalprice + 50 AS newprice
+        |FROM mf WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 5000000000, o_totalprice
+        |FROM mf WHERE o_orderkey % 10 = 7""".stripMargin)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW mf2 " +
+      s"USING graft OPTIONS (path '$dir')")
+    s.sql(
+      """MERGE INTO mf2 t USING mf_src s ON t.o_orderkey = s.k
+        |WHEN MATCHED AND t.o_orderstatus = 'O'
+        |  THEN UPDATE SET o_totalprice = s.newprice
+        |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'SYNCED'
+        |WHEN NOT MATCHED THEN INSERT
+        |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |   o_orderpriority)
+        |  VALUES (s.k, CAST(1 AS BIGINT), 'N', s.newprice,
+        |   DATE'2026-02-01', 'NEW')
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+        |  THEN UPDATE SET o_orderpriority = 'STALE'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val nVersions = Snapshots.latestVersion(s, dir).get + 1
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW mf3 " +
+      s"USING graft OPTIONS (path '$dir')")
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |  SUM(CASE WHEN o_orderpriority IN ('SYNCED', 'STALE', 'NEW')
+         |    THEN 1 ELSE 0 END) AS n_tagged,
+         |  CAST($nVersions AS INT) AS n_versions
+         |FROM mf3 GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** The analyzer rule: resolved DML plan → graft leaf command. */
   case class Dml(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -179,26 +231,49 @@ object GraftSqlDml {
     }
   }
 
-  /** `MERGE INTO t USING s ON t.k = s.k WHEN ...` → one merge-on-read
-    * commit via [[Snapshots.mergeOnRead]]. Supported shape is the CDC
-    * merge the snapshot layer's change contract defines:
+  /** (chosen, total) data-file counts of the last SQL MERGE payload
+    * join's target scan — a plan-audit witness for specs: a
+    * small-batch MERGE against a stat/bucket-covered table must read
+    * only the files overlapping the source's key range, and this is
+    * how a test observes that without instrumenting Spark.
+    */
+  @volatile private[graft] var lastMergePayloadFiles: Option[(Int, Int)] = None
+
+  /** `MERGE INTO t USING s ON ... WHEN ...` → one merge-on-read
+    * commit via [[Snapshots.mergeOnRead]]. Supported shape:
     *
-    *   - ON is a single equality between one target and one source
-    *     column (the merge key — mergeOnRead masks by key, so a wider
-    *     condition could mask rows the extra conjuncts exclude);
-    *   - at most one UPDATE and one DELETE among WHEN MATCHED (each
-    *     with an optional AND), at most one INSERT among WHEN NOT
-    *     MATCHED; WHEN NOT MATCHED BY SOURCE is not supported;
-    *   - the UPDATE may not reassign the merge key (that is a
+    *   - ON must contain at least one `target.col = source.col`
+    *     equality — the MERGE KEY (mergeOnRead masks by it); every
+    *     other conjunct (further equalities, ranges, source-only
+    *     guards) folds into the match condition: a key-joined pair
+    *     failing it is simply NOT matched;
+    *   - any number of WHEN MATCHED actions (UPDATE/DELETE, each with
+    *     an optional AND) applied first-match-wins in statement
+    *     order; any number of WHEN NOT MATCHED INSERTs likewise; any
+    *     number of WHEN NOT MATCHED BY SOURCE UPDATE/DELETEs — the
+    *     snapshot-sync idiom ("delete target rows absent from the
+    *     source") is one statement;
+    *   - no UPDATE may reassign the merge key (that is a
     *     delete+insert, not an update);
     *   - at most one surviving change per key (the SQL MERGE
     *     cardinality rule), validated before anything is written.
+    *     The key-unique contract this implies also resolves the one
+    *     ambiguity extra ON conjuncts introduce: an INSERT whose key
+    *     already exists in the target upserts (mergeOnRead's I-on-
+    *     existing-key semantics) rather than adding a duplicate key.
     *
-    * The command builds the I/U/D change batch with one source⟕target
-    * join (action conditions and payloads evaluate in the joined
-    * scope, so partial SETs read unchanged columns from the target)
-    * and hands it to mergeOnRead — O(changes) appended bytes plus the
-    * stats/bucket-pruned provenance mask, never a table rewrite.
+    * Cost shape: the source-driven change batch is ONE source⟕target
+    * join whose TARGET SIDE IS PRUNED to the files that can hold the
+    * source's keys ([[Snapshots.readLatestForKeys]] — the same
+    * stats ∧ bucket narrowing mergeOnRead's mask scan applies), so a
+    * 10k-row CDC MERGE against a 100 TB stat-covered table joins
+    * against the overlapping files, never shuffling the full table.
+    * WHEN NOT MATCHED BY SOURCE actions are inherently O(target) —
+    * "every target row without a source match" cannot be answered
+    * without visiting every live target row — so only statements that
+    * carry them pay one full target scan (a second, target⟕source
+    * join producing the target-driven changes). Both batches land in
+    * the SAME atomic mergeOnRead commit.
     */
   case class GraftMergeCommand(tableDir: String, targetOutput: Seq[Attribute],
                                source: LogicalPlan, mergeCond: Expression,
@@ -207,49 +282,61 @@ object GraftSqlDml {
                                notMatchedBySourceActions: Seq[MergeAction])
       extends LeafRunnableCommand {
 
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+
+    private def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+
     override def run(spark: SparkSession): Seq[Row] = {
-      require(notMatchedBySourceActions.isEmpty,
-        "graft MERGE does not support WHEN NOT MATCHED BY SOURCE")
       val tgtIds = targetOutput.map(_.exprId).toSet
       val srcIds = source.output.map(_.exprId).toSet
-      val (tKey, sKey) = mergeCond match {
-        case org.apache.spark.sql.catalyst.expressions.EqualTo(
-            a: AttributeReference, b: AttributeReference)
+      // the merge key: the FIRST target=source column equality in ON;
+      // remaining conjuncts fold into the match condition
+      def asKeyEq(e: Expression): Option[(String, String)] = e match {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
             if tgtIds.contains(a.exprId) && srcIds.contains(b.exprId) =>
-          (a.name, b.name)
-        case org.apache.spark.sql.catalyst.expressions.EqualTo(
-            b: AttributeReference, a: AttributeReference)
+          Some((a.name, b.name))
+        case EqualTo(b: AttributeReference, a: AttributeReference)
             if tgtIds.contains(a.exprId) && srcIds.contains(b.exprId) =>
-          (a.name, b.name)
-        case other => throw new UnsupportedOperationException(
-          "graft MERGE requires ON <target.key> = <source.key> " +
-            s"(single same-type equality), got: ${other.sql}")
+          Some((a.name, b.name))
+        case _ => None
       }
+      val onParts = conjuncts(mergeCond)
+      val keyIdx = onParts.indexWhere(asKeyEq(_).isDefined)
+      require(keyIdx >= 0,
+        "graft MERGE requires at least one <target.col> = <source.col> " +
+          s"equality in ON (the merge key), got: ${mergeCond.sql}")
+      val (tKey, sKey) = asKeyEq(onParts(keyIdx)).get
+      val extraOn = onParts.patch(keyIdx, Nil, 1)
+
       val sides = Seq(tgtIds -> Seq("__t"), srcIds -> Seq("__s"))
       def rw(e: Expression): Column = byName(e, sides)
       def actCond(c: Option[Expression]): Column = c.map(rw).getOrElse(lit(true))
+      val extraCond = extraOn.map(rw).reduceOption(_ && _).getOrElse(lit(true))
 
-      val updateAction = matchedActions.collect {
-        case a: UpdateAction => a: MergeAction
-        case a: UpdateStarAction => a: MergeAction
+      matchedActions.foreach {
+        case _: UpdateAction | _: UpdateStarAction | _: DeleteAction => ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported matched action: $other")
       }
-      val deleteAction = matchedActions.collect { case a: DeleteAction => a }
-      val insertAction = notMatchedActions.collect {
-        case a: InsertAction => a: MergeAction
-        case a: InsertStarAction => a: MergeAction
+      notMatchedActions.foreach {
+        case _: InsertAction | _: InsertStarAction => ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported not-matched action: $other")
       }
-      require(updateAction.size <= 1 && deleteAction.size <= 1 &&
-        insertAction.size <= 1 &&
-        matchedActions.size == updateAction.size + deleteAction.size &&
-        notMatchedActions.size == insertAction.size,
-        "graft MERGE supports at most one UPDATE and one DELETE matched " +
-          "action and one INSERT not-matched action")
-      updateAction.foreach {
+      notMatchedBySourceActions.foreach {
+        case _: UpdateAction | _: DeleteAction => ()
+        case other => throw new UnsupportedOperationException(
+          s"unsupported not-matched-by-source action: $other")
+      }
+      // no UPDATE may reassign the merge key. `SET *` expands to
+      // key = source.key — a no-op for matched rows (equal by ON) —
+      // so only a REAL reassignment (any other value) is refused.
+      (matchedActions ++ notMatchedBySourceActions).foreach {
         case UpdateAction(_, assigns, _) =>
-          // `SET *` expands to key = source.key, which is a no-op for
-          // matched rows (they are equal by the ON clause) — only a
-          // REAL reassignment (any other value) is a delete+insert in
-          // disguise and refused
           val reassigned = assigns.filter(assignmentName(_) == tKey).exists {
             a => a.value match {
               case ar: AttributeReference =>
@@ -263,75 +350,128 @@ object GraftSqlDml {
         case _ => ()
       }
 
-      val tgt = spark.read.format("graft").load(tableDir).as("__t")
-      val src = Bridge.ofRows(spark, source).as("__s")
-      val joined = src.join(tgt, col(s"__s.$sKey") === col(s"__t.$tKey"), "left")
-      val isMatched = col(s"__t.$tKey").isNotNull
-
-      // first-matching-action op, in statement order; no action → null
-      // → the row is excluded (its target row stays untouched)
-      val opCol = {
-        val whens: Seq[(Column, String)] =
-          matchedActions.map {
-            case DeleteAction(c) => (isMatched && actCond(c)) -> "D"
-            case UpdateAction(c, _, _) => (isMatched && actCond(c)) -> "U"
-            case UpdateStarAction(c) => (isMatched && actCond(c)) -> "U"
-            case other => throw new UnsupportedOperationException(
-              s"unsupported matched action: $other")
-          } ++ insertAction.map {
-            case InsertAction(c, _) => (!isMatched && actCond(c)) -> "I"
-            case InsertStarAction(c) => (!isMatched && actCond(c)) -> "I"
-            case other => throw new UnsupportedOperationException(
-              s"unsupported not-matched action: $other")
-          }
-        whens.foldLeft(null: Column) {
-          case (null, (c, v)) => when(c, lit(v))
-          case (acc, (c, v)) => acc.when(c, lit(v))
-        }
-      }
-
-      def updValue(name: String): Column = updateAction.headOption match {
-        case Some(UpdateAction(_, assigns, _)) =>
-          assigns.find(assignmentName(_) == name)
-            .map(a => rw(a.value)).getOrElse(col(s"__t.$name"))
-        case Some(UpdateStarAction(_)) => col(s"__s.$name")
-        case _ => lit(null)
-      }
-      def insValue(name: String): Column = insertAction.headOption match {
-        case Some(InsertAction(_, assigns)) =>
-          assigns.find(assignmentName(_) == name)
-            .map(a => rw(a.value)).getOrElse(lit(null))
-        case Some(InsertStarAction(_)) => col(s"__s.$name")
-        case _ => lit(null)
-      }
-      // payloads cast to the declared column type (same reasoning as
-      // UPDATE's); D rows need only a valid key for the mask join
-      val payload = tgt.schema.fields.map { f =>
-        val base =
-          if (f.name == tKey)
-            when(col("__op") === "I", insValue(f.name))
-              .otherwise(col(s"__s.$sKey"))
-          else
-            when(col("__op") === "U", updValue(f.name))
-              .when(col("__op") === "I", insValue(f.name))
-        base.cast(f.dataType).as(f.name)
-      }
-      val changes = joined
-        .withColumn("__op", opCol)
-        .filter(col("__op").isNotNull)
-        .select(payload.toIndexedSeq :+ col("__op").as("op"): _*)
+      // the source feeds the key-range/bucket pruning aggs AND the
+      // join(s): pin it so all consumers see one evaluation
+      val srcDf = Bridge.ofRows(spark, source)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // SQL MERGE cardinality rule, on the SURVIVING changes: two
-        // changes for one key would mask once and append twice
-        val dup = changes.groupBy(col(tKey)).count()
-          .filter(col("count") > 1).limit(1).count()
-        require(dup == 0L,
-          s"MERGE produced more than one change for a '$tKey' key " +
-            s"(source rows must match at most one action per key)")
-        if (!changes.isEmpty)
-          Snapshots.mergeOnRead(spark, tableDir, changes, tKey)
-      } finally changes.unpersist(false)
+        val keysDf = srcDf.select(col(sKey).as(tKey)).distinct()
+        val (tgtScan, nChosen, nTotal) =
+          Snapshots.readLatestForKeys(spark, tableDir, tKey, keysDf)
+        lastMergePayloadFiles = Some((nChosen, nTotal))
+        val schema = tgtScan.schema
+
+        // indexed actions: payloads resolve per FIRST matching action
+        // (statement order); matched and insert guards are disjoint
+        // so one fold serves both
+        case class Act(idx: Int, op: String, guard: Column,
+                       value: String => Column)
+        def updValueOf(a: MergeAction): String => Column = a match {
+          case UpdateAction(_, assigns, _) => name =>
+            assigns.find(assignmentName(_) == name)
+              .map(x => rw(x.value)).getOrElse(col(s"__t.$name"))
+          case UpdateStarAction(_) => name => col(s"__s.$name")
+          case _ => _ => lit(null)
+        }
+        def insValueOf(a: MergeAction): String => Column = a match {
+          case InsertAction(_, assigns) => name =>
+            assigns.find(assignmentName(_) == name)
+              .map(x => rw(x.value)).getOrElse(lit(null))
+          case InsertStarAction(_) => name => col(s"__s.$name")
+          case _ => _ => lit(null)
+        }
+
+        def changesOf(joined: org.apache.spark.sql.DataFrame,
+                      acts: Seq[Act], keyFor: Act => Column)
+            : org.apache.spark.sql.DataFrame = {
+          val actIdx = acts.foldLeft(null: Column) {
+            case (null, a) => when(a.guard, lit(a.idx))
+            case (acc, a) => acc.when(a.guard, lit(a.idx))
+          }
+          val opCol = acts.foldLeft(null: Column) {
+            case (null, a) => when(col("__act") === a.idx, lit(a.op))
+            case (acc, a) => acc.when(col("__act") === a.idx, lit(a.op))
+          }
+          val payload = schema.fields.map { f =>
+            val base = acts.foldLeft(null: Column) {
+              case (null, a) =>
+                when(col("__act") === a.idx,
+                  if (f.name == tKey) keyFor(a) else a.value(f.name))
+              case (acc, a) =>
+                acc.when(col("__act") === a.idx,
+                  if (f.name == tKey) keyFor(a) else a.value(f.name))
+            }
+            base.cast(f.dataType).as(f.name)
+          }
+          joined.withColumn("__act", actIdx)
+            .filter(col("__act").isNotNull)
+            .select(payload.toIndexedSeq :+ opCol.as("op"): _*)
+        }
+
+        // SOURCE-DRIVEN changes: one src ⟕ prunedTarget join; a pruned
+        // file provably holds no source key, so match detection over
+        // the survivors is exact
+        val joined1 = srcDf.as("__s").join(tgtScan.as("__t"),
+          col(s"__s.$sKey") === col(s"__t.$tKey"), "left")
+        val isMatched = col(s"__t.$tKey").isNotNull && extraCond
+        val acts1 =
+          matchedActions.zipWithIndex.map { case (a, i) =>
+            val (op, c) = a match {
+              case DeleteAction(c0) => ("D", c0)
+              case UpdateAction(c0, _, _) => ("U", c0)
+              case UpdateStarAction(c0) => ("U", c0)
+              case _ => throw new IllegalStateException("validated above")
+            }
+            Act(i, op, isMatched && actCond(c), updValueOf(a))
+          } ++ notMatchedActions.zipWithIndex.map { case (a, i) =>
+            val c = a match {
+              case InsertAction(c0, _) => c0
+              case InsertStarAction(c0) => c0
+              case _ => throw new IllegalStateException("validated above")
+            }
+            Act(matchedActions.size + i, "I",
+              !isMatched && actCond(c), insValueOf(a))
+          }
+        val keyFor1: Act => Column = a =>
+          if (a.op == "I") a.value(tKey) else col(s"__s.$sKey")
+        val changes1 = changesOf(joined1, acts1, keyFor1)
+
+        // TARGET-DRIVEN changes (WHEN NOT MATCHED BY SOURCE): "every
+        // live target row with no source match" is inherently one full
+        // target scan — only statements carrying these actions pay it
+        val changes2 =
+          if (notMatchedBySourceActions.isEmpty) None
+          else {
+            val joined2 = spark.read.format("graft").load(tableDir)
+              .as("__t").join(srcDf.as("__s"),
+                col(s"__s.$sKey") === col(s"__t.$tKey"), "left")
+            val matchedBySrc = col(s"__s.$sKey").isNotNull && extraCond
+            val acts2 = notMatchedBySourceActions.zipWithIndex.map {
+              case (a, i) =>
+                val (op, c) = a match {
+                  case DeleteAction(c0) => ("D", c0)
+                  case UpdateAction(c0, _, _) => ("U", c0)
+                  case _ => throw new IllegalStateException("validated above")
+                }
+                Act(i, op, !matchedBySrc && actCond(c), updValueOf(a))
+            }
+            Some(changesOf(joined2, acts2, _ => col(s"__t.$tKey")))
+          }
+
+        val changes = changes2.fold(changes1)(changes1.unionByName(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // SQL MERGE cardinality rule, on the SURVIVING changes: two
+          // changes for one key would mask once and append twice
+          val dup = changes.groupBy(col(tKey)).count()
+            .filter(col("count") > 1).limit(1).count()
+          require(dup == 0L,
+            s"MERGE produced more than one change for a '$tKey' key " +
+              s"(source rows must match at most one action per key)")
+          if (!changes.isEmpty)
+            Snapshots.mergeOnRead(spark, tableDir, changes, tKey)
+        } finally changes.unpersist(false)
+      } finally srcDf.unpersist(false)
       Seq.empty
     }
   }

@@ -1596,31 +1596,7 @@ object Snapshots {
     // recorded stat are kept (unknown ≠ empty), so this is a scan
     // reducer, never a semantic change.
     val keys = batch.select(col(key)).distinct()
-    val hasKeyStats = m.stats.keys.exists(_._2 == key)
-    val statsPruned =
-      if (!hasKeyStats) m.files
-      else {
-        val b = batch.agg(org.apache.spark.sql.functions.min(col(key)),
-          org.apache.spark.sql.functions.max(col(key))).head()
-        if (b.isNullAt(0)) Seq.empty else pruneFiles(m, key, b.get(0), b.get(1))
-      }
-    // bucket pruning composes with the stat range: when the table is
-    // hash-clustered ON THE MERGE KEY, the provenance scan drops every
-    // bucketed file holding none of the batch's buckets (one distinct
-    // agg on the batch buys it, bounded by numBuckets). Min/max stats
-    // cannot narrow a hash-distributed key; this can — at 100 TB a
-    // 1000-key CDC batch against 4096 buckets masks against ≤1000
-    // bucket files, not the table. Unbucketed files always stay.
-    val maskFiles = m.bucketSpec match {
-      case Some((bk, n)) if bk == key =>
-        val wanted = keys
-          .select(org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(col(key)),
-            org.apache.spark.sql.functions.lit(n.toLong)).cast("int"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        statsPruned.filter(rel => m.buckets.get(rel).forall(wanted.contains))
-      case _ => statsPruned
-    }
+    val maskFiles = prunedFilesForKeys(spark, m, key, keys)
     val dvRel = f"dv/v$version%06d-$tag"
     val dvDir = new Path(tableDir, dvRel)
     val nMasked = {
@@ -1679,6 +1655,57 @@ object Snapshots {
     }
     version
     } finally batch.unpersist(false)
+  }
+
+  /** The files of `m` that can hold ANY key of `keys` — the stats ∧
+    * bucket composition shared by [[mergeOnRead]]'s mask scan and the
+    * SQL MERGE payload join: when the manifest carries footer stats on
+    * the key, files outside the batch's [min, max] key range drop (one
+    * tiny agg on the batch buys it); when the table is hash-clustered
+    * ON the key, files holding none of the batch's buckets drop too
+    * (one distinct agg, collect bounded by numBuckets — min/max stats
+    * cannot narrow a hash-distributed key, this can). At 100 TB a CDC
+    * batch touching one day's keys resolves against that day's files,
+    * not the decade. Conservative by construction: files without a
+    * recorded stat or bucket entry always stay (unknown ≠ empty), so
+    * a pruned file provably holds NO batch key — pruning is a scan
+    * reducer, never a semantic change (matched-row detection over the
+    * survivors equals detection over the full file list).
+    */
+  private[sources] def prunedFilesForKeys(spark: SparkSession, m: Manifest,
+                                          key: String, keys: DataFrame)
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, pmod, xxhash64}
+    val hasKeyStats = m.stats.keys.exists(_._2 == key)
+    val statsPruned =
+      if (!hasKeyStats) m.files
+      else {
+        val b = keys.agg(min(col(key)), max(col(key))).head()
+        if (b.isNullAt(0)) Seq.empty else pruneFiles(m, key, b.get(0), b.get(1))
+      }
+    m.bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        val wanted = keys
+          .select(pmod(xxhash64(col(key)), lit(n.toLong)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        statsPruned.filter(rel => m.buckets.get(rel).forall(wanted.contains))
+      case _ => statsPruned
+    }
+  }
+
+  /** The LATEST live version read pruned to the files that may hold
+    * any of `keys` ([[prunedFilesForKeys]]), deletion vectors applied
+    * — the target side of a small-batch SQL MERGE's payload join:
+    * matched-row payloads resolve against the files that can match,
+    * never the table. Returns the frame plus (chosen, total) file
+    * counts so callers (and specs) can audit that pruning happened.
+    */
+  private[graft] def readLatestForKeys(spark: SparkSession, tableDir: String,
+                                       key: String, keys: DataFrame)
+      : (DataFrame, Int, Int) = {
+    val m = resolveForRead(spark, tableDir, None)
+    val pruned = prunedFilesForKeys(spark, m, key, keys)
+    (readFiles(spark, tableDir, m, pruned), pruned.size, m.files.size)
   }
 
   /** Row-level UPDATE as merge-on-read — `UPDATE t SET ... WHERE p`

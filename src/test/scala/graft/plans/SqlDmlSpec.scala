@@ -144,13 +144,142 @@ class SqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one change"))
     // refused cardinality burns no version
     assert(Snapshots.latestVersion(spark, dir).get === 0L)
-    // non-equality ON
+    // an ON with no target=source column equality has no merge key
     val e2 = intercept[Exception] {
       spark.sql(
         """MERGE INTO dml_g t USING dml_g_dup s ON t.o_orderkey > s.k
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e2.getMessage.contains("single same-type equality"))
+    assert(e2.getMessage.contains("equality in ON"))
+  }
+
+  test("small-batch MERGE payload join scans only key-range-overlapping files") {
+    val dir = graft.TempDirs.create("sqldml-prune")
+    Snapshots.commit(
+      graft.Tables.orders(spark, sf).repartitionByRange(8, col("o_orderkey")),
+      dir, "overwrite", statsColumns = Seq("o_orderkey"))
+    view("dml_p", dir)
+    val want = spark.table("dml_p")
+      .filter(col("o_orderkey").between(10L, 40L)).count()
+    assert(want > 0)
+    spark.sql("SELECT CAST(id AS BIGINT) AS k FROM RANGE(10, 41)")
+      .createOrReplaceTempView("dml_p_src")
+    spark.sql(
+      """MERGE INTO dml_p t USING dml_p_src s ON t.o_orderkey = s.k
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = CAST(123 AS DOUBLE)""".stripMargin)
+    // the payload join's target scan was PRUNED to the files whose
+    // o_orderkey range overlaps [10, 40] — not the whole table (the
+    // same narrowing mergeOnRead's mask scan gets)
+    val (chosen, total) = GraftSqlDml.lastMergePayloadFiles.get
+    assert(total >= 8, s"seed should span >= 8 files, had $total")
+    assert(chosen < total, s"payload scan read all $total files")
+    view("dml_p", dir)
+    assert(spark.table("dml_p")
+      .filter(col("o_orderkey").between(10L, 40L) &&
+        col("o_totalprice") === 123.0).count() === want)
+    assert(spark.table("dml_p")
+      .filter(col("o_totalprice") === 123.0).count() === want)
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: one-statement snapshot sync") {
+    val dir = freshOrders("sqldml-sync")
+    view("dml_s", dir)
+    val base = spark.table("dml_s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    base.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice") + 1).as("p"))
+      .unionByName(spark.sql(
+        "SELECT CAST(7700000001 AS BIGINT) AS k, CAST(55 AS DOUBLE) AS p"))
+      .createOrReplaceTempView("dml_s_src")
+    spark.sql(
+      """MERGE INTO dml_s t USING dml_s_src s ON t.o_orderkey = s.k
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+        |WHEN NOT MATCHED THEN INSERT
+        |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |   o_orderpriority)
+        |  VALUES (s.k, CAST(1 AS BIGINT), 'N', s.p, DATE'2026-01-01', 'SYNC')
+        |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+        |  THEN UPDATE SET o_orderpriority = 'STALE'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    view("dml_s", dir)
+    val after = spark.table("dml_s")
+    val pick = Seq("o_orderkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority").map(col)
+    val expected = base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .unionByName(base.filter(col("o_orderkey") % 3 =!= 0 &&
+          col("o_orderstatus") === "P")
+        .withColumn("o_orderpriority", lit("STALE")))
+      .select(pick: _*)
+      .unionByName(spark.sql(
+        """SELECT CAST(7700000001 AS BIGINT) AS o_orderkey,
+          |'N' AS o_orderstatus, CAST(55 AS DOUBLE) AS o_totalprice,
+          |'SYNC' AS o_orderpriority""".stripMargin))
+    val got = after.select(pick: _*)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // the whole statement — upserts, stale-marking, delete-absent —
+    // was ONE atomic commit
+    assert(Snapshots.latestVersion(spark, dir).get === 1L)
+    base.unpersist(false)
+  }
+
+  test("multiple conditional matched actions: first match wins, statement order") {
+    val dir = freshOrders("sqldml-multi")
+    view("dml_mm", dir)
+    val base = spark.table("dml_mm")
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_orderkey") % 4 === 0).cast("int").as("flag"))
+      .createOrReplaceTempView("dml_mm_src")
+    spark.sql(
+      """MERGE INTO dml_mm t USING dml_mm_src s ON t.o_orderkey = s.k
+        |WHEN MATCHED AND t.o_totalprice > 150000 THEN DELETE
+        |WHEN MATCHED AND s.flag = 1 THEN UPDATE SET o_orderpriority = 'FLAG'
+        |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'PLAIN'""".stripMargin)
+    view("dml_mm", dir)
+    val after = spark.table("dml_mm")
+    val pick = Seq("o_orderkey", "o_totalprice", "o_orderpriority").map(col)
+    val expected = base
+      .filter(!(col("o_orderkey") % 2 === 0 && col("o_totalprice") > 150000))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 2 =!= 0, col("o_orderpriority"))
+          .when(col("o_orderkey") % 4 === 0, lit("FLAG"))
+          .otherwise(lit("PLAIN")))
+      .select(pick: _*)
+    val got = after.select(pick: _*)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("extra ON conjuncts fold into the match condition") {
+    val dir = freshOrders("sqldml-onx")
+    view("dml_x", dir)
+    val base = spark.table("dml_x")
+    base.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey").as("k"),
+        lit(100000.0).as("minp"))
+      .createOrReplaceTempView("dml_x_src")
+    // ON = key equality AND a target-range AND a target-status guard:
+    // a key-joined pair failing the guards is NOT matched
+    spark.sql(
+      """MERGE INTO dml_x t USING dml_x_src s
+        |ON t.o_orderkey = s.k AND t.o_totalprice >= s.minp
+        |  AND t.o_orderstatus <> 'F'
+        |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'HIT'""".stripMargin)
+    view("dml_x", dir)
+    val after = spark.table("dml_x")
+    val hits = after.filter(col("o_orderpriority") === "HIT")
+    val wantHits = base.filter(col("o_orderkey") % 5 === 0 &&
+      col("o_totalprice") >= 100000.0 && col("o_orderstatus") =!= "F")
+    assert(hits.count() === wantHits.count() && wantHits.count() > 0)
+    // everything else untouched
+    assert(after.count() === base.count())
+    val untouchedWant = base.join(wantHits.select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    val untouchedGot = after.filter(col("o_orderpriority") =!= "HIT")
+    assert(untouchedGot.exceptAll(untouchedWant).isEmpty &&
+      untouchedWant.exceptAll(untouchedGot).isEmpty)
   }
 
   test("UPDATE/DELETE with no matches leaves the table version untouched") {
