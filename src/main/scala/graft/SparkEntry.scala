@@ -121,6 +121,7 @@ object SparkEntry {
     "u33_partition_count" -> (graft.sources.DemoFixtures.u33PartitionCount _),
     "u34_catalog_table" -> (graft.sources.DemoFixtures.u34CatalogTable _),
     "u35_merge_full" -> (graft.plans.GraftSqlDml.u35MergeFull _),
+    "u36_part_bucket" -> (graft.sources.DemoFixtures.u36PartBucket _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -841,6 +842,26 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  2 AS n_versions
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // u36 oracle: the composed-layout table's three legs replayed
+    // relationally (leg 0 = the key lookup inside the O partition,
+    // leg 1 = grouped v0, leg 2 = grouped after the %11 delete +
+    // purge); both_dims = 1 pins partition ∧ bucket pruning on one
+    // scan, layout_kept = 1 pins that maintenance preserved both axes
+    "u36_part_bucket" ->
+      """SELECT CAST(0 AS INT) AS leg, 'O' AS o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS both_dims, 1 AS layout_kept
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1 AND 7
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY o_orderstatus
+        |ORDER BY leg, o_orderstatus""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

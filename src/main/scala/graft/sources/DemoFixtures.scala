@@ -187,6 +187,70 @@ object DemoFixtures {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Demo + oracle entry (`u36_part_bucket`): partition dirs × hash
+    * buckets COMPOSED on one table — the canonical 100 TB layout
+    * (the reference's date dirs for time pruning × key buckets for
+    * point lookups). Orders land partitioned by `o_orderstatus` with
+    * 8 `o_orderkey` buckets per dir; leg 0 is the composed lookup
+    * (status predicate ∧ key IN-list) whose `both_dims` witness pins
+    * that the scan touched ONLY `o_orderstatus=O/` files AND fewer
+    * files than that partition holds (bucket pruning engaged inside
+    * the partition — 7 keys can hit at most 7 of its 8 bucket files);
+    * leg 1 is the grouped v0 state; leg 2 re-groups after a DV delete
+    * + [[Snapshots.purgeDeletes]], with `layout_kept` pinning that
+    * maintenance preserved BOTH layout axes (partition dirs and the
+    * bucket spec ride the purge rewrite). The oracle replays all
+    * three legs relationally.
+    */
+  def u36PartBucket(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-part-bucket")
+    val orders = graft.Tables.orders(s, d)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"),
+      bucketBy = Some(("o_orderkey", 8)))
+    val keys: Seq[Any] = (1L to 7L).map(k => k: Any)
+    val m0 = Snapshots.readManifest(s, dir, 0L)
+    val nPartO = m0.files.count(_.contains("o_orderstatus=O"))
+    val pruned = Snapshots.readVersionFiltered(s, dir, Some(0L), Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O"),
+      org.apache.spark.sql.sources.In("o_orderkey", keys.toArray)))
+    val inputF = pruned.inputFiles
+    val bothDims =
+      if (inputF.forall(_.contains("o_orderstatus=O")) &&
+        inputF.length < nPartO) 1 else 0
+    val leg0 = pruned
+      .where(col("o_orderstatus") === "O" &&
+        col("o_orderkey").isin(keys: _*))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(lit(0).cast("int").as("leg"), lit("O").as("o_orderstatus"),
+        col("n_orders"), col("total"))
+    def grouped(v: Option[Long], leg: Int) =
+      Snapshots.readVersion(s, dir, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(leg).cast("int").as("leg"), col("o_orderstatus"),
+          col("n_orders"), col("total"))
+    val leg1 = grouped(Some(0L), 1)
+    // maintenance must keep BOTH layout axes: mask a slice, purge it
+    Snapshots.deleteWhere(s, dir, col("o_orderkey") % 11 === 0)
+    Snapshots.purgeDeletes(s, dir)
+    val mP = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val layoutKept =
+      if (mP.partitionCols == Seq("o_orderstatus") &&
+        mP.bucketSpec.contains(("o_orderkey", 8)) &&
+        mP.files.forall(_.contains("o_orderstatus="))) 1 else 0
+    val leg2 = grouped(None, 2)
+    leg0.unionByName(leg1).unionByName(leg2)
+      .withColumn("both_dims", lit(bothDims).cast("int"))
+      .withColumn("layout_kept", lit(layoutKept).cast("int"))
+      .orderBy("leg", "o_orderstatus")
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

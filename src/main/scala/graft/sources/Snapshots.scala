@@ -171,30 +171,37 @@ object Snapshots {
   private val BucketCol = "__graft_bucket"
 
   /** Flatten the `__graft_bucket=<b>` dirs a bucketed write produced
-    * into plain files in `dataDir` (bucket id in the file NAME — the
-    * same task writes the same part-stem into every bucket dir it
-    * holds, so the prefix also disambiguates) and return the
-    * file→bucket mapping. Driver-side metadata ops, O(buckets).
+    * into plain files in their parent dir (bucket id in the file NAME
+    * — the same task writes the same part-stem into every bucket dir
+    * it holds, so the prefix also disambiguates) and return the
+    * file→bucket mapping. Recursive: on a partitionBy × bucketBy
+    * commit the bucket dirs are the INNERMOST level under the `k=v/`
+    * partition dirs, so the mapping's rel paths carry the partition
+    * segments too. Driver-side metadata ops, O(partitions × buckets).
     */
   private def flattenBucketDirs(f: FileSystem, dataDir: Path,
                                 dataRel: String): Map[String, Int] = {
     val out = scala.collection.mutable.Map.empty[String, Int]
-    f.listStatus(dataDir).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith(s"$BucketCol=")) {
-        val b = name.stripPrefix(s"$BucketCol=").toInt
-        f.listStatus(st.getPath).iterator
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach { fileSt =>
-            val flat = f"b$b%05d-${fileSt.getPath.getName}"
-            if (!f.rename(fileSt.getPath, new Path(dataDir, flat)))
-              throw new java.io.IOException(
-                s"could not flatten bucket file ${fileSt.getPath} -> $flat")
-            out(s"$dataRel/$flat") = b
-          }
-        f.delete(st.getPath, true) // now-empty bucket dir
+    def walk(dir: Path, rel: String): Unit =
+      f.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.startsWith(s"$BucketCol=")) {
+            val b = name.stripPrefix(s"$BucketCol=").toInt
+            f.listStatus(st.getPath).iterator
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .foreach { fileSt =>
+                val flat = f"b$b%05d-${fileSt.getPath.getName}"
+                if (!f.rename(fileSt.getPath, new Path(dir, flat)))
+                  throw new java.io.IOException(
+                    s"could not flatten bucket file ${fileSt.getPath} -> $flat")
+                out(s"$rel/$flat") = b
+              }
+            f.delete(st.getPath, true) // now-empty bucket dir
+          } else walk(st.getPath, s"$rel/$name")
+        }
       }
-    }
+    walk(dataDir, dataRel)
     out.toMap
   }
 
@@ -489,8 +496,10 @@ object Snapshots {
     // data dirs, values kept in the files, per-file min=max partition
     // stats in the manifest. Partition columns must be non-null
     // (enforced at write) and of an exactly-representable stat type.
-    require(partitionBy.isEmpty || bucketBy.isEmpty,
-      "partitionBy and bucketBy cannot combine on one commit")
+    // COMPOSES with bucketBy: `k=v/` dirs for range/equality pruning
+    // on the partition columns × hash buckets WITHIN each dir for
+    // point-lookup/merge pruning on the cluster key — the canonical
+    // 100 TB layout (date dirs × key buckets).
     require(partitionBy.distinct.size == partitionBy.size,
       s"duplicate partition columns: $partitionBy")
     partitionBy.foreach { c =>
@@ -600,36 +609,41 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
-      bucketBy match {
-        case None if partitionBy.nonEmpty =>
-          // shadow-partitioned write: dirs get `k=v/`, files keep the
-          // columns (see [[PartShadowPrefix]])
-          import org.apache.spark.sql.functions.col
-          partitionBy.foldLeft(batch)((b, c) =>
-              b.withColumn(PartShadowPrefix + c, col(c)))
-            .write.partitionBy(partitionBy.map(PartShadowPrefix + _): _*)
-            .parquet(dataDir.toString)
-          // a NULL partition value is refused AFTER the write (it is
-          // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
-          // the orphaned data dir so the refusal leaves no residue
+      locally {
+        // ONE write job covers every layout combination:
+        //  - partitionBy: shadow copies of the partition columns give
+        //    the dirs `k=v/` while the files KEEP the columns (see
+        //    [[PartShadowPrefix]]); shadow dirs renamed plain after;
+        //  - bucketBy: repartition on the bucket id (each bucket =
+        //    exactly one task) + the bucket id as the INNERMOST
+        //    partition dir, so each (partition-dir, bucket) pair
+        //    yields exactly one file; the bucket dirs are flattened
+        //    right after (bucket id in the NAME, mapping in the
+        //    manifest) — readers get explicit file lists with no
+        //    hive-style discovery to fight;
+        //  - both: `k=v/` dirs × one bucket file per dir — time/range
+        //    pruning and point-lookup pruning compose per file.
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val shadowCols = partitionBy.map(PartShadowPrefix + _)
+        val shadowed = partitionBy.foldLeft(batch)((b, c) =>
+          b.withColumn(PartShadowPrefix + c, col(c)))
+        val (toWrite, layoutCols) = bucketBy match {
+          case Some((k, n)) =>
+            (shadowed.withColumn(BucketCol,
+                pmod(xxhash64(col(k)), lit(n.toLong)).cast("int"))
+              .repartition(n, col(BucketCol)),
+             shadowCols :+ BucketCol)
+          case None => (shadowed, shadowCols)
+        }
+        if (layoutCols.isEmpty) toWrite.write.parquet(dataDir.toString)
+        else toWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
+        // a NULL partition value is refused AFTER the write (it is
+        // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
+        // the orphaned data dir so the refusal leaves no residue
+        if (partitionBy.nonEmpty)
           try unshadowPartitionDirs(f, dataDir)
           catch { case e: IllegalArgumentException =>
             f.delete(dataDir, true); throw e }
-        case None => batch.write.parquet(dataDir.toString)
-        case Some((k, n)) =>
-          // hash-clustered write: ONE job — repartition on the bucket id
-          // (each bucket value lands in exactly one task) + partitionBy
-          // (each task writes its buckets to their own dirs), so each
-          // bucket yields exactly one file. The dirs are flattened into
-          // plain files right after (bucket id in the NAME, mapping in
-          // the manifest): readers get a flat file list — no hive-style
-          // partition discovery to fight on explicit-file reads.
-          import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-          batch
-            .withColumn(BucketCol,
-              pmod(xxhash64(col(k)), lit(n.toLong)).cast("int"))
-            .repartition(n, col(BucketCol))
-            .write.partitionBy(BucketCol).parquet(dataDir.toString)
       }
     } finally if (pinned) batch.unpersist(false)
     val newBuckets: Map[String, Int] =
@@ -1825,11 +1839,14 @@ object Snapshots {
   def purgeDeletes(spark: SparkSession, tableDir: String,
                    statsColumns: Seq[String] = Nil): Long = {
     val (next, m) = resolveForWrite(spark, tableDir)
-    // the purge rewrite keeps the table's partition layout: a masked
-    // partitioned table must not silently flatten on maintenance
+    // the purge rewrite keeps the table's layout — partition dirs AND
+    // bucket clustering: a masked partitioned/bucketed table must not
+    // silently flatten on maintenance (the bucket rewrite is one
+    // repartition of the surviving rows, re-clustering merge payloads
+    // in as a side effect)
     commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
       expectedVersion = Some(next), statsColumns = statsColumns,
-      partitionBy = m.partitionCols)
+      partitionBy = m.partitionCols, bucketBy = m.bucketSpec)
   }
 
   /** The files of `version` that can contain rows with `column` in
@@ -2035,9 +2052,12 @@ object Snapshots {
                       key: String, numBuckets: Int,
                       statsColumns: Seq[String] = Nil): Long = {
     val (next, m) = resolveForWrite(spark, tableDir)
+    // layout-preserving on the OTHER axis: a partitioned table
+    // re-clustered on a key keeps its `k=v/` dirs (the composed
+    // date-dirs × key-buckets shape), it does not silently flatten
     commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
       expectedVersion = Some(next), statsColumns = statsColumns,
-      bucketBy = Some((key, numBuckets)))
+      bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols)
   }
 
   /** The files version `toVersion` has that `fromVersion` does not —
@@ -3489,10 +3509,11 @@ object Snapshots {
       .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
     // mask consolidation: keep only dv rows that reference CARRIED
     // files (rows for rewritten files are inert — already applied).
-    // Matching is on the URI TAIL (data/v<N>-<uuid>/<file> —
-    // uuid-unique per commit dir), which also matches BORROWED
-    // absolute refs: a clone's carried source files keep their masks.
-    val tailRe = "(data/v[^/]+/[^/]+)$"
+    // Matching is on the URI TAIL (data/v<N>-<uuid>/... — uuid-unique
+    // per commit dir; `.+` spans the `k=v/` segments partitioned
+    // layouts nest files under), which also matches BORROWED absolute
+    // refs: a clone's carried source files keep their masks.
+    val tailRe = "(data/v[^/]+/.+)$"
     val largeTails = large.map { rel =>
       val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
       if (mt.find()) mt.group(1) else rel

@@ -213,6 +213,101 @@ class PartitionedTableSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("partitionBy × bucketBy compose: k=v dirs with one bucket file each") {
+    val dir = graft.TempDirs.create("part-bucket")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"), bucketBy = Some(("o_orderkey", 8)))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.partitionCols === Seq("o_orderstatus"))
+    assert(m.bucketSpec === Some(("o_orderkey", 8)))
+    // every file: inside a k=v dir, carrying its bucket id, with the
+    // exact partition stat; at most one file per (partition, bucket)
+    assert(m.files.nonEmpty && m.files.forall(_.contains("/o_orderstatus=")))
+    assert(m.buckets.keySet === m.files.toSet)
+    assert(m.files.forall(f => m.stats.contains((f, "o_orderstatus"))))
+    val perPartBucket = m.files.groupBy(f =>
+      (f.split('/').find(_.startsWith("o_orderstatus=")).get, m.buckets(f)))
+    assert(perPartBucket.values.forall(_.size === 1))
+    // round trip
+    val back = Snapshots.readVersion(spark, dir)
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    // composed pruning: partition predicate ∧ key lookup narrows on
+    // BOTH axes — only O files, fewer than the O partition holds
+    val nPartO = m.files.count(_.contains("o_orderstatus=O"))
+    val keys: Seq[Any] = Seq(1L, 2L, 3L)
+    val pruned = Snapshots.readVersionFiltered(spark, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O"),
+      org.apache.spark.sql.sources.In("o_orderkey", keys.toArray)))
+    assert(pruned.inputFiles.nonEmpty)
+    assert(pruned.inputFiles.forall(_.contains("o_orderstatus=O")))
+    assert(pruned.inputFiles.length < nPartO,
+      s"${pruned.inputFiles.length} vs partition's $nPartO files")
+    assert(pruned.inputFiles.length <= keys.size)
+    // bucketed point lookup works inside the composed layout
+    val hit = Snapshots.readVersionKeys(spark, dir, "o_orderkey", Seq(1L))
+    assert(hit.count() === orders.filter(col("o_orderkey") === 1L).count())
+    // composed append carries both; conflicting bucket spec refused
+    val late = orders.limit(40)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Snapshots.commit(late, dir, "append",
+      partitionBy = Seq("o_orderstatus"), bucketBy = Some(("o_orderkey", 8)))
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.partitionCols === Seq("o_orderstatus") &&
+      m1.bucketSpec === Some(("o_orderkey", 8)))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(late, dir, "append",
+        partitionBy = Seq("o_orderstatus"), bucketBy = Some(("o_orderkey", 4)))
+    }
+  }
+
+  test("maintenance keeps the composed layout; compactSmall keeps nested masks") {
+    val dir = graft.TempDirs.create("part-bucket-maint")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"), bucketBy = Some(("o_orderkey", 4)))
+    Snapshots.deleteWhere(spark, dir, col("o_orderkey") % 9 === 0)
+    val want = orders.filter(col("o_orderkey") % 9 =!= 0)
+    // compactSmall consolidates masks by URI tail — partitioned rels
+    // nest files under k=v segments, and a carried file's mask rows
+    // must SURVIVE the consolidation (a dropped mask resurrects rows)
+    val sizes = {
+      val m = Snapshots.readManifest(spark, dir, 1L)
+      m.files.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(dir, rel)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+      }.sorted
+    }
+    // pick minBytes so SOME files rewrite and SOME carry (with masks)
+    val minBytes = sizes(sizes.length / 2)
+    Snapshots.compactSmall(spark, dir, minBytes)
+    val afterCompact = Snapshots.readVersion(spark, dir)
+    assert(afterCompact.exceptAll(want).isEmpty &&
+      want.exceptAll(afterCompact).isEmpty,
+      "compactSmall must keep carried partitioned files' masks")
+    // purge keeps BOTH layout axes
+    Snapshots.deleteWhere(spark, dir, col("o_orderkey") % 9 === 1)
+    Snapshots.purgeDeletes(spark, dir)
+    val mP = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(mP.partitionCols === Seq("o_orderstatus"))
+    assert(mP.bucketSpec === Some(("o_orderkey", 4)))
+    assert(mP.dvs.isEmpty)
+    assert(mP.files.forall(_.contains("/o_orderstatus=")))
+    assert(mP.buckets.keySet === mP.files.toSet)
+    val want2 = orders.filter(col("o_orderkey") % 9 =!= 0 &&
+      col("o_orderkey") % 9 =!= 1)
+    val got2 = Snapshots.readVersion(spark, dir)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    // a clone carries the composed spec too
+    val cloneDir = graft.TempDirs.create("part-bucket-clone")
+    Snapshots.cloneShallow(spark, dir, cloneDir)
+    val mC = Snapshots.readManifest(spark, cloneDir, 0L)
+    assert(mC.partitionCols === Seq("o_orderstatus") &&
+      mC.bucketSpec === Some(("o_orderkey", 4)))
+  }
+
   test("deletion vectors and UPDATE compose with the partition layout") {
     val dir = graft.TempDirs.create("part-dv")
     val orders = graft.Tables.orders(spark, sf)
