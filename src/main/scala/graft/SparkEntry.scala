@@ -1326,19 +1326,28 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT o_orderkey + 3000000000 AS o_orderkey, o_orderstatus,
         |    o_totalprice,
         |    CASE WHEN o_orderkey % 20 = 3 THEN 'web' ELSE 'store' END AS ch,
-        |    CAST(NULL AS VARCHAR) AS src
+        |    CAST(NULL AS VARCHAR) AS src,
+        |    o_orderkey % 100 AS u
         |  FROM orders WHERE o_orderkey % 10 = 3),
         |base AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 5
         |         ELSE o_totalprice END AS o_totalprice,
         |    CASE WHEN o_orderkey % 11 = 0 THEN 'cdc' END AS ch,
-        |    CASE WHEN o_orderkey % 11 = 0 THEN 'cdc_feed' END AS src
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'cdc_feed' END AS src,
+        |    o_orderkey % 100 AS u
         |  FROM orders),
-        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM late)
+        |widen AS (
+        |  SELECT o_orderkey + 6000000000 AS o_orderkey, o_orderstatus,
+        |    o_totalprice, 'widen' AS ch, CAST(NULL AS VARCHAR) AS src,
+        |    o_orderkey % 100 + 3000000000 AS u
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM late
+        |  UNION ALL SELECT * FROM widen)
         |SELECT COALESCE(ch, 'none') AS channel, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  CAST(SUM(CASE WHEN src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_src
+        |  CAST(SUM(CASE WHEN src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_src,
+        |  CAST(SUM(u) AS BIGINT) AS units
         |FROM allr GROUP BY 1 ORDER BY channel""".stripMargin,
     // u15 oracle: base + the CLEAN re-keyed batch only — the refused
     // violating append left no rows and consumed no version

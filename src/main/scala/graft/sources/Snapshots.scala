@@ -222,7 +222,8 @@ object Snapshots {
     * they can never drift. Collect is bounded: ≤ files × mBits/64 rows.
     */
   private def buildBlooms(spark: SparkSession, tableDir: String,
-                          rels: Seq[String], columns: Seq[String])
+                          rels: Seq[String], columns: Seq[String],
+                          tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[(String, String), Bloom] = {
     import org.apache.spark.sql.functions._
     if (columns.isEmpty || rels.isEmpty) return Map.empty
@@ -230,7 +231,13 @@ object Snapshots {
     require(byName.size == rels.size,
       "bloom build requires unique file names within the commit")
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
-    val df = spark.read.parquet(abs: _*)
+    // read at the TABLE's recorded types (not the files' native ones):
+    // xxhash64 is type-sensitive, and the probe side casts its
+    // literals to the table type — a narrow batch landing in a
+    // widened column must hash identically on both sides
+    val df = tableSchema.fold(spark.read)(s => spark.read.schema(
+      org.apache.spark.sql.types.StructType(
+        s.fields.filter(f => columns.contains(f.name))))).parquet(abs: _*)
     columns.flatMap { c =>
       val bitIdx = explode(array((0 until BloomK).map(j =>
         pmod(xxhash64(lit(j), col(c)), lit(BloomMBits.toLong))): _*)).as("bit_idx")
@@ -567,21 +574,28 @@ object Snapshots {
     // strand an orphaned data dir awaiting the vacuum sweep:
     // Schema evolution (manifest-recorded, Delta-log style: readers
     // plan from the manifest schema in O(1), never from file footers).
-    // An append may ADD nullable columns or OMIT existing ones (old
+    // An append may ADD nullable columns, OMIT existing ones (old
     // files lack new columns, new files lack omitted ones — the
-    // explicit read schema fills both with NULL); a same-name column
-    // with a different type is refused — that is a rewrite, not an
-    // append.
-    val schema = prev.flatMap(_.schema) match {
-      case None => df.schema
+    // explicit read schema fills both with NULL), WIDEN a column
+    // losslessly, or send a narrower type into a widened column; any
+    // other type change is refused — that is a rewrite, not an append.
+    val (schema, widenedCols) = prev.flatMap(_.schema) match {
+      case None => (df.schema, Set.empty[String])
       case Some(old) => evolveSchema(old, df.schema, "append")
     }
     // bucket layout: an append carries the table's mapping forward
     // (its own files join it only when bucketed with the SAME spec —
-    // a conflicting spec is refused, it would poison every lookup)
+    // a conflicting spec is refused, it would poison every lookup).
+    // The bucket KEY's type may never widen: the mapping hashes the
+    // stored type, and a probe cast to the widened type would prune
+    // the WRONG files — rows would go missing, not just pruning.
     for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
       require(ps == bs,
         s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
+    for (p <- prev; (bk, _) <- p.bucketSpec)
+      require(!widenedCols.contains(bk),
+        s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
+          "hashes the stored type — re-cluster with compactBucketed instead")
     // partition layout mirrors the bucket rule: an append keeps the
     // table's spec; partitioned appends must match it exactly; an
     // UNpartitioned append is allowed and lands as a flat tail (its
@@ -629,8 +643,13 @@ object Snapshots {
           b.withColumn(PartShadowPrefix + c, col(c)))
         val (toWrite, layoutCols) = bucketBy match {
           case Some((k, n)) =>
+            // hash the key AT THE TABLE'S RECORDED TYPE (xxhash64 is
+            // type-sensitive): a narrower batch landing in a widened
+            // column must map to the same buckets the typed probe
+            // computes ([[bucketIdsOf]] casts its literals the same way)
             (shadowed.withColumn(BucketCol,
-                pmod(xxhash64(col(k)), lit(n.toLong)).cast("int"))
+                pmod(xxhash64(col(k).cast(schema(k).dataType)),
+                  lit(n.toLong)).cast("int"))
               .repartition(n, col(BucketCol)),
              shadowCols :+ BucketCol)
           case None => (shadowed, shadowCols)
@@ -669,9 +688,15 @@ object Snapshots {
         // partition values pin exact min=max stats per file — the
         // stats machinery prunes partition predicates from here on
         partitionStatsOf(written, partitionBy, schema)
-    val newBlooms = buildBlooms(spark, tableDir, written, bloomColumns)
+    val newBlooms = buildBlooms(spark, tableDir, written, bloomColumns,
+      Some(schema))
+    // a widened column's carried blooms are DROPPED: they hashed the
+    // old native type, and the probe now casts to the widened one —
+    // a stale index would wrongly prune files (losing rows), whereas
+    // no index only loses pruning
     val carriedBlooms = prev.map(_.blooms).getOrElse(
       Map.empty[(String, String), Bloom])
+      .filter { case ((_, c), _) => !widenedCols.contains(c) }
     // row accounting (footer metadata, no scan): appends extend the
     // predecessor's totals (unknown propagates), overwrites restart;
     // per-file counts feed the grouped/filtered metadata-count rewrites
@@ -713,26 +738,72 @@ object Snapshots {
     version
   }
 
-  /** Additive schema evolution shared by the append path and
-    * [[mergeOnRead]]: the incoming batch may ADD columns (recorded
-    * nullable — old files read NULL for them) or OMIT existing ones
-    * (new files read NULL there); a same-name column with a different
-    * type is refused — that is a rewrite, not an evolution.
+  /** Lossless type WIDENINGS the parquet reader serves in place —
+    * Spark 4's vectorized reader reads an int32 column as long, a
+    * float as double, a narrow decimal at a wider precision/scale —
+    * so a manifest-recorded widening needs NO rewrite: old files are
+    * read through the widened schema directly. The accepted set is
+    * exactly the always-lossless lattice (integral up-casts, float →
+    * double, integral → double, decimal growth on BOTH the integer
+    * and fractional digits).
+    */
+  private[sources] def widens(from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
+  /** Schema evolution shared by the append path, [[mergeOnRead]] and
+    * [[updateWhere]]: the incoming batch may ADD columns (recorded
+    * nullable — old files read NULL for them), OMIT existing ones
+    * (new files read NULL there), WIDEN a column's type along the
+    * lossless lattice ([[widens]] — the manifest records the wider
+    * type, old files read through it in place), or carry a NARROWER
+    * type than the table's (the batch's files read back widened —
+    * the common shape after a widening, when not-yet-migrated
+    * producers still send the old type). Any other type change is
+    * refused — that is a rewrite, not an evolution. Returns the
+    * evolved schema plus the set of columns this batch WIDENED —
+    * callers must drop those columns' bloom indexes (blooms hash the
+    * stored native type; a probe cast to the widened type would no
+    * longer match — dropping the index only loses pruning, never
+    * rows) and refuse widening the table's bucket key (the bucket
+    * mapping hashes the stored type the same way).
     */
   private def evolveSchema(old: org.apache.spark.sql.types.StructType,
                            incoming: org.apache.spark.sql.types.StructType,
-                           what: String): org.apache.spark.sql.types.StructType = {
+                           what: String)
+      : (org.apache.spark.sql.types.StructType, Set[String]) = {
     val byName = old.fields.map(f => f.name -> f).toMap
+    val widened = scala.collection.mutable.Set.empty[String]
     incoming.fields.foreach { f =>
       byName.get(f.name).foreach { o =>
-        require(o.dataType == f.dataType,
-          s"$what changes type of '${f.name}': ${o.dataType} -> ${f.dataType}")
+        if (o.dataType == f.dataType) ()
+        else if (widens(o.dataType, f.dataType)) widened += f.name
+        else if (widens(f.dataType, o.dataType)) () // narrower batch:
+          // its files read back widened to the table type, no change
+        else throw new IllegalArgumentException(
+          s"$what changes type of '${f.name}': ${o.dataType} -> ${f.dataType} " +
+            "(not a lossless widening)")
       }
+    }
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    val evolved = old.fields.map { o =>
+      if (widened.contains(o.name)) incomingByName(o.name).copy(nullable = true)
+      else o.copy(nullable = true)
     }
     val added = incoming.fields.filterNot(f => byName.contains(f.name))
       .map(_.copy(nullable = true))
-    org.apache.spark.sql.types.StructType(
-      old.fields.map(_.copy(nullable = true)) ++ added)
+    (org.apache.spark.sql.types.StructType(evolved ++ added), widened.toSet)
   }
 
   /** Violation summary ("name (N rows)") per table-level CHECK whose
@@ -1578,10 +1649,17 @@ object Snapshots {
     val txns = txn.fold(m.txns) { case (app, b) =>
       m.txns + (app -> math.max(b, m.txns.getOrElse(app, Long.MinValue)))
     }
-    val schema = m.schema.map(evolveSchema(_, org.apache.spark.sql.types.StructType(
-      changes.schema.fields.filterNot(_.name == "op")), "merge"))
-      .orElse(Some(org.apache.spark.sql.types.StructType(
-        changes.schema.fields.filterNot(_.name == "op"))))
+    val incoming = org.apache.spark.sql.types.StructType(
+      changes.schema.fields.filterNot(_.name == "op"))
+    val (schema, widenedCols) = m.schema match {
+      case Some(old) =>
+        val (s, w) = evolveSchema(old, incoming, "merge"); (Some(s), w)
+      case None => (Some(incoming), Set.empty[String])
+    }
+    for ((bk, _) <- m.bucketSpec)
+      require(!widenedCols.contains(bk),
+        s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
+          "hashes the stored type — re-cluster with compactBucketed instead")
     val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // null-aware: `!isin` is NULL for a NULL op, which filter() would
@@ -1661,6 +1739,9 @@ object Snapshots {
         dataRows = addRowCounts(m.dataRows, nAppended),
         dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
         fileRows = if (written.nonEmpty) m.fileRows ++ newFileRows else m.fileRows,
+        // a widened column's blooms hashed the old native type — stale
+        // indexes would mis-prune, so they go with the widening
+        blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
         pendingMarker = None))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
@@ -1690,6 +1771,10 @@ object Snapshots {
                                           key: String, keys: DataFrame)
       : Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, max, min, pmod, xxhash64}
+    // probe at the table's recorded type (type-sensitive hash; a
+    // narrower batch key must hash like the stored mapping does)
+    val typedKey = m.schema.map(s => col(key).cast(s(key).dataType))
+      .getOrElse(col(key))
     val hasKeyStats = m.stats.keys.exists(_._2 == key)
     val statsPruned =
       if (!hasKeyStats) m.files
@@ -1700,7 +1785,7 @@ object Snapshots {
     m.bucketSpec match {
       case Some((bk, n)) if bk == key =>
         val wanted = keys
-          .select(pmod(xxhash64(col(key)), lit(n.toLong)).cast("int"))
+          .select(pmod(xxhash64(typedKey), lit(n.toLong)).cast("int"))
           .distinct().collect().map(_.getInt(0)).toSet
         statsPruned.filter(rel => m.buckets.get(rel).forall(wanted.contains))
       case _ => statsPruned
@@ -1760,9 +1845,16 @@ object Snapshots {
       val updated = sets.foldLeft(matched.drop(FpCol, RiCol)) {
         case (df, (c, e)) => df.withColumn(c, e)
       }
-      // same-type contract + CHECK gate BEFORE any write
-      val schema = m.schema.map(evolveSchema(_, updated.schema, "update"))
-        .orElse(Some(updated.schema))
+      // widening-or-same type contract + CHECK gate BEFORE any write
+      val (schema, widenedCols) = m.schema match {
+        case Some(old) =>
+          val (s, w) = evolveSchema(old, updated.schema, "update"); (Some(s), w)
+        case None => (Some(updated.schema), Set.empty[String])
+      }
+      for ((bk, _) <- m.bucketSpec)
+        require(!widenedCols.contains(bk),
+          s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
+            "hashes the stored type — re-cluster with compactBucketed instead")
       val violated = checkViolations(updated, m.checks)
       if (violated.nonEmpty)
         throw new IllegalArgumentException(
@@ -1787,6 +1879,7 @@ object Snapshots {
           dataRows = addRowCounts(m.dataRows, n),
           dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
           fileRows = m.fileRows ++ newFileRows,
+          blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
           pendingMarker = None))) {
         f.delete(dvDir, true)
         f.delete(dataDir, true)
@@ -2595,6 +2688,7 @@ object Snapshots {
     val tableDir = graft.TempDirs.create("graft-schema-evo")
     val orders = graft.Tables.orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("o_units", (col("o_orderkey") % 100).cast("int"))
     commit(orders, tableDir, "overwrite")
     val late = orders.filter(col("o_orderkey") % 10 === 3)
       .withColumn("o_orderkey", col("o_orderkey") + lit(3000000000L))
@@ -2608,12 +2702,23 @@ object Snapshots {
       .withColumn("o_src", lit("cdc_feed")) // additive column via MERGE
       .withColumn("op", lit("U"))
     mergeOnRead(s, tableDir, changes, "o_orderkey")
+    // TYPE WIDENING via append: the batch carries o_units as BIGINT
+    // (values only a long can hold) — the manifest records the widened
+    // type and every OLDER int32 file reads through it in place, no
+    // rewrite (the 100 TB shape: an ID column outgrowing int costs one
+    // metadata evolution, not a table rewrite)
+    val widen = orders.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(6000000000L))
+      .withColumn("o_units", (col("o_orderkey") % 100) + lit(3000000000L))
+      .withColumn("o_channel", lit("widen"))
+    commit(widen, tableDir, "append")
     readVersion(s, tableDir)
       .groupBy(coalesce(col("o_channel"), lit("none")).as("channel"))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
-        sum(when(col("o_src").isNotNull, 1L).otherwise(0L)).as("n_src"))
+        sum(when(col("o_src").isNotNull, 1L).otherwise(0L)).as("n_src"),
+        sum(col("o_units")).as("units"))
       .orderBy("channel")
   }
 
