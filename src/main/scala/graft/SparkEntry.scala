@@ -122,6 +122,7 @@ object SparkEntry {
     "u34_catalog_table" -> (graft.sources.DemoFixtures.u34CatalogTable _),
     "u35_merge_full" -> (graft.plans.GraftSqlDml.u35MergeFull _),
     "u36_part_bucket" -> (graft.sources.DemoFixtures.u36PartBucket _),
+    "u38_sql_maintenance" -> (graft.sources.DemoFixtures.u38SqlMaintenance _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -841,6 +842,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
         |  2 AS n_versions
         |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // u38 oracle: the SQL maintenance loop's surviving content — all
+    // four INSERT quarters minus the %13 DELETE — replayed
+    // relationally; compacted = 1 pins the OPTIMIZE (fewer files, dv
+    // masks applied + consolidated away), vacuumed = 1 pins that only
+    // the latest version survived the CALL vacuum
+    "u38_sql_maintenance" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS compacted, 1 AS vacuumed
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // u36 oracle: the composed-layout table's three legs replayed
     // relationally (leg 0 = the key lookup inside the O partition,

@@ -251,6 +251,57 @@ object DemoFixtures {
       .orderBy("leg", "o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u38_sql_maintenance`): the SQL-only
+    * maintenance loop — a catalog table grown by four INSERT commits
+    * (small-file accretion, the streaming/CDC shape), a DV DELETE,
+    * then `CALL graft_demo.system.compact_small(...)` (OPTIMIZE:
+    * masks applied during the rewrite, file count drops) and
+    * `CALL graft_demo.system.vacuum(...)` (history below the floor
+    * expires) — no Scala maintenance API anywhere; Scala appears only
+    * in the read-only witnesses. `compacted` pins the file-count
+    * drop + mask consolidation, `vacuumed` pins that exactly the
+    * latest version survived. The oracle replays the surviving
+    * content relationally.
+    */
+  def u38SqlMaintenance(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = cache.getOrElseUpdate(s"wh:$d",
+      graft.TempDirs.create("graft-wh-demo"))
+    s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_demo.db")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.maint")
+    graft.Tables.orders(s, d).createOrReplaceTempView("maint_src")
+    s.sql("CREATE TABLE graft_demo.db.maint USING graft AS " +
+      "SELECT * FROM maint_src WHERE o_orderkey % 4 = 0")
+    (1 to 3).foreach(r => s.sql(
+      s"INSERT INTO graft_demo.db.maint SELECT * FROM maint_src " +
+        s"WHERE o_orderkey % 4 = $r"))
+    s.sql("DELETE FROM graft_demo.db.maint WHERE o_orderkey % 13 = 0")
+    val dir = s"$wh/db/maint"
+    def manifest() = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val before = manifest()
+    s.sql("CALL graft_demo.system.compact_small('db.maint', 104857600)")
+    val after = manifest()
+    val compacted =
+      if (after.files.size < before.files.size && before.dvs.nonEmpty &&
+        after.dvs.isEmpty) 1 else 0
+    val latest = Snapshots.latestVersion(s, dir).get
+    s.sql(s"CALL graft_demo.system.vacuum('db.maint', $latest)")
+    val vacuumed =
+      if (Snapshots.vacuumFloor(s, dir) == latest &&
+        Snapshots.latestVersion(s, dir).contains(latest)) 1 else 0
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_demo.db.maint GROUP BY o_orderstatus""".stripMargin)
+      .withColumn("compacted", lit(compacted).cast("int"))
+      .withColumn("vacuumed", lit(vacuumed).cast("int"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
   * name-based access gets the same vectorized parquet path, manifest
   * pruning, DV masking, ledger counts and DML rules as path-based.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -204,6 +205,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
+
+  // ---- procedures (the SQL maintenance surface) ----
+
+  /** Resolve a procedure's `table` argument (`'db.t'` or `'t'`,
+    * within this catalog) to the table's directory.
+    */
+  private[sources] def dirOf(qualified: String): String = {
+    val parts = qualified.split('.')
+    val ident = Identifier.of(parts.init, parts.last)
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      (ident.namespace() :+ ident.name()).toSeq)
+    dir.toString
+  }
+
+  /** `CALL <cat>.system.<proc>(...)` — OPTIMIZE/VACUUM-class table
+    * maintenance for SQL-only operators; see [[GraftProcedures]].
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector
+      .catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"procedures live under ${name()}.system, got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(this, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}'; known: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // ---- namespaces ----
 

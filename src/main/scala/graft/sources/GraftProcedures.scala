@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.util.{Collections => JCollections}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+
+/** The SQL maintenance surface for catalog tables — stored procedures
+  * under the catalog's `system` namespace, so a SQL-only operator can
+  * run the OPTIMIZE/VACUUM-class commands on the tables the catalog
+  * lets them create:
+  *
+  * {{{
+  *   CALL graft.system.compact_small('db.t', 10485760)
+  *   CALL graft.system.compact_sorted('db.t', 8, 'o_orderkey')
+  *   CALL graft.system.compact_bucketed('db.t', 'o_orderkey', 16)
+  *   CALL graft.system.purge_deletes('db.t')
+  *   CALL graft.system.vacuum('db.t', 3)
+  *   CALL graft.system.add_check('db.t', 'price_pos', 'price > 0')
+  * }}}
+  *
+  * Each CALL routes to the corresponding [[Snapshots]] maintenance
+  * primitive against the table's directory — the same commit protocol
+  * (CAS, layout carry, mask exactness) as the Scala API, because it
+  * IS the Scala API. Implemented on the DSv2 `ProcedureCatalog`
+  * contract (Spark 4's stored-procedure surface), so `CALL` parsing,
+  * named arguments (`min_bytes => 1048576`), and defaults all come
+  * from the engine. Procedures return no result rows; inspect
+  * `history()` / `SHOW TABLES` for effects.
+  */
+private[sources] object GraftProcedures {
+
+  private def p(name: String, t: DataType,
+                default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, t)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def str(row: InternalRow, i: Int): String =
+    row.getUTF8String(i).toString
+
+  /** One maintenance procedure: its parameter shape and the
+    * [[Snapshots]] call it routes to (given the resolved table dir).
+    */
+  private final case class Spec(name: String, description: String,
+                                params: Seq[ProcedureParameter],
+                                run: (SparkSession, String, InternalRow) => Unit)
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("compact_small",
+      "rewrite files smaller than min_bytes into target_bytes-sized ones; " +
+        "larger files carried by reference, masks consolidated exactly",
+      Seq(p("table", StringType), p("min_bytes", LongType),
+        p("target_bytes", LongType, Some((128L * 1024 * 1024).toString))),
+      (s, dir, r) => Snapshots.compactSmall(s, dir, r.getLong(1), r.getLong(2))),
+    Spec("compact",
+      "rewrite the latest version as num_files files (coalesce, no shuffle)",
+      Seq(p("table", StringType), p("num_files", IntegerType)),
+      (s, dir, r) => Snapshots.compact(s, dir, r.getInt(1))),
+    Spec("compact_sorted",
+      "rewrite the latest version range-sorted on sort_col with footer stats " +
+        "(restores file skipping on drifted tables)",
+      Seq(p("table", StringType), p("num_files", IntegerType),
+        p("sort_col", StringType)),
+      (s, dir, r) => Snapshots.compactSorted(s, dir, r.getInt(1), str(r, 2),
+        statsColumns = Seq(str(r, 2)))),
+    Spec("compact_bucketed",
+      "re-cluster the latest version into num_buckets hash buckets on key " +
+        "(folds the unbucketed tail back into prunable form)",
+      Seq(p("table", StringType), p("key", StringType),
+        p("num_buckets", IntegerType)),
+      (s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1), r.getInt(2),
+        statsColumns = Seq(str(r, 1)))),
+    Spec("purge_deletes",
+      "rewrite deletion-vector masks away (keeps the table's layout)",
+      Seq(p("table", StringType)),
+      (s, dir, r) => Snapshots.purgeDeletes(s, dir)),
+    Spec("vacuum",
+      "expire versions below keep_from_version and sweep their files",
+      Seq(p("table", StringType), p("keep_from_version", LongType)),
+      (s, dir, r) => Snapshots.vacuum(s, dir, r.getLong(1))),
+    Spec("vacuum_aborted",
+      "sweep data of aborted multi-table transactions",
+      Seq(p("table", StringType)),
+      (s, dir, r) => Snapshots.vacuumAborted(s, dir)),
+    Spec("add_check",
+      "register a table-level CHECK constraint (validates existing rows first)",
+      Seq(p("table", StringType), p("name", StringType), p("expr", StringType)),
+      (s, dir, r) => Snapshots.addCheckConstraint(s, dir, str(r, 1), str(r, 2))),
+    Spec("drop_check",
+      "drop a table-level CHECK constraint by name",
+      Seq(p("table", StringType), p("name", StringType)),
+      (s, dir, r) => Snapshots.dropCheckConstraint(s, dir, str(r, 1))))
+
+  def names: Seq[String] = specs.map(_.name)
+
+  def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
+    specs.find(_.name == name).map { spec =>
+      new UnboundProcedure {
+        override def name(): String = spec.name
+        override def description(): String = spec.description
+        override def bind(inputType: org.apache.spark.sql.types.StructType)
+            : BoundProcedure = new BoundProcedure {
+          override def name(): String = spec.name
+          override def description(): String = spec.description
+          override def parameters(): Array[ProcedureParameter] =
+            spec.params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = catalog.dirOf(str(input, 0))
+            spec.run(SparkSession.active, dir, input)
+            JCollections.emptyIterator[Scan]()
+          }
+        }
+      }
+    }
+}

@@ -260,6 +260,58 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t10")
   }
 
+  test("CALL graftcat.system.*: the SQL maintenance surface") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.m1")
+    spark.sql("CREATE TABLE graftcat.db.m1 USING graft AS " +
+      "SELECT id, CAST(id * 3 AS DOUBLE) AS price FROM RANGE(200)")
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO graftcat.db.m1 SELECT id + ${1000 * (i + 1)}, 1.0 FROM RANGE(50)"))
+    spark.sql("DELETE FROM graftcat.db.m1 WHERE id % 10 = 9")
+    val dir = s"$warehouse/db/m1"
+    def m() = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val filesBefore = m().files.size
+    assert(filesBefore > 1 && m().dvs.nonEmpty)
+    // OPTIMIZE: fold the small files, applying + consolidating masks
+    spark.sql("CALL graftcat.system.compact_small('db.m1', 10485760)")
+    assert(m().files.size < filesBefore)
+    assert(m().dvs.isEmpty) // every file rewritten -> masks applied
+    val want = spark.range(200).select(col("id"), (col("id") * 3.0).as("price"))
+      .unionByName((0 until 3).map(i => spark.range(50)
+        .select((col("id") + 1000 * (i + 1)).as("id"), lit(1.0).as("price")))
+        .reduce(_ unionByName _))
+      .filter(col("id") % 10 =!= 9)
+    val got = spark.table("graftcat.db.m1")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // named arguments and defaults come from the engine
+    spark.sql("CALL graftcat.system.compact_sorted('db.m1', " +
+      "num_files => 2, sort_col => 'id')")
+    assert(m().files.size === 2)
+    // CHECK management through CALL
+    spark.sql("CALL graftcat.system.add_check('db.m1', 'pos', 'price >= 0')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftcat.db.m1 SELECT -1, -5.0")
+    }
+    spark.sql("CALL graftcat.system.drop_check('db.m1', 'pos')")
+    spark.sql("INSERT INTO graftcat.db.m1 SELECT -1, -5.0")
+    assert(spark.table("graftcat.db.m1").count() === want.count() + 1)
+    // VACUUM expires history below the floor
+    val latest = Snapshots.latestVersion(spark, dir).get
+    spark.sql(s"CALL graftcat.system.vacuum('db.m1', $latest)")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graftcat.db.m1 VERSION AS OF 0").collect()
+    }
+    assert(spark.table("graftcat.db.m1").count() === want.count() + 1)
+    // unknown procedure: clean refusal listing the known ones
+    val e = intercept[Exception] {
+      spark.sql("CALL graftcat.system.nope('db.m1')")
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))
+    spark.sql("DROP TABLE graftcat.db.m1")
+  }
+
   test("u34 demo is idempotent across bench passes (cached catalog instance)") {
     // Spark caches catalog instances by name: the demo must produce
     // identical rows on every in-JVM repetition (warm bench passes)
