@@ -122,6 +122,8 @@ object SparkEntry {
     "u34_catalog_table" -> (graft.sources.DemoFixtures.u34CatalogTable _),
     "u35_merge_full" -> (graft.plans.GraftSqlDml.u35MergeFull _),
     "u36_part_bucket" -> (graft.sources.DemoFixtures.u36PartBucket _),
+    "u37_partition_evolution" ->
+      (graft.sources.DemoFixtures.u37PartitionEvolution _),
     "u38_sql_maintenance" -> (graft.sources.DemoFixtures.u38SqlMaintenance _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
@@ -843,6 +845,26 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  2 AS n_versions
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // u37 oracle: the evolved table's two grouped legs replayed
+    // relationally (leg 0 = v0, leg 1 = v0 + the re-keyed late batch);
+    // spec_evolved = 1 pins the manifest's new layout, pruned_both = 1
+    // pins per-file-spec pruning in BOTH directions across the
+    // evolution boundary
+    "u37_partition_evolution" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 3)
+        |SELECT CAST(0 AS INT) AS leg, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS spec_evolved, 1 AS pruned_both
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM v1 GROUP BY o_orderstatus
+        |ORDER BY leg, o_orderstatus""".stripMargin,
     // u38 oracle: the SQL maintenance loop's surviving content — all
     // four INSERT quarters minus the %13 DELETE — replayed
     // relationally; compacted = 1 pins the OPTIMIZE (fewer files, dv

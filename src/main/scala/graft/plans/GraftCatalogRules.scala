@@ -112,6 +112,33 @@ object GraftCatalogRules {
           val base = new GraftSource().createRelation(
             spark.sqlContext, opts)
           LogicalRelation(base, r.output, None, isStreaming = false, None)
+        // `spark.readStream.table("graft.db.t")` — the catalog's table
+        // handle carries no DSv2 streaming capability (deliberately:
+        // the streaming read IS the V1 GraftStreamSource), so the v2
+        // streaming relation the analyzer produces is swapped for the
+        // V1 StreamingRelation over the same source `readStream
+        // .format("graft").load(dir)` resolves to. Reader options
+        // (changeFeed, maxVersionsPerTrigger) ride through; base
+        // output attributes are REUSED so bound references stay bound
+        // (changeFeed appends the source's `_change_type` column,
+        // new to the plan by construction).
+        case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+            if s.table.isInstanceOf[GraftCatalogTable] =>
+          val t = s.table.asInstanceOf[GraftCatalogTable]
+          require(t.versionAsOf.isEmpty,
+            "VERSION/TIMESTAMP AS OF does not compose with a streaming read")
+          import scala.jdk.CollectionConverters._
+          val opts = Map("path" -> t.dir) ++
+            s.extraOptions.asCaseSensitiveMap().asScala.toMap
+          val cdc = opts.exists { case (k, v) =>
+            k.equalsIgnoreCase("changefeed") && v.trim.equalsIgnoreCase("true")
+          }
+          val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+            if (cdc) s.output :+ org.apache.spark.sql.catalyst.expressions
+              .AttributeReference("_change_type",
+                org.apache.spark.sql.types.StringType)()
+            else s.output
+          Bridge.streamingRelation(spark, "graft", opts, output)
       }
     }
   }

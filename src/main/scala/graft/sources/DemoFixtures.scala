@@ -251,6 +251,70 @@ object DemoFixtures {
       .orderBy("leg", "o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u37_partition_evolution`): Iceberg-style
+    * partition-spec evolution — orders land partitioned by
+    * `o_orderstatus` (v0), then a late batch appends under a NEW spec
+    * (`o_orderpriority`, v1): the manifest adopts the new layout
+    * without rewriting a byte, and each file keeps pruning BY ITS OWN
+    * recorded spec across the boundary (pruning is per-file stats,
+    * not table spec). The `pruned_both` witness pins both directions:
+    * a status predicate still prunes the v0 files to their
+    * `o_orderstatus=O/` dirs (new-spec files conservatively kept),
+    * and a priority predicate prunes the v1 files to their
+    * `o_orderpriority=.../` dirs (old-spec files kept);
+    * `spec_evolved` pins the manifest's current layout. Legs replay
+    * the grouped v0/latest states relationally. At 100 TB a table's
+    * re-layout is one metadata commit, not a rewrite.
+    */
+  def u37PartitionEvolution(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-part-evo")
+    val orders = graft.Tables.orders(s, d)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    val v0Files = Snapshots.readManifest(s, dir, 0L).files.toSet
+    val late = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Snapshots.commit(late, dir, "append",
+      partitionBy = Seq("o_orderpriority"))
+    val m1 = Snapshots.readManifest(s, dir, 1L)
+    val specEvolved = if (m1.partitionCols == Seq("o_orderpriority")) 1 else 0
+    // inputFiles returns URI-ENCODED paths (a space in a partition
+    // value becomes %20) — decode before matching manifest rels
+    def decoded(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.map(f => java.net.URI.create(f).getPath)
+    // old-spec predicate: v0 files prune to their status dirs, v1
+    // files (no status stat) conservatively all stay
+    val byStatus = decoded(Snapshots.readVersionFiltered(s, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O"))))
+    val newFiles = m1.files.filterNot(v0Files)
+    val oldSideOk = byStatus.filter(f => v0Files.exists(f.endsWith))
+      .forall(_.contains("o_orderstatus=O")) &&
+      byStatus.count(f => v0Files.exists(f.endsWith)) < v0Files.size &&
+      byStatus.count(f => newFiles.exists(f.endsWith)) == newFiles.size
+    // new-spec predicate: v1 files prune to their priority dir, v0
+    // files all stay
+    val byPrio = decoded(Snapshots.readVersionFiltered(s, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderpriority", "1-URGENT"))))
+    val newSideOk = byPrio.filter(f => newFiles.exists(f.endsWith))
+      .forall(_.contains("o_orderpriority=1-URGENT")) &&
+      byPrio.count(f => newFiles.exists(f.endsWith)) < newFiles.size &&
+      byPrio.count(f => v0Files.exists(f.endsWith)) == v0Files.size
+    val prunedBoth = if (oldSideOk && newSideOk) 1 else 0
+    def grouped(v: Option[Long], leg: Int) =
+      Snapshots.readVersion(s, dir, v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(leg).cast("int").as("leg"), col("o_orderstatus"),
+          col("n_orders"), col("total"))
+    grouped(Some(0L), 0).unionByName(grouped(None, 1))
+      .withColumn("spec_evolved", lit(specEvolved).cast("int"))
+      .withColumn("pruned_both", lit(prunedBoth).cast("int"))
+      .orderBy("leg", "o_orderstatus")
+  }
+
   /** Demo + oracle entry (`u38_sql_maintenance`): the SQL-only
     * maintenance loop — a catalog table grown by four INSERT commits
     * (small-file accretion, the streaming/CDC shape), a DV DELETE,

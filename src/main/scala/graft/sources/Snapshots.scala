@@ -596,15 +596,18 @@ object Snapshots {
       require(!widenedCols.contains(bk),
         s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
           "hashes the stored type — re-cluster with compactBucketed instead")
-    // partition layout mirrors the bucket rule: an append keeps the
-    // table's spec; partitioned appends must match it exactly; an
-    // UNpartitioned append is allowed and lands as a flat tail (its
-    // files carry no partition stats — always scanned, never wrong —
-    // until a partitioned rewrite folds them in)
-    for (p <- prev if p.partitionCols.nonEmpty && partitionBy.nonEmpty)
-      require(p.partitionCols == partitionBy,
-        s"partitioned append spec $partitionBy conflicts with table " +
-          s"partition spec ${p.partitionCols} at $tableDir")
+    // partition layout: an UNpartitioned append keeps the table's
+    // spec and lands as a flat tail (its files carry no partition
+    // stats — always scanned, never wrong); a partitioned append
+    // declaring a DIFFERENT spec EVOLVES the table to it (Iceberg-
+    // style partition evolution): old files keep their own recorded
+    // per-file partition stats and keep pruning by them — pruning is
+    // stats-driven, not spec-driven, so the boundary is exact from
+    // day one; files of the old layout simply don't prune on the new
+    // columns until a rewrite folds them in (conservative, never
+    // wrong). Unlike the bucket spec (a type-sensitive hash mapping
+    // that trusted probes would mis-prune), no partition-spec change
+    // can lose rows — hence evolution here, refusal there.
     txn.foreach { case (app, _) =>
       require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"txn appId must be non-empty with no tab/newline: '$app'")
@@ -717,10 +720,12 @@ object Snapshots {
     val buckets =
       (if (mode == "append") prev.map(_.buckets).getOrElse(Map.empty[String, Int])
        else Map.empty[String, Int]) ++ newBuckets
-    // partition spec carry mirrors bucketSpec's
+    // partition spec carry: an explicit spec (same or evolved) is the
+    // table's CURRENT layout; an unpartitioned append keeps the
+    // predecessor's
     val partitionCols =
-      if (mode == "append")
-        prev.map(_.partitionCols).filter(_.nonEmpty).getOrElse(partitionBy)
+      if (mode == "append" && partitionBy.isEmpty)
+        prev.map(_.partitionCols).getOrElse(Nil)
       else partitionBy
     val fileRows =
       (if (mode == "append") prev.map(_.fileRows).getOrElse(Map.empty[String, Long])

@@ -123,6 +123,26 @@ object Bridge {
     fromNode(c.node)
   }
 
+  /** A V1 `StreamingRelation` over a stream-source provider (the node
+    * `readStream.format(provider).load()` resolves to), with EXPLICIT
+    * output attributes — what a resolution rule that swaps a DSv2
+    * streaming relation for the V1 source needs: `DataSource` is
+    * private[sql], so the construction lives in the bridge. The
+    * engine later calls the provider's `createSource` with the schema
+    * its `sourceSchema(options)` declares — callers must pass output
+    * attrs consistent with it.
+    */
+  def streamingRelation(spark: org.apache.spark.sql.SparkSession,
+                        provider: String, options: Map[String, String],
+                        output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      className = provider, options = options)
+    new org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      ds, provider, output)
+  }
+
   /** The inverse of [[streamingFrom]]: re-anchor a streaming
     * micro-batch frame on its computed RDD as a plain BATCH frame —
     * what a V1 streaming `Sink.addBatch` needs before handing the

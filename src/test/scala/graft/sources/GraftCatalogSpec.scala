@@ -312,6 +312,48 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.m1")
   }
 
+  test("readStream.table: name-based streaming read over the V1 source") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.ts1")
+    spark.sql("CREATE TABLE graftcat.db.ts1 USING graft AS " +
+      "SELECT id, CONCAT('x', id) AS tag FROM RANGE(20)")
+    val dir = s"$warehouse/db/ts1"
+    val stream = spark.readStream.table("graftcat.db.ts1")
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("cat_ts1")
+      .option("checkpointLocation", graft.TempDirs.create("cat-ts1-ckpt"))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_ts1").count() === 20L)
+      // commits by NAME arrive as micro-batches
+      spark.sql("INSERT INTO graftcat.db.ts1 SELECT id + 100, 'late' FROM RANGE(5)")
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    val got = spark.table("cat_ts1").select("id").collect()
+      .map(_.getLong(0)).sorted
+    val want = Snapshots.readVersion(spark, dir).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got === want)
+    // changeFeed mode by name: _change_type-tagged, delete-aware
+    val cdc = spark.readStream.option("changeFeed", "true")
+      .table("graftcat.db.ts1")
+    assert(cdc.schema.fieldNames.contains("_change_type"))
+    val q2 = cdc.writeStream.format("memory").queryName("cat_ts1_cdc")
+      .option("checkpointLocation", graft.TempDirs.create("cat-ts1-ckpt2"))
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      spark.sql("DELETE FROM graftcat.db.ts1 WHERE id = 3")
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty, q2.exception.toString)
+    } finally q2.stop()
+    assert(spark.table("cat_ts1_cdc")
+      .filter(col("_change_type") === "delete").count() === 1L)
+    spark.sql("DROP TABLE graftcat.db.ts1")
+  }
+
   test("u34 demo is idempotent across bench passes (cached catalog instance)") {
     // Spark caches catalog instances by name: the demo must produce
     // identical rows on every in-JVM repetition (warm bench passes)

@@ -92,10 +92,13 @@ class PartitionedTableSpec extends SparkSpec {
     val m2 = Snapshots.readManifest(spark, dir, 2L)
     assert(m2.partitionCols === Seq("o_orderstatus"))
     assert(m2.files.exists(!_.contains("o_orderstatus=")))
-    // conflicting partitioned append refused
-    intercept[IllegalArgumentException] {
-      Snapshots.commit(late, dir, "append", partitionBy = Seq("o_orderpriority"))
-    }
+    // a DIFFERENT spec on an append EVOLVES the layout (old files
+    // keep pruning by their own recorded stats — see the dedicated
+    // partition-evolution test); the manifest adopts the new spec
+    val evolved = late.withColumn("o_orderkey", col("o_orderkey") + lit(7L))
+    Snapshots.commit(evolved, dir, "append", partitionBy = Seq("o_orderpriority"))
+    val m3 = Snapshots.readManifest(spark, dir, 3L)
+    assert(m3.partitionCols === Seq("o_orderpriority"))
     // NULL partition value refused, no residue
     val withNull = orders.limit(5)
       .withColumn("o_orderstatus",
@@ -306,6 +309,59 @@ class PartitionedTableSpec extends SparkSpec {
     val mC = Snapshots.readManifest(spark, cloneDir, 0L)
     assert(mC.partitionCols === Seq("o_orderstatus") &&
       mC.bucketSpec === Some(("o_orderkey", 4)))
+  }
+
+  test("partition-spec evolution: each file prunes by its own recorded spec") {
+    val dir = graft.TempDirs.create("part-evolve")
+    val orders = graft.Tables.orders(spark, sf)
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"))
+    val v0Files = Snapshots.readManifest(spark, dir, 0L).files.toSet
+    val late = orders.limit(80)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2000000000L))
+    Snapshots.commit(late, dir, "append", partitionBy = Seq("o_orderpriority"))
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.partitionCols === Seq("o_orderpriority"))
+    val newFiles = m1.files.filterNot(v0Files)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("/o_orderpriority=")))
+    // inputFiles are URI-encoded (space -> %20): decode before
+    // matching manifest rels
+    def decoded(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.inputFiles.toSeq.map(f => java.net.URI.create(f).getPath)
+    // old-spec predicate: v0 files prune, v1 files conservatively stay
+    val byStatus = decoded(Snapshots.readVersionFiltered(spark, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F"))))
+    assert(byStatus.filter(f => v0Files.exists(f.endsWith))
+      .forall(_.contains("o_orderstatus=F")))
+    assert(byStatus.count(f => newFiles.exists(f.endsWith)) === newFiles.size)
+    // new-spec predicate: v1 files prune, v0 files stay
+    val prio = late.select("o_orderpriority").head().getString(0)
+    val byPrio = decoded(Snapshots.readVersionFiltered(spark, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderpriority", prio))))
+    assert(byPrio.filter(f => newFiles.exists(f.endsWith))
+      .forall(_.contains(s"o_orderpriority=$prio")))
+    assert(byPrio.count(f => v0Files.exists(f.endsWith)) === v0Files.size)
+    // content exact across the boundary, both filters
+    val want = orders.unionByName(late)
+    val got = Snapshots.readVersion(spark, dir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(Snapshots.readVersionFiltered(spark, dir, None, Seq(
+        org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F")))
+      .where("o_orderstatus = 'F'").count() ===
+      want.filter(col("o_orderstatus") === "F").count())
+    // grouped metadata count on the MIXED state must take the scan
+    // path (old files carry no stat for the new spec column) and
+    // stay exact
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW part_evo " +
+      s"USING graft OPTIONS (path '$dir')")
+    val grouped = spark.sql(
+      "SELECT o_orderpriority, COUNT(*) AS n FROM part_evo GROUP BY o_orderpriority")
+    assert(grouped.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.isEmpty, "mixed-spec grouped count must not claim metadata-only")
+    assert(grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      want.groupBy("o_orderpriority").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   test("deletion vectors and UPDATE compose with the partition layout") {
