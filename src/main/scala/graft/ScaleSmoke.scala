@@ -88,7 +88,18 @@ object ScaleSmoke {
       // name-based catalog lifecycle (insert/delete are the linear
       // parts, discovery and resolution O(registry))
       "u31_sql_dml", "u32_partitioned_table", "u33_partition_count",
-      "u34_catalog_table")
+      "u34_catalog_table",
+      // round-10 additions: u35 = general MERGE (the source build +
+      // O(matched) changes are the linear parts; the pruned payload
+      // join reads overlapping files only), u36 = composed
+      // partition×bucket layout (write + purge rewrite are linear;
+      // the composed lookup leg is O(wanted files)), u37 = partition
+      // evolution (two layout writes are the linear parts; the
+      // cross-boundary pruned reads are sublinear), u38 = the SQL
+      // maintenance loop (compact rewrite O(small files), vacuum
+      // O(expired))
+      "u35_merge_full", "u36_part_bucket", "u37_partition_evolution",
+      "u38_sql_maintenance")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -461,14 +461,18 @@ object GraftSqlDml {
         val changes = changes2.fold(changes1)(changes1.unionByName(_))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          // SQL MERGE cardinality rule, on the SURVIVING changes: two
-          // changes for one key would mask once and append twice
-          val dup = changes.groupBy(col(tKey)).count()
-            .filter(col("count") > 1).limit(1).count()
-          require(dup == 0L,
+          // ONE validation pass over the pinned changes: total row
+          // count (empty statement → no commit) and the SQL MERGE
+          // cardinality rule (two changes for one key would mask once
+          // and append twice) from the same per-key aggregate
+          val v = changes.groupBy(col(tKey)).count()
+            .agg(org.apache.spark.sql.functions.sum("count"),
+              org.apache.spark.sql.functions.max("count")).head()
+          val nChanges = if (v.isNullAt(0)) 0L else v.getLong(0)
+          require(v.isNullAt(1) || v.getLong(1) <= 1L,
             s"MERGE produced more than one change for a '$tKey' key " +
               s"(source rows must match at most one action per key)")
-          if (!changes.isEmpty)
+          if (nChanges > 0L)
             Snapshots.mergeOnRead(spark, tableDir, changes, tKey)
         } finally changes.unpersist(false)
       } finally srcDf.unpersist(false)

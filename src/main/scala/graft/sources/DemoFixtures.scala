@@ -156,12 +156,12 @@ object DemoFixtures {
   def u34CatalogTable(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // ONE warehouse per JVM: Spark caches catalog INSTANCES by name,
-    // so re-registering `graft_demo` with a fresh warehouse path on a
-    // later pass would silently keep resolving the first one — the
-    // demo instead reuses a stable warehouse and makes itself
-    // idempotent (drop + re-fork per run)
-    val wh = cache.getOrElseUpdate(s"wh:$d",
+    // ONE warehouse per JVM (not per sf dir): Spark caches the
+    // catalog INSTANCE by name per session, so a second sf dir in the
+    // same JVM (ScaleSmoke's 1x vs Kx runs) would otherwise register a
+    // fresh warehouse path that the cached instance silently ignores —
+    // statements landing in one warehouse, witnesses reading another
+    val wh = cache.getOrElseUpdate("wh",
       graft.TempDirs.create("graft-wh-demo"))
     s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
@@ -330,7 +330,12 @@ object DemoFixtures {
   def u38SqlMaintenance(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val wh = cache.getOrElseUpdate(s"wh:$d",
+    // ONE warehouse per JVM (not per sf dir): Spark caches the
+    // catalog INSTANCE by name per session, so a second sf dir in the
+    // same JVM (ScaleSmoke's 1x vs Kx runs) would otherwise register a
+    // fresh warehouse path that the cached instance silently ignores —
+    // statements landing in one warehouse, witnesses reading another
+    val wh = cache.getOrElseUpdate("wh",
       graft.TempDirs.create("graft-wh-demo"))
     s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
