@@ -166,16 +166,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalogTable(ident, dir.toString, schema, partCols)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (...)`: a metadata-only snapshot
-    * commit ([[Snapshots.addColumns]]) — existing files read NULL for
-    * the new nullable fields. Other change kinds are refused (type
-    * changes are rewrites; constraints go through the snapshot API).
+  /** `ALTER TABLE ... ADD COLUMNS (...)` and `ALTER TABLE ... ALTER
+    * COLUMN c TYPE wider`: metadata-only snapshot commits
+    * ([[Snapshots.addColumns]] / [[Snapshots.widenColumn]]) —
+    * existing files read NULL for new nullable fields, and read
+    * widened types in place. Other change kinds are refused
+    * (non-widening type changes are rewrites; constraints go through
+    * `CALL <cat>.system.add_check`).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.size == changes.size,
-      "graft ALTER TABLE supports only ADD COLUMNS; " +
-        s"got ${changes.filterNot(adds.contains).mkString(", ")}")
+    val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
+    require(adds.size + widens.size == changes.size,
+      "graft ALTER TABLE supports only ADD COLUMNS and ALTER COLUMN TYPE " +
+        "(lossless widening); got " +
+        changes.filterNot(c => adds.contains(c) ||
+          widens.exists(_ eq c)).mkString(", "))
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"only top-level columns can be added, got ${a.fieldNames.mkString(".")}")
@@ -185,7 +191,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(
       (ident.namespace() :+ ident.name()).toSeq)
-    Snapshots.addColumns(spark, dir.toString, fields)
+    if (fields.nonEmpty) Snapshots.addColumns(spark, dir.toString, fields)
+    widens.foreach { u =>
+      require(u.fieldNames().length == 1,
+        s"only top-level columns can be widened, got ${u.fieldNames().mkString(".")}")
+      Snapshots.widenColumn(spark, dir.toString,
+        u.fieldNames().head, u.newDataType())
+    }
     loadTable(ident)
   }
 

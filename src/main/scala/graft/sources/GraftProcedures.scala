@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   *   CALL graft.system.purge_deletes('db.t')
   *   CALL graft.system.vacuum('db.t', 3)
   *   CALL graft.system.add_check('db.t', 'price_pos', 'price > 0')
+  *   CALL graft.system.history('db.t')   -- returns one row per version
   * }}}
   *
   * Each CALL routes to the corresponding [[Snapshots]] maintenance
@@ -27,8 +28,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
   * IS the Scala API. Implemented on the DSv2 `ProcedureCatalog`
   * contract (Spark 4's stored-procedure surface), so `CALL` parsing,
   * named arguments (`min_bytes => 1048576`), and defaults all come
-  * from the engine. Procedures return no result rows; inspect
-  * `history()` / `SHOW TABLES` for effects.
+  * from the engine. Maintenance procedures return no result rows;
+  * `history` returns the DESCRIBE-HISTORY rows through a driver-local
+  * result scan.
   */
 private[sources] object GraftProcedures {
 
@@ -44,56 +46,88 @@ private[sources] object GraftProcedures {
 
   /** One maintenance procedure: its parameter shape and the
     * [[Snapshots]] call it routes to (given the resolved table dir).
+    * `run` returns the CALL's result scans — most maintenance ops
+    * return none ([[unit]]); introspection ops ([[history]]) return
+    * one driver-local scan of their rows.
     */
   private final case class Spec(name: String, description: String,
                                 params: Seq[ProcedureParameter],
-                                run: (SparkSession, String, InternalRow) => Unit)
+                                run: (SparkSession, String, InternalRow) =>
+                                  java.util.Iterator[Scan])
+
+  private def unit(body: (SparkSession, String, InternalRow) => Unit)
+      : (SparkSession, String, InternalRow) => java.util.Iterator[Scan] =
+    (s, dir, r) => { body(s, dir, r); JCollections.emptyIterator[Scan]() }
+
+  /** A driver-local result scan over an already-computed frame — the
+    * DSv2 `LocalScan` contract, which the engine serves as the CALL
+    * statement's rows. Collection is driver-side and must be small
+    * (history = O(live versions)).
+    */
+  private def localResult(df: org.apache.spark.sql.DataFrame)
+      : java.util.Iterator[Scan] = {
+    val collected = df.queryExecution.executedPlan.executeCollect()
+    val schema = df.schema
+    JCollections.singletonList[Scan](
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = collected
+        override def readSchema(): org.apache.spark.sql.types.StructType =
+          schema
+      }).iterator()
+  }
 
   private val specs: Seq[Spec] = Seq(
+    Spec("history",
+      "one row per live version: files/stats/txn footprint, borrowed refs, " +
+        "row accounting and mask_ratio (the purge signal)",
+      Seq(p("table", StringType)),
+      (s, dir, r) => localResult(Snapshots.history(s, dir))),
     Spec("compact_small",
       "rewrite files smaller than min_bytes into target_bytes-sized ones; " +
         "larger files carried by reference, masks consolidated exactly",
       Seq(p("table", StringType), p("min_bytes", LongType),
         p("target_bytes", LongType, Some((128L * 1024 * 1024).toString))),
-      (s, dir, r) => Snapshots.compactSmall(s, dir, r.getLong(1), r.getLong(2))),
+      unit((s, dir, r) =>
+        Snapshots.compactSmall(s, dir, r.getLong(1), r.getLong(2)))),
     Spec("compact",
       "rewrite the latest version as num_files files (coalesce, no shuffle)",
       Seq(p("table", StringType), p("num_files", IntegerType)),
-      (s, dir, r) => Snapshots.compact(s, dir, r.getInt(1))),
+      unit((s, dir, r) => Snapshots.compact(s, dir, r.getInt(1)))),
     Spec("compact_sorted",
       "rewrite the latest version range-sorted on sort_col with footer stats " +
         "(restores file skipping on drifted tables)",
       Seq(p("table", StringType), p("num_files", IntegerType),
         p("sort_col", StringType)),
-      (s, dir, r) => Snapshots.compactSorted(s, dir, r.getInt(1), str(r, 2),
-        statsColumns = Seq(str(r, 2)))),
+      unit((s, dir, r) => Snapshots.compactSorted(s, dir, r.getInt(1),
+        str(r, 2), statsColumns = Seq(str(r, 2))))),
     Spec("compact_bucketed",
       "re-cluster the latest version into num_buckets hash buckets on key " +
         "(folds the unbucketed tail back into prunable form)",
       Seq(p("table", StringType), p("key", StringType),
         p("num_buckets", IntegerType)),
-      (s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1), r.getInt(2),
-        statsColumns = Seq(str(r, 1)))),
+      unit((s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1),
+        r.getInt(2), statsColumns = Seq(str(r, 1))))),
     Spec("purge_deletes",
       "rewrite deletion-vector masks away (keeps the table's layout)",
       Seq(p("table", StringType)),
-      (s, dir, r) => Snapshots.purgeDeletes(s, dir)),
+      unit((s, dir, r) => Snapshots.purgeDeletes(s, dir))),
     Spec("vacuum",
       "expire versions below keep_from_version and sweep their files",
       Seq(p("table", StringType), p("keep_from_version", LongType)),
-      (s, dir, r) => Snapshots.vacuum(s, dir, r.getLong(1))),
+      unit((s, dir, r) => Snapshots.vacuum(s, dir, r.getLong(1)))),
     Spec("vacuum_aborted",
       "sweep data of aborted multi-table transactions",
       Seq(p("table", StringType)),
-      (s, dir, r) => Snapshots.vacuumAborted(s, dir)),
+      unit((s, dir, r) => Snapshots.vacuumAborted(s, dir))),
     Spec("add_check",
       "register a table-level CHECK constraint (validates existing rows first)",
       Seq(p("table", StringType), p("name", StringType), p("expr", StringType)),
-      (s, dir, r) => Snapshots.addCheckConstraint(s, dir, str(r, 1), str(r, 2))),
+      unit((s, dir, r) =>
+        Snapshots.addCheckConstraint(s, dir, str(r, 1), str(r, 2)))),
     Spec("drop_check",
       "drop a table-level CHECK constraint by name",
       Seq(p("table", StringType), p("name", StringType)),
-      (s, dir, r) => Snapshots.dropCheckConstraint(s, dir, str(r, 1))))
+      unit((s, dir, r) => Snapshots.dropCheckConstraint(s, dir, str(r, 1)))))
 
   def names: Seq[String] = specs.map(_.name)
 
@@ -109,11 +143,8 @@ private[sources] object GraftProcedures {
           override def parameters(): Array[ProcedureParameter] =
             spec.params.toArray
           override def isDeterministic: Boolean = false
-          override def call(input: InternalRow): java.util.Iterator[Scan] = {
-            val dir = catalog.dirOf(str(input, 0))
-            spec.run(SparkSession.active, dir, input)
-            JCollections.emptyIterator[Scan]()
-          }
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            spec.run(SparkSession.active, catalog.dirOf(str(input, 0)), input)
         }
       }
     }

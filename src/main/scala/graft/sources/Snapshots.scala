@@ -3361,6 +3361,43 @@ object Snapshots {
     nextV
   }
 
+  /** Metadata-only TYPE WIDENING (`ALTER TABLE t ALTER COLUMN c TYPE
+    * wider`): record the wider type in a new manifest — zero data
+    * rewritten; every existing file reads through the widened schema
+    * in place ([[widens]] — the same lattice the append path
+    * accepts). The column's bloom entries drop with the old type
+    * (stale hashes would mis-prune files and lose rows); widening the
+    * bucket key is refused (re-cluster with [[compactBucketed]]).
+    * Returns the committed version (unchanged for a same-type no-op).
+    */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String,
+                  to: org.apache.spark.sql.types.DataType): Long = {
+    val f = fs(spark, tableDir)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
+    val old = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to evolve"))
+    val idx = old.fieldNames.indexOf(name)
+    require(idx >= 0, s"no column '$name' at $tableDir")
+    val from = old.fields(idx).dataType
+    if (from == to) return m.version // no-op: no version burned
+    require(widens(from, to),
+      s"ALTER COLUMN '$name': $from -> $to is not a lossless widening")
+    for ((bk, _) <- m.bucketSpec)
+      require(bk != name,
+        s"cannot widen bucket key '$name' of $tableDir: the bucket mapping " +
+          "hashes the stored type — re-cluster with compactBucketed instead")
+    val next = m.copy(version = nextV,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        old.fields.updated(idx, old.fields(idx).copy(dataType = to)))),
+      blooms = m.blooms.filter { case ((_, c), _) => c != name },
+      pendingMarker = None)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
+  }
+
   /** Shallow clone (the table formats' CLONE): create `targetDir` as
     * a NEW table whose v0 manifest references the source version's
     * data files by absolute path — an O(manifest) fork, zero data

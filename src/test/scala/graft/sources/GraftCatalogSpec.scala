@@ -309,7 +309,42 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unknown procedure") ||
       Option(e.getCause).exists(_.getMessage.contains("unknown procedure")))
+    // CALL history returns DESCRIBE-HISTORY rows (post-vacuum: the
+    // one surviving version)
+    val hist = spark.sql("CALL graftcat.system.history('db.m1')")
+    val hrows = hist.collect()
+    assert(hist.schema.fieldNames.contains("version"))
+    assert(hrows.length === 1, hrows.mkString(","))
     spark.sql("DROP TABLE graftcat.db.m1")
+  }
+
+  test("ALTER TABLE ALTER COLUMN TYPE widens losslessly, metadata-only") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.w1")
+    spark.sql("CREATE TABLE graftcat.db.w1 USING graft AS " +
+      "SELECT CAST(id AS INT) AS k, CAST(id AS FLOAT) AS x FROM RANGE(10)")
+    spark.sql("ALTER TABLE graftcat.db.w1 ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graftcat.db.w1 ALTER COLUMN x TYPE DOUBLE")
+    val t = spark.table("graftcat.db.w1")
+    assert(t.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(t.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // old int32/float files read through the widened schema in place
+    assert(t.agg(sum("k")).head().getLong(0) === 45L)
+    // and wide values now land
+    spark.sql("INSERT INTO graftcat.db.w1 SELECT 9000000000, 0.5")
+    assert(spark.table("graftcat.db.w1").count() === 11L)
+    assert(spark.table("graftcat.db.w1").agg(max("k")).head().getLong(0) ===
+      9000000000L)
+    // a NON-widening change is refused
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graftcat.db.w1 ALTER COLUMN x TYPE STRING")
+    }
+    assert(e.getMessage.contains("not a lossless widening") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a lossless widening")),
+      e.toString)
+    spark.sql("DROP TABLE graftcat.db.w1")
   }
 
   test("readStream.table: name-based streaming read over the V1 source") {
