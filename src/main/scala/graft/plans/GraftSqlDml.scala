@@ -315,7 +315,13 @@ object GraftSqlDml {
       val sides = Seq(tgtIds -> Seq("__t"), srcIds -> Seq("__s"))
       def rw(e: Expression): Column = byName(e, sides)
       def actCond(c: Option[Expression]): Column = c.map(rw).getOrElse(lit(true))
-      val extraCond = extraOn.map(rw).reduceOption(_ && _).getOrElse(lit(true))
+      // SQL MERGE match semantics are two-valued: an ON that is NULL
+      // (a NULL in an extra conjunct) means NOT matched — without the
+      // coalesce a NULL guard would fall through EVERY action branch
+      // (matched guards non-true AND !isMatched non-true), silently
+      // skipping the row instead of routing it to the not-matched side
+      val extraCond = org.apache.spark.sql.functions.coalesce(
+        extraOn.map(rw).reduceOption(_ && _).getOrElse(lit(true)), lit(false))
 
       matchedActions.foreach {
         case _: UpdateAction | _: UpdateStarAction | _: DeleteAction => ()
@@ -410,7 +416,9 @@ object GraftSqlDml {
 
         // SOURCE-DRIVEN changes: one src ⟕ prunedTarget join; a pruned
         // file provably holds no source key, so match detection over
-        // the survivors is exact
+        // the survivors is exact. Skipped entirely for a statement
+        // with only BY SOURCE clauses (no source-driven action exists
+        // to fire — and changesOf needs a non-empty action list).
         val joined1 = srcDf.as("__s").join(tgtScan.as("__t"),
           col(s"__s.$sKey") === col(s"__t.$tKey"), "left")
         val isMatched = col(s"__t.$tKey").isNotNull && extraCond
@@ -434,7 +442,9 @@ object GraftSqlDml {
           }
         val keyFor1: Act => Column = a =>
           if (a.op == "I") a.value(tKey) else col(s"__s.$sKey")
-        val changes1 = changesOf(joined1, acts1, keyFor1)
+        val changes1 =
+          if (acts1.isEmpty) None
+          else Some(changesOf(joined1, acts1, keyFor1))
 
         // TARGET-DRIVEN changes (WHEN NOT MATCHED BY SOURCE): "every
         // live target row with no source match" is inherently one full
@@ -458,7 +468,10 @@ object GraftSqlDml {
             Some(changesOf(joined2, acts2, _ => col(s"__t.$tKey")))
           }
 
-        val changes = changes2.fold(changes1)(changes1.unionByName(_))
+        // at least one side exists: the parser refuses a MERGE with
+        // zero WHEN clauses
+        val changes = (changes1.toSeq ++ changes2.toSeq)
+          .reduce(_ unionByName _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           // ONE validation pass over the pinned changes: total row

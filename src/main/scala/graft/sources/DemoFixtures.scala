@@ -21,6 +21,23 @@ object DemoFixtures {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The demos' shared `graft_demo` catalog, registered over ONE
+    * warehouse per JVM (not per sf dir): Spark caches the catalog
+    * INSTANCE by name per session, so a second sf dir in the same JVM
+    * (ScaleSmoke's 1x vs Kx runs) would otherwise register a fresh
+    * warehouse path that the cached instance silently ignores —
+    * statements landing in one warehouse, witnesses reading another.
+    * Demos stay idempotent by dropping + recreating their tables.
+    */
+  private def demoWarehouse(s: SparkSession): String = {
+    val wh = cache.getOrElseUpdate("wh",
+      graft.TempDirs.create("graft-wh-demo"))
+    s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_demo.db")
+    wh
+  }
+
   /** The orders table committed once (overwrite, `o_orderkey` footer
     * stats — a superset of what the plain seeds recorded; stats only
     * ever prune, never change results).
@@ -156,16 +173,7 @@ object DemoFixtures {
   def u34CatalogTable(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // ONE warehouse per JVM (not per sf dir): Spark caches the
-    // catalog INSTANCE by name per session, so a second sf dir in the
-    // same JVM (ScaleSmoke's 1x vs Kx runs) would otherwise register a
-    // fresh warehouse path that the cached instance silently ignores —
-    // statements landing in one warehouse, witnesses reading another
-    val wh = cache.getOrElseUpdate("wh",
-      graft.TempDirs.create("graft-wh-demo"))
-    s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_demo.db")
+    val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.orders")
     Snapshots.cloneShallow(s, partitionedOrders(s, d), s"$wh/db/orders")
     val inRegistry =
@@ -330,16 +338,7 @@ object DemoFixtures {
   def u38SqlMaintenance(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    // ONE warehouse per JVM (not per sf dir): Spark caches the
-    // catalog INSTANCE by name per session, so a second sf dir in the
-    // same JVM (ScaleSmoke's 1x vs Kx runs) would otherwise register a
-    // fresh warehouse path that the cached instance silently ignores —
-    // statements landing in one warehouse, witnesses reading another
-    val wh = cache.getOrElseUpdate("wh",
-      graft.TempDirs.create("graft-wh-demo"))
-    s.conf.set("spark.sql.catalog.graft_demo", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft_demo.warehouse", wh)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_demo.db")
+    val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.maint")
     graft.Tables.orders(s, d).createOrReplaceTempView("maint_src")
     s.sql("CREATE TABLE graft_demo.db.maint USING graft AS " +

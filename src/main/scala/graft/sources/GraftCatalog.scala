@@ -89,17 +89,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new Path(nsDir(ident.namespace()),
       s".${ident.name()}.staging-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** The commit point of a staged REPLACE: drop the old table dir and
-    * rename the fully-written staging dir into its place. The old
-    * table is deleted as LATE as possible — only after the
-    * replacement's query succeeded end-to-end.
+  /** The commit point of a staged REPLACE: move the old table dir
+    * ASIDE (another hidden dot-dir), rename the fully-written staging
+    * dir into place, then drop the aside copy. The old table is never
+    * DELETED before the replacement is live: if the staging rename
+    * fails mid-swap, the aside copy is restored — at every step a
+    * recoverable copy of the original history exists.
     */
   private[graft] def promoteStaging(ident: Identifier, staging: Path): Unit = {
     val dir = tableDir(ident)
-    if (fs.exists(dir) && !fs.delete(dir, true))
-      throw new IllegalStateException(s"could not drop $dir for REPLACE")
-    if (!fs.rename(staging, dir))
-      throw new IllegalStateException(s"rename $staging -> $dir failed")
+    val aside = new Path(nsDir(ident.namespace()),
+      s".${ident.name()}.replaced-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (fs.exists(dir) && !fs.rename(dir, aside))
+      throw new IllegalStateException(s"could not move $dir aside for REPLACE")
+    if (!fs.rename(staging, dir)) {
+      if (fs.exists(aside)) fs.rename(aside, dir) // restore the original
+      throw new IllegalStateException(s"rename $staging -> $dir failed" +
+        "; the original table was restored")
+    }
+    fs.delete(aside, true); ()
   }
 
   private[graft] def discardStaging(staging: Path): Unit = {

@@ -73,8 +73,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           "graft streaming sink needs an explicit option(\"appId\", ...) " +
             "when no checkpointLocation is set: the exactly-once watermark " +
             "is keyed by it and must be unique per query"))
+      // hash the QUALIFIED checkpoint URI, not the raw option string:
+      // the same checkpoint spelled differently across restarts
+      // (relative vs absolute, scheme-less vs file:) must key the
+      // SAME watermark, or a replayed batch would commit twice under
+      // a fresh key. (A query migrating from an explicit appId keeps
+      // passing it — the explicit option always wins.)
+      val qualified = {
+        val raw = new org.apache.hadoop.fs.Path(ckpt)
+        raw.getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+          .makeQualified(raw).toString
+      }
       val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(ckpt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       "sink-" + digest.take(8).map(b => f"$b%02x").mkString
     }
     val bucket = p.get("bucketby").map { sp =>

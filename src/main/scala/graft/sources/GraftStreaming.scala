@@ -92,28 +92,33 @@ private[sources] class GraftStreamSource(
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
     processedFloor = math.max(processedFloor, to)
-    // metadata-only ranges (ALTER TABLE ADD COLUMNS, CHECK add/drop, a
-    // no-op restore) advance the version without adding files or dvs;
-    // both modes emit an EMPTY micro-batch for them — the offset was
-    // durably logged before this call, so a throw here would replay
-    // the same range on every restart and wedge the stream on a
-    // routine metadata operation (same guard changeFeedBatches applies
-    // to the foreachBatch consumers).
-    val empty =
-      if (cdc) !Snapshots.hasRowChanges(spark, tableDir, from, to)
-      else Snapshots.addedFiles(spark, tableDir, from, to).isEmpty
+    // metadata-only ranges (ALTER TABLE ADD COLUMNS / ALTER COLUMN
+    // TYPE, CHECK add/drop, a no-op restore) advance the version with
+    // the file and dv sets unchanged; both modes emit an EMPTY
+    // micro-batch for them — the offset was durably logged before
+    // this call, so a throw here would replay the same range on every
+    // restart and wedge the stream on a routine metadata operation
+    // (same guard changeFeedBatches applies to the foreachBatch
+    // consumers). A range that REMOVED files (truncate/restore/
+    // rewrite) is NOT metadata-only: it reaches the feed computation
+    // and fails loudly per the feed's rewrite contract.
     val batch: DataFrame =
-      if (empty)
+      if (cdc) Snapshots.changeFeedSlice(spark, tableDir, from, to)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+      else if (Snapshots.addedFiles(spark, tableDir, from, to).isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else if (cdc) Snapshots.readChangeFeed(spark, tableDir, from, to)
       else Snapshots.readChanges(spark, tableDir, from, to)
-    // project onto the schema PINNED at stream definition: additive
-    // evolution mid-stream adds columns the engine's plan does not
-    // carry (they appear on restart, like the file sources); the
-    // pinned columns always exist post-evolution, so this never drops
-    // a row — only the not-yet-visible new columns
-    val aligned = batch.select(schema.fieldNames.toIndexedSeq.map(
-      org.apache.spark.sql.functions.col): _*)
+    // project AND CAST onto the schema PINNED at stream definition:
+    // additive evolution mid-stream adds columns the engine's plan
+    // does not carry (they appear on restart, like the file sources),
+    // and a mid-stream type WIDENING makes the manifest serve wider
+    // values — cast back to the pinned type, so in-range values keep
+    // flowing and an overflowing widened value fails loudly (ANSI)
+    // with a restart as the remedy, instead of tripping the engine's
+    // schema assertion on every row-carrying batch
+    val aligned = batch.select(schema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
     // the engine requires the returned frame to BE streaming-tagged
     Bridge.streamingFrom(aligned)
   }

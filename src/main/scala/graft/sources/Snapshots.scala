@@ -592,10 +592,7 @@ object Snapshots {
     for (p <- prev; ps <- p.bucketSpec; bs <- bucketBy)
       require(ps == bs,
         s"bucketed append spec $bs conflicts with table bucket spec $ps at $tableDir")
-    for (p <- prev; (bk, _) <- p.bucketSpec)
-      require(!widenedCols.contains(bk),
-        s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
-          "hashes the stored type — re-cluster with compactBucketed instead")
+    prev.foreach(p => refuseBucketKeyWiden(p.bucketSpec, widenedCols, tableDir))
     // partition layout: an UNpartitioned append keeps the table's
     // spec and lands as a flat tail (its files carry no partition
     // stats — always scanned, never wrong); a partitioned append
@@ -742,6 +739,19 @@ object Snapshots {
     }
     version
   }
+
+  /** The shared widening guard for every write path: the bucket KEY's
+    * type may never widen — the mapping hashes the stored type, and a
+    * probe cast to the widened type would prune the WRONG files (rows
+    * would go missing, not just pruning).
+    */
+  private def refuseBucketKeyWiden(bucketSpec: Option[(String, Int)],
+                                   widened: Set[String],
+                                   tableDir: String): Unit =
+    for ((bk, _) <- bucketSpec)
+      require(!widened.contains(bk),
+        s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
+          "hashes the stored type — re-cluster with compactBucketed instead")
 
   /** Lossless type WIDENINGS the parquet reader serves in place —
     * Spark 4's vectorized reader reads an int32 column as long, a
@@ -1661,10 +1671,7 @@ object Snapshots {
         val (s, w) = evolveSchema(old, incoming, "merge"); (Some(s), w)
       case None => (Some(incoming), Set.empty[String])
     }
-    for ((bk, _) <- m.bucketSpec)
-      require(!widenedCols.contains(bk),
-        s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
-          "hashes the stored type — re-cluster with compactBucketed instead")
+    refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
     val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // null-aware: `!isin` is NULL for a NULL op, which filter() would
@@ -1856,10 +1863,7 @@ object Snapshots {
           val (s, w) = evolveSchema(old, updated.schema, "update"); (Some(s), w)
         case None => (Some(updated.schema), Set.empty[String])
       }
-      for ((bk, _) <- m.bucketSpec)
-        require(!widenedCols.contains(bk),
-          s"cannot widen bucket key '$bk' of $tableDir: the bucket mapping " +
-            "hashes the stored type — re-cluster with compactBucketed instead")
+      refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
       val violated = checkViolations(updated, m.checks)
       if (violated.nonEmpty)
         throw new IllegalArgumentException(
@@ -2182,27 +2186,31 @@ object Snapshots {
     }
   }
 
-  /** Whether the `(fromVersion, toVersion]` range carries any ROW
-    * changes — added data files or added deletion vectors. False for a
-    * metadata-only range (ALTER TABLE ADD COLUMNS, CHECK add/drop, a
-    * no-op restore): [[readChangeFeed]] refuses such a range ("no
-    * changes"), so streaming consumers consult this first and emit an
-    * empty micro-batch instead — a routine metadata commit must never
-    * wedge a checkpointed stream (the offset is logged before getBatch;
-    * a throw would replay the same range forever). Also false when the
-    * range removed files/dvs only (a rewrite with nothing added) —
-    * the CDC read would then throw its rewrite error on a LATER range
-    * that actually carries rows, same contract as [[readChangeFeed]].
+  /** The CDC feed for the `(fromVersion, toVersion]` range, or None
+    * for a METADATA-ONLY range (ALTER TABLE ADD COLUMNS / ALTER
+    * COLUMN TYPE, CHECK add/drop, a no-op restore — the file and dv
+    * sets are IDENTICAL at both endpoints): [[readChangeFeed]]
+    * refuses such a range ("no changes"), so streaming consumers call
+    * this instead and emit an empty micro-batch for None — a routine
+    * metadata commit must never wedge a checkpointed stream (the
+    * offset is logged before getBatch; a throw would replay the same
+    * range forever; same guard [[changeFeedBatches]] applies). A
+    * range that REMOVED files or dvs (truncate, restore, rewrite) is
+    * NOT metadata-only — it proceeds to the feed computation and hits
+    * its loud "change feed unavailable across rewrites" error, never
+    * a silent skip. Each endpoint manifest is read exactly once.
     */
-  private[sources] def hasRowChanges(spark: SparkSession, tableDir: String,
-                                     fromVersion: Long, toVersion: Long): Boolean = {
+  private[sources] def changeFeedSlice(spark: SparkSession, tableDir: String,
+                                       fromVersion: Long, toVersion: Long)
+      : Option[DataFrame] = {
     val to = readLiveManifest(spark, tableDir, toVersion)
     val from =
       if (fromVersion < 0) Manifest(-1L, Seq.empty)
       else readLiveManifest(spark, tableDir, fromVersion)
-    val fromFiles = from.files.toSet
-    val fromDvs = from.dvs.toSet
-    to.files.exists(!fromFiles(_)) || to.dvs.exists(!fromDvs(_))
+    if (to.files.toSet == from.files.toSet && to.dvs.toSet == from.dvs.toSet)
+      None
+    else Some(readChangeFeedManifests(spark, tableDir, from, to,
+      fromVersion, toVersion))
   }
 
   /** Change-feed read: the rows in files added between `fromVersion`
@@ -2244,7 +2252,6 @@ object Snapshots {
     */
   def readChangeFeed(spark: SparkSession, tableDir: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     // endpoints must be LIVE history — a dead txn version's files were
@@ -2254,6 +2261,19 @@ object Snapshots {
     val from =
       if (fromVersion < 0) Manifest(-1L, Seq.empty)
       else readLiveManifest(spark, tableDir, fromVersion)
+    readChangeFeedManifests(spark, tableDir, from, to, fromVersion, toVersion)
+  }
+
+  /** [[readChangeFeed]]'s core against already-read endpoint
+    * manifests — [[changeFeedSlice]] passes the pair it parsed for
+    * its metadata-only check, so the streaming hot path reads each
+    * manifest once per micro-batch instead of twice.
+    */
+  private def readChangeFeedManifests(spark: SparkSession, tableDir: String,
+                                      from: Manifest, to: Manifest,
+                                      fromVersion: Long, toVersion: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.lit
     require(from.files.toSet.subsetOf(to.files.toSet) &&
         from.dvs.toSet.subsetOf(to.dvs.toSet),
       s"non-append commit between v$fromVersion and v$toVersion of " +
@@ -3383,10 +3403,7 @@ object Snapshots {
     if (from == to) return m.version // no-op: no version burned
     require(widens(from, to),
       s"ALTER COLUMN '$name': $from -> $to is not a lossless widening")
-    for ((bk, _) <- m.bucketSpec)
-      require(bk != name,
-        s"cannot widen bucket key '$name' of $tableDir: the bucket mapping " +
-          "hashes the stored type — re-cluster with compactBucketed instead")
+    refuseBucketKeyWiden(m.bucketSpec, Set(name), tableDir)
     val next = m.copy(version = nextV,
       schema = Some(org.apache.spark.sql.types.StructType(
         old.fields.updated(idx, old.fields(idx).copy(dataType = to)))),

@@ -282,6 +282,58 @@ class SqlDmlSpec extends SparkSpec {
       untouchedWant.exceptAll(untouchedGot).isEmpty)
   }
 
+  test("a NULL extra ON conjunct means NOT matched (two-valued MERGE semantics)") {
+    val dir = graft.TempDirs.create("sqldml-nullon")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1L, "a", 10.0), (2L, null, 20.0))
+      .toDF("k", "flag", "price"), dir, "overwrite")
+    view("dml_no", dir)
+    Seq((1L, "a", 100.0), (2L, "b", 200.0), (3L, "c", 300.0))
+      .toDF("k", "flag", "p").createOrReplaceTempView("dml_no_src")
+    // target row 2 has flag NULL: the extra conjunct is NULL, so the
+    // pair is NOT matched — SQL routes the source row to the INSERT
+    // branch (a naive three-valued guard would silently skip it)
+    spark.sql(
+      """MERGE INTO dml_no t USING dml_no_src s
+        |ON t.k = s.k AND t.flag = s.flag
+        |WHEN MATCHED THEN UPDATE SET price = s.p""".stripMargin)
+    view("dml_no", dir)
+    // matched (1): updated. NULL-flag (2): untouched (no insert action
+    // here — but crucially not dropped/skipped into a wrong branch)
+    assert(spark.table("dml_no").collect().map(r =>
+      (r.getLong(0), r.getDouble(2))).sorted === Seq((1L, 100.0), (2L, 20.0)))
+    // with an INSERT action the not-matched source rows (NULL-flag
+    // pair included) land as new rows — key 2 upserts per the layer's
+    // key-unique contract, key 3 is plain-new
+    spark.sql(
+      """MERGE INTO dml_no t USING dml_no_src s
+        |ON t.k = s.k AND t.flag = s.flag
+        |WHEN MATCHED THEN UPDATE SET price = s.p
+        |WHEN NOT MATCHED THEN INSERT (k, flag, price) VALUES (s.k, s.flag, s.p)""".stripMargin)
+    view("dml_no", dir)
+    assert(spark.table("dml_no").collect().map(r =>
+      (r.getLong(0), r.getDouble(2))).sorted ===
+      Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)))
+  }
+
+  test("MERGE with only WHEN NOT MATCHED BY SOURCE clauses (delete-absent)") {
+    val dir = freshOrders("sqldml-nmbs")
+    view("dml_only", dir)
+    val base = spark.table("dml_only")
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k")).createOrReplaceTempView("dml_only_src")
+    // the pure retention statement: keep only what the source lists
+    spark.sql(
+      """MERGE INTO dml_only t USING dml_only_src s ON t.o_orderkey = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    view("dml_only", dir)
+    val got = spark.table("dml_only")
+    val want = base.filter(col("o_orderkey") % 2 === 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(Snapshots.latestVersion(spark, dir).get === 1L)
+  }
+
   test("UPDATE/DELETE with no matches leaves the table version untouched") {
     val dir = freshOrders("sqldml-nomatch")
     view("dml_n", dir)

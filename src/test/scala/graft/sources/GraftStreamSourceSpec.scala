@@ -230,6 +230,62 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(batches.toSeq === Seq(2, 2, 2), batches.toString)
   }
 
+  test("a removal-only commit fails the changeFeed stream loudly, never silently") {
+    val dir = graft.TempDirs.create("gss-rewrite")
+    val ckpt = graft.TempDirs.create("gss-rewrite-ckpt")
+    Snapshots.commit(frame(0 until 10, "base"), dir) // v0
+    val stream = spark.readStream.format("graft")
+      .option("changeFeed", "true").load(dir)
+    val q = stream.writeStream.format("memory").queryName("gss_rw")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gss_rw").count() === 10L)
+      // a REMOVAL-only commit (overwrite that drops rows) breaks the
+      // feed contract — the stream must FAIL with the rewrite error,
+      // not deliver an empty batch that silently skips the retraction
+      Snapshots.commit(frame(0 until 3, "rewritten"), dir, "overwrite") // v1
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = q.exception.map(_.toString).getOrElse("")
+      assert(msg.contains("change feed unavailable across rewrites"), msg)
+    } finally q.stop()
+  }
+
+  test("mid-stream type widening: in-range values keep flowing, cast to the pinned type") {
+    val dir = graft.TempDirs.create("gss-widen")
+    val ckpt = graft.TempDirs.create("gss-widen-ckpt")
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("id", "tag")
+      .select(col("id").cast("int"), col("tag")), dir) // v0, id: int
+    val stream = spark.readStream.format("graft").load(dir)
+    assert(stream.schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val q = stream.writeStream.format("memory").queryName("gss_widen")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // widen id to bigint (metadata-only, empty batch), then append
+      // LONG values that still fit int: the batch arrives cast back
+      // to the pinned int type instead of failing the engine's schema
+      // assertion (the widened type applies on restart)
+      Snapshots.widenColumn(spark, dir, "id",
+        org.apache.spark.sql.types.LongType) // v1
+      Snapshots.commit(Seq((3L, "c"), (4L, "d")).toDF("id", "tag"),
+        dir, "append") // v2, long-typed files
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+    assert(spark.table("gss_widen").select("id").collect()
+      .map(_.getInt(0)).sorted === Array(1, 2, 3, 4))
+    // a RESTARTED stream picks up the widened schema
+    val restarted = spark.readStream.format("graft").load(dir)
+    assert(restarted.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("restart from checkpoint resumes at the stored version offset") {
     val dir = graft.TempDirs.create("gss-restart")
     val ckpt = graft.TempDirs.create("gss-restart-ckpt")
