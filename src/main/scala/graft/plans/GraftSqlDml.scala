@@ -470,10 +470,28 @@ object GraftSqlDml {
 
         // at least one side exists: the parser refuses a MERGE with
         // zero WHEN clauses
-        val changes = (changes1.toSeq ++ changes2.toSeq)
+        val raw = (changes1.toSeq ++ changes2.toSeq)
           .reduce(_ unionByName _)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // ONE legitimate same-key pair exists: with extra ON
+          // conjuncts, a key-joined-but-ON-false pair can fire BOTH a
+          // BY SOURCE DELETE (the old target row is unmatched) and a
+          // NOT MATCHED INSERT (the source row is unmatched) — SQL's
+          // net outcome is one row, exactly what a single I change
+          // (mask existing + append) produces, so the redundant D
+          // collapses away. A BY SOURCE UPDATE colliding with an
+          // INSERT would need TWO surviving rows under one key —
+          // unrepresentable under the layer's key-unique contract —
+          // and correctly falls through to the cardinality refusal.
+          val changes =
+            if (changes2.isEmpty || notMatchedActions.isEmpty) raw
+            else {
+              val iKeys = raw.filter(col("op") === "I").select(col(tKey))
+              raw.filter(col("op") =!= "D").unionByName(
+                raw.filter(col("op") === "D")
+                  .join(iKeys, Seq(tKey), "left_anti"))
+            }
           // ONE validation pass over the pinned changes: total row
           // count (empty statement → no commit) and the SQL MERGE
           // cardinality rule (two changes for one key would mask once
@@ -484,10 +502,11 @@ object GraftSqlDml {
           val nChanges = if (v.isNullAt(0)) 0L else v.getLong(0)
           require(v.isNullAt(1) || v.getLong(1) <= 1L,
             s"MERGE produced more than one change for a '$tKey' key " +
-              s"(source rows must match at most one action per key)")
+              s"(source rows must match at most one action per key, and a " +
+              s"BY SOURCE UPDATE cannot collide with an INSERT on one key)")
           if (nChanges > 0L)
             Snapshots.mergeOnRead(spark, tableDir, changes, tKey)
-        } finally changes.unpersist(false)
+        } finally raw.unpersist(false)
       } finally srcDf.unpersist(false)
       Seq.empty
     }

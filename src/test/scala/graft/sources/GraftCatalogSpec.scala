@@ -389,6 +389,29 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.ts1")
   }
 
+  test("DataFrameWriterV2: writeTo(...).append/overwrite/createOrReplace by name") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.wt1")
+    // createOrReplace routes through the (atomic) RTAS path
+    spark.range(5).select(col("id"), lit("a").as("tag"))
+      .writeTo("graftcat.db.wt1").createOrReplace()
+    assert(spark.table("graftcat.db.wt1").count() === 5L)
+    // append = one snapshot commit
+    spark.range(3).select((col("id") + 100).as("id"), lit("b").as("tag"))
+      .writeTo("graftcat.db.wt1").append()
+    assert(spark.table("graftcat.db.wt1").count() === 8L)
+    // overwritePartitions under STATIC mode = full overwrite on an
+    // unpartitioned table; plain overwrite(true-cond) replaces too
+    spark.range(2).select(col("id"), lit("c").as("tag"))
+      .writeTo("graftcat.db.wt1").overwrite(lit(true))
+    assert(spark.table("graftcat.db.wt1").count() === 2L)
+    // history survived all three (createOrReplace = v0+v1, append,
+    // overwrite): time travel still serves the appended state
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.wt1 VERSION AS OF 2")
+      .head().getLong(0) === 8L)
+    spark.sql("DROP TABLE graftcat.db.wt1")
+  }
+
   test("u34 demo is idempotent across bench passes (cached catalog instance)") {
     // Spark caches catalog instances by name: the demo must produce
     // identical rows on every in-JVM repetition (warm bench passes)
