@@ -99,7 +99,11 @@ object ScaleSmoke {
       // maintenance loop (compact rewrite O(small files), vacuum
       // O(expired))
       "u35_merge_full", "u36_part_bucket", "u37_partition_evolution",
-      "u38_sql_maintenance")
+      "u38_sql_maintenance",
+      // u39 = plan-stats broadcast (the two fixture seeds are the
+      // linear parts; the join itself broadcasts the dim — its cost
+      // tracks the fact scan)
+      "u39_broadcast_stats")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

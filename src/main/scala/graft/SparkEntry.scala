@@ -125,6 +125,7 @@ object SparkEntry {
     "u37_partition_evolution" ->
       (graft.sources.DemoFixtures.u37PartitionEvolution _),
     "u38_sql_maintenance" -> (graft.sources.DemoFixtures.u38SqlMaintenance _),
+    "u39_broadcast_stats" -> (graft.sources.DemoFixtures.u39BroadcastStats _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -877,6 +878,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM orders WHERE o_orderkey % 13 <> 0
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // u39 oracle: the graft→graft fact-to-dim join replayed over the
+    // raw tables; broadcast_planned = 1 pins that the manifest byte
+    // ledger fed plan-time stats accurate enough for Catalyst to pick
+    // a BroadcastHashJoin with no hint (impossible at the V1 default
+    // size)
+    "u39_broadcast_stats" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  1 AS broadcast_planned
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     // u36 oracle: the composed-layout table's three legs replayed
     // relationally (leg 0 = the key lookup inside the O partition,
     // leg 1 = grouped v0, leg 2 = grouped after the %11 delete +

@@ -380,6 +380,44 @@ object DemoFixtures {
     * DuckDB. The 100 TB shape: `SELECT day, COUNT(*) GROUP BY day`
     * over a decade of partitions is an O(manifest) driver answer.
     */
+  /** The customer table committed once — the small-dimension seed for
+    * the plan-statistics demo (read-only, shared like [[seededOrders]]).
+    */
+  def seededCustomer(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"customer:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-customer")
+      Snapshots.commit(graft.Tables.customer(s, d), dir, "overwrite")
+      dir
+    })
+
+  /** Plan-statistics demo — the manifest byte ledger as plan-time
+    * stats: a graft→graft join of orders (fact) to customer (small
+    * dim) must plan a BroadcastHashJoin with NO hint, purely from
+    * [[GraftRelation.sizeInBytes]] serving the ledger's exact on-disk
+    * bytes (a V1 relation without the override reports the session
+    * default — effectively infinite — and can never auto-broadcast).
+    * The `broadcast_planned` witness pins the physical plan; the
+    * per-segment aggregate pins the join's semantics against the
+    * relational oracle.
+    */
+  def u39BroadcastStats(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fact = s.read.format("graft").load(seededOrders(s, d))
+    val dim = s.read.format("graft").load(seededCustomer(s, d))
+    val joined = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val witness =
+      if (plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin")) 1
+      else 0
+    joined.withColumn("broadcast_planned", lit(witness).cast("int"))
+      .orderBy("c_mktsegment")
+  }
+
   def u33PartitionCount(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

@@ -351,6 +351,26 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
 
   override val needConversion: Boolean = false
 
+  /** Exact plan-time size from the manifest's per-file byte ledger
+    * (zero filesystem calls): what lets Catalyst auto-broadcast a
+    * small graft dimension against a huge fact instead of shuffling
+    * both sides — without it a V1 relation reports the session
+    * default (effectively infinite) and NO graft-graft join could
+    * ever plan a broadcast. Mirrors parquet file relations:
+    * compressed on-disk bytes × `spark.sql.sources.fileCompressionFactor`,
+    * so the same `autoBroadcastJoinThreshold` calculus applies. Falls
+    * back to the default when any live file predates byte accounting
+    * — overestimating only costs a broadcast, underestimating OOMs.
+    */
+  override def sizeInBytes: Long = {
+    val m = manifest
+    if (m.files.forall(m.fileBytes.contains)) {
+      val factor = spark.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      math.max((m.files.iterator.map(m.fileBytes).sum * factor).toLong, 1L)
+    } else super.sizeInBytes
+  }
+
   /** The snapshot's visible row count from the manifest ledger
     * (dataRows − dvRows), when the accounting is known — what the
     * [[graft.plans.MetadataOnlyCount]] optimizer rule serves

@@ -159,7 +159,8 @@ object Snapshots {
                             pendingMarker: Option[String] = None,
                             blooms: Map[(String, String), Bloom] = Map.empty,
                             partitionCols: Seq[String] = Nil,
-                            fileRows: Map[String, Long] = Map.empty)
+                            fileRows: Map[String, Long] = Map.empty,
+                            fileBytes: Map[String, Long] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -384,20 +385,24 @@ object Snapshots {
     walk(dataDir, dataRel).toSeq.sorted
   }
 
-  /** Per-file row counts under `dataDir` from parquet FOOTERS
-    * (driver-side metadata reads, no Spark job), recursive — the
-    * accounting [[graft.plans.MetadataOnlyCount]]'s grouped/filtered
-    * rewrites serve partition counts from.
+  /** Per-file (row count, on-disk bytes) under `dataDir` from parquet
+    * FOOTERS (driver-side metadata reads, no Spark job), recursive.
+    * Rows feed the accounting [[graft.plans.MetadataOnlyCount]]'s
+    * grouped/filtered rewrites serve partition counts from; bytes feed
+    * [[GraftRelation.sizeInBytes]] so plan-time stats are exact and a
+    * small table auto-broadcasts.
     */
-  private def footerFileRows(spark: SparkSession, f: FileSystem,
-                             dataDir: Path, dataRel: String): Map[String, Long] = {
+  private def footerFileMeta(spark: SparkSession, f: FileSystem,
+                             dataDir: Path, dataRel: String)
+      : Map[String, (Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     listDataFiles(f, dataDir, dataRel).map { rel =>
       val p = new Path(dataDir, rel.stripPrefix(dataRel).stripPrefix("/"))
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-        p, spark.sparkContext.hadoopConfiguration))
-      try rel -> r.getRecordCount finally r.close()
+      val in = HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration)
+      val r = ParquetFileReader.open(in)
+      try rel -> ((r.getRecordCount, in.getLength)) finally r.close()
     }.toMap
   }
 
@@ -697,10 +702,12 @@ object Snapshots {
     val carriedBlooms = prev.map(_.blooms).getOrElse(
       Map.empty[(String, String), Bloom])
       .filter { case ((_, c), _) => !widenedCols.contains(c) }
-    // row accounting (footer metadata, no scan): appends extend the
-    // predecessor's totals (unknown propagates), overwrites restart;
-    // per-file counts feed the grouped/filtered metadata-count rewrites
-    val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+    // row + byte accounting (footer metadata, no scan): appends extend
+    // the predecessor's totals (unknown propagates), overwrites restart;
+    // per-file counts feed the grouped/filtered metadata-count rewrites,
+    // per-file bytes feed exact plan-time relation stats
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val newFileRows = newFileMeta.view.mapValues(_._1).toMap
     val writtenRows = newFileRows.values.sum
     val dataRows = prev match {
       case Some(p) => if (p.dataRows < 0) -1L else p.dataRows + writtenRows
@@ -727,12 +734,15 @@ object Snapshots {
     val fileRows =
       (if (mode == "append") prev.map(_.fileRows).getOrElse(Map.empty[String, Long])
        else Map.empty[String, Long]) ++ newFileRows
+    val fileBytes =
+      (if (mode == "append") prev.map(_.fileBytes).getOrElse(Map.empty[String, Long])
+       else Map.empty[String, Long]) ++ newFileMeta.view.mapValues(_._2).toMap
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
         dataRows, dvRows, bucketSpec, buckets, pending,
-        carriedBlooms ++ newBlooms, partitionCols, fileRows))) {
+        carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -872,7 +882,12 @@ object Snapshots {
       if (m.partitionCols.nonEmpty)
         w.write(s"partcols=${m.partitionCols.mkString(",")}\n")
       m.fileRows.toSeq.sorted.foreach { case (rel, n) =>
-        w.write(s"frow=$rel\t$n\n")
+        // third field (on-disk bytes) is optional: manifests written
+        // before byte accounting parse back with fileBytes absent
+        m.fileBytes.get(rel) match {
+          case Some(b) => w.write(s"frow=$rel\t$n\t$b\n")
+          case None => w.write(s"frow=$rel\t$n\n")
+        }
       }
       m.blooms.toSeq.sortBy(_._1).foreach { case ((file, c), b) =>
         val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
@@ -1322,6 +1337,7 @@ object Snapshots {
       val blooms = scala.collection.mutable.Map.empty[(String, String), Bloom]
       var partitionCols: Seq[String] = Nil
       val fileRows = scala.collection.mutable.Map.empty[String, Long]
+      val fileBytes = scala.collection.mutable.Map.empty[String, Long]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -1366,6 +1382,8 @@ object Snapshots {
             .map(_.trim).filter(_.nonEmpty)
         else if (line.startsWith("frow=")) {
           line.stripPrefix("frow=").split('\t') match {
+            case Array(rel, n, b) =>
+              fileRows(rel) = n.toLong; fileBytes(rel) = b.toLong
             case Array(rel, n) => fileRows(rel) = n.toLong
             case _ => // ignore malformed (forward compat)
           }
@@ -1384,7 +1402,7 @@ object Snapshots {
       }
       Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
         dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap,
-        pending, blooms.toMap, partitionCols, fileRows.toMap)
+        pending, blooms.toMap, partitionCols, fileRows.toMap, fileBytes.toMap)
     } finally r.close()
   }
 
@@ -1731,7 +1749,8 @@ object Snapshots {
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
     upserts.write.parquet(dataDir.toString)
-    val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val newFileRows = newFileMeta.view.mapValues(_._1).toMap
     val nAppended = newFileRows.values.sum
     val written =
       if (nAppended > 0) newFileRows.keys.toSeq.sorted
@@ -1751,6 +1770,8 @@ object Snapshots {
         dataRows = addRowCounts(m.dataRows, nAppended),
         dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
         fileRows = if (written.nonEmpty) m.fileRows ++ newFileRows else m.fileRows,
+        fileBytes = if (written.nonEmpty)
+          m.fileBytes ++ newFileMeta.view.mapValues(_._2).toMap else m.fileBytes,
         // a widened column's blooms hashed the old native type — stale
         // indexes would mis-prune, so they go with the widening
         blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
@@ -1880,7 +1901,8 @@ object Snapshots {
       val dataRel = f"data/v$version%06d-$tag"
       val dataDir = new Path(tableDir, dataRel)
       updated.write.parquet(dataDir.toString)
-      val newFileRows = footerFileRows(spark, f, dataDir, dataRel)
+      val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+      val newFileRows = newFileMeta.view.mapValues(_._1).toMap
       val written = newFileRows.keys.toSeq.sorted
       if (!publishManifest(f, tableDir, m.copy(version = version,
           files = m.files ++ written, schema = schema,
@@ -1888,6 +1910,7 @@ object Snapshots {
           dataRows = addRowCounts(m.dataRows, n),
           dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
           fileRows = m.fileRows ++ newFileRows,
+          fileBytes = m.fileBytes ++ newFileMeta.view.mapValues(_._2).toMap,
           blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
           pendingMarker = None))) {
         f.delete(dvDir, true)
@@ -3461,7 +3484,8 @@ object Snapshots {
           None,
           m.blooms.map { case ((p, c), b) => (absolutize(p), c) -> b },
           m.partitionCols,
-          m.fileRows.map { case (p, n) => absolutize(p) -> n })))
+          m.fileRows.map { case (p, n) => absolutize(p) -> n },
+          m.fileBytes.map { case (p, n) => absolutize(p) -> n })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L
@@ -3710,20 +3734,21 @@ object Snapshots {
         footerStats(spark, new Path(tableDir, rel), statsColumns)
           .map { case (c, st) => (rel, c) -> st }
       }.toMap
-    // exact per-file row accounting from footers (no scan)
-    val (dataRows, newFileRows) = {
+    // exact per-file row + byte accounting from footers (no scan)
+    val (dataRows, newFileMeta) = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
-      def rows(p: Path): Long = {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-          p, spark.sparkContext.hadoopConfiguration))
-        try r.getRecordCount finally r.close()
+      def meta(p: Path): (Long, Long) = {
+        val in = HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration)
+        val r = ParquetFileReader.open(in)
+        try (r.getRecordCount, in.getLength) finally r.close()
       }
       val fresh = written.map(rel =>
-        rel -> rows(new Path(tableDir, rel))).toMap
-      (large.map(rel => rows(
-        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))).sum +
-        fresh.values.sum, fresh)
+        rel -> meta(new Path(tableDir, rel))).toMap
+      (large.map(rel => meta(
+        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))._1).sum +
+        fresh.values.map(_._1).sum, fresh)
     }
     val keep = large.toSet
     if (!publishManifest(f, tableDir, m.copy(version = version,
@@ -3732,7 +3757,10 @@ object Snapshots {
         dvs = dvs, dataRows = dataRows, dvRows = dvRows,
         buckets = m.buckets.filter { case (rel, _) => keep(rel) },
         blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
-        fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++ newFileRows,
+        fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
+          newFileMeta.view.mapValues(_._1).toMap,
+        fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
+          newFileMeta.view.mapValues(_._2).toMap,
         pendingMarker = None))) {
       f.delete(dataDir, true)
       if (dvs.nonEmpty) // the consolidated mask dir is this commit's too
