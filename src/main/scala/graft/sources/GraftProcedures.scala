@@ -100,6 +100,14 @@ private[sources] object GraftProcedures {
         p("sort_col", StringType)),
       unit((s, dir, r) => Snapshots.compactSorted(s, dir, r.getInt(1),
         str(r, 2), statsColumns = Seq(str(r, 2))))),
+    Spec("compact_zorder",
+      "rewrite the latest version Morton-ordered on (col_a, col_b) with " +
+        "footer stats on both — multi-dimensional file skipping",
+      Seq(p("table", StringType), p("num_files", IntegerType),
+        p("col_a", StringType), p("col_b", StringType),
+        p("bits", IntegerType, Some("16"))),
+      unit((s, dir, r) => Snapshots.compactZOrder(s, dir, r.getInt(1),
+        str(r, 2), str(r, 3), r.getInt(4)))),
     Spec("compact_bucketed",
       "re-cluster the latest version into num_buckets hash buckets on key " +
         "(folds the unbucketed tail back into prunable form)",

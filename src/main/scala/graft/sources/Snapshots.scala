@@ -3222,6 +3222,40 @@ object Snapshots {
       statsColumns = cols)
   }
 
+  /** Z-order clustering compaction: rewrite the latest version
+    * Morton-ordered on (a, b) into `numFiles` files with footer stats
+    * on BOTH columns — the OPTIMIZE ... ZORDER BY shape. A plain sort
+    * gives tight per-file [min,max] on one dimension and full-range
+    * stats on every other; interleaving the two keys' bits
+    * ([[graft.operators.Layout.zValue]]) gives every file a compact
+    * (a, b) box, so predicates on EITHER column — or a 2-d box, via
+    * [[pruneFiles]]'s conjunctive overlap — skip files from manifest
+    * stats alone. Keys are folded to the low `bits` bits (non-negative
+    * via pmod) for the CLUSTERING value only; the recorded stats are
+    * the exact column values, so pruning is never wrong, just looser
+    * for values beyond 2^bits. One range shuffle (sampled balanced
+    * z-ranges); prior versions untouched.
+    */
+  def compactZOrder(spark: SparkSession, tableDir: String, numFiles: Int,
+                    a: String, b: String, bits: Int = 16,
+                    statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val cols = if (statsColumns.isEmpty) Seq(a, b) else statsColumns
+    val (next, m) = resolveForWrite(spark, tableDir)
+    val fold = lit(1L << bits)
+    val z = graft.operators.Layout.zValue(
+      pmod(col(a).cast("long"), fold), pmod(col(b).cast("long"), fold), bits)
+    commit(
+      readVersion(spark, tableDir, Some(m.version))
+        .withColumn("__graft_z", z)
+        .repartitionByRange(numFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z"),
+      tableDir, "overwrite", expectedVersion = Some(next),
+      statsColumns = cols)
+  }
+
   /** MERGE-into-snapshot demo — the full lakehouse write loop:
     * orders committed as v0, a deterministic CDC batch
     * ([[graft.operators.Merge.demoChanges]]) applied with

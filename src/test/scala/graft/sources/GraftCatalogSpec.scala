@@ -296,6 +296,12 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graftcat.system.drop_check('db.m1', 'pos')")
     spark.sql("INSERT INTO graftcat.db.m1 SELECT -1, -5.0")
     assert(spark.table("graftcat.db.m1").count() === want.count() + 1)
+    // OPTIMIZE ZORDER through CALL: both dimensions prune afterwards
+    spark.sql("CALL graftcat.system.compact_zorder('db.m1', " +
+      "num_files => 4, col_a => 'id', col_b => 'price')")
+    assert(m().files.size === 4)
+    assert(Snapshots.pruneFiles(m(), "id", 0L, 40L).size < 4)
+    assert(spark.table("graftcat.db.m1").count() === want.count() + 1)
     // VACUUM expires history below the floor
     val latest = Snapshots.latestVersion(spark, dir).get
     spark.sql(s"CALL graftcat.system.vacuum('db.m1', $latest)")

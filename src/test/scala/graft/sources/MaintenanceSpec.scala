@@ -93,6 +93,43 @@ class MaintenanceSpec extends SparkSpec {
       .filter(col("id").isin(3L, 7L)).count() === 0L) // still masked
   }
 
+  test("compactZOrder: manifest stats prune on BOTH dimensions after the rewrite") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // deterministic 64×64 grid over [0,504]², committed in hash order
+    // (every file spans the full range of both keys — worst case)
+    val grid = spark.range(64L * 64)
+      .withColumn("a", (col("id") % 64) * 8)
+      .withColumn("b", expr("(id div 64) * 8"))
+    Snapshots.commit(grid.repartition(8, col("id") % 8).select("a", "b"),
+      dir, "overwrite", statsColumns = Seq("a", "b"))
+    def m() = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val before = m()
+    val box = Seq(("a", 128L: Any, 191L: Any), ("b", 128L: Any, 191L: Any))
+    assert(Snapshots.pruneFiles(before, box).size === before.files.size,
+      "hash-ordered files must be unprunable (full-range stats)")
+    // the OPTIMIZE ZORDER rewrite
+    Snapshots.compactZOrder(spark, dir, 8, "a", "b")
+    val after = m()
+    assert(after.files.size === 8)
+    // each single dimension prunes, and the 2-d box multiplies them
+    assert(Snapshots.pruneFiles(after, "a", 128L, 191L).size < 6,
+      "a-pred must prune z-ordered files")
+    assert(Snapshots.pruneFiles(after, "b", 128L, 191L).size < 6,
+      "b-pred must prune z-ordered files")
+    assert(Snapshots.pruneFiles(after, box).size <= 2,
+      "2-d box must touch a fraction of the files")
+    // semantics unchanged: same rows, old version intact
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() === 64L * 64)
+    assert(got.agg(sum("a"), sum("b")).head() ===
+      grid.agg(sum("a"), sum("b")).head())
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(dir)
+      .count() === 64L * 64)
+  }
+
   test("commitUnique: fresh keys land; dups and replays are refused versionlessly") {
     val dir = freshDir()
     assert(Snapshots.commitUnique(frame(0 until 100, "a"), dir, "id") === 0L)
