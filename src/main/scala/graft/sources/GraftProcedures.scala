@@ -76,7 +76,36 @@ private[sources] object GraftProcedures {
       }).iterator()
   }
 
+  /** DESCRIBE DETAIL: one row describing the CURRENT version — the
+    * layout (partition spec, bucket spec), the ledger's exact size
+    * accounting (NULL n_bytes when any live file predates byte
+    * accounting), and the constraint count. O(one manifest read).
+    */
+  private def detail(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val v = Snapshots.latestVersion(s, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val m = Snapshots.liveManifest(s, dir, v)
+    val bytes: Option[Long] =
+      if (m.files.forall(m.fileBytes.contains))
+        Some(m.files.iterator.map(m.fileBytes).sum)
+      else None
+    Seq((dir, m.version, m.files.size.toLong, m.dvs.size.toLong,
+        m.dataRows, m.dvRows, bytes,
+        m.partitionCols.mkString(","),
+        m.bucketSpec.map { case (k, n) => s"$k:$n" }.getOrElse(""),
+        m.checks.size.toLong))
+      .toDF("location", "version", "n_files", "n_dvs", "n_data_rows",
+        "n_dv_rows", "n_bytes", "partition_cols", "bucket_spec", "n_checks")
+  }
+
   private val specs: Seq[Spec] = Seq(
+    Spec("detail",
+      "one row describing the current version: location, layout " +
+        "(partition/bucket spec), exact file/row/byte accounting, checks",
+      Seq(p("table", StringType)),
+      (s, dir, r) => localResult(detail(s, dir))),
     Spec("history",
       "one row per live version: files/stats/txn footprint, borrowed refs, " +
         "row accounting and mask_ratio (the purge signal)",

@@ -3551,12 +3551,19 @@ object Snapshots {
         val ratio: Option[Double] =
           if (m.dataRows > 0 && m.dvRows >= 0) Some(m.dvRows.toDouble / m.dataRows)
           else None
+        // NULL when any file predates byte accounting — a partial sum
+        // would read as a (wrong) table size
+        val bytes: Option[Long] =
+          if (m.files.forall(m.fileBytes.contains))
+            Some(m.files.iterator.map(m.fileBytes).sum)
+          else None
         (v, m.files.size.toLong, m.files.count(isBorrowed).toLong,
           m.stats.size.toLong, m.txns.size.toLong, m.dvs.size.toLong,
-          m.checks.size.toLong, m.dataRows, m.dvRows, ratio)
+          m.checks.size.toLong, m.dataRows, m.dvRows, ratio, bytes)
       }
       .toDF("version", "n_files", "n_borrowed", "n_stats", "n_txns",
-        "n_dvs", "n_checks", "n_data_rows", "n_dv_rows", "mask_ratio")
+        "n_dvs", "n_checks", "n_data_rows", "n_dv_rows", "mask_ratio",
+        "n_bytes")
   }
 
   /** Expire every version below `keepFromVersion`: delete their

@@ -321,6 +321,13 @@ class GraftCatalogSpec extends SparkSpec {
     val hrows = hist.collect()
     assert(hist.schema.fieldNames.contains("version"))
     assert(hrows.length === 1, hrows.mkString(","))
+    // DESCRIBE DETAIL: one current-version row with exact accounting
+    val det = spark.sql("CALL graftcat.system.detail('db.m1')").head()
+    assert(det.getAs[Long]("n_files") === 4L)
+    assert(det.getAs[Long]("n_bytes") > 0L)
+    assert(det.getAs[Long]("n_data_rows") -
+      det.getAs[Long]("n_dv_rows") ===
+      spark.table("graftcat.db.m1").count())
     spark.sql("DROP TABLE graftcat.db.m1")
   }
 

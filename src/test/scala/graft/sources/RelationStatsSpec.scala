@@ -68,6 +68,11 @@ class RelationStatsSpec extends SparkSpec {
     assert(m.files.forall(m.fileBytes.contains),
       s"every live file needs bytes: ${m.files.filterNot(m.fileBytes.contains)}")
     assert(m.fileBytes.values.forall(_ > 0L))
+    // DESCRIBE HISTORY surfaces the ledger sum as n_bytes
+    val h = Snapshots.history(spark, dir)
+      .orderBy(col("version").desc).head()
+    assert(h.getAs[Long]("n_bytes") ===
+      m.files.iterator.map(m.fileBytes).sum)
   }
 
   test("a pre-byte-accounting manifest parses and falls back to the default") {
