@@ -144,6 +144,14 @@ object ScaleSmoke {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     }
+    // customer copies VERBATIM (o_custkey is untouched by replication):
+    // the fact side grows K× against a fixed dimension — the exact
+    // cluster shape the plan-stats/broadcast claim is about
+    if (!new java.io.File(s"$outDir/customer.parquet").exists()) {
+      spark.read.parquet(s"$baseDir/customer.parquet")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
 
     // ---- time each heavy query at 1× and K× (min of warm iters) ----
     def time(name: String, dir: String): Double =
