@@ -448,14 +448,28 @@ object GraftSqlDml {
 
         // TARGET-DRIVEN changes (WHEN NOT MATCHED BY SOURCE): "every
         // live target row with no source match" is inherently one full
-        // target scan — only statements carrying these actions pay it
+        // target scan — only statements carrying these actions pay it.
+        // BY SOURCE fires only when NO source row satisfies the FULL
+        // ON condition for that target row, so the detection is an
+        // anti-join on key ∧ extra conjuncts — a per-pair flag over a
+        // key join would let an ON-false pair fire BY SOURCE on a
+        // target row whose key also has an ON-true source row (and a
+        // duplicate source key would emit the change once per pair).
+        // The anti join yields exactly one row per unmatched target
+        // row; source columns are re-attached as NULLs (an empty
+        // broadcast side) so action guards referencing them still
+        // resolve — and evaluate to NULL, i.e. never fire, matching
+        // SQL's rule that BY SOURCE clauses see no source row.
         val changes2 =
           if (notMatchedBySourceActions.isEmpty) None
           else {
-            val joined2 = spark.read.format("graft").load(tableDir)
+            val unmatchedTgt = spark.read.format("graft").load(tableDir)
               .as("__t").join(srcDf.as("__s"),
-                col(s"__s.$sKey") === col(s"__t.$tKey"), "left")
-            val matchedBySrc = col(s"__s.$sKey").isNotNull && extraCond
+                col(s"__s.$sKey") === col(s"__t.$tKey") && extraCond,
+                "left_anti")
+            val joined2 = unmatchedTgt.as("__t").join(
+              org.apache.spark.sql.functions.broadcast(srcDf.limit(0))
+                .as("__s"), lit(true), "left")
             val acts2 = notMatchedBySourceActions.zipWithIndex.map {
               case (a, i) =>
                 val (op, c) = a match {
@@ -463,7 +477,7 @@ object GraftSqlDml {
                   case UpdateAction(c0, _, _) => ("U", c0)
                   case _ => throw new IllegalStateException("validated above")
                 }
-                Act(i, op, !matchedBySrc && actCond(c), updValueOf(a))
+                Act(i, op, actCond(c), updValueOf(a))
             }
             Some(changesOf(joined2, acts2, _ => col(s"__t.$tKey")))
           }

@@ -206,4 +206,110 @@ class MergeRandomSpec extends SparkSpec {
       }
     }
   }
+
+  test("BY SOURCE with duplicate source keys fires per TARGET ROW, not per pair") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.TempDirs.create("merge-dup-src")
+    Snapshots.commit(
+      Seq((1L, 10L, "x"), (2L, 20L, "x"), (3L, 30L, "x")).toDF("k", "v", "g"),
+      dir, "overwrite", statsColumns = Seq("k"))
+    view("md_t", dir)
+    // key 1 has TWO source rows: one satisfying the extra ON conjunct
+    // (tag='A'), one not — SQL says key 1 IS matched, so BY SOURCE
+    // must not touch it even though the matched guard (tag='Z')
+    // excludes it from any update. Key 2's only source row fails the
+    // conjunct; key 3 has two rows both failing it (the per-pair bug's
+    // OTHER face: two pairs would emit the delete twice and trip the
+    // cardinality refusal spuriously).
+    Seq((1L, "A"), (1L, "B"), (2L, "B"), (3L, "B"), (3L, "C"))
+      .toDF("sk", "tag").createOrReplaceTempView("md_s")
+    spark.sql(
+      """MERGE INTO md_t t USING md_s s ON t.k = s.sk AND s.tag = 'A'
+        |WHEN MATCHED AND s.tag = 'Z' THEN UPDATE SET g = 'm'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    view("md_t2", dir)
+    assert(spark.table("md_t2").select("k", "v", "g").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ==
+      Seq((1L, 10L, "x")))
+  }
+
+  test("random BY SOURCE statements over duplicate-key sources == any-ON-true model") {
+    val seed = System.nanoTime()
+    info(s"seed = $seed")
+    val rnd = new Random(seed)
+    val s = spark
+    import s.implicits._
+    for (round <- 1 to 6) {
+      val n = 30 + rnd.nextInt(40)
+      val tRows = (0L until n).map(k =>
+        (k, rnd.nextInt(100).toLong, if (rnd.nextBoolean()) "x" else "y"))
+      val dir = graft.TempDirs.create(s"merge-dup-rand-$round")
+      Snapshots.commit(tRows.toDF("k", "v", "g"), dir, "overwrite",
+        statsColumns = Seq("k"))
+      view("mdr_t", dir)
+      // duplicate keys ON PURPOSE: 1–3 source rows per drawn key, each
+      // with its own group tag, so "matched" means ANY row satisfies ON
+      val sRows = (0L until n).filter(_ => rnd.nextBoolean()).flatMap { k =>
+        (0 to rnd.nextInt(3)).map(_ =>
+          (k, if (rnd.nextBoolean()) "x" else "y"))
+      }
+      if (sRows.nonEmpty) {
+        sRows.toDF("sk", "sg").createOrReplaceTempView("mdr_s")
+        val nBs = 1 + rnd.nextInt(2)
+        val bySource = (0 until nBs).map { i =>
+          val cond =
+            if (i == nBs - 1 && rnd.nextBoolean()) None
+            else Some(s"t.v % 3 = $i")
+          (cond, rnd.nextBoolean())
+        }
+        val clauses = bySource.map { case (cond, isDelete) =>
+          val c = cond.map(" AND " + _).getOrElse("")
+          if (isDelete) s"\nWHEN NOT MATCHED BY SOURCE$c THEN DELETE"
+          else s"\nWHEN NOT MATCHED BY SOURCE$c THEN UPDATE SET g = 'stale'"
+        }.mkString
+        val stmt =
+          s"MERGE INTO mdr_t t USING mdr_s s ON t.k = s.sk AND t.g = s.sg" +
+            clauses
+
+        // model: a target row is matched iff ANY source row satisfies
+        // the full ON; unmatched rows take the FIRST true BY SOURCE
+        // action (conditions are target-only)
+        val t0 = tRows.toDF("k", "v", "g")
+        val s0 = sRows.toDF("sk", "sg")
+        val matched = t0.join(s0,
+          col("k") === col("sk") && col("g") === col("sg"), "left_semi")
+        val unmatched = t0.join(s0,
+          col("k") === col("sk") && col("g") === col("sg"), "left_anti")
+        val bsIdx = bySource.zipWithIndex.foldLeft(lit(-1)) {
+          case (acc, ((c, _), i)) =>
+            val fires = c match {
+              case None => lit(true)
+              case Some(x) =>
+                col("v") % 3 === x.stripPrefix("t.v % 3 = ").trim.toLong
+            }
+            when(acc =!= -1, acc).otherwise(
+              when(fires, lit(i)).otherwise(lit(-1)))
+        }
+        var gCol: org.apache.spark.sql.Column = col("g")
+        var deleted: org.apache.spark.sql.Column = lit(false)
+        bySource.zipWithIndex.foreach { case ((_, isDelete), i) =>
+          if (isDelete) deleted = when(bsIdx === i, true).otherwise(deleted)
+          else gCol = when(bsIdx === i, lit("stale")).otherwise(gCol)
+        }
+        val expected = matched.unionByName(
+          unmatched.filter(!deleted).select(col("k"), col("v"), gCol.as("g")))
+
+        spark.sql(stmt)
+        view("mdr_t2", dir)
+        val got = spark.table("mdr_t2").select("k", "v", "g")
+        val diff1 = got.exceptAll(expected).collect()
+        val diff2 = expected.exceptAll(got).collect()
+        assert(diff1.isEmpty && diff2.isEmpty,
+          s"round $round seed $seed stmt:\n$stmt\n" +
+            s"got-extra: ${diff1.take(5).mkString(",")}\n" +
+            s"want-extra: ${diff2.take(5).mkString(",")}")
+      }
+    }
+  }
 }
