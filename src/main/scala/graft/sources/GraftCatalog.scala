@@ -114,12 +114,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.delete(staging, true); ()
   }
 
+  /** Crash recovery for the staged-REPLACE swap: a driver death
+    * between [[promoteStaging]]'s two renames leaves the original
+    * table only as a hidden `.<name>.replaced-*` sibling with no live
+    * table dir, which nothing would otherwise restore. Every name
+    * resolution that finds the table ABSENT first checks for such an
+    * orphaned aside and renames the newest one back into place, so an
+    * interrupted REPLACE can delay but never lose a table. Recovery
+    * only fires when no live table dir exists — it can resurrect, not
+    * clobber; if it races a REPLACE mid-swap, that REPLACE's staging
+    * rename fails and its statement errors with the original intact.
+    */
+  private def recoverReplaced(ident: Identifier): Unit = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) return
+    val ns = nsDir(ident.namespace())
+    val prefix = s".${ident.name()}.replaced-"
+    if (!fs.exists(ns)) return
+    val asides = fs.listStatus(ns).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(prefix))
+    if (asides.nonEmpty && !fs.exists(dir)) {
+      val newest = asides.maxBy(_.getModificationTime).getPath
+      if (fs.rename(newest, dir))
+        System.err.println(s"[graft] recovered table $dir from " +
+          s"interrupted REPLACE (aside copy $newest)")
+    }
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val d = nsDir(namespace)
     if (!fs.exists(d)) throw new NoSuchNamespaceException(
       name() +: namespace)
+    // surface tables stranded by an interrupted REPLACE before listing
+    fs.listStatus(d).iterator
+      .filter(st => st.isDirectory && isHidden(st.getPath))
+      .map(_.getPath.getName.drop(1))
+      .filter(_.contains(".replaced-"))
+      .map(n => n.substring(0, n.lastIndexOf(".replaced-")))
+      .toSet[String]
+      .foreach(t => recoverReplaced(Identifier.of(namespace, t)))
     fs.listStatus(d).iterator
       .filter(st => st.isDirectory && !isHidden(st.getPath) &&
         isTable(st.getPath))
@@ -127,8 +162,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
+  override def tableExists(ident: Identifier): Boolean = {
+    recoverReplaced(ident)
     isTable(tableDir(ident))
+  }
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
@@ -143,15 +180,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `TIMESTAMP AS OF` arrives as epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(
-      (ident.namespace() :+ ident.name()).toSeq)
+    if (!isTable(dir)) {
+      recoverReplaced(ident)
+      if (!isTable(dir)) throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    }
     loadAt(ident, Some(Snapshots.versionAsOf(
       spark, dir.toString, timestampMicros / 1000L)))
   }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    if (!isTable(dir)) {
+      recoverReplaced(ident)
+      if (!isTable(dir)) throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    }
     val v = version.orElse(
       Snapshots.latestLiveVersion(spark, dir.toString)).getOrElse(
       throw new NoSuchTableException((ident.namespace() :+ ident.name()).toSeq))
@@ -235,8 +279,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val parts = qualified.split('.')
     val ident = Identifier.of(parts.init, parts.last)
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(
-      (ident.namespace() :+ ident.name()).toSeq)
+    if (!isTable(dir)) {
+      recoverReplaced(ident)
+      if (!isTable(dir)) throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    }
     dir.toString
   }
 

@@ -67,12 +67,29 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     // checkpoint = same query = same batchId sequence), so the default
     // derives from it; an explicit appId option still wins (e.g. to
     // resume a watermark across an intentional checkpoint reset).
+    // MIGRATION: queries whose checkpoints predate the derived default
+    // keyed their watermark under the old constant 'sink' — pass
+    // option("appId", "sink") across the upgrade to keep that
+    // watermark (a replayed batch under a fresh key would commit
+    // twice, once).
     val appId = p.get("appid").getOrElse {
-      val ckpt = p.getOrElse("checkpointlocation",
-        throw new IllegalArgumentException(
-          "graft streaming sink needs an explicit option(\"appId\", ...) " +
-            "when no checkpointLocation is set: the exactly-once watermark " +
-            "is keyed by it and must be unique per query"))
+      val ckpt = p.get("checkpointlocation").orElse {
+        // no per-query option: a session-level checkpoint root
+        // resolves to <root>/<queryName> (the same path
+        // StreamingQueryManager derives). Without a query name the
+        // derived dir is a fresh UUID per start — no stable identity
+        // exists, so the explicit-appId requirement stands.
+        for {
+          root <- Option(ctx.sparkSession.conf.get(
+            "spark.sql.streaming.checkpointLocation", null))
+          name <- p.get("queryname")
+        } yield new org.apache.hadoop.fs.Path(root, name).toString
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs an explicit option(\"appId\", ...) " +
+          "when no stable checkpointLocation is resolvable (per-query " +
+          "option, or session checkpoint root + queryName): the " +
+          "exactly-once watermark is keyed by it and must be unique " +
+          "per query"))
       // hash the QUALIFIED checkpoint URI, not the raw option string:
       // the same checkpoint spelled differently across restarts
       // (relative vs absolute, scheme-less vs file:) must key the

@@ -2221,7 +2221,10 @@ object Snapshots {
     * range that REMOVED files or dvs (truncate, restore, rewrite) is
     * NOT metadata-only — it proceeds to the feed computation and hits
     * its loud "change feed unavailable across rewrites" error, never
-    * a silent skip. Each endpoint manifest is read exactly once.
+    * a silent skip; identical ENDPOINTS with data churn in between
+    * (append + restore netting to zero) are told apart from true
+    * metadata-only ranges by an in-range lineage walk and refused
+    * loudly too. Each endpoint manifest is read exactly once.
     */
   private[sources] def changeFeedSlice(spark: SparkSession, tableDir: String,
                                        fromVersion: Long, toVersion: Long)
@@ -2230,8 +2233,34 @@ object Snapshots {
     val from =
       if (fromVersion < 0) Manifest(-1L, Seq.empty)
       else readLiveManifest(spark, tableDir, fromVersion)
-    if (to.files.toSet == from.files.toSet && to.dvs.toSet == from.dvs.toSet)
+    if (to.files.toSet == from.files.toSet && to.dvs.toSet == from.dvs.toSet) {
+      // identical endpoints mean EITHER a genuinely metadata-only
+      // range (empty batch) OR net-zero data churn — e.g. an append
+      // undone by a RESTORE back to the starting snapshot, whose
+      // transient rows a CDC consumer must not silently miss. Walk
+      // the in-range lineage to tell them apart: any LIVE in-range
+      // version whose file/dv sets differ from the endpoints proves
+      // churn, which gets the same loud refusal as a rewrite in
+      // range (the consumer restarts past it). O(range versions)
+      // driver reads — a streaming slice spans few versions.
+      val f = fs(spark, tableDir)
+      val churned = (math.max(fromVersion, -1L) + 1 until toVersion)
+        .exists { v =>
+          f.exists(manifestPath(tableDir, v)) && {
+            val mv = readManifest(spark, tableDir, v)
+            manifestLive(spark, mv, forWrite = false) &&
+              (mv.files.toSet != from.files.toSet ||
+                mv.dvs.toSet != from.dvs.toSet)
+          }
+        }
+      require(!churned,
+        s"change feed unavailable for ($fromVersion, $toVersion] of " +
+          s"$tableDir: the range nets to zero file changes but contains " +
+          "data commits (e.g. an append undone by a RESTORE) — transient " +
+          "rows are not representable as a row-level change set; restart " +
+          "the consumer from a fresh checkpoint past the restore")
       None
+    }
     else Some(readChangeFeedManifests(spark, tableDir, from, to,
       fromVersion, toVersion))
   }

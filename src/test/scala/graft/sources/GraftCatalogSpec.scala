@@ -213,6 +213,31 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t8")
   }
 
+  test("a crash between the REPLACE swap renames is recovered on next access") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t8r")
+    spark.sql("CREATE TABLE graftcat.db.t8r USING graft AS " +
+      "SELECT id FROM RANGE(9)")
+    // simulate the promoteStaging crash window: the table dir was
+    // moved aside but the staging dir never made it into place — the
+    // registry has no live t8r, only the hidden .t8r.replaced-* copy
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/db/t8r")
+    val aside = new org.apache.hadoop.fs.Path(
+      s"$warehouse/db/.t8r.replaced-deadbeef")
+    assert(fs.rename(dir, aside))
+    // SHOW TABLES restores and lists it; reads see the original rows
+    assert(spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("t8r"))
+    assert(spark.table("graftcat.db.t8r").count() === 9L)
+    // loadTable-path recovery too (fresh crash, no listing first)
+    assert(fs.rename(dir, aside))
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.db.t8r")
+      .head().getLong(0) === 9L)
+    spark.sql("DROP TABLE graftcat.db.t8r")
+  }
+
   test("CTAS failure leaves no orphan registry entry") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftcat.db.t9")

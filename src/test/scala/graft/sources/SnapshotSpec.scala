@@ -1059,6 +1059,28 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("changeFeedSlice: metadata-only range is an empty batch; net-zero churn refuses") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "base"), dir) // v0
+    // a CHECK add is genuinely metadata-only: the slice is None
+    Snapshots.addCheckConstraint(spark, dir, "id_ok", "id >= 0") // v1
+    assert(Snapshots.changeFeedSlice(spark, dir, 0L, 1L).isEmpty)
+    // append + restore back: the endpoints are identical but the range
+    // carried transient rows a CDC consumer never saw — the slice must
+    // refuse loudly (rewrite-class contract), not emit an empty batch
+    Snapshots.commit(frame(100 until 105, "extra"), dir, "append") // v2
+    Snapshots.restore(spark, dir, 1L) // v3 — v1's exact file set
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changeFeedSlice(spark, dir, 1L, 3L)
+    }
+    assert(e.getMessage.contains("nets to zero"))
+    // the single-version slices on either side still behave: the
+    // append slice is a normal feed, the restore slice hits the
+    // rewrite refusal
+    assert(Snapshots.changeFeedSlice(spark, dir, 1L, 2L).get.count() === 5L)
+    intercept[Exception] { Snapshots.changeFeedSlice(spark, dir, 2L, 3L) }
+  }
+
   test("u3 demo: per-version aggregates over the sf0.001 orders") {
     val rows = Snapshots.u3TimeTravel(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === 3)
