@@ -146,6 +146,21 @@ object Snapshots {
 
   final case class Bloom(mBits: Int, k: Int, words: Array[Long])
 
+  /** `segments` is the SHARDED per-file-metadata layout (the Iceberg
+    * manifest-list shape): each entry is the table-relative path of an
+    * IMMUTABLE segment file under `_manifests/segments/` holding
+    * file/stat/bucket/frow/bloom entries for the files one commit
+    * added. The manifest file itself then carries only table-level
+    * state (schema, txns, checks, layout, dvs) plus the segment list
+    * and per-segment tombstones — so a commit WRITES O(batch) metadata
+    * (one new segment + a small manifest) instead of rewriting the
+    * full O(table) file list with its ~KB/file bloom payloads, and a
+    * cold read parses each immutable segment once (process-wide
+    * cache). The in-memory `Manifest` stays the assembled whole-table
+    * view: `files`/`stats`/`blooms`/... are always fully populated;
+    * `segments` records where the per-file rows CAME from so the next
+    * [[publishManifest]] can diff against them.
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -160,7 +175,8 @@ object Snapshots {
                             blooms: Map[(String, String), Bloom] = Map.empty,
                             partitionCols: Seq[String] = Nil,
                             fileRows: Map[String, Long] = Map.empty,
-                            fileBytes: Map[String, Long] = Map.empty)
+                            fileBytes: Map[String, Long] = Map.empty,
+                            segments: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -742,7 +758,8 @@ object Snapshots {
     if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
         dataRows, dvRows, bucketSpec, buckets, pending,
-        carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes))) {
+        carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
+        prev.map(_.segments).getOrElse(Nil)))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -853,13 +870,203 @@ object Snapshots {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Sharded per-file metadata: immutable segment files.
+  //
+  // A segment holds the per-file entries (path, min/max stats, bucket
+  // id, row/byte counts, bloom bitsets) of the files ONE commit added,
+  // written once under `_manifests/segments/` and never modified — the
+  // manifest references segments by path and masks individual dead
+  // files with per-segment tombstones, so a commit writes O(batch)
+  // metadata instead of rewriting the O(table) file list with its
+  // ~KB/file bloom payloads. Publishing diffs the in-memory manifest
+  // against its carried segments: unchanged-covered files keep their
+  // segment; a segment at-most-half alive has its survivors folded
+  // forward into the commit's fresh segment and its ref dropped
+  // (bounding tombstone accumulation); files that are new OR whose
+  // metadata changed (widening drops blooms, clones re-key stats) go
+  // to the fresh segment. Invariant: readManifest ∘ publishManifest
+  // is the identity on Manifest, up to file order.
+  // ------------------------------------------------------------------
+
+  private val SegHeader = "graft-segment-v1"
+
+  /** Per-file metadata of one segment entry. */
+  private final case class SegEntry(file: String,
+                                    stats: Seq[(String, FileStat)],
+                                    bucket: Option[Int],
+                                    rows: Option[Long],
+                                    bytes: Option[Long],
+                                    blooms: Seq[(String, Bloom)])
+
+  private final case class SegmentData(entries: IndexedSeq[SegEntry])
+
+  /** Process-wide parsed-segment cache — sound because segment files
+    * are immutable (UUID-named, create-if-absent, never rewritten).
+    * Bounded LRU (bloom payloads dominate, ~1 KB/file/column); repeat
+    * manifest reads of an evolving table re-parse only NEW segments.
+    */
+  private val segmentCache =
+    new java.util.LinkedHashMap[String, SegmentData](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, SegmentData]): Boolean = size > 256
+    }
+
+  private def cachedSegment(f: FileSystem, tableDir: String,
+                            rel: String): SegmentData = {
+    val key = f.makeQualified(new Path(tableDir, rel)).toString
+    segmentCache.synchronized(Option(segmentCache.get(key))).getOrElse {
+      val sd = parseSegment(f, new Path(tableDir, rel))
+      segmentCache.synchronized(segmentCache.put(key, sd))
+      sd
+    }
+  }
+
+  /** Segment line format mirrors the manifest's per-file lines minus
+    * the repeated file path: `file=` opens an entry, subsequent
+    * `stat=`/`bucket=`/`frow=`/`bloom=` lines attach to it.
+    */
+  private def parseSegment(f: FileSystem, p: Path): SegmentData = {
+    require(f.exists(p), s"missing metadata segment $p")
+    val r = new BufferedReader(
+      new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      require(r.readLine() == SegHeader, s"unrecognized segment format in $p")
+      val entries = ArrayBuffer.empty[SegEntry]
+      var file: String = null
+      val stats = ArrayBuffer.empty[(String, FileStat)]
+      val blooms = ArrayBuffer.empty[(String, Bloom)]
+      var bucket: Option[Int] = None
+      var rows: Option[Long] = None
+      var bytes: Option[Long] = None
+      def flush(): Unit = if (file != null) {
+        entries += SegEntry(file, stats.toSeq, bucket, rows, bytes, blooms.toSeq)
+        stats.clear(); blooms.clear(); bucket = None; rows = None; bytes = None
+      }
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("file=")) { flush(); file = line.stripPrefix("file=") }
+        else if (line.startsWith("stat=")) {
+          line.stripPrefix("stat=").split('\t') match {
+            case Array(c, kind, min, max) => stats += (c -> FileStat(kind, min, max))
+            case _ => // ignore malformed (forward compat)
+          }
+        } else if (line.startsWith("bucket=")) {
+          bucket = Some(line.stripPrefix("bucket=").toInt)
+        } else if (line.startsWith("frow=")) {
+          line.stripPrefix("frow=").split('\t') match {
+            case Array(n, b) => rows = Some(n.toLong); bytes = Some(b.toLong)
+            case Array(n) => rows = Some(n.toLong)
+            case _ => // ignore malformed (forward compat)
+          }
+        } else if (line.startsWith("bloom=")) {
+          line.stripPrefix("bloom=").split('\t') match {
+            case Array(c, mBits, k, b64) =>
+              val bs = java.util.Base64.getDecoder.decode(b64)
+              val bb = java.nio.ByteBuffer.wrap(bs)
+              blooms += (c -> Bloom(mBits.toInt, k.toInt,
+                Array.fill(bs.length / 8)(bb.getLong)))
+            case _ => // ignore malformed (forward compat)
+          }
+        }
+        line = r.readLine()
+      }
+      flush()
+      SegmentData(entries.toIndexedSeq)
+    } finally r.close()
+  }
+
+  private def writeSegment(f: FileSystem, tableDir: String, version: Long,
+                           entries: Seq[SegEntry]): String = {
+    val rel = f"_manifests/segments/seg-v$version%06d-" +
+      UUID.randomUUID().toString.take(8)
+    val p = new Path(tableDir, rel)
+    val w = new OutputStreamWriter(f.create(p, false), StandardCharsets.UTF_8)
+    try {
+      w.write(s"$SegHeader\n")
+      entries.foreach { e =>
+        w.write(s"file=${e.file}\n")
+        e.stats.sortBy(_._1).foreach { case (c, st) =>
+          w.write(s"stat=$c\t${st.kind}\t${st.min}\t${st.max}\n") }
+        e.bucket.foreach(b => w.write(s"bucket=$b\n"))
+        e.rows.foreach { n =>
+          e.bytes match {
+            case Some(b) => w.write(s"frow=$n\t$b\n")
+            case None => w.write(s"frow=$n\n")
+          }
+        }
+        e.blooms.sortBy(_._1).foreach { case (c, b) =>
+          val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
+          b.words.foreach(bb.putLong)
+          w.write(s"bloom=$c\t${b.mBits}\t${b.k}\t" +
+            java.util.Base64.getEncoder.encodeToString(bb.array()) + "\n")
+        }
+      }
+    } finally w.close()
+    // seed the cache: the entries just written ARE the parse result
+    segmentCache.synchronized(segmentCache.put(
+      f.makeQualified(p).toString, SegmentData(entries.toIndexedSeq)))
+    rel
+  }
+
   /** Serialize + atomically publish `m` as `tableDir`'s manifest for
-    * its version. Returns false (after cleaning its temp file) when a
-    * concurrent writer already published that version — the caller
-    * owns any data-dir cleanup and the conflict signaling.
+    * its version, sharding per-file metadata into segments (section
+    * comment above). Returns false (after cleaning its temp file AND
+    * the segment it wrote) when a concurrent writer already published
+    * that version — the caller owns any data-dir cleanup and the
+    * conflict signaling.
     */
   private def publishManifest(f: FileSystem, tableDir: String,
                               m: Manifest): Boolean = {
+    // ---- diff the per-file metadata against the carried segments ----
+    val fileSet = m.files.toSet
+    val statsByFile = m.stats.groupBy(_._1._1)
+    val bloomsByFile = m.blooms.groupBy(_._1._1)
+    def entryOf(file: String): SegEntry = SegEntry(file,
+      statsByFile.getOrElse(file, Map.empty).iterator
+        .map { case ((_, c), st) => c -> st }.toSeq,
+      m.buckets.get(file), m.fileRows.get(file), m.fileBytes.get(file),
+      bloomsByFile.getOrElse(file, Map.empty).iterator
+        .map { case ((_, c), b) => c -> b }.toSeq)
+    // the in-memory manifest is the source of truth: a covered file
+    // whose CURRENT metadata differs from its segment entry is treated
+    // as removed-and-readded (rewritten into the fresh segment)
+    def matches(e: SegEntry): Boolean = {
+      val ms = statsByFile.getOrElse(e.file, Map.empty)
+      val mb = bloomsByFile.getOrElse(e.file, Map.empty)
+      ms.size == e.stats.size &&
+        e.stats.forall { case (c, st) => ms.get((e.file, c)).contains(st) } &&
+        mb.size == e.blooms.size &&
+        e.blooms.forall { case (c, b) => mb.get((e.file, c)).exists(x =>
+          (x eq b) || (x.mBits == b.mBits && x.k == b.k &&
+            java.util.Arrays.equals(x.words, b.words))) } &&
+        m.buckets.get(e.file) == e.bucket &&
+        m.fileRows.get(e.file) == e.rows &&
+        m.fileBytes.get(e.file) == e.bytes
+    }
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val keptRefs = ArrayBuffer.empty[(String, Int)] // (rel, live count)
+    val tombstones = ArrayBuffer.empty[(String, String)] // (segRel, file)
+    m.segments.foreach { rel =>
+      val sd = cachedSegment(f, tableDir, rel)
+      val liveSet = sd.entries.iterator.filter(e =>
+        fileSet.contains(e.file) && !covered.contains(e.file) && matches(e))
+        .map(_.file).toSet
+      if (liveSet.size * 2 > sd.entries.size) {
+        keptRefs += ((rel, liveSet.size))
+        covered ++= liveSet
+        sd.entries.foreach(e =>
+          if (!liveSet.contains(e.file)) tombstones += ((rel, e.file)))
+      }
+      // else: at most half alive — ref dropped; survivors stay
+      // uncovered and fold into this commit's fresh segment
+    }
+    val newFiles = m.files.filterNot(covered)
+    val newSeg =
+      if (newFiles.isEmpty) None
+      else Some(writeSegment(f, tableDir, m.version, newFiles.map(entryOf)))
+    val segRefs = keptRefs.toSeq ++ newSeg.map(r => (r, newFiles.size))
+
     val tmp = new Path(tableDir,
       s"_manifests/.tmp-${m.version}-${UUID.randomUUID()}")
     val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
@@ -867,37 +1074,27 @@ object Snapshots {
       w.write(s"$Header\n")
       w.write(s"version=${m.version}\n")
       m.schema.foreach(sc => w.write(s"schema=${sc.json}\n")) // one line
-      m.files.foreach(p => w.write(s"file=$p\n"))
+      segRefs.foreach { case (rel, n) => w.write(s"segment=$rel\t$n\n") }
+      tombstones.foreach { case (rel, file) => w.write(s"removed=$rel\t$file\n") }
       m.dvs.foreach(p => w.write(s"dv=$p\n"))
-      m.stats.toSeq.sortBy(_._1).foreach { case ((file, c), st) =>
-        w.write(s"stat=$file\t$c\t${st.kind}\t${st.min}\t${st.max}\n")
-      }
       m.txns.toSeq.sorted.foreach { case (app, b) => w.write(s"txn=$app\t$b\n") }
       m.checks.toSeq.sorted.foreach { case (n, e) => w.write(s"check=$n\t$e\n") }
       if (m.dataRows >= 0) w.write(s"rows=${m.dataRows}\n")
       if (m.dvRows >= 0) w.write(s"dvrows=${m.dvRows}\n")
       m.bucketSpec.foreach { case (k, n) => w.write(s"bucketspec=$k\t$n\n") }
-      m.buckets.toSeq.sorted.foreach { case (rel, b) => w.write(s"bucket=$rel\t$b\n") }
       m.pendingMarker.foreach(p => w.write(s"pending=$p\n"))
       if (m.partitionCols.nonEmpty)
         w.write(s"partcols=${m.partitionCols.mkString(",")}\n")
-      m.fileRows.toSeq.sorted.foreach { case (rel, n) =>
-        // third field (on-disk bytes) is optional: manifests written
-        // before byte accounting parse back with fileBytes absent
-        m.fileBytes.get(rel) match {
-          case Some(b) => w.write(s"frow=$rel\t$n\t$b\n")
-          case None => w.write(s"frow=$rel\t$n\n")
-        }
-      }
-      m.blooms.toSeq.sortBy(_._1).foreach { case ((file, c), b) =>
-        val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
-        b.words.foreach(bb.putLong)
-        val b64 = java.util.Base64.getEncoder.encodeToString(bb.array())
-        w.write(s"bloom=$file\t$c\t${b.mBits}\t${b.k}\t$b64\n")
-      }
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
-    if (!ok) f.delete(tmp, false)
+    if (!ok) {
+      f.delete(tmp, false)
+      newSeg.foreach { rel => // unpublish: file AND its cache seed
+        f.delete(new Path(tableDir, rel), false)
+        segmentCache.synchronized(segmentCache.remove(
+          f.makeQualified(new Path(tableDir, rel)).toString))
+      }
+    }
     // stamp the PUBLISH instant: rename preserves the tmp-write mtime,
     // which predates visibility — [[versionAsOf]] resolves by mtime,
     // so without the restamp a timestamp falling between the tmp
@@ -1314,7 +1511,13 @@ object Snapshots {
       }.sum
   }
 
-  /** Parse one manifest (bounded: one small file read on the driver). */
+  /** Parse one manifest: the manifest file itself is small
+    * (table-level state + segment refs + tombstones); referenced
+    * segments resolve through the process-wide immutable-segment
+    * cache, so repeat reads of an evolving table parse only NEW
+    * segments. Legacy flat manifests (inline per-file lines) parse
+    * unchanged — the next commit shards them.
+    */
   def readManifest(spark: SparkSession, tableDir: String, version: Long): Manifest = {
     val f = fs(spark, tableDir)
     val p = manifestPath(tableDir, version)
@@ -1323,6 +1526,8 @@ object Snapshots {
       new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
     try {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
+      val segRefs = ArrayBuffer.empty[String]
+      val tombs = scala.collection.mutable.HashSet.empty[(String, String)]
       val files = ArrayBuffer.empty[String]
       val dvs = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
@@ -1341,6 +1546,15 @@ object Snapshots {
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
+        else if (line.startsWith("segment=")) {
+          // "rel" or "rel\t<count>" (count is informational)
+          segRefs += line.stripPrefix("segment=").split('\t').head
+        } else if (line.startsWith("removed=")) {
+          line.stripPrefix("removed=").split('\t') match {
+            case Array(rel, file) => tombs += ((rel, file))
+            case _ => // ignore malformed (forward compat)
+          }
+        }
         else if (line.startsWith("schema="))
           schema = Some(org.apache.spark.sql.types.DataType
             .fromJson(line.stripPrefix("schema="))
@@ -1400,9 +1614,27 @@ object Snapshots {
         }
         line = r.readLine()
       }
-      Manifest(version, files.toSeq, stats.toMap, schema, txns.toMap,
-        dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec, buckets.toMap,
-        pending, blooms.toMap, partitionCols, fileRows.toMap, fileBytes.toMap)
+      // assemble the per-file view from the referenced segments (in
+      // ref order, tombstoned and duplicate entries skipped), ahead of
+      // any legacy inline file lines
+      val segFiles = ArrayBuffer.empty[String]
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      segRefs.foreach { rel =>
+        cachedSegment(f, tableDir, rel).entries.foreach { e =>
+          if (!tombs.contains((rel, e.file)) && seen.add(e.file)) {
+            segFiles += e.file
+            e.stats.foreach { case (c, st) => stats((e.file, c)) = st }
+            e.bucket.foreach(b => buckets(e.file) = b)
+            e.rows.foreach(n => fileRows(e.file) = n)
+            e.bytes.foreach(b => fileBytes(e.file) = b)
+            e.blooms.foreach { case (c, b) => blooms((e.file, c)) = b }
+          }
+        }
+      }
+      Manifest(version, segFiles.toSeq ++ files.toSeq, stats.toMap, schema,
+        txns.toMap, dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec,
+        buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
+        fileBytes.toMap, segRefs.toSeq)
     } finally r.close()
   }
 
@@ -3884,6 +4116,18 @@ object Snapshots {
     val liveDirs = liveFiles.filterNot(isBorrowed).map(dirKey)
     val deadDirs = deadFiles.filterNot(isBorrowed).map(dirKey).toSet
     val orphanCutoff = System.currentTimeMillis() - orphanRetainMs
+    // sweep metadata segments no LIVE manifest references (expired
+    // versions' exclusive segments, CAS-loser orphans); the orphan
+    // cutoff protects a concurrent commit's just-written segment whose
+    // manifest is not published yet
+    val liveSegs = liveMs.flatMap(_.segments)
+      .map(rel => f.makeQualified(new Path(tableDir, rel)).toString).toSet
+    val segDir = new Path(tableDir, "_manifests/segments")
+    if (f.exists(segDir)) f.listStatus(segDir).foreach { st =>
+      if (!liveSegs.contains(f.makeQualified(st.getPath).toString) &&
+          st.getModificationTime < orphanCutoff)
+        f.delete(st.getPath, false)
+    }
     for (root <- Seq("data", "dv")) {
       val rootPath = new Path(tableDir, root)
       if (f.exists(rootPath)) f.listStatus(rootPath).foreach { st =>

@@ -1,0 +1,164 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Sharded per-file metadata: commits write O(batch) segments, the
+  * manifest file itself stays small however many files the table
+  * accumulates, metadata-changed files migrate to fresh segments,
+  * restores reuse segments verbatim, legacy flat manifests still
+  * parse, and vacuum sweeps unreferenced segments.
+  */
+class ManifestShardingSpec extends SparkSpec {
+
+  private def freshDir(): String = graft.TempDirs.create("graft-shard-spec")
+
+  private def frame(ids: Range, tag: String) = {
+    val s = spark
+    import s.implicits._
+    ids.map(i => (i.toLong, tag)).toDF("id", "tag")
+  }
+
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestBytes(dir: String, v: Long): Long =
+    fsOf(dir).getFileStatus(
+      new Path(dir, f"_manifests/v$v%06d.manifest")).getLen
+
+  private def segFiles(dir: String): Seq[String] = {
+    val f = fsOf(dir)
+    val d = new Path(dir, "_manifests/segments")
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).map(_.getPath.getName).toSeq.sorted
+  }
+
+  test("appends accumulate one segment per commit; the view stays complete") {
+    val dir = freshDir()
+    val v0 = Snapshots.commit(frame(0 until 20, "a").repartition(4), dir,
+      "overwrite", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    Snapshots.commit(frame(20 until 40, "b").repartition(4), dir,
+      "append", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val v2 = Snapshots.commit(frame(40 until 60, "c").repartition(4), dir,
+      "append", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val m = Snapshots.readManifest(spark, dir, v2)
+    assert(m.segments.size === 3)
+    assert(segFiles(dir).size === 3)
+    assert(m.files.size === 12)
+    // the assembled view carries every per-file datum
+    assert(m.files.forall(f => m.stats.contains((f, "id"))))
+    assert(m.files.forall(f => m.blooms.contains((f, "id"))))
+    assert(m.files.forall(m.fileRows.contains))
+    assert(m.files.forall(m.fileBytes.contains))
+    assert(Snapshots.readVersion(spark, dir).count() === 60L)
+    // v0's manifest references exactly its own segment
+    assert(Snapshots.readManifest(spark, dir, v0).segments.size === 1)
+  }
+
+  test("the manifest file stays O(commit) as the table grows") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 40, "seed").repartition(8), dir,
+      "overwrite", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val sizes = (1 to 10).map { k =>
+      val v = Snapshots.commit(
+        frame(1000 * k until 1000 * k + 20, "inc").repartition(4), dir,
+        "append", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+      manifestBytes(dir, v)
+    }
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m.files.size === 48)
+    // bloom payloads alone would be ~1KB/file inline; sharded, the
+    // manifest is a fixed scalar block + one segment ref per commit
+    assert(sizes.last < 3000,
+      s"manifest should stay small, got ${sizes.last} bytes")
+    // growth across 9 further appends is the ref lines only (~60B each)
+    assert(sizes.last - sizes.head < 1500,
+      s"manifest growth should be ref-lines only: $sizes")
+  }
+
+  test("overwrite drops old segment refs; restore reuses segments verbatim") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 20, "a").repartition(4), dir,
+      "overwrite", statsColumns = Seq("id"))
+    Snapshots.commit(frame(20 until 40, "b").repartition(4), dir, "append",
+      statsColumns = Seq("id"))
+    val vOw = Snapshots.commit(frame(0 until 10, "ow").repartition(2), dir,
+      "overwrite", statsColumns = Seq("id"))
+    assert(Snapshots.readManifest(spark, dir, vOw).segments.size === 1)
+    // restore back: all files covered by existing segments — no new
+    // segment file is written
+    val before = segFiles(dir)
+    val vR = Snapshots.restore(spark, dir, 1L)
+    assert(segFiles(dir) === before)
+    val mR = Snapshots.readManifest(spark, dir, vR)
+    assert(mR.files.size === 8)
+    assert(Snapshots.readVersion(spark, dir).count() === 40L)
+  }
+
+  test("metadata-changed files migrate to a fresh segment (bloom drop on widen)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    Snapshots.commit((0 until 20).map(i => (i.toLong, i, s"t$i"))
+      .toDF("id", "n", "tag").repartition(4), dir, "overwrite",
+      statsColumns = Seq("id"), bloomColumns = Seq("n"))
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    assert(m0.blooms.keys.exists(_._2 == "n"))
+    Snapshots.widenColumn(spark, dir, "n", org.apache.spark.sql.types.LongType)
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    // blooms on the widened column are gone; files and stats survive
+    assert(!m1.blooms.keys.exists(_._2 == "n"))
+    assert(m1.files.toSet === m0.files.toSet)
+    assert(m1.files.forall(f => m1.stats.contains((f, "id"))))
+    // the old segment (whose entries still carry the blooms) was
+    // dropped, not tombstoned per-file: every file changed
+    assert(m1.segments.size === 1)
+    assert(m1.segments !== m0.segments)
+    // v0 still reads its blooms through ITS segment (time travel)
+    assert(Snapshots.readManifest(spark, dir, 0L)
+      .blooms.keys.exists(_._2 == "n"))
+  }
+
+  test("legacy flat manifests (inline per-file lines) still parse") {
+    val dir = freshDir()
+    val f = fsOf(dir)
+    f.mkdirs(new Path(dir, "_manifests"))
+    val w = new java.io.OutputStreamWriter(
+      f.create(new Path(dir, "_manifests/v000000.manifest"), false), "UTF-8")
+    try w.write(
+      """graft-manifest-v1
+        |version=0
+        |file=data/v000000-x/part-0.parquet
+        |file=data/v000000-x/part-1.parquet
+        |stat=data/v000000-x/part-0.parquet	id	long	0	9
+        |stat=data/v000000-x/part-1.parquet	id	long	10	19
+        |frow=data/v000000-x/part-0.parquet	10	100
+        |rows=20
+        |""".stripMargin) finally w.close()
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.files.size === 2)
+    assert(m.segments.isEmpty)
+    assert(m.stats(("data/v000000-x/part-0.parquet", "id")).min === "0")
+    assert(m.fileRows("data/v000000-x/part-0.parquet") === 10L)
+    assert(m.dataRows === 20L)
+  }
+
+  test("vacuum sweeps segments no live manifest references") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "a").repartition(2), dir, "overwrite",
+      statsColumns = Seq("id"))
+    Snapshots.commit(frame(10 until 20, "b").repartition(2), dir, "append",
+      statsColumns = Seq("id"))
+    // overwrite orphans both earlier segments version-wise
+    Snapshots.commit(frame(0 until 5, "c").repartition(1), dir, "overwrite",
+      statsColumns = Seq("id"))
+    assert(segFiles(dir).size === 3)
+    // negative retain => the cutoff is in the future: everything
+    // unreferenced goes now (test-only; production keeps the default)
+    Snapshots.vacuum(spark, dir, keepFromVersion = 2L, orphanRetainMs = -5000L)
+    assert(segFiles(dir).size === 1)
+    assert(Snapshots.readVersion(spark, dir).count() === 5L)
+  }
+}

@@ -81,23 +81,35 @@ class RelationStatsSpec extends SparkSpec {
     val dir = TempDirs.create("stats-legacy")
     Snapshots.commit((0L until 10L).map(k => (k, k)).toDF("k", "v"),
       dir, "overwrite")
-    // strip the bytes field from the frow= lines, as a manifest
-    // written before byte accounting would have recorded them
+    // strip the bytes field from the frow= lines, as metadata written
+    // before byte accounting would have recorded them. Per-file lines
+    // live in the manifest's SEGMENT; segments are immutable (the
+    // process-wide cache keys on the path), so the munged copy gets a
+    // NEW name and the manifest is re-pointed at it.
     val f = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    val mPath = f.listStatus(new org.apache.hadoop.fs.Path(dir, "_manifests"))
-      .map(_.getPath).find(_.getName.endsWith(".manifest")).get
-    val text = {
-      val in = scala.io.Source.fromInputStream(f.open(mPath), "UTF-8")
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val in = scala.io.Source.fromInputStream(f.open(p), "UTF-8")
       try in.mkString finally in.close()
     }
-    val legacy = text.linesIterator.map { line =>
-      if (line.startsWith("frow=")) line.split('\t').take(2).mkString("\t")
-      else line
-    }.mkString("\n") + "\n"
+    def spit(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = f.create(p, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val mPath = f.listStatus(new org.apache.hadoop.fs.Path(dir, "_manifests"))
+      .map(_.getPath).find(_.getName.endsWith(".manifest")).get
+    val text = slurp(mPath)
+    val segRel = text.linesIterator.find(_.startsWith("segment="))
+      .get.stripPrefix("segment=").split('\t').head
+    val legacySeg = slurp(new org.apache.hadoop.fs.Path(dir, segRel))
+      .linesIterator.map { line =>
+        if (line.startsWith("frow=")) line.split('\t').head // rows only
+        else line
+      }.mkString("\n") + "\n"
+    val legacyRel = segRel + "-legacy"
+    spit(new org.apache.hadoop.fs.Path(dir, legacyRel), legacySeg)
     f.delete(mPath, false)
-    val out = f.create(mPath, false)
-    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    spit(mPath, text.replace(segRel, legacyRel))
 
     val m = Snapshots.readManifest(spark, dir, 0L)
     assert(m.fileRows.nonEmpty && m.fileBytes.isEmpty)
