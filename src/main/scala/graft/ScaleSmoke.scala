@@ -103,7 +103,11 @@ object ScaleSmoke {
       // u39 = plan-stats broadcast (the two fixture seeds are the
       // linear parts; the join itself broadcasts the dim — its cost
       // tracks the fact scan)
-      "u39_broadcast_stats")
+      "u39_broadcast_stats",
+      // round-11: u40 = SQL-declared part×bucket layout (CTAS + INSERT
+      // are the linear parts; the composed lookup leg is O(wanted
+      // files))
+      "u40_sql_bucket_ddl")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -126,6 +126,7 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u37PartitionEvolution _),
     "u38_sql_maintenance" -> (graft.sources.DemoFixtures.u38SqlMaintenance _),
     "u39_broadcast_stats" -> (graft.sources.DemoFixtures.u39BroadcastStats _),
+    "u40_sql_bucket_ddl" -> (graft.sources.DemoFixtures.u40SqlBucketDdl _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -910,6 +911,30 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT CAST(2 AS INT), o_orderstatus, COUNT(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
         |FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY o_orderstatus
+        |ORDER BY leg, o_orderstatus""".stripMargin,
+    // u40 oracle: the SQL-declared part×bucket table's three legs
+    // replayed relationally (leg 0 = composed pruned lookup, leg 1 =
+    // grouped CTAS state, leg 2 = grouped after the re-keyed INSERT);
+    // both_dims/layout_declared = 1 pin the layout witnesses
+    "u40_sql_bucket_ddl" ->
+      """WITH v2 AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 7)
+        |SELECT CAST(0 AS INT) AS leg, 'O' AS o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS both_dims, 1 AS layout_declared
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1 AND 7
+        |UNION ALL
+        |SELECT CAST(1 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS INT), o_orderstatus, COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM v2 GROUP BY o_orderstatus
         |ORDER BY leg, o_orderstatus""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped

@@ -65,13 +65,13 @@ object GraftCatalogRules {
         case a @ AppendData(rel, query, _, _, _, _)
             if graftTable(rel).isDefined && a.outputResolved =>
           val t = graftTable(rel).get
-          GraftCatalogWrite(t.dir, t.partitionCols, t.tableSchema, query,
-            mode = "append")
+          GraftCatalogWrite(t.dir, t.partitionCols, t.bucketSpec,
+            t.tableSchema, query, mode = "append")
         case o @ OverwriteByExpression(rel, cond, query, _, _, _, _)
             if graftTable(rel).isDefined && o.outputResolved && isTrue(cond) =>
           val t = graftTable(rel).get
-          GraftCatalogWrite(t.dir, t.partitionCols, t.tableSchema, query,
-            mode = "overwrite")
+          GraftCatalogWrite(t.dir, t.partitionCols, t.bucketSpec,
+            t.tableSchema, query, mode = "overwrite")
         // the v2 write shapes this rule does NOT support are refused
         // with a clean error (instead of the relation swap leaving a
         // half-converted plan): a static PARTITION spec arrives as a
@@ -149,6 +149,7 @@ object GraftCatalogRules {
     * resolution already cast and ordered them).
     */
   case class GraftCatalogWrite(dir: String, partitionCols: Seq[String],
+                               bucketSpec: Option[(String, Int)],
                                tableSchema: org.apache.spark.sql.types.StructType,
                                query: LogicalPlan, mode: String)
       extends LeafRunnableCommand {
@@ -156,7 +157,8 @@ object GraftCatalogRules {
     override def run(spark: SparkSession): Seq[Row] = {
       val df = Bridge.ofRows(spark, query)
         .toDF(tableSchema.fieldNames.toIndexedSeq: _*)
-      Snapshots.commit(df, dir, mode, partitionBy = partitionCols)
+      Snapshots.commit(df, dir, mode, partitionBy = partitionCols,
+        bucketBy = bucketSpec)
       Seq.empty
     }
   }
@@ -181,7 +183,8 @@ object GraftCatalogRules {
       val t = catalog.createTable(ident, df.schema, partitioning.toArray,
         java.util.Collections.emptyMap[String, String]())
         .asInstanceOf[GraftCatalogTable]
-      try Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols)
+      try Snapshots.commit(df, t.dir, "append", partitionBy = t.partitionCols,
+        bucketBy = t.bucketSpec)
       catch { case e: Throwable => catalog.dropTable(ident); throw e }
       Seq.empty
     }
@@ -209,13 +212,15 @@ object GraftCatalogRules {
           ifNotExists = false).run(spark)
       }
       val df = Bridge.ofRows(spark, query)
-      val partCols = catalog.partitionColsOf(partitioning)
+      val (partCols, bucketSpec) = catalog.layoutOf(partitioning)
       val staging = catalog.newStagingDir(ident)
       try {
         // same two-commit shape as CTAS (empty declaration + first
         // append), so version arithmetic is identical either way
-        Snapshots.createEmpty(spark, staging.toString, df.schema, partCols)
-        Snapshots.commit(df, staging.toString, "append", partitionBy = partCols)
+        Snapshots.createEmpty(spark, staging.toString, df.schema, partCols,
+          bucketSpec)
+        Snapshots.commit(df, staging.toString, "append", partitionBy = partCols,
+          bucketBy = bucketSpec)
         catalog.promoteStaging(ident, staging)
       } catch {
         case e: Throwable => catalog.discardStaging(staging); throw e
@@ -233,7 +238,7 @@ object GraftCatalogRules {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], t.tableSchema)
       Snapshots.commit(empty, t.dir, "overwrite",
-        partitionBy = t.partitionCols)
+        partitionBy = t.partitionCols, bucketBy = t.bucketSpec)
       Seq.empty
     }
   }

@@ -370,6 +370,79 @@ object DemoFixtures {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Demo + oracle entry (`u40_sql_bucket_ddl`): the composed
+    * partition × bucket layout declared from PURE SQL — `CREATE TABLE
+    * ... USING graft PARTITIONED BY (o_orderstatus, bucket(8,
+    * o_orderkey))` CTAS + `INSERT INTO` append, no Scala layout API
+    * anywhere in the write loop (u36 demonstrates the same canonical
+    * 100 TB layout through the Scala `commit(bucketBy)`; this closes
+    * the SQL-only operator's path to it — Scala appears only in the
+    * read-only witnesses). Leg 0 is the composed lookup (status
+    * predicate ∧ key IN-list) whose `both_dims` witness pins that the
+    * scan touched ONLY `o_orderstatus=O/` files AND fewer files than
+    * that partition holds (bucket pruning engaged inside the
+    * partition); leg 1 is the grouped CTAS state read by NAME; leg 2
+    * re-groups after the INSERT, whose files must land clustered too
+    * — `layout_declared` pins the manifest spec AND that every file
+    * of both commits sits under both axes. The oracle replays all
+    * three legs relationally.
+    */
+  def u40SqlBucketDdl(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.pb")
+    graft.Tables.orders(s, d).createOrReplaceTempView("pb_src")
+    s.sql(
+      """CREATE TABLE graft_demo.db.pb USING graft
+        |PARTITIONED BY (o_orderstatus, bucket(8, o_orderkey))
+        |AS SELECT * FROM pb_src""".stripMargin)
+    val dir = s"$wh/db/pb"
+    def manifest() = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val mC = manifest()
+    val keys: Seq[Any] = (1L to 7L).map(k => k: Any)
+    val nPartO = mC.files.count(_.contains("o_orderstatus=O"))
+    val pruned = Snapshots.readVersionFiltered(s, dir, Some(mC.version), Seq(
+      org.apache.spark.sql.sources.EqualTo("o_orderstatus", "O"),
+      org.apache.spark.sql.sources.In("o_orderkey", keys.toArray)))
+    val inputF = pruned.inputFiles
+    val bothDims =
+      if (inputF.forall(_.contains("o_orderstatus=O")) &&
+        inputF.length < nPartO) 1 else 0
+    val leg0 = pruned
+      .where(col("o_orderstatus") === "O" &&
+        col("o_orderkey").isin(keys: _*))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(lit(0).cast("int").as("leg"), lit("O").as("o_orderstatus"),
+        col("n_orders"), col("total"))
+    def grouped(leg: Int) = s.sql(
+      s"""SELECT CAST($leg AS INT) AS leg, o_orderstatus,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM graft_demo.db.pb GROUP BY o_orderstatus""".stripMargin)
+    val leg1 = grouped(1)
+    // the append must land clustered on BOTH axes, straight from SQL
+    s.sql(
+      """INSERT INTO graft_demo.db.pb
+        |SELECT o_orderkey + 6000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM pb_src WHERE o_orderkey % 10 = 7""".stripMargin)
+    val mA = manifest()
+    val newFiles = mA.files.toSet -- mC.files.toSet
+    val layoutDeclared =
+      if (mA.bucketSpec.contains(("o_orderkey", 8)) &&
+        mA.partitionCols == Seq("o_orderstatus") &&
+        mA.files.forall(_.contains("o_orderstatus=")) &&
+        newFiles.nonEmpty && newFiles.forall(mA.buckets.contains)) 1 else 0
+    val leg2 = grouped(2)
+    leg0.unionByName(leg1).unionByName(leg2)
+      .withColumn("both_dims", lit(bothDims).cast("int"))
+      .withColumn("layout_declared", lit(layoutDeclared).cast("int"))
+      .orderBy("leg", "o_orderstatus")
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

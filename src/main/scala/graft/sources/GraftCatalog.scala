@@ -68,16 +68,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def isHidden(p: Path): Boolean = p.getName.startsWith(".")
 
-  /** Identity transforms → partition column names (shared by CREATE
-    * TABLE and the staged REPLACE path).
+  /** Partition transforms → (identity partition columns, optional
+    * bucket spec) — shared by CREATE TABLE and the staged REPLACE
+    * path. `PARTITIONED BY (status, bucket(8, o_orderkey))` is the
+    * SQL spelling of the composed partition × bucket layout: `k=v/`
+    * dirs for range/equality pruning × hash-clustered key buckets
+    * within each dir for point-lookup/MERGE pruning.
     */
-  private[graft] def partitionColsOf(partitions: Seq[Transform]): Seq[String] =
-    partitions.map {
+  private[graft] def layoutOf(partitions: Seq[Transform])
+      : (Seq[String], Option[(String, Int)]) = {
+    val (bucketTs, idTs) = partitions.partition(_.name == "bucket")
+    val partCols = idTs.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case other => throw new UnsupportedOperationException(
-        s"graft tables support only identity partitioning, got $other")
+        "graft tables support identity partitioning plus at most one " +
+          s"bucket(n, col) transform, got $other")
     }
+    require(bucketTs.size <= 1,
+      s"at most one bucket(n, col) transform, got ${bucketTs.size}")
+    val bucket = bucketTs.headOption.map { t =>
+      require(t.references.length == 1,
+        s"bucket transform must name exactly one column, got $t")
+      val n = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"bucket transform needs an integer bucket count: $t"))
+      (t.references.head.fieldNames.mkString("."), n)
+    }
+    (partCols, bucket)
+  }
 
   /** A fresh dot-prefixed sibling dir for an atomic REPLACE TABLE AS
     * SELECT: the replacement is fully written here first, so a SELECT
@@ -202,7 +224,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val m = Snapshots.readManifest(spark, dir.toString, v)
     val schema = m.schema.getOrElse(
       Snapshots.readVersion(spark, dir.toString, Some(v)).schema)
-    GraftCatalogTable(ident, dir.toString, schema, m.partitionCols, version)
+    GraftCatalogTable(ident, dir.toString, schema, m.partitionCols, version,
+      m.bucketSpec)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -213,9 +236,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (ident.namespace() :+ ident.name()).toSeq)
     if (!fs.exists(nsDir(ident.namespace())))
       throw new NoSuchNamespaceException(name() +: ident.namespace())
-    val partCols = partitionColsOf(partitions.toSeq)
-    Snapshots.createEmpty(spark, dir.toString, schema, partCols)
-    GraftCatalogTable(ident, dir.toString, schema, partCols)
+    val (partCols, bucketSpec) = layoutOf(partitions.toSeq)
+    Snapshots.createEmpty(spark, dir.toString, schema, partCols, bucketSpec)
+    GraftCatalogTable(ident, dir.toString, schema, partCols,
+      bucketSpec = bucketSpec)
   }
 
   /** `ALTER TABLE ... ADD COLUMNS (...)` and `ALTER TABLE ... ALTER
@@ -364,15 +388,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 final case class GraftCatalogTable(ident: Identifier, dir: String,
                                    tableSchema: StructType,
                                    partitionCols: Seq[String],
-                                   versionAsOf: Option[Long] = None)
+                                   versionAsOf: Option[Long] = None,
+                                   bucketSpec: Option[(String, Int)] = None)
     extends Table {
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     JCollections.emptySet[TableCapability]()
-  override def partitioning(): Array[Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    (partitionCols.map(c => Expressions.identity(c)) ++
+      bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }).toArray
+  }
   override def properties(): JMap[String, String] =
     Map("path" -> dir, "provider" -> "graft").asJava
 }

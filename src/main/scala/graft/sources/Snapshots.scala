@@ -3660,15 +3660,21 @@ object Snapshots {
     */
   def createEmpty(spark: SparkSession, tableDir: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  partitionCols: Seq[String] = Nil): Long = {
+                  partitionCols: Seq[String] = Nil,
+                  bucketSpec: Option[(String, Int)] = None): Long = {
     val f = fs(spark, tableDir)
     require(latestVersion(spark, tableDir).isEmpty,
       s"$tableDir already has versions")
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' is not in the schema"))
+    bucketSpec.foreach { case (k, n) =>
+      require(schema.fieldNames.contains(k),
+        s"bucket key '$k' is not in the schema")
+      require(n >= 1 && n <= 65536, s"numBuckets must be in [1, 65536]: $n")
+    }
     if (!publishManifest(f, tableDir, Manifest(0L, Seq.empty,
         schema = Some(schema), dataRows = 0L, dvRows = 0L,
-        partitionCols = partitionCols)))
+        bucketSpec = bucketSpec, partitionCols = partitionCols)))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $tableDir was committed concurrently")
     0L

@@ -213,6 +213,36 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t8")
   }
 
+  test("PARTITIONED BY bucket(n, col): SQL-declared bucket layout") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.tb")
+    spark.sql(
+      """CREATE TABLE graftcat.db.tb (id BIGINT, v DOUBLE)
+        |USING graft PARTITIONED BY (bucket(4, id))""".stripMargin)
+    spark.sql(
+      "INSERT INTO graftcat.db.tb SELECT id, CAST(id AS DOUBLE) FROM RANGE(100)")
+    val dir = s"$warehouse/db/tb"
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m.bucketSpec === Some(("id", 4)))
+    assert(m.files.nonEmpty && m.files.forall(m.buckets.contains),
+      "every INSERTed file must carry a bucket id")
+    // a point lookup prunes to the wanted bucket's files
+    val pruned = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 5L)))
+    assert(pruned.inputFiles.length < m.files.size)
+    assert(spark.sql("SELECT v FROM graftcat.db.tb WHERE id = 5")
+      .head().getDouble(0) === 5.0)
+    // two bucket transforms are refused before any state lands
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graftcat.db.tb2 (a BIGINT, b BIGINT) " +
+        "USING graft PARTITIONED BY (bucket(2, a), bucket(2, b))")
+    }
+    assert(!spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("tb2"))
+    spark.sql("DROP TABLE graftcat.db.tb")
+  }
+
   test("a crash between the REPLACE swap renames is recovered on next access") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftcat.db.t8r")
