@@ -107,7 +107,10 @@ object ScaleSmoke {
       // round-11: u40 = SQL-declared part×bucket layout (CTAS + INSERT
       // are the linear parts; the composed lookup leg is O(wanted
       // files))
-      "u40_sql_bucket_ddl")
+      "u40_sql_bucket_ddl",
+      // u41 = column mapping (CTAS + the UPDATE/INSERT are the linear
+      // parts; the two ALTERs are O(1) metadata commits)
+      "u41_column_mapping")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -127,6 +127,7 @@ object SparkEntry {
     "u38_sql_maintenance" -> (graft.sources.DemoFixtures.u38SqlMaintenance _),
     "u39_broadcast_stats" -> (graft.sources.DemoFixtures.u39BroadcastStats _),
     "u40_sql_bucket_ddl" -> (graft.sources.DemoFixtures.u40SqlBucketDdl _),
+    "u41_column_mapping" -> (graft.sources.DemoFixtures.u41ColumnMapping _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -936,6 +937,25 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
         |FROM v2 GROUP BY o_orderstatus
         |ORDER BY leg, o_orderstatus""".stripMargin,
+    // u41 oracle: the column-mapping lifecycle replayed relationally —
+    // rename+drop are pure metadata, so the surviving content is the
+    // original orders (renamed price, +100 on the %10=6 tenth, minus
+    // the dropped priority column) plus the re-keyed %10=2 insert;
+    // mapped = 1 pins the manifest's colMap/retired/file-set witnesses
+    "u41_column_mapping" ->
+      """WITH v AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 6 THEN o_totalprice + 100
+        |      ELSE o_totalprice END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 2)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS mapped
+        |FROM v GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

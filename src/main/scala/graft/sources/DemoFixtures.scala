@@ -443,6 +443,61 @@ object DemoFixtures {
       .orderBy("leg", "o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u41_column_mapping`): RENAME/DROP COLUMN
+    * without rewriting a byte, from PURE SQL — a catalog table of
+    * orders has `o_totalprice` RENAMED to `price` (an O(1) metadata
+    * commit via column mapping: physical on-file names never change),
+    * takes an UPDATE and an INSERT through the renamed schema, then
+    * DROPS `o_orderpriority` (its physical name retires so the ghost
+    * bytes can never resurface under a re-added column). The final
+    * grouped read serves rows from files written BEFORE the rename
+    * through the renamed logical schema — the values prove the
+    * mapping; the `mapped` witness pins the manifest's colMap/retired
+    * state AND that the two ALTERs moved no data (file set unchanged
+    * across both metadata commits). The oracle replays the lifecycle
+    * relationally.
+    */
+  def u41ColumnMapping(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.cmap")
+    graft.Tables.orders(s, d).createOrReplaceTempView("cmap_src")
+    s.sql("CREATE TABLE graft_demo.db.cmap USING graft AS " +
+      "SELECT * FROM cmap_src")
+    val dir = s"$wh/db/cmap"
+    def manifest() = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val filesBefore = manifest().files.toSet
+    s.sql("ALTER TABLE graft_demo.db.cmap RENAME COLUMN o_totalprice TO price")
+    s.sql("ALTER TABLE graft_demo.db.cmap DROP COLUMN o_orderpriority")
+    val mAfterAlters = manifest()
+    val altersMovedNoData = mAfterAlters.files.toSet == filesBefore
+    // DML + append THROUGH the renamed schema; the insert's files
+    // write the physical names under the mapping
+    s.sql("UPDATE graft_demo.db.cmap SET price = price + 100 " +
+      "WHERE o_orderkey % 10 = 6")
+    s.sql(
+      """INSERT INTO graft_demo.db.cmap
+        |SELECT o_orderkey + 7000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate
+        |FROM cmap_src WHERE o_orderkey % 10 = 2""".stripMargin)
+    val mF = manifest()
+    val mapped =
+      if (altersMovedNoData &&
+        mF.colMap == Map("price" -> "o_totalprice") &&
+        mF.retiredCols == Seq("o_orderpriority") &&
+        mF.schema.exists(_.fieldNames.toSeq == Seq("o_orderkey", "o_custkey",
+          "o_orderstatus", "price", "o_orderdate")) &&
+        filesBefore.subsetOf(mF.files.toSet)) 1 else 0
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_demo.db.cmap GROUP BY o_orderstatus""".stripMargin)
+      .withColumn("mapped", lit(mapped).cast("int"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

@@ -242,22 +242,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketSpec = bucketSpec)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (...)` and `ALTER TABLE ... ALTER
-    * COLUMN c TYPE wider`: metadata-only snapshot commits
-    * ([[Snapshots.addColumns]] / [[Snapshots.widenColumn]]) —
-    * existing files read NULL for new nullable fields, and read
-    * widened types in place. Other change kinds are refused
-    * (non-widening type changes are rewrites; constraints go through
-    * `CALL <cat>.system.add_check`).
+  /** `ALTER TABLE ... ADD COLUMNS / ALTER COLUMN c TYPE wider /
+    * RENAME COLUMN a TO b / DROP COLUMN c`: all metadata-only
+    * snapshot commits ([[Snapshots.addColumns]] /
+    * [[Snapshots.widenColumn]] / [[Snapshots.renameColumn]] /
+    * [[Snapshots.dropColumn]]) — existing files read NULL for new
+    * nullable fields, read widened types in place, and read
+    * renamed/dropped columns through the COLUMN MAPPING (physical
+    * on-file names never change; a dropped name's bytes are retired
+    * and can never resurface under a re-added column). Other change
+    * kinds are refused (non-widening type changes are rewrites;
+    * constraints go through `CALL <cat>.system.add_check`).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val widens = changes.collect { case u: TableChange.UpdateColumnType => u }
-    require(adds.size + widens.size == changes.size,
-      "graft ALTER TABLE supports only ADD COLUMNS and ALTER COLUMN TYPE " +
-        "(lossless widening); got " +
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + widens.size + renames.size + drops.size == changes.size,
+      "graft ALTER TABLE supports ADD COLUMNS, ALTER COLUMN TYPE " +
+        "(lossless widening), RENAME COLUMN and DROP COLUMN; got " +
         changes.filterNot(c => adds.contains(c) ||
-          widens.exists(_ eq c)).mkString(", "))
+          widens.exists(_ eq c) || renames.exists(_ eq c) ||
+          drops.exists(_ eq c)).mkString(", "))
     val fields = adds.map { a =>
       require(a.fieldNames.length == 1,
         s"only top-level columns can be added, got ${a.fieldNames.mkString(".")}")
@@ -273,6 +280,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"only top-level columns can be widened, got ${u.fieldNames().mkString(".")}")
       Snapshots.widenColumn(spark, dir.toString,
         u.fieldNames().head, u.newDataType())
+    }
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1,
+        s"only top-level columns can be renamed, got ${r.fieldNames().mkString(".")}")
+      Snapshots.renameColumn(spark, dir.toString,
+        r.fieldNames().head, r.newName())
+    }
+    drops.foreach { dcol =>
+      require(dcol.fieldNames().length == 1,
+        s"only top-level columns can be dropped, got ${dcol.fieldNames().mkString(".")}")
+      Snapshots.dropColumn(spark, dir.toString, dcol.fieldNames().head)
     }
     loadTable(ident)
   }

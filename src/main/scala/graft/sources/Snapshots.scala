@@ -161,6 +161,19 @@ object Snapshots {
     * `segments` records where the per-file rows CAME from so the next
     * [[publishManifest]] can diff against them.
     */
+  /** `colMap`/`retiredCols` are COLUMN MAPPING (the table formats'
+    * rename/drop-without-rewrite): `colMap` maps a column's LOGICAL
+    * (schema) name to its PHYSICAL (on-file) name — identity entries
+    * omitted — and `retiredCols` lists physical names whose column was
+    * dropped (their bytes still sit in old files and must never serve
+    * a later column that reuses the name). The whole in-memory
+    * manifest speaks LOGICAL names (schema, stats, blooms, partition
+    * and bucket specs); physical names appear only on the parquet
+    * files themselves and inside stored segments — the read/write
+    * boundaries translate. A RENAME is thereby one O(1) metadata
+    * commit: segments store physical stat keys, so no per-file
+    * metadata moves.
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -176,7 +189,14 @@ object Snapshots {
                             partitionCols: Seq[String] = Nil,
                             fileRows: Map[String, Long] = Map.empty,
                             fileBytes: Map[String, Long] = Map.empty,
-                            segments: Seq[String] = Nil)
+                            segments: Seq[String] = Nil,
+                            colMap: Map[String, String] = Map.empty,
+                            retiredCols: Seq[String] = Nil) {
+    /** logical → physical (identity when unmapped). */
+    def physOf(c: String): String = colMap.getOrElse(c, c)
+    /** physical → logical (identity when unmapped). */
+    lazy val logicalOf: Map[String, String] = colMap.map(_.swap)
+  }
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -604,6 +624,16 @@ object Snapshots {
       case None => (df.schema, Set.empty[String])
       case Some(old) => evolveSchema(old, df.schema, "append")
     }
+    // column mapping carries through appends (an overwrite's fresh
+    // files write logical names — mapping and ghosts rewrite away);
+    // a NEW column whose physical slot is taken gets a fresh one
+    val colMap = extendColMap(
+      prev.map(_.colMap).getOrElse(Map.empty),
+      prev.map(_.retiredCols).getOrElse(Nil),
+      prev.flatMap(_.schema).map(_.fieldNames.toSet).getOrElse(Set.empty),
+      schema.fieldNames.toIndexedSeq, version)
+    val carriedRetired = prev.map(_.retiredCols).getOrElse(Nil)
+    val physRev = colMap.map(_.swap)
     // bucket layout: an append carries the table's mapping forward
     // (its own files join it only when bucketed with the SAME spec —
     // a conflicting spec is refused, it would poison every lookup).
@@ -675,8 +705,9 @@ object Snapshots {
              shadowCols :+ BucketCol)
           case None => (shadowed, shadowCols)
         }
-        if (layoutCols.isEmpty) toWrite.write.parquet(dataDir.toString)
-        else toWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
+        val physWrite = toPhysical(toWrite, colMap)
+        if (layoutCols.isEmpty) physWrite.write.parquet(dataDir.toString)
+        else physWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
         // a NULL partition value is refused AFTER the write (it is
         // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
         // the orphaned data dir so the refusal leaves no residue
@@ -703,14 +734,22 @@ object Snapshots {
     val newStats =
       (if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
        else written.flatMap { rel =>
-         footerStats(spark, new Path(tableDir, rel), statsColumns)
-           .map { case (c, st) => (rel, c) -> st }
+         footerStats(spark, new Path(tableDir, rel),
+           statsColumns.map(c => colMap.getOrElse(c, c)))
+           .map { case (c, st) => (rel, physRev.getOrElse(c, c)) -> st }
        }.toMap) ++
         // partition values pin exact min=max stats per file — the
         // stats machinery prunes partition predicates from here on
         partitionStatsOf(written, partitionBy, schema)
-    val newBlooms = buildBlooms(spark, tableDir, written, bloomColumns,
-      Some(schema))
+    val newBlooms = {
+      val physSchema =
+        if (colMap.isEmpty) schema
+        else org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => f.copy(name = colMap.getOrElse(f.name, f.name))))
+      buildBlooms(spark, tableDir, written,
+        bloomColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
+        .map { case ((fl, c), b) => (fl, physRev.getOrElse(c, c)) -> b }
+    }
     // a widened column's carried blooms are DROPPED: they hashed the
     // old native type, and the probe now casts to the widened one —
     // a stale index would wrongly prune files (losing rows), whereas
@@ -759,13 +798,45 @@ object Snapshots {
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
         dataRows, dvRows, bucketSpec, buckets, pending,
         carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
-        prev.map(_.segments).getOrElse(Nil)))) {
+        prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     }
     version
   }
+
+  /** Logical→physical projection for the write side of column mapping
+    * (identity when the table has no mapping); internal layout columns
+    * (partition shadows, the bucket id) keep their names.
+    */
+  private def toPhysical(df: DataFrame,
+                         colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map { c =>
+        if (c.startsWith(PartShadowPrefix) || c == BucketCol) col(s"`$c`")
+        else col(s"`$c`").as(colMap.getOrElse(c, c))
+      }.toIndexedSeq: _*)
+    }
+
+  /** Fresh physical names for columns NEW to this commit whose natural
+    * physical slot (their own name) is taken — by another column
+    * mapped to it, or by a dropped column's ghost bytes in old files.
+    * Re-adding a dropped name must read NULL from old files, never the
+    * ghost's values.
+    */
+  private def extendColMap(colMap: Map[String, String], retired: Seq[String],
+                           prevLogical: Set[String], fields: Seq[String],
+                           version: Long): Map[String, String] =
+    if (colMap.isEmpty && retired.isEmpty) colMap
+    else {
+      val taken = colMap.values.toSet ++ retired
+      colMap ++ fields.iterator.filterNot(prevLogical.contains)
+        .filterNot(colMap.contains).filter(taken.contains)
+        .map(c => c -> s"${c}__r$version")
+    }
 
   /** The shared widening guard for every write path: the bucket KEY's
     * type may never widen — the mapping hashes the stored type, and a
@@ -1022,24 +1093,34 @@ object Snapshots {
     val fileSet = m.files.toSet
     val statsByFile = m.stats.groupBy(_._1._1)
     val bloomsByFile = m.blooms.groupBy(_._1._1)
+    val retired = m.retiredCols.toSet
+    // segments store PHYSICAL column names (rename = O(1) manifest
+    // commit, no per-file metadata moves); the in-memory maps speak
+    // logical — translate on the way out and when comparing
     def entryOf(file: String): SegEntry = SegEntry(file,
       statsByFile.getOrElse(file, Map.empty).iterator
-        .map { case ((_, c), st) => c -> st }.toSeq,
+        .map { case ((_, c), st) => m.physOf(c) -> st }.toSeq,
       m.buckets.get(file), m.fileRows.get(file), m.fileBytes.get(file),
       bloomsByFile.getOrElse(file, Map.empty).iterator
-        .map { case ((_, c), b) => c -> b }.toSeq)
+        .map { case ((_, c), b) => m.physOf(c) -> b }.toSeq)
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
-    // as removed-and-readded (rewritten into the fresh segment)
+    // as removed-and-readded (rewritten into the fresh segment). A
+    // DROPPED column's entries are ignored on both sides — they stay
+    // in old segments, masked by the retired list, never a mismatch.
     def matches(e: SegEntry): Boolean = {
       val ms = statsByFile.getOrElse(e.file, Map.empty)
       val mb = bloomsByFile.getOrElse(e.file, Map.empty)
-      ms.size == e.stats.size &&
-        e.stats.forall { case (c, st) => ms.get((e.file, c)).contains(st) } &&
-        mb.size == e.blooms.size &&
-        e.blooms.forall { case (c, b) => mb.get((e.file, c)).exists(x =>
-          (x eq b) || (x.mBits == b.mBits && x.k == b.k &&
-            java.util.Arrays.equals(x.words, b.words))) } &&
+      val eStats = e.stats.filterNot { case (c, _) => retired.contains(c) }
+      val eBlooms = e.blooms.filterNot { case (c, _) => retired.contains(c) }
+      ms.size == eStats.size &&
+        eStats.forall { case (c, st) =>
+          ms.get((e.file, m.logicalOf.getOrElse(c, c))).contains(st) } &&
+        mb.size == eBlooms.size &&
+        eBlooms.forall { case (c, b) =>
+          mb.get((e.file, m.logicalOf.getOrElse(c, c))).exists(x =>
+            (x eq b) || (x.mBits == b.mBits && x.k == b.k &&
+              java.util.Arrays.equals(x.words, b.words))) } &&
         m.buckets.get(e.file) == e.bucket &&
         m.fileRows.get(e.file) == e.rows &&
         m.fileBytes.get(e.file) == e.bytes
@@ -1085,6 +1166,9 @@ object Snapshots {
       m.pendingMarker.foreach(p => w.write(s"pending=$p\n"))
       if (m.partitionCols.nonEmpty)
         w.write(s"partcols=${m.partitionCols.mkString(",")}\n")
+      m.colMap.toSeq.sorted.foreach { case (l, ph) =>
+        w.write(s"colmap=$l\t$ph\n") }
+      m.retiredCols.foreach(c => w.write(s"retired=$c\n"))
     } finally w.close()
     val ok = atomicPublish(f, tmp, manifestPath(tableDir, m.version))
     if (!ok) {
@@ -1528,6 +1612,8 @@ object Snapshots {
       require(r.readLine() == Header, s"unrecognized manifest format in $p")
       val segRefs = ArrayBuffer.empty[String]
       val tombs = scala.collection.mutable.HashSet.empty[(String, String)]
+      val colMap = scala.collection.mutable.Map.empty[String, String]
+      val retiredCols = ArrayBuffer.empty[String]
       val files = ArrayBuffer.empty[String]
       val dvs = ArrayBuffer.empty[String]
       val stats = scala.collection.mutable.Map.empty[(String, String), FileStat]
@@ -1594,6 +1680,14 @@ object Snapshots {
         else if (line.startsWith("partcols="))
           partitionCols = line.stripPrefix("partcols=").split(',').toSeq
             .map(_.trim).filter(_.nonEmpty)
+        else if (line.startsWith("colmap=")) {
+          line.stripPrefix("colmap=").split('\t') match {
+            case Array(l, ph) => colMap(l) = ph
+            case _ => // ignore malformed (forward compat)
+          }
+        }
+        else if (line.startsWith("retired="))
+          retiredCols += line.stripPrefix("retired=")
         else if (line.startsWith("frow=")) {
           line.stripPrefix("frow=").split('\t') match {
             case Array(rel, n, b) =>
@@ -1616,25 +1710,35 @@ object Snapshots {
       }
       // assemble the per-file view from the referenced segments (in
       // ref order, tombstoned and duplicate entries skipped), ahead of
-      // any legacy inline file lines
+      // any legacy inline file lines. Segment stat/bloom keys are
+      // PHYSICAL column names: translate to logical through the
+      // column mapping, and drop entries of retired (dropped) columns
+      // — their stats describe a dead column's values and must never
+      // prune a later column that reuses the name.
+      val rev = colMap.map(_.swap)
+      val retired = retiredCols.toSet
       val segFiles = ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.HashSet.empty[String]
       segRefs.foreach { rel =>
         cachedSegment(f, tableDir, rel).entries.foreach { e =>
           if (!tombs.contains((rel, e.file)) && seen.add(e.file)) {
             segFiles += e.file
-            e.stats.foreach { case (c, st) => stats((e.file, c)) = st }
+            e.stats.foreach { case (c, st) =>
+              if (!retired.contains(c))
+                stats((e.file, rev.getOrElse(c, c))) = st }
             e.bucket.foreach(b => buckets(e.file) = b)
             e.rows.foreach(n => fileRows(e.file) = n)
             e.bytes.foreach(b => fileBytes(e.file) = b)
-            e.blooms.foreach { case (c, b) => blooms((e.file, c)) = b }
+            e.blooms.foreach { case (c, b) =>
+              if (!retired.contains(c))
+                blooms((e.file, rev.getOrElse(c, c))) = b }
           }
         }
       }
       Manifest(version, segFiles.toSeq ++ files.toSeq, stats.toMap, schema,
         txns.toMap, dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec,
         buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
-        fileBytes.toMap, segRefs.toSeq)
+        fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq)
     } finally r.close()
   }
 
@@ -1744,9 +1848,22 @@ object Snapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withMeta)
     }
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
-    val base = m.schema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
+    // column mapping: the files carry PHYSICAL names — read with the
+    // physical projection of the recorded schema, then rename to the
+    // logical view (an alias-only Project: pushed filters rewrite
+    // through it into the parquet scan). Identity when unmapped.
+    val physSchema = m.schema.map(s =>
+      if (m.colMap.isEmpty) s
+      else org.apache.spark.sql.types.StructType(
+        s.fields.map(fd => fd.copy(name = m.physOf(fd.name)))))
+    val raw = physSchema.fold(spark.read)(s => spark.read.schema(s)).parquet(abs: _*)
       .select(col("*"), col("_metadata.file_path").as(FpCol),
         col("_metadata.row_index").as(RiCol))
+    val base =
+      if (m.colMap.isEmpty) raw
+      else raw.select(m.schema.get.fields.map(fd =>
+        col(s"`${m.physOf(fd.name)}`").as(fd.name)).toIndexedSeq ++
+        Seq(col(FpCol), col(RiCol)): _*)
     if (m.dvs.isEmpty) base
     else {
       warnIfPurgeOverdue(spark, tableDir, m)
@@ -1922,6 +2039,12 @@ object Snapshots {
       case None => (Some(incoming), Set.empty[String])
     }
     refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
+    // column mapping: payloads write PHYSICAL names; a column the
+    // merge ADDS whose physical slot is taken gets a fresh one
+    val colMap = extendColMap(m.colMap, m.retiredCols,
+      m.schema.map(_.fieldNames.toSet).getOrElse(Set.empty),
+      schema.map(_.fieldNames.toIndexedSeq).getOrElse(Nil), version)
+    val physRev = colMap.map(_.swap)
     val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // null-aware: `!isin` is NULL for a NULL op, which filter() would
@@ -1980,7 +2103,7 @@ object Snapshots {
     // data side: the appended payloads
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
-    upserts.write.parquet(dataDir.toString)
+    toPhysical(upserts, colMap).write.parquet(dataDir.toString)
     val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
     val newFileRows = newFileMeta.view.mapValues(_._1).toMap
     val nAppended = newFileRows.values.sum
@@ -1990,8 +2113,9 @@ object Snapshots {
     val newStats =
       if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
       else written.flatMap { rel =>
-        footerStats(spark, new Path(tableDir, rel), statsColumns)
-          .map { case (c, st) => (rel, c) -> st }
+        footerStats(spark, new Path(tableDir, rel),
+          statsColumns.map(c => colMap.getOrElse(c, c)))
+          .map { case (c, st) => (rel, physRev.getOrElse(c, c)) -> st }
       }.toMap
     // ONE commit point for mask + append together
     // m.copy carries checks/bucketSpec/buckets/blooms; the merge's own
@@ -2007,6 +2131,7 @@ object Snapshots {
         // a widened column's blooms hashed the old native type — stale
         // indexes would mis-prune, so they go with the widening
         blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
+        colMap = colMap,
         pendingMarker = None))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
@@ -2132,7 +2257,7 @@ object Snapshots {
         .filter(_.endsWith(".parquet")).map(x => s"$dvRel/$x").toSeq.sorted
       val dataRel = f"data/v$version%06d-$tag"
       val dataDir = new Path(tableDir, dataRel)
-      updated.write.parquet(dataDir.toString)
+      toPhysical(updated, m.colMap).write.parquet(dataDir.toString)
       val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
       val newFileRows = newFileMeta.view.mapValues(_._1).toMap
       val written = newFileRows.keys.toSeq.sorted
@@ -3698,6 +3823,10 @@ object Snapshots {
     val next = m.copy(version = nextV,
       schema = Some(org.apache.spark.sql.types.StructType(
         old.fields ++ added.map(_.copy(nullable = true)))),
+      // a re-added dropped (or mapped-over) name gets a fresh physical
+      // slot so old files read NULL, never the ghost's bytes
+      colMap = extendColMap(m.colMap, m.retiredCols, old.fieldNames.toSet,
+        added.map(_.name), nextV),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -3732,6 +3861,108 @@ object Snapshots {
       schema = Some(org.apache.spark.sql.types.StructType(
         old.fields.updated(idx, old.fields(idx).copy(dataType = to)))),
       blooms = m.blooms.filter { case ((_, c), _) => c != name },
+      pendingMarker = None)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
+  }
+
+  /** CHECK constraints whose stored SQL expression references `name`
+    * — rename/drop of such a column would leave the expression
+    * dangling, so the caller refuses. Parsed, not substring-matched;
+    * an unparsable expression conservatively counts as a reference.
+    */
+  private def checksReferencing(spark: SparkSession,
+                                checks: Map[String, String],
+                                name: String): Seq[String] =
+    checks.filter { case (_, e) =>
+      try spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.exists(_.equalsIgnoreCase(name))
+      catch { case scala.util.control.NonFatal(_) => true }
+    }.keys.toSeq
+
+  /** ALTER TABLE RENAME COLUMN — an O(1) metadata-only commit via
+    * column mapping: the logical schema renames while the mapping pins
+    * the column's PHYSICAL (on-file) name, so no file is rewritten and
+    * later commits keep writing the physical name. Stats, blooms,
+    * partition spec and bucket spec re-key to the new logical name in
+    * the assembled view (the stored segments speak physical names and
+    * do not move), so pruning on the renamed column keeps working —
+    * including on files written before the rename. Refused when a
+    * CHECK constraint references the column.
+    */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Long = {
+    val f = fs(spark, tableDir)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
+    val old = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to evolve"))
+    require(old.fieldNames.contains(from), s"no column '$from' at $tableDir")
+    require(!old.fieldNames.contains(to),
+      s"column '$to' already exists at $tableDir")
+    require(to.nonEmpty && !to.exists(c =>
+        c == '\t' || c == '\n' || c == '\r' || c == '=' || c == ','),
+      s"bad column name '$to'")
+    val refs = checksReferencing(spark, m.checks, from)
+    require(refs.isEmpty,
+      s"cannot rename '$from': CHECK constraint(s) ${refs.mkString(", ")} " +
+        "reference it — drop the constraint(s) first")
+    val phys = m.physOf(from)
+    val idx = old.fieldNames.indexOf(from)
+    val next = m.copy(version = nextV,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        old.fields.updated(idx, old.fields(idx).copy(name = to)))),
+      colMap =
+        if (phys == to) m.colMap - from else (m.colMap - from) + (to -> phys),
+      stats = m.stats.map { case ((fl, c), st) =>
+        (fl, if (c == from) to else c) -> st },
+      blooms = m.blooms.map { case ((fl, c), b) =>
+        (fl, if (c == from) to else c) -> b },
+      partitionCols = m.partitionCols.map(c => if (c == from) to else c),
+      bucketSpec = m.bucketSpec.map { case (k, n) =>
+        (if (k == from) to else k, n) },
+      pendingMarker = None)
+    if (!publishManifest(f, tableDir, next))
+      throw new java.util.ConcurrentModificationException(
+        s"version $nextV of $tableDir was committed concurrently")
+    nextV
+  }
+
+  /** ALTER TABLE DROP COLUMN — an O(1) metadata-only commit: the
+    * logical schema loses the column and its physical name joins the
+    * RETIRED list, so the bytes still sitting in old files can never
+    * serve a later column that reuses the name (a re-added column gets
+    * a fresh physical slot and reads NULL from old files). Refused for
+    * a partition column, the bucket key, a CHECK-referenced column,
+    * and the last column.
+    */
+  def dropColumn(spark: SparkSession, tableDir: String,
+                 name: String): Long = {
+    val f = fs(spark, tableDir)
+    val (nextV, m) = resolveForWrite(spark, tableDir)
+    val old = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to evolve"))
+    require(old.fieldNames.contains(name), s"no column '$name' at $tableDir")
+    require(old.fields.length > 1, s"cannot drop the last column of $tableDir")
+    require(!m.partitionCols.contains(name),
+      s"cannot drop partition column '$name' of $tableDir")
+    m.bucketSpec.foreach { case (k, _) =>
+      require(k != name, s"cannot drop bucket key '$name' of $tableDir") }
+    val refs = checksReferencing(spark, m.checks, name)
+    require(refs.isEmpty,
+      s"cannot drop '$name': CHECK constraint(s) ${refs.mkString(", ")} " +
+        "reference it — drop the constraint(s) first")
+    val phys = m.physOf(name)
+    val next = m.copy(version = nextV,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        old.fields.filterNot(_.name == name))),
+      colMap = m.colMap - name,
+      retiredCols = (m.retiredCols :+ phys).distinct,
+      stats = m.stats.filterNot(_._1._2 == name),
+      blooms = m.blooms.filterNot(_._1._2 == name),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -3786,7 +4017,10 @@ object Snapshots {
           m.blooms.map { case ((p, c), b) => (absolutize(p), c) -> b },
           m.partitionCols,
           m.fileRows.map { case (p, n) => absolutize(p) -> n },
-          m.fileBytes.map { case (p, n) => absolutize(p) -> n })))
+          m.fileBytes.map { case (p, n) => absolutize(p) -> n },
+          // borrowed files carry the SOURCE's physical column names:
+          // the mapping and retired ghosts must ride the clone
+          colMap = m.colMap, retiredCols = m.retiredCols)))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L

@@ -149,9 +149,9 @@ class GraftCatalogSpec extends SparkSpec {
     val rows = spark.table("graftcat.db.t6").collect()
     assert(rows.length === 6)
     assert(rows.count(r => !r.isNullAt(1)) === 1)
-    // non-add changes refused
+    // unsupported change kinds still refused (narrowing type change)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graftcat.db.t6 RENAME COLUMN note TO memo")
+      spark.sql("ALTER TABLE graftcat.db.t6 ALTER COLUMN w TYPE INT")
     }
     spark.sql("DROP TABLE graftcat.db.t6")
   }
