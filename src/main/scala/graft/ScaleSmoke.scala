@@ -110,7 +110,10 @@ object ScaleSmoke {
       "u40_sql_bucket_ddl",
       // u41 = column mapping (CTAS + the UPDATE/INSERT are the linear
       // parts; the two ALTERs are O(1) metadata commits)
-      "u41_column_mapping")
+      "u41_column_mapping",
+      // u42 = null-count pruning (the partitioned write is the linear
+      // part; each pruned leg reads only its matching files)
+      "u42_null_stats")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

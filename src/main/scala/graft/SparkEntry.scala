@@ -128,6 +128,7 @@ object SparkEntry {
     "u39_broadcast_stats" -> (graft.sources.DemoFixtures.u39BroadcastStats _),
     "u40_sql_bucket_ddl" -> (graft.sources.DemoFixtures.u40SqlBucketDdl _),
     "u41_column_mapping" -> (graft.sources.DemoFixtures.u41ColumnMapping _),
+    "u42_null_stats" -> (graft.sources.DemoFixtures.u42NullStats _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -956,6 +957,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  1 AS mapped
         |FROM v GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // u42 oracle: the null-stat pruning legs replayed relationally
+    // (note is NULL exactly on the F rows); pruned_both = 1 pins the
+    // inputFiles witnesses
+    "u42_null_stats" ->
+      """SELECT 'is_null' AS leg, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS pruned_both
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'not_null', COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY leg""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -22,15 +22,27 @@ import graft.Tables
   */
 object Layout {
 
-  /** Morton-interleave the low `bits` bits of two non-negative int
-    * columns: bit i of `a` lands at position 2i, bit i of `b` at
+  /** Morton-interleave the low `bits` bits of k non-negative int
+    * columns: bit i of column j lands at position i·k + j, so every
+    * dimension gets equal weight at every scale (k·bits ≤ 63 — the
+    * value must fit a long). k = 2 reproduces the classic 2-d
+    * interleave bit-for-bit.
+    */
+  def zValueN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zValueN needs at least one column")
+    require(cols.size * bits <= 63,
+      s"${cols.size} columns × $bits bits exceeds a long (max 63 total)")
+    val k = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ + _)
+  }
+
+  /** The 2-d interleave: bit i of `a` at position 2i, of `b` at
     * 2i+1. 16+16 bits → a 32-bit z-value in a long.
     */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    zValueN(Seq(a, b), bits)
 
   /** Write `df` Z-ordered on (a, b): range-partition by z (sampled
     * balanced ranges, the distributed total-order primitive), sort
@@ -60,9 +72,14 @@ object Layout {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** DuckDB twin of [[zValueN]] over column expressions. */
+  def zValueSqlN(cols: Seq[String], bits: Int = 16): String = {
+    val k = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      s"((($c >> $i) & 1) << ${i * k + j})").mkString(" + ")
+  }
+
   /** DuckDB twin of [[zValue]] over column expressions `a`/`b`. */
   def zValueSql(a: String, b: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" + ")
+    zValueSqlN(Seq(a, b), bits)
 }

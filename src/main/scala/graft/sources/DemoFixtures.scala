@@ -498,6 +498,50 @@ object DemoFixtures {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Demo + oracle entry (`u42_null_stats`): per-file NULL-count
+    * stats driving `IS NULL` / `IS NOT NULL` file pruning — the
+    * quality-filter shape ("rows still missing enrichment" /
+    * "enriched rows only") that min/max stats can never answer.
+    * Orders land partitioned by status with a `note` column that is
+    * NULL exactly on the F rows, so F files are all-null and the rest
+    * null-free; the `pruned_both` witness pins via `inputFiles` that
+    * the `IS NOT NULL` scan touched NO F file and the `IS NULL` scan
+    * ONLY F files — each strictly fewer files than the table. At
+    * 100 TB, "what still needs enriching" reads the unenriched files,
+    * not the corpus. The oracle replays both legs relationally.
+    */
+  def u42NullStats(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-null-stats")
+    val orders = graft.Tables.orders(s, d).withColumn("note",
+      when(col("o_orderstatus") === "F", lit(null).cast("string"))
+        .otherwise(concat(lit("n"), col("o_orderkey"))))
+    Snapshots.commit(orders, dir, "overwrite",
+      partitionBy = Seq("o_orderstatus"),
+      statsColumns = Seq("o_orderkey", "note"))
+    val m = Snapshots.readManifest(s, dir, 0L)
+    val notNull = Snapshots.readVersionFiltered(s, dir, Some(0L),
+      Seq(org.apache.spark.sql.sources.IsNotNull("note")))
+    val isNull = Snapshots.readVersionFiltered(s, dir, Some(0L),
+      Seq(org.apache.spark.sql.sources.IsNull("note")))
+    val nnF = notNull.inputFiles
+    val nF = isNull.inputFiles
+    val prunedBoth =
+      if (nnF.forall(!_.contains("o_orderstatus=F")) &&
+        nnF.length < m.files.size &&
+        nF.forall(_.contains("o_orderstatus=F")) &&
+        nF.length < m.files.size) 1 else 0
+    def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(name).as("leg"), col("n_orders"), col("total"))
+    leg("is_null", isNull.where(col("note").isNull))
+      .unionByName(leg("not_null", notNull.where(col("note").isNotNull)))
+      .withColumn("pruned_both", lit(prunedBoth).cast("int"))
+      .orderBy("leg")
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

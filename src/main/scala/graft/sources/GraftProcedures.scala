@@ -130,13 +130,13 @@ private[sources] object GraftProcedures {
       unit((s, dir, r) => Snapshots.compactSorted(s, dir, r.getInt(1),
         str(r, 2), statsColumns = Seq(str(r, 2))))),
     Spec("compact_zorder",
-      "rewrite the latest version Morton-ordered on (col_a, col_b) with " +
-        "footer stats on both — multi-dimensional file skipping",
+      "rewrite the latest version Morton-ordered on cols (comma-separated, " +
+        "2+) with footer stats on all of them — k-dimensional file skipping",
       Seq(p("table", StringType), p("num_files", IntegerType),
-        p("col_a", StringType), p("col_b", StringType),
-        p("bits", IntegerType, Some("16"))),
+        p("cols", StringType), p("bits", IntegerType, Some("16"))),
       unit((s, dir, r) => Snapshots.compactZOrder(s, dir, r.getInt(1),
-        str(r, 2), str(r, 3), r.getInt(4)))),
+        str(r, 2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        r.getInt(3)))),
     Spec("compact_bucketed",
       "re-cluster the latest version into num_buckets hash buckets on key " +
         "(folds the unbucketed tail back into prunable form)",

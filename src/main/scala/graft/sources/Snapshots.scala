@@ -191,7 +191,8 @@ object Snapshots {
                             fileBytes: Map[String, Long] = Map.empty,
                             segments: Seq[String] = Nil,
                             colMap: Map[String, String] = Map.empty,
-                            retiredCols: Seq[String] = Nil) {
+                            retiredCols: Seq[String] = Nil,
+                            nullCounts: Map[(String, String), Long] = Map.empty) {
     /** logical → physical (identity when unmapped). */
     def physOf(c: String): String = colMap.getOrElse(c, c)
     /** physical → logical (identity when unmapped). */
@@ -731,13 +732,20 @@ object Snapshots {
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
     }
+    val fileMetas =
+      if (statsColumns.isEmpty) Nil
+      else written.map { rel =>
+        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+          statsColumns.map(c => colMap.getOrElse(c, c)))
+      }
+    val newNulls = fileMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
+    val carriedNulls = prev.map(_.nullCounts).getOrElse(
+      Map.empty[(String, String), Long])
     val newStats =
-      (if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
-       else written.flatMap { rel =>
-         footerStats(spark, new Path(tableDir, rel),
-           statsColumns.map(c => colMap.getOrElse(c, c)))
-           .map { case (c, st) => (rel, physRev.getOrElse(c, c)) -> st }
-       }.toMap) ++
+      (fileMetas.flatMap { case (rel, (st, _)) =>
+        st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x }
+      }.toMap: Map[(String, String), FileStat]) ++
         // partition values pin exact min=max stats per file — the
         // stats machinery prunes partition predicates from here on
         partitionStatsOf(written, partitionBy, schema)
@@ -798,7 +806,8 @@ object Snapshots {
         carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
         dataRows, dvRows, bucketSpec, buckets, pending,
         carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
-        prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired))) {
+        prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
+        carriedNulls ++ newNulls))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -968,7 +977,8 @@ object Snapshots {
                                     bucket: Option[Int],
                                     rows: Option[Long],
                                     bytes: Option[Long],
-                                    blooms: Seq[(String, Bloom)])
+                                    blooms: Seq[(String, Bloom)],
+                                    nulls: Seq[(String, Long)] = Nil)
 
   private final case class SegmentData(entries: IndexedSeq[SegEntry])
 
@@ -1007,12 +1017,15 @@ object Snapshots {
       var file: String = null
       val stats = ArrayBuffer.empty[(String, FileStat)]
       val blooms = ArrayBuffer.empty[(String, Bloom)]
+      val nulls = ArrayBuffer.empty[(String, Long)]
       var bucket: Option[Int] = None
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
       def flush(): Unit = if (file != null) {
-        entries += SegEntry(file, stats.toSeq, bucket, rows, bytes, blooms.toSeq)
-        stats.clear(); blooms.clear(); bucket = None; rows = None; bytes = None
+        entries += SegEntry(file, stats.toSeq, bucket, rows, bytes,
+          blooms.toSeq, nulls.toSeq)
+        stats.clear(); blooms.clear(); nulls.clear()
+        bucket = None; rows = None; bytes = None
       }
       var line = r.readLine()
       while (line != null) {
@@ -1028,6 +1041,11 @@ object Snapshots {
           line.stripPrefix("frow=").split('\t') match {
             case Array(n, b) => rows = Some(n.toLong); bytes = Some(b.toLong)
             case Array(n) => rows = Some(n.toLong)
+            case _ => // ignore malformed (forward compat)
+          }
+        } else if (line.startsWith("nulls=")) {
+          line.stripPrefix("nulls=").split('\t') match {
+            case Array(c, n) => nulls += (c -> n.toLong)
             case _ => // ignore malformed (forward compat)
           }
         } else if (line.startsWith("bloom=")) {
@@ -1066,6 +1084,8 @@ object Snapshots {
             case None => w.write(s"frow=$n\n")
           }
         }
+        e.nulls.sortBy(_._1).foreach { case (c, n) =>
+          w.write(s"nulls=$c\t$n\n") }
         e.blooms.sortBy(_._1).foreach { case (c, b) =>
           val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
           b.words.foreach(bb.putLong)
@@ -1094,6 +1114,7 @@ object Snapshots {
     val statsByFile = m.stats.groupBy(_._1._1)
     val bloomsByFile = m.blooms.groupBy(_._1._1)
     val retired = m.retiredCols.toSet
+    val nullsByFile = m.nullCounts.groupBy(_._1._1)
     // segments store PHYSICAL column names (rename = O(1) manifest
     // commit, no per-file metadata moves); the in-memory maps speak
     // logical — translate on the way out and when comparing
@@ -1102,7 +1123,9 @@ object Snapshots {
         .map { case ((_, c), st) => m.physOf(c) -> st }.toSeq,
       m.buckets.get(file), m.fileRows.get(file), m.fileBytes.get(file),
       bloomsByFile.getOrElse(file, Map.empty).iterator
-        .map { case ((_, c), b) => m.physOf(c) -> b }.toSeq)
+        .map { case ((_, c), b) => m.physOf(c) -> b }.toSeq,
+      nullsByFile.getOrElse(file, Map.empty).iterator
+        .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq)
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
     // as removed-and-readded (rewritten into the fresh segment). A
@@ -1111,9 +1134,14 @@ object Snapshots {
     def matches(e: SegEntry): Boolean = {
       val ms = statsByFile.getOrElse(e.file, Map.empty)
       val mb = bloomsByFile.getOrElse(e.file, Map.empty)
+      val mn = nullsByFile.getOrElse(e.file, Map.empty)
       val eStats = e.stats.filterNot { case (c, _) => retired.contains(c) }
       val eBlooms = e.blooms.filterNot { case (c, _) => retired.contains(c) }
-      ms.size == eStats.size &&
+      val eNulls = e.nulls.filterNot { case (c, _) => retired.contains(c) }
+      mn.size == eNulls.size &&
+        eNulls.forall { case (c, n) =>
+          mn.get((e.file, m.logicalOf.getOrElse(c, c))).contains(n) } &&
+        ms.size == eStats.size &&
         eStats.forall { case (c, st) =>
           ms.get((e.file, m.logicalOf.getOrElse(c, c))).contains(st) } &&
         mb.size == eBlooms.size &&
@@ -1518,7 +1546,19 @@ object Snapshots {
     * still correct).
     */
   private def footerStats(spark: SparkSession, file: Path,
-                          columns: Seq[String]): Map[String, FileStat] = {
+                          columns: Seq[String]): Map[String, FileStat] =
+    footerColumnMeta(spark, file, columns)._1
+
+  /** One footer pass per file: min/max stats AND per-column null
+    * counts (`isNumNullsSet` summed across row groups; any group
+    * without the count makes the column's total unknown). Null counts
+    * are recorded independently of min/max — an ALL-NULL column has no
+    * min/max but a perfectly known null count, and that is exactly the
+    * file `IS NOT NULL` pruning wants to skip.
+    */
+  private def footerColumnMeta(spark: SparkSession, file: Path,
+                               columns: Seq[String])
+      : (Map[String, FileStat], Map[String, Long]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -1529,10 +1569,17 @@ object Snapshots {
     try {
       val perCol = scala.collection.mutable.Map.empty[String, FileStat]
       val poisoned = scala.collection.mutable.Set.empty[String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsUnknown = scala.collection.mutable.Set.empty[String]
       for (block <- reader.getFooter.getBlocks.asScala;
            col <- block.getColumns.asScala) {
         val name = col.getPath.toDotString
         if (want.contains(name)) {
+          val stN: org.apache.parquet.column.statistics.Statistics[_] =
+            col.getStatistics
+          if (stN != null && stN.isNumNullsSet && stN.getNumNulls >= 0)
+            nulls(name) = nulls.getOrElse(name, 0L) + stN.getNumNulls
+          else nullsUnknown += name
           val st: org.apache.parquet.column.statistics.Statistics[_] =
             col.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
@@ -1571,7 +1618,7 @@ object Snapshots {
           } else poisoned += name // a stat-less row group poisons the file
         }
       }
-      (perCol.toMap -- poisoned)
+      (perCol.toMap -- poisoned, (nulls.toMap -- nullsUnknown))
     } finally reader.close()
   }
 
@@ -1629,6 +1676,7 @@ object Snapshots {
       var partitionCols: Seq[String] = Nil
       val fileRows = scala.collection.mutable.Map.empty[String, Long]
       val fileBytes = scala.collection.mutable.Map.empty[String, Long]
+      val nullCounts = scala.collection.mutable.Map.empty[(String, String), Long]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -1732,13 +1780,17 @@ object Snapshots {
             e.blooms.foreach { case (c, b) =>
               if (!retired.contains(c))
                 blooms((e.file, rev.getOrElse(c, c))) = b }
+            e.nulls.foreach { case (c, n) =>
+              if (!retired.contains(c))
+                nullCounts((e.file, rev.getOrElse(c, c))) = n }
           }
         }
       }
       Manifest(version, segFiles.toSeq ++ files.toSeq, stats.toMap, schema,
         txns.toMap, dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec,
         buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
-        fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq)
+        fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq,
+        nullCounts.toMap)
     } finally r.close()
   }
 
@@ -2110,13 +2162,16 @@ object Snapshots {
     val written =
       if (nAppended > 0) newFileRows.keys.toSeq.sorted
       else { f.delete(dataDir, true); Seq.empty } // pure-delete batch
-    val newStats =
-      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
-      else written.flatMap { rel =>
-        footerStats(spark, new Path(tableDir, rel),
+    val mergeMetas =
+      if (statsColumns.isEmpty) Nil
+      else written.map { rel =>
+        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
           statsColumns.map(c => colMap.getOrElse(c, c)))
-          .map { case (c, st) => (rel, physRev.getOrElse(c, c)) -> st }
-      }.toMap
+      }
+    val newStats = mergeMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
+    val newNulls = mergeMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
     // ONE commit point for mask + append together
     // m.copy carries checks/bucketSpec/buckets/blooms; the merge's own
     // payload files are unindexed until a bloom/bucket re-cluster
@@ -2132,6 +2187,7 @@ object Snapshots {
         // indexes would mis-prune, so they go with the widening
         blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
         colMap = colMap,
+        nullCounts = m.nullCounts ++ newNulls,
         pendingMarker = None))) {
       if (dvs.nonEmpty) f.delete(dvDir, true)
       if (written.nonEmpty) f.delete(dataDir, true)
@@ -2515,6 +2571,16 @@ object Snapshots {
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
       case LessThanOrEqual(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayLe(v)))
+      // null-count pruning (quality-filter predicates): a file with a
+      // recorded ZERO null count cannot satisfy IS NULL; a file whose
+      // null count equals its row count (all-null) cannot satisfy
+      // IS NOT NULL. Unknown counts keep the file — a scan reducer,
+      // never a row filter
+      case IsNull(c) =>
+        keep = keep.filter(rel => m.nullCounts.get((rel, c)).forall(_ > 0L))
+      case IsNotNull(c) =>
+        keep = keep.filter(rel => !m.nullCounts.get((rel, c)).exists(n =>
+          m.fileRows.get(rel).contains(n)))
       case _ => () // residual-only: the row filter handles it exactly
     }
     // all files pruned ⇒ no row can match; keep one file for the
@@ -3609,29 +3675,33 @@ object Snapshots {
   }
 
   /** Z-order clustering compaction: rewrite the latest version
-    * Morton-ordered on (a, b) into `numFiles` files with footer stats
-    * on BOTH columns — the OPTIMIZE ... ZORDER BY shape. A plain sort
-    * gives tight per-file [min,max] on one dimension and full-range
-    * stats on every other; interleaving the two keys' bits
-    * ([[graft.operators.Layout.zValue]]) gives every file a compact
-    * (a, b) box, so predicates on EITHER column — or a 2-d box, via
-    * [[pruneFiles]]'s conjunctive overlap — skip files from manifest
-    * stats alone. Keys are folded to the low `bits` bits (non-negative
-    * via pmod) for the CLUSTERING value only; the recorded stats are
-    * the exact column values, so pruning is never wrong, just looser
-    * for values beyond 2^bits. One range shuffle (sampled balanced
-    * z-ranges); prior versions untouched.
+    * Morton-ordered on k clustering columns into `numFiles` files with
+    * footer stats on ALL of them — the OPTIMIZE ... ZORDER BY shape.
+    * A plain sort gives tight per-file [min,max] on one dimension and
+    * full-range stats on every other; interleaving the keys' bits
+    * ([[graft.operators.Layout.zValueN]]) gives every file a compact
+    * k-d box, so predicates on ANY clustering column — or a k-d box,
+    * via [[pruneFiles]]'s conjunctive overlap — skip files from
+    * manifest stats alone. Keys are folded to the low `bits` bits
+    * (non-negative via pmod) for the CLUSTERING value only; the
+    * recorded stats are the exact column values, so pruning is never
+    * wrong, just looser for values beyond 2^bits. k·bits must fit a
+    * long (≤ 63): 3 columns default to e.g. bits = 16 (48 used bits).
+    * One range shuffle (sampled balanced z-ranges); prior versions
+    * untouched.
     */
   def compactZOrder(spark: SparkSession, tableDir: String, numFiles: Int,
-                    a: String, b: String, bits: Int = 16,
+                    zCols: Seq[String], bits: Int = 16,
                     statsColumns: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val cols = if (statsColumns.isEmpty) Seq(a, b) else statsColumns
+    require(zCols.size >= 2, s"z-order needs at least 2 columns, got $zCols")
+    require(bits >= 1 && zCols.size * bits <= 63,
+      s"${zCols.size} columns × $bits bits must be in [1, 63]")
+    val cols = if (statsColumns.isEmpty) zCols else statsColumns
     val (next, m) = resolveForWrite(spark, tableDir)
     val fold = lit(1L << bits)
-    val z = graft.operators.Layout.zValue(
-      pmod(col(a).cast("long"), fold), pmod(col(b).cast("long"), fold), bits)
+    val z = graft.operators.Layout.zValueN(
+      zCols.map(c => pmod(col(c).cast("long"), fold)), bits)
     commit(
       readVersion(spark, tableDir, Some(m.version))
         .withColumn("__graft_z", z)
@@ -3641,6 +3711,11 @@ object Snapshots {
       tableDir, "overwrite", expectedVersion = Some(next),
       statsColumns = cols)
   }
+
+  /** 2-d [[compactZOrder]] (source-compatible shorthand). */
+  def compactZOrder(spark: SparkSession, tableDir: String, numFiles: Int,
+                    a: String, b: String): Long =
+    compactZOrder(spark, tableDir, numFiles, Seq(a, b))
 
   /** MERGE-into-snapshot demo — the full lakehouse write loop:
     * orders committed as v0, a deterministic CDC batch
@@ -3921,6 +3996,8 @@ object Snapshots {
         (fl, if (c == from) to else c) -> st },
       blooms = m.blooms.map { case ((fl, c), b) =>
         (fl, if (c == from) to else c) -> b },
+      nullCounts = m.nullCounts.map { case ((fl, c), n) =>
+        (fl, if (c == from) to else c) -> n },
       partitionCols = m.partitionCols.map(c => if (c == from) to else c),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
         (if (k == from) to else k, n) },
@@ -3963,6 +4040,7 @@ object Snapshots {
       retiredCols = (m.retiredCols :+ phys).distinct,
       stats = m.stats.filterNot(_._1._2 == name),
       blooms = m.blooms.filterNot(_._1._2 == name),
+      nullCounts = m.nullCounts.filterNot(_._1._2 == name),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -4020,7 +4098,9 @@ object Snapshots {
           m.fileBytes.map { case (p, n) => absolutize(p) -> n },
           // borrowed files carry the SOURCE's physical column names:
           // the mapping and retired ghosts must ride the clone
-          colMap = m.colMap, retiredCols = m.retiredCols)))
+          colMap = m.colMap, retiredCols = m.retiredCols,
+          nullCounts = m.nullCounts.map { case ((p, c), n) =>
+            (absolutize(p), c) -> n })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L

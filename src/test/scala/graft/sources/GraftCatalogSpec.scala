@@ -353,7 +353,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graftcat.db.m1").count() === want.count() + 1)
     // OPTIMIZE ZORDER through CALL: both dimensions prune afterwards
     spark.sql("CALL graftcat.system.compact_zorder('db.m1', " +
-      "num_files => 4, col_a => 'id', col_b => 'price')")
+      "num_files => 4, cols => 'id,price')")
     assert(m().files.size === 4)
     assert(Snapshots.pruneFiles(m(), "id", 0L, 40L).size < 4)
     assert(spark.table("graftcat.db.m1").count() === want.count() + 1)

@@ -135,6 +135,45 @@ class MaintenanceSpec extends SparkSpec {
       .count() === 64L * 64)
   }
 
+  test("compactZOrder on 3 dimensions: every single dim and the 3-d box prune") {
+    val dir = freshDir()
+    // 16×16×16 grid over [0,120]³, committed in hash order (every
+    // file spans the full range of all three keys — worst case)
+    val grid = spark.range(16L * 16 * 16)
+      .withColumn("a", (col("id") % 16) * 8)
+      .withColumn("b", expr("((id div 16) % 16) * 8"))
+      .withColumn("c", expr("(id div 256) * 8"))
+    Snapshots.commit(grid.repartition(8, col("id") % 8).select("a", "b", "c"),
+      dir, "overwrite", statsColumns = Seq("a", "b", "c"))
+    def m() = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val box = Seq(("a", 32L: Any, 63L: Any), ("b", 32L: Any, 63L: Any),
+      ("c", 32L: Any, 63L: Any))
+    assert(Snapshots.pruneFiles(m(), box).size === m().files.size,
+      "hash-ordered files must be unprunable (full-range stats)")
+    // values fit 7 bits; 3 × 7 = 21 interleaved bits. 64 files give
+    // the curve two full splits per dimension (top 6 z-bits), so each
+    // single dimension gets a quarter-range per file even though the
+    // sampled range boundaries bleed across cell corners
+    Snapshots.compactZOrder(spark, dir, 64, Seq("a", "b", "c"), bits = 7)
+    val after = m()
+    assert(after.files.size === 64)
+    // every single dimension prunes on its own (loose bounds — range
+    // boundaries are sampled), and the 3-d box multiplies them
+    val kept = Seq("a", "b", "c").map(d =>
+      Snapshots.pruneFiles(after, d, 32L, 63L).size)
+    kept.zip(Seq("a", "b", "c")).foreach { case (k, d) =>
+      assert(k < 48, s"$d-pred must prune 3-d z-ordered files (kept $k/64)") }
+    val boxKept = Snapshots.pruneFiles(after, box).size
+    assert(boxKept <= 12 && boxKept <= kept.min,
+      s"3-d box must touch a fraction of the files (kept $boxKept/64)")
+    // semantics unchanged across the rewrite
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() === 16L * 16 * 16)
+    assert(got.agg(sum("a"), sum("b"), sum("c")).head() ===
+      grid.agg(sum("a"), sum("b"), sum("c")).head())
+  }
+
   test("commitUnique: fresh keys land; dups and replays are refused versionlessly") {
     val dir = freshDir()
     assert(Snapshots.commitUnique(frame(0 until 100, "a"), dir, "id") === 0L)

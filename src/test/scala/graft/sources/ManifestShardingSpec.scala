@@ -145,6 +145,34 @@ class ManifestShardingSpec extends SparkSpec {
     assert(m.dataRows === 20L)
   }
 
+  test("null counts ride segments and prune IS NULL / IS NOT NULL") {
+    val dir = freshDir()
+    val d0 = spark.range(40).select(col("id"),
+      when(col("id") < 20, lit(null).cast("string")).otherwise(lit("x"))
+        .as("note"),
+      (col("id") < 20).cast("string").as("p"))
+    Snapshots.commit(d0, dir, "overwrite", partitionBy = Seq("p"),
+      statsColumns = Seq("id", "note"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    // every file has a recorded count: all-null files included (they
+    // have NO min/max stat, exactly why the count is independent)
+    assert(m.files.forall(f => m.nullCounts.contains((f, "note"))))
+    val isNull = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.IsNull("note")))
+    val notNull = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.IsNotNull("note")))
+    assert(isNull.inputFiles.forall(_.contains("p=true")))
+    assert(notNull.inputFiles.forall(_.contains("p=false")))
+    assert(isNull.filter(col("note").isNull).count() === 20L)
+    assert(notNull.filter(col("note").isNotNull).count() === 20L)
+    // counts survive a metadata-only commit's publish round-trip
+    Snapshots.addCheckConstraint(spark, dir, "ok", "id >= 0",
+      validateExisting = false)
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.nullCounts === m.nullCounts)
+    assert(m1.segments === m.segments, "metadata commit must not reshard")
+  }
+
   test("vacuum sweeps segments no live manifest references") {
     val dir = freshDir()
     Snapshots.commit(frame(0 until 10, "a").repartition(2), dir, "overwrite",
