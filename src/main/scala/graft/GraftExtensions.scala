@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSimilarity.builder))
     // COUNT(*) over a graft relation answers from the manifest ledger
     ext.injectOptimizerRule(graft.plans.MetadataOnlyCount.apply)
+    // the ledger's exact row count reaches Catalyst statistics (CBO
+    // join reordering sees cardinality, not just bytes)
+    ext.injectOptimizerRule(graft.plans.RelationLedgerStats.apply)
     // DELETE FROM / UPDATE / MERGE INTO over a graft relation execute
     // as merge-on-read snapshot commits (post-hoc: the main resolution
     // batch binds their expressions first; checkAnalysis would refuse

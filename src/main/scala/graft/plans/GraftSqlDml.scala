@@ -360,6 +360,21 @@ object GraftSqlDml {
       // join(s): pin it so all consumers see one evaluation
       val srcDf = Bridge.ofRows(spark, source)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // a fact-sized source persists WHOLESALE (determinism demands the
+      // same rows feed the pruning aggs and both joins — Delta pins its
+      // source the same way); surface the cost before it becomes a
+      // silent executor-wide spill. Plan-time estimate, warning only.
+      locally {
+        val est = srcDf.queryExecution.optimizedPlan.stats.sizeInBytes
+        val warnAt = BigInt(spark.conf.get(
+          "spark.graft.merge.sourceWarnBytes", (8L << 30).toString))
+        if (est > warnAt && est < BigInt(Long.MaxValue) / 4)
+          System.err.println(s"[graft] MERGE source estimated at $est " +
+            s"bytes (> spark.graft.merge.sourceWarnBytes=$warnAt): the " +
+            "source is persisted whole for deterministic evaluation — " +
+            "slice the statement (e.g. by key range) or raise the " +
+            "threshold if intended")
+      }
       try {
         val keysDf = srcDf.select(col(sKey).as(tKey)).distinct()
         val (tgtScan, nChosen, nTotal) =

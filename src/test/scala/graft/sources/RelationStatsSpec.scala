@@ -75,6 +75,26 @@ class RelationStatsSpec extends SparkSpec {
       m.files.iterator.map(m.fileBytes).sum)
   }
 
+  test("the ledger row count reaches Catalyst statistics (CBO-visible)") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-rowcount")
+    Snapshots.commit((0L until 123L).map(k => (k, k)).toDF("k", "v"),
+      dir, "overwrite")
+    Snapshots.deleteWhere(spark, dir, col("k") < 3L) // net 120 visible
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = table(dir).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount === Some(BigInt(120)),
+        s"ledger row count must surface in plan statistics, got $stats")
+      assert(stats.sizeInBytes > 0 &&
+        stats.sizeInBytes < BigInt(Long.MaxValue) / 4)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // without CBO the byte figure still serves (broadcast calculus)
+    val plain = table(dir).queryExecution.optimizedPlan.stats
+    assert(plain.sizeInBytes < BigInt(Long.MaxValue) / 4)
+  }
+
   test("a pre-byte-accounting manifest parses and falls back to the default") {
     val s = spark
     import s.implicits._
