@@ -971,6 +971,13 @@ object Snapshots {
 
   private val SegHeader = "graft-segment-v1"
 
+  /** Cap on a manifest's segment-ref count: hitting it folds every
+    * live entry into the commit's fresh segment (amortized
+    * O(files/cap) metadata per commit — see the compaction comment in
+    * [[publishManifest]]).
+    */
+  private val MaxManifestSegments = 32
+
   /** Per-file metadata of one segment entry. */
   private final case class SegEntry(file: String,
                                     stats: Seq[(String, FileStat)],
@@ -1169,6 +1176,16 @@ object Snapshots {
       }
       // else: at most half alive — ref dropped; survivors stay
       // uncovered and fold into this commit's fresh segment
+    }
+    // segment-list compaction (the Delta-checkpoint / Iceberg
+    // rewrite-manifests role): a long append history accumulates one
+    // segment per commit — the ref list and a cold read's parse count
+    // would grow with COMMIT COUNT, not data. Past the cap, fold
+    // everything into this commit's fresh segment: O(table) metadata
+    // once per ~cap commits = amortized O(files/cap) per commit, and
+    // the manifest stays a bounded list however long the history.
+    if (keptRefs.size >= MaxManifestSegments) {
+      keptRefs.clear(); tombstones.clear(); covered.clear()
     }
     val newFiles = m.files.filterNot(covered)
     val newSeg =

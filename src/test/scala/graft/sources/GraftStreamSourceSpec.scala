@@ -101,6 +101,51 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(batches.drop(1).map(_.size) === Seq(2, 2, 2))
   }
 
+  test("sink appId falls back to session checkpoint root + queryName") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = graft.TempDirs.create("gss-sink-root")
+    val root = graft.TempDirs.create("gss-sink-rootckpt")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", root)
+    try {
+      val input = MemoryStream[Long]
+      // no per-query checkpointLocation, no explicit appId: the
+      // stable identity is <session root>/<queryName> — the same path
+      // StreamingQueryManager derives for the checkpoint itself
+      def start() = input.toDF().toDF("id")
+        .writeStream.format("graft")
+        .queryName("gss_root_sink")
+        .outputMode("append")
+        .start(dir)
+      val q = start()
+      try {
+        input.addData(0L until 5L: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // restart: same derived identity — no redelivery
+      val q2 = start()
+      try {
+        input.addData(5L until 8L: _*)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(Snapshots.readVersion(spark, dir).select("id")
+        .collect().map(_.getLong(0)).sorted === (0L until 8L).toArray)
+      // without ANY resolvable identity the sink still refuses loudly
+      val input2 = MemoryStream[Long]
+      spark.conf.unset("spark.sql.streaming.checkpointLocation")
+      val e = intercept[Exception] {
+        val qq = input2.toDF().toDF("id")
+          .writeStream.format("graft").outputMode("append")
+          .start(graft.TempDirs.create("gss-sink-noid"))
+        try qq.processAllAvailable() finally qq.stop()
+      }
+      assert(e.getMessage.contains("appId") ||
+        Option(e.getCause).exists(_.getMessage.contains("appId")))
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("writeStream.format(graft): exactly-once sink through the public API") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

@@ -173,6 +173,27 @@ class ManifestShardingSpec extends SparkSpec {
     assert(m1.segments === m.segments, "metadata commit must not reshard")
   }
 
+  test("segment list stays bounded over a long append history") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 4, "seed").coalesce(1), dir, "overwrite",
+      statsColumns = Seq("id"))
+    (1 to 40).foreach { k =>
+      Snapshots.commit(frame(100 * k until 100 * k + 2, "inc").coalesce(1), dir,
+        "append", statsColumns = Seq("id"))
+    }
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    // 41 commits, but the ref list folded at the cap: bounded refs,
+    // complete view
+    assert(m.segments.size <= 33,
+      s"segment refs must stay bounded, got ${m.segments.size}")
+    assert(m.files.size === 41)
+    assert(m.files.forall(f => m.stats.contains((f, "id"))))
+    assert(Snapshots.readVersion(spark, dir).count() === 84L)
+    // history still time-travels through the fold
+    assert(Snapshots.readVersion(spark, dir, Some(5L)).count() === 14L)
+  }
+
   test("vacuum sweeps segments no live manifest references") {
     val dir = freshDir()
     Snapshots.commit(frame(0 until 10, "a").repartition(2), dir, "overwrite",
