@@ -1782,10 +1782,25 @@ object Snapshots {
       // prune a later column that reuses the name.
       val rev = colMap.map(_.swap)
       val retired = retiredCols.toSet
+      // cold reads parse uncached segments CONCURRENTLY (immutable
+      // files, thread-safe cache) — a many-segment table's first read
+      // is bounded by the largest segment, not the sum; assembly below
+      // stays in ref order for deterministic file ordering
+      val segDatas: Map[String, SegmentData] =
+        if (segRefs.length <= 2)
+          segRefs.iterator.map(rel => rel -> cachedSegment(f, tableDir, rel)).toMap
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration._
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(Future.sequence(segRefs.toVector.map(rel =>
+            Future(rel -> cachedSegment(f, tableDir, rel)))),
+            10.minutes).toMap
+        }
       val segFiles = ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.HashSet.empty[String]
       segRefs.foreach { rel =>
-        cachedSegment(f, tableDir, rel).entries.foreach { e =>
+        segDatas(rel).entries.foreach { e =>
           if (!tombs.contains((rel, e.file)) && seen.add(e.file)) {
             segFiles += e.file
             e.stats.foreach { case (c, st) =>
