@@ -129,6 +129,8 @@ object SparkEntry {
     "u40_sql_bucket_ddl" -> (graft.sources.DemoFixtures.u40SqlBucketDdl _),
     "u41_column_mapping" -> (graft.sources.DemoFixtures.u41ColumnMapping _),
     "u42_null_stats" -> (graft.sources.DemoFixtures.u42NullStats _),
+    "u43_hidden_partitioning" ->
+      (graft.sources.DemoFixtures.u43HiddenPartitioning _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -969,6 +971,29 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT 'not_null', COUNT(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1
         |FROM orders WHERE o_orderstatus <> 'F'
+        |ORDER BY leg""".stripMargin,
+    // u43 oracle: the hidden-partitioning legs replayed relationally
+    // (leg 0 = the pruned half-year range through the transform
+    // layout, leg 1 = the same range after the %10=7 re-keyed INSERT;
+    // dates ride unchanged so the appended rows land in the same
+    // months); pruned/layout_hidden = 1 pin the inputFiles + schema
+    // witnesses
+    "u43_hidden_partitioning" ->
+      """WITH v2 AS (
+        |  SELECT o_orderdate, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderdate, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 = 7)
+        |SELECT CAST(0 AS INT) AS leg, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS pruned, 1 AS layout_hidden
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+        |UNION ALL
+        |SELECT CAST(1 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
+        |FROM v2
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
         |ORDER BY leg""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped

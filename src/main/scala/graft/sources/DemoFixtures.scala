@@ -542,6 +542,74 @@ object DemoFixtures {
       .orderBy("leg")
   }
 
+  /** Demo + oracle entry (`u43_hidden_partitioning`): Iceberg-style
+    * transform partitioning from pure SQL — `PARTITIONED BY
+    * (months(o_orderdate))` clusters the layout by a value DERIVED
+    * from the timestamp while the derived column stays OUT of the
+    * schema; a plain range predicate on o_orderdate prunes the scan
+    * to the covered month dirs because the transform auto-records
+    * tight footer min/max stats on the SOURCE column (see
+    * [[PartitionTransforms]]). Witnesses: `pruned` pins the
+    * inputFiles of a half-year range scan to the matching month dirs,
+    * `layout_hidden` pins the manifest spec + every file in a month
+    * dir + the derived name absent from the SQL-visible schema +
+    * the INSERT INTO tail re-deriving the same layout. The 100 TB
+    * shape: a decade of event-time dirs pruned by ordinary WHERE
+    * clauses, with no partition column for writers to mis-populate.
+    */
+  def u43HiddenPartitioning(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.hp")
+    graft.Tables.orders(s, d).createOrReplaceTempView("hp_src")
+    s.sql(
+      """CREATE TABLE graft_demo.db.hp USING graft
+        |PARTITIONED BY (months(o_orderdate))
+        |AS SELECT * FROM hp_src""".stripMargin)
+    val dir = s"$wh/db/hp"
+    def manifest() = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val mC = manifest()
+    // a source-column range scan touches only the covered month dirs
+    // (boundary month included — midnight min equals the strict bound)
+    val pruned0 = Snapshots.readVersionFiltered(s, dir, Some(mC.version), Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderdate",
+        java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      org.apache.spark.sql.sources.LessThan("o_orderdate",
+        java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))))
+    val inF = pruned0.inputFiles
+    val prunedW =
+      if (inF.nonEmpty && inF.length < mC.files.size &&
+        inF.forall(_.contains("o_orderdate_month=1996-0"))) 1 else 0
+    def leg(n: Int, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(lit(n).cast("int").as("leg"), col("n_orders"), col("total"))
+    val inRange = (df: org.apache.spark.sql.DataFrame) => df.where(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+    val leg0 = leg(0, inRange(pruned0))
+    // the SQL tail append must re-derive the month layout
+    s.sql(
+      """INSERT INTO graft_demo.db.hp
+        |SELECT o_orderkey + 6000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM hp_src WHERE o_orderkey % 10 = 7""".stripMargin)
+    val mA = manifest()
+    val newFiles = mA.files.toSet -- mC.files.toSet
+    val layoutHidden =
+      if (mA.partitionCols == Seq("months(o_orderdate)") &&
+        mA.files.forall(_.contains("o_orderdate_month=")) &&
+        newFiles.nonEmpty &&
+        !s.table("graft_demo.db.hp").schema.fieldNames
+          .contains("o_orderdate_month")) 1 else 0
+    val leg1 = leg(1, inRange(s.table("graft_demo.db.hp")))
+    leg0.unionByName(leg1)
+      .withColumn("pruned", lit(prunedW).cast("int"))
+      .withColumn("layout_hidden", lit(layoutHidden).cast("int"))
+      .orderBy("leg")
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

@@ -81,8 +81,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCols = idTs.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      // hidden-partitioning transforms — encoded into the same spec
+      // strings the Scala `commit(partitionBy)` takes (see
+      // [[PartitionTransforms]]): `PARTITIONED BY (months(o_orderdate),
+      // truncate(4, p_name))` from pure SQL
+      case t if Set("years", "months", "days").contains(t.name) &&
+          t.references.length == 1 =>
+        s"${t.name}(${t.references.head.fieldNames.mkString(".")})"
+      case t if t.name == "truncate" && t.references.length == 1 =>
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"truncate transform needs an integer width: $t"))
+        s"truncate($w, ${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
-        "graft tables support identity partitioning plus at most one " +
+        "graft tables support identity/years/months/days/truncate " +
+          "partitioning plus at most one " +
           s"bucket(n, col) transform, got $other")
     }
     require(bucketTs.size <= 1,
@@ -415,7 +431,14 @@ final case class GraftCatalogTable(ident: Identifier, dir: String,
     JCollections.emptySet[TableCapability]()
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    (partitionCols.map(c => Expressions.identity(c)) ++
+    (partitionCols.map(pc => PartitionTransforms.parse(pc) match {
+      case PartitionTransforms.Identity(c) => Expressions.identity(c)
+      case PartitionTransforms.DateUnit("year", c) => Expressions.years(c)
+      case PartitionTransforms.DateUnit("month", c) => Expressions.months(c)
+      case PartitionTransforms.DateUnit(_, c) => Expressions.days(c)
+      case PartitionTransforms.Truncate(w, c) => Expressions.apply(
+        "truncate", Expressions.literal(w), Expressions.column(c))
+    }) ++
       bucketSpec.map { case (k, n) => Expressions.bucket(n, k) }).toArray
   }
   override def properties(): JMap[String, String] =

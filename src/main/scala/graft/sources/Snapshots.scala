@@ -453,28 +453,41 @@ object Snapshots {
     * manifest line format cannot carry (tab/newline) just records no
     * stat — the file stays unprunable, never wrong.
     */
-  private def partitionStatsOf(rels: Seq[String], pcols: Seq[String],
+  private def partitionStatsOf(rels: Seq[String],
+                               specs: Seq[PartitionTransforms.Spec],
                                schema: org.apache.spark.sql.types.StructType)
       : Map[(String, String), FileStat] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.types._
-    val types = pcols.map(c => c -> schema(c).dataType).toMap
+    val byName = specs.map(sp => sp.derivedName -> sp).toMap
     rels.flatMap { rel =>
       rel.split('/').iterator.filter(_.contains('=')).flatMap { seg =>
         val (c, raw) = seg.splitAt(seg.indexOf('='))
         val v = ExternalCatalogUtils.unescapePathName(raw.drop(1))
-        types.get(c).flatMap {
-          case ByteType | ShortType | IntegerType | LongType =>
-            Some((rel, c) -> FileStat("long", v.toLong.toString, v.toLong.toString))
-          case DateType =>
-            val d = java.time.LocalDate.parse(v).toEpochDay.toString
-            Some((rel, c) -> FileStat("long", d, d))
-          case StringType if !v.exists(ch => ch == '\t' || ch == '\n') =>
-            Some((rel, c) -> FileStat("string", v, v))
-          case _ => None
+        byName.get(c).flatMap { sp =>
+          PartitionTransforms
+            .dirValueStat(sp, schema(sp.source).dataType, v)
+            .map { case (kind, s) => (rel, c) -> FileStat(kind, s, s) }
         }
       }
     }.toMap
+  }
+
+  /** Split a comma-joined partition-spec list at depth-0 commas only
+    * (`a,months(b),truncate(4, c)` → 3 entries — the truncate comma is
+    * inside parens and stays).
+    */
+  private def splitSpecList(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty || out.nonEmpty) out += cur.result()
+    out.toSeq.filter(_.nonEmpty)
   }
 
   private def floorPath(tableDir: String): Path =
@@ -551,14 +564,16 @@ object Snapshots {
     // 100 TB layout (date dirs × key buckets).
     require(partitionBy.distinct.size == partitionBy.size,
       s"duplicate partition columns: $partitionBy")
-    partitionBy.foreach { c =>
-      require(df.columns.contains(c), s"partition column '$c' is not a column")
-      import org.apache.spark.sql.types._
-      val t = df.schema(c).dataType
-      require(t == ByteType || t == ShortType || t == IntegerType ||
-          t == LongType || t == StringType || t == DateType,
-        s"partition column '$c' must be integral, string or date, not $t")
-    }
+    // hidden-partitioning transforms (`months(c)`, `truncate(n, c)`)
+    // parse out of the same spec strings identity columns ride in —
+    // see [[PartitionTransforms]]; the derived layout column must not
+    // shadow a data column (its per-file stats would be consulted for
+    // the wrong values)
+    val partSpecs = partitionBy.map(PartitionTransforms.parse)
+    require(partSpecs.map(_.derivedName).distinct.size == partSpecs.size,
+      s"duplicate derived partition names: $partitionBy")
+    partSpecs.foreach(sp =>
+      PartitionTransforms.validate(sp, df.schema, "partition column"))
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
       require(n >= 1 && n <= 65536, s"numBuckets must be in [1, 65536]: $n")
@@ -625,6 +640,15 @@ object Snapshots {
       case None => (df.schema, Set.empty[String])
       case Some(old) => evolveSchema(old, df.schema, "append")
     }
+    // an appended data column must not collide with the CARRIED
+    // spec's derived partition names either — old files' derived
+    // min=max stats would answer for the new column's values
+    (partSpecs ++ prev.map(_.partitionCols).getOrElse(Nil)
+        .map(PartitionTransforms.parse))
+      .filterNot(_.isIdentity).foreach(sp =>
+        require(!schema.fieldNames.contains(sp.derivedName),
+          s"data column '${sp.derivedName}' collides with the derived " +
+            s"partition name of ${sp.encoded}"))
     // column mapping carries through appends (an overwrite's fresh
     // files write logical names — mapping and ghosts rewrite away);
     // a NEW column whose physical slot is taken gets a fresh one
@@ -690,9 +714,10 @@ object Snapshots {
         //  - both: `k=v/` dirs × one bucket file per dir — time/range
         //    pruning and point-lookup pruning compose per file.
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        val shadowCols = partitionBy.map(PartShadowPrefix + _)
-        val shadowed = partitionBy.foldLeft(batch)((b, c) =>
-          b.withColumn(PartShadowPrefix + c, col(c)))
+        val shadowCols = partSpecs.map(sp => PartShadowPrefix + sp.derivedName)
+        val shadowed = partSpecs.foldLeft(batch)((b, sp) =>
+          b.withColumn(PartShadowPrefix + sp.derivedName,
+            PartitionTransforms.derive(sp, schema(sp.source).dataType)))
         val (toWrite, layoutCols) = bucketBy match {
           case Some((k, n)) =>
             // hash the key AT THE TABLE'S RECORDED TYPE (xxhash64 is
@@ -707,8 +732,10 @@ object Snapshots {
           case None => (shadowed, shadowCols)
         }
         val physWrite = toPhysical(toWrite, colMap)
-        if (layoutCols.isEmpty) physWrite.write.parquet(dataDir.toString)
-        else physWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
+        withMicrosTimestamps(spark) {
+          if (layoutCols.isEmpty) physWrite.write.parquet(dataDir.toString)
+          else physWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
+        }
         // a NULL partition value is refused AFTER the write (it is
         // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
         // the orphaned data dir so the refusal leaves no residue
@@ -732,11 +759,18 @@ object Snapshots {
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
     }
+    // transform partitioning auto-records footer stats on the SOURCE
+    // columns: a months(c)-partitioned file spans one month of c, so
+    // its footer min/max on c is tight and the ordinary stats pruning
+    // path serves source-column predicates — that's what makes the
+    // partitioning "hidden" (no derived column to filter on)
+    val effStatsCols = (statsColumns ++
+      partSpecs.collect { case sp if !sp.isIdentity => sp.source }).distinct
     val fileMetas =
-      if (statsColumns.isEmpty) Nil
+      if (effStatsCols.isEmpty) Nil
       else written.map { rel =>
         rel -> footerColumnMeta(spark, new Path(tableDir, rel),
-          statsColumns.map(c => colMap.getOrElse(c, c)))
+          effStatsCols.map(c => colMap.getOrElse(c, c)))
       }
     val newNulls = fileMetas.flatMap { case (rel, (_, nn)) =>
       nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
@@ -748,7 +782,7 @@ object Snapshots {
       }.toMap: Map[(String, String), FileStat]) ++
         // partition values pin exact min=max stats per file — the
         // stats machinery prunes partition predicates from here on
-        partitionStatsOf(written, partitionBy, schema)
+        partitionStatsOf(written, partSpecs, schema)
     val newBlooms = {
       val physSchema =
         if (colMap.isEmpty) schema
@@ -829,6 +863,24 @@ object Snapshots {
         else col(s"`$c`").as(colMap.getOrElse(c, c))
       }.toIndexedSeq: _*)
     }
+
+  /** Run `body` (a blocking parquet write of TABLE DATA files) with
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, restoring
+    * the session's setting after. Spark's INT96 default writes raw
+    * 12-byte binary footer min/max that are NOT in value order — a
+    * timestamp stats column written as INT96 could never prune (and
+    * [[footerColumnMeta]] refuses non-string Binary stats outright).
+    * Scoped per-write rather than session-wide so the engine does not
+    * change how USER code's own parquet output reads back (pyarrow
+    * surfaces annotated MICROS as tz-aware, INT96 as naive). DV masks
+    * (string path + long index) are unaffected either way.
+    */
+  private def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.get(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(k, old)
+  }
 
   /** Fresh physical names for columns NEW to this commit whose natural
     * physical slot (their own name) is taken — by another column
@@ -1609,7 +1661,15 @@ object Snapshots {
                 Some(FileStat("double", a.toDouble.toString, b.toDouble.toString))
               case (a: java.lang.Double, b: java.lang.Double) =>
                 Some(FileStat("double", a.toString, b.toString))
-              case (a: Binary, b: Binary) =>
+              case (a: Binary, b: Binary)
+                  // ONLY string-annotated BINARY gets a string stat:
+                  // INT96 timestamps (Spark's legacy default) and raw
+                  // binaries also surface Binary min/max here, but
+                  // their byte order is NOT value order — recording
+                  // them as strings would wrongly prune files
+                  if col.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[org.apache.parquet.schema
+                      .LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
                 val (lo, hi) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
                 if ((lo + hi).exists(c => c == '\t' || c == '\n')) None
                 else Some(FileStat("string", lo, hi))
@@ -1743,7 +1803,9 @@ object Snapshots {
         }
         else if (line.startsWith("pending=")) pending = Some(line.stripPrefix("pending="))
         else if (line.startsWith("partcols="))
-          partitionCols = line.stripPrefix("partcols=").split(',').toSeq
+          // paren-aware split: transform specs like `truncate(4, c)`
+          // legally carry a comma inside the parens
+          partitionCols = splitSpecList(line.stripPrefix("partcols="))
             .map(_.trim).filter(_.nonEmpty)
         else if (line.startsWith("colmap=")) {
           line.stripPrefix("colmap=").split('\t') match {
@@ -2187,7 +2249,9 @@ object Snapshots {
     // data side: the appended payloads
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
-    toPhysical(upserts, colMap).write.parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      toPhysical(upserts, colMap).write.parquet(dataDir.toString)
+    }
     val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
     val newFileRows = newFileMeta.view.mapValues(_._1).toMap
     val nAppended = newFileRows.values.sum
@@ -2345,7 +2409,9 @@ object Snapshots {
         .filter(_.endsWith(".parquet")).map(x => s"$dvRel/$x").toSeq.sorted
       val dataRel = f"data/v$version%06d-$tag"
       val dataDir = new Path(tableDir, dataRel)
-      toPhysical(updated, m.colMap).write.parquet(dataDir.toString)
+      withMicrosTimestamps(spark) {
+        toPhysical(updated, m.colMap).write.parquet(dataDir.toString)
+      }
       val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
       val newFileRows = newFileMeta.view.mapValues(_._1).toMap
       val written = newFileRows.keys.toSeq.sorted
@@ -3897,8 +3963,11 @@ object Snapshots {
     val f = fs(spark, tableDir)
     require(latestVersion(spark, tableDir).isEmpty,
       s"$tableDir already has versions")
-    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the schema"))
+    partitionCols.map(PartitionTransforms.parse).foreach { sp =>
+      require(schema.fieldNames.contains(sp.source),
+        s"partition column '${sp.source}' is not in the schema")
+      PartitionTransforms.validate(sp, schema, "partition column")
+    }
     bucketSpec.foreach { case (k, n) =>
       require(schema.fieldNames.contains(k),
         s"bucket key '$k' is not in the schema")
@@ -3927,6 +3996,10 @@ object Snapshots {
       s"$tableDir has no recorded schema to evolve"))
     added.foreach(fd => require(!old.fieldNames.contains(fd.name),
       s"column '${fd.name}' already exists at $tableDir"))
+    val derivedNames = m.partitionCols.map(PartitionTransforms.parse)
+      .filterNot(_.isIdentity).map(_.derivedName).toSet
+    added.foreach(fd => require(!derivedNames.contains(fd.name),
+      s"column '${fd.name}' collides with a derived partition name at $tableDir"))
     val next = m.copy(version = nextV,
       schema = Some(org.apache.spark.sql.types.StructType(
         old.fields ++ added.map(_.copy(nullable = true)))),
@@ -4013,6 +4086,9 @@ object Snapshots {
     require(to.nonEmpty && !to.exists(c =>
         c == '\t' || c == '\n' || c == '\r' || c == '=' || c == ','),
       s"bad column name '$to'")
+    require(!m.partitionCols.map(PartitionTransforms.parse)
+        .filterNot(_.isIdentity).exists(_.derivedName == to),
+      s"column name '$to' collides with a derived partition name at $tableDir")
     val refs = checksReferencing(spark, m.checks, from)
     require(refs.isEmpty,
       s"cannot rename '$from': CHECK constraint(s) ${refs.mkString(", ")} " +
@@ -4030,7 +4106,8 @@ object Snapshots {
         (fl, if (c == from) to else c) -> b },
       nullCounts = m.nullCounts.map { case ((fl, c), n) =>
         (fl, if (c == from) to else c) -> n },
-      partitionCols = m.partitionCols.map(c => if (c == from) to else c),
+      partitionCols = m.partitionCols.map(
+        PartitionTransforms.renameSource(_, from, to)),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
         (if (k == from) to else k, n) },
       pendingMarker = None)
@@ -4056,7 +4133,8 @@ object Snapshots {
       s"$tableDir has no recorded schema to evolve"))
     require(old.fieldNames.contains(name), s"no column '$name' at $tableDir")
     require(old.fields.length > 1, s"cannot drop the last column of $tableDir")
-    require(!m.partitionCols.contains(name),
+    require(!m.partitionCols.exists(pc =>
+        PartitionTransforms.sourceOf(pc) == name),
       s"cannot drop partition column '$name' of $tableDir")
     m.bucketSpec.foreach { case (k, _) =>
       require(k != name, s"cannot drop bucket key '$name' of $tableDir") }
@@ -4345,8 +4423,10 @@ object Snapshots {
     val dataDir = new Path(tableDir, dataRel)
     // rewrite the small files with their masks APPLIED (readFiles
     // anti-joins the version's dvs); the surviving rows land clean
-    readFiles(spark, tableDir, m, small).coalesce(nOut)
-      .write.parquet(dataDir.toString)
+    withMicrosTimestamps(spark) {
+      readFiles(spark, tableDir, m, small).coalesce(nOut)
+        .write.parquet(dataDir.toString)
+    }
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
     // mask consolidation: keep only dv rows that reference CARRIED
