@@ -311,10 +311,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** Remove `.name.replaced-*` aside dirs for `ident`. An aside left
+    * by a crash inside [[promoteStaging]]'s commit window (after the
+    * staging rename, before the aside delete) is STALE the moment a
+    * live table dir exists — the REPLACE succeeded. When the live dir
+    * is then intentionally removed (DROP) or moved (RENAME), a stale
+    * aside must not survive it: [[recoverReplaced]] fires on any
+    * resolution that finds the name absent and would resurrect the
+    * dropped table as its pre-REPLACE contents.
+    */
+  private def purgeAsides(ident: Identifier): Unit = {
+    val ns = nsDir(ident.namespace())
+    if (!fs.exists(ns)) return
+    val prefix = s".${ident.name()}.replaced-"
+    fs.listStatus(ns).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) false
-    else fs.delete(dir, true)
+    else {
+      val ok = fs.delete(dir, true)
+      // the live dir existed, so any aside was stale — a DROP must
+      // not be undone by crash-recovery restoring pre-REPLACE bytes
+      if (ok) purgeAsides(ident)
+      ok
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -326,6 +350,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (newIdent.namespace() :+ newIdent.name()).toSeq)
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
+    // same staleness argument as dropTable: `from` was live, so any
+    // old-name aside was a dead REPLACE artifact — without this purge
+    // the next resolution of the OLD name would resurrect it
+    purgeAsides(oldIdent)
   }
 
   // ---- procedures (the SQL maintenance surface) ----

@@ -4057,10 +4057,13 @@ object Snapshots {
                                 checks: Map[String, String],
                                 name: String): Seq[String] =
     checks.filter { case (_, e) =>
+      // match ANY name part, not just the head: a qualified reference
+      // (`t.price > 0`) must still block a rename/drop of `price`, or
+      // the dangling constraint fails every later commit
       try spark.sessionState.sqlParser.parseExpression(e).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.head
-      }.exists(_.equalsIgnoreCase(name))
+          a.nameParts
+      }.exists(_.exists(_.equalsIgnoreCase(name)))
       catch { case scala.util.control.NonFatal(_) => true }
     }.keys.toSeq
 
@@ -4422,10 +4425,13 @@ object Snapshots {
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
     // rewrite the small files with their masks APPLIED (readFiles
-    // anti-joins the version's dvs); the surviving rows land clean
+    // anti-joins the version's dvs); the surviving rows land clean.
+    // readFiles serves LOGICAL names but the carried manifest keeps
+    // colMap: project back to PHYSICAL before writing, or a renamed
+    // column reads all-NULL from every compacted file.
     withMicrosTimestamps(spark) {
-      readFiles(spark, tableDir, m, small).coalesce(nOut)
-        .write.parquet(dataDir.toString)
+      toPhysical(readFiles(spark, tableDir, m, small), m.colMap)
+        .coalesce(nOut).write.parquet(dataDir.toString)
     }
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
@@ -4462,12 +4468,20 @@ object Snapshots {
           }
         } finally live.unpersist(false)
       }
-    val newStats =
-      if (statsColumns.isEmpty) Map.empty[(String, String), FileStat]
-      else written.flatMap { rel =>
-        footerStats(spark, new Path(tableDir, rel), statsColumns)
-          .map { case (c, st) => (rel, c) -> st }
-      }.toMap
+    // the rewritten files carry PHYSICAL names — read footer stats by
+    // physical name, record them under the LOGICAL key (same dance as
+    // [[commit]]'s fileMetas/physRev)
+    val physRev = m.colMap.map(_.swap)
+    val newMetas =
+      if (statsColumns.isEmpty) Nil
+      else written.map { rel =>
+        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+          statsColumns.map(c => m.colMap.getOrElse(c, c)))
+      }
+    val newStats = newMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
+    val newNulls = newMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
     // exact per-file row + byte accounting from footers (no scan)
     val (dataRows, newFileMeta) = {
       import org.apache.parquet.hadoop.ParquetFileReader
@@ -4495,6 +4509,8 @@ object Snapshots {
           newFileMeta.view.mapValues(_._1).toMap,
         fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
           newFileMeta.view.mapValues(_._2).toMap,
+        nullCounts = m.nullCounts.filter { case ((rel, _), _) => keep(rel) } ++
+          newNulls,
         pendingMarker = None))) {
       f.delete(dataDir, true)
       if (dvs.nonEmpty) // the consolidated mask dir is this commit's too

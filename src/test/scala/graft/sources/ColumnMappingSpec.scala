@@ -124,6 +124,16 @@ class ColumnMappingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.dropColumn(spark, dir, "amount")
     }
+    // a QUALIFIED reference (`t.amount`) must block the rename too —
+    // matching only the head name part would let a dangling
+    // constraint through that fails every later commit
+    Snapshots.addCheckConstraint(spark, dir, "amt_q", "t.amount < 1000000",
+      validateExisting = false)
+    Snapshots.dropCheckConstraint(spark, dir, "amt_ok")
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, dir, "amount", "price")
+    }
+    Snapshots.dropCheckConstraint(spark, dir, "amt_q")
     // renaming a partition column re-keys the spec
     Snapshots.renameColumn(spark, dir, "tag", "label")
     val m = Snapshots.readManifest(spark, dir,
@@ -164,5 +174,40 @@ class ColumnMappingSpec extends SparkSpec {
     assert(m.colMap.isEmpty && m.retiredCols.isEmpty)
     assert(spark.table("gcm.db.cm").count() === 3L)
     spark.sql("DROP TABLE gcm.db.cm")
+  }
+
+  test("rename then compactSmall: rewritten files keep physical names, stats re-key") {
+    val dir = freshDir()
+    // many tiny files so compactSmall has work; stats on both columns
+    Snapshots.commit(frame(0 until 40).repartition(8), dir,
+      "overwrite", statsColumns = Seq("id", "amount"))
+    Snapshots.renameColumn(spark, dir, "amount", "price")
+    // also exercise the dv-consolidation path across the rewrite
+    Snapshots.deleteWhere(spark, dir, col("price") === 100L) // id 10
+    val v = Snapshots.compactSmall(spark, dir, minBytes = 1L << 30,
+      statsColumns = Seq("id", "price"))
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.colMap === Map("price" -> "amount"),
+      "compaction must not fold the mapping away")
+    // the compacted files must carry the PHYSICAL name on disk
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    m.files.foreach { rel =>
+      val raw = spark.read.parquet(new Path(dir, rel).toString)
+      assert(raw.columns.contains("amount") && !raw.columns.contains("price"),
+        s"$rel must store the physical column name")
+    }
+    // the renamed column reads back its VALUES, not NULLs
+    val got = Snapshots.readVersion(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "price", "tag"))
+    assert(got.filter(col("price").isNull).count() === 0L)
+    assert(got.filter(col("price") === col("id") * 10).count() === 39L)
+    // stats recorded under the LOGICAL key so pruning still works
+    assert(m.files.forall(fl => m.stats.contains((fl, "price"))),
+      "compacted files must re-key footer stats to the logical name")
+    // an append after the compaction still flows through the mapping
+    Snapshots.commit(frame(100 until 105).toDF("id", "price", "tag"),
+      dir, "append", statsColumns = Seq("id", "price"))
+    assert(Snapshots.readVersion(spark, dir)
+      .filter(col("price") === col("id") * 10).count() === 44L)
   }
 }

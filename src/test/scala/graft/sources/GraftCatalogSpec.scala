@@ -268,6 +268,40 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.t8r")
   }
 
+  test("DROP and RENAME purge stale REPLACE asides — no resurrection") {
+    init()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t8p")
+    spark.sql("CREATE TABLE graftcat.db.t8p USING graft AS " +
+      "SELECT id FROM RANGE(5)")
+    // simulate a crash AFTER promoteStaging's staging rename but
+    // BEFORE the aside delete: a live table dir AND a stale aside
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$warehouse/db/.t8p.replaced-00c0ffee")
+    fs.mkdirs(stale)
+    // DROP must take the stale aside with it, or the next resolution
+    // resurrects the dropped table as its pre-REPLACE contents
+    spark.sql("DROP TABLE graftcat.db.t8p")
+    assert(!fs.exists(stale), "dropTable must purge stale asides")
+    assert(!spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("t8p"), "dropped table must stay dropped")
+    // same for RENAME: the old name's aside must not survive the move
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t8q")
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.t8s")
+    spark.sql("CREATE TABLE graftcat.db.t8q USING graft AS " +
+      "SELECT id FROM RANGE(7)")
+    val staleQ = new org.apache.hadoop.fs.Path(
+      s"$warehouse/db/.t8q.replaced-00c0ffee")
+    fs.mkdirs(staleQ)
+    spark.sql("ALTER TABLE graftcat.db.t8q RENAME TO db.t8s")
+    assert(!fs.exists(staleQ), "renameTable must purge old-name asides")
+    assert(!spark.sql("SHOW TABLES IN graftcat.db").collect()
+      .map(_.getString(1)).contains("t8q"))
+    assert(spark.table("graftcat.db.t8s").count() === 7L)
+    spark.sql("DROP TABLE graftcat.db.t8s")
+  }
+
   test("CTAS failure leaves no orphan registry entry") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftcat.db.t9")
