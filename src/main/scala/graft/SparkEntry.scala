@@ -898,9 +898,11 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |ORDER BY c_mktsegment""".stripMargin,
     // u36 oracle: the composed-layout table's three legs replayed
     // relationally (leg 0 = the key lookup inside the O partition,
-    // leg 1 = grouped v0, leg 2 = grouped after the %11 delete +
-    // purge); both_dims = 1 pins partition ∧ bucket pruning on one
-    // scan, layout_kept = 1 pins that maintenance preserved both axes
+    // leg 1 = grouped v0, leg 2 = grouped after the P-scoped %11
+    // delete + partial purge — the purge rewrite is O(the P
+    // partition's buckets), not the table); both_dims = 1 pins
+    // partition ∧ bucket pruning on one scan, layout_kept = 1 pins
+    // that maintenance preserved both axes
     "u36_part_bucket" ->
       """SELECT CAST(0 AS INT) AS leg, 'O' AS o_orderstatus,
         |  COUNT(*) AS n_orders,
@@ -914,7 +916,8 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |UNION ALL
         |SELECT CAST(2 AS INT), o_orderstatus, COUNT(*),
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1, 1
-        |FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY o_orderstatus
+        |FROM orders WHERE NOT (o_orderstatus = 'P' AND o_orderkey % 11 = 0)
+        |GROUP BY o_orderstatus
         |ORDER BY leg, o_orderstatus""".stripMargin,
     // u40 oracle: the SQL-declared part×bucket table's three legs
     // replayed relationally (leg 0 = composed pruned lookup, leg 1 =

@@ -699,51 +699,7 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
-      locally {
-        // ONE write job covers every layout combination:
-        //  - partitionBy: shadow copies of the partition columns give
-        //    the dirs `k=v/` while the files KEEP the columns (see
-        //    [[PartShadowPrefix]]); shadow dirs renamed plain after;
-        //  - bucketBy: repartition on the bucket id (each bucket =
-        //    exactly one task) + the bucket id as the INNERMOST
-        //    partition dir, so each (partition-dir, bucket) pair
-        //    yields exactly one file; the bucket dirs are flattened
-        //    right after (bucket id in the NAME, mapping in the
-        //    manifest) — readers get explicit file lists with no
-        //    hive-style discovery to fight;
-        //  - both: `k=v/` dirs × one bucket file per dir — time/range
-        //    pruning and point-lookup pruning compose per file.
-        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
-        val shadowCols = partSpecs.map(sp => PartShadowPrefix + sp.derivedName)
-        val shadowed = partSpecs.foldLeft(batch)((b, sp) =>
-          b.withColumn(PartShadowPrefix + sp.derivedName,
-            PartitionTransforms.derive(sp, schema(sp.source).dataType)))
-        val (toWrite, layoutCols) = bucketBy match {
-          case Some((k, n)) =>
-            // hash the key AT THE TABLE'S RECORDED TYPE (xxhash64 is
-            // type-sensitive): a narrower batch landing in a widened
-            // column must map to the same buckets the typed probe
-            // computes ([[bucketIdsOf]] casts its literals the same way)
-            (shadowed.withColumn(BucketCol,
-                pmod(xxhash64(col(k).cast(schema(k).dataType)),
-                  lit(n.toLong)).cast("int"))
-              .repartition(n, col(BucketCol)),
-             shadowCols :+ BucketCol)
-          case None => (shadowed, shadowCols)
-        }
-        val physWrite = toPhysical(toWrite, colMap)
-        withMicrosTimestamps(spark) {
-          if (layoutCols.isEmpty) physWrite.write.parquet(dataDir.toString)
-          else physWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
-        }
-        // a NULL partition value is refused AFTER the write (it is
-        // only visible as a __HIVE_DEFAULT_PARTITION__ dir) — drop
-        // the orphaned data dir so the refusal leaves no residue
-        if (partitionBy.nonEmpty)
-          try unshadowPartitionDirs(f, dataDir)
-          catch { case e: IllegalArgumentException =>
-            f.delete(dataDir, true); throw e }
-      }
+      writeLayout(spark, f, batch, dataDir, partSpecs, schema, bucketBy, colMap)
     } finally if (pinned) batch.unpersist(false)
     val newBuckets: Map[String, Int] =
       if (bucketBy.isEmpty) Map.empty
@@ -863,6 +819,59 @@ object Snapshots {
         else col(s"`$c`").as(colMap.getOrElse(c, c))
       }.toIndexedSeq: _*)
     }
+
+  /** ONE write job covering every layout combination (the write half
+    * of [[commit]], shared with the subset rewrites like
+    * [[purgeDeletes]]):
+    *  - partition specs: shadow copies of the partition columns give
+    *    the dirs `k=v/` while the files KEEP the columns (see
+    *    [[PartShadowPrefix]]); shadow dirs renamed plain after;
+    *  - bucketBy: repartition on the bucket id (each bucket =
+    *    exactly one task) + the bucket id as the INNERMOST
+    *    partition dir, so each (partition-dir, bucket) pair
+    *    yields exactly one file; the caller flattens the bucket dirs
+    *    after ([[flattenBucketDirs]] — bucket id in the NAME, mapping
+    *    in the manifest);
+    *  - both: `k=v/` dirs × one bucket file per dir — time/range
+    *    pruning and point-lookup pruning compose per file.
+    * `schema` is the table's LOGICAL schema (bucket keys hash at the
+    * RECORDED type — a narrower batch landing in a widened column
+    * must map to the buckets the typed probe computes); `colMap`
+    * projects to physical on-file names. A NULL partition value is
+    * refused AFTER the write (it is only visible as a
+    * `__HIVE_DEFAULT_PARTITION__` dir) — the orphaned data dir is
+    * dropped so the refusal leaves no residue.
+    */
+  private def writeLayout(spark: SparkSession, f: FileSystem,
+                          batch: DataFrame, dataDir: Path,
+                          partSpecs: Seq[PartitionTransforms.Spec],
+                          schema: org.apache.spark.sql.types.StructType,
+                          bucketBy: Option[(String, Int)],
+                          colMap: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val shadowCols = partSpecs.map(sp => PartShadowPrefix + sp.derivedName)
+    val shadowed = partSpecs.foldLeft(batch)((b, sp) =>
+      b.withColumn(PartShadowPrefix + sp.derivedName,
+        PartitionTransforms.derive(sp, schema(sp.source).dataType)))
+    val (toWrite, layoutCols) = bucketBy match {
+      case Some((k, n)) =>
+        (shadowed.withColumn(BucketCol,
+            pmod(xxhash64(col(k).cast(schema(k).dataType)),
+              lit(n.toLong)).cast("int"))
+          .repartition(n, col(BucketCol)),
+         shadowCols :+ BucketCol)
+      case None => (shadowed, shadowCols)
+    }
+    val physWrite = toPhysical(toWrite, colMap)
+    withMicrosTimestamps(spark) {
+      if (layoutCols.isEmpty) physWrite.write.parquet(dataDir.toString)
+      else physWrite.write.partitionBy(layoutCols: _*).parquet(dataDir.toString)
+    }
+    if (partSpecs.nonEmpty)
+      try unshadowPartitionDirs(f, dataDir)
+      catch { case e: IllegalArgumentException =>
+        f.delete(dataDir, true); throw e }
+  }
 
   /** Run `body` (a blocking parquet write of TABLE DATA files) with
     * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`, restoring
@@ -2463,26 +2472,127 @@ object Snapshots {
                       tsMillis: Long): DataFrame =
     readVersion(spark, tableDir, Some(versionAsOf(spark, tableDir, tsMillis)))
 
-  /** Rewrite the latest version with its deletion vectors applied and
-    * commit as an overwrite — the deferred physical half of
-    * [[deleteWhere]]'s logical delete. The new snapshot owns fresh
-    * files and (by overwrite semantics) no dv refs; prior masked
-    * versions remain readable until [[vacuum]]. Run when `history()`'s
-    * `mask_ratio`, the read-path warning ([[warnIfPurgeOverdue]]), or
-    * a shuffle appearing in the read plan says the mask has outgrown
-    * merge-on-read.
+  /** Apply the deletion vectors physically — the deferred half of
+    * [[deleteWhere]]'s logical delete — by rewriting ONLY the files
+    * the mask touches and carrying every clean file BY REFERENCE
+    * (the `REORG ... APPLY (PURGE)` shape): cost is O(masked files),
+    * not O(table). At 100 TB a delete that masked one day's files
+    * purges that day, never the decade — the full-table variant this
+    * replaced was exactly the scale cliff dv masks exist to avoid.
+    * The rewrite keeps the table's layout — rewritten rows land back
+    * in their `k=v/` partition dirs and hash buckets via the same
+    * one-job write path [[commit]] uses ([[writeLayout]]), so a
+    * masked partitioned/bucketed table never silently flattens on
+    * maintenance. Footer stats for the rewritten files are recorded
+    * for `statsColumns` PLUS every column the replaced files had
+    * stats on (pruning must survive maintenance untended); blooms of
+    * rewritten files drop (re-index via [[compactBucketed]]/
+    * [[compact]] variants). The new snapshot has no dv refs; prior
+    * masked versions remain readable until [[vacuum]]. Run when
+    * `history()`'s `mask_ratio`, the read-path warning
+    * ([[warnIfPurgeOverdue]]), or a shuffle appearing in the read
+    * plan says the mask has outgrown merge-on-read. Always consumes a
+    * version (a maskless purge publishes a metadata-only copy) — the
+    * randomized protocol specs model purge as a version bump.
     */
   def purgeDeletes(spark: SparkSession, tableDir: String,
                    statsColumns: Seq[String] = Nil): Long = {
-    val (next, m) = resolveForWrite(spark, tableDir)
-    // the purge rewrite keeps the table's layout — partition dirs AND
-    // bucket clustering: a masked partitioned/bucketed table must not
-    // silently flatten on maintenance (the bucket rewrite is one
-    // repartition of the surviving rows, re-clustering merge payloads
-    // in as a side effect)
-    commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
-      expectedVersion = Some(next), statsColumns = statsColumns,
-      partitionBy = m.partitionCols, bucketBy = m.bucketSpec)
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    def publishOr(cleanup: => Unit)(next: Manifest): Long = {
+      if (!publishManifest(f, tableDir, next)) {
+        cleanup
+        throw new java.util.ConcurrentModificationException(
+          s"version $version of $tableDir was committed concurrently")
+      }
+      version
+    }
+    if (m.dvs.isEmpty)
+      return publishOr(())(m.copy(version = version, pendingMarker = None))
+    // which files does the mask touch? dv rows key by fully-qualified
+    // URI — match manifest rels on the URI tail (uuid-unique commit
+    // dirs; spans the `k=v/` segments; matches borrowed absolute refs
+    // the same way — see [[compactSmall]])
+    val tailRe = "(data/v[^/]+/.+)$"
+    val dvAbs = m.dvs.map(rel =>
+      if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+    // bounded collect: one row per DISTINCT masked file — the set
+    // being rewritten, whose names the manifest already holds
+    // driver-side anyway
+    val maskedTails = spark.read.parquet(dvAbs: _*)
+      .select(regexp_extract(col("file_path"), tailRe, 1).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    def tailOf(rel: String): String = {
+      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
+      if (mt.find()) mt.group(1) else rel
+    }
+    val (masked, carried) = m.files.partition(r => maskedTails.contains(tailOf(r)))
+    if (masked.isEmpty) // mask rows reference no live file: drop them
+      return publishOr(())(m.copy(version = version, dvs = Nil, dvRows = 0L,
+        pendingMarker = None))
+    // the surviving rows of the masked files, mask applied (readFiles
+    // anti-joins the dvs), rewritten back INTO the table's layout
+    val visible = readFiles(spark, tableDir, m, masked)
+    val partSpecs = m.partitionCols.map(PartitionTransforms.parse)
+    val schema = m.schema.getOrElse(visible.schema)
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    writeLayout(spark, f, visible, dataDir, partSpecs, schema,
+      m.bucketSpec, m.colMap)
+    val newBuckets: Map[String, Int] =
+      if (m.bucketSpec.isEmpty) Map.empty
+      else flattenBucketDirs(f, dataDir, dataRel)
+    val written = listDataFiles(f, dataDir, dataRel)
+    // stats: caller's columns ∪ transform sources ∪ whatever the
+    // replaced files had stats on — maintenance must not decay pruning
+    val maskedSet = masked.toSet
+    val inherited = m.stats.keysIterator
+      .collect { case (rel, c) if maskedSet(rel) => c }.toSeq
+    val effStatsCols = (statsColumns ++ inherited ++
+      partSpecs.collect { case sp if !sp.isIdentity => sp.source })
+      .distinct.filter(c => schema.fieldNames.contains(c))
+    val physRev = m.colMap.map(_.swap)
+    val newMetas = written.map { rel =>
+      rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+        effStatsCols.map(c => m.colMap.getOrElse(c, c)))
+    }
+    val newStats = newMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap ++
+      partitionStatsOf(written, partSpecs, schema)
+    val newNulls = newMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val keep = carried.toSet
+    // exact row accounting without scans: carried rows from the
+    // manifest (footer fallback for legacy files), written from the
+    // fresh footers
+    val carriedRows = carried.map { rel =>
+      m.fileRows.getOrElse(rel, {
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      })
+    }.sum
+    publishOr { f.delete(dataDir, true) }(m.copy(version = version,
+      files = carried ++ written,
+      stats = m.stats.filter { case ((rel, _), _) => keep(rel) } ++ newStats,
+      dvs = Nil,
+      dataRows = carriedRows + newFileMeta.valuesIterator.map(_._1).sum,
+      dvRows = 0L,
+      buckets = m.buckets.filter { case (rel, _) => keep(rel) } ++ newBuckets,
+      blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+      fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
+        newFileMeta.view.mapValues(_._1).toMap,
+      fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
+        newFileMeta.view.mapValues(_._2).toMap,
+      nullCounts = m.nullCounts.filter { case ((rel, _), _) => keep(rel) } ++
+        newNulls,
+      pendingMarker = None))
   }
 
   /** The files of `version` that can contain rows with `column` in

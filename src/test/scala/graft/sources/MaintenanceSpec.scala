@@ -18,6 +18,75 @@ class MaintenanceSpec extends SparkSpec {
     ids.map(i => (i.toLong, tag)).toDF("id", "tag")
   }
 
+  test("purgeDeletes rewrites ONLY masked files; clean files carry by reference") {
+    val dir = freshDir()
+    // three disjoint key-range files, stats on id
+    (0 until 3).foreach { i =>
+      Snapshots.commit(frame(i * 100 until i * 100 + 100, s"f$i").coalesce(1),
+        dir, if (i == 0) "overwrite" else "append", statsColumns = Seq("id"))
+    }
+    val m0 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m0.files.size === 3)
+    // mask rows in exactly ONE file (ids 0..99 live in file 0)
+    Snapshots.deleteWhere(spark, dir, col("id") < 10L)
+    val v = Snapshots.purgeDeletes(spark, dir)
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.dvs.isEmpty && m.dvRows === 0L)
+    // the two clean files are the SAME rels — carried, not rewritten
+    val carried = m0.files.filter(m.files.contains)
+    assert(carried.size === 2, s"expected 2 carried files, got $carried")
+    assert(m.files.size === 3 || m.files.size === 2) // 1 rewrite (or empty)
+    // the rewritten file's stats survived the purge (inherited cols)
+    val fresh = m.files.filterNot(m0.files.contains)
+    assert(fresh.nonEmpty && fresh.forall(r => m.stats.contains((r, "id"))),
+      "purge must re-record stats on the rewritten files")
+    // accounting exact; content identical
+    assert(m.dataRows === 290L)
+    assert(Snapshots.readVersion(spark, dir).count() === 290L)
+    assert(Snapshots.readVersion(spark, dir)
+      .filter(col("id") < 10L).count() === 0L)
+    // a maskless purge is a metadata-only version bump (protocol
+    // drivers model purge as consuming a version)
+    val v2 = Snapshots.purgeDeletes(spark, dir)
+    assert(v2 === v + 1)
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.files.toSet === m.files.toSet)
+  }
+
+  test("purgeDeletes keeps partition dirs and bucket ids on the rewritten files") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd")).toDF("id", "p")
+    Snapshots.commit(df, dir, "overwrite",
+      partitionBy = Seq("p"), bucketBy = Some(("id", 4)),
+      statsColumns = Seq("id"))
+    Snapshots.deleteWhere(spark, dir, col("p") === "odd" && col("id") < 100L)
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    val v = Snapshots.purgeDeletes(spark, dir)
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.dvs.isEmpty)
+    // every even-partition file carried untouched
+    val evens0 = m0.files.filter(_.contains("p=even")).toSet
+    assert(evens0.subsetOf(m.files.toSet),
+      "clean partition's files must carry by reference")
+    // rewritten odd files landed back in their partition dir with
+    // bucket ids re-recorded
+    val freshOdd = m.files.filterNot(m0.files.contains)
+    assert(freshOdd.nonEmpty && freshOdd.forall(_.contains("p=odd")))
+    assert(freshOdd.forall(m.buckets.contains),
+      "rewritten files must re-enter the bucket mapping")
+    assert(m.partitionCols === Seq("p") && m.bucketSpec.contains(("id", 4)))
+    // content + bucket-pruned lookup still exact
+    assert(Snapshots.readVersion(spark, dir).count() === 350L)
+    val probe = Snapshots.readVersionFiltered(spark, dir, None, Seq(
+      org.apache.spark.sql.sources.EqualTo("p", "odd"),
+      org.apache.spark.sql.sources.EqualTo("id", 101L)))
+    assert(probe.inputFiles.length < m.files.size)
+    assert(probe.where(col("id") === 101L).count() === 1L)
+  }
+
   test("compactSmall: big file carried by reference, smalls rewritten, masks exact") {
     val dir = freshDir()
     Snapshots.commit(frame(0 until 5000, "big").coalesce(1), dir, "overwrite",
