@@ -82,6 +82,24 @@ object Bench {
       val ts = timings.map(_(n))
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
+    // Environment canary (VERDICT r11 item 3): the driver/solo gap
+    // jumped 1.04x -> 1.75x in one round with no plan regression — a
+    // contention band, not code. Re-time ONE fixed cheap query now
+    // (after the whole suite ran) and report it next to its in-suite
+    // first-pass time: canary_last/canary_first >> 1 inside a run, or
+    // canary_first >> the solo record across runs, measures the
+    // environment inside every bench line instead of leaving the gap
+    // to be inferred from totals. Untimed region; failures degrade to
+    // -1 rather than failing the bench.
+    val canaryName = "q1_lineitem_agg"
+    val canaryFirst = timings.head.getOrElse(canaryName, -1.0)
+    val canaryLast = if (!names.contains(canaryName)) -1.0 else {
+      val t0 = System.nanoTime()
+      materialize(canaryName) match {
+        case Right(_) => (System.nanoTime() - t0) / 1e9
+        case Left(_) => -1.0
+      }
+    }
     // Detail entries CHEAPEST-FIRST so the heaviest queries sit at the
     // END of the line: the driver's bounded tail capture (~2000 chars)
     // keeps the line's tail, and the informative half for regression
@@ -97,7 +115,7 @@ object Bench {
     // recorded "parsed": null for exactly this reason). The short final
     // line always fits; the detail line above it remains grep-able.
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","canary":"$canaryName","canary_first":$canaryFirst,"canary_last":$canaryLast}""")
     spark.stop()
     val distinctFailed = failed.distinct.sorted
     if (distinctFailed.nonEmpty) {

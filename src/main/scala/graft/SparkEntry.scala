@@ -131,6 +131,7 @@ object SparkEntry {
     "u42_null_stats" -> (graft.sources.DemoFixtures.u42NullStats _),
     "u43_hidden_partitioning" ->
       (graft.sources.DemoFixtures.u43HiddenPartitioning _),
+    "u44_hourly_layout" -> (graft.sources.DemoFixtures.u44HourlyLayout _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -998,6 +999,26 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM v2
         |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
         |ORDER BY leg""".stripMargin,
+    // u44 oracle: the hourly hidden layout's legs replayed
+    // relationally over one day of events (leg 0 = the pruned
+    // business-hours range, leg 1 = per-hour counts);
+    // pruned/layout_hidden = 1 pin the inputFiles + schema witnesses
+    "u44_hourly_layout" ->
+      """WITH day AS (
+        |  SELECT ts, value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-01-06 00:00:00')
+        |SELECT CAST(0 AS INT) AS leg, '*' AS hr, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  1 AS pruned, 1 AS layout_hidden
+        |FROM day
+        |WHERE ts >= TIMESTAMP '2024-01-05 09:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-05 15:00:00'
+        |UNION ALL
+        |SELECT CAST(1 AS INT), strftime(ts, '%Y-%m-%d-%H'), COUNT(*),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 1, 1
+        |FROM day GROUP BY 2
+        |ORDER BY leg, hr""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

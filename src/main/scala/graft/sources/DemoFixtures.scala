@@ -638,6 +638,75 @@ object DemoFixtures {
       .orderBy("leg")
   }
 
+  /** Demo + oracle entry (`u44_hourly_layout`): `hours(ts)` transform
+    * partitioning — the reference's consumer grain
+    * (`fct_requests_hourly.sql:1-12`, hour strings `README.md:133`)
+    * as a hidden layout: one day of the events stream lands as 24
+    * `ts_hour=yyyy-MM-dd-HH/` dirs from pure SQL DDL, a 6-hour range
+    * predicate on the SOURCE timestamp prunes the scan to the covered
+    * hour dirs (transform partitioning auto-records tight footer
+    * min/max on `ts`), and the derived column never enters the
+    * schema. Legs: 0 = the pruned business-hours range, 1 = per-hour
+    * counts replayed relationally. The 100 TB shape: an hourly event
+    * lake answers "yesterday 09:00–15:00" reading six dirs of the
+    * day, not the stream's history — and writers cannot mis-populate
+    * a partition column that does not exist.
+    */
+  def u44HourlyLayout(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.ev_hourly")
+    // one calendar day of events — 24 hour dirs is the witness shape;
+    // the day bound rides the CTAS so the demo cost is O(day)
+    graft.Tables.events(s, d)
+      .where(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("ev_day_src")
+    s.sql(
+      """CREATE TABLE graft_demo.db.ev_hourly USING graft
+        |PARTITIONED BY (hours(ts))
+        |AS SELECT * FROM ev_day_src""".stripMargin)
+    val dir = s"$wh/db/ev_hourly"
+    val m = Snapshots.readManifest(s, dir,
+      Snapshots.latestVersion(s, dir).get)
+    val pruned0 = Snapshots.readVersionFiltered(s, dir, Some(m.version), Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2024-01-05 09:00:00")),
+      org.apache.spark.sql.sources.LessThan("ts",
+        java.sql.Timestamp.valueOf("2024-01-05 15:00:00"))))
+    val inF = pruned0.inputFiles
+    // hour 15 may ride along when a row lands exactly on the bound
+    // (min == strict bound; stat overlap is inclusive — conservative)
+    val hourRe = ".*ts_hour=2024-01-05-(09|10|11|12|13|14|15).*"
+    val prunedW =
+      if (inF.nonEmpty && inF.length < m.files.size &&
+        inF.forall(_.matches(hourRe))) 1 else 0
+    val layoutHidden =
+      if (m.partitionCols == Seq("hours(ts)") &&
+        m.files.forall(_.contains("ts_hour=2024-01-05-")) &&
+        !s.table("graft_demo.db.ev_hourly").schema.fieldNames
+          .contains("ts_hour")) 1 else 0
+    val leg0 = pruned0
+      .where(col("ts") >= lit("2024-01-05 09:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-05 15:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(lit(0).cast("int").as("leg"), lit("*").as("hr"),
+        col("n_events"), col("total"))
+    val leg1 = s.table("graft_demo.db.ev_hourly")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd-HH").as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total"))
+      .select(lit(1).cast("int").as("leg"), col("hr"),
+        col("n_events"), col("total"))
+    leg0.unionByName(leg1)
+      .withColumn("pruned", lit(prunedW).cast("int"))
+      .withColumn("layout_hidden", lit(layoutHidden).cast("int"))
+      .orderBy("leg", "hr")
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

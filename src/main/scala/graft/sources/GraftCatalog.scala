@@ -85,7 +85,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // strings the Scala `commit(partitionBy)` takes (see
       // [[PartitionTransforms]]): `PARTITIONED BY (months(o_orderdate),
       // truncate(4, p_name))` from pure SQL
-      case t if Set("years", "months", "days").contains(t.name) &&
+      case t if Set("years", "months", "days", "hours").contains(t.name) &&
           t.references.length == 1 =>
         s"${t.name}(${t.references.head.fieldNames.mkString(".")})"
       case t if t.name == "truncate" && t.references.length == 1 =>
@@ -97,7 +97,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"truncate transform needs an integer width: $t"))
         s"truncate($w, ${t.references.head.fieldNames.mkString(".")})"
       case other => throw new UnsupportedOperationException(
-        "graft tables support identity/years/months/days/truncate " +
+        "graft tables support identity/years/months/days/hours/truncate " +
           "partitioning plus at most one " +
           s"bucket(n, col) transform, got $other")
     }
@@ -463,6 +463,7 @@ final case class GraftCatalogTable(ident: Identifier, dir: String,
       case PartitionTransforms.Identity(c) => Expressions.identity(c)
       case PartitionTransforms.DateUnit("year", c) => Expressions.years(c)
       case PartitionTransforms.DateUnit("month", c) => Expressions.months(c)
+      case PartitionTransforms.DateUnit("hour", c) => Expressions.hours(c)
       case PartitionTransforms.DateUnit(_, c) => Expressions.days(c)
       case PartitionTransforms.Truncate(w, c) => Expressions.apply(
         "truncate", Expressions.literal(w), Expressions.column(c))

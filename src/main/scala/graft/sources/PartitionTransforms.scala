@@ -49,7 +49,12 @@ object PartitionTransforms {
     def derivedName: String = source
     def encoded: String = source
   }
-  /** unit ∈ year | month | day, over a DATE or TIMESTAMP source. */
+  /** unit ∈ year | month | day (DATE or TIMESTAMP source) | hour
+    * (TIMESTAMP source only — a date has no hour to derive). Hour is
+    * the reference's consumer grain (`fct_requests_hourly.sql:1-12`,
+    * hour-of-day `README.md:133`) and the most common event-lake
+    * layout: a day of 100 TB ingest lands as 24 addressable dirs.
+    */
   final case class DateUnit(unit: String, source: String) extends Spec {
     def derivedName: String = s"${source}_$unit"
     def encoded: String = s"${unit}s($source)"
@@ -63,7 +68,7 @@ object PartitionTransforms {
     def encoded: String = s"truncate($width, $source)"
   }
 
-  private val DateUnitRe = """^(years|months|days)\(\s*([^(),\s]+)\s*\)$""".r
+  private val DateUnitRe = """^(years|months|days|hours)\(\s*([^(),\s]+)\s*\)$""".r
   private val TruncRe = """^truncate\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)$""".r
 
   def parse(s: String): Spec = s.trim match {
@@ -74,7 +79,7 @@ object PartitionTransforms {
       Truncate(width, c)
     case plain =>
       require(plain.nonEmpty && !plain.contains("("),
-        s"bad partition spec '$s' (expected a column name, years/months/days(col) or truncate(n, col))")
+        s"bad partition spec '$s' (expected a column name, years/months/days/hours(col) or truncate(n, col))")
       Identity(plain)
   }
 
@@ -84,6 +89,9 @@ object PartitionTransforms {
     */
   def derive(spec: Spec, srcType: DataType): Column = spec match {
     case Identity(c) => col(c)
+    case DateUnit("hour", c) =>
+      // timestamp-only (validated); lexical dir order == chronological
+      date_format(col(c), "yyyy-MM-dd-HH")
     case DateUnit(u, c) =>
       val d = srcType match {
         case TimestampType => to_date(col(c))
@@ -110,6 +118,7 @@ object PartitionTransforms {
     case Identity(_) => srcType
     case DateUnit("year", _)  => IntegerType
     case DateUnit("month", _) => StringType
+    case DateUnit("hour", _)  => StringType
     case DateUnit(_, _)       => DateType
     case Truncate(_, _) => srcType match {
       case StringType => StringType
@@ -129,6 +138,9 @@ object PartitionTransforms {
         require(t == ByteType || t == ShortType || t == IntegerType ||
             t == LongType || t == StringType || t == DateType,
           s"$what '$c' must be integral, string or date, not $t")
+      case DateUnit("hour", c) =>
+        require(t == TimestampType,
+          s"partition transform hours($c) needs a timestamp source, not $t")
       case DateUnit(u, c) =>
         require(t == DateType || t == TimestampType,
           s"partition transform ${u}s($c) needs a date or timestamp source, not $t")

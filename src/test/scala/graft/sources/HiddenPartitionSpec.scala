@@ -93,6 +93,47 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(p2.inputFiles.length < m2.files.size)
   }
 
+  test("hours(timestamp) lays out hour dirs; source ranges prune; date source refused") {
+    val dir = graft.TempDirs.create("hp-hours")
+    // 48 rows spread over two days, one per half-hour-ish step
+    val df = spark.range(0, 48).toDF("id")
+      .withColumn("ts", expr("timestamp_seconds(1704412800 + id * 3600)")) // 2024-01-05 00:00 UTC + id hours
+      .withColumn("v", col("id") * 10L)
+    Snapshots.commit(df, dir, "overwrite", partitionBy = Seq("hours(ts)"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.partitionCols === Seq("hours(ts)"))
+    assert(m.files.forall(_.contains("/ts_hour=")))
+    // derived value is the lexically-ordered hour string, one per file
+    m.files.foreach { f =>
+      val st = m.stats((f, "ts_hour"))
+      assert(st.kind === "string" && st.min === st.max)
+      assert(st.min.matches("""\d{4}-\d{2}-\d{2}-\d{2}"""), st.min)
+    }
+    // hidden: the derived column never enters the schema
+    val back = Snapshots.readVersion(spark, dir)
+    assert(!back.schema.fieldNames.contains("ts_hour"))
+    assert(back.count() === 48)
+    // a source-column range prunes to the covered hour dirs
+    val p = Snapshots.readVersionFiltered(spark, dir, None, Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2024-01-05 06:00:00")),
+      org.apache.spark.sql.sources.LessThan("ts",
+        java.sql.Timestamp.valueOf("2024-01-05 09:00:00"))))
+    assert(p.inputFiles.nonEmpty && p.inputFiles.length < m.files.size)
+    // hour 09 may ride along: its min ts equals the strict upper
+    // bound and stat overlap is inclusive (conservative, never wrong)
+    assert(p.inputFiles.forall(_.matches(".*ts_hour=2024-01-05-0[6789].*")),
+      p.inputFiles.mkString(","))
+    assert(p.where(col("ts") >= "2024-01-05 06:00:00" &&
+      col("ts") < "2024-01-05 09:00:00").count() === 3L)
+    // a DATE source has no hour: refused at validation
+    val dir2 = graft.TempDirs.create("hp-hours-bad")
+    val bad = df.withColumn("dt", expr("to_date(ts)")).select("id", "dt")
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(bad, dir2, "overwrite", partitionBy = Seq("hours(dt)"))
+    }
+  }
+
   test("appends re-derive the carried transform; flat tails stay unpruned but correct") {
     val dir = graft.TempDirs.create("hp-append")
     val orders = graft.Tables.orders(spark, sf)
