@@ -145,9 +145,16 @@ private[sources] object GraftProcedures {
       unit((s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1),
         r.getInt(2), statsColumns = Seq(str(r, 1))))),
     Spec("purge_deletes",
-      "rewrite deletion-vector masks away (keeps the table's layout)",
+      "rewrite deletion-vector masks away (rewrites ONLY masked files, " +
+        "keeps the table's layout)",
       Seq(p("table", StringType)),
       unit((s, dir, r) => Snapshots.purgeDeletes(s, dir))),
+    Spec("checkpoint_metadata",
+      "materialize the latest version's per-file metadata as a parquet " +
+        "checkpoint built by a Spark job (distributed planning for " +
+        "many-file tables)",
+      Seq(p("table", StringType)),
+      unit((s, dir, r) => Snapshots.writeMetadataCheckpoint(s, dir))),
     Spec("vacuum",
       "expire versions below keep_from_version and sweep their files",
       Seq(p("table", StringType), p("keep_from_version", LongType)),

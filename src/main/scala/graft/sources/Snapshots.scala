@@ -1168,6 +1168,211 @@ object Snapshots {
     rel
   }
 
+  // ------------------------------------------------------------------
+  // Distributed metadata checkpoint — the Delta-checkpoint-parquet
+  // role. Driver-side segment assembly is fine to ~10^6 files (the
+  // parse is parallel and LRU-cached), but a 10^7-file table's cold
+  // read should not funnel every per-file row through one process,
+  // and planning should not need the whole file list in driver
+  // memory. A checkpoint materializes one version's per-file metadata
+  // (path, stats, bucket id, row/byte/null counts — blooms stay in
+  // segments: they are point-probe structures, ~KB/file, and the
+  // driver bloom path only loads them for probed columns) as PARQUET
+  // under `_manifests/checkpoints/`, built BY A SPARK JOB that parses
+  // each segment in an executor — the driver never materializes the
+  // union. Pruning then runs as a Spark filter over the checkpoint
+  // reusing FileStat.overlaps VERBATIM, so checkpointed decisions are
+  // the manifest path's by construction, and only the SURVIVING file
+  // names are collected: O(result), not O(table).
+  // ------------------------------------------------------------------
+
+  /** One checkpointed file's metadata (stat/null keys are LOGICAL
+    * column names — the checkpoint is pinned to a version, and a
+    * rename creates a later version with its own checkpoint).
+    */
+  final case class CkptStat(kind: String, min: String, max: String)
+  final case class CkptFile(file: String, bucket: Option[Int],
+                            rows: Option[Long], bytes: Option[Long],
+                            stats: Map[String, CkptStat],
+                            nulls: Map[String, Long])
+
+  /** The light half of [[readManifest]]: manifest-file lines ONLY —
+    * segment refs in order, tombstones, the column mapping, retired
+    * names, and any legacy INLINE per-file metadata — without parsing
+    * a single segment. O(manifest file), which is O(segments +
+    * schema + dvs), not O(files).
+    */
+  private def manifestSkeleton(f: FileSystem, tableDir: String, version: Long)
+      : (Seq[String], Set[(String, String)], Map[String, String],
+         Set[String], Seq[CkptFile]) = {
+    val p = manifestPath(tableDir, version)
+    require(f.exists(p), s"no version $version at $tableDir")
+    val r = new BufferedReader(
+      new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      require(r.readLine() == Header, s"unrecognized manifest format in $p")
+      val segRefs = ArrayBuffer.empty[String]
+      val tombs = scala.collection.mutable.HashSet.empty[(String, String)]
+      val colMap = scala.collection.mutable.Map.empty[String, String]
+      val retired = ArrayBuffer.empty[String]
+      val files = ArrayBuffer.empty[String]
+      val stats = scala.collection.mutable.Map.empty[(String, String), CkptStat]
+      val buckets = scala.collection.mutable.Map.empty[String, Int]
+      val fileRows = scala.collection.mutable.Map.empty[String, Long]
+      val fileBytes = scala.collection.mutable.Map.empty[String, Long]
+      val nulls = scala.collection.mutable.Map.empty[(String, String), Long]
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("segment="))
+          segRefs += line.stripPrefix("segment=").split('\t').head
+        else if (line.startsWith("removed="))
+          line.stripPrefix("removed=").split('\t') match {
+            case Array(rel, file) => tombs += ((rel, file))
+            case _ => ()
+          }
+        else if (line.startsWith("colmap="))
+          line.stripPrefix("colmap=").split('\t') match {
+            case Array(l, ph) => colMap(l) = ph
+            case _ => ()
+          }
+        else if (line.startsWith("retired="))
+          retired += line.stripPrefix("retired=")
+        else if (line.startsWith("file=")) files += line.stripPrefix("file=")
+        else if (line.startsWith("stat="))
+          line.stripPrefix("stat=").split('\t') match {
+            case Array(file, c, kind, min, max) =>
+              stats((file, c)) = CkptStat(kind, min, max)
+            case _ => ()
+          }
+        else if (line.startsWith("bucket="))
+          line.stripPrefix("bucket=").split('\t') match {
+            case Array(rel, b) => buckets(rel) = b.toInt
+            case _ => ()
+          }
+        else if (line.startsWith("frow="))
+          line.stripPrefix("frow=").split('\t') match {
+            case Array(rel, n, b) =>
+              fileRows(rel) = n.toLong; fileBytes(rel) = b.toLong
+            case Array(rel, n) => fileRows(rel) = n.toLong
+            case _ => ()
+          }
+        else if (line.startsWith("nulls="))
+          line.stripPrefix("nulls=").split('\t') match {
+            case Array(rel, c, n) => nulls((rel, c)) = n.toLong
+            case _ => ()
+          }
+        line = r.readLine()
+      }
+      // legacy inline lines speak LOGICAL names already
+      val inline = files.toSeq.map { rel =>
+        CkptFile(rel, buckets.get(rel), fileRows.get(rel), fileBytes.get(rel),
+          stats.collect { case ((r0, c), st) if r0 == rel => c -> st }.toMap,
+          nulls.collect { case ((r0, c), n) if r0 == rel => c -> n }.toMap)
+      }
+      (segRefs.toSeq, tombs.toSet, colMap.toMap, retired.toSet, inline)
+    } finally r.close()
+  }
+
+  private def checkpointDir(tableDir: String, version: Long): Path =
+    new Path(tableDir, f"_manifests/checkpoints/ckpt-v$version%06d")
+
+  /** Materialize `version`'s (default: latest live) per-file metadata
+    * as a parquet checkpoint, built distributed — one Spark task per
+    * segment, tombstones and first-ref-wins dedup applied in the job,
+    * the union never assembled in the driver. Idempotent per version
+    * (an existing checkpoint is reused); concurrent builders race on
+    * an atomic rename and the loser adopts the winner's. Returns the
+    * checkpoint path.
+    */
+  def writeMetadataCheckpoint(spark: SparkSession, tableDir: String,
+                              version: Option[Long] = None): String = {
+    val f = fs(spark, tableDir)
+    val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val out = checkpointDir(tableDir, v)
+    if (f.exists(out)) return out.toString
+    val (segRefs, tombs, colMap, retired, inline) =
+      manifestSkeleton(f, tableDir, v)
+    val rev = colMap.map(_.swap)
+    // hadoop conf rides to executors as plain pairs (Configuration is
+    // Writable, not Java-serializable)
+    val confPairs: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toSeq
+    }
+    val tombsB = spark.sparkContext.broadcast(tombs)
+    val tdir = tableDir
+    import spark.implicits._
+    val fromSegs =
+      if (segRefs.isEmpty) spark.emptyDataset[CkptFile]
+      else spark.sparkContext
+        .parallelize(segRefs.zipWithIndex, math.min(segRefs.size, 64))
+        .flatMap { case (rel, idx) =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confPairs.foreach { case (k, x) => conf.set(k, x) }
+          val fsE = new Path(tdir).getFileSystem(conf)
+          parseSegment(fsE, new Path(tdir, rel)).entries.iterator
+            .filter(e => !tombsB.value.contains((rel, e.file)))
+            .map { e =>
+              // segments speak PHYSICAL names; checkpoint is logical
+              val st = e.stats.collect {
+                case (c, s0) if !retired.contains(c) =>
+                  rev.getOrElse(c, c) -> CkptStat(s0.kind, s0.min, s0.max)
+              }.toMap
+              val nn = e.nulls.collect {
+                case (c, n) if !retired.contains(c) => rev.getOrElse(c, c) -> n
+              }.toMap
+              (e.file, (idx, CkptFile(e.file, e.bucket, e.rows, e.bytes, st, nn)))
+            }
+        }
+        // first-ref-wins dedup, distributed (readManifest's `seen` rule)
+        .reduceByKey((a, b) => if (a._1 <= b._1) a else b)
+        .map(_._2._2).toDS()
+    val ds =
+      if (inline.isEmpty) fromSegs
+      else fromSegs.unionByName(spark.createDataset(inline))
+    val tmp = new Path(tableDir,
+      s"_manifests/checkpoints/.tmp-${UUID.randomUUID().toString.take(8)}")
+    ds.write.parquet(tmp.toString)
+    f.mkdirs(out.getParent)
+    if (!f.rename(tmp, out)) {
+      f.delete(tmp, true) // lost the race: the winner's checkpoint serves
+      require(f.exists(out), s"checkpoint rename to $out failed")
+    }
+    out.toString
+  }
+
+  /** Manifest-stat file pruning AS A SPARK JOB over the version's
+    * checkpoint ([[writeMetadataCheckpoint]] must have run): the same
+    * conjunctive `(column, lo, hi)` contract as [[pruneFiles]],
+    * evaluating [[FileStat.overlaps]] ITSELF inside the filter — the
+    * checkpointed decision is the manifest path's by construction.
+    * Only surviving file names reach the driver: planning a selective
+    * query over a 10^7-file table collects the day's files, never the
+    * table's. Missing-stat files are kept (unknown is never pruned).
+    */
+  def pruneFilesCheckpointed(spark: SparkSession, tableDir: String,
+                             version: Option[Long],
+                             preds: Seq[(String, Any, Any)]): Seq[String] = {
+    val f = fs(spark, tableDir)
+    val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val ck = checkpointDir(tableDir, v)
+    require(f.exists(ck),
+      s"no metadata checkpoint for $tableDir v$v — run writeMetadataCheckpoint")
+    import spark.implicits._
+    val ps = preds // serializable capture (values: literals/timestamps)
+    spark.read.parquet(ck.toString).as[CkptFile]
+      .filter { r =>
+        ps.forall { case (c, lo, hi) =>
+          r.stats.get(c).forall(st =>
+            FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
+        }
+      }
+      .map(_.file).collect().toSeq.sorted
+  }
+
   /** Serialize + atomically publish `m` as `tableDir`'s manifest for
     * its version, sharding per-file metadata into segments (section
     * comment above). Returns false (after cleaning its temp file AND

@@ -210,4 +210,60 @@ class ManifestShardingSpec extends SparkSpec {
     assert(segFiles(dir).size === 1)
     assert(Snapshots.readVersion(spark, dir).count() === 5L)
   }
+
+  test("metadata checkpoint: distributed prune decisions == manifest prune decisions") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // several commits -> several segments; long + string + timestamp
+    // stat kinds; a mask + partial purge to exercise tombstones
+    (0 until 4).foreach { i =>
+      val df = (i * 100 until i * 100 + 100).map { k =>
+        (k.toLong, s"t${k / 100}",
+          java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"))
+      }.toDF("id", "tag", "ts").repartition(3)
+      Snapshots.commit(df, dir, if (i == 0) "overwrite" else "append",
+        statsColumns = Seq("id", "tag", "ts"))
+    }
+    Snapshots.deleteWhere(spark, dir, col("id") < 30L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("id", "tag", "ts"))
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    val ckpt = Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
+    // idempotent: the second call reuses the first's
+    assert(Snapshots.writeMetadataCheckpoint(spark, dir, Some(v)) === ckpt)
+    // the checkpoint's file set IS the manifest's
+    val ckptFiles = spark.read.parquet(ckpt)
+      .select("file").as[String].collect().toSet
+    assert(ckptFiles === m.files.toSet)
+    // identical pruning decisions across kinds and shapes
+    val predSets: Seq[Seq[(String, Any, Any)]] = Seq(
+      Seq(("id", 150L, 250L)),
+      Seq(("id", Long.MinValue, 50L)),
+      Seq(("tag", "t3", "t3")),
+      Seq(("ts", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-03 23:59:59"))),
+      Seq(("id", 150L, 399L),
+        ("ts", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))))
+    predSets.foreach { preds =>
+      val viaManifest = Snapshots.pruneFiles(m, preds).sorted
+      val viaCkpt = Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), preds)
+      assert(viaCkpt === viaManifest, s"prune divergence for $preds")
+      assert(viaCkpt.size < m.files.size, s"nothing pruned for $preds")
+    }
+    // a rename AFTER the checkpoint: the new version checkpoints under
+    // the new logical name and still matches the manifest path
+    Snapshots.renameColumn(spark, dir, "id", "key")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v2))
+    val preds2: Seq[(String, Any, Any)] = Seq(("key", 150L, 250L))
+    assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(v2), preds2)
+      === Snapshots.pruneFiles(m2, preds2).sorted)
+    // no checkpoint for an uncheckpointed version: loud refusal
+    intercept[IllegalArgumentException] {
+      Snapshots.pruneFilesCheckpointed(spark, dir, Some(0L), preds2)
+    }
+  }
 }
