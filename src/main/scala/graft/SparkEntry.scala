@@ -132,6 +132,7 @@ object SparkEntry {
     "u43_hidden_partitioning" ->
       (graft.sources.DemoFixtures.u43HiddenPartitioning _),
     "u44_hourly_layout" -> (graft.sources.DemoFixtures.u44HourlyLayout _),
+    "u45_cbo_reorder" -> (graft.sources.DemoFixtures.u45CboReorder _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1019,6 +1020,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 1, 1
         |FROM day GROUP BY 2
         |ORDER BY leg, hr""".stripMargin,
+    // u45 oracle: the CBO-reordered star join replayed relationally
+    // (reorder must be result-invisible); reordered/ndv_served = 1
+    // pin the plan witnesses (innermost join is dim ⋈ dim, NDV in
+    // attributeStats)
+    "u45_cbo_reorder" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS reordered, 1 AS ndv_served
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -30,6 +30,15 @@ case class RelationLedgerStats(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transform {
       case lr @ LogicalRelation(g: GraftRelation, _, None, _, _)
           if g.ledgerCount.isDefined =>
+        // per-column NDV from the manifest's mergeable HLL sketches
+        // (only columns every live file carries a sketch for): the
+        // distinctCount CBO's join-reorder cardinality model keys on,
+        // exactly what ANALYZE TABLE ... FOR COLUMNS would have
+        // computed — served from metadata, no scan
+        val colStats = g.columnNdvs.map { case (c, ndv) =>
+          c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+            distinctCount = Some(BigInt(ndv)))
+        }
         lr.copy(catalogTable = Some(CatalogTable(
           identifier = TableIdentifier(
             s"graft_${Integer.toHexString(g.tableDir.hashCode)}"),
@@ -39,6 +48,7 @@ case class RelationLedgerStats(spark: SparkSession) extends Rule[LogicalPlan] {
           provider = Some("graft"),
           stats = Some(CatalogStatistics(
             sizeInBytes = BigInt(g.sizeInBytes),
-            rowCount = g.ledgerCount.map(BigInt(_)))))))
+            rowCount = g.ledgerCount.map(BigInt(_)),
+            colStats = colStats)))))
     }
 }

@@ -707,6 +707,86 @@ object DemoFixtures {
       .orderBy("leg", "hr")
   }
 
+  /** Star-schema fixtures WITH per-file NDV sketches on the join keys
+    * (one per JVM, read-only) — the seeds of the CBO join-reorder
+    * demo: distinct counts are what turn plan-time row counts into
+    * join-output cardinality estimates.
+    */
+  def ndvOrders(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"ndvorders:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-ndv-orders")
+      Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
+        ndvColumns = Seq("o_custkey"))
+      dir
+    })
+  def ndvCustomer(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"ndvcustomer:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-ndv-customer")
+      Snapshots.commit(graft.Tables.customer(s, d), dir, "overwrite",
+        ndvColumns = Seq("c_custkey", "c_nationkey"))
+      dir
+    })
+  def ndvNation(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"ndvnation:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-ndv-nation")
+      Snapshots.commit(graft.Tables.nation(s, d), dir, "overwrite",
+        ndvColumns = Seq("n_nationkey"))
+      dir
+    })
+
+  /** Demo + oracle entry (`u45_cbo_reorder`): manifest NDV sketches
+    * driving COST-BASED JOIN REORDERING. The query is written in the
+    * worst order — the 100×-larger fact joined first — and CBO
+    * (ledger row counts from [[graft.plans.RelationLedgerStats]] +
+    * per-column distinctCount merged from the per-file HLL sketches)
+    * re-plans it dim-first: the `reordered` witness pins that the
+    * optimized plan's innermost join holds customer ⋈ nation (not
+    * orders), `ndv_served` pins distinctCount reaching the plan's
+    * attributeStats. Output replays the grouped join relationally.
+    * The 100 TB shape: a wrong 3-table join order materializes a
+    * fact-sized intermediate twice; ANALYZE-grade column stats from
+    * metadata (no scan) are what let the optimizer avoid it.
+    */
+  def u45CboReorder(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = s.read.format("graft").load(ndvOrders(s, d)).as("o")
+    val customer = s.read.format("graft").load(ndvCustomer(s, d)).as("c")
+    val nation = s.read.format("graft").load(ndvNation(s, d)).as("n")
+    val restore = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val joined = orders
+        .join(customer, col("o.o_custkey") === col("c.c_custkey"))
+        .join(nation, col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("n.n_name").as("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+      val opt = joined.queryExecution.optimizedPlan
+      val innerJoin = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.last
+      val ordersDirName = new org.apache.hadoop.fs.Path(
+        ndvOrders(s, d)).getName
+      val reordered =
+        if (!innerJoin.collectLeaves().exists(
+          _.toString.contains(ordersDirName))) 1 else 0
+      val ndvServed =
+        if (opt.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.stats.attributeStats
+        }.exists(_.exists(_._2.distinctCount.isDefined))) 1 else 0
+      joined
+        .withColumn("reordered", lit(reordered).cast("int"))
+        .withColumn("ndv_served", lit(ndvServed).cast("int"))
+        .orderBy("n_name")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** Demo + oracle entry (`u33_partition_count`): grouped and
     * partition-filtered `COUNT(*)` served from the MANIFEST by the
     * extended [[graft.plans.MetadataOnlyCount]] rule — per-file row

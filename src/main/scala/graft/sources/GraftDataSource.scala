@@ -406,6 +406,19 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
     else None
   }
 
+  /** Table-level NDV per column from the manifest's per-file HLL
+    * sketches ([[Snapshots.mergedNdv]]) — only columns EVERY live
+    * file carries a sketch for (a partial union silently
+    * under-counts). What [[graft.plans.RelationLedgerStats]] feeds
+    * CBO join reordering as per-column distinctCount.
+    */
+  private[graft] lazy val columnNdvs: Map[String, Long] = {
+    val m = manifest
+    m.ndvs.keysIterator.map(_._2).toSet.iterator
+      .flatMap((c: String) => Snapshots.mergedNdv(m, c).map(c -> _))
+      .toMap
+  }
+
   override lazy val schema: StructType = manifest.schema.getOrElse {
     require(manifest.files.nonEmpty,
       s"$tableDir v$version has no schema and no files to infer one from")

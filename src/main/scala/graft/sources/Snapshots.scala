@@ -192,7 +192,8 @@ object Snapshots {
                             segments: Seq[String] = Nil,
                             colMap: Map[String, String] = Map.empty,
                             retiredCols: Seq[String] = Nil,
-                            nullCounts: Map[(String, String), Long] = Map.empty) {
+                            nullCounts: Map[(String, String), Long] = Map.empty,
+                            ndvs: Map[(String, String), Array[Byte]] = Map.empty) {
     /** logical → physical (identity when unmapped). */
     def physOf(c: String): String = colMap.getOrElse(c, c)
     /** physical → logical (identity when unmapped). */
@@ -294,6 +295,60 @@ object Snapshots {
           (byName(name), c) -> Bloom(BloomMBits, BloomK, words)
         }
     }.toMap
+  }
+
+  /** Per-file HLL NDV sketches (Apache DataSketches binary, Spark's
+    * own `hll_sketch_agg`) for `columns` of the just-written `rels` —
+    * one job, one pass, same cost shape as [[buildBlooms]]. The
+    * sketches are MERGEABLE: table-level NDV is the union of the
+    * per-file sketches ([[mergedNdv]]), so appends never rescan old
+    * files and the estimate composes across any file subset — the
+    * property a plain per-file distinct count lacks. Columns are read
+    * at the table's recorded type (a widened column's carried
+    * sketches hash the old physical width and are dropped by the
+    * caller, like blooms).
+    */
+  private def buildNdvs(spark: SparkSession, tableDir: String,
+                        rels: Seq[String], columns: Seq[String],
+                        tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Map[(String, String), Array[Byte]] = {
+    import org.apache.spark.sql.functions._
+    if (columns.isEmpty || rels.isEmpty) return Map.empty
+    val byName = rels.map(rel => new Path(tableDir, rel).getName -> rel).toMap
+    require(byName.size == rels.size,
+      "ndv build requires unique file names within the commit")
+    val abs = rels.map(rel => new Path(tableDir, rel).toString)
+    val df = tableSchema.fold(spark.read)(s => spark.read.schema(
+      org.apache.spark.sql.types.StructType(
+        s.fields.filter(f => columns.contains(f.name))))).parquet(abs: _*)
+    df.groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(hll_sketch_agg(col(columns.head)).as(columns.head),
+        columns.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+      .collect() // one row per written file
+      .flatMap { r =>
+        val rel = byName(new Path(r.getString(0)).getName)
+        columns.zipWithIndex.collect {
+          case (c, i) if !r.isNullAt(i + 1) =>
+            (rel, c) -> r.getAs[Array[Byte]](i + 1)
+        }
+      }.toMap
+  }
+
+  /** Merge per-file HLL sketches to one table-level NDV estimate —
+    * DRIVER-side DataSketches union over ~files sketch buffers (no
+    * job). None when `files` has a member without a sketch for the
+    * column: a partial union is a silent UNDER-estimate, and a wrong
+    * NDV misguides CBO worse than no NDV.
+    */
+  private[graft] def mergedNdv(m: Manifest, column: String): Option[Long] = {
+    val sketches = m.files.map(f => m.ndvs.get((f, column)))
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) None
+    else {
+      val u = new org.apache.datasketches.hll.Union(12)
+      sketches.flatten.foreach(sk =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
+      Some(math.round(u.getEstimate))
+    }
   }
 
   /** The k bit positions each literal probes, per (mBits, k) geometry
@@ -552,7 +607,8 @@ object Snapshots {
              bucketBy: Option[(String, Int)] = None,
              pending: Option[String] = None,
              bloomColumns: Seq[String] = Nil,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             ndvColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     // Hive-style partition layout (see [[PartShadowPrefix]]): `k=v/`
     // data dirs, values kept in the files, per-file min=max partition
@@ -687,6 +743,8 @@ object Snapshots {
     }
     bloomColumns.foreach(c => require(df.columns.contains(c),
       s"bloom column '$c' is not a column of the batch"))
+    ndvColumns.foreach(c => require(df.columns.contains(c),
+      s"ndv column '$c' is not a column of the batch"))
     val pinned = checks.nonEmpty
     val batch =
       if (pinned) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -755,6 +813,21 @@ object Snapshots {
     val carriedBlooms = prev.map(_.blooms).getOrElse(
       Map.empty[(String, String), Bloom])
       .filter { case ((_, c), _) => !widenedCols.contains(c) }
+    // per-file NDV sketches (same physical-name/widening dance as
+    // blooms; a widened column's carried sketches hashed the old
+    // width — mixing would double-count, so they drop)
+    val newNdvs = {
+      val physSchema =
+        if (colMap.isEmpty) schema
+        else org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => f.copy(name = colMap.getOrElse(f.name, f.name))))
+      buildNdvs(spark, tableDir, written,
+        ndvColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
+        .map { case ((fl, c), sk) => (fl, physRev.getOrElse(c, c)) -> sk }
+    }
+    val carriedNdvs = prev.map(_.ndvs).getOrElse(
+      Map.empty[(String, String), Array[Byte]])
+      .filter { case ((_, c), _) => !widenedCols.contains(c) }
     // row + byte accounting (footer metadata, no scan): appends extend
     // the predecessor's totals (unknown propagates), overwrites restart;
     // per-file counts feed the grouped/filtered metadata-count rewrites,
@@ -797,7 +870,7 @@ object Snapshots {
         dataRows, dvRows, bucketSpec, buckets, pending,
         carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
         prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
-        carriedNulls ++ newNulls))) {
+        carriedNulls ++ newNulls, carriedNdvs ++ newNdvs))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -1046,7 +1119,8 @@ object Snapshots {
                                     rows: Option[Long],
                                     bytes: Option[Long],
                                     blooms: Seq[(String, Bloom)],
-                                    nulls: Seq[(String, Long)] = Nil)
+                                    nulls: Seq[(String, Long)] = Nil,
+                                    ndvs: Seq[(String, Array[Byte])] = Nil)
 
   private final case class SegmentData(entries: IndexedSeq[SegEntry])
 
@@ -1086,13 +1160,14 @@ object Snapshots {
       val stats = ArrayBuffer.empty[(String, FileStat)]
       val blooms = ArrayBuffer.empty[(String, Bloom)]
       val nulls = ArrayBuffer.empty[(String, Long)]
+      val ndvs = ArrayBuffer.empty[(String, Array[Byte])]
       var bucket: Option[Int] = None
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
       def flush(): Unit = if (file != null) {
         entries += SegEntry(file, stats.toSeq, bucket, rows, bytes,
-          blooms.toSeq, nulls.toSeq)
-        stats.clear(); blooms.clear(); nulls.clear()
+          blooms.toSeq, nulls.toSeq, ndvs.toSeq)
+        stats.clear(); blooms.clear(); nulls.clear(); ndvs.clear()
         bucket = None; rows = None; bytes = None
       }
       var line = r.readLine()
@@ -1114,6 +1189,12 @@ object Snapshots {
         } else if (line.startsWith("nulls=")) {
           line.stripPrefix("nulls=").split('\t') match {
             case Array(c, n) => nulls += (c -> n.toLong)
+            case _ => // ignore malformed (forward compat)
+          }
+        } else if (line.startsWith("ndv=")) {
+          line.stripPrefix("ndv=").split('\t') match {
+            case Array(c, b64) =>
+              ndvs += (c -> java.util.Base64.getDecoder.decode(b64))
             case _ => // ignore malformed (forward compat)
           }
         } else if (line.startsWith("bloom=")) {
@@ -1154,6 +1235,9 @@ object Snapshots {
         }
         e.nulls.sortBy(_._1).foreach { case (c, n) =>
           w.write(s"nulls=$c\t$n\n") }
+        e.ndvs.sortBy(_._1).foreach { case (c, sk) =>
+          w.write(s"ndv=$c\t" +
+            java.util.Base64.getEncoder.encodeToString(sk) + "\n") }
         e.blooms.sortBy(_._1).foreach { case (c, b) =>
           val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
           b.words.foreach(bb.putLong)
@@ -1388,6 +1472,7 @@ object Snapshots {
     val bloomsByFile = m.blooms.groupBy(_._1._1)
     val retired = m.retiredCols.toSet
     val nullsByFile = m.nullCounts.groupBy(_._1._1)
+    val ndvsByFile = m.ndvs.groupBy(_._1._1)
     // segments store PHYSICAL column names (rename = O(1) manifest
     // commit, no per-file metadata moves); the in-memory maps speak
     // logical — translate on the way out and when comparing
@@ -1398,7 +1483,9 @@ object Snapshots {
       bloomsByFile.getOrElse(file, Map.empty).iterator
         .map { case ((_, c), b) => m.physOf(c) -> b }.toSeq,
       nullsByFile.getOrElse(file, Map.empty).iterator
-        .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq)
+        .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq,
+      ndvsByFile.getOrElse(file, Map.empty).iterator
+        .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq)
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
     // as removed-and-readded (rewritten into the fresh segment). A
@@ -1408,10 +1495,16 @@ object Snapshots {
       val ms = statsByFile.getOrElse(e.file, Map.empty)
       val mb = bloomsByFile.getOrElse(e.file, Map.empty)
       val mn = nullsByFile.getOrElse(e.file, Map.empty)
+      val mv = ndvsByFile.getOrElse(e.file, Map.empty)
       val eStats = e.stats.filterNot { case (c, _) => retired.contains(c) }
       val eBlooms = e.blooms.filterNot { case (c, _) => retired.contains(c) }
       val eNulls = e.nulls.filterNot { case (c, _) => retired.contains(c) }
-      mn.size == eNulls.size &&
+      val eNdvs = e.ndvs.filterNot { case (c, _) => retired.contains(c) }
+      mv.size == eNdvs.size &&
+        eNdvs.forall { case (c, sk) =>
+          mv.get((e.file, m.logicalOf.getOrElse(c, c))).exists(x =>
+            (x eq sk) || java.util.Arrays.equals(x, sk)) } &&
+        mn.size == eNulls.size &&
         eNulls.forall { case (c, n) =>
           mn.get((e.file, m.logicalOf.getOrElse(c, c))).contains(n) } &&
         ms.size == eStats.size &&
@@ -1968,6 +2061,8 @@ object Snapshots {
       val fileRows = scala.collection.mutable.Map.empty[String, Long]
       val fileBytes = scala.collection.mutable.Map.empty[String, Long]
       val nullCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      val ndvSketches =
+        scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -2091,6 +2186,9 @@ object Snapshots {
             e.nulls.foreach { case (c, n) =>
               if (!retired.contains(c))
                 nullCounts((e.file, rev.getOrElse(c, c))) = n }
+            e.ndvs.foreach { case (c, sk) =>
+              if (!retired.contains(c))
+                ndvSketches((e.file, rev.getOrElse(c, c))) = sk }
           }
         }
       }
@@ -2098,7 +2196,7 @@ object Snapshots {
         txns.toMap, dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec,
         buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
         fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq,
-        nullCounts.toMap)
+        nullCounts.toMap, ndvSketches.toMap)
     } finally r.close()
   }
 
@@ -2496,6 +2594,7 @@ object Snapshots {
         // a widened column's blooms hashed the old native type — stale
         // indexes would mis-prune, so they go with the widening
         blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
+        ndvs = m.ndvs.filter { case ((_, c), _) => !widenedCols.contains(c) },
         colMap = colMap,
         nullCounts = m.nullCounts ++ newNulls,
         pendingMarker = None))) {
@@ -2637,6 +2736,7 @@ object Snapshots {
           fileRows = m.fileRows ++ newFileRows,
           fileBytes = m.fileBytes ++ newFileMeta.view.mapValues(_._2).toMap,
           blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
+          ndvs = m.ndvs.filter { case ((_, c), _) => !widenedCols.contains(c) },
           pendingMarker = None))) {
         f.delete(dvDir, true)
         f.delete(dataDir, true)
@@ -2791,6 +2891,7 @@ object Snapshots {
       dvRows = 0L,
       buckets = m.buckets.filter { case (rel, _) => keep(rel) } ++ newBuckets,
       blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+      ndvs = m.ndvs.filter { case ((rel, _), _) => keep(rel) },
       fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
         newFileMeta.view.mapValues(_._1).toMap,
       fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
@@ -4356,6 +4457,7 @@ object Snapshots {
       schema = Some(org.apache.spark.sql.types.StructType(
         old.fields.updated(idx, old.fields(idx).copy(dataType = to)))),
       blooms = m.blooms.filter { case ((_, c), _) => c != name },
+      ndvs = m.ndvs.filter { case ((_, c), _) => c != name },
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -4424,6 +4526,8 @@ object Snapshots {
         (fl, if (c == from) to else c) -> b },
       nullCounts = m.nullCounts.map { case ((fl, c), n) =>
         (fl, if (c == from) to else c) -> n },
+      ndvs = m.ndvs.map { case ((fl, c), sk) =>
+        (fl, if (c == from) to else c) -> sk },
       partitionCols = m.partitionCols.map(
         PartitionTransforms.renameSource(_, from, to)),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
@@ -4469,6 +4573,7 @@ object Snapshots {
       stats = m.stats.filterNot(_._1._2 == name),
       blooms = m.blooms.filterNot(_._1._2 == name),
       nullCounts = m.nullCounts.filterNot(_._1._2 == name),
+      ndvs = m.ndvs.filterNot(_._1._2 == name),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -4528,7 +4633,9 @@ object Snapshots {
           // the mapping and retired ghosts must ride the clone
           colMap = m.colMap, retiredCols = m.retiredCols,
           nullCounts = m.nullCounts.map { case ((p, c), n) =>
-            (absolutize(p), c) -> n })))
+            (absolutize(p), c) -> n },
+          ndvs = m.ndvs.map { case ((p, c), sk) =>
+            (absolutize(p), c) -> sk })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L
@@ -4820,6 +4927,7 @@ object Snapshots {
         dvs = dvs, dataRows = dataRows, dvRows = dvRows,
         buckets = m.buckets.filter { case (rel, _) => keep(rel) },
         blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+        ndvs = m.ndvs.filter { case ((rel, _), _) => keep(rel) },
         fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
           newFileMeta.view.mapValues(_._1).toMap,
         fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++

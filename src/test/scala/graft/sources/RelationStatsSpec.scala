@@ -140,4 +140,98 @@ class RelationStatsSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >
       BigInt(Long.MaxValue) / 4)
   }
+
+  test("per-file HLL NDV sketches merge to table NDV; appends extend without rescan") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-ndv")
+    // 4 files, overlapping key sets: per-file distinct ≠ table distinct
+    Snapshots.commit((0L until 4000L).map(i => (i % 1000L, s"t${i % 40}"))
+        .toDF("k", "tag").repartition(4),
+      dir, "overwrite", ndvColumns = Seq("k", "tag"))
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    assert(m0.files.forall(fl =>
+      m0.ndvs.contains((fl, "k")) && m0.ndvs.contains((fl, "tag"))))
+    val ndvK = Snapshots.mergedNdv(m0, "k").get
+    val ndvT = Snapshots.mergedNdv(m0, "tag").get
+    // HLL at lgK=12 is near-exact at these cardinalities
+    assert(math.abs(ndvK - 1000L) <= 20L, s"k ndv $ndvK")
+    assert(ndvT === 40L, s"tag ndv $ndvT")
+    // an append with NEW keys extends the union — no old file rescanned
+    Snapshots.commit((0L until 500L).map(i => (1000L + i, "fresh"))
+        .toDF("k", "tag").coalesce(1),
+      dir, "append", ndvColumns = Seq("k", "tag"))
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    val ndvK1 = Snapshots.mergedNdv(m1, "k").get
+    assert(math.abs(ndvK1 - 1500L) <= 30L, s"k ndv after append $ndvK1")
+    assert(Snapshots.mergedNdv(m1, "tag").get === 41L)
+    // a sketchless append poisons the union: None, never an undercount
+    Snapshots.commit(Seq((9999L, "x")).toDF("k", "tag"), dir, "append")
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(Snapshots.mergedNdv(m2, "k").isEmpty)
+    // rename re-keys the sketches; the renamed column still serves NDV
+    val dir2 = TempDirs.create("stats-ndv-ren")
+    Snapshots.commit((0L until 100L).map(i => (i, i * 2)).toDF("a", "b"),
+      dir2, "overwrite", ndvColumns = Seq("a"))
+    Snapshots.renameColumn(spark, dir2, "a", "a2")
+    val mr = Snapshots.readManifest(spark, dir2,
+      Snapshots.latestVersion(spark, dir2).get)
+    assert(Snapshots.mergedNdv(mr, "a2").get === 100L)
+  }
+
+  test("NDV feeds CBO: join reorder picks the selective dim first") {
+    val s = spark
+    import s.implicits._
+    val factDir = TempDirs.create("cbo-fact")
+    val midDir = TempDirs.create("cbo-mid")
+    val tinyDir = TempDirs.create("cbo-tiny")
+    // fact 60k rows: key k spread over 5k, t over 100
+    Snapshots.commit((0L until 60000L).map(i => (i % 5000L, i % 100L, i))
+        .toDF("k", "t", "payload").repartition(4),
+      factDir, "overwrite", ndvColumns = Seq("k", "t"))
+    // mid 5k rows, unique k (joins 1:many, no reduction)
+    Snapshots.commit((0L until 5000L).map(i => (i, s"m$i")).toDF("k", "mname"),
+      midDir, "overwrite", ndvColumns = Seq("k"))
+    // tiny 10 rows, unique t (selective: keeps 10% of the fact)
+    Snapshots.commit((0L until 10L).map(i => (i, s"t$i")).toDF("t", "tname"),
+      tinyDir, "overwrite", ndvColumns = Seq("t"))
+    val q = () => table(factDir).as("f")
+      .join(table(midDir).as("m"), col("f.k") === col("m.k"))
+      .join(table(tinyDir).as("ty"), col("f.t") === col("ty.t"))
+      .groupBy("tname").agg(count(lit(1)).as("n"))
+    def innermostLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      val inner = joins.last // bottom-most in collect order
+      inner.collectLeaves().map(_.toString)
+    }
+    val dirOf = Map("fact" -> factDir, "mid" -> midDir, "tiny" -> tinyDir)
+    def names(leaves: Seq[String]): Set[String] =
+      dirOf.collect { case (n, d) if leaves.exists(_.contains(
+        new org.apache.hadoop.fs.Path(d).getName)) => n }.toSet
+    // user order without CBO: innermost join is fact ⋈ mid
+    assert(names(innermostLeaves(q())) === Set("fact", "mid"))
+    val restore = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = q()
+      // with ledger row counts + sketch NDVs, the reorder joins the
+      // SELECTIVE tiny dim against the fact first
+      val inner = names(innermostLeaves(df))
+      assert(inner === Set("fact", "tiny"),
+        s"CBO should join the selective dim first, got $inner")
+      // plan stats actually carry the distinct counts
+      val attrStats = df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.stats.attributeStats
+      }
+      assert(attrStats.exists(_.exists(_._2.distinctCount.isDefined)),
+        "NDV must surface in plan attributeStats")
+      assert(df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        === (0 until 10).map(i => s"t$i" -> 600L).toMap)
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
