@@ -1,0 +1,64 @@
+package graft.logs
+
+import graft.SparkSpec
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+
+/** End-to-end drive of the serving loop ([[LogServer]], the twin of
+  * the reference's `serve/api.py`): real HTTP requests against an
+  * ephemeral port, responses compared to the [[LogQueries]] results
+  * they must serve verbatim, and the 400/404 error contract.
+  */
+class LogServerSpec extends SparkSpec {
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(60000)
+    val code = conn.getResponseCode
+    val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    (code, body)
+  }
+
+  test("health, errors_by_endpoint, top_endpoints serve LogQueries verbatim") {
+    val fct = LogFixture.fct(spark).cache()
+    val date = fct.select("date").orderBy("date").head().get(0).toString
+    val srv = new LogServer(() => fct).start()
+    try {
+      val port = srv.boundPort
+      val (hc, hb) = get(port, "/health")
+      assert(hc === 200 && hb.contains("\"status\":\"ok\""))
+
+      val (ec, eb) = get(port, s"/errors_by_endpoint?date=$date")
+      assert(ec === 200)
+      val expected = LogQueries.errorsByEndpoint(fct, date).collect()
+      assert(expected.nonEmpty)
+      // the JSON rows carry the query's exact values in its exact order
+      val pat = """\{"endpoint":"([^"]*)","errors":(\d+),"requests":(\d+)\}""".r
+      val got = pat.findAllMatchIn(eb)
+        .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+      assert(got === expected.toSeq.map(r => (r.getAs[String]("endpoint"),
+        r.getAs[Long]("errors"), r.getAs[Long]("requests"))))
+
+      val (tc, tb) = get(port, s"/top_endpoints?date=$date&limit=2")
+      assert(tc === 200)
+      val patT = """\{"endpoint":"([^"]*)","requests":(\d+),"errors":(\d+)\}""".r
+      val gotT = patT.findAllMatchIn(tb)
+        .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+      val expT = LogQueries.topEndpoints(fct, date, 2).collect().toSeq
+        .map(r => (r.getAs[String]("endpoint"), r.getAs[Long]("requests"),
+          r.getAs[Long]("errors")))
+      assert(gotT === expT && gotT.size === 2)
+
+      // the reference's validation contract: 400s, never stack traces
+      assert(get(port, "/errors_by_endpoint?date=2024-13-77")._1 === 400)
+      assert(get(port, "/errors_by_endpoint")._1 === 400)
+      assert(get(port, s"/top_endpoints?date=$date&limit=0")._1 === 400)
+      assert(get(port, s"/top_endpoints?date=$date&limit=x")._1 === 400)
+      assert(get(port, "/no_such_endpoint")._1 === 404)
+    } finally { srv.stop(); fct.unpersist() }
+  }
+}
