@@ -2558,12 +2558,23 @@ object Snapshots {
         if (maskFiles.nonEmpty) f.delete(dvDir, true)
         Seq.empty
       }
-    // data side: the appended payloads
+    // data side: the appended payloads, landed IN the table's
+    // partition layout (`k=v/` dirs + exact per-file partition stats
+    // below) whenever the batch carries the source columns — without
+    // this every merge grows an unprunable flat tail until a
+    // compaction folds it in; at 100 TB a year of daily CDC merges is
+    // a year of unpruned payload files on every partition-filtered
+    // read. Bucket clustering is deliberately NOT applied (a small
+    // CDC batch repartitioned to n buckets explodes into n tiny
+    // files; [[compactBucketed]] re-clusters the tail when due).
     val dataRel = f"data/v$version%06d-$tag"
     val dataDir = new Path(tableDir, dataRel)
-    withMicrosTimestamps(spark) {
-      toPhysical(upserts, colMap).write.parquet(dataDir.toString)
-    }
+    val paySchema = schema.getOrElse(upserts.schema)
+    val paySpecs = m.partitionCols.map(PartitionTransforms.parse)
+      .filter(sp => upserts.columns.contains(sp.source) &&
+        paySchema.fieldNames.contains(sp.source))
+    writeLayout(spark, f, upserts, dataDir, paySpecs, paySchema,
+      None, colMap)
     val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
     val newFileRows = newFileMeta.view.mapValues(_._1).toMap
     val nAppended = newFileRows.values.sum
@@ -2576,8 +2587,12 @@ object Snapshots {
         rel -> footerColumnMeta(spark, new Path(tableDir, rel),
           statsColumns.map(c => colMap.getOrElse(c, c)))
       }
-    val newStats = mergeMetas.flatMap { case (rel, (st, _)) =>
-      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
+    val newStats = (mergeMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x }
+    }.toMap: Map[(String, String), FileStat]) ++
+      // payload partition dirs pin exact min=max stats per file, so
+      // partition predicates prune the merge tail from day one
+      partitionStatsOf(written, paySpecs, paySchema)
     val newNulls = mergeMetas.flatMap { case (rel, (_, nn)) =>
       nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
     // ONE commit point for mask + append together
@@ -2722,14 +2737,21 @@ object Snapshots {
         .filter(_.endsWith(".parquet")).map(x => s"$dvRel/$x").toSeq.sorted
       val dataRel = f"data/v$version%06d-$tag"
       val dataDir = new Path(tableDir, dataRel)
-      withMicrosTimestamps(spark) {
-        toPhysical(updated, m.colMap).write.parquet(dataDir.toString)
-      }
+      // the re-appended rows land IN the table's partition layout
+      // with exact partition stats — like mergeOnRead's payloads, an
+      // UPDATE tail must not decay partition pruning until compaction
+      val paySchema = schema.getOrElse(updated.schema)
+      val paySpecs = m.partitionCols.map(PartitionTransforms.parse)
+        .filter(sp => updated.columns.contains(sp.source) &&
+          paySchema.fieldNames.contains(sp.source))
+      writeLayout(spark, f, updated, dataDir, paySpecs, paySchema,
+        None, m.colMap)
       val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
       val newFileRows = newFileMeta.view.mapValues(_._1).toMap
       val written = newFileRows.keys.toSeq.sorted
       if (!publishManifest(f, tableDir, m.copy(version = version,
           files = m.files ++ written, schema = schema,
+          stats = m.stats ++ partitionStatsOf(written, paySpecs, paySchema),
           dvs = m.dvs ++ dvs,
           dataRows = addRowCounts(m.dataRows, n),
           dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),

@@ -384,4 +384,55 @@ class PartitionedTableSpec extends SparkSpec {
     assert(o.where("o_orderstatus = 'F'").count() ===
       want.filter(col("o_orderstatus") === "F").count())
   }
+
+  test("DML payloads land in the partition layout and keep pruning") {
+    val s = spark
+    import s.implicits._
+    val dir = graft.TempDirs.create("part-payload")
+    val base = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i * 10L))
+      .toDF("id", "p", "v")
+    Snapshots.commit(base, dir, "overwrite", partitionBy = Seq("p"))
+    // merge-on-read: U + I payloads must land under their k=v dirs
+    val changes = Seq(
+      (5L, "c", 9999L, "U"),   // moves id 5 from a to c
+      (1000L, "b", 1L, "I"),
+      (7L, "", 0L, "D")).toDF("id", "p", "v", "op")
+    Snapshots.mergeOnRead(spark, dir, changes, "id")
+    val m1 = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val payloads1 = m1.files.filterNot(
+      Snapshots.readManifest(spark, dir, 0L).files.contains)
+    assert(payloads1.nonEmpty && payloads1.forall(_.contains("/p=")),
+      s"merge payloads must land in partition dirs: $payloads1")
+    // exact partition stats on the payload files: pruning includes them
+    assert(payloads1.forall(rel => m1.stats.get((rel, "p")).exists(st =>
+      st.min == st.max)), "payload files must carry partition stats")
+    // UPDATE payloads too
+    Snapshots.updateWhere(spark, dir, col("id") === 10L,
+      Map("v" -> lit(123L)))
+    val m2 = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val payloads2 = m2.files.filterNot(m1.files.contains)
+    assert(payloads2.nonEmpty && payloads2.forall(_.contains("/p=")))
+    // a partition-filtered read prunes to the partition's files —
+    // INCLUDING its payloads (content must be complete)
+    val b = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "b")))
+    val bData = b.inputFiles.filter(_.contains("/data/")) // dv scans ride along
+    assert(bData.length < m2.files.size)
+    assert(bData.forall(_.contains("p=b")), bData.mkString(","))
+    val gotB = b.where(col("p") === "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotB.contains(1000L), "inserted payload row must serve from the pruned read")
+    assert(gotB(10L) === 123L, "updated payload row must serve from the pruned read")
+    assert(!gotB.contains(7L), "merge-deleted row must not serve")
+    assert(gotB.size === 100L) // 100 base 'b' rows - deleted 7 + insert
+    // the moved row serves from its NEW partition only
+    val c = Snapshots.readVersionFiltered(spark, dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "c")))
+      .where(col("p") === "c").collect().map(r => r.getLong(0)).toSet
+    assert(c.contains(5L))
+    assert(!b.where(col("p") === "b").collect().map(_.getLong(0)).contains(5L))
+  }
 }
