@@ -149,6 +149,13 @@ private[sources] object GraftProcedures {
         "keeps the table's layout)",
       Seq(p("table", StringType)),
       unit((s, dir, r) => Snapshots.purgeDeletes(s, dir))),
+    Spec("analyze",
+      "backfill per-file NDV sketches for cols (comma-separated) on files " +
+        "missing them — restores table-level column stats for CBO after " +
+        "maintenance; O(missing files)",
+      Seq(p("table", StringType), p("cols", StringType)),
+      unit((s, dir, r) => Snapshots.analyzeNdv(s, dir,
+        str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
     Spec("checkpoint_metadata",
       "materialize the latest version's per-file metadata as a parquet " +
         "checkpoint built by a Spark job (distributed planning for " +

@@ -1615,6 +1615,66 @@ object Snapshots {
     * independently testable. `exprSql` must be a single-line Spark SQL
     * boolean expression (no tab/newline — manifest line format).
     */
+  /** ANALYZE: backfill per-file NDV sketches for `columns` on every
+    * live file MISSING one — the repair that restores table-level NDV
+    * ([[mergedNdv]] refuses partial unions) after maintenance dropped
+    * rewritten files' sketches, or on a table that predates
+    * `ndvColumns`. Cost is O(files missing sketches) — an analyzed
+    * table pays only for what changed, never a full rescan; files
+    * already covered keep their sketches verbatim. One metadata
+    * commit; no-ops versionlessly when nothing is missing. The
+    * ANALYZE TABLE ... FOR COLUMNS role, incremental by construction.
+    */
+  def analyzeNdv(spark: SparkSession, tableDir: String,
+                 columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "analyzeNdv needs at least one column")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to analyze"))
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"analyze column '$c' is not a table column"))
+    val missing = m.files.filter(rel =>
+      columns.exists(c => !m.ndvs.contains((rel, c))))
+    if (missing.isEmpty) return m.version
+    val physSchema =
+      if (m.colMap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(
+        schema.fields.map(fd => fd.copy(name = m.physOf(fd.name))))
+    // borrowed (clone) refs read by absolute path like everywhere else
+    val relToPath = missing.map { rel =>
+      rel -> (if (isBorrowed(rel)) new Path(rel)
+              else new Path(tableDir, rel))
+    }
+    val physRev = m.colMap.map(_.swap)
+    val fresh = {
+      val byName = relToPath.map { case (rel, p) => p.getName -> rel }.toMap
+      require(byName.size == missing.size,
+        "analyze requires unique file names across the missing set")
+      import org.apache.spark.sql.functions._
+      val physCols = columns.map(c => m.physOf(c))
+      val df = spark.read.schema(org.apache.spark.sql.types.StructType(
+          physSchema.fields.filter(fd => physCols.contains(fd.name))))
+        .parquet(relToPath.map(_._2.toString): _*)
+      df.groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(hll_sketch_agg(col(physCols.head)).as(physCols.head),
+          physCols.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+        .collect()
+        .flatMap { r =>
+          val rel = byName(new Path(r.getString(0)).getName)
+          physCols.zipWithIndex.collect {
+            case (c, i) if !r.isNullAt(i + 1) =>
+              (rel, physRev.getOrElse(c, c)) -> r.getAs[Array[Byte]](i + 1)
+          }
+        }.toMap
+    }
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        ndvs = m.ndvs ++ fresh, pendingMarker = None)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    version
+  }
+
   def addCheckConstraint(spark: SparkSession, tableDir: String,
                          name: String, exprSql: String,
                          validateExisting: Boolean = true): Long = {

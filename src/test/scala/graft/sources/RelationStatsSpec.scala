@@ -169,6 +169,29 @@ class RelationStatsSpec extends SparkSpec {
     Snapshots.commit(Seq((9999L, "x")).toDF("k", "tag"), dir, "append")
     val m2 = Snapshots.readManifest(spark, dir, 2L)
     assert(Snapshots.mergedNdv(m2, "k").isEmpty)
+    // ANALYZE repairs it incrementally: only the sketchless file is
+    // scanned, covered files keep their sketches verbatim
+    val va = Snapshots.analyzeNdv(spark, dir, Seq("k", "tag"))
+    val ma = Snapshots.readManifest(spark, dir, va)
+    assert(m2.ndvs.forall { case (key0, sk) =>
+      ma.ndvs.get(key0).exists(_.sameElements(sk)) },
+      "analyze must keep existing sketches verbatim")
+    val ndvRepaired = Snapshots.mergedNdv(ma, "k").get
+    assert(math.abs(ndvRepaired - 1501L) <= 30L, s"repaired ndv $ndvRepaired")
+    assert(Snapshots.mergedNdv(ma, "tag").get === 42L) // + "x"
+    // complete coverage: analyze no-ops without consuming a version
+    assert(Snapshots.analyzeNdv(spark, dir, Seq("k", "tag")) === va)
+    // maintenance drops rewritten files' sketches; analyze restores
+    Snapshots.deleteWhere(spark, dir, col("k") === 0L)
+    Snapshots.purgeDeletes(spark, dir)
+    val mp = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(Snapshots.mergedNdv(mp, "k").isEmpty, "purge drops rewritten sketches")
+    Snapshots.analyzeNdv(spark, dir, Seq("k"))
+    val mf = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val ndvAfterPurge = Snapshots.mergedNdv(mf, "k").get
+    assert(math.abs(ndvAfterPurge - 1500L) <= 30L, s"post-purge ndv $ndvAfterPurge")
     // rename re-keys the sketches; the renamed column still serves NDV
     val dir2 = TempDirs.create("stats-ndv-ren")
     Snapshots.commit((0L until 100L).map(i => (i, i * 2)).toDF("a", "b"),
