@@ -113,7 +113,14 @@ object ScaleSmoke {
       "u41_column_mapping",
       // u42 = null-count pruning (the partitioned write is the linear
       // part; each pruned leg reads only its matching files)
-      "u42_null_stats")
+      "u42_null_stats",
+      // round-12: u43 = hidden transform partitioning (the sliced CTAS
+      // + INSERT tail are the linear parts; the pruned range leg reads
+      // the covered month dirs only), u44 = hourly layout (same shape
+      // at hour grain over events), u45 = CBO reorder (the three
+      // fixture seeds + the reordered join are the linear parts; the
+      // NDV/stat machinery is O(metadata))
+      "u43_hidden_partitioning", "u44_hourly_layout", "u45_cbo_reorder")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
@@ -161,6 +168,20 @@ object ScaleSmoke {
       spark.read.parquet(s"$baseDir/customer.parquet")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
+    // nation copies verbatim too (tiny fixed dim, the u45 star's apex)
+    if (!new java.io.File(s"$outDir/nation.parquet").exists()) {
+      spark.read.parquet(s"$baseDir/nation.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    }
+    // events replicate verbatim with offset ids: timestamps unchanged,
+    // so the K× day holds K× rows in the SAME 24 hour dirs — the u44
+    // hourly layout's per-dir volume grows, its dir count does not
+    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+      val events = spark.read.parquet(s"$baseDir/events.parquet")
+      replicate(events, "event_id", (df, _) => df)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
 
     // ---- time each heavy query at 1× and K× (min of warm iters) ----
