@@ -52,9 +52,15 @@ object Snapshots {
     * un-prunable, never as empty.
     */
   final case class FileStat(kind: String, min: String, max: String) {
+    // a bound the stat's kind cannot coerce (a string literal against
+    // a timestamp-stat column, a malformed value) must KEEP the file,
+    // never throw: pruning is a scan reducer — unknown ≠ empty. The
+    // Option wrappers below encode that: None ⇒ unprunable.
     def overlaps(lo: Any, hi: Any): Boolean = kind match {
-      case "long"   => min.toLong <= asLong(hi) && max.toLong >= asLong(lo)
-      case "double" => min.toDouble <= asDouble(hi) && max.toDouble >= asDouble(lo)
+      case "long"   => asLongOpt(hi).forall(min.toLong <= _) &&
+        asLongOpt(lo).forall(max.toLong >= _)
+      case "double" => asDoubleOpt(hi).forall(min.toDouble <= _) &&
+        asDoubleOpt(lo).forall(max.toDouble >= _)
       case _ =>
         // string stats compare in Java UTF-16 code-unit order, but
         // Spark compares strings as UTF-8 bytes — the orders agree
@@ -69,15 +75,21 @@ object Snapshots {
       * reducer, never a row filter.
       */
     def mayGe(v: Any): Boolean = kind match {
-      case "long"   => max.toLong >= asLong(v)
-      case "double" => max.toDouble >= asDouble(v)
+      case "long"   => asLongOpt(v).forall(max.toLong >= _)
+      case "double" => asDoubleOpt(v).forall(max.toDouble >= _)
       case _ => !FileStat.asciiOnly(max, v.toString) || max >= v.toString
     }
     def mayLe(v: Any): Boolean = kind match {
-      case "long"   => min.toLong <= asLong(v)
-      case "double" => min.toDouble <= asDouble(v)
+      case "long"   => asLongOpt(v).forall(min.toLong <= _)
+      case "double" => asDoubleOpt(v).forall(min.toDouble <= _)
       case _ => !FileStat.asciiOnly(min, v.toString) || min <= v.toString
     }
+    private def asLongOpt(a: Any): Option[Long] =
+      try Some(asLong(a))
+      catch { case scala.util.control.NonFatal(_) => None }
+    private def asDoubleOpt(a: Any): Option[Double] =
+      try Some(asDouble(a))
+      catch { case scala.util.control.NonFatal(_) => None }
     private def asLong(a: Any): Long = a match {
       case n: Number => n.longValue()
       case d: java.sql.Date => d.toLocalDate.toEpochDay

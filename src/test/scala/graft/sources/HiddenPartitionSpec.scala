@@ -266,6 +266,54 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("DML payloads re-derive the transform layout; purge keeps it") {
+    val dir = graft.TempDirs.create("hp-dml")
+    val df = spark.range(0, 120).toDF("id")
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + id * 86400)")) // 2024-01-01 + id days
+      .withColumn("v", col("id") * 10L)
+    Snapshots.commit(df, dir, "overwrite", partitionBy = Seq("months(ts)"))
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    // merge-on-read: the payload must land under its derived month dir
+    val s = spark
+    import s.implicits._
+    val changes = Seq(
+      (5L, java.sql.Timestamp.valueOf("2024-01-06 00:00:00"), 555L, "U"),
+      (500L, java.sql.Timestamp.valueOf("2024-03-15 00:00:00"), 1L, "I"))
+      .toDF("id", "ts", "v", "op")
+    Snapshots.mergeOnRead(spark, dir, changes, "id")
+    val m1 = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val pay = m1.files.filterNot(m0.files.contains)
+    assert(pay.nonEmpty && pay.forall(_.contains("/ts_month=2024-0")),
+      s"merge payloads must re-derive the month layout: $pay")
+    // derived min=max month stats pinned on the payloads: they prune
+    assert(pay.forall(rel => m1.stats.get((rel, "ts_month"))
+      .exists(st => st.min == st.max)))
+    // updateWhere payload too
+    Snapshots.updateWhere(spark, dir, col("id") === 40L,
+      Map("v" -> org.apache.spark.sql.functions.lit(9L)))
+    val m2 = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m2.files.filterNot(m1.files.contains)
+      .forall(_.contains("/ts_month=2024-02"))) // id 40 = 2024-02-10
+    // partial purge of a masked month keeps every file in month dirs
+    Snapshots.deleteWhere(spark, dir,
+      col("ts") >= "2024-02-01" && col("ts") < "2024-02-10")
+    Snapshots.purgeDeletes(spark, dir)
+    val mp = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(mp.dvs.isEmpty)
+    assert(mp.partitionCols === Seq("months(ts)"))
+    assert(mp.files.forall(_.contains("/ts_month=")),
+      s"purge must keep the transform layout: ${mp.files.filterNot(_.contains("/ts_month="))}")
+    // content exact after the whole protocol
+    val got = Snapshots.readVersion(spark, dir)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(5L) === 555L && got(500L) === 1L && got(40L) === 9L)
+    assert(!got.keySet.exists(id => id >= 31 && id <= 39), "feb 1-9 deleted")
+    assert(got.size === 120 + 1 - 9) // base + insert - deleted days
+  }
+
   test("null source values are refused at write, leaving no residue") {
     val dir = graft.TempDirs.create("hp-null")
     val df = spark.range(0, 10).toDF("id")
