@@ -120,7 +120,12 @@ object ScaleSmoke {
       // at hour grain over events), u45 = CBO reorder (the three
       // fixture seeds + the reordered join are the linear parts; the
       // NDV/stat machinery is O(metadata))
-      "u43_hidden_partitioning", "u44_hourly_layout", "u45_cbo_reorder")
+      "u43_hidden_partitioning", "u44_hourly_layout", "u45_cbo_reorder",
+      // u46 = distributed metadata planning (the three sliced commits
+      // + checkpoint job are the linear parts; the checkpoint-planned
+      // read scans only the surviving year's files — planning cost is
+      // O(metadata), a Spark job, never an O(table) driver parse)
+      "u46_metadata_checkpoint")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

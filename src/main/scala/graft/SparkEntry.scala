@@ -133,6 +133,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u43HiddenPartitioning _),
     "u44_hourly_layout" -> (graft.sources.DemoFixtures.u44HourlyLayout _),
     "u45_cbo_reorder" -> (graft.sources.DemoFixtures.u45CboReorder _),
+    "u46_metadata_checkpoint" ->
+      (graft.sources.DemoFixtures.u46MetadataCheckpoint _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1033,6 +1035,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    // u46 oracle: the checkpoint-planned range scan replayed
+    // relationally (planning must be result-invisible);
+    // identical_decisions/pruned = 1 pin the Spark-job pruning ==
+    // manifest pruning witness and the actual file skipping
+    "u46_metadata_checkpoint" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS identical_decisions, 1 AS pruned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

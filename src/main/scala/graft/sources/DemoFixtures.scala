@@ -707,6 +707,74 @@ object DemoFixtures {
       .orderBy("leg", "hr")
   }
 
+  /** Orders as three year-sliced commits (ingest locality: per-file
+    * o_orderdate stats are TIGHT) with a metadata checkpoint written
+    * once — the seed of the distributed-planning demo. The slice is a
+    * THREE-YEAR window around the witness year: the demo's legs all
+    * filter inside 1996, so trimming 1992–94/1998 is result-invisible
+    * (the u43 cached-slice lesson — witnesses don't need the full
+    * corpus). One source scan feeds all three commits. Read-only;
+    * built + checkpointed once per JVM.
+    */
+  def checkpointedOrders(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"ckptorders:$d", {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.TempDirs.create("graft-fixture-ckpt")
+      val orders = graft.Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1998-01-01")
+        .localCheckpoint()
+      val slices = Seq(("1995-01-01", "1996-01-01"),
+        ("1996-01-01", "1997-01-01"), ("1997-01-01", "1998-01-01"))
+      slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+        Snapshots.commit(
+          orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .coalesce(2),
+          dir, if (i == 0) "overwrite" else "append",
+          statsColumns = Seq("o_orderdate", "o_orderkey"))
+      }
+      Snapshots.writeMetadataCheckpoint(s, dir)
+      dir
+    })
+
+  /** Demo + oracle entry (`u46_metadata_checkpoint`): DISTRIBUTED
+    * metadata planning — the version's per-file metadata materialized
+    * as parquet by a Spark job ([[Snapshots.writeMetadataCheckpoint]],
+    * the Delta-checkpoint role) and a date-range scan PLANNED as a
+    * Spark filter over it ([[Snapshots.pruneFilesCheckpointed]],
+    * `FileStat.overlaps` verbatim), so only surviving file names
+    * reach the driver. Witnesses: `identical_decisions` pins the
+    * checkpointed file set equal to the manifest path's for the same
+    * predicates, `pruned` pins that the range actually skipped files.
+    * The grouped result serves THROUGH the checkpoint-planned read
+    * and replays relationally. The 100 TB shape: planning a one-day
+    * query over a 10^7-file table is a Spark job collecting the
+    * day's file names — never an O(table) driver parse.
+    */
+  def u46MetadataCheckpoint(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = checkpointedOrders(s, d)
+    val v = Snapshots.latestVersion(s, dir).get
+    val m = Snapshots.readManifest(s, dir, v)
+    val preds: Seq[(String, Any, Any)] = Seq(("o_orderdate",
+      java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))
+    val viaCkpt = Snapshots.pruneFilesCheckpointed(s, dir, Some(v), preds)
+    val viaManifest = Snapshots.pruneFiles(m, preds).sorted
+    val identical = if (viaCkpt == viaManifest) 1 else 0
+    val prunedW = if (viaCkpt.nonEmpty && viaCkpt.size < m.files.size) 1 else 0
+    Snapshots.readVersionCheckpointed(s, dir, Some(v), preds)
+      .where(col("o_orderdate") >= "1996-01-01" &&
+        col("o_orderdate") < "1997-01-01")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .withColumn("identical_decisions", lit(identical).cast("int"))
+      .withColumn("pruned", lit(prunedW).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Star-schema fixtures WITH per-file NDV sketches on the join keys
     * (one per JVM, read-only) — the seeds of the CBO join-reorder
     * demo: distinct counts are what turn plan-time row counts into

@@ -1439,6 +1439,24 @@ object Snapshots {
     out.toString
   }
 
+  /** [[readVersionPruned]]'s checkpoint-planned twin: the surviving
+    * files come from [[pruneFilesCheckpointed]]'s Spark-job pruning,
+    * then serve through the ordinary manifest read (schema, column
+    * mapping, DV masks all apply). The caller still applies the row
+    * filter — pruning is a scan reducer, never a semantic change.
+    */
+  def readVersionCheckpointed(spark: SparkSession, tableDir: String,
+                              version: Option[Long],
+                              preds: Seq[(String, Any, Any)]): DataFrame = {
+    val m = resolveForRead(spark, tableDir, version)
+    val keep = pruneFilesCheckpointed(spark, tableDir, Some(m.version), preds)
+    require(keep.nonEmpty || m.files.isEmpty,
+      s"every file pruned — read the unpruned version for schema-only results")
+    // checkpoint rows are unordered; serve in manifest file order
+    val keepSet = keep.toSet
+    readFiles(spark, tableDir, m, m.files.filter(keepSet))
+  }
+
   /** Manifest-stat file pruning AS A SPARK JOB over the version's
     * checkpoint ([[writeMetadataCheckpoint]] must have run): the same
     * conjunctive `(column, lo, hi)` contract as [[pruneFiles]],

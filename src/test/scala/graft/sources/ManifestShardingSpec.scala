@@ -252,6 +252,18 @@ class ManifestShardingSpec extends SparkSpec {
       assert(viaCkpt === viaManifest, s"prune divergence for $preds")
       assert(viaCkpt.size < m.files.size, s"nothing pruned for $preds")
     }
+    // the checkpoint-PLANNED read serves the same rows as the full
+    // read under the same row filter (pruning reduces the scan, never
+    // the semantics), and its inputFiles really are the pruned set
+    val servePreds: Seq[(String, Any, Any)] = Seq(("id", 150L, 250L))
+    val served = Snapshots
+      .readVersionCheckpointed(spark, dir, Some(v), servePreds)
+      .where(col("id").between(150L, 250L))
+    val full = Snapshots.readVersion(spark, dir, Some(v))
+      .where(col("id").between(150L, 250L))
+    assert(served.collect().toSet === full.collect().toSet)
+    assert(served.inputFiles.length ===
+      Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), servePreds).size)
     // a rename AFTER the checkpoint: the new version checkpoints under
     // the new logical name and still matches the manifest path
     Snapshots.renameColumn(spark, dir, "id", "key")
