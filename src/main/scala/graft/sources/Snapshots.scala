@@ -1439,22 +1439,44 @@ object Snapshots {
     out.toString
   }
 
-  /** [[readVersionPruned]]'s checkpoint-planned twin: the surviving
-    * files come from [[pruneFilesCheckpointed]]'s Spark-job pruning,
-    * then serve through the ordinary manifest read (schema, column
-    * mapping, DV masks all apply). The caller still applies the row
-    * filter — pruning is a scan reducer, never a semantic change.
+  /** [[readVersionPruned]]'s checkpoint-planned twin, O(result) in the
+    * driver END TO END: version resolution and liveness use the THIN
+    * manifest parse (small file only — schema, column mapping, DV
+    * refs, pending marker; the sharded per-file metadata is never
+    * assembled), pruning runs as a Spark job over the checkpoint
+    * ([[pruneFilesCheckpointed]]), and only the surviving file names
+    * reach the driver to build the scan. Schema, column mapping and
+    * DV masks all apply through the ordinary [[readFiles]] path. The
+    * caller still applies the row filter — pruning is a scan reducer,
+    * never a semantic change.
     */
   def readVersionCheckpointed(spark: SparkSession, tableDir: String,
                               version: Option[Long],
                               preds: Seq[(String, Any, Any)]): DataFrame = {
-    val m = resolveForRead(spark, tableDir, version)
-    val keep = pruneFilesCheckpointed(spark, tableDir, Some(m.version), preds)
-    require(keep.nonEmpty || m.files.isEmpty,
+    val f = fs(spark, tableDir)
+    val thin = version match {
+      case Some(v) =>
+        require(f.exists(manifestPath(tableDir, v)),
+          s"no version $v at $tableDir")
+        val t = readManifestThin(spark, tableDir, v)
+        require(manifestLive(spark, t, forWrite = false),
+          s"version $v of $tableDir belongs to an uncommitted or aborted " +
+            "transaction")
+        t
+      case None =>
+        val raw = latestVersion(spark, tableDir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $tableDir"))
+        lastLive(spark, tableDir, raw, forWrite = false, thin = true)
+          .map(_._2).getOrElse(throw new IllegalArgumentException(
+            s"no live version at $tableDir"))
+    }
+    val keep = pruneFilesCheckpointed(spark, tableDir, Some(thin.version), preds)
+    // the ledger row count stands in for "is the table empty" — a thin
+    // manifest's files list says nothing on a sharded table
+    require(keep.nonEmpty || thin.dataRows == 0L,
       s"every file pruned — read the unpruned version for schema-only results")
-    // checkpoint rows are unordered; serve in manifest file order
-    val keepSet = keep.toSet
-    readFiles(spark, tableDir, m, m.files.filter(keepSet))
+    readFiles(spark, tableDir, thin, keep)
   }
 
   /** Manifest-stat file pruning AS A SPARK JOB over the version's
@@ -1870,12 +1892,16 @@ object Snapshots {
     * does not exist, which ends the walk.
     */
   private def lastLive(spark: SparkSession, tableDir: String, from: Long,
-                       forWrite: Boolean): Option[(Long, Manifest)] = {
+                       forWrite: Boolean,
+                       thin: Boolean = false): Option[(Long, Manifest)] = {
     val f = fs(spark, tableDir)
     var v = from
     while (v >= 0) {
       if (!f.exists(manifestPath(tableDir, v))) return None // vacuumed
-      val m = readManifest(spark, tableDir, v)
+      // liveness reads only the pending marker — a thin parse decides
+      // it without assembling the sharded per-file metadata
+      val m = if (thin) readManifestThin(spark, tableDir, v)
+              else readManifest(spark, tableDir, v)
       if (manifestLive(spark, m, forWrite)) return Some((v, m))
       v -= 1
     }
@@ -2123,7 +2149,24 @@ object Snapshots {
     * segments. Legacy flat manifests (inline per-file lines) parse
     * unchanged — the next commit shards them.
     */
-  def readManifest(spark: SparkSession, tableDir: String, version: Long): Manifest = {
+  def readManifest(spark: SparkSession, tableDir: String, version: Long): Manifest =
+    parseManifest(spark, tableDir, version, assembleSegments = true)
+
+  /** Small-manifest-only parse: schema, column mapping, DV refs, txn
+    * watermarks, pending marker, ledger counts — everything EXCEPT the
+    * sharded per-file metadata (`files`/`stats`/`blooms` hold only
+    * legacy inline lines; on a sharded table `files` is EMPTY). Driver
+    * cost is O(segments + tombstones) however many files the table
+    * holds — the per-file half is the checkpoint job's business
+    * ([[pruneFilesCheckpointed]]). Never hand a thin manifest to a
+    * path that enumerates `m.files`.
+    */
+  private def readManifestThin(spark: SparkSession, tableDir: String,
+                               version: Long): Manifest =
+    parseManifest(spark, tableDir, version, assembleSegments = false)
+
+  private def parseManifest(spark: SparkSession, tableDir: String,
+                            version: Long, assembleSegments: Boolean): Manifest = {
     val f = fs(spark, tableDir)
     val p = manifestPath(tableDir, version)
     require(f.exists(p), s"no version $version at $tableDir")
@@ -2248,7 +2291,8 @@ object Snapshots {
       // is bounded by the largest segment, not the sum; assembly below
       // stays in ref order for deterministic file ordering
       val segDatas: Map[String, SegmentData] =
-        if (segRefs.length <= 2)
+        if (!assembleSegments) Map.empty
+        else if (segRefs.length <= 2)
           segRefs.iterator.map(rel => rel -> cachedSegment(f, tableDir, rel)).toMap
         else {
           import scala.concurrent.{Await, ExecutionContext, Future}
@@ -2260,7 +2304,7 @@ object Snapshots {
         }
       val segFiles = ArrayBuffer.empty[String]
       val seen = scala.collection.mutable.HashSet.empty[String]
-      segRefs.foreach { rel =>
+      if (assembleSegments) segRefs.foreach { rel =>
         segDatas(rel).entries.foreach { e =>
           if (!tombs.contains((rel, e.file)) && seen.add(e.file)) {
             segFiles += e.file
@@ -5083,6 +5127,20 @@ object Snapshots {
       // the feed-discovery marker goes with its manifest — a fresh
       // stream checkpoint must not discover an expired version
       f.delete(new Path(commitMarkerDir(tableDir), f"v$v%06d.marker"), false)
+      // a metadata checkpoint describes exactly one version — expired
+      // with it (a later writeMetadataCheckpoint of a live version
+      // rebuilds; a tmp dir left by a crashed builder falls under the
+      // orphan sweep below)
+      f.delete(checkpointDir(tableDir, v), true)
+    }
+    // crashed checkpoint builders leave `.tmp-*` dirs that no rename
+    // ever claimed — reap them past the same orphan cutoff that
+    // protects in-flight builds
+    val ckptRoot = new Path(tableDir, "_manifests/checkpoints")
+    if (f.exists(ckptRoot)) f.listStatus(ckptRoot).foreach { st =>
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < System.currentTimeMillis() - orphanRetainMs)
+        f.delete(st.getPath, true)
     }
     // sweep commit dirs with no live file left — each data/dv dir
     // belongs to exactly one commit, so dir-level liveness is well

@@ -200,15 +200,29 @@ class ManifestShardingSpec extends SparkSpec {
       statsColumns = Seq("id"))
     Snapshots.commit(frame(10 until 20, "b").repartition(2), dir, "append",
       statsColumns = Seq("id"))
+    // checkpoint v1 BEFORE it expires — vacuum must take the dead
+    // version's checkpoint with its manifest
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(1L))
     // overwrite orphans both earlier segments version-wise
     Snapshots.commit(frame(0 until 5, "c").repartition(1), dir, "overwrite",
       statsColumns = Seq("id"))
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(2L))
+    // a crashed checkpoint builder's unclaimed tmp dir
+    val ckptRoot = new java.io.File(dir, "_manifests/checkpoints")
+    val orphanTmp = new java.io.File(ckptRoot, ".tmp-deadbeef")
+    assert(orphanTmp.mkdirs())
     assert(segFiles(dir).size === 3)
     // negative retain => the cutoff is in the future: everything
     // unreferenced goes now (test-only; production keeps the default)
     Snapshots.vacuum(spark, dir, keepFromVersion = 2L, orphanRetainMs = -5000L)
     assert(segFiles(dir).size === 1)
     assert(Snapshots.readVersion(spark, dir).count() === 5L)
+    // the expired version's checkpoint and the tmp orphan are gone;
+    // the live version's checkpoint still serves
+    assert(!new java.io.File(ckptRoot, "ckpt-v000001").exists())
+    assert(!orphanTmp.exists())
+    assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(2L),
+      Seq(("id", 0L, 100L))).nonEmpty)
   }
 
   test("metadata checkpoint: distributed prune decisions == manifest prune decisions") {
@@ -264,6 +278,11 @@ class ManifestShardingSpec extends SparkSpec {
     assert(served.collect().toSet === full.collect().toSet)
     assert(served.inputFiles.length ===
       Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), servePreds).size)
+    // latest-version resolution (None) rides the thin parse too
+    val servedLatest = Snapshots
+      .readVersionCheckpointed(spark, dir, None, servePreds)
+      .where(col("id").between(150L, 250L))
+    assert(servedLatest.collect().toSet === full.collect().toSet)
     // a rename AFTER the checkpoint: the new version checkpoints under
     // the new logical name and still matches the manifest path
     Snapshots.renameColumn(spark, dir, "id", "key")
