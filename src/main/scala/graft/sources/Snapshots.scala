@@ -1287,10 +1287,18 @@ object Snapshots {
     * rename creates a later version with its own checkpoint).
     */
   final case class CkptStat(kind: String, min: String, max: String)
+  /** One checkpointed file entry. `stats`/`nulls` keys are PHYSICAL
+    * column names (a segment's vocabulary — readers translate through
+    * the column mapping current at THEIR version, so one checkpoint
+    * keeps serving across later renames/drops); `seg` is the segment
+    * the entry came from (None only for legacy inline manifest lines,
+    * which speak logical names and are never served across versions).
+    */
   final case class CkptFile(file: String, bucket: Option[Int],
                             rows: Option[Long], bytes: Option[Long],
                             stats: Map[String, CkptStat],
-                            nulls: Map[String, Long])
+                            nulls: Map[String, Long],
+                            seg: Option[String] = None)
 
   /** The light half of [[readManifest]]: manifest-file lines ONLY —
     * segment refs in order, tombstones, the column mapping, retired
@@ -1386,10 +1394,15 @@ object Snapshots {
     val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     val out = checkpointDir(tableDir, v)
-    if (f.exists(out)) return out.toString
-    val (segRefs, tombs, colMap, retired, inline) =
+    if (f.exists(out)) {
+      // checkpoints from before the segment-provenance format (no
+      // `seg` column) cannot serve tail replay — rebuild in place
+      if (spark.read.parquet(out.toString).schema.fieldNames.contains("seg"))
+        return out.toString
+      f.delete(out, true)
+    }
+    val (segRefs, tombs, _, _, inline) =
       manifestSkeleton(f, tableDir, v)
-    val rev = colMap.map(_.swap)
     // hadoop conf rides to executors as plain pairs (Configuration is
     // Writable, not Java-serializable)
     val confPairs: Seq[(String, String)] = {
@@ -1411,15 +1424,14 @@ object Snapshots {
           parseSegment(fsE, new Path(tdir, rel)).entries.iterator
             .filter(e => !tombsB.value.contains((rel, e.file)))
             .map { e =>
-              // segments speak PHYSICAL names; checkpoint is logical
-              val st = e.stats.collect {
-                case (c, s0) if !retired.contains(c) =>
-                  rev.getOrElse(c, c) -> CkptStat(s0.kind, s0.min, s0.max)
-              }.toMap
-              val nn = e.nulls.collect {
-                case (c, n) if !retired.contains(c) => rev.getOrElse(c, c) -> n
-              }.toMap
-              (e.file, (idx, CkptFile(e.file, e.bucket, e.rows, e.bytes, st, nn)))
+              // entries verbatim in the segments' PHYSICAL vocabulary,
+              // with their source segment — readers translate and
+              // tail-replay against the version THEY serve
+              val st = e.stats.iterator
+                .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
+                .toMap
+              (e.file, (idx, CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
+                e.nulls.toMap, Some(rel))))
             }
         }
         // first-ref-wins dedup, distributed (readManifest's `seen` rule)
@@ -1479,14 +1491,38 @@ object Snapshots {
     readFiles(spark, tableDir, thin, keep)
   }
 
-  /** Manifest-stat file pruning AS A SPARK JOB over the version's
-    * checkpoint ([[writeMetadataCheckpoint]] must have run): the same
+  /** Newest checkpointed version at or below `v`, from the checkpoint
+    * dir listing alone — O(checkpoints), no manifest reads.
+    */
+  private def newestCheckpointAtOrBefore(f: FileSystem, tableDir: String,
+                                         v: Long): Option[Long] = {
+    val root = new Path(tableDir, "_manifests/checkpoints")
+    if (!f.exists(root)) None
+    else f.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("ckpt-v"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("ckpt-v").toLong).toOption)
+      .filter(_ <= v).maxOption
+  }
+
+  /** Manifest-stat file pruning AS A SPARK JOB over the NEWEST
+    * checkpoint at or below the read version, PLUS the metadata tail
+    * written since — the Delta checkpoint+json-tail model, so a
+    * checkpoint does not have to exist per version. The same
     * conjunctive `(column, lo, hi)` contract as [[pruneFiles]],
     * evaluating [[FileStat.overlaps]] ITSELF inside the filter — the
-    * checkpointed decision is the manifest path's by construction.
+    * checkpointed decision is the manifest path's by construction:
+    * checkpoint rows keep only entries whose segment the read version
+    * still references and that its tombstones have not removed, column
+    * names translate from the segments' physical vocabulary through
+    * the mapping current at the READ version (renames/drops after the
+    * checkpoint apply), and segments the checkpoint never saw parse
+    * through the shared driver cache — O(metadata since checkpoint).
     * Only surviving file names reach the driver: planning a selective
     * query over a 10^7-file table collects the day's files, never the
     * table's. Missing-stat files are kept (unknown is never pruned).
+    * A file re-referenced by several segments carries its footer
+    * stats verbatim in each (files are immutable), so duplicate
+    * entries agree and first-ref order cannot change a decision.
     */
   def pruneFilesCheckpointed(spark: SparkSession, tableDir: String,
                              version: Option[Long],
@@ -1494,19 +1530,58 @@ object Snapshots {
     val f = fs(spark, tableDir)
     val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
-    val ck = checkpointDir(tableDir, v)
-    require(f.exists(ck),
-      s"no metadata checkpoint for $tableDir v$v — run writeMetadataCheckpoint")
+    val cv = newestCheckpointAtOrBefore(f, tableDir, v).getOrElse(
+      throw new IllegalArgumentException(s"no metadata checkpoint for " +
+        s"$tableDir at or below v$v — run writeMetadataCheckpoint"))
+    val ck = checkpointDir(tableDir, cv)
+    val raw = spark.read.parquet(ck.toString)
+    require(raw.schema.fieldNames.contains("seg"),
+      s"checkpoint $ck predates the segment-provenance format — rebuild " +
+        "it with writeMetadataCheckpoint")
+    val (segV, tombsV, colMapV, retiredV, inlineV) =
+      manifestSkeleton(f, tableDir, v)
+    val revV = colMapV.map(_.swap)
+    val segSet = segV.toSet
+    val ps = preds // serializable captures (literals/timestamps + maps)
+    // checkpoint rows speak PHYSICAL names — translate through the
+    // mapping current at v; retired-at-v columns drop (their stats
+    // describe a dead column's values)
+    def toLogical(r: CkptFile): CkptFile = r.copy(
+      stats = r.stats.collect { case (c, st) if !retiredV.contains(c) =>
+        revV.getOrElse(c, c) -> st },
+      nulls = r.nulls.collect { case (c, n) if !retiredV.contains(c) =>
+        revV.getOrElse(c, c) -> n })
+    def surviving(r: CkptFile): Boolean = ps.forall { case (c, lo, hi) =>
+      r.stats.get(c).forall(st =>
+        FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
+    }
     import spark.implicits._
-    val ps = preds // serializable capture (values: literals/timestamps)
-    spark.read.parquet(ck.toString).as[CkptFile]
-      .filter { r =>
-        ps.forall { case (c, lo, hi) =>
-          r.stats.get(c).forall(st =>
-            FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
-        }
-      }
-      .map(_.file).collect().toSeq.sorted
+    val ds = raw.as[CkptFile]
+    // segments the checkpoint covers — everything else is the tail
+    // (self-contained: derived from the checkpoint itself, no read of
+    // the checkpointed version's manifest)
+    val covered =
+      if (cv == v) segSet
+      else ds.flatMap(_.seg).distinct().collect().toSet
+    val fromCkpt = ds
+      .filter { r: CkptFile => r.seg.exists(rel =>
+        segSet.contains(rel) && !tombsV.contains((rel, r.file))) }
+      .map(toLogical _).filter(surviving _).map(_.file).collect().toSeq
+    // the tail: segments committed (or folded in) after the checkpoint,
+    // parsed through the shared driver cache — the Delta json-tail role
+    val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
+      cachedSegment(f, tableDir, rel).entries.iterator
+        .filter(e => !tombsV.contains((rel, e.file)))
+        .map(e => CkptFile(e.file, e.bucket, e.rows, e.bytes,
+          e.stats.iterator
+            .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
+            .toMap,
+          e.nulls.toMap, Some(rel)))
+        .map(toLogical).filter(surviving).map(_.file)
+    }.toSeq
+    // legacy inline manifest lines speak logical names at v already
+    val fromInline = inlineV.filter(surviving).map(_.file)
+    (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
   }
 
   /** Serialize + atomically publish `m` as `tableDir`'s manifest for
@@ -1652,6 +1727,24 @@ object Snapshots {
       // by the next stream start's sweep
       try writeCommitMarker(f, tableDir, f"v${m.version}%06d")
       catch { case _: java.io.IOException => () }
+      // opt-in auto-checkpoint (graft.checkpoint.autoEvery = N > 0):
+      // every Nth committed version materializes its metadata
+      // checkpoint at commit time, Delta-style; tail replay
+      // ([[pruneFilesCheckpointed]]) covers the versions in between.
+      // Skips pending (txn) manifests — their liveness is undecided.
+      // Best-effort: a checkpoint is an optimization and must never
+      // fail the commit that produced the data.
+      if (m.pendingMarker.isEmpty)
+        org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+          val every = scala.util.Try(
+            s.conf.getOption("graft.checkpoint.autoEvery")
+              .map(_.toInt).getOrElse(0)).getOrElse(0)
+          if (every > 0 && m.version % every == 0)
+            try writeMetadataCheckpoint(s, tableDir, Some(m.version))
+            catch { case e: Exception =>
+              log.warn(s"auto-checkpoint of $tableDir v${m.version} " +
+                s"failed: ${e.getMessage}") }
+        }
     }
     ok
   }

@@ -297,4 +297,70 @@ class ManifestShardingSpec extends SparkSpec {
       Snapshots.pruneFilesCheckpointed(spark, dir, Some(0L), preds2)
     }
   }
+
+  test("checkpoint + tail replay: a head without its own checkpoint plans " +
+    "from the newest checkpoint plus the metadata written since") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    def batch(lo: Int, day: Int) = (lo until lo + 100).map { k =>
+      (k.toLong, s"t${k / 100}",
+        java.sql.Timestamp.valueOf(f"2024-02-$day%02d 12:00:00"))
+    }.toDF("id", "tag", "ts").repartition(3)
+    Snapshots.commit(batch(0, 1), dir, "overwrite",
+      statsColumns = Seq("id", "tag", "ts"))
+    Snapshots.commit(batch(100, 2), dir, "append",
+      statsColumns = Seq("id", "tag", "ts"))
+    val vCk = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(vCk))
+    // the tail: two appends, a delete + purge (tombstones + a fold),
+    // and a RENAME — none of them checkpointed
+    Snapshots.commit(batch(200, 3), dir, "append",
+      statsColumns = Seq("id", "tag", "ts"))
+    Snapshots.commit(batch(300, 4), dir, "append",
+      statsColumns = Seq("id", "tag", "ts"))
+    Snapshots.deleteWhere(spark, dir, col("id") < 30L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("id", "tag", "ts"))
+    Snapshots.renameColumn(spark, dir, "id", "key")
+    val v = Snapshots.latestVersion(spark, dir).get
+    assert(v > vCk)
+    val m = Snapshots.readManifest(spark, dir, v)
+    val predSets: Seq[Seq[(String, Any, Any)]] = Seq(
+      Seq(("key", 150L, 250L)),            // spans checkpoint AND tail files
+      Seq(("key", 320L, 380L)),            // tail-only files
+      Seq(("tag", "t0", "t0")),            // purged-range files (tombstones)
+      Seq(("ts", java.sql.Timestamp.valueOf("2024-02-03 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-04 23:59:59"))))
+    predSets.foreach { preds =>
+      assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), preds)
+        === Snapshots.pruneFiles(m, preds).sorted,
+        s"replay divergence for $preds")
+    }
+    // and the replayed read serves the same rows as the full read
+    val served = Snapshots.readVersionCheckpointed(spark, dir, None,
+      Seq(("key", 150L, 250L))).where(col("key").between(150L, 250L))
+    val full = Snapshots.readVersion(spark, dir, Some(v))
+      .where(col("key").between(150L, 250L))
+    assert(served.collect().toSet === full.collect().toSet)
+  }
+
+  test("auto-checkpoint: every Nth commit materializes a checkpoint; " +
+    "replay serves the versions in between") {
+    val dir = freshDir()
+    spark.conf.set("graft.checkpoint.autoEvery", "2")
+    try {
+      (0 until 5).foreach { i =>
+        Snapshots.commit(frame(i * 10 until i * 10 + 10, s"b$i"), dir,
+          if (i == 0) "overwrite" else "append", statsColumns = Seq("id"))
+      }
+      val ckptRoot = new java.io.File(dir, "_manifests/checkpoints")
+      val dirs = ckptRoot.list().toSeq.filter(_.startsWith("ckpt-")).sorted
+      assert(dirs === Seq("ckpt-v000000", "ckpt-v000002", "ckpt-v000004"))
+      // an in-between version plans from the newest checkpoint below it
+      val m3 = Snapshots.readManifest(spark, dir, 3L)
+      val preds: Seq[(String, Any, Any)] = Seq(("id", 15L, 25L))
+      assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(3L), preds)
+        === Snapshots.pruneFiles(m3, preds).sorted)
+    } finally spark.conf.unset("graft.checkpoint.autoEvery")
+  }
 }
