@@ -52,12 +52,11 @@ final class Flow(val name: String,
     }
 
   /** Run `body` as the named task: retried up to `maxRetries` times on
-    * failure (exponential backoff), skipped entirely when a resume
-    * marker says a previous run completed it (stateDir flows only) —
-    * `onSkip` then supplies the value (default: recompute cheaply is
-    * impossible for Unit tasks, so the body is simply not re-run).
-    * Throws the LAST failure when retries are exhausted; the flow
-    * stops at the failed task and a stateful re-run resumes there.
+    * failure (exponential backoff), skipped entirely — returning None,
+    * the body not re-run — when a resume marker says a previous run
+    * completed it (stateDir flows only). Throws the LAST failure when
+    * retries are exhausted; the flow stops at the failed task and a
+    * stateful re-run resumes there.
     */
   def task[T](taskName: String)(body: => T): Option[T] = {
     if (isDone(taskName)) {
@@ -100,7 +99,11 @@ final class Flow(val name: String,
     stateDir.foreach { d =>
       val root = Paths.get(d, s".flow-$name")
       if (Files.exists(root)) {
-        Files.list(root).forEach(p => Files.deleteIfExists(p))
+        // Files.list holds an open DirectoryStream — close it, or every
+        // fresh run leaks one fd for the driver's lifetime
+        val listing = Files.list(root)
+        try listing.forEach(p => Files.deleteIfExists(p))
+        finally listing.close()
         Files.deleteIfExists(root)
       }
     }

@@ -71,7 +71,9 @@ final class LogServer(fct: () => DataFrame, port: Int = 0) {
     try respond(x, 200, body)
     catch {
       case e: IllegalArgumentException =>
-        respond(x, 400, s"""{"detail":"${esc(e.getMessage)}"}""")
+        // String.valueOf: a null-message exception must not NPE inside
+        // the catch (the exchange would never close)
+        respond(x, 400, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
       case scala.util.control.NonFatal(e) =>
         respond(x, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
     }

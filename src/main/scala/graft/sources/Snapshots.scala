@@ -278,9 +278,13 @@ object Snapshots {
       : Map[(String, String), Bloom] = {
     import org.apache.spark.sql.functions._
     if (columns.isEmpty || rels.isEmpty) return Map.empty
-    val byName = rels.map(rel => new Path(tableDir, rel).getName -> rel).toMap
-    require(byName.size == rels.size,
-      "bloom build requires unique file names within the commit")
+    // keyed by scheme-stripped ABSOLUTE path, never by basename: a
+    // dynamic-partition write reuses one task's part-file name across
+    // every k=v/ dir it lands in, so names repeat within one commit
+    val byPath = rels
+      .map(rel => new Path(tableDir, rel).toUri.getPath -> rel).toMap
+    require(byPath.size == rels.size,
+      "bloom build requires distinct file paths within the commit")
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
     // read at the TABLE's recorded types (not the files' native ones):
     // xxhash64 is type-sensitive, and the probe side casts its
@@ -300,11 +304,11 @@ object Snapshots {
         .groupBy("__fp", "word_idx")
         .agg(expr("bit_or(bit)").as("word"))
         .collect() // ≤ files × mBits/64 rows
-        .groupBy(r => new Path(r.getString(0)).getName)
-        .map { case (name, rows) =>
+        .groupBy(r => new Path(r.getString(0)).toUri.getPath)
+        .map { case (p, rows) =>
           val words = new Array[Long](BloomMBits / 64)
           rows.foreach(r => words(r.getInt(1)) = r.getLong(2))
-          (byName(name), c) -> Bloom(BloomMBits, BloomK, words)
+          (byPath(p), c) -> Bloom(BloomMBits, BloomK, words)
         }
     }.toMap
   }
@@ -324,21 +328,40 @@ object Snapshots {
                         rels: Seq[String], columns: Seq[String],
                         tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[(String, String), Array[Byte]] = {
-    import org.apache.spark.sql.functions._
     if (columns.isEmpty || rels.isEmpty) return Map.empty
-    val byName = rels.map(rel => new Path(tableDir, rel).getName -> rel).toMap
-    require(byName.size == rels.size,
-      "ndv build requires unique file names within the commit")
-    val abs = rels.map(rel => new Path(tableDir, rel).toString)
-    val df = tableSchema.fold(spark.read)(s => spark.read.schema(
-      org.apache.spark.sql.types.StructType(
-        s.fields.filter(f => columns.contains(f.name))))).parquet(abs: _*)
+    hllPerFile(spark,
+      rels.map(rel => rel -> new Path(tableDir, rel)), columns, tableSchema)
+  }
+
+  /** The one per-file HLL aggregation both the commit path
+    * ([[buildNdvs]]) and the repair path ([[analyzeNdv]]) run: one
+    * job, one pass over `relToPath`'s files, a sketch per (file,
+    * column). Keys map back through the scheme-stripped ABSOLUTE path,
+    * never the basename — a dynamic-partition write reuses one task's
+    * part-file name across every `k=v/` dir it lands in, so basenames
+    * repeat within one commit. `columns` are the on-file (physical)
+    * names; callers translate keys to logical as needed.
+    */
+  private def hllPerFile(spark: SparkSession,
+                         relToPath: Seq[(String, Path)],
+                         columns: Seq[String],
+                         readSchema: Option[org.apache.spark.sql.types.StructType])
+      : Map[(String, String), Array[Byte]] = {
+    import org.apache.spark.sql.functions._
+    val byPath = relToPath
+      .map { case (rel, p) => p.toUri.getPath -> rel }.toMap
+    require(byPath.size == relToPath.size,
+      "ndv build requires distinct file paths")
+    val df = readSchema.fold(spark.read)(s => spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          s.fields.filter(f => columns.contains(f.name)))))
+      .parquet(relToPath.map(_._2.toString): _*)
     df.groupBy(col("_metadata.file_path").as("__fp"))
       .agg(hll_sketch_agg(col(columns.head)).as(columns.head),
         columns.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
-      .collect() // one row per written file
+      .collect() // one row per file
       .flatMap { r =>
-        val rel = byName(new Path(r.getString(0)).getName)
+        val rel = byPath(new Path(r.getString(0)).toUri.getPath)
         columns.zipWithIndex.collect {
           case (c, i) if !r.isNullAt(i + 1) =>
             (rel, c) -> r.getAs[Array[Byte]](i + 1)
@@ -1401,7 +1424,7 @@ object Snapshots {
         return out.toString
       f.delete(out, true)
     }
-    val (segRefs, tombs, _, _, inline) =
+    val (segRefs, _, _, _, inline) =
       manifestSkeleton(f, tableDir, v)
     // hadoop conf rides to executors as plain pairs (Configuration is
     // Writable, not Java-serializable)
@@ -1410,45 +1433,73 @@ object Snapshots {
       spark.sparkContext.hadoopConfiguration.iterator().asScala
         .map(e => e.getKey -> e.getValue).toSeq
     }
-    val tombsB = spark.sparkContext.broadcast(tombs)
     val tdir = tableDir
     import spark.implicits._
+    // entries VERBATIM — no tombstone filter, no cross-segment dedup:
+    // a checkpoint is a transcription of the segments, and the rules
+    // that depend on the serving version (its tombstones, its column
+    // mapping, its retired set) belong to the READER. Baking the
+    // build version's tombstones in would lose a file that a later
+    // RESTORE re-covers through the same segment, and collapsing
+    // duplicate refs would lose one that a later version serves
+    // through its OTHER (un-tombstoned) reference.
     val fromSegs =
       if (segRefs.isEmpty) spark.emptyDataset[CkptFile]
       else spark.sparkContext
-        .parallelize(segRefs.zipWithIndex, math.min(segRefs.size, 64))
-        .flatMap { case (rel, idx) =>
+        .parallelize(segRefs, math.min(segRefs.size, 64))
+        .flatMap { rel =>
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confPairs.foreach { case (k, x) => conf.set(k, x) }
           val fsE = new Path(tdir).getFileSystem(conf)
           parseSegment(fsE, new Path(tdir, rel)).entries.iterator
-            .filter(e => !tombsB.value.contains((rel, e.file)))
             .map { e =>
-              // entries verbatim in the segments' PHYSICAL vocabulary,
-              // with their source segment — readers translate and
-              // tail-replay against the version THEY serve
               val st = e.stats.iterator
                 .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
                 .toMap
-              (e.file, (idx, CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
-                e.nulls.toMap, Some(rel))))
+              CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
+                e.nulls.toMap, Some(rel))
             }
-        }
-        // first-ref-wins dedup, distributed (readManifest's `seen` rule)
-        .reduceByKey((a, b) => if (a._1 <= b._1) a else b)
-        .map(_._2._2).toDS()
+        }.toDS()
     val ds =
       if (inline.isEmpty) fromSegs
       else fromSegs.unionByName(spark.createDataset(inline))
     val tmp = new Path(tableDir,
       s"_manifests/checkpoints/.tmp-${UUID.randomUUID().toString.take(8)}")
     ds.write.parquet(tmp.toString)
+    // covered-segment sidecar (underscore-prefixed: invisible to the
+    // parquet reader) — readers learn the tail without a Spark job
+    val segsOut = new OutputStreamWriter(
+      f.create(new Path(tmp, CoveredSegsFile), true), StandardCharsets.UTF_8)
+    try segRefs.foreach(rel => segsOut.write(s"$rel\n"))
+    finally segsOut.close()
     f.mkdirs(out.getParent)
     if (!f.rename(tmp, out)) {
       f.delete(tmp, true) // lost the race: the winner's checkpoint serves
       require(f.exists(out), s"checkpoint rename to $out failed")
     }
     out.toString
+  }
+
+  private val CoveredSegsFile = "_covered_segs.txt"
+
+  /** The segment refs a checkpoint transcribed: the sidecar when
+    * present, else one distinct job over the checkpoint (pre-sidecar
+    * checkpoints).
+    */
+  private def checkpointCoveredSegs(spark: SparkSession, f: FileSystem,
+                                    ck: Path): Set[String] = {
+    val sidecar = new Path(ck, CoveredSegsFile)
+    if (f.exists(sidecar)) {
+      val r = new BufferedReader(
+        new InputStreamReader(f.open(sidecar), StandardCharsets.UTF_8))
+      try Iterator.continually(r.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toSet
+      finally r.close()
+    } else {
+      import spark.implicits._
+      spark.read.parquet(ck.toString).select("seg").as[Option[String]]
+        .flatMap(x => x).distinct().collect().toSet
+    }
   }
 
   /** [[readVersionPruned]]'s checkpoint-planned twin, O(result) in the
@@ -1558,11 +1609,11 @@ object Snapshots {
     import spark.implicits._
     val ds = raw.as[CkptFile]
     // segments the checkpoint covers — everything else is the tail
-    // (self-contained: derived from the checkpoint itself, no read of
-    // the checkpointed version's manifest)
+    // (self-contained: the sidecar written at build time, no read of
+    // the checkpointed version's manifest and no extra Spark job)
     val covered =
       if (cv == v) segSet
-      else ds.flatMap(_.seg).distinct().collect().toSet
+      else checkpointCoveredSegs(spark, f, ck)
     val fromCkpt = ds
       .filter { r: CkptFile => r.seg.exists(rel =>
         segSet.contains(rel) && !tombsV.contains((rel, r.file))) }
@@ -1792,27 +1843,11 @@ object Snapshots {
               else new Path(tableDir, rel))
     }
     val physRev = m.colMap.map(_.swap)
-    val fresh = {
-      val byName = relToPath.map { case (rel, p) => p.getName -> rel }.toMap
-      require(byName.size == missing.size,
-        "analyze requires unique file names across the missing set")
-      import org.apache.spark.sql.functions._
-      val physCols = columns.map(c => m.physOf(c))
-      val df = spark.read.schema(org.apache.spark.sql.types.StructType(
-          physSchema.fields.filter(fd => physCols.contains(fd.name))))
-        .parquet(relToPath.map(_._2.toString): _*)
-      df.groupBy(col("_metadata.file_path").as("__fp"))
-        .agg(hll_sketch_agg(col(physCols.head)).as(physCols.head),
-          physCols.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
-        .collect()
-        .flatMap { r =>
-          val rel = byName(new Path(r.getString(0)).getName)
-          physCols.zipWithIndex.collect {
-            case (c, i) if !r.isNullAt(i + 1) =>
-              (rel, physRev.getOrElse(c, c)) -> r.getAs[Array[Byte]](i + 1)
-          }
-        }.toMap
-    }
+    // the SAME aggregation the commit path runs ([[hllPerFile]]),
+    // translated back to logical names for the manifest keys
+    val fresh = hllPerFile(spark, relToPath,
+      columns.map(c => m.physOf(c)), Some(physSchema))
+      .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
     if (!publishManifest(f, tableDir, m.copy(version = version,
         ndvs = m.ndvs ++ fresh, pendingMarker = None)))
       throw new java.util.ConcurrentModificationException(

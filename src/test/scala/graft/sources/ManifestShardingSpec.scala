@@ -246,10 +246,15 @@ class ManifestShardingSpec extends SparkSpec {
     val ckpt = Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
     // idempotent: the second call reuses the first's
     assert(Snapshots.writeMetadataCheckpoint(spark, dir, Some(v)) === ckpt)
-    // the checkpoint's file set IS the manifest's
+    // the checkpoint transcribes segments VERBATIM (tombstoned and
+    // duplicate refs included — the reader applies the serving
+    // version's rules); the no-predicate prune must serve exactly the
+    // manifest's visible file set
     val ckptFiles = spark.read.parquet(ckpt)
       .select("file").as[String].collect().toSet
-    assert(ckptFiles === m.files.toSet)
+    assert(m.files.toSet.subsetOf(ckptFiles))
+    assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), Nil)
+      === m.files.sorted)
     // identical pruning decisions across kinds and shapes
     val predSets: Seq[Seq[(String, Any, Any)]] = Seq(
       Seq(("id", 150L, 250L)),
@@ -342,6 +347,31 @@ class ManifestShardingSpec extends SparkSpec {
     val full = Snapshots.readVersion(spark, dir, Some(v))
       .where(col("key").between(150L, 250L))
     assert(served.collect().toSet === full.collect().toSet)
+  }
+
+  test("restore after checkpoint: files the restore re-covers through an " +
+    "already-checkpointed segment serve again (tombstones are the " +
+    "reader's, never baked into the checkpoint)") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 100, "a").repartition(3), dir, "overwrite",
+      statsColumns = Seq("id"))
+    Snapshots.commit(frame(100 until 200, "b").repartition(3), dir, "append",
+      statsColumns = Seq("id"))
+    // purge tombstones the rewritten v0 files in their segment
+    Snapshots.deleteWhere(spark, dir, col("id") < 30L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("id"))
+    val vPurged = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(vPurged))
+    // RESTORE to v0: the head re-covers the original files through the
+    // SAME segment, with no tombstones — the checkpoint must serve them
+    Snapshots.restore(spark, dir, 0L)
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), Nil)
+      === m.files.sorted)
+    val served = Snapshots.readVersionCheckpointed(spark, dir, Some(v),
+      Seq(("id", 0L, 29L))).where(col("id") < 30L)
+    assert(served.count() === 30L) // the restored rows are back
   }
 
   test("auto-checkpoint: every Nth commit materializes a checkpoint; " +

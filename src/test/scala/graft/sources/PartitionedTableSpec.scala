@@ -434,5 +434,18 @@ class PartitionedTableSpec extends SparkSpec {
       .where(col("p") === "c").collect().map(r => r.getLong(0)).toSet
     assert(c.contains(5L))
     assert(!b.where(col("p") === "b").collect().map(_.getLong(0)).contains(5L))
+    // a merge INSERTING a NULL partition-source row refuses, like the
+    // commit path (a null partition could never be addressed by a
+    // partition predicate) — pre-publish, so the table is untouched
+    val vBefore = Snapshots.latestVersion(spark, dir).get
+    val nullIns = Seq((2000L, null.asInstanceOf[String], 1L, "I"))
+      .toDF("id", "p", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.mergeOnRead(spark, dir, nullIns, "id")
+    }
+    assert(e.getMessage.contains("NULL"))
+    assert(Snapshots.latestVersion(spark, dir).get === vBefore)
+    assert(Snapshots.readVersion(spark, dir).where(col("p") === "b")
+      .count() === 100L) // the table still serves intact
   }
 }

@@ -202,6 +202,43 @@ class RelationStatsSpec extends SparkSpec {
     assert(Snapshots.mergedNdv(mr, "a2").get === 100L)
   }
 
+  test("NDV and bloom builds survive partitioned layouts (basenames " +
+    "repeat across k=v dirs)") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-ndv-part")
+    // coalesce(1): ONE task writes every partition dir, so the same
+    // part-file basename lands in each k=v dir — the collision shape
+    Snapshots.commit((0L until 900L).map(i => (i, s"p${i % 3}"))
+        .toDF("k", "part").coalesce(1),
+      dir, "overwrite", partitionBy = Seq("part"),
+      ndvColumns = Seq("k"), bloomColumns = Seq("k"))
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    assert(m.files.size >= 3)
+    assert(m.files.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .distinct.size < m.files.size, "fixture must actually collide")
+    // every file carries ITS OWN sketch and bloom
+    assert(m.files.forall(fl => m.ndvs.contains((fl, "k"))))
+    assert(m.files.forall(fl => m.blooms.contains((fl, "k"))))
+    assert(Snapshots.mergedNdv(m, "k").exists(n => math.abs(n - 900L) <= 20L))
+    // per-file sketches are DISTINCT (no mis-assignment): each file
+    // holds ~300 distinct keys, so no two sketches should be equal
+    val perFile = m.files.map(fl => m.ndvs((fl, "k")).toSeq)
+    assert(perFile.distinct.size === perFile.size,
+      "per-file sketches must differ across partition dirs")
+    // the repair path runs on partitioned tables too (the exact shape
+    // maintenance leaves behind)
+    Snapshots.deleteWhere(spark, dir, col("k") === 0L)
+    Snapshots.purgeDeletes(spark, dir)
+    Snapshots.analyzeNdv(spark, dir, Seq("k"))
+    val mf = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(Snapshots.mergedNdv(mf, "k").exists(n => math.abs(n - 899L) <= 20L))
+    // bloom point lookups still prune to the right files
+    val hit = Snapshots.readVersionKeys(spark, dir, "k", Seq(5L), Some(0L))
+    assert(hit.where(col("k") === 5L).count() === 1L)
+  }
+
   test("NDV feeds CBO: join reorder picks the selective dim first") {
     val s = spark
     import s.implicits._
