@@ -280,9 +280,13 @@ object Snapshots {
     if (columns.isEmpty || rels.isEmpty) return Map.empty
     // keyed by scheme-stripped ABSOLUTE path, never by basename: a
     // dynamic-partition write reuses one task's part-file name across
-    // every k=v/ dir it lands in, so names repeat within one commit
+    // every k=v/ dir it lands in, so names repeat within one commit.
+    // makeQualified resolves a relative tableDir so the key matches
+    // _metadata.file_path, which is always fully qualified
+    val fq = fs(spark, tableDir)
     val byPath = rels
-      .map(rel => new Path(tableDir, rel).toUri.getPath -> rel).toMap
+      .map(rel => fq.makeQualified(new Path(tableDir, rel)).toUri.getPath -> rel)
+      .toMap
     require(byPath.size == rels.size,
       "bloom build requires distinct file paths within the commit")
     val abs = rels.map(rel => new Path(tableDir, rel).toString)
@@ -348,8 +352,13 @@ object Snapshots {
                          readSchema: Option[org.apache.spark.sql.types.StructType])
       : Map[(String, String), Array[Byte]] = {
     import org.apache.spark.sql.functions._
+    // qualified per path (borrowed clone refs may live on another
+    // filesystem; a relative tableDir resolves to the absolute form
+    // _metadata.file_path always reports)
+    val conf = spark.sparkContext.hadoopConfiguration
     val byPath = relToPath
-      .map { case (rel, p) => p.toUri.getPath -> rel }.toMap
+      .map { case (rel, p) =>
+        p.getFileSystem(conf).makeQualified(p).toUri.getPath -> rel }.toMap
     require(byPath.size == relToPath.size,
       "ndv build requires distinct file paths")
     val df = readSchema.fold(spark.read)(s => spark.read.schema(
@@ -1417,13 +1426,16 @@ object Snapshots {
     val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     val out = checkpointDir(tableDir, v)
-    if (f.exists(out)) {
-      // checkpoints from before the segment-provenance format (no
-      // `seg` column) cannot serve tail replay — rebuild in place
-      if (spark.read.parquet(out.toString).schema.fieldNames.contains("seg"))
-        return out.toString
-      f.delete(out, true)
-    }
+    // the sidecar is the FORMAT MARKER: it appeared together with the
+    // verbatim-transcription semantics, so a sidecar-less checkpoint is
+    // from an older format (tombstone-filtered, deduped, or seg-less)
+    // that cannot serve tail replay safely — rebuild it. The rebuild
+    // lands in a tmp dir FIRST; the stale dir is replaced only once the
+    // replacement is complete, so concurrent readers never see a
+    // checkpoint-less window.
+    val stale = f.exists(out)
+    if (stale && f.exists(new Path(out, CoveredSegsFile)))
+      return out.toString
     val (segRefs, _, _, _, inline) =
       manifestSkeleton(f, tableDir, v)
     // hadoop conf rides to executors as plain pairs (Configuration is
@@ -1473,6 +1485,7 @@ object Snapshots {
     try segRefs.foreach(rel => segsOut.write(s"$rel\n"))
     finally segsOut.close()
     f.mkdirs(out.getParent)
+    if (stale) f.delete(out, true) // replace the old-format dir
     if (!f.rename(tmp, out)) {
       f.delete(tmp, true) // lost the race: the winner's checkpoint serves
       require(f.exists(out), s"checkpoint rename to $out failed")
@@ -1482,24 +1495,21 @@ object Snapshots {
 
   private val CoveredSegsFile = "_covered_segs.txt"
 
-  /** The segment refs a checkpoint transcribed: the sidecar when
-    * present, else one distinct job over the checkpoint (pre-sidecar
-    * checkpoints).
+  /** The segment refs a checkpoint transcribed, from its sidecar. The
+    * sidecar doubles as the format marker — its absence means an
+    * old-format (filtered/deduped) checkpoint that must be rebuilt
+    * before it can serve.
     */
-  private def checkpointCoveredSegs(spark: SparkSession, f: FileSystem,
-                                    ck: Path): Set[String] = {
+  private def checkpointCoveredSegs(f: FileSystem, ck: Path): Set[String] = {
     val sidecar = new Path(ck, CoveredSegsFile)
-    if (f.exists(sidecar)) {
-      val r = new BufferedReader(
-        new InputStreamReader(f.open(sidecar), StandardCharsets.UTF_8))
-      try Iterator.continually(r.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).toSet
-      finally r.close()
-    } else {
-      import spark.implicits._
-      spark.read.parquet(ck.toString).select("seg").as[Option[String]]
-        .flatMap(x => x).distinct().collect().toSet
-    }
+    require(f.exists(sidecar),
+      s"checkpoint $ck predates the verbatim-transcription format — " +
+        "rebuild it with writeMetadataCheckpoint")
+    val r = new BufferedReader(
+      new InputStreamReader(f.open(sidecar), StandardCharsets.UTF_8))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toSet
+    finally r.close()
   }
 
   /** [[readVersionPruned]]'s checkpoint-planned twin, O(result) in the
@@ -1516,10 +1526,24 @@ object Snapshots {
   def readVersionCheckpointed(spark: SparkSession, tableDir: String,
                               version: Option[Long],
                               preds: Seq[(String, Any, Any)]): DataFrame = {
-    val f = fs(spark, tableDir)
-    val thin = version match {
+    val thin = resolveForReadThin(spark, tableDir, version)
+    val keep = pruneFilesCheckpointed(spark, tableDir, Some(thin.version), preds)
+    // an all-pruned read legitimately serves the schema'd EMPTY frame:
+    // the stats PROVED no file overlaps, and the caller re-applies the
+    // row filter anyway (readFiles needs the recorded schema for the
+    // zero-file case and refuses loudly without one)
+    readFiles(spark, tableDir, thin, keep)
+  }
+
+  /** [[resolveForRead]]'s THIN twin — same explicit-version liveness
+    * gate, same latest-live walk, but through [[readManifestThin]]:
+    * the sharded per-file metadata is never assembled in the driver.
+    */
+  private def resolveForReadThin(spark: SparkSession, tableDir: String,
+                                 version: Option[Long]): Manifest =
+    version match {
       case Some(v) =>
-        require(f.exists(manifestPath(tableDir, v)),
+        require(fs(spark, tableDir).exists(manifestPath(tableDir, v)),
           s"no version $v at $tableDir")
         val t = readManifestThin(spark, tableDir, v)
         require(manifestLive(spark, t, forWrite = false),
@@ -1534,13 +1558,6 @@ object Snapshots {
           .map(_._2).getOrElse(throw new IllegalArgumentException(
             s"no live version at $tableDir"))
     }
-    val keep = pruneFilesCheckpointed(spark, tableDir, Some(thin.version), preds)
-    // the ledger row count stands in for "is the table empty" — a thin
-    // manifest's files list says nothing on a sharded table
-    require(keep.nonEmpty || thin.dataRows == 0L,
-      s"every file pruned — read the unpruned version for schema-only results")
-    readFiles(spark, tableDir, thin, keep)
-  }
 
   /** Newest checkpointed version at or below `v`, from the checkpoint
     * dir listing alone — O(checkpoints), no manifest reads.
@@ -1585,10 +1602,10 @@ object Snapshots {
       throw new IllegalArgumentException(s"no metadata checkpoint for " +
         s"$tableDir at or below v$v — run writeMetadataCheckpoint"))
     val ck = checkpointDir(tableDir, cv)
+    // also the format gate: a sidecar-less checkpoint predates the
+    // verbatim-transcription semantics and refuses loudly
+    val covered = checkpointCoveredSegs(f, ck)
     val raw = spark.read.parquet(ck.toString)
-    require(raw.schema.fieldNames.contains("seg"),
-      s"checkpoint $ck predates the segment-provenance format — rebuild " +
-        "it with writeMetadataCheckpoint")
     val (segV, tombsV, colMapV, retiredV, inlineV) =
       manifestSkeleton(f, tableDir, v)
     val revV = colMapV.map(_.swap)
@@ -1608,15 +1625,13 @@ object Snapshots {
     }
     import spark.implicits._
     val ds = raw.as[CkptFile]
-    // segments the checkpoint covers — everything else is the tail
-    // (self-contained: the sidecar written at build time, no read of
-    // the checkpointed version's manifest and no extra Spark job)
-    val covered =
-      if (cv == v) segSet
-      else checkpointCoveredSegs(spark, f, ck)
+    // broadcast the membership sets — after a big purge the tombstone
+    // set is O(removed files), too big to ship in every task closure
+    val segSetB = spark.sparkContext.broadcast(segSet)
+    val tombsB = spark.sparkContext.broadcast(tombsV)
     val fromCkpt = ds
       .filter { r: CkptFile => r.seg.exists(rel =>
-        segSet.contains(rel) && !tombsV.contains((rel, r.file))) }
+        segSetB.value.contains(rel) && !tombsB.value.contains((rel, r.file))) }
       .map(toLogical _).filter(surviving _).map(_.file).collect().toSeq
     // the tail: segments committed (or folded in) after the checkpoint,
     // parsed through the shared driver cache — the Delta json-tail role
@@ -1786,7 +1801,9 @@ object Snapshots {
       // Best-effort: a checkpoint is an optimization and must never
       // fail the commit that produced the data.
       if (m.pendingMarker.isEmpty)
-        org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .foreach { s =>
           val every = scala.util.Try(
             s.conf.getOption("graft.checkpoint.autoEvery")
               .map(_.toInt).getOrElse(0)).getOrElse(0)
@@ -5250,16 +5267,21 @@ object Snapshots {
     // version that held them must never reach into the other table
     val deadOnly = deadFiles.filterNot(liveFiles).filterNot(isBorrowed)
     deadOnly.foreach(rel => f.delete(new Path(tableDir, rel), false))
+    // metadata checkpoints: expired versions' checkpoints go with
+    // their manifests, EXCEPT the newest one at-or-below the floor —
+    // live versions without a checkpoint of their own tail-replay from
+    // it (a checkpoint is a verbatim transcription of immutable
+    // segments, so it stays valid for later versions; without the
+    // retention every checkpoint-planned read would go dark between
+    // the vacuum and the next auto-checkpoint cadence hit)
+    val retainCkpt = newestCheckpointAtOrBefore(f, tableDir, keepFromVersion)
     dead.foreach { v =>
       f.delete(manifestPath(tableDir, v), false)
       // the feed-discovery marker goes with its manifest — a fresh
       // stream checkpoint must not discover an expired version
       f.delete(new Path(commitMarkerDir(tableDir), f"v$v%06d.marker"), false)
-      // a metadata checkpoint describes exactly one version — expired
-      // with it (a later writeMetadataCheckpoint of a live version
-      // rebuilds; a tmp dir left by a crashed builder falls under the
-      // orphan sweep below)
-      f.delete(checkpointDir(tableDir, v), true)
+      if (!retainCkpt.contains(v))
+        f.delete(checkpointDir(tableDir, v), true)
     }
     // crashed checkpoint builders leave `.tmp-*` dirs that no rename
     // ever claimed — reap them past the same orphan cutoff that

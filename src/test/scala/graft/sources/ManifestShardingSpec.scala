@@ -349,6 +349,31 @@ class ManifestShardingSpec extends SparkSpec {
     assert(served.collect().toSet === full.collect().toSet)
   }
 
+  test("vacuum retains the newest checkpoint at-or-below the floor: " +
+    "live versions without their own checkpoint keep tail-replaying") {
+    val dir = freshDir()
+    Snapshots.commit(frame(0 until 10, "a"), dir, "overwrite",
+      statsColumns = Seq("id"))
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(0L))
+    Snapshots.commit(frame(10 until 20, "b"), dir, "append",
+      statsColumns = Seq("id"))
+    Snapshots.commit(frame(20 until 30, "c"), dir, "append",
+      statsColumns = Seq("id"))
+    // v0 expires, but its checkpoint is the only one the live head has
+    Snapshots.vacuum(spark, dir, keepFromVersion = 1L, orphanRetainMs = -5000L)
+    assert(new java.io.File(dir, "_manifests/checkpoints/ckpt-v000000")
+      .exists(), "the newest at-or-below-floor checkpoint must survive")
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(Snapshots.pruneFilesCheckpointed(spark, dir, Some(v), Nil)
+      === m.files.sorted)
+    // an all-pruned range serves the schema'd EMPTY frame, not an error
+    val none = Snapshots.readVersionCheckpointed(spark, dir, Some(v),
+      Seq(("id", 100000L, 200000L)))
+    assert(none.count() === 0L)
+    assert(none.columns.contains("id"))
+  }
+
   test("restore after checkpoint: files the restore re-covers through an " +
     "already-checkpointed segment serve again (tombstones are the " +
     "reader's, never baked into the checkpoint)") {

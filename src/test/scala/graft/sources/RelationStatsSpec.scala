@@ -239,6 +239,21 @@ class RelationStatsSpec extends SparkSpec {
     assert(hit.where(col("k") === 5L).count() === 1L)
   }
 
+  test("index builds work against a RELATIVE table dir (path keying " +
+    "must qualify to match _metadata.file_path)") {
+    val s = spark
+    import s.implicits._
+    val rel = s"target/stats-rel-${java.util.UUID.randomUUID().toString.take(8)}"
+    Snapshots.commit((0L until 50L).map(i => (i, i % 5)).toDF("k", "g")
+        .coalesce(1),
+      rel, "overwrite", ndvColumns = Seq("k"), bloomColumns = Seq("k"))
+    val m = Snapshots.readManifest(spark, rel, 0L)
+    assert(m.files.nonEmpty)
+    assert(m.files.forall(fl =>
+      m.ndvs.contains((fl, "k")) && m.blooms.contains((fl, "k"))))
+    assert(Snapshots.mergedNdv(m, "k").contains(50L))
+  }
+
   test("NDV feeds CBO: join reorder picks the selective dim first") {
     val s = spark
     import s.implicits._
