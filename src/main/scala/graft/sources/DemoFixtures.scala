@@ -605,9 +605,10 @@ object DemoFixtures {
       org.apache.spark.sql.sources.LessThan("o_orderdate",
         java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))))
     val inF = pruned0.inputFiles
+    val okMonths = (1 to 7).map(m => f"o_orderdate_month=1996-$m%02d").toSet
     val prunedW =
       if (inF.nonEmpty && inF.length < mC.files.size &&
-        inF.forall(_.contains("o_orderdate_month=1996-0"))) 1 else 0
+        inF.forall(p => okMonths.exists(p.contains))) 1 else 0
     def leg(n: Int, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
@@ -757,9 +758,12 @@ object DemoFixtures {
     val dir = checkpointedOrders(s, d)
     val v = Snapshots.latestVersion(s, dir).get
     val m = Snapshots.readManifest(s, dir, v)
+    // prune hi bound == the filter's EXCLUSIVE bound: overlaps() is
+    // inclusive-conservative, so a boundary file is kept (and then row-
+    // filtered) — a narrower bound could prune files the filter wants
     val preds: Seq[(String, Any, Any)] = Seq(("o_orderdate",
       java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
-      java.sql.Timestamp.valueOf("1996-12-31 23:59:59")))
+      java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
     val viaCkpt = Snapshots.pruneFilesCheckpointed(s, dir, Some(v), preds)
     val viaManifest = Snapshots.pruneFiles(m, preds).sorted
     val identical = if (viaCkpt == viaManifest) 1 else 0

@@ -84,15 +84,20 @@ private[sources] object GraftProcedures {
   private def detail(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val v = Snapshots.latestVersion(s, dir).getOrElse(
+    // latest LIVE version — a dead/in-flight txn head is invisible to
+    // every other latest-read path (resolveForRead, loadAt) and must
+    // not fail DESCRIBE DETAIL either
+    val v = Snapshots.latestLiveVersion(s, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val m = Snapshots.liveManifest(s, dir, v)
     val bytes: Option[Long] =
       if (m.files.forall(m.fileBytes.contains))
         Some(m.files.iterator.map(m.fileBytes).sum)
       else None
+    // -1 is the pre-accounting sentinel: surface NULL, like n_bytes
+    def ledger(n: Long): Option[Long] = if (n < 0) None else Some(n)
     Seq((dir, m.version, m.files.size.toLong, m.dvs.size.toLong,
-        m.dataRows, m.dvRows, bytes,
+        ledger(m.dataRows), ledger(m.dvRows), bytes,
         m.partitionCols.mkString(","),
         m.bucketSpec.map { case (k, n) => s"$k:$n" }.getOrElse(""),
         m.checks.size.toLong))

@@ -74,7 +74,11 @@ object PartitionTransforms {
   def parse(s: String): Spec = s.trim match {
     case DateUnitRe(unit, c) => DateUnit(unit.stripSuffix("s"), c)
     case TruncRe(w, c) =>
-      val width = w.toInt
+      // toIntOption: a width past Int.MaxValue is a spec-validation
+      // error, not a bare NumberFormatException with no spec context
+      val width = w.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"truncate width out of range in partition spec '$s'"))
       require(width >= 1, s"truncate width must be >= 1: $s")
       Truncate(width, c)
     case plain =>
