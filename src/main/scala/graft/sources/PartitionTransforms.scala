@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{col, date_format, floor, lit, pmod, substring, to_date, year}
+import org.apache.spark.sql.functions.{call_function, col, concat, date_format, floor, lit, lpad, pmod, substring, to_date, year}
 import org.apache.spark.sql.types._
 
 /** Hidden (transform) partitioning — the table-format idea (Iceberg
@@ -25,13 +25,18 @@ import org.apache.spark.sql.types._
   * the shadow column) and the validators (resolve the SOURCE column)
   * parse them.
   *
-  * Derivations use session-timezone calendar semantics for
-  * timestamp sources (`to_date`/`year`/`date_format`) — the same
+  * Year/month/day derivations use session-timezone calendar semantics
+  * for timestamp sources (`to_date`/`year`/`date_format`) — the same
   * instant always lands in the same partition for a fixed session
   * timezone, which is the deployment contract (document one tz per
-  * table's writers). Values are formatted so that LEXICAL dir order
-  * == chronological order (`yyyy-MM`), keeping dir listings sane at
-  * 100 TB; stats ride the typed FileStat kinds, not dir-name order.
+  * table's writers). `hours(ts)` is stricter: derived from EPOCH
+  * arithmetic and rendered as the UTC wall clock, so it is stable
+  * across writer session timezones with no contract to document —
+  * hour layouts are the multi-writer ingest grain, where "all writers
+  * share one session tz" is the assumption most likely to break.
+  * Values are formatted so that LEXICAL dir order == chronological
+  * order (`yyyy-MM`), keeping dir listings sane at 100 TB; stats ride
+  * the typed FileStat kinds, not dir-name order.
   */
 object PartitionTransforms {
 
@@ -94,8 +99,25 @@ object PartitionTransforms {
   def derive(spec: Spec, srcType: DataType): Column = spec match {
     case Identity(c) => col(c)
     case DateUnit("hour", c) =>
-      // timestamp-only (validated); lexical dir order == chronological
-      date_format(col(c), "yyyy-MM-dd-HH")
+      // timestamp-only (validated); lexical dir order == chronological.
+      // TZ-STABLE, unlike date_format: a timestamp cast to long is
+      // epoch SECONDS (floorDiv — timezone-free), the epoch hour and
+      // epoch day are integer arithmetic, and a DATE renders zone-free
+      // — so the dir name is the instant's UTC wall clock whatever the
+      // writer's spark.sql.session.timeZone. date_format would have
+      // rendered the SESSION zone's wall clock, landing the same
+      // instant in different hour dirs across writer sessions (and
+      // un-pinning the ts_hour min=max dir stats). Identical output to
+      // the old derivation for UTC sessions, the GraftSession default.
+      val secs = col(c).cast(LongType)
+      val ehour = call_function("div", secs - pmod(secs, lit(3600L)),
+        lit(3600L))
+      val eday = call_function("div", ehour - pmod(ehour, lit(24L)),
+        lit(24L))
+      concat(
+        call_function("date_from_unix_date", eday.cast(IntegerType))
+          .cast(StringType),
+        lit("-"), lpad(pmod(ehour, lit(24L)).cast(StringType), 2, "0"))
     case DateUnit(u, c) =>
       val d = srcType match {
         case TimestampType => to_date(col(c))

@@ -1399,11 +1399,18 @@ object Snapshots {
           }
         line = r.readLine()
       }
-      // legacy inline lines speak LOGICAL names already
+      // legacy inline lines speak LOGICAL names already. Group the
+      // stat/null maps by file ONCE — a per-file scan of the whole map
+      // would be O(files × stats), quadratic on a large legacy flat
+      // manifest (paid at checkpoint build AND every checkpointed read)
+      val statsByFile = stats.groupBy { case ((r0, _), _) => r0 }
+      val nullsByFile = nulls.groupBy { case ((r0, _), _) => r0 }
       val inline = files.toSeq.map { rel =>
         CkptFile(rel, buckets.get(rel), fileRows.get(rel), fileBytes.get(rel),
-          stats.collect { case ((r0, c), st) if r0 == rel => c -> st }.toMap,
-          nulls.collect { case ((r0, c), n) if r0 == rel => c -> n }.toMap)
+          statsByFile.getOrElse(rel, Map.empty)
+            .map { case ((_, c), st) => c -> st }.toMap,
+          nullsByFile.getOrElse(rel, Map.empty)
+            .map { case ((_, c), n) => c -> n }.toMap)
       }
       (segRefs.toSeq, tombs.toSet, colMap.toMap, retired.toSet, inline)
     } finally r.close()
@@ -1430,9 +1437,11 @@ object Snapshots {
     // verbatim-transcription semantics, so a sidecar-less checkpoint is
     // from an older format (tombstone-filtered, deduped, or seg-less)
     // that cannot serve tail replay safely — rebuild it. The rebuild
-    // lands in a tmp dir FIRST; the stale dir is replaced only once the
-    // replacement is complete, so concurrent readers never see a
-    // checkpoint-less window.
+    // lands in a tmp dir FIRST, and the stale dir is renamed ASIDE
+    // (dot-prefixed) rather than deleted in place — readers only ever
+    // select sidecar-bearing dirs ([[newestCheckpointAtOrBefore]]), so
+    // an old-format dir is invisible to them whole through the swap and
+    // there is never a served-then-missing window.
     val stale = f.exists(out)
     if (stale && f.exists(new Path(out, CoveredSegsFile)))
       return out.toString
@@ -1485,11 +1494,32 @@ object Snapshots {
     try segRefs.foreach(rel => segsOut.write(s"$rel\n"))
     finally segsOut.close()
     f.mkdirs(out.getParent)
-    if (stale) f.delete(out, true) // replace the old-format dir
+    var aside: Option[Path] = None
+    if (stale) {
+      // move the old-format dir ASIDE (dot-prefixed: skipped by the
+      // checkpoint listing) instead of deleting in place — if this
+      // builder dies between the two renames, nothing served was
+      // removed, and the orphan aside is swept by vacuum's tmp cleanup
+      val a = new Path(out.getParent,
+        s".old-${out.getName}-${UUID.randomUUID().toString.take(8)}")
+      if (f.rename(out, a)) aside = Some(a)
+      else if (f.exists(new Path(out, CoveredSegsFile))) {
+        // a concurrent rebuilder completed the swap first — adopt
+        f.delete(tmp, true)
+        return out.toString
+      }
+    }
     if (!f.rename(tmp, out)) {
       f.delete(tmp, true) // lost the race: the winner's checkpoint serves
       require(f.exists(out), s"checkpoint rename to $out failed")
+    } else {
+      // HDFS rename(src, dst) with dst an existing dir NESTS src inside
+      // it instead of failing — if a concurrent builder won the slot
+      // between our two renames, un-nest our tmp and adopt the winner
+      val nested = new Path(out, tmp.getName)
+      if (f.exists(nested)) f.delete(nested, true)
     }
+    aside.foreach(a => f.delete(a, true))
     out.toString
   }
 
@@ -1531,7 +1561,9 @@ object Snapshots {
     // an all-pruned read legitimately serves the schema'd EMPTY frame:
     // the stats PROVED no file overlaps, and the caller re-applies the
     // row filter anyway (readFiles needs the recorded schema for the
-    // zero-file case and refuses loudly without one)
+    // zero-file case and refuses loudly without one). NOTE this
+    // deliberately diverges from [[readVersionPruned]], which refuses
+    // on all-pruned — see its scaladoc for the contract rationale.
     readFiles(spark, tableDir, thin, keep)
   }
 
@@ -1559,16 +1591,23 @@ object Snapshots {
             s"no live version at $tableDir"))
     }
 
-  /** Newest checkpointed version at or below `v`, from the checkpoint
-    * dir listing alone — O(checkpoints), no manifest reads.
+  /** Newest SERVABLE checkpointed version at or below `v`, from the
+    * checkpoint dir listing — O(checkpoints), no manifest reads. Only
+    * sidecar-bearing dirs count: a sidecar-less dir is either an
+    * old-format checkpoint (cannot serve tail replay — invisible here,
+    * so a concurrent [[writeMetadataCheckpoint]] rebuild can swap it
+    * without readers ever selecting it mid-swap) or a crashed
+    * builder's torn rename.
     */
   private def newestCheckpointAtOrBefore(f: FileSystem, tableDir: String,
                                          v: Long): Option[Long] = {
     val root = new Path(tableDir, "_manifests/checkpoints")
     if (!f.exists(root)) None
-    else f.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("ckpt-v"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("ckpt-v").toLong).toOption)
+    else f.listStatus(root).iterator
+      .filter(s => s.getPath.getName.startsWith("ckpt-v") &&
+        f.exists(new Path(s.getPath, CoveredSegsFile)))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("ckpt-v").toLong).toOption)
       .filter(_ <= v).maxOption
   }
 
@@ -3129,6 +3168,15 @@ object Snapshots {
     val maskedTails = spark.read.parquet(dvAbs: _*)
       .select(regexp_extract(col("file_path"), tailRe, 1).as("t"))
       .distinct().collect().map(_.getString(0)).toSet
+    // invariant made LOUD: every dv file_path must match the data/v*/
+    // layout — an unmatched path would extract "" here, its masked file
+    // would carry UNREWRITTEN while dvs=Nil publishes, and the deleted
+    // rows would resurrect. Unreachable today (every data file lives
+    // under data/v*), which is exactly why it must refuse, not drift.
+    require(!maskedTails.contains(""),
+      s"a deletion-vector file_path in $tableDir does not match the " +
+        "data/v*/ layout — refusing to purge (its mask would be dropped " +
+        "without rewriting the file it masks)")
     def tailOf(rel: String): String = {
       val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
       if (mt.find()) mt.group(1) else rel
@@ -3227,6 +3275,16 @@ object Snapshots {
     * The caller still applies the row-level filter — pruning is a scan
     * reducer, never a semantic change (exactly parquet's own
     * footer-pruning contract).
+    *
+    * All-pruned contract (DIVERGES from [[readVersionCheckpointed]],
+    * deliberately): this path refuses loudly, because it predates
+    * recorded schemas — a zero-file read had no schema to serve, and
+    * callers of the eager-manifest path have treated all-pruned as a
+    * probable predicate bug ever since. The checkpoint-planned twin
+    * serves the schema'd EMPTY frame instead (the stats proved no file
+    * overlaps; the recorded schema makes the zero-file frame well
+    * typed). Callers switching between the paths must expect the
+    * difference.
     */
   def readVersionPruned(spark: SparkSession, tableDir: String, version: Long,
                         column: String, lo: Any, hi: Any): DataFrame = {

@@ -134,6 +134,32 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("hours(ts) dirs are timezone-stable: a writer session in another " +
+    "zone lands the same instants in the same UTC hour dirs") {
+    // epoch arithmetic + zone-free date rendering (not date_format,
+    // which renders the SESSION zone's wall clock) — ADVICE r12: two
+    // writers with different session TZs must agree on the layout
+    val dir = graft.TempDirs.create("hp-hours-tz")
+    val mk = (s: org.apache.spark.sql.SparkSession) =>
+      s.range(0, 6).toDF("id")
+        .withColumn("ts", expr("timestamp_seconds(1704412800 + id * 3600)"))
+    Snapshots.commit(mk(spark), dir, "overwrite",
+      partitionBy = Seq("hours(ts)"))
+    val utcDirs = Snapshots.readManifest(spark, dir, 0L).files
+      .map(_.replaceAll(".*/(ts_hour=[^/]+)/.*", "$1")).sorted
+    // an independent session (own SQLConf, shared context) in a zone
+    // with a non-zero offset AND a DST rule
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val dir2 = graft.TempDirs.create("hp-hours-tz-ny")
+    Snapshots.commit(mk(ny), dir2, "overwrite",
+      partitionBy = Seq("hours(ts)"))
+    val nyDirs = Snapshots.readManifest(ny, dir2, 0L).files
+      .map(_.replaceAll(".*/(ts_hour=[^/]+)/.*", "$1")).sorted
+    assert(nyDirs === utcDirs)
+    assert(utcDirs.head === "ts_hour=2024-01-05-00") // UTC wall clock
+  }
+
   test("appends re-derive the carried transform; flat tails stay unpruned but correct") {
     val dir = graft.TempDirs.create("hp-append")
     val orders = graft.Tables.orders(spark, sf)
