@@ -135,6 +135,8 @@ object SparkEntry {
     "u45_cbo_reorder" -> (graft.sources.DemoFixtures.u45CboReorder _),
     "u46_metadata_checkpoint" ->
       (graft.sources.DemoFixtures.u46MetadataCheckpoint _),
+    "u47_ckpt_point_lookup" ->
+      (graft.sources.DemoFixtures.u47CkptPointLookup _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1048,6 +1050,20 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // u47 oracle: the checkpoint-planned POINT lookup replayed
+    // relationally (planning must be result-invisible); the four
+    // witnesses pin bucket- and bloom-probe checkpoint decisions ==
+    // manifest decisions, and that each probe really skipped files
+    "u47_ckpt_point_lookup" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS bucket_identical, 1 AS bucket_pruned,
+        |  1 AS bloom_identical, 1 AS bloom_pruned
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -779,6 +779,79 @@ object DemoFixtures {
       .orderBy("o_orderstatus")
   }
 
+  /** Seed of the u47 point-lookup demo (one per JVM, read-only): the
+    * canonical 100 TB serving layout — date-sliced commits × hash
+    * buckets on the lookup key × bloom indexes on a secondary key —
+    * with its metadata checkpoint materialized.
+    */
+  def ckptLookupOrders(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"ckptlookup:$d", {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.TempDirs.create("graft-fixture-ckpt-keys")
+      val orders = graft.Tables.orders(s, d).localCheckpoint()
+      // slice bounds COVER the generated domain (1995..2001-08) — a
+      // clipped slice would silently drop rows vs the oracle's table
+      val slices = Seq(("1900-01-01", "1997-01-01"),
+        ("1997-01-01", "1999-01-01"), ("1999-01-01", "2100-01-01"))
+      slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+        Snapshots.commit(
+          orders.filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          dir, if (i == 0) "overwrite" else "append",
+          statsColumns = Seq("o_orderdate", "o_custkey", "o_orderkey"),
+          bucketBy = Some(("o_custkey", 8)),
+          bloomColumns = Seq("o_orderkey"))
+      }
+      Snapshots.writeMetadataCheckpoint(s, dir)
+      dir
+    })
+
+  /** Demo + oracle entry (`u47_ckpt_point_lookup`): KEY-EQUALITY
+    * serving reads planned through the metadata checkpoint — the
+    * reference's own `WHERE <key> = ?` serving shape
+    * (`serve/api.py:38`) at the ≥10⁶-file planning scale. Two probes:
+    * the bucket key (`o_custkey` — hash layout, min/max can't prune)
+    * and a bloom-indexed secondary key (`o_orderkey` — stats span the
+    * date slices, no bucket), each pinned `identical` to the
+    * manifest-path [[Snapshots.pruneForKeys]] decision (bucket ∧ stats
+    * ∧ bloom composed in the checkpoint Spark job) and `pruned`
+    * (kept < table's files). Output replays the bucket probe
+    * relationally; keys derive from the data so the demo is valid at
+    * every SF.
+    */
+  def u47CkptPointLookup(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = ckptLookupOrders(s, d)
+    val v = Snapshots.latestVersion(s, dir).get
+    val m = Snapshots.readManifest(s, dir, v)
+    val base = Snapshots.readVersion(s, dir, Some(v))
+    // bounded collects: 3 + 2 probe literals
+    val custKeys: Seq[Any] = base.select("o_custkey").distinct()
+      .orderBy("o_custkey").limit(3).collect().map(_.get(0)).toSeq
+    val orderKeys: Seq[Any] = base.select("o_orderkey")
+      .orderBy("o_orderkey").limit(2).collect().map(_.get(0)).toSeq
+    def leg(key: String, keys: Seq[Any]): (Int, Int) = {
+      val viaCkpt = Snapshots.pruneFilesCheckpointedKeys(
+        s, dir, Some(v), key, keys)
+      val viaManifest = Snapshots.pruneForKeys(s, m, m.files, key, keys).sorted
+      (if (viaCkpt == viaManifest) 1 else 0,
+        if (viaCkpt.nonEmpty && viaCkpt.size < m.files.size) 1 else 0)
+    }
+    val (bId, bPr) = leg("o_custkey", custKeys)
+    val (lId, lPr) = leg("o_orderkey", orderKeys)
+    Snapshots.readVersionCheckpointedKeys(s, dir, "o_custkey", custKeys,
+        Some(v))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("bucket_identical", lit(bId).cast("int"))
+      .withColumn("bucket_pruned", lit(bPr).cast("int"))
+      .withColumn("bloom_identical", lit(lId).cast("int"))
+      .withColumn("bloom_pruned", lit(lPr).cast("int"))
+      .orderBy("o_custkey")
+  }
+
   /** Star-schema fixtures WITH per-file NDV sketches on the join keys
     * (one per JVM, read-only) — the seeds of the CBO join-reorder
     * demo: distinct counts are what turn plan-time row counts into

@@ -1303,15 +1303,17 @@ object Snapshots {
   // read should not funnel every per-file row through one process,
   // and planning should not need the whole file list in driver
   // memory. A checkpoint materializes one version's per-file metadata
-  // (path, stats, bucket id, row/byte/null counts — blooms stay in
-  // segments: they are point-probe structures, ~KB/file, and the
-  // driver bloom path only loads them for probed columns) as PARQUET
+  // (path, stats, bucket id, row/byte/null counts, AND bloom bitsets —
+  // blooms are ~KB/file/column so they dominate checkpoint bytes, but
+  // parquet column pruning means only the KEY-equality planner ever
+  // reads the bloom column; range scans never pay for it) as PARQUET
   // under `_manifests/checkpoints/`, built BY A SPARK JOB that parses
   // each segment in an executor — the driver never materializes the
   // union. Pruning then runs as a Spark filter over the checkpoint
-  // reusing FileStat.overlaps VERBATIM, so checkpointed decisions are
-  // the manifest path's by construction, and only the SURVIVING file
-  // names are collected: O(result), not O(table).
+  // reusing FileStat.overlaps (and the bloom/bucket probes) VERBATIM,
+  // so checkpointed decisions are the manifest path's by construction,
+  // and only the SURVIVING file names are collected: O(result), not
+  // O(table).
   // ------------------------------------------------------------------
 
   /** One checkpointed file's metadata (stat/null keys are LOGICAL
@@ -1319,18 +1321,25 @@ object Snapshots {
     * rename creates a later version with its own checkpoint).
     */
   final case class CkptStat(kind: String, min: String, max: String)
-  /** One checkpointed file entry. `stats`/`nulls` keys are PHYSICAL
-    * column names (a segment's vocabulary — readers translate through
-    * the column mapping current at THEIR version, so one checkpoint
-    * keeps serving across later renames/drops); `seg` is the segment
-    * the entry came from (None only for legacy inline manifest lines,
-    * which speak logical names and are never served across versions).
+  /** A transcribed per-file bloom filter — same geometry + word layout
+    * as [[Bloom]], `Seq` so the parquet encoder maps it to
+    * `array<bigint>`.
+    */
+  final case class CkptBloom(mBits: Int, k: Int, words: Seq[Long])
+  /** One checkpointed file entry. `stats`/`nulls`/`blooms` keys are
+    * PHYSICAL column names (a segment's vocabulary — readers translate
+    * through the column mapping current at THEIR version, so one
+    * checkpoint keeps serving across later renames/drops); `seg` is the
+    * segment the entry came from (None only for legacy inline manifest
+    * lines, which speak logical names, carry no transcribed blooms,
+    * and are never served across versions).
     */
   final case class CkptFile(file: String, bucket: Option[Int],
                             rows: Option[Long], bytes: Option[Long],
                             stats: Map[String, CkptStat],
                             nulls: Map[String, Long],
-                            seg: Option[String] = None)
+                            seg: Option[String] = None,
+                            blooms: Map[String, CkptBloom] = Map.empty)
 
   /** The light half of [[readManifest]]: manifest-file lines ONLY —
     * segment refs in order, tombstones, the column mapping, retired
@@ -1477,8 +1486,12 @@ object Snapshots {
               val st = e.stats.iterator
                 .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
                 .toMap
+              val bl = e.blooms.iterator
+                .map { case (c, b) =>
+                  c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }
+                .toMap
               CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
-                e.nulls.toMap, Some(rel))
+                e.nulls.toMap, Some(rel), bl)
             }
         }.toDS()
     val ds =
@@ -1644,7 +1657,6 @@ object Snapshots {
     // also the format gate: a sidecar-less checkpoint predates the
     // verbatim-transcription semantics and refuses loudly
     val covered = checkpointCoveredSegs(f, ck)
-    val raw = spark.read.parquet(ck.toString)
     val (segV, tombsV, colMapV, retiredV, inlineV) =
       manifestSkeleton(f, tableDir, v)
     val revV = colMapV.map(_.swap)
@@ -1663,7 +1675,7 @@ object Snapshots {
         FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
     }
     import spark.implicits._
-    val ds = raw.as[CkptFile]
+    val ds = ckptDataset(spark, ck)
     // broadcast the membership sets — after a big purge the tombstone
     // set is O(removed files), too big to ship in every task closure
     val segSetB = spark.sparkContext.broadcast(segSet)
@@ -1687,6 +1699,159 @@ object Snapshots {
     // legacy inline manifest lines speak logical names at v already
     val fromInline = inlineV.filter(surviving).map(_.file)
     (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
+  }
+
+  /** The checkpoint parquet as a typed Dataset, tolerating checkpoints
+    * written before bloom transcription (no `blooms` column): missing
+    * blooms decode as the empty map — unknown is never pruned, so a
+    * pre-bloom checkpoint keeps serving (point lookups through it just
+    * prune on bucket ∧ stats only until it is rebuilt).
+    */
+  private def ckptDataset(spark: SparkSession, ck: Path)
+      : org.apache.spark.sql.Dataset[CkptFile] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedlit
+    val raw = spark.read.parquet(ck.toString)
+    val withBlooms =
+      if (raw.columns.contains("blooms")) raw
+      else raw.withColumn("blooms", typedlit(Map.empty[String, CkptBloom]))
+    withBlooms.as[CkptFile]
+  }
+
+  /** [[pruneForKeys]]' checkpoint-planned twin — KEY-EQUALITY (point
+    * lookup / IN-list) pruning as a Spark job over the newest
+    * checkpoint at or below `version` plus the metadata tail, composing
+    * ALL THREE pruning primitives exactly as the manifest path does:
+    * bucket ids (when `key` is the read version's bucket key; files
+    * without a bucket id — unclustered appends — are kept), footer
+    * min/max stats (skipped entirely for decimal literals, whose footer
+    * stats are unscaled ints), and per-file bloom bitsets (transcribed
+    * into checkpoint rows; files without a bloom on `key` are kept).
+    * Bucket ids and bloom bit positions are evaluated through Spark's
+    * own hash — one tiny local job per distinct bloom geometry — so
+    * probe and build can never drift; the per-row verdicts then run
+    * WHERE THE METADATA IS (executors for checkpointed rows, the cached
+    * driver parse for the tail), and only surviving file names reach
+    * the driver: a point lookup over a 10^7-file table collects the
+    * probed keys' files, never the table's.
+    *
+    * Known conservative divergence: legacy INLINE manifest lines carry
+    * no transcribed blooms, so their files bloom-prune only on the
+    * manifest path (kept here — unknown is never pruned, same rows
+    * either way).
+    */
+  def pruneFilesCheckpointedKeys(spark: SparkSession, tableDir: String,
+                                 version: Option[Long], key: String,
+                                 keys: Seq[Any]): Seq[String] = {
+    require(keys.nonEmpty, "pruneFilesCheckpointedKeys needs at least one key")
+    val f = fs(spark, tableDir)
+    val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val cv = newestCheckpointAtOrBefore(f, tableDir, v).getOrElse(
+      throw new IllegalArgumentException(s"no metadata checkpoint for " +
+        s"$tableDir at or below v$v — run writeMetadataCheckpoint"))
+    val ck = checkpointDir(tableDir, cv)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, colMapV, _, inlineV) = manifestSkeleton(f, tableDir, v)
+    // bucket spec + schema come from the THIN manifest parse (small
+    // file only); per-file bucket ids ride the checkpoint rows
+    val thin = readManifestThin(spark, tableDir, v)
+    val keyType = thin.schema.map(_(key).dataType).getOrElse(
+      org.apache.spark.sql.types.StringType)
+    val bucketWanted: Option[Set[Int]] = thin.bucketSpec match {
+      case Some((bk, n)) if bk == key =>
+        Some(bucketIdsOf(spark, keys, keyType, n))
+      case _ => None
+    }
+    val anyDecimal = keys.exists {
+      case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+      case _ => false
+    }
+    // segments (and so checkpoint rows) speak PHYSICAL names — probe
+    // the key's physical name there; legacy inline lines speak logical
+    val keyPhys = colMapV.getOrElse(key, key)
+    import spark.implicits._
+    val ds = ckptDataset(spark, ck)
+    // distinct bloom geometries for the key, across checkpoint rows
+    // (one metadata-sized job) and the driver-parsed tail — probe bits
+    // are then evaluated through Spark's own xxhash64 per geometry
+    val tailEntries = segV.filterNot(covered).map(rel =>
+      rel -> cachedSegment(f, tableDir, rel).entries)
+    val ckptGeos = ds
+      .select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col("blooms"),
+        keyPhys).as("b"))
+      .where(org.apache.spark.sql.functions.col("b").isNotNull)
+      .select($"b.mBits", $"b.k").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
+      .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
+    val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
+      (ckptGeos ++ tailGeos).iterator.map(g =>
+        g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
+    val pbB = spark.sparkContext.broadcast(probeBits)
+    val segSetB = spark.sparkContext.broadcast(segV.toSet)
+    val tombsB = spark.sparkContext.broadcast(tombsV)
+    val ks = keys // serializable literal captures
+    // one verdict for executor-side checkpoint rows AND the driver-side
+    // tail — the composition (bucket ∧ stats ∧ bloom, unknown keeps) is
+    // pruneForKeys' verbatim
+    def survives(probeCol: String)(r: CkptFile): Boolean = {
+      bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
+      (anyDecimal || r.stats.get(probeCol).forall(st =>
+        ks.exists(x => FileStat(st.kind, st.min, st.max).overlaps(x, x)))) &&
+      r.blooms.get(probeCol).forall { b =>
+        pbB.value.get((b.mBits, b.k)).forall { bits =>
+          val bl = Bloom(b.mBits, b.k, b.words.toArray)
+          ks.exists(x => bloomMightContain(bl, bits(x.toString)))
+        }
+      }
+    }
+    val survivesPhys = survives(keyPhys) _
+    val fromCkpt = ds
+      .filter { r: CkptFile => r.seg.exists(rel =>
+        segSetB.value.contains(rel) &&
+          !tombsB.value.contains((rel, r.file))) && survivesPhys(r) }
+      .map(_.file).collect().toSeq
+    val fromTail = tailEntries.iterator.flatMap { case (rel, entries) =>
+      entries.iterator
+        .filter(e => !tombsV.contains((rel, e.file)))
+        .map(e => CkptFile(e.file, e.bucket, e.rows, e.bytes,
+          e.stats.iterator
+            .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
+            .toMap,
+          e.nulls.toMap, Some(rel),
+          e.blooms.iterator.map { case (c, b) =>
+            c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }.toMap))
+        .filter(survivesPhys).map(_.file)
+    }.toSeq
+    val fromInline = inlineV.filter(survives(key)).map(_.file)
+    (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
+  }
+
+  /** [[readVersionKeys]]' checkpoint-planned twin — the 100 TB serving
+    * read: point lookups plan through [[pruneFilesCheckpointedKeys]]
+    * (bucket ∧ stats ∧ bloom, evaluated where the metadata lives), so
+    * the driver never assembles the per-file metadata even once,
+    * O(result) end to end. Same row semantics as [[readVersionKeys]]:
+    * deletion vectors apply, the row-level `isin` filter still runs
+    * (pruning is a scan reducer), and an all-pruned probe serves the
+    * schema'd empty frame (the recorded schema types the zero-file
+    * case).
+    */
+  def readVersionCheckpointedKeys(spark: SparkSession, tableDir: String,
+                                  key: String, keys: Seq[Any],
+                                  version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "readVersionCheckpointedKeys needs at least one key")
+    require(keys.forall(_ != null),
+      "readVersionCheckpointedKeys keys must be non-null (SQL NULL never " +
+        "equals NULL — an isin probe cannot match it, and the index probes " +
+        "cannot hash it)")
+    val thin = resolveForReadThin(spark, tableDir, version)
+    val keep = pruneFilesCheckpointedKeys(
+      spark, tableDir, Some(thin.version), key, keys)
+    readFiles(spark, tableDir, thin, keep).filter(col(key).isin(keys: _*))
   }
 
   /** Serialize + atomically publish `m` as `tableDir`'s manifest for
@@ -3358,9 +3523,9 @@ object Snapshots {
     * and bucket ids are evaluated through Spark's own hash (one tiny
     * local job), so probe and build can never drift.
     */
-  private def pruneForKeys(spark: SparkSession, m: Manifest,
-                           candidates: Seq[String], key: String,
-                           keys: Seq[Any]): Seq[String] = {
+  private[sources] def pruneForKeys(spark: SparkSession, m: Manifest,
+                                    candidates: Seq[String], key: String,
+                                    keys: Seq[Any]): Seq[String] = {
     val bucketPruned = m.bucketSpec match {
       case Some((bk, n)) if bk == key =>
         val keyType = m.schema.map(_(key).dataType).getOrElse(

@@ -349,6 +349,105 @@ class ManifestShardingSpec extends SparkSpec {
     assert(served.collect().toSet === full.collect().toSet)
   }
 
+  test("checkpoint point lookups: bucket ∧ stats ∧ bloom decisions == " +
+    "manifest path, through tail replay and pre-bloom checkpoints") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // bucketed on id (hash layout: stats can't prune id probes), bloom
+    // on tag (values striped across every file: stats can't prune tag
+    // probes either) — each primitive is the only one that can do its
+    // job, so a decision match exercises all three
+    def batch(lo: Int) = (lo until lo + 200).map { k =>
+      (k.toLong, s"u${k % 50}", k * 10.0)
+    }.toDF("id", "tag", "v")
+    (0 until 3).foreach { i =>
+      Snapshots.commit(batch(i * 200), dir, if (i == 0) "overwrite" else "append",
+        statsColumns = Seq("id", "tag"), bucketBy = Some(("id", 8)),
+        bloomColumns = Seq("tag"))
+    }
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    val ckpt = Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
+    val probes: Seq[(String, Seq[Any])] = Seq(
+      ("id", Seq(42L)),                      // bucket ∧ stats
+      ("id", Seq(42L, 511L)),                // multi-key IN probe
+      ("id", Seq(BigDecimal(42))),           // decimal: stats must NOT prune
+      ("tag", Seq("u7")),                    // bloom (stats span, no bucket)
+      ("tag", Seq("u7", "u33")),
+      ("tag", Seq("zz-missing")))            // bloom prunes everything
+    probes.foreach { case (key, keys) =>
+      val viaManifest = Snapshots.pruneForKeys(spark, m, m.files, key, keys).sorted
+      val viaCkpt = Snapshots.pruneFilesCheckpointedKeys(
+        spark, dir, Some(v), key, keys)
+      assert(viaCkpt === viaManifest, s"keys-prune divergence for $key=$keys")
+    }
+    // the primitives really prune: an id probe keeps < half the files
+    // (bucket), a tag probe keeps < all files (bloom), a missing tag
+    // keeps none
+    assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v), "id",
+      Seq(42L)).size < m.files.size / 2)
+    val tagKept = Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v),
+      "tag", Seq("u7"))
+    assert(tagKept.nonEmpty && tagKept.size < m.files.size)
+    assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v), "tag",
+      Seq("zz-missing")).isEmpty)
+    // the checkpoint-planned point READ serves the same rows as the
+    // full read, its scan really is the pruned set, and the all-pruned
+    // probe serves the schema'd empty frame
+    val served = Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "id", Seq(42L, 511L), Some(v))
+    val full = Snapshots.readVersion(spark, dir, Some(v))
+      .where(col("id").isin(42L, 511L))
+    assert(served.collect().toSet === full.collect().toSet)
+    assert(served.inputFiles.length === Snapshots.pruneFilesCheckpointedKeys(
+      spark, dir, Some(v), "id", Seq(42L, 511L)).size)
+    val none = Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "tag", Seq("zz-missing"), Some(v))
+    assert(none.schema.fieldNames.toSeq === Seq("id", "tag", "v"))
+    assert(none.count() === 0L)
+    // tail replay: appends + delete/purge + rename AFTER the checkpoint
+    Snapshots.commit(batch(600), dir, "append",
+      statsColumns = Seq("id", "tag"), bucketBy = Some(("id", 8)),
+      bloomColumns = Seq("tag"))
+    Snapshots.deleteWhere(spark, dir, col("id") < 20L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("id", "tag"))
+    Snapshots.renameColumn(spark, dir, "tag", "label")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    Seq(("id", Seq[Any](642L)), ("label", Seq[Any]("u7", "u33")))
+      .foreach { case (key, keys) =>
+        assert(Snapshots.pruneFilesCheckpointedKeys(
+          spark, dir, Some(v2), key, keys)
+          === Snapshots.pruneForKeys(spark, m2, m2.files, key, keys).sorted,
+          s"tail keys-prune divergence for $key=$keys")
+      }
+    // pre-bloom checkpoint compat: strip the blooms column (the r12
+    // on-disk shape) — the keys planner keeps serving, decisions are a
+    // conservative SUPERSET (bucket ∧ stats only), rows identical
+    val stripped = spark.read.parquet(ckpt).drop("blooms")
+    val tmp = new java.io.File(dir, "_manifests/checkpoints/.strip")
+    stripped.coalesce(1).write.parquet(tmp.getPath)
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.rename(
+      new org.apache.hadoop.fs.Path(ckpt, "_covered_segs.txt"),
+      new org.apache.hadoop.fs.Path(tmp.getPath, "_covered_segs.txt"))
+    fsys.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    fsys.rename(new org.apache.hadoop.fs.Path(tmp.getPath),
+      new org.apache.hadoop.fs.Path(ckpt))
+    val viaOld = Snapshots.pruneFilesCheckpointedKeys(
+      spark, dir, Some(v2), "label", Seq("u7"))
+    val viaNew = Snapshots.pruneForKeys(spark, m2, m2.files, "label", Seq("u7"))
+    assert(viaNew.toSet.subsetOf(viaOld.toSet),
+      "pre-bloom checkpoint must keep at least the manifest decisions")
+    val servedOld = Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "label", Seq("u7"), Some(v2))
+    val fullNow = Snapshots.readVersion(spark, dir, Some(v2))
+      .where(col("label") === "u7")
+    assert(servedOld.collect().toSet === fullNow.collect().toSet)
+  }
+
   test("vacuum retains the newest checkpoint at-or-below the floor: " +
     "live versions without their own checkpoint keep tail-replaying") {
     val dir = freshDir()
