@@ -862,6 +862,11 @@ object DemoFixtures {
       val dir = graft.TempDirs.create("graft-fixture-ndv-orders")
       Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
         ndvColumns = Seq("o_custkey"))
+      // checkpointed: the fact table's distinctCount serves from the
+      // checkpoint's pre-reduced per-segment NDV unions (the 10⁷-file
+      // path), not a per-file driver merge — u45's ndv_served witness
+      // rides the checkpoint live
+      Snapshots.writeMetadataCheckpoint(s, dir)
       dir
     })
   def ndvCustomer(s: SparkSession, d: String): String =

@@ -407,17 +407,23 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
   }
 
   /** Table-level NDV per column from the manifest's per-file HLL
-    * sketches ([[Snapshots.mergedNdv]]) — only columns EVERY live
-    * file carries a sketch for (a partial union silently
-    * under-counts). What [[graft.plans.RelationLedgerStats]] feeds
-    * CBO join reordering as per-column distinctCount.
+    * sketches — only columns EVERY live file carries a sketch for (a
+    * partial union silently under-counts). What
+    * [[graft.plans.RelationLedgerStats]] feeds CBO join reordering as
+    * per-column distinctCount. Served from the metadata checkpoint's
+    * pre-reduced per-segment unions when one covers this version
+    * ([[Snapshots.mergedNdvCheckpointed]] — O(segments + tail files)
+    * driver work, the 10⁷-file path), falling back to the per-file
+    * driver merge ([[Snapshots.mergedNdv]]) otherwise; HLL unions are
+    * associative/idempotent, so the two paths estimate identically.
     */
-  private[graft] lazy val columnNdvs: Map[String, Long] = {
-    val m = manifest
-    m.ndvs.keysIterator.map(_._2).toSet.iterator
-      .flatMap((c: String) => Snapshots.mergedNdv(m, c).map(c -> _))
-      .toMap
-  }
+  private[graft] lazy val columnNdvs: Map[String, Long] =
+    Snapshots.mergedNdvCheckpointed(spark, tableDir, version).getOrElse {
+      val m = manifest
+      m.ndvs.keysIterator.map(_._2).toSet.iterator
+        .flatMap((c: String) => Snapshots.mergedNdv(m, c).map(c -> _))
+        .toMap
+    }
 
   override lazy val schema: StructType = manifest.schema.getOrElse {
     require(manifest.files.nonEmpty,

@@ -1506,6 +1506,47 @@ object Snapshots {
       f.create(new Path(tmp, CoveredSegsFile), true), StandardCharsets.UTF_8)
     try segRefs.foreach(rel => segsOut.write(s"$rel\n"))
     finally segsOut.close()
+    // per-(segment, column) NDV union sidecar — the second distributed
+    // reduction this checkpoint performs: [[mergedNdv]] heapifies one
+    // sketch PER FILE in the driver, the same O(files) driver ceiling
+    // the checkpoint removes for pruning, so the checkpoint job also
+    // folds each segment's per-file HLL sketches into ONE mergeable
+    // sketch per column (HLL max-register unions are associative,
+    // commutative and idempotent — regrouping per segment, or unioning
+    // a twice-referenced file's identical sketch twice, leaves the
+    // registers bit-identical, so [[mergedNdvCheckpointed]] estimates
+    // are [[mergedNdv]]'s exactly). `all` records whether EVERY entry
+    // in the segment carried the sketch — the poisoning bit readers
+    // need without parsing the segment.
+    val ndvRows: Seq[(String, String, Boolean, Array[Byte])] =
+      if (segRefs.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(segRefs, math.min(segRefs.size, 64))
+        .flatMap { rel =>
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confPairs.foreach { case (k, x) => conf.set(k, x) }
+          val fsE = new Path(tdir).getFileSystem(conf)
+          val entries = parseSegment(fsE, new Path(tdir, rel)).entries
+          val cols = entries.iterator.flatMap(_.ndvs.iterator.map(_._1)).toSet
+          cols.iterator.map { c =>
+            val sks = entries.flatMap(_.ndvs.collectFirst {
+              case (`c`, sk) => sk })
+            val u = new org.apache.datasketches.hll.Union(12)
+            sks.foreach(sk => u.update(
+              org.apache.datasketches.hll.HllSketch.heapify(sk)))
+            (rel, c, sks.size == entries.size,
+              u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8)
+                .toCompactByteArray)
+          }
+        }.collect().toSeq // one row per (segment, column), not per file
+    if (ndvRows.nonEmpty) {
+      val ndvOut = new OutputStreamWriter(
+        f.create(new Path(tmp, NdvSegsFile), true), StandardCharsets.UTF_8)
+      try ndvRows.sortBy(r => (r._1, r._2)).foreach { case (rel, c, all, sk) =>
+        ndvOut.write(s"$rel\t$c\t${if (all) 1 else 0}\t" +
+          java.util.Base64.getEncoder.encodeToString(sk) + "\n")
+      } finally ndvOut.close()
+    }
     f.mkdirs(out.getParent)
     var aside: Option[Path] = None
     if (stale) {
@@ -1537,6 +1578,113 @@ object Snapshots {
   }
 
   private val CoveredSegsFile = "_covered_segs.txt"
+  private val NdvSegsFile = "_ndv_segs.txt"
+
+  /** The per-(segment, column) NDV sidecar of a checkpoint, if the
+    * checkpoint recorded one: (segRel, physCol) → (allEntriesSketched,
+    * union sketch bytes). None for pre-NDV-sidecar checkpoints — the
+    * caller falls back to the per-file driver merge.
+    */
+  private def checkpointNdvSegs(f: FileSystem, ck: Path)
+      : Option[Map[(String, String), (Boolean, Array[Byte])]] = {
+    val p = new Path(ck, NdvSegsFile)
+    if (!f.exists(p)) return None
+    val r = new BufferedReader(
+      new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try Some(Iterator.continually(r.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).map { line =>
+        val Array(rel, c, all, b64) = line.split('\t')
+        (rel, c) -> (all == "1", java.util.Base64.getDecoder.decode(b64))
+      }.toMap)
+    finally r.close()
+  }
+
+  /** [[mergedNdv]]'s checkpoint-served twin — table-level NDV per
+    * LOGICAL column at `version` in O(segments + tail files) driver
+    * work instead of O(files): segments the checkpoint covered and the
+    * version's tombstones never touched contribute their pre-reduced
+    * per-segment union (one heapify per segment); dirty segments
+    * (tombstoned — their live subset differs from what the checkpoint
+    * folded) and the tail parse through the shared driver cache and
+    * contribute per-file, exactly the fallback path's cost for exactly
+    * the metadata written since. HLL unions are associative/idempotent
+    * so the regrouped union's registers — and estimate — are
+    * [[mergedNdv]]'s bit-for-bit. Poisoning is preserved per column:
+    * ANY live file without a sketch (a clean segment's `all=false`
+    * bit, or a parsed live entry with no sketch) drops the column — a
+    * partial union is a silent under-estimate. None when no
+    * NDV-sidecar checkpoint serves this version, or the manifest
+    * carries legacy inline files (no segment to pre-reduce) — callers
+    * fall back to [[mergedNdv]].
+    */
+  private[graft] def mergedNdvCheckpointed(spark: SparkSession,
+                                           tableDir: String,
+                                           version: Long)
+      : Option[Map[String, Long]] = {
+    val f = fs(spark, tableDir)
+    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
+      .getOrElse(return None)
+    val ck = checkpointDir(tableDir, cv)
+    val ndvSegs = checkpointNdvSegs(f, ck).getOrElse(return None)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, colMapV, retiredV, inlineV) =
+      manifestSkeleton(f, tableDir, version)
+    if (inlineV.nonEmpty) return None // legacy inline: no segments
+    val dirtySegs = tombsV.iterator.map(_._1).toSet
+    val (clean, parsed) = segV.partition(rel =>
+      covered.contains(rel) && !dirtySegs.contains(rel))
+    // sketches per physical column: clean segments from the sidecar
+    // (poison bit pre-computed), the rest per live file
+    val sidecarBySeg = ndvSegs.groupBy { case ((r0, _), _) => r0 }
+    val acc = scala.collection.mutable.Map
+      .empty[String, ArrayBuffer[Array[Byte]]]
+    val poisoned = scala.collection.mutable.HashSet.empty[String]
+    val cols = scala.collection.mutable.HashSet.empty[String]
+    clean.foreach { rel =>
+      sidecarBySeg.getOrElse(rel, Map.empty).foreach {
+        case ((_, c), (all, sk)) =>
+          cols += c
+          if (!all) poisoned += c
+          else acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+      }
+      // a clean segment with NO line for a column some other segment
+      // sketched: its entries all lack that sketch → poisoned below
+      // (the per-segment coverage check over cleanCols)
+    }
+    val cleanCols = clean.map(rel =>
+      rel -> sidecarBySeg.getOrElse(rel, Map.empty).keysIterator
+        .map(_._2).toSet).toMap
+    val parsedEntries = parsed.map(rel =>
+      rel -> cachedSegment(f, tableDir, rel).entries
+        .filter(e => !tombsV.contains((rel, e.file))))
+    parsedEntries.foreach { case (_, entries) =>
+      cols ++= entries.iterator.flatMap(_.ndvs.iterator.map(_._1))
+    }
+    cols.foreach { c =>
+      // every clean segment must carry c with all=true …
+      clean.foreach { rel =>
+        if (!cleanCols(rel).contains(c)) poisoned += c }
+      // … and every live parsed entry must carry a sketch for c
+      parsedEntries.foreach { case (_, entries) =>
+        entries.foreach { e =>
+          e.ndvs.collectFirst { case (`c`, sk) => sk } match {
+            case Some(sk) =>
+              acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+            case None => poisoned += c
+          }
+        }
+      }
+    }
+    val revV = colMapV.map(_.swap)
+    Some(cols.iterator
+      .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
+      .map { c =>
+        val u = new org.apache.datasketches.hll.Union(12)
+        acc.getOrElse(c, ArrayBuffer.empty).foreach(sk =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
+        revV.getOrElse(c, c) -> math.round(u.getEstimate)
+      }.toMap)
+  }
 
   /** The segment refs a checkpoint transcribed, from its sidecar. The
     * sidecar doubles as the format marker — its absence means an

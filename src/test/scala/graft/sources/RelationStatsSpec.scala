@@ -202,6 +202,73 @@ class RelationStatsSpec extends SparkSpec {
     assert(Snapshots.mergedNdv(mr, "a2").get === 100L)
   }
 
+  test("checkpoint-served NDV == per-file driver merge, through tail, " +
+    "tombstones, poisoning, and rename") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-ndv-ckpt")
+    // three segments with overlapping key sets
+    (0 until 3).foreach { i =>
+      Snapshots.commit(
+        (0L until 2000L).map(j => ((j + i * 500) % 1500L, s"t${j % 40}"))
+          .toDF("k", "tag").repartition(3),
+        dir, if (i == 0) "overwrite" else "append",
+        ndvColumns = Seq("k", "tag"), statsColumns = Seq("k"))
+    }
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v0))
+    def viaCkpt(v: Long) =
+      Snapshots.mergedNdvCheckpointed(spark, dir, v).get
+    def viaFiles(v: Long): Map[String, Long] = {
+      val m = Snapshots.readManifest(spark, dir, v)
+      m.ndvs.keysIterator.map(_._2).toSet.iterator
+        .flatMap((c: String) => Snapshots.mergedNdv(m, c).map(c -> _)).toMap
+    }
+    // estimate-identical (exact Long equality — HLL unions are
+    // associative/idempotent, regrouping per segment changes nothing)
+    assert(viaCkpt(v0) === viaFiles(v0))
+    assert(viaCkpt(v0).keySet === Set("k", "tag"))
+    // tail: a post-checkpoint append contributes per-file
+    Snapshots.commit((0L until 300L).map(j => (5000L + j, "fresh"))
+        .toDF("k", "tag").coalesce(1),
+      dir, "append", ndvColumns = Seq("k", "tag"))
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    assert(viaCkpt(v1) === viaFiles(v1))
+    assert(viaCkpt(v1)("tag") === viaCkpt(v0)("tag") + 1) // + "fresh"
+    // tombstones dirty a covered segment: purge rewrites masked files
+    // (their sketches drop → k/tag poisoned IDENTICALLY on both paths)
+    Snapshots.deleteWhere(spark, dir, col("k") === 0L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("k"))
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    assert(viaCkpt(v2) === viaFiles(v2))
+    // analyze repairs; the stale checkpoint serves the clean segments,
+    // the dirty + fresh ones parse per-file — still identical
+    Snapshots.analyzeNdv(spark, dir, Seq("k", "tag"))
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    val ck3 = viaCkpt(v3)
+    assert(ck3 === viaFiles(v3))
+    assert(ck3.contains("k") && ck3.contains("tag"))
+    // rename AFTER the checkpoint: the checkpoint's physical sketches
+    // serve under the new logical name
+    Snapshots.renameColumn(spark, dir, "tag", "label")
+    val v4 = Snapshots.latestVersion(spark, dir).get
+    val ck4 = viaCkpt(v4)
+    assert(ck4 === viaFiles(v4))
+    assert(ck4.contains("label") && !ck4.contains("tag"))
+    // the relation's CBO feed rides the checkpoint path and agrees
+    val rel = GraftRelation(spark.sqlContext, dir, v4)
+    assert(rel.columnNdvs === ck4)
+    // a pre-NDV-sidecar (or absent) checkpoint falls back loudly-never:
+    // a table with no checkpoint at all serves None and the relation
+    // falls back to the per-file merge
+    val dir2 = TempDirs.create("stats-ndv-nockpt")
+    Snapshots.commit((0L until 100L).map(i => (i, i * 2)).toDF("a", "b"),
+      dir2, "overwrite", ndvColumns = Seq("a"))
+    assert(Snapshots.mergedNdvCheckpointed(spark, dir2, 0L).isEmpty)
+    assert(GraftRelation(spark.sqlContext, dir2, 0L).columnNdvs
+      === Map("a" -> 100L))
+  }
+
   test("NDV and bloom builds survive partitioned layouts (basenames " +
     "repeat across k=v dirs)") {
     val s = spark
