@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The commit protocol's ONE store-dependent primitive, made a seam.
+  *
+  * Every graft commit funnels through a single compare-and-swap:
+  * "install this fully-written temp file at the versioned destination
+  * iff nothing is there yet; exactly one concurrent claimant wins."
+  * On a local filesystem or HDFS that primitive exists natively
+  * (hard-link-if-absent / atomic rename), which is what
+  * [[FsCommitArbiter]] does and what [[Snapshots]] always did. On
+  * S3-class object stores it does NOT: rename is copy+delete,
+  * silently overwrites, and two writers publishing the same version
+  * would both "succeed" — the classic lost-commit failure every
+  * object-store table format (Delta's LogStore, Iceberg's lock-based
+  * catalogs) solves with an EXTERNAL arbiter. This trait is that
+  * LogStore-shaped seam: deployments on non-atomic stores plug an
+  * arbiter whose mutual exclusion lives where the store can't provide
+  * it (a DynamoDB-style conditional put, ZooKeeper, a database
+  * unique-key insert), and the rest of the commit protocol — version
+  * chains, conflict signaling, cleanup — is untouched, because it
+  * only ever consumed the boolean.
+  *
+  * Contract ([[Snapshots]] depends on each clause):
+  *   - `tmp` is fully written and closed before the call.
+  *   - Returns true iff THIS call installed `tmp`'s content at `dst`;
+  *     at most one concurrent call per `dst` may return true, and
+  *     after it returns, readers of `dst` see the full content (no
+  *     torn/partial visibility).
+  *   - On true, `tmp` is consumed (moved or deleted). On false, `tmp`
+  *     is left in place — the CALLER owns loser cleanup.
+  *   - `dst` already existing (from any process, any time) must lose.
+  */
+trait CommitArbiter {
+  def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean
+}
+
+/** The filesystem-native arbiter (default): hard-link-if-absent on
+  * `file://` (POSIX link(2) fails EEXIST atomically — two processes
+  * cannot both win), atomic rename elsewhere (HDFS rename-no-overwrite
+  * semantics). Exactly the historical behavior.
+  */
+object FsCommitArbiter extends CommitArbiter {
+  override def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else f.rename(tmp, dst)
+}
+
+/** An arbiter for stores whose rename OVERWRITES (S3-class): mutual
+  * exclusion comes from an external compare-and-swap — here a
+  * process-wide conditional-put table, the single-writer-process
+  * variant of the pattern (Delta's S3SingleDriverLogStore role); a
+  * multi-process deployment supplies a [[Coordinator]] backed by a
+  * real conditional-put service (DynamoDB role) and everything else
+  * is unchanged. Only the CAS winner touches `dst`, so the store's
+  * non-atomic overwrite-capable rename becomes safe: losers never
+  * issue it.
+  */
+class CoordinatedCommitArbiter(
+    coordinator: CoordinatedCommitArbiter.Coordinator =
+      CoordinatedCommitArbiter.processWide)
+  extends CommitArbiter {
+  /** The store's (possibly overwrite-capable, non-atomic) install —
+    * only ever issued by the sole CAS claimant. Overridable so specs
+    * can fake a store whose rename overwrites silently and prove the
+    * exclusion comes from the coordinator, not the store.
+    */
+  protected def install(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    f.rename(tmp, dst)
+
+  override def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+    val key = f.makeQualified(dst).toUri.toString
+    // recovery: a dst that already exists (prior process, replayed
+    // producer) must lose even if this coordinator has no claim for it
+    if (f.exists(dst)) return false
+    if (!coordinator.claim(key)) return false
+    // sole claimant: the store's non-atomic install is now ours alone
+    install(f, tmp, dst)
+  }
+}
+
+object CoordinatedCommitArbiter {
+  /** The conditional-put service seam: `claim(key)` returns true for
+    * exactly one caller per key, ever (DynamoDB put-if-absent, ZK
+    * create, DB unique insert).
+    */
+  trait Coordinator { def claim(key: String): Boolean }
+
+  /** Process-wide claims — correct for a single writer process. */
+  val processWide: Coordinator = new Coordinator {
+    private val claims =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    override def claim(key: String): Boolean = claims.add(key)
+  }
+}
+
+/** Arbiter registry: per-path-prefix registration (longest prefix
+  * wins), defaulting to [[FsCommitArbiter]]. Registration is explicit
+  * — a deployment wires its store's arbiter once for its warehouse
+  * root; tests wire fakes for their temp tables without touching
+  * anyone else's.
+  */
+object CommitArbiters {
+  private val byPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+
+  /** Route commits under `pathPrefix` through `arbiter`. */
+  def register(pathPrefix: String, arbiter: CommitArbiter): Unit =
+    byPrefix.put(pathPrefix, arbiter)
+
+  def unregister(pathPrefix: String): Unit = byPrefix.remove(pathPrefix)
+
+  def forPath(dst: Path): CommitArbiter = {
+    val s = dst.toString
+    var best: String = null
+    val it = byPrefix.keys()
+    while (it.hasMoreElements) {
+      val p = it.nextElement()
+      if (s.startsWith(p) && (best == null || p.length > best.length))
+        best = p
+    }
+    if (best == null) FsCommitArbiter else byPrefix.get(best)
+  }
+}

@@ -2302,18 +2302,15 @@ object Snapshots {
     * arbitration, so the concurrent-writer guarantee holds in local
     * tests exactly as it does on a real cluster.
     */
+  /** The commit point: publish `tmp` at `dst` iff absent, exactly one
+    * concurrent winner. The store-dependent primitive is pluggable
+    * ([[CommitArbiter]] — object stores without an atomic
+    * create-if-absent register a coordinated arbiter for their path
+    * prefix); the default is the filesystem-native CAS, the historical
+    * behavior verbatim.
+    */
   private def atomicPublish(f: FileSystem, tmp: Path, dst: Path): Boolean =
-    if (f.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else f.rename(tmp, dst)
+    CommitArbiters.forPath(dst).putIfAbsent(f, tmp, dst)
 
   // ------------------------------------------------------------------
   // Multi-table transactions: two-phase commit over pending manifests.

@@ -1,0 +1,174 @@
+package graft.sources
+
+import graft.{SparkSpec, TempDirs}
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The object-store commit seam: graft's CAS point is pluggable
+  * ([[CommitArbiter]]), because S3-class stores have no atomic
+  * create-if-absent — rename is copy+delete and silently OVERWRITES,
+  * so without external arbitration two writers publishing the same
+  * version would both "succeed" and one commit would be silently
+  * lost. These specs (a) reproduce that lost-commit hazard against a
+  * faked non-atomic store primitive, then (b) run the full 8-writer
+  * commit race THROUGH the same faked store with the coordinated
+  * arbiter plugged in, proving the CAS loser still loses when the
+  * filesystem can't arbitrate.
+  */
+class CommitArbiterSpec extends SparkSpec {
+
+  private def localFs: FileSystem =
+    FileSystem.getLocal(spark.sparkContext.hadoopConfiguration).getRaw
+
+  private def writeTmp(dir: String, name: String, content: String): Path = {
+    val p = new Path(dir, name)
+    val o = localFs.create(p, true)
+    try o.write(content.getBytes("UTF-8")) finally o.close()
+    p
+  }
+
+  /** An S3-style PUT: visibility-ATOMIC per object (readers see the
+    * old object or the new one, never partial bytes — emulated via a
+    * hidden copy + POSIX overwrite-rename) but last-writer-wins: it
+    * OVERWRITES silently and offers no if-absent. Exactly the store
+    * semantics the commit protocol cannot build a CAS from alone.
+    */
+  private def objectStorePut(f: FileSystem, tmp: Path, dst: Path): Unit = {
+    val hidden = new Path(dst.getParent, s".put-${dst.getName}-${Thread.currentThread().getId}")
+    val in = f.open(tmp)
+    val out = f.create(hidden, true)
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096)
+    finally { in.close(); out.close() }
+    // POSIX rename overwrites atomically — the PUT's visibility edge
+    assert(new java.io.File(hidden.toUri.getPath)
+      .renameTo(new java.io.File(dst.toUri.getPath)))
+    f.delete(tmp, false)
+  }
+
+  /** The hazard: an existence check a writer might do, then the PUT —
+    * check-then-act is NOT atomic. The barrier parks both racers
+    * between check and act, the worst (and on a contended store,
+    * common) interleaving.
+    */
+  private class NaiveObjectStoreArbiter(barrier: java.util.concurrent.CyclicBarrier)
+    extends CommitArbiter {
+    override def putIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean = {
+      if (f.exists(dst)) return false
+      barrier.await() // both racers passed the existence check
+      objectStorePut(f, tmp, dst)
+      true
+    }
+  }
+
+  test("a non-atomic store's raw put loses commits: both racers 'win'") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = TempDirs.create("arbiter-naive")
+    val f = localFs
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val naive = new NaiveObjectStoreArbiter(barrier)
+    val dst = new Path(dir, "v1.manifest")
+    val racers = Seq("writer-A", "writer-B").map { w =>
+      Future {
+        val tmp = writeTmp(dir, s".tmp-$w", w)
+        naive.putIfAbsent(f, tmp, dst)
+      }
+    }
+    val wins = Await.result(Future.sequence(racers), 60.seconds)
+    // THE HAZARD: both returned true — whichever copy landed second
+    // silently destroyed the other's commit
+    assert(wins === Seq(true, true),
+      "the faked store must exhibit the lost-commit race")
+  }
+
+  test("coordinated arbiter over the same non-atomic store: exactly one " +
+    "winner, even with both racers inside the install window") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = TempDirs.create("arbiter-coord")
+    val f = localFs
+    val started = new java.util.concurrent.CyclicBarrier(2)
+    // fresh coordinator per test (claims are per-key forever)
+    val coord = new CoordinatedCommitArbiter.Coordinator {
+      private val claims =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def claim(key: String): Boolean = claims.add(key)
+    }
+    val arb = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst) // still the overwrite-capable put
+        true
+      }
+    }
+    val dst = new Path(dir, "v1.manifest")
+    val racers = Seq("writer-A", "writer-B").map { w =>
+      Future {
+        val tmp = writeTmp(dir, s".tmp-$w", w)
+        started.await() // maximal contention on the claim
+        arb.putIfAbsent(f, tmp, dst)
+      }
+    }
+    val wins = Await.result(Future.sequence(racers), 60.seconds)
+    assert(wins.count(identity) === 1, s"exactly one winner, got $wins")
+    // the loser's tmp is left for caller cleanup (the contract)
+    assert(localFs.exists(dst))
+    // a replayed claimant (new tmp, same dst) loses on the recovery
+    // check even with a fresh coordinator — dst exists
+    val freshArb = new CoordinatedCommitArbiter()
+    val tmp2 = writeTmp(dir, ".tmp-replay", "replay")
+    assert(!freshArb.putIfAbsent(f, tmp2, dst))
+  }
+
+  test("the full 8-writer commit race through a faked object store: " +
+    "version chain intact, no rows lost, CAS losers really lose") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("arbiter-store-table")
+    val coord = new CoordinatedCommitArbiter.Coordinator {
+      private val claims =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def claim(key: String): Boolean = claims.add(key)
+    }
+    // every publish under this table routes through the coordinated
+    // arbiter whose install is the overwrite-capable put — if the
+    // arbitration leaked even one double-win, a manifest would be
+    // silently replaced and a writer's rows lost
+    CommitArbiters.register(dir, new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst) // still the overwrite-capable put
+        true
+      }
+    })
+    try {
+      def frame(r: Range, tag: String) =
+        r.map(i => (i.toLong, tag)).toDF("k", "tag")
+      Snapshots.commit(frame(0 until 1, "base"), dir)
+      val writers = (1 to 8).map { i =>
+        Future(Snapshots.commitRetry(
+          frame(i * 100 until i * 100 + i, s"w$i"), dir, "append",
+          maxAttempts = 32))
+      }
+      val versions = Await.result(Future.sequence(writers), 120.seconds)
+      assert(versions.sorted === (1L to 8L))
+      val byTag = Snapshots.readVersion(spark, dir)
+        .groupBy("tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTag ===
+        (1 to 8).map(i => s"w$i" -> i.toLong).toMap + ("base" -> 1L))
+      // same-version CAS: the loser throws, the winner's rows serve
+      Snapshots.commit(frame(0 until 7, "winner"), dir, "overwrite",
+        expectedVersion = Some(9L))
+      intercept[java.util.ConcurrentModificationException] {
+        Snapshots.commit(frame(0 until 2, "loser"), dir, "overwrite",
+          expectedVersion = Some(9L))
+      }
+      assert(Snapshots.readVersion(spark, dir, Some(9L)).count() === 7L)
+    } finally CommitArbiters.unregister(dir)
+  }
+}
