@@ -137,6 +137,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u46MetadataCheckpoint _),
     "u47_ckpt_point_lookup" ->
       (graft.sources.DemoFixtures.u47CkptPointLookup _),
+    "u48_histogram_skew" ->
+      (graft.sources.DemoFixtures.u48HistogramSkew _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1064,6 +1066,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 3)
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // u48 oracle: the skew-filtered aggregate replayed relationally
+    // (stats feed changes the plan, never the rows); the witnesses pin
+    // that the KLL histogram estimated the 1% tail within 5× while the
+    // feed-off plan missed by >5×, and that the accurate estimate
+    // flipped the join build side to broadcast
+    "u48_histogram_skew" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  COUNT(DISTINCT o_custkey) AS n_tail_custs,
+        |  1 AS estimate_skew_aware, 1 AS broadcast_flipped
+        |FROM orders
+        |WHERE (CASE WHEN o_orderkey % 100 < 99 THEN 5
+        |       ELSE 1000000 + o_orderkey END) >= 1000000""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -30,15 +30,37 @@ case class RelationLedgerStats(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transform {
       case lr @ LogicalRelation(g: GraftRelation, _, None, _, _)
           if g.ledgerCount.isDefined =>
-        // per-column NDV from the manifest's mergeable HLL sketches
-        // (only columns every live file carries a sketch for): the
-        // distinctCount CBO's join-reorder cardinality model keys on,
-        // exactly what ANALYZE TABLE ... FOR COLUMNS would have
-        // computed — served from metadata, no scan
-        val colStats = g.columnNdvs.map { case (c, ndv) =>
-          c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
-            distinctCount = Some(BigInt(ndv)))
-        }
+        // per-column stats from the manifest's mergeable sketches,
+        // exactly what ANALYZE TABLE ... FOR COLUMNS (with
+        // spark.sql.statistics.histogram.enabled) would have computed,
+        // served from metadata with no scan:
+        //  - distinctCount: merged HLL NDV (join-reorder cardinality)
+        //  - histogram: merged KLL equi-height bins (range/equality
+        //    SELECTIVITY on skewed columns — without it FilterEstimation
+        //    interpolates uniformly between min and max, and a skewed
+        //    predicate misestimates by orders of magnitude, mis-sizing
+        //    joins downstream)
+        //  - min/max/nullCount: folded footer stats (the companions
+        //    the estimators consult next to a histogram)
+        // `graft.stats.histograms=false` drops the histogram+range
+        // feed (the A/B toggle the u48 witness pins).
+        val serveHist = spark.conf
+          .get("graft.stats.histograms", "true").toBoolean
+        val hists = if (serveHist) g.columnHistograms
+          else Map.empty[String,
+            org.apache.spark.sql.catalyst.plans.logical.Histogram]
+        val ranges = if (serveHist) g.columnRanges
+          else Map.empty[String, (String, String, Option[Long])]
+        val colStats = (g.columnNdvs.keySet ++ hists.keySet ++ ranges.keySet)
+          .iterator.map { c =>
+            val r = ranges.get(c)
+            c -> org.apache.spark.sql.catalyst.catalog.CatalogColumnStat(
+              distinctCount = g.columnNdvs.get(c).map(BigInt(_)),
+              min = r.map(_._1),
+              max = r.map(_._2),
+              nullCount = r.flatMap(_._3).map(BigInt(_)),
+              histogram = hists.get(c))
+          }.toMap
         lr.copy(catalogTable = Some(CatalogTable(
           identifier = TableIdentifier(
             s"graft_${Integer.toHexString(g.tableDir.hashCode)}"),

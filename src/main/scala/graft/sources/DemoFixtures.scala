@@ -852,6 +852,119 @@ object DemoFixtures {
       .orderBy("o_custkey")
   }
 
+  /** Seeds of the u48 histogram demo (one per JVM, read-only): a
+    * SKEWED fact — 99% of rows share one key value, 1% spread over a
+    * high range (the k1_skew_profile shape) — committed with per-file
+    * KLL sketches, and a deliberately-padded dim big enough that it
+    * never broadcasts on its own.
+    */
+  def histSkewOrders(s: SparkSession, d: String): (String, String) = {
+    import org.apache.spark.sql.functions._
+    val factDir = cache.getOrElseUpdate(s"histfact:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-hist-fact")
+      val skewed = graft.Tables.orders(s, d).select(
+        when(col("o_orderkey") % 100 < 99, lit(5L))
+          .otherwise(lit(1000000L) + col("o_orderkey")).as("sk"),
+        col("o_custkey"), col("o_totalprice"))
+      Snapshots.commit(skewed.repartition(4), dir, "overwrite",
+        statsColumns = Seq("sk"), ndvColumns = Seq("sk"),
+        histColumns = Seq("sk"))
+      dir
+    })
+    val dimDir = cache.getOrElseUpdate(s"histdim:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-hist-dim")
+      // ~1 KB of incompressible (random-hex) payload per customer: the
+      // dim's ledger size scales with the fact's, keeping it above the
+      // demo's row-proportional broadcast threshold at EVERY sf (the
+      // fixture is deterministic, so the margin is fixed, not flaky)
+      val dim = graft.Tables.orders(s, d).select(col("o_custkey"))
+        .distinct()
+        .withColumn("pad", concat((0 until 32).map(j =>
+          md5(concat(col("o_custkey").cast("string"), lit(s"-$j")))): _*))
+      Snapshots.commit(dim.coalesce(2), dir, "overwrite")
+      dir
+    })
+    (factDir, dimDir)
+  }
+
+  /** Demo + oracle entry (`u48_histogram_skew`): per-file KLL quantile
+    * sketches merged to an equi-height histogram
+    * (`CatalogColumnStat.histogram`, served from metadata by
+    * [[graft.plans.RelationLedgerStats]]) giving CBO SKEW-AWARE filter
+    * selectivity. The predicate keeps the 1% tail of a 99%-skewed
+    * column; min/max alone can't see that. Witnesses, A/B'd on the
+    * `graft.stats.histograms` feed alone: `estimate_skew_aware` pins
+    * the histogram estimate within 5× of actual while the feed-off
+    * estimate misses by >5× (it has no selectivity signal at all), and
+    * `broadcast_flipped` pins the BUILD-SIDE FLIP — with the histogram
+    * the filtered fact is estimated tiny and BROADCASTS into a dim too
+    * big to broadcast itself; without it the join shuffles. The 100 TB
+    * shape: a mis-estimated skewed filter turns a broadcastable probe
+    * into a full two-sided shuffle. Output replays the filtered
+    * aggregate relationally (the dim join is row-preserving by
+    * construction — every fact key exists in the dim).
+    */
+  def u48HistogramSkew(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (factDir, dimDir) = histSkewOrders(s, d)
+    val fact = s.read.format("graft").load(factDir)
+    // the dim reads through the plain-parquet path: its plan-time size
+    // is the REAL file bytes (~1 KB/row of random hex). A cardinality
+    // estimate (rowCount × default string width) would undersize the
+    // pad column and make the dim broadcastable whatever the fact does
+    val dim = Snapshots.readVersion(s, dimDir, Some(0L))
+    val nRows = Snapshots.readManifest(s, factDir, 0L).dataRows
+    val restore = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "graft.stats.histograms")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // row-proportional threshold: the histogram's ~1%-of-rows
+      // estimate falls under it, the feed-off near-unfiltered estimate
+      // and the padded dim (~40 B/row ledger floor) stay above — the
+      // same flip at every sf
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (4L * nRows).toString)
+      // the aggregate CONSUMES the dim's pad (distinct count — pad is
+      // md5(custkey), injective in practice), so column pruning cannot
+      // shrink the dim side under the threshold: the only way a
+      // broadcast appears is the filtered FACT estimating small
+      def query(): org.apache.spark.sql.DataFrame =
+        fact.where(col("sk") >= 1000000L)
+          .join(dim, "o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"),
+            countDistinct(col("pad")).as("n_tail_custs"))
+      def run(): (String, Option[BigInt]) = {
+        val q = query()
+        val est = q.queryExecution.optimizedPlan.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            fl.stats.rowCount
+        }.headOption.flatten
+        (q.queryExecution.executedPlan.toString, est)
+      }
+      s.conf.set("graft.stats.histograms", "true")
+      val (planOn, estOn) = run()
+      s.conf.set("graft.stats.histograms", "false")
+      val (planOff, estOff) = run()
+      val actual = nRows / 100 // the 1% tail (o_orderkey % 100 == 99)
+      val skewAware =
+        if (estOn.exists(e => e.toLong <= actual * 5 &&
+              e.toLong >= actual / 5) &&
+            estOff.forall(_.toLong > actual * 5)) 1 else 0
+      val flipped =
+        if (planOn.contains("BroadcastHashJoin") &&
+            !planOff.contains("BroadcastHashJoin")) 1 else 0
+      s.conf.set("graft.stats.histograms", "true")
+      query()
+        .withColumn("estimate_skew_aware", lit(skewAware).cast("int"))
+        .withColumn("broadcast_flipped", lit(flipped).cast("int"))
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   /** Star-schema fixtures WITH per-file NDV sketches on the join keys
     * (one per JVM, read-only) — the seeds of the CBO join-reorder
     * demo: distinct counts are what turn plan-time row counts into

@@ -425,6 +425,69 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
         .toMap
     }
 
+  /** Equi-height histograms per column from the manifest's per-file
+    * KLL sketches ([[Snapshots.mergedHistogram]]) — only columns EVERY
+    * live file carries a sketch for. The selectivity feed for skewed
+    * range predicates (`spark.sql.statistics.histogram.numBins` bins,
+    * the ANALYZE shape), served from metadata with no scan.
+    */
+  private[graft] lazy val columnHistograms
+      : Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    val m = manifest
+    val numBins = spark.conf
+      .get("spark.sql.statistics.histogram.numBins", "254").toInt
+    m.klls.keysIterator.map(_._2).toSet.iterator
+      .flatMap((c: String) =>
+        Snapshots.mergedHistogram(m, c, numBins).map(c -> _))
+      .toMap
+  }
+
+  /** Table-level (min, max, nullCount) per column folded from the
+    * manifest's per-file footer stats — the companions CBO's
+    * estimators expect next to a histogram. Only long/double-kind
+    * stats on numeric columns (their external-string form round-trips
+    * through `CatalogColumnStat.fromExternalString`), and only when
+    * every live file carries the stat (a partial fold mis-bounds).
+    */
+  private[graft] lazy val columnRanges
+      : Map[String, (String, String, Option[Long])] = {
+    val m = manifest
+    // decimals excluded: their footer stats are UNSCALED ints, which
+    // would parse as wildly wrong decimal bounds
+    val numericCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType] &&
+        !f.dataType.isInstanceOf[
+          org.apache.spark.sql.types.DecimalType] => f.name
+    }.toSet
+    m.stats.keysIterator.map(_._2).toSet.iterator
+      .filter(numericCols.contains)
+      .flatMap { (c: String) =>
+        val sts = m.files.map(fl => m.stats.get((fl, c)))
+        if (sts.isEmpty || sts.exists(_.isEmpty)) None
+        else {
+          val known = sts.flatten
+          if (!known.forall(st => st.kind == "long" || st.kind == "double"))
+            None
+          else {
+            val isLong = known.head.kind == "long"
+            val (mn, mx) =
+              if (isLong)
+                (known.map(_.min.toLong).min.toString,
+                  known.map(_.max.toLong).max.toString)
+              else
+                (known.map(_.min.toDouble).min.toString,
+                  known.map(_.max.toDouble).max.toString)
+            val nulls =
+              if (m.files.forall(fl => m.nullCounts.contains((fl, c))))
+                Some(m.files.map(fl => m.nullCounts((fl, c))).sum)
+              else None
+            Some(c -> ((mn, mx, nulls)))
+          }
+        }
+      }.toMap
+  }
+
   override lazy val schema: StructType = manifest.schema.getOrElse {
     require(manifest.files.nonEmpty,
       s"$tableDir v$version has no schema and no files to infer one from")

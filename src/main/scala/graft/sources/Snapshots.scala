@@ -205,7 +205,8 @@ object Snapshots {
                             colMap: Map[String, String] = Map.empty,
                             retiredCols: Seq[String] = Nil,
                             nullCounts: Map[(String, String), Long] = Map.empty,
-                            ndvs: Map[(String, String), Array[Byte]] = Map.empty) {
+                            ndvs: Map[(String, String), Array[Byte]] = Map.empty,
+                            klls: Map[(String, String), Array[Byte]] = Map.empty) {
     /** logical → physical (identity when unmapped). */
     def physOf(c: String): String = colMap.getOrElse(c, c)
     /** physical → logical (identity when unmapped). */
@@ -376,6 +377,115 @@ object Snapshots {
             (rel, c) -> r.getAs[Array[Byte]](i + 1)
         }
       }.toMap
+  }
+
+  /** Per-file KLL doubles sketches for `columns` of the just-written
+    * `rels` — the quantile twin of [[buildNdvs]]: one job, one pass,
+    * partial sketches built per input split and MERGED per file (KLL
+    * merge is lossless w.r.t. its rank guarantees), so no full-data
+    * shuffle. Columns must be numeric (validated by [[commit]]) and
+    * are sketched at DOUBLE — value-based, so the sketches survive
+    * lossless type widening. Mergeable across any file subset:
+    * table-level histograms compose from per-file sketches with no
+    * rescan, exactly the NDV property.
+    */
+  private def buildKlls(spark: SparkSession, tableDir: String,
+                        rels: Seq[String], columns: Seq[String],
+                        tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Map[(String, String), Array[Byte]] = {
+    if (columns.isEmpty || rels.isEmpty) return Map.empty
+    kllPerFile(spark,
+      rels.map(rel => rel -> new Path(tableDir, rel)), columns, tableSchema)
+  }
+
+  /** The shared per-file KLL aggregation ([[hllPerFile]]'s shape):
+    * `mapPartitions` accumulates one sketch per (file, column) per
+    * split, `reduceByKey` merges split sketches per file — the
+    * classic partial-aggregate pattern, shuffling only sketch bytes
+    * (KB), never rows. Keys map back through the scheme-stripped
+    * ABSOLUTE path (dynamic-partition writes reuse basenames).
+    */
+  private def kllPerFile(spark: SparkSession,
+                         relToPath: Seq[(String, Path)],
+                         columns: Seq[String],
+                         readSchema: Option[org.apache.spark.sql.types.StructType])
+      : Map[(String, String), Array[Byte]] = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byPath = relToPath
+      .map { case (rel, p) =>
+        p.getFileSystem(conf).makeQualified(p).toUri.getPath -> rel }.toMap
+    require(byPath.size == relToPath.size,
+      "kll build requires distinct file paths")
+    val df = readSchema.fold(spark.read)(s => spark.read.schema(
+        org.apache.spark.sql.types.StructType(
+          s.fields.filter(f => columns.contains(f.name)))))
+      .parquet(relToPath.map(_._2.toString): _*)
+      .select((col("_metadata.file_path") +:
+        columns.map(c => col(c).cast("double"))): _*)
+    val n = columns.size
+    val partial = df.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Int), org.apache.datasketches.kll.KllDoublesSketch]
+      it.foreach { r =>
+        val fp = r.getString(0)
+        var i = 0
+        while (i < n) {
+          if (!r.isNullAt(i + 1))
+            acc.getOrElseUpdate((fp, i),
+              org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance())
+              .update(r.getDouble(i + 1))
+          i += 1
+        }
+      }
+      acc.iterator.map { case (k, sk) => (k, sk.toByteArray) }
+    }
+    partial.reduceByKey { (a, b) =>
+      val sa = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(a))
+      sa.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b)))
+      sa.toByteArray
+    }.collect() // one row per (file, column): O(metadata)
+      .map { case ((fp, i), sk) =>
+        (byPath(new Path(fp).toUri.getPath), columns(i)) -> sk
+      }.toMap
+  }
+
+  /** Merge per-file KLL sketches to one table-level EQUI-HEIGHT
+    * histogram ([[org.apache.spark.sql.catalyst.plans.logical.Histogram]],
+    * the shape `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` with
+    * `spark.sql.statistics.histogram.enabled` produces) — served from
+    * metadata, no scan. Bin bounds are the merged sketch's quantiles
+    * at i/numBins; per-bin NDV is the equi-height approximation
+    * totalNdv/numBins (1 for a collapsed bin — a heavy hitter spanning
+    * it), with the merged NDV estimate when the column has HLL
+    * sketches and the bin height as the bound otherwise. None when any
+    * live file lacks the sketch (partial histograms misestimate
+    * silently — same poisoning rule as [[mergedNdv]]).
+    */
+  private[graft] def mergedHistogram(m: Manifest, column: String,
+                                     numBins: Int)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    val sketches = m.files.map(fl => m.klls.get((fl, column)))
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
+    val merged = sketches.flatten.map(sk =>
+      org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(sk)))
+      .reduceLeft { (a, b) => a.merge(b); a }
+    if (merged.isEmpty) return None
+    val bins = math.max(1, numBins)
+    val height = merged.getN.toDouble / bins
+    val ndvPerBin = mergedNdv(m, column)
+      .map(ndv => math.max(1L, math.round(ndv.toDouble / bins)))
+      .getOrElse(math.max(1L, math.ceil(height).toLong))
+    val bounds = (0 to bins).map(i =>
+      merged.getQuantile(i.toDouble / bins))
+    Some(Histogram(height, bounds.sliding(2).map { pair =>
+      val (lo, hi) = (pair(0), pair(1))
+      HistogramBin(lo, hi, if (lo == hi) 1L else ndvPerBin)
+    }.toArray))
   }
 
   /** Merge per-file HLL sketches to one table-level NDV estimate —
@@ -652,7 +762,8 @@ object Snapshots {
              pending: Option[String] = None,
              bloomColumns: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
-             ndvColumns: Seq[String] = Nil): Long = {
+             ndvColumns: Seq[String] = Nil,
+             histColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     // Hive-style partition layout (see [[PartShadowPrefix]]): `k=v/`
     // data dirs, values kept in the files, per-file min=max partition
@@ -674,6 +785,13 @@ object Snapshots {
       s"duplicate derived partition names: $partitionBy")
     partSpecs.foreach(sp =>
       PartitionTransforms.validate(sp, df.schema, "partition column"))
+    histColumns.foreach { c =>
+      require(df.columns.contains(c), s"hist column '$c' is not a column")
+      require(df.schema(c).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"hist column '$c' must be numeric (KLL sketches values as " +
+          s"doubles), not ${df.schema(c).dataType}")
+    }
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
       require(n >= 1 && n <= 65536, s"numBuckets must be in [1, 65536]: $n")
@@ -872,6 +990,23 @@ object Snapshots {
     val carriedNdvs = prev.map(_.ndvs).getOrElse(
       Map.empty[(String, String), Array[Byte]])
       .filter { case ((_, c), _) => !widenedCols.contains(c) }
+    // per-file KLL quantile sketches (histogram column stats): the
+    // selectivity feed CBO lacks with rowCount+NDV alone — a skewed
+    // column's range predicate estimates uniform without them.
+    // Mergeable like NDV sketches: appends never rescan old files.
+    // They sketch VALUES (as doubles), so unlike blooms/NDVs they
+    // SURVIVE widening (a lossless widening preserves every value).
+    val newKlls = {
+      val physSchema =
+        if (colMap.isEmpty) schema
+        else org.apache.spark.sql.types.StructType(
+          schema.fields.map(f => f.copy(name = colMap.getOrElse(f.name, f.name))))
+      buildKlls(spark, tableDir, written,
+        histColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
+        .map { case ((fl, c), sk) => (fl, physRev.getOrElse(c, c)) -> sk }
+    }
+    val carriedKlls = prev.map(_.klls).getOrElse(
+      Map.empty[(String, String), Array[Byte]])
     // row + byte accounting (footer metadata, no scan): appends extend
     // the predecessor's totals (unknown propagates), overwrites restart;
     // per-file counts feed the grouped/filtered metadata-count rewrites,
@@ -914,7 +1049,8 @@ object Snapshots {
         dataRows, dvRows, bucketSpec, buckets, pending,
         carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
         prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
-        carriedNulls ++ newNulls, carriedNdvs ++ newNdvs))) {
+        carriedNulls ++ newNulls, carriedNdvs ++ newNdvs,
+        carriedKlls ++ newKlls))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -1164,7 +1300,8 @@ object Snapshots {
                                     bytes: Option[Long],
                                     blooms: Seq[(String, Bloom)],
                                     nulls: Seq[(String, Long)] = Nil,
-                                    ndvs: Seq[(String, Array[Byte])] = Nil)
+                                    ndvs: Seq[(String, Array[Byte])] = Nil,
+                                    klls: Seq[(String, Array[Byte])] = Nil)
 
   private final case class SegmentData(entries: IndexedSeq[SegEntry])
 
@@ -1205,13 +1342,15 @@ object Snapshots {
       val blooms = ArrayBuffer.empty[(String, Bloom)]
       val nulls = ArrayBuffer.empty[(String, Long)]
       val ndvs = ArrayBuffer.empty[(String, Array[Byte])]
+      val klls = ArrayBuffer.empty[(String, Array[Byte])]
       var bucket: Option[Int] = None
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
       def flush(): Unit = if (file != null) {
         entries += SegEntry(file, stats.toSeq, bucket, rows, bytes,
-          blooms.toSeq, nulls.toSeq, ndvs.toSeq)
+          blooms.toSeq, nulls.toSeq, ndvs.toSeq, klls.toSeq)
         stats.clear(); blooms.clear(); nulls.clear(); ndvs.clear()
+        klls.clear()
         bucket = None; rows = None; bytes = None
       }
       var line = r.readLine()
@@ -1239,6 +1378,12 @@ object Snapshots {
           line.stripPrefix("ndv=").split('\t') match {
             case Array(c, b64) =>
               ndvs += (c -> java.util.Base64.getDecoder.decode(b64))
+            case _ => ()
+          }
+        } else if (line.startsWith("kll=")) {
+          line.stripPrefix("kll=").split('\t') match {
+            case Array(c, b64) =>
+              klls += (c -> java.util.Base64.getDecoder.decode(b64))
             case _ => // ignore malformed (forward compat)
           }
         } else if (line.startsWith("bloom=")) {
@@ -1281,6 +1426,9 @@ object Snapshots {
           w.write(s"nulls=$c\t$n\n") }
         e.ndvs.sortBy(_._1).foreach { case (c, sk) =>
           w.write(s"ndv=$c\t" +
+            java.util.Base64.getEncoder.encodeToString(sk) + "\n") }
+        e.klls.sortBy(_._1).foreach { case (c, sk) =>
+          w.write(s"kll=$c\t" +
             java.util.Base64.getEncoder.encodeToString(sk) + "\n") }
         e.blooms.sortBy(_._1).foreach { case (c, b) =>
           val bb = java.nio.ByteBuffer.allocate(b.words.length * 8)
@@ -2018,6 +2166,7 @@ object Snapshots {
     val retired = m.retiredCols.toSet
     val nullsByFile = m.nullCounts.groupBy(_._1._1)
     val ndvsByFile = m.ndvs.groupBy(_._1._1)
+    val kllsByFile = m.klls.groupBy(_._1._1)
     // segments store PHYSICAL column names (rename = O(1) manifest
     // commit, no per-file metadata moves); the in-memory maps speak
     // logical — translate on the way out and when comparing
@@ -2030,6 +2179,8 @@ object Snapshots {
       nullsByFile.getOrElse(file, Map.empty).iterator
         .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq,
       ndvsByFile.getOrElse(file, Map.empty).iterator
+        .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
+      kllsByFile.getOrElse(file, Map.empty).iterator
         .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq)
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
@@ -2041,10 +2192,16 @@ object Snapshots {
       val mb = bloomsByFile.getOrElse(e.file, Map.empty)
       val mn = nullsByFile.getOrElse(e.file, Map.empty)
       val mv = ndvsByFile.getOrElse(e.file, Map.empty)
+      val mq = kllsByFile.getOrElse(e.file, Map.empty)
       val eStats = e.stats.filterNot { case (c, _) => retired.contains(c) }
       val eBlooms = e.blooms.filterNot { case (c, _) => retired.contains(c) }
       val eNulls = e.nulls.filterNot { case (c, _) => retired.contains(c) }
       val eNdvs = e.ndvs.filterNot { case (c, _) => retired.contains(c) }
+      val eKlls = e.klls.filterNot { case (c, _) => retired.contains(c) }
+      mq.size == eKlls.size &&
+        eKlls.forall { case (c, sk) =>
+          mq.get((e.file, m.logicalOf.getOrElse(c, c))).exists(x =>
+            (x eq sk) || java.util.Arrays.equals(x, sk)) } &&
       mv.size == eNdvs.size &&
         eNdvs.forall { case (c, sk) =>
           mv.get((e.file, m.logicalOf.getOrElse(c, c))).exists(x =>
@@ -2690,6 +2847,8 @@ object Snapshots {
       val nullCounts = scala.collection.mutable.Map.empty[(String, String), Long]
       val ndvSketches =
         scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
+      val kllSketches =
+        scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -2817,6 +2976,9 @@ object Snapshots {
             e.ndvs.foreach { case (c, sk) =>
               if (!retired.contains(c))
                 ndvSketches((e.file, rev.getOrElse(c, c))) = sk }
+            e.klls.foreach { case (c, sk) =>
+              if (!retired.contains(c))
+                kllSketches((e.file, rev.getOrElse(c, c))) = sk }
           }
         }
       }
@@ -2824,7 +2986,7 @@ object Snapshots {
         txns.toMap, dvs.toSeq, checks.toMap, dataRows, dvRows, bucketSpec,
         buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
         fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq,
-        nullCounts.toMap, ndvSketches.toMap)
+        nullCounts.toMap, ndvSketches.toMap, kllSketches.toMap)
     } finally r.close()
   }
 
@@ -3238,6 +3400,8 @@ object Snapshots {
         // indexes would mis-prune, so they go with the widening
         blooms = m.blooms.filter { case ((_, c), _) => !widenedCols.contains(c) },
         ndvs = m.ndvs.filter { case ((_, c), _) => !widenedCols.contains(c) },
+        // klls survive widening: they sketch VALUES as doubles, and a
+        // lossless widening preserves every value
         colMap = colMap,
         nullCounts = m.nullCounts ++ newNulls,
         pendingMarker = None))) {
@@ -3551,6 +3715,7 @@ object Snapshots {
       buckets = m.buckets.filter { case (rel, _) => keep(rel) } ++ newBuckets,
       blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
       ndvs = m.ndvs.filter { case ((rel, _), _) => keep(rel) },
+      klls = m.klls.filter { case ((rel, _), _) => keep(rel) },
       fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
         newFileMeta.view.mapValues(_._1).toMap,
       fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
@@ -5127,6 +5292,7 @@ object Snapshots {
         old.fields.updated(idx, old.fields(idx).copy(dataType = to)))),
       blooms = m.blooms.filter { case ((_, c), _) => c != name },
       ndvs = m.ndvs.filter { case ((_, c), _) => c != name },
+      // klls sketch values (doubles) — widening preserves them
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -5197,6 +5363,8 @@ object Snapshots {
         (fl, if (c == from) to else c) -> n },
       ndvs = m.ndvs.map { case ((fl, c), sk) =>
         (fl, if (c == from) to else c) -> sk },
+      klls = m.klls.map { case ((fl, c), sk) =>
+        (fl, if (c == from) to else c) -> sk },
       partitionCols = m.partitionCols.map(
         PartitionTransforms.renameSource(_, from, to)),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
@@ -5243,6 +5411,7 @@ object Snapshots {
       blooms = m.blooms.filterNot(_._1._2 == name),
       nullCounts = m.nullCounts.filterNot(_._1._2 == name),
       ndvs = m.ndvs.filterNot(_._1._2 == name),
+      klls = m.klls.filterNot(_._1._2 == name),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -5304,6 +5473,8 @@ object Snapshots {
           nullCounts = m.nullCounts.map { case ((p, c), n) =>
             (absolutize(p), c) -> n },
           ndvs = m.ndvs.map { case ((p, c), sk) =>
+            (absolutize(p), c) -> sk },
+          klls = m.klls.map { case ((p, c), sk) =>
             (absolutize(p), c) -> sk })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
@@ -5597,6 +5768,7 @@ object Snapshots {
         buckets = m.buckets.filter { case (rel, _) => keep(rel) },
         blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
         ndvs = m.ndvs.filter { case ((rel, _), _) => keep(rel) },
+        klls = m.klls.filter { case ((rel, _), _) => keep(rel) },
         fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
           newFileMeta.view.mapValues(_._1).toMap,
         fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++

@@ -269,6 +269,81 @@ class RelationStatsSpec extends SparkSpec {
       === Map("a" -> 100L))
   }
 
+  test("KLL histograms: merged bins see the skew; selectivity flips the " +
+    "join build side that uniform interpolation gets wrong") {
+    val s = spark
+    import s.implicits._
+    val factDir = TempDirs.create("stats-hist-fact")
+    val dimDir = TempDirs.create("stats-hist-dim")
+    // 40k rows, 99% pinned to value 5, 1% spread over [1e6, 1e6+40k):
+    // min/max alone say [5, ~1.04e6], so a uniform estimate of
+    // sk >= 1e6 keeps ~96% of rows; the histogram knows it's ~1%
+    val fact = (0L until 40000L).map { i =>
+      (if (i % 100 < 99) 5L else 1000000L + i, i % 500L, s"pay-$i")
+    }.toDF("sk", "fk", "pay").repartition(4)
+    Snapshots.commit(fact, factDir, "overwrite",
+      statsColumns = Seq("sk"), ndvColumns = Seq("sk"),
+      histColumns = Seq("sk"))
+    // the dim must be ABOVE the broadcast threshold on its own, so the
+    // only way a broadcast appears is the FACT side estimating small
+    // (names vary per row — dictionary encoding can't crush them)
+    Snapshots.commit(
+      (0L until 5000L).map(k => (k % 500L,
+        (0 until 8).map(j => ((k + 17) * 2654435761L + j * 40503L)
+          .toHexString).mkString("-"))).toDF("k", "name"),
+      dimDir, "overwrite")
+    // the merged histogram reflects the skew: ≥97% of bins collapse
+    // onto the heavy value, the tail bins carry the spread
+    val rel = GraftRelation(spark.sqlContext, factDir, 0L)
+    val hist = rel.columnHistograms("sk")
+    val heavy = hist.bins.count(b => b.lo == 5.0 && b.hi == 5.0)
+    assert(heavy >= (hist.bins.length * 97) / 100,
+      s"heavy bins $heavy of ${hist.bins.length}")
+    assert(hist.bins.last.hi >= 1000000.0)
+    // poisoning: an append without histColumns drops the histogram
+    val poisonDir = TempDirs.create("stats-hist-poison")
+    Snapshots.commit(fact.limit(100), poisonDir, "overwrite",
+      histColumns = Seq("sk"))
+    Snapshots.commit(fact.limit(10), poisonDir, "append")
+    assert(GraftRelation(spark.sqlContext, poisonDir, 1L)
+      .columnHistograms.isEmpty)
+    // the planner flip, A/B'd on the histogram feed alone: with it,
+    // the filtered fact is estimated tiny and BROADCASTS into the
+    // too-big-to-broadcast dim; without it, uniform interpolation
+    // estimates the filter keeping ~everything and the join shuffles
+    val restore = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "graft.stats.histograms")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "32768")
+      def plan(): (String, Option[BigInt]) = {
+        val q = table(factDir).where(col("sk") >= 1000000L)
+          .join(table(dimDir), col("fk") === col("k"))
+          .groupBy("name").agg(count(lit(1)).as("n"))
+        val filterRows = q.queryExecution.optimizedPlan.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            fl.stats.rowCount
+        }.headOption.flatten
+        (q.queryExecution.executedPlan.toString, filterRows)
+      }
+      s.conf.set("graft.stats.histograms", "true")
+      val (withHist, estHist) = plan()
+      s.conf.set("graft.stats.histograms", "false")
+      val (without, estUniform) = plan()
+      // estimates: actual is 400 rows; histogram lands within ~3x,
+      // uniform interpolation misses by >20x
+      assert(estHist.exists(r => r >= 100 && r <= 1600),
+        s"histogram estimate $estHist")
+      assert(estUniform.forall(_ > 8000), s"uniform estimate $estUniform")
+      assert(withHist.contains("BroadcastHashJoin"),
+        s"histogram stats must broadcast the filtered fact:\n$withHist")
+      assert(!without.contains("BroadcastHashJoin"),
+        s"uniform stats must NOT broadcast:\n$without")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("NDV and bloom builds survive partitioned layouts (basenames " +
     "repeat across k=v dirs)") {
     val s = spark
