@@ -108,6 +108,77 @@ final class LogServer(fct: () => DataFrame, port: Int = 0) {
     s"""{"date":"${esc(date)}","rows":[${rows.mkString(",")}]}"""
   })
 
+  /** The dashboard twin (`serve/app.py:40-83`): ONE static HTML page
+    * rendering the Streamlit app's content — the date selector
+    * (available dates), the KPI tiles (requests / errors / error-rate
+    * %), the per-hour bar chart (inline SVG — no JS, no asset
+    * dependencies), and the hourly breakdown table. Same queries the
+    * JSON endpoints serve, same `?date=` contract (defaults to the
+    * newest available date, the Streamlit selectbox's default).
+    */
+  private def dashboardHtml(date0: Option[String]): String = {
+    val dates = LogQueries.availableDates(fct()).collect()
+      .map(_.getAs[java.sql.Date]("date").toString)
+    require(dates.nonEmpty, "no dates in the hourly fact")
+    val date = date0.getOrElse(dates.last)
+    val kpi = LogQueries.kpiTotals(fct(), date).collect().head
+    val (nReq, nErr) = (kpi.getAs[Long]("total_requests"),
+      kpi.getAs[Long]("total_errors"))
+    val ratePct = f"${kpi.getAs[Double]("error_rate_pct")}%.2f"
+    val hours = LogQueries.perHourPivot(fct(), date).collect().map(r =>
+      (r.getAs[String]("hour"), r.getAs[Long]("requests"),
+        r.getAs[Long]("errors")))
+    val breakdown = LogQueries.hourlyBreakdown(fct(), date).collect()
+    def escH(s: String): String = s.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+    val maxReq = math.max(1L, hours.map(_._2).max)
+    val bars = hours.zipWithIndex.map { case ((h, req, err), i) =>
+      val x = i * 34
+      val rh = (req * 120 / maxReq).toInt
+      val eh = math.max(if (err > 0) 1 else 0, (err * 120 / maxReq).toInt)
+      s"""<g><rect x="$x" y="${130 - rh}" width="30" height="$rh" fill="#4a90d9"/>""" +
+        s"""<rect x="$x" y="${130 - eh}" width="30" height="$eh" fill="#d94a4a"/>""" +
+        s"""<text x="${x + 15}" y="142" font-size="9" text-anchor="middle">${escH(h)}</text></g>"""
+    }.mkString
+    val rows = breakdown.map { r =>
+      s"<tr><td>${escH(r.getAs[String]("hour"))}</td>" +
+        s"<td>${escH(r.getAs[String]("endpoint"))}</td>" +
+        s"<td>${r.getAs[Long]("requests")}</td>" +
+        s"<td>${r.getAs[Long]("errors")}</td>" +
+        s"<td>${r.getAs[Double]("p95_bytes")}</td></tr>"
+    }.mkString
+    val opts = dates.map(d => s"""<option value="$d"${
+      if (d == date) " selected" else ""}>$d</option>""").mkString
+    s"""<!doctype html><html><head><title>graft log dashboard</title></head>
+       |<body><h1>Log dashboard</h1>
+       |<form method="get" action="/dashboard">
+       |<select name="date" onchange="this.form.submit()">$opts</select>
+       |<noscript><button type="submit">go</button></noscript></form>
+       |<div><span id="kpi-requests">Requests: $nReq</span> ·
+       |<span id="kpi-errors">Errors: $nErr</span> ·
+       |<span id="kpi-rate">Error rate: $ratePct%</span></div>
+       |<h2>Per-hour traffic</h2>
+       |<svg width="${hours.length * 34}" height="150">$bars</svg>
+       |<h2>Hourly breakdown</h2>
+       |<table border="1" id="breakdown"><tr><th>hour</th><th>endpoint</th>
+       |<th>requests</th><th>errors</th><th>p95_bytes</th></tr>$rows</table>
+       |</body></html>""".stripMargin
+  }
+
+  server.createContext("/dashboard", (x: HttpExchange) =>
+    try {
+      val body = dashboardHtml(params(x).get("date"))
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      x.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      x.sendResponseHeaders(200, bytes.length.toLong)
+      try x.getResponseBody.write(bytes) finally x.close()
+    } catch {
+      case e: IllegalArgumentException =>
+        respond(x, 400, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+      case scala.util.control.NonFatal(e) =>
+        respond(x, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
+    })
+
   server.createContext("/", (x: HttpExchange) =>
     respond(x, 404, """{"detail":"not found"}"""))
 

@@ -61,4 +61,39 @@ class LogServerSpec extends SparkSpec {
       assert(get(port, "/no_such_endpoint")._1 === 404)
     } finally { srv.stop(); fct.unpersist() }
   }
+
+  test("dashboard page renders the KPI, per-hour chart and breakdown " +
+    "numbers the queries serve (the serve/app.py twin)") {
+    val fct = LogFixture.fct(spark).cache()
+    val date = fct.select("date").orderBy("date").head().get(0).toString
+    val srv = new LogServer(() => fct).start()
+    try {
+      val port = srv.boundPort
+      val (code, html) = get(port, s"/dashboard?date=$date")
+      assert(code === 200, html)
+      // KPI tiles carry kpiTotals' exact numbers
+      val kpi = LogQueries.kpiTotals(fct, date).collect().head
+      assert(html.contains(
+        s"Requests: ${kpi.getAs[Long]("total_requests")}"))
+      assert(html.contains(s"Errors: ${kpi.getAs[Long]("total_errors")}"))
+      assert(html.contains(
+        f"Error rate: ${kpi.getAs[Double]("error_rate_pct")}%.2f%%"))
+      // one SVG bar group per perHourPivot hour, breakdown rows match
+      val nHours = LogQueries.perHourPivot(fct, date).count()
+      assert("<g>".r.findAllIn(html).size.toLong === nHours)
+      val breakdown = LogQueries.hourlyBreakdown(fct, date).collect()
+      assert("<tr><td>".r.findAllIn(html).size === breakdown.length)
+      breakdown.foreach { r =>
+        assert(html.contains(s"<td>${r.getAs[Long]("requests")}</td>"))
+      }
+      // default date = newest available (the selectbox default)
+      val newest = LogQueries.availableDates(fct).collect()
+        .last.getAs[java.sql.Date]("date").toString
+      val (c2, html2) = get(port, "/dashboard")
+      assert(c2 === 200 && html2.contains(
+        s"""<option value="$newest" selected>"""))
+      // validation contract holds on the HTML route too
+      assert(get(port, "/dashboard?date=2024-13-77")._1 === 400)
+    } finally { srv.stop(); fct.unpersist() }
+  }
 }

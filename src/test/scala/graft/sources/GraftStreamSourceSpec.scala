@@ -331,6 +331,71 @@ class GraftStreamSourceSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("metadata checkpoints landing mid-stream never perturb batches: " +
+    "the restart across the boundary is identical to a no-checkpoint " +
+    "control, and the sink replans checkpointed") {
+    // the round's two features composed: auto-cadence metadata
+    // checkpoints (u46) write under _manifests/checkpoints/ while a
+    // stream tails the same table's versions — the stream's offsets,
+    // batch boundaries and rows must be exactly the control run's,
+    // and a checkpoint-PLANNED read of what the stream wrote must
+    // equal the full read
+    def runOnce(dir: String, ckpt: String,
+                rec: scala.collection.mutable.Map[Long, Seq[Long]]): Unit = {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = batch.select("id").collect().map(_.getLong(0)).sorted
+          rec.synchronized { rec(id) = rec.getOrElse(id, Nil) ++ ids }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val control = graft.TempDirs.create("gss-ckpt-control")
+    val ckptd = graft.TempDirs.create("gss-ckpt-table")
+    val recC = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val recK = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    val ckC = graft.TempDirs.create("gss-ckpt-control-sc")
+    val ckK = graft.TempDirs.create("gss-ckpt-table-sc")
+    // identical commit histories; the checkpointed table additionally
+    // materializes a metadata checkpoint on EVERY commit mid-stream
+    Snapshots.commit(frame(0 until 10, "base"), control)
+    Snapshots.commit(frame(0 until 10, "base"), ckptd)
+    Snapshots.writeMetadataCheckpoint(spark, ckptd)
+    runOnce(control, ckC, recC)
+    runOnce(ckptd, ckK, recK)
+    spark.conf.set("graft.checkpoint.autoEvery", "1")
+    try {
+      Snapshots.commit(frame(10 until 16, "mid"), ckptd, "append")
+      Snapshots.commit(frame(16 until 20, "late"), ckptd, "append")
+    } finally spark.conf.unset("graft.checkpoint.autoEvery")
+    Snapshots.commit(frame(10 until 16, "mid"), control, "append")
+    Snapshots.commit(frame(16 until 20, "late"), control, "append")
+    // every commit got its auto-checkpoint
+    assert(new java.io.File(ckptd, "_manifests/checkpoints/ckpt-v000001")
+      .exists() &&
+      new java.io.File(ckptd, "_manifests/checkpoints/ckpt-v000002").exists())
+    // restart both streams across the checkpoint boundary
+    runOnce(control, ckC, recC)
+    runOnce(ckptd, ckK, recK)
+    assert(recK.toMap === recC.toMap,
+      "batch ids and rows must be identical with and without metadata " +
+        "checkpoints landing mid-stream")
+    assert(recK.values.flatten.toSeq.sorted === (0L until 20L).toSeq)
+    // and the checkpoint-planned read of the streamed table serves the
+    // full-read rows exactly (the versions between checkpoints replay
+    // through the tail path)
+    val planned = Snapshots.readVersionCheckpointed(spark, ckptd, None, Nil)
+    val full = Snapshots.readVersion(spark, ckptd)
+    assert(planned.collect().toSet === full.collect().toSet)
+    // point-lookup planning through the same checkpoints agrees too
+    val point = Snapshots.readVersionCheckpointedKeys(
+      spark, ckptd, "id", Seq(17L))
+    assert(point.collect().map(_.getLong(0)).toSeq === Seq(17L))
+  }
+
   test("restart from checkpoint resumes at the stored version offset") {
     val dir = graft.TempDirs.create("gss-restart")
     val ckpt = graft.TempDirs.create("gss-restart-ckpt")
