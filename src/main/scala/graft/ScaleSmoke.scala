@@ -125,7 +125,15 @@ object ScaleSmoke {
       // + checkpoint job are the linear parts; the checkpoint-planned
       // read scans only the surviving year's files — planning cost is
       // O(metadata), a Spark job, never an O(table) driver parse)
-      "u46_metadata_checkpoint")
+      "u46_metadata_checkpoint",
+      // round-13: u47 = checkpoint-planned POINT lookups (the sliced
+      // bucketed+bloom commits + checkpoint job are the linear parts;
+      // each probe scans O(wanted buckets / bloom hits) files and the
+      // planning job reads only checkpoint metadata), u48 = histogram
+      // stats (the skewed fact + padded dim seeds are the linear
+      // parts; the KLL build is one pass over each commit's files and
+      // the plan-time merge is O(files) sketch bytes)
+      "u47_ckpt_point_lookup", "u48_histogram_skew")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

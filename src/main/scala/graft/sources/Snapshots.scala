@@ -2381,6 +2381,50 @@ object Snapshots {
     version
   }
 
+  /** [[analyzeNdv]]'s histogram twin: backfill per-file KLL quantile
+    * sketches for `columns` (numeric only) on every live file MISSING
+    * one — restores [[mergedHistogram]] (which refuses partial merges)
+    * after a sketchless append or on a table that predates
+    * `histColumns`. O(files missing sketches); covered files keep
+    * their sketches verbatim; no-ops versionlessly when complete.
+    */
+  def analyzeHistograms(spark: SparkSession, tableDir: String,
+                        columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "analyzeHistograms needs at least one column")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to analyze"))
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"analyze column '$c' is not a table column")
+      require(schema(c).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"analyze column '$c' must be numeric (KLL sketches values as " +
+          s"doubles), not ${schema(c).dataType}")
+    }
+    val missing = m.files.filter(rel =>
+      columns.exists(c => !m.klls.contains((rel, c))))
+    if (missing.isEmpty) return m.version
+    val physSchema =
+      if (m.colMap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(
+        schema.fields.map(fd => fd.copy(name = m.physOf(fd.name))))
+    val relToPath = missing.map { rel =>
+      rel -> (if (isBorrowed(rel)) new Path(rel)
+              else new Path(tableDir, rel))
+    }
+    val physRev = m.colMap.map(_.swap)
+    val fresh = kllPerFile(spark, relToPath,
+      columns.map(c => m.physOf(c)), Some(physSchema))
+      .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        klls = m.klls ++ fresh, pendingMarker = None)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    version
+  }
+
   def addCheckConstraint(spark: SparkSession, tableDir: String,
                          name: String, exprSql: String,
                          validateExisting: Boolean = true): Long = {

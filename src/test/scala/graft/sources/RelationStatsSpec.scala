@@ -300,13 +300,28 @@ class RelationStatsSpec extends SparkSpec {
     assert(heavy >= (hist.bins.length * 97) / 100,
       s"heavy bins $heavy of ${hist.bins.length}")
     assert(hist.bins.last.hi >= 1000000.0)
-    // poisoning: an append without histColumns drops the histogram
+    // poisoning: an append without histColumns drops the histogram;
+    // analyzeHistograms repairs it incrementally (only the sketchless
+    // file scans — covered files keep their sketches verbatim)
     val poisonDir = TempDirs.create("stats-hist-poison")
     Snapshots.commit(fact.limit(100), poisonDir, "overwrite",
       histColumns = Seq("sk"))
     Snapshots.commit(fact.limit(10), poisonDir, "append")
     assert(GraftRelation(spark.sqlContext, poisonDir, 1L)
       .columnHistograms.isEmpty)
+    val mPre = Snapshots.readManifest(spark, poisonDir, 1L)
+    val va = Snapshots.analyzeHistograms(spark, poisonDir, Seq("sk"))
+    val mPost = Snapshots.readManifest(spark, poisonDir, va)
+    assert(mPre.klls.forall { case (k, sk) =>
+      mPost.klls.get(k).exists(_.sameElements(sk)) },
+      "analyze must keep existing sketches verbatim")
+    assert(GraftRelation(spark.sqlContext, poisonDir, va)
+      .columnHistograms.contains("sk"))
+    // complete coverage no-ops versionlessly; non-numeric cols refused
+    assert(Snapshots.analyzeHistograms(spark, poisonDir, Seq("sk")) === va)
+    intercept[IllegalArgumentException] {
+      Snapshots.analyzeHistograms(spark, poisonDir, Seq("pay"))
+    }
     // the planner flip, A/B'd on the histogram feed alone: with it,
     // the filtered fact is estimated tiny and BROADCASTS into the
     // too-big-to-broadcast dim; without it, uniform interpolation
