@@ -5868,11 +5868,15 @@ object Snapshots {
         f.delete(checkpointDir(tableDir, v), true)
     }
     // crashed checkpoint builders leave `.tmp-*` dirs that no rename
-    // ever claimed — reap them past the same orphan cutoff that
-    // protects in-flight builds
+    // ever claimed, and old-format rebuilders that died between their
+    // two renames leave `.old-*` asides — reap both past the same
+    // orphan cutoff that protects in-flight builds (dot-prefixed dirs
+    // are invisible to [[newestCheckpointAtOrBefore]], so nothing
+    // served is ever swept here)
     val ckptRoot = new Path(tableDir, "_manifests/checkpoints")
     if (f.exists(ckptRoot)) f.listStatus(ckptRoot).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-") &&
+      if ((st.getPath.getName.startsWith(".tmp-") ||
+           st.getPath.getName.startsWith(".old-")) &&
           st.getModificationTime < System.currentTimeMillis() - orphanRetainMs)
         f.delete(st.getPath, true)
     }
