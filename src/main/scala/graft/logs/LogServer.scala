@@ -131,7 +131,9 @@ final class LogServer(fct: () => DataFrame, port: Int = 0) {
     val breakdown = LogQueries.hourlyBreakdown(fct(), date).collect()
     def escH(s: String): String = s.replace("&", "&amp;")
       .replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
-    val maxReq = math.max(1L, hours.map(_._2).max)
+    // a well-formed date with no rows renders an empty chart/table —
+    // the JSON endpoints' empty-rows contract, never a 500
+    val maxReq = math.max(1L, hours.foldLeft(0L)((m0, h) => math.max(m0, h._2)))
     val bars = hours.zipWithIndex.map { case ((h, req, err), i) =>
       val x = i * 34
       val rh = (req * 120 / maxReq).toInt

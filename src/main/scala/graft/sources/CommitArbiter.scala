@@ -126,7 +126,11 @@ object CommitArbiters {
     val it = byPrefix.keys()
     while (it.hasMoreElements) {
       val p = it.nextElement()
-      if (s.startsWith(p) && (best == null || p.length > best.length))
+      // path-SEGMENT boundary, not a raw string prefix: a registration
+      // for /wh/t1 must not capture /wh/t10's commits
+      val matches = s == p ||
+        s.startsWith(if (p.endsWith("/")) p else p + "/")
+      if (matches && (best == null || p.length > best.length))
         best = p
     }
     if (best == null) FsCommitArbiter else byPrefix.get(best)

@@ -460,31 +460,47 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
         !f.dataType.isInstanceOf[
           org.apache.spark.sql.types.DecimalType] => f.name
     }.toSet
+    val fractionalCols = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType => f.name
+    }.toSet
     m.stats.keysIterator.map(_._2).toSet.iterator
       .filter(numericCols.contains)
       .flatMap { (c: String) =>
-        val sts = m.files.map(fl => m.stats.get((fl, c)))
-        if (sts.isEmpty || sts.exists(_.isEmpty)) None
-        else {
-          val known = sts.flatten
-          if (!known.forall(st => st.kind == "long" || st.kind == "double"))
-            None
+        // Try: a stats feed must never crash planning — any unparsable
+        // stat (format drift, unexpected kind) drops the column's range
+        scala.util.Try[Option[(String, (String, String, Option[Long]))]] {
+          val sts = m.files.map(fl => m.stats.get((fl, c)))
+          if (sts.isEmpty || sts.exists(_.isEmpty)) None
           else {
-            val isLong = known.head.kind == "long"
-            val (mn, mx) =
-              if (isLong)
-                (known.map(_.min.toLong).min.toString,
-                  known.map(_.max.toLong).max.toString)
-              else
-                (known.map(_.min.toDouble).min.toString,
-                  known.map(_.max.toDouble).max.toString)
-            val nulls =
-              if (m.files.forall(fl => m.nullCounts.contains((fl, c))))
-                Some(m.files.map(fl => m.nullCounts((fl, c))).sum)
-              else None
-            Some(c -> ((mn, mx, nulls)))
+            val known = sts.flatten
+            if (!known.forall(st => st.kind == "long" || st.kind == "double"))
+              None
+            else {
+              // the external-string form must parse at the column's
+              // CURRENT type. A fractional column legitimately carries
+              // MIXED kinds (int→double widening keeps old files' long
+              // stats) — fold everything as double there; an integral
+              // column must be all-long (a double kind would mean
+              // stats from a lossy past: drop, never mis-bound)
+              val mnmx =
+                if (fractionalCols.contains(c))
+                  Some((known.map(_.min.toDouble).min.toString,
+                    known.map(_.max.toDouble).max.toString))
+                else if (known.forall(_.kind == "long"))
+                  Some((known.map(_.min.toLong).min.toString,
+                    known.map(_.max.toLong).max.toString))
+                else None
+              mnmx.map { case (mn, mx) =>
+                val nulls =
+                  if (m.files.forall(fl => m.nullCounts.contains((fl, c))))
+                    Some(m.files.map(fl => m.nullCounts((fl, c))).sum)
+                  else None
+                c -> ((mn, mx, nulls))
+              }
+            }
           }
-        }
+        }.toOption.flatten
       }.toMap
   }
 

@@ -109,6 +109,12 @@ object PartitionTransforms {
       // instant in different hour dirs across writer sessions (and
       // un-pinning the ts_hour min=max dir stats). Identical output to
       // the old derivation for UTC sessions, the GraftSession default.
+      // Migration note: a table whose hour dirs were written by a
+      // PRE-change NON-UTC session relabels new appends to UTC wall
+      // clock — dir labels mix across the boundary. That is cosmetic
+      // by design: the derived column never enters the schema, and
+      // pruning is driven by the SOURCE column's exact footer stats,
+      // so reads stay correct either way.
       val secs = col(c).cast(LongType)
       val ehour = call_function("div", secs - pmod(secs, lit(3600L)),
         lit(3600L))

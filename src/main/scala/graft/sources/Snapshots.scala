@@ -1739,10 +1739,18 @@ object Snapshots {
     if (!f.exists(p)) return None
     val r = new BufferedReader(
       new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    // collect (not a refutable match): a malformed or future-extended
+    // line is SKIPPED — its (seg, col) then reads as "no line", which
+    // poisons that column conservatively, the same graceful-degradation
+    // stance as the manifest/segment parsers
     try Some(Iterator.continually(r.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).map { line =>
-        val Array(rel, c, all, b64) = line.split('\t')
-        (rel, c) -> (all == "1", java.util.Base64.getDecoder.decode(b64))
+      .filter(_.nonEmpty).flatMap { line =>
+        line.split('\t') match {
+          case Array(rel, c, all, b64) =>
+            scala.util.Try((rel, c) ->
+              ((all == "1", java.util.Base64.getDecoder.decode(b64)))).toOption
+          case _ => None
+        }
       }.toMap)
     finally r.close()
   }
@@ -1971,7 +1979,10 @@ object Snapshots {
         FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
     }
     import spark.implicits._
-    val ds = ckptDataset(spark, ck)
+    // withBlooms = false: a range prune never consults blooms — the
+    // scan must not read (or the decode materialize) the dominant
+    // bloom column
+    val ds = ckptDataset(spark, ck, withBlooms = false)
     // broadcast the membership sets — after a big purge the tombstone
     // set is O(removed files), too big to ship in every task closure
     val segSetB = spark.sparkContext.broadcast(segSet)
@@ -2002,16 +2013,24 @@ object Snapshots {
     * blooms decode as the empty map — unknown is never pruned, so a
     * pre-bloom checkpoint keeps serving (point lookups through it just
     * prune on bucket ∧ stats only until it is rebuilt).
+    *
+    * `withBlooms = false` REPLACES the blooms column with an empty-map
+    * literal even when present, so the typed decode never touches the
+    * stored bloom bytes — bloom payloads dominate checkpoint bytes,
+    * and the RANGE planner must not deserialize per-file KBs it never
+    * consults (the column-pruning promise in the section comment; only
+    * the keys planner opts in).
     */
-  private def ckptDataset(spark: SparkSession, ck: Path)
+  private def ckptDataset(spark: SparkSession, ck: Path,
+                          withBlooms: Boolean = true)
       : org.apache.spark.sql.Dataset[CkptFile] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.typedlit
     val raw = spark.read.parquet(ck.toString)
-    val withBlooms =
-      if (raw.columns.contains("blooms")) raw
+    val framed =
+      if (withBlooms && raw.columns.contains("blooms")) raw
       else raw.withColumn("blooms", typedlit(Map.empty[String, CkptBloom]))
-    withBlooms.as[CkptFile]
+    framed.as[CkptFile]
   }
 
   /** [[pruneForKeys]]' checkpoint-planned twin — KEY-EQUALITY (point
@@ -2370,10 +2389,13 @@ object Snapshots {
     }
     val physRev = m.colMap.map(_.swap)
     // the SAME aggregation the commit path runs ([[hllPerFile]]),
-    // translated back to logical names for the manifest keys
+    // translated back to logical names for the manifest keys; only
+    // pairs actually missing land (a covered column's existing sketch
+    // stays verbatim BY IDENTITY, not by recompute determinism)
     val fresh = hllPerFile(spark, relToPath,
       columns.map(c => m.physOf(c)), Some(physSchema))
       .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
+      .filter { case (k, _) => !m.ndvs.contains(k) }
     if (!publishManifest(f, tableDir, m.copy(version = version,
         ndvs = m.ndvs ++ fresh, pendingMarker = None)))
       throw new java.util.ConcurrentModificationException(
@@ -2415,9 +2437,15 @@ object Snapshots {
               else new Path(tableDir, rel))
     }
     val physRev = m.colMap.map(_.swap)
+    // keep only the (file, column) pairs actually missing: a file
+    // missing ONE column must not get its OTHER columns' sketches
+    // replaced — KLL compaction is randomized, so a rebuilt sketch's
+    // bytes differ and publishManifest's verbatim match would churn
+    // the file out of its segment on every repair
     val fresh = kllPerFile(spark, relToPath,
       columns.map(c => m.physOf(c)), Some(physSchema))
       .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
+      .filter { case (k, _) => !m.klls.contains(k) }
     if (!publishManifest(f, tableDir, m.copy(version = version,
         klls = m.klls ++ fresh, pendingMarker = None)))
       throw new java.util.ConcurrentModificationException(

@@ -94,6 +94,11 @@ class LogServerSpec extends SparkSpec {
         s"""<option value="$newest" selected>"""))
       // validation contract holds on the HTML route too
       assert(get(port, "/dashboard?date=2024-13-77")._1 === 400)
+      // a well-formed ABSENT date renders the empty page (the JSON
+      // endpoints' empty-rows contract), never a 500
+      val (cAbsent, hAbsent) = get(port, "/dashboard?date=2030-01-01")
+      assert(cAbsent === 200, hAbsent)
+      assert(hAbsent.contains("Requests: 0") && !hAbsent.contains("<g>"))
     } finally { srv.stop(); fct.unpersist() }
   }
 }

@@ -121,6 +121,25 @@ class CommitArbiterSpec extends SparkSpec {
     assert(!freshArb.putIfAbsent(f, tmp2, dst))
   }
 
+  test("arbiter registry matches on path-segment boundaries, never raw " +
+    "string prefixes") {
+    val boom = new CommitArbiter {
+      override def putIfAbsent(f: FileSystem, tmp: Path,
+                               dst: Path): Boolean =
+        throw new IllegalStateException("wrong table routed here")
+    }
+    CommitArbiters.register("/wh-arbtest/t1", boom)
+    try {
+      assert(CommitArbiters.forPath(
+        new Path("/wh-arbtest/t1/_manifests/v0.manifest")) eq boom)
+      // /wh-arbtest/t10 shares the string prefix but is another table
+      assert(CommitArbiters.forPath(
+        new Path("/wh-arbtest/t10/_manifests/v0.manifest")) eq FsCommitArbiter)
+      assert(CommitArbiters.forPath(
+        new Path("/elsewhere/x")) eq FsCommitArbiter)
+    } finally CommitArbiters.unregister("/wh-arbtest/t1")
+  }
+
   test("the full 8-writer commit race through a faked object store: " +
     "version chain intact, no rows lost, CAS losers really lose") {
     import scala.concurrent.{Await, Future}

@@ -258,6 +258,21 @@ class RelationStatsSpec extends SparkSpec {
     // the relation's CBO feed rides the checkpoint path and agrees
     val rel = GraftRelation(spark.sqlContext, dir, v4)
     assert(rel.columnNdvs === ck4)
+    // sidecar forward-compat: an extended/garbage line is skipped
+    // (never a MatchError at plan time); existing lines keep serving
+    val sidecars = new java.io.File(dir, "_manifests/checkpoints")
+      .listFiles().filter(_.getName.startsWith("ckpt-v"))
+      .map(d => new java.io.File(d, "_ndv_segs.txt")).filter(_.exists())
+    assert(sidecars.nonEmpty)
+    sidecars.foreach { sc =>
+      val w = new java.io.FileWriter(sc, true)
+      try w.write("future-seg\tfuture-col\t1\tAAAA\textra-field\n")
+      finally w.close()
+      // the raw append bypassed Hadoop's checksum sidecar — drop it
+      // (absent .crc = no verification), we're faking a future WRITER
+      new java.io.File(sc.getParentFile, s".${sc.getName}.crc").delete()
+    }
+    assert(viaCkpt(v4) === ck4)
     // a pre-NDV-sidecar (or absent) checkpoint falls back loudly-never:
     // a table with no checkpoint at all serves None and the relation
     // falls back to the per-file merge
@@ -357,6 +372,52 @@ class RelationStatsSpec extends SparkSpec {
         s"uniform stats must NOT broadcast:\n$without")
     } finally restore.foreach { case (k, v) =>
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
+  test("stats-feed hardening: mixed long/double stat kinds after a " +
+    "widening fold as doubles; partial analyze keeps covered sketches " +
+    "by identity") {
+    val s = spark
+    import s.implicits._
+    // int column committed with stats, then widened to double by an
+    // append: old files carry kind=long, new kind=double — planning
+    // must fold the range as double, never crash on "5.25".toLong
+    val dir = TempDirs.create("stats-mixed-kind")
+    Snapshots.commit((0 until 100).map(i => (i, i)).toDF("k", "v"),
+      dir, "overwrite", statsColumns = Seq("v"))
+    Snapshots.commit((100 until 200).map(i => (i, i + 0.25)).toDF("k", "v"),
+      dir, "append", statsColumns = Seq("v"))
+    val v1 = Snapshots.latestVersion(spark, dir).get
+    val rel = GraftRelation(spark.sqlContext, dir, v1)
+    val (mn, mx, _) = rel.columnRanges("v")
+    assert(mn.toDouble === 0.0 && mx.toDouble === 199.25)
+    // the feed is live under CBO without crashing the plan
+    val restore = s.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      assert(table(dir).where(col("v") > 1000.0).count() === 0L)
+    } finally restore.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+      s.conf.set("spark.sql.cbo.enabled", _))
+    // partial analyze: file2 covers only column a — repairing (a, b)
+    // must keep EVERY pre-existing sketch object untouched (KLL
+    // compaction is randomized; a recompute would churn segments)
+    val dir2 = TempDirs.create("stats-partial-analyze")
+    Snapshots.commit((0 until 500).map(i => (i.toLong, i * 2.0))
+        .toDF("a", "b").coalesce(1),
+      dir2, "overwrite", histColumns = Seq("a", "b"))
+    Snapshots.commit((500 until 600).map(i => (i.toLong, i * 2.0))
+        .toDF("a", "b").coalesce(1),
+      dir2, "append", histColumns = Seq("a"))
+    val mBefore = Snapshots.readManifest(spark, dir2,
+      Snapshots.latestVersion(spark, dir2).get)
+    val va2 = Snapshots.analyzeHistograms(spark, dir2, Seq("a", "b"))
+    val mAfter = Snapshots.readManifest(spark, dir2, va2)
+    assert(mBefore.klls.forall { case (k, sk) =>
+      mAfter.klls.get(k).exists(_.sameElements(sk)) },
+      "covered sketches must survive byte-identical")
+    assert(mAfter.klls.size === mBefore.klls.size + 1) // only (f2, b) added
+    assert(GraftRelation(spark.sqlContext, dir2, va2)
+      .columnHistograms.keySet === Set("a", "b"))
   }
 
   test("NDV and bloom builds survive partitioned layouts (basenames " +
