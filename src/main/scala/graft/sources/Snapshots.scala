@@ -362,13 +362,28 @@ object Snapshots {
         p.getFileSystem(conf).makeQualified(p).toUri.getPath -> rel }.toMap
     require(byPath.size == relToPath.size,
       "ndv build requires distinct file paths")
+    // hll_sketch_agg accepts int/bigint/string/binary only — derive an
+    // INJECTIVE representative for the rest (distinct counts survive
+    // any injection): timestamps as epoch micros, dates as epoch days
+    // (both TZ-free), fractional/decimal as their canonical string
+    def sketchable(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{datediff, lit, to_date, unix_micros}
+      import org.apache.spark.sql.types._
+      readSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+        case Some(TimestampType) => unix_micros(col(c))
+        case Some(DateType) => datediff(col(c), to_date(lit("1970-01-01")))
+        case Some(FloatType | DoubleType | _: DecimalType) =>
+          col(c).cast("string")
+        case _ => col(c)
+      }
+    }
     val df = readSchema.fold(spark.read)(s => spark.read.schema(
         org.apache.spark.sql.types.StructType(
           s.fields.filter(f => columns.contains(f.name)))))
       .parquet(relToPath.map(_._2.toString): _*)
     df.groupBy(col("_metadata.file_path").as("__fp"))
-      .agg(hll_sketch_agg(col(columns.head)).as(columns.head),
-        columns.tail.map(c => hll_sketch_agg(col(c)).as(c)): _*)
+      .agg(hll_sketch_agg(sketchable(columns.head)).as(columns.head),
+        columns.tail.map(c => hll_sketch_agg(sketchable(c)).as(c)): _*)
       .collect() // one row per file
       .flatMap { r =>
         val rel = byPath(new Path(r.getString(0)).toUri.getPath)
@@ -417,12 +432,26 @@ object Snapshots {
         p.getFileSystem(conf).makeQualified(p).toUri.getPath -> rel }.toMap
     require(byPath.size == relToPath.size,
       "kll build requires distinct file paths")
+    // sketch in CATALYST-INTERNAL units, so histogram bin bounds line
+    // up with what FilterEstimation compares predicates against:
+    // dates as epoch DAYS (datediff — calendar arithmetic, TZ-free),
+    // timestamps as epoch MICROS (unix_micros — TZ-free), numerics as
+    // plain doubles
+    def asDouble(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{datediff, lit, to_date, unix_micros}
+      readSchema.flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) =>
+          datediff(col(c), to_date(lit("1970-01-01"))).cast("double")
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          unix_micros(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
     val df = readSchema.fold(spark.read)(s => spark.read.schema(
         org.apache.spark.sql.types.StructType(
           s.fields.filter(f => columns.contains(f.name)))))
       .parquet(relToPath.map(_._2.toString): _*)
-      .select((col("_metadata.file_path") +:
-        columns.map(c => col(c).cast("double"))): _*)
+      .select((col("_metadata.file_path") +: columns.map(asDouble)): _*)
     val n = columns.size
     val partial = df.rdd.mapPartitions { it =>
       val acc = scala.collection.mutable.HashMap
@@ -787,10 +816,12 @@ object Snapshots {
       PartitionTransforms.validate(sp, df.schema, "partition column"))
     histColumns.foreach { c =>
       require(df.columns.contains(c), s"hist column '$c' is not a column")
-      require(df.schema(c).dataType.isInstanceOf[
-          org.apache.spark.sql.types.NumericType],
-        s"hist column '$c' must be numeric (KLL sketches values as " +
-          s"doubles), not ${df.schema(c).dataType}")
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          t == org.apache.spark.sql.types.DateType ||
+          t == org.apache.spark.sql.types.TimestampType,
+        s"hist column '$c' must be numeric, date or timestamp (KLL " +
+          s"sketches values as doubles), not $t")
     }
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
@@ -2420,10 +2451,12 @@ object Snapshots {
     columns.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"analyze column '$c' is not a table column")
-      require(schema(c).dataType.isInstanceOf[
-          org.apache.spark.sql.types.NumericType],
-        s"analyze column '$c' must be numeric (KLL sketches values as " +
-          s"doubles), not ${schema(c).dataType}")
+      val t = schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          t == org.apache.spark.sql.types.DateType ||
+          t == org.apache.spark.sql.types.TimestampType,
+        s"analyze column '$c' must be numeric, date or timestamp (KLL " +
+          s"sketches values as doubles), not $t")
     }
     val missing = m.files.filter(rel =>
       columns.exists(c => !m.klls.contains((rel, c))))

@@ -374,6 +374,71 @@ class RelationStatsSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
   }
 
+  test("temporal histograms: timestamp skew estimates in internal units; " +
+    "date/timestamp ranges round-trip the catalog-stat external form") {
+    val s = spark
+    import s.implicits._
+    // 99% of events in ONE hour, 1% spread over the following year —
+    // the time-skew shape (a backfill burst) min/max can't see
+    val dir = TempDirs.create("stats-hist-ts")
+    val base = java.sql.Timestamp.valueOf("2024-01-05 12:00:00").getTime
+    val fact = (0L until 20000L).map { i =>
+      val ms = if (i % 100 < 99) base + (i % 3600) * 1000L
+               else base + 86400000L + i * 1500000L
+      (new java.sql.Timestamp(ms), i, new java.sql.Date(ms))
+    }.toDF("ts", "v", "d").repartition(4)
+    // ndvColumns too: FilterEstimation requires a distinctCount to
+    // produce an estimate at all — the histogram then drives WHICH
+    // estimate (uniform min/max interpolation would say ~99.6% here;
+    // only the bins can say ~1%)
+    Snapshots.commit(fact, dir, "overwrite",
+      statsColumns = Seq("ts", "d"), histColumns = Seq("ts"),
+      ndvColumns = Seq("ts"))
+    val rel = GraftRelation(spark.sqlContext, dir, 0L)
+    // bins are epoch-MICROS doubles (Catalyst's internal timestamp
+    // unit): ≥95% of bins inside the hot hour
+    val hist = rel.columnHistograms("ts")
+    val hotLo = base * 1000.0
+    val hotHi = (base + 3600 * 1000L) * 1000.0
+    val hot = hist.bins.count(b => b.lo >= hotLo && b.hi <= hotHi)
+    assert(hot >= (hist.bins.length * 95) / 100, s"hot bins $hot")
+    // external min/max round-trip through the catalog-stat parser to
+    // the exact internal values the stats fold computed
+    val (tsMn, tsMx, _) = rel.columnRanges("ts")
+    val parsedMn = org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+      .fromExternalString(tsMn, "ts", org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.catalyst.catalog.CatalogColumnStat.VERSION)
+      .asInstanceOf[Long]
+    assert(parsedMn === base * 1000L, s"ts min $tsMn -> $parsedMn")
+    val (dMn, _, _) = rel.columnRanges("d")
+    assert(dMn === "2024-01-05")
+    // the estimate flip, A/B'd on the feed: the tail predicate keeps
+    // ~1%; with the histogram CBO sees it, without it has no signal
+    val restore = Seq("spark.sql.cbo.enabled", "graft.stats.histograms")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val cut = java.sql.Timestamp.valueOf("2024-01-06 00:00:00")
+      def est(): Option[BigInt] = {
+        val q = table(dir).where(col("ts") >= cut)
+          .agg(count(lit(1)).as("n"))
+        q.queryExecution.optimizedPlan.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            fl.stats.rowCount
+        }.headOption.flatten
+      }
+      s.conf.set("graft.stats.histograms", "true")
+      val estOn = est()
+      s.conf.set("graft.stats.histograms", "false")
+      val estOff = est()
+      // ≤1000 is only reachable through the BINS: min/max uniform
+      // interpolation over this domain gives ~19,900 of 20,000
+      assert(estOn.exists(e => e >= 40 && e <= 1000), s"hist estimate $estOn")
+      assert(estOff.forall(_ > 4000), s"feed-off estimate $estOff")
+    } finally restore.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("stats-feed hardening: mixed long/double stat kinds after a " +
     "widening fold as doubles; partial analyze keeps covered sketches " +
     "by identity") {
