@@ -162,10 +162,10 @@ private[sources] object GraftProcedures {
       unit((s, dir, r) => Snapshots.analyzeNdv(s, dir,
         str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
     Spec("analyze_histograms",
-      "backfill per-file KLL quantile sketches for numeric cols " +
-        "(comma-separated) on files missing them — restores equi-height " +
-        "histogram column stats (skew-aware CBO selectivity) after " +
-        "maintenance; O(missing files)",
+      "backfill per-file KLL quantile sketches for numeric/date/timestamp " +
+        "cols (comma-separated) on files missing them — restores " +
+        "equi-height histogram column stats (skew-aware CBO selectivity) " +
+        "after maintenance; O(missing files)",
       Seq(p("table", StringType), p("cols", StringType)),
       unit((s, dir, r) => Snapshots.analyzeHistograms(s, dir,
         str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),

@@ -816,12 +816,7 @@ object Snapshots {
       PartitionTransforms.validate(sp, df.schema, "partition column"))
     histColumns.foreach { c =>
       require(df.columns.contains(c), s"hist column '$c' is not a column")
-      val t = df.schema(c).dataType
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-          t == org.apache.spark.sql.types.DateType ||
-          t == org.apache.spark.sql.types.TimestampType,
-        s"hist column '$c' must be numeric, date or timestamp (KLL " +
-          s"sketches values as doubles), not $t")
+      requireKllSketchable(c, df.schema(c).dataType)
     }
     bucketBy.foreach { case (k, n) =>
       require(df.columns.contains(k), s"bucket key '$k' is not a column")
@@ -1865,11 +1860,16 @@ object Snapshots {
     val revV = colMapV.map(_.swap)
     Some(cols.iterator
       .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
-      .map { c =>
-        val u = new org.apache.datasketches.hll.Union(12)
-        acc.getOrElse(c, ArrayBuffer.empty).foreach(sk =>
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
-        revV.getOrElse(c, c) -> math.round(u.getEstimate)
+      .flatMap { c =>
+        // a sketch that decodes from base64 but is NOT a valid HLL
+        // image (sidecar corruption, a future format) must POISON the
+        // column, never crash planning — Try covers the heapify+union
+        scala.util.Try {
+          val u = new org.apache.datasketches.hll.Union(12)
+          acc.getOrElse(c, ArrayBuffer.empty).foreach(sk =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
+          revV.getOrElse(c, c) -> math.round(u.getEstimate)
+        }.toOption
       }.toMap)
   }
 
@@ -2398,16 +2398,75 @@ object Snapshots {
     * ANALYZE TABLE ... FOR COLUMNS role, incremental by construction.
     */
   def analyzeNdv(spark: SparkSession, tableDir: String,
-                 columns: Seq[String]): Long = {
-    require(columns.nonEmpty, "analyzeNdv needs at least one column")
+                 columns: Seq[String]): Long =
+    analyzeSketches(spark, tableDir, columns, "analyzeNdv",
+      validate = (_, _) => (),
+      existing = _.ndvs, build = hllPerFile,
+      publishWith = (m, v, fresh) =>
+        m.copy(version = v, ndvs = m.ndvs ++ fresh, pendingMarker = None))
+
+  /** [[analyzeNdv]]'s histogram twin: backfill per-file KLL quantile
+    * sketches for `columns` (numeric/date/timestamp) on every live
+    * file MISSING one — restores [[mergedHistogram]] (which refuses
+    * partial merges) after a sketchless append or on a table that
+    * predates `histColumns`. O(files missing sketches); covered files
+    * keep their sketches verbatim; no-ops versionlessly when complete.
+    */
+  def analyzeHistograms(spark: SparkSession, tableDir: String,
+                        columns: Seq[String]): Long =
+    analyzeSketches(spark, tableDir, columns, "analyzeHistograms",
+      validate = requireKllSketchable,
+      existing = _.klls, build = kllPerFile,
+      publishWith = (m, v, fresh) =>
+        m.copy(version = v, klls = m.klls ++ fresh, pendingMarker = None))
+
+  /** The ONE eligibility rule for KLL (histogram) columns, shared by
+    * [[commit]]'s `histColumns` and [[analyzeHistograms]] so the two
+    * can never drift: numeric, date or timestamp (all sketch as
+    * doubles in Catalyst-internal units).
+    */
+  private def requireKllSketchable(c: String,
+      t: org.apache.spark.sql.types.DataType): Unit =
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        t == org.apache.spark.sql.types.DateType ||
+        t == org.apache.spark.sql.types.TimestampType,
+      s"hist column '$c' must be numeric, date or timestamp (KLL " +
+        s"sketches values as doubles), not $t")
+
+  /** Shared scaffolding of the two ANALYZE repairs: resolve, validate,
+    * find live files missing any requested sketch, re-sketch ONLY the
+    * (file, column) pairs actually missing (a covered column's sketch
+    * survives BY IDENTITY, not by recompute determinism — KLL
+    * compaction is randomized, and a rebuilt sketch's differing bytes
+    * would churn the file out of its segment at publish), and publish
+    * one metadata commit. No-ops VERSIONLESSLY both when nothing is
+    * missing and when the rebuild produced nothing fresh (an all-null
+    * column, or a file predating an added column, yields no sketch —
+    * publishing an identical manifest would burn a version per call
+    * and never converge).
+    */
+  private def analyzeSketches(spark: SparkSession, tableDir: String,
+      columns: Seq[String], what: String,
+      validate: (String, org.apache.spark.sql.types.DataType) => Unit,
+      existing: Manifest => Map[(String, String), Array[Byte]],
+      build: (SparkSession, Seq[(String, Path)], Seq[String],
+              Option[org.apache.spark.sql.types.StructType])
+        => Map[(String, String), Array[Byte]],
+      publishWith: (Manifest, Long, Map[(String, String), Array[Byte]])
+        => Manifest): Long = {
+    require(columns.nonEmpty, s"$what needs at least one column")
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
     val schema = m.schema.getOrElse(throw new IllegalArgumentException(
       s"$tableDir has no recorded schema to analyze"))
-    columns.foreach(c => require(schema.fieldNames.contains(c),
-      s"analyze column '$c' is not a table column"))
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"analyze column '$c' is not a table column")
+      validate(c, schema(c).dataType)
+    }
+    val have = existing(m)
     val missing = m.files.filter(rel =>
-      columns.exists(c => !m.ndvs.contains((rel, c))))
+      columns.exists(c => !have.contains((rel, c))))
     if (missing.isEmpty) return m.version
     val physSchema =
       if (m.colMap.isEmpty) schema
@@ -2419,68 +2478,12 @@ object Snapshots {
               else new Path(tableDir, rel))
     }
     val physRev = m.colMap.map(_.swap)
-    // the SAME aggregation the commit path runs ([[hllPerFile]]),
-    // translated back to logical names for the manifest keys; only
-    // pairs actually missing land (a covered column's existing sketch
-    // stays verbatim BY IDENTITY, not by recompute determinism)
-    val fresh = hllPerFile(spark, relToPath,
+    val fresh = build(spark, relToPath,
       columns.map(c => m.physOf(c)), Some(physSchema))
       .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
-      .filter { case (k, _) => !m.ndvs.contains(k) }
-    if (!publishManifest(f, tableDir, m.copy(version = version,
-        ndvs = m.ndvs ++ fresh, pendingMarker = None)))
-      throw new java.util.ConcurrentModificationException(
-        s"version $version of $tableDir was committed concurrently")
-    version
-  }
-
-  /** [[analyzeNdv]]'s histogram twin: backfill per-file KLL quantile
-    * sketches for `columns` (numeric only) on every live file MISSING
-    * one — restores [[mergedHistogram]] (which refuses partial merges)
-    * after a sketchless append or on a table that predates
-    * `histColumns`. O(files missing sketches); covered files keep
-    * their sketches verbatim; no-ops versionlessly when complete.
-    */
-  def analyzeHistograms(spark: SparkSession, tableDir: String,
-                        columns: Seq[String]): Long = {
-    require(columns.nonEmpty, "analyzeHistograms needs at least one column")
-    val f = fs(spark, tableDir)
-    val (version, m) = resolveForWrite(spark, tableDir)
-    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
-      s"$tableDir has no recorded schema to analyze"))
-    columns.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"analyze column '$c' is not a table column")
-      val t = schema(c).dataType
-      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-          t == org.apache.spark.sql.types.DateType ||
-          t == org.apache.spark.sql.types.TimestampType,
-        s"analyze column '$c' must be numeric, date or timestamp (KLL " +
-          s"sketches values as doubles), not $t")
-    }
-    val missing = m.files.filter(rel =>
-      columns.exists(c => !m.klls.contains((rel, c))))
-    if (missing.isEmpty) return m.version
-    val physSchema =
-      if (m.colMap.isEmpty) schema
-      else org.apache.spark.sql.types.StructType(
-        schema.fields.map(fd => fd.copy(name = m.physOf(fd.name))))
-    val relToPath = missing.map { rel =>
-      rel -> (if (isBorrowed(rel)) new Path(rel)
-              else new Path(tableDir, rel))
-    }
-    val physRev = m.colMap.map(_.swap)
-    // keep only the (file, column) pairs actually missing: a file
-    // missing ONE column must not get its OTHER columns' sketches
-    // replaced — KLL compaction is randomized, so a rebuilt sketch's
-    // bytes differ and publishManifest's verbatim match would churn
-    // the file out of its segment on every repair
-    val fresh = kllPerFile(spark, relToPath,
-      columns.map(c => m.physOf(c)), Some(physSchema))
-      .map { case ((rel, c), sk) => (rel, physRev.getOrElse(c, c)) -> sk }
-      .filter { case (k, _) => !m.klls.contains(k) }
-    if (!publishManifest(f, tableDir, m.copy(version = version,
-        klls = m.klls ++ fresh, pendingMarker = None)))
+      .filter { case (k, _) => !have.contains(k) }
+    if (fresh.isEmpty) return m.version
+    if (!publishManifest(f, tableDir, publishWith(m, version, fresh)))
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
     version

@@ -273,6 +273,22 @@ class RelationStatsSpec extends SparkSpec {
       new java.io.File(sc.getParentFile, s".${sc.getName}.crc").delete()
     }
     assert(viaCkpt(v4) === ck4)
+    // a WELL-FORMED line whose base64 is not a valid HLL image must
+    // POISON its column (conservative absence), never crash planning
+    sidecars.foreach { sc =>
+      val first = scala.io.Source.fromFile(sc).getLines()
+        .find(_.split('\t').length == 4)
+      first.foreach { line =>
+        val Array(seg0, col0, _, _) = line.split('\t')
+        val w = new java.io.FileWriter(sc, true)
+        try w.write(s"$seg0\t$col0\t1\tAAAA\n") // overrides: last wins
+        finally w.close()
+        new java.io.File(sc.getParentFile, s".${sc.getName}.crc").delete()
+      }
+    }
+    val ckCorrupt = Snapshots.mergedNdvCheckpointed(spark, dir, v4).get
+    assert(ckCorrupt.forall { case (k0, v0) => ck4.get(k0).contains(v0) },
+      "surviving columns must keep serving the same estimates")
     // a pre-NDV-sidecar (or absent) checkpoint falls back loudly-never:
     // a table with no checkpoint at all serves None and the relation
     // falls back to the per-file merge
@@ -483,6 +499,16 @@ class RelationStatsSpec extends SparkSpec {
     assert(mAfter.klls.size === mBefore.klls.size + 1) // only (f2, b) added
     assert(GraftRelation(spark.sqlContext, dir2, va2)
       .columnHistograms.keySet === Set("a", "b"))
+    // an unsketchable column (files predate it — reads all-null) must
+    // no-op VERSIONLESSLY: publishing an identical manifest would burn
+    // a version per call and the repair would never converge
+    Snapshots.addColumns(spark, dir2, Seq(
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType)))
+    val vAdd = Snapshots.latestVersion(spark, dir2).get
+    assert(Snapshots.analyzeHistograms(spark, dir2, Seq("c")) === vAdd)
+    assert(Snapshots.analyzeHistograms(spark, dir2, Seq("c")) === vAdd)
+    assert(Snapshots.latestVersion(spark, dir2).get === vAdd)
   }
 
   test("NDV and bloom builds survive partitioned layouts (basenames " +
