@@ -1754,6 +1754,15 @@ object Snapshots {
   private val CoveredSegsFile = "_covered_segs.txt"
   private val NdvSegsFile = "_ndv_segs.txt"
 
+  /** Distinct bloom geometries per (checkpoint dir, physical column) —
+    * sound because a sidecar-bearing checkpoint dir is immutable
+    * (rebuilds only replace sidecar-LESS old-format dirs). Entries are
+    * a handful of (mBits, k) pairs; unbounded growth would need an
+    * unbounded number of distinct checkpoints probed in one JVM.
+    */
+  private val ckptGeoCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Set[(Int, Int)]]
+
   /** The per-(segment, column) NDV sidecar of a checkpoint, if the
     * checkpoint recorded one: (segRel, physCol) → (allEntriesSketched,
     * union sketch bytes). None for pre-NDV-sidecar checkpoints — the
@@ -2123,13 +2132,17 @@ object Snapshots {
     // are then evaluated through Spark's own xxhash64 per geometry
     val tailEntries = segV.filterNot(covered).map(rel =>
       rel -> cachedSegment(f, tableDir, rel).entries)
-    val ckptGeos = ds
-      .select(org.apache.spark.sql.functions.element_at(
-        org.apache.spark.sql.functions.col("blooms"),
-        keyPhys).as("b"))
-      .where(org.apache.spark.sql.functions.col("b").isNotNull)
-      .select($"b.mBits", $"b.k").distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // geometry discovery scans the (dominant) bloom column — but a
+    // checkpoint dir is IMMUTABLE once its sidecar exists, so the
+    // result is cached per (checkpoint, column): a serving loop's Nth
+    // point lookup pays one metadata-row job, not a bloom-column scan
+    val ckptGeos = ckptGeoCache.getOrElseUpdate((ck.toString, keyPhys),
+      ds.select(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("blooms"),
+          keyPhys).as("b"))
+        .where(org.apache.spark.sql.functions.col("b").isNotNull)
+        .select($"b.mBits", $"b.k").distinct().collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet)
     val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
       .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
     val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
