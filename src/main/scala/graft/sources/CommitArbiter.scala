@@ -96,7 +96,15 @@ object CoordinatedCommitArbiter {
     */
   trait Coordinator { def claim(key: String): Boolean }
 
-  /** Process-wide claims — correct for a single writer process. */
+  /** Process-wide claims — correct for a single writer process.
+    * Claims are held for the process lifetime (~64 B per commit
+    * attempted): releasing a claim after install would re-open the
+    * check-then-act window for a racer that passed the existence check
+    * before the install landed. A real deployment's external
+    * coordinator ages entries by its own retention (e.g. a DynamoDB
+    * TTL safely past any writer's clock skew), which this in-memory
+    * stand-in deliberately does not model.
+    */
   val processWide: Coordinator = new Coordinator {
     private val claims =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -492,6 +492,20 @@ object Snapshots {
     * sketches and the bin height as the bound otherwise. None when any
     * live file lacks the sketch (partial histograms misestimate
     * silently — same poisoning rule as [[mergedNdv]]).
+    *
+    * Known ceiling, deliberately NOT checkpoint-reduced like NDV: this
+    * is a per-file driver fold (fine to ~10⁶ files, and only consulted
+    * lazily for tables that opted into `histColumns`). The
+    * per-(segment, column) pre-reduction that lifted the same ceiling
+    * for NDV ([[mergedNdvCheckpointed]]) does not transfer: HLL
+    * max-register unions are IDEMPOTENT, so a file referenced by two
+    * live segments contributes once either way, but KLL merges are
+    * weight-accumulating — the same duplicate ref would double-count
+    * its rows and silently skew every quantile, exactly the
+    * wrong-estimate class the poisoning rule exists to prevent. A
+    * checkpoint-era design needs first-ref-ATTRIBUTED per-segment
+    * folds plus a restore-compatible completeness proof; until then,
+    * correctness beats ceiling.
     */
   private[graft] def mergedHistogram(m: Manifest, column: String,
                                      numBins: Int)
