@@ -448,6 +448,59 @@ class ManifestShardingSpec extends SparkSpec {
     assert(servedOld.collect().toSet === fullNow.collect().toSet)
   }
 
+  test("randomized keys-prune parity: checkpoint decisions == manifest " +
+    "decisions across layouts, probe shapes and maintenance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 4).foreach { trial =>
+      val dir = freshDir()
+      val bucketed = rnd.nextBoolean()
+      val bloomed = rnd.nextBoolean()
+      val nCommits = 2 + rnd.nextInt(2)
+      (0 until nCommits).foreach { i =>
+        val lo = i * 300
+        val df = (lo until lo + 300).map { k =>
+          (k.toLong, s"v${k % (20 + trial * 7)}", k * 1.5)
+        }.toDF("id", "tag", "x").repartition(1 + rnd.nextInt(3))
+        Snapshots.commit(df, dir, if (i == 0) "overwrite" else "append",
+          statsColumns = Seq("id", "tag"),
+          bucketBy = if (bucketed) Some(("id", 4)) else None,
+          bloomColumns = if (bloomed) Seq("tag") else Nil)
+      }
+      Snapshots.writeMetadataCheckpoint(spark, dir)
+      // random post-checkpoint maintenance: tail append, delete+purge
+      if (rnd.nextBoolean()) {
+        Snapshots.commit(Seq((9000L + trial, "vX", 1.0)).toDF("id", "tag", "x"),
+          dir, "append", statsColumns = Seq("id", "tag"),
+          bucketBy = if (bucketed) Some(("id", 4)) else None,
+          bloomColumns = if (bloomed) Seq("tag") else Nil)
+      }
+      if (rnd.nextBoolean()) {
+        Snapshots.deleteWhere(spark, dir, col("id") % 7 === 0L)
+        Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("id", "tag"))
+      }
+      val v = Snapshots.latestVersion(spark, dir).get
+      val m = Snapshots.readManifest(spark, dir, v)
+      // 6 random probes per trial: hit/miss singles and IN-lists on
+      // both the (maybe-)bucket key and the (maybe-)bloom column
+      (0 until 6).foreach { _ =>
+        val (key, keys): (String, Seq[Any]) =
+          if (rnd.nextBoolean())
+            ("id", Seq.fill(1 + rnd.nextInt(3))(
+              rnd.nextInt(1200).toLong: java.lang.Long))
+          else
+            ("tag", Seq.fill(1 + rnd.nextInt(3))(s"v${rnd.nextInt(60)}"))
+        val viaCkpt = Snapshots.pruneFilesCheckpointedKeys(
+          spark, dir, Some(v), key, keys)
+        val viaManifest =
+          Snapshots.pruneForKeys(spark, m, m.files, key, keys).sorted
+        assert(viaCkpt === viaManifest,
+          s"trial=$trial bucketed=$bucketed bloomed=$bloomed $key=$keys")
+      }
+    }
+  }
+
   test("vacuum retains the newest checkpoint at-or-below the floor: " +
     "live versions without their own checkpoint keep tail-replaying") {
     val dir = freshDir()
