@@ -85,31 +85,102 @@ class CoordinatedCommitArbiter(
     if (f.exists(dst)) return false
     if (!coordinator.claim(key)) return false
     // sole claimant: the store's non-atomic install is now ours alone
-    install(f, tmp, dst)
+    val installed =
+      try install(f, tmp, dst)
+      catch { case e: Throwable =>
+        // dst's state is UNKNOWN after a THROWN install (the store may
+        // have landed it before failing the response) — releasing here
+        // could hand the claim to a writer that then overwrites a
+        // commit which actually landed. Keep the claim: recovery is
+        // crash-equivalent — the coordinator's lease expiry plus the
+        // verified-absent-dst recheck the next claimant performs.
+        throw e
+      }
+    // a RETURNED-false install never created dst (the store refused
+    // before acting), so the claim is safe to relinquish — without
+    // this, every later publish of the same dst in this process loses
+    // while dst stays absent, and [[Snapshots.commit]] re-resolves the
+    // same version and conflicts forever (ADVICE r13).
+    if (!installed) coordinator.release(key)
+    installed
   }
 }
 
 object CoordinatedCommitArbiter {
-  /** The conditional-put service seam: `claim(key)` returns true for
-    * exactly one caller per key, ever (DynamoDB put-if-absent, ZK
-    * create, DB unique insert).
+  /** The conditional-put service seam (DynamoDB put-if-absent, ZK
+    * create, DB unique insert): `claim(key)` returns true for exactly
+    * one LIVE claimant per key at a time — a claim outlives its holder
+    * only until the coordinator's lease on it expires, after which a
+    * later claimant may take it over (it re-verifies dst is absent
+    * before claiming, so a takeover can never double-commit a version
+    * whose install actually landed). `release(key)` relinquishes a
+    * claim whose install NEVER HAPPENED (returned false) and must only
+    * be called by the claim's current holder — the arbiter guarantees
+    * this by construction (it releases only on its own claim/install
+    * path, inside the lease window; deployments size the TTL safely
+    * past any writer's install duration + clock skew, the same
+    * assumption Delta's S3 LogStores document).
     */
-  trait Coordinator { def claim(key: String): Boolean }
+  trait Coordinator {
+    def claim(key: String): Boolean
+    def release(key: String): Unit
+  }
 
   /** Process-wide claims — correct for a single writer process.
-    * Claims are held for the process lifetime (~64 B per commit
-    * attempted): releasing a claim after install would re-open the
-    * check-then-act window for a racer that passed the existence check
-    * before the install landed. A real deployment's external
-    * coordinator ages entries by its own retention (e.g. a DynamoDB
-    * TTL safely past any writer's clock skew), which this in-memory
-    * stand-in deliberately does not model.
+    * Successful claims are held for the process lifetime (~64 B per
+    * commit attempted): releasing a claim after a SUCCESSFUL install
+    * would re-open the check-then-act window for a racer that passed
+    * the existence check before the install landed, and within one
+    * process there is no crashed-claimant liveness hole to age out.
+    * `release` only ever fires for failed installs (dst never
+    * created), where re-granting is safe. Multi-process deployments
+    * that need crash recovery use [[leased]] (or a real external
+    * coordinator with the equivalent TTL).
     */
   val processWide: Coordinator = new Coordinator {
     private val claims =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     override def claim(key: String): Boolean = claims.add(key)
+    override def release(key: String): Unit = claims.remove(key)
   }
+
+  /** A lease-aging coordinator — the crash-recovery contract a real
+    * conditional-put service provides (DynamoDB TTL'd items, ZK
+    * ephemeral nodes): a claim expires `ttlMs` after it was granted,
+    * so a claimant that dies between `claim` and `install` cannot
+    * wedge its version forever — a later writer's claim TAKES OVER the
+    * expired entry (atomically, single compute per key) after its own
+    * verified-absent-dst check. Release is holder-guarded by thread
+    * (the in-memory stand-in for a fencing token): a claimant whose
+    * lease already expired and was taken over cannot evict the new
+    * holder. `clock` is injectable so specs drive expiry
+    * deterministically. SAFETY ASSUMPTION (document of every
+    * lease-based arbiter, not special to this one): `ttlMs` must
+    * exceed the slowest install + clock skew — a claimant still
+    * running past its lease races the takeover, which only an
+    * install-side fencing check could close.
+    */
+  def leased(ttlMs: Long,
+             clock: () => Long = () => System.currentTimeMillis()): Coordinator =
+    new Coordinator {
+      // key -> (lease deadline, holder thread id)
+      private val claims =
+        new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+      override def claim(key: String): Boolean = {
+        val now = clock()
+        val me = Thread.currentThread().getId
+        var won = false
+        claims.compute(key, (_, cur) =>
+          if (cur == null || cur._1 <= now) { won = true; (now + ttlMs, me) }
+          else cur)
+        won
+      }
+      override def release(key: String): Unit = {
+        val me = Thread.currentThread().getId
+        claims.computeIfPresent(key, (_, cur) =>
+          if (cur._2 == me) null else cur)
+      }
+    }
 }
 
 /** Arbiter registry: per-path-prefix registration (longest prefix

@@ -469,7 +469,7 @@ object Snapshots {
       }
       acc.iterator.map { case (k, sk) => (k, sk.toByteArray) }
     }
-    partial.reduceByKey { (a, b) =>
+    val built = partial.reduceByKey { (a, b) =>
       val sa = org.apache.datasketches.kll.KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(a))
       sa.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
@@ -479,6 +479,18 @@ object Snapshots {
       .map { case ((fp, i), sk) =>
         (byPath(new Path(fp).toUri.getPath), columns(i)) -> sk
       }.toMap
+    // a (file, column) whose values read back all-NULL (an all-null
+    // batch, or a file predating an added column — the explicit read
+    // schema fills it with NULL) gets an EXPLICIT EMPTY sketch: merge
+    // identity, so table quantiles are unchanged, but 'sketched, no
+    // values' is now distinct from 'never sketched' — one all-null
+    // file can no longer poison [[mergedHistogram]] forever with
+    // [[analyzeHistograms]] unable to repair it (ADVICE r13)
+    val empty = org.apache.datasketches.kll.KllDoublesSketch
+      .newHeapInstance().toByteArray
+    built ++ (for {
+      (rel, _) <- relToPath; c <- columns if !built.contains((rel, c))
+    } yield (rel, c) -> empty)
   }
 
   /** Merge per-file KLL sketches to one table-level EQUI-HEIGHT
@@ -1750,6 +1762,20 @@ object Snapshots {
         f.delete(tmp, true)
         return out.toString
       }
+      else if (f.exists(out)) {
+        // the aside-rename failed with the stale dir still IN PLACE
+        // (transient FS error, not a concurrent swap): falling through
+        // would NEST tmp inside the surviving old dir, the nested-dir
+        // cleanup below would delete the fresh build, and the method
+        // would return a still-old-format dir as if the rebuild
+        // happened (ADVICE r13). A sidecar-less dir is INVISIBLE to
+        // readers ([[newestCheckpointAtOrBefore]] selects only
+        // sidecar-bearing dirs), so clearing it in place serves nobody
+        // a missing checkpoint — and a failed delete must fail LOUDLY
+        // rather than install nothing and report success.
+        require(f.delete(out, true),
+          s"cannot clear stale old-format checkpoint at $out")
+      }
     }
     if (!f.rename(tmp, out)) {
       f.delete(tmp, true) // lost the race: the winner's checkpoint serves
@@ -1762,6 +1788,12 @@ object Snapshots {
       if (f.exists(nested)) f.delete(nested, true)
     }
     aside.foreach(a => f.delete(a, true))
+    // backstop (ADVICE r13): whichever path installed `out`, the dir
+    // returned as "the checkpoint" must actually be sidecar-bearing —
+    // a silent old-format survivor would keep refusing tail replay
+    // while this method reported a successful rebuild
+    require(f.exists(new Path(out, CoveredSegsFile)),
+      s"checkpoint install at $out did not produce a sidecar-bearing dir")
     out.toString
   }
 
@@ -2467,10 +2499,14 @@ object Snapshots {
     * compaction is randomized, and a rebuilt sketch's differing bytes
     * would churn the file out of its segment at publish), and publish
     * one metadata commit. No-ops VERSIONLESSLY both when nothing is
-    * missing and when the rebuild produced nothing fresh (an all-null
-    * column, or a file predating an added column, yields no sketch —
-    * publishing an identical manifest would burn a version per call
-    * and never converge).
+    * missing and when the rebuild produced nothing fresh — publishing
+    * an identical manifest would burn a version per call and never
+    * converge. The builders differ on all-null (file, column) pairs:
+    * the NDV build yields no sketch there (that repair no-ops on a
+    * column only all-null files carry), while the KLL build records
+    * an explicit EMPTY sketch (merge identity — see [[kllPerFile]]),
+    * so a histogram repair CONVERGES in one commit and all-null files
+    * stop poisoning [[mergedHistogram]].
     */
   private def analyzeSketches(spark: SparkSession, tableDir: String,
       columns: Seq[String], what: String,

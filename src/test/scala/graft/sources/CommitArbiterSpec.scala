@@ -89,11 +89,12 @@ class CommitArbiterSpec extends SparkSpec {
     val dir = TempDirs.create("arbiter-coord")
     val f = localFs
     val started = new java.util.concurrent.CyclicBarrier(2)
-    // fresh coordinator per test (claims are per-key forever)
+    // fresh coordinator per test (claims are per-key for its lifetime)
     val coord = new CoordinatedCommitArbiter.Coordinator {
       private val claims =
         java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       override def claim(key: String): Boolean = claims.add(key)
+      override def release(key: String): Unit = claims.remove(key)
     }
     val arb = new CoordinatedCommitArbiter(coord) {
       override protected def install(fs0: FileSystem, tmp: Path,
@@ -119,6 +120,116 @@ class CommitArbiterSpec extends SparkSpec {
     val freshArb = new CoordinatedCommitArbiter()
     val tmp2 = writeTmp(dir, ".tmp-replay", "replay")
     assert(!freshArb.putIfAbsent(f, tmp2, dst))
+  }
+
+  test("a FAILED install releases the claim: the version stays " +
+    "committable instead of wedging (ADVICE r13)") {
+    val dir = TempDirs.create("arbiter-failed-install")
+    val f = localFs
+    val coord = CoordinatedCommitArbiter.processWide
+    val dst = new Path(dir, "v1.manifest")
+    // a store whose install REFUSES once (returned false, dst never
+    // created) and then recovers — a transient object-store error
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val arb = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean =
+        if (failures.getAndDecrement() > 0) false
+        else { objectStorePut(fs0, tmp, dst0); true }
+    }
+    val tmp1 = writeTmp(dir, ".tmp-a", "attempt-1")
+    assert(!arb.putIfAbsent(f, tmp1, dst), "the refused install must lose")
+    assert(!localFs.exists(dst))
+    // pre-fix behavior: the claim was consumed forever, so this retry
+    // (and every later writer in the process) lost while dst stayed
+    // absent — Snapshots.commit would conflict on the same version
+    // forever. Post-fix: the released claim lets the retry land.
+    val tmp2 = writeTmp(dir, ".tmp-b", "attempt-2")
+    assert(arb.putIfAbsent(f, tmp2, dst), "the retry must win the version")
+    val in = scala.io.Source.fromFile(dst.toUri.getPath)
+    try assert(in.mkString === "attempt-2") finally in.close()
+  }
+
+  test("leased coordinator: a claimant that crashes between claim and " +
+    "install cannot wedge the version — a second writer lands it " +
+    "exactly once after lease expiry") {
+    val dir = TempDirs.create("arbiter-lease-crash")
+    val f = localFs
+    var now = 0L // injectable clock — expiry is driven, never slept
+    val coord = CoordinatedCommitArbiter.leased(1000L, () => now)
+    val dst = new Path(dir, "v1.manifest")
+    // writer A: claims, then "crashes" mid-window — its install throws
+    // after the claim was granted, and (correctly) nothing releases:
+    // dst's state is unknown to the dying process
+    val arbA = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean =
+        throw new java.io.IOException("writer A died mid-install")
+    }
+    val tmpA = writeTmp(dir, ".tmp-a", "writer-A")
+    intercept[java.io.IOException] { arbA.putIfAbsent(f, tmpA, dst) }
+    assert(!localFs.exists(dst))
+    // writer B (another thread — release/takeover are holder-guarded):
+    // inside A's lease window the version is protected …
+    val arbB = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst0); true
+      }
+    }
+    def inThread[T](body: => T): T = {
+      var out: Option[T] = None
+      var err: Option[Throwable] = None
+      val t = new Thread(() =>
+        try out = Some(body) catch { case e: Throwable => err = Some(e) })
+      t.start(); t.join()
+      err.foreach(throw _)
+      out.get
+    }
+    val tmpB = writeTmp(dir, ".tmp-b", "writer-B")
+    assert(!inThread(arbB.putIfAbsent(f, tmpB, dst)),
+      "inside the lease window the crashed claim must still exclude")
+    // … and after expiry the takeover lands the version exactly once
+    now = 2000L
+    assert(inThread(arbB.putIfAbsent(f, tmpB, dst)))
+    val in = scala.io.Source.fromFile(dst.toUri.getPath)
+    try assert(in.mkString === "writer-B") finally in.close()
+    // replay of A (process restart) loses on the dst recheck
+    val tmpA2 = writeTmp(dir, ".tmp-a2", "writer-A-replay")
+    assert(!arbA.putIfAbsent(f, tmpA2, dst))
+  }
+
+  test("leased coordinator: an expired claim whose install actually " +
+    "LANDED never double-commits, and a stale holder's release cannot " +
+    "evict a takeover") {
+    val dir = TempDirs.create("arbiter-lease-landed")
+    val f = localFs
+    var now = 0L
+    val coord = CoordinatedCommitArbiter.leased(1000L, () => now)
+    val dst = new Path(dir, "v1.manifest")
+    val arb = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst0); true
+      }
+    }
+    val tmpA = writeTmp(dir, ".tmp-a", "writer-A")
+    assert(arb.putIfAbsent(f, tmpA, dst))
+    now = 5000L // A's lease long expired — but its commit LANDED
+    val tmpB = writeTmp(dir, ".tmp-b", "writer-B")
+    assert(!arb.putIfAbsent(f, tmpB, dst),
+      "the verified-absent-dst recheck must refuse the takeover")
+    val in = scala.io.Source.fromFile(dst.toUri.getPath)
+    try assert(in.mkString === "writer-A") finally in.close()
+    // holder-guarded release: thread X's takeover claim survives a
+    // stale release issued from thread Y (the fencing-token stand-in)
+    val key = "k-fence"
+    assert(coord.claim(key)) // this thread holds it
+    val stale = new Thread(() => coord.release(key)) // wrong holder
+    stale.start(); stale.join()
+    assert(!coord.claim(key), "a non-holder release must be a no-op")
+    coord.release(key) // the true holder's release does free it
+    assert(coord.claim(key))
   }
 
   test("arbiter registry matches on path-segment boundaries, never raw " +
@@ -152,6 +263,7 @@ class CommitArbiterSpec extends SparkSpec {
       private val claims =
         java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       override def claim(key: String): Boolean = claims.add(key)
+      override def release(key: String): Unit = claims.remove(key)
     }
     // every publish under this table routes through the coordinated
     // arbiter whose install is the overwrite-capable put — if the

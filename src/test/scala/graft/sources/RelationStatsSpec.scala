@@ -499,16 +499,25 @@ class RelationStatsSpec extends SparkSpec {
     assert(mAfter.klls.size === mBefore.klls.size + 1) // only (f2, b) added
     assert(GraftRelation(spark.sqlContext, dir2, va2)
       .columnHistograms.keySet === Set("a", "b"))
-    // an unsketchable column (files predate it — reads all-null) must
-    // no-op VERSIONLESSLY: publishing an identical manifest would burn
-    // a version per call and the repair would never converge
+    // an all-null column (files predate it — reads all-null) records
+    // EXPLICIT EMPTY sketches (ADVICE r13): the repair converges in
+    // exactly ONE commit (the second call no-ops versionlessly), the
+    // column's histogram is still absent (no values to bin), and the
+    // other columns' histograms are untouched
     Snapshots.addColumns(spark, dir2, Seq(
       org.apache.spark.sql.types.StructField("c",
         org.apache.spark.sql.types.LongType)))
     val vAdd = Snapshots.latestVersion(spark, dir2).get
-    assert(Snapshots.analyzeHistograms(spark, dir2, Seq("c")) === vAdd)
-    assert(Snapshots.analyzeHistograms(spark, dir2, Seq("c")) === vAdd)
-    assert(Snapshots.latestVersion(spark, dir2).get === vAdd)
+    val vC = Snapshots.analyzeHistograms(spark, dir2, Seq("c"))
+    assert(vC === vAdd + 1, "the all-null repair must publish once")
+    assert(Snapshots.analyzeHistograms(spark, dir2, Seq("c")) === vC)
+    assert(Snapshots.latestVersion(spark, dir2).get === vC)
+    val mC = Snapshots.readManifest(spark, dir2, vC)
+    assert(mC.files.forall(fl => mC.klls.contains((fl, "c"))),
+      "every live file must carry the explicit empty sketch")
+    assert(GraftRelation(spark.sqlContext, dir2, vC)
+      .columnHistograms.keySet === Set("a", "b"),
+      "empty sketches bin nothing; a and b keep serving")
   }
 
   test("NDV and bloom builds survive partitioned layouts (basenames " +
