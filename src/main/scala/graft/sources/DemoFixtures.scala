@@ -869,6 +869,12 @@ object DemoFixtures {
       Snapshots.commit(skewed.repartition(4), dir, "overwrite",
         statsColumns = Seq("sk"), ndvColumns = Seq("sk"),
         histColumns = Seq("sk"))
+      // checkpointed: the histogram (and NDV) feed serves from the
+      // checkpoint's pre-reduced per-(segment, column) KLL/HLL unions
+      // (the 10⁷-file path), not a per-file driver fold — u48's
+      // skew-aware witnesses ride the checkpoint live, the way u45's
+      // NDV witness does
+      Snapshots.writeMetadataCheckpoint(s, dir)
       dir
     })
     val dimDir = cache.getOrElseUpdate(s"histdim:$d", {

@@ -425,21 +425,32 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
         .toMap
     }
 
-  /** Equi-height histograms per column from the manifest's per-file
-    * KLL sketches ([[Snapshots.mergedHistogram]]) — only columns EVERY
-    * live file carries a sketch for. The selectivity feed for skewed
-    * range predicates (`spark.sql.statistics.histogram.numBins` bins,
-    * the ANALYZE shape), served from metadata with no scan.
+  /** Equi-height histograms per column from the per-file KLL sketches
+    * — only columns EVERY live file carries a sketch for. The
+    * selectivity feed for skewed range predicates
+    * (`spark.sql.statistics.histogram.numBins` bins, the ANALYZE
+    * shape), served from metadata with no scan. Served from the
+    * metadata checkpoint's pre-reduced per-segment KLL unions when one
+    * covers this version ([[Snapshots.mergedHistogramCheckpointed]] —
+    * O(segments + tail files) driver work, the 10⁷-file path), falling
+    * back to the per-file driver fold ([[Snapshots.mergedHistogram]])
+    * otherwise. No fallback on a served-but-empty map: the sidecar's
+    * poisoning verdict is the manifest path's (a clean segment's files
+    * can't have gained sketches without dirtying it), so empty means
+    * empty on both paths.
     */
   private[graft] lazy val columnHistograms
       : Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
-    val m = manifest
     val numBins = spark.conf
       .get("spark.sql.statistics.histogram.numBins", "254").toInt
-    m.klls.keysIterator.map(_._2).toSet.iterator
-      .flatMap((c: String) =>
-        Snapshots.mergedHistogram(m, c, numBins).map(c -> _))
-      .toMap
+    Snapshots.mergedHistogramCheckpointed(spark, tableDir, version, numBins)
+      .getOrElse {
+        val m = manifest
+        m.klls.keysIterator.map(_._2).toSet.iterator
+          .flatMap((c: String) =>
+            Snapshots.mergedHistogram(m, c, numBins).map(c -> _))
+          .toMap
+      }
   }
 
   /** Table-level (min, max, nullCount) per column folded from the

@@ -505,35 +505,43 @@ object Snapshots {
     * live file lacks the sketch (partial histograms misestimate
     * silently — same poisoning rule as [[mergedNdv]]).
     *
-    * Known ceiling, deliberately NOT checkpoint-reduced like NDV: this
-    * is a per-file driver fold (fine to ~10⁶ files, and only consulted
-    * lazily for tables that opted into `histColumns`). The
-    * per-(segment, column) pre-reduction that lifted the same ceiling
-    * for NDV ([[mergedNdvCheckpointed]]) does not transfer: HLL
-    * max-register unions are IDEMPOTENT, so a file referenced by two
-    * live segments contributes once either way, but KLL merges are
-    * weight-accumulating — the same duplicate ref would double-count
-    * its rows and silently skew every quantile, exactly the
-    * wrong-estimate class the poisoning rule exists to prevent. A
-    * checkpoint-era design needs first-ref-ATTRIBUTED per-segment
-    * folds plus a restore-compatible completeness proof; until then,
-    * correctness beats ceiling.
+    * This is the per-file DRIVER fold (fine to ~10⁶ files, and only
+    * consulted lazily for tables that opted into `histColumns`) — the
+    * fallback behind [[mergedHistogramCheckpointed]], which serves the
+    * same histograms from the checkpoint's per-(segment, column) KLL
+    * unions in O(segments + tail files) driver work on tables with a
+    * KLL-sidecar checkpoint.
     */
   private[graft] def mergedHistogram(m: Manifest, column: String,
                                      numBins: Int)
       : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
     val sketches = m.files.map(fl => m.klls.get((fl, column)))
     if (sketches.isEmpty || sketches.exists(_.isEmpty)) return None
     val merged = sketches.flatten.map(sk =>
       org.apache.datasketches.kll.KllDoublesSketch.heapify(
         org.apache.datasketches.memory.Memory.wrap(sk)))
       .reduceLeft { (a, b) => a.merge(b); a }
+    histogramFromMerged(merged, mergedNdv(m, column), numBins)
+  }
+
+  /** The one equi-height bin construction both histogram paths share
+    * (per-file driver fold and checkpoint-served twin — shared so the
+    * two can never drift): bounds are the merged sketch's quantiles at
+    * i/numBins; per-bin NDV is the equi-height approximation
+    * totalNdv/numBins (1 for a collapsed bin — a heavy hitter spanning
+    * it), with the bin height as the bound when no NDV estimate
+    * exists. None for an empty merge (no values to bin).
+    */
+  private def histogramFromMerged(
+      merged: org.apache.datasketches.kll.KllDoublesSketch,
+      ndv: Option[Long], numBins: Int)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
     if (merged.isEmpty) return None
     val bins = math.max(1, numBins)
     val height = merged.getN.toDouble / bins
-    val ndvPerBin = mergedNdv(m, column)
-      .map(ndv => math.max(1L, math.round(ndv.toDouble / bins)))
+    val ndvPerBin = ndv
+      .map(n => math.max(1L, math.round(n.toDouble / bins)))
       .getOrElse(math.max(1L, math.ceil(height).toLong))
     val bounds = (0 to bins).map(i =>
       merged.getQuantile(i.toDouble / bins))
@@ -1706,19 +1714,25 @@ object Snapshots {
       f.create(new Path(tmp, CoveredSegsFile), true), StandardCharsets.UTF_8)
     try segRefs.foreach(rel => segsOut.write(s"$rel\n"))
     finally segsOut.close()
-    // per-(segment, column) NDV union sidecar — the second distributed
-    // reduction this checkpoint performs: [[mergedNdv]] heapifies one
-    // sketch PER FILE in the driver, the same O(files) driver ceiling
-    // the checkpoint removes for pruning, so the checkpoint job also
-    // folds each segment's per-file HLL sketches into ONE mergeable
-    // sketch per column (HLL max-register unions are associative,
-    // commutative and idempotent — regrouping per segment, or unioning
-    // a twice-referenced file's identical sketch twice, leaves the
-    // registers bit-identical, so [[mergedNdvCheckpointed]] estimates
-    // are [[mergedNdv]]'s exactly). `all` records whether EVERY entry
-    // in the segment carried the sketch — the poisoning bit readers
-    // need without parsing the segment.
-    val ndvRows: Seq[(String, String, Boolean, Array[Byte])] =
+    // per-(segment, column) sketch-union sidecars, built in ONE job —
+    // the second distributed reduction this checkpoint performs:
+    // [[mergedNdv]]/[[mergedHistogram]] heapify one sketch PER FILE in
+    // the driver, the same O(files) driver ceiling the checkpoint
+    // removes for pruning, so the checkpoint job also folds each
+    // segment's per-file sketches into ONE mergeable sketch per
+    // (segment, column). For NDV the regrouping is free: HLL
+    // max-register unions are associative, commutative and IDEMPOTENT
+    // — unioning a twice-referenced file's identical sketch twice
+    // leaves the registers bit-identical, so
+    // [[mergedNdvCheckpointed]] estimates are [[mergedNdv]]'s exactly.
+    // KLL quantile merges are WEIGHT-ACCUMULATING (a file folded twice
+    // doubles its rows and skews every quantile), so the KLL fold is
+    // only SERVED for segments no tombstone of the read version
+    // touches — see [[mergedHistogramCheckpointed]] for why the
+    // publish invariant makes that exactly-once. `all` records whether
+    // EVERY entry in the segment carried the sketch — the poisoning
+    // bit readers need without parsing the segment.
+    val sketchRows: Seq[(String, String, String, Boolean, Array[Byte])] =
       if (segRefs.isEmpty) Nil
       else spark.sparkContext
         .parallelize(segRefs, math.min(segRefs.size, 64))
@@ -1727,26 +1741,41 @@ object Snapshots {
           confPairs.foreach { case (k, x) => conf.set(k, x) }
           val fsE = new Path(tdir).getFileSystem(conf)
           val entries = parseSegment(fsE, new Path(tdir, rel)).entries
-          val cols = entries.iterator.flatMap(_.ndvs.iterator.map(_._1)).toSet
-          cols.iterator.map { c =>
+          val ndvCols = entries.iterator.flatMap(_.ndvs.iterator.map(_._1)).toSet
+          val ndvRows = ndvCols.iterator.map { c =>
             val sks = entries.flatMap(_.ndvs.collectFirst {
               case (`c`, sk) => sk })
             val u = new org.apache.datasketches.hll.Union(12)
             sks.foreach(sk => u.update(
               org.apache.datasketches.hll.HllSketch.heapify(sk)))
-            (rel, c, sks.size == entries.size,
+            (rel, c, "ndv", sks.size == entries.size,
               u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_8)
                 .toCompactByteArray)
           }
-        }.collect().toSeq // one row per (segment, column), not per file
-    if (ndvRows.nonEmpty) {
-      val ndvOut = new OutputStreamWriter(
-        f.create(new Path(tmp, NdvSegsFile), true), StandardCharsets.UTF_8)
-      try ndvRows.sortBy(r => (r._1, r._2)).foreach { case (rel, c, all, sk) =>
-        ndvOut.write(s"$rel\t$c\t${if (all) 1 else 0}\t" +
+          val kllCols = entries.iterator.flatMap(_.klls.iterator.map(_._1)).toSet
+          val kllRows = kllCols.iterator.map { c =>
+            val sks = entries.flatMap(_.klls.collectFirst {
+              case (`c`, sk) => sk })
+            val u = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance()
+            sks.foreach(sk => u.merge(
+              org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(sk))))
+            (rel, c, "kll", sks.size == entries.size, u.toByteArray)
+          }
+          ndvRows ++ kllRows
+        }.collect().toSeq // one row per (segment, column, kind), not per file
+    def writeSketchSidecar(name: String, kind: String): Unit = {
+      val rows = sketchRows.filter(_._3 == kind)
+      if (rows.isEmpty) return
+      val sOut = new OutputStreamWriter(
+        f.create(new Path(tmp, name), true), StandardCharsets.UTF_8)
+      try rows.sortBy(r => (r._1, r._2)).foreach { case (rel, c, _, all, sk) =>
+        sOut.write(s"$rel\t$c\t${if (all) 1 else 0}\t" +
           java.util.Base64.getEncoder.encodeToString(sk) + "\n")
-      } finally ndvOut.close()
+      } finally sOut.close()
     }
+    writeSketchSidecar(NdvSegsFile, "ndv")
+    writeSketchSidecar(KllSegsFile, "kll")
     f.mkdirs(out.getParent)
     var aside: Option[Path] = None
     if (stale) {
@@ -1799,6 +1828,7 @@ object Snapshots {
 
   private val CoveredSegsFile = "_covered_segs.txt"
   private val NdvSegsFile = "_ndv_segs.txt"
+  private val KllSegsFile = "_kll_segs.txt"
 
   /** Distinct bloom geometries per (checkpoint dir, physical column) —
     * sound because a sidecar-bearing checkpoint dir is immutable
@@ -1809,14 +1839,16 @@ object Snapshots {
   private val ckptGeoCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), Set[(Int, Int)]]
 
-  /** The per-(segment, column) NDV sidecar of a checkpoint, if the
-    * checkpoint recorded one: (segRel, physCol) → (allEntriesSketched,
-    * union sketch bytes). None for pre-NDV-sidecar checkpoints — the
-    * caller falls back to the per-file driver merge.
+  /** A per-(segment, column) sketch sidecar of a checkpoint
+    * (`sidecar` ∈ [[NdvSegsFile]], [[KllSegsFile]] — same line
+    * format), if the checkpoint recorded one: (segRel, physCol) →
+    * (allEntriesSketched, union sketch bytes). None for checkpoints
+    * predating that sidecar — the caller falls back to the per-file
+    * driver merge.
     */
-  private def checkpointNdvSegs(f: FileSystem, ck: Path)
+  private def checkpointSketchSegs(f: FileSystem, ck: Path, sidecar: String)
       : Option[Map[(String, String), (Boolean, Array[Byte])]] = {
-    val p = new Path(ck, NdvSegsFile)
+    val p = new Path(ck, sidecar)
     if (!f.exists(p)) return None
     val r = new BufferedReader(
       new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
@@ -1862,7 +1894,7 @@ object Snapshots {
     val cv = newestCheckpointAtOrBefore(f, tableDir, version)
       .getOrElse(return None)
     val ck = checkpointDir(tableDir, cv)
-    val ndvSegs = checkpointNdvSegs(f, ck).getOrElse(return None)
+    val ndvSegs = checkpointSketchSegs(f, ck, NdvSegsFile).getOrElse(return None)
     val covered = checkpointCoveredSegs(f, ck)
     val (segV, tombsV, colMapV, retiredV, inlineV) =
       manifestSkeleton(f, tableDir, version)
@@ -1925,6 +1957,125 @@ object Snapshots {
             u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
           revV.getOrElse(c, c) -> math.round(u.getEstimate)
         }.toOption
+      }.toMap)
+  }
+
+  /** [[mergedHistogram]]'s checkpoint-served twin — table-level
+    * equi-height histograms per LOGICAL column at `version` in
+    * O(segments + tail files) driver work instead of O(files): the
+    * lift [[mergedNdvCheckpointed]] gives NDV, for the LAST remaining
+    * O(files) driver fold. The extra care KLL needs beyond the HLL
+    * twin: KLL merges are WEIGHT-ACCUMULATING — a file folded twice
+    * doubles its rows and silently skews every quantile — so unlike
+    * the idempotent HLL union, the per-segment folds may only serve
+    * when each live file reaches the merge EXACTLY ONCE. That
+    * exactness is structural, not assumed:
+    *   - [[publishManifest]] gives every live file exactly one
+    *     un-tombstoned segment ref in every manifest it writes (its
+    *     `covered` first-ref-wins walk TOMBSTONES duplicate refs at
+    *     the publish that created them), and every commit path —
+    *     append, overwrite, MERGE, maintenance, restore — funnels
+    *     through it;
+    *   - a sidecar fold is served only for segments the checkpoint
+    *     covered that NO tombstone of the read version touches: such
+    *     a segment's entries are ALL live through it, and by the
+    *     invariant none of those files is live through any other
+    *     segment — the fold contributes each exactly once;
+    *   - every other live file reaches the merge through the per-file
+    *     parse of its (dirty or tail) segment with tombstones
+    *     applied, contributing its recorded sketch exactly once.
+    * Poisoning is preserved per column: ANY live file without a
+    * sketch drops the column (a clean segment's `all=false` bit, a
+    * clean segment missing the column's line, or a parsed live entry
+    * with no sketch) — a partial merge mis-bins silently. An invalid
+    * sketch image poisons its column, never crashes planning. Both
+    * paths merge the SAME immutable per-file sketch bytes, so bin
+    * bounds can differ from [[mergedHistogram]]'s only within KLL's
+    * rank-error guarantee (merge regrouping randomness) — and are
+    * bit-identical while the sketches are in exact mode. None when no
+    * KLL-sidecar checkpoint serves this version, or the manifest
+    * carries legacy inline files (no segment to pre-reduce) — callers
+    * fall back to [[mergedHistogram]].
+    */
+  private[graft] def mergedHistogramCheckpointed(spark: SparkSession,
+                                                 tableDir: String,
+                                                 version: Long,
+                                                 numBins: Int)
+      : Option[Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram]] = {
+    val f = fs(spark, tableDir)
+    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
+      .getOrElse(return None)
+    val ck = checkpointDir(tableDir, cv)
+    val kllSegs = checkpointSketchSegs(f, ck, KllSegsFile).getOrElse(return None)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, colMapV, retiredV, inlineV) =
+      manifestSkeleton(f, tableDir, version)
+    if (inlineV.nonEmpty) return None // legacy inline: no segments
+    val dirtySegs = tombsV.iterator.map(_._1).toSet
+    val (clean, parsed) = segV.partition(rel =>
+      covered.contains(rel) && !dirtySegs.contains(rel))
+    val sidecarBySeg = kllSegs.groupBy { case ((r0, _), _) => r0 }
+    val acc = scala.collection.mutable.Map
+      .empty[String, ArrayBuffer[Array[Byte]]]
+    val poisoned = scala.collection.mutable.HashSet.empty[String]
+    val cols = scala.collection.mutable.HashSet.empty[String]
+    clean.foreach { rel =>
+      sidecarBySeg.getOrElse(rel, Map.empty).foreach {
+        case ((_, c), (all, sk)) =>
+          cols += c
+          if (!all) poisoned += c
+          else acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+      }
+    }
+    val cleanCols = clean.map(rel =>
+      rel -> sidecarBySeg.getOrElse(rel, Map.empty).keysIterator
+        .map(_._2).toSet).toMap
+    val parsedEntries = parsed.map(rel =>
+      rel -> cachedSegment(f, tableDir, rel).entries
+        .filter(e => !tombsV.contains((rel, e.file))))
+    parsedEntries.foreach { case (_, entries) =>
+      cols ++= entries.iterator.flatMap(_.klls.iterator.map(_._1))
+    }
+    cols.foreach { c =>
+      // every clean segment must carry c with all=true …
+      clean.foreach { rel =>
+        if (!cleanCols(rel).contains(c)) poisoned += c }
+      // … and every live parsed entry must carry a sketch for c
+      parsedEntries.foreach { case (_, entries) =>
+        entries.foreach { e =>
+          e.klls.collectFirst { case (`c`, sk) => sk } match {
+            case Some(sk) =>
+              acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+            case None => poisoned += c
+          }
+        }
+      }
+    }
+    // the per-bin NDV companion rides the NDV sidecar when it exists
+    // (estimates bit-identical to the fallback path's — the HLL
+    // idempotence argument); absent, the bin-height bound applies,
+    // exactly as [[mergedHistogram]] falls back
+    val ndvs = mergedNdvCheckpointed(spark, tableDir, version)
+      .getOrElse(Map.empty[String, Long])
+    val revV = colMapV.map(_.swap)
+    Some(cols.iterator
+      .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
+      .flatMap { c =>
+        // a sketch that is not a valid KLL image (sidecar corruption,
+        // a future format) must POISON the column, never crash
+        // planning — Try covers the heapify+merge
+        scala.util.Try {
+          val merged = acc.getOrElse(c, ArrayBuffer.empty)
+            .foldLeft(org.apache.datasketches.kll.KllDoublesSketch
+              .newHeapInstance()) { (a, sk) =>
+              a.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                org.apache.datasketches.memory.Memory.wrap(sk)))
+              a
+            }
+          val logical = revV.getOrElse(c, c)
+          histogramFromMerged(merged, ndvs.get(logical), numBins)
+            .map(logical -> _)
+        }.toOption.flatten
       }.toMap)
   }
 

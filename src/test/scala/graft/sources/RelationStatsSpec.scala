@@ -300,6 +300,109 @@ class RelationStatsSpec extends SparkSpec {
       === Map("a" -> 100L))
   }
 
+  test("checkpoint-served histograms == per-file driver fold, through " +
+    "tail, tombstones, purge, repair, and rename") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Histogram
+    val dir = TempDirs.create("stats-kll-ckpt")
+    // three SMALL segments of two files each: every per-file KLL
+    // sketch stays in EXACT mode (k=200 ≫ total N=120), so merge
+    // regrouping is quantile-identical and the parity asserts are
+    // EXACT equality, not tolerance bands (KLL compaction past k is
+    // randomized — at scale the two paths agree only within the rank
+    // error; in exact mode they agree bit-for-bit)
+    (0 until 3).foreach { i =>
+      Snapshots.commit(
+        (0 until 30).map(j => ((i * 30 + j).toLong, (i * 30 + j) * 2.0))
+          .toDF("k", "v").repartition(2),
+        dir, if (i == 0) "overwrite" else "append",
+        histColumns = Seq("k", "v"), ndvColumns = Seq("k"),
+        statsColumns = Seq("k"))
+    }
+    def latest = Snapshots.latestVersion(spark, dir).get
+    val v0 = latest
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v0))
+    assert(new java.io.File(dir,
+      f"_manifests/checkpoints/ckpt-v$v0%06d/_kll_segs.txt").exists(),
+      "the checkpoint must materialize the per-segment KLL sidecar")
+    def viaCkpt(v: Long): Map[String, Histogram] =
+      Snapshots.mergedHistogramCheckpointed(spark, dir, v, 10).get
+    def viaFiles(v: Long): Map[String, Histogram] = {
+      val m = Snapshots.readManifest(spark, dir, v)
+      m.klls.keysIterator.map(_._2).toSet.iterator
+        .flatMap((c: String) =>
+          Snapshots.mergedHistogram(m, c, 10).map(c -> _)).toMap
+    }
+    // Histogram holds an Array — compare structurally, bin by bin
+    def assertSame(v: Long): Unit = {
+      val (a, b) = (viaCkpt(v), viaFiles(v))
+      assert(a.keySet === b.keySet, s"served columns at v$v")
+      a.foreach { case (c, ha) =>
+        val hb = b(c)
+        assert(ha.height === hb.height, s"height of $c at v$v")
+        assert(ha.bins.toSeq === hb.bins.toSeq, s"bins of $c at v$v")
+      }
+    }
+    assertSame(v0)
+    assert(viaCkpt(v0).keySet === Set("k", "v"))
+    // tail: a post-checkpoint append contributes per-file
+    Snapshots.commit(
+      (90 until 120).map(j => (j.toLong, j * 2.0)).toDF("k", "v").coalesce(1),
+      dir, "append", histColumns = Seq("k", "v"), ndvColumns = Seq("k"))
+    val v1 = latest
+    assertSame(v1)
+    // tombstones + poisoning: purge rewrites the masked file, its
+    // sketches drop — the column is poisoned IDENTICALLY on both paths
+    // (the stale sidecar fold of the dirtied segment must NOT serve)
+    Snapshots.deleteWhere(spark, dir, col("k") === 0L)
+    Snapshots.purgeDeletes(spark, dir)
+    val v2 = latest
+    assert(viaCkpt(v2).isEmpty && viaFiles(v2).isEmpty,
+      "a sketchless rewritten file must poison both paths")
+    // repair parity for the sidecar era: analyze backfills the
+    // rewritten file; the served histogram must REFLECT the backfill
+    // (the repair republishes changed entries into a fresh tail
+    // segment, so the stale fold never serves them) — and the bins
+    // must show k=0 actually gone, not a stale pre-delete quantile
+    Snapshots.analyzeHistograms(spark, dir, Seq("k", "v"))
+    val v3 = latest
+    assertSame(v3)
+    assert(viaCkpt(v3).keySet === Set("k", "v"))
+    assert(viaCkpt(v3)("k").bins.head.lo === 1.0,
+      "post-repair bins must reflect the purged row (min is 1, not 0)")
+    // rename AFTER the checkpoint: physical sketches serve under the
+    // new logical name on both paths
+    Snapshots.renameColumn(spark, dir, "k", "key")
+    val v4 = latest
+    assertSame(v4)
+    assert(viaCkpt(v4).contains("key") && !viaCkpt(v4).contains("k"))
+    // the relation's CBO feed rides the checkpoint path and agrees
+    val rel = GraftRelation(spark.sqlContext, dir, v4)
+    val ck254 = Snapshots.mergedHistogramCheckpointed(spark, dir, v4, 254).get
+    assert(rel.columnHistograms.keySet === ck254.keySet)
+    rel.columnHistograms.foreach { case (c, h) =>
+      assert(h.height === ck254(c).height && h.bins.toSeq === ck254(c).bins.toSeq)
+    }
+    // poisoning preserved across the feed: a sketchless tail append
+    // drops every histogram on both paths …
+    Snapshots.commit(Seq((999L, 1.0)).toDF("key", "v"), dir, "append")
+    val v5 = latest
+    assert(viaCkpt(v5).isEmpty && viaFiles(v5).isEmpty)
+    // … and the incremental repair restores them, still identical
+    Snapshots.analyzeHistograms(spark, dir, Seq("key", "v"))
+    assertSame(latest)
+    // no checkpoint at all → None; the relation falls back to the
+    // per-file driver fold
+    val dir2 = TempDirs.create("stats-kll-nockpt")
+    Snapshots.commit((0 until 50).map(i => (i.toLong, i * 3.0))
+        .toDF("a", "b").coalesce(1),
+      dir2, "overwrite", histColumns = Seq("a"))
+    assert(Snapshots.mergedHistogramCheckpointed(spark, dir2, 0L, 10).isEmpty)
+    assert(GraftRelation(spark.sqlContext, dir2, 0L)
+      .columnHistograms.contains("a"))
+  }
+
   test("KLL histograms: merged bins see the skew; selectivity flips the " +
     "join build side that uniform interpolation gets wrong") {
     val s = spark
