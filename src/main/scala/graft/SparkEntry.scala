@@ -139,6 +139,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u47CkptPointLookup _),
     "u48_histogram_skew" ->
       (graft.sources.DemoFixtures.u48HistogramSkew _),
+    "u49_ckpt_composite_lookup" ->
+      (graft.sources.DemoFixtures.u49CkptCompositeLookup _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1079,6 +1081,21 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM orders
         |WHERE (CASE WHEN o_orderkey % 100 < 99 THEN 5
         |       ELSE 1000000 + o_orderkey END) >= 1000000""".stripMargin,
+    // u49 oracle: the CONJUNCTIVE checkpoint-planned lookup replayed
+    // relationally (planning must be result-invisible); the witnesses
+    // pin the composite Spark-job decision == the manifest-path fold,
+    // real file skipping, and that the conjunction pruned STRICTLY
+    // tighter than the best single-column probe
+    "u49_ckpt_composite_lookup" ->
+      """WITH probe AS (
+        |  SELECT o_orderdate AS pd, o_custkey AS pk
+        |  FROM orders ORDER BY o_orderkey LIMIT 1)
+        |SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS composite_identical, 1 AS composite_pruned,
+        |  1 AS composite_tighter
+        |FROM orders, probe
+        |WHERE o_orderdate = pd AND o_custkey = pk""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -852,6 +852,52 @@ object DemoFixtures {
       .orderBy("o_custkey")
   }
 
+  /** Demo + oracle entry (`u49_ckpt_composite_lookup`): the
+    * CONJUNCTIVE checkpoint-planned serving probe — the reference's
+    * serving predicate shape (`WHERE date = ?`, `serve/api.py:38`)
+    * composed with the bucket key (`AND custkey = ?`), planned as ONE
+    * checkpoint Spark job composing stats (date slice) ∧ bucket
+    * (custkey hash) ∧ bloom verdicts across ALL probed columns
+    * ([[Snapshots.pruneFilesCheckpointedProbes]]). Witnesses, computed
+    * on real file lists: `composite_identical` pins the composite
+    * decision == the manifest-path [[Snapshots.pruneForProbes]] fold;
+    * `composite_pruned` that it kept < the table's files;
+    * `composite_tighter` that the conjunction kept STRICTLY fewer
+    * files than the best single-column probe — the witness that the
+    * verdicts actually composed (date stats alone keep a whole slice,
+    * custkey bucket alone keeps one bucket per slice; together they
+    * keep one slice's one bucket). Probe keys derive from the data
+    * (the minimum-orderkey row), so the demo is valid at every SF.
+    */
+  def u49CkptCompositeLookup(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = ckptLookupOrders(s, d)
+    val v = Snapshots.latestVersion(s, dir).get
+    val m = Snapshots.readManifest(s, dir, v)
+    val base = Snapshots.readVersion(s, dir, Some(v))
+    // bounded collect: ONE probe row (o_orderkey is unique)
+    val row = base.orderBy("o_orderkey")
+      .select("o_orderdate", "o_custkey").limit(1).collect().head
+    val probes: Seq[(String, Seq[Any])] = Seq(
+      "o_orderdate" -> Seq(row.get(0)), "o_custkey" -> Seq(row.get(1)))
+    val viaCkpt = Snapshots.pruneFilesCheckpointedProbes(
+      s, dir, Some(v), probes)
+    val viaManifest = Snapshots.pruneForProbes(s, m, m.files, probes).sorted
+    val singles = probes.map(p => Snapshots.pruneFilesCheckpointedProbes(
+      s, dir, Some(v), Seq(p)).size)
+    val ident = if (viaCkpt == viaManifest) 1 else 0
+    val pruned = if (viaCkpt.nonEmpty && viaCkpt.size < m.files.size) 1 else 0
+    val tighter = if (viaCkpt.nonEmpty && viaCkpt.size < singles.min) 1 else 0
+    Snapshots.readVersionCheckpointedProbes(s, dir, probes, Some(v))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("composite_identical", lit(ident).cast("int"))
+      .withColumn("composite_pruned", lit(pruned).cast("int"))
+      .withColumn("composite_tighter", lit(tighter).cast("int"))
+  }
+
   /** Seeds of the u48 histogram demo (one per JVM, read-only): a
     * SKEWED fact — 99% of rows share one key value, 1% spread over a
     * high range (the k1_skew_profile shape) — committed with per-file

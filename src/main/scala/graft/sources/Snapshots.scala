@@ -990,7 +990,21 @@ object Snapshots {
     // masked rows) and drop on overwrites (a rewritten snapshot has
     // no masked rows left to hide)
     val carriedDvs = prev.map(_.dvs).getOrElse(Seq.empty)
-    val carriedStats = prev.map(_.stats).getOrElse(Map.empty)
+    // a SCALE-growing decimal widening DROPS the column's carried
+    // stats: int-backed decimal footer stats are UNSCALED integers at
+    // the file's WRITE scale, and the probe's unscaled form
+    // ([[statMayContain]]) is taken at the column's CURRENT scale — a
+    // stale stat would wrongly prune files (losing rows), whereas no
+    // stat only loses pruning. Precision-only growth and integral /
+    // float widenings keep stats (same scale ⇒ same unscaled basis;
+    // non-decimals record VALUES, which widening preserves). The
+    // bloom/NDV drop-on-widening rule, applied to the one stat kind
+    // whose representation is scale-relative.
+    val scaleWidened = scaleWidenedCols(
+      prev.flatMap(_.schema), Some(schema), widenedCols)
+    val carriedStats = prev.map(_.stats).getOrElse(
+        Map.empty[(String, String), FileStat])
+      .filter { case ((_, c), _) => !scaleWidened.contains(c) }
     val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
@@ -2276,9 +2290,11 @@ object Snapshots {
     * ALL THREE pruning primitives exactly as the manifest path does:
     * bucket ids (when `key` is the read version's bucket key; files
     * without a bucket id — unclustered appends — are kept), footer
-    * min/max stats (skipped entirely for decimal literals, whose footer
-    * stats are unscaled ints), and per-file bloom bitsets (transcribed
-    * into checkpoint rows; files without a bloom on `key` are kept).
+    * min/max stats (decimal literals compare by their UNSCALED-long
+    * form at the column's scale, matching the footer's own
+    * representation — see [[statMayContain]]), and per-file bloom
+    * bitsets (transcribed into checkpoint rows; files without a bloom
+    * on `key` are kept).
     * Bucket ids and bloom bit positions are evaluated through Spark's
     * own hash — one tiny local job per distinct bloom geometry — so
     * probe and build can never drift; the per-row verdicts then run
@@ -2296,6 +2312,39 @@ object Snapshots {
                                  version: Option[Long], key: String,
                                  keys: Seq[Any]): Seq[String] = {
     require(keys.nonEmpty, "pruneFilesCheckpointedKeys needs at least one key")
+    pruneFilesCheckpointedProbes(spark, tableDir, version, Seq(key -> keys))
+  }
+
+  /** [[pruneFilesCheckpointedKeys]]' CONJUNCTIVE generalization — the
+    * canonical serving probe is multi-column (`date = ? AND
+    * custkey = ?`: the reference's own serving predicate plus the
+    * bucket key). A file survives iff it survives EVERY probed
+    * column's (bucket ∧ stats ∧ bloom) verdict for AT LEAST ONE of
+    * that column's candidate values — OR within a column, AND across
+    * columns, the exact superset semantics of `c1 IN (…) AND c2 IN
+    * (…)` (which also conservatively covers a tuple-IN probe through
+    * its per-column projections: pruning is a scan reducer, the row
+    * filter owns exactness). All columns' verdicts compose in ONE
+    * checkpoint Spark job — per-column bucket-id sets and bloom bit
+    * positions are evaluated up front through Spark's own hash (one
+    * tiny local job per distinct geometry, cached per immutable
+    * checkpoint), then every row is judged where its metadata lives
+    * (executors for checkpoint rows, the cached driver parse for the
+    * tail), and only file names surviving the FULL conjunction reach
+    * the driver — strictly fewer than any single column keeps alone.
+    * Per-column semantics are [[pruneForKeys]]' verbatim, so the
+    * composite decision equals folding the manifest-path pruner over
+    * the probes column by column.
+    */
+  def pruneFilesCheckpointedProbes(spark: SparkSession, tableDir: String,
+                                   version: Option[Long],
+                                   probes: Seq[(String, Seq[Any])])
+      : Seq[String] = {
+    require(probes.nonEmpty, "pruneFilesCheckpointedProbes needs a probe")
+    probes.foreach { case (c, ks) =>
+      require(ks.nonEmpty, s"probe on '$c' needs at least one key") }
+    require(probes.map(_._1).distinct.size == probes.size,
+      s"duplicate probe columns: ${probes.map(_._1)}")
     val f = fs(spark, tableDir)
     val v = version.orElse(latestLiveVersion(spark, tableDir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
@@ -2308,66 +2357,71 @@ object Snapshots {
     // bucket spec + schema come from the THIN manifest parse (small
     // file only); per-file bucket ids ride the checkpoint rows
     val thin = readManifestThin(spark, tableDir, v)
-    val keyType = thin.schema.map(_(key).dataType).getOrElse(
-      org.apache.spark.sql.types.StringType)
-    val bucketWanted: Option[Set[Int]] = thin.bucketSpec match {
-      case Some((bk, n)) if bk == key =>
-        Some(bucketIdsOf(spark, keys, keyType, n))
-      case _ => None
-    }
-    val anyDecimal = keys.exists {
-      case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
-      case _ => false
-    }
-    // segments (and so checkpoint rows) speak PHYSICAL names — probe
-    // the key's physical name there; legacy inline lines speak logical
-    val keyPhys = colMapV.getOrElse(key, key)
     import spark.implicits._
     val ds = ckptDataset(spark, ck)
-    // distinct bloom geometries for the key, across checkpoint rows
-    // (one metadata-sized job) and the driver-parsed tail — probe bits
-    // are then evaluated through Spark's own xxhash64 per geometry
     val tailEntries = segV.filterNot(covered).map(rel =>
       rel -> cachedSegment(f, tableDir, rel).entries)
-    // geometry discovery scans the (dominant) bloom column — but a
-    // checkpoint dir is IMMUTABLE once its sidecar exists, so the
-    // result is cached per (checkpoint, column): a serving loop's Nth
-    // point lookup pays one metadata-row job, not a bloom-column scan
-    val ckptGeos = ckptGeoCache.getOrElseUpdate((ck.toString, keyPhys),
-      ds.select(org.apache.spark.sql.functions.element_at(
-          org.apache.spark.sql.functions.col("blooms"),
-          keyPhys).as("b"))
-        .where(org.apache.spark.sql.functions.col("b").isNotNull)
-        .select($"b.mBits", $"b.k").distinct().collect()
-        .map(r => (r.getInt(0), r.getInt(1))).toSet)
-    val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
-      .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
-    val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
-      (ckptGeos ++ tailGeos).iterator.map(g =>
-        g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
-    val pbB = spark.sparkContext.broadcast(probeBits)
+    // per-probe precomputation (driver-side, all metadata-sized):
+    // logical + physical names (segments and checkpoint rows speak
+    // PHYSICAL; legacy inline lines speak logical), the column's type,
+    // its bucket-id set when it IS the bucket key, and the bloom probe
+    // bits per geometry — geometry discovery scans the (dominant)
+    // bloom column, but a checkpoint dir is IMMUTABLE once its sidecar
+    // exists, so the result is cached per (checkpoint, column): a
+    // serving loop's Nth point lookup pays one metadata-row job, not
+    // a bloom-column scan
+    final case class ProbePlan(logical: String, phys: String,
+        keys: Seq[Any], keyType: org.apache.spark.sql.types.DataType,
+        bucketWanted: Option[Set[Int]],
+        probeBits: Map[(Int, Int), Map[String, Seq[Long]]])
+    val plans: Seq[ProbePlan] = probes.map { case (key, keys) =>
+      val keyType = thin.schema.map(_(key).dataType).getOrElse(
+        org.apache.spark.sql.types.StringType)
+      val bucketWanted: Option[Set[Int]] = thin.bucketSpec match {
+        case Some((bk, n)) if bk == key =>
+          Some(bucketIdsOf(spark, keys, keyType, n))
+        case _ => None
+      }
+      val keyPhys = colMapV.getOrElse(key, key)
+      val ckptGeos = ckptGeoCache.getOrElseUpdate((ck.toString, keyPhys),
+        ds.select(org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.col("blooms"),
+            keyPhys).as("b"))
+          .where(org.apache.spark.sql.functions.col("b").isNotNull)
+          .select($"b.mBits", $"b.k").distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet)
+      val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
+        .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
+      val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
+        (ckptGeos ++ tailGeos).iterator.map(g =>
+          g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
+      ProbePlan(key, keyPhys, keys, keyType, bucketWanted, probeBits)
+    }
+    val plansB = spark.sparkContext.broadcast(plans)
     val segSetB = spark.sparkContext.broadcast(segV.toSet)
     val tombsB = spark.sparkContext.broadcast(tombsV)
-    val ks = keys // serializable literal captures
     // one verdict for executor-side checkpoint rows AND the driver-side
-    // tail — the composition (bucket ∧ stats ∧ bloom, unknown keeps) is
-    // pruneForKeys' verbatim
-    def survives(probeCol: String)(r: CkptFile): Boolean = {
-      bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
-      (anyDecimal || r.stats.get(probeCol).forall(st =>
-        ks.exists(x => FileStat(st.kind, st.min, st.max).overlaps(x, x)))) &&
+    // tail — per column the composition (bucket ∧ stats ∧ bloom,
+    // unknown keeps) is pruneForKeys' verbatim (stats through the
+    // shared [[statMayContain]], so decimal probes prune identically
+    // on both paths); the conjunction folds across columns
+    def survivesPlan(p: ProbePlan, probeCol: String)(r: CkptFile): Boolean = {
+      p.bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
+      r.stats.get(probeCol).forall(st =>
+        p.keys.exists(x => statMayContain(
+          FileStat(st.kind, st.min, st.max), p.keyType, x))) &&
       r.blooms.get(probeCol).forall { b =>
-        pbB.value.get((b.mBits, b.k)).forall { bits =>
+        p.probeBits.get((b.mBits, b.k)).forall { bits =>
           val bl = Bloom(b.mBits, b.k, b.words.toArray)
-          ks.exists(x => bloomMightContain(bl, bits(x.toString)))
+          p.keys.exists(x => bloomMightContain(bl, bits(x.toString)))
         }
       }
     }
-    val survivesPhys = survives(keyPhys) _
     val fromCkpt = ds
       .filter { r: CkptFile => r.seg.exists(rel =>
         segSetB.value.contains(rel) &&
-          !tombsB.value.contains((rel, r.file))) && survivesPhys(r) }
+          !tombsB.value.contains((rel, r.file))) &&
+        plansB.value.forall(p => survivesPlan(p, p.phys)(r)) }
       .map(_.file).collect().toSeq
     val fromTail = tailEntries.iterator.flatMap { case (rel, entries) =>
       entries.iterator
@@ -2379,9 +2433,12 @@ object Snapshots {
           e.nulls.toMap, Some(rel),
           e.blooms.iterator.map { case (c, b) =>
             c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }.toMap))
-        .filter(survivesPhys).map(_.file)
+        .filter(r => plans.forall(p => survivesPlan(p, p.phys)(r)))
+        .map(_.file)
     }.toSeq
-    val fromInline = inlineV.filter(survives(key)).map(_.file)
+    val fromInline = inlineV
+      .filter(r => plans.forall(p => survivesPlan(p, p.logical)(r)))
+      .map(_.file)
     (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
   }
 
@@ -2409,6 +2466,47 @@ object Snapshots {
       spark, tableDir, Some(thin.version), key, keys)
     readFiles(spark, tableDir, thin, keep).filter(col(key).isin(keys: _*))
   }
+
+  /** [[readVersionCheckpointedKeys]]' CONJUNCTIVE generalization — the
+    * multi-predicate serving read (`date = ? AND custkey = ?`):
+    * planning composes every probed column's bucket ∧ stats ∧ bloom
+    * verdict in one checkpoint job
+    * ([[pruneFilesCheckpointedProbes]]), the row filter re-applies the
+    * conjunction of `isin`s exactly, and an all-pruned probe serves
+    * the schema'd empty frame.
+    */
+  def readVersionCheckpointedProbes(spark: SparkSession, tableDir: String,
+                                    probes: Seq[(String, Seq[Any])],
+                                    version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(probes.nonEmpty, "readVersionCheckpointedProbes needs a probe")
+    probes.foreach { case (c, ks) =>
+      require(ks.nonEmpty && ks.forall(_ != null),
+        s"probe keys on '$c' must be non-empty and non-null (SQL NULL " +
+          "never equals NULL — an isin probe cannot match it, and the " +
+          "index probes cannot hash it)")
+    }
+    val thin = resolveForReadThin(spark, tableDir, version)
+    val keep = pruneFilesCheckpointedProbes(
+      spark, tableDir, Some(thin.version), probes)
+    probes.foldLeft(readFiles(spark, tableDir, thin, keep)) {
+      case (df, (c, ks)) => df.filter(col(c).isin(ks: _*))
+    }
+  }
+
+  /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —
+    * [[pruneForKeys]] folded over the probes column by column (each
+    * column's survivors feed the next column's candidates; the
+    * conjunction is order-independent). The decisions-identical
+    * witness the checkpoint path is pinned against.
+    */
+  private[sources] def pruneForProbes(spark: SparkSession, m: Manifest,
+                                      candidates: Seq[String],
+                                      probes: Seq[(String, Seq[Any])])
+      : Seq[String] =
+    probes.foldLeft(candidates) { case (keep, (key, keys)) =>
+      pruneForKeys(spark, m, keep, key, keys)
+    }
 
   /** Serialize + atomically publish `m` as `tableDir`'s manifest for
     * its version, sharding per-file metadata into segments (section
@@ -3710,8 +3808,11 @@ object Snapshots {
     // ONE commit point for mask + append together
     // m.copy carries checks/bucketSpec/buckets/blooms; the merge's own
     // payload files are unindexed until a bloom/bucket re-cluster
+    val scaleWidened = scaleWidenedCols(m.schema, schema, widenedCols)
     if (!publishManifest(f, tableDir, m.copy(version = version,
-        files = m.files ++ written, stats = m.stats ++ newStats,
+        files = m.files ++ written,
+        stats = m.stats.filter { case ((_, c), _) =>
+          !scaleWidened.contains(c) } ++ newStats,
         schema = schema, txns = txns, dvs = m.dvs ++ dvs,
         dataRows = addRowCounts(m.dataRows, nAppended),
         dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
@@ -3863,9 +3964,12 @@ object Snapshots {
       val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
       val newFileRows = newFileMeta.view.mapValues(_._1).toMap
       val written = newFileRows.keys.toSeq.sorted
+      val scaleWidened = scaleWidenedCols(m.schema, schema, widenedCols)
       if (!publishManifest(f, tableDir, m.copy(version = version,
           files = m.files ++ written, schema = schema,
-          stats = m.stats ++ partitionStatsOf(written, paySpecs, paySchema),
+          stats = m.stats.filter { case ((_, c), _) =>
+            !scaleWidened.contains(c) } ++
+            partitionStatsOf(written, paySpecs, paySchema),
           dvs = m.dvs ++ dvs,
           dataRows = addRowCounts(m.dataRows, n),
           dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
@@ -4167,15 +4271,16 @@ object Snapshots {
       case _ => candidates
     }
     // stat pruning composes when the key carries footer stats: keep a
-    // file only if SOME wanted key overlaps its [min,max]; decimal
-    // literals never stat-prune (footer decimals are UNSCALED ints)
-    val statKeep =
-      if (keys.exists {
-        case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
-        case _ => false
-      }) bucketPruned
-      else bucketPruned.filter(rel =>
-        m.stats.get((rel, key)).forall(st => keys.exists(k => st.overlaps(k, k))))
+    // file only if SOME wanted key overlaps its [min,max]. Decimal
+    // probes compare in the footer's OWN representation — unscaled
+    // integers at the column's scale (see [[statMayContain]]) — so
+    // decimal point lookups prune on stats too, with conservative
+    // keeps for any stat not decodable that way.
+    val statKeyType = m.schema.map(_(key).dataType).getOrElse(
+      org.apache.spark.sql.types.StringType)
+    val statKeep = bucketPruned.filter(rel =>
+      m.stats.get((rel, key)).forall(st =>
+        keys.exists(k => statMayContain(st, statKeyType, k))))
     // bloom pruning composes last: a file indexed on `key` survives
     // only if SOME wanted key might be in its bloom — the primitive
     // that prunes point lookups on columns the table is NOT clustered
@@ -4192,6 +4297,68 @@ object Snapshots {
       val bits = probeBits((b.mBits, b.k))
       keys.exists(k => bloomMightContain(b, bits(k.toString)))
     })
+  }
+
+  /** The one equality-probe-vs-footer-stat verdict both the manifest
+    * path ([[pruneForKeys]]) and the checkpoint-planned path
+    * ([[pruneFilesCheckpointedProbes]]) run — shared so their
+    * decisions can never drift. For non-decimal keys this is plain
+    * [[FileStat.overlaps]]. DECIMAL keys compare in the footer's OWN
+    * representation: int-backed parquet decimals (precision ≤ 18)
+    * record UNSCALED integers as "long"-kind stats, so the literal is
+    * rescaled EXACTLY to the column's scale and compared as its
+    * unscaled long — exact pruning, never a lossy double detour.
+    * Conservative keeps everywhere the decoding is not airtight: a
+    * non-"long" stat kind (binary-backed >18-digit decimals, legacy
+    * formats), a literal that does not rescale exactly (cannot equal
+    * any stored value, but the row filter owns that verdict), or a
+    * non-numeric literal. Scale-drift is impossible by construction:
+    * a scale-growing decimal widening DROPS carried stats at the
+    * widening commit (like blooms/NDVs), so every surviving "long"
+    * stat is unscaled at the column's CURRENT scale.
+    */
+  private def statMayContain(st: FileStat,
+      keyType: org.apache.spark.sql.types.DataType, k: Any): Boolean =
+    keyType match {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        if (st.kind != "long") true
+        else decimalUnscaledLong(k, dt.scale)
+          .forall(u => st.overlaps(u, u))
+      case _ => st.overlaps(k, k)
+    }
+
+  /** Columns whose decimal SCALE changed in a widening — their carried
+    * unscaled-int footer stats are re-based and must DROP at the
+    * widening commit (see the commit-path `carriedStats` comment; the
+    * append, MERGE and UPDATE paths all apply this through their own
+    * stat carries so no path can leak a stale-scale stat).
+    */
+  private def scaleWidenedCols(
+      oldSchema: Option[org.apache.spark.sql.types.StructType],
+      newSchema: Option[org.apache.spark.sql.types.StructType],
+      widenedCols: Set[String]): Set[String] =
+    widenedCols.filter { c =>
+      (oldSchema.map(_(c).dataType), newSchema.map(_(c).dataType)) match {
+        case (Some(o: org.apache.spark.sql.types.DecimalType),
+              Some(n: org.apache.spark.sql.types.DecimalType)) =>
+          o.scale != n.scale
+        case _ => false
+      }
+    }
+
+  /** A probe literal's unscaled-long form at `scale`, when it has one
+    * EXACTLY (no rounding, fits in 64 bits) — None keeps the file.
+    */
+  private def decimalUnscaledLong(k: Any, scale: Int): Option[Long] = {
+    val bd = k match {
+      case d: java.math.BigDecimal => Some(d)
+      case d: scala.math.BigDecimal => Some(d.bigDecimal)
+      case n: java.lang.Number =>
+        scala.util.Try(new java.math.BigDecimal(n.toString)).toOption
+      case _ => None
+    }
+    bd.flatMap(d => scala.util.Try(
+      d.setScale(scale).unscaledValue().longValueExact()).toOption)
   }
 
   /** The [[GraftRelation]] read path: `version`'s rows (deletion
@@ -4218,20 +4385,23 @@ object Snapshots {
       tableDir: String, m: Manifest,
       filters: Seq[org.apache.spark.sql.sources.Filter]): DataFrame = {
     import org.apache.spark.sql.sources._
-    // decimal literals cannot be compared against footer stats (the
-    // parquet footer records UNSCALED integers for int-backed
-    // decimals) — such predicates do not prune, they only filter rows
+    // RANGE predicates on decimal literals cannot be compared against
+    // footer stats (the parquet footer records UNSCALED integers for
+    // int-backed decimals, and mayGe/mayLe compare raw values) — they
+    // only filter rows. EQUALITY/IN probes DO prune: [[pruneForKeys]]
+    // compares decimals by their unscaled-long form
+    // ([[statMayContain]]), the footer's own representation.
     def prunable(v: Any): Boolean = v match {
       case _: java.math.BigDecimal | _: scala.math.BigDecimal => false
       case _ => v != null
     }
     var keep = m.files
     filters.foreach {
-      case EqualTo(c, v) if prunable(v) =>
+      case EqualTo(c, v) if v != null =>
         keep = pruneForKeys(spark, m, keep, c, Seq(v))
-      case EqualNullSafe(c, v) if prunable(v) =>
+      case EqualNullSafe(c, v) if v != null =>
         keep = pruneForKeys(spark, m, keep, c, Seq(v))
-      case In(c, vs) if vs.nonEmpty && vs.forall(prunable) =>
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
         keep = pruneForKeys(spark, m, keep, c, vs.toIndexedSeq)
       case GreaterThan(c, v) if prunable(v) =>
         keep = keep.filter(rel => m.stats.get((rel, c)).forall(_.mayGe(v)))

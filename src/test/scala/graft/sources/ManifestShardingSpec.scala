@@ -372,7 +372,7 @@ class ManifestShardingSpec extends SparkSpec {
     val probes: Seq[(String, Seq[Any])] = Seq(
       ("id", Seq(42L)),                      // bucket ∧ stats
       ("id", Seq(42L, 511L)),                // multi-key IN probe
-      ("id", Seq(BigDecimal(42))),           // decimal: stats must NOT prune
+      ("id", Seq(BigDecimal(42))),           // decimal literal on a long column
       ("tag", Seq("u7")),                    // bloom (stats span, no bucket)
       ("tag", Seq("u7", "u33")),
       ("tag", Seq("zz-missing")))            // bloom prunes everything
@@ -446,6 +446,145 @@ class ManifestShardingSpec extends SparkSpec {
     val fullNow = Snapshots.readVersion(spark, dir, Some(v2))
       .where(col("label") === "u7")
     assert(servedOld.collect().toSet === fullNow.collect().toSet)
+  }
+
+  test("composite checkpoint probes: conjunctive bucket ∧ stats ∧ bloom " +
+    "across columns == the manifest path folded per column, pruning " +
+    "strictly more than any single column") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // date-sliced commits (stats prune the d column) × id hash buckets
+    // (the only primitive that prunes id — no stats recorded on it) ×
+    // tag blooms (values striped across every file) — the canonical
+    // serving layout, each probed column prunable by exactly one
+    // primitive, so the conjunction is a genuine composition
+    def batch(lo: Int, day: Int) = (lo until lo + 200).map { k =>
+      (k.toLong, s"u${k % 50}",
+        java.sql.Date.valueOf(f"2024-03-$day%02d"), k * 1.5)
+    }.toDF("id", "tag", "d", "v")
+    (0 until 3).foreach { i =>
+      Snapshots.commit(batch(i * 200, i + 1), dir,
+        if (i == 0) "overwrite" else "append",
+        statsColumns = Seq("d"), bucketBy = Some(("id", 8)),
+        bloomColumns = Seq("tag"))
+    }
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
+    val probes: Seq[(String, Seq[Any])] = Seq(
+      ("d", Seq(java.sql.Date.valueOf("2024-03-02"))), // stats
+      ("id", Seq(242L)),                               // bucket
+      ("tag", Seq("u42")))                             // bloom
+    // decisions identical for EVERY non-empty subset of the columns
+    probes.toSet.subsets().filter(_.nonEmpty).map(_.toSeq).foreach { ps =>
+      val viaCkpt = Snapshots.pruneFilesCheckpointedProbes(
+        spark, dir, Some(v), ps)
+      val viaManifest = Snapshots.pruneForProbes(spark, m, m.files, ps).sorted
+      assert(viaCkpt === viaManifest,
+        s"composite keys-prune divergence for ${ps.map(_._1)}")
+    }
+    // the conjunction prunes STRICTLY more than the best single column
+    val single = probes.map(p => Snapshots.pruneFilesCheckpointedProbes(
+      spark, dir, Some(v), Seq(p)).size)
+    val all = Snapshots.pruneFilesCheckpointedProbes(spark, dir, Some(v), probes)
+    assert(all.nonEmpty && all.size < single.min,
+      s"conjunction kept ${all.size}, singles kept $single")
+    // the composite serving read: same rows as the full read, and the
+    // scan really is the conjunction's pruned set
+    val served = Snapshots.readVersionCheckpointedProbes(
+      spark, dir, probes, Some(v))
+    val full = probes.foldLeft(Snapshots.readVersion(spark, dir, Some(v))) {
+      case (df, (c, ks)) => df.where(col(c).isin(ks: _*))
+    }
+    assert(served.collect().toSet === full.collect().toSet)
+    assert(served.count() === 1L) // id 242 is day-2, tag u42 — one row
+    assert(served.inputFiles.length === all.size)
+    // an impossible conjunct serves the schema'd EMPTY frame
+    val none = Snapshots.readVersionCheckpointedProbes(spark, dir,
+      Seq(("d", Seq[Any](java.sql.Date.valueOf("2024-03-02"))),
+        ("tag", Seq[Any]("zz-missing"))), Some(v))
+    assert(none.schema.fieldNames.toSeq === Seq("id", "tag", "d", "v"))
+    assert(none.count() === 0L)
+    // duplicate probe columns are a caller bug — refused, not folded
+    intercept[IllegalArgumentException] {
+      Snapshots.pruneFilesCheckpointedProbes(spark, dir, Some(v),
+        Seq(("id", Seq[Any](1L)), ("id", Seq[Any](2L))))
+    }
+    // tail replay: append + rename after the checkpoint — the
+    // composite decisions still match the manifest path
+    Snapshots.commit(batch(600, 4), dir, "append",
+      statsColumns = Seq("d"), bucketBy = Some(("id", 8)),
+      bloomColumns = Seq("tag"))
+    Snapshots.renameColumn(spark, dir, "tag", "label")
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    val ps2: Seq[(String, Seq[Any])] = Seq(
+      ("d", Seq(java.sql.Date.valueOf("2024-03-04"))),
+      ("id", Seq(642L)), ("label", Seq("u42")))
+    assert(Snapshots.pruneFilesCheckpointedProbes(spark, dir, Some(v2), ps2)
+      === Snapshots.pruneForProbes(spark, m2, m2.files, ps2).sorted)
+  }
+
+  test("decimal point lookups prune on stats: unscaled-long decode " +
+    "matches the footer representation, and a scale-growing widening " +
+    "drops stale stats instead of losing rows") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    def batch(lo: Int, scale: String) = (lo until lo + 100)
+      .map(k => (k.toLong, BigDecimal(k).toString))
+      .toDF("id", "amt0")
+      .select(col("id"), col("amt0").cast(s"decimal$scale").as("amt"))
+    (0 until 3).foreach { i =>
+      Snapshots.commit(batch(i * 100, "(9,2)").repartition(2), dir,
+        if (i == 0) "overwrite" else "append", statsColumns = Seq("amt"))
+    }
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
+    // the probe prunes: only the middle commit's files can hold 150.00
+    // (the r13 anyDecimal bypass kept every file on the stats leg)
+    val probe: Seq[Any] = Seq(BigDecimal("150.00"))
+    val viaManifest = Snapshots.pruneForKeys(spark, m, m.files, "amt", probe)
+    val viaCkpt = Snapshots.pruneFilesCheckpointedKeys(
+      spark, dir, Some(v), "amt", probe)
+    assert(viaCkpt === viaManifest.sorted, "decimal decisions must match")
+    assert(viaCkpt.nonEmpty && viaCkpt.size < m.files.size,
+      s"decimal stats must prune: kept ${viaCkpt.size} of ${m.files.size}")
+    val served = Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "amt", probe, Some(v))
+    assert(served.count() === 1L)
+    // a literal that cannot rescale exactly keeps files conservatively
+    // (identical on both paths; the row filter owns the exact verdict)
+    val odd: Seq[Any] = Seq(BigDecimal("150.005"))
+    assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v), "amt", odd)
+      === Snapshots.pruneForKeys(spark, m, m.files, "amt", odd).sorted)
+    assert(Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "amt", odd, Some(v)).count() === 0L)
+    // SCALE-growing widening: old files' unscaled stats are re-based —
+    // they must DROP (conservative keep), or this probe would wrongly
+    // prune the old file holding 150.00 and lose its row
+    Snapshots.commit(batch(300, "(12,3)").coalesce(2), dir, "append",
+      statsColumns = Seq("amt"))
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.files.exists(fl => !m2.stats.contains((fl, "amt"))),
+      "widened-away stats must actually be dropped")
+    val probe2: Seq[Any] = Seq(BigDecimal("150.000"))
+    assert(Snapshots.pruneFilesCheckpointedKeys(
+        spark, dir, Some(v2), "amt", probe2)
+      === Snapshots.pruneForKeys(spark, m2, m2.files, "amt", probe2).sorted)
+    val afterWiden = Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "amt", probe2, Some(v2))
+    assert(afterWiden.count() === 1L,
+      "the pre-widening row must survive the probe (no stale-scale prune)")
+    // and the NEW files' scale-3 stats still prune among themselves
+    val tail: Seq[Any] = Seq(BigDecimal("350.000"))
+    val keptTail = Snapshots.pruneFilesCheckpointedKeys(
+      spark, dir, Some(v2), "amt", tail)
+    assert(keptTail.size < m2.files.size,
+      "post-widening files must still stats-prune at the new scale")
   }
 
   test("randomized keys-prune parity: checkpoint decisions == manifest " +
