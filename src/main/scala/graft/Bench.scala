@@ -100,6 +100,26 @@ object Bench {
         case Left(_) => -1.0
       }
     }
+    // Heavy-entry provenance (VERDICT r13 item 7): the driver/solo gap
+    // can swing individual entries ±40% while the suite band stays
+    // calm, so one driver-vs-solo outlier (u35 in r13) can't be
+    // adjudicated from a single reading. Re-time the 3 HEAVIEST
+    // entries once more at suite end: an entry whose retime returns to
+    // its typical cost was host noise during its in-suite slot; one
+    // that stays high is a real plan/fixture regression. Untimed
+    // region; failures degrade to -1 rather than failing the bench.
+    val retimed = results.filter(_._2 >= 0).sortBy(-_._2).take(3).map {
+      case (n, _) =>
+        val t0 = System.nanoTime()
+        val sec = materialize(n) match {
+          case Right(_) => (System.nanoTime() - t0) / 1e9
+          case Left(_) => -1.0
+        }
+        freeCheckpoints()
+        n -> sec
+    }
+    val retimedJson = retimed
+      .map { case (n, sec) => "\"" + n + "\":" + sec }.mkString("{", ",", "}")
     // Detail entries CHEAPEST-FIRST so the heaviest queries sit at the
     // END of the line: the driver's bounded tail capture (~2000 chars)
     // keeps the line's tail, and the informative half for regression
@@ -115,7 +135,7 @@ object Bench {
     // recorded "parsed": null for exactly this reason). The short final
     // line always fits; the detail line above it remains grep-able.
     println(s"""{"metric":"detail","unit":"sec","queries":$qs,"sf":"$sfDir","n":${results.size}}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","canary":"$canaryName","canary_first":$canaryFirst,"canary_last":$canaryLast}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","canary":"$canaryName","canary_first":$canaryFirst,"canary_last":$canaryLast,"retimed":$retimedJson}""")
     spark.stop()
     val distinctFailed = failed.distinct.sorted
     if (distinctFailed.nonEmpty) {

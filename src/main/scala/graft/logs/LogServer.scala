@@ -181,6 +181,67 @@ final class LogServer(fct: () => DataFrame, port: Int = 0) {
         respond(x, 500, s"""{"detail":"${esc(String.valueOf(e.getMessage))}"}""")
     })
 
+  /** The dbt-docs lineage twin (`README.md:180-184`: `dbt docs serve`,
+    * "view lineage (staging → dimensions → fact)") — the last
+    * reference artifact with no counterpart, as ONE static HTML page:
+    * the model DAG the reference's dbt project declares through its
+    * `ref()` edges (`models/marts/dim_client.sql:1`,
+    * `dim_endpoint.sql:1`, `fct_requests_hourly.sql:9`,
+    * `models/staging/stg_logs.sql`), extended with the raw source and
+    * the serving
+    * consumers so the page reads end to end. Edges are emitted as a
+    * machine-readable list (`li.edge[data-from][data-to]`) next to the
+    * SVG, so the spec asserts the DAG, not the drawing. Static by
+    * construction — the lineage is declared, not derived, exactly as
+    * dbt's docs are generated from `ref()` declarations; the live
+    * equivalents of these edges are the Catalyst plans of
+    * [[LogModels]]' queries.
+    */
+  private val lineageEdges: Seq[(String, String)] = Seq(
+    "raw_logs" -> "stg_logs",              // LogParser / LogLake
+    "stg_logs" -> "dim_client",            // LogModels.dimClient
+    "stg_logs" -> "dim_endpoint",          // LogModels.dimEndpoint
+    "stg_logs" -> "fct_requests_hourly",   // LogModels.fctHourly
+    "fct_requests_hourly" -> "serve_api",  // /errors_by_endpoint, /top_endpoints
+    "fct_requests_hourly" -> "dashboard")  // /dashboard
+
+  private def lineageHtml: String = {
+    // fixed 4-column layout: sources, staging, dims/fact, serving
+    val cols = Seq(
+      Seq("raw_logs"), Seq("stg_logs"),
+      Seq("dim_client", "dim_endpoint", "fct_requests_hourly"),
+      Seq("serve_api", "dashboard"))
+    val pos = (for ((col, ci) <- cols.zipWithIndex; (n, ri) <- col.zipWithIndex)
+      yield n -> ((40 + ci * 190, 40 + ri * 70))).toMap
+    val boxes = pos.toSeq.sortBy(_._1).map { case (n, (x, y)) =>
+      s"""<g id="node-$n"><rect x="$x" y="$y" width="150" height="34" rx="6" fill="#eef3fa" stroke="#4a90d9"/>""" +
+        s"""<text x="${x + 75}" y="${y + 22}" font-size="11" text-anchor="middle">$n</text></g>"""
+    }.mkString
+    val arrows = lineageEdges.map { case (a, b) =>
+      val (ax, ay) = pos(a); val (bx, by) = pos(b)
+      s"""<line x1="${ax + 150}" y1="${ay + 17}" x2="$bx" y2="${by + 17}" stroke="#888" marker-end="url(#arr)"/>"""
+    }.mkString
+    val edgeList = lineageEdges.map { case (a, b) =>
+      s"""<li class="edge" data-from="$a" data-to="$b">$a → $b</li>"""
+    }.mkString
+    s"""<!doctype html><html><head><title>graft lineage</title></head>
+       |<body><h1>Model lineage</h1>
+       |<p>staging → dimensions → fact → serving (the dbt-docs graph)</p>
+       |<svg width="800" height="260">
+       |<defs><marker id="arr" markerWidth="8" markerHeight="8" refX="7"
+       | refY="3" orient="auto"><path d="M0,0 L8,3 L0,6 z" fill="#888"/>
+       |</marker></defs>$arrows$boxes</svg>
+       |<ul id="edges">$edgeList</ul>
+       |</body></html>""".stripMargin
+  }
+
+  server.createContext("/lineage", (x: HttpExchange) => {
+    val bytes = lineageHtml.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    x.sendResponseHeaders(200, bytes.length.toLong)
+    try x.getResponseBody.write(bytes) finally x.close()
+  })
+
   server.createContext("/", (x: HttpExchange) =>
     respond(x, 404, """{"detail":"not found"}"""))
 

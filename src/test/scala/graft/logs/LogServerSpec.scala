@@ -101,4 +101,32 @@ class LogServerSpec extends SparkSpec {
       assert(hAbsent.contains("Requests: 0") && !hAbsent.contains("<g>"))
     } finally { srv.stop(); fct.unpersist() }
   }
+
+  test("lineage page declares the dbt-docs DAG: staging → dimensions → " +
+    "fact → serving, one node box per model") {
+    val fct = LogFixture.fct(spark).cache()
+    val srv = new LogServer(() => fct).start()
+    try {
+      val (code, html) = get(srv.boundPort, "/lineage")
+      assert(code === 200, html)
+      // the reference's ref() edges (models/marts/*.sql, staging) plus
+      // source and serving — asserted on the machine-readable edge
+      // list, not the SVG drawing
+      val edges = Seq(
+        "raw_logs" -> "stg_logs",
+        "stg_logs" -> "dim_client",
+        "stg_logs" -> "dim_endpoint",
+        "stg_logs" -> "fct_requests_hourly",
+        "fct_requests_hourly" -> "serve_api",
+        "fct_requests_hourly" -> "dashboard")
+      edges.foreach { case (a, b) =>
+        assert(html.contains(s"""data-from="$a" data-to="$b""""),
+          s"missing lineage edge $a -> $b")
+      }
+      assert("""class="edge"""".r.findAllIn(html).size === edges.size,
+        "no undeclared edges")
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.foreach(n =>
+        assert(html.contains(s"""id="node-$n""""), s"missing node $n"))
+    } finally { srv.stop(); fct.unpersist() }
+  }
 }
