@@ -133,7 +133,13 @@ object ScaleSmoke {
       // stats (the skewed fact + padded dim seeds are the linear
       // parts; the KLL build is one pass over each commit's files and
       // the plan-time merge is O(files) sketch bytes)
-      "u47_ckpt_point_lookup", "u48_histogram_skew")
+      "u47_ckpt_point_lookup", "u48_histogram_skew",
+      // round-14: u49 = composite checkpoint probes (same fixture as
+      // u47 — the sliced bucketed+bloom commits + checkpoint job are
+      // the linear parts; the conjunctive planning job reads only
+      // checkpoint metadata and the scan is one slice's one bucket,
+      // so the warm probe is planning-bound, fixed as data grows)
+      "u49_ckpt_composite_lookup")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
