@@ -637,6 +637,25 @@ class ManifestShardingSpec extends SparkSpec {
         assert(viaCkpt === viaManifest,
           s"trial=$trial bucketed=$bucketed bloomed=$bloomed $key=$keys")
       }
+      // 4 random COMPOSITE probes per trial: conjunctions over 2-3
+      // columns (id = maybe-bucket, tag = maybe-bloom, x = stat-less —
+      // its conjunct keeps everything, a valid no-op leg), hit and
+      // miss literals mixed — the multi-column planner must equal the
+      // manifest pruner folded column by column on every shape
+      (0 until 4).foreach { _ =>
+        val pool = Seq[(String, Seq[Any])](
+          ("id", Seq.fill(1 + rnd.nextInt(2))(
+            rnd.nextInt(1200).toLong: java.lang.Long)),
+          ("tag", Seq.fill(1 + rnd.nextInt(2))(s"v${rnd.nextInt(60)}")),
+          ("x", Seq(rnd.nextInt(2000) * 1.5: java.lang.Double)))
+        val probes = rnd.shuffle(pool).take(2 + rnd.nextInt(2))
+        val viaCkpt = Snapshots.pruneFilesCheckpointedProbes(
+          spark, dir, Some(v), probes)
+        val viaManifest =
+          Snapshots.pruneForProbes(spark, m, m.files, probes).sorted
+        assert(viaCkpt === viaManifest,
+          s"trial=$trial bucketed=$bucketed bloomed=$bloomed composite=$probes")
+      }
     }
   }
 
