@@ -453,78 +453,20 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
       }
   }
 
-  /** Table-level (min, max, nullCount) per column folded from the
-    * manifest's per-file footer stats — the companions CBO's
-    * estimators expect next to a histogram. Only long/double-kind
-    * stats on numeric/date/timestamp columns (their external-string
-    * form round-trips through `CatalogColumnStat.fromExternalString` —
-    * dates as `yyyy-MM-dd`, timestamps as the UTC-pinned
-    * `yyyy-MM-dd HH:mm:ss.SSSSSS` the catalog-stat formatter parses),
-    * and only when every live file carries the stat (a partial fold
-    * mis-bounds).
+  /** Table-level (min, max, nullCount) per column — the companions
+    * CBO's estimators expect next to a histogram. Served from the
+    * metadata checkpoint's per-(segment, column) range folds when one
+    * covers this version ([[Snapshots.mergedRangesCheckpointed]] —
+    * O(segments + tail files) driver work), falling back to the
+    * per-file fold over the assembled manifest
+    * ([[Snapshots.mergedRanges]]); eligibility, kind rules and
+    * poisoning are shared between the paths (same helpers), so the
+    * two serve identical ranges.
     */
   private[graft] lazy val columnRanges
-      : Map[String, (String, String, Option[Long])] = {
-    val m = manifest
-    import org.apache.spark.sql.types._
-    // decimals excluded: their footer stats are UNSCALED ints, which
-    // would parse as wildly wrong decimal bounds
-    val eligible = schema.fields.collect {
-      case f if (f.dataType.isInstanceOf[NumericType] &&
-          !f.dataType.isInstanceOf[DecimalType]) ||
-        f.dataType == DateType || f.dataType == TimestampType =>
-        f.name -> f.dataType
-    }.toMap
-    val tsFmt = java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .withZone(java.time.ZoneOffset.UTC)
-    def external(dt: DataType, v: Long): String = dt match {
-      case DateType => java.time.LocalDate.ofEpochDay(v).toString
-      case TimestampType => tsFmt.format(java.time.Instant.ofEpochSecond(
-        Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
-      case _ => v.toString
-    }
-    m.stats.keysIterator.map(_._2).toSet.iterator
-      .filter(eligible.contains)
-      .flatMap { (c: String) =>
-        // Try: a stats feed must never crash planning — any unparsable
-        // stat (format drift, unexpected kind) drops the column's range
-        scala.util.Try[Option[(String, (String, String, Option[Long]))]] {
-          val sts = m.files.map(fl => m.stats.get((fl, c)))
-          if (sts.isEmpty || sts.exists(_.isEmpty)) None
-          else {
-            val known = sts.flatten
-            if (!known.forall(st => st.kind == "long" || st.kind == "double"))
-              None
-            else {
-              val dt = eligible(c)
-              // the external-string form must parse at the column's
-              // CURRENT type. A fractional column legitimately carries
-              // MIXED kinds (int→double widening keeps old files' long
-              // stats) — fold everything as double there; anything
-              // else must be all-long (dates = epoch days, timestamps
-              // = epoch micros, integrals as themselves; a double kind
-              // there would mean a lossy past: drop, never mis-bound)
-              val mnmx =
-                if (dt == DoubleType || dt == FloatType)
-                  Some((known.map(_.min.toDouble).min.toString,
-                    known.map(_.max.toDouble).max.toString))
-                else if (known.forall(_.kind == "long"))
-                  Some((external(dt, known.map(_.min.toLong).min),
-                    external(dt, known.map(_.max.toLong).max)))
-                else None
-              mnmx.map { case (mn, mx) =>
-                val nulls =
-                  if (m.files.forall(fl => m.nullCounts.contains((fl, c))))
-                    Some(m.files.map(fl => m.nullCounts((fl, c))).sum)
-                  else None
-                c -> ((mn, mx, nulls))
-              }
-            }
-          }
-        }.toOption.flatten
-      }.toMap
-  }
+      : Map[String, (String, String, Option[Long])] =
+    Snapshots.mergedRangesCheckpointed(spark, tableDir, version)
+      .getOrElse(Snapshots.mergedRanges(manifest, schema))
 
   override lazy val schema: StructType = manifest.schema.getOrElse {
     require(manifest.files.nonEmpty,

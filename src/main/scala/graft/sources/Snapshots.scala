@@ -524,6 +524,102 @@ object Snapshots {
     histogramFromMerged(merged, mergedNdv(m, column), numBins)
   }
 
+  /** Table-level (min, max, nullCount) per column folded from the
+    * manifest's per-file footer stats — the companions CBO's
+    * estimators expect next to a histogram (moved here from the
+    * relation so the checkpoint twin and the per-file fold share one
+    * body). Only long/double-kind stats on numeric/date/timestamp
+    * columns (their external-string form round-trips through
+    * `CatalogColumnStat.fromExternalString`), never decimals (footer
+    * decimals are UNSCALED ints — wildly wrong as decimal bounds),
+    * and only when every live file carries the stat (a partial fold
+    * mis-bounds). The nullCount component is independently gated:
+    * served only when every live file carries the column's null
+    * count.
+    */
+  private[graft] def mergedRanges(m: Manifest,
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, (String, String, Option[Long])] = {
+    val eligible = rangeEligible(schema)
+    m.stats.keysIterator.map(_._2).toSet.iterator
+      .filter(eligible.contains)
+      .flatMap { (c: String) =>
+        // Try: a stats feed must never crash planning — any unparsable
+        // stat (format drift, unexpected kind) drops the column's range
+        scala.util.Try[Option[(String, (String, String, Option[Long]))]] {
+          val sts = m.files.map(fl => m.stats.get((fl, c)))
+          if (sts.isEmpty || sts.exists(_.isEmpty)) None
+          else {
+            val known = sts.flatten
+            val other = known.exists(st =>
+              st.kind != "long" && st.kind != "double")
+            val longs = known.filter(_.kind == "long")
+            val doubles = known.filter(_.kind == "double")
+            val nulls =
+              if (m.files.forall(fl => m.nullCounts.contains((fl, c))))
+                Some(m.files.map(fl => m.nullCounts((fl, c))).sum)
+              else None
+            foldRange(eligible(c), other,
+              if (longs.isEmpty) None
+              else Some((longs.map(_.min.toLong).min,
+                longs.map(_.max.toLong).max)),
+              if (doubles.isEmpty) None
+              else Some((doubles.map(_.min.toDouble).min,
+                doubles.map(_.max.toDouble).max)))
+              .map(mnmx => c -> ((mnmx._1, mnmx._2, nulls)))
+          }
+        }.toOption.flatten
+      }.toMap
+  }
+
+  /** The columns [[mergedRanges]] may serve: numeric (never decimal),
+    * date, timestamp — the types whose external form the catalog-stat
+    * parser round-trips.
+    */
+  private def rangeEligible(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    schema.fields.collect {
+      case f if (f.dataType.isInstanceOf[NumericType] &&
+          !f.dataType.isInstanceOf[DecimalType]) ||
+        f.dataType == DateType || f.dataType == TimestampType =>
+        f.name -> f.dataType
+    }.toMap
+  }
+
+  /** The one kind-vs-column-type range fold both paths share (so they
+    * can never drift): a fractional column legitimately carries MIXED
+    * kinds (int→double widening keeps old files' long stats) — fold
+    * everything as double there; anything else must be all-long
+    * (dates = epoch days, timestamps = epoch micros, integrals as
+    * themselves; a double kind there would mean a lossy past: drop,
+    * never mis-bound). `other` = any non-long/double kind present ⇒
+    * drop.
+    */
+  private def foldRange(dt: org.apache.spark.sql.types.DataType,
+      other: Boolean, longs: Option[(Long, Long)],
+      doubles: Option[(Double, Double)]): Option[(String, String)] = {
+    import org.apache.spark.sql.types._
+    if (other) return None
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    def external(v: Long): String = dt match {
+      case DateType => java.time.LocalDate.ofEpochDay(v).toString
+      case TimestampType => tsFmt.format(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+      case _ => v.toString
+    }
+    if (dt == DoubleType || dt == FloatType) {
+      val all = longs.map { case (a, b) => (a.toDouble, b.toDouble) }.toSeq ++
+        doubles.toSeq
+      if (all.isEmpty) None
+      else Some((all.map(_._1).min.toString, all.map(_._2).max.toString))
+    } else if (doubles.isEmpty)
+      longs.map { case (a, b) => (external(a), external(b)) }
+    else None
+  }
+
   /** The one equi-height bin construction both histogram paths share
     * (per-file driver fold and checkpoint-served twin — shared so the
     * two can never drift): bounds are the merged sketch's quantiles at
@@ -1776,7 +1872,39 @@ object Snapshots {
                 org.apache.datasketches.memory.Memory.wrap(sk))))
             (rel, c, "kll", sks.size == entries.size, u.toByteArray)
           }
-          ndvRows ++ kllRows
+          // min/max/nullCount folds per (segment, column) — the
+          // [[mergedRanges]] feed's pre-reduction. Kinds fold
+          // separately (long vs double — the read side picks per the
+          // column's CURRENT type); nullCount is a SUM, so like KLL
+          // (and unlike idempotent HLL/min/max) the fold serves only
+          // for tombstone-free covered segments. Payload rides the
+          // shared sidecar line format as a UTF-8 TSV in the bytes
+          // slot; an unparsable stat poisons via the `other` bit —
+          // drop, never mis-bound.
+          val statCols = entries.iterator.flatMap(_.stats.iterator.map(_._1)).toSet
+          val rngRows = statCols.iterator.map { c =>
+            val sts = entries.flatMap(_.stats.collectFirst {
+              case (`c`, st) => st })
+            val nullsHere = entries.flatMap(_.nulls.collectFirst {
+              case (`c`, n) => n })
+            val payload = scala.util.Try {
+              val other = sts.exists(st =>
+                st.kind != "long" && st.kind != "double")
+              val longs = sts.filter(_.kind == "long")
+              val doubles = sts.filter(_.kind == "double")
+              Seq(
+                if (other) "1" else "0",
+                if (longs.isEmpty) "" else longs.map(_.min.toLong).min.toString,
+                if (longs.isEmpty) "" else longs.map(_.max.toLong).max.toString,
+                if (doubles.isEmpty) "" else doubles.map(_.min.toDouble).min.toString,
+                if (doubles.isEmpty) "" else doubles.map(_.max.toDouble).max.toString,
+                if (nullsHere.size == entries.size) "1" else "0",
+                nullsHere.sum.toString).mkString("\t")
+            }.getOrElse("1\t\t\t\t\t0\t0") // unparsable ⇒ other-poisoned
+            (rel, c, "rng", sts.size == entries.size,
+              payload.getBytes(StandardCharsets.UTF_8))
+          }
+          ndvRows ++ kllRows ++ rngRows
         }.collect().toSeq // one row per (segment, column, kind), not per file
     def writeSketchSidecar(name: String, kind: String): Unit = {
       val rows = sketchRows.filter(_._3 == kind)
@@ -1790,6 +1918,7 @@ object Snapshots {
     }
     writeSketchSidecar(NdvSegsFile, "ndv")
     writeSketchSidecar(KllSegsFile, "kll")
+    writeSketchSidecar(RngSegsFile, "rng")
     f.mkdirs(out.getParent)
     var aside: Option[Path] = None
     if (stale) {
@@ -1843,6 +1972,7 @@ object Snapshots {
   private val CoveredSegsFile = "_covered_segs.txt"
   private val NdvSegsFile = "_ndv_segs.txt"
   private val KllSegsFile = "_kll_segs.txt"
+  private val RngSegsFile = "_rng_segs.txt"
 
   /** Distinct bloom geometries per (checkpoint dir, physical column) —
     * sound because a sidecar-bearing checkpoint dir is immutable
@@ -2090,6 +2220,132 @@ object Snapshots {
           histogramFromMerged(merged, ndvs.get(logical), numBins)
             .map(logical -> _)
         }.toOption.flatten
+      }.toMap)
+  }
+
+  /** [[mergedRanges]]' checkpoint-served twin — table-level
+    * (min, max, nullCount) per LOGICAL column at `version` in
+    * O(segments + tail files) driver work: with this, EVERY CBO feed
+    * (rowCount ledger, NDV, histogram, range/nulls) serves from
+    * checkpoint-pre-reduced metadata. Min/max folds are idempotent
+    * (a duplicate ref cannot widen a correct bound), but the
+    * nullCount component is a SUM — so like the KLL twin, folds serve
+    * only for covered segments no tombstone of the read version
+    * touches, and exactly-once coverage follows from the
+    * one-live-ref publish invariant (see
+    * [[mergedHistogramCheckpointed]]). Poisoning mirrors
+    * [[mergedRanges]] per column: any live file without the stat
+    * drops the column; a non-long/double kind anywhere drops it; the
+    * nullCount gates independently (any file without a null count ⇒
+    * nulls = None, range still serves). None when no range-sidecar
+    * checkpoint serves this version, the manifest carries legacy
+    * inline files, or it records no schema (eligibility needs the
+    * column types) — callers fall back to the per-file fold.
+    */
+  private[graft] def mergedRangesCheckpointed(spark: SparkSession,
+                                              tableDir: String,
+                                              version: Long)
+      : Option[Map[String, (String, String, Option[Long])]] = {
+    val f = fs(spark, tableDir)
+    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
+      .getOrElse(return None)
+    val ck = checkpointDir(tableDir, cv)
+    val rngSegs = checkpointSketchSegs(f, ck, RngSegsFile).getOrElse(return None)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, colMapV, retiredV, inlineV) =
+      manifestSkeleton(f, tableDir, version)
+    if (inlineV.nonEmpty) return None // legacy inline: no segments
+    val schema = readManifestThin(spark, tableDir, version).schema
+      .getOrElse(return None)
+    val eligible = rangeEligible(schema)
+    val dirtySegs = tombsV.iterator.map(_._1).toSet
+    val (clean, parsed) = segV.partition(rel =>
+      covered.contains(rel) && !dirtySegs.contains(rel))
+    val sidecarBySeg = rngSegs.groupBy { case ((r0, _), _) => r0 }
+    // per-physical-column accumulator of the partial folds
+    final class Acc {
+      var other = false
+      var lmin: Option[Long] = None; var lmax: Option[Long] = None
+      var dmin: Option[Double] = None; var dmax: Option[Double] = None
+      var nallOk = true; var nsum = 0L
+      def addLong(a: Long, b: Long): Unit = {
+        lmin = Some(lmin.fold(a)(math.min(_, a)))
+        lmax = Some(lmax.fold(b)(math.max(_, b)))
+      }
+      def addDouble(a: Double, b: Double): Unit = {
+        dmin = Some(dmin.fold(a)(math.min(_, a)))
+        dmax = Some(dmax.fold(b)(math.max(_, b)))
+      }
+    }
+    val acc = scala.collection.mutable.Map.empty[String, Acc]
+    val poisoned = scala.collection.mutable.HashSet.empty[String]
+    val cols = scala.collection.mutable.HashSet.empty[String]
+    clean.foreach { rel =>
+      sidecarBySeg.getOrElse(rel, Map.empty).foreach {
+        case ((_, c), (all, payload)) =>
+          cols += c
+          if (!all) poisoned += c
+          else scala.util.Try {
+            // TSV payload: other, lmin, lmax, dmin, dmax, nall, nsum
+            // (split with -1: trailing empty fields must survive)
+            val p = new String(payload, StandardCharsets.UTF_8)
+              .split("\t", -1)
+            val a = acc.getOrElseUpdate(c, new Acc)
+            if (p(0) == "1") a.other = true
+            if (p(1).nonEmpty) a.addLong(p(1).toLong, p(2).toLong)
+            if (p(3).nonEmpty) a.addDouble(p(3).toDouble, p(4).toDouble)
+            if (p(5) != "1") a.nallOk = false
+            a.nsum += p(6).toLong
+          }.getOrElse(poisoned += c) // undecodable payload: drop, never guess
+      }
+    }
+    val cleanCols = clean.map(rel =>
+      rel -> sidecarBySeg.getOrElse(rel, Map.empty).keysIterator
+        .map(_._2).toSet).toMap
+    val parsedEntries = parsed.map(rel =>
+      rel -> cachedSegment(f, tableDir, rel).entries
+        .filter(e => !tombsV.contains((rel, e.file))))
+    parsedEntries.foreach { case (_, entries) =>
+      cols ++= entries.iterator.flatMap(_.stats.iterator.map(_._1))
+    }
+    cols.foreach { c =>
+      // every clean segment must carry c with all=true …
+      clean.foreach { rel =>
+        if (!cleanCols(rel).contains(c)) poisoned += c }
+      // … and every live parsed entry must carry the stat for c
+      parsedEntries.foreach { case (_, entries) =>
+        entries.foreach { e =>
+          e.stats.collectFirst { case (`c`, st) => st } match {
+            case Some(st) => scala.util.Try {
+              val a = acc.getOrElseUpdate(c, new Acc)
+              st.kind match {
+                case "long" => a.addLong(st.min.toLong, st.max.toLong)
+                case "double" => a.addDouble(st.min.toDouble, st.max.toDouble)
+                case _ => a.other = true
+              }
+              e.nulls.collectFirst { case (`c`, n) => n } match {
+                case Some(n) => a.nsum += n
+                case None => a.nallOk = false
+              }
+            }.getOrElse(poisoned += c)
+            case None => poisoned += c
+          }
+        }
+      }
+    }
+    val revV = colMapV.map(_.swap)
+    Some(cols.iterator
+      .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
+      .flatMap { c =>
+        val logical = revV.getOrElse(c, c)
+        for {
+          dt <- eligible.get(logical)
+          a <- acc.get(c)
+          mnmx <- foldRange(dt, a.other,
+            for (x <- a.lmin; y <- a.lmax) yield (x, y),
+            for (x <- a.dmin; y <- a.dmax) yield (x, y))
+        } yield logical -> ((mnmx._1, mnmx._2,
+          if (a.nallOk) Some(a.nsum) else None))
       }.toMap)
   }
 

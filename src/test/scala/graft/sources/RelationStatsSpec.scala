@@ -403,6 +403,84 @@ class RelationStatsSpec extends SparkSpec {
       .columnHistograms.contains("a"))
   }
 
+  test("checkpoint-served column ranges == per-file driver fold, through " +
+    "tail, purge, mixed kinds, nulls gating, and rename") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-rng-ckpt")
+    // long column k, double column v, nullable column w (every file
+    // keeps some non-null w so its min/max stat exists per file)
+    (0 until 3).foreach { i =>
+      Snapshots.commit(
+        (i * 100 until (i + 1) * 100).map(j =>
+          (j.toLong, j * 2.5, if (j % 3 == 0) None else Some(j.toLong)))
+          .toDF("k", "v", "w").repartition(2),
+        dir, if (i == 0) "overwrite" else "append",
+        statsColumns = Seq("k", "v", "w"))
+    }
+    def latest = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(latest))
+    def viaCkpt(v: Long) =
+      Snapshots.mergedRangesCheckpointed(spark, dir, v).get
+    def viaFiles(v: Long) = {
+      val m = Snapshots.readManifest(spark, dir, v)
+      Snapshots.mergedRanges(m, m.schema.get)
+    }
+    def assertSame(v: Long): Unit =
+      assert(viaCkpt(v) === viaFiles(v), s"range divergence at v$v")
+    val v0 = latest
+    assertSame(v0)
+    assert(viaCkpt(v0)("k") === (("0", "299", Some(0L))))
+    assert(viaCkpt(v0)("w")._3 === Some(100L)) // j % 3 == 0 nulls
+    // tail: a post-checkpoint append contributes per-file
+    Snapshots.commit(Seq((500L, 9.0, Some(1L))).toDF("k", "v", "w"),
+      dir, "append", statsColumns = Seq("k", "v", "w"))
+    val v1 = latest
+    assertSame(v1)
+    assert(viaCkpt(v1)("k")._2 === "500")
+    // purge rewrites the masked file WITH fresh stats (stats re-record
+    // on maintenance, unlike sketches) — ranges keep serving and the
+    // min reflects the deleted row, identically on both paths
+    Snapshots.deleteWhere(spark, dir, col("k") === 0L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("k", "v", "w"))
+    val v2 = latest
+    assertSame(v2)
+    assert(viaCkpt(v2)("k")._1 === "1")
+    // rename AFTER the checkpoint: physical folds serve the new name
+    Snapshots.renameColumn(spark, dir, "k", "key")
+    val v3 = latest
+    assertSame(v3)
+    assert(viaCkpt(v3).contains("key") && !viaCkpt(v3).contains("k"))
+    // the relation's CBO feed rides the checkpoint path and agrees
+    assert(GraftRelation(spark.sqlContext, dir, v3).columnRanges
+      === viaCkpt(v3))
+    // a stats-less tail append poisons every column on both paths
+    Snapshots.commit(Seq((9999L, 1.0, Some(2L))).toDF("key", "v", "w"),
+      dir, "append")
+    val v4 = latest
+    assert(viaCkpt(v4).isEmpty && viaFiles(v4).isEmpty)
+    // mixed long/double kinds after an int→double widening fold as
+    // double on both paths
+    val dir2 = TempDirs.create("stats-rng-mixed")
+    Snapshots.commit((0 until 50).map(i => (i, i)).toDF("id", "x"),
+      dir2, "overwrite", statsColumns = Seq("x"))
+    Snapshots.commit((50 until 80).map(i => (i, i + 0.25)).toDF("id", "x"),
+      dir2, "append", statsColumns = Seq("x"))
+    val vm = Snapshots.latestVersion(spark, dir2).get
+    Snapshots.writeMetadataCheckpoint(spark, dir2, Some(vm))
+    val ckM = Snapshots.mergedRangesCheckpointed(spark, dir2, vm).get
+    val m2 = Snapshots.readManifest(spark, dir2, vm)
+    assert(ckM === Snapshots.mergedRanges(m2, m2.schema.get))
+    assert(ckM("x")._1.toDouble === 0.0 && ckM("x")._2.toDouble === 79.25)
+    // no checkpoint at all → None; the relation falls back
+    val dir3 = TempDirs.create("stats-rng-nockpt")
+    Snapshots.commit((0 until 20).map(i => (i.toLong, i)).toDF("a", "b"),
+      dir3, "overwrite", statsColumns = Seq("a"))
+    assert(Snapshots.mergedRangesCheckpointed(spark, dir3, 0L).isEmpty)
+    assert(GraftRelation(spark.sqlContext, dir3, 0L).columnRanges
+      .contains("a"))
+  }
+
   test("KLL histograms: merged bins see the skew; selectivity flips the " +
     "join build side that uniform interpolation gets wrong") {
     val s = spark
