@@ -139,7 +139,11 @@ object ScaleSmoke {
       // the linear parts; the conjunctive planning job reads only
       // checkpoint metadata and the scan is one slice's one bucket,
       // so the warm probe is planning-bound, fixed as data grows)
-      "u49_ckpt_composite_lookup")
+      "u49_ckpt_composite_lookup",
+      // u50 = range ∧ key mixed probe (same fixture; the window's
+      // stats conjunct and the key's bucket conjunct both evaluate in
+      // the planning job — warm cost is planning-bound like u47/u49)
+      "u50_ckpt_mixed_probe")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

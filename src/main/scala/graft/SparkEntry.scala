@@ -141,6 +141,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u48HistogramSkew _),
     "u49_ckpt_composite_lookup" ->
       (graft.sources.DemoFixtures.u49CkptCompositeLookup _),
+    "u50_ckpt_mixed_probe" ->
+      (graft.sources.DemoFixtures.u50CkptMixedProbe _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1096,6 +1098,23 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  1 AS composite_tighter
         |FROM orders, probe
         |WHERE o_orderdate = pd AND o_custkey = pk""".stripMargin,
+    // u50 oracle: the RANGE ∧ KEY checkpoint-planned probe replayed
+    // relationally; witnesses pin decision parity with the manifest
+    // path, real file skipping, and strictly-tighter-than-either-
+    // conjunct-alone composition
+    "u50_ckpt_mixed_probe" ->
+      """WITH probe AS (
+        |  SELECT o_custkey AS pk FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |    AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
+        |  ORDER BY o_orderkey LIMIT 1)
+        |SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS mixed_identical, 1 AS mixed_pruned, 1 AS mixed_tighter
+        |FROM orders, probe
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
+        |  AND o_custkey = pk""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

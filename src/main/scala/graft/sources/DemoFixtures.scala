@@ -898,6 +898,57 @@ object DemoFixtures {
       .withColumn("composite_tighter", lit(tighter).cast("int"))
   }
 
+  /** Demo + oracle entry (`u50_ckpt_mixed_probe`): the RANGE ∧ KEY
+    * serving probe — `date BETWEEN ? AND ? AND custkey = ?`, the other
+    * canonical serving conjunction (a time window over one entity) —
+    * planned as ONE checkpoint Spark job: the range conjunct prunes by
+    * footer stats exactly as [[Snapshots.pruneFilesCheckpointed]]
+    * does, AND-composed with the key probe's bucket ∧ stats ∧ bloom
+    * verdict. Witnesses on real file lists: `mixed_identical` pins the
+    * decision == the manifest path (range pruning seeding the
+    * per-column key fold), `mixed_pruned` that it kept < the table's
+    * files, `mixed_tighter` that the conjunction kept STRICTLY fewer
+    * than either the range alone (a whole date slice) or the key alone
+    * (one bucket per slice). The probe key derives from the data (the
+    * minimum-orderkey row INSIDE the window), valid at every SF.
+    */
+  def u50CkptMixedProbe(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = ckptLookupOrders(s, d)
+    val v = Snapshots.latestVersion(s, dir).get
+    val m = Snapshots.readManifest(s, dir, v)
+    val lo = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-06-30 00:00:00")
+    val base = Snapshots.readVersion(s, dir, Some(v))
+    // bounded collect: ONE probe key, from inside the window
+    val ck: Any = base
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+      .orderBy("o_orderkey").select("o_custkey").limit(1).collect().head.get(0)
+    val probes: Seq[(String, Seq[Any])] = Seq("o_custkey" -> Seq(ck))
+    val ranges: Seq[(String, Any, Any)] = Seq(("o_orderdate", lo, hi))
+    val viaCkpt = Snapshots.pruneFilesCheckpointedProbes(
+      s, dir, Some(v), probes, ranges)
+    val viaManifest = Snapshots.pruneForProbes(
+      s, m, Snapshots.pruneFiles(m, ranges), probes).sorted
+    val rangeOnly = Snapshots.pruneFilesCheckpointedProbes(
+      s, dir, Some(v), Nil, ranges).size
+    val keyOnly = Snapshots.pruneFilesCheckpointedProbes(
+      s, dir, Some(v), probes).size
+    val ident = if (viaCkpt == viaManifest) 1 else 0
+    val pruned = if (viaCkpt.nonEmpty && viaCkpt.size < m.files.size) 1 else 0
+    val tighter =
+      if (viaCkpt.nonEmpty && viaCkpt.size < math.min(rangeOnly, keyOnly)) 1
+      else 0
+    Snapshots.readVersionCheckpointedProbes(s, dir, probes, Some(v), ranges)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("mixed_identical", lit(ident).cast("int"))
+      .withColumn("mixed_pruned", lit(pruned).cast("int"))
+      .withColumn("mixed_tighter", lit(tighter).cast("int"))
+  }
+
   /** Seeds of the u48 histogram demo (one per JVM, read-only): a
     * SKEWED fact — 99% of rows share one key value, 1% spread over a
     * high range (the k1_skew_profile shape) — committed with per-file

@@ -2591,12 +2591,22 @@ object Snapshots {
     * Per-column semantics are [[pruneForKeys]]' verbatim, so the
     * composite decision equals folding the manifest-path pruner over
     * the probes column by column.
+    *
+    * `ranges` adds RANGE conjuncts to the same one-job plan — the
+    * `date BETWEEN ? AND ? AND key = ?` serving shape: each
+    * `(column, lo, hi)` prunes by [[FileStat.overlaps]] exactly as
+    * [[pruneFilesCheckpointed]] does (inclusive bounds, unknown
+    * keeps), AND-composed with the key probes' verdicts. The
+    * manifest-path twin is [[pruneForProbes]] seeded with
+    * `pruneFiles(m, ranges)`.
     */
   def pruneFilesCheckpointedProbes(spark: SparkSession, tableDir: String,
                                    version: Option[Long],
-                                   probes: Seq[(String, Seq[Any])])
+                                   probes: Seq[(String, Seq[Any])],
+                                   ranges: Seq[(String, Any, Any)] = Nil)
       : Seq[String] = {
-    require(probes.nonEmpty, "pruneFilesCheckpointedProbes needs a probe")
+    require(probes.nonEmpty || ranges.nonEmpty,
+      "pruneFilesCheckpointedProbes needs a probe or a range")
     probes.foreach { case (c, ks) =>
       require(ks.nonEmpty, s"probe on '$c' needs at least one key") }
     require(probes.map(_._1).distinct.size == probes.size,
@@ -2656,11 +2666,22 @@ object Snapshots {
     val plansB = spark.sparkContext.broadcast(plans)
     val segSetB = spark.sparkContext.broadcast(segV.toSet)
     val tombsB = spark.sparkContext.broadcast(tombsV)
+    // range conjuncts, in both vocabularies (checkpoint rows/tail
+    // speak physical, inline speaks logical)
+    val rangesPhys = ranges.map { case (c, lo, hi) =>
+      (colMapV.getOrElse(c, c), lo, hi) }
+    val rangesB = spark.sparkContext.broadcast(rangesPhys)
+    def rangeSurvives(rs: Seq[(String, Any, Any)])(r: CkptFile): Boolean =
+      rs.forall { case (c, lo, hi) =>
+        r.stats.get(c).forall(st =>
+          FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
+      }
     // one verdict for executor-side checkpoint rows AND the driver-side
     // tail — per column the composition (bucket ∧ stats ∧ bloom,
     // unknown keeps) is pruneForKeys' verbatim (stats through the
     // shared [[statMayContain]], so decimal probes prune identically
-    // on both paths); the conjunction folds across columns
+    // on both paths); the conjunction folds across columns and the
+    // range conjuncts AND in exactly as pruneFilesCheckpointed's
     def survivesPlan(p: ProbePlan, probeCol: String)(r: CkptFile): Boolean = {
       p.bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
       r.stats.get(probeCol).forall(st =>
@@ -2677,7 +2698,8 @@ object Snapshots {
       .filter { r: CkptFile => r.seg.exists(rel =>
         segSetB.value.contains(rel) &&
           !tombsB.value.contains((rel, r.file))) &&
-        plansB.value.forall(p => survivesPlan(p, p.phys)(r)) }
+        plansB.value.forall(p => survivesPlan(p, p.phys)(r)) &&
+        rangeSurvives(rangesB.value)(r) }
       .map(_.file).collect().toSeq
     val fromTail = tailEntries.iterator.flatMap { case (rel, entries) =>
       entries.iterator
@@ -2689,11 +2711,13 @@ object Snapshots {
           e.nulls.toMap, Some(rel),
           e.blooms.iterator.map { case (c, b) =>
             c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }.toMap))
-        .filter(r => plans.forall(p => survivesPlan(p, p.phys)(r)))
+        .filter(r => plans.forall(p => survivesPlan(p, p.phys)(r)) &&
+          rangeSurvives(rangesPhys)(r))
         .map(_.file)
     }.toSeq
     val fromInline = inlineV
-      .filter(r => plans.forall(p => survivesPlan(p, p.logical)(r)))
+      .filter(r => plans.forall(p => survivesPlan(p, p.logical)(r)) &&
+        rangeSurvives(ranges)(r))
       .map(_.file)
     (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
   }
@@ -2733,9 +2757,12 @@ object Snapshots {
     */
   def readVersionCheckpointedProbes(spark: SparkSession, tableDir: String,
                                     probes: Seq[(String, Seq[Any])],
-                                    version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    require(probes.nonEmpty, "readVersionCheckpointedProbes needs a probe")
+                                    version: Option[Long] = None,
+                                    ranges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(probes.nonEmpty || ranges.nonEmpty,
+      "readVersionCheckpointedProbes needs a probe or a range")
     probes.foreach { case (c, ks) =>
       require(ks.nonEmpty && ks.forall(_ != null),
         s"probe keys on '$c' must be non-empty and non-null (SQL NULL " +
@@ -2744,9 +2771,14 @@ object Snapshots {
     }
     val thin = resolveForReadThin(spark, tableDir, version)
     val keep = pruneFilesCheckpointedProbes(
-      spark, tableDir, Some(thin.version), probes)
-    probes.foldLeft(readFiles(spark, tableDir, thin, keep)) {
+      spark, tableDir, Some(thin.version), probes, ranges)
+    val keyed = probes.foldLeft(readFiles(spark, tableDir, thin, keep)) {
       case (df, (c, ks)) => df.filter(col(c).isin(ks: _*))
+    }
+    // the row filter re-applies the range conjuncts with the planner's
+    // INCLUSIVE bounds — pruning is a scan reducer, never the filter
+    ranges.foldLeft(keyed) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
 

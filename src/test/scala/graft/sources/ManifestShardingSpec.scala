@@ -511,6 +511,36 @@ class ManifestShardingSpec extends SparkSpec {
       Snapshots.pruneFilesCheckpointedProbes(spark, dir, Some(v),
         Seq(("id", Seq[Any](1L)), ("id", Seq[Any](2L))))
     }
+    // RANGE ∧ KEY mixed conjunction: the range prunes by stats exactly
+    // as pruneFilesCheckpointed, AND-composed with the key verdicts —
+    // decisions == the manifest path seeded with pruneFiles(ranges),
+    // and strictly tighter than either conjunct alone
+    val mixedRanges: Seq[(String, Any, Any)] = Seq(
+      ("d", java.sql.Date.valueOf("2024-03-02"),
+        java.sql.Date.valueOf("2024-03-02")))
+    val mixedProbes: Seq[(String, Seq[Any])] = Seq(("id", Seq(242L)))
+    val mixed = Snapshots.pruneFilesCheckpointedProbes(
+      spark, dir, Some(v), mixedProbes, mixedRanges)
+    assert(mixed === Snapshots.pruneForProbes(
+      spark, m, Snapshots.pruneFiles(m, mixedRanges), mixedProbes).sorted)
+    val rangeOnly = Snapshots.pruneFilesCheckpointedProbes(
+      spark, dir, Some(v), Nil, mixedRanges)
+    assert(rangeOnly === Snapshots.pruneFiles(m, mixedRanges).sorted)
+    val keyOnly2 = Snapshots.pruneFilesCheckpointedProbes(
+      spark, dir, Some(v), mixedProbes)
+    assert(mixed.nonEmpty &&
+      mixed.size < math.min(rangeOnly.size, keyOnly2.size))
+    // the mixed serving read: rows == the full read's, inclusive bounds
+    val servedMixed = Snapshots.readVersionCheckpointedProbes(
+      spark, dir, mixedProbes, Some(v), mixedRanges)
+    val fullMixed = Snapshots.readVersion(spark, dir, Some(v))
+      .where(col("id") === 242L &&
+        col("d") === java.sql.Date.valueOf("2024-03-02"))
+    assert(servedMixed.collect().toSet === fullMixed.collect().toSet)
+    // a probe-less pure-range call is legal; an empty call is not
+    intercept[IllegalArgumentException] {
+      Snapshots.pruneFilesCheckpointedProbes(spark, dir, Some(v), Nil, Nil)
+    }
     // tail replay: append + rename after the checkpoint — the
     // composite decisions still match the manifest path
     Snapshots.commit(batch(600, 4), dir, "append",
