@@ -481,6 +481,98 @@ class RelationStatsSpec extends SparkSpec {
       .contains("a"))
   }
 
+  test("randomized stats-feed parity: NDV, histogram and range " +
+    "checkpoint twins == per-file folds across random maintenance " +
+    "interleavings") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 3).foreach { trial =>
+      val dir = TempDirs.create(s"stats-rand-$trial")
+      // small batches keep every KLL sketch in EXACT mode (total rows
+      // per column ≤ ~120 ≪ k=200), so histogram parity asserts exact
+      // bin equality, not tolerance bands
+      var next = 0
+      def batch(n: Int) = {
+        val lo = next; next += n
+        (lo until lo + n).map(j =>
+          (j.toLong, j * 1.5, if (j % 4 == 0) None else Some(j.toLong)))
+          .toDF("k", "v", "w")
+      }
+      val nCommits = 2 + rnd.nextInt(2)
+      (0 until nCommits).foreach { i =>
+        Snapshots.commit(batch(10 + rnd.nextInt(15))
+            .repartition(1 + rnd.nextInt(2)),
+          dir, if (i == 0) "overwrite" else "append",
+          statsColumns = Seq("k", "v", "w"), ndvColumns = Seq("k"),
+          histColumns = Seq("k", "v"))
+      }
+      Snapshots.writeMetadataCheckpoint(spark, dir)
+      var renamed = false
+      def kCol = if (renamed) "key" else "k"
+      val bins = 4 + rnd.nextInt(8)
+      // served-or-fallback == per-file, exactly the relation's
+      // getOrElse: a maintenance sequence that drops EVERY sketch (a
+      // purge rewriting all files) leaves the next checkpoint with no
+      // sidecar of that kind — the twin then returns None and the
+      // relation falls back, which must equal the per-file fold too
+      // (trivially, but the None-vs-empty distinction must never
+      // surface a wrong map)
+      def assertParity(where: String): Unit = {
+        val v = Snapshots.latestVersion(spark, dir).get
+        val m = Snapshots.readManifest(spark, dir, v)
+        // NDV: map-equal (HLL regrouping is bit-identical)
+        val ndvPf = m.ndvs.keysIterator.map(_._2).toSet.iterator
+          .flatMap((c: String) => Snapshots.mergedNdv(m, c).map(c -> _))
+          .toMap
+        val ndvCk = Snapshots.mergedNdvCheckpointed(spark, dir, v)
+          .getOrElse(ndvPf)
+        assert(ndvCk === ndvPf, s"trial=$trial $where ndv")
+        // histogram: exact bin equality in exact mode
+        val hPf = m.klls.keysIterator.map(_._2).toSet.iterator
+          .flatMap((c: String) =>
+            Snapshots.mergedHistogram(m, c, bins).map(c -> _)).toMap
+        val hCk = Snapshots.mergedHistogramCheckpointed(spark, dir, v, bins)
+          .getOrElse(hPf)
+        assert(hCk.keySet === hPf.keySet, s"trial=$trial $where hist cols")
+        hCk.foreach { case (c, ha) =>
+          assert(ha.height === hPf(c).height &&
+            ha.bins.toSeq === hPf(c).bins.toSeq,
+            s"trial=$trial $where hist bins of $c")
+        }
+        // ranges: map-equal (min/max/nullCount)
+        val rPf = Snapshots.mergedRanges(m, m.schema.get)
+        assert(Snapshots.mergedRangesCheckpointed(spark, dir, v)
+          .getOrElse(rPf) === rPf,
+          s"trial=$trial $where ranges")
+      }
+      assertParity("post-checkpoint")
+      // 2-3 random maintenance ops, parity re-checked after each
+      (0 until 2 + rnd.nextInt(2)).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 => // tail append with full metadata
+            Snapshots.commit(batch(8 + rnd.nextInt(10)), dir, "append",
+              statsColumns = Seq(kCol, "v", "w"), ndvColumns = Seq(kCol),
+              histColumns = Seq(kCol, "v"))
+          case 1 => // delete + purge (re-stats, drops rewritten sketches)
+            Snapshots.deleteWhere(spark, dir,
+              col(kCol) % 5 === (rnd.nextInt(5).toLong: java.lang.Long))
+            Snapshots.purgeDeletes(spark, dir,
+              statsColumns = Seq(kCol, "v", "w"))
+          case 2 => // repair whatever maintenance poisoned
+            Snapshots.analyzeNdv(spark, dir, Seq(kCol))
+            Snapshots.analyzeHistograms(spark, dir, Seq(kCol, "v"))
+          case 3 if !renamed => // rename re-keys every feed O(1)
+            Snapshots.renameColumn(spark, dir, "k", "key")
+            renamed = true
+          case _ => // a fresh checkpoint at the current head
+            Snapshots.writeMetadataCheckpoint(spark, dir)
+        }
+        assertParity("post-op")
+      }
+    }
+  }
+
   test("KLL histograms: merged bins see the skew; selectivity flips the " +
     "join build side that uniform interpolation gets wrong") {
     val s = spark
