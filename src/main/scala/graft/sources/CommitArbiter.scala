@@ -84,18 +84,14 @@ class CoordinatedCommitArbiter(
     // producer) must lose even if this coordinator has no claim for it
     if (f.exists(dst)) return false
     if (!coordinator.claim(key)) return false
-    // sole claimant: the store's non-atomic install is now ours alone
-    val installed =
-      try install(f, tmp, dst)
-      catch { case e: Throwable =>
-        // dst's state is UNKNOWN after a THROWN install (the store may
-        // have landed it before failing the response) — releasing here
-        // could hand the claim to a writer that then overwrites a
-        // commit which actually landed. Keep the claim: recovery is
-        // crash-equivalent — the coordinator's lease expiry plus the
-        // verified-absent-dst recheck the next claimant performs.
-        throw e
-      }
+    // sole claimant: the store's non-atomic install is now ours alone.
+    // A THROWN install deliberately propagates WITH the claim held:
+    // dst's state is unknown (the store may have landed it before
+    // failing the response), so releasing could hand the claim to a
+    // writer that then overwrites a commit which actually landed —
+    // recovery is crash-equivalent, via the coordinator's lease expiry
+    // plus the next claimant's verified-absent-dst recheck.
+    val installed = install(f, tmp, dst)
     // a RETURNED-false install never created dst (the store refused
     // before acting), so the claim is safe to relinquish — without
     // this, every later publish of the same dst in this process loses

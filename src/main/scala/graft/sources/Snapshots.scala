@@ -1110,8 +1110,25 @@ object Snapshots {
     // its footer min/max on c is tight and the ordinary stats pruning
     // path serves source-column predicates — that's what makes the
     // partitioning "hidden" (no derived column to filter on)
+    // a batch column written at a DIFFERENT decimal scale than the
+    // table's (the allowed narrower-batch shape after a scale-growing
+    // widening — files land at the BATCH's physical scale and read
+    // back widened) records NO footer stats for its files: the
+    // footer's unscaled ints are at the write scale while every
+    // consumer decodes at the table's ([[statMayContain]]) — a
+    // recorded stat would wrongly prune (lose rows); no stat only
+    // loses pruning until a rewrite re-records at the table scale.
+    val batchScaleMismatch: Set[String] = df.schema.fields.iterator.flatMap { fd =>
+      (fd.dataType, schema.fields.find(_.name == fd.name).map(_.dataType)) match {
+        case (b: org.apache.spark.sql.types.DecimalType,
+              Some(t: org.apache.spark.sql.types.DecimalType))
+            if b.scale != t.scale => Some(fd.name)
+        case _ => None
+      }
+    }.toSet
     val effStatsCols = (statsColumns ++
       partSpecs.collect { case sp if !sp.isIdentity => sp.source }).distinct
+      .filterNot(batchScaleMismatch)
     val fileMetas =
       if (effStatsCols.isEmpty) Nil
       else written.map { rel =>
@@ -2472,7 +2489,14 @@ object Snapshots {
       manifestSkeleton(f, tableDir, v)
     val revV = colMapV.map(_.swap)
     val segSet = segV.toSet
-    val ps = preds // serializable captures (literals/timestamps + maps)
+    // decimal-typed (or unknown-typed with decimal bounds) columns
+    // never range-stat-prune ([[rangeStatsComparable]]): their
+    // predicate keeps every file, identically to [[pruneFiles]]
+    val schemaV = readManifestThin(spark, tableDir, v).schema
+    val ps = preds.filter { case (c, lo, hi) =>
+      rangeStatsComparable(
+        schemaV.flatMap(_.fields.find(_.name == c)).map(_.dataType), lo, hi)
+    } // serializable captures (literals/timestamps + maps)
     // checkpoint rows speak PHYSICAL names — translate through the
     // mapping current at v; retired-at-v columns drop (their stats
     // describe a dead column's values)
@@ -2624,7 +2648,9 @@ object Snapshots {
     // file only); per-file bucket ids ride the checkpoint rows
     val thin = readManifestThin(spark, tableDir, v)
     import spark.implicits._
-    val ds = ckptDataset(spark, ck)
+    // a pure-range call never consults a bloom — don't decode the
+    // dominant bloom column for it (pruneFilesCheckpointed's rule)
+    val ds = ckptDataset(spark, ck, withBlooms = probes.nonEmpty)
     val tailEntries = segV.filterNot(covered).map(rel =>
       rel -> cachedSegment(f, tableDir, rel).entries)
     // per-probe precomputation (driver-side, all metadata-sized):
@@ -2638,10 +2664,14 @@ object Snapshots {
     // a bloom-column scan
     final case class ProbePlan(logical: String, phys: String,
         keys: Seq[Any], keyType: org.apache.spark.sql.types.DataType,
+        statType: Option[org.apache.spark.sql.types.DataType],
         bucketWanted: Option[Set[Int]],
         probeBits: Map[(Int, Int), Map[String, Seq[Long]]])
     val plans: Seq[ProbePlan] = probes.map { case (key, keys) =>
-      val keyType = thin.schema.map(_(key).dataType).getOrElse(
+      // statType keeps the None (type unknown) signal statMayContain
+      // needs; keyType concretizes for the hash probes only
+      val statType = thin.schema.map(_(key).dataType)
+      val keyType = statType.getOrElse(
         org.apache.spark.sql.types.StringType)
       val bucketWanted: Option[Set[Int]] = thin.bucketSpec match {
         case Some((bk, n)) if bk == key =>
@@ -2661,14 +2691,21 @@ object Snapshots {
       val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
         (ckptGeos ++ tailGeos).iterator.map(g =>
           g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
-      ProbePlan(key, keyPhys, keys, keyType, bucketWanted, probeBits)
+      ProbePlan(key, keyPhys, keys, keyType, statType, bucketWanted, probeBits)
     }
     val plansB = spark.sparkContext.broadcast(plans)
     val segSetB = spark.sparkContext.broadcast(segV.toSet)
     val tombsB = spark.sparkContext.broadcast(tombsV)
     // range conjuncts, in both vocabularies (checkpoint rows/tail
-    // speak physical, inline speaks logical)
-    val rangesPhys = ranges.map { case (c, lo, hi) =>
+    // speak physical, inline speaks logical); decimal-typed (or
+    // unknown-typed with decimal bounds) columns never stat-prune —
+    // [[rangeStatsComparable]] — their conjunct keeps every file and
+    // the serving read's row filter owns it
+    val statRanges = ranges.filter { case (c, lo, hi) =>
+      rangeStatsComparable(
+        thin.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType),
+        lo, hi) }
+    val rangesPhys = statRanges.map { case (c, lo, hi) =>
       (colMapV.getOrElse(c, c), lo, hi) }
     val rangesB = spark.sparkContext.broadcast(rangesPhys)
     def rangeSurvives(rs: Seq[(String, Any, Any)])(r: CkptFile): Boolean =
@@ -2686,7 +2723,7 @@ object Snapshots {
       p.bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
       r.stats.get(probeCol).forall(st =>
         p.keys.exists(x => statMayContain(
-          FileStat(st.kind, st.min, st.max), p.keyType, x))) &&
+          FileStat(st.kind, st.min, st.max), p.statType, x))) &&
       r.blooms.get(probeCol).forall { b =>
         p.probeBits.get((b.mBits, b.k)).forall { bits =>
           val bl = Bloom(b.mBits, b.k, b.words.toArray)
@@ -2717,7 +2754,7 @@ object Snapshots {
     }.toSeq
     val fromInline = inlineV
       .filter(r => plans.forall(p => survivesPlan(p, p.logical)(r)) &&
-        rangeSurvives(ranges)(r))
+        rangeSurvives(statRanges)(r))
       .map(_.file)
     (fromCkpt ++ fromTail ++ fromInline).distinct.sorted
   }
@@ -4079,11 +4116,22 @@ object Snapshots {
     val written =
       if (nAppended > 0) newFileRows.keys.toSeq.sorted
       else { f.delete(dataDir, true); Seq.empty } // pure-delete batch
+    // payloads written at a different decimal scale than the table's
+    // record no footer stats (see the commit path's batchScaleMismatch)
+    val mergeStatsCols = statsColumns.filterNot { c =>
+      (upserts.schema.fields.find(_.name == c).map(_.dataType),
+        schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)) match {
+        case (Some(b: org.apache.spark.sql.types.DecimalType),
+              Some(t: org.apache.spark.sql.types.DecimalType)) =>
+          b.scale != t.scale
+        case _ => false
+      }
+    }
     val mergeMetas =
-      if (statsColumns.isEmpty) Nil
+      if (mergeStatsCols.isEmpty) Nil
       else written.map { rel =>
         rel -> footerColumnMeta(spark, new Path(tableDir, rel),
-          statsColumns.map(c => colMap.getOrElse(c, c)))
+          mergeStatsCols.map(c => colMap.getOrElse(c, c)))
       }
     val newStats = (mergeMetas.flatMap { case (rel, (st, _)) =>
       st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x }
@@ -4446,8 +4494,15 @@ object Snapshots {
     * the stat's own kind (long/double/string). O(files) driver work on
     * the already-loaded manifest, no filesystem access.
     */
-  def pruneFiles(m: Manifest, column: String, lo: Any, hi: Any): Seq[String] =
+  def pruneFiles(m: Manifest, column: String, lo: Any, hi: Any): Seq[String] = {
+    // decimal columns never range-stat-prune (unscaled footer ints vs
+    // value bounds — see [[rangeStatsComparable]]): keep everything
+    if (!rangeStatsComparable(
+        m.schema.flatMap(_.fields.find(_.name == column)).map(_.dataType),
+        lo, hi))
+      return m.files
     m.files.filter(f => m.stats.get((f, column)).forall(_.overlaps(lo, hi)))
+  }
 
   /** Conjunctive multi-column pruning: a file survives only if EVERY
     * `(column, lo, hi)` range can overlap its stats — the reader-side
@@ -4455,9 +4510,14 @@ object Snapshots {
     * layout gives tight per-file boxes in BOTH dimensions, so a 2-d
     * box predicate multiplies the two single-column skip rates.
     */
-  def pruneFiles(m: Manifest, preds: Seq[(String, Any, Any)]): Seq[String] =
-    m.files.filter(f => preds.forall { case (c, lo, hi) =>
+  def pruneFiles(m: Manifest, preds: Seq[(String, Any, Any)]): Seq[String] = {
+    val ps = preds.filter { case (c, lo, hi) =>
+      rangeStatsComparable(
+        m.schema.flatMap(_.fields.find(_.name == c)).map(_.dataType), lo, hi)
+    }
+    m.files.filter(f => ps.forall { case (c, lo, hi) =>
       m.stats.get((f, c)).forall(_.overlaps(lo, hi)) })
+  }
 
   /** Time travel + file skipping: the rows of `version` after pruning
     * files whose [min,max] for `column` cannot intersect [lo, hi].
@@ -4564,8 +4624,7 @@ object Snapshots {
     // integers at the column's scale (see [[statMayContain]]) — so
     // decimal point lookups prune on stats too, with conservative
     // keeps for any stat not decodable that way.
-    val statKeyType = m.schema.map(_(key).dataType).getOrElse(
-      org.apache.spark.sql.types.StringType)
+    val statKeyType = m.schema.map(_(key).dataType)
     val statKeep = bucketPruned.filter(rel =>
       m.stats.get((rel, key)).forall(st =>
         keys.exists(k => statMayContain(st, statKeyType, k))))
@@ -4606,14 +4665,45 @@ object Snapshots {
     * stat is unscaled at the column's CURRENT scale.
     */
   private def statMayContain(st: FileStat,
-      keyType: org.apache.spark.sql.types.DataType, k: Any): Boolean =
+      keyType: Option[org.apache.spark.sql.types.DataType], k: Any): Boolean =
     keyType match {
-      case dt: org.apache.spark.sql.types.DecimalType =>
+      case Some(dt: org.apache.spark.sql.types.DecimalType) =>
         if (st.kind != "long") true
         else decimalUnscaledLong(k, dt.scale)
           .forall(u => st.overlaps(u, u))
+      case None if isDecimalLit(k) =>
+        // a decimal literal against a column of UNKNOWN type (a legacy
+        // schema-less manifest): the footer stats may be unscaled
+        // decimal ints — keep, never guess (the pre-decimal-pruning
+        // bypass's behavior, preserved exactly where the type that
+        // makes the decode sound is missing)
+        true
       case _ => st.overlaps(k, k)
     }
+
+  private def isDecimalLit(k: Any): Boolean = k match {
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+    case _ => false
+  }
+
+  /** Range-vs-footer-stat verdict shared by every range pruning path:
+    * DECIMAL columns — and decimal bounds against a column of UNKNOWN
+    * type — never stat-prune. Int-backed decimal footer stats are
+    * UNSCALED integers while a range bound compares by VALUE, so the
+    * comparison is meaningless; such predicates keep the file and the
+    * row filter owns them ([[readVersionFiltered]]'s documented rule
+    * for its pushed range filters, enforced here for every caller
+    * that takes `(column, lo, hi)` predicates). Equality/IN probes on
+    * decimals DO prune — through [[statMayContain]]'s exact
+    * unscaled-long decode, which a two-sided range cannot use (its
+    * bounds are not required to be representable at the column's
+    * scale).
+    */
+  private def rangeStatsComparable(
+      dt: Option[org.apache.spark.sql.types.DataType],
+      lo: Any, hi: Any): Boolean =
+    !(dt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
+      (dt.isEmpty && (isDecimalLit(lo) || isDecimalLit(hi))))
 
   /** Columns whose decimal SCALE changed in a widening — their carried
     * unscaled-int footer stats are re-based and must DROP at the

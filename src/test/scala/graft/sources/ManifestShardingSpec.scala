@@ -615,6 +615,61 @@ class ManifestShardingSpec extends SparkSpec {
       spark, dir, Some(v2), "amt", tail)
     assert(keptTail.size < m2.files.size,
       "post-widening files must still stats-prune at the new scale")
+    // a NARROWER-scale batch into the widened table (the allowed
+    // not-yet-migrated-producer shape): its files land at the BATCH's
+    // physical scale, so footer stats for the column are NOT recorded
+    // — a recorded scale-2 stat decoded at table scale 3 would wrongly
+    // prune the batch's own rows
+    Snapshots.commit(batch(400, "(9,2)").coalesce(1), dir, "append",
+      statsColumns = Seq("id", "amt"))
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    val m3 = Snapshots.readManifest(spark, dir, v3)
+    val narrowFiles = m3.files.filterNot(m2.files.toSet)
+    assert(narrowFiles.nonEmpty)
+    assert(narrowFiles.forall(fl => !m3.stats.contains((fl, "amt"))),
+      "scale-mismatched batch columns must record no footer stats")
+    assert(narrowFiles.forall(fl => m3.stats.contains((fl, "id"))),
+      "the batch's other stats columns still record")
+    val narrowProbe: Seq[Any] = Seq(BigDecimal("450.000"))
+    assert(Snapshots.pruneFilesCheckpointedKeys(
+        spark, dir, Some(v3), "amt", narrowProbe)
+      === Snapshots.pruneForKeys(spark, m3, m3.files, "amt", narrowProbe)
+        .sorted)
+    assert(Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "amt", narrowProbe, Some(v3)).count() === 1L,
+      "the narrower batch's row must survive its own probe")
+    // RANGE bounds on a decimal column never stat-prune (unscaled
+    // footer ints vs value bounds): the conjunct keeps every file on
+    // BOTH paths and the row filter serves the exact window
+    val win: Seq[(String, Any, Any)] =
+      Seq(("amt", BigDecimal("100.00"), BigDecimal("200.00")))
+    assert(Snapshots.pruneFilesCheckpointedProbes(
+        spark, dir, Some(v3), Nil, win)
+      === Snapshots.pruneFiles(m3, win).sorted)
+    assert(Snapshots.pruneFiles(m3, win) === m3.files,
+      "a decimal range bound must keep every file")
+    val winRows = Snapshots.readVersionCheckpointedProbes(
+      spark, dir, Nil, Some(v3), win)
+    assert(winRows.count() === 101L, // 100.00 .. 200.00 inclusive
+      "the decimal window must serve every in-range row")
+    // a LEGACY schema-less manifest cannot decode decimal stats — a
+    // decimal probe keeps every file (the pre-r14 bypass), never
+    // mis-prunes against unscaled ints it can't interpret
+    val dirL = freshDir()
+    Snapshots.commit(batch(0, "(9,2)").repartition(2), dirL, "overwrite",
+      statsColumns = Seq("amt"))
+    val mf = new java.io.File(dirL, "_manifests/v000000.manifest")
+    val noSchema = scala.io.Source.fromFile(mf).getLines()
+      .filterNot(_.startsWith("schema=")).mkString("\n") + "\n"
+    val w = new java.io.FileWriter(mf, false)
+    try w.write(noSchema) finally w.close()
+    new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    val mL = Snapshots.readManifest(spark, dirL, 0L)
+    assert(mL.schema.isEmpty, "the legacy fixture must be schema-less")
+    val probeL: Seq[Any] = Seq(BigDecimal("50.00"))
+    assert(Snapshots.pruneForKeys(spark, mL, mL.files, "amt", probeL)
+      === mL.files,
+      "unknown column type + decimal literal must keep every file")
   }
 
   test("randomized keys-prune parity: checkpoint decisions == manifest " +
