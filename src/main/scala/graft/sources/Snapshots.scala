@@ -2029,33 +2029,36 @@ object Snapshots {
     finally r.close()
   }
 
-  /** [[mergedNdv]]'s checkpoint-served twin — table-level NDV per
-    * LOGICAL column at `version` in O(segments + tail files) driver
-    * work instead of O(files): segments the checkpoint covered and the
-    * version's tombstones never touched contribute their pre-reduced
-    * per-segment union (one heapify per segment); dirty segments
-    * (tombstoned — their live subset differs from what the checkpoint
-    * folded) and the tail parse through the shared driver cache and
-    * contribute per-file, exactly the fallback path's cost for exactly
-    * the metadata written since. HLL unions are associative/idempotent
-    * so the regrouped union's registers — and estimate — are
-    * [[mergedNdv]]'s bit-for-bit. Poisoning is preserved per column:
-    * ANY live file without a sketch (a clean segment's `all=false`
-    * bit, or a parsed live entry with no sketch) drops the column — a
-    * partial union is a silent under-estimate. None when no
-    * NDV-sidecar checkpoint serves this version, or the manifest
-    * carries legacy inline files (no segment to pre-reduce) — callers
-    * fall back to [[mergedNdv]].
+  /** The ONE clean/parsed fold walk all three checkpoint stat twins
+    * (NDV, histogram, ranges) run — extracted so the part whose drift
+    * would silently mis-serve statistics, the POISONING rule, exists
+    * exactly once. Resolves the newest covering checkpoint and its
+    * `sidecar`, splits the read version's segments into fold-served
+    * (covered ∧ no tombstone of the read version touches them — their
+    * entries are all live, and by the one-live-ref publish invariant
+    * live nowhere else, so a weight-accumulating fold covers each file
+    * exactly once) and parsed (dirty + tail, live entries through the
+    * shared driver cache), and produces per PHYSICAL column the
+    * fold-served segments' sidecar payloads plus the live parsed
+    * entries' per-file values. Poisoning per column: a fold-served
+    * segment's `all=false` bit, a fold-served segment MISSING the
+    * column's line while any other segment carries it, or a live
+    * parsed entry whose `entryValue` is None — any live file not
+    * covered drops the column. Retired columns drop. Returns None
+    * when no such sidecar serves this version or the manifest carries
+    * legacy inline files — callers fall back to the per-file fold.
     */
-  private[graft] def mergedNdvCheckpointed(spark: SparkSession,
-                                           tableDir: String,
-                                           version: Long)
-      : Option[Map[String, Long]] = {
+  private def checkpointColumnFold[P](spark: SparkSession, tableDir: String,
+      version: Long, sidecar: String)
+      (entryCols: SegEntry => Iterator[String])
+      (entryValue: (SegEntry, String) => Option[P])
+      : Option[(Map[String, (Seq[Array[Byte]], Seq[P])],
+                Map[String, String])] = {
     val f = fs(spark, tableDir)
     val cv = newestCheckpointAtOrBefore(f, tableDir, version)
       .getOrElse(return None)
     val ck = checkpointDir(tableDir, cv)
-    val ndvSegs = checkpointSketchSegs(f, ck, NdvSegsFile).getOrElse(return None)
+    val segs = checkpointSketchSegs(f, ck, sidecar).getOrElse(return None)
     val covered = checkpointCoveredSegs(f, ck)
     val (segV, tombsV, colMapV, retiredV, inlineV) =
       manifestSkeleton(f, tableDir, version)
@@ -2063,22 +2066,22 @@ object Snapshots {
     val dirtySegs = tombsV.iterator.map(_._1).toSet
     val (clean, parsed) = segV.partition(rel =>
       covered.contains(rel) && !dirtySegs.contains(rel))
-    // sketches per physical column: clean segments from the sidecar
-    // (poison bit pre-computed), the rest per live file
-    val sidecarBySeg = ndvSegs.groupBy { case ((r0, _), _) => r0 }
-    val acc = scala.collection.mutable.Map
+    val sidecarBySeg = segs.groupBy { case ((r0, _), _) => r0 }
+    val payloads = scala.collection.mutable.Map
       .empty[String, ArrayBuffer[Array[Byte]]]
+    val values = scala.collection.mutable.Map
+      .empty[String, ArrayBuffer[P]]
     val poisoned = scala.collection.mutable.HashSet.empty[String]
     val cols = scala.collection.mutable.HashSet.empty[String]
     clean.foreach { rel =>
       sidecarBySeg.getOrElse(rel, Map.empty).foreach {
-        case ((_, c), (all, sk)) =>
+        case ((_, c), (all, payload)) =>
           cols += c
           if (!all) poisoned += c
-          else acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+          else payloads.getOrElseUpdate(c, ArrayBuffer.empty) += payload
       }
       // a clean segment with NO line for a column some other segment
-      // sketched: its entries all lack that sketch → poisoned below
+      // carries: its entries all lack the stat → poisoned below
       // (the per-segment coverage check over cleanCols)
     }
     val cleanCols = clean.map(rel =>
@@ -2088,38 +2091,62 @@ object Snapshots {
       rel -> cachedSegment(f, tableDir, rel).entries
         .filter(e => !tombsV.contains((rel, e.file))))
     parsedEntries.foreach { case (_, entries) =>
-      cols ++= entries.iterator.flatMap(_.ndvs.iterator.map(_._1))
+      cols ++= entries.iterator.flatMap(entryCols)
     }
     cols.foreach { c =>
-      // every clean segment must carry c with all=true …
+      // every fold-served segment must carry c with all=true …
       clean.foreach { rel =>
         if (!cleanCols(rel).contains(c)) poisoned += c }
-      // … and every live parsed entry must carry a sketch for c
+      // … and every live parsed entry must carry a value for c
       parsedEntries.foreach { case (_, entries) =>
         entries.foreach { e =>
-          e.ndvs.collectFirst { case (`c`, sk) => sk } match {
-            case Some(sk) =>
-              acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+          entryValue(e, c) match {
+            case Some(p) =>
+              values.getOrElseUpdate(c, ArrayBuffer.empty) += p
             case None => poisoned += c
           }
         }
       }
     }
-    val revV = colMapV.map(_.swap)
-    Some(cols.iterator
+    Some((cols.iterator
       .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
-      .flatMap { c =>
-        // a sketch that decodes from base64 but is NOT a valid HLL
-        // image (sidecar corruption, a future format) must POISON the
-        // column, never crash planning — Try covers the heapify+union
-        scala.util.Try {
-          val u = new org.apache.datasketches.hll.Union(12)
-          acc.getOrElse(c, ArrayBuffer.empty).foreach(sk =>
-            u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
-          revV.getOrElse(c, c) -> math.round(u.getEstimate)
-        }.toOption
-      }.toMap)
+      .map(c => c -> ((payloads.getOrElse(c, ArrayBuffer.empty).toSeq,
+        values.getOrElse(c, ArrayBuffer.empty).toSeq)))
+      .toMap,
+      colMapV.map(_.swap)))
   }
+
+  /** [[mergedNdv]]'s checkpoint-served twin — table-level NDV per
+    * LOGICAL column at `version` in O(segments + tail files) driver
+    * work instead of O(files): fold-served segments contribute their
+    * pre-reduced per-segment union (one heapify per segment), dirty
+    * and tail segments contribute per-file ([[checkpointColumnFold]]
+    * owns the split and the poisoning rule). HLL unions are
+    * associative/idempotent so the regrouped union's registers — and
+    * estimate — are [[mergedNdv]]'s bit-for-bit. None when no
+    * NDV-sidecar checkpoint serves this version or the manifest
+    * carries legacy inline files — callers fall back to [[mergedNdv]].
+    */
+  private[graft] def mergedNdvCheckpointed(spark: SparkSession,
+                                           tableDir: String,
+                                           version: Long)
+      : Option[Map[String, Long]] =
+    checkpointColumnFold[Array[Byte]](spark, tableDir, version, NdvSegsFile)(
+      e => e.ndvs.iterator.map(_._1))(
+      (e, c) => e.ndvs.collectFirst { case (`c`, sk) => sk })
+      .map { case (byCol, revV) =>
+        byCol.iterator.flatMap { case (c, (folds, perFile)) =>
+          // a sketch that decodes from base64 but is NOT a valid HLL
+          // image (sidecar corruption, a future format) must POISON
+          // the column, never crash planning — Try covers the union
+          scala.util.Try {
+            val u = new org.apache.datasketches.hll.Union(12)
+            (folds ++ perFile).foreach(sk =>
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(sk)))
+            revV.getOrElse(c, c) -> math.round(u.getEstimate)
+          }.toOption
+        }.toMap
+      }
 
   /** [[mergedHistogram]]'s checkpoint-served twin — table-level
     * equi-height histograms per LOGICAL column at `version` in
@@ -2162,83 +2189,35 @@ object Snapshots {
                                                  tableDir: String,
                                                  version: Long,
                                                  numBins: Int)
-      : Option[Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram]] = {
-    val f = fs(spark, tableDir)
-    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
-      .getOrElse(return None)
-    val ck = checkpointDir(tableDir, cv)
-    val kllSegs = checkpointSketchSegs(f, ck, KllSegsFile).getOrElse(return None)
-    val covered = checkpointCoveredSegs(f, ck)
-    val (segV, tombsV, colMapV, retiredV, inlineV) =
-      manifestSkeleton(f, tableDir, version)
-    if (inlineV.nonEmpty) return None // legacy inline: no segments
-    val dirtySegs = tombsV.iterator.map(_._1).toSet
-    val (clean, parsed) = segV.partition(rel =>
-      covered.contains(rel) && !dirtySegs.contains(rel))
-    val sidecarBySeg = kllSegs.groupBy { case ((r0, _), _) => r0 }
-    val acc = scala.collection.mutable.Map
-      .empty[String, ArrayBuffer[Array[Byte]]]
-    val poisoned = scala.collection.mutable.HashSet.empty[String]
-    val cols = scala.collection.mutable.HashSet.empty[String]
-    clean.foreach { rel =>
-      sidecarBySeg.getOrElse(rel, Map.empty).foreach {
-        case ((_, c), (all, sk)) =>
-          cols += c
-          if (!all) poisoned += c
-          else acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
+      : Option[Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram]] =
+    checkpointColumnFold[Array[Byte]](spark, tableDir, version, KllSegsFile)(
+      e => e.klls.iterator.map(_._1))(
+      (e, c) => e.klls.collectFirst { case (`c`, sk) => sk })
+      .map { case (byCol, revV) =>
+        // the per-bin NDV companion rides the NDV sidecar when it
+        // exists (estimates bit-identical to the fallback path's —
+        // the HLL idempotence argument); absent, the bin-height bound
+        // applies, exactly as [[mergedHistogram]] falls back
+        val ndvs = mergedNdvCheckpointed(spark, tableDir, version)
+          .getOrElse(Map.empty[String, Long])
+        byCol.iterator.flatMap { case (c, (folds, perFile)) =>
+          // a sketch that is not a valid KLL image (sidecar
+          // corruption, a future format) must POISON the column,
+          // never crash planning — Try covers the heapify+merge
+          scala.util.Try {
+            val merged = (folds ++ perFile)
+              .foldLeft(org.apache.datasketches.kll.KllDoublesSketch
+                .newHeapInstance()) { (a, sk) =>
+                a.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+                  org.apache.datasketches.memory.Memory.wrap(sk)))
+                a
+              }
+            val logical = revV.getOrElse(c, c)
+            histogramFromMerged(merged, ndvs.get(logical), numBins)
+              .map(logical -> _)
+          }.toOption.flatten
+        }.toMap
       }
-    }
-    val cleanCols = clean.map(rel =>
-      rel -> sidecarBySeg.getOrElse(rel, Map.empty).keysIterator
-        .map(_._2).toSet).toMap
-    val parsedEntries = parsed.map(rel =>
-      rel -> cachedSegment(f, tableDir, rel).entries
-        .filter(e => !tombsV.contains((rel, e.file))))
-    parsedEntries.foreach { case (_, entries) =>
-      cols ++= entries.iterator.flatMap(_.klls.iterator.map(_._1))
-    }
-    cols.foreach { c =>
-      // every clean segment must carry c with all=true …
-      clean.foreach { rel =>
-        if (!cleanCols(rel).contains(c)) poisoned += c }
-      // … and every live parsed entry must carry a sketch for c
-      parsedEntries.foreach { case (_, entries) =>
-        entries.foreach { e =>
-          e.klls.collectFirst { case (`c`, sk) => sk } match {
-            case Some(sk) =>
-              acc.getOrElseUpdate(c, ArrayBuffer.empty) += sk
-            case None => poisoned += c
-          }
-        }
-      }
-    }
-    // the per-bin NDV companion rides the NDV sidecar when it exists
-    // (estimates bit-identical to the fallback path's — the HLL
-    // idempotence argument); absent, the bin-height bound applies,
-    // exactly as [[mergedHistogram]] falls back
-    val ndvs = mergedNdvCheckpointed(spark, tableDir, version)
-      .getOrElse(Map.empty[String, Long])
-    val revV = colMapV.map(_.swap)
-    Some(cols.iterator
-      .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
-      .flatMap { c =>
-        // a sketch that is not a valid KLL image (sidecar corruption,
-        // a future format) must POISON the column, never crash
-        // planning — Try covers the heapify+merge
-        scala.util.Try {
-          val merged = acc.getOrElse(c, ArrayBuffer.empty)
-            .foldLeft(org.apache.datasketches.kll.KllDoublesSketch
-              .newHeapInstance()) { (a, sk) =>
-              a.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
-                org.apache.datasketches.memory.Memory.wrap(sk)))
-              a
-            }
-          val logical = revV.getOrElse(c, c)
-          histogramFromMerged(merged, ndvs.get(logical), numBins)
-            .map(logical -> _)
-        }.toOption.flatten
-      }.toMap)
-  }
 
   /** [[mergedRanges]]' checkpoint-served twin — table-level
     * (min, max, nullCount) per LOGICAL column at `version` in
@@ -2263,22 +2242,9 @@ object Snapshots {
                                               tableDir: String,
                                               version: Long)
       : Option[Map[String, (String, String, Option[Long])]] = {
-    val f = fs(spark, tableDir)
-    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
-      .getOrElse(return None)
-    val ck = checkpointDir(tableDir, cv)
-    val rngSegs = checkpointSketchSegs(f, ck, RngSegsFile).getOrElse(return None)
-    val covered = checkpointCoveredSegs(f, ck)
-    val (segV, tombsV, colMapV, retiredV, inlineV) =
-      manifestSkeleton(f, tableDir, version)
-    if (inlineV.nonEmpty) return None // legacy inline: no segments
     val schema = readManifestThin(spark, tableDir, version).schema
-      .getOrElse(return None)
+      .getOrElse(return None) // eligibility needs the column types
     val eligible = rangeEligible(schema)
-    val dirtySegs = tombsV.iterator.map(_._1).toSet
-    val (clean, parsed) = segV.partition(rel =>
-      covered.contains(rel) && !dirtySegs.contains(rel))
-    val sidecarBySeg = rngSegs.groupBy { case ((r0, _), _) => r0 }
     // per-physical-column accumulator of the partial folds
     final class Acc {
       var other = false
@@ -2294,76 +2260,50 @@ object Snapshots {
         dmax = Some(dmax.fold(b)(math.max(_, b)))
       }
     }
-    val acc = scala.collection.mutable.Map.empty[String, Acc]
-    val poisoned = scala.collection.mutable.HashSet.empty[String]
-    val cols = scala.collection.mutable.HashSet.empty[String]
-    clean.foreach { rel =>
-      sidecarBySeg.getOrElse(rel, Map.empty).foreach {
-        case ((_, c), (all, payload)) =>
-          cols += c
-          if (!all) poisoned += c
-          else scala.util.Try {
-            // TSV payload: other, lmin, lmax, dmin, dmax, nall, nsum
-            // (split with -1: trailing empty fields must survive)
-            val p = new String(payload, StandardCharsets.UTF_8)
-              .split("\t", -1)
-            val a = acc.getOrElseUpdate(c, new Acc)
-            if (p(0) == "1") a.other = true
-            if (p(1).nonEmpty) a.addLong(p(1).toLong, p(2).toLong)
-            if (p(3).nonEmpty) a.addDouble(p(3).toDouble, p(4).toDouble)
-            if (p(5) != "1") a.nallOk = false
-            a.nsum += p(6).toLong
-          }.getOrElse(poisoned += c) // undecodable payload: drop, never guess
-      }
-    }
-    val cleanCols = clean.map(rel =>
-      rel -> sidecarBySeg.getOrElse(rel, Map.empty).keysIterator
-        .map(_._2).toSet).toMap
-    val parsedEntries = parsed.map(rel =>
-      rel -> cachedSegment(f, tableDir, rel).entries
-        .filter(e => !tombsV.contains((rel, e.file))))
-    parsedEntries.foreach { case (_, entries) =>
-      cols ++= entries.iterator.flatMap(_.stats.iterator.map(_._1))
-    }
-    cols.foreach { c =>
-      // every clean segment must carry c with all=true …
-      clean.foreach { rel =>
-        if (!cleanCols(rel).contains(c)) poisoned += c }
-      // … and every live parsed entry must carry the stat for c
-      parsedEntries.foreach { case (_, entries) =>
-        entries.foreach { e =>
-          e.stats.collectFirst { case (`c`, st) => st } match {
-            case Some(st) => scala.util.Try {
-              val a = acc.getOrElseUpdate(c, new Acc)
+    checkpointColumnFold[(FileStat, Option[Long])](
+      spark, tableDir, version, RngSegsFile)(
+      e => e.stats.iterator.map(_._1))(
+      (e, c) => e.stats.collectFirst { case (`c`, st) =>
+        st -> e.nulls.collectFirst { case (`c`, n) => n } })
+      .map { case (byCol, revV) =>
+        byCol.iterator.flatMap { case (c, (folds, perFile)) =>
+          // an undecodable payload or stat drops the column (Try),
+          // never guesses a bound
+          scala.util.Try {
+            val a = new Acc
+            folds.foreach { payload =>
+              // TSV payload: other, lmin, lmax, dmin, dmax, nall, nsum
+              // (split with -1: trailing empty fields must survive)
+              val p = new String(payload, StandardCharsets.UTF_8)
+                .split("\t", -1)
+              if (p(0) == "1") a.other = true
+              if (p(1).nonEmpty) a.addLong(p(1).toLong, p(2).toLong)
+              if (p(3).nonEmpty) a.addDouble(p(3).toDouble, p(4).toDouble)
+              if (p(5) != "1") a.nallOk = false
+              a.nsum += p(6).toLong
+            }
+            perFile.foreach { case (st, nulls) =>
               st.kind match {
                 case "long" => a.addLong(st.min.toLong, st.max.toLong)
                 case "double" => a.addDouble(st.min.toDouble, st.max.toDouble)
                 case _ => a.other = true
               }
-              e.nulls.collectFirst { case (`c`, n) => n } match {
+              nulls match {
                 case Some(n) => a.nsum += n
                 case None => a.nallOk = false
               }
-            }.getOrElse(poisoned += c)
-            case None => poisoned += c
-          }
-        }
+            }
+            val logical = revV.getOrElse(c, c)
+            for {
+              dt <- eligible.get(logical)
+              mnmx <- foldRange(dt, a.other,
+                for (x <- a.lmin; y <- a.lmax) yield (x, y),
+                for (x <- a.dmin; y <- a.dmax) yield (x, y))
+            } yield logical -> ((mnmx._1, mnmx._2,
+              if (a.nallOk) Some(a.nsum) else None))
+          }.toOption.flatten
+        }.toMap
       }
-    }
-    val revV = colMapV.map(_.swap)
-    Some(cols.iterator
-      .filter(c => !poisoned.contains(c) && !retiredV.contains(c))
-      .flatMap { c =>
-        val logical = revV.getOrElse(c, c)
-        for {
-          dt <- eligible.get(logical)
-          a <- acc.get(c)
-          mnmx <- foldRange(dt, a.other,
-            for (x <- a.lmin; y <- a.lmax) yield (x, y),
-            for (x <- a.dmin; y <- a.dmax) yield (x, y))
-        } yield logical -> ((mnmx._1, mnmx._2,
-          if (a.nallOk) Some(a.nsum) else None))
-      }.toMap)
   }
 
   /** The segment refs a checkpoint transcribed, from its sidecar. The
