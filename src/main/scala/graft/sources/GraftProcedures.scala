@@ -169,6 +169,14 @@ private[sources] object GraftProcedures {
       Seq(p("table", StringType), p("cols", StringType)),
       unit((s, dir, r) => Snapshots.analyzeHistograms(s, dir,
         str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
+    Spec("analyze_stats",
+      "backfill per-file footer min/max stats (and null counts) for " +
+        "cols (comma-separated) on files missing them — restores file " +
+        "skipping and the range CBO feed on files predating " +
+        "statsColumns; metadata-only (footer reads, no data scan)",
+      Seq(p("table", StringType), p("cols", StringType)),
+      unit((s, dir, r) => Snapshots.analyzeStats(s, dir,
+        str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
     Spec("checkpoint_metadata",
       "materialize the latest version's per-file metadata as a parquet " +
         "checkpoint built by a Spark job (distributed planning for " +

@@ -2993,6 +2993,69 @@ object Snapshots {
       publishWith = (m, v, fresh) =>
         m.copy(version = v, klls = m.klls ++ fresh, pendingMarker = None))
 
+  /** The third ANALYZE sibling: backfill per-file FOOTER min/max
+    * stats (and null counts) for `columns` on every live file MISSING
+    * a stat — the repair that restores file skipping (and the
+    * [[mergedRanges]] CBO feed) on files that predate `statsColumns`,
+    * which no rewrite-free path could fix before. METADATA-ONLY and
+    * cheaper than its sketch siblings: one parquet FOOTER read per
+    * missing file, never a data scan. Covered files keep their stats
+    * verbatim (value-typed — no randomized-sketch churn concern);
+    * files whose footer carries no usable statistics simply stay
+    * uncovered (unknown is never pruned). Null counts are recorded
+    * for the repaired columns only where missing, never overwritten.
+    * DECIMAL columns are refused: a file's footer decimals are
+    * unscaled at ITS write scale, which a post-hoc repair cannot
+    * verify against the table's (the write paths record decimal
+    * stats only where the batch scale is known to match — see
+    * [[statMayContain]]). No-ops versionlessly when nothing is
+    * missing or the footers yielded nothing fresh.
+    */
+  def analyzeStats(spark: SparkSession, tableDir: String,
+                   columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "analyzeStats needs at least one column")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema to analyze"))
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"analyze column '$c' is not a table column")
+      require(!schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+        s"analyzeStats cannot backfill decimal column '$c' (footer " +
+          "stats are unscaled at each file's own write scale)")
+    }
+    val missing = m.files.filter(rel =>
+      columns.exists(c => !m.stats.contains((rel, c))))
+    if (missing.isEmpty) return m.version
+    val physRev = m.colMap.map(_.swap)
+    val freshStats = scala.collection.mutable.Map
+      .empty[(String, String), FileStat]
+    val freshNulls = scala.collection.mutable.Map
+      .empty[(String, String), Long]
+    missing.foreach { rel =>
+      val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+      val (st, nn) = footerColumnMeta(spark, p, columns.map(m.physOf))
+      st.foreach { case (c, x) =>
+        val key = (rel, physRev.getOrElse(c, c))
+        if (!m.stats.contains(key)) freshStats(key) = x
+      }
+      nn.foreach { case (c, n) =>
+        val key = (rel, physRev.getOrElse(c, c))
+        if (!m.nullCounts.contains(key)) freshNulls(key) = n
+      }
+    }
+    if (freshStats.isEmpty && freshNulls.isEmpty) return m.version
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        stats = m.stats ++ freshStats,
+        nullCounts = m.nullCounts ++ freshNulls,
+        pendingMarker = None)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    version
+  }
+
   /** The ONE eligibility rule for KLL (histogram) columns, shared by
     * [[commit]]'s `histColumns` and [[analyzeHistograms]] so the two
     * can never drift: numeric, date or timestamp (all sketch as

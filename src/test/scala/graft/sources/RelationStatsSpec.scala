@@ -481,6 +481,70 @@ class RelationStatsSpec extends SparkSpec {
       .contains("a"))
   }
 
+  test("analyzeStats backfills footer stats metadata-only: file " +
+    "skipping and the range feed restored on files predating " +
+    "statsColumns") {
+    val s = spark
+    import s.implicits._
+    val dir = TempDirs.create("stats-analyze")
+    // two stat-less commits: nothing prunes, no ranges serve
+    Snapshots.commit((0 until 100).map(j =>
+        (j.toLong, j * 2.5, if (j % 5 == 0) None else Some(j.toLong)))
+        .toDF("k", "v", "w").coalesce(1),
+      dir, "overwrite")
+    Snapshots.commit((100 until 200).map(j =>
+        (j.toLong, j * 2.5, Some(j.toLong): Option[Long]))
+        .toDF("k", "v", "w").coalesce(1),
+      dir, "append")
+    val m0 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m0.stats.isEmpty)
+    assert(Snapshots.pruneFiles(m0, Seq(("k", 0L, 10L))) === m0.files)
+    assert(Snapshots.mergedRanges(m0, m0.schema.get).isEmpty)
+    // the repair: ONE metadata commit of footer-read stats
+    val va = Snapshots.analyzeStats(spark, dir, Seq("k", "v", "w"))
+    assert(va === 2L)
+    val ma = Snapshots.readManifest(spark, dir, va)
+    assert(ma.files.forall(fl => ma.stats.contains((fl, "k"))))
+    assert(Snapshots.pruneFiles(ma, Seq(("k", 0L, 10L))).size === 1,
+      "file skipping must work after the repair")
+    val r = Snapshots.mergedRanges(ma, ma.schema.get)
+    assert(r("k") === (("0", "199", Some(0L))))
+    assert(r("w")._3 === Some(20L), "null counts backfill too")
+    // convergence: the second call no-ops versionlessly
+    assert(Snapshots.analyzeStats(spark, dir, Seq("k", "v", "w")) === va)
+    // partial coverage: covered files keep their stats VERBATIM, only
+    // the missing (file, column) pairs gain entries
+    Snapshots.commit((200 until 220).map(j => (j.toLong, j * 2.5,
+        Some(j.toLong): Option[Long])).toDF("k", "v", "w").coalesce(1),
+      dir, "append", statsColumns = Seq("k"))
+    val mMid = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val vb = Snapshots.analyzeStats(spark, dir, Seq("k", "v"))
+    val mb = Snapshots.readManifest(spark, dir, vb)
+    assert(mMid.stats.forall { case (key, st) => mb.stats.get(key).contains(st) },
+      "covered stats must survive verbatim")
+    assert(mb.files.forall(fl =>
+      mb.stats.contains((fl, "k")) && mb.stats.contains((fl, "v"))))
+    // the checkpoint range twin reflects the backfill (the repair's
+    // changed entries land in fresh segments the stale folds never
+    // serve)
+    Snapshots.writeMetadataCheckpoint(spark, dir)
+    val vNow = Snapshots.latestVersion(spark, dir).get
+    val mNow = Snapshots.readManifest(spark, dir, vNow)
+    assert(Snapshots.mergedRangesCheckpointed(spark, dir, vNow).get
+      === Snapshots.mergedRanges(mNow, mNow.schema.get))
+    // decimal columns refuse: a footer's unscaled ints are at the
+    // file's own write scale, unverifiable post-hoc
+    val dirD = TempDirs.create("stats-analyze-dec")
+    Snapshots.commit((0 until 10).map(i => (i.toLong, BigDecimal(i).toString))
+        .toDF("id", "amt0")
+        .select(col("id"), col("amt0").cast("decimal(9,2)").as("amt")),
+      dirD, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.analyzeStats(spark, dirD, Seq("amt"))
+    }
+  }
+
   test("randomized stats-feed parity: NDV, histogram and range " +
     "checkpoint twins == per-file folds across random maintenance " +
     "interleavings") {
