@@ -443,7 +443,11 @@ final case class GraftRelation(ctx: SQLContext, tableDir: String,
       : Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
     val numBins = spark.conf
       .get("spark.sql.statistics.histogram.numBins", "254").toInt
-    Snapshots.mergedHistogramCheckpointed(spark, tableDir, version, numBins)
+    // thread the already-resolved NDV map in: the histogram twin then
+    // skips its second checkpoint fold walk (columnNdvs is the same
+    // served-or-fallback map mergedHistogram's own NDV lookup yields)
+    Snapshots.mergedHistogramCheckpointed(spark, tableDir, version, numBins,
+        Some(columnNdvs))
       .getOrElse {
         val m = manifest
         m.klls.keysIterator.map(_._2).toSet.iterator

@@ -1118,17 +1118,9 @@ object Snapshots {
     // consumer decodes at the table's ([[statMayContain]]) — a
     // recorded stat would wrongly prune (lose rows); no stat only
     // loses pruning until a rewrite re-records at the table scale.
-    val batchScaleMismatch: Set[String] = df.schema.fields.iterator.flatMap { fd =>
-      (fd.dataType, schema.fields.find(_.name == fd.name).map(_.dataType)) match {
-        case (b: org.apache.spark.sql.types.DecimalType,
-              Some(t: org.apache.spark.sql.types.DecimalType))
-            if b.scale != t.scale => Some(fd.name)
-        case _ => None
-      }
-    }.toSet
     val effStatsCols = (statsColumns ++
       partSpecs.collect { case sp if !sp.isIdentity => sp.source }).distinct
-      .filterNot(batchScaleMismatch)
+      .filterNot(batchScaleMismatchCols(df.schema, schema))
     val fileMetas =
       if (effStatsCols.isEmpty) Nil
       else written.map { rel =>
@@ -1952,16 +1944,27 @@ object Snapshots {
         return out.toString
       }
       else if (f.exists(out)) {
-        // the aside-rename failed with the stale dir still IN PLACE
-        // (transient FS error, not a concurrent swap): falling through
-        // would NEST tmp inside the surviving old dir, the nested-dir
-        // cleanup below would delete the fresh build, and the method
-        // would return a still-old-format dir as if the rebuild
-        // happened (ADVICE r13). A sidecar-less dir is INVISIBLE to
-        // readers ([[newestCheckpointAtOrBefore]] selects only
-        // sidecar-bearing dirs), so clearing it in place serves nobody
-        // a missing checkpoint — and a failed delete must fail LOUDLY
-        // rather than install nothing and report success.
+        // the aside-rename failed with A dir still in place. Recheck
+        // the FORMAT before clearing: a concurrent rebuilder may have
+        // completed its swap between our two checks — its fresh
+        // sidecar-bearing dir must be ADOPTED, never deleted (deleting
+        // it would serve readers a transient no-checkpoint window and
+        // violate the immutable-once-sidecar'd invariant the geometry
+        // cache relies on).
+        if (f.exists(new Path(out, CoveredSegsFile))) {
+          f.delete(tmp, true)
+          return out.toString
+        }
+        // genuinely the stale old-format dir (transient FS error, not
+        // a concurrent swap): falling through would NEST tmp inside
+        // it, the nested-dir cleanup below would delete the fresh
+        // build, and the method would return a still-old-format dir
+        // as if the rebuild happened (ADVICE r13). A sidecar-less dir
+        // is INVISIBLE to readers ([[newestCheckpointAtOrBefore]]
+        // selects only sidecar-bearing dirs), so clearing it in place
+        // serves nobody a missing checkpoint — and a failed delete
+        // must fail LOUDLY rather than install nothing and report
+        // success.
         require(f.delete(out, true),
           s"cannot clear stale old-format checkpoint at $out")
       }
@@ -2188,7 +2191,8 @@ object Snapshots {
   private[graft] def mergedHistogramCheckpointed(spark: SparkSession,
                                                  tableDir: String,
                                                  version: Long,
-                                                 numBins: Int)
+                                                 numBins: Int,
+                                                 ndvs0: Option[Map[String, Long]] = None)
       : Option[Map[String, org.apache.spark.sql.catalyst.plans.logical.Histogram]] =
     checkpointColumnFold[Array[Byte]](spark, tableDir, version, KllSegsFile)(
       e => e.klls.iterator.map(_._1))(
@@ -2197,9 +2201,12 @@ object Snapshots {
         // the per-bin NDV companion rides the NDV sidecar when it
         // exists (estimates bit-identical to the fallback path's —
         // the HLL idempotence argument); absent, the bin-height bound
-        // applies, exactly as [[mergedHistogram]] falls back
-        val ndvs = mergedNdvCheckpointed(spark, tableDir, version)
-          .getOrElse(Map.empty[String, Long])
+        // applies, exactly as [[mergedHistogram]] falls back. Callers
+        // that already hold the table's NDV map (the relation's
+        // columnNdvs) pass it in — the second fold walk is skipped.
+        val ndvs = ndvs0.getOrElse(
+          mergedNdvCheckpointed(spark, tableDir, version)
+            .getOrElse(Map.empty[String, Long]))
         byCol.iterator.flatMap { case (c, (folds, perFile)) =>
           // a sketch that is not a valid KLL image (sidecar
           // corruption, a future format) must POISON the column,
@@ -2993,6 +3000,32 @@ object Snapshots {
       publishWith = (m, v, fresh) =>
         m.copy(version = v, klls = m.klls ++ fresh, pendingMarker = None))
 
+  /** [[analyzeStats]]' inverse, for stats that can no longer be
+    * trusted: DROP every live file's recorded min/max stat (and null
+    * count) for `columns` in one metadata commit. The upgrade remedy
+    * for decimal columns that scale-widened under code predating the
+    * stale-scale drop rules (see [[statMayContain]]'s caveat):
+    * invalidated columns stop pruning (conservative — every file
+    * scans) until a rewrite re-records at the current scale. O(1)
+    * data work; the changed entries re-shard at publish.
+    */
+  def invalidateStats(spark: SparkSession, tableDir: String,
+                      columns: Seq[String]): Long = {
+    require(columns.nonEmpty, "invalidateStats needs at least one column")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val drop = columns.toSet
+    val stats2 = m.stats.filter { case ((_, c), _) => !drop.contains(c) }
+    val nulls2 = m.nullCounts.filter { case ((_, c), _) => !drop.contains(c) }
+    if (stats2.size == m.stats.size && nulls2.size == m.nullCounts.size)
+      return m.version // nothing recorded: versionless no-op
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        stats = stats2, nullCounts = nulls2, pendingMarker = None)))
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    version
+  }
+
   /** The third ANALYZE sibling: backfill per-file FOOTER min/max
     * stats (and null counts) for `columns` on every live file MISSING
     * a stat — the repair that restores file skipping (and the
@@ -3026,8 +3059,15 @@ object Snapshots {
         s"analyzeStats cannot backfill decimal column '$c' (footer " +
           "stats are unscaled at each file's own write scale)")
     }
+    // gate on stats OR null counts: a pre-null-count-era file with
+    // min/max but no counts still needs its footer visited (and an
+    // all-null column's file has a count but no min/max — both gaps
+    // are this repair's job). Re-visiting a file whose footer yields
+    // nothing fresh is a wasted footer read, never a burned version
+    // (the fresh-empty no-op below).
     val missing = m.files.filter(rel =>
-      columns.exists(c => !m.stats.contains((rel, c))))
+      columns.exists(c => !m.stats.contains((rel, c)) ||
+        !m.nullCounts.contains((rel, c))))
     if (missing.isEmpty) return m.version
     val physRev = m.colMap.map(_.swap)
     val freshStats = scala.collection.mutable.Map
@@ -4120,16 +4160,10 @@ object Snapshots {
       if (nAppended > 0) newFileRows.keys.toSeq.sorted
       else { f.delete(dataDir, true); Seq.empty } // pure-delete batch
     // payloads written at a different decimal scale than the table's
-    // record no footer stats (see the commit path's batchScaleMismatch)
-    val mergeStatsCols = statsColumns.filterNot { c =>
-      (upserts.schema.fields.find(_.name == c).map(_.dataType),
-        schema.flatMap(_.fields.find(_.name == c)).map(_.dataType)) match {
-        case (Some(b: org.apache.spark.sql.types.DecimalType),
-              Some(t: org.apache.spark.sql.types.DecimalType)) =>
-          b.scale != t.scale
-        case _ => false
-      }
-    }
+    // record no footer stats (the commit path's rule, shared helper)
+    val mergeStatsCols = statsColumns.filterNot(
+      batchScaleMismatchCols(upserts.schema,
+        schema.getOrElse(upserts.schema)))
     val mergeMetas =
       if (mergeStatsCols.isEmpty) Nil
       else written.map { rel =>
@@ -4662,10 +4696,16 @@ object Snapshots {
     * non-"long" stat kind (binary-backed >18-digit decimals, legacy
     * formats), a literal that does not rescale exactly (cannot equal
     * any stored value, but the row filter owns that verdict), or a
-    * non-numeric literal. Scale-drift is impossible by construction:
-    * a scale-growing decimal widening DROPS carried stats at the
-    * widening commit (like blooms/NDVs), so every surviving "long"
-    * stat is unscaled at the column's CURRENT scale.
+    * non-numeric literal. Scale-drift is impossible by construction
+    * FOR MANIFESTS THIS CODE WRITES: a scale-growing decimal widening
+    * DROPS carried stats at the widening commit (like blooms/NDVs)
+    * and a batch written at a mismatched scale records none
+    * ([[batchScaleMismatchCols]]), so every surviving "long" stat is
+    * unscaled at the column's CURRENT scale. UPGRADE CAVEAT: a table
+    * that scale-widened a decimal column under code PREDATING these
+    * rules may still carry stale-scale stats this decode would trust
+    * — run [[invalidateStats]] on the column (one metadata commit) or
+    * rewrite (compact) before relying on decimal pruning there.
     */
   private def statMayContain(st: FileStat,
       keyType: Option[org.apache.spark.sql.types.DataType], k: Any): Boolean =
@@ -4707,6 +4747,24 @@ object Snapshots {
       lo: Any, hi: Any): Boolean =
     !(dt.exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]) ||
       (dt.isEmpty && (isDecimalLit(lo) || isDecimalLit(hi))))
+
+  /** Columns a batch WRITES at a different decimal scale than the
+    * table's — such files' footer stats must never be recorded (the
+    * commit-path comment at `effStatsCols`); the row-loss-critical
+    * rule lives here ONCE so every write path applies the same shape.
+    */
+  private def batchScaleMismatchCols(
+      batchSchema: org.apache.spark.sql.types.StructType,
+      tableSchema: org.apache.spark.sql.types.StructType): Set[String] =
+    batchSchema.fields.iterator.flatMap { fd =>
+      (fd.dataType, tableSchema.fields.find(_.name == fd.name)
+        .map(_.dataType)) match {
+        case (b: org.apache.spark.sql.types.DecimalType,
+              Some(t: org.apache.spark.sql.types.DecimalType))
+            if b.scale != t.scale => Some(fd.name)
+        case _ => None
+      }
+    }.toSet
 
   /** Columns whose decimal SCALE changed in a widening — their carried
     * unscaled-int footer stats are re-based and must DROP at the

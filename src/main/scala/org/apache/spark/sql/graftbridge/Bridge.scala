@@ -46,9 +46,12 @@ object Bridge {
     * and ExpressionColumnNode-wrapped catalyst expressions (what the
     * SQL DML rules rebuild) — both are sql-private shapes, hence this
     * lives in the bridge. Unknown shapes yield no hint (prune
-    * nothing); NULL and decimal literals yield no hint (NULL never
-    * equality-matches a stat range meaningfully; footer decimals are
-    * unscaled ints).
+    * nothing); NULL literals yield no hint (NULL never
+    * equality-matches a stat range meaningfully). Decimal literals
+    * yield EQUALITY/IN hints only — `pruneForKeys` compares those by
+    * their unscaled-long form at the column's scale, the footer's own
+    * representation — never RANGE hints (mayGe/mayLe compare raw
+    * values against unscaled ints).
     */
   def prunableConjuncts(c: Column): Seq[(String, String, Seq[Any])] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
@@ -59,6 +62,11 @@ object Bridge {
            _: org.apache.spark.sql.types.Decimal => None
       case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
       case other => Some(other)
+    }
+    def okEq(v: Any): Option[Any] = v match {
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+      case _: java.math.BigDecimal | _: scala.math.BigDecimal => Some(v)
+      case other => ok(other)
     }
     // ---- catalyst side ----
     def exName(e: ce.Expression): Option[String] = e match {
@@ -71,13 +79,17 @@ object Bridge {
       case ce.Literal(v, _) => ok(v)
       case _ => None
     }
+    def exValEq(e: ce.Expression): Option[Any] = e match {
+      case ce.Literal(v, _) => okEq(v)
+      case _ => None
+    }
     def fromExpr(e: ce.Expression): Seq[(String, String, Seq[Any])] = e match {
       case ce.And(a, b) => fromExpr(a) ++ fromExpr(b)
       case ce.EqualTo(l, r) =>
-        (for (c0 <- exName(l); v <- exVal(r)) yield ("=", c0, Seq(v))).toSeq ++
-          (for (c0 <- exName(r); v <- exVal(l)) yield ("=", c0, Seq(v))).toSeq
+        (for (c0 <- exName(l); v <- exValEq(r)) yield ("=", c0, Seq(v))).toSeq ++
+          (for (c0 <- exName(r); v <- exValEq(l)) yield ("=", c0, Seq(v))).toSeq
       case ce.In(l, vs) if vs.nonEmpty =>
-        (for (c0 <- exName(l); vals <- Option(vs.flatMap(exVal))
+        (for (c0 <- exName(l); vals <- Option(vs.flatMap(exValEq))
               if vals.length == vs.length) yield ("in", c0, vals)).toSeq
       case ce.GreaterThan(l, r) => fromExpr(ce.GreaterThanOrEqual(l, r))
       case ce.LessThan(l, r) => fromExpr(ce.LessThanOrEqual(l, r))
@@ -99,16 +111,20 @@ object Bridge {
       case l: in.Literal => ok(l.value)
       case _ => None
     }
+    def cnValEq(n: in.ColumnNode): Option[Any] = n match {
+      case l: in.Literal => okEq(l.value)
+      case _ => None
+    }
     def fromNode(n: in.ColumnNode): Seq[(String, String, Seq[Any])] = n match {
       case org.apache.spark.sql.classic.ExpressionColumnNode(e, _) =>
         fromExpr(e)
       case f: in.UnresolvedFunction => (f.functionName, f.arguments) match {
         case ("and", args) => args.flatMap(fromNode)
         case ("=" | "==", Seq(l, r)) =>
-          (for (c0 <- cnName(l); v <- cnVal(r)) yield ("=", c0, Seq(v))).toSeq ++
-            (for (c0 <- cnName(r); v <- cnVal(l)) yield ("=", c0, Seq(v))).toSeq
+          (for (c0 <- cnName(l); v <- cnValEq(r)) yield ("=", c0, Seq(v))).toSeq ++
+            (for (c0 <- cnName(r); v <- cnValEq(l)) yield ("=", c0, Seq(v))).toSeq
         case ("in", l +: vs) if vs.nonEmpty =>
-          (for (c0 <- cnName(l); vals <- Option(vs.flatMap(cnVal))
+          (for (c0 <- cnName(l); vals <- Option(vs.flatMap(cnValEq))
                 if vals.length == vs.length) yield ("in", c0, vals)).toSeq
         case (">" | ">=", Seq(l, r)) =>
           (for (c0 <- cnName(l); v <- cnVal(r)) yield (">=", c0, Seq(v))).toSeq ++

@@ -341,4 +341,44 @@ class SqlDmlSpec extends SparkSpec {
     spark.sql("UPDATE dml_n SET o_totalprice = 0 WHERE o_orderkey < 0")
     assert(Snapshots.latestVersion(spark, dir).get === 0L)
   }
+
+  test("DML predicate hints carry decimal EQUALITY literals (pruned via " +
+    "the unscaled decode) but never decimal RANGE bounds") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val s = spark
+    import s.implicits._
+    // hint extraction: '='/'in' pass decimals through (as
+    // java.math.BigDecimal — the shape statMayContain decodes),
+    // '>='/'<=' drop them (mayGe/mayLe compare raw values against
+    // unscaled footer ints)
+    // bare decimal literals — the shape `WHERE amt = 150.00` resolves
+    // to (a typed Decimal Literal; a cast-wrapped literal is a
+    // different node and correctly yields no hint)
+    val amt = col("amt")
+    val eqHints = Bridge.prunableConjuncts(amt === lit(BigDecimal("150.00")))
+    assert(eqHints.exists { case (op, c, vs) =>
+      op == "=" && c == "amt" && vs.forall {
+        case _: java.math.BigDecimal | _: scala.math.BigDecimal => true
+        case _ => false
+      } // either flavor — statMayContain decodes both
+    }, s"decimal equality must hint: $eqHints")
+    assert(Bridge.prunableConjuncts(
+      amt >= lit(BigDecimal("150.00"))).isEmpty,
+      "decimal range bounds must not hint")
+    // end to end: DELETE by decimal equality on a decimal-stats table
+    // masks exactly the matching row (pruning is a scan reducer, the
+    // semantics stay exact)
+    val dir = graft.TempDirs.create("sqldml-decimal")
+    Snapshots.commit((0 until 300).map(i => (i.toLong, BigDecimal(i).toString))
+        .toDF("id", "amt0")
+        .select(col("id"), col("amt0").cast("decimal(9,2)").as("amt"))
+        .repartition(3),
+      dir, "overwrite", statsColumns = Seq("amt"))
+    view("dml_dec", dir)
+    spark.sql("DELETE FROM dml_dec WHERE amt = 150.00")
+    val left = Snapshots.readVersion(spark, dir)
+    assert(left.count() === 299L)
+    assert(left.where(col("amt") === lit(BigDecimal("150.00"))
+      .cast("decimal(9,2)")).count() === 0L)
+  }
 }

@@ -539,10 +539,53 @@ class RelationStatsSpec extends SparkSpec {
     Snapshots.commit((0 until 10).map(i => (i.toLong, BigDecimal(i).toString))
         .toDF("id", "amt0")
         .select(col("id"), col("amt0").cast("decimal(9,2)").as("amt")),
-      dirD, "overwrite")
+      dirD, "overwrite", statsColumns = Seq("id"))
     intercept[IllegalArgumentException] {
       Snapshots.analyzeStats(spark, dirD, Seq("amt"))
     }
+    // invalidateStats: the upgrade remedy for untrustworthy stats —
+    // drops the column's min/max AND null counts in one metadata
+    // commit (pruning goes conservative), other columns untouched,
+    // versionless no-op when nothing is recorded
+    val mInv0 = Snapshots.readManifest(spark, dirD, 0L)
+    assert(mInv0.stats.keysIterator.exists(_._2 == "id"))
+    val vi = Snapshots.invalidateStats(spark, dirD, Seq("id"))
+    val mInv = Snapshots.readManifest(spark, dirD, vi)
+    assert(!mInv.stats.keysIterator.exists(_._2 == "id"))
+    assert(Snapshots.pruneFiles(mInv, Seq(("id", 0L, 1L))) === mInv.files,
+      "invalidated columns must stop pruning")
+    assert(Snapshots.invalidateStats(spark, dirD, Seq("id")) === vi,
+      "nothing left to drop: versionless no-op")
+    // stats-present/nulls-ABSENT files (pre-null-count-era manifests)
+    // are also visited: copy the table and strip the segment's nulls=
+    // lines (the copy's segment path is uncached), then repair
+    val dirN = TempDirs.create("stats-analyze-nulls")
+    def copyTree(a: java.io.File, b: java.io.File): Unit = {
+      if (a.isDirectory) { b.mkdirs(); a.listFiles().foreach(f0 =>
+        copyTree(f0, new java.io.File(b, f0.getName))) }
+      else java.nio.file.Files.copy(a.toPath, b.toPath)
+    }
+    copyTree(new java.io.File(dir), new java.io.File(dirN))
+    new java.io.File(dirN, "_manifests/segments").listFiles().foreach { sf =>
+      if (!sf.getName.startsWith(".")) {
+        val stripped = scala.io.Source.fromFile(sf).getLines()
+          .filterNot(_.startsWith("nulls=")).mkString("\n") + "\n"
+        val w0 = new java.io.FileWriter(sf, false)
+        try w0.write(stripped) finally w0.close()
+        new java.io.File(sf.getParentFile, s".${sf.getName}.crc").delete()
+      }
+    }
+    val mN0 = Snapshots.readManifest(spark, dirN,
+      Snapshots.latestVersion(spark, dirN).get)
+    assert(mN0.nullCounts.isEmpty && mN0.stats.nonEmpty,
+      "the fixture must have stats but no null counts")
+    assert(Snapshots.mergedRanges(mN0, mN0.schema.get)("k")._3.isEmpty)
+    val vN = Snapshots.analyzeStats(spark, dirN, Seq("k", "v", "w"))
+    val mN = Snapshots.readManifest(spark, dirN, vN)
+    assert(mN0.stats.forall { case (key, st) => mN.stats.get(key).contains(st) },
+      "covered stats survive the null-count backfill verbatim")
+    assert(Snapshots.mergedRanges(mN, mN.schema.get)("w")._3 === Some(20L),
+      "null counts restored on stats-covered files")
   }
 
   test("randomized stats-feed parity: NDV, histogram and range " +
