@@ -177,6 +177,14 @@ private[sources] object GraftProcedures {
       Seq(p("table", StringType), p("cols", StringType)),
       unit((s, dir, r) => Snapshots.analyzeStats(s, dir,
         str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
+    Spec("invalidate_stats",
+      "drop recorded min/max stats and null counts for cols " +
+        "(comma-separated) — the upgrade remedy for stats that can no " +
+        "longer be trusted (pruning goes conservative until a rewrite " +
+        "re-records); one metadata commit",
+      Seq(p("table", StringType), p("cols", StringType)),
+      unit((s, dir, r) => Snapshots.invalidateStats(s, dir,
+        str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq))),
     Spec("checkpoint_metadata",
       "materialize the latest version's per-file metadata as a parquet " +
         "checkpoint built by a Spark job (distributed planning for " +
