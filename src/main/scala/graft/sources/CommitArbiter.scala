@@ -24,10 +24,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Contract ([[Snapshots]] depends on each clause):
   *   - `tmp` is fully written and closed before the call.
-  *   - Returns true iff THIS call installed `tmp`'s content at `dst`;
-  *     at most one concurrent call per `dst` may return true, and
-  *     after it returns, readers of `dst` see the full content (no
-  *     torn/partial visibility).
+  *   - Returns true iff `tmp`'s content is installed at `dst` BY THIS
+  *     call; at most one concurrent call per `dst` may return true,
+  *     and after it returns, readers of `dst` see the full content
+  *     (no torn/partial visibility).
   *   - On true, `tmp` is consumed (moved or deleted). On false, `tmp`
   *     is left in place — the CALLER owns loser cleanup.
   *   - `dst` already existing (from any process, any time) must lose.
@@ -73,7 +73,13 @@ class CoordinatedCommitArbiter(
   /** The store's (possibly overwrite-capable, non-atomic) install —
     * only ever issued by the sole CAS claimant. Overridable so specs
     * can fake a store whose rename overwrites silently and prove the
-    * exclusion comes from the coordinator, not the store.
+    * exclusion comes from the coordinator, not the store. REQUIRED
+    * semantics relied on below: by the time this call has RETURNED or
+    * THROWN, the store will not land `dst` later on its own — a
+    * synchronous rename/PUT whose every attempt reported failure does
+    * not spontaneously apply afterwards (the same synchronous-store
+    * assumption Delta's S3 LogStores document; an install wrapping an
+    * async client must await its completion before returning).
     */
   protected def install(f: FileSystem, tmp: Path, dst: Path): Boolean =
     f.rename(tmp, dst)
@@ -83,43 +89,75 @@ class CoordinatedCommitArbiter(
     // recovery: a dst that already exists (prior process, replayed
     // producer) must lose even if this coordinator has no claim for it
     if (f.exists(dst)) return false
-    if (!coordinator.claim(key)) return false
+    val token = coordinator.claim(key) match {
+      case Some(t) => t
+      case None => return false
+    }
     // sole claimant: the store's non-atomic install is now ours alone.
-    // A THROWN install deliberately propagates WITH the claim held:
-    // dst's state is unknown (the store may have landed it before
-    // failing the response), so releasing could hand the claim to a
-    // writer that then overwrites a commit which actually landed —
-    // recovery is crash-equivalent, via the coordinator's lease expiry
-    // plus the next claimant's verified-absent-dst recheck.
-    val installed = install(f, tmp, dst)
-    // a RETURNED-false install never created dst (the store refused
-    // before acting), so the claim is safe to relinquish — without
-    // this, every later publish of the same dst in this process loses
-    // while dst stays absent, and [[Snapshots.commit]] re-resolves the
-    // same version and conflicts forever (ADVICE r13).
-    if (!installed) coordinator.release(key)
-    installed
+    // Whatever the install REPORTS, dst's actual state decides (an
+    // S3-class rename is copy+delete: the copy can land dst and the
+    // call still throw or report false — trusting the report would
+    // either lose a commit that is already visible, or wedge a version
+    // that never landed). The probe is sound because we hold the sole
+    // claim and dst was verified absent before it: dst existing now
+    // means OUR install created it, with full content (install
+    // visibility is atomic per the contract above).
+    val installed =
+      try install(f, tmp, dst)
+      catch {
+        case e: Throwable =>
+          if (f.exists(dst)) {
+            // the install landed before failing its response: this IS
+            // our commit — report success and consume tmp (rename may
+            // have died between its copy and its delete)
+            f.delete(tmp, false)
+            return true
+          }
+          // dst verifiably absent: release so the version stays
+          // committable (a retry or another writer lands it without
+          // waiting out a lease); the claim must not outlive an
+          // install that demonstrably never happened (ADVICE r14)
+          coordinator.release(key, token)
+          throw e
+      }
+    if (installed) return true
+    if (f.exists(dst)) {
+      // returned false but dst landed (copy+delete store reporting the
+      // delete leg's failure): our content is the visible commit —
+      // releasing here would let a retry OVERWRITE it (ADVICE r14)
+      f.delete(tmp, false)
+      return true
+    }
+    // a false return with dst absent: the store refused before acting,
+    // so the claim is safe to relinquish — without this, every later
+    // publish of the same dst in this process loses while dst stays
+    // absent, and [[Snapshots.commit]] re-resolves the same version
+    // and conflicts forever (ADVICE r13)
+    coordinator.release(key, token)
+    false
   }
 }
 
 object CoordinatedCommitArbiter {
   /** The conditional-put service seam (DynamoDB put-if-absent, ZK
-    * create, DB unique insert): `claim(key)` returns true for exactly
-    * one LIVE claimant per key at a time — a claim outlives its holder
-    * only until the coordinator's lease on it expires, after which a
-    * later claimant may take it over (it re-verifies dst is absent
-    * before claiming, so a takeover can never double-commit a version
-    * whose install actually landed). `release(key)` relinquishes a
-    * claim whose install NEVER HAPPENED (returned false) and must only
-    * be called by the claim's current holder — the arbiter guarantees
-    * this by construction (it releases only on its own claim/install
-    * path, inside the lease window; deployments size the TTL safely
-    * past any writer's install duration + clock skew, the same
-    * assumption Delta's S3 LogStores document).
+    * create, DB unique insert): `claim(key)` grants at most one LIVE
+    * claim per key at a time, returning a FENCING TOKEN unique to this
+    * grant — a claim outlives its holder only until the coordinator's
+    * lease on it expires, after which a later claimant may take it
+    * over (it re-verifies dst is absent before claiming, so a takeover
+    * can never double-commit a version whose install actually landed).
+    * `release(key, token)` relinquishes a claim whose install
+    * verifiably NEVER HAPPENED (returned false / threw with dst
+    * absent) and is a no-op unless `token` is the claim's CURRENT
+    * grant — a stale holder (expired and taken over) cannot evict the
+    * new one, and token uniqueness makes that hold even across
+    * recycled threads or claim/release interleavings (JVM thread ids
+    * are reused; a per-grant token is not — ADVICE r14).
     */
   trait Coordinator {
-    def claim(key: String): Boolean
-    def release(key: String): Unit
+    /** Some(fencing token) iff this call acquired the claim. */
+    def claim(key: String): Option[Long]
+    def release(key: String, token: Long): Unit
   }
 
   /** Process-wide claims — correct for a single writer process.
@@ -128,16 +166,21 @@ object CoordinatedCommitArbiter {
     * would re-open the check-then-act window for a racer that passed
     * the existence check before the install landed, and within one
     * process there is no crashed-claimant liveness hole to age out.
-    * `release` only ever fires for failed installs (dst never
-    * created), where re-granting is safe. Multi-process deployments
+    * `release` only ever fires for installs that verifiably never
+    * created dst, where re-granting is safe. Multi-process deployments
     * that need crash recovery use [[leased]] (or a real external
     * coordinator with the equivalent TTL).
     */
   val processWide: Coordinator = new Coordinator {
+    private val seq = new java.util.concurrent.atomic.AtomicLong()
     private val claims =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    override def claim(key: String): Boolean = claims.add(key)
-    override def release(key: String): Unit = claims.remove(key)
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    override def claim(key: String): Option[Long] = {
+      val t = java.lang.Long.valueOf(seq.incrementAndGet())
+      if (claims.putIfAbsent(key, t) == null) Some(t.longValue) else None
+    }
+    override def release(key: String, token: Long): Unit =
+      claims.remove(key, java.lang.Long.valueOf(token))
   }
 
   /** A lease-aging coordinator — the crash-recovery contract a real
@@ -146,36 +189,34 @@ object CoordinatedCommitArbiter {
     * so a claimant that dies between `claim` and `install` cannot
     * wedge its version forever — a later writer's claim TAKES OVER the
     * expired entry (atomically, single compute per key) after its own
-    * verified-absent-dst check. Release is holder-guarded by thread
-    * (the in-memory stand-in for a fencing token): a claimant whose
-    * lease already expired and was taken over cannot evict the new
-    * holder. `clock` is injectable so specs drive expiry
-    * deterministically. SAFETY ASSUMPTION (document of every
-    * lease-based arbiter, not special to this one): `ttlMs` must
-    * exceed the slowest install + clock skew — a claimant still
+    * verified-absent-dst check. Release is guarded by the per-grant
+    * fencing token: a claimant whose lease already expired and was
+    * taken over cannot evict the new holder. `clock` is injectable so
+    * specs drive expiry deterministically. SAFETY ASSUMPTION (document
+    * of every lease-based arbiter, not special to this one): `ttlMs`
+    * must exceed the slowest install + clock skew — a claimant still
     * running past its lease races the takeover, which only an
     * install-side fencing check could close.
     */
   def leased(ttlMs: Long,
              clock: () => Long = () => System.currentTimeMillis()): Coordinator =
     new Coordinator {
-      // key -> (lease deadline, holder thread id)
+      private val seq = new java.util.concurrent.atomic.AtomicLong()
+      // key -> (lease deadline, fencing token of the current grant)
       private val claims =
         new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-      override def claim(key: String): Boolean = {
+      override def claim(key: String): Option[Long] = {
         val now = clock()
-        val me = Thread.currentThread().getId
-        var won = false
+        var won: Option[Long] = None
         claims.compute(key, (_, cur) =>
-          if (cur == null || cur._1 <= now) { won = true; (now + ttlMs, me) }
-          else cur)
+          if (cur == null || cur._1 <= now) {
+            val t = seq.incrementAndGet(); won = Some(t); (now + ttlMs, t)
+          } else cur)
         won
       }
-      override def release(key: String): Unit = {
-        val me = Thread.currentThread().getId
+      override def release(key: String, token: Long): Unit =
         claims.computeIfPresent(key, (_, cur) =>
-          if (cur._2 == me) null else cur)
-      }
+          if (cur._2 == token) null else cur)
     }
 }
 

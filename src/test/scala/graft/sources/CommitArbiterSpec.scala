@@ -26,6 +26,23 @@ class CommitArbiterSpec extends SparkSpec {
     p
   }
 
+  /** A test-local process-wide coordinator (the claims-for-lifetime
+    * shape of [[CoordinatedCommitArbiter.processWide]], fresh per test
+    * so claims cannot leak across tests).
+    */
+  private def freshCoordinator(): CoordinatedCommitArbiter.Coordinator =
+    new CoordinatedCommitArbiter.Coordinator {
+      private val seq = new java.util.concurrent.atomic.AtomicLong()
+      private val claims =
+        new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      override def claim(key: String): Option[Long] = {
+        val t = java.lang.Long.valueOf(seq.incrementAndGet())
+        if (claims.putIfAbsent(key, t) == null) Some(t.longValue) else None
+      }
+      override def release(key: String, token: Long): Unit =
+        claims.remove(key, java.lang.Long.valueOf(token))
+    }
+
   /** An S3-style PUT: visibility-ATOMIC per object (readers see the
     * old object or the new one, never partial bytes — emulated via a
     * hidden copy + POSIX overwrite-rename) but last-writer-wins: it
@@ -90,12 +107,7 @@ class CommitArbiterSpec extends SparkSpec {
     val f = localFs
     val started = new java.util.concurrent.CyclicBarrier(2)
     // fresh coordinator per test (claims are per-key for its lifetime)
-    val coord = new CoordinatedCommitArbiter.Coordinator {
-      private val claims =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      override def claim(key: String): Boolean = claims.add(key)
-      override def release(key: String): Unit = claims.remove(key)
-    }
+    val coord = freshCoordinator()
     val arb = new CoordinatedCommitArbiter(coord) {
       override protected def install(fs0: FileSystem, tmp: Path,
                                      dst: Path): Boolean = {
@@ -158,18 +170,12 @@ class CommitArbiterSpec extends SparkSpec {
     var now = 0L // injectable clock — expiry is driven, never slept
     val coord = CoordinatedCommitArbiter.leased(1000L, () => now)
     val dst = new Path(dir, "v1.manifest")
-    // writer A: claims, then "crashes" mid-window — its install throws
-    // after the claim was granted, and (correctly) nothing releases:
-    // dst's state is unknown to the dying process
-    val arbA = new CoordinatedCommitArbiter(coord) {
-      override protected def install(fs0: FileSystem, tmp: Path,
-                                     dst0: Path): Boolean =
-        throw new java.io.IOException("writer A died mid-install")
-    }
-    val tmpA = writeTmp(dir, ".tmp-a", "writer-A")
-    intercept[java.io.IOException] { arbA.putIfAbsent(f, tmpA, dst) }
-    assert(!localFs.exists(dst))
-    // writer B (another thread — release/takeover are holder-guarded):
+    // writer A: claims, then CRASHES before its install ever runs —
+    // the process dies holding the grant, so nothing can release it
+    // (the liveness hole only a lease can close)
+    val key = f.makeQualified(dst).toUri.toString
+    assert(coord.claim(key).nonEmpty, "writer A's dying claim")
+    // writer B (another thread — release/takeover are token-guarded):
     // inside A's lease window the version is protected …
     val arbB = new CoordinatedCommitArbiter(coord) {
       override protected def install(fs0: FileSystem, tmp: Path,
@@ -196,7 +202,81 @@ class CommitArbiterSpec extends SparkSpec {
     try assert(in.mkString === "writer-B") finally in.close()
     // replay of A (process restart) loses on the dst recheck
     val tmpA2 = writeTmp(dir, ".tmp-a2", "writer-A-replay")
-    assert(!arbA.putIfAbsent(f, tmpA2, dst))
+    assert(!new CoordinatedCommitArbiter(coord).putIfAbsent(f, tmpA2, dst))
+  }
+
+  test("a THROWN install with dst verifiably absent releases the claim: " +
+    "a second writer lands the version immediately — no lease expiry, " +
+    "no process death (VERDICT r14 task #5)") {
+    val dir = TempDirs.create("arbiter-thrown-release")
+    val f = localFs
+    val coord = freshCoordinator() // process-lifetime claims, NO expiry
+    val dst = new Path(dir, "v1.manifest")
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val arb = new CoordinatedCommitArbiter(coord) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean =
+        if (failures.getAndDecrement() > 0)
+          throw new java.io.IOException("store error before acting")
+        else { objectStorePut(fs0, tmp, dst0); true }
+    }
+    val tmpA = writeTmp(dir, ".tmp-a", "attempt-1")
+    intercept[java.io.IOException] { arb.putIfAbsent(f, tmpA, dst) }
+    assert(!localFs.exists(dst))
+    // pre-fix behavior: the thrown install kept the claim for the
+    // holder's lifetime, wedging the version in a no-TTL coordinator.
+    // Post-fix: dst was probed absent after the throw, the claim was
+    // released, and the very next writer lands it.
+    val tmpB = writeTmp(dir, ".tmp-b", "attempt-2")
+    assert(arb.putIfAbsent(f, tmpB, dst),
+      "the next writer must land the version without waiting out a lease")
+    val in = scala.io.Source.fromFile(dst.toUri.getPath)
+    try assert(in.mkString === "attempt-2") finally in.close()
+  }
+
+  test("an install whose REPORT lies but whose copy landed dst is " +
+    "adjudicated by dst's state: returned-false and thrown installs " +
+    "both report success, keep the claim, and a retry cannot " +
+    "overwrite the visible commit (ADVICE r14)") {
+    val dir = TempDirs.create("arbiter-landed-report")
+    val f = localFs
+    // leg 1: install lands dst, then returns FALSE (an S3-class
+    // copy+delete rename whose delete leg failed)
+    val coordA = freshCoordinator()
+    val arbFalse = new CoordinatedCommitArbiter(coordA) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst0); false
+      }
+    }
+    val dstA = new Path(dir, "vA.manifest")
+    val tmpA = writeTmp(dir, ".tmp-a", "landed-A")
+    assert(arbFalse.putIfAbsent(f, tmpA, dstA),
+      "dst landed ⇒ the commit is visible ⇒ success, whatever the report")
+    assert(!localFs.exists(tmpA), "tmp is consumed on success")
+    // pre-fix hazard: the false report released the claim and a retry
+    // OVERWROTE the visible commit; post-fix the claim is kept and the
+    // retry loses on the dst recheck
+    val tmpA2 = writeTmp(dir, ".tmp-a2", "landed-A-retry")
+    assert(!arbFalse.putIfAbsent(f, tmpA2, dstA))
+    val inA = scala.io.Source.fromFile(dstA.toUri.getPath)
+    try assert(inA.mkString === "landed-A") finally inA.close()
+    // leg 2: install lands dst, then THROWS (response lost after the
+    // copy) — same adjudication
+    val coordB = freshCoordinator()
+    val arbThrow = new CoordinatedCommitArbiter(coordB) {
+      override protected def install(fs0: FileSystem, tmp: Path,
+                                     dst0: Path): Boolean = {
+        objectStorePut(fs0, tmp, dst0)
+        throw new java.io.IOException("response lost after the copy")
+      }
+    }
+    val dstB = new Path(dir, "vB.manifest")
+    val tmpB = writeTmp(dir, ".tmp-b", "landed-B")
+    assert(arbThrow.putIfAbsent(f, tmpB, dstB))
+    assert(!localFs.exists(tmpB))
+    val inB = scala.io.Source.fromFile(dstB.toUri.getPath)
+    try assert(inB.mkString === "landed-B") finally inB.close()
   }
 
   test("leased coordinator: an expired claim whose install actually " +
@@ -221,15 +301,15 @@ class CommitArbiterSpec extends SparkSpec {
       "the verified-absent-dst recheck must refuse the takeover")
     val in = scala.io.Source.fromFile(dst.toUri.getPath)
     try assert(in.mkString === "writer-A") finally in.close()
-    // holder-guarded release: thread X's takeover claim survives a
-    // stale release issued from thread Y (the fencing-token stand-in)
+    // token-guarded release: a grant survives a stale release bearing
+    // another grant's token (JVM thread ids are reused; per-grant
+    // fencing tokens are not — ADVICE r14)
     val key = "k-fence"
-    assert(coord.claim(key)) // this thread holds it
-    val stale = new Thread(() => coord.release(key)) // wrong holder
-    stale.start(); stale.join()
-    assert(!coord.claim(key), "a non-holder release must be a no-op")
-    coord.release(key) // the true holder's release does free it
-    assert(coord.claim(key))
+    val t1 = coord.claim(key).get // current grant
+    coord.release(key, t1 + 999L) // a stale/forged token
+    assert(coord.claim(key).isEmpty, "a non-holder release must be a no-op")
+    coord.release(key, t1) // the true grant's token does free it
+    assert(coord.claim(key).nonEmpty)
   }
 
   test("arbiter registry matches on path-segment boundaries, never raw " +
@@ -259,12 +339,7 @@ class CommitArbiterSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = TempDirs.create("arbiter-store-table")
-    val coord = new CoordinatedCommitArbiter.Coordinator {
-      private val claims =
-        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      override def claim(key: String): Boolean = claims.add(key)
-      override def release(key: String): Unit = claims.remove(key)
-    }
+    val coord = freshCoordinator()
     // every publish under this table routes through the coordinated
     // arbiter whose install is the overwrite-capable put — if the
     // arbitration leaked even one double-win, a manifest would be

@@ -3,6 +3,28 @@ package graft.sources
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** A local filesystem under its own scheme that RECORDS every
+  * `getFileStatus` path — the call-counting shim that proves a
+  * maintenance operator's candidate sizing came from the manifest's
+  * byte ledger and not from per-file FS stats (each of which is a
+  * sequential HEAD request on an object store). Registered per test
+  * via `fs.graftcount.impl`; the standard custom-scheme-over-local
+  * test pattern.
+  */
+class CountingLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftcount"
+  override def getUri: java.net.URI = java.net.URI.create("graftcount:///")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = {
+    CountingLocalFs.statted.add(p.toUri.getPath)
+    super.getFileStatus(p)
+  }
+}
+object CountingLocalFs {
+  val statted: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 /** Partial compaction ([[Snapshots.compactSmall]]) and unique-key
   * appends ([[Snapshots.commitUnique]]): file-level carry/rewrite
   * behavior, mask consolidation exactness, ledger accounting, and the
@@ -241,6 +263,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(got.count() === 16L * 16 * 16)
     assert(got.agg(sum("a"), sum("b"), sum("c")).head() ===
       grid.agg(sum("a"), sum("b"), sum("c")).head())
+  }
+
+  test("compactSmall serves candidate sizes (and carried row counts) " +
+    "from the manifest ledger: ZERO per-data-file FS stats on an " +
+    "accounting-complete table (VERDICT r14 task #1)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftcount.impl", classOf[CountingLocalFs].getName)
+    val dir = "graftcount:" + graft.TempDirs.create("graft-maint-count")
+    (0 until 4).foreach { i =>
+      Snapshots.commit(frame(i * 100 until i * 100 + 100, s"f$i").coalesce(1),
+        dir, if (i == 0) "overwrite" else "append", statsColumns = Seq("id"))
+    }
+    val m = Snapshots.readManifest(spark, dir, 3L)
+    assert(m.files.size === 4 &&
+      m.files.forall(m.fileBytes.contains) &&
+      m.files.forall(m.fileRows.contains),
+      "the fixture must be accounting-complete (byte + row ledgers)")
+    // leg 1: nothing to rewrite (every file clears the threshold) —
+    // the operator's ONLY work is the sizing decision, which must be
+    // ledger-served: no data file may be stat'd. Pre-fix, this very
+    // call issued one getFileStatus per live file (O(table) sequential
+    // HEADs on an object store before an O(small-tail) rewrite).
+    CountingLocalFs.statted.clear()
+    assert(Snapshots.compactSmall(spark, dir, minBytes = 1L) === 3L)
+    val statted1 = CountingLocalFs.statted.toArray(Array.empty[String])
+      .filter(_.contains("/data/"))
+    assert(statted1.isEmpty,
+      s"candidate sizing must not stat data files, but stat'd: " +
+        statted1.mkString(", "))
+    // leg 2: a real ledger-driven compaction — the carried/rewritten
+    // decision and the carried-file row accounting both ride the
+    // ledger, and the result is exact
+    val before = Snapshots.readVersion(spark, dir).count()
+    val v2 = Snapshots.compactSmall(spark, dir, minBytes = Long.MaxValue / 2)
+    assert(v2 === 4L)
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.files.size < m.files.size, "smalls folded")
+    assert(m2.dataRows === before)
+    assert(Snapshots.readVersion(spark, dir).count() === before)
   }
 
   test("commitUnique: fresh keys land; dups and replays are refused versionlessly") {

@@ -672,6 +672,78 @@ class ManifestShardingSpec extends SparkSpec {
       "unknown column type + decimal literal must keep every file")
   }
 
+  test("the decimal unscaled decode is gated on the manifest feature " +
+    "marker: a pre-rules manifest keeps every file on both paths, an " +
+    "append cannot launder the marker in, a full rewrite restores it " +
+    "(ADVICE r14)") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    def batch(lo: Int) = (lo until lo + 100)
+      .map(k => (k.toLong, BigDecimal(k).toString))
+      .toDF("id", "amt0")
+      .select(col("id"), col("amt0").cast("decimal(9,2)").as("amt"))
+    (0 until 3).foreach { i =>
+      Snapshots.commit(batch(i * 100).repartition(2), dir,
+        if (i == 0) "overwrite" else "append", statsColumns = Seq("amt"))
+    }
+    val v = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v))
+    val m = Snapshots.readManifest(spark, dir, v)
+    // tables this code writes carry the marker and the decode runs
+    assert(m.features.contains(Snapshots.DecimalScaleStatsFeature) &&
+      m.decimalStatsTrusted)
+    val probe: Seq[Any] = Seq(BigDecimal("150.00"))
+    assert(Snapshots.pruneForKeys(spark, m, m.files, "amt", probe).size
+      < m.files.size, "the marked table must really prune")
+    // simulate a table whose history predates the scale-drop rules:
+    // strip every feature= line (the manifests such code wrote carry
+    // none) — its stats could be stale-scale, so the decode must not
+    // trust them
+    (0L to v).foreach { vv =>
+      val mf = new java.io.File(dir, f"_manifests/v$vv%06d.manifest")
+      val stripped = scala.io.Source.fromFile(mf).getLines()
+        .filterNot(_.startsWith("feature=")).mkString("\n") + "\n"
+      val w = new java.io.FileWriter(mf, false)
+      try w.write(stripped) finally w.close()
+      new java.io.File(mf.getParentFile, s".${mf.getName}.crc").delete()
+    }
+    val mU = Snapshots.readManifest(spark, dir, v)
+    assert(!mU.decimalStatsTrusted)
+    val keptManifest = Snapshots.pruneForKeys(spark, mU, mU.files, "amt", probe)
+    assert(keptManifest === mU.files,
+      "an unmarked manifest must keep every file (conservative, no row loss)")
+    // the checkpoint-planned path gates on the same manifest marker —
+    // decisions identical, rows exact
+    assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v),
+      "amt", probe) === keptManifest.sorted)
+    assert(Snapshots.readVersionCheckpointedKeys(
+      spark, dir, "amt", probe, Some(v)).count() === 1L)
+    // an APPEND to the unmarked table carries the distrust — its own
+    // fresh stats are sound, but the carried ones may not be, and the
+    // marker certifies the WHOLE surviving set
+    Snapshots.commit(batch(300).coalesce(1), dir, "append",
+      statsColumns = Seq("amt"))
+    val v2 = Snapshots.latestVersion(spark, dir).get
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(!m2.decimalStatsTrusted,
+      "an append must not launder the marker onto a pre-rules history")
+    assert(Snapshots.pruneForKeys(spark, m2, m2.files, "amt", probe)
+      === m2.files)
+    // a FULL rewrite re-records every surviving stat under the rules:
+    // the marker returns and pruning resumes
+    Snapshots.compactSorted(spark, dir, 4, "amt")
+    val v3 = Snapshots.latestVersion(spark, dir).get
+    val m3 = Snapshots.readManifest(spark, dir, v3)
+    assert(m3.decimalStatsTrusted, "a full rewrite restores the marker")
+    val kept3 = Snapshots.pruneForKeys(spark, m3, m3.files, "amt", probe)
+    assert(kept3.nonEmpty && kept3.size < m3.files.size,
+      "the rewritten table must prune again")
+    assert(Snapshots.readVersion(spark, dir).where(
+      col("amt") === lit(BigDecimal("150.00")).cast("decimal(9,2)"))
+      .count() === 1L)
+  }
+
   test("randomized keys-prune parity: checkpoint decisions == manifest " +
     "decisions across layouts, probe shapes and maintenance") {
     val s = spark
