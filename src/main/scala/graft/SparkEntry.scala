@@ -143,6 +143,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u49CkptCompositeLookup _),
     "u50_ckpt_mixed_probe" ->
       (graft.sources.DemoFixtures.u50CkptMixedProbe _),
+    "u52_stat_repairs" ->
+      (graft.sources.DemoFixtures.u52StatRepairs _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1115,6 +1117,26 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
         |  AND o_custkey = pk""".stripMargin,
+    // u52 oracle: the ANALYZE/INVALIDATE repair protocol replayed
+    // relationally — three identical range aggregates (leg 0 =
+    // stat-less, leg 1 = after the analyzeStats backfill, leg 2 =
+    // after invalidateStats), because metadata repairs must never
+    // move a row; n_versions = 5 pins one metadata commit per repair,
+    // repairs_ok = 1 pins the inputFiles / NDV / histogram witnesses
+    "u52_stat_repairs" ->
+      """SELECT CAST(0 AS INT) AS leg, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  5 AS n_versions, 1 AS repairs_ok
+        |FROM orders WHERE (o_orderkey % 1000) BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT CAST(1 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 5, 1
+        |FROM orders WHERE (o_orderkey % 1000) BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT CAST(2 AS INT), COUNT(*),
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 5, 1
+        |FROM orders WHERE (o_orderkey % 1000) BETWEEN 100 AND 200
+        |ORDER BY leg""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1223,4 +1223,73 @@ object DemoFixtures {
       .withColumn("metadata_only", lit(witness).cast("int"))
       .orderBy("scope", "o_orderstatus")
   }
+
+  /** Demo + oracle entry (`u52_stat_repairs`): the ANALYZE/INVALIDATE
+    * repair family under the driver's hash gate (VERDICT r14 task
+    * #6). Protocol: orders range-laid into 8 files with NO recorded
+    * stats/sketches (v0 — a table predating `statsColumns`/
+    * `ndvColumns`/`histColumns`), where a key-range read must touch
+    * EVERY file; [[Snapshots.analyzeStats]] backfills footer min/max
+    * + null counts metadata-only (v1) and the same read prunes;
+    * [[Snapshots.analyzeNdv]] (v2) and
+    * [[Snapshots.analyzeHistograms]] (v3) restore the
+    * all-files-or-nothing CBO feeds; [[Snapshots.invalidateStats]]
+    * (v4 — the trust-revocation inverse) drops the column's stats and
+    * the read conservatively touches every file again. `repairs_ok`
+    * folds the witnesses: pre-backfill inputFiles == all 8,
+    * post-backfill strictly fewer, post-invalidate all 8 again, DATA
+    * FILES IDENTICAL across all five versions (every repair is one
+    * metadata commit), merged NDV within 20% of exact, merged
+    * histogram serving non-empty bins. The oracle replays each leg's
+    * range aggregate relationally (metadata repairs must never move a
+    * row) and pins n_versions = 5 and repairs_ok = 1. The 100 TB
+    * story: file skipping and CBO feeds restored on a fleet of
+    * legacy tables by three METADATA-ONLY passes — footer reads and
+    * sketch builds over only the uncovered files, never a rewrite.
+    */
+  def u52StatRepairs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-stat-repairs")
+    // the range key is o_orderkey mod 1000: a DENSE 0..999 domain at
+    // every scale factor, so the fixed oracle window [100, 200] always
+    // covers ~1/8 of the 8-file range layout (a raw-key window would
+    // cover the whole domain at small SFs and prune nothing)
+    val orders = graft.Tables.orders(s, d)
+      .withColumn("k", col("o_orderkey") % 1000)
+    Snapshots.commit(orders.repartitionByRange(8, col("k")),
+      dir, "overwrite")
+    val m0 = Snapshots.readManifest(s, dir, 0L)
+    def rangeRead(v: Long) =
+      Snapshots.readVersionPruned(s, dir, v, "k", 100L, 200L)
+        .filter(col("k").between(100L, 200L))
+    val preFiles = rangeRead(0L).inputFiles.length
+    val v1 = Snapshots.analyzeStats(s, dir, Seq("k"))
+    val postFiles = rangeRead(v1).inputFiles.length
+    Snapshots.analyzeNdv(s, dir, Seq("k"))
+    val v3 = Snapshots.analyzeHistograms(s, dir, Seq("o_totalprice"))
+    val m3 = Snapshots.readManifest(s, dir, v3)
+    val exactNdv = orders.select(countDistinct(col("k"))).head.getLong(0)
+    val ndvOk = Snapshots.mergedNdv(m3, "k").exists(est =>
+      math.abs(est - exactNdv).toDouble / exactNdv < 0.2)
+    val histOk = Snapshots.mergedHistogram(m3, "o_totalprice", 16)
+      .exists(_.bins.nonEmpty)
+    val v4 = Snapshots.invalidateStats(s, dir, Seq("k"))
+    val invalFiles = rangeRead(v4).inputFiles.length
+    val metadataOnly = (0L to v4).forall(v =>
+      Snapshots.readManifest(s, dir, v).files.toSet == m0.files.toSet)
+    val repairsOk =
+      if (preFiles == m0.files.size && postFiles < preFiles &&
+        invalFiles == m0.files.size && ndvOk && histOk && metadataOnly) 1
+      else 0
+    def leg(i: Int, v: Long) = rangeRead(v)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .select(lit(i).cast("int").as("leg"), col("n_orders"), col("total"))
+    leg(0, 0L).unionByName(leg(1, v1)).unionByName(leg(2, v4))
+      .withColumn("n_versions", lit((v4 + 1).toInt).cast("int"))
+      .withColumn("repairs_ok", lit(repairsOk).cast("int"))
+      .orderBy("leg")
+  }
 }

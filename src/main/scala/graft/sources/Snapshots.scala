@@ -2667,7 +2667,9 @@ object Snapshots {
         keys: Seq[Any], keyType: org.apache.spark.sql.types.DataType,
         statType: Option[org.apache.spark.sql.types.DataType],
         bucketWanted: Option[Set[Int]],
-        probeBits: Map[(Int, Int), Map[String, Seq[Long]]])
+        probeBits: Map[(Int, Int), Map[String, Seq[Long]]],
+        degraded: Boolean)
+    val budget = probeKeyBudget(spark)
     val plans: Seq[ProbePlan] = probes.map { case (key, keys) =>
       // statType keeps the None (type unknown) signal statMayContain
       // needs; keyType concretizes for the hash probes only
@@ -2680,19 +2682,28 @@ object Snapshots {
         case _ => None
       }
       val keyPhys = colMapV.getOrElse(key, key)
-      val ckptGeos = ckptGeosCached((ck.toString, keyPhys))(
-        ds.select(org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.col("blooms"),
-            keyPhys).as("b"))
-          .where(org.apache.spark.sql.functions.col("b").isNotNull)
-          .select($"b.mBits", $"b.k").distinct().collect()
-          .map(r => (r.getInt(0), r.getInt(1))).toSet)
-      val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
-        .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
+      // over-budget IN-lists degrade to bucket-only pruning for this
+      // column ([[probeKeyBudget]]) — neither the per-geometry probe
+      // bits (O(keys) bit positions shipped in every task closure)
+      // nor the per-row O(keys) stat verdicts are built
+      val degraded = keys.size > budget
       val probeBits: Map[(Int, Int), Map[String, Seq[Long]]] =
-        (ckptGeos ++ tailGeos).iterator.map(g =>
-          g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
-      ProbePlan(key, keyPhys, keys, keyType, statType, bucketWanted, probeBits)
+        if (degraded) Map.empty
+        else {
+          val ckptGeos = ckptGeosCached((ck.toString, keyPhys))(
+            ds.select(org.apache.spark.sql.functions.element_at(
+                org.apache.spark.sql.functions.col("blooms"),
+                keyPhys).as("b"))
+              .where(org.apache.spark.sql.functions.col("b").isNotNull)
+              .select($"b.mBits", $"b.k").distinct().collect()
+              .map(r => (r.getInt(0), r.getInt(1))).toSet)
+          val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
+            .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
+          (ckptGeos ++ tailGeos).iterator.map(g =>
+            g -> bloomProbeBits(spark, keys, keyType, g._1, g._2)).toMap
+        }
+      ProbePlan(key, keyPhys, keys, keyType, statType, bucketWanted,
+        probeBits, degraded)
     }
     val plansB = spark.sparkContext.broadcast(plans)
     val segSetB = spark.sparkContext.broadcast(segV.toSet)
@@ -2723,15 +2734,16 @@ object Snapshots {
     val decTrusted = thin.decimalStatsTrusted
     def survivesPlan(p: ProbePlan, probeCol: String)(r: CkptFile): Boolean = {
       p.bucketWanted.forall(w => r.bucket.forall(w.contains)) &&
-      r.stats.get(probeCol).forall(st =>
-        p.keys.exists(x => statMayContain(
-          FileStat(st.kind, st.min, st.max), p.statType, x, decTrusted))) &&
-      r.blooms.get(probeCol).forall { b =>
-        p.probeBits.get((b.mBits, b.k)).forall { bits =>
-          val bl = Bloom(b.mBits, b.k, b.words.toArray)
-          p.keys.exists(x => bloomMightContain(bl, bits(x.toString)))
-        }
-      }
+      (p.degraded || (
+        r.stats.get(probeCol).forall(st =>
+          p.keys.exists(x => statMayContain(
+            FileStat(st.kind, st.min, st.max), p.statType, x, decTrusted))) &&
+        r.blooms.get(probeCol).forall { b =>
+          p.probeBits.get((b.mBits, b.k)).forall { bits =>
+            val bl = Bloom(b.mBits, b.k, b.words.toArray)
+            p.keys.exists(x => bloomMightContain(bl, bits(x.toString)))
+          }
+        }))
     }
     val fromCkpt = ds
       .filter { r: CkptFile => r.seg.exists(rel =>
@@ -4696,13 +4708,32 @@ object Snapshots {
     readFiles(spark, tableDir, m, keepNE).filter(col(key).isin(keys: _*))
   }
 
+  /** Per-column IN-list size past which the per-file stat/bloom
+    * verdicts DEGRADE to bucket-only pruning (conservative keeps —
+    * the row filter owns exactness): the per-file verdict is
+    * O(keys) and runs once per candidate file, so an unbudgeted
+    * 10⁵-key IN-list over a 10⁷-file table is a 10¹²-comparison
+    * planning job shipping the probe bits for every key in every
+    * task closure (VERDICT r14 task #7 — the [[commitUnique]]
+    * `maxProbeKeys` semi-join-fallback precedent, applied to the
+    * planner). Bucket pruning survives the budget: its wanted-set is
+    * ≤ numBuckets however many keys probe, and its per-file verdict
+    * is one Set lookup. Session-tunable via `graft.probe.maxKeys`;
+    * BOTH planners (manifest + checkpoint) read the same budget so
+    * their decisions stay identical.
+    */
+  private def probeKeyBudget(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.getOption("graft.probe.maxKeys")
+      .map(_.toInt)).toOption.flatten.getOrElse(1000)
+
   /** Equality/IN pruning shared by [[readVersionKeys]] and the
     * [[GraftRelation]] pushed-filter path: of `candidates`, the files
     * that might hold ANY of `keys` in `key`, composing all three
     * pruning primitives — bucket (when `key` is the table's bucket
     * key), footer min/max stats, then per-file blooms. Bit positions
     * and bucket ids are evaluated through Spark's own hash (one tiny
-    * local job), so probe and build can never drift.
+    * local job), so probe and build can never drift. IN-lists past
+    * [[probeKeyBudget]] prune on buckets only (see its scaladoc).
     */
   private[sources] def pruneForKeys(spark: SparkSession, m: Manifest,
                                     candidates: Seq[String], key: String,
@@ -4715,6 +4746,7 @@ object Snapshots {
         candidates.filter(rel => m.buckets.get(rel).forall(wanted.contains))
       case _ => candidates
     }
+    if (keys.size > probeKeyBudget(spark)) return bucketPruned
     // stat pruning composes when the key carries footer stats: keep a
     // file only if SOME wanted key overlaps its [min,max]. Decimal
     // probes compare in the footer's OWN representation — unscaled
@@ -6664,6 +6696,66 @@ object Snapshots {
     * [[compact]]. Returns the committed version (unchanged when <2
     * small files — nothing to gain).
     */
+  /** [[compactSmall]]'s candidate selection AS A SPARK JOB — the
+    * checkpoint-planned twin of its driver ledger walk (VERDICT r14
+    * task #2): the per-file smallness verdicts run over the newest
+    * covering metadata checkpoint (whose rows carry the byte ledger)
+    * plus the cached tail, and ONLY the small-candidate list reaches
+    * the driver — O(candidates), the same O(result) shape as the
+    * u46–u50 serving planners, where the driver walk enumerates every
+    * live file. Decisions are the driver path's by construction: a
+    * row's ledger bytes decide; a LEDGER-LESS entry (legacy commit)
+    * comes back as a candidate-with-unknown-size and is resolved by
+    * the same driver-side `getFileStatus` fallback, so the two paths
+    * can never disagree (ManifestShardingSpec pins candidates ==
+    * driver-path candidates through tails and tombstones). Returns
+    * None — callers run the ledger walk — when no servable checkpoint
+    * covers `version` or the manifest predates sharded segments.
+    * Remaining gap to a FULLY thin maintenance pass: the rewrite/
+    * publish half still assembles the whole manifest (segment-diff
+    * publish from a thin manifest is the follow-on step).
+    */
+  private[sources] def smallCandidatesCheckpointed(
+      spark: SparkSession, tableDir: String, version: Long,
+      minBytes: Long): Option[Map[String, Long]] = {
+    val f = fs(spark, tableDir)
+    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
+      .getOrElse(return None)
+    val ck = checkpointDir(tableDir, cv)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, _, _, inlineV) = manifestSkeleton(f, tableDir, version)
+    if (inlineV.nonEmpty) return None // legacy inline: no segments
+    val segSetB = spark.sparkContext.broadcast(segV.toSet)
+    val tombsB = spark.sparkContext.broadcast(tombsV)
+    val min = minBytes
+    // bytes-less rows stay candidates (unknown is never ruled out
+    // executor-side; the driver stat below gives the exact verdict)
+    // -1 marks a ledger-less row (Option inside a tuple encoder is
+    // more ceremony than a sentinel the next line resolves)
+    val fromCkpt = ckptDataset(spark, ck, withBlooms = false)
+      .filter { r: CkptFile => r.seg.exists(rel =>
+          segSetB.value.contains(rel) &&
+            !tombsB.value.contains((rel, r.file))) &&
+        r.bytes.forall(_ < min) }
+      .map(r => (r.file, r.bytes.getOrElse(-1L)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq
+    val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
+      cachedSegment(f, tableDir, rel).entries.iterator
+        .filter(e => !tombsV.contains((rel, e.file)) &&
+          e.bytes.forall(_ < min))
+        .map(e => (e.file, e.bytes.getOrElse(-1L)))
+    }.toSeq
+    Some((fromCkpt ++ fromTail).distinct.map { case (rel, bytes) =>
+      rel -> (if (bytes >= 0) bytes else {
+        val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+        f.getFileStatus(p).getLen
+      })
+    }.toMap.filter(_._2 < min))
+  }
+
   def compactSmall(spark: SparkSession, tableDir: String,
                    minBytes: Long,
                    targetBytes: Long = 128L * 1024 * 1024,
@@ -6680,15 +6772,20 @@ object Snapshots {
     // r14 task #1). The FS stat survives only as a fallback for
     // ledger-less legacy entries, so an accounting-complete table
     // issues ZERO per-file stat calls here (MaintenanceSpec counts).
-    val sizes = m.files.map { rel =>
-      rel -> m.fileBytes.getOrElse(rel, {
-        val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
-        f.getFileStatus(p).getLen
-      })
-    }.toMap
-    val (small, large) = m.files.partition(rel => sizes(rel) < minBytes)
+    // When a checkpoint covers the version, even the candidate WALK
+    // leaves the driver ([[smallCandidatesCheckpointed]]).
+    val sizesOfSmall: Map[String, Long] =
+      smallCandidatesCheckpointed(spark, tableDir, m.version, minBytes)
+        .getOrElse(m.files.iterator.map { rel =>
+          rel -> m.fileBytes.getOrElse(rel, {
+            val p =
+              if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+            f.getFileStatus(p).getLen
+          })
+        }.filter(_._2 < minBytes).toMap)
+    val (small, large) = m.files.partition(sizesOfSmall.contains)
     if (small.size < 2) return m.version
-    val smallBytes = small.map(sizes).sum
+    val smallBytes = small.map(sizesOfSmall).sum
     val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val tag = UUID.randomUUID().toString.take(8)
     val dataRel = f"data/v$version%06d-$tag"

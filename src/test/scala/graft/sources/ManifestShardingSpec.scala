@@ -672,6 +672,112 @@ class ManifestShardingSpec extends SparkSpec {
       "unknown column type + decimal literal must keep every file")
   }
 
+  test("checkpoint-planned compactSmall candidates == the driver " +
+    "ledger walk, through tail commits and tombstones, and the wired " +
+    "compaction behaves identically (VERDICT r14 task #2)") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    def slab(lo: Int, n: Int) =
+      (lo until lo + n).map(i => (i.toLong, s"row-$i")).toDF("id", "tag")
+    // two commits (one big, one small file), checkpoint, then a tail:
+    // another big + small pair, a masked delete, and a purge whose
+    // rewrite TOMBSTONES a checkpointed file — the candidate walk must
+    // see the tail files and must not resurrect the tombstoned one
+    Snapshots.commit(slab(0, 4000).coalesce(1), dir, "overwrite",
+      statsColumns = Seq("id"))
+    Snapshots.commit(slab(4000, 20).coalesce(1), dir, "append")
+    Snapshots.writeMetadataCheckpoint(spark, dir)
+    Snapshots.commit(slab(5000, 4000).coalesce(1), dir, "append")
+    Snapshots.commit(slab(9000, 30).coalesce(1), dir, "append")
+    Snapshots.deleteWhere(spark, dir, col("id") < 100L) // masks file 0
+    Snapshots.purgeDeletes(spark, dir) // rewrites it → tombstone
+    val v = Snapshots.latestVersion(spark, dir).get
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.files.forall(m.fileBytes.contains), "accounting-complete")
+    val sizes = m.files.map(m.fileBytes)
+    val minBytes = (sizes.min + sizes.max) / 2
+    val expected = m.files.filter(rel => m.fileBytes(rel) < minBytes).toSet
+    assert(expected.nonEmpty && expected.size < m.files.size,
+      "the fixture needs both small and large files")
+    val got = Snapshots.smallCandidatesCheckpointed(spark, dir, v, minBytes)
+      .getOrElse(fail("a covering checkpoint exists — must plan through it"))
+    assert(got.keySet === expected,
+      "checkpoint-planned candidates must equal the driver ledger walk")
+    assert(got.forall { case (rel, sz) => m.fileBytes(rel) == sz },
+      "candidate sizes must be the ledger's")
+    // end to end: the wired compactSmall (which plans through the
+    // checkpoint here) folds exactly those candidates, result-invisibly
+    val before = Snapshots.readVersion(spark, dir).count()
+    val v2 = Snapshots.compactSmall(spark, dir, minBytes)
+    assert(v2 === v + 1)
+    val m2 = Snapshots.readManifest(spark, dir, v2)
+    assert(m2.files.count(expected) === 0, "smalls folded away")
+    assert(m.files.filterNot(expected).forall(m2.files.contains),
+      "larges carried by reference")
+    assert(Snapshots.readVersion(spark, dir).count() === before)
+  }
+
+  test("IN-lists past the probe-key budget degrade to bucket-only " +
+    "pruning on BOTH planners: decisions stay identical, results stay " +
+    "exact, and no O(keys)-per-file verdict is built (VERDICT r14 " +
+    "task #7)") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // bucketed on k with per-APPEND-tight v ranges (the bucketed write
+    // shuffles on the bucket id, so tight v stats need one commit per
+    // range): every file carries a bucket id AND a prunable v stat +
+    // bloom — the budget must shed the stats/bloom legs while bucket
+    // pruning (bounded wanted-set) survives any key count
+    def slab(i: Int) = (i * 100 until (i + 1) * 100)
+      .map(j => (j.toLong, j.toLong * 10)).toDF("k", "v")
+    (0 until 4).foreach { i =>
+      Snapshots.commit(slab(i), dir,
+        if (i == 0) "overwrite" else "append",
+        bucketBy = Some(("k", 4)), statsColumns = Seq("v"),
+        bloomColumns = Seq("v"))
+    }
+    val v0 = Snapshots.latestVersion(spark, dir).get
+    Snapshots.writeMetadataCheckpoint(spark, dir, Some(v0))
+    val m = Snapshots.readManifest(spark, dir, v0)
+    assert(m.files.size === 16)
+    // five keys inside slab 1's v-range
+    val probeV: Seq[Any] = Seq(100L, 110L, 120L, 130L, 140L).map(_ * 10)
+    // under budget (default 1000): the v-stats really prune
+    val under = Snapshots.pruneForKeys(spark, m, m.files, "v", probeV)
+    assert(under.size < m.files.size, "stats must prune under budget")
+    assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v0),
+      "v", probeV) === under.sorted)
+    spark.conf.set("graft.probe.maxKeys", "4")
+    try {
+      // over budget: v is unbucketed, so its conjunct keeps EVERY file
+      // (conservative) — on both planners, identically
+      val over = Snapshots.pruneForKeys(spark, m, m.files, "v", probeV)
+      assert(over === m.files,
+        "over-budget stats/bloom legs must keep every file")
+      assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v0),
+        "v", probeV) === over.toSeq.sorted)
+      // the bucket leg survives the budget: an over-budget probe on
+      // the bucket key prunes exactly what it prunes under budget
+      // (k carries no stats/bloom here, so under-budget IS bucket-only)
+      val probeK: Seq[Any] = Seq(0L, 25L, 150L, 275L, 399L)
+      val kOver = Snapshots.pruneForKeys(spark, m, m.files, "k", probeK)
+      assert(Snapshots.pruneFilesCheckpointedKeys(spark, dir, Some(v0),
+        "k", probeK) === kOver.sorted)
+      spark.conf.unset("graft.probe.maxKeys")
+      val kUnder = Snapshots.pruneForKeys(spark, m, m.files, "k", probeK)
+      spark.conf.set("graft.probe.maxKeys", "4")
+      assert(kOver === kUnder,
+        "bucket pruning must be budget-invariant")
+      // results stay exact either way (the row filter owns exactness)
+      assert(Snapshots.readVersionCheckpointedKeys(
+        spark, dir, "v", probeV, Some(v0)).count() === 5L)
+      assert(Snapshots.readVersionCheckpointedKeys(
+        spark, dir, "k", probeK, Some(v0)).count() === 5L)
+    } finally spark.conf.unset("graft.probe.maxKeys")
+  }
+
   test("the decimal unscaled decode is gated on the manifest feature " +
     "marker: a pre-rules manifest keeps every file on both paths, an " +
     "append cannot launder the marker in, a full rewrite restores it " +
