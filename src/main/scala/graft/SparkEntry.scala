@@ -143,6 +143,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u49CkptCompositeLookup _),
     "u50_ckpt_mixed_probe" ->
       (graft.sources.DemoFixtures.u50CkptMixedProbe _),
+    "u51_bucket_join" ->
+      (graft.sources.DemoFixtures.u51BucketJoin _),
     "u52_stat_repairs" ->
       (graft.sources.DemoFixtures.u52StatRepairs _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
@@ -1117,6 +1119,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WHERE o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
         |  AND o_custkey = pk""".stripMargin,
+    // u51 oracle: the storage-partitioned fact⋈fact join replayed
+    // relationally (rows must equal a planner-shuffled join exactly);
+    // shuffle_free_join = 1 pins that the executed join plan carried
+    // zero Exchange nodes
+    "u51_bucket_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS shuffle_free_join
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // u52 oracle: the ANALYZE/INVALIDATE repair protocol replayed
     // relationally — three identical range aggregates (leg 0 =
     // stat-less, leg 1 = after the analyzeStats backfill, leg 2 =

@@ -1224,6 +1224,42 @@ object DemoFixtures {
       .orderBy("scope", "o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u51_bucket_join`): the storage-partitioned
+    * (shuffle-free) fact⋈fact join (VERDICT r14 task #3) — lineitem
+    * hash-clustered on l_orderkey and orders on o_orderkey with the
+    * same bucket count, joined by
+    * [[Snapshots.bucketAlignedJoin]]: per-bucket zip + in-task hash
+    * join, ZERO `Exchange` anywhere in the join's executed plan
+    * (`shuffle_free_join` pins it through the oracle; at 100 TB this
+    * is the single biggest avoidable cost of the join — both sides'
+    * full-table shuffles). The per-status rollup above it shuffles
+    * normally (tiny — post-join aggregates); the oracle replays the
+    * whole join relationally, so the compare proves the aligned
+    * placement produced exactly the shuffled join's rows.
+    */
+  def u51BucketJoin(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create("graft-spj-lineitem")
+    val rhs = graft.TempDirs.create("graft-spj-orders")
+    Snapshots.commit(graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)))
+    Snapshots.commit(graft.Tables.orders(s, d), rhs, "overwrite",
+      bucketBy = Some(("o_orderkey", 8)))
+    val joined = Snapshots.bucketAlignedJoin(
+      s, lhs, rhs, "l_orderkey", "o_orderkey")
+    val witness =
+      if (!joined.queryExecution.executedPlan.toString.contains("Exchange")) 1
+      else 0
+    joined.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("shuffle_free_join", lit(witness).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Demo + oracle entry (`u52_stat_repairs`): the ANALYZE/INVALIDATE
     * repair family under the driver's hash gate (VERDICT r14 task
     * #6). Protocol: orders range-laid into 8 files with NO recorded

@@ -38,6 +38,20 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** A batch DataFrame over an RDD of InternalRows (the private[sql]
+    * `internalCreateDataFrame`) — what a zero-shuffle operator that
+    * composed its result RDD outside the planner (e.g. the
+    * bucket-aligned join's per-bucket zip) uses to re-enter the
+    * Dataset API without a Row round-trip.
+    */
+  def internalFrame(spark: org.apache.spark.sql.SparkSession,
+                    rdd: org.apache.spark.rdd.RDD[
+                      org.apache.spark.sql.catalyst.InternalRow],
+                    schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** The PRUNABLE CONJUNCTS of a predicate Column, as neutral hints
     * `(op, columnName, values)` with op ∈ {"=", "in", ">=", "<="}
     * normalized to column-on-the-left semantics (strict comparisons
