@@ -143,7 +143,15 @@ object ScaleSmoke {
       // u50 = range ∧ key mixed probe (same fixture; the window's
       // stats conjunct and the key's bucket conjunct both evaluate in
       // the planning job — warm cost is planning-bound like u47/u49)
-      "u50_ckpt_mixed_probe")
+      "u50_ckpt_mixed_probe",
+      // round-15: u51 = storage-partitioned join (the two bucketed
+      // commits are the linear parts; the join itself moves ZERO
+      // bytes over the network — per-bucket zip, so its cost tracks
+      // the scan of both sides, shuffle-free at any scale), u52 =
+      // stat-repair protocol (the range-laid commit is the linear
+      // part; each repair is one metadata commit whose footer/sketch
+      // reads cover only the files missing entries)
+      "u51_bucket_join", "u52_stat_repairs")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
@@ -183,6 +191,15 @@ object ScaleSmoke {
       replicate(orders, "o_orderkey", (df, _) => df)
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+    // lineitem replicates with the SAME key offset as orders, so each
+    // replica's fact⋈fact join (u51) matches exactly like the base
+    // corpus — K× rows on both sides, per-key fan-out preserved
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      replicate(li, "l_orderkey", (df, _) => df)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
     // customer copies VERBATIM (o_custkey is untouched by replication):
     // the fact side grows K× against a fixed dimension — the exact

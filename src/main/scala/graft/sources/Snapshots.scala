@@ -2943,14 +2943,19 @@ object Snapshots {
         scala.collection.mutable.ArrayBuffer[
           org.apache.spark.sql.catalyst.InternalRow]]()
       ri.foreach { r =>
-        val k = r.get(rIdx, kt)
+        // copy FIRST, key from the copy: an UnsafeRow's buffer is
+        // reused by the producing iterator, and a key extracted from
+        // it (e.g. a UTF8String view) would silently mutate under the
+        // map once the iterator advances
+        val rc = r.copy()
+        val k = rc.get(rIdx, kt)
         var buf = byKey.get(k)
         if (buf == null) {
           buf = scala.collection.mutable.ArrayBuffer
             .empty[org.apache.spark.sql.catalyst.InternalRow]
           byKey.put(k, buf)
         }
-        buf += r.copy()
+        buf += rc
       }
       val joinedRow = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val project = org.apache.spark.sql.catalyst.expressions

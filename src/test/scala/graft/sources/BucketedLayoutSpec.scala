@@ -225,4 +225,41 @@ class BucketedLayoutSpec extends SparkSpec {
       Snapshots.bucketAlignedJoin(spark, plain, rhs, "id", "rid")
     }
   }
+
+  test("randomized bucketAlignedJoin parity: string keys, skewed and " +
+    "empty buckets, masks, clones — rows always equal the shuffled join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 3).foreach { trial =>
+      val n = 4 + rnd.nextInt(5) // 4..8 buckets
+      val lhs = freshDir()
+      val rhs = freshDir()
+      // skew: key space deliberately tiny sometimes (empty buckets,
+      // hot keys), string-typed to exercise UTF8String hashing
+      val keySpace = 3 + rnd.nextInt(40)
+      def key() = s"k-${rnd.nextInt(keySpace)}"
+      val left = (0 until 200 + rnd.nextInt(400))
+        .map(i => (key(), i)).toDF("lk", "lv")
+      val right = (0 until 100 + rnd.nextInt(200))
+        .map(i => (key(), i * 2)).toDF("rk", "rv")
+      Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("lk", n)))
+      Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rk", n)))
+      if (rnd.nextBoolean()) // masks on a random side
+        Snapshots.deleteWhere(spark, rhs, col("rv") % 3 === 0)
+      // a shallow clone must join exactly like its source (borrowed
+      // refs carry the bucket mapping)
+      val leftDir = if (rnd.nextBoolean()) {
+        val c = freshDir(); Snapshots.cloneShallow(spark, lhs, c); c
+      } else lhs
+      val joined = Snapshots.bucketAlignedJoin(
+        spark, leftDir, rhs, "lk", "rk")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      val expect = Snapshots.readVersion(spark, leftDir)
+        .join(Snapshots.readVersion(spark, rhs), col("lk") === col("rk"))
+      assert(joined.count() === expect.count(), s"trial $trial count")
+      assert(joined.exceptAll(expect).isEmpty &&
+        expect.exceptAll(joined).isEmpty, s"trial $trial rows")
+    }
+  }
 }
