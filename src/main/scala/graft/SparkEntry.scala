@@ -147,6 +147,10 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u51BucketJoin _),
     "u52_stat_repairs" ->
       (graft.sources.DemoFixtures.u52StatRepairs _),
+    "u53_bucket_join_family" ->
+      (graft.sources.DemoFixtures.u53BucketJoinFamily _),
+    "u54_join_pruning" ->
+      (graft.sources.DemoFixtures.u54JoinPruning _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1151,6 +1155,38 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 5, 1
         |FROM orders WHERE (o_orderkey % 1000) BETWEEN 100 AND 200
         |ORDER BY leg""".stripMargin,
+    // u53 oracle: the storage-partitioned join's outer/semi/anti
+    // types replayed relationally — the LEFT JOIN rollup (unmatched
+    // lineitems under ~none~), plus semi/anti counts as IN / NOT IN
+    // scalars; shuffle_free_join = 1 pins zero Exchange in all three
+    // executed join plans
+    "u53_bucket_join_family" ->
+      """WITH sub AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(o_orderstatus, '~none~') AS status,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM sub)) AS n_semi,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM sub)) AS n_anti,
+        |  1 AS shuffle_free_join
+        |FROM lineitem LEFT JOIN sub ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u54 oracle: the dynamic-file-pruning join replayed relationally
+    // (rows must equal the planner's own join exactly — pruning is a
+    // scan reducer, never the filter); files_pruned = 1 pins that the
+    // pruned plan touched strictly fewer fact files than the table
+    // holds, fallback_parity = 1 pins that the over-budget degrade
+    // read the full table and produced identical rows
+    "u54_join_pruning" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  1 AS files_pruned, 1 AS fallback_parity
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey IN (1, 5, 9)""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1328,4 +1328,114 @@ object DemoFixtures {
       .withColumn("repairs_ok", lit(repairsOk).cast("int"))
       .orderBy("leg")
   }
+
+  /** Demo + oracle entry (`u53_bucket_join_family`): the
+    * storage-partitioned join's OUTER/SEMI/ANTI types — the r15
+    * extension of [[Snapshots.bucketAlignedJoin]] past u51's inner
+    * join. Orders is committed FILTERED to `o_orderkey % 3 = 0` so a
+    * real unmatched-left population exists: the left-outer rollup
+    * groups unmatched lineitems under `~none~` (NULL right columns),
+    * `n_semi`/`n_anti` replay the left_semi / left_anti joins as
+    * scalar witnesses (semi emits each matched row once, anti the
+    * complement — they must sum to the lineitem count), and
+    * `shuffle_free_join` pins ZERO `Exchange` in ALL THREE executed
+    * join plans. The oracle replays every leg relationally (LEFT
+    * JOIN rollup + IN / NOT IN counts), so the compare proves the
+    * aligned placement reproduced Spark's own outer/semi/anti
+    * semantics exactly — at 100 TB these are the enrichment
+    * (fact LEFT JOIN fact), incremental-filter (semi) and
+    * "not-yet-processed" (anti) shapes, each with both full-table
+    * shuffles elided.
+    */
+  def u53BucketJoinFamily(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create("graft-spjf-lineitem")
+    val rhs = graft.TempDirs.create("graft-spjf-orders")
+    Snapshots.commit(graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)))
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      rhs, "overwrite", bucketBy = Some(("o_orderkey", 8)))
+    def aligned(jt: String) = Snapshots.bucketAlignedJoin(
+      s, lhs, rhs, "l_orderkey", "o_orderkey", joinType = jt)
+    val outer = aligned("left_outer")
+    val semi = aligned("left_semi")
+    val anti = aligned("left_anti")
+    val witness =
+      if (Seq(outer, semi, anti).forall(df =>
+        !df.queryExecution.executedPlan.toString.contains("Exchange"))) 1
+      else 0
+    val nSemi = semi.count()
+    val nAnti = anti.count()
+    outer.groupBy(coalesce(col("o_orderstatus"), lit("~none~")).as("status"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("n_semi", lit(nSemi))
+      .withColumn("n_anti", lit(nAnti))
+      .withColumn("shuffle_free_join", lit(witness).cast("int"))
+      .orderBy("status")
+  }
+
+  /** Demo + oracle entry (`u54_join_pruning`): DYNAMIC (join-driven)
+    * file pruning — [[Snapshots.joinFilePruned]]. Orders
+    * hash-clustered on `o_custkey` (16 buckets) with a metadata
+    * checkpoint; the dim side is customer filtered to three keys
+    * KNOWN ONLY AT RUN TIME (no static fact predicate exists for the
+    * planner to push). The operator runs the dim first, plans the
+    * fact read from its collected keys through the checkpoint
+    * planning job, and broadcast-joins — `files_pruned` pins that
+    * the joined plan touched STRICTLY FEWER fact files than the
+    * table holds (≤3 of 16 buckets by placement). `fallback_parity`
+    * re-runs the same join with `graft.probe.maxKeys = 2` — over
+    * budget, the operator must degrade to the full snapshot read
+    * with identical rows (pruning is a scan reducer, never the
+    * filter). The oracle replays the join relationally. The 100 TB
+    * story: "join today's dim slice" stops scanning the fact table —
+    * the dim's keys prune at planning time, exactly Delta's dynamic
+    * file pruning, served here from the checkpoint in O(segments +
+    * tail) driver work.
+    */
+  def u54JoinPruning(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val factDir = graft.TempDirs.create("graft-dfp-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      factDir, "overwrite", bucketBy = Some(("o_custkey", 16)))
+    Snapshots.writeMetadataCheckpoint(s, factDir)
+    val dim = graft.Tables.customer(s, d)
+      .filter(col("c_custkey").isin(1L, 5L, 9L))
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = Snapshots.joinFilePruned(
+      s, factDir, "o_custkey", dim, "c_custkey")
+    val factName = new org.apache.hadoop.fs.Path(factDir).getName
+    val totalFiles = Snapshots.readManifest(s, factDir, 0L).files.size
+    val scanned = joined.inputFiles.count(_.contains(factName))
+    val filesPruned = if (scanned < totalFiles) 1 else 0
+    val n = joined.count()
+    // over-budget leg: 3 keys > maxKeys=2 must degrade to the full
+    // snapshot read and still produce exactly the same rows
+    val before = s.conf.getOption("graft.probe.maxKeys")
+    val (nFull, scannedFull) =
+      try {
+        s.conf.set("graft.probe.maxKeys", "2")
+        val full = Snapshots.joinFilePruned(
+          s, factDir, "o_custkey", dim, "c_custkey")
+        (full.count(), full.inputFiles.count(_.contains(factName)))
+      } finally before match {
+        case Some(v) => s.conf.set("graft.probe.maxKeys", v)
+        case None    => s.conf.unset("graft.probe.maxKeys")
+      }
+    val fallbackParity =
+      if (nFull == n && scannedFull == totalFiles) 1 else 0
+    joined.agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total"))
+      .withColumn("files_pruned", lit(filesPruned).cast("int"))
+      .withColumn("fallback_parity", lit(fallbackParity).cast("int"))
+  }
 }

@@ -2851,9 +2851,16 @@ object Snapshots {
     * (BucketedLayoutSpec pins it), network cost zero, wall-clock =
     * the largest bucket pair.
     *
-    * Semantics: INNER equi-join, SQL NULL never matches (both sides
-    * filter `key IS NOT NULL`, pushed into the parquet scans); output
-    * columns = left schema ++ right schema (both key columns kept).
+    * Semantics: equi-join with `joinType` inner (default), left_outer,
+    * left_semi or left_anti — all with SQL NULL never matching
+    * (`key IS NOT NULL` pushed into every scan that may drop the row:
+    * both sides for inner/semi, the right side only for outer/anti,
+    * whose NULL-key left rows are output — with NULL right columns,
+    * resp. kept as never-matching survivors, exactly Spark's own
+    * semantics for these types). Output columns: left ++ right for
+    * inner/left_outer (right columns nullable for outer), left schema
+    * only for semi/anti; semi emits a matched row ONCE regardless of
+    * match multiplicity. Right-ish joins: swap the sides.
     * Refused: unbucketed sides, mismatched bucket counts, a key that
     * is not the side's bucket key, unclustered files (appends since
     * the last re-cluster — run [[compactBucketed]] first; placing
@@ -2875,8 +2882,18 @@ object Snapshots {
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
                         leftVersion: Option[Long] = None,
-                        rightVersion: Option[Long] = None): DataFrame = {
+                        rightVersion: Option[Long] = None,
+                        joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val jt = joinType.toLowerCase.replace("_", "") match {
+      case "left" | "leftouter" => "leftouter"
+      case "leftsemi" | "semi"  => "leftsemi"
+      case "leftanti" | "anti"  => "leftanti"
+      case "inner"              => "inner"
+      case other => throw new IllegalArgumentException(
+        s"unsupported joinType '$other' (inner, left_outer, left_semi, " +
+          "left_anti; for right-ish joins swap the sides)")
+    }
     val lm = resolveForRead(spark, leftDir, leftVersion)
     val rm = resolveForRead(spark, rightDir, rightVersion)
     def bucketsOf(m: Manifest, dir: String, key: String): Int = {
@@ -2910,10 +2927,16 @@ object Snapshots {
       "float/double join keys are not supported (±0.0/NaN equality)")
     // one single-partition RDD per bucket id, unioned in bucket order:
     // partition i of each union IS bucket i (empty buckets get an
-    // explicit one-empty-partition RDD so alignment never slips)
+    // explicit one-empty-partition RDD so alignment never slips).
+    // NULL join keys never match, so both sides push `key IS NOT
+    // NULL` into their scans — EXCEPT the left side of leftouter /
+    // leftanti, whose NULL-key rows are output (with NULL right
+    // columns, resp. as never-matching survivors); they sit in the
+    // bucket pmod(xxhash64(NULL), n) assigns (the hash of a NULL
+    // input is the seed), so the per-bucket read still sees them.
     def sideRdd(dir: String, m: Manifest,
                 schema: org.apache.spark.sql.types.StructType, key: String,
-                n: Int): org.apache.spark.rdd.RDD[
+                n: Int, dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
                   org.apache.spark.sql.catalyst.InternalRow] = {
       val byBucket = m.files.groupBy(m.buckets)
       spark.sparkContext.union((0 until n).map { b =>
@@ -2921,21 +2944,31 @@ object Snapshots {
           case None => spark.sparkContext.parallelize(
             Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
           case Some(files) =>
-            readFiles(spark, dir, m, files)
-              .filter(col(s"`$key`").isNotNull)
+            val base = readFiles(spark, dir, m, files)
+            (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull) else base)
               .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
               .coalesce(1)
               .queryExecution.toRdd
         }
       })
     }
-    val left = sideRdd(leftDir, lm, lSchema, leftKey, ln)
-    val right = sideRdd(rightDir, rm, rSchema, rightKey, rn)
-    val outSchema =
-      org.apache.spark.sql.types.StructType(lSchema.fields ++ rSchema.fields)
+    val keepLeftNulls = jt == "leftouter" || jt == "leftanti"
+    val left = sideRdd(leftDir, lm, lSchema, leftKey, ln, !keepLeftNulls)
+    val right = sideRdd(rightDir, rm, rSchema, rightKey, rn,
+      dropNullKeys = true)
+    // leftouter's right columns are NULL for unmatched rows whatever
+    // the parquet schema said; semi/anti output the left schema only
+    val outSchema = jt match {
+      case "leftsemi" | "leftanti" => lSchema
+      case "leftouter" => org.apache.spark.sql.types.StructType(
+        lSchema.fields ++ rSchema.fields.map(_.copy(nullable = true)))
+      case _ =>
+        org.apache.spark.sql.types.StructType(lSchema.fields ++ rSchema.fields)
+    }
     val lIdx = lSchema.fieldIndex(leftKey)
     val rIdx = rSchema.fieldIndex(rightKey)
     val kt = keyType
+    val rWidth = rSchema.length
     val joined = left.zipPartitions(right) { (li, ri) =>
       // in-task hash join: build on the right bucket (copy — unsafe
       // rows are reused by the producing iterator), stream the left
@@ -2957,21 +2990,100 @@ object Snapshots {
         }
         buf += rc
       }
-      val joinedRow = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      val project = org.apache.spark.sql.catalyst.expressions
-        .UnsafeProjection.create(outSchema)
-      li.flatMap { l =>
-        val matches = byKey.get(l.get(lIdx, kt))
-        if (matches == null) Iterator.empty
-        else {
-          val lc = l.copy()
-          matches.iterator.map(r => project(joinedRow(lc, r))
-            : org.apache.spark.sql.catalyst.InternalRow)
-        }
+      jt match {
+        case "leftsemi" =>
+          // ≥1 match emits the left row ONCE (never duplicated by
+          // match multiplicity); a NULL key never matches
+          li.filter { l =>
+            val k = l.get(lIdx, kt)
+            k != null && byKey.get(k) != null
+          }
+        case "leftanti" =>
+          // zero matches emits the row; a NULL key matches nothing,
+          // so it survives (Spark/SQL left_anti on an equi-condition)
+          li.filter { l =>
+            val k = l.get(lIdx, kt)
+            k == null || byKey.get(k) == null
+          }
+        case _ =>
+          val joinedRow =
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          val project = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(outSchema)
+          val nullRight = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(rWidth)
+          val outer = jt == "leftouter"
+          li.flatMap { l =>
+            val k = l.get(lIdx, kt)
+            val matches = if (k == null) null else byKey.get(k)
+            if (matches == null) {
+              if (outer)
+                Iterator.single(project(joinedRow(l, nullRight))
+                  : org.apache.spark.sql.catalyst.InternalRow)
+              else Iterator.empty
+            } else {
+              val lc = l.copy()
+              matches.iterator.map(r => project(joinedRow(lc, r))
+                : org.apache.spark.sql.catalyst.InternalRow)
+            }
+          }
       }
     }
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
       spark, joined, outSchema)
+  }
+
+  /** DYNAMIC (join-driven) FILE PRUNING — the Delta/Photon
+    * "dynamic file pruning" shape for a fact⋈dim join whose dim-side
+    * predicate is only known at run time: no static filter on the
+    * fact table exists, so a planner-only join scans EVERY fact file
+    * even though the dim side selects a handful of keys. This
+    * operator runs the (small, already-filtered) `dim` plan FIRST,
+    * collects its distinct non-null join keys up to
+    * [[probeKeyBudget]], plans the fact read from exactly those keys
+    * — bucket ∧ stats ∧ bloom per-file verdicts, through the
+    * metadata-checkpoint planning job when one covers the version
+    * ([[readVersionCheckpointedKeys]]: O(segments + tail) driver
+    * work) and the manifest pruner otherwise — then broadcast-joins
+    * the pruned fact scan to the dim rows. At 100 TB this turns
+    * "join the day's 10-key dim slice" from a full-table scan into a
+    * ≤10-bucket read; the key-list collect is bounded by the same
+    * budget the serving planner enforces ([[probeKeyBudget]],
+    * `graft.probe.maxKeys`), and an over-budget dim degrades to the
+    * full snapshot read with an ordinary planner join — exact either
+    * way, pruning is only ever a scan reducer.
+    *
+    * Semantics: INNER equi-join on `factKey = dimKey`, SQL NULL never
+    * matches (dim NULL keys are dropped before the collect; a fact
+    * NULL key equals nothing); output columns = fact schema ++ dim
+    * columns, Spark's own join-output shape. An empty (or all-NULL)
+    * dim serves the schema'd empty frame without touching a fact
+    * data file.
+    */
+  def joinFilePruned(spark: SparkSession, factDir: String, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val budget = probeKeyBudget(spark)
+    // budget+1 caps the collect — overflow is detected without ever
+    // materializing a huge key set on the driver
+    val keyRows = dim.select(col(s"`$dimKey`"))
+      .filter(col(s"`$dimKey`").isNotNull)
+      .distinct().limit(budget + 1).collect()
+    val keys: Seq[Any] = keyRows.iterator.map(_.get(0)).toSeq
+    val fact =
+      if (keys.isEmpty) readVersion(spark, factDir, version).limit(0)
+      else if (keys.size > budget) readVersion(spark, factDir, version)
+      else {
+        val f = fs(spark, factDir)
+        val v = version.orElse(latestLiveVersion(spark, factDir)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $factDir"))
+        if (newestCheckpointAtOrBefore(f, factDir, v).isDefined)
+          readVersionCheckpointedKeys(spark, factDir, factKey, keys, Some(v))
+        else readVersionKeys(spark, factDir, factKey, keys, Some(v))
+      }
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "inner")
   }
 
   /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —

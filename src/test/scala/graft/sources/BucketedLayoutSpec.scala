@@ -262,4 +262,119 @@ class BucketedLayoutSpec extends SparkSpec {
         expect.exceptAll(joined).isEmpty, s"trial $trial rows")
     }
   }
+
+  test("bucketAlignedJoin outer/semi/anti: shuffle-free plans, rows equal " +
+    "Spark's own join types, NULL-key left rows kept for outer/anti " +
+    "and dropped for semi (r15)") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // left: ids 0..499 ×2 rows each, plus TWO NULL-key rows; right:
+    // every third id only (real unmatched population) plus a NULL key
+    val left = ((0 until 500).flatMap(i =>
+      Seq((i.toLong, s"a-$i"), (i.toLong, s"b-$i"))) ++
+        Seq((-1L, "null-1"), (-1L, "null-2")))
+      .toDF("id", "ltag")
+      .select(when(col("id") === -1L, lit(null).cast("long"))
+        .otherwise(col("id")).as("id"), col("ltag"))
+    val right = ((0 until 500 by 3).map(i => (i.toLong, i * 10)) :+
+        ((-1L, -1)))
+      .toDF("rid", "score")
+      .select(when(col("rid") === -1L, lit(null).cast("long"))
+        .otherwise(col("rid")).as("rid"), col("score"))
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("id", 8)))
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rid", 8)))
+    // dv masks must hold for every join type (a masked right row is
+    // NOT a match: its left rows must fall out of semi and INTO anti)
+    Snapshots.deleteWhere(spark, rhs, col("rid") % 30 === 0)
+    val lv = Snapshots.readVersion(spark, lhs)
+    val rv = Snapshots.readVersion(spark, rhs)
+    for (jt <- Seq("left_outer", "left_semi", "left_anti", "inner")) {
+      val aligned = Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "id", "rid", joinType = jt)
+      val plan = aligned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$jt must stay shuffle-free:\n$plan")
+      val expect = lv.join(rv, col("id") === col("rid"), jt)
+      assert(aligned.count() === expect.count(), s"$jt count")
+      assert(aligned.exceptAll(expect).isEmpty &&
+        expect.exceptAll(aligned).isEmpty,
+        s"$jt rows must equal Spark's own $jt join")
+    }
+    // NULL-key placement: outer emits both null-key rows with NULL
+    // right columns, anti keeps them, semi/inner drop them
+    val outer = Snapshots.bucketAlignedJoin(
+      spark, lhs, rhs, "id", "rid", joinType = "left")
+    assert(outer.where(col("id").isNull).count() === 2L)
+    assert(outer.where(col("id").isNull && col("score").isNotNull)
+      .count() === 0L)
+    val anti = Snapshots.bucketAlignedJoin(
+      spark, lhs, rhs, "id", "rid", joinType = "anti")
+    assert(anti.where(col("id").isNull).count() === 2L)
+    assert(anti.columns.toSeq === Seq("id", "ltag"),
+      "anti output is the left schema only")
+    val semi = Snapshots.bucketAlignedJoin(
+      spark, lhs, rhs, "id", "rid", joinType = "semi")
+    assert(semi.where(col("id").isNull).count() === 0L)
+    // semi emits a matched row once however many right matches exist
+    assert(semi.count() ===
+      lv.join(rv, col("id") === col("rid"), "left_semi").count())
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "id", "rid", joinType = "full_outer")
+    }
+  }
+
+  test("joinFilePruned: dim keys prune the fact scan (checkpoint and " +
+    "manifest paths), over-budget degrades to the full read with " +
+    "identical rows, empty dim is empty (r15)") {
+    val s = spark
+    import s.implicits._
+    val factDir = freshDir()
+    val fact = (0 until 2000).map(i => (i.toLong, (i % 100).toLong, i * 1.5))
+      .toDF("oid", "ck", "amt")
+    Snapshots.commit(fact, factDir, "overwrite", bucketBy = Some(("ck", 16)))
+    val factName = new org.apache.hadoop.fs.Path(factDir).getName
+    val total = Snapshots.readManifest(spark, factDir, 0L).files.size
+    val dim = Seq((3L, "a"), (7L, "b"), (3L, "dup")).toDF("dk", "tag")
+    def runAndCheck(): Unit = {
+      val joined = Snapshots.joinFilePruned(
+        spark, factDir, "ck", dim, "dk")
+      val expect = Snapshots.readVersion(spark, factDir)
+        .join(dim, col("ck") === col("dk"))
+      assert(joined.count() === expect.count())
+      assert(joined.exceptAll(expect).isEmpty &&
+        expect.exceptAll(joined).isEmpty)
+      assert(joined.inputFiles.count(_.contains(factName)) < total,
+        "the dim's keys must prune the fact scan")
+    }
+    runAndCheck() // manifest path (no checkpoint yet)
+    Snapshots.writeMetadataCheckpoint(spark, factDir)
+    runAndCheck() // checkpoint path — same decisions, same rows
+    // over budget: full scan, identical rows
+    spark.conf.set("graft.probe.maxKeys", "1")
+    try {
+      val full = Snapshots.joinFilePruned(spark, factDir, "ck", dim, "dk")
+      assert(full.inputFiles.count(_.contains(factName)) === total,
+        "over-budget must degrade to the full snapshot read")
+      val expect = Snapshots.readVersion(spark, factDir)
+        .join(dim, col("ck") === col("dk"))
+      assert(full.exceptAll(expect).isEmpty &&
+        expect.exceptAll(full).isEmpty)
+    } finally spark.conf.unset("graft.probe.maxKeys")
+    // NULL dim keys never match and never reach the planner; an
+    // empty/all-NULL dim serves the schema'd empty frame
+    val nullDim = Seq((Option.empty[Long], "x"), (Some(3L), "y"))
+      .toDF("dk", "tag")
+    val withNull = Snapshots.joinFilePruned(
+      spark, factDir, "ck", nullDim, "dk")
+    assert(withNull.where(col("ck").isNull).count() === 0L)
+    assert(withNull.count() === 20L * 1) // ck=3 has 20 fact rows × 1 row
+    val emptyDim = Seq(Option.empty[Long]).toDF("dk")
+      .withColumn("tag", lit("z"))
+    val empty = Snapshots.joinFilePruned(
+      spark, factDir, "ck", emptyDim, "dk")
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("ck") && empty.columns.contains("dk"))
+  }
 }
