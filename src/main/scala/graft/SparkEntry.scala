@@ -1172,7 +1172,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |   WHERE l_orderkey IN (SELECT o_orderkey FROM sub)) AS n_semi,
         |  (SELECT COUNT(*) FROM lineitem
         |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM sub)) AS n_anti,
-        |  1 AS shuffle_free_join
+        |  1 AS shuffle_free_join, 1 AS merge_parity
         |FROM lineitem LEFT JOIN sub ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // u54 oracle: the dynamic-file-pruning join replayed relationally

@@ -78,6 +78,22 @@ object DemoFixtures {
     dir
   }
 
+  /** Lineitem (key + the two measure columns the join demos roll up)
+    * hash-clustered on `l_orderkey` (8 buckets) — the shared LEFT
+    * side of the storage-partitioned-join demos (u51/u53). Both are
+    * read-only joins, so they use the seed directly (no clone).
+    */
+  def bucketedLineitem8(s: SparkSession, d: String): String =
+    cache.getOrElseUpdate(s"bucketedLineitem8:$d", {
+      val dir = graft.TempDirs.create("graft-fixture-spj-lineitem")
+      Snapshots.commit(graft.Tables.lineitem(s, d)
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_quantity"),
+            org.apache.spark.sql.functions.col("l_extendedprice")),
+        dir, "overwrite", bucketBy = Some(("l_orderkey", 8)))
+      dir
+    })
+
   /** Orders as four residue-class bloom-indexed commits (u24's seed:
     * ingest locality, no stats, no clustering), forked via clone
     * (per-file blooms ride it).
@@ -1240,11 +1256,8 @@ object DemoFixtures {
   def u51BucketJoin(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-spj-lineitem")
+    val lhs = bucketedLineitem8(s, d)
     val rhs = graft.TempDirs.create("graft-spj-orders")
-    Snapshots.commit(graft.Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
-      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)))
     Snapshots.commit(graft.Tables.orders(s, d), rhs, "overwrite",
       bucketBy = Some(("o_orderkey", 8)))
     val joined = Snapshots.bucketAlignedJoin(
@@ -1339,7 +1352,9 @@ object DemoFixtures {
     * scalar witnesses (semi emits each matched row once, anti the
     * complement — they must sum to the lineitem count), and
     * `shuffle_free_join` pins ZERO `Exchange` in ALL THREE executed
-    * join plans. The oracle replays every leg relationally (LEFT
+    * join plans, and `merge_parity` pins that the MERGE strategy
+    * (the memory-bounded sort-merge variant) reproduces the semi
+    * count shuffle-free. The oracle replays every leg relationally (LEFT
     * JOIN rollup + IN / NOT IN counts), so the compare proves the
     * aligned placement reproduced Spark's own outer/semi/anti
     * semantics exactly — at 100 TB these are the enrichment
@@ -1350,11 +1365,8 @@ object DemoFixtures {
   def u53BucketJoinFamily(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-spjf-lineitem")
+    val lhs = bucketedLineitem8(s, d)
     val rhs = graft.TempDirs.create("graft-spjf-orders")
-    Snapshots.commit(graft.Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice")),
-      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)))
     Snapshots.commit(graft.Tables.orders(s, d)
         .filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_orderstatus")),
@@ -1370,6 +1382,18 @@ object DemoFixtures {
       else 0
     val nSemi = semi.count()
     val nAnti = anti.count()
+    // the MERGE strategy (in-task spillable sort + streaming merge
+    // join, memory O(one equal-key group) instead of O(right bucket))
+    // must produce the same rows from the same layout, still with
+    // zero Exchange — replayed here on the semi leg
+    val semiMerge = Snapshots.bucketAlignedJoin(
+      s, lhs, rhs, "l_orderkey", "o_orderkey",
+      joinType = "left_semi", strategy = "merge")
+    val mergeParity =
+      if (semiMerge.count() == nSemi &&
+        !semiMerge.queryExecution.executedPlan.toString.contains("Exchange"))
+        1
+      else 0
     outer.groupBy(coalesce(col("o_orderstatus"), lit("~none~")).as("status"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -1377,6 +1401,7 @@ object DemoFixtures {
       .withColumn("n_semi", lit(nSemi))
       .withColumn("n_anti", lit(nAnti))
       .withColumn("shuffle_free_join", lit(witness).cast("int"))
+      .withColumn("merge_parity", lit(mergeParity).cast("int"))
       .orderBy("status")
   }
 

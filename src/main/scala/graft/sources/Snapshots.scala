@@ -2870,21 +2870,33 @@ object Snapshots {
     * normalization; real bucket keys are int/long/string/date).
     *
     * Scale contract (the same one Spark documents for its own
-    * storage-partitioned joins): the RIGHT side's bucket must fit an
-    * executor's memory (it is hash-built per task — pass the smaller
-    * table right), and skew is bounded by the bucket layout itself —
-    * numBuckets is the table-design-time knob; AQE cannot split a
-    * storage-aligned task, which is the documented trade-off of every
-    * SPJ. Each side still serves snapshot isolation (version-pinned
-    * manifests) and dv masks apply exactly.
+    * storage-partitioned joins): with `strategy = "hash"` the RIGHT
+    * side's bucket must fit an executor's memory (it is hash-built
+    * per task — pass the smaller table right); `strategy = "merge"`
+    * lifts that bound — both buckets in-task-sort (Spark's external,
+    * SPILLABLE sorter; still zero Exchange) and a streaming merge
+    * join holds only ONE equal-key group of the right side, so the
+    * memory bound drops from O(right bucket) to O(max duplicates per
+    * key). The default `strategy = "auto"` picks per join from the
+    * manifest BYTE LEDGER (`fileBytes` — no file is touched): merge
+    * when the largest right bucket exceeds `graft.spj.buildBytesMax`
+    * (default 256 MiB), hash otherwise; a ledger-less legacy right
+    * side stays hash (status quo). Skew is bounded by the bucket
+    * layout itself — numBuckets is the table-design-time knob; AQE
+    * cannot split a storage-aligned task, which is the documented
+    * trade-off of every SPJ. Each side still serves snapshot
+    * isolation (version-pinned manifests) and dv masks apply exactly.
     */
   def bucketAlignedJoin(spark: SparkSession,
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
                         leftVersion: Option[Long] = None,
                         rightVersion: Option[Long] = None,
-                        joinType: String = "inner"): DataFrame = {
+                        joinType: String = "inner",
+                        strategy: String = "auto"): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(Set("auto", "hash", "merge")(strategy.toLowerCase),
+      s"unsupported strategy '$strategy' (auto, hash, merge)")
     val jt = joinType.toLowerCase.replace("_", "") match {
       case "left" | "leftouter" => "leftouter"
       case "leftsemi" | "semi"  => "leftsemi"
@@ -2934,6 +2946,15 @@ object Snapshots {
     // columns, resp. as never-matching survivors); they sit in the
     // bucket pmod(xxhash64(NULL), n) assigns (the hash of a NULL
     // input is the seed), so the per-bucket read still sees them.
+    val useMerge = strategy.toLowerCase match {
+      case "merge" => true
+      case "hash"  => false
+      case _       => spjStrategy(spark, rm) == "merge"
+    }
+    // merge strategy: each bucket in-task-sorts on its key (Spark's
+    // external SPILLABLE sorter — a local Sort node, still zero
+    // Exchange), so the join streams both sides and holds only one
+    // equal-key group of the right in memory
     def sideRdd(dir: String, m: Manifest,
                 schema: org.apache.spark.sql.types.StructType, key: String,
                 n: Int, dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
@@ -2945,9 +2966,14 @@ object Snapshots {
             Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
           case Some(files) =>
             val base = readFiles(spark, dir, m, files)
-            (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull) else base)
-              .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
-              .coalesce(1)
+            val projected =
+              (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
+               else base)
+                .select(schema.fieldNames.toIndexedSeq
+                  .map(c => col(s"`$c`")): _*)
+                .coalesce(1)
+            (if (useMerge) projected.sortWithinPartitions(col(s"`$key`"))
+             else projected)
               .queryExecution.toRdd
         }
       })
@@ -2970,6 +2996,85 @@ object Snapshots {
     val kt = keyType
     val rWidth = rSchema.length
     val joined = left.zipPartitions(right) { (li, ri) =>
+      if (useMerge) {
+        // in-task MERGE join over the two sorted bucket streams: the
+        // right side is consumed strictly forward and only the
+        // CURRENT equal-key group is buffered (copied — the
+        // producing iterator reuses its row buffer), so memory is
+        // O(max duplicates per key), not O(right bucket). Both
+        // sides are sorted ascending nulls-first; the right has no
+        // NULL keys (filtered at the scan) and left NULL keys are
+        // adjudicated before any comparison, so the interpreted
+        // ordering only ever sees non-null values.
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(kt)
+        var rHead: org.apache.spark.sql.catalyst.InternalRow =
+          if (ri.hasNext) ri.next().copy() else null
+        var groupKey: Any = null
+        var group: scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.catalyst.InternalRow] = null
+        var groupLoaded = false
+        // the left stream's keys are monotone, so a repeated key
+        // reuses the cached group and a larger key advances the
+        // right stream — each right row is copied exactly once.
+        // `k` may be a view into the left iterator's reused buffer
+        // (UTF8String): groupKey stores a detached copy.
+        def copyKey(k: Any): Any = k match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+          case other => other
+        }
+        def loadGroup(k: Any): scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.catalyst.InternalRow] = {
+          if (groupLoaded && ord.equiv(groupKey, k)) return group
+          while (rHead != null && ord.lt(rHead.get(rIdx, kt), k))
+            rHead = if (ri.hasNext) ri.next().copy() else null
+          groupKey = copyKey(k)
+          groupLoaded = true
+          if (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
+            group = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.catalyst.InternalRow]
+            while (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
+              group += rHead
+              rHead = if (ri.hasNext) ri.next().copy() else null
+            }
+          } else group = null
+          group
+        }
+        jt match {
+          case "leftsemi" =>
+            li.filter { l =>
+              val k = l.get(lIdx, kt)
+              k != null && loadGroup(k) != null
+            }
+          case "leftanti" =>
+            li.filter { l =>
+              val k = l.get(lIdx, kt)
+              k == null || loadGroup(k) == null
+            }
+          case _ =>
+            val joinedRow =
+              new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            val project = org.apache.spark.sql.catalyst.expressions
+              .UnsafeProjection.create(outSchema)
+            val nullRight = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(rWidth)
+            val outer = jt == "leftouter"
+            li.flatMap { l =>
+              val k = l.get(lIdx, kt)
+              val matches = if (k == null) null else loadGroup(k)
+              if (matches == null) {
+                if (outer)
+                  Iterator.single(project(joinedRow(l, nullRight))
+                    : org.apache.spark.sql.catalyst.InternalRow)
+                else Iterator.empty
+              } else {
+                val lc = l.copy()
+                matches.iterator.map(r => project(joinedRow(lc, r))
+                  : org.apache.spark.sql.catalyst.InternalRow)
+              }
+            }
+        }
+      } else {
       // in-task hash join: build on the right bucket (copy — unsafe
       // rows are reused by the producing iterator), stream the left
       val byKey = new java.util.HashMap[Any,
@@ -3028,9 +3133,35 @@ object Snapshots {
             }
           }
       }
+      }
     }
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
       spark, joined, outSchema)
+  }
+
+  /** [[bucketAlignedJoin]]'s `strategy = "auto"` decision, a pure
+    * function of the BUILD side's manifest: "merge" when the largest
+    * right bucket's bytes (summed from the `fileBytes` ledger — no
+    * file is touched) exceed `graft.spj.buildBytesMax` (default
+    * 256 MiB, the hash build the task would otherwise hold), "hash"
+    * otherwise. A right side with ANY ledger-less file stays "hash" —
+    * unknown sizes must not silently change the execution strategy of
+    * a legacy table (merge is equally correct, but the conservative
+    * answer is the status quo).
+    */
+  private[sources] def spjStrategy(spark: SparkSession, rm: Manifest)
+      : String = {
+    val budget = scala.util.Try(spark.conf
+      .getOption("graft.spj.buildBytesMax").map(_.toLong))
+      .toOption.flatten.getOrElse(256L << 20)
+    if (!rm.files.forall(rm.fileBytes.contains)) "hash"
+    else {
+      val maxBucket = rm.files.groupBy(f => rm.buckets.getOrElse(f, -1))
+        .valuesIterator
+        .map(_.iterator.map(rm.fileBytes).sum)
+        .maxOption.getOrElse(0L)
+      if (maxBucket > budget) "merge" else "hash"
+    }
   }
 
   /** DYNAMIC (join-driven) FILE PRUNING — the Delta/Photon

@@ -253,7 +253,8 @@ class BucketedLayoutSpec extends SparkSpec {
         val c = freshDir(); Snapshots.cloneShallow(spark, lhs, c); c
       } else lhs
       val joined = Snapshots.bucketAlignedJoin(
-        spark, leftDir, rhs, "lk", "rk")
+        spark, leftDir, rhs, "lk", "rk",
+        strategy = if (rnd.nextBoolean()) "merge" else "hash")
       assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
       val expect = Snapshots.readVersion(spark, leftDir)
         .join(Snapshots.readVersion(spark, rhs), col("lk") === col("rk"))
@@ -322,6 +323,66 @@ class BucketedLayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.bucketAlignedJoin(
         spark, lhs, rhs, "id", "rid", joinType = "full_outer")
+    }
+  }
+
+  test("bucketAlignedJoin merge strategy: rows equal the hash strategy " +
+    "and Spark's own joins for all four types; auto picks from the " +
+    "byte ledger; still zero Exchange (r15)") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // string keys (the merge group key must be DETACHED from the
+    // iterator's reused UTF8String buffer), duplicates on BOTH sides
+    // (left dups reuse the cached group; right dups form multi-row
+    // groups), NULL keys on both, masks on the right
+    val left = ((0 until 300).map(i => (s"k-${i % 40}", i)) ++
+        Seq((null.asInstanceOf[String], -1),
+          (null.asInstanceOf[String], -2))).toDF("lk", "lv")
+    val right = ((0 until 150).map(i => (s"k-${i % 60}", i * 2)) :+
+        ((null.asInstanceOf[String], -3))).toDF("rk", "rv")
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("lk", 6)))
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rk", 6)))
+    Snapshots.deleteWhere(spark, rhs, col("rv") % 5 === 0)
+    val lv = Snapshots.readVersion(spark, lhs)
+    val rv = Snapshots.readVersion(spark, rhs)
+    for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
+      val merge = Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "lk", "rk", joinType = jt, strategy = "merge")
+      assert(!merge.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"$jt merge must stay shuffle-free")
+      val hash = Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "lk", "rk", joinType = jt, strategy = "hash")
+      assert(merge.count() === hash.count(), s"$jt strategy counts")
+      assert(merge.exceptAll(hash).isEmpty && hash.exceptAll(merge).isEmpty,
+        s"$jt merge rows must equal hash rows")
+      val expect = lv.join(rv, col("lk") === col("rk"), jt)
+      assert(merge.exceptAll(expect).isEmpty &&
+        expect.exceptAll(merge).isEmpty, s"$jt merge vs Spark")
+    }
+    // auto decision is a pure function of the build side's ledger:
+    // tiny buckets stay hash at the default budget, flip to merge
+    // when the budget shrinks below a bucket, and a ledger-less
+    // legacy manifest conservatively stays hash
+    val rm = Snapshots.readManifest(spark, rhs, 0L)
+    assert(Snapshots.spjStrategy(spark, rm) === "hash")
+    spark.conf.set("graft.spj.buildBytesMax", "1")
+    try {
+      assert(Snapshots.spjStrategy(spark, rm) === "merge")
+      assert(Snapshots.spjStrategy(spark, rm.copy(fileBytes = Map.empty))
+        === "hash", "ledger-less build side must keep the status quo")
+      // end-to-end: the default auto strategy now runs merge
+      val auto = Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "lk", "rk", joinType = "left_outer")
+      assert(!auto.queryExecution.executedPlan.toString.contains("Exchange"))
+      val expect = lv.join(rv, col("lk") === col("rk"), "left_outer")
+      assert(auto.exceptAll(expect).isEmpty &&
+        expect.exceptAll(auto).isEmpty)
+    } finally spark.conf.unset("graft.spj.buildBytesMax")
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "lk", "rk", strategy = "broadcast")
     }
   }
 
