@@ -151,7 +151,16 @@ object ScaleSmoke {
       // stat-repair protocol (the range-laid commit is the linear
       // part; each repair is one metadata commit whose footer/sketch
       // reads cover only the files missing entries)
-      "u51_bucket_join", "u52_stat_repairs")
+      "u51_bucket_join", "u52_stat_repairs",
+      // u53 = outer/semi/anti storage-partitioned joins (the shared
+      // bucketed-lineitem seed + filtered-orders commit are the
+      // linear parts; all four join legs move zero network bytes —
+      // per-bucket zip at any scale), u54 = dynamic file pruning
+      // (the bucketed fact commit + checkpoint are the linear parts;
+      // the dim collect is 3 keys and the pruned fact scan reads ≤3
+      // of 16 buckets — the JOIN leg grows with the matched slice,
+      // not the table)
+      "u53_bucket_join_family", "u54_join_pruning")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list
