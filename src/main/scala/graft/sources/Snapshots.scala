@@ -3189,7 +3189,14 @@ object Snapshots {
     * NULL key equals nothing); output columns = fact schema ++ dim
     * columns, Spark's own join-output shape. An empty (or all-NULL)
     * dim serves the schema'd empty frame without touching a fact
-    * data file.
+    * data file. `dim` must be DETERMINISTIC: it is evaluated twice
+    * (the key collect, then the join) — the same contract Spark's
+    * own dynamic partition pruning places on its reused dim
+    * subquery; a nondeterministic dim (sample/limit over unordered
+    * data) could select keys the pruned scan excluded. The broadcast
+    * hint applies only WITHIN the key budget — an over-budget dim is
+    * not provably small, so the fallback join lets the planner pick
+    * its own strategy from statistics.
     */
   def joinFilePruned(spark: SparkSession, factDir: String, factKey: String,
                      dim: DataFrame, dimKey: String,
@@ -3202,9 +3209,10 @@ object Snapshots {
       .filter(col(s"`$dimKey`").isNotNull)
       .distinct().limit(budget + 1).collect()
     val keys: Seq[Any] = keyRows.iterator.map(_.get(0)).toSeq
+    val withinBudget = keys.nonEmpty && keys.size <= budget
     val fact =
       if (keys.isEmpty) readVersion(spark, factDir, version).limit(0)
-      else if (keys.size > budget) readVersion(spark, factDir, version)
+      else if (!withinBudget) readVersion(spark, factDir, version)
       else {
         val f = fs(spark, factDir)
         val v = version.orElse(latestLiveVersion(spark, factDir)).getOrElse(
@@ -3214,7 +3222,11 @@ object Snapshots {
           readVersionCheckpointedKeys(spark, factDir, factKey, keys, Some(v))
         else readVersionKeys(spark, factDir, factKey, keys, Some(v))
       }
-    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "inner")
+    // broadcast only a provably small dim (≤ budget distinct keys is
+    // the evidence the collect just produced); an over-budget dim
+    // could be arbitrarily large — the planner owns that join
+    val dimSide = if (withinBudget || keys.isEmpty) broadcast(dim) else dim
+    fact.join(dimSide, fact(factKey) === dim(dimKey), "inner")
   }
 
   /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —
