@@ -160,7 +160,12 @@ object ScaleSmoke {
       // the dim collect is 3 keys and the pruned fact scan reads ≤3
       // of 16 buckets — the JOIN leg grows with the matched slice,
       // not the table)
-      "u53_bucket_join_family", "u54_join_pruning")
+      "u53_bucket_join_family", "u54_join_pruning",
+      // u55 = shuffle-free grouped aggregation (the bucketed commit
+      // is the linear part; the aggregation itself is one in-task
+      // sorted pass per bucket — scan-bound, zero network at any
+      // scale; group count grows with distinct keys, not rows)
+      "u55_bucket_agg")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

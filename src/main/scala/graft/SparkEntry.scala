@@ -151,6 +151,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u53BucketJoinFamily _),
     "u54_join_pruning" ->
       (graft.sources.DemoFixtures.u54JoinPruning _),
+    "u55_bucket_agg" ->
+      (graft.sources.DemoFixtures.u55BucketAgg _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1187,6 +1189,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  1 AS files_pruned, 1 AS fallback_parity
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_custkey IN (1, 5, 9)""".stripMargin,
+    // u55 oracle: the shuffle-free grouped aggregation replayed
+    // relationally — every o_custkey group's count/sum/min/max
+    // hash-compared (price pre-cast to DECIMAL(18,2) on both engines
+    // so the sums are exact); shuffle_free_agg = 1 pins zero Exchange
+    // in the executed aggregation plan
+    "u55_bucket_agg" ->
+      """SELECT o_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+        |  1 AS shuffle_free_agg
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

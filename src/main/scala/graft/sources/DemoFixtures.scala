@@ -1463,4 +1463,40 @@ object DemoFixtures {
       .withColumn("files_pruned", lit(filesPruned).cast("int"))
       .withColumn("fallback_parity", lit(fallbackParity).cast("int"))
   }
+
+  /** Demo + oracle entry (`u55_bucket_agg`): STORAGE-PARTITIONED
+    * (shuffle-free) GROUPED AGGREGATION —
+    * [[Snapshots.bucketAlignedAggregate]]. Orders hash-clustered on
+    * `o_custkey` (16 buckets, price pre-cast to decimal(18,2) so
+    * every emitted sum is exactly replayable); a full
+    * `GROUP BY o_custkey` with count/sum/min/max runs with ZERO
+    * `Exchange` — each bucket aggregates in-task over a spillable
+    * sort, memory O(one group) however large the bucket. The oracle
+    * replays the whole aggregation relationally (every group's four
+    * aggregates hash-compared), `shuffle_free_agg` pins the plan. At
+    * 100 TB this is the pre-aggregation shape: the hourly/daily
+    * rollup on the cluster key that planner-driven grouping pays a
+    * full-table shuffle for on every run.
+    */
+  def u55BucketAgg(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-spa-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      dir, "overwrite", bucketBy = Some(("o_custkey", 16)))
+    val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
+      ("count", "*", "n"), ("sum", "price", "total"),
+      ("min", "price", "lo"), ("max", "price", "hi")))
+    val witness =
+      if (!agg.queryExecution.executedPlan.toString.contains("Exchange")) 1
+      else 0
+    agg.select(col("o_custkey").as("k"), col("n"),
+        col("total").cast("double").as("total"),
+        col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"))
+      .withColumn("shuffle_free_agg", lit(witness).cast("int"))
+      .orderBy("k")
+  }
 }

@@ -3229,6 +3229,240 @@ object Snapshots {
     fact.join(dimSide, fact(factKey) === dim(dimKey), "inner")
   }
 
+  /** STORAGE-PARTITIONED (shuffle-free) GROUPED AGGREGATION — the
+    * other half of what the bucket layout buys at 100 TB: a
+    * `GROUP BY <bucket key>` needs no Exchange, because every row of
+    * a key already lives in exactly one bucket (the layout's
+    * invariant), yet the planner re-shuffles the whole table since
+    * the V1 relation cannot report its partitioning. This operator
+    * aggregates each bucket IN TASK: one coalesced vectorized read
+    * per bucket (dv masks via the ordinary [[readFiles]] path), an
+    * in-task SORT on the key (Spark's external spillable sorter — a
+    * local node), and a streaming fold over each equal-key run, so
+    * memory is O(one group's accumulators) however large the bucket —
+    * the sort-based aggregation shape, chosen over a hash map for the
+    * same reason [[bucketAlignedJoin]]'s merge strategy exists (a
+    * high-cardinality bucket must not have to fit a map in memory).
+    * ZERO `Exchange` anywhere in the plan; parallelism = numBuckets.
+    *
+    * `aggs` is an exact vocabulary of `(fn, column, alias)`:
+    * `count` of `*` (rows) or of a column (non-null rows), `sum`
+    * (integral → long, fractional → double, decimal → decimal at
+    * precision min(38, p+10) — Spark's own sum result types, decimal
+    * accumulation EXACT), `min`/`max` (any orderable non-float type
+    * plus strings — string results are detached copies). SQL NULL
+    * semantics throughout: sum/min/max skip NULLs and return NULL
+    * for an all-NULL group, `count(col)` skips NULLs, NULL group
+    * keys form one group (they co-locate — the bucket hash of NULL
+    * is the seed). `avg` is deliberately absent: derive it as
+    * sum/count to keep every emitted value exactly replayable.
+    * Output columns: the bucket key, then one column per agg.
+    * Refused: an unbucketed table, unclustered tail files (run
+    * [[compactBucketed]] first), an unknown fn or column, float/
+    * double min/max keys — same contract as the aligned join.
+    */
+  def bucketAlignedAggregate(spark: SparkSession, tableDir: String,
+                             aggs: Seq[(String, String, String)],
+                             version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val m = resolveForRead(spark, tableDir, version)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; bucketAlignedAggregate groups " +
+        "by the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(m.files.forall(m.buckets.contains),
+      s"$tableDir has unclustered files (appends since the last " +
+        "re-cluster); run compactBucketed first")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    require(aggs.nonEmpty, "bucketAlignedAggregate needs at least one agg")
+    require(aggs.map(_._3).distinct.size == aggs.size,
+      s"duplicate output aliases: ${aggs.map(_._3)}")
+    val keyType = schema(key).dataType
+    require(keyType != DoubleType && keyType != FloatType,
+      "float/double group keys are not supported (±0.0/NaN equality)")
+    // resolve each agg to (input ordinal or -1 for *, accumulator kind,
+    // output field) up front — unknown fns/columns refuse at plan time
+    def sumResultType(dt: DataType): DataType = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        LongType
+      case _: FloatType | _: DoubleType => DoubleType
+      case d: DecimalType =>
+        DecimalType(math.min(38, d.precision + 10), d.scale)
+      case other => throw new IllegalArgumentException(
+        s"sum over ${other.simpleString} is not supported")
+    }
+    case class AggSpec(fn: String, ord: Int, inType: DataType,
+                       out: StructField)
+    val specs = aggs.map { case (fnRaw, c, alias) =>
+      val fn = fnRaw.toLowerCase
+      require(Set("count", "sum", "min", "max")(fn),
+        s"unknown agg fn '$fnRaw' (count, sum, min, max)")
+      if (fn == "count" && c == "*")
+        AggSpec("count", -1, NullType, StructField(alias, LongType, false))
+      else {
+        require(schema.fieldNames.contains(c),
+          s"unknown column '$c' (table columns: ${schema.fieldNames.mkString(", ")})")
+        val dt = schema(c).dataType
+        fn match {
+          case "count" =>
+            AggSpec("count", schema.fieldIndex(c), dt,
+              StructField(alias, LongType, false))
+          case "sum" =>
+            AggSpec("sum", schema.fieldIndex(c), dt,
+              StructField(alias, sumResultType(dt), true))
+          case mm =>
+            require(dt != DoubleType && dt != FloatType,
+              s"$mm over float/double is not supported (NaN ordering); " +
+                "cast to decimal first")
+            AggSpec(mm, schema.fieldIndex(c), dt,
+              StructField(alias, dt, true))
+        }
+      }
+    }
+    val outSchema = StructType(
+      schema(key).copy(nullable = true) +: specs.map(_.out))
+    // one sorted single-partition RDD per bucket (the join's shape)
+    val byBucket = m.files.groupBy(m.buckets)
+    val perBucket = spark.sparkContext.union((0 until n).map { b =>
+      byBucket.get(b) match {
+        case None => spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+        case Some(files) =>
+          readFiles(spark, tableDir, m, files)
+            .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
+            .coalesce(1)
+            .sortWithinPartitions(col(s"`$key`"))
+            .queryExecution.toRdd
+      }
+    })
+    val kIdx = schema.fieldIndex(key)
+    val kt = keyType
+    val specsB = specs // serializable capture
+    val aggregated = perBucket.mapPartitions { rows =>
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(kt)
+      val project = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outSchema)
+      // detach values that may be views into the scan's reused buffer
+      def copyVal(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+      // accumulators for ONE group — the only aggregation state held
+      val accs = new Array[Any](specsB.length)
+      var groupKey: Any = null
+      var groupOpen = false
+      def reset(): Unit = {
+        var i = 0
+        while (i < accs.length) {
+          accs(i) = if (specsB(i).fn == "count") 0L else null; i += 1
+        }
+      }
+      def update(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        var i = 0
+        while (i < accs.length) {
+          val sp = specsB(i)
+          sp.fn match {
+            case "count" =>
+              if (sp.ord < 0 || !r.isNullAt(sp.ord))
+                accs(i) = accs(i).asInstanceOf[Long] + 1L
+            case "sum" => if (!r.isNullAt(sp.ord)) {
+              val v = r.get(sp.ord, sp.inType)
+              // decimals accumulate as java BigDecimal (EXACT, no
+              // mid-fold precision juggling) and convert to the
+              // declared result decimal once, at emit
+              accs(i) = (accs(i), sp.inType) match {
+                case (null, _: DecimalType) =>
+                  v.asInstanceOf[Decimal].toJavaBigDecimal
+                case (acc: java.math.BigDecimal, _) =>
+                  acc.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
+                case (null, _: FloatType) => v.asInstanceOf[Float].toDouble
+                case (null, _: DoubleType) => v
+                case (null, _) => widenToLong(v)
+                case (acc: java.lang.Double, _: FloatType) =>
+                  acc + v.asInstanceOf[Float].toDouble
+                case (acc: java.lang.Double, _) =>
+                  acc + v.asInstanceOf[Double]
+                case (acc: java.lang.Long, _) => acc + widenToLong(v)
+              }
+            }
+            case "min" => if (!r.isNullAt(sp.ord)) {
+              val v = r.get(sp.ord, sp.inType)
+              if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) < 0)
+                accs(i) = copyVal(v)
+            }
+            case "max" => if (!r.isNullAt(sp.ord)) {
+              val v = r.get(sp.ord, sp.inType)
+              if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) > 0)
+                accs(i) = copyVal(v)
+            }
+          }
+          i += 1
+        }
+      }
+      def widenToLong(v: Any): Long = v match {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case l: Long => l
+      }
+      lazy val ordCache = scala.collection.mutable.Map
+        .empty[DataType, Ordering[Any]]
+      def ord2(dt: DataType): Ordering[Any] = ordCache.getOrElseUpdate(dt,
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt))
+      def emit(): org.apache.spark.sql.catalyst.InternalRow = {
+        val out = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1 + accs.length)
+        out.update(0, groupKey)
+        var i = 0
+        while (i < accs.length) {
+          val v = accs(i) match {
+            case bd: java.math.BigDecimal =>
+              val dt = specsB(i).out.dataType.asInstanceOf[DecimalType]
+              Decimal(bd, dt.precision, dt.scale)
+            case other => other
+          }
+          out.update(i + 1, v); i += 1
+        }
+        project(out).copy()
+      }
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var pending: org.apache.spark.sql.catalyst.InternalRow = _
+        private def advance(): Unit = {
+          while (pending == null && rows.hasNext) {
+            val r = rows.next()
+            val k = if (r.isNullAt(kIdx)) null else r.get(kIdx, kt)
+            val sameGroup = groupOpen &&
+              ((k == null && groupKey == null) ||
+                (k != null && groupKey != null && ord.equiv(k, groupKey)))
+            if (!sameGroup) {
+              if (groupOpen) pending = emit()
+              groupKey = if (k == null) null else copyVal(k)
+              groupOpen = true
+              reset()
+            }
+            update(r)
+          }
+          if (pending == null && groupOpen && !rows.hasNext) {
+            pending = emit()
+            groupOpen = false
+          }
+        }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          advance()
+          val out = pending; pending = null
+          if (out == null) throw new NoSuchElementException("empty")
+          out
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalFrame(
+      spark, aggregated, outSchema)
+  }
+
   /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —
     * [[pruneForKeys]] folded over the probes column by column (each
     * column's survivors feed the next column's candidates; the

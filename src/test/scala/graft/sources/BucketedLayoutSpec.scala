@@ -386,6 +386,83 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketAlignedAggregate: zero Exchange, groups equal Spark's own " +
+    "groupBy across count/sum/min/max over long/decimal/string with " +
+    "NULL keys and values, dv masks apply, refusals (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val base = (0 until 500)
+      .map(i => (i.toLong, i.toLong, i.toDouble, s"s-${i % 97}"))
+      .toDF("k0", "v0", "dd", "s0")
+    val df = base.select(
+      when(col("k0") % 50 === 0, lit(null)).otherwise(col("k0") % 23)
+        .as("k"),
+      when(col("v0") % 7 === 0, lit(null)).otherwise(col("v0")).as("v"),
+      col("dd").cast("decimal(18,2)").as("d"),
+      when(col("k0") % 11 === 0, lit(null)).otherwise(col("s0")).as("s"),
+      col("dd").as("f"))
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 5)))
+    // dv masks must be invisible to the aggregation
+    Snapshots.deleteWhere(spark, dir, col("d") > 480)
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+      ("count", "*", "n"), ("count", "v", "n_v"), ("sum", "v", "sum_v"),
+      ("sum", "d", "sum_d"), ("min", "s", "min_s"), ("max", "s", "max_s"),
+      ("min", "v", "min_v")))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the aligned aggregation must carry zero Exchange nodes")
+    assert(agg.rdd.getNumPartitions === 5, "one partition per bucket")
+    val expect = Snapshots.readVersion(spark, dir).groupBy("k").agg(
+      count(lit(1)).as("n"), count(col("v")).as("n_v"),
+      sum("v").as("sum_v"), sum("d").as("sum_d"),
+      min("s").as("min_s"), max("s").as("max_s"), min("v").as("min_v"))
+    assert(agg.schema.map(f => (f.name, f.dataType)) ===
+      expect.schema.map(f => (f.name, f.dataType)),
+      "output types must be Spark's own aggregate result types")
+    assert(agg.count() === expect.count())
+    assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty,
+      "aligned aggregation must equal the planner's groupBy exactly")
+    // the NULL keys form ONE group (they co-locate by the NULL hash)
+    assert(agg.where(col("k").isNull).count() === 1L)
+    // refusals: unbucketed, unclustered tail, unknown fn/column,
+    // duplicate aliases, float min
+    val plain = freshDir()
+    Snapshots.commit(df, plain, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, plain,
+        Seq(("count", "*", "n")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("median", "v", "m")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("sum", "nope", "x")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n"), ("sum", "v", "n")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("min", "f", "m")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("sum", "s", "x")))
+    }
+    Snapshots.commit(Seq((99L, Option(1L), BigDecimal(1), "t", 1.0))
+      .toDF("k", "v", "d", "s", "f")
+      .select(col("k"), col("v"), col("d").cast("decimal(18,2)").as("d"),
+        col("s"), col("f")),
+      dir, "append")
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")))
+    }
+  }
+
   test("joinFilePruned: dim keys prune the fact scan (checkpoint and " +
     "manifest paths), over-budget degrades to the full read with " +
     "identical rows, empty dim is empty (r15)") {
