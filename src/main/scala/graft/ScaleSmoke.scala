@@ -165,7 +165,12 @@ object ScaleSmoke {
       // is the linear part; the aggregation itself is one in-task
       // sorted pass per bucket — scan-bound, zero network at any
       // scale; group count grows with distinct keys, not rows)
-      "u55_bucket_agg")
+      "u55_bucket_agg",
+      // u56 = incremental tail re-cluster (the bulk commit + 1/5 tail
+      // append are the linear parts; the REPAIR rewrites only the
+      // tail — the by-reference bulk costs one manifest carry however
+      // big the table; the aligned read-back is scan-bound)
+      "u56_cluster_tail")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -153,6 +153,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u54JoinPruning _),
     "u55_bucket_agg" ->
       (graft.sources.DemoFixtures.u55BucketAgg _),
+    "u56_cluster_tail" ->
+      (graft.sources.DemoFixtures.u56ClusterTail _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1202,6 +1204,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
         |  1 AS shuffle_free_agg
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u56 oracle: the incremental tail re-cluster replayed
+    // relationally — the surviving rows (both the by-reference bulk
+    // and the re-clustered tail, masks applied) aggregated exactly;
+    // repair_ok folds the witnesses (all files bucket-mapped, v0
+    // bulk a subset of the post-repair file set, one repair commit,
+    // zero-Exchange aligned aggregation on the repaired layout)
+    "u56_cluster_tail" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS repair_ok
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1499,4 +1499,50 @@ object DemoFixtures {
       .withColumn("shuffle_free_agg", lit(witness).cast("int"))
       .orderBy("k")
   }
+
+  /** Demo + oracle entry (`u56_cluster_tail`): INCREMENTAL tail
+    * re-cluster — [[Snapshots.clusterTail]], the O(tail) repair that
+    * replaces [[Snapshots.compactBucketed]]'s O(table) rewrite for
+    * the "plain appends since the last re-cluster" case. Protocol:
+    * 4/5 of orders hash-clustered on `o_orderkey` (v0), the last 1/5
+    * appended PLAIN (v1 — the unclustered tail every bucket consumer
+    * refuses), a row-level DELETE masking keys across BOTH
+    * populations (v2), then `clusterTail` (v3) rewrites ONLY the
+    * tail. Witnesses folded into `repair_ok`: every post-repair file
+    * bucket-mapped, the v0 bulk rides BY REFERENCE (file-set subset
+    * — the 100 TB bulk is untouched), masked rows stay gone, and the
+    * final read-back runs through [[Snapshots.bucketAlignedAggregate]]
+    * on the repaired layout with a zero-Exchange plan — which also
+    * PROVES the fresh files landed on the law every bucketed write
+    * uses (a misplaced row would split its group across partitions
+    * and break the hash compare). The oracle replays the surviving
+    * rows relationally (count, distinct keys, exact decimal total).
+    */
+  def u56ClusterTail(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-ct-orders")
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Snapshots.commit(orders.filter(col("o_orderkey") % 5 =!= 0),
+      dir, "overwrite", bucketBy = Some(("o_orderkey", 8)))
+    Snapshots.commit(orders.filter(col("o_orderkey") % 5 === 0),
+      dir, "append")
+    Snapshots.deleteWhere(s, dir, col("o_orderkey") % 7 === 0)
+    val v0Files = Snapshots.readManifest(s, dir, 0L).files.toSet
+    val v = Snapshots.clusterTail(s, dir)
+    val m = Snapshots.readManifest(s, dir, v)
+    val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
+      ("count", "*", "n"), ("sum", "price", "t")))
+    val repairOk =
+      if (m.files.forall(m.buckets.contains) &&
+        v0Files.subsetOf(m.files.toSet) && v == 3L &&
+        !agg.queryExecution.executedPlan.toString.contains("Exchange")) 1
+      else 0
+    agg.agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("t")).cast("double").as("total"))
+      .withColumn("repair_ok", lit(repairOk).cast("int"))
+  }
 }

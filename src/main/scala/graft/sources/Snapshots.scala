@@ -5616,6 +5616,145 @@ object Snapshots {
       bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols)
   }
 
+  /** INCREMENTAL re-cluster of the UNBUCKETED TAIL — O(tail), not
+    * O(table). [[compactBucketed]] folds plain-append files back into
+    * the bucket layout by rewriting the WHOLE table; at 100 TB that
+    * is a full-table rewrite to place a day's worth of appends — the
+    * same maintenance-cost class the r14 verdict flagged for
+    * compactSmall's sizing. This operator rewrites ONLY the files
+    * without a bucket mapping: read them with their masks applied,
+    * cluster them with the table's own bucket function (the one
+    * every bucketed write uses — same typed xxhash64, same modulus,
+    * computed on the PHYSICAL column at the logical type so renamed
+    * keys hash identically), and commit new bucket-mapped files
+    * while the clustered bulk rides by reference. Buckets may hold
+    * several files afterwards (one per re-cluster epoch) — every
+    * bucket consumer ([[readVersionKeys]] lookups, merge-on-read
+    * mask scans, [[bucketAlignedJoin]], [[bucketAlignedAggregate]])
+    * already groups files per bucket id, so multi-file buckets are
+    * the layout's normal shape, and a later [[compactSmall]] folds
+    * the epochs together. Idempotent: a fully clustered table
+    * returns its version untouched. Partition×bucket tables are
+    * refused (the tail rewrite does not reproduce the `k=v/` dirs —
+    * use [[compactBucketed]], which preserves that axis). Like
+    * compactSmall, rewritten files drop their per-file sketches
+    * (blooms/NDV/KLL — pruning and stat feeds degrade conservatively
+    * until the next ANALYZE); pass `statsColumns` to record fresh
+    * footer stats.
+    */
+  def clusterTail(spark: SparkSession, tableDir: String,
+                  statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, regexp_extract, xxhash64}
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWrite(spark, tableDir)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; clusterTail repairs a bucket " +
+        "layout (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(m.partitionCols.isEmpty,
+      s"$tableDir is partitioned: the tail rewrite does not reproduce the " +
+        "partition dirs — re-cluster via compactBucketed")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    val tail = m.files.filterNot(m.buckets.contains)
+    if (tail.isEmpty) return m.version
+    val clustered = m.files.filter(m.buckets.contains)
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    val physKey = m.colMap.getOrElse(key, key)
+    withMicrosTimestamps(spark) {
+      toPhysical(readFiles(spark, tableDir, m, tail), m.colMap)
+        .withColumn(BucketCol,
+          pmod(xxhash64(col(s"`$physKey`").cast(schema(key).dataType)),
+            lit(n.toLong)).cast("int"))
+        .repartition(n, col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(dataDir.toString)
+    }
+    val newBuckets = flattenBucketDirs(f, dataDir, dataRel)
+    val written = listDataFiles(f, dataDir, dataRel)
+    // mask consolidation, compactSmall's rule: dv rows for the
+    // rewritten tail files are inert (already applied by the read);
+    // only rows referencing KEPT files survive
+    val tailRe = "(data/v[^/]+/.+)$"
+    val keptTails = clustered.map { rel =>
+      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
+      if (mt.find()) mt.group(1) else rel
+    }
+    val (dvs, dvRows) =
+      if (m.dvs.isEmpty) (Seq.empty[String], 0L)
+      else {
+        val dvAbs = m.dvs.map(rel =>
+          if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+        val live = spark.read.parquet(dvAbs: _*)
+          .withColumn("__rel", regexp_extract(col("file_path"), tailRe, 1))
+          .filter(col("__rel").isin(keptTails: _*)).drop("__rel")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cnt = live.count()
+          if (cnt == 0) (Seq.empty[String], 0L)
+          else {
+            val dvRel = f"dv/v$version%06d-$tag"
+            val dvDir = new Path(tableDir, dvRel)
+            dvSizedForWrite(live, cnt).write.parquet(dvDir.toString)
+            (f.listStatus(dvDir).iterator.map(_.getPath.getName)
+              .filter(_.endsWith(".parquet"))
+              .map(x => s"$dvRel/$x").toSeq.sorted, cnt)
+          }
+        } finally live.unpersist(false)
+      }
+    val physRev = m.colMap.map(_.swap)
+    val newMetas =
+      if (statsColumns.isEmpty) Nil
+      else written.map { rel =>
+        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+          statsColumns.map(c => m.colMap.getOrElse(c, c)))
+      }
+    val newStats = newMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
+    val newNulls = newMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, cnt) => (rel, physRev.getOrElse(c, c)) -> cnt } }.toMap
+    val (dataRows, newFileMeta) = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      def meta(p: Path): (Long, Long) = {
+        val in = HadoopInputFile.fromPath(
+          p, spark.sparkContext.hadoopConfiguration)
+        val r = ParquetFileReader.open(in)
+        try (r.getRecordCount, in.getLength) finally r.close()
+      }
+      val fresh = written.map(rel =>
+        rel -> meta(new Path(tableDir, rel))).toMap
+      (clustered.map(rel => m.fileRows.getOrElse(rel, meta(
+        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))._1))
+        .sum + fresh.values.map(_._1).sum,
+        fresh)
+    }
+    val keep = clustered.toSet
+    if (!publishManifest(f, tableDir, m.copy(version = version,
+        files = clustered ++ written,
+        buckets = m.buckets.filter { case (rel, _) => keep(rel) } ++
+          newBuckets,
+        stats = m.stats.filter { case ((rel, _), _) => keep(rel) } ++ newStats,
+        dvs = dvs, dataRows = dataRows, dvRows = dvRows,
+        blooms = m.blooms.filter { case ((rel, _), _) => keep(rel) },
+        ndvs = m.ndvs.filter { case ((rel, _), _) => keep(rel) },
+        klls = m.klls.filter { case ((rel, _), _) => keep(rel) },
+        fileRows = m.fileRows.filter { case (rel, _) => keep(rel) } ++
+          newFileMeta.view.mapValues(_._1).toMap,
+        fileBytes = m.fileBytes.filter { case (rel, _) => keep(rel) } ++
+          newFileMeta.view.mapValues(_._2).toMap,
+        nullCounts = m.nullCounts.filter { case ((rel, _), _) => keep(rel) } ++
+          newNulls,
+        pendingMarker = None))) {
+      f.delete(dataDir, true)
+      if (dvs.nonEmpty)
+        f.delete(new Path(tableDir, f"dv/v$version%06d-$tag"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    version
+  }
+
   /** The files version `toVersion` has that `fromVersion` does not —
     * the manifest diff, O(files) driver set work, no data read. Pass
     * `fromVersion = -1` for "everything in toVersion". For an

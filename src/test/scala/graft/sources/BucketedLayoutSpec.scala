@@ -463,6 +463,71 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("clusterTail: O(tail) incremental re-cluster — the clustered bulk " +
+    "rides by reference, appends gain bucket mappings, masks hold, the " +
+    "aligned join/agg accept the table after; idempotent; partitioned " +
+    "tables refused (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    Snapshots.commit(frame(1000), dir, "overwrite", bucketBy = Some(("id", 8)))
+    val v0Files = Snapshots.readManifest(spark, dir, 0L).files.toSet
+    // two PLAIN appends build an unclustered tail
+    Snapshots.commit((1000 until 1100).map(i => (i.toLong, s"row-$i"))
+      .toDF("id", "tag"), dir, "append")
+    Snapshots.commit((1100 until 1200).map(i => (i.toLong, s"row-$i"))
+      .toDF("id", "tag"), dir, "append")
+    // masks in BOTH the clustered bulk and the tail must hold across
+    // the rewrite (tail masks apply+drop, bulk masks consolidate)
+    val preV = Snapshots.deleteWhere(spark, dir, col("id") % 100 === 7)
+    val before = Snapshots.readVersion(spark, dir, Some(preV))
+      .collect().toSeq
+    val v = Snapshots.clusterTail(spark, dir)
+    val m = Snapshots.readManifest(spark, dir, v)
+    assert(m.files.forall(m.buckets.contains),
+      "every file must carry a bucket mapping after clusterTail")
+    assert(v0Files.subsetOf(m.files.toSet),
+      "the clustered bulk must ride by reference, not rewrite")
+    val after = Snapshots.readVersion(spark, dir, Some(v))
+    assert(after.count().toInt === before.size)
+    assert(after.collect().toSeq.sortBy(_.getLong(0)) ===
+      before.sortBy(_.getLong(0)), "rows must be identical")
+    assert(after.where(col("id") % 100 === 7).count() === 0L,
+      "masked rows must not resurrect")
+    // the repaired layout satisfies every bucket consumer: aligned
+    // join and aggregation accept it and agree with the planner
+    val rhs = freshDir()
+    Snapshots.commit((0 until 1200 by 3).map(i => (i.toLong, i * 2))
+      .toDF("rid", "rv"), rhs, "overwrite", bucketBy = Some(("rid", 8)))
+    val joined = Snapshots.bucketAlignedJoin(spark, dir, rhs, "id", "rid")
+    val expect = Snapshots.readVersion(spark, dir)
+      .join(Snapshots.readVersion(spark, rhs), col("id") === col("rid"))
+    assert(joined.count() === expect.count())
+    assert(joined.exceptAll(expect).isEmpty &&
+      expect.exceptAll(joined).isEmpty)
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir,
+      Seq(("count", "*", "n")))
+    val expAgg = Snapshots.readVersion(spark, dir).groupBy("id")
+      .agg(count(lit(1)).as("n"))
+    assert(agg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(agg).isEmpty)
+    // idempotent: a fully clustered table is a version-preserving no-op
+    assert(Snapshots.clusterTail(spark, dir) === v)
+    // refusals: unbucketed, partitioned×bucketed
+    val plain = freshDir()
+    Snapshots.commit(frame(10), plain, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.clusterTail(spark, plain)
+    }
+    val pb = freshDir()
+    Snapshots.commit(frame(100).withColumn("p", col("id") % 2), pb,
+      "overwrite", bucketBy = Some(("id", 4)), partitionBy = Seq("p"))
+    Snapshots.commit(Seq((5000L, "t", 0L)).toDF("id", "tag", "p"), pb,
+      "append")
+    intercept[IllegalArgumentException] {
+      Snapshots.clusterTail(spark, pb)
+    }
+  }
+
   test("joinFilePruned: dim keys prune the fact scan (checkpoint and " +
     "manifest paths), over-budget degrades to the full read with " +
     "identical rows, empty dim is empty (r15)") {
