@@ -1262,9 +1262,10 @@ object DemoFixtures {
       bucketBy = Some(("o_orderkey", 8)))
     val joined = Snapshots.bucketAlignedJoin(
       s, lhs, rhs, "l_orderkey", "o_orderkey")
-    val witness =
-      if (!joined.queryExecution.executedPlan.toString.contains("Exchange")) 1
-      else 0
+    // the REAL witness: outer plan AND the per-bucket inner plans —
+    // the returned frame alone is an ExistingRDD scan and would make
+    // this vacuous (ADVICE r15)
+    val witness = if (Snapshots.alignedShuffleFree(joined)) 1 else 0
     joined.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -1373,13 +1374,17 @@ object DemoFixtures {
       rhs, "overwrite", bucketBy = Some(("o_orderkey", 8)))
     def aligned(jt: String) = Snapshots.bucketAlignedJoin(
       s, lhs, rhs, "l_orderkey", "o_orderkey", joinType = jt)
+    // alignedShuffleFree inspects the per-bucket INNER plans recorded
+    // at build time (the returned frame alone is an ExistingRDD scan
+    // — vacuous), so each witness is taken right after its build,
+    // before the next aligned call overwrites the recording
     val outer = aligned("left_outer")
+    val outerOk = Snapshots.alignedShuffleFree(outer)
     val semi = aligned("left_semi")
+    val semiOk = Snapshots.alignedShuffleFree(semi)
     val anti = aligned("left_anti")
-    val witness =
-      if (Seq(outer, semi, anti).forall(df =>
-        !df.queryExecution.executedPlan.toString.contains("Exchange"))) 1
-      else 0
+    val antiOk = Snapshots.alignedShuffleFree(anti)
+    val witness = if (outerOk && semiOk && antiOk) 1 else 0
     val nSemi = semi.count()
     val nAnti = anti.count()
     // the MERGE strategy (in-task spillable sort + streaming merge
@@ -1389,11 +1394,9 @@ object DemoFixtures {
     val semiMerge = Snapshots.bucketAlignedJoin(
       s, lhs, rhs, "l_orderkey", "o_orderkey",
       joinType = "left_semi", strategy = "merge")
+    val semiMergeOk = Snapshots.alignedShuffleFree(semiMerge)
     val mergeParity =
-      if (semiMerge.count() == nSemi &&
-        !semiMerge.queryExecution.executedPlan.toString.contains("Exchange"))
-        1
-      else 0
+      if (semiMerge.count() == nSemi && semiMergeOk) 1 else 0
     outer.groupBy(coalesce(col("o_orderstatus"), lit("~none~")).as("status"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -1489,9 +1492,7 @@ object DemoFixtures {
     val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
       ("count", "*", "n"), ("sum", "price", "total"),
       ("min", "price", "lo"), ("max", "price", "hi")))
-    val witness =
-      if (!agg.queryExecution.executedPlan.toString.contains("Exchange")) 1
-      else 0
+    val witness = if (Snapshots.alignedShuffleFree(agg)) 1 else 0
     agg.select(col("o_custkey").as("k"), col("n"),
         col("total").cast("double").as("total"),
         col("lo").cast("double").as("lo"),
@@ -1538,7 +1539,7 @@ object DemoFixtures {
     val repairOk =
       if (m.files.forall(m.buckets.contains) &&
         v0Files.subsetOf(m.files.toSet) && v == 3L &&
-        !agg.queryExecution.executedPlan.toString.contains("Exchange")) 1
+        Snapshots.alignedShuffleFree(agg)) 1
       else 0
     agg.agg(sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_keys"),

@@ -2887,6 +2887,42 @@ object Snapshots {
     * trade-off of every SPJ. Each side still serves snapshot
     * isolation (version-pinned manifests) and dv masks apply exactly.
     */
+  /** Inner per-bucket executed plans of the LAST aligned operator
+    * ([[bucketAlignedJoin]] / [[bucketAlignedAggregate]]) built on
+    * this thread — the frame those operators return is just an
+    * ExistingRDD scan, so the REAL scans (vectorized parquet reads,
+    * dv-mask joins, in-task sorts) are invisible to its plan; they
+    * are recorded here at build time for [[alignedShuffleFree]].
+    * Driver-side, per-thread, overwritten by the next aligned build.
+    */
+  private val alignedInnerPlans = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+  private def resetAlignedPlans(): Unit = alignedInnerPlans.set(Nil)
+  private def recordAlignedPlan(
+      qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+    alignedInnerPlans.set(qe.executedPlan.toString :: alignedInnerPlans.get)
+
+  /** The witness behind every "zero shuffle" claim the aligned
+    * operators make: a check on the RETURNED frame's plan alone is
+    * vacuous (it is only an ExistingRDD scan — the per-bucket scans
+    * hide inside the RDD lineage), so this inspects the outer plan
+    * AND every inner per-bucket plan recorded while `df` was built.
+    * True iff none carries a SHUFFLE (`Exchange` as a standalone node
+    * name; `BroadcastExchange`/`ReusedExchange` are allowed — a small
+    * dv mask broadcasts by design, and the operators' promise is zero
+    * shuffle of TABLE data). Call on the same thread, right after
+    * building the frame — the next aligned build overwrites the
+    * recording. A dv mask forced past the broadcast threshold turns
+    * the inner mask join into a genuine shuffle, and this witness
+    * reports it (BucketedLayoutSpec pins that true-negative).
+    */
+  def alignedShuffleFree(df: DataFrame): Boolean = {
+    val shuffle = java.util.regex.Pattern.compile("\\bExchange\\b")
+    (df.queryExecution.executedPlan.toString :: alignedInnerPlans.get)
+      .forall(p => !shuffle.matcher(p).find())
+  }
+
   def bucketAlignedJoin(spark: SparkSession,
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
@@ -2897,6 +2933,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(Set("auto", "hash", "merge")(strategy.toLowerCase),
       s"unsupported strategy '$strategy' (auto, hash, merge)")
+    resetAlignedPlans()
     val jt = joinType.toLowerCase.replace("_", "") match {
       case "left" | "leftouter" => "leftouter"
       case "leftsemi" | "semi"  => "leftsemi"
@@ -2972,9 +3009,11 @@ object Snapshots {
                 .select(schema.fieldNames.toIndexedSeq
                   .map(c => col(s"`$c`")): _*)
                 .coalesce(1)
-            (if (useMerge) projected.sortWithinPartitions(col(s"`$key`"))
-             else projected)
-              .queryExecution.toRdd
+            val qe = (if (useMerge)
+              projected.sortWithinPartitions(col(s"`$key`"))
+            else projected).queryExecution
+            recordAlignedPlan(qe)
+            qe.toRdd
         }
       })
     }
@@ -2996,104 +3035,102 @@ object Snapshots {
     val kt = keyType
     val rWidth = rSchema.length
     val joined = left.zipPartitions(right) { (li, ri) =>
+      // a key read from a streaming row may be a VIEW into the
+      // iterator's reused buffer (UTF8String): anything retained
+      // across rows stores a detached copy
+      def copyKey(k: Any): Any = k match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+      def nextRight(): org.apache.spark.sql.catalyst.InternalRow =
+        if (ri.hasNext) ri.next().copy() else null
+      val semiAnti = jt == "leftsemi" || jt == "leftanti"
+      // ONE right-lookup implementation per STRATEGY, ONE emitter per
+      // JOIN TYPE (below) — the semantics cannot drift between hash
+      // and merge. `exists` answers semi/anti (no right row is ever
+      // buffered); `matches` returns the key's right rows (or null)
+      // for inner/outer.
+      var exists: Any => Boolean = null
+      var matches: Any => scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.catalyst.InternalRow] = null
       if (useMerge) {
-        // in-task MERGE join over the two sorted bucket streams: the
-        // right side is consumed strictly forward and only the
-        // CURRENT equal-key group is buffered (copied — the
-        // producing iterator reuses its row buffer), so memory is
-        // O(max duplicates per key), not O(right bucket). Both
-        // sides are sorted ascending nulls-first; the right has no
-        // NULL keys (filtered at the scan) and left NULL keys are
-        // adjudicated before any comparison, so the interpreted
-        // ordering only ever sees non-null values.
+        // MERGE over the two sorted streams: the right is consumed
+        // strictly forward; inner/outer buffer only the CURRENT
+        // equal-key group (copied — iterators reuse row buffers), so
+        // memory is O(max duplicates per key), not O(right bucket);
+        // semi/anti buffer nothing. Left keys are monotone, so a
+        // repeated key reuses the cached answer and a larger key
+        // advances the right; NULL left keys are adjudicated before
+        // any comparison (the right has none — filtered at the
+        // scan), so the interpreted ordering only sees non-nulls.
         val ord = org.apache.spark.sql.catalyst.util.TypeUtils
           .getInterpretedOrdering(kt)
-        var rHead: org.apache.spark.sql.catalyst.InternalRow =
-          if (ri.hasNext) ri.next().copy() else null
-        var groupKey: Any = null
-        var group: scala.collection.mutable.ArrayBuffer[
-          org.apache.spark.sql.catalyst.InternalRow] = null
-        var groupLoaded = false
-        // the left stream's keys are monotone, so a repeated key
-        // reuses the cached group and a larger key advances the
-        // right stream — each right row is copied exactly once.
-        // `k` may be a view into the left iterator's reused buffer
-        // (UTF8String): groupKey stores a detached copy.
-        def copyKey(k: Any): Any = k match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-          case other => other
-        }
-        def loadGroup(k: Any): scala.collection.mutable.ArrayBuffer[
-            org.apache.spark.sql.catalyst.InternalRow] = {
-          if (groupLoaded && ord.equiv(groupKey, k)) return group
-          while (rHead != null && ord.lt(rHead.get(rIdx, kt), k))
-            rHead = if (ri.hasNext) ri.next().copy() else null
-          groupKey = copyKey(k)
-          groupLoaded = true
-          if (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
-            group = scala.collection.mutable.ArrayBuffer
-              .empty[org.apache.spark.sql.catalyst.InternalRow]
-            while (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
-              group += rHead
-              rHead = if (ri.hasNext) ri.next().copy() else null
+        var rHead = nextRight()
+        if (semiAnti) {
+          var lastKey: Any = null
+          var lastHas = false
+          var loaded = false
+          exists = (k: Any) =>
+            if (loaded && ord.equiv(lastKey, k)) lastHas
+            else {
+              // advance to the first right key >= k, but do NOT
+              // consume the equal run — a duplicate left key
+              // re-checks the same head
+              while (rHead != null && ord.lt(rHead.get(rIdx, kt), k))
+                rHead = nextRight()
+              lastKey = copyKey(k); loaded = true
+              lastHas = rHead != null && ord.equiv(rHead.get(rIdx, kt), k)
+              lastHas
             }
-          } else group = null
-          group
-        }
-        jt match {
-          case "leftsemi" =>
-            li.filter { l =>
-              val k = l.get(lIdx, kt)
-              k != null && loadGroup(k) != null
-            }
-          case "leftanti" =>
-            li.filter { l =>
-              val k = l.get(lIdx, kt)
-              k == null || loadGroup(k) == null
-            }
-          case _ =>
-            val joinedRow =
-              new org.apache.spark.sql.catalyst.expressions.JoinedRow
-            val project = org.apache.spark.sql.catalyst.expressions
-              .UnsafeProjection.create(outSchema)
-            val nullRight = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(rWidth)
-            val outer = jt == "leftouter"
-            li.flatMap { l =>
-              val k = l.get(lIdx, kt)
-              val matches = if (k == null) null else loadGroup(k)
-              if (matches == null) {
-                if (outer)
-                  Iterator.single(project(joinedRow(l, nullRight))
-                    : org.apache.spark.sql.catalyst.InternalRow)
-                else Iterator.empty
-              } else {
-                val lc = l.copy()
-                matches.iterator.map(r => project(joinedRow(lc, r))
-                  : org.apache.spark.sql.catalyst.InternalRow)
-              }
+        } else {
+          var groupKey: Any = null
+          var group: scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.catalyst.InternalRow] = null
+          var loaded = false
+          matches = (k: Any) =>
+            if (loaded && ord.equiv(groupKey, k)) group
+            else {
+              while (rHead != null && ord.lt(rHead.get(rIdx, kt), k))
+                rHead = nextRight()
+              groupKey = copyKey(k); loaded = true
+              if (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
+                group = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.catalyst.InternalRow]
+                while (rHead != null && ord.equiv(rHead.get(rIdx, kt), k)) {
+                  group += rHead
+                  rHead = nextRight()
+                }
+              } else group = null
+              group
             }
         }
       } else {
-      // in-task hash join: build on the right bucket (copy — unsafe
-      // rows are reused by the producing iterator), stream the left
-      val byKey = new java.util.HashMap[Any,
-        scala.collection.mutable.ArrayBuffer[
-          org.apache.spark.sql.catalyst.InternalRow]]()
-      ri.foreach { r =>
-        // copy FIRST, key from the copy: an UnsafeRow's buffer is
-        // reused by the producing iterator, and a key extracted from
-        // it (e.g. a UTF8String view) would silently mutate under the
-        // map once the iterator advances
-        val rc = r.copy()
-        val k = rc.get(rIdx, kt)
-        var buf = byKey.get(k)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer
-            .empty[org.apache.spark.sql.catalyst.InternalRow]
-          byKey.put(k, buf)
+        // HASH build on the right bucket. Semi/anti build only the
+        // key SET (copied keys) — an existence join's build memory
+        // is the distinct keys, not the bucket's rows, so `auto`
+        // need not flip to merge as early for them. Inner/outer copy
+        // each row FIRST and key from the copy (buffer reuse).
+        if (semiAnti) {
+          val keys = new java.util.HashSet[Any]()
+          ri.foreach(r => keys.add(copyKey(r.get(rIdx, kt))))
+          exists = (k: Any) => keys.contains(k)
+        } else {
+          val byKey = new java.util.HashMap[Any,
+            scala.collection.mutable.ArrayBuffer[
+              org.apache.spark.sql.catalyst.InternalRow]]()
+          ri.foreach { r =>
+            val rc = r.copy()
+            val k = rc.get(rIdx, kt)
+            var buf = byKey.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.catalyst.InternalRow]
+              byKey.put(k, buf)
+            }
+            buf += rc
+          }
+          matches = (k: Any) => byKey.get(k)
         }
-        buf += rc
       }
       jt match {
         case "leftsemi" =>
@@ -3101,14 +3138,14 @@ object Snapshots {
           // match multiplicity); a NULL key never matches
           li.filter { l =>
             val k = l.get(lIdx, kt)
-            k != null && byKey.get(k) != null
+            k != null && exists(k)
           }
         case "leftanti" =>
           // zero matches emits the row; a NULL key matches nothing,
           // so it survives (Spark/SQL left_anti on an equi-condition)
           li.filter { l =>
             val k = l.get(lIdx, kt)
-            k == null || byKey.get(k) == null
+            k == null || !exists(k)
           }
         case _ =>
           val joinedRow =
@@ -3120,19 +3157,18 @@ object Snapshots {
           val outer = jt == "leftouter"
           li.flatMap { l =>
             val k = l.get(lIdx, kt)
-            val matches = if (k == null) null else byKey.get(k)
-            if (matches == null) {
+            val found = if (k == null) null else matches(k)
+            if (found == null) {
               if (outer)
                 Iterator.single(project(joinedRow(l, nullRight))
                   : org.apache.spark.sql.catalyst.InternalRow)
               else Iterator.empty
             } else {
               val lc = l.copy()
-              matches.iterator.map(r => project(joinedRow(lc, r))
+              found.iterator.map(r => project(joinedRow(lc, r))
                 : org.apache.spark.sql.catalyst.InternalRow)
             }
           }
-      }
       }
     }
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
@@ -3204,10 +3240,13 @@ object Snapshots {
     import org.apache.spark.sql.functions.{broadcast, col}
     val budget = probeKeyBudget(spark)
     // budget+1 caps the collect — overflow is detected without ever
-    // materializing a huge key set on the driver
+    // materializing a huge key set on the driver (saturating: a user
+    // who "disables" the budget with Int.MaxValue must not wrap the
+    // limit negative)
+    val cap = if (budget >= Int.MaxValue) Int.MaxValue else budget + 1
     val keyRows = dim.select(col(s"`$dimKey`"))
       .filter(col(s"`$dimKey`").isNotNull)
-      .distinct().limit(budget + 1).collect()
+      .distinct().limit(cap).collect()
     val keys: Seq[Any] = keyRows.iterator.map(_.get(0)).toSeq
     val withinBudget = keys.nonEmpty && keys.size <= budget
     val fact =
@@ -3249,7 +3288,10 @@ object Snapshots {
     * `count` of `*` (rows) or of a column (non-null rows), `sum`
     * (integral → long, fractional → double, decimal → decimal at
     * precision min(38, p+10) — Spark's own sum result types, decimal
-    * accumulation EXACT), `min`/`max` (any orderable non-float type
+    * accumulation EXACT; a decimal sum that overflows even the
+    * widened result precision THROWS, matching Spark's sum under the
+    * ANSI mode this library runs with — non-ANSI Spark would return
+    * NULL there), `min`/`max` (any orderable non-float type
     * plus strings — string results are detached copies). SQL NULL
     * semantics throughout: sum/min/max skip NULLs and return NULL
     * for an all-NULL group, `count(col)` skips NULLs, NULL group
@@ -3323,17 +3365,20 @@ object Snapshots {
     val outSchema = StructType(
       schema(key).copy(nullable = true) +: specs.map(_.out))
     // one sorted single-partition RDD per bucket (the join's shape)
+    resetAlignedPlans()
     val byBucket = m.files.groupBy(m.buckets)
     val perBucket = spark.sparkContext.union((0 until n).map { b =>
       byBucket.get(b) match {
         case None => spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
         case Some(files) =>
-          readFiles(spark, tableDir, m, files)
+          val qe = readFiles(spark, tableDir, m, files)
             .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
             .coalesce(1)
             .sortWithinPartitions(col(s"`$key`"))
-            .queryExecution.toRdd
+            .queryExecution
+          recordAlignedPlan(qe)
+          qe.toRdd
       }
     })
     val kIdx = schema.fieldIndex(key)
@@ -5134,14 +5179,13 @@ object Snapshots {
     // URI — match manifest rels on the URI tail (uuid-unique commit
     // dirs; spans the `k=v/` segments; matches borrowed absolute refs
     // the same way — see [[compactSmall]])
-    val tailRe = "(data/v[^/]+/.+)$"
     val dvAbs = m.dvs.map(rel =>
       if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
     // bounded collect: one row per DISTINCT masked file — the set
     // being rewritten, whose names the manifest already holds
     // driver-side anyway
     val maskedTails = spark.read.parquet(dvAbs: _*)
-      .select(regexp_extract(col("file_path"), tailRe, 1).as("t"))
+      .select(regexp_extract(col("file_path"), DataTailRe, 1).as("t"))
       .distinct().collect().map(_.getString(0)).toSet
     // invariant made LOUD: every dv file_path must match the data/v*/
     // layout — an unmatched path would extract "" here, its masked file
@@ -5152,11 +5196,8 @@ object Snapshots {
       s"a deletion-vector file_path in $tableDir does not match the " +
         "data/v*/ layout — refusing to purge (its mask would be dropped " +
         "without rewriting the file it masks)")
-    def tailOf(rel: String): String = {
-      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
-      if (mt.find()) mt.group(1) else rel
-    }
-    val (masked, carried) = m.files.partition(r => maskedTails.contains(tailOf(r)))
+    val (masked, carried) =
+      m.files.partition(r => maskedTails.contains(dataTail(r)))
     if (masked.isEmpty) // mask rows reference no live file: drop them
       return publishOr(())(m.copy(version = version, dvs = Nil, dvRows = 0L,
         pendingMarker = None))
@@ -5616,6 +5657,102 @@ object Snapshots {
       bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols)
   }
 
+  /** URI TAIL of a data-file ref (`data/v<N>-<uuid>/...` — the uuid
+    * makes commit dirs unique and `.+` spans `k=v/` partition
+    * segments): the key dv rows use to name their target file,
+    * matching table-relative refs and clone-borrowed absolute ones
+    * the same way. Shared by every partial-rewrite/purge path so the
+    * matching rule cannot drift between them.
+    */
+  private val DataTailRe = "(data/v[^/]+/.+)$"
+  private val DataTailPattern = java.util.regex.Pattern.compile(DataTailRe)
+  private def dataTail(rel: String): String = {
+    val mt = DataTailPattern.matcher(rel)
+    if (mt.find()) mt.group(1) else rel
+  }
+
+  /** Partial-rewrite dv consolidation ([[compactSmall]] /
+    * [[clusterTail]]'s shared rule): mask rows for the REWRITTEN
+    * files are inert (the rewrite read applied them); only rows
+    * referencing `kept` files survive, written as this commit's dv
+    * dir. Returns (dv refs, masked-row count).
+    */
+  private def consolidateDvsFor(spark: SparkSession, f: FileSystem,
+                                tableDir: String, m: Manifest,
+                                kept: Seq[String], version: Long,
+                                tag: String): (Seq[String], Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    if (m.dvs.isEmpty) return (Seq.empty, 0L)
+    val keptTails = kept.map(dataTail)
+    val dvAbs = m.dvs.map(rel =>
+      if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+    val live = spark.read.parquet(dvAbs: _*)
+      .withColumn("__rel", regexp_extract(col("file_path"), DataTailRe, 1))
+      .filter(col("__rel").isin(keptTails: _*)).drop("__rel")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = live.count()
+      if (cnt == 0) (Seq.empty, 0L)
+      else {
+        val dvRel = f"dv/v$version%06d-$tag"
+        val dvDir = new Path(tableDir, dvRel)
+        dvSizedForWrite(live, cnt).write.parquet(dvDir.toString)
+        (f.listStatus(dvDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(x => s"$dvRel/$x").toSeq.sorted, cnt)
+      }
+    } finally live.unpersist(false)
+  }
+
+  /** Fresh-file footer stats for a partial rewrite: the files carry
+    * PHYSICAL names — read footers by physical name, record under the
+    * LOGICAL key (the same dance as [[commit]]). Returns
+    * (stats, nullCounts), empty for an empty `statsColumns`.
+    */
+  private def rewriteFooterStats(spark: SparkSession, tableDir: String,
+                                 m: Manifest, written: Seq[String],
+                                 statsColumns: Seq[String])
+      : (Map[(String, String), FileStat], Map[(String, String), Long]) = {
+    if (statsColumns.isEmpty) return (Map.empty, Map.empty)
+    val physRev = m.colMap.map(_.swap)
+    val metas = written.map { rel =>
+      rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+        statsColumns.map(c => m.colMap.getOrElse(c, c)))
+    }
+    (metas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap,
+      metas.flatMap { case (rel, (_, nn)) =>
+        nn.map { case (c, cnt) =>
+          (rel, physRev.getOrElse(c, c)) -> cnt } }.toMap)
+  }
+
+  /** Exact per-file row + byte accounting for a partial rewrite: one
+    * footer read per FRESH file; carried files' rows come from the
+    * manifest's row ledger (footer fallback only for ledger-less
+    * legacy entries — the same O(table)-driver-RPC audit as the
+    * compactSmall size probe). Returns (total data rows,
+    * fresh rel → (rows, bytes)).
+    */
+  private def rewriteAccounting(spark: SparkSession, tableDir: String,
+                                m: Manifest, kept: Seq[String],
+                                written: Seq[String])
+      : (Long, Map[String, (Long, Long)]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    def meta(p: Path): (Long, Long) = {
+      val in = HadoopInputFile.fromPath(
+        p, spark.sparkContext.hadoopConfiguration)
+      val r = ParquetFileReader.open(in)
+      try (r.getRecordCount, in.getLength) finally r.close()
+    }
+    val fresh = written.map(rel =>
+      rel -> meta(new Path(tableDir, rel))).toMap
+    (kept.map(rel => m.fileRows.getOrElse(rel, meta(
+      if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))._1))
+      .sum + fresh.values.map(_._1).sum,
+      fresh)
+  }
+
   /** INCREMENTAL re-cluster of the UNBUCKETED TAIL — O(tail), not
     * O(table). [[compactBucketed]] folds plain-append files back into
     * the bucket layout by rewriting the WHOLE table; at 100 TB that
@@ -5644,7 +5781,7 @@ object Snapshots {
     */
   def clusterTail(spark: SparkSession, tableDir: String,
                   statsColumns: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, regexp_extract, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -5672,63 +5809,12 @@ object Snapshots {
     }
     val newBuckets = flattenBucketDirs(f, dataDir, dataRel)
     val written = listDataFiles(f, dataDir, dataRel)
-    // mask consolidation, compactSmall's rule: dv rows for the
-    // rewritten tail files are inert (already applied by the read);
-    // only rows referencing KEPT files survive
-    val tailRe = "(data/v[^/]+/.+)$"
-    val keptTails = clustered.map { rel =>
-      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
-      if (mt.find()) mt.group(1) else rel
-    }
     val (dvs, dvRows) =
-      if (m.dvs.isEmpty) (Seq.empty[String], 0L)
-      else {
-        val dvAbs = m.dvs.map(rel =>
-          if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-        val live = spark.read.parquet(dvAbs: _*)
-          .withColumn("__rel", regexp_extract(col("file_path"), tailRe, 1))
-          .filter(col("__rel").isin(keptTails: _*)).drop("__rel")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val cnt = live.count()
-          if (cnt == 0) (Seq.empty[String], 0L)
-          else {
-            val dvRel = f"dv/v$version%06d-$tag"
-            val dvDir = new Path(tableDir, dvRel)
-            dvSizedForWrite(live, cnt).write.parquet(dvDir.toString)
-            (f.listStatus(dvDir).iterator.map(_.getPath.getName)
-              .filter(_.endsWith(".parquet"))
-              .map(x => s"$dvRel/$x").toSeq.sorted, cnt)
-          }
-        } finally live.unpersist(false)
-      }
-    val physRev = m.colMap.map(_.swap)
-    val newMetas =
-      if (statsColumns.isEmpty) Nil
-      else written.map { rel =>
-        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
-          statsColumns.map(c => m.colMap.getOrElse(c, c)))
-      }
-    val newStats = newMetas.flatMap { case (rel, (st, _)) =>
-      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
-    val newNulls = newMetas.flatMap { case (rel, (_, nn)) =>
-      nn.map { case (c, cnt) => (rel, physRev.getOrElse(c, c)) -> cnt } }.toMap
-    val (dataRows, newFileMeta) = {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      def meta(p: Path): (Long, Long) = {
-        val in = HadoopInputFile.fromPath(
-          p, spark.sparkContext.hadoopConfiguration)
-        val r = ParquetFileReader.open(in)
-        try (r.getRecordCount, in.getLength) finally r.close()
-      }
-      val fresh = written.map(rel =>
-        rel -> meta(new Path(tableDir, rel))).toMap
-      (clustered.map(rel => m.fileRows.getOrElse(rel, meta(
-        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))._1))
-        .sum + fresh.values.map(_._1).sum,
-        fresh)
-    }
+      consolidateDvsFor(spark, f, tableDir, m, clustered, version, tag)
+    val (newStats, newNulls) =
+      rewriteFooterStats(spark, tableDir, m, written, statsColumns)
+    val (dataRows, newFileMeta) =
+      rewriteAccounting(spark, tableDir, m, clustered, written)
     val keep = clustered.toSet
     if (!publishManifest(f, tableDir, m.copy(version = version,
         files = clustered ++ written,
@@ -7570,72 +7656,15 @@ object Snapshots {
     }
     val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
       .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
-    // mask consolidation: keep only dv rows that reference CARRIED
-    // files (rows for rewritten files are inert — already applied).
-    // Matching is on the URI TAIL (data/v<N>-<uuid>/... — uuid-unique
-    // per commit dir; `.+` spans the `k=v/` segments partitioned
-    // layouts nest files under), which also matches BORROWED absolute
-    // refs: a clone's carried source files keep their masks.
-    val tailRe = "(data/v[^/]+/.+)$"
-    val largeTails = large.map { rel =>
-      val mt = java.util.regex.Pattern.compile(tailRe).matcher(rel)
-      if (mt.find()) mt.group(1) else rel
-    }
+    // shared partial-rewrite tail (also clusterTail's): dv mask
+    // consolidation on the URI-tail rule, fresh footer stats under
+    // logical keys, exact row/byte accounting from the ledger
     val (dvs, dvRows) =
-      if (m.dvs.isEmpty) (Seq.empty[String], 0L)
-      else {
-        val dvAbs = m.dvs.map(rel =>
-          if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-        val live = spark.read.parquet(dvAbs: _*)
-          .withColumn("__rel", regexp_extract(col("file_path"), tailRe, 1))
-          .filter(col("__rel").isin(largeTails: _*)).drop("__rel")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n = live.count()
-          if (n == 0) (Seq.empty[String], 0L)
-          else {
-            val dvRel = f"dv/v$version%06d-$tag"
-            val dvDir = new Path(tableDir, dvRel)
-            dvSizedForWrite(live, n).write.parquet(dvDir.toString)
-            (f.listStatus(dvDir).iterator.map(_.getPath.getName)
-              .filter(_.endsWith(".parquet"))
-              .map(x => s"$dvRel/$x").toSeq.sorted, n)
-          }
-        } finally live.unpersist(false)
-      }
-    // the rewritten files carry PHYSICAL names — read footer stats by
-    // physical name, record them under the LOGICAL key (same dance as
-    // [[commit]]'s fileMetas/physRev)
-    val physRev = m.colMap.map(_.swap)
-    val newMetas =
-      if (statsColumns.isEmpty) Nil
-      else written.map { rel =>
-        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
-          statsColumns.map(c => m.colMap.getOrElse(c, c)))
-      }
-    val newStats = newMetas.flatMap { case (rel, (st, _)) =>
-      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x } }.toMap
-    val newNulls = newMetas.flatMap { case (rel, (_, nn)) =>
-      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
-    // exact per-file row + byte accounting: footers for the FRESH
-    // files only; carried files' rows come from the manifest's row
-    // ledger (footer-read fallback for ledger-less legacy entries —
-    // the same O(table)-driver-RPC audit as the size probe above)
-    val (dataRows, newFileMeta) = {
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      def meta(p: Path): (Long, Long) = {
-        val in = HadoopInputFile.fromPath(
-          p, spark.sparkContext.hadoopConfiguration)
-        val r = ParquetFileReader.open(in)
-        try (r.getRecordCount, in.getLength) finally r.close()
-      }
-      val fresh = written.map(rel =>
-        rel -> meta(new Path(tableDir, rel))).toMap
-      (large.map(rel => m.fileRows.getOrElse(rel, meta(
-        if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel))._1)).sum +
-        fresh.values.map(_._1).sum, fresh)
-    }
+      consolidateDvsFor(spark, f, tableDir, m, large, version, tag)
+    val (newStats, newNulls) =
+      rewriteFooterStats(spark, tableDir, m, written, statsColumns)
+    val (dataRows, newFileMeta) =
+      rewriteAccounting(spark, tableDir, m, large, written)
     val keep = large.toSet
     if (!publishManifest(f, tableDir, m.copy(version = version,
         files = large ++ written,

@@ -190,9 +190,8 @@ class BucketedLayoutSpec extends SparkSpec {
     // mask some right rows: the join must not resurrect them
     Snapshots.deleteWhere(spark, rhs, col("rid") % 100 === 0)
     val joined = Snapshots.bucketAlignedJoin(spark, lhs, rhs, "id", "rid")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"the aligned join must carry zero Exchange nodes:\n$plan")
+    assert(Snapshots.alignedShuffleFree(joined),
+      "the aligned join must carry zero shuffle — outer AND inner plans")
     assert(joined.rdd.getNumPartitions === 8, "one partition per bucket")
     // exact parity with the planner's shuffled join (same snapshots)
     val expect = Snapshots.readVersion(spark, lhs)
@@ -255,7 +254,7 @@ class BucketedLayoutSpec extends SparkSpec {
       val joined = Snapshots.bucketAlignedJoin(
         spark, leftDir, rhs, "lk", "rk",
         strategy = if (rnd.nextBoolean()) "merge" else "hash")
-      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(Snapshots.alignedShuffleFree(joined))
       val expect = Snapshots.readVersion(spark, leftDir)
         .join(Snapshots.readVersion(spark, rhs), col("lk") === col("rk"))
       assert(joined.count() === expect.count(), s"trial $trial count")
@@ -294,8 +293,8 @@ class BucketedLayoutSpec extends SparkSpec {
     for (jt <- Seq("left_outer", "left_semi", "left_anti", "inner")) {
       val aligned = Snapshots.bucketAlignedJoin(
         spark, lhs, rhs, "id", "rid", joinType = jt)
-      val plan = aligned.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), s"$jt must stay shuffle-free:\n$plan")
+      assert(Snapshots.alignedShuffleFree(aligned),
+        s"$jt must stay shuffle-free (outer and inner plans)")
       val expect = lv.join(rv, col("id") === col("rid"), jt)
       assert(aligned.count() === expect.count(), s"$jt count")
       assert(aligned.exceptAll(expect).isEmpty &&
@@ -350,8 +349,8 @@ class BucketedLayoutSpec extends SparkSpec {
     for (jt <- Seq("inner", "left_outer", "left_semi", "left_anti")) {
       val merge = Snapshots.bucketAlignedJoin(
         spark, lhs, rhs, "lk", "rk", joinType = jt, strategy = "merge")
-      assert(!merge.queryExecution.executedPlan.toString.contains("Exchange"),
-        s"$jt merge must stay shuffle-free")
+      assert(Snapshots.alignedShuffleFree(merge),
+        s"$jt merge must stay shuffle-free (outer and inner plans)")
       val hash = Snapshots.bucketAlignedJoin(
         spark, lhs, rhs, "lk", "rk", joinType = jt, strategy = "hash")
       assert(merge.count() === hash.count(), s"$jt strategy counts")
@@ -375,7 +374,7 @@ class BucketedLayoutSpec extends SparkSpec {
       // end-to-end: the default auto strategy now runs merge
       val auto = Snapshots.bucketAlignedJoin(
         spark, lhs, rhs, "lk", "rk", joinType = "left_outer")
-      assert(!auto.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(Snapshots.alignedShuffleFree(auto))
       val expect = lv.join(rv, col("lk") === col("rk"), "left_outer")
       assert(auto.exceptAll(expect).isEmpty &&
         expect.exceptAll(auto).isEmpty)
@@ -409,8 +408,8 @@ class BucketedLayoutSpec extends SparkSpec {
       ("count", "*", "n"), ("count", "v", "n_v"), ("sum", "v", "sum_v"),
       ("sum", "d", "sum_d"), ("min", "s", "min_s"), ("max", "s", "max_s"),
       ("min", "v", "min_v")))
-    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
-      "the aligned aggregation must carry zero Exchange nodes")
+    assert(Snapshots.alignedShuffleFree(agg),
+      "the aligned aggregation must carry zero shuffle — outer AND inner plans")
     assert(agg.rdd.getNumPartitions === 5, "one partition per bucket")
     val expect = Snapshots.readVersion(spark, dir).groupBy("k").agg(
       count(lit(1)).as("n"), count(col("v")).as("n_v"),
@@ -579,5 +578,38 @@ class BucketedLayoutSpec extends SparkSpec {
       spark, factDir, "ck", emptyDim, "dk")
     assert(empty.count() === 0L)
     assert(empty.columns.contains("ck") && empty.columns.contains("dk"))
+  }
+
+  test("alignedShuffleFree is a REAL witness: a dv-mask join forced past " +
+    "the broadcast threshold shuffles INSIDE a per-bucket plan and the " +
+    "witness reports it, while rows stay exact (r15)") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    val left = (0 until 400).map(i => (i.toLong, s"l-$i")).toDF("id", "ltag")
+    val right = (0 until 400 by 2).map(i => (i.toLong, i)).toDF("rid", "rv")
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("id", 4)))
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rid", 4)))
+    Snapshots.deleteWhere(spark, rhs, col("rv") % 10 === 0)
+    // with broadcast available the mask join broadcasts: shuffle-free
+    val ok = Snapshots.bucketAlignedJoin(spark, lhs, rhs, "id", "rid")
+    assert(Snapshots.alignedShuffleFree(ok))
+    // force the mask join past broadcast: the inner per-bucket plan
+    // now carries a genuine shuffle — invisible to the outer frame's
+    // plan (an ExistingRDD scan), VISIBLE to the witness
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = Snapshots.bucketAlignedJoin(spark, lhs, rhs, "id", "rid")
+      assert(!forced.queryExecution.executedPlan.toString
+        .contains("Exchange"), "the OUTER plan alone cannot see it")
+      assert(!Snapshots.alignedShuffleFree(forced),
+        "the witness must report the inner shuffle")
+      // diagnostic, not semantic: the rows are still exact
+      val expect = Snapshots.readVersion(spark, lhs)
+        .join(Snapshots.readVersion(spark, rhs), col("id") === col("rid"))
+      assert(forced.exceptAll(expect).isEmpty &&
+        expect.exceptAll(forced).isEmpty)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
