@@ -149,6 +149,12 @@ private[sources] object GraftProcedures {
         p("num_buckets", IntegerType)),
       unit((s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1),
         r.getInt(2), statsColumns = Seq(str(r, 1))))),
+    Spec("cluster_tail",
+      "fold plain appends back into the bucket layout INCREMENTALLY " +
+        "(rewrites ONLY the unclustered tail; the clustered bulk rides " +
+        "by reference — compact_bucketed is the O(table) alternative)",
+      Seq(p("table", StringType)),
+      unit((s, dir, r) => Snapshots.clusterTail(s, dir))),
     Spec("purge_deletes",
       "rewrite deletion-vector masks away (rewrites ONLY masked files, " +
         "keeps the table's layout)",

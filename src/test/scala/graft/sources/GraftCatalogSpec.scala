@@ -420,6 +420,31 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.m1")
   }
 
+  test("CALL graftcat.system.cluster_tail: the incremental SQL " +
+    "re-cluster — tail gains mappings, bulk rides by reference (r15)") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graftcat.db.ct")
+    spark.sql("CREATE TABLE graftcat.db.ct USING graft " +
+      "PARTITIONED BY (bucket(4, id)) AS " +
+      "SELECT id, CAST(id AS DOUBLE) AS v FROM RANGE(300)")
+    val dir = s"$warehouse/db/ct"
+    def m() = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val bulkFiles = m().files.toSet
+    // a PLAIN append (no bucket spec) forms the unclustered tail
+    val s2 = spark
+    import s2.implicits._
+    Snapshots.commit((1000L until 1050L).map(i => (i, i.toDouble))
+      .toDF("id", "v"), dir, "append")
+    assert(!m().files.forall(m().buckets.contains))
+    spark.sql("CALL graftcat.system.cluster_tail('db.ct')")
+    val after = m()
+    assert(after.files.forall(after.buckets.contains))
+    assert(bulkFiles.subsetOf(after.files.toSet), "bulk by reference")
+    assert(spark.table("graftcat.db.ct").count() === 350L)
+    spark.sql("DROP TABLE graftcat.db.ct")
+  }
+
   test("ALTER TABLE ALTER COLUMN TYPE widens losslessly, metadata-only") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftcat.db.w1")
