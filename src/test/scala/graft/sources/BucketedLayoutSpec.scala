@@ -580,6 +580,36 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(empty.columns.contains("ck") && empty.columns.contains("dk"))
   }
 
+  test("composition: a table built by the bucketed STREAMING sink " +
+    "(multi-file buckets, one per micro-batch) joins and aggregates " +
+    "aligned — no re-cluster needed (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"b-$i")).toDF("id", "tag")
+    Snapshots.exactlyOnceSink(dir, "app", bucketBy = Some(("id", 4)))(
+      batch(0, 300), 0L)
+    Snapshots.exactlyOnceSink(dir, "app", bucketBy = Some(("id", 4)))(
+      batch(300, 600), 1L)
+    Snapshots.exactlyOnceSink(dir, "app", bucketBy = Some(("id", 4)))(
+      batch(600, 900), 2L)
+    val m = Snapshots.readManifest(spark, dir, 2L)
+    assert(m.files.toSet === m.buckets.keySet)
+    assert(m.files.size > 4, "multiple files per bucket across batches")
+    val rhs = freshDir()
+    Snapshots.commit((0 until 900 by 3).map(i => (i.toLong, i))
+      .toDF("rid", "rv"), rhs, "overwrite", bucketBy = Some(("rid", 4)))
+    val joined = Snapshots.bucketAlignedJoin(spark, dir, rhs, "id", "rid")
+    assert(Snapshots.alignedShuffleFree(joined))
+    assert(joined.count() === 300L)
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir,
+      Seq(("count", "*", "n")))
+    assert(Snapshots.alignedShuffleFree(agg))
+    assert(agg.count() === 900L)
+    assert(agg.agg(sum("n")).head.getLong(0) === 900L)
+  }
+
   test("alignedShuffleFree is a REAL witness: a dv-mask join forced past " +
     "the broadcast threshold shuffles INSIDE a per-bucket plan and the " +
     "witness reports it, while rows stay exact (r15)") {
