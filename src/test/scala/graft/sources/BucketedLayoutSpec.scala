@@ -610,6 +610,37 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(agg.agg(sum("n")).head.getLong(0) === 900L)
   }
 
+  test("composition: partition×bucket layouts join and aggregate aligned " +
+    "(bucket groups span the partition dirs) — rows equal the planner's " +
+    "(r15)") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    val left = (0 until 600)
+      .map(i => (i.toLong, (i % 3).toString, i * 1.0))
+      .toDF("id", "p", "v")
+    Snapshots.commit(left, lhs, "overwrite",
+      bucketBy = Some(("id", 4)), partitionBy = Seq("p"))
+    Snapshots.commit((0 until 600 by 2).map(i => (i.toLong, i))
+      .toDF("rid", "rv"), rhs, "overwrite", bucketBy = Some(("rid", 4)))
+    val m = Snapshots.readManifest(spark, lhs, 0L)
+    assert(m.partitionCols === Seq("p") && m.files.toSet === m.buckets.keySet)
+    val joined = Snapshots.bucketAlignedJoin(spark, lhs, rhs, "id", "rid")
+    assert(Snapshots.alignedShuffleFree(joined))
+    val expect = Snapshots.readVersion(spark, lhs)
+      .join(Snapshots.readVersion(spark, rhs), col("id") === col("rid"))
+    assert(joined.count() === expect.count())
+    assert(joined.exceptAll(expect).isEmpty &&
+      expect.exceptAll(joined).isEmpty)
+    val agg = Snapshots.bucketAlignedAggregate(spark, lhs,
+      Seq(("count", "*", "n"), ("min", "p", "min_p")))
+    assert(Snapshots.alignedShuffleFree(agg))
+    val expAgg = Snapshots.readVersion(spark, lhs).groupBy("id")
+      .agg(count(lit(1)).as("n"), min("p").as("min_p"))
+    assert(agg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(agg).isEmpty)
+  }
+
   test("alignedShuffleFree is a REAL witness: a dv-mask join forced past " +
     "the broadcast threshold shuffles INSIDE a per-bucket plan and the " +
     "witness reports it, while rows stay exact (r15)") {
