@@ -3233,10 +3233,22 @@ object Snapshots {
     * hint applies only WITHIN the key budget — an over-budget dim is
     * not provably small, so the fallback join lets the planner pick
     * its own strategy from statistics.
+    *
+    * `factRanges` adds STATIC range conjuncts on fact columns —
+    * `(column, lo, hi)`, inclusive — to the same plan: the canonical
+    * "`date BETWEEN ? AND ?` window ⋈ today's dim slice" DFP shape.
+    * They AND-compose with the dim keys' verdicts in the one
+    * planning pass (the u50 mixed-probe machinery on the checkpoint
+    * path, stats pruning seeding the key pruner on the manifest
+    * path), and the row filter re-applies them exactly on EVERY
+    * path, including the over-budget full read — pruning is only
+    * ever a scan reducer.
     */
   def joinFilePruned(spark: SparkSession, factDir: String, factKey: String,
                      dim: DataFrame, dimKey: String,
-                     version: Option[Long] = None): DataFrame = {
+                     version: Option[Long] = None,
+                     factRanges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val budget = probeKeyBudget(spark)
     // budget+1 caps the collect — overflow is detected without ever
@@ -3249,17 +3261,41 @@ object Snapshots {
       .distinct().limit(cap).collect()
     val keys: Seq[Any] = keyRows.iterator.map(_.get(0)).toSeq
     val withinBudget = keys.nonEmpty && keys.size <= budget
+    import org.apache.spark.sql.functions.lit
+    // the row filter owns range exactness on EVERY path (pruned,
+    // over-budget full read, empty) — inclusive bounds, the planner's
+    val rangeFiltered: DataFrame => DataFrame = df =>
+      factRanges.foldLeft(df) { case (d, (c, lo, hi)) =>
+        d.filter(col(s"`$c`") >= lit(lo) && col(s"`$c`") <= lit(hi))
+      }
     val fact =
-      if (keys.isEmpty) readVersion(spark, factDir, version).limit(0)
-      else if (!withinBudget) readVersion(spark, factDir, version)
+      if (keys.isEmpty)
+        rangeFiltered(readVersion(spark, factDir, version).limit(0))
+      else if (!withinBudget)
+        rangeFiltered(readVersion(spark, factDir, version))
       else {
         val f = fs(spark, factDir)
         val v = version.orElse(latestLiveVersion(spark, factDir)).getOrElse(
           throw new IllegalArgumentException(
             s"no committed version at $factDir"))
         if (newestCheckpointAtOrBefore(f, factDir, v).isDefined)
-          readVersionCheckpointedKeys(spark, factDir, factKey, keys, Some(v))
-        else readVersionKeys(spark, factDir, factKey, keys, Some(v))
+          // keys ∧ ranges compose in the ONE checkpoint planning job
+          // (the u50 mixed-probe shape); the serving read re-applies
+          // both as row filters
+          readVersionCheckpointedProbes(spark, factDir,
+            Seq(factKey -> keys), Some(v), factRanges)
+        else if (factRanges.isEmpty)
+          readVersionKeys(spark, factDir, factKey, keys, Some(v))
+        else {
+          // manifest path: range stats seed the key pruner — the
+          // same conjunction the checkpoint job evaluates
+          val m = resolveForRead(spark, factDir, Some(v))
+          val keep = pruneForProbes(spark, m,
+            pruneFiles(m, factRanges), Seq(factKey -> keys))
+          val keepNE = if (keep.nonEmpty) keep else m.files.take(1)
+          rangeFiltered(readFiles(spark, factDir, m, keepNE)
+            .filter(col(s"`$factKey`").isin(keys: _*)))
+        }
       }
     // broadcast only a provably small dim (≤ budget distinct keys is
     // the evidence the collect just produced); an over-budget dim

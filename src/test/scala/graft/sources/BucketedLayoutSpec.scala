@@ -641,6 +641,52 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(agg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(agg).isEmpty)
   }
 
+  test("joinFilePruned factRanges: a static window conjunct composes " +
+    "with the dim keys on BOTH planner paths — strictly tighter scan, " +
+    "rows exact, over-budget still window-exact (r15)") {
+    val s = spark
+    import s.implicits._
+    val factDir = freshDir()
+    val fact = (0 until 2000)
+      .map(i => (i.toLong, (i % 50).toLong, (i % 4).toLong, i * 1.0))
+      .toDF("oid", "ck", "day", "amt")
+    Snapshots.commit(fact, factDir, "overwrite",
+      bucketBy = Some(("ck", 8)), partitionBy = Seq("day"),
+      statsColumns = Seq("day"))
+    val factName = new org.apache.hadoop.fs.Path(factDir).getName
+    val dim = Seq((3L, "a"), (7L, "b")).toDF("dk", "tag")
+    val window = Seq(("day", 1L: Any, 2L: Any))
+    def check(): Unit = {
+      val keysOnly = Snapshots.joinFilePruned(
+        spark, factDir, "ck", dim, "dk")
+      val windowed = Snapshots.joinFilePruned(
+        spark, factDir, "ck", dim, "dk", factRanges = window)
+      val expect = Snapshots.readVersion(spark, factDir)
+        .filter(col("day").between(1L, 2L))
+        .join(dim, col("ck") === col("dk"))
+      assert(windowed.count() === expect.count())
+      assert(windowed.exceptAll(expect).isEmpty &&
+        expect.exceptAll(windowed).isEmpty)
+      val a = windowed.inputFiles.count(_.contains(factName))
+      val b = keysOnly.inputFiles.count(_.contains(factName))
+      assert(a < b, s"the window must tighten the scan ($a vs $b)")
+    }
+    check() // manifest path
+    Snapshots.writeMetadataCheckpoint(spark, factDir)
+    check() // checkpoint path (the u50 mixed-probe machinery)
+    // over budget: full snapshot read, rows still window-exact
+    spark.conf.set("graft.probe.maxKeys", "1")
+    try {
+      val full = Snapshots.joinFilePruned(
+        spark, factDir, "ck", dim, "dk", factRanges = window)
+      val expect = Snapshots.readVersion(spark, factDir)
+        .filter(col("day").between(1L, 2L))
+        .join(dim, col("ck") === col("dk"))
+      assert(full.exceptAll(expect).isEmpty &&
+        expect.exceptAll(full).isEmpty)
+    } finally spark.conf.unset("graft.probe.maxKeys")
+  }
+
   test("alignedShuffleFree is a REAL witness: a dv-mask join forced past " +
     "the broadcast threshold shuffles INSIDE a per-bucket plan and the " +
     "witness reports it, while rows stay exact (r15)") {
