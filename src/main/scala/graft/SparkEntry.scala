@@ -155,6 +155,12 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u55BucketAgg _),
     "u56_cluster_tail" ->
       (graft.sources.DemoFixtures.u56ClusterTail _),
+    "u57_sorted_layout" ->
+      (graft.sources.DemoFixtures.u57SortedLayout _),
+    "u58_join_agg" ->
+      (graft.sources.DemoFixtures.u58JoinAgg _),
+    "u59_latest_by_key" ->
+      (graft.sources.DemoFixtures.u59LatestByKey _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1216,6 +1222,44 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    AS total,
         |  1 AS repair_ok
         |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
+    // u57 oracle: the SORTED-bucket layout replayed relationally —
+    // every group's count/sum over BOTH sorted populations (v0 +
+    // sorted append) hash-compared; sorted_ok = 1 pins complete
+    // sorted markers AND a zero-Exchange, zero-Sort executed plan
+    // (the skip-sort tree-merge path, not the in-task sorter)
+    "u57_sorted_layout" ->
+      """SELECT o_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS sorted_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u58 oracle: the FUSED star query (join + GROUP BY key in one
+    // zero-Exchange, zero-Sort streaming pass) replayed relationally;
+    // fused_ok = 1 pins both witnesses
+    "u58_join_agg" ->
+      """SELECT l_orderkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS price,
+        |  1 AS fused_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u59 oracle: latest-row-per-entity as the relational
+    // join-on-max(ord) — NULL orders never win, all-NULL entities
+    // absent, exactly bucketAlignedLatest's contract; latest_ok = 1
+    // pins the zero-Exchange, zero-Sort executed plan
+    "u59_latest_by_key" ->
+      """WITH t AS (SELECT o_custkey AS k,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey END
+        |      AS ord,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT t.k, t.ord, CAST(t.price AS DOUBLE) AS price,
+        |  1 AS latest_ok
+        |FROM t JOIN (SELECT k, MAX(ord) AS mo FROM t GROUP BY k) m
+        |  ON t.k = m.k AND t.ord = m.mo
+        |ORDER BY 1""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1546,4 +1546,122 @@ object DemoFixtures {
         sum(col("t")).cast("double").as("total"))
       .withColumn("repair_ok", lit(repairOk).cast("int"))
   }
+
+  /** Demo + oracle entry (`u57_sorted_layout`): the SORTED-bucket
+    * layout end to end — orders committed `sortBuckets` (v0, 2/3 of
+    * the rows) plus a SORTED bucketed append (v1, the rest), so every
+    * bucket holds TWO key-ordered files. The aligned aggregation then
+    * streams the layout with zero Exchange AND zero Sort
+    * ([[Snapshots.alignedSortFree]] — the tree-merge path, not the
+    * in-task sorter). `sorted_ok` folds the witnesses: every file
+    * carries a sorted marker, both witnesses true. The oracle replays
+    * every group's count/sum relationally — proving the skip-sort
+    * stream grouped EXACTLY (an out-of-order run would split groups
+    * and break the hash compare). The 100 TB story: the dominant
+    * in-task cost of the aligned join/agg family (the per-bucket
+    * external sort) priced out by write-side ordering, the
+    * Iceberg-sort-order / Hive-SORTED-BY shape.
+    */
+  def u57SortedLayout(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-sorted-orders")
+    val orders = graft.Tables.orders(s, d)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    Snapshots.commit(orders.filter(col("o_custkey") % 3 =!= 0),
+      dir, "overwrite", bucketBy = Some(("o_custkey", 8)),
+      sortBuckets = true)
+    Snapshots.commit(orders.filter(col("o_custkey") % 3 === 0),
+      dir, "append", bucketBy = Some(("o_custkey", 8)),
+      sortBuckets = true)
+    val m = Snapshots.readManifest(s, dir, 1L)
+    val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
+      ("count", "*", "n"), ("sum", "price", "total")))
+    val sortedOk =
+      if (m.sortedFiles.keySet == m.files.toSet &&
+        Snapshots.alignedShuffleFree(agg) &&
+        Snapshots.alignedSortFree(agg)) 1
+      else 0
+    agg.select(col("o_custkey").as("k"), col("n"),
+        col("total").cast("double").as("total"))
+      .withColumn("sorted_ok", lit(sortedOk).cast("int"))
+      .orderBy("k")
+  }
+
+  /** Demo + oracle entry (`u58_join_agg`): the FUSED star query —
+    * `SELECT key, aggs FROM lineitem JOIN orders USING (key) GROUP BY
+    * key` through [[Snapshots.bucketAlignedJoinAggregate]]: per
+    * bucket, ONE task merge-joins the two key-ordered sides and folds
+    * the groups as they stream — zero Exchange, and (both sides
+    * committed sorted) zero Sort; the join result is never
+    * materialized. `fused_ok` folds both witnesses. The oracle
+    * replays the join + GROUP BY relationally — every group's
+    * count/sums hash-compared. The 100 TB story: the canonical
+    * fact⋈fact rollup without shuffling either table OR holding a
+    * hash table of groups — wall-clock is the largest bucket pair,
+    * memory O(one group).
+    */
+  def u58JoinAgg(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create("graft-ja-lineitem")
+    val rhs = graft.TempDirs.create("graft-ja-orders")
+    Snapshots.commit(graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("qty")),
+      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)),
+      sortBuckets = true)
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      rhs, "overwrite", bucketBy = Some(("o_orderkey", 8)),
+      sortBuckets = true)
+    val fused = Snapshots.bucketAlignedJoinAggregate(s, lhs, rhs,
+      "l_orderkey", "o_orderkey", Seq(
+        ("count", "*", "n"), ("sum", "qty", "sum_qty"),
+        ("min", "price", "price")))
+    val fusedOk =
+      if (Snapshots.alignedShuffleFree(fused) &&
+        Snapshots.alignedSortFree(fused)) 1
+      else 0
+    fused.select(col("l_orderkey").as("k"), col("n"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("price").cast("double").as("price"))
+      .withColumn("fused_ok", lit(fusedOk).cast("int"))
+      .orderBy("k")
+  }
+
+  /** Demo + oracle entry (`u59_latest_by_key`): LATEST-row-per-entity
+    * over the bucket layout — [[Snapshots.bucketAlignedLatest]], the
+    * CDC "current state" read executed as one key-ordered streaming
+    * pass per bucket (zero Exchange; committed sorted, so zero Sort
+    * either). Order column: `o_orderkey` with every 11th NULLed — a
+    * NULL order never wins, and an entity whose orders are ALL
+    * NULL-ordered is absent, exactly the relational
+    * join-on-max(ord) semantics the oracle replays. The 100 TB
+    * story: the planner's window (`row_number() OVER (PARTITION BY
+    * key ORDER BY ord DESC) = 1`) shuffles and sorts the whole
+    * table; this streams each bucket once holding ONE candidate row.
+    */
+  def u59LatestByKey(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-latest-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey").as("k"),
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_orderkey")).as("ord"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      dir, "overwrite", bucketBy = Some(("k", 8)), sortBuckets = true)
+    val latest = Snapshots.bucketAlignedLatest(s, dir, "ord")
+    val latestOk =
+      if (Snapshots.alignedShuffleFree(latest) &&
+        Snapshots.alignedSortFree(latest)) 1
+      else 0
+    latest.select(col("k"), col("ord"),
+        col("price").cast("double").as("price"))
+      .withColumn("latest_ok", lit(latestOk).cast("int"))
+      .orderBy("k")
+  }
 }

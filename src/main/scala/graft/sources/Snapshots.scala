@@ -186,6 +186,21 @@ object Snapshots {
     * commit: segments store physical stat keys, so no per-file
     * metadata moves.
     */
+  /** `sortedFiles` is the SORTED-BUCKET layout (the formats' sort
+    * order / `SORTED BY`): file → the LOGICAL column its rows are
+    * sorted by (ascending, NULLS FIRST — [[sortWithinPartitions]]'s
+    * own order), recorded ONLY by writers that actually sorted
+    * (`sortBuckets` commits, sorted compactions). Safe by
+    * construction: a file absent from the map is merely unsorted
+    * (the aligned operators fall back to their in-task spillable
+    * sort), so no carry rule can ever claim an unsorted file sorted
+    * — new files simply aren't in the map until a sorting writer
+    * puts them there. Entries of removed files die with their
+    * segment rows (per-file metadata persists only through live
+    * segment entries). What it buys at 100 TB: the aligned
+    * join/agg/latest family streams sorted buckets directly —
+    * zero Exchange AND zero in-task Sort ([[alignedSortFree]]).
+    */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
                             schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -207,7 +222,8 @@ object Snapshots {
                             nullCounts: Map[(String, String), Long] = Map.empty,
                             ndvs: Map[(String, String), Array[Byte]] = Map.empty,
                             klls: Map[(String, String), Array[Byte]] = Map.empty,
-                            features: Set[String] = Set.empty) {
+                            features: Set[String] = Set.empty,
+                            sortedFiles: Map[String, String] = Map.empty) {
     /** logical → physical (identity when unmapped). */
     def physOf(c: String): String = colMap.getOrElse(c, c)
     /** physical → logical (identity when unmapped). */
@@ -945,8 +961,19 @@ object Snapshots {
              bloomColumns: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
              ndvColumns: Seq[String] = Nil,
-             histColumns: Seq[String] = Nil): Long = {
+             histColumns: Seq[String] = Nil,
+             sortBuckets: Boolean = false): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    // SORTED-BUCKET layout (see [[Manifest.sortedFiles]]): the write
+    // additionally orders each bucket's rows by the bucket key and
+    // records per-file sorted markers, which the aligned operators
+    // trade for their in-task sort. Only meaningful WITH a bucket
+    // layout — order inside an unbucketed file buys nothing the
+    // aligned family can use, so a sort request without a bucket spec
+    // is a misuse, not a no-op.
+    require(!sortBuckets || bucketBy.isDefined,
+      "sortBuckets requires bucketBy: the sorted-bucket layout orders " +
+        "each bucket's rows by the bucket key")
     // Hive-style partition layout (see [[PartShadowPrefix]]): `k=v/`
     // data dirs, values kept in the files, per-file min=max partition
     // stats in the manifest. Partition columns must be non-null
@@ -1098,7 +1125,8 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
-      writeLayout(spark, f, batch, dataDir, partSpecs, schema, bucketBy, colMap)
+      writeLayout(spark, f, batch, dataDir, partSpecs, schema, bucketBy,
+        colMap, sortBuckets)
     } finally if (pinned) batch.unpersist(false)
     val newBuckets: Map[String, Int] =
       if (bucketBy.isEmpty) Map.empty
@@ -1244,6 +1272,16 @@ object Snapshots {
     val fileBytes =
       (if (mode == "append") prev.map(_.fileBytes).getOrElse(Map.empty[String, Long])
        else Map.empty[String, Long]) ++ newFileMeta.view.mapValues(_._2).toMap
+    // sorted-bucket markers: the files THIS write sorted gain one;
+    // an append carries the predecessor's (their bytes are untouched
+    // — still sorted); an unsorted write simply marks nothing, so the
+    // layout degrades per file, never lies (see [[Manifest.sortedFiles]])
+    val sortedFiles =
+      (if (mode == "append")
+         prev.map(_.sortedFiles).getOrElse(Map.empty[String, String])
+       else Map.empty[String, String]) ++
+        (if (sortBuckets) written.iterator.map(_ -> bucketBy.get._1).toMap
+         else Map.empty[String, String])
     // the decimal-stats feature marker: an overwrite re-records every
     // surviving stat under the scale-drop rules (fresh files only), so
     // it SETS the marker; an append only CARRIES it — a pre-rules
@@ -1261,7 +1299,7 @@ object Snapshots {
         carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
         prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
         carriedNulls ++ newNulls, carriedNdvs ++ newNdvs,
-        carriedKlls ++ newKlls, features))) {
+        carriedKlls ++ newKlls, features, sortedFiles))) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -1311,7 +1349,8 @@ object Snapshots {
                           partSpecs: Seq[PartitionTransforms.Spec],
                           schema: org.apache.spark.sql.types.StructType,
                           bucketBy: Option[(String, Int)],
-                          colMap: Map[String, String]): Unit = {
+                          colMap: Map[String, String],
+                          sortBuckets: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val shadowCols = partSpecs.map(sp => PartShadowPrefix + sp.derivedName)
     val shadowed = partSpecs.foldLeft(batch)((b, sp) =>
@@ -1319,10 +1358,24 @@ object Snapshots {
         PartitionTransforms.derive(sp, schema(sp.source).dataType)))
     val (toWrite, layoutCols) = bucketBy match {
       case Some((k, n)) =>
-        (shadowed.withColumn(BucketCol,
+        val bucketed = shadowed.withColumn(BucketCol,
             pmod(xxhash64(col(k).cast(schema(k).dataType)),
               lit(n.toLong)).cast("int"))
-          .repartition(n, col(BucketCol)),
+          .repartition(n, col(BucketCol))
+        // sorted-bucket layout: order by (layout dirs, bucket, key)
+        // WITHIN each write task — the prefix is exactly the ordering
+        // FileFormatWriter itself requires for the partition dirs, so
+        // the writer adds no sort of its own and each output file (one
+        // contiguous (dir, bucket) run, or several under
+        // maxRecordsPerFile — each still a contiguous ordered chunk)
+        // lands key-sorted. BucketedLayoutSpec re-reads written files
+        // individually and pins the physical order; the read side
+        // additionally guards monotonicity at run time, so a writer
+        // regression fails loudly, never wrongly.
+        (if (sortBuckets)
+           bucketed.sortWithinPartitions(
+             (shadowCols :+ BucketCol :+ k).map(c => col(s"`$c`")): _*)
+         else bucketed,
          shadowCols :+ BucketCol)
       case None => (shadowed, shadowCols)
     }
@@ -1512,7 +1565,8 @@ object Snapshots {
                                     blooms: Seq[(String, Bloom)],
                                     nulls: Seq[(String, Long)] = Nil,
                                     ndvs: Seq[(String, Array[Byte])] = Nil,
-                                    klls: Seq[(String, Array[Byte])] = Nil)
+                                    klls: Seq[(String, Array[Byte])] = Nil,
+                                    sortedBy: Option[String] = None)
 
   private final case class SegmentData(entries: IndexedSeq[SegEntry])
 
@@ -1557,12 +1611,13 @@ object Snapshots {
       var bucket: Option[Int] = None
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
+      var sortedBy: Option[String] = None
       def flush(): Unit = if (file != null) {
         entries += SegEntry(file, stats.toSeq, bucket, rows, bytes,
-          blooms.toSeq, nulls.toSeq, ndvs.toSeq, klls.toSeq)
+          blooms.toSeq, nulls.toSeq, ndvs.toSeq, klls.toSeq, sortedBy)
         stats.clear(); blooms.clear(); nulls.clear(); ndvs.clear()
         klls.clear()
-        bucket = None; rows = None; bytes = None
+        bucket = None; rows = None; bytes = None; sortedBy = None
       }
       var line = r.readLine()
       while (line != null) {
@@ -1574,6 +1629,8 @@ object Snapshots {
           }
         } else if (line.startsWith("bucket=")) {
           bucket = Some(line.stripPrefix("bucket=").toInt)
+        } else if (line.startsWith("sorted=")) {
+          sortedBy = Some(line.stripPrefix("sorted="))
         } else if (line.startsWith("frow=")) {
           line.stripPrefix("frow=").split('\t') match {
             case Array(n, b) => rows = Some(n.toLong); bytes = Some(b.toLong)
@@ -1627,6 +1684,7 @@ object Snapshots {
         e.stats.sortBy(_._1).foreach { case (c, st) =>
           w.write(s"stat=$c\t${st.kind}\t${st.min}\t${st.max}\n") }
         e.bucket.foreach(b => w.write(s"bucket=$b\n"))
+        e.sortedBy.foreach(c => w.write(s"sorted=$c\n"))
         e.rows.foreach { n =>
           e.bytes match {
             case Some(b) => w.write(s"frow=$n\t$b\n")
@@ -2923,6 +2981,177 @@ object Snapshots {
       .forall(p => !shuffle.matcher(p).find())
   }
 
+  /** The sorted-layout twin of [[alignedShuffleFree]]: true iff no
+    * per-bucket inner plan recorded while `df` was built carries a
+    * local `Sort` node (the pattern matches the SortExec print
+    * `Sort [key ASC ...]`, not `SortMergeJoin`/`SortAggregate`). The
+    * aligned operators' merge/fold paths sort each bucket in-task
+    * UNLESS the manifest's sorted markers let them stream the files
+    * directly ([[bucketOrderedRdd]]) — this witness is how a caller
+    * (and BucketedLayoutSpec) proves which path ran. Same thread /
+    * same build-window contract as the shuffle witness.
+    */
+  def alignedSortFree(df: DataFrame): Boolean = {
+    val sortNode = java.util.regex.Pattern.compile("\\bSort \\[")
+    (df.queryExecution.executedPlan.toString :: alignedInnerPlans.get)
+      .forall(p => !sortNode.matcher(p).find())
+  }
+
+  /** Can `files` (one bucket's) serve KEY-ORDERED without an in-task
+    * sort? Yes iff every file carries a sorted-by-`key` marker, its
+    * size is on the byte ledger and within ONE scan split
+    * (`spark.sql.files.maxPartitionBytes` — a multi-split read's
+    * partition packing is an implementation detail no order
+    * guarantee should lean on), and the table has no live deletion
+    * vectors (a dv mask past the broadcast threshold would join —
+    * and reorder — the scan; the sorter path handles that shape).
+    * Conservative by design: ineligibility costs one spillable
+    * in-task sort, never correctness.
+    */
+  private def skipSortEligible(spark: SparkSession, m: Manifest,
+                               key: String, files: Seq[String]): Boolean = {
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    m.dvs.isEmpty && files.forall(fl =>
+      m.sortedFiles.get(fl).contains(key) &&
+        m.fileBytes.get(fl).exists(_ <= maxSplit))
+  }
+
+  /** Streaming 2-way merge of two KEY-ORDERED row iterators (ascending,
+    * NULLS FIRST — the layout's write order). Only the HELD look-ahead
+    * row is copied (scan iterators reuse row buffers); emitted rows
+    * follow the usual valid-until-next() contract. O(1) memory.
+    */
+  private def mergeSortedIters(
+      a: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      b: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      kIdx: Int, kt: org.apache.spark.sql.types.DataType)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(kt)
+    // null keys sort FIRST (sortWithinPartitions' default) — compare
+    // with an explicit null rank so the interpreted ordering only
+    // ever sees non-nulls
+    def leq(x: org.apache.spark.sql.catalyst.InternalRow,
+            y: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+      val xn = x.isNullAt(kIdx); val yn = y.isNullAt(kIdx)
+      if (xn) true
+      else if (yn) false
+      else ord.lteq(x.get(kIdx, kt), y.get(kIdx, kt))
+    }
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var headA: org.apache.spark.sql.catalyst.InternalRow = _
+      private var headB: org.apache.spark.sql.catalyst.InternalRow = _
+      private def loadA(): Unit =
+        if (headA == null && a.hasNext) headA = a.next().copy()
+      private def loadB(): Unit =
+        if (headB == null && b.hasNext) headB = b.next().copy()
+      def hasNext: Boolean = { loadA(); loadB(); headA != null || headB != null }
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        loadA(); loadB()
+        if (headA != null && (headB == null || leq(headA, headB))) {
+          val r = headA; headA = null; r
+        } else if (headB != null) {
+          val r = headB; headB = null; r
+        } else throw new NoSuchElementException("empty merge")
+      }
+    }
+  }
+
+  /** The RUN-TIME floor under every skip-sort promise: wraps a
+    * supposedly key-ordered iterator and throws on the first
+    * out-of-order row (one comparison per row — noise next to the
+    * scan). The sorted markers are metadata; if a write-side
+    * regression (or an order-breaking scan change) ever produced an
+    * unsorted "sorted" file, the aligned operators' merge/fold
+    * consumers would otherwise return WRONG rows silently — this
+    * turns that into a loud failure naming the layout.
+    */
+  private def monotonicGuard(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      kIdx: Int, kt: org.apache.spark.sql.types.DataType)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(kt)
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var prevKey: Any = _
+      private var seenRow = false // null key ≠ no previous row
+      def hasNext: Boolean = rows.hasNext
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val r = rows.next()
+        val k = if (r.isNullAt(kIdx)) null else r.get(kIdx, kt)
+        if (seenRow && !(prevKey == null ||
+            (k != null && ord.lteq(prevKey, k))))
+          throw new IllegalStateException(
+            "sorted-bucket layout violated: a file carrying a sorted " +
+              "marker served rows out of key order — rewrite the table " +
+              "(compactBucketed(sort = true)) and report the writer")
+        prevKey = k match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+          case other => other
+        }
+        seenRow = true
+        r
+      }
+    }
+  }
+
+  /** ONE bucket's files as a single-partition KEY-ORDERED
+    * (ascending, NULLS FIRST) InternalRow RDD — the shared read the
+    * aligned merge/fold operators sit on. Two paths, decided per
+    * bucket from the manifest alone:
+    *  - SKIP-SORT ([[skipSortEligible]]): every file carries a sorted
+    *    marker — each is read individually (same [[readFiles]]
+    *    scan, so column mapping and schema evolution apply) and a
+    *    tree of streaming 2-way merges ([[mergeSortedIters]])
+    *    zips them partition-wise: zero Exchange, zero Sort, O(1)
+    *    task memory, each row crossing ⌈log₂ k⌉ merges for a
+    *    k-file bucket. A [[monotonicGuard]] on the merged stream
+    *    turns any broken marker into a loud failure. Driver cost is
+    *    one tiny plan per FILE (vs per bucket) — the documented
+    *    price of the sorted path, paid only by sorted buckets.
+    *  - SORTER: the bucket's files read together and in-task sorted
+    *    (Spark's external SPILLABLE sorter — still zero Exchange),
+    *    exactly the pre-sorted-layout behavior.
+    */
+  private def bucketOrderedRdd(spark: SparkSession, dir: String,
+      m: Manifest, schema: org.apache.spark.sql.types.StructType,
+      key: String, files: Seq[String], dropNullKeys: Boolean)
+      : org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.functions.col
+    val cols = schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`"))
+    val kIdx = schema.fieldIndex(key)
+    val kt = schema(key).dataType
+    def read(fls: Seq[String]): DataFrame = {
+      val base = readFiles(spark, dir, m, fls)
+      (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull) else base)
+        .select(cols: _*).coalesce(1)
+    }
+    if (skipSortEligible(spark, m, key, files)) {
+      val perFile = files.map { fl =>
+        val qe = read(Seq(fl)).queryExecution
+        recordAlignedPlan(qe)
+        qe.toRdd
+      }
+      def tree(rs: Seq[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]])
+          : org.apache.spark.rdd.RDD[
+              org.apache.spark.sql.catalyst.InternalRow] =
+        if (rs.size == 1) rs.head
+        else tree(rs.grouped(2).map {
+          case Seq(a, b) =>
+            a.zipPartitions(b)(mergeSortedIters(_, _, kIdx, kt))
+          case Seq(a) => a
+        }.toSeq)
+      tree(perFile).mapPartitions(monotonicGuard(_, kIdx, kt))
+    } else {
+      val qe = read(files).sortWithinPartitions(col(s"`$key`"))
+        .queryExecution
+      recordAlignedPlan(qe)
+      qe.toRdd
+    }
+  }
+
   def bucketAlignedJoin(spark: SparkSession,
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
@@ -3002,18 +3231,24 @@ object Snapshots {
           case None => spark.sparkContext.parallelize(
             Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
           case Some(files) =>
-            val base = readFiles(spark, dir, m, files)
-            val projected =
-              (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
-               else base)
-                .select(schema.fieldNames.toIndexedSeq
-                  .map(c => col(s"`$c`")): _*)
-                .coalesce(1)
-            val qe = (if (useMerge)
-              projected.sortWithinPartitions(col(s"`$key`"))
-            else projected).queryExecution
-            recordAlignedPlan(qe)
-            qe.toRdd
+            if (useMerge)
+              // key-ordered read: a sorted layout streams its files
+              // directly (zero Sort — [[bucketOrderedRdd]]), an
+              // unsorted bucket in-task sorts exactly as before
+              bucketOrderedRdd(spark, dir, m, schema, key, files,
+                dropNullKeys)
+            else {
+              val base = readFiles(spark, dir, m, files)
+              val qe =
+                (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
+                 else base)
+                  .select(schema.fieldNames.toIndexedSeq
+                    .map(c => col(s"`$c`")): _*)
+                  .coalesce(1)
+                  .queryExecution
+              recordAlignedPlan(qe)
+              qe.toRdd
+            }
         }
       })
     }
@@ -3339,28 +3574,27 @@ object Snapshots {
     * [[compactBucketed]] first), an unknown fn or column, float/
     * double min/max keys — same contract as the aligned join.
     */
-  def bucketAlignedAggregate(spark: SparkSession, tableDir: String,
-                             aggs: Seq[(String, String, String)],
-                             version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  /** One resolved aggregate of the aligned fold family: input ordinal
+    * (-1 = `count(*)`), input type, output field. Shared vocabulary of
+    * [[bucketAlignedAggregate]] and [[bucketAlignedJoinAggregate]].
+    */
+  private final case class AggSpec(fn: String, ord: Int,
+      inType: org.apache.spark.sql.types.DataType,
+      out: org.apache.spark.sql.types.StructField)
+
+  /** Resolve `(fn, column, alias)` aggs against `schema` — unknown
+    * fns/columns, duplicate aliases, float/double min/max and columns
+    * in `ambiguous` (names appearing on BOTH sides of a join schema)
+    * refuse at plan time, never mid-job.
+    */
+  private def resolveAggSpecs(
+      schema: org.apache.spark.sql.types.StructType,
+      aggs: Seq[(String, String, String)],
+      ambiguous: Set[String] = Set.empty): Seq[AggSpec] = {
     import org.apache.spark.sql.types._
-    val m = resolveForRead(spark, tableDir, version)
-    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"$tableDir is not bucket-clustered; bucketAlignedAggregate groups " +
-        "by the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
-    require(m.files.forall(m.buckets.contains),
-      s"$tableDir has unclustered files (appends since the last " +
-        "re-cluster); run compactBucketed first")
-    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
-      s"$tableDir has no recorded schema"))
-    require(aggs.nonEmpty, "bucketAlignedAggregate needs at least one agg")
+    require(aggs.nonEmpty, "at least one aggregate is required")
     require(aggs.map(_._3).distinct.size == aggs.size,
       s"duplicate output aliases: ${aggs.map(_._3)}")
-    val keyType = schema(key).dataType
-    require(keyType != DoubleType && keyType != FloatType,
-      "float/double group keys are not supported (±0.0/NaN equality)")
-    // resolve each agg to (input ordinal or -1 for *, accumulator kind,
-    // output field) up front — unknown fns/columns refuse at plan time
     def sumResultType(dt: DataType): DataType = dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
         LongType
@@ -3370,9 +3604,7 @@ object Snapshots {
       case other => throw new IllegalArgumentException(
         s"sum over ${other.simpleString} is not supported")
     }
-    case class AggSpec(fn: String, ord: Int, inType: DataType,
-                       out: StructField)
-    val specs = aggs.map { case (fnRaw, c, alias) =>
+    aggs.map { case (fnRaw, c, alias) =>
       val fn = fnRaw.toLowerCase
       require(Set("count", "sum", "min", "max")(fn),
         s"unknown agg fn '$fnRaw' (count, sum, min, max)")
@@ -3380,7 +3612,10 @@ object Snapshots {
         AggSpec("count", -1, NullType, StructField(alias, LongType, false))
       else {
         require(schema.fieldNames.contains(c),
-          s"unknown column '$c' (table columns: ${schema.fieldNames.mkString(", ")})")
+          s"unknown column '$c' (columns: ${schema.fieldNames.mkString(", ")})")
+        require(!ambiguous.contains(c),
+          s"ambiguous column '$c': it exists on both join sides — " +
+            "rename one side before aggregating over the join")
         val dt = schema(c).dataType
         fn match {
           case "count" =>
@@ -3398,29 +3633,24 @@ object Snapshots {
         }
       }
     }
-    val outSchema = StructType(
-      schema(key).copy(nullable = true) +: specs.map(_.out))
-    // one sorted single-partition RDD per bucket (the join's shape)
-    resetAlignedPlans()
-    val byBucket = m.files.groupBy(m.buckets)
-    val perBucket = spark.sparkContext.union((0 until n).map { b =>
-      byBucket.get(b) match {
-        case None => spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-        case Some(files) =>
-          val qe = readFiles(spark, tableDir, m, files)
-            .select(schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`")): _*)
-            .coalesce(1)
-            .sortWithinPartitions(col(s"`$key`"))
-            .queryExecution
-          recordAlignedPlan(qe)
-          qe.toRdd
-      }
-    })
-    val kIdx = schema.fieldIndex(key)
-    val kt = keyType
+  }
+
+  /** The STREAMING group fold over a KEY-GROUPED row stream (equal
+    * keys adjacent — a key-ordered bucket, or a merge join's output):
+    * accumulators for exactly ONE group are ever held (decimal sums
+    * exact via java BigDecimal, convert once at emit), so memory is
+    * O(1) in rows and groups. Returns a driver-built, serializable
+    * partition function — the aligned operators pass it straight to
+    * `mapPartitions`.
+    */
+  private def streamingGroupFold(kIdx: Int,
+      kt: org.apache.spark.sql.types.DataType, specs: Seq[AggSpec],
+      outSchema: org.apache.spark.sql.types.StructType)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.types._
     val specsB = specs // serializable capture
-    val aggregated = perBucket.mapPartitions { rows =>
+    rows => {
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(kt)
       val project = org.apache.spark.sql.catalyst.expressions
@@ -3540,8 +3770,216 @@ object Snapshots {
         }
       }
     }
+  }
+
+  def bucketAlignedAggregate(spark: SparkSession, tableDir: String,
+                             aggs: Seq[(String, String, String)],
+                             version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val m = resolveForRead(spark, tableDir, version)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; bucketAlignedAggregate groups " +
+        "by the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(m.files.forall(m.buckets.contains),
+      s"$tableDir has unclustered files (appends since the last " +
+        "re-cluster); run compactBucketed first")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    val keyType = schema(key).dataType
+    require(keyType != DoubleType && keyType != FloatType,
+      "float/double group keys are not supported (±0.0/NaN equality)")
+    // resolve each agg to (input ordinal or -1 for *, accumulator kind,
+    // output field) up front — unknown fns/columns refuse at plan time
+    val specs = resolveAggSpecs(schema, aggs)
+    val outSchema = StructType(
+      schema(key).copy(nullable = true) +: specs.map(_.out))
+    // one sorted single-partition RDD per bucket (the join's shape)
+    resetAlignedPlans()
+    val byBucket = m.files.groupBy(m.buckets)
+    val perBucket = spark.sparkContext.union((0 until n).map { b =>
+      byBucket.get(b) match {
+        case None => spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+        case Some(files) =>
+          // key-ordered read — sorted layouts skip the in-task sort
+          bucketOrderedRdd(spark, tableDir, m, schema, key, files,
+            dropNullKeys = false)
+      }
+    })
+    val aggregated = perBucket.mapPartitions(
+      streamingGroupFold(schema.fieldIndex(key), keyType, specs, outSchema))
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
       spark, aggregated, outSchema)
+  }
+
+  /** FUSED storage-partitioned join + grouped aggregation — the
+    * 100 TB star-query shape `SELECT key, aggs FROM fact JOIN fact
+    * USING (key) GROUP BY key` executed with ZERO Exchange end to
+    * end: [[bucketAlignedJoin]] with the merge strategy emits each
+    * bucket's joined rows in KEY order (left keys are monotone
+    * through the merge), so the grouped aggregation is the same
+    * O(1)-memory [[streamingGroupFold]] the aligned aggregate runs —
+    * applied in the SAME task, no materialized join result, no
+    * second pass. A planner would shuffle both inputs for the join
+    * and (even with the join's partitioning reused) hold a hash-agg
+    * over every group; this streams.
+    *
+    * Semantics: INNER equi-join (SQL NULL never matches — both scans
+    * drop NULL keys), then `aggs` (`count(*)`/count/sum/min/max, the
+    * aligned-fold vocabulary) grouped by the join key. Agg columns
+    * resolve against the JOINED schema (left fields then right);
+    * a column name present on BOTH sides is refused as ambiguous
+    * (rename a side first — positional trickery would silently bind
+    * the left one). Output: the join key (left name, never NULL on an
+    * inner join) + one column per agg, Spark's own aggregate result
+    * types. Sorted layouts compose: both sides skip their in-task
+    * sort ([[bucketOrderedRdd]]), making the whole star query
+    * scan-bound. Same refusals as the join (layouts, types) and the
+    * aggregate (fns, aliases).
+    */
+  def bucketAlignedJoinAggregate(spark: SparkSession,
+                                 leftDir: String, rightDir: String,
+                                 leftKey: String, rightKey: String,
+                                 aggs: Seq[(String, String, String)],
+                                 leftVersion: Option[Long] = None,
+                                 rightVersion: Option[Long] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    // the join RESETS and records the per-bucket plans; the fold adds
+    // no plan of its own, so the shuffle/sort witnesses cover the
+    // whole fused pipeline
+    val joined = bucketAlignedJoin(spark, leftDir, rightDir,
+      leftKey, rightKey, leftVersion, rightVersion,
+      joinType = "inner", strategy = "merge")
+    val jSchema = joined.schema
+    val dup = jSchema.fieldNames.groupBy(identity)
+      .filter(_._2.length > 1).keySet
+    require(!dup.contains(leftKey),
+      s"join key name '$leftKey' exists on both sides — rename the " +
+        "right side's key before aggregating over the join")
+    val specs = resolveAggSpecs(jSchema, aggs, ambiguous = dup)
+    val kIdx = jSchema.fieldIndex(leftKey)
+    val kt = jSchema(leftKey).dataType
+    val outSchema = StructType(
+      jSchema(kIdx).copy(nullable = true) +: specs.map(_.out))
+    // the joined frame is an ExistingRDD scan — toRdd re-wraps the
+    // underlying rows without any exchange
+    val folded = joined.queryExecution.toRdd.mapPartitions(
+      streamingGroupFold(kIdx, kt, specs, outSchema))
+    org.apache.spark.sql.graftbridge.Bridge.internalFrame(
+      spark, folded, outSchema)
+  }
+
+  /** LATEST-BY-KEY over the bucket layout — the CDC upsert-compaction
+    * / "current state of every entity" shape, shuffle-free: per
+    * bucket, one key-ordered pass ([[bucketOrderedRdd]] — sorted
+    * layouts skip even the in-task sort) keeps the single row with
+    * the greatest `orderCol` per bucket-key group, O(1) memory (one
+    * candidate row held). A planner computes this as a window
+    * (`row_number() OVER (PARTITION BY key ORDER BY ord DESC) = 1`)
+    * — a full shuffle plus a per-partition sort of every column.
+    *
+    * Semantics (matched by the relational oracle `t JOIN (SELECT
+    * key, max(ord) FROM t GROUP BY key) USING (key, ord)`): rows
+    * with a NULL `orderCol` never win, a key whose rows are ALL
+    * NULL-ordered is absent from the output, and NULL keys are
+    * dropped (no entity). Ties on `orderCol` keep an arbitrary one
+    * of the tied rows — make the order column unique per key (the
+    * CDC sequence-number shape) for a deterministic answer.
+    * Refusals: unbucketed/unclustered tables, float/double keys or
+    * order columns, unknown/non-orderable order columns.
+    */
+  def bucketAlignedLatest(spark: SparkSession, tableDir: String,
+                          orderCol: String,
+                          version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = resolveForRead(spark, tableDir, version)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; bucketAlignedLatest keeps the " +
+        "latest row per bucket key (bucketBy at commit, or CLUSTERED BY " +
+        "in DDL)"))
+    require(m.files.forall(m.buckets.contains),
+      s"$tableDir has unclustered files (appends since the last " +
+        "re-cluster); run compactBucketed first")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    val keyType = schema(key).dataType
+    require(keyType != DoubleType && keyType != FloatType,
+      "float/double keys are not supported (±0.0/NaN equality)")
+    require(schema.fieldNames.contains(orderCol),
+      s"unknown order column '$orderCol' " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    val ot = schema(orderCol).dataType
+    require(ot != DoubleType && ot != FloatType,
+      "float/double order columns are not supported (NaN ordering); " +
+        "cast to decimal first")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(ot),
+      s"order column '$orderCol' of type ${ot.simpleString} is not orderable")
+    resetAlignedPlans()
+    val byBucket = m.files.groupBy(m.buckets)
+    val perBucket = spark.sparkContext.union((0 until n).map { b =>
+      byBucket.get(b) match {
+        case None => spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+        case Some(files) =>
+          bucketOrderedRdd(spark, tableDir, m, schema, key, files,
+            dropNullKeys = true)
+      }
+    })
+    val kIdx = schema.fieldIndex(key)
+    val oIdx = schema.fieldIndex(orderCol)
+    val kt = keyType
+    val latest = perBucket.mapPartitions { rows =>
+      val kOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(kt)
+      val oOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(ot)
+      def copyKey(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+      // ONE candidate row held (copied — scan buffers are reused);
+      // group close emits it iff its order value is non-NULL
+      var groupKey: Any = null
+      var groupOpen = false
+      var best: org.apache.spark.sql.catalyst.InternalRow = null
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var pending: org.apache.spark.sql.catalyst.InternalRow = _
+        private def close(): Unit = {
+          if (best != null) pending = best
+          best = null
+        }
+        private def advance(): Unit = {
+          while (pending == null && rows.hasNext) {
+            val r = rows.next()
+            val k = r.get(kIdx, kt) // scans dropped NULL keys
+            if (!groupOpen || !kOrd.equiv(k, groupKey)) {
+              if (groupOpen) close()
+              groupKey = copyKey(k)
+              groupOpen = true
+            }
+            if (!r.isNullAt(oIdx) && (best == null ||
+                oOrd.compare(r.get(oIdx, ot), best.get(oIdx, ot)) > 0))
+              best = r.copy()
+          }
+          if (pending == null && groupOpen && !rows.hasNext) {
+            close()
+            groupOpen = false
+          }
+        }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          advance()
+          val out = pending; pending = null
+          if (out == null) throw new NoSuchElementException("empty")
+          out
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalFrame(
+      spark, latest, schema)
   }
 
   /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —
@@ -3589,7 +4027,8 @@ object Snapshots {
       ndvsByFile.getOrElse(file, Map.empty).iterator
         .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
       kllsByFile.getOrElse(file, Map.empty).iterator
-        .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq)
+        .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
+      m.sortedFiles.get(file).map(m.physOf))
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
     // as removed-and-readded (rewritten into the fresh segment). A
@@ -3627,7 +4066,12 @@ object Snapshots {
               java.util.Arrays.equals(x.words, b.words))) } &&
         m.buckets.get(e.file) == e.bucket &&
         m.fileRows.get(e.file) == e.rows &&
-        m.fileBytes.get(e.file) == e.bytes
+        m.fileBytes.get(e.file) == e.bytes &&
+        // sorted markers diff like any per-file metadata (a retired
+        // sort column's marker is ignored on the segment side — a
+        // dead column's order can neither help nor mismatch)
+        m.sortedFiles.get(e.file).map(m.physOf) ==
+          e.sortedBy.filterNot(retired.contains)
     }
     val covered = scala.collection.mutable.HashSet.empty[String]
     val keptRefs = ArrayBuffer.empty[(String, Int)] // (rel, live count)
@@ -4417,6 +4861,7 @@ object Snapshots {
       val kllSketches =
         scala.collection.mutable.Map.empty[(String, String), Array[Byte]]
       val features = scala.collection.mutable.HashSet.empty[String]
+      val sortedFiles = scala.collection.mutable.Map.empty[String, String]
       var line = r.readLine()
       while (line != null) {
         if (line.startsWith("file=")) files += line.stripPrefix("file=")
@@ -4549,6 +4994,9 @@ object Snapshots {
             e.klls.foreach { case (c, sk) =>
               if (!retired.contains(c))
                 kllSketches((e.file, rev.getOrElse(c, c))) = sk }
+            e.sortedBy.foreach { c =>
+              if (!retired.contains(c))
+                sortedFiles(e.file) = rev.getOrElse(c, c) }
           }
         }
       }
@@ -4557,7 +5005,7 @@ object Snapshots {
         buckets.toMap, pending, blooms.toMap, partitionCols, fileRows.toMap,
         fileBytes.toMap, segRefs.toSeq, colMap.toMap, retiredCols.toSeq,
         nullCounts.toMap, ndvSketches.toMap, kllSketches.toMap,
-        features.toSet)
+        features.toSet, sortedFiles.toMap)
     } finally r.close()
   }
 
@@ -5683,14 +6131,19 @@ object Snapshots {
     */
   def compactBucketed(spark: SparkSession, tableDir: String,
                       key: String, numBuckets: Int,
-                      statsColumns: Seq[String] = Nil): Long = {
+                      statsColumns: Seq[String] = Nil,
+                      sort: Boolean = false): Long = {
     val (next, m) = resolveForWrite(spark, tableDir)
     // layout-preserving on the OTHER axis: a partitioned table
     // re-clustered on a key keeps its `k=v/` dirs (the composed
-    // date-dirs × key-buckets shape), it does not silently flatten
+    // date-dirs × key-buckets shape), it does not silently flatten.
+    // `sort = true` additionally key-orders every rewritten bucket
+    // and records the sorted markers — the one-rewrite upgrade of an
+    // existing table onto the sorted-bucket layout.
     commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
       expectedVersion = Some(next), statsColumns = statsColumns,
-      bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols)
+      bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols,
+      sortBuckets = sort)
   }
 
   /** URI TAIL of a data-file ref (`data/v<N>-<uuid>/...` — the uuid
@@ -5816,7 +6269,8 @@ object Snapshots {
     * footer stats.
     */
   def clusterTail(spark: SparkSession, tableDir: String,
-                  statsColumns: Seq[String] = Nil): Long = {
+                  statsColumns: Seq[String] = Nil,
+                  sort: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
@@ -5836,11 +6290,19 @@ object Snapshots {
     val dataDir = new Path(tableDir, dataRel)
     val physKey = m.colMap.getOrElse(key, key)
     withMicrosTimestamps(spark) {
-      toPhysical(readFiles(spark, tableDir, m, tail), m.colMap)
+      val clusteredTail = toPhysical(readFiles(spark, tableDir, m, tail),
+          m.colMap)
         .withColumn(BucketCol,
           pmod(xxhash64(col(s"`$physKey`").cast(schema(key).dataType)),
             lit(n.toLong)).cast("int"))
         .repartition(n, col(BucketCol))
+      // `sort = true`: the rewritten tail files land key-ordered and
+      // gain sorted markers — an O(tail) repair KEEPS a sorted bulk's
+      // layout whole (same write-side reasoning as [[writeLayout]])
+      (if (sort)
+         clusteredTail.sortWithinPartitions(
+           col(s"`$BucketCol`"), col(s"`$physKey`"))
+       else clusteredTail)
         .write.partitionBy(BucketCol).parquet(dataDir.toString)
     }
     val newBuckets = flattenBucketDirs(f, dataDir, dataRel)
@@ -5867,6 +6329,9 @@ object Snapshots {
           newFileMeta.view.mapValues(_._2).toMap,
         nullCounts = m.nullCounts.filter { case ((rel, _), _) => keep(rel) } ++
           newNulls,
+        sortedFiles = m.sortedFiles.filter { case (rel, _) => keep(rel) } ++
+          (if (sort) written.iterator.map(_ -> key).toMap
+           else Map.empty[String, String]),
         pendingMarker = None))) {
       f.delete(dataDir, true)
       if (dvs.nonEmpty)
@@ -7284,6 +7749,8 @@ object Snapshots {
         (fl, if (c == from) to else c) -> sk },
       klls = m.klls.map { case ((fl, c), sk) =>
         (fl, if (c == from) to else c) -> sk },
+      sortedFiles = m.sortedFiles.view
+        .mapValues(c => if (c == from) to else c).toMap,
       partitionCols = m.partitionCols.map(
         PartitionTransforms.renameSource(_, from, to)),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
@@ -7331,6 +7798,7 @@ object Snapshots {
       nullCounts = m.nullCounts.filterNot(_._1._2 == name),
       ndvs = m.ndvs.filterNot(_._1._2 == name),
       klls = m.klls.filterNot(_._1._2 == name),
+      sortedFiles = m.sortedFiles.filterNot(_._2 == name),
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(
@@ -7394,7 +7862,9 @@ object Snapshots {
           ndvs = m.ndvs.map { case ((p, c), sk) =>
             (absolutize(p), c) -> sk },
           klls = m.klls.map { case ((p, c), sk) =>
-            (absolutize(p), c) -> sk })))
+            (absolutize(p), c) -> sk },
+          sortedFiles = m.sortedFiles.map { case (p, c) =>
+            absolutize(p) -> c })))
       throw new java.util.ConcurrentModificationException(
         s"version 0 of $targetDir was committed concurrently")
     0L

@@ -719,4 +719,324 @@ class BucketedLayoutSpec extends SparkSpec {
         expect.exceptAll(forced).isEmpty)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  /** Recursive dir copy — a DIFFERENT qualified path misses the
+    * process-wide segment cache, so the copy's manifest read is a
+    * genuine cold parse of the serialized segment bytes.
+    */
+  private def copyTable(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("sorted-bucket layout: markers recorded per file, files physically " +
+    "key-sorted, append/compact/rename carry semantics, cold re-parse (r15)") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // adversarial input order: DESCENDING ids — only the write-side
+    // sort can produce sorted files
+    val df = (0 until 600).reverse.map(i => (i.toLong, s"t-$i"))
+      .toDF("id", "tag").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("id", 6)),
+      sortBuckets = true)
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    assert(m0.sortedFiles === m0.files.map(_ -> "id").toMap,
+      "every written file carries a sorted-by-key marker")
+    // the PHYSICAL contract behind the marker: each file's rows are
+    // ascending by key (read individually, no sort in this plan)
+    m0.files.foreach { rel =>
+      val ids = spark.read.parquet(s"$dir/$rel")
+        .select("id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"$rel must be key-sorted")
+    }
+    // a PLAIN append's files join unmarked (the layout degrades per
+    // file, never lies); a SORTED bucketed append's files join marked
+    Snapshots.commit(Seq((9001L, "late")).toDF("id", "tag"), dir, "append")
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.sortedFiles === m0.sortedFiles, "plain tail is unmarked")
+    Snapshots.commit((700 until 760).reverse.map(i => (i.toLong, s"a-$i"))
+        .toDF("id", "tag").coalesce(1),
+      dir, "append", bucketBy = Some(("id", 6)), sortBuckets = true)
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.sortedFiles.size > m1.sortedFiles.size,
+      "sorted append files gain markers")
+    // an UNSORTED full rewrite clears every marker; a sorted one
+    // restores the whole layout
+    Snapshots.compactBucketed(spark, dir, "id", 6)
+    assert(Snapshots.readManifest(spark, dir, 3L).sortedFiles.isEmpty)
+    Snapshots.compactBucketed(spark, dir, "id", 6, sort = true)
+    val m4 = Snapshots.readManifest(spark, dir, 4L)
+    assert(m4.sortedFiles.keySet === m4.files.toSet)
+    // markers follow a bucket-key RENAME (logical names everywhere)
+    Snapshots.renameColumn(spark, dir, "id", "key_id")
+    val m5 = Snapshots.readManifest(spark, dir, 5L)
+    assert(m5.sortedFiles.values.toSet === Set("key_id"))
+    // cold parse: a path-copied table misses the segment cache, so
+    // this read exercises the serialized `sorted=` lines for real
+    val copy = freshDir()
+    copyTable(dir, copy)
+    val mc = Snapshots.readManifest(spark, copy, 5L)
+    assert(mc.sortedFiles === m5.sortedFiles)
+    // misuse: sorting without a bucket layout is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(df, freshDir(), "overwrite", sortBuckets = true)
+    }
+  }
+
+  test("skip-sort reads: aligned agg and merge join stream sorted buckets " +
+    "with ZERO Sort nodes; multi-file buckets tree-merge; parity with the " +
+    "sorter path; dv and oversized files fall back conservatively (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // duplicates per key, NULL keys, NULL values, descending arrival
+    val df = ((0 until 500).reverse.map(i =>
+        (if (i % 50 == 0) null else s"k-${i % 37}", i.toLong)) :+
+        ((null.asInstanceOf[String], -5L)))
+      .toDF("k", "v").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 5)),
+      sortBuckets = true)
+    val agg0 = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+      ("count", "*", "n"), ("sum", "v", "sv"), ("max", "v", "mx")))
+    assert(Snapshots.alignedShuffleFree(agg0) &&
+      Snapshots.alignedSortFree(agg0),
+      "a fully sorted layout must aggregate with zero Exchange AND zero Sort")
+    val expect0 = Snapshots.readVersion(spark, dir).groupBy("k").agg(
+      count(lit(1)).as("n"), sum("v").as("sv"), max("v").as("mx"))
+    assert(agg0.exceptAll(expect0).isEmpty &&
+      expect0.exceptAll(agg0).isEmpty)
+    // a SORTED append makes every bucket a 2-file bucket: the
+    // tree-merge path streams both runs, still zero Sort
+    Snapshots.commit((500 until 700).reverse.map(i =>
+          (s"k-${i % 37}", i.toLong)).toDF("k", "v").coalesce(1),
+      dir, "append", bucketBy = Some(("k", 5)), sortBuckets = true)
+    val agg1 = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+      ("count", "*", "n"), ("sum", "v", "sv")))
+    assert(Snapshots.alignedShuffleFree(agg1) &&
+      Snapshots.alignedSortFree(agg1),
+      "multi-file sorted buckets must tree-merge, not re-sort")
+    val expect1 = Snapshots.readVersion(spark, dir).groupBy("k").agg(
+      count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(agg1.exceptAll(expect1).isEmpty &&
+      expect1.exceptAll(agg1).isEmpty)
+    // the UNSORTED twin runs the same rows through the sorter path:
+    // witness reports the Sort, rows identical
+    val plain = freshDir()
+    Snapshots.commit(Snapshots.readVersion(spark, dir), plain,
+      "overwrite", bucketBy = Some(("k", 5)))
+    val aggP = Snapshots.bucketAlignedAggregate(spark, plain, Seq(
+      ("count", "*", "n"), ("sum", "v", "sv")))
+    assert(Snapshots.alignedShuffleFree(aggP) &&
+      !Snapshots.alignedSortFree(aggP),
+      "an unsorted layout pays the in-task sort and the witness says so")
+    assert(aggP.exceptAll(agg1).isEmpty && agg1.exceptAll(aggP).isEmpty)
+    // merge JOIN over two sorted tables: zero Sort, rows equal
+    // Spark's own joins (inner + left_outer, duplicates both sides)
+    val rhs = freshDir()
+    Snapshots.commit((0 until 300).reverse.map(i =>
+          (s"k-${i % 41}", i * 2)).toDF("rk", "rv").coalesce(1),
+      rhs, "overwrite", bucketBy = Some(("rk", 5)), sortBuckets = true)
+    for (jt <- Seq("inner", "left_outer")) {
+      val j = Snapshots.bucketAlignedJoin(spark, dir, rhs, "k", "rk",
+        joinType = jt, strategy = "merge")
+      assert(Snapshots.alignedShuffleFree(j) && Snapshots.alignedSortFree(j),
+        s"$jt over two sorted layouts must be exchange- and sort-free")
+      val expect = Snapshots.readVersion(spark, dir)
+        .join(Snapshots.readVersion(spark, rhs), col("k") === col("rk"), jt)
+      assert(j.exceptAll(expect).isEmpty && expect.exceptAll(j).isEmpty,
+        s"$jt parity")
+    }
+    // fallback 1: a live dv mask may reorder a scan — the sorter path
+    // takes over, rows stay exact
+    Snapshots.deleteWhere(spark, rhs, col("rv") % 7 === 0)
+    val jDv = Snapshots.bucketAlignedJoin(spark, dir, rhs, "k", "rk",
+      strategy = "merge")
+    assert(!Snapshots.alignedSortFree(jDv),
+      "a masked table must fall back to the in-task sort")
+    val expectDv = Snapshots.readVersion(spark, dir)
+      .join(Snapshots.readVersion(spark, rhs), col("k") === col("rk"))
+    assert(jDv.exceptAll(expectDv).isEmpty &&
+      expectDv.exceptAll(jDv).isEmpty)
+    // fallback 2: a file bigger than one scan split loses the order
+    // guarantee — conservative sorter, identical rows
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val aggBig = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+        ("count", "*", "n"), ("sum", "v", "sv")))
+      assert(!Snapshots.alignedSortFree(aggBig))
+      assert(aggBig.exceptAll(expect1).isEmpty &&
+        expect1.exceptAll(aggBig).isEmpty)
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("bucketAlignedJoinAggregate: the fused star query equals Spark's " +
+    "own join+groupBy — duplicates both sides (cross-product sums), NULL " +
+    "keys dropped, exact decimal sums, ambiguous columns refused, zero " +
+    "Exchange always and zero Sort on sorted layouts (r15)") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // duplicates on BOTH sides → multi-row groups whose joined
+    // cross-product the fold must sum exactly; NULL keys both sides
+    val left = ((0 until 400).reverse.map(i =>
+        (Option(i.toLong % 37), BigDecimal(i) / 100)) :+
+        ((None: Option[Long]) -> BigDecimal(9)))
+      .toDF("lk", "lv")
+      .select(col("lk"), col("lv").cast("decimal(18,2)").as("lv"))
+    val right = ((0 until 120).map(i => (Option(i.toLong % 41), i * 3)) :+
+        ((None: Option[Long]) -> -1))
+      .toDF("rk", "rv")
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("lk", 5)),
+      sortBuckets = true)
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rk", 5)),
+      sortBuckets = true)
+    val fused = Snapshots.bucketAlignedJoinAggregate(spark, lhs, rhs,
+      "lk", "rk", Seq(("count", "*", "n"), ("sum", "lv", "sum_lv"),
+        ("sum", "rv", "sum_rv"), ("max", "rv", "max_rv")))
+    assert(Snapshots.alignedShuffleFree(fused) &&
+      Snapshots.alignedSortFree(fused),
+      "fused join+agg over sorted layouts: zero Exchange, zero Sort")
+    val expect = Snapshots.readVersion(spark, lhs)
+      .join(Snapshots.readVersion(spark, rhs), col("lk") === col("rk"))
+      .groupBy("lk").agg(count(lit(1)).as("n"), sum("lv").as("sum_lv"),
+        sum("rv").as("sum_rv"), max("rv").as("max_rv"))
+    assert(fused.schema.map(f => (f.name, f.dataType)) ===
+      expect.schema.map(f => (f.name, f.dataType)),
+      "fused output types must be Spark's own aggregate result types")
+    assert(fused.exceptAll(expect).isEmpty && expect.exceptAll(fused).isEmpty,
+      "fused rows must equal the planner's join+groupBy")
+    // UNSORTED twin: same rows through the in-task sorter
+    val lhsP = freshDir()
+    Snapshots.commit(left, lhsP, "overwrite", bucketBy = Some(("lk", 5)))
+    val fusedP = Snapshots.bucketAlignedJoinAggregate(spark, lhsP, rhs,
+      "lk", "rk", Seq(("count", "*", "n"), ("sum", "rv", "sum_rv")))
+    assert(Snapshots.alignedShuffleFree(fusedP) &&
+      !Snapshots.alignedSortFree(fusedP))
+    val expectP = expect.select("lk", "n", "sum_rv")
+    assert(fusedP.exceptAll(expectP).isEmpty &&
+      expectP.exceptAll(fusedP).isEmpty)
+    // ambiguity refusals: a column on BOTH sides, and a same-named key
+    val rhs2 = freshDir()
+    Snapshots.commit(right.withColumnRenamed("rv", "lv"), rhs2,
+      "overwrite", bucketBy = Some(("rk", 5)))
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedJoinAggregate(spark, lhs, rhs2, "lk", "rk",
+        Seq(("sum", "lv", "x")))
+    }
+    val rhs3 = freshDir()
+    Snapshots.commit(right.withColumnRenamed("rk", "lk"), rhs3,
+      "overwrite", bucketBy = Some(("lk", 5)))
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedJoinAggregate(spark, lhs, rhs3, "lk", "lk",
+        Seq(("count", "*", "n")))
+    }
+  }
+
+  test("bucketAlignedLatest: rows equal the planner's row_number window, " +
+    "NULL orders never win, all-NULL entities absent, NULL keys dropped, " +
+    "zero Exchange, zero Sort on sorted layouts, refusals (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // unique ord per key (deterministic winner); every 7th ord NULL;
+    // key 1000 has ONLY NULL orders (absent from the output); some
+    // NULL keys (dropped)
+    val rows = (0 until 600).map { i =>
+      val key = if (i % 97 == 0) None else Some((i % 29).toLong)
+      val ord = if (i % 7 == 0) None else Some(i.toLong)
+      (key, ord, s"p-$i")
+    } :+ ((Some(1000L), None: Option[Long], "ghost"))
+    val df = rows.toDF("k", "ord", "payload").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 6)),
+      sortBuckets = true)
+    val latest = Snapshots.bucketAlignedLatest(spark, dir, "ord")
+    assert(Snapshots.alignedShuffleFree(latest) &&
+      Snapshots.alignedSortFree(latest),
+      "latest-by-key over a sorted layout: zero Exchange, zero Sort")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("ord").desc_nulls_last)
+    val expect = Snapshots.readVersion(spark, dir)
+      .filter(col("k").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("ord").isNotNull)
+      .drop("rn")
+    assert(latest.exceptAll(expect).isEmpty &&
+      expect.exceptAll(latest).isEmpty,
+      "latest rows must equal the planner's window")
+    assert(latest.filter(col("k") === 1000L).count() === 0L,
+      "an entity with only NULL orders is absent")
+    assert(latest.filter(col("k").isNull).count() === 0L)
+    // unsorted twin: sorter path, same rows
+    val plain = freshDir()
+    Snapshots.commit(df, plain, "overwrite", bucketBy = Some(("k", 6)))
+    val latestP = Snapshots.bucketAlignedLatest(spark, plain, "ord")
+    assert(!Snapshots.alignedSortFree(latestP))
+    assert(latestP.exceptAll(expect).isEmpty &&
+      expect.exceptAll(latestP).isEmpty)
+    // refusals: unbucketed, unknown/double order column
+    val flat = freshDir()
+    Snapshots.commit(df, flat, "overwrite")
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedLatest(spark, flat, "ord")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedLatest(spark, dir, "nope")
+    }
+    val dbl = freshDir()
+    Snapshots.commit(df.withColumn("d", col("ord").cast("double")), dbl,
+      "overwrite", bucketBy = Some(("k", 3)))
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedLatest(spark, dbl, "d")
+    }
+  }
+
+  test("monotonic guard: a FORGED sorted marker over unsorted files fails " +
+    "loudly at read time — never silently wrong rows (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // descending arrival, NO write-side sort: the files are unsorted
+    Snapshots.commit((0 until 400).reverse.map(i => (i.toLong, i))
+        .toDF("id", "v").coalesce(1),
+      dir, "overwrite", bucketBy = Some(("id", 4)))
+    // forge: copy the table and stamp `sorted=id` onto every segment
+    // entry — metadata now LIES about the physical order
+    val forged = freshDir()
+    copyTable(dir, forged)
+    val segDir = java.nio.file.Paths.get(s"$forged/_manifests/segments")
+    java.nio.file.Files.list(segDir).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".crc"))
+        // the local FS's checksum sidecars: binary, and stale once
+        // the segment is edited — drop them (the forge IS the point)
+        java.nio.file.Files.delete(p)
+      else {
+        val lines = java.nio.file.Files.readAllLines(p)
+        val out = new java.util.ArrayList[String]()
+        lines.forEach { l =>
+          out.add(l)
+          if (l.startsWith("bucket=")) out.add("sorted=id")
+        }
+        java.nio.file.Files.write(p, out)
+      }
+    }
+    val agg = Snapshots.bucketAlignedAggregate(spark, forged, Seq(
+      ("count", "*", "n")))
+    val e = intercept[org.apache.spark.SparkException] { agg.count() }
+    def causeChain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causeChain(t.getCause)
+    assert(causeChain(e).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("sorted-bucket layout violated")),
+      s"expected the monotonic guard to fire, got: $e")
+  }
 }
