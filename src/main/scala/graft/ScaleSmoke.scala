@@ -170,7 +170,16 @@ object ScaleSmoke {
       // append are the linear parts; the REPAIR rewrites only the
       // tail — the by-reference bulk costs one manifest carry however
       // big the table; the aligned read-back is scan-bound)
-      "u56_cluster_tail")
+      "u56_cluster_tail",
+      // u57 = sorted-bucket layout (the two SORTED bucketed commits
+      // are the linear parts — the write-side sort is the one-time
+      // price; the skip-sort aggregation streams each bucket once,
+      // zero Exchange and zero Sort at any scale), u58 = fused
+      // join+agg (two sorted commits linear; the fused pass is
+      // scan-bound — no shuffle, no materialized join, O(one group)
+      // memory), u59 = latest-by-key (one sorted commit linear; the
+      // read holds ONE candidate row per bucket stream)
+      "u57_sorted_layout", "u58_join_agg", "u59_latest_by_key")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType}
 
 /** The SQL maintenance surface for catalog tables — stored procedures
   * under the catalog's `system` namespace, so a SQL-only operator can
@@ -144,17 +144,23 @@ private[sources] object GraftProcedures {
         r.getInt(3)))),
     Spec("compact_bucketed",
       "re-cluster the latest version into num_buckets hash buckets on key " +
-        "(folds the unbucketed tail back into prunable form)",
+        "(folds the unbucketed tail back into prunable form); sort => true " +
+        "additionally key-orders every bucket and records the SORTED " +
+        "layout (aligned join/agg then skip their in-task sort)",
       Seq(p("table", StringType), p("key", StringType),
-        p("num_buckets", IntegerType)),
+        p("num_buckets", IntegerType), p("sort", BooleanType, Some("false"))),
       unit((s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1),
-        r.getInt(2), statsColumns = Seq(str(r, 1))))),
+        r.getInt(2), statsColumns = Seq(str(r, 1)),
+        sort = r.getBoolean(3)))),
     Spec("cluster_tail",
       "fold plain appends back into the bucket layout INCREMENTALLY " +
         "(rewrites ONLY the unclustered tail; the clustered bulk rides " +
-        "by reference — compact_bucketed is the O(table) alternative)",
-      Seq(p("table", StringType)),
-      unit((s, dir, r) => Snapshots.clusterTail(s, dir))),
+        "by reference — compact_bucketed is the O(table) alternative); " +
+        "sort => true key-orders the rewritten tail (keeps a sorted " +
+        "bulk's layout whole)",
+      Seq(p("table", StringType), p("sort", BooleanType, Some("false"))),
+      unit((s, dir, r) => Snapshots.clusterTail(s, dir,
+        sort = r.getBoolean(1)))),
     Spec("purge_deletes",
       "rewrite deletion-vector masks away (rewrites ONLY masked files, " +
         "keeps the table's layout)",

@@ -442,6 +442,21 @@ class GraftCatalogSpec extends SparkSpec {
     assert(after.files.forall(after.buckets.contains))
     assert(bulkFiles.subsetOf(after.files.toSet), "bulk by reference")
     assert(spark.table("graftcat.db.ct").count() === 350L)
+    // the SORTED upgrade path through SQL: compact_bucketed with
+    // sort => true marks every file; a sorted cluster_tail keeps a
+    // later plain append's repair on the sorted layout
+    spark.sql("CALL graftcat.system.compact_bucketed('db.ct', 'id', 4, " +
+      "sort => true)")
+    val sorted = m()
+    assert(sorted.sortedFiles.keySet === sorted.files.toSet,
+      "compact_bucketed(sort) records the sorted layout")
+    Snapshots.commit((2000L until 2010L).map(i => (i, i.toDouble))
+      .toDF("id", "v"), dir, "append")
+    spark.sql("CALL graftcat.system.cluster_tail('db.ct', sort => true)")
+    val repaired = m()
+    assert(repaired.sortedFiles.keySet === repaired.files.toSet,
+      "cluster_tail(sort) keeps the sorted layout whole")
+    assert(spark.table("graftcat.db.ct").count() === 360L)
     spark.sql("DROP TABLE graftcat.db.ct")
   }
 
