@@ -187,19 +187,28 @@ object Snapshots {
     * metadata moves.
     */
   /** `sortedFiles` is the SORTED-BUCKET layout (the formats' sort
-    * order / `SORTED BY`): file → the LOGICAL column its rows are
-    * sorted by (ascending, NULLS FIRST — [[sortWithinPartitions]]'s
-    * own order), recorded ONLY by writers that actually sorted
-    * (`sortBuckets` commits, sorted compactions). Safe by
-    * construction: a file absent from the map is merely unsorted
-    * (the aligned operators fall back to their in-task spillable
-    * sort), so no carry rule can ever claim an unsorted file sorted
-    * — new files simply aren't in the map until a sorting writer
-    * puts them there. Entries of removed files die with their
-    * segment rows (per-file metadata persists only through live
-    * segment entries). What it buys at 100 TB: the aligned
-    * join/agg/latest family streams sorted buckets directly —
-    * zero Exchange AND zero in-task Sort ([[alignedSortFree]]).
+    * order / `SORTED BY`): file → the comma-joined LOGICAL column
+    * list its rows are lexicographically sorted by (each ascending,
+    * NULLS FIRST — [[sortWithinPartitions]]'s own order), recorded
+    * ONLY by writers that actually sorted (`sortBuckets` commits,
+    * sorted compactions; `sortAlso` appends secondary columns after
+    * the bucket key — the Iceberg multi-column sort-order shape).
+    * Safe by construction: a file absent from the map is merely
+    * unsorted (the aligned operators fall back to their in-task
+    * spillable sort), so no carry rule can ever claim an unsorted
+    * file sorted — new files simply aren't in the map until a
+    * sorting writer puts them there. A marker is PREFIX-true: rows
+    * sorted by (k, ts) are sorted by (k), so a read needing a
+    * shorter prefix still skips its sort; conversely a dropped
+    * suffix column truncates the marker at that component (the
+    * prefix order survives the drop) rather than killing it.
+    * Entries of removed files die with their segment rows (per-file
+    * metadata persists only through live segment entries). What it
+    * buys at 100 TB: the aligned join/agg/latest family streams
+    * sorted buckets directly — zero Exchange AND zero in-task Sort
+    * ([[alignedSortFree]]) — and the secondary columns let the
+    * order-sensitive operators (as-of join, running windows) stream
+    * with O(1) memory instead of buffering a key group.
     */
   final case class Manifest(version: Long, files: Seq[String],
                             stats: Map[(String, String), FileStat] = Map.empty,
@@ -962,18 +971,41 @@ object Snapshots {
              partitionBy: Seq[String] = Nil,
              ndvColumns: Seq[String] = Nil,
              histColumns: Seq[String] = Nil,
-             sortBuckets: Boolean = false): Long = {
+             sortBuckets: Boolean = false,
+             sortAlso: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     // SORTED-BUCKET layout (see [[Manifest.sortedFiles]]): the write
-    // additionally orders each bucket's rows by the bucket key and
-    // records per-file sorted markers, which the aligned operators
-    // trade for their in-task sort. Only meaningful WITH a bucket
-    // layout — order inside an unbucketed file buys nothing the
-    // aligned family can use, so a sort request without a bucket spec
-    // is a misuse, not a no-op.
+    // additionally orders each bucket's rows by the bucket key (then
+    // `sortAlso`'s secondary columns — the multi-column sort-order
+    // shape the as-of/running operators stream on) and records
+    // per-file sorted markers, which the aligned operators trade for
+    // their in-task sort. Only meaningful WITH a bucket layout —
+    // order inside an unbucketed file buys nothing the aligned
+    // family can use, so a sort request without a bucket spec is a
+    // misuse, not a no-op.
     require(!sortBuckets || bucketBy.isDefined,
       "sortBuckets requires bucketBy: the sorted-bucket layout orders " +
         "each bucket's rows by the bucket key")
+    require(sortAlso.isEmpty || sortBuckets,
+      "sortAlso requires sortBuckets: secondary sort columns extend " +
+        "the bucket-key order, they cannot replace it")
+    if (sortBuckets) {
+      val sortCols = bucketBy.get._1 +: sortAlso
+      require(sortCols.distinct.size == sortCols.size,
+        s"duplicate sort columns: $sortCols")
+      sortCols.foreach { c =>
+        require(!c.contains(","),
+          s"sort column '$c' contains ',' (the marker separator)")
+      }
+      sortAlso.foreach { c =>
+        require(df.columns.contains(c),
+          s"sortAlso column '$c' is not a column of the batch")
+        require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(df.schema(c).dataType),
+          s"sortAlso column '$c' of type " +
+            s"${df.schema(c).dataType.simpleString} is not orderable")
+      }
+    }
     // Hive-style partition layout (see [[PartShadowPrefix]]): `k=v/`
     // data dirs, values kept in the files, per-file min=max partition
     // stats in the manifest. Partition columns must be non-null
@@ -1126,7 +1158,7 @@ object Snapshots {
           s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
             s"$mode commit to $tableDir refused")
       writeLayout(spark, f, batch, dataDir, partSpecs, schema, bucketBy,
-        colMap, sortBuckets)
+        colMap, sortBuckets, sortAlso)
     } finally if (pinned) batch.unpersist(false)
     val newBuckets: Map[String, Int] =
       if (bucketBy.isEmpty) Map.empty
@@ -1280,8 +1312,10 @@ object Snapshots {
       (if (mode == "append")
          prev.map(_.sortedFiles).getOrElse(Map.empty[String, String])
        else Map.empty[String, String]) ++
-        (if (sortBuckets) written.iterator.map(_ -> bucketBy.get._1).toMap
-         else Map.empty[String, String])
+        (if (sortBuckets) {
+           val marker = (bucketBy.get._1 +: sortAlso).mkString(",")
+           written.iterator.map(_ -> marker).toMap
+         } else Map.empty[String, String])
     // the decimal-stats feature marker: an overwrite re-records every
     // surviving stat under the scale-drop rules (fresh files only), so
     // it SETS the marker; an append only CARRIES it — a pre-rules
@@ -1350,7 +1384,8 @@ object Snapshots {
                           schema: org.apache.spark.sql.types.StructType,
                           bucketBy: Option[(String, Int)],
                           colMap: Map[String, String],
-                          sortBuckets: Boolean = false): Unit = {
+                          sortBuckets: Boolean = false,
+                          sortAlso: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val shadowCols = partSpecs.map(sp => PartShadowPrefix + sp.derivedName)
     val shadowed = partSpecs.foldLeft(batch)((b, sp) =>
@@ -1374,7 +1409,8 @@ object Snapshots {
         // regression fails loudly, never wrongly.
         (if (sortBuckets)
            bucketed.sortWithinPartitions(
-             (shadowCols :+ BucketCol :+ k).map(c => col(s"`$c`")): _*)
+             ((shadowCols :+ BucketCol :+ k) ++ sortAlso)
+               .map(c => col(s"`$c`")): _*)
          else bucketed,
          shadowCols :+ BucketCol)
       case None => (shadowed, shadowCols)
@@ -2997,11 +3033,37 @@ object Snapshots {
       .forall(p => !sortNode.matcher(p).find())
   }
 
-  /** Can `files` (one bucket's) serve KEY-ORDERED without an in-task
-    * sort? Yes iff every file carries a sorted-by-`key` marker, its
-    * size is on the byte ledger and within ONE scan split
-    * (`spark.sql.files.maxPartitionBytes` — a multi-split read's
-    * partition packing is an implementation detail no order
+  /** A sorted marker's column list ([[Manifest.sortedFiles]] values
+    * are comma-joined; sort columns are refused commas at write
+    * time, so the split is exact).
+    */
+  private[sources] def sortMarkerCols(v: String): Seq[String] =
+    v.split(',').toIndexedSeq
+
+  /** Map a marker's components (rename / logical↔physical
+    * translation), preserving the comma-joined form.
+    */
+  private def mapSortMarker(v: String)(f: String => String): String =
+    sortMarkerCols(v).map(f).mkString(",")
+
+  /** Truncate a marker at its first `dead` component (a file sorted
+    * by (k, dead, x) is still sorted by (k) — the prefix survives;
+    * everything after the dead column meant order only WITHIN equal
+    * dead-column values, which no longer exists as a concept), then
+    * translate the survivors. None when nothing survives.
+    */
+  private def truncateSortMarker(v: String, dead: String => Boolean,
+                                 xlate: String => String): Option[String] = {
+    val cols = sortMarkerCols(v).takeWhile(c => !dead(c)).map(xlate)
+    if (cols.isEmpty) None else Some(cols.mkString(","))
+  }
+
+  /** Can `files` (one bucket's) serve ordered by `orderCols` without
+    * an in-task sort? Yes iff every file carries a sorted marker
+    * whose column list STARTS WITH `orderCols` (prefix order is
+    * order), its size is on the byte ledger and within ONE scan
+    * split (`spark.sql.files.maxPartitionBytes` — a multi-split
+    * read's partition packing is an implementation detail no order
     * guarantee should lean on), and the table has no live deletion
     * vectors (a dv mask past the broadcast threshold would join —
     * and reorder — the scan; the sorter path handles that shape).
@@ -3009,35 +3071,57 @@ object Snapshots {
     * in-task sort, never correctness.
     */
   private def skipSortEligible(spark: SparkSession, m: Manifest,
-                               key: String, files: Seq[String]): Boolean = {
+                               orderCols: Seq[String],
+                               files: Seq[String]): Boolean = {
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     m.dvs.isEmpty && files.forall(fl =>
-      m.sortedFiles.get(fl).contains(key) &&
+      m.sortedFiles.get(fl).exists(v =>
+        sortMarkerCols(v).startsWith(orderCols)) &&
         m.fileBytes.get(fl).exists(_ <= maxSplit))
   }
 
-  /** Streaming 2-way merge of two KEY-ORDERED row iterators (ascending,
-    * NULLS FIRST — the layout's write order). Only the HELD look-ahead
-    * row is copied (scan iterators reuse row buffers); emitted rows
-    * follow the usual valid-until-next() contract. O(1) memory.
+  /** Lexicographic comparator over `ords` (ordinal, type) components,
+    * each ascending NULLS FIRST — the layout's write order. The one
+    * row-vs-row compare every ordered-stream consumer (tree merge,
+    * monotonic guard, group/as-of folds) shares.
+    */
+  private def lexRowCompare(ords: Seq[(Int, org.apache.spark.sql.types.DataType)])
+      : (org.apache.spark.sql.catalyst.InternalRow,
+         org.apache.spark.sql.catalyst.InternalRow) => Int = {
+    val comps = ords.map { case (i, dt) =>
+      (i, dt, org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt))
+    }
+    (x, y) => {
+      var r = 0
+      val it = comps.iterator
+      while (r == 0 && it.hasNext) {
+        val (i, dt, ord) = it.next()
+        val xn = x.isNullAt(i); val yn = y.isNullAt(i)
+        r = if (xn && yn) 0
+        else if (xn) -1
+        else if (yn) 1
+        else ord.compare(x.get(i, dt), y.get(i, dt))
+      }
+      r
+    }
+  }
+
+  /** Streaming 2-way merge of two `ords`-ORDERED row iterators
+    * (ascending, NULLS FIRST — the layout's write order). Only the
+    * HELD look-ahead row is copied (scan iterators reuse row
+    * buffers); emitted rows follow the usual valid-until-next()
+    * contract. O(1) memory.
     */
   private def mergeSortedIters(
       a: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       b: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      kIdx: Int, kt: org.apache.spark.sql.types.DataType)
+      ords: Seq[(Int, org.apache.spark.sql.types.DataType)])
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(kt)
-    // null keys sort FIRST (sortWithinPartitions' default) — compare
-    // with an explicit null rank so the interpreted ordering only
-    // ever sees non-nulls
+    val cmp = lexRowCompare(ords)
     def leq(x: org.apache.spark.sql.catalyst.InternalRow,
-            y: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
-      val xn = x.isNullAt(kIdx); val yn = y.isNullAt(kIdx)
-      if (xn) true
-      else if (yn) false
-      else ord.lteq(x.get(kIdx, kt), y.get(kIdx, kt))
-    }
+            y: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+      cmp(x, y) <= 0
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
       private var headA: org.apache.spark.sql.catalyst.InternalRow = _
       private var headB: org.apache.spark.sql.catalyst.InternalRow = _
@@ -3068,66 +3152,74 @@ object Snapshots {
     */
   private def monotonicGuard(
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      kIdx: Int, kt: org.apache.spark.sql.types.DataType)
+      ords: Seq[(Int, org.apache.spark.sql.types.DataType)])
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-      .getInterpretedOrdering(kt)
+    val cmp = lexRowCompare(ords)
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
-      private var prevKey: Any = _
-      private var seenRow = false // null key ≠ no previous row
+      // the previous row's ORDER COLUMNS only, detached from the
+      // scan's reused buffer (a GenericInternalRow holding copies)
+      private var prev: org.apache.spark.sql.catalyst.InternalRow = _
       def hasNext: Boolean = rows.hasNext
       def next(): org.apache.spark.sql.catalyst.InternalRow = {
         val r = rows.next()
-        val k = if (r.isNullAt(kIdx)) null else r.get(kIdx, kt)
-        if (seenRow && !(prevKey == null ||
-            (k != null && ord.lteq(prevKey, k))))
+        if (prev != null && cmp(prev, r) > 0)
           throw new IllegalStateException(
             "sorted-bucket layout violated: a file carrying a sorted " +
               "marker served rows out of key order — rewrite the table " +
               "(compactBucketed(sort = true)) and report the writer")
-        prevKey = k match {
-          case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-          case other => other
+        val keep = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(r.numFields)
+        ords.foreach { case (i, dt) =>
+          keep.update(i,
+            if (r.isNullAt(i)) null
+            else r.get(i, dt) match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+              case other => other
+            })
         }
-        seenRow = true
+        prev = keep
         r
       }
     }
   }
 
-  /** ONE bucket's files as a single-partition KEY-ORDERED
-    * (ascending, NULLS FIRST) InternalRow RDD — the shared read the
-    * aligned merge/fold operators sit on. Two paths, decided per
-    * bucket from the manifest alone:
+  /** ONE bucket's files as a single-partition `orderCols`-ORDERED
+    * (lexicographic, each ascending NULLS FIRST) InternalRow RDD —
+    * the shared read the aligned merge/fold operators sit on.
+    * `orderCols` leads with the bucket key; order-sensitive
+    * consumers (as-of join, running windows) append their secondary
+    * columns. Two paths, decided per bucket from the manifest alone:
     *  - SKIP-SORT ([[skipSortEligible]]): every file carries a sorted
-    *    marker — each is read individually (same [[readFiles]]
-    *    scan, so column mapping and schema evolution apply) and a
-    *    tree of streaming 2-way merges ([[mergeSortedIters]])
-    *    zips them partition-wise: zero Exchange, zero Sort, O(1)
-    *    task memory, each row crossing ⌈log₂ k⌉ merges for a
-    *    k-file bucket. A [[monotonicGuard]] on the merged stream
-    *    turns any broken marker into a loud failure. Driver cost is
-    *    one tiny plan per FILE (vs per bucket) — the documented
-    *    price of the sorted path, paid only by sorted buckets.
+    *    marker covering the `orderCols` prefix — each is read
+    *    individually (same [[readFiles]] scan, so column mapping and
+    *    schema evolution apply) and a tree of streaming 2-way merges
+    *    ([[mergeSortedIters]]) zips them partition-wise: zero
+    *    Exchange, zero Sort, O(1) task memory, each row crossing
+    *    ⌈log₂ k⌉ merges for a k-file bucket. A [[monotonicGuard]]
+    *    on the merged stream turns any broken marker into a loud
+    *    failure. Driver cost is one tiny plan per FILE (vs per
+    *    bucket) — the documented price of the sorted path, paid only
+    *    by sorted buckets.
     *  - SORTER: the bucket's files read together and in-task sorted
-    *    (Spark's external SPILLABLE sorter — still zero Exchange),
-    *    exactly the pre-sorted-layout behavior.
+    *    on the SAME `orderCols` (Spark's external SPILLABLE sorter —
+    *    still zero Exchange), exactly the pre-sorted-layout behavior.
     */
   private def bucketOrderedRdd(spark: SparkSession, dir: String,
       m: Manifest, schema: org.apache.spark.sql.types.StructType,
-      key: String, files: Seq[String], dropNullKeys: Boolean)
+      orderCols: Seq[String], files: Seq[String], dropNullKeys: Boolean)
       : org.apache.spark.rdd.RDD[
           org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.functions.col
     val cols = schema.fieldNames.toIndexedSeq.map(c => col(s"`$c`"))
-    val kIdx = schema.fieldIndex(key)
-    val kt = schema(key).dataType
+    val key = orderCols.head
+    val ords = orderCols.map(c =>
+      (schema.fieldIndex(c), schema(c).dataType))
     def read(fls: Seq[String]): DataFrame = {
       val base = readFiles(spark, dir, m, fls)
       (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull) else base)
         .select(cols: _*).coalesce(1)
     }
-    if (skipSortEligible(spark, m, key, files)) {
+    if (skipSortEligible(spark, m, orderCols, files)) {
       val perFile = files.map { fl =>
         val qe = read(Seq(fl)).queryExecution
         recordAlignedPlan(qe)
@@ -3140,12 +3232,13 @@ object Snapshots {
         if (rs.size == 1) rs.head
         else tree(rs.grouped(2).map {
           case Seq(a, b) =>
-            a.zipPartitions(b)(mergeSortedIters(_, _, kIdx, kt))
+            a.zipPartitions(b)(mergeSortedIters(_, _, ords))
           case Seq(a) => a
         }.toSeq)
-      tree(perFile).mapPartitions(monotonicGuard(_, kIdx, kt))
+      tree(perFile).mapPartitions(monotonicGuard(_, ords))
     } else {
-      val qe = read(files).sortWithinPartitions(col(s"`$key`"))
+      val qe = read(files)
+        .sortWithinPartitions(orderCols.map(c => col(s"`$c`")): _*)
         .queryExecution
       recordAlignedPlan(qe)
       qe.toRdd
@@ -3235,7 +3328,7 @@ object Snapshots {
               // key-ordered read: a sorted layout streams its files
               // directly (zero Sort — [[bucketOrderedRdd]]), an
               // unsorted bucket in-task sorts exactly as before
-              bucketOrderedRdd(spark, dir, m, schema, key, files,
+              bucketOrderedRdd(spark, dir, m, schema, Seq(key), files,
                 dropNullKeys)
             else {
               val base = readFiles(spark, dir, m, files)
@@ -3582,6 +3675,95 @@ object Snapshots {
       inType: org.apache.spark.sql.types.DataType,
       out: org.apache.spark.sql.types.StructField)
 
+  /** THE accumulator core of the aligned fold family — one instance
+    * holds the running count/sum/min/max state for ONE group (or one
+    * running-window prefix). Shared by [[streamingGroupFold]] and the
+    * running-window fold so the accumulation semantics (NULL skipping,
+    * exact java-BigDecimal decimal sums converted once at read,
+    * integral widening to Long, detached min/max copies) cannot drift
+    * between the group and window operators. NOT thread-safe; one per
+    * task.
+    */
+  private final class AggAccums(specs: Seq[AggSpec]) extends Serializable {
+    import org.apache.spark.sql.types._
+    private val accs = new Array[Any](specs.length)
+    private val ordCache = scala.collection.mutable.Map
+      .empty[DataType, Ordering[Any]]
+    private def ord2(dt: DataType): Ordering[Any] =
+      ordCache.getOrElseUpdate(dt,
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt))
+    private def widenToLong(v: Any): Long = v match {
+      case b: Byte => b.toLong
+      case s: Short => s.toLong
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    private def copyVal(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+      case other => other
+    }
+    reset()
+    def reset(): Unit = {
+      var i = 0
+      while (i < accs.length) {
+        accs(i) = if (specs(i).fn == "count") 0L else null; i += 1
+      }
+    }
+    def update(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      var i = 0
+      while (i < accs.length) {
+        val sp = specs(i)
+        sp.fn match {
+          case "count" =>
+            if (sp.ord < 0 || !r.isNullAt(sp.ord))
+              accs(i) = accs(i).asInstanceOf[Long] + 1L
+          case "sum" => if (!r.isNullAt(sp.ord)) {
+            val v = r.get(sp.ord, sp.inType)
+            // decimals accumulate as java BigDecimal (EXACT, no
+            // mid-fold precision juggling) and convert to the
+            // declared result decimal once, at read
+            accs(i) = (accs(i), sp.inType) match {
+              case (null, _: DecimalType) =>
+                v.asInstanceOf[Decimal].toJavaBigDecimal
+              case (acc: java.math.BigDecimal, _) =>
+                acc.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
+              case (null, _: FloatType) => v.asInstanceOf[Float].toDouble
+              case (null, _: DoubleType) => v
+              case (null, _) => widenToLong(v)
+              case (acc: java.lang.Double, _: FloatType) =>
+                acc + v.asInstanceOf[Float].toDouble
+              case (acc: java.lang.Double, _) =>
+                acc + v.asInstanceOf[Double]
+              case (acc: java.lang.Long, _) => acc + widenToLong(v)
+            }
+          }
+          case "min" => if (!r.isNullAt(sp.ord)) {
+            val v = r.get(sp.ord, sp.inType)
+            if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) < 0)
+              accs(i) = copyVal(v)
+          }
+          case "max" => if (!r.isNullAt(sp.ord)) {
+            val v = r.get(sp.ord, sp.inType)
+            if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) > 0)
+              accs(i) = copyVal(v)
+          }
+        }
+        i += 1
+      }
+    }
+    /** The i-th aggregate's CURRENT value at the declared output type
+      * (BigDecimal sums convert here; reading does not disturb the
+      * running state — window folds read after every tie-group).
+      */
+    def value(i: Int): Any = accs(i) match {
+      case bd: java.math.BigDecimal =>
+        val dt = specs(i).out.dataType.asInstanceOf[DecimalType]
+        Decimal(bd, dt.precision, dt.scale)
+      case other => other
+    }
+  }
+
   /** Resolve `(fn, column, alias)` aggs against `schema` — unknown
     * fns/columns, duplicate aliases, float/double min/max and columns
     * in `ambiguous` (names appearing on BOTH sides of a join schema)
@@ -3648,7 +3830,6 @@ object Snapshots {
       outSchema: org.apache.spark.sql.types.StructType)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    import org.apache.spark.sql.types._
     val specsB = specs // serializable capture
     rows => {
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
@@ -3661,81 +3842,19 @@ object Snapshots {
         case other => other
       }
       // accumulators for ONE group — the only aggregation state held
-      val accs = new Array[Any](specsB.length)
+      val accums = new AggAccums(specsB)
       var groupKey: Any = null
       var groupOpen = false
-      def reset(): Unit = {
-        var i = 0
-        while (i < accs.length) {
-          accs(i) = if (specsB(i).fn == "count") 0L else null; i += 1
-        }
-      }
-      def update(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-        var i = 0
-        while (i < accs.length) {
-          val sp = specsB(i)
-          sp.fn match {
-            case "count" =>
-              if (sp.ord < 0 || !r.isNullAt(sp.ord))
-                accs(i) = accs(i).asInstanceOf[Long] + 1L
-            case "sum" => if (!r.isNullAt(sp.ord)) {
-              val v = r.get(sp.ord, sp.inType)
-              // decimals accumulate as java BigDecimal (EXACT, no
-              // mid-fold precision juggling) and convert to the
-              // declared result decimal once, at emit
-              accs(i) = (accs(i), sp.inType) match {
-                case (null, _: DecimalType) =>
-                  v.asInstanceOf[Decimal].toJavaBigDecimal
-                case (acc: java.math.BigDecimal, _) =>
-                  acc.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
-                case (null, _: FloatType) => v.asInstanceOf[Float].toDouble
-                case (null, _: DoubleType) => v
-                case (null, _) => widenToLong(v)
-                case (acc: java.lang.Double, _: FloatType) =>
-                  acc + v.asInstanceOf[Float].toDouble
-                case (acc: java.lang.Double, _) =>
-                  acc + v.asInstanceOf[Double]
-                case (acc: java.lang.Long, _) => acc + widenToLong(v)
-              }
-            }
-            case "min" => if (!r.isNullAt(sp.ord)) {
-              val v = r.get(sp.ord, sp.inType)
-              if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) < 0)
-                accs(i) = copyVal(v)
-            }
-            case "max" => if (!r.isNullAt(sp.ord)) {
-              val v = r.get(sp.ord, sp.inType)
-              if (accs(i) == null || ord2(sp.inType).compare(v, accs(i)) > 0)
-                accs(i) = copyVal(v)
-            }
-          }
-          i += 1
-        }
-      }
-      def widenToLong(v: Any): Long = v match {
-        case b: Byte => b.toLong
-        case s: Short => s.toLong
-        case i: Int => i.toLong
-        case l: Long => l
-      }
-      lazy val ordCache = scala.collection.mutable.Map
-        .empty[DataType, Ordering[Any]]
-      def ord2(dt: DataType): Ordering[Any] = ordCache.getOrElseUpdate(dt,
-        org.apache.spark.sql.catalyst.util.TypeUtils
-          .getInterpretedOrdering(dt))
+      def reset(): Unit = accums.reset()
+      def update(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        accums.update(r)
       def emit(): org.apache.spark.sql.catalyst.InternalRow = {
         val out = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(1 + accs.length)
+          .GenericInternalRow(1 + specsB.length)
         out.update(0, groupKey)
         var i = 0
-        while (i < accs.length) {
-          val v = accs(i) match {
-            case bd: java.math.BigDecimal =>
-              val dt = specsB(i).out.dataType.asInstanceOf[DecimalType]
-              Decimal(bd, dt.precision, dt.scale)
-            case other => other
-          }
-          out.update(i + 1, v); i += 1
+        while (i < specsB.length) {
+          out.update(i + 1, accums.value(i)); i += 1
         }
         project(out).copy()
       }
@@ -3803,7 +3922,7 @@ object Snapshots {
           Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
         case Some(files) =>
           // key-ordered read — sorted layouts skip the in-task sort
-          bucketOrderedRdd(spark, tableDir, m, schema, key, files,
+          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
             dropNullKeys = false)
       }
     })
@@ -3924,7 +4043,7 @@ object Snapshots {
         case None => spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
         case Some(files) =>
-          bucketOrderedRdd(spark, tableDir, m, schema, key, files,
+          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
             dropNullKeys = true)
       }
     })
@@ -3982,6 +4101,394 @@ object Snapshots {
       spark, latest, schema)
   }
 
+  /** STORAGE-PARTITIONED AS-OF JOIN — the point-in-time / feature-
+    * store shape (`trades ⋈ last quote at-or-before trade time`,
+    * `label ⋈ feature state as of label time`) executed with ZERO
+    * Exchange: both sides bucket-clustered on the entity key with
+    * identical modulus, each bucket pair zipped into ONE task that
+    * walks the two (key, time)-ordered streams forward holding O(1)
+    * state — one right look-ahead row plus ONE candidate row (the
+    * greatest right time ≤ the current left time). A planner
+    * computes this as a range join (quadratic blow-up risk) or a
+    * union + window carry-forward ([[graft.operators.TemporalJoins]]
+    * — correct, but one full shuffle of both inputs); this streams
+    * each bucket once. Sorted layouts (`sortBuckets` with
+    * `sortAlso = Seq(timeCol)`) skip even the in-task sort — the
+    * whole join becomes scan-bound ([[alignedSortFree]]); unsorted
+    * or key-only-sorted buckets fall back to the spillable in-task
+    * sorter on (key, time), exactly as correct.
+    *
+    * Semantics (BACKWARD as-of, the trades⋈quotes default): for each
+    * left row, the single right row of equal key with the GREATEST
+    * `rightTime` ≤ `leftTime`. SQL NULL comparisons never match: a
+    * NULL `leftTime` row matches nothing, NULL `rightTime` rows are
+    * never candidates, NULL keys never match (kept and NULL-extended
+    * under `joinType = "left"`, dropped under `"inner"` — the
+    * aligned join's exact contract). Ties on `rightTime` within a
+    * key keep an arbitrary one of the tied rows — make (key, time)
+    * unique on the right (the quote-sequence shape) for a
+    * deterministic answer. Output: every left column, then every
+    * right column EXCEPT `rightKey` (it equals the left key on every
+    * match), right columns nullable; duplicate names across the
+    * surviving columns are refused (rename a side first).
+    * Refusals mirror [[bucketAlignedJoin]]: unbucketed/unclustered
+    * layouts, differing moduli, float/double or mismatched key
+    * types; plus mismatched/float/non-orderable time column types.
+    */
+  def bucketAlignedAsof(spark: SparkSession,
+                        leftDir: String, rightDir: String,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        joinType: String = "left",
+                        leftVersion: Option[Long] = None,
+                        rightVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val jt = joinType.toLowerCase.replace("_", "") match {
+      case "left" | "leftouter" => "leftouter"
+      case "inner"              => "inner"
+      case other => throw new IllegalArgumentException(
+        s"unsupported joinType '$other' (inner, left)")
+    }
+    resetAlignedPlans()
+    val lm = resolveForRead(spark, leftDir, leftVersion)
+    val rm = resolveForRead(spark, rightDir, rightVersion)
+    def bucketsOf(m: Manifest, dir: String, key: String): Int = {
+      val (bk, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"$dir is not bucket-clustered; bucketAlignedAsof needs the layout " +
+          "on both sides (bucketBy at commit, or CLUSTERED BY in DDL)"))
+      require(bk == key,
+        s"$dir is bucketed by '$bk', not the join key '$key'")
+      require(m.files.forall(m.buckets.contains),
+        s"$dir has unclustered files (appends since the last re-cluster); " +
+          "run compactBucketed first")
+      n
+    }
+    val ln = bucketsOf(lm, leftDir, leftKey)
+    val rn = bucketsOf(rm, rightDir, rightKey)
+    require(ln == rn,
+      s"bucket counts differ ($leftDir=$ln, $rightDir=$rn): re-cluster one " +
+        "side — zip alignment needs identical modulus")
+    val lSchema = lm.schema.getOrElse(throw new IllegalArgumentException(
+      s"$leftDir has no recorded schema"))
+    val rSchema = rm.schema.getOrElse(throw new IllegalArgumentException(
+      s"$rightDir has no recorded schema"))
+    val kt = lSchema(leftKey).dataType
+    require(kt == rSchema(rightKey).dataType,
+      s"join key types differ (${lSchema(leftKey).dataType} vs " +
+        s"${rSchema(rightKey).dataType}): the bucket hash is typed, so " +
+        "differing types never co-bucket")
+    require(kt != DoubleType && kt != FloatType,
+      "float/double join keys are not supported (±0.0/NaN equality)")
+    Seq((leftTime, lSchema, leftDir), (rightTime, rSchema, rightDir))
+      .foreach { case (c, sch, dir) =>
+        require(sch.fieldNames.contains(c),
+          s"unknown time column '$c' on $dir " +
+            s"(columns: ${sch.fieldNames.mkString(", ")})")
+      }
+    val tt = lSchema(leftTime).dataType
+    require(tt == rSchema(rightTime).dataType,
+      s"time column types differ (${lSchema(leftTime).dataType} vs " +
+        s"${rSchema(rightTime).dataType}): as-of compares them directly")
+    require(tt != DoubleType && tt != FloatType,
+      "float/double time columns are not supported (NaN ordering); " +
+        "cast to decimal or timestamp first")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(tt),
+      s"time column type ${tt.simpleString} is not orderable")
+    val rKeyIdx = rSchema.fieldIndex(rightKey)
+    val outFields = lSchema.fields ++
+      rSchema.fields.zipWithIndex.collect {
+        case (f, i) if i != rKeyIdx => f.copy(nullable = true)
+      }
+    val dupNames = outFields.map(_.name).groupBy(identity)
+      .filter(_._2.length > 1).keys
+    require(dupNames.isEmpty,
+      s"duplicate output column(s) ${dupNames.mkString(", ")}: rename one " +
+        "side before the as-of join")
+    val outSchema = StructType(outFields)
+    def sideRdd(dir: String, m: Manifest,
+                schema: StructType, key: String, time: String, n: Int,
+                dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
+                  org.apache.spark.sql.catalyst.InternalRow] = {
+      val byBucket = m.files.groupBy(m.buckets)
+      spark.sparkContext.union((0 until n).map { b =>
+        byBucket.get(b) match {
+          case None => spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+          case Some(files) =>
+            bucketOrderedRdd(spark, dir, m, schema, Seq(key, time), files,
+              dropNullKeys)
+        }
+      })
+    }
+    val left = sideRdd(leftDir, lm, lSchema, leftKey, leftTime, ln,
+      dropNullKeys = jt == "inner")
+    val right = sideRdd(rightDir, rm, rSchema, rightKey, rightTime, rn,
+      dropNullKeys = true)
+    val lIdxK = lSchema.fieldIndex(leftKey)
+    val lIdxT = lSchema.fieldIndex(leftTime)
+    val rIdxT = rSchema.fieldIndex(rightTime)
+    val lWidth = lSchema.length
+    val inner = jt == "inner"
+    val lFieldTypes = lSchema.fields.map(_.dataType)
+    val rFieldTypes = rSchema.fields.map(_.dataType)
+    val joined = left.zipPartitions(right) { (li, ri) =>
+      import org.apache.spark.sql.catalyst.expressions.{
+        BoundReference, JoinedRow, UnsafeProjection}
+      val kOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(kt)
+      val tOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(tt)
+      def copyKey(k: Any): Any = k match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+      def nextRight(): org.apache.spark.sql.catalyst.InternalRow =
+        if (ri.hasNext) ri.next().copy() else null
+      // output = left columns + right columns minus the right key
+      val project = UnsafeProjection.create(
+        lFieldTypes.zipWithIndex.map { case (dt, i) =>
+          BoundReference(i, dt, nullable = true) } ++
+        rFieldTypes.zipWithIndex.collect { case (dt, i) if i != rKeyIdx =>
+          BoundReference(lWidth + i, dt, nullable = true) })
+      val joinedRow = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rFieldTypes.length)
+      // O(1) walk state: the right look-ahead, the CURRENT left key
+      // group (detached copy), and the group's best candidate so far
+      var rHead = nextRight()
+      var groupKey: Any = null
+      var groupLoaded = false
+      var cand: org.apache.spark.sql.catalyst.InternalRow = null
+      li.flatMap { l =>
+        val k = l.get(lIdxK, kt) // may be NULL only under leftouter
+        if (k == null) {
+          // NULL keys match nothing; the scans sorted them FIRST, so
+          // no group state has been built yet
+          if (inner) Iterator.empty
+          else Iterator.single(project(joinedRow(l, nullRight))
+            : org.apache.spark.sql.catalyst.InternalRow)
+        } else {
+          if (!groupLoaded || !kOrd.equiv(groupKey, k)) {
+            // new left key group: discard the previous candidate and
+            // advance the right stream to the first key ≥ k (strictly
+            // forward — left keys are monotone)
+            while (rHead != null &&
+                kOrd.lt(rHead.get(rKeyIdx, kt), k))
+              rHead = nextRight()
+            groupKey = copyKey(k); groupLoaded = true
+            cand = null
+          }
+          val lt = if (l.isNullAt(lIdxT)) null else l.get(lIdxT, tt)
+          if (lt != null) {
+            // consume the right group's rows with time ≤ lt (left
+            // times are monotone within the group, so this pointer
+            // only moves forward); NULL right times sort first and
+            // are never candidates
+            var advancing = true
+            while (advancing && rHead != null &&
+                kOrd.equiv(rHead.get(rKeyIdx, kt), k)) {
+              val rt =
+                if (rHead.isNullAt(rIdxT)) null else rHead.get(rIdxT, tt)
+              if (rt == null) rHead = nextRight()
+              else if (tOrd.lteq(rt, lt)) { cand = rHead; rHead = nextRight() }
+              else advancing = false
+            }
+          }
+          val matched = lt != null && cand != null
+          if (matched)
+            Iterator.single(project(joinedRow(l, cand))
+              : org.apache.spark.sql.catalyst.InternalRow)
+          else if (inner) Iterator.empty
+          else Iterator.single(project(joinedRow(l, nullRight))
+            : org.apache.spark.sql.catalyst.InternalRow)
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalFrame(
+      spark, joined, outSchema)
+  }
+
+  /** STORAGE-PARTITIONED RUNNING-WINDOW AGGREGATION — `agg(x) OVER
+    * (PARTITION BY key ORDER BY orderCol RANGE BETWEEN UNBOUNDED
+    * PRECEDING AND CURRENT ROW)` (SQL's DEFAULT window frame) for
+    * the aligned fold vocabulary (count/`count(*)`/sum/min/max),
+    * with ZERO Exchange: each bucket streams (key, orderCol)-ordered
+    * in one task, folding the running accumulators forward and
+    * emitting every input row with its running values appended. A
+    * planner shuffles the whole table on the key and sorts every
+    * partition; this streams each bucket once. Sorted layouts
+    * (`sortAlso = Seq(orderCol)`) skip even the in-task sort.
+    *
+    * RANGE (peer) semantics exactly — rows tied on `orderCol` within
+    * a key all receive the value INCLUDING the whole tie group,
+    * which is what makes the answer deterministic under ties (ROWS
+    * framing would depend on the physical tie order). Task memory is
+    * O(one tie group) — the rows sharing one (key, orderCol) value —
+    * plus the O(1) accumulators. NULL semantics are SQL's: NULL keys
+    * form ONE window partition (kept, not dropped — `PARTITION BY`
+    * groups NULLs), NULL `orderCol` rows are each other's peers and
+    * sort FIRST (mirror the oracle with `ORDER BY t NULLS FIRST`),
+    * and the accumulators skip NULL inputs as ever. Output: every
+    * table column, then one column per agg. Refusals: the aligned
+    * family's (unbucketed/unclustered/float keys), float/double or
+    * non-orderable `orderCol`, the agg vocabulary's.
+    */
+  def bucketAlignedRunning(spark: SparkSession, tableDir: String,
+                           orderCol: String,
+                           aggs: Seq[(String, String, String)],
+                           version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = resolveForRead(spark, tableDir, version)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; bucketAlignedRunning windows " +
+        "over the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(m.files.forall(m.buckets.contains),
+      s"$tableDir has unclustered files (appends since the last " +
+        "re-cluster); run compactBucketed first")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    val kt = schema(key).dataType
+    require(kt != DoubleType && kt != FloatType,
+      "float/double keys are not supported (±0.0/NaN equality)")
+    require(schema.fieldNames.contains(orderCol),
+      s"unknown order column '$orderCol' " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    val ot = schema(orderCol).dataType
+    require(ot != DoubleType && ot != FloatType,
+      "float/double order columns are not supported (NaN ordering); " +
+        "cast to decimal first")
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(ot),
+      s"order column '$orderCol' of type ${ot.simpleString} is not orderable")
+    val specs = resolveAggSpecs(schema, aggs)
+    specs.foreach(sp => require(!schema.fieldNames.contains(sp.out.name),
+      s"agg alias '${sp.out.name}' shadows a table column"))
+    val outSchema = StructType(schema.fields ++ specs.map(_.out))
+    resetAlignedPlans()
+    val byBucket = m.files.groupBy(m.buckets)
+    val perBucket = spark.sparkContext.union((0 until n).map { b =>
+      byBucket.get(b) match {
+        case None => spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+        case Some(files) =>
+          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key, orderCol),
+            files, dropNullKeys = false)
+      }
+    })
+    val kIdx = schema.fieldIndex(key)
+    val oIdx = schema.fieldIndex(orderCol)
+    val width = schema.length
+    val specsB = specs
+    val folded = perBucket.mapPartitions { rows =>
+      import org.apache.spark.sql.catalyst.expressions.{
+        BoundReference, UnsafeProjection}
+      val kOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(kt)
+      val oOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(ot)
+      val project = UnsafeProjection.create(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, nullable = true) } ++
+        specsB.zipWithIndex.map { case (sp, i) =>
+          BoundReference(width + i, sp.out.dataType, nullable = true) })
+      def copyVal(v: Any): Any = v match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+        case other => other
+      }
+      val accums = new AggAccums(specsB)
+      var groupKey: Any = null
+      var groupOpen = false
+      // the ONE buffered tie group (rows sharing (key, orderCol)) —
+      // its rows all emit the running value that includes the whole
+      // group, so they buffer until the group closes
+      val tie = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.InternalRow]
+      var tieVal: Any = null
+      var tieValNull = false
+      val extras = new Array[Any](specsB.length)
+      val wide = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(width + specsB.length)
+      def sameKey(r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+        val kn = r.isNullAt(kIdx)
+        if (!groupOpen) false
+        else if (kn || groupKey == null) kn && groupKey == null
+        else kOrd.equiv(r.get(kIdx, kt), groupKey)
+      }
+      def samePeer(r: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+        val on = r.isNullAt(oIdx)
+        if (on || tieValNull) on && tieValNull
+        else oOrd.equiv(r.get(oIdx, ot), tieVal)
+      }
+      // fold the buffered tie group into the accumulators, snapshot
+      // the running values, emit each buffered row with them appended
+      def flushTie(): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+        if (tie.isEmpty) Iterator.empty
+        else {
+          tie.foreach(accums.update)
+          var i = 0
+          while (i < specsB.length) { extras(i) = accums.value(i); i += 1 }
+          val out = tie.toIndexedSeq
+          tie.clear()
+          out.iterator.map { r =>
+            var j = 0
+            while (j < width) {
+              wide.update(j,
+                if (r.isNullAt(j)) null
+                else r.get(j, schema.fields(j).dataType))
+              j += 1
+            }
+            var e = 0
+            while (e < specsB.length) {
+              wide.update(width + e, extras(e)); e += 1
+            }
+            project(wide).copy()
+          }
+        }
+      def openTie(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        tieValNull = r.isNullAt(oIdx)
+        tieVal = if (tieValNull) null else copyVal(r.get(oIdx, ot))
+        tie += r.copy()
+      }
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var pending: Iterator[
+          org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && rows.hasNext) {
+            val r = rows.next()
+            if (!groupOpen) {
+              groupKey =
+                if (r.isNullAt(kIdx)) null else copyVal(r.get(kIdx, kt))
+              groupOpen = true
+              accums.reset()
+              openTie(r)
+            } else if (!sameKey(r)) {
+              pending = flushTie()
+              groupKey =
+                if (r.isNullAt(kIdx)) null else copyVal(r.get(kIdx, kt))
+              accums.reset()
+              openTie(r)
+            } else if (samePeer(r)) {
+              tie += r.copy()
+            } else {
+              pending = flushTie()
+              openTie(r)
+            }
+          }
+          if (!pending.hasNext && !rows.hasNext && tie.nonEmpty)
+            pending = flushTie()
+        }
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          advance()
+          pending.next()
+        }
+      }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.internalFrame(
+      spark, folded, outSchema)
+  }
+
   /** The manifest-path twin of [[pruneFilesCheckpointedProbes]] —
     * [[pruneForKeys]] folded over the probes column by column (each
     * column's survivors feed the next column's candidates; the
@@ -4028,7 +4535,7 @@ object Snapshots {
         .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
       kllsByFile.getOrElse(file, Map.empty).iterator
         .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
-      m.sortedFiles.get(file).map(m.physOf))
+      m.sortedFiles.get(file).map(mapSortMarker(_)(m.physOf)))
     // the in-memory manifest is the source of truth: a covered file
     // whose CURRENT metadata differs from its segment entry is treated
     // as removed-and-readded (rewritten into the fresh segment). A
@@ -4068,10 +4575,12 @@ object Snapshots {
         m.fileRows.get(e.file) == e.rows &&
         m.fileBytes.get(e.file) == e.bytes &&
         // sorted markers diff like any per-file metadata (a retired
-        // sort column's marker is ignored on the segment side — a
-        // dead column's order can neither help nor mismatch)
-        m.sortedFiles.get(e.file).map(m.physOf) ==
-          e.sortedBy.filterNot(retired.contains)
+        // sort column truncates the segment side's marker exactly as
+        // the parse does — a dead column's order can neither help
+        // nor mismatch; the surviving prefix still must agree)
+        m.sortedFiles.get(e.file).map(mapSortMarker(_)(m.physOf)) ==
+          e.sortedBy.flatMap(
+            truncateSortMarker(_, retired.contains, identity))
     }
     val covered = scala.collection.mutable.HashSet.empty[String]
     val keptRefs = ArrayBuffer.empty[(String, Int)] // (rel, live count)
@@ -4994,9 +5503,10 @@ object Snapshots {
             e.klls.foreach { case (c, sk) =>
               if (!retired.contains(c))
                 kllSketches((e.file, rev.getOrElse(c, c))) = sk }
-            e.sortedBy.foreach { c =>
-              if (!retired.contains(c))
-                sortedFiles(e.file) = rev.getOrElse(c, c) }
+            e.sortedBy.foreach { v =>
+              truncateSortMarker(v, retired.contains,
+                c => rev.getOrElse(c, c))
+                .foreach(sortedFiles(e.file) = _) }
           }
         }
       }
@@ -6132,7 +6642,8 @@ object Snapshots {
   def compactBucketed(spark: SparkSession, tableDir: String,
                       key: String, numBuckets: Int,
                       statsColumns: Seq[String] = Nil,
-                      sort: Boolean = false): Long = {
+                      sort: Boolean = false,
+                      sortAlso: Seq[String] = Nil): Long = {
     val (next, m) = resolveForWrite(spark, tableDir)
     // layout-preserving on the OTHER axis: a partitioned table
     // re-clustered on a key keeps its `k=v/` dirs (the composed
@@ -6143,7 +6654,7 @@ object Snapshots {
     commit(readVersion(spark, tableDir, Some(m.version)), tableDir, "overwrite",
       expectedVersion = Some(next), statsColumns = statsColumns,
       bucketBy = Some((key, numBuckets)), partitionBy = m.partitionCols,
-      sortBuckets = sort)
+      sortBuckets = sort, sortAlso = sortAlso)
   }
 
   /** URI TAIL of a data-file ref (`data/v<N>-<uuid>/...` — the uuid
@@ -6270,13 +6781,23 @@ object Snapshots {
     */
   def clusterTail(spark: SparkSession, tableDir: String,
                   statsColumns: Seq[String] = Nil,
-                  sort: Boolean = false): Long = {
+                  sort: Boolean = false,
+                  sortAlso: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$tableDir is not bucket-clustered; clusterTail repairs a bucket " +
         "layout (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(sortAlso.isEmpty || sort,
+      "sortAlso requires sort: secondary sort columns extend the " +
+        "bucket-key order, they cannot replace it")
+    sortAlso.foreach { c =>
+      require(!c.contains(","),
+        s"sort column '$c' contains ',' (the marker separator)")
+      require(m.schema.exists(_.fieldNames.contains(c)),
+        s"sortAlso column '$c' is not a column of the table")
+    }
     require(m.partitionCols.isEmpty,
       s"$tableDir is partitioned: the tail rewrite does not reproduce the " +
         "partition dirs — re-cluster via compactBucketed")
@@ -6296,12 +6817,16 @@ object Snapshots {
           pmod(xxhash64(col(s"`$physKey`").cast(schema(key).dataType)),
             lit(n.toLong)).cast("int"))
         .repartition(n, col(BucketCol))
-      // `sort = true`: the rewritten tail files land key-ordered and
-      // gain sorted markers — an O(tail) repair KEEPS a sorted bulk's
-      // layout whole (same write-side reasoning as [[writeLayout]])
+      // `sort = true`: the rewritten tail files land key-ordered
+      // (plus `sortAlso` secondaries — match the bulk's marker to
+      // keep a composite-sorted layout whole) and gain sorted
+      // markers — an O(tail) repair KEEPS a sorted bulk's layout
+      // whole (same write-side reasoning as [[writeLayout]])
       (if (sort)
          clusteredTail.sortWithinPartitions(
-           col(s"`$BucketCol`"), col(s"`$physKey`"))
+           (Seq(BucketCol, physKey) ++
+             sortAlso.map(c => m.colMap.getOrElse(c, c)))
+             .map(c => col(s"`$c`")): _*)
        else clusteredTail)
         .write.partitionBy(BucketCol).parquet(dataDir.toString)
     }
@@ -6330,8 +6855,10 @@ object Snapshots {
         nullCounts = m.nullCounts.filter { case ((rel, _), _) => keep(rel) } ++
           newNulls,
         sortedFiles = m.sortedFiles.filter { case (rel, _) => keep(rel) } ++
-          (if (sort) written.iterator.map(_ -> key).toMap
-           else Map.empty[String, String]),
+          (if (sort) {
+             val marker = (key +: sortAlso).mkString(",")
+             written.iterator.map(_ -> marker).toMap
+           } else Map.empty[String, String]),
         pendingMarker = None))) {
       f.delete(dataDir, true)
       if (dvs.nonEmpty)
@@ -7750,7 +8277,7 @@ object Snapshots {
       klls = m.klls.map { case ((fl, c), sk) =>
         (fl, if (c == from) to else c) -> sk },
       sortedFiles = m.sortedFiles.view
-        .mapValues(c => if (c == from) to else c).toMap,
+        .mapValues(mapSortMarker(_)(c => if (c == from) to else c)).toMap,
       partitionCols = m.partitionCols.map(
         PartitionTransforms.renameSource(_, from, to)),
       bucketSpec = m.bucketSpec.map { case (k, n) =>
@@ -7798,7 +8325,9 @@ object Snapshots {
       nullCounts = m.nullCounts.filterNot(_._1._2 == name),
       ndvs = m.ndvs.filterNot(_._1._2 == name),
       klls = m.klls.filterNot(_._1._2 == name),
-      sortedFiles = m.sortedFiles.filterNot(_._2 == name),
+      sortedFiles = m.sortedFiles.iterator.flatMap { case (fl, v) =>
+        truncateSortMarker(v, _ == name, identity).map(fl -> _)
+      }.toMap,
       pendingMarker = None)
     if (!publishManifest(f, tableDir, next))
       throw new java.util.ConcurrentModificationException(

@@ -1039,4 +1039,220 @@ class BucketedLayoutSpec extends SparkSpec {
         c.getMessage.contains("sorted-bucket layout violated")),
       s"expected the monotonic guard to fire, got: $e")
   }
+
+  test("composite sort markers: sortAlso records (key, secondary) order, " +
+    "files physically lex-sorted, PREFIX serves key-only reads, drop " +
+    "truncates / rename follows, cold parse round-trips (r15)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // adversarial arrival: descending on BOTH columns
+    val df = (0 until 600).reverse.map(i =>
+        (i % 23L, (i * 7 % 101).toLong, s"p-$i"))
+      .toDF("k", "ts", "payload").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 4)),
+      sortBuckets = true, sortAlso = Seq("ts"))
+    val m0 = Snapshots.readManifest(spark, dir, 0L)
+    assert(m0.sortedFiles.values.toSet === Set("k,ts"),
+      "composite marker records the full sort-column list")
+    // physical contract: each file lexicographically (k, ts)-ordered
+    m0.files.foreach { rel =>
+      val rows = spark.read.parquet(s"$dir/$rel")
+        .select("k", "ts").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sorted), s"$rel must be (k,ts)-sorted")
+    }
+    // PREFIX serving: a key-only aligned aggregate skips its sort on
+    // the composite marker (sorted by (k, ts) ⇒ sorted by k)
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+      ("count", "*", "n"), ("sum", "ts", "st")))
+    assert(Snapshots.alignedShuffleFree(agg) &&
+      Snapshots.alignedSortFree(agg),
+      "composite markers must serve the key-prefix read sort-free")
+    val expect = Snapshots.readVersion(spark, dir).groupBy("k").agg(
+      count(lit(1)).as("n"), sum("ts").as("st"))
+    assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty)
+    // a key-only-sorted table CANNOT serve a (k, ts) read sort-free:
+    // the as-of/running operators below fall back to the sorter there
+    // (pinned in their own tests); here pin the marker semantics —
+    // renaming the SECONDARY column follows it inside the marker
+    Snapshots.renameColumn(spark, dir, "ts", "event_ts")
+    val m1 = Snapshots.readManifest(spark, dir, 1L)
+    assert(m1.sortedFiles.values.toSet === Set("k,event_ts"))
+    // cold parse: serialized `sorted=` lines round-trip the composite
+    val copy = freshDir()
+    copyTable(dir, copy)
+    assert(Snapshots.readManifest(spark, copy, 1L).sortedFiles ===
+      m1.sortedFiles)
+    // dropping the secondary TRUNCATES the marker to the surviving
+    // prefix (order by (k, dead) is still order by k) — the layout
+    // keeps serving key-prefix reads sort-free
+    Snapshots.dropColumn(spark, dir, "event_ts")
+    val m2 = Snapshots.readManifest(spark, dir, 2L)
+    assert(m2.sortedFiles.values.toSet === Set("k"),
+      "dropped secondary truncates, never kills, the marker")
+    val agg2 = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+      ("count", "*", "n")))
+    assert(Snapshots.alignedSortFree(agg2),
+      "the truncated marker still serves the key read")
+    // clusterTail(sortAlso): an O(tail) repair keeps a composite
+    // layout whole — tail files gain the SAME composite marker
+    val dir2 = freshDir()
+    Snapshots.commit(df, dir2, "overwrite", bucketBy = Some(("k", 4)),
+      sortBuckets = true, sortAlso = Seq("ts"))
+    Snapshots.commit(Seq((99L, 5L, "late")).toDF("k", "ts", "payload"),
+      dir2, "append")
+    val v3 = Snapshots.clusterTail(spark, dir2, sort = true,
+      sortAlso = Seq("ts"))
+    val m3 = Snapshots.readManifest(spark, dir2, v3)
+    assert(m3.sortedFiles.keySet === m3.files.toSet &&
+      m3.sortedFiles.values.toSet === Set("k,ts"),
+      "the repaired tail matches the bulk's composite marker")
+    // misuse refusals
+    intercept[IllegalArgumentException] { // sortAlso without sortBuckets
+      Snapshots.commit(df, freshDir(), "overwrite",
+        bucketBy = Some(("k", 4)), sortAlso = Seq("ts"))
+    }
+    intercept[IllegalArgumentException] { // duplicate sort column
+      Snapshots.commit(df, freshDir(), "overwrite",
+        bucketBy = Some(("k", 4)), sortBuckets = true,
+        sortAlso = Seq("k"))
+    }
+    intercept[IllegalArgumentException] { // unknown column
+      Snapshots.commit(df, freshDir(), "overwrite",
+        bucketBy = Some(("k", 4)), sortBuckets = true,
+        sortAlso = Seq("nope"))
+    }
+  }
+
+  test("bucketAlignedAsof: point-in-time parity with the planner's " +
+    "join-on-greatest-time, zero Exchange; composite-sorted layouts add " +
+    "zero Sort; NULL keys/times follow SQL; refusals (r15)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // left: events with unique lid; every 9th left time NULL; every
+    // 13th key NULL. right: state rows with UNIQUE (key, time) —
+    // ties would make any as-of nondeterministic — plus NULL-time
+    // rows that must never match.
+    val left = (0 until 500).reverse.map { i =>
+      (i.toLong,
+        if (i % 13 == 0) null else s"e-${i % 29}",
+        if (i % 9 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf((i * 3 % 211).toLong))
+    }.toDF("lid", "k", "lt").coalesce(1)
+    val right = ((0 until 300).reverse.map { i =>
+      (s"e-${i % 31}",
+        java.lang.Long.valueOf((i / 31 * 31 + i % 31).toLong),
+        s"state-$i")
+    } ++ Seq(("e-1", null.asInstanceOf[java.lang.Long], "never")))
+      .toDF("rk", "rt", "rv").coalesce(1)
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("k", 4)),
+      sortBuckets = true, sortAlso = Seq("lt"))
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rk", 4)),
+      sortBuckets = true, sortAlso = Seq("rt"))
+    // the planner's answer: all candidates rt ≤ lt, keep the greatest
+    // rt per left row (rt unique per key ⇒ deterministic)
+    val l = Snapshots.readVersion(spark, lhs)
+    val r = Snapshots.readVersion(spark, rhs)
+    val cand = l.join(r, col("k") === col("rk") && col("rt") <= col("lt"),
+      "left")
+    val w = Window.partitionBy("lid").orderBy(col("rt").desc_nulls_last)
+    val expectLeft = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "rk")
+    for ((jt, expect) <- Seq(
+        ("left", expectLeft),
+        ("inner", expectLeft.filter(col("rt").isNotNull)))) {
+      val got = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+        "k", "rk", "lt", "rt", joinType = jt)
+      assert(Snapshots.alignedShuffleFree(got),
+        s"$jt as-of must shuffle nothing")
+      assert(Snapshots.alignedSortFree(got),
+        s"$jt as-of over (key,time)-sorted layouts must not sort")
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"$jt as-of parity")
+    }
+    // key-only-sorted (or unsorted) layouts: the sorter path takes
+    // over — witness reports the Sort, rows identical
+    val lhsPlain = freshDir()
+    Snapshots.commit(left, lhsPlain, "overwrite",
+      bucketBy = Some(("k", 4)), sortBuckets = true)
+    val gotPlain = Snapshots.bucketAlignedAsof(spark, lhsPlain, rhs,
+      "k", "rk", "lt", "rt")
+    assert(Snapshots.alignedShuffleFree(gotPlain) &&
+      !Snapshots.alignedSortFree(gotPlain),
+      "a (key)-only marker cannot serve the (key,time) read sort-free")
+    assert(gotPlain.exceptAll(expectLeft).isEmpty &&
+      expectLeft.exceptAll(gotPlain).isEmpty)
+    // refusals: duplicate output name, mismatched time types, float
+    // times, unknown time column, bad joinType
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAsof(spark, lhs, rhs, "k", "rk", "lt", "rt",
+        joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAsof(spark, lhs, rhs, "k", "rk", "lt", "nope")
+    }
+    val rhsClash = freshDir()
+    Snapshots.commit(right.withColumnRenamed("rv", "lt"), rhsClash,
+      "overwrite", bucketBy = Some(("rk", 4)))
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAsof(spark, lhs, rhsClash, "k", "rk",
+        "lt", "rt")
+    }
+  }
+
+  test("bucketAlignedRunning: running aggregates equal Spark's own " +
+    "RANGE-frame window (ties are peers), zero Exchange; sorted layouts " +
+    "zero Sort; NULL keys form one partition (r15)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = freshDir()
+    // ties on (k, t) — RANGE peers; NULL keys; NULL order values;
+    // NULL inputs; descending arrival
+    val df = ((0 until 600).reverse.map { i =>
+      (if (i % 17 == 0) null else s"g-${i % 19}",
+        if (i % 11 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf((i % 13).toLong), // heavy ties
+        if (i % 7 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i.toLong))
+    }).toDF("k", "t", "v").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 4)),
+      sortBuckets = true, sortAlso = Seq("t"))
+    val got = Snapshots.bucketAlignedRunning(spark, dir, "t", Seq(
+      ("count", "*", "rn"), ("sum", "v", "rs"),
+      ("min", "v", "rmin"), ("max", "v", "rmax")))
+    assert(Snapshots.alignedShuffleFree(got) &&
+      Snapshots.alignedSortFree(got),
+      "running windows over a (key,order)-sorted layout stream directly")
+    // Spark's own default frame with ORDER BY is RANGE UNBOUNDED
+    // PRECEDING..CURRENT ROW — the exact semantics implemented
+    val w = Window.partitionBy("k").orderBy(asc_nulls_first("t"))
+    val expect = Snapshots.readVersion(spark, dir)
+      .withColumn("rn", count(lit(1)).over(w))
+      .withColumn("rs", sum("v").over(w))
+      .withColumn("rmin", min("v").over(w))
+      .withColumn("rmax", max("v").over(w))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "running parity incl. ties, NULL keys, NULL order values")
+    // unsorted twin: sorter fallback, same rows
+    val plain = freshDir()
+    Snapshots.commit(df, plain, "overwrite", bucketBy = Some(("k", 4)))
+    val gotPlain = Snapshots.bucketAlignedRunning(spark, plain, "t", Seq(
+      ("count", "*", "rn"), ("sum", "v", "rs"),
+      ("min", "v", "rmin"), ("max", "v", "rmax")))
+    assert(!Snapshots.alignedSortFree(gotPlain))
+    assert(gotPlain.exceptAll(expect).isEmpty &&
+      expect.exceptAll(gotPlain).isEmpty)
+    // refusals: alias shadowing a column, unknown order column
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedRunning(spark, dir, "t", Seq(("sum", "v", "v")))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedRunning(spark, dir, "nope",
+        Seq(("sum", "v", "rs")))
+    }
+  }
 }
