@@ -161,6 +161,10 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u58JoinAgg _),
     "u59_latest_by_key" ->
       (graft.sources.DemoFixtures.u59LatestByKey _),
+    "u60_aligned_asof" ->
+      (graft.sources.DemoFixtures.u60AlignedAsof _),
+    "u61_running_window" ->
+      (graft.sources.DemoFixtures.u61RunningWindow _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1260,6 +1264,46 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM t JOIN (SELECT k, MAX(ord) AS mo FROM t GROUP BY k) m
         |  ON t.k = m.k AND t.ord = m.mo
         |ORDER BY 1""".stripMargin,
+    // u60 oracle: the point-in-time (backward as-of) join's exact
+    // relational definition — per purchase, the click row at the
+    // greatest click time ≤ purchase time (clicks pre-deduped to
+    // unique (user, ts), so the answer is deterministic); unmatched
+    // purchases survive NULL-extended. asof_ok = 1 pins the
+    // zero-Exchange, zero-Sort streaming execution.
+    "u60_aligned_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS ruid, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.purchase_id, MAX(c.click_ts) AS mct
+        |  FROM p JOIN c ON c.ruid = p.user_id
+        |    AND c.click_ts <= p.purchase_ts
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  c.click_ts, c.click_id, 1 AS asof_ok
+        |FROM p
+        |LEFT JOIN m ON m.purchase_id = p.purchase_id
+        |LEFT JOIN c ON c.ruid = p.user_id AND c.click_ts = m.mct
+        |ORDER BY 1""".stripMargin,
+    // u61 oracle: SQL's DEFAULT window frame (RANGE UNBOUNDED
+    // PRECEDING..CURRENT ROW — ties are peers and share the running
+    // value) replayed row for row; running_ok = 1 pins the
+    // zero-Exchange, zero-Sort streaming execution.
+    "u61_running_window" ->
+      """SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS oid,
+        |  COUNT(*) OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS rs,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS rmax,
+        |  1 AS running_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2, 3""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1664,4 +1664,91 @@ object DemoFixtures {
       .withColumn("latest_ok", lit(latestOk).cast("int"))
       .orderBy("k")
   }
+
+  /** Demo + oracle entry (`u60_aligned_asof`): the point-in-time /
+    * feature-store join through [[Snapshots.bucketAlignedAsof]] —
+    * purchases ⋈ the LAST click at-or-before each purchase, both
+    * sides bucket-clustered on `user_id` and committed sorted with
+    * `sortAlso = ts`, so the whole join runs as one (key, time)-
+    * ordered streaming pass per bucket: zero Exchange AND zero Sort
+    * (`asof_ok` folds both witnesses). Clicks are pre-deduped to
+    * unique (user, ts) — as-of ties are inherently arbitrary, the
+    * CDC-sequence uniqueness contract. The oracle replays the exact
+    * relational definition: max click time ≤ purchase time per
+    * purchase, then the click row at that time; unmatched purchases
+    * survive NULL-extended (left as-of). The 100 TB story: the
+    * planner's range join explodes quadratically and the union +
+    * carry-forward twin ([[graft.operators.TemporalJoins]], a1)
+    * shuffles both inputs; this streams each bucket once with O(1)
+    * task state.
+    */
+  def u60AlignedAsof(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create("graft-asof-purchases")
+    val rhs = graft.TempDirs.create("graft-asof-clicks")
+    val e = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts")),
+      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
+      sortBuckets = true, sortAlso = Seq("purchase_ts"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id")),
+      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
+      sortBuckets = true, sortAlso = Seq("click_ts"))
+    val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
+      "user_id", "ruid", "purchase_ts", "click_ts")
+    val asofOk =
+      if (Snapshots.alignedShuffleFree(asof) &&
+        Snapshots.alignedSortFree(asof)) 1
+      else 0
+    asof.select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_id"))
+      .withColumn("asof_ok", lit(asofOk).cast("int"))
+      .orderBy("purchase_id")
+  }
+
+  /** Demo + oracle entry (`u61_running_window`): running per-entity
+    * aggregates — `agg OVER (PARTITION BY key ORDER BY t RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW)`, SQL's default frame —
+    * through [[Snapshots.bucketAlignedRunning]] on an orders table
+    * bucket-clustered by customer and committed sorted with
+    * `sortAlso = o_orderdate`: each bucket streams once, zero
+    * Exchange, zero Sort (`running_ok` folds both witnesses), task
+    * memory O(one tie group). RANGE (peer) semantics make ties —
+    * several orders of one customer on one date — deterministic:
+    * all peers receive the tie group's full running value, which is
+    * what the oracle's window replays row for row. The 100 TB
+    * story: the planner shuffles the whole fact table on the key
+    * and sorts every partition for the same window; this rides the
+    * write-side order.
+    */
+  def u61RunningWindow(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TempDirs.create("graft-running-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          col("o_orderkey").as("oid"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      dir, "overwrite", bucketBy = Some(("k", 8)),
+      sortBuckets = true, sortAlso = Seq("t"))
+    val run = Snapshots.bucketAlignedRunning(s, dir, "t", Seq(
+      ("count", "*", "rn"), ("sum", "price", "rs"),
+      ("max", "price", "rmax")))
+    val runningOk =
+      if (Snapshots.alignedShuffleFree(run) &&
+        Snapshots.alignedSortFree(run)) 1
+      else 0
+    run.select(col("k"), col("t"), col("oid"), col("rn"),
+        col("rs").cast("double").as("rs"),
+        col("rmax").cast("double").as("rmax"))
+      .withColumn("running_ok", lit(runningOk).cast("int"))
+      .orderBy("k", "t", "oid")
+  }
 }
