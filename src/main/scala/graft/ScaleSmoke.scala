@@ -179,7 +179,14 @@ object ScaleSmoke {
       // scan-bound — no shuffle, no materialized join, O(one group)
       // memory), u59 = latest-by-key (one sorted commit linear; the
       // read holds ONE candidate row per bucket stream)
-      "u57_sorted_layout", "u58_join_agg", "u59_latest_by_key")
+      "u57_sorted_layout", "u58_join_agg", "u59_latest_by_key",
+      // u60 = aligned as-of join (two (key,time)-sorted commits + the
+      // click dedup are the linear parts; the join itself is one
+      // O(1)-state streaming pass per bucket — zero Exchange, zero
+      // Sort at any scale), u61 = running windows (one sorted commit
+      // linear; the window pass streams each bucket once holding one
+      // tie group)
+      "u60_aligned_asof", "u61_running_window")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -44,6 +44,12 @@ private[sources] object GraftProcedures {
   private def str(row: InternalRow, i: Int): String =
     row.getUTF8String(i).toString
 
+  /** A `sort_also => 'ts'` (or `'ts,seq'`) argument as the secondary
+    * sort-column list — empty/blank means none.
+    */
+  private def sortAlsoList(row: InternalRow, i: Int): Seq[String] =
+    str(row, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** One maintenance procedure: its parameter shape and the
     * [[Snapshots]] call it routes to (given the resolved table dir).
     * `run` returns the CALL's result scans — most maintenance ops
@@ -146,21 +152,26 @@ private[sources] object GraftProcedures {
       "re-cluster the latest version into num_buckets hash buckets on key " +
         "(folds the unbucketed tail back into prunable form); sort => true " +
         "additionally key-orders every bucket and records the SORTED " +
-        "layout (aligned join/agg then skip their in-task sort)",
+        "layout (aligned join/agg then skip their in-task sort); " +
+        "sort_also => 'ts' appends secondary sort columns (the as-of/" +
+        "running operators then stream order-free)",
       Seq(p("table", StringType), p("key", StringType),
-        p("num_buckets", IntegerType), p("sort", BooleanType, Some("false"))),
+        p("num_buckets", IntegerType), p("sort", BooleanType, Some("false")),
+        p("sort_also", StringType, Some("''"))),
       unit((s, dir, r) => Snapshots.compactBucketed(s, dir, str(r, 1),
         r.getInt(2), statsColumns = Seq(str(r, 1)),
-        sort = r.getBoolean(3)))),
+        sort = r.getBoolean(3), sortAlso = sortAlsoList(r, 4)))),
     Spec("cluster_tail",
       "fold plain appends back into the bucket layout INCREMENTALLY " +
         "(rewrites ONLY the unclustered tail; the clustered bulk rides " +
         "by reference — compact_bucketed is the O(table) alternative); " +
         "sort => true key-orders the rewritten tail (keeps a sorted " +
-        "bulk's layout whole)",
-      Seq(p("table", StringType), p("sort", BooleanType, Some("false"))),
+        "bulk's layout whole; sort_also => 'ts' matches a composite-" +
+        "sorted bulk's secondary order)",
+      Seq(p("table", StringType), p("sort", BooleanType, Some("false")),
+        p("sort_also", StringType, Some("''"))),
       unit((s, dir, r) => Snapshots.clusterTail(s, dir,
-        sort = r.getBoolean(1)))),
+        sort = r.getBoolean(1), sortAlso = sortAlsoList(r, 2)))),
     Spec("purge_deletes",
       "rewrite deletion-vector masks away (rewrites ONLY masked files, " +
         "keeps the table's layout)",

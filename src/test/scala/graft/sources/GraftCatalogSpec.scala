@@ -457,6 +457,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(repaired.sortedFiles.keySet === repaired.files.toSet,
       "cluster_tail(sort) keeps the sorted layout whole")
     assert(spark.table("graftcat.db.ct").count() === 360L)
+    // the COMPOSITE order through SQL: sort_also appends secondary
+    // columns to both rewrites' markers
+    spark.sql("CALL graftcat.system.compact_bucketed('db.ct', 'id', 4, " +
+      "sort => true, sort_also => 'v')")
+    val comp = m()
+    assert(comp.sortedFiles.values.toSet === Set("id,v"),
+      "compact_bucketed(sort_also) records the composite order")
+    Snapshots.commit((3000L until 3010L).map(i => (i, i.toDouble))
+      .toDF("id", "v"), dir, "append")
+    spark.sql("CALL graftcat.system.cluster_tail('db.ct', sort => true, " +
+      "sort_also => 'v')")
+    val compRepaired = m()
+    assert(compRepaired.sortedFiles.keySet === compRepaired.files.toSet &&
+      compRepaired.sortedFiles.values.toSet === Set("id,v"),
+      "cluster_tail(sort_also) keeps the composite layout whole")
+    assert(spark.table("graftcat.db.ct").count() === 370L)
     spark.sql("DROP TABLE graftcat.db.ct")
   }
 
