@@ -4120,7 +4120,11 @@ object Snapshots {
     *
     * Semantics (BACKWARD as-of, the trades⋈quotes default): for each
     * left row, the single right row of equal key with the GREATEST
-    * `rightTime` ≤ `leftTime`. SQL NULL comparisons never match: a
+    * `rightTime` ≤ `leftTime`; `direction = "forward"` flips it to
+    * the SMALLEST `rightTime` ≥ `leftTime` (next-event attribution),
+    * and `tolerance = Some(n)` bounds the match gap in the time
+    * column's native internal unit (pandas merge_asof's contract —
+    * stale features refuse to serve). SQL NULL comparisons never match: a
     * NULL `leftTime` row matches nothing, NULL `rightTime` rows are
     * never candidates, NULL keys never match (kept and NULL-extended
     * under `joinType = "left"`, dropped under `"inner"` — the
@@ -4140,6 +4144,8 @@ object Snapshots {
                         leftKey: String, rightKey: String,
                         leftTime: String, rightTime: String,
                         joinType: String = "left",
+                        direction: String = "backward",
+                        tolerance: Option[Long] = None,
                         leftVersion: Option[Long] = None,
                         rightVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types._
@@ -4149,6 +4155,23 @@ object Snapshots {
       case other => throw new IllegalArgumentException(
         s"unsupported joinType '$other' (inner, left)")
     }
+    // `direction`: backward = greatest right time ≤ left time (the
+    // trades⋈quotes default); forward = SMALLEST right time ≥ left
+    // time (next-event attribution). `tolerance`: a staleness bound
+    // in the time column's NATIVE internal unit (timestamps = µs,
+    // dates = days, integrals = their own value) — a candidate
+    // further than `tolerance` from the left time is no match (the
+    // feature-store "features older than N are unusable" contract,
+    // pandas merge_asof's tolerance). Both evaluated per left row on
+    // the same O(1)-state walk.
+    val backward = direction.toLowerCase match {
+      case "backward" => true
+      case "forward"  => false
+      case other => throw new IllegalArgumentException(
+        s"unsupported direction '$other' (backward, forward)")
+    }
+    tolerance.foreach(t => require(t >= 0L,
+      s"tolerance must be ≥ 0, got $t"))
     resetAlignedPlans()
     val lm = resolveForRead(spark, leftDir, leftVersion)
     val rm = resolveForRead(spark, rightDir, rightVersion)
@@ -4195,6 +4218,17 @@ object Snapshots {
     require(org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(tt),
       s"time column type ${tt.simpleString} is not orderable")
+    // tolerance subtracts internal representations — meaningful only
+    // for the numeric-internal time types (timestamp = Long µs,
+    // date = Int days, integral = itself)
+    val numericInternal = tt match {
+      case _: TimestampType | _: TimestampNTZType | _: DateType |
+           _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
+    require(tolerance.isEmpty || numericInternal,
+      s"tolerance requires a numeric-internal time column (timestamp, " +
+        s"date, byte/short/int/long); ${tt.simpleString} is not")
     val rKeyIdx = rSchema.fieldIndex(rightKey)
     val outFields = lSchema.fields ++
       rSchema.fields.zipWithIndex.collect {
@@ -4254,8 +4288,23 @@ object Snapshots {
       val joinedRow = new JoinedRow
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rFieldTypes.length)
+      // a time value's internal numeric form (validated above when a
+      // tolerance is set): timestamps are Long µs, dates Int days
+      def toNum(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case s: java.lang.Short => s.toLong
+        case b: java.lang.Byte => b.toLong
+      }
+      def withinTol(lt: Any, rt: Any): Boolean = tolerance.forall { tol =>
+        val gap =
+          if (backward) toNum(lt) - toNum(rt) else toNum(rt) - toNum(lt)
+        gap <= tol
+      }
       // O(1) walk state: the right look-ahead, the CURRENT left key
-      // group (detached copy), and the group's best candidate so far
+      // group (detached copy), and (backward) the group's best
+      // candidate so far — forward needs none, its candidate IS the
+      // un-consumed look-ahead
       var rHead = nextRight()
       var groupKey: Any = null
       var groupLoaded = false
@@ -4280,24 +4329,37 @@ object Snapshots {
             cand = null
           }
           val lt = if (l.isNullAt(lIdxT)) null else l.get(lIdxT, tt)
+          var fwdCand: org.apache.spark.sql.catalyst.InternalRow = null
           if (lt != null) {
-            // consume the right group's rows with time ≤ lt (left
+            // BACKWARD: consume the group's rows with time ≤ lt (left
             // times are monotone within the group, so this pointer
-            // only moves forward); NULL right times sort first and
-            // are never candidates
+            // only moves forward), remembering the last — the
+            // greatest time ≤ lt. FORWARD: discard the same rows
+            // WITHOUT remembering (a row with time < lt is < every
+            // later lt too) and peek the first time ≥ lt — the
+            // look-ahead itself, never consumed (later left rows may
+            // match it again). NULL right times sort first and are
+            // never candidates either way.
             var advancing = true
             while (advancing && rHead != null &&
                 kOrd.equiv(rHead.get(rKeyIdx, kt), k)) {
               val rt =
                 if (rHead.isNullAt(rIdxT)) null else rHead.get(rIdxT, tt)
               if (rt == null) rHead = nextRight()
-              else if (tOrd.lteq(rt, lt)) { cand = rHead; rHead = nextRight() }
-              else advancing = false
+              else if (backward) {
+                if (tOrd.lteq(rt, lt)) { cand = rHead; rHead = nextRight() }
+                else advancing = false
+              } else {
+                if (tOrd.lt(rt, lt)) rHead = nextRight()
+                else { fwdCand = rHead; advancing = false }
+              }
             }
           }
-          val matched = lt != null && cand != null
+          val chosen = if (backward) cand else fwdCand
+          val matched = lt != null && chosen != null &&
+            withinTol(lt, chosen.get(rIdxT, tt))
           if (matched)
-            Iterator.single(project(joinedRow(l, cand))
+            Iterator.single(project(joinedRow(l, chosen))
               : org.apache.spark.sql.catalyst.InternalRow)
           else if (inner) Iterator.empty
           else Iterator.single(project(joinedRow(l, nullRight))

@@ -1201,6 +1201,44 @@ class BucketedLayoutSpec extends SparkSpec {
       Snapshots.bucketAlignedAsof(spark, lhs, rhsClash, "k", "rk",
         "lt", "rt")
     }
+    // FORWARD direction: the smallest right time ≥ the left time —
+    // parity with the planner's min-over-candidates
+    val candF = l.join(r, col("k") === col("rk") && col("rt") >= col("lt"),
+      "left")
+    val wF = Window.partitionBy("lid").orderBy(col("rt").asc_nulls_last)
+    val expectFwd = candF.withColumn("__rn", row_number().over(wF))
+      .filter(col("__rn") === 1).drop("__rn", "rk")
+    val gotFwd = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+      "k", "rk", "lt", "rt", direction = "forward")
+    assert(Snapshots.alignedShuffleFree(gotFwd) &&
+      Snapshots.alignedSortFree(gotFwd))
+    assert(gotFwd.exceptAll(expectFwd).isEmpty &&
+      expectFwd.exceptAll(gotFwd).isEmpty, "forward as-of parity")
+    // TOLERANCE: a staleness bound — candidates further than tol (in
+    // the long column's own units here) refuse to match; equivalent
+    // to post-filtering the unbounded match on the gap and
+    // NULL-extending the evictees
+    val tol = 7L
+    val unbounded = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+      "k", "rk", "lt", "rt")
+    val expectTol = unbounded
+      .withColumn("__keep",
+        col("rt").isNotNull && (col("lt") - col("rt")) <= tol)
+      .select(col("lid"), col("k"), col("lt"),
+        when(col("__keep"), col("rt")).as("rt"),
+        when(col("__keep"), col("rv")).as("rv"))
+    val gotTol = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+      "k", "rk", "lt", "rt", tolerance = Some(tol))
+    assert(gotTol.exceptAll(expectTol).isEmpty &&
+      expectTol.exceptAll(gotTol).isEmpty, "tolerance parity")
+    assert(gotTol.filter(col("rv").isNotNull).count() <
+      unbounded.filter(col("rv").isNotNull).count(),
+      "the tolerance really evicted stale matches")
+    // tolerance refusals: negative, or a non-numeric-internal time
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAsof(spark, lhs, rhs, "k", "rk", "lt", "rt",
+        tolerance = Some(-1L))
+    }
   }
 
   test("bucketAlignedRunning: running aggregates equal Spark's own " +
