@@ -641,6 +641,50 @@ class BucketedLayoutSpec extends SparkSpec {
     assert(agg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(agg).isEmpty)
   }
 
+  test("composition: the ORDER-SENSITIVE operators (as-of, running) run " +
+    "over partition×bucket layouts — bucket streams span the partition " +
+    "dirs, rows equal the planner's (r15)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // keys recur ACROSS partition dirs: the per-bucket ordered stream
+    // must interleave files from different dirs correctly (the
+    // in-task sorter path — dir-spanning buckets are multi-file)
+    val left = (0 until 400).reverse
+      .map(i => (i.toLong, (i % 17).toString, (i % 3).toString,
+        (i * 5 % 97).toLong))
+      .toDF("lid", "k", "p", "lt")
+    Snapshots.commit(left, lhs, "overwrite",
+      bucketBy = Some(("k", 4)), partitionBy = Seq("p"))
+    Snapshots.commit((0 until 200).reverse
+        .map(i => (s"${i % 19}", (i / 19 * 19 + i % 19).toLong, i.toLong))
+        .toDF("rk", "rt", "rv").coalesce(1),
+      rhs, "overwrite", bucketBy = Some(("rk", 4)), sortBuckets = true,
+      sortAlso = Seq("rt"))
+    val got = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+      "k", "rk", "lt", "rt")
+    assert(Snapshots.alignedShuffleFree(got))
+    val l = Snapshots.readVersion(spark, lhs)
+    val r = Snapshots.readVersion(spark, rhs)
+    val cand = l.join(r, col("k") === col("rk") && col("rt") <= col("lt"),
+      "left")
+    val w = Window.partitionBy("lid").orderBy(col("rt").desc_nulls_last)
+    val expect = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "rk")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "as-of parity over the composed layout")
+    val run = Snapshots.bucketAlignedRunning(spark, lhs, "lt",
+      Seq(("count", "*", "rn"), ("max", "lid", "rmax")))
+    assert(Snapshots.alignedShuffleFree(run))
+    val wr = Window.partitionBy("k").orderBy(asc_nulls_first("lt"))
+    val expRun = l.withColumn("rn", count(lit(1)).over(wr))
+      .withColumn("rmax", max("lid").over(wr))
+    assert(run.exceptAll(expRun).isEmpty && expRun.exceptAll(run).isEmpty,
+      "running parity over the composed layout")
+  }
+
   test("joinFilePruned factRanges: a static window conjunct composes " +
     "with the dim keys on BOTH planner paths — strictly tighter scan, " +
     "rows exact, over-budget still window-exact (r15)") {
