@@ -186,7 +186,10 @@ object ScaleSmoke {
       // Sort at any scale), u61 = running windows (one sorted commit
       // linear; the window pass streams each bucket once holding one
       // tie group)
-      "u60_aligned_asof", "u61_running_window")
+      "u60_aligned_asof", "u61_running_window",
+      // u62 = forward as-of with tolerance (same fixture shape as
+      // u60; the bounded-window walk holds the same O(1) state)
+      "u62_forward_asof")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

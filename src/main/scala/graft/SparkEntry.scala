@@ -165,6 +165,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u60AlignedAsof _),
     "u61_running_window" ->
       (graft.sources.DemoFixtures.u61RunningWindow _),
+    "u62_forward_asof" ->
+      (graft.sources.DemoFixtures.u62ForwardAsof _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1304,6 +1306,29 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY 1, 2, 3""".stripMargin,
+    // u62 oracle: FORWARD as-of with a 48-hour tolerance — the
+    // smallest click time ≥ purchase time, no further than the
+    // window; beyond-window purchases NULL-extend. fwd_ok = 1 pins
+    // the zero-Exchange, zero-Sort streaming execution.
+    "u62_forward_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS ruid, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.purchase_id, MIN(c.click_ts) AS mct
+        |  FROM p JOIN c ON c.ruid = p.user_id
+        |    AND c.click_ts >= p.purchase_ts
+        |    AND c.click_ts <= p.purchase_ts + INTERVAL '48' HOUR
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  c.click_ts, c.click_id, 1 AS fwd_ok
+        |FROM p
+        |LEFT JOIN m ON m.purchase_id = p.purchase_id
+        |LEFT JOIN c ON c.ruid = p.user_id AND c.click_ts = m.mct
+        |ORDER BY 1""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped
     // v0/latest); only_matching_dirs = 1 pins that the pruned scan

@@ -1713,6 +1713,55 @@ object DemoFixtures {
       .orderBy("purchase_id")
   }
 
+  /** Demo + oracle entry (`u62_forward_asof`): the as-of join's OTHER
+    * two contracts under the hash gate — `direction = "forward"`
+    * (the SMALLEST click time at-or-after each purchase: next-event
+    * attribution) bounded by a `tolerance` of 48 hours in the
+    * timestamp's native unit (µs — sized so BOTH paths carry weight
+    * at every scale factor: the synthetic stream's median next-click
+    * gap is ~38 h, so roughly half the purchases match and the stale
+    * half NULL-extend): a next click further out is NO
+    * match, the pandas-merge_asof staleness contract. Same layout as
+    * u60 (both sides (user, ts)-sorted buckets), same zero-Exchange,
+    * zero-Sort streaming walk — forward's candidate is the
+    * UN-CONSUMED look-ahead row, so the state stays O(1). The oracle
+    * replays it relationally: min click time ≥ purchase time within
+    * the window, then the click row at that time, NULL-extended
+    * beyond the window.
+    */
+  def u62ForwardAsof(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create("graft-fasof-purchases")
+    val rhs = graft.TempDirs.create("graft-fasof-clicks")
+    val e = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts")),
+      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
+      sortBuckets = true, sortAlso = Seq("purchase_ts"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id")),
+      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
+      sortBuckets = true, sortAlso = Seq("click_ts"))
+    val tolMicros = 48L * 3600L * 1000000L // 48 hours in µs
+    val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
+      "user_id", "ruid", "purchase_ts", "click_ts",
+      direction = "forward", tolerance = Some(tolMicros))
+    val asofOk =
+      if (Snapshots.alignedShuffleFree(asof) &&
+        Snapshots.alignedSortFree(asof)) 1
+      else 0
+    asof.select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_id"))
+      .withColumn("fwd_ok", lit(asofOk).cast("int"))
+      .orderBy("purchase_id")
+  }
+
   /** Demo + oracle entry (`u61_running_window`): running per-entity
     * aggregates — `agg OVER (PARTITION BY key ORDER BY t RANGE
     * UNBOUNDED PRECEDING..CURRENT ROW)`, SQL's default frame —
