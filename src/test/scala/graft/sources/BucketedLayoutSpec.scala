@@ -1084,6 +1084,71 @@ class BucketedLayoutSpec extends SparkSpec {
       s"expected the monotonic guard to fire, got: $e")
   }
 
+  test("randomized order-sensitive parity: as-of (both directions, with " +
+    "and without tolerance) and running windows equal the planner's " +
+    "answers over random data, NULL densities and sortedness (r15)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 3).foreach { trial =>
+      val n = 3 + rnd.nextInt(4)
+      val keySpace = 3 + rnd.nextInt(20)
+      val tSpace = 5 + rnd.nextInt(60)
+      val nullKeyPct = rnd.nextInt(20)
+      val nullTimePct = rnd.nextInt(25)
+      def key(): String =
+        if (rnd.nextInt(100) < nullKeyPct) null else s"k-${rnd.nextInt(keySpace)}"
+      def time(): java.lang.Long =
+        if (rnd.nextInt(100) < nullTimePct) null
+        else java.lang.Long.valueOf(rnd.nextInt(tSpace).toLong)
+      val lhs = freshDir()
+      val rhs = freshDir()
+      val left = (0 until 150 + rnd.nextInt(250))
+        .map(i => (i.toLong, key(), time())).toDF("lid", "k", "lt")
+      // right (key, time) UNIQUE — as-of ties are arbitrary by
+      // contract, so randomized parity must not generate them
+      val right = (0 until 80 + rnd.nextInt(150))
+        .map(i => (s"k-${rnd.nextInt(keySpace)}", i.toLong, i * 3L))
+        .toDF("rk", "rt", "rv")
+      val sortedL = rnd.nextBoolean()
+      Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("k", n)),
+        sortBuckets = sortedL,
+        sortAlso = if (sortedL && rnd.nextBoolean()) Seq("lt") else Nil)
+      Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rk", n)),
+        sortBuckets = rnd.nextBoolean())
+      val l = Snapshots.readVersion(spark, lhs)
+      val r = Snapshots.readVersion(spark, rhs)
+      val backward = rnd.nextBoolean()
+      val tol: Option[Long] =
+        if (rnd.nextBoolean()) Some(rnd.nextInt(tSpace).toLong) else None
+      val got = Snapshots.bucketAlignedAsof(spark, lhs, rhs,
+        "k", "rk", "lt", "rt",
+        direction = if (backward) "backward" else "forward",
+        tolerance = tol)
+      assert(Snapshots.alignedShuffleFree(got), s"trial $trial shuffle")
+      val matchCond = col("k") === col("rk") &&
+        (if (backward) col("rt") <= col("lt") else col("rt") >= col("lt")) &&
+        tol.map(t =>
+          (if (backward) col("lt") - col("rt") else col("rt") - col("lt"))
+            <= t).getOrElse(lit(true))
+      val cand = l.join(r, matchCond, "left")
+      val w = Window.partitionBy("lid").orderBy(
+        if (backward) col("rt").desc_nulls_last else col("rt").asc_nulls_last)
+      val expect = cand.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "rk")
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"trial $trial as-of (backward=$backward, tol=$tol)")
+      val run = Snapshots.bucketAlignedRunning(spark, lhs, "lt", Seq(
+        ("count", "*", "rn"), ("max", "lid", "rmax")))
+      val wr = Window.partitionBy("k").orderBy(asc_nulls_first("lt"))
+      val expRun = l.withColumn("rn", count(lit(1)).over(wr))
+        .withColumn("rmax", max("lid").over(wr))
+      assert(run.exceptAll(expRun).isEmpty && expRun.exceptAll(run).isEmpty,
+        s"trial $trial running")
+    }
+  }
+
   test("composite sort markers: sortAlso records (key, secondary) order, " +
     "files physically lex-sorted, PREFIX serves key-only reads, drop " +
     "truncates / rename follows, cold parse round-trips (r15)") {
