@@ -2987,15 +2987,68 @@ object Snapshots {
     * ExistingRDD scan, so the REAL scans (vectorized parquet reads,
     * dv-mask joins, in-task sorts) are invisible to its plan; they
     * are recorded here at build time for [[alignedShuffleFree]].
-    * Driver-side, per-thread, overwritten by the next aligned build.
+    * The ThreadLocal binds the recording to the CALLER's build
+    * window (overwritten by the next aligned build on this thread);
+    * the queue inside it is concurrent because the operators build
+    * their per-bucket plans on a pool ([[alignedBucketUnion]]) —
+    * each worker appends into the caller's sink.
     */
-  private val alignedInnerPlans = new ThreadLocal[List[String]] {
-    override def initialValue(): List[String] = Nil
+  private val alignedInnerPlans =
+    new ThreadLocal[java.util.concurrent.ConcurrentLinkedQueue[String]] {
+      override def initialValue()
+          : java.util.concurrent.ConcurrentLinkedQueue[String] =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    }
+  /** The witness sink every per-bucket/per-file plan of one aligned
+    * build appends to — created per operator invocation, captured on
+    * the caller thread, passed into the pool workers.
+    */
+  private type PlanSink = java.util.concurrent.ConcurrentLinkedQueue[String]
+  private def resetAlignedPlans(): PlanSink = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    alignedInnerPlans.set(q)
+    q
   }
-  private def resetAlignedPlans(): Unit = alignedInnerPlans.set(Nil)
-  private def recordAlignedPlan(
+  private def recordAlignedPlan(sink: PlanSink,
       qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-    alignedInnerPlans.set(qe.executedPlan.toString :: alignedInnerPlans.get)
+    sink.add(qe.executedPlan.toString)
+  private def recordedPlans(): List[String] = {
+    val it = alignedInnerPlans.get.iterator()
+    var out = List.empty[String]
+    while (it.hasNext) out ::= it.next()
+    out
+  }
+
+  /** The per-bucket RDD union every aligned operator sits on, with
+    * the bucket RDDs CONSTRUCTED CONCURRENTLY on the shared pool:
+    * plan construction (analyze + optimize + physical planning of
+    * each bucket's scan — one plan per FILE on the skip-sort path)
+    * is pure driver CPU, and a big sorted table pays it per file;
+    * serializing it would make the driver the bottleneck long before
+    * any executor works. Bucket order is preserved (partition i of
+    * the union IS bucket i); empty buckets get an explicit
+    * one-empty-partition RDD so alignment never slips. Safe because
+    * plan construction touches only thread-safe session state (the
+    * same concurrency Spark serves multi-threaded drivers) and the
+    * witness sink is a concurrent queue.
+    */
+  private def alignedBucketUnion(spark: SparkSession, n: Int)(
+      build: Int => Option[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]])
+      : org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perBucket = Await.result(
+      Future.sequence((0 until n).toVector.map(b => Future(build(b)))),
+      10.minutes)
+    spark.sparkContext.union(perBucket.map {
+      case Some(rdd) => rdd
+      case None => spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+    })
+  }
 
   /** The witness behind every "zero shuffle" claim the aligned
     * operators make: a check on the RETURNED frame's plan alone is
@@ -3013,7 +3066,7 @@ object Snapshots {
     */
   def alignedShuffleFree(df: DataFrame): Boolean = {
     val shuffle = java.util.regex.Pattern.compile("\\bExchange\\b")
-    (df.queryExecution.executedPlan.toString :: alignedInnerPlans.get)
+    (df.queryExecution.executedPlan.toString :: recordedPlans())
       .forall(p => !shuffle.matcher(p).find())
   }
 
@@ -3029,7 +3082,7 @@ object Snapshots {
     */
   def alignedSortFree(df: DataFrame): Boolean = {
     val sortNode = java.util.regex.Pattern.compile("\\bSort \\[")
-    (df.queryExecution.executedPlan.toString :: alignedInnerPlans.get)
+    (df.queryExecution.executedPlan.toString :: recordedPlans())
       .forall(p => !sortNode.matcher(p).find())
   }
 
@@ -3206,7 +3259,8 @@ object Snapshots {
     */
   private def bucketOrderedRdd(spark: SparkSession, dir: String,
       m: Manifest, schema: org.apache.spark.sql.types.StructType,
-      orderCols: Seq[String], files: Seq[String], dropNullKeys: Boolean)
+      orderCols: Seq[String], files: Seq[String], dropNullKeys: Boolean,
+      sink: PlanSink)
       : org.apache.spark.rdd.RDD[
           org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.functions.col
@@ -3222,7 +3276,7 @@ object Snapshots {
     if (skipSortEligible(spark, m, orderCols, files)) {
       val perFile = files.map { fl =>
         val qe = read(Seq(fl)).queryExecution
-        recordAlignedPlan(qe)
+        recordAlignedPlan(sink, qe)
         qe.toRdd
       }
       def tree(rs: Seq[org.apache.spark.rdd.RDD[
@@ -3240,7 +3294,7 @@ object Snapshots {
       val qe = read(files)
         .sortWithinPartitions(orderCols.map(c => col(s"`$c`")): _*)
         .queryExecution
-      recordAlignedPlan(qe)
+      recordAlignedPlan(sink, qe)
       qe.toRdd
     }
   }
@@ -3255,7 +3309,7 @@ object Snapshots {
     import org.apache.spark.sql.functions.col
     require(Set("auto", "hash", "merge")(strategy.toLowerCase),
       s"unsupported strategy '$strategy' (auto, hash, merge)")
-    resetAlignedPlans()
+    val sink = resetAlignedPlans()
     val jt = joinType.toLowerCase.replace("_", "") match {
       case "left" | "leftouter" => "leftouter"
       case "leftsemi" | "semi"  => "leftsemi"
@@ -3319,31 +3373,28 @@ object Snapshots {
                 n: Int, dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
                   org.apache.spark.sql.catalyst.InternalRow] = {
       val byBucket = m.files.groupBy(m.buckets)
-      spark.sparkContext.union((0 until n).map { b =>
-        byBucket.get(b) match {
-          case None => spark.sparkContext.parallelize(
-            Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-          case Some(files) =>
-            if (useMerge)
-              // key-ordered read: a sorted layout streams its files
-              // directly (zero Sort — [[bucketOrderedRdd]]), an
-              // unsorted bucket in-task sorts exactly as before
-              bucketOrderedRdd(spark, dir, m, schema, Seq(key), files,
-                dropNullKeys)
-            else {
-              val base = readFiles(spark, dir, m, files)
-              val qe =
-                (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
-                 else base)
-                  .select(schema.fieldNames.toIndexedSeq
-                    .map(c => col(s"`$c`")): _*)
-                  .coalesce(1)
-                  .queryExecution
-              recordAlignedPlan(qe)
-              qe.toRdd
-            }
+      alignedBucketUnion(spark, n) { b =>
+        byBucket.get(b).map { files =>
+          if (useMerge)
+            // key-ordered read: a sorted layout streams its files
+            // directly (zero Sort — [[bucketOrderedRdd]]), an
+            // unsorted bucket in-task sorts exactly as before
+            bucketOrderedRdd(spark, dir, m, schema, Seq(key), files,
+              dropNullKeys, sink)
+          else {
+            val base = readFiles(spark, dir, m, files)
+            val qe =
+              (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
+               else base)
+                .select(schema.fieldNames.toIndexedSeq
+                  .map(c => col(s"`$c`")): _*)
+                .coalesce(1)
+                .queryExecution
+            recordAlignedPlan(sink, qe)
+            qe.toRdd
+          }
         }
-      })
+      }
     }
     val keepLeftNulls = jt == "leftouter" || jt == "leftanti"
     val left = sideRdd(leftDir, lm, lSchema, leftKey, ln, !keepLeftNulls)
@@ -3914,18 +3965,14 @@ object Snapshots {
     val outSchema = StructType(
       schema(key).copy(nullable = true) +: specs.map(_.out))
     // one sorted single-partition RDD per bucket (the join's shape)
-    resetAlignedPlans()
+    val sink = resetAlignedPlans()
     val byBucket = m.files.groupBy(m.buckets)
-    val perBucket = spark.sparkContext.union((0 until n).map { b =>
-      byBucket.get(b) match {
-        case None => spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-        case Some(files) =>
-          // key-ordered read — sorted layouts skip the in-task sort
-          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-            dropNullKeys = false)
-      }
-    })
+    val perBucket = alignedBucketUnion(spark, n) { b =>
+      byBucket.get(b).map(files =>
+        // key-ordered read — sorted layouts skip the in-task sort
+        bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
+          dropNullKeys = false, sink))
+    }
     val aggregated = perBucket.mapPartitions(
       streamingGroupFold(schema.fieldIndex(key), keyType, specs, outSchema))
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
@@ -4036,17 +4083,13 @@ object Snapshots {
     require(org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(ot),
       s"order column '$orderCol' of type ${ot.simpleString} is not orderable")
-    resetAlignedPlans()
+    val sink = resetAlignedPlans()
     val byBucket = m.files.groupBy(m.buckets)
-    val perBucket = spark.sparkContext.union((0 until n).map { b =>
-      byBucket.get(b) match {
-        case None => spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-        case Some(files) =>
-          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-            dropNullKeys = true)
-      }
-    })
+    val perBucket = alignedBucketUnion(spark, n) { b =>
+      byBucket.get(b).map(files =>
+        bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
+          dropNullKeys = true, sink))
+    }
     val kIdx = schema.fieldIndex(key)
     val oIdx = schema.fieldIndex(orderCol)
     val kt = keyType
@@ -4172,7 +4215,7 @@ object Snapshots {
     }
     tolerance.foreach(t => require(t >= 0L,
       s"tolerance must be ≥ 0, got $t"))
-    resetAlignedPlans()
+    val sink = resetAlignedPlans()
     val lm = resolveForRead(spark, leftDir, leftVersion)
     val rm = resolveForRead(spark, rightDir, rightVersion)
     def bucketsOf(m: Manifest, dir: String, key: String): Int = {
@@ -4245,15 +4288,11 @@ object Snapshots {
                 dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
                   org.apache.spark.sql.catalyst.InternalRow] = {
       val byBucket = m.files.groupBy(m.buckets)
-      spark.sparkContext.union((0 until n).map { b =>
-        byBucket.get(b) match {
-          case None => spark.sparkContext.parallelize(
-            Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-          case Some(files) =>
-            bucketOrderedRdd(spark, dir, m, schema, Seq(key, time), files,
-              dropNullKeys)
-        }
-      })
+      alignedBucketUnion(spark, n) { b =>
+        byBucket.get(b).map(files =>
+          bucketOrderedRdd(spark, dir, m, schema, Seq(key, time), files,
+            dropNullKeys, sink))
+      }
     }
     val left = sideRdd(leftDir, lm, lSchema, leftKey, leftTime, ln,
       dropNullKeys = jt == "inner")
@@ -4427,17 +4466,13 @@ object Snapshots {
     specs.foreach(sp => require(!schema.fieldNames.contains(sp.out.name),
       s"agg alias '${sp.out.name}' shadows a table column"))
     val outSchema = StructType(schema.fields ++ specs.map(_.out))
-    resetAlignedPlans()
+    val sink = resetAlignedPlans()
     val byBucket = m.files.groupBy(m.buckets)
-    val perBucket = spark.sparkContext.union((0 until n).map { b =>
-      byBucket.get(b) match {
-        case None => spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
-        case Some(files) =>
-          bucketOrderedRdd(spark, tableDir, m, schema, Seq(key, orderCol),
-            files, dropNullKeys = false)
-      }
-    })
+    val perBucket = alignedBucketUnion(spark, n) { b =>
+      byBucket.get(b).map(files =>
+        bucketOrderedRdd(spark, tableDir, m, schema, Seq(key, orderCol),
+          files, dropNullKeys = false, sink))
+    }
     val kIdx = schema.fieldIndex(key)
     val oIdx = schema.fieldIndex(orderCol)
     val width = schema.length
