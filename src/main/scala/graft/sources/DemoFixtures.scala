@@ -1665,6 +1665,45 @@ object DemoFixtures {
       .orderBy("k")
   }
 
+  /** The shared purchases⋈clicks as-of fixture of u60/u62: commit
+    * both sides (user, ts)-sorted-bucketed (clicks deduped to unique
+    * (user, ts) — as-of ties are arbitrary by contract), run
+    * [[Snapshots.bucketAlignedAsof]] with the given direction/
+    * tolerance, fold both witnesses into `okCol`.
+    */
+  private def asofEntry(s: SparkSession, d: String, tmpPrefix: String,
+                        direction: String, tolerance: Option[Long],
+                        okCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val lhs = graft.TempDirs.create(s"$tmpPrefix-purchases")
+    val rhs = graft.TempDirs.create(s"$tmpPrefix-clicks")
+    val e = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts")),
+      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
+      sortBuckets = true, sortAlso = Seq("purchase_ts"))
+    Snapshots.commit(
+      e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
+        .agg(max(col("event_id")).as("click_id")),
+      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
+      sortBuckets = true, sortAlso = Seq("click_ts"))
+    val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
+      "user_id", "ruid", "purchase_ts", "click_ts",
+      direction = direction, tolerance = tolerance)
+    val asofOk =
+      if (Snapshots.alignedShuffleFree(asof) &&
+        Snapshots.alignedSortFree(asof)) 1
+      else 0
+    asof.select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts"), col("click_id"))
+      .withColumn(okCol, lit(asofOk).cast("int"))
+      .orderBy("purchase_id")
+  }
+
   /** Demo + oracle entry (`u60_aligned_asof`): the point-in-time /
     * feature-store join through [[Snapshots.bucketAlignedAsof]] —
     * purchases ⋈ the LAST click at-or-before each purchase, both
@@ -1683,35 +1722,9 @@ object DemoFixtures {
     * task state.
     */
   def u60AlignedAsof(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-asof-purchases")
-    val rhs = graft.TempDirs.create("graft-asof-clicks")
-    val e = graft.Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts")),
-      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
-      sortBuckets = true, sortAlso = Seq("purchase_ts"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "click")
-        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
-        .agg(max(col("event_id")).as("click_id")),
-      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
-      sortBuckets = true, sortAlso = Seq("click_ts"))
-    val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
-      "user_id", "ruid", "purchase_ts", "click_ts")
-    val asofOk =
-      if (Snapshots.alignedShuffleFree(asof) &&
-        Snapshots.alignedSortFree(asof)) 1
-      else 0
-    asof.select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        col("click_ts"), col("click_id"))
-      .withColumn("asof_ok", lit(asofOk).cast("int"))
-      .orderBy("purchase_id")
-  }
+      : org.apache.spark.sql.DataFrame =
+    asofEntry(s, d, "graft-asof", direction = "backward",
+      tolerance = None, okCol = "asof_ok")
 
   /** Demo + oracle entry (`u62_forward_asof`): the as-of join's OTHER
     * two contracts under the hash gate — `direction = "forward"`
@@ -1730,37 +1743,10 @@ object DemoFixtures {
     * beyond the window.
     */
   def u62ForwardAsof(s: SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-fasof-purchases")
-    val rhs = graft.TempDirs.create("graft-fasof-clicks")
-    val e = graft.Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts")),
-      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
-      sortBuckets = true, sortAlso = Seq("purchase_ts"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "click")
-        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
-        .agg(max(col("event_id")).as("click_id")),
-      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
-      sortBuckets = true, sortAlso = Seq("click_ts"))
-    val tolMicros = 48L * 3600L * 1000000L // 48 hours in µs
-    val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
-      "user_id", "ruid", "purchase_ts", "click_ts",
-      direction = "forward", tolerance = Some(tolMicros))
-    val asofOk =
-      if (Snapshots.alignedShuffleFree(asof) &&
-        Snapshots.alignedSortFree(asof)) 1
-      else 0
-    asof.select(col("purchase_id"), col("user_id"), col("purchase_ts"),
-        col("click_ts"), col("click_id"))
-      .withColumn("fwd_ok", lit(asofOk).cast("int"))
-      .orderBy("purchase_id")
-  }
+      : org.apache.spark.sql.DataFrame =
+    asofEntry(s, d, "graft-fasof", direction = "forward",
+      tolerance = Some(48L * 3600L * 1000000L), // 48 hours in µs
+      okCol = "fwd_ok")
 
   /** Demo + oracle entry (`u61_running_window`): running per-entity
     * aggregates — `agg OVER (PARTITION BY key ORDER BY t RANGE

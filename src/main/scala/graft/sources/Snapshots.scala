@@ -3040,9 +3040,12 @@ object Snapshots {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // Duration.Inf deliberately: the sequential code this replaces
+    // completed however long planning took — parallelism must not
+    // turn a slow driver into a TimeoutException
     val perBucket = Await.result(
       Future.sequence((0 until n).toVector.map(b => Future(build(b)))),
-      10.minutes)
+      Duration.Inf)
     spark.sparkContext.union(perBucket.map {
       case Some(rdd) => rdd
       case None => spark.sparkContext.parallelize(
@@ -3141,23 +3144,43 @@ object Snapshots {
   private def lexRowCompare(ords: Seq[(Int, org.apache.spark.sql.types.DataType)])
       : (org.apache.spark.sql.catalyst.InternalRow,
          org.apache.spark.sql.catalyst.InternalRow) => Int = {
-    val comps = ords.map { case (i, dt) =>
-      (i, dt, org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(dt))
-    }
+    // parallel arrays + indexed loop: this comparator runs
+    // O(rows × log k) in the tree merge plus once per row in the
+    // guard — no per-call iterator/tuple allocation in that loop
+    val n = ords.length
+    val idxs = ords.map(_._1).toArray
+    val dts = ords.map(_._2).toArray
+    val ordArr = ords.map { case (_, dt) =>
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt)
+    }.toArray
     (x, y) => {
       var r = 0
-      val it = comps.iterator
-      while (r == 0 && it.hasNext) {
-        val (i, dt, ord) = it.next()
+      var c = 0
+      while (r == 0 && c < n) {
+        val i = idxs(c)
         val xn = x.isNullAt(i); val yn = y.isNullAt(i)
         r = if (xn && yn) 0
         else if (xn) -1
         else if (yn) 1
-        else ord.compare(x.get(i, dt), y.get(i, dt))
+        else ordArr(c).compare(x.get(i, dts(c)), y.get(i, dts(c)))
+        c += 1
       }
       r
     }
+  }
+
+  /** Detach a value that may be a VIEW into a scan's reused row
+    * buffer (UTF8String, unsafe array/map/struct) before retaining
+    * it across rows — the one rule every across-row holder
+    * (monotonic guard, min/max accumulators, group keys) shares.
+    */
+  private def detachValue(v: Any): Any = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+    case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+    case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+    case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+    case other => other
   }
 
   /** Streaming 2-way merge of two `ords`-ORDERED row iterators
@@ -3207,30 +3230,46 @@ object Snapshots {
       rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
       ords: Seq[(Int, org.apache.spark.sql.types.DataType)])
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
-    val cmp = lexRowCompare(ords)
+    val n = ords.length
+    val idxs = ords.map(_._1).toArray
+    val dts = ords.map(_._2).toArray
+    val ordArr = ords.map { case (_, dt) =>
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt)
+    }.toArray
     new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
-      // the previous row's ORDER COLUMNS only, detached from the
-      // scan's reused buffer (a GenericInternalRow holding copies)
-      private var prev: org.apache.spark.sql.catalyst.InternalRow = _
+      // the previous row's ORDER VALUES only (no per-row full-width
+      // row allocation), each DETACHED from the scan's reused buffer
+      // — unsafe arrays/structs are views too, not just UTF8String
+      private var prevVals: Array[Any] = _
       def hasNext: Boolean = rows.hasNext
       def next(): org.apache.spark.sql.catalyst.InternalRow = {
         val r = rows.next()
-        if (prev != null && cmp(prev, r) > 0)
-          throw new IllegalStateException(
-            "sorted-bucket layout violated: a file carrying a sorted " +
-              "marker served rows out of key order — rewrite the table " +
-              "(compactBucketed(sort = true)) and report the writer")
-        val keep = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(r.numFields)
-        ords.foreach { case (i, dt) =>
-          keep.update(i,
-            if (r.isNullAt(i)) null
-            else r.get(i, dt) match {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-              case other => other
-            })
+        if (prevVals != null) {
+          var cmp = 0
+          var c = 0
+          while (cmp == 0 && c < n) {
+            val pv = prevVals(c)
+            val cn = r.isNullAt(idxs(c))
+            cmp = if (pv == null && cn) 0
+            else if (pv == null) -1 // NULLS FIRST: prev null ≤ any
+            else if (cn) 1
+            else ordArr(c).compare(pv, r.get(idxs(c), dts(c)))
+            c += 1
+          }
+          if (cmp > 0)
+            throw new IllegalStateException(
+              "sorted-bucket layout violated: a file carrying a sorted " +
+                "marker served rows out of key order — rewrite the table " +
+                "(compactBucketed(sort = true)) and report the writer")
+        } else prevVals = new Array[Any](n)
+        var c = 0
+        while (c < n) {
+          prevVals(c) =
+            if (r.isNullAt(idxs(c))) null
+            else detachValue(r.get(idxs(c), dts(c)))
+          c += 1
         }
-        prev = keep
         r
       }
     }
@@ -3417,10 +3456,7 @@ object Snapshots {
       // a key read from a streaming row may be a VIEW into the
       // iterator's reused buffer (UTF8String): anything retained
       // across rows stores a detached copy
-      def copyKey(k: Any): Any = k match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case other => other
-      }
+      def copyKey(k: Any): Any = detachValue(k)
       def nextRight(): org.apache.spark.sql.catalyst.InternalRow =
         if (ri.hasNext) ri.next().copy() else null
       val semiAnti = jt == "leftsemi" || jt == "leftanti"
@@ -3750,10 +3786,7 @@ object Snapshots {
       case i: Int => i.toLong
       case l: Long => l
     }
-    private def copyVal(v: Any): Any = v match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-      case other => other
-    }
+    private def copyVal(v: Any): Any = detachValue(v)
     reset()
     def reset(): Unit = {
       var i = 0
@@ -3888,10 +3921,7 @@ object Snapshots {
       val project = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(outSchema)
       // detach values that may be views into the scan's reused buffer
-      def copyVal(v: Any): Any = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case other => other
-      }
+      def copyVal(v: Any): Any = detachValue(v)
       // accumulators for ONE group — the only aggregation state held
       val accums = new AggAccums(specsB)
       var groupKey: Any = null
@@ -4098,10 +4128,7 @@ object Snapshots {
         .getInterpretedOrdering(kt)
       val oOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(ot)
-      def copyKey(v: Any): Any = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case other => other
-      }
+      def copyKey(v: Any): Any = detachValue(v)
       // ONE candidate row held (copied — scan buffers are reused);
       // group close emits it iff its order value is non-NULL
       var groupKey: Any = null
@@ -4312,10 +4339,7 @@ object Snapshots {
         .getInterpretedOrdering(kt)
       val tOrd = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(tt)
-      def copyKey(k: Any): Any = k match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case other => other
-      }
+      def copyKey(k: Any): Any = detachValue(k)
       def nextRight(): org.apache.spark.sql.catalyst.InternalRow =
         if (ri.hasNext) ri.next().copy() else null
       // output = left columns + right columns minus the right key
@@ -4489,10 +4513,7 @@ object Snapshots {
           BoundReference(i, f.dataType, nullable = true) } ++
         specsB.zipWithIndex.map { case (sp, i) =>
           BoundReference(width + i, sp.out.dataType, nullable = true) })
-      def copyVal(v: Any): Any = v match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-        case other => other
-      }
+      def copyVal(v: Any): Any = detachValue(v)
       val accums = new AggAccums(specsB)
       var groupKey: Any = null
       var groupOpen = false
@@ -6889,11 +6910,20 @@ object Snapshots {
     require(sortAlso.isEmpty || sort,
       "sortAlso requires sort: secondary sort columns extend the " +
         "bucket-key order, they cannot replace it")
+    if (sort) {
+      val sortCols = key +: sortAlso
+      require(sortCols.distinct.size == sortCols.size,
+        s"duplicate sort columns: $sortCols")
+    }
     sortAlso.foreach { c =>
       require(!c.contains(","),
         s"sort column '$c' contains ',' (the marker separator)")
       require(m.schema.exists(_.fieldNames.contains(c)),
         s"sortAlso column '$c' is not a column of the table")
+      val dt = m.schema.get(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(dt),
+        s"sortAlso column '$c' of type ${dt.simpleString} is not orderable")
     }
     require(m.partitionCols.isEmpty,
       s"$tableDir is partitioned: the tail rewrite does not reproduce the " +
