@@ -1149,6 +1149,94 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("randomized composite-marker maintenance: through random sorted/" +
+    "plain appends, tail re-clusters, compactions, deletes and a " +
+    "secondary rename, every marked file stays PHYSICALLY lex-sorted " +
+    "and the aligned aggregate stays planner-exact (r15)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val dir = freshDir()
+    var batch = 0
+    var tCol = "t" // the secondary may get renamed mid-run
+    // batches follow the CURRENT logical schema (the secondary may
+    // get renamed mid-run; an old-named batch would add a new column)
+    def nextBatch(rows: Int): org.apache.spark.sql.DataFrame = {
+      batch += 1
+      val base = batch * 100000
+      (0 until rows).reverse.map(i =>
+        ((i % 13).toLong, (base + i).toLong, s"p-$base-$i"))
+        .toDF("k", "t", "payload").coalesce(1)
+        .withColumnRenamed("t", tCol)
+    }
+    Snapshots.commit(nextBatch(300), dir, "overwrite",
+      bucketBy = Some(("k", 4)), sortBuckets = true, sortAlso = Seq("t"))
+    def latest() = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    // THE safety invariant: a marker may be absent (merely unsorted),
+    // but a PRESENT marker must describe the file's physical order
+    def assertMarkersTrue(m: Snapshots.Manifest): Unit =
+      m.sortedFiles.foreach { case (rel, marker) =>
+        val cols = marker.split(',').toSeq
+        val phys = cols.map(m.physOf)
+        val rows = spark.read.parquet(s"$dir/$rel")
+          .selectExpr(phys.map(c => s"`$c`"): _*)
+          .collect().map(r => cols.indices.map(i => r.getLong(i)).toList)
+        implicit val ord: Ordering[List[Long]] =
+          Ordering.Implicits.seqOrdering[List, Long]
+        assert(rows.sameElements(rows.sorted),
+          s"$rel claims sorted by $marker but is not")
+      }
+    def assertAggParity(): Unit = {
+      val agg = Snapshots.bucketAlignedAggregate(spark, dir, Seq(
+        ("count", "*", "n"), ("max", tCol, "mt")))
+      val expect = Snapshots.readVersion(spark, dir).groupBy("k").agg(
+        count(lit(1)).as("n"), max(tCol).as("mt"))
+      assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty)
+    }
+    var renamed = false
+    (0 until 10).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // sorted composite append
+          Snapshots.commit(nextBatch(60 + rnd.nextInt(100)), dir, "append",
+            bucketBy = Some(("k", 4)), sortBuckets = true,
+            sortAlso = Seq(tCol))
+        case 1 => // plain append (unmarked tail)
+          Snapshots.commit(nextBatch(30), dir, "append")
+        case 2 => // O(tail) repair keeping the composite layout
+          Snapshots.clusterTail(spark, dir, sort = true,
+            sortAlso = Seq(tCol))
+        case 3 => // partial rewrite: rewritten files lose markers (safe)
+          Snapshots.compactSmall(spark, dir, minBytes = 4096,
+            targetBytes = 1 << 20)
+        case 4 => // dv mask (skip-sort ineligible; sorter path serves)
+          Snapshots.deleteWhere(spark, dir,
+            col(s"`$tCol`") % 11 === (step % 11))
+        case 5 =>
+          if (!renamed) {
+            Snapshots.renameColumn(spark, dir, tCol, "event_t")
+            tCol = "event_t"; renamed = true
+          } else // full sorted rewrite restores the whole layout
+            Snapshots.compactBucketed(spark, dir, "k", 4,
+              sort = true, sortAlso = Seq(tCol))
+      }
+      val m = latest()
+      assertMarkersTrue(m)
+      // the aligned read refuses unclustered tails by contract —
+      // parity only checks when the layout is whole
+      if (m.files.forall(m.buckets.contains)) assertAggParity()
+    }
+    // end state still serves the composed read; a final full sorted
+    // rewrite restores complete markers whatever the history did
+    Snapshots.compactBucketed(spark, dir, "k", 4, sort = true,
+      sortAlso = Seq(tCol))
+    val end = latest()
+    assert(end.sortedFiles.keySet === end.files.toSet &&
+      end.sortedFiles.values.toSet === Set(s"k,$tCol"))
+    assertMarkersTrue(end)
+    assertAggParity()
+  }
+
   test("composite sort markers: sortAlso records (key, secondary) order, " +
     "files physically lex-sorted, PREFIX serves key-only reads, drop " +
     "truncates / rename follows, cold parse round-trips (r15)") {
