@@ -1617,14 +1617,145 @@ object Snapshots {
           e: java.util.Map.Entry[String, SegmentData]): Boolean = size > 256
     }
 
+  /** Test observation point (MaintenanceSpec's counting-FileSystem
+    * precedent, driver-side twin): when set, invoked with the segment
+    * rel on EVERY [[cachedSegment]] call — cache hits included, because
+    * the thin-maintenance contract is that untouched segments are never
+    * even CONSULTED, not merely that their parse was amortized away.
+    */
+  private[sources] val segmentTouchHook =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](null)
+
   private def cachedSegment(f: FileSystem, tableDir: String,
                             rel: String): SegmentData = {
+    val h = segmentTouchHook.get()
+    if (h != null) h(rel)
     val key = f.makeQualified(new Path(tableDir, rel)).toString
     segmentCache.synchronized(Option(segmentCache.get(key))).getOrElse {
       val sd = parseSegment(f, new Path(tableDir, rel))
       segmentCache.synchronized(segmentCache.put(key, sd))
       sd
     }
+  }
+
+  /** The manifest-file facts the maintenance DELTA publish needs
+    * beyond [[readManifestThin]]'s version-level view: the segment
+    * refs WITH their recorded live counts (carried verbatim for
+    * untouched segments), the tombstone set, and whether any legacy
+    * inline `file=` lines exist (→ the delta path refuses; inline
+    * entries have no segment to carry). O(manifest file) like
+    * [[manifestSkeleton]] — no segment is parsed.
+    */
+  private final case class ManifestShell(segRefs: Seq[(String, Int)],
+                                         tombs: Set[(String, String)],
+                                         hasInline: Boolean)
+
+  private def manifestShell(f: FileSystem, tableDir: String,
+                            version: Long): ManifestShell = {
+    val p = manifestPath(tableDir, version)
+    require(f.exists(p), s"no version $version at $tableDir")
+    val r = new BufferedReader(
+      new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      require(r.readLine() == Header, s"unrecognized manifest format in $p")
+      val refs = ArrayBuffer.empty[(String, Int)]
+      val tombs = scala.collection.mutable.HashSet.empty[(String, String)]
+      var inline = false
+      var line = r.readLine()
+      while (line != null) {
+        if (line.startsWith("segment=")) {
+          line.stripPrefix("segment=").split('\t') match {
+            case Array(rel, n) => refs += ((rel, n.toInt))
+            // count-less refs predate the live-count line — the delta
+            // path needs the count to carry it verbatim, so a -1 here
+            // makes the caller fall back to the full publish
+            case Array(rel) => refs += ((rel, -1))
+            case _ => ()
+          }
+        } else if (line.startsWith("removed="))
+          line.stripPrefix("removed=").split('\t') match {
+            case Array(rel, file) => tombs += ((rel, file))
+            case _ => ()
+          }
+        else if (line.startsWith("file=")) inline = true
+        line = r.readLine()
+      }
+      ManifestShell(refs.toSeq, tombs.toSet, inline)
+    } finally r.close()
+  }
+
+  /** One live file's THIN planning row for the maintenance delta
+    * paths: identity, owning segment (the position its tombstone goes
+    * to if this maintenance pass removes it), ledger rows/bytes,
+    * bucket id, sort marker, and — when `withStats` — the PHYSICAL
+    * names of its stat'd columns (purge inherits stat coverage from
+    * the files it rewrites). No stat VALUES, no blooms: this is a
+    * planning row, ~100 bytes however wide the table's metadata is.
+    */
+  private[sources] final case class LiveEntry(file: String, seg: String,
+                                              bucket: Option[Int],
+                                              rows: Option[Long],
+                                              bytes: Option[Long],
+                                              sortedBy: Option[String],
+                                              statCols: Seq[String])
+
+  /** The generalized checkpoint-planned live-file walk every thin
+    * maintenance operator shares ([[smallCandidatesCheckpointed]]'s
+    * shape, VERDICT r15 task #1): evaluate `pred` over the newest
+    * covering metadata checkpoint AS A SPARK JOB plus the cached
+    * metadata tail, and collect ONLY the matching entries —
+    * O(matches + tail) driver work, never O(table). `pred` must be a
+    * serializable pure function of the row (capture plain values, not
+    * enclosing state). Returns None — callers fall back to the full
+    * manifest walk — when no servable checkpoint covers `version` or
+    * the manifest still carries legacy inline lines.
+    */
+  private[sources] def liveEntriesCheckpointed(
+      spark: SparkSession, tableDir: String, version: Long,
+      pred: CkptFile => Boolean, withStats: Boolean = false)
+      : Option[Seq[LiveEntry]] = {
+    val f = fs(spark, tableDir)
+    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
+      .getOrElse(return None)
+    val ck = checkpointDir(tableDir, cv)
+    val covered = checkpointCoveredSegs(f, ck)
+    val (segV, tombsV, _, _, inlineV) = manifestSkeleton(f, tableDir, version)
+    if (inlineV.nonEmpty) return None // legacy inline: no segments
+    val segSetB = spark.sparkContext.broadcast(segV.toSet)
+    val tombsB = spark.sparkContext.broadcast(tombsV)
+    val ws = withStats
+    // the checkpoint does not transcribe sort markers (they arrived
+    // later and serve reads through the manifest path) — a
+    // checkpoint-covered file's marker is recovered from its OWN
+    // segment only when the caller folds it, so None here is safe:
+    // markers are per-file metadata that dies with a rewrite anyway,
+    // and untouched files keep theirs through the carried segment
+    val fromCkpt = ckptDataset(spark, ck, withBlooms = false)
+      .filter { r: CkptFile => r.seg.exists(rel =>
+          segSetB.value.contains(rel) &&
+            !tombsB.value.contains((rel, r.file))) && pred(r) }
+      .map { r: CkptFile => LiveEntry(r.file, r.seg.get, r.bucket,
+        r.rows, r.bytes, None,
+        if (ws) r.stats.keys.toSeq.sorted else Nil) }(
+        org.apache.spark.sql.Encoders.product[LiveEntry])
+      .collect().toSeq
+    val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
+      cachedSegment(f, tableDir, rel).entries.iterator
+        .filter(e => !tombsV.contains((rel, e.file)))
+        .map(e => e -> CkptFile(e.file, e.bucket, e.rows, e.bytes,
+          e.stats.map { case (c, st) =>
+            c -> CkptStat(st.kind, st.min, st.max) }.toMap,
+          e.nulls.toMap, Some(rel)))
+        .filter { case (_, cf) => pred(cf) }
+        .map { case (e, cf) => LiveEntry(cf.file, rel, cf.bucket,
+          cf.rows, cf.bytes, e.sortedBy,
+          if (ws) cf.stats.keys.toSeq.sorted else Nil) }
+    }.toSeq
+    // first-ref-wins dedup cannot double-count here: a live file has
+    // exactly ONE live (segment, file) position (publishManifest
+    // tombstones later duplicates at write time), and ckpt rows and
+    // tail rows draw from disjoint segment sets
+    Some(fromCkpt ++ fromTail)
   }
 
   /** Segment line format mirrors the manifest's per-file lines minus
@@ -3032,20 +3163,47 @@ object Snapshots {
     * same concurrency Spark serves multi-threaded drivers) and the
     * witness sink is a concurrent queue.
     */
+  /** Dedicated bounded pool for aligned plan construction (ADVICE
+    * r15): the build mixes driver CPU with per-file parquet footer
+    * I/O on the skip-sort path, and running that on
+    * `ExecutionContext.global` could starve any other code sharing
+    * the global pool. Daemon threads; bounded by the driver's cores
+    * (plan construction is CPU-dominant, and the I/O latency it does
+    * carry is already overlapped across the pool's width).
+    */
+  private lazy val alignedPlanPool: scala.concurrent.ExecutionContext = {
+    val n = math.max(4, Runtime.getRuntime.availableProcessors())
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val i = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-aligned-plan-${i.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(n, tf))
+  }
+
   private def alignedBucketUnion(spark: SparkSession, n: Int)(
       build: Int => Option[org.apache.spark.rdd.RDD[
         org.apache.spark.sql.catalyst.InternalRow]])
       : org.apache.spark.rdd.RDD[
           org.apache.spark.sql.catalyst.InternalRow] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    // Duration.Inf deliberately: the sequential code this replaces
-    // completed however long planning took — parallelism must not
-    // turn a slow driver into a TimeoutException
-    val perBucket = Await.result(
+    implicit val ec: scala.concurrent.ExecutionContext = alignedPlanPool
+    // a generous FINITE timeout (vs the Duration.Inf this replaces,
+    // ADVICE r15): planning a bucket is seconds at worst, so an hour
+    // only ever fires on a genuinely hung filesystem call — and then
+    // a loud diagnostic beats a silently wedged driver thread
+    val perBucket = try Await.result(
       Future.sequence((0 until n).toVector.map(b => Future(build(b)))),
-      Duration.Inf)
+      1.hour)
+    catch { case e: java.util.concurrent.TimeoutException =>
+      throw new IllegalStateException(
+        s"aligned per-bucket plan construction ($n buckets) did not " +
+          "complete within 1 hour — a filesystem call is likely hung", e)
+    }
     spark.sparkContext.union(perBucket.map {
       case Some(rdd) => rdd
       case None => spark.sparkContext.parallelize(
@@ -4359,10 +4517,20 @@ object Snapshots {
         case s: java.lang.Short => s.toLong
         case b: java.lang.Byte => b.toLong
       }
+      // overflow-safe gap (ADVICE r15): the candidate order guarantees
+      // a non-negative true gap (backward matched rt <= lt, forward
+      // rt >= lt), so the raw subtraction can only overflow when the
+      // true gap exceeds Long range — astronomically stale. Raw
+      // `toNum(lt) - toNum(rt)` would wrap NEGATIVE there (e.g. a
+      // Long.MinValue sentinel time) and wrongly pass `gap <= tol`;
+      // subtractExact turns that wrap into out-of-tolerance.
       def withinTol(lt: Any, rt: Any): Boolean = tolerance.forall { tol =>
-        val gap =
-          if (backward) toNum(lt) - toNum(rt) else toNum(rt) - toNum(lt)
-        gap <= tol
+        try {
+          val gap =
+            if (backward) Math.subtractExact(toNum(lt), toNum(rt))
+            else Math.subtractExact(toNum(rt), toNum(lt))
+          gap <= tol
+        } catch { case _: ArithmeticException => false }
       }
       // O(1) walk state: the right look-ahead, the CURRENT left key
       // group (detached copy), and (backward) the group's best
@@ -4732,7 +4900,23 @@ object Snapshots {
       if (newFiles.isEmpty) None
       else Some(writeSegment(f, tableDir, m.version, newFiles.map(entryOf)))
     val segRefs = keptRefs.toSeq ++ newSeg.map(r => (r, newFiles.size))
+    publishManifestFile(f, tableDir, m, segRefs, tombstones.toSeq, newSeg)
+  }
 
+  /** The WRITE half of [[publishManifest]], shared with the
+    * maintenance delta path ([[publishManifestDelta]]): serialize the
+    * version-level lines of `m` plus the given segment refs and
+    * tombstones, publish atomically, and on success restamp + write
+    * the feed marker + run the opt-in auto-checkpoint. On a CAS loss
+    * the freshly written segment (this commit's only new metadata
+    * file) is unpublished. Never consults `m`'s per-file maps — a
+    * THIN manifest serves it completely.
+    */
+  private def publishManifestFile(f: FileSystem, tableDir: String,
+                                  m: Manifest,
+                                  segRefs: Seq[(String, Int)],
+                                  tombstones: Seq[(String, String)],
+                                  newSeg: Option[String]): Boolean = {
     val tmp = new Path(tableDir,
       s"_manifests/.tmp-${m.version}-${UUID.randomUUID()}")
     val w = new OutputStreamWriter(f.create(tmp, false), StandardCharsets.UTF_8)
@@ -4804,6 +4988,78 @@ object Snapshots {
         }
     }
     ok
+  }
+
+  /** Maintenance DELTA publish (VERDICT r15 task #1 — the last
+    * O(table) driver assembly): publish a new version as a DIFF
+    * against the base manifest instead of re-deriving every segment's
+    * liveness from a fully materialized [[Manifest]]. Untouched
+    * segment refs are carried VERBATIM with their recorded live
+    * counts and existing tombstones — never parsed, never even
+    * consulted ([[segmentTouchHook]] observes this); a segment some
+    * of whose files this commit removed is touched: parsed
+    * (O(that segment)), kept with fresh tombstones while more than
+    * half alive, or folded — its survivors copied verbatim (they are
+    * already in segment vocabulary: physical stat keys, marker
+    * truncation applied at read) into this commit's fresh segment
+    * alongside `freshEntries` (the rewrite's own files, physical
+    * keys). Driver memory and metadata I/O are O(touched segments +
+    * fresh files); a 3-file compaction on a 10⁷-file table writes
+    * ~3 entries and reads nothing else.
+    *
+    * Correctness leans on publishManifest's own invariant: within one
+    * published manifest every live file has exactly ONE live
+    * (segment, file) position (duplicate entries in later refs are
+    * tombstoned at write), so tombstoning a removed file in its one
+    * owning segment can never leave a shadow copy to resurrect.
+    *
+    * `mThin` carries the version-level lines (schema, dvs, txns,
+    * checks, ledgers, specs, column mapping, features) — a thin parse
+    * suffices; its per-file maps are never read.
+    */
+  private def publishManifestDelta(
+      f: FileSystem, tableDir: String, mThin: Manifest,
+      baseRefs: Seq[(String, Int)], baseTombs: Set[(String, String)],
+      removedBySeg: Map[String, Set[String]],
+      freshEntries: Seq[SegEntry]): Boolean = {
+    val tombsBySeg = baseTombs.groupBy(_._1)
+    // a removal attributed to a segment the base no longer references
+    // would silently skip its tombstone — the file would resurrect on
+    // the next read. Unreachable (the planning rows are liveness-
+    // filtered against these very refs), which is why it must refuse
+    // loudly rather than drift.
+    val refSet = baseRefs.iterator.map(_._1).toSet
+    require(removedBySeg.keysIterator.forall(refSet.contains),
+      s"delta publish: removals reference segments outside the base " +
+        s"manifest (${removedBySeg.keySet -- refSet})")
+    val keptRefs = ArrayBuffer.empty[(String, Int)]
+    val tombstones = ArrayBuffer.empty[(String, String)]
+    val folded = ArrayBuffer.empty[SegEntry]
+    baseRefs.foreach { case (rel, cnt) =>
+      val rm = removedBySeg.getOrElse(rel, Set.empty)
+      if (rm.isEmpty) {
+        // untouched: ref + count + tombstones carried verbatim
+        keptRefs += ((rel, cnt))
+        tombsBySeg.getOrElse(rel, Set.empty).foreach(tombstones += _)
+      } else {
+        val sd = cachedSegment(f, tableDir, rel)
+        val dead = tombsBySeg.getOrElse(rel, Set.empty).map(_._2) ++ rm
+        val live = sd.entries.iterator.map(_.file).filterNot(dead).toSet
+        if (live.size * 2 > sd.entries.size) {
+          // same at-most-half-alive fold rule as [[publishManifest]]
+          keptRefs += ((rel, live.size))
+          sd.entries.foreach(e =>
+            if (!live.contains(e.file)) tombstones += ((rel, e.file)))
+        } else folded ++= sd.entries.filter(e => live.contains(e.file))
+      }
+    }
+    val entries = folded.toSeq ++ freshEntries
+    val newSeg =
+      if (entries.isEmpty) None
+      else Some(writeSegment(f, tableDir, mThin.version, entries))
+    publishManifestFile(f, tableDir, mThin,
+      keptRefs.toSeq ++ newSeg.map(r => (r, entries.size)),
+      tombstones.toSeq, newSeg)
   }
 
   /** Register a named table-level CHECK constraint (the table formats'
@@ -5255,6 +5511,21 @@ object Snapshots {
       throw new IllegalArgumentException(s"no committed version at $tableDir"))
     val (_, m) = lastLive(spark, tableDir, raw, forWrite = true).getOrElse(
       throw new IllegalArgumentException(s"no live version at $tableDir"))
+    (raw + 1, m)
+  }
+
+  /** [[resolveForWrite]]'s THIN twin (the maintenance delta paths):
+    * identical version arithmetic and liveness/txn forcing, but the
+    * base manifest comes back WITHOUT its sharded per-file metadata —
+    * O(manifest file) driver work at any file count.
+    */
+  private def resolveForWriteThin(spark: SparkSession,
+                                  tableDir: String): (Long, Manifest) = {
+    val raw = latestVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tableDir"))
+    val (_, m) = lastLive(spark, tableDir, raw, forWrite = true, thin = true)
+      .getOrElse(
+        throw new IllegalArgumentException(s"no live version at $tableDir"))
     (raw + 1, m)
   }
 
@@ -6273,7 +6544,102 @@ object Snapshots {
     * randomized protocol specs model purge as a version bump.
     */
   def purgeDeletes(spark: SparkSession, tableDir: String,
-                   statsColumns: Seq[String] = Nil): Long = {
+                   statsColumns: Seq[String] = Nil): Long =
+    purgeDeletesThin(spark, tableDir, statsColumns)
+      .getOrElse(purgeDeletesFull(spark, tableDir, statsColumns))
+
+  /** [[purgeDeletes]]' FULLY THIN path (VERDICT r15 task #1): the
+    * masked-file set comes from the dv scan (O(mask) — already thin),
+    * their segment positions and row ledgers from the checkpoint job,
+    * and the publish is a segment delta. The mask usually touches a
+    * tiny fraction of a big table's files, so the O(table) half the
+    * full path pays (assembling and republishing every live file's
+    * metadata) dwarfed the actual work; here the driver holds
+    * O(masked files + touched segments). None → full path.
+    */
+  private def purgeDeletesThin(spark: SparkSession, tableDir: String,
+                               statsColumns: Seq[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWriteThin(spark, tableDir)
+    if (m.dataRows < 0) return None
+    val shell = manifestShell(f, tableDir, m.version)
+    if (shell.hasInline || shell.segRefs.isEmpty ||
+        shell.segRefs.exists(_._2 < 0) ||
+        shell.segRefs.size >= MaxManifestSegments) return None
+    // a covering checkpoint must exist BEFORE any rewrite I/O is paid
+    if (newestCheckpointAtOrBefore(f, tableDir, m.version).isEmpty)
+      return None
+    def publishDeltaOr(cleanup: => Unit)(
+        mNext: Manifest, removed: Map[String, Set[String]],
+        fresh: Seq[SegEntry]): Long = {
+      if (!publishManifestDelta(f, tableDir, mNext, shell.segRefs,
+          shell.tombs, removed, fresh)) {
+        cleanup
+        throw new java.util.ConcurrentModificationException(
+          s"version $version of $tableDir was committed concurrently")
+      }
+      version
+    }
+    if (m.dvs.isEmpty) // metadata-only: every segment carried verbatim
+      return Some(publishDeltaOr(())(
+        m.copy(version = version, pendingMarker = None), Map.empty, Nil))
+    val dvAbs = m.dvs.map(rel =>
+      if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+    val maskedTails = spark.read.parquet(dvAbs: _*)
+      .select(regexp_extract(col("file_path"), DataTailRe, 1).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    require(!maskedTails.contains(""),
+      s"a deletion-vector file_path in $tableDir does not match the " +
+        "data/v*/ layout — refusing to purge (its mask would be dropped " +
+        "without rewriting the file it masks)")
+    val tails = maskedTails
+    val entries = liveEntriesCheckpointed(spark, tableDir, m.version,
+      (r: CkptFile) => tails.contains(dataTail(r.file)),
+      withStats = true).getOrElse(return None)
+    if (entries.exists(_.rows.isEmpty)) return None
+    if (entries.isEmpty) // mask rows reference no live file: drop them
+      return Some(publishDeltaOr(())(
+        m.copy(version = version, dvs = Nil, dvRows = 0L,
+          pendingMarker = None), Map.empty, Nil))
+    val masked = entries.map(_.file)
+    val visible = readFiles(spark, tableDir, m, masked)
+    val partSpecs = m.partitionCols.map(PartitionTransforms.parse)
+    val schema = m.schema.getOrElse(visible.schema)
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    writeLayout(spark, f, visible, dataDir, partSpecs, schema,
+      m.bucketSpec, m.colMap)
+    val newBuckets: Map[String, Int] =
+      if (m.bucketSpec.isEmpty) Map.empty
+      else flattenBucketDirs(f, dataDir, dataRel)
+    val written = listDataFiles(f, dataDir, dataRel)
+    // stat coverage inheritance without the full stats map: the
+    // planning rows carry the masked files' stat'd PHYSICAL columns
+    val inherited = entries.iterator.flatMap(_.statCols)
+      .map(c => m.logicalOf.getOrElse(c, c)).toSeq
+    val effStatsCols = (statsColumns ++ inherited ++
+      partSpecs.collect { case sp if !sp.isIdentity => sp.source })
+      .distinct.filter(c => schema.fieldNames.contains(c))
+    val (newStats0, newNulls) =
+      rewriteFooterStats(spark, tableDir, m, written, effStatsCols)
+    val newStats = newStats0 ++ partitionStatsOf(written, partSpecs, schema)
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val dataRows = m.dataRows - entries.iterator.map(_.rows.get).sum +
+      newFileMeta.valuesIterator.map(_._1).sum
+    val fresh = freshSegEntries(m, written, newStats, newNulls,
+      newFileMeta, newBuckets, Map.empty)
+    val removedBySeg = entries.groupBy(_.seg)
+      .map { case (s, es) => s -> es.iterator.map(_.file).toSet }
+    Some(publishDeltaOr { f.delete(dataDir, true) }(
+      m.copy(version = version, dvs = Nil, dataRows = dataRows,
+        dvRows = 0L, pendingMarker = None),
+      removedBySeg, fresh))
+  }
+
+  private def purgeDeletesFull(spark: SparkSession, tableDir: String,
+                               statsColumns: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
@@ -6822,6 +7188,46 @@ object Snapshots {
     } finally live.unpersist(false)
   }
 
+  /** [[consolidateDvsFor]]'s THIN twin: keep the mask rows whose
+    * target is NOT among the rewritten files (their masks were applied
+    * by the rewrite read) — the filter is O(removed files), where the
+    * kept-list form is O(table). Semantics are identical on any
+    * well-formed version: the commit protocol guarantees every dv row
+    * references a LIVE file (deleteWhere masks live rows; every
+    * partial rewrite consolidates; overwrites clear), so "not removed"
+    * and "kept" name the same rows. Returns (dv refs, masked-row
+    * count), keeping the ledger invariant dataRows − dvRows = visible
+    * rows exact.
+    */
+  private def consolidateDvsExcluding(spark: SparkSession, f: FileSystem,
+                                      tableDir: String, m: Manifest,
+                                      removedTails: Set[String],
+                                      version: Long,
+                                      tag: String): (Seq[String], Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    if (m.dvs.isEmpty) return (Seq.empty, 0L)
+    val dvAbs = m.dvs.map(rel =>
+      if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
+    // isin compiles to an InSet hash probe past 10 values — O(1) per
+    // row whatever the rewrite's size
+    val live = spark.read.parquet(dvAbs: _*)
+      .withColumn("__rel", regexp_extract(col("file_path"), DataTailRe, 1))
+      .filter(!col("__rel").isin(removedTails.toSeq: _*)).drop("__rel")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = live.count()
+      if (cnt == 0) (Seq.empty, 0L)
+      else {
+        val dvRel = f"dv/v$version%06d-$tag"
+        val dvDir = new Path(tableDir, dvRel)
+        dvSizedForWrite(live, cnt).write.parquet(dvDir.toString)
+        (f.listStatus(dvDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(x => s"$dvRel/$x").toSeq.sorted, cnt)
+      }
+    } finally live.unpersist(false)
+  }
+
   /** Fresh-file footer stats for a partial rewrite: the files carry
     * PHYSICAL names — read footers by physical name, record under the
     * LOGICAL key (the same dance as [[commit]]). Returns
@@ -6900,7 +7306,116 @@ object Snapshots {
   def clusterTail(spark: SparkSession, tableDir: String,
                   statsColumns: Seq[String] = Nil,
                   sort: Boolean = false,
-                  sortAlso: Seq[String] = Nil): Long = {
+                  sortAlso: Seq[String] = Nil): Long =
+    clusterTailThin(spark, tableDir, statsColumns, sort, sortAlso)
+      .getOrElse(
+        clusterTailFull(spark, tableDir, statsColumns, sort, sortAlso))
+
+  /** [[clusterTail]]'s FULLY THIN path (VERDICT r15 task #1, the
+    * [[compactSmallThin]] shape): the unbucketed tail is found by a
+    * checkpoint job (`bucket` absent in the planning row — the same
+    * verdict `m.files.filterNot(m.buckets.contains)` renders), the
+    * base resolves thin, and the publish is a segment delta. None →
+    * full path (no covering checkpoint / inline lines / ledger gaps /
+    * ref cap).
+    */
+  private def clusterTailThin(spark: SparkSession, tableDir: String,
+                              statsColumns: Seq[String],
+                              sort: Boolean,
+                              sortAlso: Seq[String]): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWriteThin(spark, tableDir)
+    val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir is not bucket-clustered; clusterTail repairs a bucket " +
+        "layout (bucketBy at commit, or CLUSTERED BY in DDL)"))
+    require(sortAlso.isEmpty || sort,
+      "sortAlso requires sort: secondary sort columns extend the " +
+        "bucket-key order, they cannot replace it")
+    if (sort) {
+      val sortCols = key +: sortAlso
+      require(sortCols.distinct.size == sortCols.size,
+        s"duplicate sort columns: $sortCols")
+    }
+    sortAlso.foreach { c =>
+      require(!c.contains(","),
+        s"sort column '$c' contains ',' (the marker separator)")
+      require(m.schema.exists(_.fieldNames.contains(c)),
+        s"sortAlso column '$c' is not a column of the table")
+      val dt = m.schema.get(c).dataType
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(dt),
+        s"sortAlso column '$c' of type ${dt.simpleString} is not orderable")
+    }
+    require(m.partitionCols.isEmpty,
+      s"$tableDir is partitioned: the tail rewrite does not reproduce the " +
+        "partition dirs — re-cluster via compactBucketed")
+    val schema = m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no recorded schema"))
+    if (m.dataRows < 0) return None
+    val shell = manifestShell(f, tableDir, m.version)
+    if (shell.hasInline || shell.segRefs.isEmpty ||
+        shell.segRefs.exists(_._2 < 0) ||
+        shell.segRefs.size >= MaxManifestSegments) return None
+    val entries = liveEntriesCheckpointed(spark, tableDir, m.version,
+      (r: CkptFile) => r.bucket.isEmpty).getOrElse(return None)
+    if (entries.exists(_.rows.isEmpty)) return None
+    if (entries.isEmpty) return Some(m.version)
+    val tail = entries.map(_.file)
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    val physKey = m.colMap.getOrElse(key, key)
+    withMicrosTimestamps(spark) {
+      val clusteredTail = toPhysical(readFiles(spark, tableDir, m, tail),
+          m.colMap)
+        .withColumn(BucketCol,
+          pmod(xxhash64(col(s"`$physKey`").cast(schema(key).dataType)),
+            lit(n.toLong)).cast("int"))
+        .repartition(n, col(BucketCol))
+      (if (sort)
+         clusteredTail.sortWithinPartitions(
+           (Seq(BucketCol, physKey) ++
+             sortAlso.map(c => m.colMap.getOrElse(c, c)))
+             .map(c => col(s"`$c`")): _*)
+       else clusteredTail)
+        .write.partitionBy(BucketCol).parquet(dataDir.toString)
+    }
+    val newBuckets = flattenBucketDirs(f, dataDir, dataRel)
+    val written = listDataFiles(f, dataDir, dataRel)
+    val (dvs, dvRows) = consolidateDvsExcluding(spark, f, tableDir, m,
+      tail.iterator.map(dataTail).toSet, version, tag)
+    val (newStats, newNulls) =
+      rewriteFooterStats(spark, tableDir, m, written, statsColumns)
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val dataRows = m.dataRows - entries.iterator.map(_.rows.get).sum +
+      newFileMeta.valuesIterator.map(_._1).sum
+    val sortedMarkers: Map[String, String] =
+      if (sort) {
+        val marker = (key +: sortAlso).mkString(",")
+        written.iterator.map(_ -> marker).toMap
+      } else Map.empty
+    val fresh = freshSegEntries(m, written, newStats, newNulls,
+      newFileMeta, newBuckets, sortedMarkers)
+    val removedBySeg = entries.groupBy(_.seg)
+      .map { case (s, es) => s -> es.iterator.map(_.file).toSet }
+    if (!publishManifestDelta(f, tableDir,
+        m.copy(version = version, dvs = dvs, dataRows = dataRows,
+          dvRows = dvRows, pendingMarker = None),
+        shell.segRefs, shell.tombs, removedBySeg, fresh)) {
+      f.delete(dataDir, true)
+      if (dvs.nonEmpty)
+        f.delete(new Path(tableDir, f"dv/v$version%06d-$tag"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    Some(version)
+  }
+
+  private def clusterTailFull(spark: SparkSession, tableDir: String,
+                              statsColumns: Seq[String],
+                              sort: Boolean,
+                              sortAlso: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
@@ -8736,47 +9251,126 @@ object Snapshots {
       spark: SparkSession, tableDir: String, version: Long,
       minBytes: Long): Option[Map[String, Long]] = {
     val f = fs(spark, tableDir)
-    val cv = newestCheckpointAtOrBefore(f, tableDir, version)
-      .getOrElse(return None)
-    val ck = checkpointDir(tableDir, cv)
-    val covered = checkpointCoveredSegs(f, ck)
-    val (segV, tombsV, _, _, inlineV) = manifestSkeleton(f, tableDir, version)
-    if (inlineV.nonEmpty) return None // legacy inline: no segments
-    val segSetB = spark.sparkContext.broadcast(segV.toSet)
-    val tombsB = spark.sparkContext.broadcast(tombsV)
     val min = minBytes
     // bytes-less rows stay candidates (unknown is never ruled out
     // executor-side; the driver stat below gives the exact verdict)
-    // -1 marks a ledger-less row (Option inside a tuple encoder is
-    // more ceremony than a sentinel the next line resolves)
-    val fromCkpt = ckptDataset(spark, ck, withBlooms = false)
-      .filter { r: CkptFile => r.seg.exists(rel =>
-          segSetB.value.contains(rel) &&
-            !tombsB.value.contains((rel, r.file))) &&
-        r.bytes.forall(_ < min) }
-      .map(r => (r.file, r.bytes.getOrElse(-1L)))(
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.STRING,
-          org.apache.spark.sql.Encoders.scalaLong))
-      .collect().toSeq
-    val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
-      cachedSegment(f, tableDir, rel).entries.iterator
-        .filter(e => !tombsV.contains((rel, e.file)) &&
-          e.bytes.forall(_ < min))
-        .map(e => (e.file, e.bytes.getOrElse(-1L)))
-    }.toSeq
-    Some((fromCkpt ++ fromTail).distinct.map { case (rel, bytes) =>
-      rel -> (if (bytes >= 0) bytes else {
-        val p = if (isBorrowed(rel)) new Path(rel) else new Path(tableDir, rel)
+    liveEntriesCheckpointed(spark, tableDir, version,
+      (r: CkptFile) => r.bytes.forall(_ < min)).map { entries =>
+      entries.map(e => e.file -> e.bytes.getOrElse {
+        val p = if (isBorrowed(e.file)) new Path(e.file)
+                else new Path(tableDir, e.file)
         f.getFileStatus(p).getLen
-      })
-    }.toMap.filter(_._2 < min))
+      }).toMap.filter(_._2 < min)
+    }
   }
 
   def compactSmall(spark: SparkSession, tableDir: String,
                    minBytes: Long,
                    targetBytes: Long = 128L * 1024 * 1024,
-                   statsColumns: Seq[String] = Nil): Long = {
+                   statsColumns: Seq[String] = Nil): Long =
+    compactSmallThin(spark, tableDir, minBytes, targetBytes, statsColumns)
+      .getOrElse(
+        compactSmallFull(spark, tableDir, minBytes, targetBytes, statsColumns))
+
+  /** The FULLY THIN compactSmall (VERDICT r15 task #1): candidate
+    * selection checkpoint-planned ([[liveEntriesCheckpointed]] —
+    * O(candidates) reaches the driver), base resolution thin
+    * ([[resolveForWriteThin]] — per-file metadata never assembled),
+    * and the publish a segment DELTA ([[publishManifestDelta]] —
+    * untouched segments carried verbatim, never parsed). End to end
+    * the driver holds O(candidates + touched segments + fresh files)
+    * metadata; the r15 verdict's remaining O(table) assembly
+    * (`resolveForWrite` → full Manifest → `publishManifest` re-diff)
+    * is gone. Returns None — the caller falls back to the full path,
+    * identical semantics — when the table lacks a covering servable
+    * checkpoint, carries legacy inline/count-less manifest lines, is
+    * missing any candidate's row/byte ledger (the delta accounting
+    * needs exact arithmetic), or is at the segment-ref cap (the
+    * fold-everything compaction is the full path's amortized job).
+    */
+  private def compactSmallThin(spark: SparkSession, tableDir: String,
+                               minBytes: Long, targetBytes: Long,
+                               statsColumns: Seq[String]): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWriteThin(spark, tableDir)
+    if (m.dataRows < 0) return None // ledger-less table: no delta math
+    val shell = manifestShell(f, tableDir, m.version)
+    if (shell.hasInline || shell.segRefs.isEmpty ||
+        shell.segRefs.exists(_._2 < 0) ||
+        shell.segRefs.size >= MaxManifestSegments) return None
+    val min = minBytes
+    val entries = liveEntriesCheckpointed(spark, tableDir, m.version,
+      (r: CkptFile) => r.bytes.forall(_ < min)).getOrElse(return None)
+    if (entries.exists(e => e.rows.isEmpty || e.bytes.isEmpty)) return None
+    if (entries.size < 2) return Some(m.version)
+    val small = entries.map(_.file)
+    val smallBytes = entries.iterator.map(_.bytes.get).sum
+    val nOut = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val tag = UUID.randomUUID().toString.take(8)
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    withMicrosTimestamps(spark) {
+      toPhysical(readFiles(spark, tableDir, m, small), m.colMap)
+        .coalesce(nOut).write.parquet(dataDir.toString)
+    }
+    val written = f.listStatus(dataDir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(n => s"$dataRel/$n").toSeq.sorted
+    val (dvs, dvRows) = consolidateDvsExcluding(spark, f, tableDir, m,
+      small.iterator.map(dataTail).toSet, version, tag)
+    val (newStats, newNulls) =
+      rewriteFooterStats(spark, tableDir, m, written, statsColumns)
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    // exact ledger arithmetic: remove the rewritten files' physical
+    // rows, add the fresh footers' — never an O(table) sum
+    val dataRows = m.dataRows - entries.iterator.map(_.rows.get).sum +
+      newFileMeta.valuesIterator.map(_._1).sum
+    val fresh = freshSegEntries(m, written, newStats, newNulls,
+      newFileMeta, Map.empty, Map.empty)
+    val removedBySeg = entries.groupBy(_.seg)
+      .map { case (s, es) => s -> es.iterator.map(_.file).toSet }
+    if (!publishManifestDelta(f, tableDir,
+        m.copy(version = version, dvs = dvs, dataRows = dataRows,
+          dvRows = dvRows, pendingMarker = None),
+        shell.segRefs, shell.tombs, removedBySeg, fresh)) {
+      f.delete(dataDir, true)
+      if (dvs.nonEmpty)
+        f.delete(new Path(tableDir, f"dv/v$version%06d-$tag"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    Some(version)
+  }
+
+  /** Fresh-segment entries for a partial rewrite's own files —
+    * logical stat/null keys translated to the segments' PHYSICAL
+    * vocabulary (the same translation [[publishManifest]]'s entryOf
+    * applies), markers mapped likewise.
+    */
+  private def freshSegEntries(m: Manifest, written: Seq[String],
+                              stats: Map[(String, String), FileStat],
+                              nulls: Map[(String, String), Long],
+                              meta: Map[String, (Long, Long)],
+                              buckets: Map[String, Int],
+                              sorted: Map[String, String]): Seq[SegEntry] = {
+    val statsByFile = stats.groupBy(_._1._1)
+    val nullsByFile = nulls.groupBy(_._1._1)
+    written.map { rel =>
+      SegEntry(rel,
+        statsByFile.getOrElse(rel, Map.empty).iterator
+          .map { case ((_, c), st) => m.physOf(c) -> st }.toSeq,
+        buckets.get(rel), meta.get(rel).map(_._1), meta.get(rel).map(_._2),
+        Nil,
+        nullsByFile.getOrElse(rel, Map.empty).iterator
+          .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq,
+        Nil, Nil,
+        sorted.get(rel).map(mapSortMarker(_)(m.physOf)))
+    }
+  }
+
+  private def compactSmallFull(spark: SparkSession, tableDir: String,
+                               minBytes: Long,
+                               targetBytes: Long,
+                               statsColumns: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
     val f = fs(spark, tableDir)
     val (version, m) = resolveForWrite(spark, tableDir)
