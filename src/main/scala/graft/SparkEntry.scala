@@ -167,6 +167,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u61RunningWindow _),
     "u62_forward_asof" ->
       (graft.sources.DemoFixtures.u62ForwardAsof _),
+    "u63_windowed_asof" ->
+      (graft.sources.DemoFixtures.u63WindowedAsof _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1328,6 +1330,36 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |FROM p
         |LEFT JOIN m ON m.purchase_id = p.purchase_id
         |LEFT JOIN c ON c.ruid = p.user_id AND c.click_ts = m.mct
+        |ORDER BY 1""".stripMargin,
+    // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
+    // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
+    // read applies as file pruning + row filters), then the u60
+    // relational definition over the windowed inputs. win_ok = 1 pins
+    // zero-Exchange ∧ zero-Sort ∧ strictly fewer per-file plans than
+    // the layout's total files (files were actually skipped).
+    "u63_windowed_asof" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |            AND TIMESTAMP '2024-01-18 00:00:00'),
+        |c AS (
+        |  SELECT user_id AS ruid, ts AS click_ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |cw AS (
+        |  SELECT * FROM c
+        |  WHERE click_ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |                 AND TIMESTAMP '2024-01-18 00:00:00'),
+        |m AS (
+        |  SELECT p.purchase_id, MAX(cw.click_ts) AS mct
+        |  FROM p JOIN cw ON cw.ruid = p.user_id
+        |    AND cw.click_ts <= p.purchase_ts
+        |  GROUP BY 1)
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  cw.click_ts, cw.click_id, 1 AS win_ok
+        |FROM p
+        |LEFT JOIN m ON m.purchase_id = p.purchase_id
+        |LEFT JOIN cw ON cw.ruid = p.user_id AND cw.click_ts = m.mct
         |ORDER BY 1""".stripMargin,
     // u32 oracle: the partitioned table's three legs replayed
     // relationally (leg 0 = the pruned O read, legs 1/2 = grouped

@@ -3247,6 +3247,18 @@ object Snapshots {
       .forall(p => !sortNode.matcher(p).find())
   }
 
+  /** Number of inner plans recorded while the last aligned frame was
+    * built on this thread. On a fully SORTED layout the skip-sort
+    * path plans one scan per FILE it actually reads, so this counts
+    * scanned files — the execution-side pruning witness for the
+    * range-windowed aligned reads (u63): strictly fewer plans than
+    * the inputs' total file count proves the window's file pruning
+    * engaged, measured on what ran rather than re-deriving it from
+    * the same stats. Same thread / same build-window contract as
+    * [[alignedShuffleFree]].
+    */
+  def alignedPlanCount(): Int = recordedPlans().size
+
   /** A sorted marker's column list ([[Manifest.sortedFiles]] values
     * are comma-joined; sort columns are refused commas at write
     * time, so the split is exact).
@@ -3457,7 +3469,8 @@ object Snapshots {
   private def bucketOrderedRdd(spark: SparkSession, dir: String,
       m: Manifest, schema: org.apache.spark.sql.types.StructType,
       orderCols: Seq[String], files: Seq[String], dropNullKeys: Boolean,
-      sink: PlanSink)
+      sink: PlanSink,
+      rowFilter: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.rdd.RDD[
           org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.functions.col
@@ -3466,7 +3479,11 @@ object Snapshots {
     val ords = orderCols.map(c =>
       (schema.fieldIndex(c), schema(c).dataType))
     def read(fls: Seq[String]): DataFrame = {
-      val base = readFiles(spark, dir, m, fls)
+      val base0 = readFiles(spark, dir, m, fls)
+      // the range window's row predicate rides INSIDE each file scan
+      // (pushed to parquet like any filter); filtering preserves the
+      // files' sort order, so the skip-sort merge stays valid
+      val base = rowFilter.fold(base0)(base0.filter)
       (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull) else base)
         .select(cols: _*).coalesce(1)
     }
@@ -3496,13 +3513,52 @@ object Snapshots {
     }
   }
 
+  /** The aligned family's RANGE WINDOW (VERDICT r15 task #2): each
+    * `(column, lo, hi)` is a SEMANTIC predicate `lo <= column <= hi`
+    * (SQL BETWEEN — both bounds required; rows with a NULL range
+    * column are excluded, exactly as a SQL WHERE would), applied
+    * twice with one meaning:
+    *  - as manifest-stat FILE pruning ([[pruneFiles]] — a bucket
+    *    whose files all fall outside the window contributes an empty
+    *    scan), the part that makes a 30-day running window over a
+    *    year-partitioned feature store read 30 days, not 365;
+    *  - as a per-file ROW filter inside each scan (pushed to parquet),
+    *    which keeps the semantics exact where the stats are
+    *    conservative (unknown/decimal/non-ASCII stats keep files).
+    * The operator therefore computes over σ_ranges(table) — the
+    * windowed query every real as-of/running call carries. Returns
+    * (surviving files, row predicate).
+    */
+  private def alignedWindow(m: Manifest, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[(String, Any, Any)])
+      : (Seq[String], Option[org.apache.spark.sql.Column]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (ranges.isEmpty) return (m.files, None)
+    ranges.foreach { case (c, lo, hi) =>
+      require(schema.fieldNames.contains(c),
+        s"unknown range column '$c' on $dir " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+      require(lo != null && hi != null,
+        s"range on '$c' needs both bounds (the BETWEEN shape); for a " +
+          "one-sided window pass the column type's extreme value")
+    }
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(s"`$c`") >= lit(lo) && col(s"`$c`") <= lit(hi)
+    }.reduce(_ && _)
+    (pruneFiles(m, ranges), Some(pred))
+  }
+
   def bucketAlignedJoin(spark: SparkSession,
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
                         leftVersion: Option[Long] = None,
                         rightVersion: Option[Long] = None,
                         joinType: String = "inner",
-                        strategy: String = "auto"): DataFrame = {
+                        strategy: String = "auto",
+                        leftRanges: Seq[(String, Any, Any)] = Nil,
+                        rightRanges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     require(Set("auto", "hash", "merge")(strategy.toLowerCase),
       s"unsupported strategy '$strategy' (auto, hash, merge)")
@@ -3567,9 +3623,11 @@ object Snapshots {
     // equal-key group of the right in memory
     def sideRdd(dir: String, m: Manifest,
                 schema: org.apache.spark.sql.types.StructType, key: String,
-                n: Int, dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
+                n: Int, dropNullKeys: Boolean,
+                ranges: Seq[(String, Any, Any)]): org.apache.spark.rdd.RDD[
                   org.apache.spark.sql.catalyst.InternalRow] = {
-      val byBucket = m.files.groupBy(m.buckets)
+      val (winFiles, rowF) = alignedWindow(m, dir, schema, ranges)
+      val byBucket = winFiles.groupBy(m.buckets)
       alignedBucketUnion(spark, n) { b =>
         byBucket.get(b).map { files =>
           if (useMerge)
@@ -3577,9 +3635,10 @@ object Snapshots {
             // directly (zero Sort — [[bucketOrderedRdd]]), an
             // unsorted bucket in-task sorts exactly as before
             bucketOrderedRdd(spark, dir, m, schema, Seq(key), files,
-              dropNullKeys, sink)
+              dropNullKeys, sink, rowF)
           else {
-            val base = readFiles(spark, dir, m, files)
+            val base0 = readFiles(spark, dir, m, files)
+            val base = rowF.fold(base0)(base0.filter)
             val qe =
               (if (dropNullKeys) base.filter(col(s"`$key`").isNotNull)
                else base)
@@ -3594,9 +3653,10 @@ object Snapshots {
       }
     }
     val keepLeftNulls = jt == "leftouter" || jt == "leftanti"
-    val left = sideRdd(leftDir, lm, lSchema, leftKey, ln, !keepLeftNulls)
+    val left = sideRdd(leftDir, lm, lSchema, leftKey, ln, !keepLeftNulls,
+      leftRanges)
     val right = sideRdd(rightDir, rm, rSchema, rightKey, rn,
-      dropNullKeys = true)
+      dropNullKeys = true, rightRanges)
     // leftouter's right columns are NULL for unmatched rows whatever
     // the parquet schema said; semi/anti output the left schema only
     val outSchema = jt match {
@@ -4132,7 +4192,9 @@ object Snapshots {
 
   def bucketAlignedAggregate(spark: SparkSession, tableDir: String,
                              aggs: Seq[(String, String, String)],
-                             version: Option[Long] = None): DataFrame = {
+                             version: Option[Long] = None,
+                             ranges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val m = resolveForRead(spark, tableDir, version)
@@ -4154,12 +4216,13 @@ object Snapshots {
       schema(key).copy(nullable = true) +: specs.map(_.out))
     // one sorted single-partition RDD per bucket (the join's shape)
     val sink = resetAlignedPlans()
-    val byBucket = m.files.groupBy(m.buckets)
+    val (winFiles, rowF) = alignedWindow(m, tableDir, schema, ranges)
+    val byBucket = winFiles.groupBy(m.buckets)
     val perBucket = alignedBucketUnion(spark, n) { b =>
       byBucket.get(b).map(files =>
         // key-ordered read — sorted layouts skip the in-task sort
         bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-          dropNullKeys = false, sink))
+          dropNullKeys = false, sink, rowF))
     }
     val aggregated = perBucket.mapPartitions(
       streamingGroupFold(schema.fieldIndex(key), keyType, specs, outSchema))
@@ -4197,7 +4260,9 @@ object Snapshots {
                                  leftKey: String, rightKey: String,
                                  aggs: Seq[(String, String, String)],
                                  leftVersion: Option[Long] = None,
-                                 rightVersion: Option[Long] = None)
+                                 rightVersion: Option[Long] = None,
+                                 leftRanges: Seq[(String, Any, Any)] = Nil,
+                                 rightRanges: Seq[(String, Any, Any)] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.types._
     // the join RESETS and records the per-bucket plans; the fold adds
@@ -4205,7 +4270,8 @@ object Snapshots {
     // whole fused pipeline
     val joined = bucketAlignedJoin(spark, leftDir, rightDir,
       leftKey, rightKey, leftVersion, rightVersion,
-      joinType = "inner", strategy = "merge")
+      joinType = "inner", strategy = "merge",
+      leftRanges = leftRanges, rightRanges = rightRanges)
     val jSchema = joined.schema
     val dup = jSchema.fieldNames.groupBy(identity)
       .filter(_._2.length > 1).keySet
@@ -4246,7 +4312,9 @@ object Snapshots {
     */
   def bucketAlignedLatest(spark: SparkSession, tableDir: String,
                           orderCol: String,
-                          version: Option[Long] = None): DataFrame = {
+                          version: Option[Long] = None,
+                          ranges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     val m = resolveForRead(spark, tableDir, version)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -4272,11 +4340,12 @@ object Snapshots {
         .isOrderable(ot),
       s"order column '$orderCol' of type ${ot.simpleString} is not orderable")
     val sink = resetAlignedPlans()
-    val byBucket = m.files.groupBy(m.buckets)
+    val (winFiles, rowF) = alignedWindow(m, tableDir, schema, ranges)
+    val byBucket = winFiles.groupBy(m.buckets)
     val perBucket = alignedBucketUnion(spark, n) { b =>
       byBucket.get(b).map(files =>
         bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-          dropNullKeys = true, sink))
+          dropNullKeys = true, sink, rowF))
     }
     val kIdx = schema.fieldIndex(key)
     val oIdx = schema.fieldIndex(orderCol)
@@ -4375,7 +4444,10 @@ object Snapshots {
                         direction: String = "backward",
                         tolerance: Option[Long] = None,
                         leftVersion: Option[Long] = None,
-                        rightVersion: Option[Long] = None): DataFrame = {
+                        rightVersion: Option[Long] = None,
+                        leftRanges: Seq[(String, Any, Any)] = Nil,
+                        rightRanges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     val jt = joinType.toLowerCase.replace("_", "") match {
       case "left" | "leftouter" => "leftouter"
@@ -4470,19 +4542,21 @@ object Snapshots {
     val outSchema = StructType(outFields)
     def sideRdd(dir: String, m: Manifest,
                 schema: StructType, key: String, time: String, n: Int,
-                dropNullKeys: Boolean): org.apache.spark.rdd.RDD[
+                dropNullKeys: Boolean,
+                ranges: Seq[(String, Any, Any)]): org.apache.spark.rdd.RDD[
                   org.apache.spark.sql.catalyst.InternalRow] = {
-      val byBucket = m.files.groupBy(m.buckets)
+      val (winFiles, rowF) = alignedWindow(m, dir, schema, ranges)
+      val byBucket = winFiles.groupBy(m.buckets)
       alignedBucketUnion(spark, n) { b =>
         byBucket.get(b).map(files =>
           bucketOrderedRdd(spark, dir, m, schema, Seq(key, time), files,
-            dropNullKeys, sink))
+            dropNullKeys, sink, rowF))
       }
     }
     val left = sideRdd(leftDir, lm, lSchema, leftKey, leftTime, ln,
-      dropNullKeys = jt == "inner")
+      dropNullKeys = jt == "inner", leftRanges)
     val right = sideRdd(rightDir, rm, rSchema, rightKey, rightTime, rn,
-      dropNullKeys = true)
+      dropNullKeys = true, rightRanges)
     val lIdxK = lSchema.fieldIndex(leftKey)
     val lIdxT = lSchema.fieldIndex(leftTime)
     val rIdxT = rSchema.fieldIndex(rightTime)
@@ -4630,7 +4704,9 @@ object Snapshots {
   def bucketAlignedRunning(spark: SparkSession, tableDir: String,
                            orderCol: String,
                            aggs: Seq[(String, String, String)],
-                           version: Option[Long] = None): DataFrame = {
+                           version: Option[Long] = None,
+                           ranges: Seq[(String, Any, Any)] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     val m = resolveForRead(spark, tableDir, version)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -4659,11 +4735,12 @@ object Snapshots {
       s"agg alias '${sp.out.name}' shadows a table column"))
     val outSchema = StructType(schema.fields ++ specs.map(_.out))
     val sink = resetAlignedPlans()
-    val byBucket = m.files.groupBy(m.buckets)
+    val (winFiles, rowF) = alignedWindow(m, tableDir, schema, ranges)
+    val byBucket = winFiles.groupBy(m.buckets)
     val perBucket = alignedBucketUnion(spark, n) { b =>
       byBucket.get(b).map(files =>
         bucketOrderedRdd(spark, tableDir, m, schema, Seq(key, orderCol),
-          files, dropNullKeys = false, sink))
+          files, dropNullKeys = false, sink, rowF))
     }
     val kIdx = schema.fieldIndex(key)
     val oIdx = schema.fieldIndex(orderCol)

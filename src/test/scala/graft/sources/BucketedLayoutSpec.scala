@@ -1490,4 +1490,107 @@ class BucketedLayoutSpec extends SparkSpec {
         Seq(("sum", "v", "rs")))
     }
   }
+
+  test("range-windowed aligned reads (r16): ranges prune files AND " +
+    "filter rows — parity with the planner over the filtered read, " +
+    "pruning witnessed on the execution, mid-slice bounds stay exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = freshDir()
+    // three time-sliced sorted-bucketed commits with t footer stats:
+    // each bucket holds one file per slice with a TIGHT t range —
+    // the shape a streaming feature store accretes
+    def slab(lo: Int, hi: Int) = (lo until hi).reverse.map { i =>
+      (s"g-${i % 7}", i.toLong, (i * 3).toLong)
+    }.toDF("k", "t", "v").coalesce(1)
+    Seq((0, 200), (200, 400), (400, 600)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        Snapshots.commit(slab(lo, hi), dir,
+          if (i == 0) "overwrite" else "append",
+          bucketBy = Some(("k", 4)), sortBuckets = true,
+          sortAlso = Seq("t"), statsColumns = Seq("t"))
+    }
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    val total = m.files.size
+    // MID-SLICE bounds: file stats keep slice 1 (0..199 overlaps
+    // t>=150) and slice 2 whole; slice 3 (400..599) prunes away; the
+    // row filter inside slice 1's scan keeps the semantics exact
+    val ranges = Seq(("t", 150L.asInstanceOf[Any], 390L.asInstanceOf[Any]))
+    val win = col("t") >= 150L && col("t") <= 390L
+    val filtered = Snapshots.readVersion(spark, dir).filter(win)
+
+    // aggregate
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir,
+      Seq(("count", "*", "n"), ("sum", "v", "sv")), ranges = ranges)
+    assert(Snapshots.alignedShuffleFree(agg) && Snapshots.alignedSortFree(agg))
+    assert(Snapshots.alignedPlanCount() > 0 &&
+      Snapshots.alignedPlanCount() < total,
+      "the window must skip slice-3 files (fewer per-file plans than files)")
+    val expAgg = filtered.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(agg.exceptAll(expAgg).isEmpty && expAgg.exceptAll(agg).isEmpty,
+      "windowed aggregate parity")
+
+    // running window
+    val run = Snapshots.bucketAlignedRunning(spark, dir, "t",
+      Seq(("sum", "v", "rs")), ranges = ranges)
+    assert(Snapshots.alignedPlanCount() < total)
+    val w = Window.partitionBy("k").orderBy(asc_nulls_first("t"))
+    val expRun = filtered.withColumn("rs", sum("v").over(w))
+    assert(run.exceptAll(expRun).isEmpty && expRun.exceptAll(run).isEmpty,
+      "windowed running parity")
+
+    // latest-by-key
+    val latest = Snapshots.bucketAlignedLatest(spark, dir, "t",
+      ranges = ranges)
+    val wl = Window.partitionBy("k").orderBy(col("t").desc_nulls_last)
+    val expLatest = filtered.withColumn("__rn", row_number().over(wl))
+      .filter(col("__rn") === 1).drop("__rn")
+    assert(latest.exceptAll(expLatest).isEmpty &&
+      expLatest.exceptAll(latest).isEmpty, "windowed latest parity")
+
+    // join + as-of against a second windowed table
+    val rhs = freshDir()
+    Seq((0, 300), (300, 600)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      Snapshots.commit(
+        (lo until hi).map(j => (s"g-${j % 7}", j.toLong, s"r-$j"))
+          .toDF("rk", "rt", "rv").coalesce(1),
+        rhs, if (i == 0) "overwrite" else "append",
+        bucketBy = Some(("rk", 4)), sortBuckets = true,
+        sortAlso = Seq("rt"), statsColumns = Seq("rt"))
+    }
+    val rRanges = Seq(("rt", 0L.asInstanceOf[Any], 250L.asInstanceOf[Any]))
+    val rwin = col("rt") >= 0L && col("rt") <= 250L
+    val rFiltered = Snapshots.readVersion(spark, rhs).filter(rwin)
+    val joined = Snapshots.bucketAlignedJoin(spark, dir, rhs, "k", "rk",
+      leftRanges = ranges, rightRanges = rRanges)
+    assert(Snapshots.alignedShuffleFree(joined))
+    val expJoin = filtered.join(rFiltered, col("k") === col("rk"))
+    assert(joined.exceptAll(expJoin).isEmpty &&
+      expJoin.exceptAll(joined).isEmpty, "windowed join parity")
+    val asof = Snapshots.bucketAlignedAsof(spark, dir, rhs,
+      "k", "rk", "t", "rt", leftRanges = ranges, rightRanges = rRanges)
+    assert(Snapshots.alignedShuffleFree(asof) &&
+      Snapshots.alignedSortFree(asof))
+    val candA = filtered.join(rFiltered,
+      col("k") === col("rk") && col("rt") <= col("t"), "left")
+    val wa = Window.partitionBy("k", "t", "v")
+      .orderBy(col("rt").desc_nulls_last)
+    val expAsof = candA.withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1).drop("__rn", "rk")
+    assert(asof.exceptAll(expAsof).isEmpty &&
+      expAsof.exceptAll(asof).isEmpty, "windowed as-of parity")
+
+    // refusals: unknown range column; a missing bound
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), ranges = Seq(("nope", 1L, 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), ranges = Seq(("t", null, 2L)))
+    }
+  }
 }
