@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // name-based graft catalog tables resolve onto the V1 relation
     // (same scan/pruning/DML surface as path-based access)
     ext.injectResolutionRule(graft.plans.GraftCatalogRules.V2ToV1.apply)
+    // graft⋈graft equi-joins on matching bucket layouts execute as
+    // the zero-Exchange storage-partitioned join — SQL reaches the
+    // aligned path (disable: graft.sql.alignedJoin.enabled=false)
+    ext.injectOptimizerRule(graft.plans.AlignedJoin.apply)
   }
 }

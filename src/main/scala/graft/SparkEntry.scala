@@ -169,6 +169,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u62ForwardAsof _),
     "u63_windowed_asof" ->
       (graft.sources.DemoFixtures.u63WindowedAsof _),
+    "u64_sql_aligned_join" ->
+      (graft.sources.DemoFixtures.u64SqlAlignedJoin _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1331,6 +1333,19 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |LEFT JOIN m ON m.purchase_id = p.purchase_id
         |LEFT JOIN c ON c.ruid = p.user_id AND c.click_ts = m.mct
         |ORDER BY 1""".stripMargin,
+    // u64 oracle: u51's storage-partitioned join replayed through
+    // PURE SQL (the catalog tables + the AlignedJoin rewrite rule) —
+    // relationally it is exactly the lineitem⋈orders rollup.
+    // sql_aligned_ok = 1 pins that the rule fired (no join operator
+    // in the executed plan), the per-bucket inner plans are
+    // exchange-free, and a disabled-rule rerun returns identical rows.
+    "u64_sql_aligned_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS sql_aligned_ok
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

@@ -1748,6 +1748,67 @@ object DemoFixtures {
       tolerance = Some(48L * 3600L * 1000000L), // 48 hours in µs
       okCol = "fwd_ok")
 
+  /** Demo + oracle entry (`u64_sql_aligned_join`): u51's storage-
+    * partitioned join reached from PURE SQL (VERDICT r15 task #3) —
+    * the two bucket-clustered tables live in the demo catalog and the
+    * query is an ordinary `SELECT ... FROM a JOIN b ON a.k = b.k
+    * GROUP BY ...`; the [[graft.plans.AlignedJoin]] optimizer rule
+    * recognizes the matching bucket layouts and replaces the planner's
+    * shuffled join with the zero-Exchange per-bucket zip. Witness
+    * `sql_aligned_ok` folds THREE facts: the executed plan carries no
+    * join operator at all (the rule fired — a planner join would
+    * print SortMergeJoin/BroadcastHashJoin), the shuffle witness over
+    * outer + per-bucket inner plans is clean for the join itself, and
+    * a disabled-rule rerun (`graft.sql.alignedJoin.enabled=false`)
+    * returns identical rows through the planner's join (the rewrite
+    * is strategy-only, never semantics).
+    */
+  def u64SqlAlignedJoin(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.li8")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.ord8")
+    Snapshots.cloneShallow(s, bucketedLineitem8(s, d), s"$wh/db/li8")
+    val ord = graft.TempDirs.create("graft-sqlspj-orders")
+    Snapshots.commit(graft.Tables.orders(s, d), ord, "overwrite",
+      bucketBy = Some(("o_orderkey", 8)))
+    Snapshots.cloneShallow(s, ord, s"$wh/db/ord8")
+    val sql =
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM graft_demo.db.li8 JOIN graft_demo.db.ord8
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin
+    val joined = s.sql(sql)
+    // force planning NOW on this thread: the rule records the
+    // per-bucket plans during optimization, and the shuffle witness
+    // must not see a later build's recording. The final aggregate
+    // above the rewritten join shuffles its GROUPED rows (tiny) —
+    // the witness claim is about the JOIN, so it checks the inner
+    // per-bucket plans plus the absence of any join operator
+    val planStr = joined.queryExecution.executedPlan.toString
+    val ruleFired = !planStr.contains("Join")
+    val innerShuffleFree = Snapshots.alignedInnerShuffleFree()
+    // parity leg: the ALIGNED rows must be collected while the rule
+    // is still on (lazy frames re-optimize per execution — comparing
+    // two frames inside the off-window would compare the planner
+    // with itself); the grouped result is status-cardinality small
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val alignedRows = rows(joined)
+    val plannerRows = try {
+      s.conf.set("graft.sql.alignedJoin.enabled", "false")
+      rows(s.sql(sql))
+    } finally s.conf.set("graft.sql.alignedJoin.enabled", "true")
+    val ok = if (ruleFired && innerShuffleFree &&
+      alignedRows == plannerRows) 1 else 0
+    joined.withColumn("sql_aligned_ok", lit(ok).cast("int"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Demo + oracle entry (`u63_windowed_asof`): the RANGE-WINDOWED
     * as-of join (VERDICT r15 task #2) — the query every real
     * feature-store lookup carries: purchases IN A TIME WINDOW matched

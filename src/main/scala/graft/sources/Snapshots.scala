@@ -3259,6 +3259,20 @@ object Snapshots {
     */
   def alignedPlanCount(): Int = recordedPlans().size
 
+  /** The shuffle witness over ONLY the recorded per-bucket inner
+    * plans of the last aligned build on this thread — for callers
+    * whose OUTER plan legitimately shuffles ABOVE the aligned
+    * operator (a SQL aggregate over the rewritten join, u64): the
+    * zero-shuffle claim is about the join's own execution, and the
+    * grouped rows above it are result-sized. Same thread /
+    * build-window contract as [[alignedShuffleFree]].
+    */
+  def alignedInnerShuffleFree(): Boolean = {
+    val shuffle = java.util.regex.Pattern.compile("\\bExchange\\b")
+    val plans = recordedPlans()
+    plans.nonEmpty && plans.forall(p => !shuffle.matcher(p).find())
+  }
+
   /** A sorted marker's column list ([[Manifest.sortedFiles]] values
     * are comma-joined; sort columns are refused commas at write
     * time, so the split is exact).

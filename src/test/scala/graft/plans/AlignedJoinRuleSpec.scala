@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** The SQL→storage-partitioned-join rewrite ([[AlignedJoin]], VERDICT
+  * r15 task #3): fires exactly when both sides of a bare inner
+  * equi-join are graft relations bucket-clustered on the join keys
+  * with one modulus — and NEVER otherwise. Every leg checks rows
+  * against the planner's own join, because the rewrite's contract is
+  * strategy-only.
+  */
+class AlignedJoinRuleSpec extends SparkSpec {
+
+  private def freshDir(): String = graft.TempDirs.create("graft-sqlspj")
+
+  private def commitBucketed(dir: String, n: Int, rows: Int,
+                             key: String, tag: String): Unit = {
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(
+      (0 until rows).map(i => (i.toLong % 97, s"$tag-$i")).toDF(key, s"v_$tag"),
+      dir, "overwrite", bucketBy = Some((key, n)))
+  }
+
+  private def graftView(dir: String, name: String): Unit =
+    spark.read.format("graft").load(dir).createOrReplaceTempView(name)
+
+  test("fires on matching layouts: no join operator in the plan, rows " +
+    "equal the planner's join, pruned SELECT lists still fire") {
+    val l = freshDir(); val r = freshDir()
+    commitBucketed(l, 4, 500, "k", "l")
+    commitBucketed(r, 4, 300, "rk", "r")
+    graftView(l, "sqlspj_l"); graftView(r, "sqlspj_r")
+    val sql = "SELECT * FROM sqlspj_l JOIN sqlspj_r ON k = rk"
+    val joined = spark.sql(sql)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"rule must fire on the bare join:\n$plan")
+    assert(Snapshots.alignedInnerShuffleFree())
+    val expected = try {
+      spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+      val e = spark.sql(sql)
+      assert(e.queryExecution.executedPlan.toString.contains("Join"),
+        "the disable switch must restore the planner's join")
+      e.collect().toSeq
+    } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+    val got = joined.collect().toSeq
+    assert(got.map(_.toString).sorted === expected.map(_.toString).sorted)
+    // a PRUNED select list (ColumnPruning's Project under the join)
+    // still fires and stays pruned-correct
+    val pruned = spark.sql(
+      "SELECT v_l, v_r FROM sqlspj_l JOIN sqlspj_r ON k = rk")
+    assert(!pruned.queryExecution.executedPlan.toString.contains("Join"))
+    val expPruned = expected.map(row =>
+      (row.getString(1), row.getString(3))).sorted
+    assert(pruned.collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq.sorted === expPruned)
+    // an aggregate over the join fires too — the exchange above the
+    // rewritten join moves grouped rows only
+    val agg = spark.sql(
+      "SELECT k, COUNT(*) AS n FROM sqlspj_l JOIN sqlspj_r ON k = rk " +
+        "GROUP BY k")
+    assert(!agg.queryExecution.executedPlan.toString.contains("Join"))
+    val expAgg = try {
+      spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+      spark.sql("SELECT k, COUNT(*) AS n FROM sqlspj_l JOIN sqlspj_r " +
+        "ON k = rk GROUP BY k").collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+    assert(agg.collect().map(_.toString).sorted.toSeq === expAgg)
+  }
+
+  test("never fires when preconditions fail: mismatched modulus, " +
+    "unclustered files, non-key equality, outer joins, filtered sides") {
+    val l = freshDir(); val r4 = freshDir(); val r8 = freshDir()
+    commitBucketed(l, 4, 200, "k", "l")
+    commitBucketed(r4, 4, 200, "rk", "r")
+    commitBucketed(r8, 8, 200, "rk", "r")
+    graftView(l, "spjn_l"); graftView(r4, "spjn_r4"); graftView(r8, "spjn_r8")
+    def firedOn(sql: String): Boolean =
+      !spark.sql(sql).queryExecution.executedPlan.toString.contains("Join")
+    // modulus mismatch → planner join
+    assert(!firedOn("SELECT * FROM spjn_l JOIN spjn_r8 ON k = rk"))
+    // outer join → planner join (the rule is inner-only)
+    assert(!firedOn("SELECT * FROM spjn_l LEFT JOIN spjn_r4 ON k = rk"))
+    // equality on a NON-bucket column → planner join
+    assert(!firedOn("SELECT * FROM spjn_l JOIN spjn_r4 ON v_l = v_r"))
+    // a filtered side → planner join (the rule serves bare relations)
+    assert(!firedOn("SELECT * FROM (SELECT * FROM spjn_l WHERE k > 5) t " +
+      "JOIN spjn_r4 ON k = rk"))
+    // an unclustered tail on one side → planner join
+    val s = spark
+    import s.implicits._
+    Snapshots.commit(Seq((1000L, "tail")).toDF("rk", "v_r"), r4, "append")
+    graftView(r4, "spjn_r4t")
+    assert(!firedOn("SELECT * FROM spjn_l JOIN spjn_r4t ON k = rk"))
+    // and in every refused case the planner's answer still serves
+    assert(spark.sql("SELECT COUNT(*) FROM spjn_l JOIN spjn_r8 ON k = rk")
+      .head().getLong(0) > 0)
+  }
+}
