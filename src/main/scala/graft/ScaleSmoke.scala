@@ -189,7 +189,16 @@ object ScaleSmoke {
       "u60_aligned_asof", "u61_running_window",
       // u62 = forward as-of with tolerance (same fixture shape as
       // u60; the bounded-window walk holds the same O(1) state)
-      "u62_forward_asof")
+      "u62_forward_asof",
+      // round-16: u63 = range-windowed as-of (the six date-sliced
+      // sorted commits are the linear parts; the windowed join reads
+      // ONLY the overlapping slices per bucket — the out-of-window
+      // slices' share of the scan is pruned away, so the join leg
+      // tracks the window, not the table), u64 = the SQL-reached
+      // storage-partitioned join (the two bucketed commits + clones
+      // are the linear parts; the rewritten join moves zero network
+      // bytes — same zip as u51, reached from SQL)
+      "u63_windowed_asof", "u64_sql_aligned_join")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

@@ -143,14 +143,15 @@ private[sources] class GraftStreamSource(
 private[sources] class GraftStreamSink(
     tableDir: String, appId: String,
     bucketBy: Option[(String, Int)], bloomColumns: Seq[String],
-    partitionBy: Seq[String])
+    partitionBy: Seq[String],
+    sortBuckets: Boolean = false, sortAlso: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
                         data: org.apache.spark.sql.DataFrame): Unit = {
     val batch = Bridge.batchFrom(data)
     Snapshots.exactlyOnceSink(tableDir, appId, bucketBy, bloomColumns,
-      partitionBy)(batch, batchId)
+      partitionBy, sortBuckets, sortAlso)(batch, batchId)
   }
 
   override def name(): String = s"graft-sink[$tableDir]"

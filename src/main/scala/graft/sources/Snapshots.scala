@@ -1724,18 +1724,16 @@ object Snapshots {
     val segSetB = spark.sparkContext.broadcast(segV.toSet)
     val tombsB = spark.sparkContext.broadcast(tombsV)
     val ws = withStats
-    // the checkpoint does not transcribe sort markers (they arrived
-    // later and serve reads through the manifest path) — a
-    // checkpoint-covered file's marker is recovered from its OWN
-    // segment only when the caller folds it, so None here is safe:
-    // markers are per-file metadata that dies with a rewrite anyway,
-    // and untouched files keep theirs through the carried segment
+    // sortedBy rides verbatim (PHYSICAL vocabulary, like the tail's
+    // segment entries — consumers translate at their read version);
+    // pre-r16 checkpoints surface it as None, costing only the
+    // skip-sort shortcut, never correctness
     val fromCkpt = ckptDataset(spark, ck, withBlooms = false)
       .filter { r: CkptFile => r.seg.exists(rel =>
           segSetB.value.contains(rel) &&
             !tombsB.value.contains((rel, r.file))) && pred(r) }
       .map { r: CkptFile => LiveEntry(r.file, r.seg.get, r.bucket,
-        r.rows, r.bytes, None,
+        r.rows, r.bytes, r.sortedBy,
         if (ws) r.stats.keys.toSeq.sorted else Nil) }(
         org.apache.spark.sql.Encoders.product[LiveEntry])
       .collect().toSeq
@@ -1923,7 +1921,8 @@ object Snapshots {
                             stats: Map[String, CkptStat],
                             nulls: Map[String, Long],
                             seg: Option[String] = None,
-                            blooms: Map[String, CkptBloom] = Map.empty)
+                            blooms: Map[String, CkptBloom] = Map.empty,
+                            sortedBy: Option[String] = None)
 
   /** The light half of [[readManifest]]: manifest-file lines ONLY —
     * segment refs in order, tombstones, the column mapping, retired
@@ -2075,7 +2074,7 @@ object Snapshots {
                   c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }
                 .toMap
               CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
-                e.nulls.toMap, Some(rel), bl)
+                e.nulls.toMap, Some(rel), bl, e.sortedBy)
             }
         }.toDS()
     val ds =
@@ -2784,9 +2783,16 @@ object Snapshots {
     import spark.implicits._
     import org.apache.spark.sql.functions.typedlit
     val raw = spark.read.parquet(ck.toString)
-    val framed =
+    val framed0 =
       if (withBlooms && raw.columns.contains("blooms")) raw
       else raw.withColumn("blooms", typedlit(Map.empty[String, CkptBloom]))
+    // checkpoints written before sort-marker transcription (r16) lack
+    // the column — their files read as unsorted, which only costs the
+    // skip-sort shortcut, never correctness
+    val framed =
+      if (framed0.columns.contains("sortedBy")) framed0
+      else framed0.withColumn("sortedBy",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
     framed.as[CkptFile]
   }
 
@@ -3188,6 +3194,18 @@ object Snapshots {
       build: Int => Option[org.apache.spark.rdd.RDD[
         org.apache.spark.sql.catalyst.InternalRow]])
       : org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow] =
+    alignedUnion(spark, (0 until n).map(b => () => build(b)))
+
+  /** The concurrent-build union under every aligned operator: each
+    * thunk plans one task's scan on the bounded pool; `None` thunks
+    * become explicit one-empty-partition RDDs so positional alignment
+    * (the join's zip contract: partition i IS bucket i) never slips.
+    */
+  private def alignedUnion(spark: SparkSession,
+      builds: Seq[() => Option[org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]]])
+      : org.apache.spark.rdd.RDD[
           org.apache.spark.sql.catalyst.InternalRow] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -3196,19 +3214,62 @@ object Snapshots {
     // ADVICE r15): planning a bucket is seconds at worst, so an hour
     // only ever fires on a genuinely hung filesystem call — and then
     // a loud diagnostic beats a silently wedged driver thread
-    val perBucket = try Await.result(
-      Future.sequence((0 until n).toVector.map(b => Future(build(b)))),
+    val perTask = try Await.result(
+      Future.sequence(builds.toVector.map(b => Future(b()))),
       1.hour)
     catch { case e: java.util.concurrent.TimeoutException =>
       throw new IllegalStateException(
-        s"aligned per-bucket plan construction ($n buckets) did not " +
+        s"aligned plan construction (${builds.size} tasks) did not " +
           "complete within 1 hour — a filesystem call is likely hung", e)
     }
-    spark.sparkContext.union(perBucket.map {
+    spark.sparkContext.union(perTask.map {
       case Some(rdd) => rdd
       case None => spark.sparkContext.parallelize(
         Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
     })
+  }
+
+  /** Sub-bucket parallelism for the FOLD operators (VERDICT r15 task
+    * #4): with `graft.aligned.splitBucketBytes = B > 0`, a bucket
+    * whose ledger bytes exceed B plans ⌈bytes/B⌉ (≤ 32) tasks instead
+    * of one straggler. The split is KEY-DISJOINT, not file-wise: every
+    * sub-task scans the bucket's files but keeps only the keys whose
+    * `pmod(xxhash64(key), k)` equals its index, so each sub-task folds
+    * COMPLETE groups — final results, nothing partial to merge, zero
+    * Exchange, and NULL keys (xxhash64 of NULL is the seed) land whole
+    * in one sub-task. The price is deliberate and bounded: the
+    * oversized bucket's bytes are scanned k times — for the
+    * sort/fold-dominated shapes this trades bounded re-read for
+    * eliminating the one task AQE cannot split (storage-aligned tasks
+    * are invisible to skew-join handling). Joins/as-of/running stay
+    * single-task per bucket: their semantics need the whole key
+    * stream in one ordered pass. Off by default — plans are unchanged
+    * unless the operator is told the budget.
+    */
+  private def subBucketSplits(spark: SparkSession, m: Manifest,
+                              files: Seq[String]): Int = {
+    val budget = spark.conf.getOption("graft.aligned.splitBucketBytes")
+      .map(_.toLong).getOrElse(0L)
+    if (budget <= 0) 1
+    else {
+      val bytes = files.iterator.map(f => m.fileBytes.getOrElse(f, 0L)).sum
+      math.min(32L, math.max(1L, (bytes + budget - 1) / budget)).toInt
+    }
+  }
+
+  /** The complementary key filter of sub-task `i` of `k` (AND-ed onto
+    * any range-window row filter) — [[subBucketSplits]]'s other half.
+    */
+  private def subBucketFilter(key: String, i: Int, k: Int,
+      rowF: Option[org.apache.spark.sql.Column])
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    if (k == 1) rowF
+    else {
+      val pred =
+        pmod(xxhash64(col(s"`$key`")), lit(k.toLong)).cast("int") === lit(i)
+      Some(rowF.fold(pred)(_ && pred))
+    }
   }
 
   /** The witness behind every "zero shuffle" claim the aligned
@@ -3563,6 +3624,77 @@ object Snapshots {
     (pruneFiles(m, ranges), Some(pred))
   }
 
+  /** Checkpoint-planned resolve for the aligned family (VERDICT r15
+    * task #7): when a servable metadata checkpoint covers the read
+    * version, the per-bucket file lists are planned BY A SPARK JOB
+    * over the checkpoint plus the cached tail — the driver never runs
+    * the full manifest parse that materializes every file's
+    * stat/bloom/sketch payloads (~KB/file; the planning row is ~100
+    * bytes). The job also applies the range window's file pruning
+    * (the same [[FileStat.overlaps]] verdicts [[pruneFiles]] renders,
+    * against the segments' physical stat keys), so with a window only
+    * O(window) file names reach the driver. Returns a PLANNING
+    * manifest: the thin version-level metadata plus per-file
+    * bucket/rows/bytes/sorted-marker maps for exactly the surviving
+    * files — every downstream aligned consumer (ordered reads,
+    * skip-sort eligibility, sub-bucket splits, the all-clustered
+    * refusal) reads it like the eager manifest. Unclustered live
+    * files are collected REGARDLESS of the window (the operators'
+    * refusal must see them exactly as the eager path does). Falls
+    * back to the eager [[resolveForRead]] when no checkpoint covers
+    * the version, the manifest carries legacy inline lines, or
+    * `graft.aligned.checkpointPlan.enabled = false`.
+    */
+  private def resolveAlignedRead(spark: SparkSession, tableDir: String,
+                                 version: Option[Long],
+                                 ranges: Seq[(String, Any, Any)])
+      : Manifest = {
+    val enabled = spark.conf
+      .getOption("graft.aligned.checkpointPlan.enabled")
+      .forall(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) return resolveForRead(spark, tableDir, version)
+    val f = fs(spark, tableDir)
+    val thin = resolveForReadThin(spark, tableDir, version)
+    if (newestCheckpointAtOrBefore(f, tableDir, thin.version).isEmpty)
+      return resolveForRead(spark, tableDir, version)
+    // only well-formed comparable ranges prune here; a malformed range
+    // (unknown column, missing bound) is [[alignedWindow]]'s loud
+    // refusal, which still runs on the planning manifest
+    val schema = thin.schema.getOrElse(
+      return resolveForRead(spark, tableDir, version))
+    val physRanges = ranges.collect {
+      case (c, lo, hi) if schema.fieldNames.contains(c) &&
+          lo != null && hi != null &&
+          rangeStatsComparable(Some(schema(c).dataType), lo, hi) =>
+        (thin.physOf(c), lo, hi)
+    }
+    val pred: CkptFile => Boolean = { r =>
+      r.bucket.isEmpty || physRanges.forall { case (c, lo, hi) =>
+        r.stats.get(c).forall(s =>
+          FileStat(s.kind, s.min, s.max).overlaps(lo, hi)) }
+    }
+    liveEntriesCheckpointed(spark, tableDir, thin.version, pred) match {
+      case None => resolveForRead(spark, tableDir, version)
+      case Some(entries) =>
+        val retired = thin.retiredCols.toSet
+        val rev = thin.logicalOf
+        thin.copy(
+          files = entries.map(_.file),
+          buckets = entries.iterator
+            .flatMap(e => e.bucket.map(e.file -> _)).toMap,
+          fileRows = entries.iterator
+            .flatMap(e => e.rows.map(e.file -> _)).toMap,
+          fileBytes = entries.iterator
+            .flatMap(e => e.bytes.map(e.file -> _)).toMap,
+          // markers translate through the read version's mapping and
+          // retired set — the exact assembly [[parseManifest]] runs
+          sortedFiles = entries.iterator.flatMap(e =>
+            e.sortedBy.flatMap(v => truncateSortMarker(v,
+              retired.contains, c => rev.getOrElse(c, c))
+              .map(e.file -> _))).toMap)
+    }
+  }
+
   def bucketAlignedJoin(spark: SparkSession,
                         leftDir: String, rightDir: String,
                         leftKey: String, rightKey: String,
@@ -3586,8 +3718,8 @@ object Snapshots {
         s"unsupported joinType '$other' (inner, left_outer, left_semi, " +
           "left_anti; for right-ish joins swap the sides)")
     }
-    val lm = resolveForRead(spark, leftDir, leftVersion)
-    val rm = resolveForRead(spark, rightDir, rightVersion)
+    val lm = resolveAlignedRead(spark, leftDir, leftVersion, leftRanges)
+    val rm = resolveAlignedRead(spark, rightDir, rightVersion, rightRanges)
     def bucketsOf(m: Manifest, dir: String, key: String): Int = {
       val (bk, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"$dir is not bucket-clustered; bucketAlignedJoin needs the layout " +
@@ -4211,7 +4343,7 @@ object Snapshots {
       : DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
-    val m = resolveForRead(spark, tableDir, version)
+    val m = resolveAlignedRead(spark, tableDir, version, ranges)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$tableDir is not bucket-clustered; bucketAlignedAggregate groups " +
         "by the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
@@ -4228,16 +4360,27 @@ object Snapshots {
     val specs = resolveAggSpecs(schema, aggs)
     val outSchema = StructType(
       schema(key).copy(nullable = true) +: specs.map(_.out))
-    // one sorted single-partition RDD per bucket (the join's shape)
+    // one sorted single-partition RDD per bucket (the join's shape);
+    // an oversized bucket splits into key-disjoint sub-tasks
+    // ([[subBucketSplits]]) — each folds complete groups, so the
+    // union below is still final rows, never partials
     val sink = resetAlignedPlans()
     val (winFiles, rowF) = alignedWindow(m, tableDir, schema, ranges)
     val byBucket = winFiles.groupBy(m.buckets)
-    val perBucket = alignedBucketUnion(spark, n) { b =>
-      byBucket.get(b).map(files =>
-        // key-ordered read — sorted layouts skip the in-task sort
-        bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-          dropNullKeys = false, sink, rowF))
+    val tasks = (0 until n).flatMap { b =>
+      byBucket.get(b) match {
+        case None => Seq(() => Option.empty[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]])
+        case Some(files) =>
+          val k = subBucketSplits(spark, m, files)
+          (0 until k).map(i => () => Some(
+            // key-ordered read — sorted layouts skip the in-task sort
+            bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
+              dropNullKeys = false, sink,
+              subBucketFilter(key, i, k, rowF))))
+      }
     }
+    val perBucket = alignedUnion(spark, tasks)
     val aggregated = perBucket.mapPartitions(
       streamingGroupFold(schema.fieldIndex(key), keyType, specs, outSchema))
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
@@ -4330,7 +4473,7 @@ object Snapshots {
                           ranges: Seq[(String, Any, Any)] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.types._
-    val m = resolveForRead(spark, tableDir, version)
+    val m = resolveAlignedRead(spark, tableDir, version, ranges)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$tableDir is not bucket-clustered; bucketAlignedLatest keeps the " +
         "latest row per bucket key (bucketBy at commit, or CLUSTERED BY " +
@@ -4356,11 +4499,21 @@ object Snapshots {
     val sink = resetAlignedPlans()
     val (winFiles, rowF) = alignedWindow(m, tableDir, schema, ranges)
     val byBucket = winFiles.groupBy(m.buckets)
-    val perBucket = alignedBucketUnion(spark, n) { b =>
-      byBucket.get(b).map(files =>
-        bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
-          dropNullKeys = true, sink, rowF))
+    // latest-by-key folds per key too — an oversized bucket splits
+    // into key-disjoint sub-tasks exactly like the aggregate
+    val tasks = (0 until n).flatMap { b =>
+      byBucket.get(b) match {
+        case None => Seq(() => Option.empty[org.apache.spark.rdd.RDD[
+          org.apache.spark.sql.catalyst.InternalRow]])
+        case Some(files) =>
+          val k = subBucketSplits(spark, m, files)
+          (0 until k).map(i => () => Some(
+            bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
+              dropNullKeys = true, sink,
+              subBucketFilter(key, i, k, rowF))))
+      }
     }
+    val perBucket = alignedUnion(spark, tasks)
     val kIdx = schema.fieldIndex(key)
     val oIdx = schema.fieldIndex(orderCol)
     val kt = keyType
@@ -4487,8 +4640,8 @@ object Snapshots {
     tolerance.foreach(t => require(t >= 0L,
       s"tolerance must be ≥ 0, got $t"))
     val sink = resetAlignedPlans()
-    val lm = resolveForRead(spark, leftDir, leftVersion)
-    val rm = resolveForRead(spark, rightDir, rightVersion)
+    val lm = resolveAlignedRead(spark, leftDir, leftVersion, leftRanges)
+    val rm = resolveAlignedRead(spark, rightDir, rightVersion, rightRanges)
     def bucketsOf(m: Manifest, dir: String, key: String): Int = {
       val (bk, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"$dir is not bucket-clustered; bucketAlignedAsof needs the layout " +
@@ -4722,7 +4875,7 @@ object Snapshots {
                            ranges: Seq[(String, Any, Any)] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.types._
-    val m = resolveForRead(spark, tableDir, version)
+    val m = resolveAlignedRead(spark, tableDir, version, ranges)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$tableDir is not bucket-clustered; bucketAlignedRunning windows " +
         "over the bucket key (bucketBy at commit, or CLUSTERED BY in DDL)"))
@@ -7980,7 +8133,9 @@ object Snapshots {
   def exactlyOnceSink(tableDir: String, appId: String = "sink",
                       bucketBy: Option[(String, Int)] = None,
                       bloomColumns: Seq[String] = Nil,
-                      partitionBy: Seq[String] = Nil)
+                      partitionBy: Seq[String] = Nil,
+                      sortBuckets: Boolean = false,
+                      sortAlso: Seq[String] = Nil)
                      (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     var attempt = 0
@@ -8002,10 +8157,15 @@ object Snapshots {
         // lands: bucketBy clusters each micro-batch's files (matching
         // the table spec — point lookups stay pruned without waiting
         // for compactBucketed), bloomColumns indexes them (one agg
-        // over the batch's own files)
+        // over the batch's own files), sortBuckets/sortAlso order each
+        // batch's bucket files and record their markers (the aligned
+        // skip-sort paths serve the streamed table immediately — each
+        // bucket accretes one sorted file per batch, which the tree
+        // merge reads with zero Sort until compactSmall folds them)
         commit(batch, tableDir, "append", expectedVersion = Some(expected),
           txn = Some(appId -> batchId), bucketBy = bucketBy,
-          bloomColumns = bloomColumns, partitionBy = partitionBy)
+          bloomColumns = bloomColumns, partitionBy = partitionBy,
+          sortBuckets = sortBuckets, sortAlso = sortAlso)
         return
       } catch {
         case e: java.util.ConcurrentModificationException =>

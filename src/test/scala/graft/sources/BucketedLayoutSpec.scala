@@ -1593,4 +1593,156 @@ class BucketedLayoutSpec extends SparkSpec {
         Seq(("count", "*", "n")), ranges = Seq(("t", null, 2L)))
     }
   }
+
+  test("sub-bucket fold parallelism (r16): an oversized bucket plans " +
+    ">1 task, rows identical (NULL keys included), plans still " +
+    "Exchange-free; joins stay single-task per bucket") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    // skewed + NULL keys: the null group and heavy keys must land
+    // WHOLE in one sub-task each (key-disjoint split, no partials)
+    val df = (0 until 2000).map { i =>
+      (if (i % 23 == 0) null else s"k-${i % 11}", i.toLong)
+    }.toDF("k", "v").coalesce(1)
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 4)))
+    val aggs = Seq(("count", "*", "n"), ("sum", "v", "sv"))
+    val base = Snapshots.bucketAlignedAggregate(spark, dir, aggs)
+    assert(base.queryExecution.toRdd.getNumPartitions === 4)
+    val expect = base.collect().map(_.toString).sorted.toSeq
+    val m = Snapshots.readManifest(spark, dir, 0L)
+    // budget = half the biggest bucket's bytes → every non-empty
+    // bucket splits into ≥ 2 sub-tasks
+    val maxBucket = m.files.groupBy(m.buckets).values
+      .map(_.map(m.fileBytes).sum).max
+    try {
+      spark.conf.set("graft.aligned.splitBucketBytes",
+        (maxBucket / 2).toString)
+      val split = Snapshots.bucketAlignedAggregate(spark, dir, aggs)
+      assert(split.queryExecution.toRdd.getNumPartitions > 4,
+        "an oversized bucket must plan more than one task")
+      assert(Snapshots.alignedShuffleFree(split),
+        "the key-disjoint split must add no Exchange")
+      assert(split.collect().map(_.toString).sorted.toSeq === expect,
+        "split fold parity (final rows, never partials)")
+      // latest-by-key under the same budget
+      val latest = Snapshots.bucketAlignedLatest(spark, dir, "v")
+      assert(latest.queryExecution.toRdd.getNumPartitions > 4)
+      assert(Snapshots.alignedShuffleFree(latest))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy(col("v").desc_nulls_last)
+      val expLatest = Snapshots.readVersion(spark, dir)
+        .filter(col("k").isNotNull)
+        .withColumn("__rn", row_number().over(wl))
+        .filter(col("__rn") === 1).drop("__rn")
+      assert(latest.exceptAll(expLatest).isEmpty &&
+        expLatest.exceptAll(latest).isEmpty)
+      // the JOIN family ignores the budget — its semantics need the
+      // whole key stream per task
+      val rhs = freshDir()
+      Snapshots.commit(
+        (0 until 11).map(i => (s"k-$i", s"dim-$i")).toDF("rk", "dv")
+          .coalesce(1),
+        rhs, "overwrite", bucketBy = Some(("rk", 4)))
+      val joined = Snapshots.bucketAlignedJoin(spark, dir, rhs, "k", "rk")
+      assert(joined.queryExecution.toRdd.getNumPartitions === 4,
+        "joins must stay one task per bucket")
+    } finally spark.conf.unset("graft.aligned.splitBucketBytes")
+    // budget off again: plans revert to one task per bucket
+    val off = Snapshots.bucketAlignedAggregate(spark, dir, aggs)
+    assert(off.queryExecution.toRdd.getNumPartitions === 4)
+  }
+
+  test("checkpoint-planned aligned reads (r16): the planner consults " +
+    "only tail segments, decisions and rows equal the eager path " +
+    "through tombstones, windows and sorted markers") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dir = freshDir()
+    // sorted-bucketed slices with stats, a checkpoint mid-history, a
+    // TOMBSTONE after it (compactSmall folds the small slice), then a
+    // tail commit the checkpoint does not cover
+    def slab(lo: Int, hi: Int) = (lo until hi).reverse.map { i =>
+      (s"g-${i % 5}", i.toLong, (i * 7).toLong)
+    }.toDF("k", "t", "v").coalesce(1)
+    Snapshots.commit(slab(0, 400), dir, "overwrite",
+      bucketBy = Some(("k", 4)), sortBuckets = true, sortAlso = Seq("t"),
+      statsColumns = Seq("t"))
+    Snapshots.commit(slab(400, 420), dir, "append",
+      bucketBy = Some(("k", 4)), sortBuckets = true, sortAlso = Seq("t"),
+      statsColumns = Seq("t"))
+    Snapshots.writeMetadataCheckpoint(spark, dir)
+    // a masked delete + purge rewrites the first slice's files →
+    // tombstones against CHECKPOINTED segments; the purge keeps the
+    // bucket layout (writeLayout) but rightly drops the rewritten
+    // files' sorted markers on both paths
+    Snapshots.deleteWhere(spark, dir, col("t") < 10L)
+    Snapshots.purgeDeletes(spark, dir, statsColumns = Seq("t"))
+    Snapshots.commit(slab(420, 600), dir, "append",
+      bucketBy = Some(("k", 4)), sortBuckets = true, sortAlso = Seq("t"),
+      statsColumns = Seq("t"))
+    val v = Snapshots.latestVersion(spark, dir).get
+    val eager = Snapshots.readManifest(spark, dir, v)
+    val ranges = Seq(("t", 100L.asInstanceOf[Any], 500L.asInstanceOf[Any]))
+    val aggs = Seq(("count", "*", "n"), ("sum", "v", "sv"))
+
+    // the planner path consults ONLY segments outside the checkpoint
+    val ckSegs = {
+      // covered = segments the checkpoint transcribed = the segment
+      // list at checkpoint time; everything later is tail
+      val mCk = Snapshots.readManifest(spark, dir, 1L)
+      mCk.segments.toSet
+    }
+    val touched = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Snapshots.segmentTouchHook.set((rel: String) => { touched.add(rel); () })
+    val (got, gotWin) =
+      try {
+        val g = Snapshots.bucketAlignedAggregate(spark, dir, aggs)
+        val gw = Snapshots.bucketAlignedAggregate(spark, dir, aggs,
+          ranges = ranges)
+        (g.collect().map(_.toString).sorted.toSeq,
+          gw.collect().map(_.toString).sorted.toSeq)
+      } finally Snapshots.segmentTouchHook.set(null)
+    val touchedSet =
+      scala.jdk.CollectionConverters.SetHasAsScala(touched).asScala.toSet
+    assert(touchedSet.intersect(ckSegs).isEmpty,
+      s"checkpoint-planned aligned reads must not parse covered " +
+        s"segments: touched $touchedSet of covered $ckSegs")
+    // rows identical to the eager path (planning disabled)
+    val (expect, expectWin) = try {
+      spark.conf.set("graft.aligned.checkpointPlan.enabled", "false")
+      (Snapshots.bucketAlignedAggregate(spark, dir, aggs)
+        .collect().map(_.toString).sorted.toSeq,
+        Snapshots.bucketAlignedAggregate(spark, dir, aggs, ranges = ranges)
+          .collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.unset("graft.aligned.checkpointPlan.enabled")
+    assert(got === expect, "checkpoint-planned aggregate parity")
+    assert(gotWin === expectWin, "checkpoint-planned windowed parity")
+    // sorted markers survive the checkpoint transcription: the
+    // order-sensitive operator stays sort-free on the sorted files…
+    val run = Snapshots.bucketAlignedRunning(spark, dir, "t",
+      Seq(("sum", "v", "rs")),
+      ranges = Seq(("t", 420L.asInstanceOf[Any], 600L.asInstanceOf[Any])))
+    assert(Snapshots.alignedShuffleFree(run) &&
+      Snapshots.alignedSortFree(run),
+      "ckpt-planned sorted markers must serve the skip-sort path")
+    val w = Window.partitionBy("k").orderBy(asc_nulls_first("t"))
+    val expRun = Snapshots.readVersion(spark, dir)
+      .filter(col("t") >= 420L && col("t") <= 600L)
+      .withColumn("rs", sum("v").over(w))
+    assert(run.exceptAll(expRun).isEmpty && expRun.exceptAll(run).isEmpty)
+    // …and the planner's per-file maps equal the eager manifest's on
+    // the surviving files (decisions-identical, not just row-identical)
+    val planned = Snapshots.liveEntriesCheckpointed(spark, dir, v,
+      (_: Snapshots.CkptFile) => true).get
+    assert(planned.map(_.file).toSet === eager.files.toSet)
+    assert(planned.flatMap(e => e.bucket.map(e.file -> _)).toMap ===
+      eager.buckets)
+    assert(planned.flatMap(e => e.bytes.map(e.file -> _)).toMap ===
+      eager.fileBytes)
+    assert(planned.flatMap(e => e.sortedBy.map(e.file -> _)).toMap ===
+      eager.sortedFiles,
+      "transcribed sorted markers must equal the manifest assembly's")
+  }
 }

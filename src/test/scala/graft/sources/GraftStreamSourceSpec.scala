@@ -189,6 +189,69 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(rt.isStreaming)
   }
 
+  test("sink sortBuckets/sortAlso: streamed commits carry sorted " +
+    "markers and the aligned read over the streamed table is " +
+    "sort-free (r16)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = graft.TempDirs.create("gss-sorted-sink")
+    val ckpt = graft.TempDirs.create("gss-sorted-ckpt")
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("k", "t", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("bucketBy", "k:4")
+      .option("sortBuckets", "true")
+      .option("sortAlso", "t")
+      .outputMode("append")
+      .start(dir)
+    try {
+      // two micro-batches → each bucket accretes one sorted file per
+      // batch; arrival order is deliberately shuffled
+      input.addData((0L until 200L).reverse.map(i => (i % 13, i, i * 2)): _*)
+      q.processAllAvailable()
+      input.addData((200L until 400L).reverse.map(i => (i % 13, i, i * 2)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = Snapshots.readManifest(spark, dir,
+      Snapshots.latestVersion(spark, dir).get)
+    assert(m.files.nonEmpty && m.files.forall(m.buckets.contains),
+      "every streamed file must carry its bucket id")
+    assert(m.files.forall(r => m.sortedFiles.get(r).contains("k,t")),
+      s"every streamed file must carry the (k,t) sorted marker: " +
+        s"${m.sortedFiles}")
+    // the order-sensitive aligned operator streams the streamed table
+    // with ZERO Sort — no compactBucketed(sort) pass ever ran
+    val run = Snapshots.bucketAlignedRunning(spark, dir, "t",
+      Seq(("sum", "v", "rs")))
+    assert(Snapshots.alignedShuffleFree(run) &&
+      Snapshots.alignedSortFree(run),
+      "a sorted streaming sink must serve the skip-sort path directly")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(asc_nulls_first("t"))
+    val expect = Snapshots.readVersion(spark, dir)
+      .withColumn("rs", sum("v").over(w))
+    assert(run.exceptAll(expect).isEmpty && expect.exceptAll(run).isEmpty,
+      "streamed sorted layout parity")
+    // contract violations refuse at the first batch, loudly: sort
+    // without a bucket spec is a misuse (same rule as the batch writer)
+    val q2 = input.toDF().toDF("k", "t", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", graft.TempDirs.create("gss-bad-ckpt"))
+      .option("sortBuckets", "true")
+      .outputMode("append")
+      .start(graft.TempDirs.create("gss-bad-sink"))
+    try {
+      input.addData((400L, 400L, 800L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
+
   test("changeFeed mode survives a metadata-only commit (empty batch, no wedge)") {
     val dir = graft.TempDirs.create("gss-meta")
     val ckpt = graft.TempDirs.create("gss-meta-ckpt")
