@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the zero-Exchange storage-partitioned join — SQL reaches the
     // aligned path (disable: graft.sql.alignedJoin.enabled=false)
     ext.injectOptimizerRule(graft.plans.AlignedJoin.apply)
+    // GROUP BY the bucket key over a graft table executes as the
+    // zero-Exchange per-bucket streaming fold
+    // (disable: graft.sql.alignedAgg.enabled=false)
+    ext.injectOptimizerRule(graft.plans.AlignedAggregate.apply)
   }
 }

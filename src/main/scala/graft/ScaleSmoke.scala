@@ -198,7 +198,12 @@ object ScaleSmoke {
       // storage-partitioned join (the two bucketed commits + clones
       // are the linear parts; the rewritten join moves zero network
       // bytes — same zip as u51, reached from SQL)
-      "u63_windowed_asof", "u64_sql_aligned_join")
+      "u63_windowed_asof", "u64_sql_aligned_join",
+      // u65 = the SQL-reached aligned aggregation (the bucketed
+      // commit + clone are the linear parts; the rewritten GROUP BY
+      // streams each bucket once, and the parity protocol also runs
+      // the planner's own aggregate once by design)
+      "u65_sql_aligned_agg")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

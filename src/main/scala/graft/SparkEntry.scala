@@ -171,6 +171,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u63WindowedAsof _),
     "u64_sql_aligned_join" ->
       (graft.sources.DemoFixtures.u64SqlAlignedJoin _),
+    "u65_sql_aligned_agg" ->
+      (graft.sources.DemoFixtures.u65SqlAlignedAgg _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1346,6 +1348,20 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  1 AS sql_aligned_ok
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u65 oracle: u55's shuffle-free grouped aggregation replayed
+    // through PURE SQL (catalog table + the AlignedAggregate rewrite
+    // rule) — relationally the same per-customer rollup.
+    // sql_agg_ok = 1 pins that the rule fired (no aggregate/exchange
+    // in the plan), inner plans are exchange-free, and a
+    // disabled-rule rerun matches rows AND schema.
+    "u65_sql_aligned_agg" ->
+      """SELECT o_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+        |  1 AS sql_agg_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

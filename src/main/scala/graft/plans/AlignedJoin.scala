@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -26,9 +27,15 @@ import graft.sources.{GraftRelation, Snapshots}
   * is checkable and met, and leaves the plan untouched otherwise (the
   * planner's join is always correct, just shuffled):
   *  - both sides are graft relations, bare or under the pure
-  *    attribute-projection ColumnPruning inserts (a FILTERED side
-  *    belongs to the planner until the aligned family's range
-  *    windows are condition-matched here);
+  *    attribute-projection ColumnPruning inserts and/or DETERMINISTIC
+  *    subquery-free Filters (pushed-down WHERE conjuncts — the
+  *    windowed star-query shape). For an INNER join σ(A) ⋈ B ≡
+  *    σ(A ⋈ B), so the original Filter expressions are re-applied
+  *    ABOVE the replacement verbatim (same attributes — exactness
+  *    never depends on this rule understanding the predicate), while
+  *    any `BETWEEN`-shaped conjuncts additionally ride the aligned
+  *    join's range windows as SCAN REDUCERS (file pruning + an
+  *    inclusive-relaxed row filter the outer Filter then tightens);
   *  - the condition is a single `l.k = r.k` between attributes of the
   *    two sides, no join hint;
   *  - both manifests carry the bucket layout on the join keys with
@@ -43,30 +50,88 @@ import graft.sources.{GraftRelation, Snapshots}
   * query shuffling both tables and reading them in place: zero network
   * bytes for table data, one task per bucket.
   */
-case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.getOption("graft.sql.alignedJoin.enabled")
       .forall(_.trim.equalsIgnoreCase("true"))
 
-  /** A side the rewrite can serve: a bare graft relation, or one
-    * under a pure attribute-projection (what ColumnPruning inserts
-    * beneath a join when the SELECT list needs fewer columns — the
-    * aligned join reads the full schema either way; the surviving
-    * Project above the replacement re-prunes). Returns the relation
-    * and its FULL output attributes (the aligned join's exact column
-    * order).
+  /** One servable join side: the relation, its FULL output attributes
+    * (the aligned join's exact column order), and the Filter
+    * expressions peeled on the way down (re-applied above the
+    * replacement, mined for range windows).
     */
-  private def graftRel(p: LogicalPlan): Option[(GraftRelation, Seq[Attribute])] =
+  private final case class Side(g: GraftRelation, out: Seq[Attribute],
+                                filters: Seq[Expression])
+
+  /** A side the rewrite can serve: a bare graft relation, or one
+    * under pure attribute-projections (what ColumnPruning inserts
+    * beneath a join — the aligned join reads the full schema either
+    * way; the surviving Project above the replacement re-prunes)
+    * and/or deterministic, subquery-free Filters (pushed-down WHERE
+    * conjuncts, hoisted above the replacement — legal for INNER
+    * joins).
+    */
+  private def graftRel(p: LogicalPlan): Option[Side] =
     p match {
       case l @ LogicalRelation(g: GraftRelation, _, _, _, _)
           if l.output.map(_.name) == g.schema.fields.toSeq.map(_.name) =>
-        Some((g, l.output))
+        Some(Side(g, l.output, Nil))
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         graftRel(child)
+      case Filter(cond, child)
+          if cond.deterministic && !cond.containsPattern(
+            org.apache.spark.sql.catalyst.trees.TreePattern
+              .PLAN_EXPRESSION) =>
+        graftRel(child).map(s => s.copy(filters = cond +: s.filters))
       case _ => None
     }
+
+  /** `BETWEEN`-shaped range windows mined from a side's filter
+    * conjuncts — pure SCAN REDUCERS here (the original filter
+    * re-applies above, so a missed or relaxed conjunct only reads
+    * more, never answers differently): `c >= lit ∧ c <= lit` (strict
+    * comparisons relax inclusively) or `c = lit`; first bound per
+    * column wins; literals convert to their external form (the
+    * aligned window compares external values on both its legs).
+    */
+  private def extractRanges(filters: Seq[Expression])
+      : Seq[(String, Any, Any)] = {
+    val lo = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    val hi = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    def ext(l: Literal): Option[Any] =
+      Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
+    filters.flatMap(splitConjunctivePredicates).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).foreach(v => lo.getOrElseUpdate(a.name, v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        ext(l).foreach(v => lo.getOrElseUpdate(a.name, v))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).foreach(v => hi.getOrElseUpdate(a.name, v))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        ext(l).foreach(v => hi.getOrElseUpdate(a.name, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).foreach(v => hi.getOrElseUpdate(a.name, v))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        ext(l).foreach(v => hi.getOrElseUpdate(a.name, v))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).foreach(v => lo.getOrElseUpdate(a.name, v))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        ext(l).foreach(v => lo.getOrElseUpdate(a.name, v))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        ext(l).foreach { v =>
+          lo.getOrElseUpdate(a.name, v); hi.getOrElseUpdate(a.name, v) }
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        ext(l).foreach { v =>
+          lo.getOrElseUpdate(a.name, v); hi.getOrElseUpdate(a.name, v) }
+      case _ => ()
+    }
+    lo.keys.toSeq.collect {
+      case c if hi.contains(c) => (c, lo(c), hi(c))
+    }
+  }
 
   /** The precondition probe — THIN manifest facts only (bucket spec,
     * schema, ledger), no per-file walk beyond what the join itself
@@ -100,10 +165,10 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       case j @ Join(lp, rp, Inner, Some(EqualTo(
           a: AttributeReference, b: AttributeReference)), JoinHint.NONE) =>
         (graftRel(lp), graftRel(rp)) match {
-          case (Some((lg, lOut)), Some((rg, rOut))) =>
+          case (Some(ls), Some(rs)) =>
             // orient the equality's ends to their sides
-            val lIds = lOut.map(_.exprId).toSet
-            val rIds = rOut.map(_.exprId).toSet
+            val lIds = ls.out.map(_.exprId).toSet
+            val rIds = rs.out.map(_.exprId).toSet
             val oriented =
               if (lIds.contains(a.exprId) && rIds.contains(b.exprId))
                 Some((a.name, b.name))
@@ -112,17 +177,21 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
               else None
             oriented match {
               case Some((lKey, rKey))
-                  if alignable(lg, lKey, rg, rKey) =>
+                  if alignable(ls.g, lKey, rs.g, rKey) =>
                 val aligned = Snapshots.bucketAlignedJoin(spark,
-                  lg.tableDir, rg.tableDir, lKey, rKey,
-                  leftVersion = Some(lg.version),
-                  rightVersion = Some(rg.version))
+                  ls.g.tableDir, rs.g.tableDir, lKey, rKey,
+                  leftVersion = Some(ls.g.version),
+                  rightVersion = Some(rs.g.version),
+                  leftRanges = extractRanges(ls.filters),
+                  rightRanges = extractRanges(rs.filters))
                 // the aligned output is left fields then right fields
                 // (the relations' FULL attributes); re-project to the
                 // Join's own output — same exprIds (a pruning Project
                 // only forwards attributes), so references above stay
-                // bound and the pruned shape survives
-                val full = LogicalRDD(lOut ++ rOut,
+                // bound and the pruned shape survives. The peeled
+                // filters re-apply verbatim above the replacement
+                // (INNER join: σ(A) ⋈ B ≡ σ(A ⋈ B)).
+                val full = LogicalRDD(ls.out ++ rs.out,
                   aligned.queryExecution.toRdd,
                   org.apache.spark.sql.catalyst.plans.physical
                     .UnknownPartitioning(0),
@@ -130,8 +199,11 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   spark.asInstanceOf[
                     org.apache.spark.sql.classic.SparkSession],
                   None, None)
-                if (j.output == full.output) full
-                else Project(j.output, full)
+                val filtered = (ls.filters ++ rs.filters)
+                  .reduceOption(And).map(Filter(_, full)).getOrElse(full)
+                if (j.output == full.output &&
+                  (ls.filters.isEmpty && rs.filters.isEmpty)) full
+                else Project(j.output, filtered)
               case _ => j
             }
           case _ => j

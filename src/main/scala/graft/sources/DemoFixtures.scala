@@ -1809,6 +1809,56 @@ object DemoFixtures {
       .orderBy("o_orderstatus")
   }
 
+  /** Demo + oracle entry (`u65_sql_aligned_agg`): u55's shuffle-free
+    * grouped aggregation reached from PURE SQL — the bucket-clustered
+    * table lives in the demo catalog and the query is an ordinary
+    * `SELECT k, COUNT(*), SUM(...), MIN(...), MAX(...) GROUP BY k`;
+    * the [[graft.plans.AlignedAggregate]] optimizer rule recognizes
+    * the bucket layout and replaces the planner's two-phase hash
+    * aggregate (exchange included) with the per-bucket streaming
+    * fold. Witness `sql_agg_ok` folds: no aggregate/exchange operator
+    * in the executed plan (the rule fired), exchange-free inner
+    * per-bucket plans, and a disabled-rule rerun returning identical
+    * rows AND schema (strategy-only, planner types exactly).
+    */
+  def u65SqlAlignedAgg(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.agg16")
+    val src = graft.TempDirs.create("graft-sqlagg-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      src, "overwrite", bucketBy = Some(("o_custkey", 16)))
+    Snapshots.cloneShallow(s, src, s"$wh/db/agg16")
+    val sql =
+      """SELECT o_custkey AS k, COUNT(*) AS n, SUM(price) AS total,
+        |  MIN(price) AS lo, MAX(price) AS hi
+        |FROM graft_demo.db.agg16 GROUP BY o_custkey""".stripMargin
+    val agg = s.sql(sql)
+    val plan = agg.queryExecution.executedPlan.toString
+    val ruleFired = !plan.contains("Aggregate") && !plan.contains("Exchange")
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val alignedRows = rows(agg)
+    val alignedSchema = agg.schema
+    val (plannerRows, plannerSchema) = try {
+      s.conf.set("graft.sql.alignedAgg.enabled", "false")
+      val p = s.sql(sql)
+      (rows(p), p.schema)
+    } finally s.conf.set("graft.sql.alignedAgg.enabled", "true")
+    val ok = if (ruleFired && innerOk && alignedRows == plannerRows &&
+      alignedSchema == plannerSchema) 1 else 0
+    agg.select(col("k"), col("n"),
+        col("total").cast("double").as("total"),
+        col("lo").cast("double").as("lo"),
+        col("hi").cast("double").as("hi"))
+      .withColumn("sql_agg_ok", lit(ok).cast("int"))
+      .orderBy("k")
+  }
+
   /** Demo + oracle entry (`u63_windowed_asof`): the RANGE-WINDOWED
     * as-of join (VERDICT r15 task #2) — the query every real
     * feature-store lookup carries: purchases IN A TIME WINDOW matched

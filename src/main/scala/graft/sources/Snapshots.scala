@@ -4183,7 +4183,13 @@ object Snapshots {
                 acc + v.asInstanceOf[Float].toDouble
               case (acc: java.lang.Double, _) =>
                 acc + v.asInstanceOf[Double]
-              case (acc: java.lang.Long, _) => acc + widenToLong(v)
+              // ANSI-faithful integral sums (r16): Spark's ANSI-mode
+              // Sum throws on long overflow; the engine's sessions
+              // run ANSI ON, so a wrapping fold here would diverge
+              // from the planner exactly where the planner is loud —
+              // addExact makes overflow an error on both paths
+              case (acc: java.lang.Long, _) =>
+                Math.addExact(acc.longValue(), widenToLong(v))
             }
           }
           case "min" => if (!r.isNullAt(sp.ord)) {
