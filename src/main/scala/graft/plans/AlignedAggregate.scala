@@ -53,19 +53,23 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The bucket-clustered precondition (the aligned aggregate's own
-    * refusals, probed without throwing).
+    * refusals, probed without throwing) — memoized per (dir, version,
+    * key) through the shared [[AlignedPlanCache]], so fixed-point
+    * iterations and repeat queries never re-parse a snapshot.
     */
-  private def alignable(g: GraftRelation, key: String): Boolean = try {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val m = Snapshots.readManifest(spark, g.tableDir, g.version)
-    m.bucketSpec.exists { case (bk, _) =>
-      bk == key && m.files.forall(m.buckets.contains) &&
-        m.schema.exists { s =>
-          val kt = s(key).dataType
-          kt != DoubleType && kt != FloatType
-        }
-    }
-  } catch { case scala.util.control.NonFatal(_) => false }
+  private def alignable(g: GraftRelation, key: String): Boolean =
+    AlignedPlanCache.sideFacts.getOrElseUpdate(
+      (g.tableDir, g.version, key),
+      try {
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val m = Snapshots.readManifest(spark, g.tableDir, g.version)
+        m.bucketSpec.collect {
+          case (bk, n) if bk == key &&
+              m.files.forall(m.buckets.contains) => n
+        }.flatMap(n => m.schema.map(_(key).dataType)
+          .filter(kt => kt != DoubleType && kt != FloatType)
+          .map(kt => (n, kt)))
+      } catch { case scala.util.control.NonFatal(_) => None }).isDefined
 
   /** One SELECT-list item translated to the aligned vocabulary:
     * Left(groupKey) for the grouping attribute itself, Right((fn,

@@ -50,6 +50,18 @@ import graft.sources.{GraftRelation, Snapshots}
   * query shuffling both tables and reading them in place: zero network
   * bytes for table data, one task per bucket.
   */
+/** Process-wide memo of per-(dir, version, key) alignability facts
+  * shared by the SQL rewrite rules — sound because a committed
+  * version's manifest is immutable. Bounded: one small tuple per
+  * probed snapshot.
+  */
+private[plans] object AlignedPlanCache {
+  val sideFacts: scala.collection.concurrent.TrieMap[
+    (String, Long, String),
+    Option[(Int, org.apache.spark.sql.types.DataType)]] =
+    scala.collection.concurrent.TrieMap.empty
+}
+
 case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
 
@@ -136,28 +148,32 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
   /** The precondition probe — THIN manifest facts only (bucket spec,
     * schema, ledger), no per-file walk beyond what the join itself
     * will do: both sides clustered on their join key, same modulus,
-    * fully clustered files, one non-float key type.
+    * fully clustered files, one non-float key type. Verdicts are
+    * keyed by (dir, VERSION, key) — a version's manifest is immutable
+    * — so the optimizer's fixed-point iterations and repeat queries
+    * against the same snapshot never re-parse ([[AlignedPlanCache]]).
     */
   private def alignable(lg: GraftRelation, lKey: String,
-                        rg: GraftRelation, rKey: String): Boolean = try {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val lm = Snapshots.readManifest(spark, lg.tableDir, lg.version)
-    val rm = Snapshots.readManifest(spark, rg.tableDir, rg.version)
-    (lm.bucketSpec, rm.bucketSpec) match {
-      case (Some((lk, ln)), Some((rk, rn))) =>
-        lk == lKey && rk == rKey && ln == rn &&
-          lm.files.forall(lm.buckets.contains) &&
-          rm.files.forall(rm.buckets.contains) &&
-          lm.schema.exists { ls =>
-            rm.schema.exists { rs =>
-              val kt = ls(lKey).dataType
-              kt == rs(rKey).dataType &&
-                kt != DoubleType && kt != FloatType
-            }
-          }
+                        rg: GraftRelation, rKey: String): Boolean = {
+    def side(g: GraftRelation, key: String)
+        : Option[(Int, org.apache.spark.sql.types.DataType)] =
+      AlignedPlanCache.sideFacts.getOrElseUpdate(
+        (g.tableDir, g.version, key),
+        try {
+          import org.apache.spark.sql.types.{DoubleType, FloatType}
+          val m = Snapshots.readManifest(spark, g.tableDir, g.version)
+          m.bucketSpec.collect {
+            case (bk, n) if bk == key &&
+                m.files.forall(m.buckets.contains) => n
+          }.flatMap(n => m.schema.map(_(key).dataType)
+            .filter(kt => kt != DoubleType && kt != FloatType)
+            .map(kt => (n, kt)))
+        } catch { case scala.util.control.NonFatal(_) => None })
+    (side(lg, lKey), side(rg, rKey)) match {
+      case (Some((ln, lt)), Some((rn, rt))) => ln == rn && lt == rt
       case _ => false
     }
-  } catch { case scala.util.control.NonFatal(_) => false }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
