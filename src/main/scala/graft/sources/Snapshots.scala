@@ -1065,11 +1065,18 @@ object Snapshots {
     // producer's ingest progress or the table's quality contract
     // the predecessor to build on is the last LIVE one — a dead or
     // in-flight txn manifest at the head is skipped (forcing the
-    // decision, see manifestLive), never silently adopted
-    val prevAny =
+    // decision, see manifestLive), never silently adopted. The
+    // resolve is THIN (r16): every pre-write check below needs only
+    // version-level facts (schema, checks, txns, specs, column
+    // mapping, ledgers), so the per-file metadata — ~KB/file bloom
+    // payloads at the extreme — is never assembled for an overwrite
+    // at all, and for an append only on the fallback publish path
+    // (see the commit point below).
+    val prevLive =
       if (version > 0 && f.exists(manifestPath(tableDir, version - 1)))
-        lastLive(spark, tableDir, version - 1, forWrite = true).map(_._2)
+        lastLive(spark, tableDir, version - 1, forWrite = true, thin = true)
       else None
+    val prevAny = prevLive.map(_._2)
     val prev = prevAny.filter(_ => mode == "append")
     // table-level CHECK constraints are enforced on EVERY data commit
     // — append (the new batch), overwrite (the full new snapshot),
@@ -1164,7 +1171,6 @@ object Snapshots {
       if (bucketBy.isEmpty) Map.empty
       else flattenBucketDirs(f, dataDir, dataRel)
     val written = listDataFiles(f, dataDir, dataRel)
-    val carried = prev.map(_.files).getOrElse(Seq.empty)
     // deletion vectors ride appends (an append must not resurrect
     // masked rows) and drop on overwrites (a rewritten snapshot has
     // no masked rows left to hide)
@@ -1178,12 +1184,11 @@ object Snapshots {
     // float widenings keep stats (same scale ⇒ same unscaled basis;
     // non-decimals record VALUES, which widening preserves). The
     // bloom/NDV drop-on-widening rule, applied to the one stat kind
-    // whose representation is scale-relative.
+    // whose representation is scale-relative. (Carried-stat filtering
+    // happens on the FULL publish branch below — the thin branch
+    // requires widenedCols empty, under which the filter is identity.)
     val scaleWidened = scaleWidenedCols(
       prev.flatMap(_.schema), Some(schema), widenedCols)
-    val carriedStats = prev.map(_.stats).getOrElse(
-        Map.empty[(String, String), FileStat])
-      .filter { case ((_, c), _) => !scaleWidened.contains(c) }
     val carriedTxns = prevAny.map(_.txns).getOrElse(Map.empty)
     val txns = txn.fold(carriedTxns) { case (app, b) =>
       carriedTxns + (app -> math.max(b, carriedTxns.getOrElse(app, Long.MinValue)))
@@ -1212,8 +1217,6 @@ object Snapshots {
       }
     val newNulls = fileMetas.flatMap { case (rel, (_, nn)) =>
       nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
-    val carriedNulls = prev.map(_.nullCounts).getOrElse(
-      Map.empty[(String, String), Long])
     val newStats =
       (fileMetas.flatMap { case (rel, (st, _)) =>
         st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x }
@@ -1230,13 +1233,6 @@ object Snapshots {
         bloomColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
         .map { case ((fl, c), b) => (fl, physRev.getOrElse(c, c)) -> b }
     }
-    // a widened column's carried blooms are DROPPED: they hashed the
-    // old native type, and the probe now casts to the widened one —
-    // a stale index would wrongly prune files (losing rows), whereas
-    // no index only loses pruning
-    val carriedBlooms = prev.map(_.blooms).getOrElse(
-      Map.empty[(String, String), Bloom])
-      .filter { case ((_, c), _) => !widenedCols.contains(c) }
     // per-file NDV sketches (same physical-name/widening dance as
     // blooms; a widened column's carried sketches hashed the old
     // width — mixing would double-count, so they drop)
@@ -1249,9 +1245,6 @@ object Snapshots {
         ndvColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
         .map { case ((fl, c), sk) => (fl, physRev.getOrElse(c, c)) -> sk }
     }
-    val carriedNdvs = prev.map(_.ndvs).getOrElse(
-      Map.empty[(String, String), Array[Byte]])
-      .filter { case ((_, c), _) => !widenedCols.contains(c) }
     // per-file KLL quantile sketches (histogram column stats): the
     // selectivity feed CBO lacks with rowCount+NDV alone — a skewed
     // column's range predicate estimates uniform without them.
@@ -1267,8 +1260,6 @@ object Snapshots {
         histColumns.map(c => colMap.getOrElse(c, c)), Some(physSchema))
         .map { case ((fl, c), sk) => (fl, physRev.getOrElse(c, c)) -> sk }
     }
-    val carriedKlls = prev.map(_.klls).getOrElse(
-      Map.empty[(String, String), Array[Byte]])
     // row + byte accounting (footer metadata, no scan): appends extend
     // the predecessor's totals (unknown propagates), overwrites restart;
     // per-file counts feed the grouped/filtered metadata-count rewrites,
@@ -1288,9 +1279,6 @@ object Snapshots {
     // an overwrite defines the layout fresh (or drops it when plain)
     val bucketSpec =
       if (mode == "append") prev.flatMap(_.bucketSpec).orElse(bucketBy) else bucketBy
-    val buckets =
-      (if (mode == "append") prev.map(_.buckets).getOrElse(Map.empty[String, Int])
-       else Map.empty[String, Int]) ++ newBuckets
     // partition spec carry: an explicit spec (same or evolved) is the
     // table's CURRENT layout; an unpartitioned append keeps the
     // predecessor's
@@ -1298,24 +1286,15 @@ object Snapshots {
       if (mode == "append" && partitionBy.isEmpty)
         prev.map(_.partitionCols).getOrElse(Nil)
       else partitionBy
-    val fileRows =
-      (if (mode == "append") prev.map(_.fileRows).getOrElse(Map.empty[String, Long])
-       else Map.empty[String, Long]) ++ newFileRows
-    val fileBytes =
-      (if (mode == "append") prev.map(_.fileBytes).getOrElse(Map.empty[String, Long])
-       else Map.empty[String, Long]) ++ newFileMeta.view.mapValues(_._2).toMap
     // sorted-bucket markers: the files THIS write sorted gain one;
     // an append carries the predecessor's (their bytes are untouched
     // — still sorted); an unsorted write simply marks nothing, so the
     // layout degrades per file, never lies (see [[Manifest.sortedFiles]])
-    val sortedFiles =
-      (if (mode == "append")
-         prev.map(_.sortedFiles).getOrElse(Map.empty[String, String])
-       else Map.empty[String, String]) ++
-        (if (sortBuckets) {
-           val marker = (bucketBy.get._1 +: sortAlso).mkString(",")
-           written.iterator.map(_ -> marker).toMap
-         } else Map.empty[String, String])
+    val newSorted: Map[String, String] =
+      if (sortBuckets) {
+        val marker = (bucketBy.get._1 +: sortAlso).mkString(",")
+        written.iterator.map(_ -> marker).toMap
+      } else Map.empty[String, String]
     // the decimal-stats feature marker: an overwrite re-records every
     // surviving stat under the scale-drop rules (fresh files only), so
     // it SETS the marker; an append only CARRIES it — a pre-rules
@@ -1327,13 +1306,85 @@ object Snapshots {
       else prev.map(_.features).getOrElse(Set.empty) + DecimalScaleStatsFeature
     // THE commit point: atomic publish-if-absent. A concurrent winner
     // already holds v<N>.manifest and the publish returns false.
-    if (!publishManifest(f, tableDir, Manifest(version, carried ++ written,
-        carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
-        dataRows, dvRows, bucketSpec, buckets, pending,
-        carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
-        prev.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
-        carriedNulls ++ newNulls, carriedNdvs ++ newNdvs,
-        carriedKlls ++ newKlls, features, sortedFiles))) {
+    //
+    // O(batch) THIN APPENDS (r16): an append with no widening onto a
+    // sharded, count-carrying predecessor publishes a manifest DELTA
+    // ([[publishManifestDelta]] with ZERO removals) — carried segment
+    // refs ride verbatim (never parsed, never re-diffed), only the
+    // batch's own entries are written, and the predecessor's per-file
+    // metadata never materializes in the driver. At 10⁷ files this
+    // turns every streaming micro-batch / CDC append from an O(table)
+    // parse + re-diff into O(batch) metadata. Widening appends
+    // (carried stats/blooms must FILTER — an O(table) metadata
+    // change), legacy inline manifests, count-less refs, and the
+    // segment-ref cap (the amortized fold-all is the full path's job)
+    // fall back to the full publish, which re-assembles the
+    // predecessor once. `graft.commit.thinAppend.enabled=false`
+    // forces the full path (the parity escape hatch).
+    val thinShell: Option[ManifestShell] =
+      if (mode == "append" && prev.isDefined && widenedCols.isEmpty &&
+          spark.conf.getOption("graft.commit.thinAppend.enabled")
+            .forall(_.trim.equalsIgnoreCase("true")))
+        prevLive.map(pl => manifestShell(f, tableDir, pl._1)).filter(sh =>
+          !sh.hasInline && sh.segRefs.forall(_._2 >= 0) &&
+            sh.segRefs.size < MaxManifestSegments)
+      else None
+    val published = thinShell match {
+      case Some(sh) =>
+        val mPub = prev.get.copy(version = version, schema = Some(schema),
+          txns = txns, dvs = carriedDvs, checks = checks,
+          dataRows = dataRows, dvRows = dvRows, bucketSpec = bucketSpec,
+          pendingMarker = pending, partitionCols = partitionCols,
+          colMap = colMap, retiredCols = carriedRetired,
+          features = features)
+        publishManifestDelta(f, tableDir, mPub, sh.segRefs, sh.tombs,
+          Map.empty,
+          freshSegEntries(mPub, written, newStats, newNulls, newFileMeta,
+            newBuckets, newSorted, newBlooms, newNdvs, newKlls))
+      case None =>
+        // the FULL publish assembles the predecessor's per-file
+        // metadata once (append fallbacks only — an overwrite carries
+        // no files and prevF stays None)
+        val prevF =
+          if (mode == "append")
+            prevLive.map(pl => readManifest(spark, tableDir, pl._1))
+          else None
+        val carried = prevF.map(_.files).getOrElse(Seq.empty)
+        val carriedStats = prevF.map(_.stats).getOrElse(
+            Map.empty[(String, String), FileStat])
+          .filter { case ((_, c), _) => !scaleWidened.contains(c) }
+        val carriedNulls = prevF.map(_.nullCounts).getOrElse(
+          Map.empty[(String, String), Long])
+        // a widened column's carried blooms are DROPPED: they hashed
+        // the old native type, and the probe now casts to the widened
+        // one — a stale index would wrongly prune files (losing
+        // rows), whereas no index only loses pruning
+        val carriedBlooms = prevF.map(_.blooms).getOrElse(
+          Map.empty[(String, String), Bloom])
+          .filter { case ((_, c), _) => !widenedCols.contains(c) }
+        val carriedNdvs = prevF.map(_.ndvs).getOrElse(
+          Map.empty[(String, String), Array[Byte]])
+          .filter { case ((_, c), _) => !widenedCols.contains(c) }
+        val carriedKlls = prevF.map(_.klls).getOrElse(
+          Map.empty[(String, String), Array[Byte]])
+        val buckets = prevF.map(_.buckets)
+          .getOrElse(Map.empty[String, Int]) ++ newBuckets
+        val fileRows = prevF.map(_.fileRows)
+          .getOrElse(Map.empty[String, Long]) ++ newFileRows
+        val fileBytes = prevF.map(_.fileBytes)
+          .getOrElse(Map.empty[String, Long]) ++
+          newFileMeta.view.mapValues(_._2).toMap
+        val sortedFiles = prevF.map(_.sortedFiles)
+          .getOrElse(Map.empty[String, String]) ++ newSorted
+        publishManifest(f, tableDir, Manifest(version, carried ++ written,
+          carriedStats ++ newStats, Some(schema), txns, carriedDvs, checks,
+          dataRows, dvRows, bucketSpec, buckets, pending,
+          carriedBlooms ++ newBlooms, partitionCols, fileRows, fileBytes,
+          prevF.map(_.segments).getOrElse(Nil), colMap, carriedRetired,
+          carriedNulls ++ newNulls, carriedNdvs ++ newNdvs,
+          carriedKlls ++ newKlls, features, sortedFiles))
+    }
+    if (!published) {
       f.delete(dataDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
@@ -9608,18 +9659,31 @@ object Snapshots {
                               nulls: Map[(String, String), Long],
                               meta: Map[String, (Long, Long)],
                               buckets: Map[String, Int],
-                              sorted: Map[String, String]): Seq[SegEntry] = {
+                              sorted: Map[String, String],
+                              blooms: Map[(String, String), Bloom] =
+                                Map.empty,
+                              ndvs: Map[(String, String), Array[Byte]] =
+                                Map.empty,
+                              klls: Map[(String, String), Array[Byte]] =
+                                Map.empty): Seq[SegEntry] = {
     val statsByFile = stats.groupBy(_._1._1)
     val nullsByFile = nulls.groupBy(_._1._1)
+    val bloomsByFile = blooms.groupBy(_._1._1)
+    val ndvsByFile = ndvs.groupBy(_._1._1)
+    val kllsByFile = klls.groupBy(_._1._1)
     written.map { rel =>
       SegEntry(rel,
         statsByFile.getOrElse(rel, Map.empty).iterator
           .map { case ((_, c), st) => m.physOf(c) -> st }.toSeq,
         buckets.get(rel), meta.get(rel).map(_._1), meta.get(rel).map(_._2),
-        Nil,
+        bloomsByFile.getOrElse(rel, Map.empty).iterator
+          .map { case ((_, c), b) => m.physOf(c) -> b }.toSeq,
         nullsByFile.getOrElse(rel, Map.empty).iterator
           .map { case ((_, c), n) => m.physOf(c) -> n }.toSeq,
-        Nil, Nil,
+        ndvsByFile.getOrElse(rel, Map.empty).iterator
+          .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
+        kllsByFile.getOrElse(rel, Map.empty).iterator
+          .map { case ((_, c), sk) => m.physOf(c) -> sk }.toSeq,
         sorted.get(rel).map(mapSortMarker(_)(m.physOf)))
     }
   }

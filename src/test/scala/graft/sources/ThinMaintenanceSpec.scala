@@ -231,6 +231,79 @@ class ThinMaintenanceSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir).count() === 290L)
   }
 
+  test("thin appends (r16): an append consults ZERO segments, carries " +
+    "masks and metadata verbatim, and equals the full publish " +
+    "map-for-map") {
+    val thinDir = freshDir()
+    val fullDir = freshDir()
+    def seed(d: String): Unit = {
+      Snapshots.commit(frame(0 until 500, "a").coalesce(1), d, "overwrite",
+        statsColumns = Seq("id"), bloomColumns = Seq("id"),
+        ndvColumns = Seq("id"))
+      Snapshots.commit(frame(500 until 900, "b").coalesce(1), d, "append",
+        statsColumns = Seq("id"))
+      Snapshots.deleteWhere(spark, d, col("id").isin(3L, 501L))
+    }
+    seed(thinDir); seed(fullDir)
+    val batch = frame(2000 until 2100, "tail").coalesce(1)
+    // thin side: the append must touch NO segment (no candidates, no
+    // folds — refs carried verbatim)
+    val (_, touched) = recordTouches {
+      Snapshots.commit(batch, thinDir, "append", statsColumns = Seq("id"))
+    }
+    assert(touched.isEmpty,
+      s"a thin append must consult no segment, got $touched")
+    // full side: same append with the thin path disabled
+    try {
+      spark.conf.set("graft.commit.thinAppend.enabled", "false")
+      Snapshots.commit(batch, fullDir, "append", statsColumns = Seq("id"))
+    } finally spark.conf.unset("graft.commit.thinAppend.enabled")
+    val mT = Snapshots.readManifest(spark, thinDir,
+      Snapshots.latestVersion(spark, thinDir).get)
+    val mF = Snapshots.readManifest(spark, fullDir,
+      Snapshots.latestVersion(spark, fullDir).get)
+    // map-for-map equality up to the dirs' own uuid'd file names:
+    // counts, ledgers, stat/bloom coverage, mask accounting
+    assert(mT.files.size === mF.files.size)
+    assert(mT.dataRows === mF.dataRows && mT.dvRows === mF.dvRows)
+    assert(mT.stats.size === mF.stats.size)
+    assert(mT.blooms.size === mF.blooms.size)
+    assert(mT.ndvs.size === mF.ndvs.size)
+    assert(mT.fileRows.values.toSeq.sorted ===
+      mF.fileRows.values.toSeq.sorted)
+    assert(mT.schema === mF.schema)
+    // content identical, masks survived the thin carry
+    val a = Snapshots.readVersion(spark, thinDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Snapshots.readVersion(spark, fullDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    assert(!a.exists(_._1 == 3L) && !a.exists(_._1 == 501L),
+      "masked rows must stay masked through a thin append")
+    // the new files' fresh metadata landed in the delta's segment
+    val fresh = mT.files.filterNot(r => r.contains("v000000") ||
+      r.contains("v000001"))
+    assert(fresh.nonEmpty && fresh.forall(r => mT.stats.contains((r, "id"))))
+    // a WIDENING append falls back to the full publish (carried
+    // blooms/stats must filter per the widening rules) and still
+    // lands exactly — pinned on a fresh int-keyed table
+    val wDir = freshDir()
+    Snapshots.commit(frame(0 until 100, "x").coalesce(1)
+        .select(col("id").cast("int").as("id"), col("tag")),
+      wDir, "overwrite", statsColumns = Seq("id"))
+    val (_, wTouched) = recordTouches {
+      Snapshots.commit(frame(100 until 150, "y").coalesce(1)
+          .select(col("id").cast("long").as("id"), col("tag")),
+        wDir, "append", statsColumns = Seq("id"))
+    }
+    assert(wTouched.nonEmpty,
+      "a widening append must take the full path (carried stats filter)")
+    val mW = Snapshots.readManifest(spark, wDir, 1L)
+    assert(mW.schema.get("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(Snapshots.readVersion(spark, wDir).count() === 150L)
+  }
+
   test("randomized thin-vs-full parity: identical op sequences on a " +
     "checkpointed and an uncheckpointed table converge to the same " +
     "observable state") {
