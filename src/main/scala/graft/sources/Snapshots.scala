@@ -6423,10 +6423,23 @@ object Snapshots {
         .map(n => s"$dvRel/$n").toSeq.sorted
     } finally mask.unpersist(false)
     val matched = footerRowCount(spark, f, dvDir)
-    if (!publishManifest(f, tableDir, m.copy(version = version,
-        dvs = m.dvs ++ written,
-        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, matched),
-        pendingMarker = None))) {
+    val mPub = m.copy(version = version,
+      dvs = m.dvs ++ written,
+      dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, matched),
+      pendingMarker = None)
+    // a DELETE adds dv refs and touches NO per-file metadata — the
+    // canonical delta commit (r16): every segment carried verbatim,
+    // no re-diff of the live file set. The read side above still
+    // resolved the full manifest (predicate pruning wants the stats);
+    // the delta only skips re-deriving what provably didn't change.
+    val sh = manifestShell(f, tableDir, m.version)
+    val published =
+      if (!sh.hasInline && sh.segRefs.forall(_._2 >= 0) &&
+          sh.segRefs.size < MaxManifestSegments)
+        publishManifestDelta(f, tableDir, mPub, sh.segRefs, sh.tombs,
+          Map.empty, Nil)
+      else publishManifest(f, tableDir, mPub)
+    if (!published) {
       f.delete(dvDir, true)
       throw new java.util.ConcurrentModificationException(
         s"version $version of $tableDir was committed concurrently")
