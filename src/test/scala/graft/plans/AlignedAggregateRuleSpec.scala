@@ -80,9 +80,14 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     assert(!fired("SELECT k, COUNT(DISTINCT v) n FROM sqlagg_n GROUP BY k"))
     // avg is outside the aligned vocabulary
     assert(!fired("SELECT k, AVG(v) a FROM sqlagg_n GROUP BY k"))
-    // a filter below the aggregate cannot hoist above a fold
+    // a filter below the aggregate applies BEFORE the fold, so it
+    // must mine EXACTLY into a range window — strict `>` has no
+    // exact inclusive form → the planner serves
     assert(!fired("SELECT k, COUNT(*) n FROM sqlagg_n WHERE v > 5 " +
       "GROUP BY k"))
+    // ... and so must a non-range predicate
+    assert(!fired("SELECT k, COUNT(*) n FROM sqlagg_n " +
+      "WHERE tag <> 's-1' GROUP BY k"))
     // two grouping columns
     assert(!fired("SELECT k, tag, COUNT(*) n FROM sqlagg_n " +
       "GROUP BY k, tag"))
@@ -95,5 +100,110 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     assert(!fired("SELECT k, COUNT(*) n FROM sqlagg_u GROUP BY k"))
     assert(spark.sql("SELECT k, COUNT(*) n FROM sqlagg_u GROUP BY k")
       .count() > 0)
+  }
+
+  test("composed select lists fire (r17): casts, aggregate arithmetic, " +
+    "HAVING and the CollapseProject shape keep the planner's rows and " +
+    "schema") {
+    val dir = freshDir()
+    seed(dir)
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sqlagg_c")
+    def parity(sql: String): Unit = {
+      val got = spark.sql(sql)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+        s"the rule must fire on: $sql\n$plan")
+      val expected = try {
+        spark.conf.set("graft.sql.alignedAgg.enabled", "false")
+        val e = spark.sql(sql)
+        assert(e.queryExecution.executedPlan.toString.contains("Aggregate"),
+          s"the disable switch must restore the planner's aggregate: $sql")
+        (e.schema, e.collect().map(_.toString).sorted.toSeq)
+      } finally spark.conf.set("graft.sql.alignedAgg.enabled", "true")
+      assert(got.schema === expected._1,
+        s"composed rewrite changed the schema: $sql")
+      assert(got.collect().map(_.toString).sorted.toSeq === expected._2,
+        s"composed parity failed: $sql")
+    }
+    // casts over aggregates — the u65 analyst shape CollapseProject
+    // folds into the Aggregate node
+    parity("SELECT k, CAST(SUM(v) AS DOUBLE) AS sv, " +
+      "CAST(COUNT(*) AS INT) AS n FROM sqlagg_c GROUP BY k")
+    // aggregate arithmetic: a hand-rolled average and a reused fold
+    // (SUM(v) appears twice, folded once)
+    parity("SELECT k, SUM(v) / COUNT(*) AS avg_v, SUM(v) + 1 AS sv1 " +
+      "FROM sqlagg_c GROUP BY k")
+    // expressions over the KEY, the key under an alias, and a
+    // constant column
+    parity("SELECT upper(k) AS ku, k AS k2, 42 AS c, MAX(v) AS xv " +
+      "FROM sqlagg_c GROUP BY k")
+    // HAVING: planned as a Filter above the Aggregate — the rewrite
+    // keeps the Aggregate's output attributes, so the Filter stays
+    // bound and tightens the folded groups
+    parity("SELECT k, COUNT(*) AS n FROM sqlagg_c GROUP BY k " +
+      "HAVING COUNT(*) > 60")
+    // DataFrame-composed casts + orderBy over the SQL frame — the
+    // exact u65 entry shape (the r16 weak item): the final frame's
+    // OWN plan must carry the fold, not the planner's shuffle
+    val composed = spark.sql(
+        "SELECT k, COUNT(*) AS n, SUM(d) AS total FROM sqlagg_c GROUP BY k")
+      .select(col("k"), col("n"), col("total").cast("double").as("total"))
+      .orderBy("k")
+    val cPlan = composed.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("HashAggregate"),
+      s"the composed final frame must ride the fold:\n$cPlan")
+    val cExp = try {
+      spark.conf.set("graft.sql.alignedAgg.enabled", "false")
+      spark.sql("SELECT k, COUNT(*) AS n, SUM(d) AS total FROM sqlagg_c " +
+          "GROUP BY k")
+        .select(col("k"), col("n"), col("total").cast("double").as("total"))
+        .orderBy("k").collect().map(_.toString).toSeq
+    } finally spark.conf.set("graft.sql.alignedAgg.enabled", "true")
+    assert(composed.collect().map(_.toString).toSeq === cExp)
+  }
+
+  test("exact filter-through fires (r17): BETWEEN and equality " +
+    "conjuncts ride the fold's range window with planner parity") {
+    val dir = freshDir()
+    val s = spark
+    import s.implicits._
+    // two range-sliced commits with stats so the window also prunes
+    // files; NULLs in the filter column exercise BETWEEN's NULL drop
+    Seq((0, 450), (450, 900)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      val df = (lo until hi).map { j =>
+        (s"k-${j % 13}",
+          if (j % 7 == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(j.toLong),
+          s"s-${j % 5}")
+      }.toDF("k", "v", "tag").coalesce(1)
+      Snapshots.commit(df, dir, if (i == 0) "overwrite" else "append",
+        bucketBy = Some(("k", 4)), statsColumns = Seq("v"))
+    }
+    // clustered appends keep every file bucketed; re-cluster to be
+    // safe for the aligned precondition
+    Snapshots.compactBucketed(spark, dir, "k", 4, statsColumns = Seq("v"))
+    spark.read.format("graft").load(dir).createOrReplaceTempView("sqlagg_f")
+    def parity(sql: String): Unit = {
+      val got = spark.sql(sql)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate") && !plan.contains("Exchange"),
+        s"the rule must fire on: $sql\n$plan")
+      val expected = try {
+        spark.conf.set("graft.sql.alignedAgg.enabled", "false")
+        spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("graft.sql.alignedAgg.enabled", "true")
+      assert(expected.nonEmpty, s"vacuous filtered parity: $sql")
+      assert(got.collect().map(_.toString).sorted.toSeq === expected,
+        s"filtered parity failed: $sql")
+    }
+    // BETWEEN on a value column: σ before the fold, exact
+    parity("SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM sqlagg_f " +
+      "WHERE v BETWEEN 100 AND 600 GROUP BY k")
+    // equality window + a composed select list together
+    parity("SELECT k, CAST(SUM(v) AS DOUBLE) AS sv FROM sqlagg_f " +
+      "WHERE tag = 's-2' GROUP BY k")
+    // window on the KEY column itself (groups outside drop)
+    parity("SELECT k, COUNT(*) AS n FROM sqlagg_f " +
+      "WHERE k BETWEEN 'k-2' AND 'k-6' GROUP BY k")
   }
 }

@@ -5,11 +5,12 @@ import graft.sources.Snapshots
 import org.apache.spark.sql.functions._
 
 /** The SQL→storage-partitioned-join rewrite ([[AlignedJoin]], VERDICT
-  * r15 task #3): fires exactly when both sides of a bare inner
-  * equi-join are graft relations bucket-clustered on the join keys
-  * with one modulus — and NEVER otherwise. Every leg checks rows
-  * against the planner's own join, because the rewrite's contract is
-  * strategy-only.
+  * r15 task #3; extended to the join FAMILY — left outer / semi /
+  * anti — per VERDICT r16 task #3): fires exactly when both sides of
+  * a single-key equi-join of a served type are graft relations
+  * bucket-clustered on the join keys with one modulus — and NEVER
+  * otherwise. Every leg checks rows against the planner's own join,
+  * because the rewrite's contract is strategy-only.
   */
 class AlignedJoinRuleSpec extends SparkSpec {
 
@@ -71,7 +72,8 @@ class AlignedJoinRuleSpec extends SparkSpec {
   }
 
   test("never fires when preconditions fail: mismatched modulus, " +
-    "unclustered files, non-key equality, outer joins, filtered sides") {
+    "unclustered files, non-key equality, right joins, null-aware " +
+    "anti, filtered sides") {
     val l = freshDir(); val r4 = freshDir(); val r8 = freshDir()
     commitBucketed(l, 4, 200, "k", "l")
     commitBucketed(r4, 4, 200, "rk", "r")
@@ -81,8 +83,19 @@ class AlignedJoinRuleSpec extends SparkSpec {
       !spark.sql(sql).queryExecution.executedPlan.toString.contains("Join")
     // modulus mismatch → planner join
     assert(!firedOn("SELECT * FROM spjn_l JOIN spjn_r8 ON k = rk"))
-    // outer join → planner join (the rule is inner-only)
-    assert(!firedOn("SELECT * FROM spjn_l LEFT JOIN spjn_r4 ON k = rk"))
+    // RIGHT outer → planner join (swap the sides to serve it)
+    assert(!firedOn("SELECT * FROM spjn_l RIGHT JOIN spjn_r4 ON k = rk"))
+    // null-aware NOT IN (the OR'd IS NULL anti condition) → planner
+    assert(!firedOn(
+      "SELECT * FROM spjn_l WHERE k NOT IN (SELECT rk FROM spjn_r4)"))
+    // a non-minable right-side filter under a SEMI join → planner
+    // (it is part of the right side's definition — cannot hoist, and
+    // `<>` has no exact BETWEEN form)
+    assert(!firedOn("SELECT * FROM spjn_l WHERE k IN " +
+      "(SELECT rk FROM spjn_r4 WHERE v_r <> 'r-3')"))
+    // ... same shape under a LEFT OUTER join → planner
+    assert(!firedOn("SELECT * FROM spjn_l LEFT JOIN " +
+      "(SELECT * FROM spjn_r4 WHERE v_r <> 'r-3') t ON k = rk"))
     // equality on a NON-bucket column → planner join
     assert(!firedOn("SELECT * FROM spjn_l JOIN spjn_r4 ON v_l = v_r"))
     // a NON-deterministic filter → planner join (hoisting it above
@@ -145,5 +158,87 @@ class AlignedJoinRuleSpec extends SparkSpec {
       "filtered-join parity with the planner")
     // the residual (non-range) conjunct is enforced: no 'l-7' row
     assert(!joined.collect().exists(_.getString(2) == "l-7"))
+  }
+
+  test("join family fires (r17): LEFT OUTER null-extends, IN-subquery " +
+    "semi and NOT-EXISTS anti rewrite, each with planner parity") {
+    val l = freshDir(); val r = freshDir()
+    // right side covers only keys 0..49, so LEFT OUTER has genuine
+    // null-extended rows and anti has genuine survivors
+    commitBucketed(l, 4, 500, "k", "l")
+    commitBucketed(r, 4, 50, "rk", "r")
+    graftView(l, "spjfam_l"); graftView(r, "spjfam_r")
+    def parity(sql: String): Unit = {
+      val q = spark.sql(sql)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"rule must fire on: $sql\n$plan")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      val expected = try {
+        spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+        val e = spark.sql(sql)
+        assert(e.queryExecution.executedPlan.toString.contains("Join"),
+          s"the disable switch must restore the planner's join: $sql")
+        e.collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+      assert(expected.nonEmpty, s"vacuous parity: $sql")
+      assert(got === expected, s"family parity failed: $sql")
+    }
+    // LEFT OUTER: unmatched keys 50..96 appear with NULL right fields
+    val outerSql = "SELECT * FROM spjfam_l LEFT JOIN spjfam_r ON k = rk"
+    parity(outerSql)
+    assert(spark.sql(outerSql).filter(col("rk").isNull).count() > 0,
+      "the outer fixture must exercise null extension")
+    // LEFT SEMI via IN subquery
+    parity("SELECT * FROM spjfam_l WHERE k IN (SELECT rk FROM spjfam_r)")
+    // LEFT ANTI via NOT EXISTS (plain equality — not the null-aware
+    // NOT IN shape, which stays with the planner)
+    parity("SELECT * FROM spjfam_l WHERE NOT EXISTS " +
+      "(SELECT 1 FROM spjfam_r WHERE rk = k)")
+    // LEFT-side filters hoist above the family rewrite too
+    parity("SELECT * FROM spjfam_l LEFT JOIN spjfam_r ON k = rk " +
+      "WHERE v_l <> 'l-7'")
+  }
+
+  test("exact right-side windows (r17): a BETWEEN-only subquery filter " +
+    "rides the semi/outer right scan as its window, with parity") {
+    val l = freshDir(); val r = freshDir()
+    val s = spark
+    import s.implicits._
+    // two range-sliced right commits with stats so the exact window
+    // also prunes files
+    Snapshots.commit(
+      (0 until 500).map(i => (i.toLong % 97, s"l-$i")).toDF("k", "v_l"),
+      l, "overwrite", bucketBy = Some(("k", 4)))
+    Seq((0, 400), (400, 800)).zipWithIndex.foreach { case ((lo, hi), i) =>
+      Snapshots.commit(
+        (lo until hi).map(j => (j.toLong % 97, j.toLong, s"r-$j"))
+          .toDF("rk", "rt", "v_r").coalesce(1),
+        r, if (i == 0) "overwrite" else "append",
+        bucketBy = Some(("rk", 4)), statsColumns = Seq("rt"))
+    }
+    graftView(l, "spjw_l"); graftView(r, "spjw_r")
+    def parity(sql: String): Unit = {
+      val q = spark.sql(sql)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"rule must fire on: $sql\n$plan")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      val expected = try {
+        spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+        spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+      assert(expected.nonEmpty && got === expected,
+        s"right-window parity failed: $sql")
+    }
+    // semi with an exactly-minable right filter: rt ∈ [0,150] keeps
+    // only keys 0..96 ∩ j<=150 — a REAL subset (some keys drop)
+    parity("SELECT * FROM spjw_l WHERE k IN " +
+      "(SELECT rk FROM spjw_r WHERE rt BETWEEN 0 AND 45)")
+    // anti against the same windowed subquery
+    parity("SELECT * FROM spjw_l WHERE NOT EXISTS " +
+      "(SELECT 1 FROM spjw_r WHERE rk = k AND rt BETWEEN 0 AND 45)")
+    // left outer against a windowed right subquery: rows outside the
+    // window null-extend instead of matching
+    parity("SELECT * FROM spjw_l LEFT JOIN " +
+      "(SELECT * FROM spjw_r WHERE rt BETWEEN 0 AND 45) t ON k = rk")
   }
 }
