@@ -6499,7 +6499,189 @@ object Snapshots {
   def mergeOnRead(spark: SparkSession, tableDir: String,
                   changes: DataFrame, key: String,
                   statsColumns: Seq[String] = Nil,
-                  txn: Option[(String, Long)] = None): Long = {
+                  txn: Option[(String, Long)] = None): Long =
+    mergeOnReadThin(spark, tableDir, changes, key, statsColumns, txn)
+      .getOrElse(
+        mergeOnReadFull(spark, tableDir, changes, key, statsColumns, txn))
+
+  /** [[mergeOnRead]]'s FULLY THIN path (VERDICT r16 task #2 — the one
+    * commit class still assembling the full per-file manifest, and
+    * the CDC steady state: [[cdcSink]] lands every micro-batch here).
+    * A merge is a ZERO-REMOVAL delta — dv refs plus payload appends,
+    * no live file changes position — so the publish carries every
+    * segment ref verbatim ([[publishManifestDelta]] with no removals)
+    * and writes only the batch's own entries, exactly the thin-append
+    * shape. The READ side goes thin too: the base resolves via
+    * [[resolveForWriteThin]] (version-level facts only) and the mask
+    * candidates are planned BY A SPARK JOB over the metadata
+    * checkpoint ([[liveEntriesCheckpointed]]) with the same
+    * stats ∧ bucket verdicts [[prunedFilesForKeys]] renders — the
+    * batch's key range prunes by [[FileStat.overlaps]] (guarded by
+    * [[rangeStatsComparable]]; unknown keeps), the batch's bucket ids
+    * prune hash-clustered tables — so the driver holds O(mask
+    * candidates + tail), never O(table), and untouched segments are
+    * never consulted ([[segmentTouchHook]]-provable). Falls back to
+    * the full path (None) when: no covering checkpoint, legacy
+    * inline/count-less/over-cap manifests, a widening batch (carried
+    * stats/blooms must filter — an O(table) metadata change), no
+    * recorded schema, or `graft.commit.thinDml.enabled = false` (the
+    * parity escape hatch). Semantics are [[mergeOnReadFull]]'s
+    * verbatim — same validation order, same refusals, same commit
+    * shape — pinned by the randomized thin-vs-full parity spec.
+    */
+  private def mergeOnReadThin(spark: SparkSession, tableDir: String,
+                              changes: DataFrame, key: String,
+                              statsColumns: Seq[String],
+                              txn: Option[(String, Long)]): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min, pmod, xxhash64}
+    if (!spark.conf.getOption("graft.commit.thinDml.enabled")
+      .forall(_.trim.equalsIgnoreCase("true"))) return None
+    require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWriteThin(spark, tableDir)
+    val shell = manifestShell(f, tableDir, m.version)
+    if (shell.hasInline || shell.segRefs.exists(_._2 < 0) ||
+        shell.segRefs.size >= MaxManifestSegments) return None
+    if (newestCheckpointAtOrBefore(f, tableDir, m.version).isEmpty)
+      return None
+    val old = m.schema.getOrElse(return None)
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txn appId must be non-empty with no tab/newline: '$app'")
+    }
+    val txns = txn.fold(m.txns) { case (app, b) =>
+      m.txns + (app -> math.max(b, m.txns.getOrElse(app, Long.MinValue)))
+    }
+    val incoming = org.apache.spark.sql.types.StructType(
+      changes.schema.fields.filterNot(_.name == "op"))
+    val (schema, widenedCols) = evolveSchema(old, incoming, "merge")
+    // widening filters carried stats/blooms/ndvs — O(table) metadata,
+    // the full publish's job
+    if (widenedCols.nonEmpty) return None
+    refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
+    val colMap = extendColMap(m.colMap, m.retiredCols,
+      old.fieldNames.toSet, schema.fieldNames.toIndexedSeq, version)
+    val physRev = colMap.map(_.swap)
+    val batch = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    require(batch.filter(col("op").isNull ||
+        !col("op").isin("I", "U", "D")).isEmpty,
+      s"changes has op values outside I/U/D; merge into $tableDir refused")
+    val upserts = batch.filter(col("op").isin("I", "U")).drop("op")
+    val violated = checkViolations(upserts, m.checks)
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
+          s"merge into $tableDir refused")
+    val tag = UUID.randomUUID().toString.take(8)
+    val keys = batch.select(col(key)).distinct()
+    // mask-candidate planning through the checkpoint: the same
+    // stats ∧ bucket composition [[prunedFilesForKeys]] applies, as
+    // serializable per-row verdicts in the checkpoint job
+    val keyType = old(key).dataType
+    val physKey = m.physOf(key)
+    val b = keys.agg(min(col(key)), max(col(key))).head()
+    val bounds: Option[(Any, Any)] =
+      if (b.isNullAt(0)) None
+      else Option((b.get(0), b.get(1)))
+        .filter { case (lo, hi) =>
+          rangeStatsComparable(Some(keyType), lo, hi) }
+    val allNullKeys = b.isNullAt(0)
+    val wanted: Option[Set[Int]] = m.bucketSpec.collect {
+      case (bk, n) if bk == key =>
+        keys.select(pmod(xxhash64(col(key).cast(keyType)), lit(n.toLong))
+          .cast("int")).distinct().collect().map(_.getInt(0)).toSet
+    }
+    val entries: Seq[LiveEntry] =
+      if (allNullKeys) Nil // no non-null batch key matches any row
+      else {
+        val loV = bounds.map(_._1).orNull
+        val hiV = bounds.map(_._2).orNull
+        val wantedSet = wanted.orNull
+        val pk = physKey
+        liveEntriesCheckpointed(spark, tableDir, m.version, { r: CkptFile =>
+          (loV == null || r.stats.get(pk).forall(s =>
+            FileStat(s.kind, s.min, s.max).overlaps(loV, hiV))) &&
+            (wantedSet == null || r.bucket.forall(wantedSet.contains))
+        }).getOrElse(return None)
+      }
+    val maskFiles = entries.map(_.file)
+    val dvRel = f"dv/v$version%06d-$tag"
+    val dvDir = new Path(tableDir, dvRel)
+    val nMasked = {
+      if (maskFiles.isEmpty) 0L
+      else {
+        val baseMeta = readFilesMeta(spark, tableDir, m, maskFiles)
+        val mask = baseMeta.join(keys, Seq(key), "left_semi")
+          .select(col(FpCol).as("file_path"), col(RiCol).as("row_index"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = mask.count()
+          if (n > 0) dvSizedForWrite(mask, n).write.parquet(dvDir.toString)
+          n
+        } finally mask.unpersist(false)
+      }
+    }
+    val dvs =
+      if (nMasked > 0)
+        f.listStatus(dvDir).iterator.map(_.getPath.getName)
+          .filter(_.endsWith(".parquet")).map(n => s"$dvRel/$n").toSeq.sorted
+      else {
+        if (maskFiles.nonEmpty) f.delete(dvDir, true)
+        Seq.empty
+      }
+    val dataRel = f"data/v$version%06d-$tag"
+    val dataDir = new Path(tableDir, dataRel)
+    val paySchema = schema
+    val paySpecs = m.partitionCols.map(PartitionTransforms.parse)
+      .filter(sp => upserts.columns.contains(sp.source) &&
+        paySchema.fieldNames.contains(sp.source))
+    writeLayout(spark, f, upserts, dataDir, paySpecs, paySchema,
+      None, colMap)
+    val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+    val newFileRows = newFileMeta.view.mapValues(_._1).toMap
+    val nAppended = newFileRows.values.sum
+    val written =
+      if (nAppended > 0) newFileRows.keys.toSeq.sorted
+      else { f.delete(dataDir, true); Seq.empty }
+    val mergeStatsCols = statsColumns.filterNot(
+      batchScaleMismatchCols(upserts.schema, schema))
+    val mergeMetas =
+      if (mergeStatsCols.isEmpty) Nil
+      else written.map { rel =>
+        rel -> footerColumnMeta(spark, new Path(tableDir, rel),
+          mergeStatsCols.map(c => colMap.getOrElse(c, c)))
+      }
+    val newStats = (mergeMetas.flatMap { case (rel, (st, _)) =>
+      st.map { case (c, x) => (rel, physRev.getOrElse(c, c)) -> x }
+    }.toMap: Map[(String, String), FileStat]) ++
+      partitionStatsOf(written, paySpecs, paySchema)
+    val newNulls = mergeMetas.flatMap { case (rel, (_, nn)) =>
+      nn.map { case (c, n) => (rel, physRev.getOrElse(c, c)) -> n } }.toMap
+    // ONE commit point: zero-removal manifest DELTA — every segment
+    // ref carried verbatim, only the batch's entries written
+    val mPub = m.copy(version = version, schema = Some(schema),
+      txns = txns, dvs = m.dvs ++ dvs,
+      dataRows = addRowCounts(m.dataRows, nAppended),
+      dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, nMasked),
+      colMap = colMap, pendingMarker = None)
+    if (!publishManifestDelta(f, tableDir, mPub, shell.segRefs, shell.tombs,
+        Map.empty,
+        freshSegEntries(mPub, written, newStats, newNulls, newFileMeta,
+          Map.empty, Map.empty))) {
+      if (dvs.nonEmpty) f.delete(dvDir, true)
+      if (written.nonEmpty) f.delete(dataDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $version of $tableDir was committed concurrently")
+    }
+    Some(version)
+    } finally batch.unpersist(false)
+  }
+
+  private def mergeOnReadFull(spark: SparkSession, tableDir: String,
+                              changes: DataFrame, key: String,
+                              statsColumns: Seq[String] = Nil,
+                              txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     require(changes.columns.contains("op"), "changes needs an op column (I/U/D)")
     val f = fs(spark, tableDir)
@@ -6726,7 +6908,140 @@ object Snapshots {
     */
   def updateWhere(spark: SparkSession, tableDir: String,
                   predicate: org.apache.spark.sql.Column,
-                  sets: Map[String, org.apache.spark.sql.Column]): Long = {
+                  sets: Map[String, org.apache.spark.sql.Column]): Long =
+    updateWhereThin(spark, tableDir, predicate, sets)
+      .getOrElse(updateWhereFull(spark, tableDir, predicate, sets))
+
+  /** [[updateWhere]]'s FULLY THIN path (VERDICT r16 task #2,
+    * [[mergeOnReadThin]]'s row-level-UPDATE twin): an UPDATE is a
+    * ZERO-REMOVAL delta — a dv ref plus the re-appended rows — so the
+    * publish is a verbatim-carry [[publishManifestDelta]], and the
+    * matched-row scan is planned through the checkpoint: the
+    * predicate's prunable conjuncts ([[org.apache.spark.sql
+    * .graftbridge.Bridge.prunableConjuncts]]) evaluate as per-row
+    * stat verdicts inside the checkpoint job — `=` and range hints by
+    * [[FileStat.overlaps]]/mayGe/mayLe under the
+    * [[rangeStatsComparable]] guard (decimal/unknown shapes keep
+    * every file, like [[pruneFilesCheckpointed]]); bloom and bucket
+    * pruning stay full-path-only (a kept file is a scan cost, never a
+    * semantic change — the row filter owns exactness). Driver
+    * metadata is O(candidates + tail); untouched segments are never
+    * consulted. Falls back (None) under the same conditions as the
+    * merge twin, plus a type-widening SET (refused there anyway) —
+    * and `graft.commit.thinDml.enabled = false`.
+    */
+  private def updateWhereThin(spark: SparkSession, tableDir: String,
+                              predicate: org.apache.spark.sql.Column,
+                              sets: Map[String, org.apache.spark.sql.Column])
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.conf.getOption("graft.commit.thinDml.enabled")
+      .forall(_.trim.equalsIgnoreCase("true"))) return None
+    require(sets.nonEmpty, "updateWhere needs at least one SET column")
+    val f = fs(spark, tableDir)
+    val (version, m) = resolveForWriteThin(spark, tableDir)
+    val shell = manifestShell(f, tableDir, m.version)
+    if (shell.hasInline || shell.segRefs.exists(_._2 < 0) ||
+        shell.segRefs.size >= MaxManifestSegments) return None
+    if (newestCheckpointAtOrBefore(f, tableDir, m.version).isEmpty)
+      return None
+    val old = m.schema.getOrElse(return None)
+    sets.keys.foreach { c =>
+      require(old.fieldNames.contains(c),
+        s"SET column '$c' is not in the table schema")
+    }
+    // candidate planning through the checkpoint: the predicate's
+    // prunable conjuncts as serializable stat verdicts (conservative
+    // — unknown shapes and incomparable types keep the file)
+    val hints = org.apache.spark.sql.graftbridge.Bridge
+      .prunableConjuncts(predicate)
+      .flatMap {
+        case ("=", c, Seq(v))
+            if rangeStatsComparable(
+              old.fields.find(_.name == c).map(_.dataType), v, v) =>
+          Seq(("=", m.physOf(c), Seq(v)))
+        case (">=", c, Seq(v))
+            if rangeStatsComparable(
+              old.fields.find(_.name == c).map(_.dataType), v, v) =>
+          Seq((">=", m.physOf(c), Seq(v)))
+        case ("<=", c, Seq(v))
+            if rangeStatsComparable(
+              old.fields.find(_.name == c).map(_.dataType), v, v) =>
+          Seq(("<=", m.physOf(c), Seq(v)))
+        case _ => Nil
+      }
+    val entries = liveEntriesCheckpointed(spark, tableDir, m.version,
+      { r: CkptFile =>
+        hints.forall {
+          case ("=", c, Seq(v)) => r.stats.get(c).forall(s =>
+            FileStat(s.kind, s.min, s.max).overlaps(v, v))
+          case (">=", c, Seq(v)) => r.stats.get(c).forall(s =>
+            FileStat(s.kind, s.min, s.max).mayGe(v))
+          case ("<=", c, Seq(v)) => r.stats.get(c).forall(s =>
+            FileStat(s.kind, s.min, s.max).mayLe(v))
+          case _ => true
+        }
+      }).getOrElse(return None)
+    val matched = readFilesMeta(spark, tableDir, m, entries.map(_.file))
+      .filter(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = matched.count()
+      if (n == 0L) return Some(m.version) // nothing matched
+      val updated = sets.foldLeft(matched.drop(FpCol, RiCol)) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }
+      val (schema, widenedCols) = evolveSchema(old, updated.schema, "update")
+      // widening filters carried metadata — the full publish's job
+      if (widenedCols.nonEmpty) return None
+      refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
+      val violated = checkViolations(updated, m.checks)
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated: ${violated.mkString(", ")}; " +
+            s"update of $tableDir refused")
+      val tag = UUID.randomUUID().toString.take(8)
+      val dvRel = f"dv/v$version%06d-$tag"
+      val dvDir = new Path(tableDir, dvRel)
+      dvSizedForWrite(
+        matched.select(col(FpCol).as("file_path"), col(RiCol).as("row_index")), n)
+        .write.parquet(dvDir.toString)
+      val dvs = f.listStatus(dvDir).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).map(x => s"$dvRel/$x").toSeq.sorted
+      val dataRel = f"data/v$version%06d-$tag"
+      val dataDir = new Path(tableDir, dataRel)
+      val paySchema = schema
+      val paySpecs = m.partitionCols.map(PartitionTransforms.parse)
+        .filter(sp => updated.columns.contains(sp.source) &&
+          paySchema.fieldNames.contains(sp.source))
+      writeLayout(spark, f, updated, dataDir, paySpecs, paySchema,
+        None, m.colMap)
+      val newFileMeta = footerFileMeta(spark, f, dataDir, dataRel)
+      val newFileRows = newFileMeta.view.mapValues(_._1).toMap
+      val written = newFileRows.keys.toSeq.sorted
+      val mPub = m.copy(version = version, schema = Some(schema),
+        dvs = m.dvs ++ dvs,
+        dataRows = addRowCounts(m.dataRows, n),
+        dvRows = addRowCounts(if (m.dvs.isEmpty) 0L else m.dvRows, n),
+        pendingMarker = None)
+      if (!publishManifestDelta(f, tableDir, mPub, shell.segRefs,
+          shell.tombs, Map.empty,
+          freshSegEntries(mPub, written,
+            partitionStatsOf(written, paySpecs, paySchema), Map.empty,
+            newFileMeta, Map.empty, Map.empty))) {
+        f.delete(dvDir, true)
+        f.delete(dataDir, true)
+        throw new java.util.ConcurrentModificationException(
+          s"version $version of $tableDir was committed concurrently")
+      }
+      Some(version)
+    } finally matched.unpersist(false)
+  }
+
+  private def updateWhereFull(spark: SparkSession, tableDir: String,
+                              predicate: org.apache.spark.sql.Column,
+                              sets: Map[String, org.apache.spark.sql.Column])
+      : Long = {
     import org.apache.spark.sql.functions.col
     require(sets.nonEmpty, "updateWhere needs at least one SET column")
     val f = fs(spark, tableDir)
