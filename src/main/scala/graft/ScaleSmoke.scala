@@ -203,7 +203,13 @@ object ScaleSmoke {
       // commit + clone are the linear parts; the rewritten GROUP BY
       // streams each bucket once, and the parity protocol also runs
       // the planner's own aggregate once by design)
-      "u65_sql_aligned_agg")
+      "u65_sql_aligned_agg",
+      // round-17: u66 = the SQL-reached join FAMILY (two bucketed
+      // commits + clones are the linear parts; outer/semi/anti each
+      // execute the zero-network zip AND a planner-parity rerun —
+      // the parity legs, incl. a full planner join per shape, are
+      // the deliberate linear share)
+      "u66_sql_join_family")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

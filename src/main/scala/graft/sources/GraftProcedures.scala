@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType,
   *   CALL graft.system.vacuum('db.t', 3)
   *   CALL graft.system.add_check('db.t', 'price_pos', 'price > 0')
   *   CALL graft.system.history('db.t')   -- returns one row per version
+  *   CALL graft.system.asof_join('db.trades', 'db.quotes',
+  *     't_sym', 'q_sym', 't_ts', 'q_ts')  -- returns the joined rows
   * }}}
   *
   * Each CALL routes to the corresponding [[Snapshots]] maintenance
@@ -51,19 +53,25 @@ private[sources] object GraftProcedures {
     str(row, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** One maintenance procedure: its parameter shape and the
-    * [[Snapshots]] call it routes to (given the resolved table dir).
-    * `run` returns the CALL's result scans — most maintenance ops
-    * return none ([[unit]]); introspection ops ([[history]]) return
-    * one driver-local scan of their rows.
+    * [[Snapshots]] call it routes to. `run` receives the CATALOG (a
+    * procedure may resolve more than one table — `asof_join` takes
+    * two) and returns the CALL's result scans — most maintenance ops
+    * return none ([[unit]], which resolves the conventional first
+    * `table` parameter itself); introspection/query ops return one
+    * driver-local scan of their rows.
     */
   private final case class Spec(name: String, description: String,
                                 params: Seq[ProcedureParameter],
-                                run: (SparkSession, String, InternalRow) =>
-                                  java.util.Iterator[Scan])
+                                run: (SparkSession, GraftCatalog,
+                                  InternalRow) => java.util.Iterator[Scan])
 
   private def unit(body: (SparkSession, String, InternalRow) => Unit)
-      : (SparkSession, String, InternalRow) => java.util.Iterator[Scan] =
-    (s, dir, r) => { body(s, dir, r); JCollections.emptyIterator[Scan]() }
+      : (SparkSession, GraftCatalog, InternalRow) =>
+        java.util.Iterator[Scan] =
+    (s, cat, r) => {
+      body(s, cat.dirOf(str(r, 0)), r)
+      JCollections.emptyIterator[Scan]()
+    }
 
   /** A driver-local result scan over an already-computed frame — the
     * DSv2 `LocalScan` contract, which the engine serves as the CALL
@@ -116,12 +124,31 @@ private[sources] object GraftProcedures {
       "one row describing the current version: location, layout " +
         "(partition/bucket spec), exact file/row/byte accounting, checks",
       Seq(p("table", StringType)),
-      (s, dir, r) => localResult(detail(s, dir))),
+      (s, cat, r) => localResult(detail(s, cat.dirOf(str(r, 0))))),
     Spec("history",
       "one row per live version: files/stats/txn footprint, borrowed refs, " +
         "row accounting and mask_ratio (the purge signal)",
       Seq(p("table", StringType)),
-      (s, dir, r) => localResult(Snapshots.history(s, dir))),
+      (s, cat, r) => localResult(Snapshots.history(s, cat.dirOf(str(r, 0))))),
+    Spec("asof_join",
+      "the storage-partitioned point-in-time join as a CALL (SQL has no " +
+        "ASOF syntax): for each left row, the LAST right row at-or-before " +
+        "(backward) or FIRST at-or-after (forward) its time per key, over " +
+        "two tables co-clustered on the keys — zero Exchange, zero Sort on " +
+        "sorted layouts; join_type in (left, inner), tolerance bounds " +
+        "staleness in the time column's native unit (-1 = none). Returns " +
+        "the joined rows through a driver-local scan — the SQL exploration " +
+        "surface; unbounded results belong on the Scala API",
+      Seq(p("left_table", StringType), p("right_table", StringType),
+        p("left_key", StringType), p("right_key", StringType),
+        p("left_time", StringType), p("right_time", StringType),
+        p("join_type", StringType, Some("'left'")),
+        p("direction", StringType, Some("'backward'")),
+        p("tolerance", LongType, Some("-1"))),
+      (s, cat, r) => localResult(Snapshots.bucketAlignedAsof(s,
+        cat.dirOf(str(r, 0)), cat.dirOf(str(r, 1)), str(r, 2), str(r, 3),
+        str(r, 4), str(r, 5), joinType = str(r, 6), direction = str(r, 7),
+        tolerance = Some(r.getLong(8)).filter(_ >= 0)))),
     Spec("compact_small",
       "rewrite files smaller than min_bytes into target_bytes-sized ones; " +
         "larger files carried by reference, masks consolidated exactly",
@@ -247,7 +274,7 @@ private[sources] object GraftProcedures {
             spec.params.toArray
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): java.util.Iterator[Scan] =
-            spec.run(SparkSession.active, catalog.dirOf(str(input, 0)), input)
+            spec.run(SparkSession.active, catalog, input)
         }
       }
     }

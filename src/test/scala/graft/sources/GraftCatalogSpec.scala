@@ -476,6 +476,51 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graftcat.db.ct")
   }
 
+  test("CALL graftcat.system.asof_join returns the Scala path's rows " +
+    "row-for-row, defaults and named args included") {
+    init()
+    val s = spark
+    import s.implicits._
+    val lDir = s"$warehouse/db/asofl"
+    val rDir = s"$warehouse/db/asofr"
+    // left events at every tick; right quotes at even ticks only —
+    // backward matches the last even tick at-or-before, forward the
+    // next; keys 0..6, co-clustered 4 buckets
+    Snapshots.commit(
+      (0 until 200).map(i => (i.toLong % 7, i.toLong, s"L$i"))
+        .toDF("k", "t", "ev"),
+      lDir, "overwrite", bucketBy = Some(("k", 4)))
+    Snapshots.commit(
+      (0 until 90).map(i => (i.toLong % 7, (i * 2).toLong, s"R$i"))
+        .toDF("rk", "rt", "quote"),
+      rDir, "overwrite", bucketBy = Some(("rk", 4)))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val called = spark.sql("CALL graftcat.system.asof_join(" +
+      "'db.asofl', 'db.asofr', 'k', 'rk', 't', 'rt')")
+    val api = Snapshots.bucketAlignedAsof(spark, lDir, rDir,
+      "k", "rk", "t", "rt")
+    assert(called.schema.fieldNames.toSeq === api.schema.fieldNames.toSeq)
+    val got = rows(called)
+    assert(got.nonEmpty && got === rows(api),
+      "CALL asof_join must match the Scala path row-for-row")
+    // named args: forward direction + tolerance + inner
+    val fwd = spark.sql("CALL graftcat.system.asof_join(" +
+      "'db.asofl', 'db.asofr', 'k', 'rk', 't', 'rt', " +
+      "join_type => 'inner', direction => 'forward', tolerance => 5)")
+    val fwdApi = Snapshots.bucketAlignedAsof(spark, lDir, rDir,
+      "k", "rk", "t", "rt", joinType = "inner", direction = "forward",
+      tolerance = Some(5L))
+    assert(rows(fwd) === rows(fwdApi))
+    // the tolerance actually binds (inner drops out-of-tolerance rows)
+    assert(fwd.count() < called.count())
+    // refusals surface: unknown table
+    intercept[Exception] {
+      spark.sql("CALL graftcat.system.asof_join(" +
+        "'db.nope', 'db.asofr', 'k', 'rk', 't', 'rt')").collect()
+    }
+  }
+
   test("ALTER TABLE ALTER COLUMN TYPE widens losslessly, metadata-only") {
     init()
     spark.sql("DROP TABLE IF EXISTS graftcat.db.w1")
