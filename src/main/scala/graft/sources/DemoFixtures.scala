@@ -1818,8 +1818,14 @@ object DemoFixtures {
     * aggregate (exchange included) with the per-bucket streaming
     * fold. Witness `sql_agg_ok` folds: no aggregate/exchange operator
     * in the executed plan (the rule fired), exchange-free inner
-    * per-bucket plans, and a disabled-rule rerun returning identical
-    * rows AND schema (strategy-only, planner types exactly).
+    * per-bucket plans, a disabled-rule rerun returning identical
+    * rows AND schema (strategy-only, planner types exactly), and —
+    * r17, closing the r16 weak item — that the ENTRY'S OWN COMPOSED
+    * final frame (casts + orderBy, the shape CollapseProject folds
+    * into the Aggregate) rides the fold with no table-row aggregate
+    * operator, plus a WINDOWED leg (`WHERE price BETWEEN ..` mined
+    * exactly into the fold's range window, σ before the fold) with
+    * its own fired + planner-parity check.
     */
   def u65SqlAlignedAgg(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
@@ -1844,19 +1850,46 @@ object DemoFixtures {
       df.collect().map(_.toString).toSet
     val alignedRows = rows(agg)
     val alignedSchema = agg.schema
-    val (plannerRows, plannerSchema) = try {
-      s.conf.set("graft.sql.alignedAgg.enabled", "false")
-      val p = s.sql(sql)
-      (rows(p), p.schema)
-    } finally s.conf.set("graft.sql.alignedAgg.enabled", "true")
-    val ok = if (ruleFired && innerOk && alignedRows == plannerRows &&
-      alignedSchema == plannerSchema) 1 else 0
-    agg.select(col("k"), col("n"),
+    // the COMPOSED final frame — casts + orderBy, the analyst shape
+    // CollapseProject folds into the Aggregate — must ALSO ride the
+    // fold (the r16 weak item: only the bare witness leg fired while
+    // the entry's own returned query executed the planner's shuffled
+    // two-phase aggregate). The orderBy's range exchange moves
+    // GROUPED rows only; the witness is about the table-row
+    // aggregate, hence the HashAggregate check.
+    val composed = agg.select(col("k"), col("n"),
         col("total").cast("double").as("total"),
         col("lo").cast("double").as("lo"),
         col("hi").cast("double").as("hi"))
-      .withColumn("sql_agg_ok", lit(ok).cast("int"))
       .orderBy("k")
+    val composedFired = {
+      val p = composed.queryExecution.executedPlan.toString
+      !p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+        !p.contains("ObjectHashAggregate")
+    }
+    // windowed leg (r17 filter-through): a BETWEEN WHERE below the
+    // GROUP BY mines exactly into the fold's range window — σ before
+    // the fold, zero Exchange — with its own planner-parity check
+    val sqlW =
+      """SELECT o_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM graft_demo.db.agg16
+        |WHERE price BETWEEN 100.00 AND 50000.00
+        |GROUP BY o_custkey""".stripMargin
+    val windowed = s.sql(sqlW)
+    val wPlan = windowed.queryExecution.executedPlan.toString
+    val windowedFired =
+      !wPlan.contains("Aggregate") && !wPlan.contains("Exchange")
+    val windowedRows = rows(windowed)
+    val (plannerRows, plannerSchema, plannerWRows) = try {
+      s.conf.set("graft.sql.alignedAgg.enabled", "false")
+      val p = s.sql(sql)
+      (rows(p), p.schema, rows(s.sql(sqlW)))
+    } finally s.conf.set("graft.sql.alignedAgg.enabled", "true")
+    val ok = if (ruleFired && innerOk && composedFired && windowedFired &&
+      alignedRows == plannerRows && alignedSchema == plannerSchema &&
+      windowedRows == plannerWRows && windowedRows.nonEmpty) 1 else 0
+    composed.withColumn("sql_agg_ok", lit(ok).cast("int")).orderBy("k")
   }
 
   /** Demo + oracle entry (`u63_windowed_asof`): the RANGE-WINDOWED

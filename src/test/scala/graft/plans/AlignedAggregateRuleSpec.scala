@@ -88,6 +88,11 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     // ... and so must a non-range predicate
     assert(!fired("SELECT k, COUNT(*) n FROM sqlagg_n " +
       "WHERE tag <> 's-1' GROUP BY k"))
+    // a NON-DETERMINISTIC filter below the fold can never serve (a
+    // range window replays the predicate per file; rand() would
+    // sample differently) — the peel refuses it outright
+    assert(!fired("SELECT k, COUNT(*) n FROM (SELECT * FROM sqlagg_n " +
+      "WHERE rand() < 0.999) t GROUP BY k"))
     // two grouping columns
     assert(!fired("SELECT k, tag, COUNT(*) n FROM sqlagg_n " +
       "GROUP BY k, tag"))
