@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // name-based graft catalog tables resolve onto the V1 relation
     // (same scan/pruning/DML surface as path-based access)
     ext.injectResolutionRule(graft.plans.GraftCatalogRules.V2ToV1.apply)
+    // the FUSED star query first (it needs the Aggregate-over-Join
+    // shape intact, which the join rule below would consume):
+    // GROUP BY the join key over a graft⋈graft co-clustered join
+    // executes join AND fold in the same task — zero Exchange end to
+    // end (disable: graft.sql.alignedJoinAgg.enabled=false)
+    ext.injectOptimizerRule(graft.plans.AlignedJoinAggregate.apply)
     // graft⋈graft equi-joins on matching bucket layouts execute as
     // the zero-Exchange storage-partitioned join — SQL reaches the
     // aligned path (disable: graft.sql.alignedJoin.enabled=false)

@@ -209,7 +209,12 @@ object ScaleSmoke {
       // execute the zero-network zip AND a planner-parity rerun —
       // the parity legs, incl. a full planner join per shape, are
       // the deliberate linear share)
-      "u66_sql_join_family")
+      "u66_sql_join_family",
+      // u67 = the FUSED SQL star query (two bucketed commits + clones
+      // linear; the fused leg joins and folds in one task — zero
+      // network bytes; the both-rules-disabled planner parity rerun
+      // is the deliberate linear share)
+      "u67_sql_join_agg")
 
     // SPARK_GRAFT_ONLY=a,b restricts the run — iteration tooling; the
     // recorded protocol is always the full list

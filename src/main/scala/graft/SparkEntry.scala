@@ -175,6 +175,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u65SqlAlignedAgg _),
     "u66_sql_join_family" ->
       (graft.sources.DemoFixtures.u66SqlJoinFamily _),
+    "u67_sql_join_agg" ->
+      (graft.sources.DemoFixtures.u67SqlJoinAgg _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1389,6 +1391,22 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT seg.c_mktsegment, seg.n_orders, seg.n_rows,
         |  w.with_window, a.no_orders, 1 AS sql_family_ok
         |FROM seg, w, a ORDER BY 1""".stripMargin,
+    // u67 oracle: the FUSED SQL star query — relationally the
+    // per-customer rollup over customer⋈orders. sql_fused_ok = 1
+    // pins the strongest plan claim in the suite: no join operator,
+    // no aggregate operator, no Exchange AT ALL in the executed
+    // plan (join and fold in one task), exchange-free inner
+    // per-bucket plans, and a both-rules-disabled planner rerun
+    // matching rows and schema.
+    "u67_sql_join_agg" ->
+      """SELECT c.c_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS hi,
+        |  1 AS sql_fused_ok
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

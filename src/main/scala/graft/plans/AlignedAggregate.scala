@@ -102,40 +102,12 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(kt => (n, kt)))
       } catch { case scala.util.control.NonFatal(_) => None }).isDefined
 
-  /** One aggregate call translated to the aligned-fold vocabulary —
-    * None for anything outside it (DISTINCT, FILTER, non-Complete,
-    * expressions under the function).
-    */
   private def supportedAgg(ae: AggregateExpression): Option[(String, String)] =
-    ae match {
-      case AggregateExpression(fn, Complete, false, None, _) => fn match {
-        case Count(Seq(Literal(1, _)))         => Some(("count", "*"))
-        case Count(Seq(c: AttributeReference)) => Some(("count", c.name))
-        case Sum(c: AttributeReference, _)     => Some(("sum", c.name))
-        case Min(c: AttributeReference)        => Some(("min", c.name))
-        case Max(c: AttributeReference)        => Some(("max", c.name))
-        case _ => None
-      }
-      case _ => None
-    }
+    AggMining.supportedAgg(ae)
 
-  /** A select-list item the rewrite can serve: deterministic,
-    * subquery-free, every aggregate call inside it supported, and
-    * every reference OUTSIDE the aggregate calls the grouping key
-    * (analysis guarantees this for resolved plans; re-checked so a
-    * malformed tree bails instead of mis-binding).
-    */
   private def servableItem(e: NamedExpression,
-                           key: AttributeReference): Boolean = {
-    if (!e.deterministic || e.containsPattern(
-        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
-      return false
-    val aggs = e.collect { case ae: AggregateExpression => ae }
-    aggs.forall(supportedAgg(_).isDefined) && {
-      val under = AttributeSet(aggs.flatMap(_.references))
-      e.references.forall(a => a.exprId == key.exprId || under.contains(a))
-    }
-  }
+                           key: AttributeReference): Boolean =
+    AggMining.servableItem(e, key)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

@@ -137,6 +137,53 @@ private[plans] object AlignedSides {
   }
 }
 
+/** The aggregate-vocabulary miners the SQL fold rewrites share
+  * ([[AlignedAggregate]] and the fused [[AlignedJoinAggregate]]).
+  */
+private[plans] object AggMining {
+
+  /** One aggregate call translated to the aligned-fold vocabulary —
+    * None for anything outside it (DISTINCT, FILTER, non-Complete,
+    * expressions under the function).
+    */
+  def supportedAgg(ae: org.apache.spark.sql.catalyst.expressions
+        .aggregate.AggregateExpression): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    ae match {
+      case AggregateExpression(fn, Complete, false, None, _) => fn match {
+        case Count(Seq(Literal(1, _)))         => Some(("count", "*"))
+        case Count(Seq(c: AttributeReference)) => Some(("count", c.name))
+        case Sum(c: AttributeReference, _)     => Some(("sum", c.name))
+        case Min(c: AttributeReference)        => Some(("min", c.name))
+        case Max(c: AttributeReference)        => Some(("max", c.name))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** A select-list item the fold rewrites can serve: deterministic,
+    * subquery-free, every aggregate call inside it supported, and
+    * every reference OUTSIDE the aggregate calls the grouping key
+    * (analysis guarantees this for resolved plans; re-checked so a
+    * malformed tree bails instead of mis-binding).
+    */
+  def servableItem(e: org.apache.spark.sql.catalyst.expressions
+        .NamedExpression, key: AttributeReference): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    if (!e.deterministic || e.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
+      return false
+    val aggs = e.collect { case ae: AggregateExpression => ae }
+    aggs.forall(supportedAgg(_).isDefined) && {
+      val under = AttributeSet(aggs.flatMap(_.references))
+      e.references.forall(a => a.exprId == key.exprId || under.contains(a))
+    }
+  }
+}
+
 /** The two BETWEEN-window miners the SQL rewrite rules share, with
   * opposite exactness contracts matching where the mined window is
   * allowed to be lossy:

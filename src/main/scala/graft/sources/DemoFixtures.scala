@@ -2028,6 +2028,73 @@ object DemoFixtures {
     * co-clustered fact tables read both in place — zero network
     * bytes, no broadcast of a 10⁹-key build side.
     */
+  /** Demo + oracle entry (`u67_sql_join_agg`): the FUSED storage-
+    * partitioned join + aggregation reached from PURE SQL (r17) —
+    * the 100 TB star query `SELECT k, aggs FROM a JOIN b ON k
+    * GROUP BY k` over co-clustered tables, rewritten by
+    * [[graft.plans.AlignedJoinAggregate]] to
+    * [[Snapshots.bucketAlignedJoinAggregate]]: each bucket
+    * merge-joins in key order and folds its complete groups IN THE
+    * SAME TASK. Witness `sql_fused_ok` folds the strongest plan
+    * claim any entry makes: the executed plan of the BARE SQL frame
+    * carries NO join operator, NO aggregate operator and NO
+    * Exchange AT ALL — zero shuffle end to end, table rows and
+    * grouped rows alike — plus exchange-free inner per-bucket plans
+    * and a both-rules-disabled rerun (planner join + planner
+    * aggregate) returning identical rows and schema. The select
+    * list is deliberately COMPOSED (a cast over SUM) to pin that
+    * the fused rewrite serves the analyst shape, not just bare
+    * aggregates.
+    */
+  def u67SqlJoinAgg(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.fcust8")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.fordc8")
+    val cust = graft.TempDirs.create("graft-sqlfused-cust")
+    Snapshots.commit(graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal")),
+      cust, "overwrite", bucketBy = Some(("c_custkey", 8)))
+    Snapshots.cloneShallow(s, cust, s"$wh/db/fcust8")
+    val ord = graft.TempDirs.create("graft-sqlfused-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      ord, "overwrite", bucketBy = Some(("o_custkey", 8)))
+    Snapshots.cloneShallow(s, ord, s"$wh/db/fordc8")
+    val sql =
+      """SELECT c_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  CAST(MAX(price) AS DOUBLE) AS hi
+        |FROM graft_demo.db.fcust8 JOIN graft_demo.db.fordc8
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin
+    val fused = s.sql(sql)
+    val plan = fused.queryExecution.executedPlan.toString
+    val ruleFired = !plan.contains("Join") && !plan.contains("Aggregate") &&
+      !plan.contains("Exchange")
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val fusedRows = rows(fused)
+    val fusedSchema = fused.schema
+    val (plannerRows, plannerSchema) = try {
+      s.conf.set("graft.sql.alignedJoinAgg.enabled", "false")
+      s.conf.set("graft.sql.alignedJoin.enabled", "false")
+      val p = s.sql(sql)
+      require(p.queryExecution.executedPlan.toString.contains("Join"),
+        "the disable switches must restore the planner's join")
+      (rows(p), p.schema)
+    } finally {
+      s.conf.set("graft.sql.alignedJoinAgg.enabled", "true")
+      s.conf.set("graft.sql.alignedJoin.enabled", "true")
+    }
+    val ok = if (ruleFired && innerOk && fusedRows == plannerRows &&
+      fusedSchema == plannerSchema && fusedRows.nonEmpty) 1 else 0
+    fused.withColumn("sql_fused_ok", lit(ok).cast("int")).orderBy("k")
+  }
+
   def u66SqlJoinFamily(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
