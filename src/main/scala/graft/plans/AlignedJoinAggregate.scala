@@ -33,11 +33,15 @@ import graft.sources.Snapshots
   *  - aggregate columns resolve UNAMBIGUOUSLY against the joined
   *    schema (left fields then right — a name on both sides refuses
   *    inside the operator and the rule bails);
-  *  - both sides are bare or pruning-projected graft relations with
-  *    NO filters (a filtered star query falls to [[AlignedJoin]],
-  *    which hoists the filters above its join rewrite — correct,
-  *    one grouped-row exchange), matching bucket layouts, non-float
-  *    keys of one type;
+  *  - both sides are bare or pruning-projected graft relations whose
+  *    peeled filters (if any) mine EXACTLY into inclusive BETWEEN
+  *    windows riding the fused operator's pre-join ranges — the
+  *    `WHERE day BETWEEN ? AND ? GROUP BY key` star shape; a fold
+  *    consumes its rows, so nothing can re-apply above and the
+  *    mining contract is exactness ([[RangeMining.exact]]). A
+  *    non-minable filter falls to [[AlignedJoin]], which hoists the
+  *    filters above its join rewrite — correct, one grouped-row
+  *    exchange. Matching bucket layouts, non-float keys of one type;
   *  - the result-schema guard bails on any type mismatch, so the
   *    rewrite can never change a query's schema.
   * Disable with `graft.sql.alignedJoinAgg.enabled = false` (the
@@ -74,13 +78,22 @@ case class AlignedJoinAggregate(spark: SparkSession)
               JoinHint.NONE) =>
             (AlignedSides.peel(lp), AlignedSides.peel(rp)) match {
               case (Some(ls), Some(rs))
-                  if ls.filters.isEmpty && rs.filters.isEmpty &&
-                    // the grouping attribute IS one of the join keys
-                    (key.exprId == a.exprId || key.exprId == b.exprId) =>
+                  // the grouping attribute IS one of the join keys
+                  if key.exprId == a.exprId || key.exprId == b.exprId =>
+                // filters under a FOLD cannot re-apply above (the
+                // grouped rows are gone) — each side's conjuncts must
+                // mine EXACTLY into its pre-join range window
+                // ([[RangeMining.exact]]: the per-file row filter is
+                // the lossless inclusive predicate), else the layered
+                // fallback serves ([[AlignedJoin]] hoists + the
+                // planner aggregates)
+                val windows = (RangeMining.exact(ls.filters),
+                  RangeMining.exact(rs.filters))
                 AlignedSides.orient(a, b, ls.out, rs.out) match {
                   case Some((lKey, rKey))
-                      if AlignedSides.alignablePair(spark, ls.g, lKey,
-                        rs.g, rKey) =>
+                      if windows._1.isDefined && windows._2.isDefined &&
+                        AlignedSides.alignablePair(spark, ls.g, lKey,
+                          rs.g, rKey) =>
                     val specs: Seq[(String, String)] = items
                       .flatMap(_.collect {
                         case ae: AggregateExpression => ae })
@@ -98,7 +111,9 @@ case class AlignedJoinAggregate(spark: SparkSession)
                         specs.zipWithIndex.map { case ((fn, c), i) =>
                           (fn, c, s"__agg_$i") },
                         leftVersion = Some(ls.g.version),
-                        rightVersion = Some(rs.g.version))).toOption
+                        rightVersion = Some(rs.g.version),
+                        leftRanges = windows._1.get,
+                        rightRanges = windows._2.get)).toOption
                     val typesOk = alignedOpt.exists { al =>
                       val s = al.schema
                       specs.zipWithIndex.forall { case (sp, i) =>

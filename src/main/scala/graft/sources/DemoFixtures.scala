@@ -2079,19 +2079,36 @@ object DemoFixtures {
       df.collect().map(_.toString).toSet
     val fusedRows = rows(fused)
     val fusedSchema = fused.schema
-    val (plannerRows, plannerSchema) = try {
+    // windowed star leg (r17): an exactly-minable BETWEEN below the
+    // join rides the fused operator's pre-join range window — σ
+    // before the fold, still zero Exchange end to end
+    val sqlW =
+      """SELECT c_custkey AS k, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM graft_demo.db.fcust8 JOIN graft_demo.db.fordc8
+        |  ON c_custkey = o_custkey
+        |WHERE price BETWEEN 1000.00 AND 150000.00
+        |GROUP BY c_custkey""".stripMargin
+    val windowed = s.sql(sqlW)
+    val wPlan = windowed.queryExecution.executedPlan.toString
+    val windowedFired = !wPlan.contains("Join") &&
+      !wPlan.contains("Aggregate") && !wPlan.contains("Exchange")
+    val windowedRows = rows(windowed)
+    val (plannerRows, plannerSchema, plannerWRows) = try {
       s.conf.set("graft.sql.alignedJoinAgg.enabled", "false")
       s.conf.set("graft.sql.alignedJoin.enabled", "false")
       val p = s.sql(sql)
       require(p.queryExecution.executedPlan.toString.contains("Join"),
         "the disable switches must restore the planner's join")
-      (rows(p), p.schema)
+      (rows(p), p.schema, rows(s.sql(sqlW)))
     } finally {
       s.conf.set("graft.sql.alignedJoinAgg.enabled", "true")
       s.conf.set("graft.sql.alignedJoin.enabled", "true")
     }
-    val ok = if (ruleFired && innerOk && fusedRows == plannerRows &&
-      fusedSchema == plannerSchema && fusedRows.nonEmpty) 1 else 0
+    val ok = if (ruleFired && innerOk && windowedFired &&
+      fusedRows == plannerRows && fusedSchema == plannerSchema &&
+      windowedRows == plannerWRows && windowedRows.nonEmpty &&
+      fusedRows.nonEmpty) 1 else 0
     fused.withColumn("sql_fused_ok", lit(ok).cast("int")).orderBy("k")
   }
 

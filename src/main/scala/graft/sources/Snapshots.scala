@@ -6919,7 +6919,8 @@ object Snapshots {
     * matched-row scan is planned through the checkpoint: the
     * predicate's prunable conjuncts ([[org.apache.spark.sql
     * .graftbridge.Bridge.prunableConjuncts]]) evaluate as per-row
-    * stat verdicts inside the checkpoint job — `=` and range hints by
+    * stat verdicts inside the checkpoint job — `=`, `IN` (any
+    * candidate may be present) and range hints by
     * [[FileStat.overlaps]]/mayGe/mayLe under the
     * [[rangeStatsComparable]] guard (decimal/unknown shapes keep
     * every file, like [[pruneFilesCheckpointed]]); bloom and bucket
@@ -6968,6 +6969,10 @@ object Snapshots {
             if rangeStatsComparable(
               old.fields.find(_.name == c).map(_.dataType), v, v) =>
           Seq(("<=", m.physOf(c), Seq(v)))
+        case ("in", c, vs)
+            if vs.nonEmpty && vs.forall(v => rangeStatsComparable(
+              old.fields.find(_.name == c).map(_.dataType), v, v)) =>
+          Seq(("in", m.physOf(c), vs))
         case _ => Nil
       }
     val entries = liveEntriesCheckpointed(spark, tableDir, m.version,
@@ -6979,6 +6984,9 @@ object Snapshots {
             FileStat(s.kind, s.min, s.max).mayGe(v))
           case ("<=", c, Seq(v)) => r.stats.get(c).forall(s =>
             FileStat(s.kind, s.min, s.max).mayLe(v))
+          // IN: a file survives if ANY candidate value may be present
+          case ("in", c, vs) => r.stats.get(c).forall(s =>
+            vs.exists(v => FileStat(s.kind, s.min, s.max).overlaps(v, v)))
           case _ => true
         }
       }).getOrElse(return None)

@@ -73,6 +73,12 @@ class AlignedJoinAggRuleSpec extends SparkSpec {
     // equi-join, both sides drop NULL keys — same groups)
     fusedCheck("SELECT rk, COUNT(*) AS n " +
       "FROM fus_l JOIN fus_r ON k = rk GROUP BY rk")
+    // the WINDOWED star query (r17): exactly-minable BETWEEN/equality
+    // conjuncts on either side ride the fused operator's pre-join
+    // range windows — σ before the fold, still zero Exchange
+    fusedCheck("SELECT k, COUNT(*) AS n, SUM(v_r) AS sv " +
+      "FROM fus_l JOIN fus_r ON k = rk " +
+      "WHERE v_l BETWEEN 50 AND 400 AND v_r BETWEEN 0 AND 250 GROUP BY k")
   }
 
   test("falls back in layers: filtered sides, non-key grouping and " +
@@ -98,12 +104,13 @@ class AlignedJoinAggRuleSpec extends SparkSpec {
       assert(got.nonEmpty && got === plannerRows(sql)._1,
         s"fallback parity failed: $sql")
     }
-    // a WHERE on one side: the fused rule bails (filters), the join
-    // rule serves the join, the planner aggregates the grouped rows
+    // a NON-minable WHERE (strict `>` has no exact inclusive form):
+    // the fused rule bails, the join rule serves the join (hoisting
+    // the filter above), the planner aggregates the grouped rows
     val filtered = "SELECT k, COUNT(*) AS n FROM fusn_l JOIN fusn_r " +
-      "ON k = rk WHERE v_a >= 50 AND v_a <= 300 GROUP BY k"
+      "ON k = rk WHERE v_a > 50 GROUP BY k"
     assert(shape(filtered) === ((false, true)),
-      "filtered star query must take join-rewrite + planner aggregate")
+      "non-minable star query must take join-rewrite + planner aggregate")
     parityOnly(filtered)
     // grouping by a NON-key column: same layered fallback
     val nonKey = "SELECT s_a, COUNT(*) AS n FROM fusn_l JOIN fusn_r " +
