@@ -1370,7 +1370,7 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
     // a LEFT JOIN retention rollup per market segment, a windowed
     // IN-subquery count (LeftSemi with the BETWEEN riding the aligned
     // right scan as its exact range window) and a NOT EXISTS count
-    // (LeftAnti), cross-joined into one row set. sql_family_ok = 1
+    // (LeftAnti) attached as literal columns. sql_family_ok = 1
     // pins, for each of the three, that the rewrite fired (no join
     // operator in the executed plan) and a disabled-rule rerun
     // matched rows exactly.

@@ -2163,7 +2163,14 @@ object DemoFixtures {
     } finally s.conf.set("graft.sql.alignedJoin.enabled", "true")
     val ok = if (outerFired && semiFired && antiFired &&
       outerRows == pOuter && semiRows == pSemi && antiRows == pAnti) 1 else 0
-    s.sql(outerSql).crossJoin(s.sql(semiSql)).crossJoin(s.sql(antiSql))
+    // the scalar counts attach as literals (already collected for the
+    // parity checks), so the ENTRY'S OWN final plan is the rewritten
+    // outer rollup alone — no join operator anywhere in it
+    val withWindow = s.sql(semiSql).head().getLong(0)
+    val noOrders = s.sql(antiSql).head().getLong(0)
+    s.sql(outerSql)
+      .withColumn("with_window", lit(withWindow))
+      .withColumn("no_orders", lit(noOrders))
       .withColumn("sql_family_ok", lit(ok).cast("int"))
       .orderBy("c_mktsegment")
   }
