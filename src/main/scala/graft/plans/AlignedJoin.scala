@@ -89,13 +89,19 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   if rightWindows.isDefined &&
                     AlignedSides.alignablePair(spark, ls.g, lKey,
                       rs.g, rKey) =>
-                val aligned = Snapshots.bucketAlignedJoin(spark,
-                  ls.g.tableDir, rs.g.tableDir, lKey, rKey,
-                  leftVersion = Some(ls.g.version),
-                  rightVersion = Some(rs.g.version),
-                  joinType = typeName(jt),
-                  leftRanges = RangeMining.relaxed(ls.filters),
-                  rightRanges = rightWindows.get)
+                // any operator refusal the probe could not foresee
+                // leaves the planner's join in place — the rewrite
+                // must never turn a plannable query into an error
+                val alignedOpt = scala.util.Try(
+                  Snapshots.bucketAlignedJoin(spark,
+                    ls.g.tableDir, rs.g.tableDir, lKey, rKey,
+                    leftVersion = Some(ls.g.version),
+                    rightVersion = Some(rs.g.version),
+                    joinType = typeName(jt),
+                    leftRanges = RangeMining.relaxed(ls.filters),
+                    rightRanges = rightWindows.get)).toOption
+                if (alignedOpt.isEmpty) j else {
+                val aligned = alignedOpt.get
                 // the aligned output order is the JOIN's own: left
                 // fields then right fields (leftouter's right
                 // attributes nullable — the data carries NULLs for
@@ -125,6 +131,7 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   .reduceOption(And).map(Filter(_, full)).getOrElse(full)
                 if (j.output == full.output && hoisted.isEmpty) full
                 else Project(j.output, filtered)
+                }
               case _ => j
             }
           case _ => j

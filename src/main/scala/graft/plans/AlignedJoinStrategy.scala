@@ -63,27 +63,35 @@ case class AlignedJoinStrategy(spark: SparkSession) extends SparkStrategy {
                 if rightWindows.isDefined &&
                   AlignedSides.alignablePair(spark, ls.g, lKey,
                     rs.g, rKey) =>
-              val aligned = Snapshots.bucketAlignedJoin(spark,
+              // any operator refusal the probe could not foresee
+              // falls back to the planner's strategies (Nil) — the
+              // rewrite must never turn a plannable query into an
+              // error
+              scala.util.Try(Snapshots.bucketAlignedJoin(spark,
                 ls.g.tableDir, rs.g.tableDir, lKey, rKey,
                 leftVersion = Some(ls.g.version),
                 rightVersion = Some(rs.g.version),
                 joinType = typeName(jt),
                 leftRanges = RangeMining.relaxed(ls.filters),
-                rightRanges = rightWindows.get)
-              // semi/anti output the LEFT columns only, under the
-              // relations' own exprIds — references above stay bound
-              // scan name deliberately avoids the substring "Join":
-              // the oracle witnesses (and users) audit "no join
-              // operator in the plan" textually
-              val scan = RDDScanExec(ls.out,
-                aligned.queryExecution.toRdd,
-                s"GraftAligned ${typeName(jt)}")
-              val filtered = ls.filters.reduceOption(And)
-                .map(FilterExec(_, scan)).getOrElse(scan)
-              val out: SparkPlan =
-                if (j.output == filtered.output) filtered
-                else ProjectExec(j.output, filtered)
-              out :: Nil
+                rightRanges = rightWindows.get)).toOption match {
+                case None => Nil
+                case Some(aligned) =>
+                  // semi/anti output the LEFT columns only, under the
+                  // relations' own exprIds — references above stay
+                  // bound. Scan name deliberately avoids the
+                  // substring "Join": the oracle witnesses (and
+                  // users) audit "no join operator in the plan"
+                  // textually
+                  val scan = RDDScanExec(ls.out,
+                    aligned.queryExecution.toRdd,
+                    s"GraftAligned ${typeName(jt)}")
+                  val filtered = ls.filters.reduceOption(And)
+                    .map(FilterExec(_, scan)).getOrElse(scan)
+                  val out: SparkPlan =
+                    if (j.output == filtered.output) filtered
+                    else ProjectExec(j.output, filtered)
+                  out :: Nil
+              }
             case _ => Nil
           }
         case _ => Nil
