@@ -8702,6 +8702,13 @@ object Snapshots {
     val changes = graft.operators.Merge.demoChanges(base)
     val sink = cdcSink(tableDir, "o_orderkey") _
     sink(base.withColumn("op", lit("I")), 0L)
+    // one checkpoint after the initial load (r17): every subsequent
+    // CDC batch merges through the THIN path — the checkpoint plans
+    // the mask candidates, later versions' segments ride as the
+    // cached tail (O(tail) growth between checkpoints), and each
+    // publish is a zero-removal delta. The steady state this demo
+    // exists to model.
+    writeMetadataCheckpoint(s, tableDir)
     val batch1 = changes.filter(col("o_orderkey") % 2 === 0)
     sink(batch1, 1L)
     sink(changes.filter(col("o_orderkey") % 2 === 1), 2L)
@@ -8874,6 +8881,9 @@ object Snapshots {
   def u20UpdateWhere(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val tableDir = DemoFixtures.clonedOrders(s, d, "graft-update-demo")
+    // checkpoint first (r17): the UPDATE rides the thin path (stat-
+    // hinted candidate planning + zero-removal delta publish)
+    writeMetadataCheckpoint(s, tableDir)
     updateWhere(s, tableDir, col("o_orderstatus") === "F",
       Map("o_totalprice" -> (col("o_totalprice") + lit(100.0))))
     val nVersions = latestVersion(s, tableDir).get + 1
@@ -9305,6 +9315,12 @@ object Snapshots {
     import org.apache.spark.sql.functions._
     val tableDir = DemoFixtures.clonedOrders(s, d, "graft-mor")
     val base = graft.Tables.orders(s, d)
+    // checkpoint first (r17): the merge then takes the THIN path —
+    // mask candidates planned by the checkpoint job, zero-removal
+    // delta publish — i.e. the demo measures the CDC steady state's
+    // real commit shape; results are identical by the thin/full
+    // parity contract (ThinMaintenanceSpec pins it)
+    writeMetadataCheckpoint(s, tableDir)
     mergeOnRead(s, tableDir,
       graft.operators.Merge.demoChanges(base), "o_orderkey")
     (0L to 1L).map { v =>
