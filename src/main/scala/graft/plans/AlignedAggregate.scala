@@ -114,12 +114,13 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformDown {
       case agg @ Aggregate(Seq(key: AttributeReference), aggExprs, child,
           None)
-          if graftRel(child).isDefined &&
-            aggExprs.forall(servableItem(_, key)) &&
+          if aggExprs.forall(servableItem(_, key)) &&
             aggExprs.exists(_.exists(_.isInstanceOf[AggregateExpression])) =>
-        val (g, filters) = graftRel(child).get
-        (RangeMining.exact(filters), alignable(g, key.name)) match {
-          case (Some(ranges), true) =>
+        // the child walk binds ONCE (r17 hygiene #4) — a non-graft
+        // child falls through to the planner untouched
+        (graftRel(child).map { case (g, filters) =>
+          (g, RangeMining.exact(filters), alignable(g, key.name)) }) match {
+          case Some((g, Some(ranges), true)) =>
             // the DISTINCT supported aggregates across the whole list,
             // folded once each however many items reference them
             val specs: Seq[(String, String)] = aggExprs
@@ -130,11 +131,12 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
             val repr: Map[(String, String), AggregateExpression] = aggExprs
               .flatMap(_.collect { case ae: AggregateExpression => ae })
               .map(ae => supportedAgg(ae).get -> ae).toMap
-            val alignedOpt = scala.util.Try(Snapshots.bucketAlignedAggregate(
+            val alignedOpt = RewriteDiag.attempt("aggregate",
+              RewriteDiag.tag(g))(Snapshots.bucketAlignedAggregate(
               spark, g.tableDir,
               specs.zipWithIndex.map { case ((fn, c), i) =>
                 (fn, c, s"__agg_$i") },
-              version = Some(g.version), ranges = ranges)).toOption
+              version = Some(g.version), ranges = ranges))
             // result-schema guard: every fold's type must be the
             // planner's own, or the rewrite silently changes the
             // query's schema — bail instead

@@ -92,14 +92,17 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                 // any operator refusal the probe could not foresee
                 // leaves the planner's join in place — the rewrite
                 // must never turn a plannable query into an error
-                val alignedOpt = scala.util.Try(
+                // (logged once per tables@versions+shape: RewriteDiag)
+                val alignedOpt = RewriteDiag.attempt(
+                  s"join:${typeName(jt)}",
+                  s"${RewriteDiag.tag(ls.g)}+${RewriteDiag.tag(rs.g)}")(
                   Snapshots.bucketAlignedJoin(spark,
                     ls.g.tableDir, rs.g.tableDir, lKey, rKey,
                     leftVersion = Some(ls.g.version),
                     rightVersion = Some(rs.g.version),
                     joinType = typeName(jt),
                     leftRanges = RangeMining.relaxed(ls.filters),
-                    rightRanges = rightWindows.get)).toOption
+                    rightRanges = rightWindows.get))
                 if (alignedOpt.isEmpty) j else {
                 val aligned = alignedOpt.get
                 // the aligned output order is the JOIN's own: left

@@ -105,7 +105,9 @@ case class AlignedJoinAggregate(spark: SparkSession)
                     // the operator resolves agg columns against the
                     // JOINED schema and refuses ambiguity/NULL-key
                     // hazards itself — any refusal bails the rewrite
-                    val alignedOpt = scala.util.Try(
+                    // (logged once per tables+shape: RewriteDiag)
+                    val alignedOpt = RewriteDiag.attempt("join-aggregate",
+                      s"${RewriteDiag.tag(ls.g)}+${RewriteDiag.tag(rs.g)}")(
                       Snapshots.bucketAlignedJoinAggregate(spark,
                         ls.g.tableDir, rs.g.tableDir, lKey, rKey,
                         specs.zipWithIndex.map { case ((fn, c), i) =>
@@ -113,7 +115,7 @@ case class AlignedJoinAggregate(spark: SparkSession)
                         leftVersion = Some(ls.g.version),
                         rightVersion = Some(rs.g.version),
                         leftRanges = windows._1.get,
-                        rightRanges = windows._2.get)).toOption
+                        rightRanges = windows._2.get))
                     val typesOk = alignedOpt.exists { al =>
                       val s = al.schema
                       specs.zipWithIndex.forall { case (sp, i) =>

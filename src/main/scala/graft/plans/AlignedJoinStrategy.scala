@@ -66,14 +66,16 @@ case class AlignedJoinStrategy(spark: SparkSession) extends SparkStrategy {
               // any operator refusal the probe could not foresee
               // falls back to the planner's strategies (Nil) — the
               // rewrite must never turn a plannable query into an
-              // error
-              scala.util.Try(Snapshots.bucketAlignedJoin(spark,
+              // error (logged once per tables+shape: RewriteDiag)
+              RewriteDiag.attempt(s"join:${typeName(jt)}",
+                s"${RewriteDiag.tag(ls.g)}+${RewriteDiag.tag(rs.g)}")(
+                Snapshots.bucketAlignedJoin(spark,
                 ls.g.tableDir, rs.g.tableDir, lKey, rKey,
                 leftVersion = Some(ls.g.version),
                 rightVersion = Some(rs.g.version),
                 joinType = typeName(jt),
                 leftRanges = RangeMining.relaxed(ls.filters),
-                rightRanges = rightWindows.get)).toOption match {
+                rightRanges = rightWindows.get)) match {
                 case None => Nil
                 case Some(aligned) =>
                   // semi/anti output the LEFT columns only, under the

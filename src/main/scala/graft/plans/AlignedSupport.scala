@@ -49,6 +49,48 @@ private[plans] object AlignedPlanCache {
     facts.containsKey((dir, version, key))
 }
 
+/** The rewrites' REFUSAL DIAGNOSTIC (VERDICT r17 hygiene #3): every
+  * SQL aligned rewrite falls back to the planner when the operator it
+  * builds refuses for a reason the precondition probe could not
+  * foresee — the right CONTRACT (a rewrite must never turn a
+  * plannable query into an error), but a bare swallow also hides
+  * genuine bugs: a refusal firing on every query of a given shape
+  * looks identical to "rule doesn't apply". [[attempt]] logs each
+  * distinct (tables@versions, shape) refusal ONCE at warn through a
+  * bounded LRU (the [[AlignedPlanCache]] treatment), then falls back
+  * exactly as before.
+  */
+private[plans] object RewriteDiag extends org.apache.spark.internal.Logging {
+  private val Max = 1024
+  private val seen = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String), java.lang.Boolean](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), java.lang.Boolean])
+          : Boolean = this.size() > Max
+    })
+  // test observation point: refusals logged since process start
+  private val logged = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[plans] def loggedCount: Long = logged.get()
+
+  /** Run `body`; a non-fatal throw logs once per (tables, shape) and
+    * returns None — the caller's planner fallback.
+    */
+  def attempt[A](shape: String, tables: String)(body: => A): Option[A] =
+    try Some(body) catch {
+      case scala.util.control.NonFatal(e) =>
+        if (seen.put((tables, shape), java.lang.Boolean.TRUE) == null) {
+          logged.incrementAndGet()
+          logWarning(s"aligned $shape rewrite refused for $tables — " +
+            s"falling back to the planner: ${e.getMessage}")
+        }
+        None
+    }
+
+  /** The memo key for a relation side: dir@version. */
+  def tag(g: GraftRelation): String = s"${g.tableDir}@${g.version}"
+}
+
 /** The servable-side vocabulary the SQL aligned rewrites share —
   * the optimizer rules ([[AlignedJoin]], [[AlignedAggregate]]) and
   * the planner strategy ([[AlignedJoinStrategy]], which catches the

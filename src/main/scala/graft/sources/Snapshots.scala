@@ -6556,9 +6556,10 @@ object Snapshots {
       changes.schema.fields.filterNot(_.name == "op"))
     val (schema, widenedCols) = evolveSchema(old, incoming, "merge")
     // widening filters carried stats/blooms/ndvs — O(table) metadata,
-    // the full publish's job
+    // the full publish's job, which also owns the bucket-key-widening
+    // refusal ([[refuseBucketKeyWiden]] — every widening batch falls
+    // back there, so the thin path never needs the check)
     if (widenedCols.nonEmpty) return None
-    refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
     val colMap = extendColMap(m.colMap, m.retiredCols,
       old.fieldNames.toSet, schema.fieldNames.toIndexedSeq, version)
     val physRev = colMap.map(_.swap)
@@ -7000,9 +7001,9 @@ object Snapshots {
         case (df, (c, e)) => df.withColumn(c, e)
       }
       val (schema, widenedCols) = evolveSchema(old, updated.schema, "update")
-      // widening filters carried metadata — the full publish's job
+      // widening filters carried metadata — the full publish's job,
+      // which also owns the bucket-key-widening refusal
       if (widenedCols.nonEmpty) return None
-      refuseBucketKeyWiden(m.bucketSpec, widenedCols, tableDir)
       val violated = checkViolations(updated, m.checks)
       if (violated.nonEmpty)
         throw new IllegalArgumentException(

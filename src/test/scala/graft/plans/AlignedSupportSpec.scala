@@ -86,6 +86,48 @@ class AlignedSupportSpec extends SparkSpec {
       LessThanOrEqual(a, lit(9)))) === Seq(("c", 5L, 9L)))
   }
 
+  test("RewriteDiag.attempt: success passes through; a refusal returns " +
+    "None and logs once per (tables, shape)") {
+    val before = RewriteDiag.loggedCount
+    assert(RewriteDiag.attempt("spec-shape", "specA@0")(42) === Some(42))
+    assert(RewriteDiag.loggedCount === before, "a success must not log")
+    def refuse(): Option[Int] = RewriteDiag.attempt[Int]("spec-shape",
+      "specA@0")(throw new IllegalArgumentException("operator refused"))
+    assert(refuse() === None)
+    assert(RewriteDiag.loggedCount === before + 1,
+      "the first refusal of a shape must log")
+    assert(refuse() === None)
+    assert(RewriteDiag.loggedCount === before + 1,
+      "a repeat refusal of the same (tables, shape) must not re-log")
+    assert(RewriteDiag.attempt[Int]("spec-shape", "specB@3")(
+      throw new IllegalStateException("other table")) === None)
+    assert(RewriteDiag.loggedCount === before + 2,
+      "a different table@version logs its own line")
+  }
+
+  test("a mid-rewrite operator refusal falls back to the planner's " +
+    "aggregate (and logs) instead of erroring") {
+    val s = spark
+    import s.implicits._
+    // an UNBUCKETED table with a POISONED alignability memo: the rule's
+    // probe says yes, so it reaches the operator, whose own refusal
+    // (no bucket layout) must fall back to the planner — the
+    // rewrite-never-errors contract, now observable via the log
+    val dir = graft.TempDirs.create("graft-diag-fallback")
+    Snapshots.commit((0 until 40).map(i => (i.toLong % 5, s"v$i"))
+      .toDF("k", "v"), dir, "overwrite")
+    AlignedPlanCache.clear()
+    AlignedPlanCache.probe(dir, 0L, "k", Some((4, LongType)))
+    spark.read.format("graft").load(dir).createOrReplaceTempView("diag_t")
+    val before = RewriteDiag.loggedCount
+    try {
+      val got = spark.sql("SELECT k, COUNT(*) AS n FROM diag_t GROUP BY k")
+      assert(got.collect().length === 5, "the planner fallback must serve")
+      assert(RewriteDiag.loggedCount > before,
+        "the swallowed operator refusal must be logged")
+    } finally AlignedPlanCache.clear()
+  }
+
   test("AlignedPlanCache: bounded LRU evicts past the cap and a " +
     "re-probe after eviction recomputes correctly") {
     AlignedPlanCache.clear()

