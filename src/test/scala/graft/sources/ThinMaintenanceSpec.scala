@@ -396,6 +396,70 @@ class ThinMaintenanceSpec extends SparkSpec {
       "the full merge path must consult segments (hook sanity)")
   }
 
+  test("thin DELETE (r18): a checkpoint-covered predicate DELETE " +
+    "consults ZERO segments, publishes a zero-removal dv delta that " +
+    "equals the full path, and the full path still consults segments") {
+    val s = spark
+    import s.implicits._
+    def seed(d: String): Unit = {
+      (0 until 3).foreach { i =>
+        Snapshots.commit(frame(i * 1000 until i * 1000 + 1000, s"b$i")
+            .coalesce(1), d,
+          if (i == 0) "overwrite" else "append", statsColumns = Seq("id"))
+      }
+      Snapshots.writeMetadataCheckpoint(spark, d)
+    }
+    val thinDir = freshDir(); val fullDir = freshDir()
+    seed(thinDir); seed(fullDir)
+    val v0 = Snapshots.latestVersion(spark, thinDir).get
+    // the retention shape: a range predicate whose stat verdicts prune
+    // candidates inside the checkpoint job; the driver consults NO
+    // segment — mask candidates come from the planning job, the
+    // publish carries every ref verbatim
+    val pred = col("id").between(1005L, 1020L)
+    val (vT, touched) = recordTouches {
+      Snapshots.deleteWhere(spark, thinDir, pred)
+    }
+    assert(vT === v0 + 1)
+    assert(touched.isEmpty,
+      s"a checkpoint-covered thin delete must consult no segment, " +
+        s"got $touched")
+    val vF = try {
+      spark.conf.set("graft.commit.thinDml.enabled", "false")
+      Snapshots.deleteWhere(spark, fullDir, pred)
+    } finally spark.conf.unset("graft.commit.thinDml.enabled")
+    val mT = Snapshots.readManifest(spark, thinDir, vT)
+    val mF = Snapshots.readManifest(spark, fullDir, vF)
+    // zero-removal delta: every base file carried live, only dv refs new
+    assert(mT.files.size === mF.files.size &&
+      mT.dataRows === mF.dataRows && mT.dvRows === mF.dvRows)
+    assert(mT.dvRows === 16L)
+    assert(mT.stats.size === mF.stats.size)
+    def content(d: String) = Snapshots.readVersion(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val cT = content(thinDir)
+    assert(cT === content(fullDir), "delete content must match full path")
+    assert(!cT.exists(t => t._1 >= 1005L && t._1 <= 1020L) &&
+      cT.exists(_._1 == 1004L) && cT.exists(_._1 == 1021L),
+      "exactly the predicate's rows must be masked")
+    // a nothing-matched DELETE stays a no-op (no empty commit) on the
+    // thin path too
+    val (vN, nTouched) = recordTouches {
+      Snapshots.deleteWhere(spark, thinDir, col("id") === 999999L)
+    }
+    assert(vN === vT && nTouched.isEmpty)
+    // sensitivity: the full path's base resolve consults segments —
+    // the zero-touch assertions above measure a real difference
+    val (_, fTouched) = recordTouches {
+      try {
+        spark.conf.set("graft.commit.thinDml.enabled", "false")
+        Snapshots.deleteWhere(spark, thinDir, col("id") === 42L)
+      } finally spark.conf.unset("graft.commit.thinDml.enabled")
+    }
+    assert(fTouched.nonEmpty,
+      "the full delete path must consult segments (hook sanity)")
+  }
+
   test("randomized thin-vs-full parity: identical op sequences on a " +
     "checkpointed and an uncheckpointed table converge to the same " +
     "observable state") {
