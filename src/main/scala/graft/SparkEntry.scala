@@ -1354,16 +1354,20 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // u65 oracle: u55's shuffle-free grouped aggregation replayed
     // through PURE SQL (catalog table + the AlignedAggregate rewrite
-    // rule) — relationally the same per-customer rollup.
-    // sql_agg_ok = 1 pins that the rule fired (no aggregate/exchange
-    // in the plan), inner plans are exchange-free, and a
-    // disabled-rule rerun matches rows AND schema.
+    // rule) — relationally the same per-customer rollup, since r18
+    // with an integral AVG item (the decomposed sum+count folds, the
+    // division re-applied above; exact integer sums make it
+    // bit-stable across engines). sql_agg_ok = 1 pins that the rule
+    // fired (no aggregate/exchange in the plan), inner plans are
+    // exchange-free, and a disabled-rule rerun matches rows AND
+    // schema.
     "u65_sql_aligned_agg" ->
       """SELECT o_custkey AS k, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total,
         |  CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+        |  AVG(o_orderkey) AS ap,
         |  1 AS sql_agg_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // u66 oracle: the SQL-reached aligned join FAMILY — relationally

@@ -25,8 +25,8 @@ import graft.sources.{GraftRelation, Snapshots}
   *
   * The select list may COMPOSE the supported aggregates (VERDICT r16
   * task #1): any deterministic, subquery-free scalar expression over
-  * `count(*) | count(c) | sum(c) | min(c) | max(c)` on plain columns
-  * and the grouping key — `CAST(SUM(x) AS DOUBLE)`,
+  * `count(*) | count(c) | sum(c) | min(c) | max(c) | avg(c)` on plain
+  * columns and the grouping key — `CAST(SUM(x) AS DOUBLE)`,
   * `SUM(x)/COUNT(*)`, `k % 10` — is served by folding the DISTINCT
   * inner aggregates per bucket and re-applying the surrounding
   * expressions in a Project above the replacement (the re-apply-above
@@ -34,7 +34,10 @@ import graft.sources.{GraftRelation, Snapshots}
   * rewrite survive `CollapseProject`, which folds an analyst query's
   * casts and arithmetic INTO the Aggregate node inside the same
   * fixed-point batch: matching only bare `Alias(AggregateExpression)`
-  * items missed every composed query (the r16 weak item).
+  * items missed every composed query (the r16 weak item). AVG (r18,
+  * VERDICT r17 task #1) rides the same re-apply-above machinery:
+  * [[AggMining]] decomposes `Average(c)` to the sum+count folds and
+  * rebuilds the division at Spark's exact result type.
   *
   * A WHERE clause pushed below the aggregate is served when — and
   * only when — every conjunct is EXACTLY a one-column inclusive
@@ -54,7 +57,7 @@ import graft.sources.{GraftRelation, Snapshots}
   *    attribute;
   *  - every aggregate inside the select list is a non-DISTINCT,
   *    un-FILTERed Complete `count(*) | count(c) | sum(c) | min(c) |
-  *    max(c)` on a plain column.
+  *    max(c) | avg(c)` on a plain column.
   * Disable with `graft.sql.alignedAgg.enabled = false`.
   */
 case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -102,9 +105,6 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(kt => (n, kt)))
       } catch { case scala.util.control.NonFatal(_) => None }).isDefined
 
-  private def supportedAgg(ae: AggregateExpression): Option[(String, String)] =
-    AggMining.supportedAgg(ae)
-
   private def servableItem(e: NamedExpression,
                            key: AttributeReference): Boolean =
     AggMining.servableItem(e, key)
@@ -119,22 +119,16 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
         // the child walk binds ONCE (r17 hygiene #4) — a non-graft
         // child falls through to the planner untouched
         (graftRel(child).map { case (g, filters) =>
-          (g, RangeMining.exact(filters), alignable(g, key.name)) }) match {
-          case Some((g, Some(ranges), true)) =>
-            // the DISTINCT supported aggregates across the whole list,
-            // folded once each however many items reference them
-            val specs: Seq[(String, String)] = aggExprs
-              .flatMap(_.collect { case ae: AggregateExpression => ae })
-              .map(supportedAgg(_).get).distinct
-            // a representative call per spec pins the planner's exact
-            // result type and nullability for the substitute attribute
-            val repr: Map[(String, String), AggregateExpression] = aggExprs
-              .flatMap(_.collect { case ae: AggregateExpression => ae })
-              .map(ae => supportedAgg(ae).get -> ae).toMap
+          (g, RangeMining.exact(filters), alignable(g, key.name),
+            AggMining.mineFolds(aggExprs)) }) match {
+          case Some((g, Some(ranges), true, Some(folds))) =>
+            // the DISTINCT folds across the whole list (AVG decomposed
+            // to sum+count), folded once each however many items
+            // reference them
             val alignedOpt = RewriteDiag.attempt("aggregate",
               RewriteDiag.tag(g))(Snapshots.bucketAlignedAggregate(
               spark, g.tableDir,
-              specs.zipWithIndex.map { case ((fn, c), i) =>
+              folds.specs.zipWithIndex.map { case ((fn, c), i) =>
                 (fn, c, s"__agg_$i") },
               version = Some(g.version), ranges = ranges))
             // result-schema guard: every fold's type must be the
@@ -142,25 +136,25 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
             // query's schema — bail instead
             val typesOk = alignedOpt.exists { a =>
               val aSchema = a.schema
-              specs.zipWithIndex.forall { case (sp, i) =>
-                aSchema(1 + i).dataType == repr(sp).dataType } &&
+              folds.specs.zipWithIndex.forall { case (sp, i) =>
+                aSchema(1 + i).dataType == folds.types(sp)._1 } &&
                 aSchema(0).dataType == key.dataType
             }
             if (!typesOk) agg
             else {
               val aligned = alignedOpt.get
               val specAttr: Map[(String, String), AttributeReference] =
-                specs.zipWithIndex.map { case (sp, i) =>
+                folds.specs.zipWithIndex.map { case (sp, i) =>
                   sp -> AttributeReference(s"__agg_$i",
-                    repr(sp).dataType, repr(sp).nullable)()
+                    folds.types(sp)._1, folds.types(sp)._2)()
                 }.toMap
               // LogicalRDD output = (key under its OWN exprId, one
               // column per distinct fold); the Project above re-applies
               // each item's surrounding expressions with the aggregate
-              // calls substituted — same Alias exprIds, so everything
-              // bound above stays bound and the output schema is the
-              // Aggregate's own
-              val rddOut: Seq[Attribute] = key +: specs.map(specAttr)
+              // calls substituted (AVG as its division) — same Alias
+              // exprIds, so everything bound above stays bound and the
+              // output schema is the Aggregate's own
+              val rddOut: Seq[Attribute] = key +: folds.specs.map(specAttr)
               val full = LogicalRDD(rddOut, aligned.queryExecution.toRdd,
                 org.apache.spark.sql.catalyst.plans.physical
                   .UnknownPartitioning(0),
@@ -168,9 +162,7 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
                 spark.asInstanceOf[
                   org.apache.spark.sql.classic.SparkSession],
                 None, None)
-              val rebound = aggExprs.map(_.transform {
-                case ae: AggregateExpression => specAttr(supportedAgg(ae).get)
-              }.asInstanceOf[NamedExpression])
+              val rebound = folds.rebind(aggExprs, specAttr)
               if (rebound == rddOut) full else Project(rebound, full)
             }
           case _ => agg

@@ -93,15 +93,11 @@ case class AlignedJoinAggregate(spark: SparkSession)
                   case Some((lKey, rKey))
                       if windows._1.isDefined && windows._2.isDefined &&
                         AlignedSides.alignablePair(spark, ls.g, lKey,
-                          rs.g, rKey) =>
-                    val specs: Seq[(String, String)] = items
-                      .flatMap(_.collect {
-                        case ae: AggregateExpression => ae })
-                      .map(AggMining.supportedAgg(_).get).distinct
-                    val repr = items
-                      .flatMap(_.collect {
-                        case ae: AggregateExpression => ae })
-                      .map(ae => AggMining.supportedAgg(ae).get -> ae).toMap
+                          rs.g, rKey) &&
+                        AggMining.mineFolds(items).isDefined =>
+                    // mined twice only on the fire path (guard + here)
+                    // — the never-fire common case pays one walk
+                    val folds = AggMining.mineFolds(items).get
                     // the operator resolves agg columns against the
                     // JOINED schema and refuses ambiguity/NULL-key
                     // hazards itself — any refusal bails the rewrite
@@ -110,7 +106,7 @@ case class AlignedJoinAggregate(spark: SparkSession)
                       s"${RewriteDiag.tag(ls.g)}+${RewriteDiag.tag(rs.g)}")(
                       Snapshots.bucketAlignedJoinAggregate(spark,
                         ls.g.tableDir, rs.g.tableDir, lKey, rKey,
-                        specs.zipWithIndex.map { case ((fn, c), i) =>
+                        folds.specs.zipWithIndex.map { case ((fn, c), i) =>
                           (fn, c, s"__agg_$i") },
                         leftVersion = Some(ls.g.version),
                         rightVersion = Some(rs.g.version),
@@ -118,20 +114,20 @@ case class AlignedJoinAggregate(spark: SparkSession)
                         rightRanges = windows._2.get))
                     val typesOk = alignedOpt.exists { al =>
                       val s = al.schema
-                      specs.zipWithIndex.forall { case (sp, i) =>
-                        s(1 + i).dataType == repr(sp).dataType } &&
+                      folds.specs.zipWithIndex.forall { case (sp, i) =>
+                        s(1 + i).dataType == folds.types(sp)._1 } &&
                         s(0).dataType == key.dataType
                     }
                     if (!typesOk) agg
                     else {
                       val aligned = alignedOpt.get
-                      val specAttr = specs.zipWithIndex.map {
+                      val specAttr = folds.specs.zipWithIndex.map {
                         case (sp, i) => sp -> AttributeReference(
-                          s"__agg_$i", repr(sp).dataType,
-                          repr(sp).nullable)()
+                          s"__agg_$i", folds.types(sp)._1,
+                          folds.types(sp)._2)()
                       }.toMap
                       val rddOut: Seq[Attribute] =
-                        key +: specs.map(specAttr)
+                        key +: folds.specs.map(specAttr)
                       val full = LogicalRDD(rddOut,
                         aligned.queryExecution.toRdd,
                         org.apache.spark.sql.catalyst.plans.physical
@@ -140,10 +136,7 @@ case class AlignedJoinAggregate(spark: SparkSession)
                         spark.asInstanceOf[
                           org.apache.spark.sql.classic.SparkSession],
                         None, None)
-                      val rebound = items.map(_.transform {
-                        case ae: AggregateExpression =>
-                          specAttr(AggMining.supportedAgg(ae).get)
-                      }.asInstanceOf[NamedExpression])
+                      val rebound = folds.rebind(items, specAttr)
                       if (rebound == rddOut) full
                       else Project(rebound, full)
                     }

@@ -1835,12 +1835,17 @@ object DemoFixtures {
     val src = graft.TempDirs.create("graft-sqlagg-orders")
     Snapshots.commit(graft.Tables.orders(s, d)
         .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_orderkey").as("okey")),
       src, "overwrite", bucketBy = Some(("o_custkey", 16)))
     Snapshots.cloneShallow(s, src, s"$wh/db/agg16")
+    // AVG (r18): an integral AVG rides the decomposed sum+count folds
+    // with the division re-applied above — integral (exact-sum) AVG
+    // is bit-stable across engines, so it is the oracle-facing item;
+    // decimal AVG parity is spec-pinned (AlignedAggregateRuleSpec)
     val sql =
       """SELECT o_custkey AS k, COUNT(*) AS n, SUM(price) AS total,
-        |  MIN(price) AS lo, MAX(price) AS hi
+        |  MIN(price) AS lo, MAX(price) AS hi, AVG(okey) AS ap
         |FROM graft_demo.db.agg16 GROUP BY o_custkey""".stripMargin
     val agg = s.sql(sql)
     val plan = agg.queryExecution.executedPlan.toString
@@ -1860,7 +1865,8 @@ object DemoFixtures {
     val composed = agg.select(col("k"), col("n"),
         col("total").cast("double").as("total"),
         col("lo").cast("double").as("lo"),
-        col("hi").cast("double").as("hi"))
+        col("hi").cast("double").as("hi"),
+        col("ap"))
       .orderBy("k")
     val composedFired = {
       val p = composed.queryExecution.executedPlan.toString

@@ -78,8 +78,8 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     assert(!fired("SELECT tag, COUNT(*) n FROM sqlagg_n GROUP BY tag"))
     // DISTINCT aggregate
     assert(!fired("SELECT k, COUNT(DISTINCT v) n FROM sqlagg_n GROUP BY k"))
-    // avg is outside the aligned vocabulary
-    assert(!fired("SELECT k, AVG(v) a FROM sqlagg_n GROUP BY k"))
+    // DISTINCT under AVG is outside the vocabulary too
+    assert(!fired("SELECT k, AVG(DISTINCT v) a FROM sqlagg_n GROUP BY k"))
     // a filter below the aggregate applies BEFORE the fold, so it
     // must mine EXACTLY into a range window — strict `>` has no
     // exact inclusive form → the planner serves
@@ -147,6 +147,18 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     // bound and tightens the folded groups
     parity("SELECT k, COUNT(*) AS n FROM sqlagg_c GROUP BY k " +
       "HAVING COUNT(*) > 60")
+    // AVG (r18, VERDICT r17 task #1): decomposed to the sum+count
+    // folds with the division re-applied above — integral input →
+    // double, DECIMAL input → decimal(p+4, s+4), both at the
+    // planner's exact result type (the parity asserts schema too);
+    // NULL v values are skipped exactly as the planner skips them
+    parity("SELECT k, AVG(v) AS av FROM sqlagg_c GROUP BY k")
+    parity("SELECT k, AVG(d) AS ad, COUNT(*) AS n FROM sqlagg_c " +
+      "GROUP BY k")
+    // composed AVG: a cast over it, arithmetic mixing it with other
+    // folds, and a reused sum fold (AVG(v) shares SUM(v)'s fold)
+    parity("SELECT k, CAST(AVG(v) AS DECIMAL(18,4)) AS avd, " +
+      "AVG(v) + SUM(v) AS mix, SUM(v) AS sv FROM sqlagg_c GROUP BY k")
     // DataFrame-composed casts + orderBy over the SQL frame — the
     // exact u65 entry shape (the r16 weak item): the final frame's
     // OWN plan must carry the fold, not the planner's shuffle

@@ -79,6 +79,10 @@ class AlignedJoinAggRuleSpec extends SparkSpec {
     fusedCheck("SELECT k, COUNT(*) AS n, SUM(v_r) AS sv " +
       "FROM fus_l JOIN fus_r ON k = rk " +
       "WHERE v_l BETWEEN 50 AND 400 AND v_r BETWEEN 0 AND 250 GROUP BY k")
+    // AVG (r18): decomposed to sum+count folds, the division
+    // re-applied above the fused replacement at the planner's type
+    fusedCheck("SELECT k, AVG(v_l) AS al, AVG(v_r) AS ar, " +
+      "SUM(v_r) AS sv FROM fus_l JOIN fus_r ON k = rk GROUP BY k")
   }
 
   test("falls back in layers: filtered sides, non-key grouping and " +
