@@ -177,6 +177,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u66SqlJoinFamily _),
     "u67_sql_join_agg" ->
       (graft.sources.DemoFixtures.u67SqlJoinAgg _),
+    "u68_sql_join_residual" ->
+      (graft.sources.DemoFixtures.u68SqlJoinResidual _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1410,6 +1412,21 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    AS hi,
         |  1 AS sql_fused_ok
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u68 oracle: the multi-conjunct SQL aligned join — relationally
+    // the clicks-before-purchase attribution rollup. residual_ok = 1
+    // pins that the rewrite fired through the composite condition
+    // (no join operator in the plan), the per-bucket inner plans are
+    // exchange-free, and a disabled-rule rerun matched rows exactly.
+    "u68_sql_join_residual" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS cuid, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT p.user_id, COUNT(*) AS n_prior_clicks, 1 AS residual_ok
+        |FROM p JOIN c ON p.user_id = c.cuid AND c.cts <= p.pts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned

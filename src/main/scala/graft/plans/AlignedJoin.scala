@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -41,8 +41,14 @@ import graft.sources.Snapshots
   *    conjunct mines losslessly into the aligned join's range windows
   *    ([[RangeMining.exact]], whose per-file row filter is the exact
   *    inclusive predicate), else the rule bails;
-  *  - the condition is a single `l.k = r.k` between attributes of the
-  *    two sides, no join hint;
+  *  - the condition contains an `l.k = r.k` equality between
+  *    attributes of the two sides that lands on their bucket keys, no
+  *    join hint. For INNER (r18) the condition may carry FURTHER
+  *    conjuncts — extra equalities, non-equi comparisons — which
+  *    re-apply as a Filter above the replacement (σ_res(A ⋈_k B) ≡
+  *    A ⋈_{k ∧ res} B); for LEFT OUTER the residual is part of the
+  *    match condition (it changes which rows null-extend), so only
+  *    the bare single equality serves;
   *  - both manifests carry the bucket layout on the join keys with
   *    equal bucket counts, every file clustered, non-float keys of
   *    one type ([[AlignedSides.alignablePair]]).
@@ -57,7 +63,8 @@ import graft.sources.Snapshots
   * query shuffling both tables and reading them in place: zero network
   * bytes for table data, one task per bucket.
   */
-case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
 
   private def enabled: Boolean =
     spark.conf.getOption("graft.sql.alignedJoin.enabled")
@@ -72,10 +79,25 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case j @ Join(lp, rp, jt, Some(EqualTo(
-          a: AttributeReference, b: AttributeReference)), JoinHint.NONE)
+      case j @ Join(lp, rp, jt, Some(cond), JoinHint.NONE)
           if typeName(jt).nonEmpty =>
-        (AlignedSides.peel(lp), AlignedSides.peel(rp)) match {
+        // multi-conjunct conditions (r18, VERDICT r17 task #4):
+        // `ON a.k = b.k AND <residual>` splits into candidate
+        // equi-conjuncts (the zip key) and the residual, which
+        // re-applies as σ ABOVE the replacement — sound for INNER
+        // (σ_res(A ⋈_k B) ≡ A ⋈_{k ∧ res} B), but for LEFT OUTER the
+        // residual is part of the MATCH condition (it changes which
+        // rows null-extend), so multi-conjunct outer joins bail
+        val conjuncts = splitConjunctivePredicates(cond)
+        val eqs = conjuncts.collect {
+          case e @ EqualTo(_: AttributeReference, _: AttributeReference) => e
+        }
+        val residualServable = conjuncts.forall(e => e.deterministic &&
+          !e.containsPattern(org.apache.spark.sql.catalyst.trees
+            .TreePattern.PLAN_EXPRESSION))
+        if (eqs.isEmpty || !residualServable ||
+            (conjuncts.lengthCompare(1) > 0 && jt != Inner)) j
+        else (AlignedSides.peel(lp), AlignedSides.peel(rp)) match {
           case (Some(ls), Some(rs)) =>
             // INNER hoists both sides' filters above the replacement;
             // LEFT OUTER hoists only the LEFT side's — the right's
@@ -84,11 +106,20 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             val rightWindows: Option[Seq[(String, Any, Any)]] =
               if (jt == Inner) Some(RangeMining.relaxed(rs.filters))
               else RangeMining.exact(rs.filters)
-            AlignedSides.orient(a, b, ls.out, rs.out) match {
-              case Some((lKey, rKey))
-                  if rightWindows.isDefined &&
-                    AlignedSides.alignablePair(spark, ls.g, lKey,
-                      rs.g, rKey) =>
+            // the FIRST equi-conjunct that orients to the sides and
+            // lands on their bucket keys becomes the zip key; the
+            // other conjuncts (equalities included) join the residual
+            val choice = eqs.iterator.flatMap { e =>
+              val (a, b) = (e.left.asInstanceOf[AttributeReference],
+                e.right.asInstanceOf[AttributeReference])
+              AlignedSides.orient(a, b, ls.out, rs.out).collect {
+                case (lKey, rKey) if AlignedSides.alignablePair(
+                    spark, ls.g, lKey, rs.g, rKey) => (e, lKey, rKey)
+              }
+            }.nextOption()
+            choice match {
+              case Some((eq, lKey, rKey)) if rightWindows.isDefined =>
+                val residual = conjuncts.filterNot(_ eq eq)
                 // any operator refusal the probe could not foresee
                 // leaves the planner's join in place — the rewrite
                 // must never turn a plannable query into an error
@@ -126,10 +157,12 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan] {
                   None, None)
                 // hoisted filters re-apply verbatim above (left side
                 // always; the right's too for INNER — σ(A) ⋈ σ(B) ≡
-                // σ(A ⋈ B) there). Outer right filters were consumed
-                // exactly by the range window.
-                val hoisted =
-                  if (jt == Inner) ls.filters ++ rs.filters else ls.filters
+                // σ(A ⋈ B) there), and so does the condition's
+                // residual (INNER only — guarded above). Outer right
+                // filters were consumed exactly by the range window.
+                val hoisted = (
+                  if (jt == Inner) ls.filters ++ rs.filters
+                  else ls.filters) ++ residual
                 val filtered = hoisted
                   .reduceOption(And).map(Filter(_, full)).getOrElse(full)
                 if (j.output == full.output && hoisted.isEmpty) full

@@ -2180,4 +2180,65 @@ object DemoFixtures {
       .withColumn("sql_family_ok", lit(ok).cast("int"))
       .orderBy("c_mktsegment")
   }
+
+  /** Demo + oracle entry (`u68_sql_join_residual`): MULTI-CONJUNCT
+    * join conditions through the SQL aligned rewrite (VERDICT r17
+    * task #4) — the attribution shape every event pipeline writes:
+    * purchases ⋈ clicks `ON p.user_id = c.cuid AND c.cts <= p.pts`
+    * (how many clicks preceded each user's purchases). The r18
+    * [[graft.plans.AlignedJoin]] picks the bucket-key equality as the
+    * per-bucket zip key and re-applies the non-equi residual as a
+    * Filter above the replacement — sound for INNER (σ_res(A ⋈_k B)
+    * ≡ A ⋈_{k ∧ res} B). Witness `residual_ok` folds: no join
+    * operator in the executed plan (the rewrite fired through the
+    * composite condition), exchange-free inner per-bucket plans, and
+    * a disabled-rule rerun returning identical rows through the
+    * planner's join. The grouped rollup above moves grouped rows
+    * only. At 100 TB: a time-ordered attribution join between
+    * co-clustered event tables reads both in place — the residual
+    * costs a per-row comparison, never a shuffle.
+    */
+  def u68SqlJoinResidual(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.rp8")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.rc8")
+    val e = graft.Tables.events(s, d)
+    val p = graft.TempDirs.create("graft-resid-purchases")
+    Snapshots.commit(e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pts")),
+      p, "overwrite", bucketBy = Some(("user_id", 8)))
+    Snapshots.cloneShallow(s, p, s"$wh/db/rp8")
+    val c = graft.TempDirs.create("graft-resid-clicks")
+    Snapshots.commit(e.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+          col("ts").as("cts")),
+      c, "overwrite", bucketBy = Some(("cuid", 8)))
+    Snapshots.cloneShallow(s, c, s"$wh/db/rc8")
+    val sql =
+      """SELECT p.user_id, COUNT(*) AS n_prior_clicks
+        |FROM graft_demo.db.rp8 p JOIN graft_demo.db.rc8 c
+        |  ON p.user_id = c.cuid AND c.cts <= p.pts
+        |GROUP BY p.user_id""".stripMargin
+    val joined = s.sql(sql)
+    val planStr = joined.queryExecution.executedPlan.toString
+    val ruleFired = !planStr.contains("Join")
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val alignedRows = rows(joined)
+    val plannerRows = try {
+      s.conf.set("graft.sql.alignedJoin.enabled", "false")
+      val q = s.sql(sql)
+      require(q.queryExecution.executedPlan.toString.contains("Join"),
+        "the disable switch must restore the planner's join")
+      rows(q)
+    } finally s.conf.set("graft.sql.alignedJoin.enabled", "true")
+    val ok = if (ruleFired && innerOk && alignedRows == plannerRows &&
+      alignedRows.nonEmpty) 1 else 0
+    joined.withColumn("residual_ok", lit(ok).cast("int"))
+      .orderBy("user_id")
+  }
 }

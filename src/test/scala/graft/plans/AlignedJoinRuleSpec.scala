@@ -199,6 +199,62 @@ class AlignedJoinRuleSpec extends SparkSpec {
       "WHERE v_l <> 'l-7'")
   }
 
+  test("multi-conjunct conditions fire for INNER (r18): extra " +
+    "equalities and non-equi conjuncts re-apply above the zip; " +
+    "outer and anti with residuals bail") {
+    val l = freshDir(); val r = freshDir()
+    val s = spark
+    import s.implicits._
+    // x is the SLAB parity and rx is constant 0, so every leg below
+    // is non-vacuous AND selective: the x = rx equality keeps even
+    // slabs only, t < rt keeps low slabs only, and the two-equality
+    // anti has genuine survivors (odd-slab rows)
+    Snapshots.commit((0 until 500)
+        .map(i => (i.toLong % 97, (i / 97).toLong % 2, i.toLong, s"l-$i"))
+        .toDF("k", "x", "t", "v_l"),
+      l, "overwrite", bucketBy = Some(("k", 4)))
+    Snapshots.commit((0 until 97)
+        .map(j => (j.toLong, 0L, j.toLong + 250L, s"v-$j"))
+        .toDF("rk", "rx", "rt", "v_r"),
+      r, "overwrite", bucketBy = Some(("rk", 4)))
+    graftView(l, "spjm_l"); graftView(r, "spjm_r")
+    def parity(sql: String, mustFire: Boolean): Unit = {
+      val q = spark.sql(sql)
+      val fired = !q.queryExecution.executedPlan.toString.contains("Join")
+      assert(fired === mustFire,
+        s"fired=$fired, expected $mustFire on: $sql")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      val expected = try {
+        spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+        spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+      assert(expected.nonEmpty && got === expected,
+        s"multi-conjunct parity failed: $sql")
+    }
+    // an extra EQUALITY conjunct: zip on the bucket keys, x = rx
+    // re-applies above the replacement
+    parity("SELECT * FROM spjm_l JOIN spjm_r ON k = rk AND x = rx",
+      mustFire = true)
+    // a NON-EQUI conjunct (the attribution/tie-break shape)
+    parity("SELECT * FROM spjm_l JOIN spjm_r ON k = rk AND t < rt",
+      mustFire = true)
+    // both residual kinds + a pushed WHERE filter hoisting alongside
+    parity("SELECT * FROM spjm_l JOIN spjm_r ON k = rk AND x = rx " +
+      "AND t < rt WHERE v_l <> 'l-7'", mustFire = true)
+    // the bucket-key equality may sit ANYWHERE in the conjunction —
+    // the non-alignable x = rx is tried and passed over
+    parity("SELECT * FROM spjm_l JOIN spjm_r ON x = rx AND k = rk",
+      mustFire = true)
+    // LEFT OUTER with a residual: the residual is part of the MATCH
+    // condition (changes which rows null-extend) — planner serves
+    parity("SELECT * FROM spjm_l LEFT JOIN spjm_r ON k = rk AND x = rx",
+      mustFire = false)
+    // two-equality NOT EXISTS → a multi-conjunct LeftAnti: the
+    // strategy serves single equalities only — planner serves
+    parity("SELECT * FROM spjm_l WHERE NOT EXISTS (SELECT 1 FROM " +
+      "spjm_r WHERE rk = k AND rx = x)", mustFire = false)
+  }
+
   test("exact right-side windows (r17): a BETWEEN-only subquery filter " +
     "rides the semi/outer right scan as its window, with parity") {
     val l = freshDir(); val r = freshDir()
