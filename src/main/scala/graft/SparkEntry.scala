@@ -179,6 +179,8 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u67SqlJoinAgg _),
     "u68_sql_join_residual" ->
       (graft.sources.DemoFixtures.u68SqlJoinResidual _),
+    "u69_composite_agg" ->
+      (graft.sources.DemoFixtures.u69CompositeAgg _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1428,6 +1430,18 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |SELECT p.user_id, COUNT(*) AS n_prior_clicks, 1 AS residual_ok
         |FROM p JOIN c ON p.user_id = c.cuid AND c.cts <= p.pts
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u69 oracle: the composite-key aligned aggregation —
+    // relationally the per-customer-per-day rollup. comp_ok = 1 pins
+    // that the widened fold rule fired (no aggregate/exchange in the
+    // plan), the composite-sorted layout served it SORT-free (the
+    // skip-sort tree merge), and a disabled-rule rerun matched rows
+    // and schema.
+    "u69_composite_agg" ->
+      """SELECT o_custkey AS k, o_orderdate AS day, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS comp_ok
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

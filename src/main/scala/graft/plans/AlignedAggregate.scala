@@ -53,8 +53,10 @@ import graft.sources.{GraftRelation, Snapshots}
   * Remaining narrowness, like the join rule:
   *  - the child is a graft relation, bare or under pure
   *    attribute-projections and the exactly-minable Filters above;
-  *  - exactly ONE grouping expression: the table's bucket-key
-  *    attribute;
+  *  - the grouping expressions are bare attributes, ONE of which is
+  *    the table's bucket key (r18 — composite grouping: `GROUP BY
+  *    key, date` is co-located whatever else the tuple carries; the
+  *    remaining attributes ride the operator's `groupAlso`);
   *  - every aggregate inside the select list is a non-DISTINCT,
   *    un-FILTERed Complete `count(*) | count(c) | sum(c) | min(c) |
   *    max(c) | avg(c)` on a plain column.
@@ -105,23 +107,31 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
           .map(kt => (n, kt)))
       } catch { case scala.util.control.NonFatal(_) => None }).isDefined
 
-  private def servableItem(e: NamedExpression,
-                           key: AttributeReference): Boolean =
-    AggMining.servableItem(e, key)
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformDown {
-      case agg @ Aggregate(Seq(key: AttributeReference), aggExprs, child,
-          None)
-          if aggExprs.forall(servableItem(_, key)) &&
+      case agg @ Aggregate(groupExprs, aggExprs, child, None)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) &&
+            aggExprs.forall(AggMining.servableItem(_,
+              groupExprs.map(_.asInstanceOf[AttributeReference]))) &&
             aggExprs.exists(_.exists(_.isInstanceOf[AggregateExpression])) =>
+        val gAttrs = groupExprs.map(_.asInstanceOf[AttributeReference])
         // the child walk binds ONCE (r17 hygiene #4) — a non-graft
-        // child falls through to the planner untouched
+        // child falls through to the planner untouched. COMPOSITE
+        // grouping (r18): the bucket key may be ANY member of the
+        // grouping set — co-location holds whatever else the tuple
+        // carries — so the first grouping attribute that lands on the
+        // table's bucket layout becomes the operator's key and the
+        // rest ride as `groupAlso`, in their original order.
         (graftRel(child).map { case (g, filters) =>
-          (g, RangeMining.exact(filters), alignable(g, key.name),
+          (g, RangeMining.exact(filters),
+            if (gAttrs.map(_.name).distinct.size == gAttrs.size)
+              gAttrs.find(a => alignable(g, a.name))
+            else None,
             AggMining.mineFolds(aggExprs)) }) match {
-          case Some((g, Some(ranges), true, Some(folds))) =>
+          case Some((g, Some(ranges), Some(key), Some(folds))) =>
+            val others = gAttrs.filterNot(_.exprId == key.exprId)
             // the DISTINCT folds across the whole list (AVG decomposed
             // to sum+count), folded once each however many items
             // reference them
@@ -130,15 +140,19 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
               spark, g.tableDir,
               folds.specs.zipWithIndex.map { case ((fn, c), i) =>
                 (fn, c, s"__agg_$i") },
-              version = Some(g.version), ranges = ranges))
-            // result-schema guard: every fold's type must be the
-            // planner's own, or the rewrite silently changes the
-            // query's schema — bail instead
+              version = Some(g.version), ranges = ranges,
+              groupAlso = others.map(_.name)))
+            // result-schema guard: every group column's and fold's
+            // type must be the planner's own, or the rewrite silently
+            // changes the query's schema — bail instead
+            val nk = 1 + others.length
             val typesOk = alignedOpt.exists { a =>
               val aSchema = a.schema
-              folds.specs.zipWithIndex.forall { case (sp, i) =>
-                aSchema(1 + i).dataType == folds.types(sp)._1 } &&
-                aSchema(0).dataType == key.dataType
+              aSchema(0).dataType == key.dataType &&
+                others.zipWithIndex.forall { case (o, i) =>
+                  aSchema(1 + i).dataType == o.dataType } &&
+                folds.specs.zipWithIndex.forall { case (sp, i) =>
+                  aSchema(nk + i).dataType == folds.types(sp)._1 }
             }
             if (!typesOk) agg
             else {
@@ -148,13 +162,15 @@ case class AlignedAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
                   sp -> AttributeReference(s"__agg_$i",
                     folds.types(sp)._1, folds.types(sp)._2)()
                 }.toMap
-              // LogicalRDD output = (key under its OWN exprId, one
-              // column per distinct fold); the Project above re-applies
-              // each item's surrounding expressions with the aggregate
+              // LogicalRDD output = (grouping attrs under their OWN
+              // exprIds, in the OPERATOR's column order, one column
+              // per distinct fold); the Project above re-applies each
+              // item's surrounding expressions with the aggregate
               // calls substituted (AVG as its division) — same Alias
               // exprIds, so everything bound above stays bound and the
               // output schema is the Aggregate's own
-              val rddOut: Seq[Attribute] = key +: folds.specs.map(specAttr)
+              val rddOut: Seq[Attribute] =
+                (key +: others) ++ folds.specs.map(specAttr)
               val full = LogicalRDD(rddOut, aligned.queryExecution.toRdd,
                 org.apache.spark.sql.catalyst.plans.physical
                   .UnknownPartitioning(0),

@@ -236,12 +236,12 @@ private[plans] object AggMining {
 
   /** A select-list item the fold rewrites can serve: deterministic,
     * subquery-free, every aggregate call inside it planned, and
-    * every reference OUTSIDE the aggregate calls the grouping key
-    * (analysis guarantees this for resolved plans; re-checked so a
-    * malformed tree bails instead of mis-binding).
+    * every reference OUTSIDE the aggregate calls one of the grouping
+    * keys (analysis guarantees this for resolved plans; re-checked so
+    * a malformed tree bails instead of mis-binding).
     */
   def servableItem(e: org.apache.spark.sql.catalyst.expressions
-        .NamedExpression, key: AttributeReference): Boolean = {
+        .NamedExpression, keys: Seq[AttributeReference]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.AttributeSet
     if (!e.deterministic || e.containsPattern(
         org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION))
@@ -249,9 +249,14 @@ private[plans] object AggMining {
     val aggs = e.collect { case ae: AggregateExpression => ae }
     aggs.forall(planOf(_).isDefined) && {
       val under = AttributeSet(aggs.flatMap(_.references))
-      e.references.forall(a => a.exprId == key.exprId || under.contains(a))
+      e.references.forall(a =>
+        keys.exists(_.exprId == a.exprId) || under.contains(a))
     }
   }
+
+  def servableItem(e: org.apache.spark.sql.catalyst.expressions
+        .NamedExpression, key: AttributeReference): Boolean =
+    servableItem(e, Seq(key))
 
   /** The DISTINCT folds a servable select list needs, with each
     * fold's result type/nullability (Spark's own sums and counts —

@@ -2181,6 +2181,64 @@ object DemoFixtures {
       .orderBy("c_mktsegment")
   }
 
+  /** Demo + oracle entry (`u69_composite_agg`): COMPOSITE-KEY aligned
+    * aggregation from PURE SQL (VERDICT r17 task #5) — the
+    * per-entity-per-day rollup every fact table serves: `GROUP BY
+    * o_custkey, day` over a table bucket-clustered on `o_custkey` and
+    * committed composite-sorted (`sortAlso = day`). Co-location holds
+    * whatever else the grouping tuple carries — every row of a key
+    * lives in the key's bucket — so the r18 [[graft.plans
+    * .AlignedAggregate]] widening routes the non-key attribute
+    * through the operator's `groupAlso`: one streaming fold per
+    * distinct (key, day) tuple, and the composite sort markers make
+    * it SORT-FREE on top of shuffle-free. Witness `comp_ok` folds:
+    * no aggregate operator and no Exchange in the bare frame's plan,
+    * exchange-free AND sort-free inner per-bucket plans
+    * ([[Snapshots.alignedSortFree]] — the skip-sort tree-merge
+    * path), and a disabled-rule planner rerun matching rows and
+    * schema. At 100 TB the planner shuffles the whole fact table for
+    * this shape; the aligned fold reads each bucket once, in order.
+    */
+  def u69CompositeAgg(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.cagg8")
+    val src = graft.TempDirs.create("graft-cagg-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate").as("day"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      src, "overwrite", bucketBy = Some(("o_custkey", 8)),
+      sortBuckets = true, sortAlso = Seq("day"))
+    Snapshots.cloneShallow(s, src, s"$wh/db/cagg8")
+    val sql =
+      """SELECT o_custkey AS k, day, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM graft_demo.db.cagg8 GROUP BY o_custkey, day""".stripMargin
+    val bare = s.sql(sql)
+    val plan = bare.queryExecution.executedPlan.toString
+    val ruleFired = !plan.contains("Aggregate") && !plan.contains("Exchange")
+    // the composite-sorted layout serves the tuple fold with zero
+    // Sort anywhere — outer plan and per-bucket inner plans alike
+    val sortFree = Snapshots.alignedSortFree(bare)
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val alignedRows = rows(bare)
+    val alignedSchema = bare.schema
+    val (plannerRows, plannerSchema) = try {
+      s.conf.set("graft.sql.alignedAgg.enabled", "false")
+      val p = s.sql(sql)
+      require(p.queryExecution.executedPlan.toString.contains("Aggregate"),
+        "the disable switch must restore the planner's aggregate")
+      (rows(p), p.schema)
+    } finally s.conf.set("graft.sql.alignedAgg.enabled", "true")
+    val ok = if (ruleFired && sortFree && innerOk &&
+      alignedRows == plannerRows && alignedSchema == plannerSchema &&
+      alignedRows.nonEmpty) 1 else 0
+    bare.withColumn("comp_ok", lit(ok).cast("int")).orderBy("k", "day")
+  }
+
   /** Demo + oracle entry (`u68_sql_join_residual`): MULTI-CONJUNCT
     * join conditions through the SQL aligned rewrite (VERDICT r17
     * task #4) — the attribution shape every event pipeline writes:

@@ -4164,10 +4164,17 @@ object Snapshots {
     * keys form one group (they co-locate — the bucket hash of NULL
     * is the seed). `avg` is deliberately absent: derive it as
     * sum/count to keep every emitted value exactly replayable.
-    * Output columns: the bucket key, then one column per agg.
+    * `groupAlso` (r18) appends FURTHER grouping columns — `GROUP BY
+    * key, date` is free under co-location (every row of a key lives
+    * in its bucket whatever the date), so the fold sorts in task on
+    * the full tuple and streams one group per distinct tuple;
+    * composite sort markers (`sortAlso` at commit) serve it
+    * sort-free. Output columns: the bucket key, the `groupAlso`
+    * columns, then one column per agg.
     * Refused: an unbucketed table, unclustered tail files (run
     * [[compactBucketed]] first), an unknown fn or column, float/
-    * double min/max keys — same contract as the aligned join.
+    * double min/max keys or group columns — same contract as the
+    * aligned join.
     */
   /** One resolved aggregate of the aligned fold family: input ordinal
     * (-1 = `count(*)`), input type, output field. Shared vocabulary of
@@ -4334,29 +4341,71 @@ object Snapshots {
       kt: org.apache.spark.sql.types.DataType, specs: Seq[AggSpec],
       outSchema: org.apache.spark.sql.types.StructType)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    streamingGroupFoldKeys(Seq((kIdx, kt)), specs, outSchema)
+
+  /** [[streamingGroupFold]] generalized to a COMPOSITE grouping tuple
+    * (r18, VERDICT r17 task #5): rows arrive sorted lexicographically
+    * on the key ordinals (the bucket key first), a group is one
+    * distinct tuple — SQL GROUP BY semantics, NULLs equal per
+    * component — and the output row leads with the tuple's values.
+    * Still O(one group's accumulators) memory.
+    */
+  private def streamingGroupFoldKeys(
+      keys: Seq[(Int, org.apache.spark.sql.types.DataType)],
+      specs: Seq[AggSpec],
+      outSchema: org.apache.spark.sql.types.StructType)
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
         Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     val specsB = specs // serializable capture
+    val keysB = keys
     rows => {
-      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(kt)
+      val nk = keysB.length
+      val kIdxs = keysB.map(_._1).toArray
+      val kts = keysB.map(_._2).toArray
+      val ords = keysB.map { case (_, dt) =>
+        org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(dt)
+      }.toArray
       val project = org.apache.spark.sql.catalyst.expressions
         .UnsafeProjection.create(outSchema)
       // detach values that may be views into the scan's reused buffer
       def copyVal(v: Any): Any = detachValue(v)
       // accumulators for ONE group — the only aggregation state held
       val accums = new AggAccums(specsB)
-      var groupKey: Any = null
+      val groupKey = new Array[Any](nk)
       var groupOpen = false
-      def reset(): Unit = accums.reset()
-      def update(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
-        accums.update(r)
+      def sameGroup(r: org.apache.spark.sql.catalyst.InternalRow)
+          : Boolean = {
+        var i = 0
+        while (i < nk) {
+          val kn = r.isNullAt(kIdxs(i))
+          val g = groupKey(i)
+          val eq =
+            if (kn) g == null
+            else g != null && ords(i).equiv(r.get(kIdxs(i), kts(i)), g)
+          if (!eq) return false
+          i += 1
+        }
+        true
+      }
+      def loadKey(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        var i = 0
+        while (i < nk) {
+          groupKey(i) =
+            if (r.isNullAt(kIdxs(i))) null
+            else copyVal(r.get(kIdxs(i), kts(i)))
+          i += 1
+        }
+      }
       def emit(): org.apache.spark.sql.catalyst.InternalRow = {
         val out = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(1 + specsB.length)
-        out.update(0, groupKey)
+          .GenericInternalRow(nk + specsB.length)
         var i = 0
-        while (i < specsB.length) {
-          out.update(i + 1, accums.value(i)); i += 1
+        while (i < nk) { out.update(i, groupKey(i)); i += 1 }
+        var j = 0
+        while (j < specsB.length) {
+          out.update(nk + j, accums.value(j)); j += 1
         }
         project(out).copy()
       }
@@ -4365,17 +4414,13 @@ object Snapshots {
         private def advance(): Unit = {
           while (pending == null && rows.hasNext) {
             val r = rows.next()
-            val k = if (r.isNullAt(kIdx)) null else r.get(kIdx, kt)
-            val sameGroup = groupOpen &&
-              ((k == null && groupKey == null) ||
-                (k != null && groupKey != null && ord.equiv(k, groupKey)))
-            if (!sameGroup) {
+            if (!(groupOpen && sameGroup(r))) {
               if (groupOpen) pending = emit()
-              groupKey = if (k == null) null else copyVal(k)
+              loadKey(r)
               groupOpen = true
-              reset()
+              accums.reset()
             }
-            update(r)
+            accums.update(r)
           }
           if (pending == null && groupOpen && !rows.hasNext) {
             pending = emit()
@@ -4396,9 +4441,9 @@ object Snapshots {
   def bucketAlignedAggregate(spark: SparkSession, tableDir: String,
                              aggs: Seq[(String, String, String)],
                              version: Option[Long] = None,
-                             ranges: Seq[(String, Any, Any)] = Nil)
+                             ranges: Seq[(String, Any, Any)] = Nil,
+                             groupAlso: Seq[String] = Nil)
       : DataFrame = {
-    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val m = resolveAlignedRead(spark, tableDir, version, ranges)
     val (key, n) = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -4412,11 +4457,31 @@ object Snapshots {
     val keyType = schema(key).dataType
     require(keyType != DoubleType && keyType != FloatType,
       "float/double group keys are not supported (±0.0/NaN equality)")
+    // COMPOSITE grouping (r18): `groupAlso` appends further grouping
+    // columns — `GROUP BY key, date` is still co-located, because
+    // every (key, *) row lives in the key's bucket; the fold just
+    // sorts in task on the full tuple and streams one group per
+    // distinct tuple. Composite sort markers (sortAlso) make it
+    // sort-free, like the as-of/running operators.
+    require(groupAlso.distinct.size == groupAlso.size &&
+      !groupAlso.contains(key),
+      s"groupAlso must be distinct non-key columns: $groupAlso")
+    groupAlso.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"unknown grouping column '$c' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")
+      val dt = schema(c).dataType
+      require(dt != DoubleType && dt != FloatType,
+        "float/double group columns are not supported (±0.0/NaN equality)")
+    }
     // resolve each agg to (input ordinal or -1 for *, accumulator kind,
     // output field) up front — unknown fns/columns refuse at plan time
     val specs = resolveAggSpecs(schema, aggs)
+    require(!aggs.map(_._3).exists((Set(key) ++ groupAlso).contains),
+      "an agg alias collides with a grouping column name")
+    val groupCols = key +: groupAlso
     val outSchema = StructType(
-      schema(key).copy(nullable = true) +: specs.map(_.out))
+      groupCols.map(c => schema(c).copy(nullable = true)) ++ specs.map(_.out))
     // one sorted single-partition RDD per bucket (the join's shape);
     // an oversized bucket splits into key-disjoint sub-tasks
     // ([[subBucketSplits]]) — each folds complete groups, so the
@@ -4431,15 +4496,18 @@ object Snapshots {
         case Some(files) =>
           val k = subBucketSplits(spark, m, files)
           (0 until k).map(i => () => Some(
-            // key-ordered read — sorted layouts skip the in-task sort
-            bucketOrderedRdd(spark, tableDir, m, schema, Seq(key), files,
+            // tuple-ordered read — composite-sorted layouts skip the
+            // in-task sort
+            bucketOrderedRdd(spark, tableDir, m, schema, groupCols, files,
               dropNullKeys = false, sink,
               subBucketFilter(key, i, k, rowF))))
       }
     }
     val perBucket = alignedUnion(spark, tasks)
     val aggregated = perBucket.mapPartitions(
-      streamingGroupFold(schema.fieldIndex(key), keyType, specs, outSchema))
+      streamingGroupFoldKeys(
+        groupCols.map(c => (schema.fieldIndex(c), schema(c).dataType)),
+        specs, outSchema))
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(
       spark, aggregated, outSchema)
   }

@@ -93,9 +93,12 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     // sample differently) — the peel refuses it outright
     assert(!fired("SELECT k, COUNT(*) n FROM (SELECT * FROM sqlagg_n " +
       "WHERE rand() < 0.999) t GROUP BY k"))
-    // two grouping columns
-    assert(!fired("SELECT k, tag, COUNT(*) n FROM sqlagg_n " +
-      "GROUP BY k, tag"))
+    // two grouping columns NEITHER of which is the bucket key
+    assert(!fired("SELECT tag, v, COUNT(*) n FROM sqlagg_n " +
+      "GROUP BY tag, v"))
+    // a grouping EXPRESSION (not a bare attribute) over the key
+    assert(!fired("SELECT upper(k) ku, COUNT(*) n FROM sqlagg_n " +
+      "GROUP BY upper(k)"))
     // an unclustered tail refuses alignment (planner serves)
     val s = spark
     import s.implicits._
@@ -159,6 +162,14 @@ class AlignedAggregateRuleSpec extends SparkSpec {
     // folds, and a reused sum fold (AVG(v) shares SUM(v)'s fold)
     parity("SELECT k, CAST(AVG(v) AS DECIMAL(18,4)) AS avd, " +
       "AVG(v) + SUM(v) AS mix, SUM(v) AS sv FROM sqlagg_c GROUP BY k")
+    // COMPOSITE grouping (r18): the bucket key anywhere in the
+    // tuple — the rest ride the operator's groupAlso, NULLs in both
+    // columns group per SQL
+    parity("SELECT k, tag, COUNT(*) AS n, SUM(v) AS sv FROM sqlagg_c " +
+      "GROUP BY k, tag")
+    parity("SELECT tag, k, COUNT(*) AS n FROM sqlagg_c GROUP BY tag, k")
+    parity("SELECT tag, k, AVG(v) AS av, MAX(d) AS xd FROM sqlagg_c " +
+      "GROUP BY tag, k")
     // DataFrame-composed casts + orderBy over the SQL frame — the
     // exact u65 entry shape (the r16 weak item): the final frame's
     // OWN plan must carry the fold, not the planner's shuffle

@@ -462,6 +462,71 @@ class BucketedLayoutSpec extends SparkSpec {
     }
   }
 
+  test("composite-key bucketAlignedAggregate (r18): GROUP BY (key, " +
+    "other) folds zero-Exchange with Spark's exact groups incl. NULLs " +
+    "in both columns; composite-sorted layouts skip the sort; refusals") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val df = (0 until 600).map { i =>
+      (if (i % 50 == 0) null else java.lang.Long.valueOf(i.toLong % 13),
+        if (i % 17 == 0) null else s"d-${i % 7}",
+        if (i % 5 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i.toLong),
+        BigDecimal(i).setScale(2), i.toDouble)
+    }.toDF("k", "g", "v", "d", "f")
+    Snapshots.commit(df, dir, "overwrite", bucketBy = Some(("k", 4)))
+    val agg = Snapshots.bucketAlignedAggregate(spark, dir,
+      Seq(("count", "*", "n"), ("sum", "v", "sv"), ("max", "d", "xd")),
+      groupAlso = Seq("g"))
+    assert(Snapshots.alignedShuffleFree(agg),
+      "the composite fold must carry zero shuffle")
+    val expect = Snapshots.readVersion(spark, dir).groupBy("k", "g").agg(
+      count(lit(1)).as("n"), sum("v").as("sv"), max("d").as("xd"))
+    assert(agg.schema.map(x => (x.name, x.dataType)) ===
+      expect.schema.map(x => (x.name, x.dataType)))
+    assert(agg.exceptAll(expect).isEmpty && expect.exceptAll(agg).isEmpty,
+      "composite aligned aggregation must equal the planner's groupBy")
+    // NULLs group per SQL: NULL k × NULL g is ONE group
+    assert(agg.where(col("k").isNull && col("g").isNull).count() === 1L)
+    assert(agg.where(col("k").isNull).count() ===
+      expect.where(col("k").isNull).count())
+    // a COMPOSITE-SORTED layout (sortAlso = g) streams sort-free
+    val sortedDir = freshDir()
+    Snapshots.commit(df, sortedDir, "overwrite",
+      bucketBy = Some(("k", 4)), sortBuckets = true, sortAlso = Seq("g"))
+    val agg2 = Snapshots.bucketAlignedAggregate(spark, sortedDir,
+      Seq(("count", "*", "n"), ("sum", "v", "sv")), groupAlso = Seq("g"))
+    assert(Snapshots.alignedShuffleFree(agg2) &&
+      Snapshots.alignedSortFree(agg2),
+      "a composite-sorted layout must serve the tuple fold sort-free")
+    val expect2 = Snapshots.readVersion(spark, sortedDir).groupBy("k", "g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(agg2.exceptAll(expect2).isEmpty && expect2.exceptAll(agg2).isEmpty)
+    // refusals: unknown / duplicate / key-overlapping / float group
+    // columns, alias colliding with a grouping column
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), groupAlso = Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), groupAlso = Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), groupAlso = Seq("g", "g"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "n")), groupAlso = Seq("f"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.bucketAlignedAggregate(spark, dir,
+        Seq(("count", "*", "g")), groupAlso = Seq("g"))
+    }
+  }
+
   test("clusterTail: O(tail) incremental re-cluster — the clustered bulk " +
     "rides by reference, appends gain bucket mappings, masks hold, the " +
     "aligned join/agg accept the table after; idempotent; partitioned " +
