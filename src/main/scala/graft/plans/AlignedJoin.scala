@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.LogicalRDD
@@ -11,9 +11,10 @@ import graft.sources.Snapshots
 /** SQL surface for the storage-partitioned join (VERDICT r15 task #3,
   * extended to the join FAMILY in r17 per VERDICT r16 task #3): an
   * optimizer rule that recognizes `graft ⋈ graft` single-key
-  * equi-joins — INNER and LEFT OUTER here; LEFT SEMI / LEFT ANTI live
-  * in [[AlignedJoinStrategy]], because Spark plants them in the
-  * subquery-rewrite batch AFTER every injected optimizer rule has run
+  * equi-joins — INNER, LEFT OUTER and (r18) FULL OUTER here; LEFT
+  * SEMI / LEFT ANTI live in [[AlignedJoinStrategy]], because Spark
+  * plants them in the subquery-rewrite batch AFTER every injected
+  * optimizer rule has run
   * — whose two sides are bucket-clustered ON THE JOIN KEYS with the
   * same modulus and fully clustered, and replaces the Join with
   * [[Snapshots.bucketAlignedJoin]]'s zero-Exchange per-bucket zip.
@@ -28,7 +29,7 @@ import graft.sources.Snapshots
   * is checkable and met, and leaves the plan untouched otherwise (the
   * planner's join is always correct, just shuffled):
   *  - both sides are servable per [[AlignedSides.peel]]. LEFT-side
-  *    filters hoist: for both served types σ_L(A) ⋈ B ≡ σ_L(A ⋈ B)
+  *    filters hoist for INNER/LEFT OUTER: σ_L(A) ⋈ B ≡ σ_L(A ⋈ B)
   *    when σ_L references only left attributes (they were peeled from
   *    the left subtree), so the original expressions re-apply ABOVE
   *    the replacement verbatim, while any BETWEEN-shaped conjuncts
@@ -40,7 +41,9 @@ import graft.sources.Snapshots
   *    and must apply BEFORE the join — served exactly when every
   *    conjunct mines losslessly into the aligned join's range windows
   *    ([[RangeMining.exact]], whose per-file row filter is the exact
-  *    inclusive predicate), else the rule bails;
+  *    inclusive predicate), else the rule bails. FULL OUTER can hoist
+  *    NEITHER side (each filter defines its side before
+  *    null-extension), so BOTH sides' filters must mine exactly;
   *  - the condition contains an `l.k = r.k` equality between
   *    attributes of the two sides that lands on their bucket keys, no
   *    join hint. For INNER (r18) the condition may carry FURTHER
@@ -73,6 +76,7 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
   private def typeName(jt: JoinType): String = jt match {
     case Inner => "inner"
     case LeftOuter => "left_outer"
+    case FullOuter => "full_outer"
     case _ => ""
   }
 
@@ -102,7 +106,13 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
             // INNER hoists both sides' filters above the replacement;
             // LEFT OUTER hoists only the LEFT side's — the right's
             // must mine EXACTLY into the pre-join range window or the
-            // rule leaves the planner's join in place
+            // rule leaves the planner's join in place. FULL OUTER
+            // (r18) can hoist NEITHER side (each side's filter
+            // defines that side BEFORE null-extension), so both must
+            // mine exactly.
+            val leftWindows: Option[Seq[(String, Any, Any)]] =
+              if (jt == FullOuter) RangeMining.exact(ls.filters)
+              else Some(RangeMining.relaxed(ls.filters))
             val rightWindows: Option[Seq[(String, Any, Any)]] =
               if (jt == Inner) Some(RangeMining.relaxed(rs.filters))
               else RangeMining.exact(rs.filters)
@@ -118,7 +128,8 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
               }
             }.nextOption()
             choice match {
-              case Some((eq, lKey, rKey)) if rightWindows.isDefined =>
+              case Some((eq, lKey, rKey))
+                  if leftWindows.isDefined && rightWindows.isDefined =>
                 val residual = conjuncts.filterNot(_ eq eq)
                 // any operator refusal the probe could not foresee
                 // leaves the planner's join in place — the rewrite
@@ -132,7 +143,7 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
                     leftVersion = Some(ls.g.version),
                     rightVersion = Some(rs.g.version),
                     joinType = typeName(jt),
-                    leftRanges = RangeMining.relaxed(ls.filters),
+                    leftRanges = leftWindows.get,
                     rightRanges = rightWindows.get))
                 if (alignedOpt.isEmpty) j else {
                 val aligned = alignedOpt.get
@@ -146,6 +157,8 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
                 val rddOut: Seq[Attribute] =
                   if (jt == LeftOuter)
                     ls.out ++ rs.out.map(_.withNullability(true))
+                  else if (jt == FullOuter)
+                    (ls.out ++ rs.out).map(_.withNullability(true))
                   else ls.out ++ rs.out
                 val full = LogicalRDD(rddOut,
                   aligned.queryExecution.toRdd,
@@ -156,13 +169,16 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
                     org.apache.spark.sql.classic.SparkSession],
                   None, None)
                 // hoisted filters re-apply verbatim above (left side
-                // always; the right's too for INNER — σ(A) ⋈ σ(B) ≡
-                // σ(A ⋈ B) there), and so does the condition's
-                // residual (INNER only — guarded above). Outer right
-                // filters were consumed exactly by the range window.
-                val hoisted = (
-                  if (jt == Inner) ls.filters ++ rs.filters
-                  else ls.filters) ++ residual
+                // for inner/leftouter; the right's too for INNER —
+                // σ(A) ⋈ σ(B) ≡ σ(A ⋈ B) there), and so does the
+                // condition's residual (INNER only — guarded above).
+                // Exactly-mined windows consumed the rest: the outer
+                // right side's, and BOTH sides' for full outer.
+                val hoisted = (jt match {
+                  case Inner => ls.filters ++ rs.filters
+                  case FullOuter => Nil
+                  case _ => ls.filters
+                }) ++ residual
                 val filtered = hoisted
                   .reduceOption(And).map(Filter(_, full)).getOrElse(full)
                 if (j.output == full.output && hoisted.isEmpty) full

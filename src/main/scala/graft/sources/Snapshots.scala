@@ -3134,15 +3134,18 @@ object Snapshots {
     * the largest bucket pair.
     *
     * Semantics: equi-join with `joinType` inner (default), left_outer,
-    * left_semi or left_anti — all with SQL NULL never matching
-    * (`key IS NOT NULL` pushed into every scan that may drop the row:
-    * both sides for inner/semi, the right side only for outer/anti,
-    * whose NULL-key left rows are output — with NULL right columns,
-    * resp. kept as never-matching survivors, exactly Spark's own
-    * semantics for these types). Output columns: left ++ right for
-    * inner/left_outer (right columns nullable for outer), left schema
-    * only for semi/anti; semi emits a matched row ONCE regardless of
-    * match multiplicity. Right-ish joins: swap the sides.
+    * full_outer (r18), left_semi or left_anti — all with SQL NULL
+    * never matching (`key IS NOT NULL` pushed into every scan that
+    * may drop the row: both sides for inner/semi, the right side only
+    * for outer/anti, NEITHER side for full_outer — its NULL-key rows
+    * on either side are output null-extended, exactly Spark's own
+    * semantics for these types; leftouter/anti NULL-key left rows are
+    * output with NULL right columns, resp. kept as never-matching
+    * survivors). Output columns: left ++ right for
+    * inner/left_outer/full_outer (right columns nullable for outer,
+    * BOTH nullable for full_outer), left schema only for semi/anti;
+    * semi emits a matched row ONCE regardless of match multiplicity.
+    * Right-ish joins: swap the sides.
     * Refused: unbucketed sides, mismatched bucket counts, a key that
     * is not the side's bucket key, unclustered files (appends since
     * the last re-cluster — run [[compactBucketed]] first; placing
@@ -3764,10 +3767,11 @@ object Snapshots {
       case "left" | "leftouter" => "leftouter"
       case "leftsemi" | "semi"  => "leftsemi"
       case "leftanti" | "anti"  => "leftanti"
+      case "full" | "fullouter" | "outer" => "fullouter"
       case "inner"              => "inner"
       case other => throw new IllegalArgumentException(
-        s"unsupported joinType '$other' (inner, left_outer, left_semi, " +
-          "left_anti; for right-ish joins swap the sides)")
+        s"unsupported joinType '$other' (inner, left_outer, full_outer, " +
+          "left_semi, left_anti; for right-ish joins swap the sides)")
     }
     val lm = resolveAlignedRead(spark, leftDir, leftVersion, leftRanges)
     val rm = resolveAlignedRead(spark, rightDir, rightVersion, rightRanges)
@@ -3849,23 +3853,31 @@ object Snapshots {
         }
       }
     }
-    val keepLeftNulls = jt == "leftouter" || jt == "leftanti"
+    // full outer null-extends BOTH sides' NULL-key rows, so neither
+    // scan may drop them
+    val keepLeftNulls =
+      jt == "leftouter" || jt == "leftanti" || jt == "fullouter"
     val left = sideRdd(leftDir, lm, lSchema, leftKey, ln, !keepLeftNulls,
       leftRanges)
     val right = sideRdd(rightDir, rm, rSchema, rightKey, rn,
-      dropNullKeys = true, rightRanges)
+      dropNullKeys = jt != "fullouter", rightRanges)
     // leftouter's right columns are NULL for unmatched rows whatever
-    // the parquet schema said; semi/anti output the left schema only
+    // the parquet schema said (fullouter: both sides); semi/anti
+    // output the left schema only
     val outSchema = jt match {
       case "leftsemi" | "leftanti" => lSchema
       case "leftouter" => org.apache.spark.sql.types.StructType(
         lSchema.fields ++ rSchema.fields.map(_.copy(nullable = true)))
+      case "fullouter" => org.apache.spark.sql.types.StructType(
+        lSchema.fields.map(_.copy(nullable = true)) ++
+          rSchema.fields.map(_.copy(nullable = true)))
       case _ =>
         org.apache.spark.sql.types.StructType(lSchema.fields ++ rSchema.fields)
     }
     val lIdx = lSchema.fieldIndex(leftKey)
     val rIdx = rSchema.fieldIndex(rightKey)
     val kt = keyType
+    val lWidth = lSchema.length
     val rWidth = rSchema.length
     val joined = left.zipPartitions(right) { (li, ri) =>
       // a key read from a streaming row may be a VIEW into the
@@ -3874,6 +3886,137 @@ object Snapshots {
       def copyKey(k: Any): Any = detachValue(k)
       def nextRight(): org.apache.spark.sql.catalyst.InternalRow =
         if (ri.hasNext) ri.next().copy() else null
+      if (jt == "fullouter") {
+        // FULL OUTER (r18): BOTH sides null-extend — one emitter per
+        // strategy, symmetric by construction. NULL keys never match
+        // and null-extend immediately (both scans kept them).
+        val joinedRow =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val project = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(outSchema)
+        val nullRight = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(rWidth)
+        val nullLeft = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(lWidth)
+        if (useMerge) {
+          // SYMMETRIC merge over the two key-sorted streams (NULLS
+          // FIRST, so both sides' null-key rows drain first): the
+          // smaller key's side null-extends and advances; equal keys
+          // buffer ONE right group and stream the key's left rows
+          // across it — memory O(one key's right rows), exactly the
+          // inner/outer merge's bound.
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(kt)
+          new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+            private var lHead: org.apache.spark.sql.catalyst.InternalRow =
+              if (li.hasNext) li.next().copy() else null
+            private var rHead: org.apache.spark.sql.catalyst.InternalRow =
+              nextRight()
+            private var sub: Iterator[
+              org.apache.spark.sql.catalyst.InternalRow] = Iterator.empty
+            private def nextL(): Unit =
+              lHead = if (li.hasNext) li.next().copy() else null
+            private def step(): Unit = {
+              if (lHead != null && lHead.isNullAt(lIdx)) {
+                val lc = lHead; nextL()
+                sub = Iterator.single(project(joinedRow(lc, nullRight)))
+              } else if (rHead != null && rHead.isNullAt(rIdx)) {
+                val rc = rHead; rHead = nextRight()
+                sub = Iterator.single(project(joinedRow(nullLeft, rc)))
+              } else if (rHead == null || (lHead != null &&
+                  ord.lt(lHead.get(lIdx, kt), rHead.get(rIdx, kt)))) {
+                val lc = lHead; nextL()
+                sub = Iterator.single(project(joinedRow(lc, nullRight)))
+              } else if (lHead == null ||
+                  ord.lt(rHead.get(rIdx, kt), lHead.get(lIdx, kt))) {
+                val rc = rHead; rHead = nextRight()
+                sub = Iterator.single(project(joinedRow(nullLeft, rc)))
+              } else {
+                val k = copyKey(rHead.get(rIdx, kt))
+                val group = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.catalyst.InternalRow]
+                while (rHead != null && !rHead.isNullAt(rIdx) &&
+                    ord.equiv(rHead.get(rIdx, kt), k)) {
+                  group += rHead; rHead = nextRight()
+                }
+                sub = new Iterator[
+                    org.apache.spark.sql.catalyst.InternalRow] {
+                  private var cur:
+                    org.apache.spark.sql.catalyst.InternalRow = null
+                  private var gi = 0
+                  def hasNext: Boolean = {
+                    if (cur != null && gi < group.length) true
+                    else if (lHead != null && !lHead.isNullAt(lIdx) &&
+                        ord.equiv(lHead.get(lIdx, kt), k)) {
+                      cur = lHead.copy(); nextL(); gi = 0; true
+                    } else { cur = null; false }
+                  }
+                  def next(): org.apache.spark.sql.catalyst.InternalRow = {
+                    if (!hasNext) throw new NoSuchElementException("empty")
+                    val r = project(joinedRow(cur, group(gi))); gi += 1; r
+                  }
+                }
+              }
+            }
+            def hasNext: Boolean = {
+              while (!sub.hasNext && (lHead != null || rHead != null)) step()
+              sub.hasNext
+            }
+            def next(): org.apache.spark.sql.catalyst.InternalRow = {
+              if (!hasNext) throw new NoSuchElementException("empty")
+              sub.next()
+            }
+          }
+        } else {
+          // hash build on the right + matched-KEY tracking; the
+          // unmatched remainder (NULL-key rows included) null-extends
+          // AFTER the left stream drains (Iterator.++ is lazy)
+          val byKey = new java.util.HashMap[Any,
+            scala.collection.mutable.ArrayBuffer[
+              org.apache.spark.sql.catalyst.InternalRow]]()
+          val rightNulls = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.catalyst.InternalRow]
+          ri.foreach { r =>
+            val rc = r.copy()
+            if (rc.isNullAt(rIdx)) rightNulls += rc
+            else {
+              val k = rc.get(rIdx, kt)
+              var buf = byKey.get(k)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.catalyst.InternalRow]
+                byKey.put(k, buf)
+              }
+              buf += rc
+            }
+          }
+          val matched = new java.util.HashSet[Any]()
+          val leftPart = li.flatMap { l =>
+            val found =
+              if (l.isNullAt(lIdx)) null else byKey.get(l.get(lIdx, kt))
+            if (found == null)
+              Iterator.single(project(joinedRow(l, nullRight))
+                : org.apache.spark.sql.catalyst.InternalRow)
+            else {
+              val lc = l.copy()
+              matched.add(copyKey(lc.get(lIdx, kt)))
+              found.iterator.map(r => project(joinedRow(lc, r))
+                : org.apache.spark.sql.catalyst.InternalRow)
+            }
+          }
+          def rightRemainder
+              : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+            val unmatched = scala.jdk.CollectionConverters
+              .IteratorHasAsScala(byKey.entrySet().iterator()).asScala
+              .filter(e => !matched.contains(e.getKey))
+              .flatMap(_.getValue.iterator)
+            (unmatched ++ rightNulls.iterator)
+              .map(r => project(joinedRow(nullLeft, r))
+                : org.apache.spark.sql.catalyst.InternalRow)
+          }
+          leftPart ++ rightRemainder
+        }
+      } else {
       val semiAnti = jt == "leftsemi" || jt == "leftanti"
       // ONE right-lookup implementation per STRATEGY, ONE emitter per
       // JOIN TYPE (below) — the semantics cannot drift between hash
@@ -3999,6 +4142,7 @@ object Snapshots {
                 : org.apache.spark.sql.catalyst.InternalRow)
             }
           }
+      }
       }
     }
     org.apache.spark.sql.graftbridge.Bridge.internalFrame(

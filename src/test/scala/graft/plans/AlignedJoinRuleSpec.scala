@@ -255,6 +255,52 @@ class AlignedJoinRuleSpec extends SparkSpec {
       "spjm_r WHERE rk = k AND rx = x)", mustFire = false)
   }
 
+  test("FULL OUTER fires (r18): both sides null-extend through the SQL " +
+    "rule, windowed sides mine exactly, non-minable filters and " +
+    "residuals bail") {
+    val l = freshDir(); val r = freshDir()
+    val s = spark
+    import s.implicits._
+    // left keys 0..96; right keys are EVEN values 0..248 — real
+    // unmatched populations on BOTH sides
+    commitBucketed(l, 4, 300, "k", "l")
+    Snapshots.commit((0 until 150)
+        .map(j => ((j * 2).toLong % 250, j.toLong, s"r-$j"))
+        .toDF("rk", "rt", "v_r"),
+      r, "overwrite", bucketBy = Some(("rk", 4)), statsColumns = Seq("rt"))
+    graftView(l, "spjfo_l"); graftView(r, "spjfo_r")
+    def parity(sql: String, mustFire: Boolean): Unit = {
+      val q = spark.sql(sql)
+      val fired = !q.queryExecution.executedPlan.toString.contains("Join")
+      assert(fired === mustFire, s"fired=$fired, expected $mustFire: $sql")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      val expected = try {
+        spark.conf.set("graft.sql.alignedJoin.enabled", "false")
+        spark.sql(sql).collect().map(_.toString).sorted.toSeq
+      } finally spark.conf.set("graft.sql.alignedJoin.enabled", "true")
+      assert(expected.nonEmpty && got === expected,
+        s"full-outer parity failed: $sql")
+    }
+    val bare = "SELECT * FROM spjfo_l FULL JOIN spjfo_r ON k = rk"
+    parity(bare, mustFire = true)
+    // both directions genuinely null-extend
+    assert(spark.sql(bare).filter(col("rk").isNull).count() > 0)
+    assert(spark.sql(bare).filter(col("k").isNull).count() > 0)
+    // windowed SIDES (subquery filters — a WHERE above a full join
+    // would let EliminateOuterJoin demote it): both mine EXACTLY
+    // into the pre-join range windows
+    parity("SELECT * FROM (SELECT * FROM spjfo_l WHERE k BETWEEN 10 " +
+      "AND 60) a FULL JOIN (SELECT * FROM spjfo_r WHERE rt BETWEEN 0 " +
+      "AND 100) b ON a.k = b.rk", mustFire = true)
+    // a NON-minable side filter: neither side can hoist over full
+    // outer — the planner serves
+    parity("SELECT * FROM (SELECT * FROM spjfo_l WHERE v_l <> 'l-7') a " +
+      "FULL JOIN spjfo_r b ON a.k = b.rk", mustFire = false)
+    // a residual conjunct changes full-outer match semantics — bail
+    parity("SELECT * FROM spjfo_l FULL JOIN spjfo_r ON k = rk " +
+      "AND v_l = v_r", mustFire = false)
+  }
+
   test("exact right-side windows (r17): a BETWEEN-only subquery filter " +
     "rides the semi/outer right scan as its window, with parity") {
     val l = freshDir(); val r = freshDir()

@@ -321,7 +321,62 @@ class BucketedLayoutSpec extends SparkSpec {
       lv.join(rv, col("id") === col("rid"), "left_semi").count())
     intercept[IllegalArgumentException] {
       Snapshots.bucketAlignedJoin(
-        spark, lhs, rhs, "id", "rid", joinType = "full_outer")
+        spark, lhs, rhs, "id", "rid", joinType = "cross")
+    }
+  }
+
+  test("bucketAlignedJoin full_outer (r18): both sides null-extend, " +
+    "rows equal Spark's own full join through NULL keys and dv masks, " +
+    "hash AND merge strategies, zero Exchange") {
+    val s = spark
+    import s.implicits._
+    val lhs = freshDir()
+    val rhs = freshDir()
+    // left covers ids 0..499 (×2 rows each) + two NULL keys; right
+    // covers every third id 0..800 + a NULL key — BOTH sides have
+    // genuinely unmatched populations and NULL-key rows
+    val left = ((0 until 500).flatMap(i =>
+      Seq((i.toLong, s"a-$i"), (i.toLong, s"b-$i"))) ++
+        Seq((-1L, "null-1"), (-1L, "null-2")))
+      .toDF("id", "ltag")
+      .select(when(col("id") === -1L, lit(null).cast("long"))
+        .otherwise(col("id")).as("id"), col("ltag"))
+    val right = ((0 until 800 by 3).map(i => (i.toLong, i * 10)) :+
+        ((-1L, -1)))
+      .toDF("rid", "score")
+      .select(when(col("rid") === -1L, lit(null).cast("long"))
+        .otherwise(col("rid")).as("rid"), col("score"))
+    Snapshots.commit(left, lhs, "overwrite", bucketBy = Some(("id", 8)))
+    Snapshots.commit(right, rhs, "overwrite", bucketBy = Some(("rid", 8)))
+    // a masked right row is NOT a match: its left rows null-extend
+    // and the row itself must not appear null-extended either
+    Snapshots.deleteWhere(spark, rhs, col("rid") % 30 === 0)
+    val lv = Snapshots.readVersion(spark, lhs)
+    val rv = Snapshots.readVersion(spark, rhs)
+    val expect = lv.join(rv, col("id") === col("rid"), "full_outer")
+    for (strategy <- Seq("hash", "merge")) {
+      val aligned = Snapshots.bucketAlignedJoin(
+        spark, lhs, rhs, "id", "rid", joinType = "full_outer",
+        strategy = strategy)
+      assert(Snapshots.alignedShuffleFree(aligned),
+        s"full_outer/$strategy must stay shuffle-free")
+      assert(aligned.schema.forall(_.nullable),
+        "full_outer output columns are all nullable")
+      assert(aligned.count() === expect.count(),
+        s"full_outer/$strategy count")
+      assert(aligned.exceptAll(expect).isEmpty &&
+        expect.exceptAll(aligned).isEmpty,
+        s"full_outer/$strategy rows must equal Spark's own full join")
+      // NULL keys never match: two left + one right null-key rows all
+      // null-extend
+      assert(aligned.where(col("id").isNull && col("rid").isNull &&
+        col("ltag").isNotNull).count() === 2L)
+      assert(aligned.where(col("id").isNull && col("rid").isNull &&
+        col("ltag").isNull && col("score").isNotNull).count() === 1L)
+      // right-only ids (> 499, unmasked) appear exactly once each,
+      // left columns NULL
+      assert(aligned.where(col("rid") > 499L && col("id").isNull)
+        .count() === expect.where(col("rid") > 499L).count())
     }
   }
 
