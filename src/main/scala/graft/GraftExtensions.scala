@@ -48,5 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // zero-Exchange per-bucket streaming fold
     // (disable: graft.sql.alignedAgg.enabled=false)
     ext.injectOptimizerRule(graft.plans.AlignedAggregate.apply)
+    // default-frame running windows over the bucket key execute as
+    // the per-bucket streaming fold — zero Exchange where WindowExec
+    // shuffles and sorts the whole table
+    // (disable: graft.sql.alignedRunning.enabled=false)
+    ext.injectOptimizerRule(graft.plans.AlignedRunning.apply)
   }
 }

@@ -181,6 +181,10 @@ object SparkEntry {
       (graft.sources.DemoFixtures.u68SqlJoinResidual _),
     "u69_composite_agg" ->
       (graft.sources.DemoFixtures.u69CompositeAgg _),
+    "u70_sql_full_outer" ->
+      (graft.sources.DemoFixtures.u70SqlFullOuter _),
+    "u71_sql_running" ->
+      (graft.sources.DemoFixtures.u71SqlRunning _),
     "f1_funnel" -> (CorpusQueries.f1Funnel _),
     "f2_retention" -> (CorpusQueries.f2Retention _),
     "pipe1_manifest" -> (Pipeline.trainingManifest _),
@@ -1442,6 +1446,47 @@ FROM sym GROUP BY doc_id ORDER BY doc_id"""
         |    AS total,
         |  1 AS comp_ok
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // u70 oracle: the FULL OUTER aligned join — relationally the
+    // two-slice reconciliation rollup. full_ok = 1 pins that the
+    // rule fired (no join operator in the plan), the inner
+    // per-bucket plans are exchange-free, all three reconciliation
+    // classes appear, and a disabled-rule rerun matched rows and
+    // schema.
+    "u70_sql_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS bkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS bprice
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT CASE WHEN a.okey IS NULL THEN 'b_only'
+        |       WHEN b.bkey IS NULL THEN 'a_only' ELSE 'both' END AS side,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(a.price, 0) + COALESCE(b.bprice, 0))
+        |    AS DOUBLE) AS total,
+        |  1 AS full_ok
+        |FROM a FULL JOIN b ON a.okey = b.bkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // u71 oracle: u61's running window reached from PURE SQL — the
+    // same default-frame (RANGE, peers share the running value)
+    // replay, row for row. run_ok = 1 pins that the rule fired (no
+    // Window operator, no Exchange), the composite-sorted layout
+    // served it SORT-free, and a disabled-rule rerun matched rows
+    // and schema.
+    "u71_sql_running" ->
+      """SELECT o_custkey AS k, o_orderdate AS t, o_orderkey AS oid,
+        |  COUNT(*) OVER w AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS rs,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |    AS DOUBLE) AS rmax,
+        |  1 AS run_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY 1, 2, 3""".stripMargin,
     // u63 oracle: the RANGE-WINDOWED backward as-of — both sides
     // restricted to [Jan 8, Jan 18] (the BETWEEN window the aligned
     // read applies as file pruning + row filters), then the u60

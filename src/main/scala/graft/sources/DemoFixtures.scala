@@ -2239,6 +2239,134 @@ object DemoFixtures {
     bare.withColumn("comp_ok", lit(ok).cast("int")).orderBy("k", "day")
   }
 
+  /** Demo + oracle entry (`u71_sql_running`): the RUNNING WINDOW from
+    * PURE SQL (r18, VERDICT r17 stretch #9) — u61's per-entity
+    * running aggregates written as an ordinary `agg OVER (PARTITION
+    * BY k ORDER BY t)` (SQL's default RANGE frame) over a catalog
+    * table bucket-clustered on `k` and committed composite-sorted
+    * (`sortAlso = t`). The [[graft.plans.AlignedRunning]] rule
+    * replaces the planner's WindowExec — which shuffles the WHOLE
+    * table on the key and sorts every partition — with
+    * [[Snapshots.bucketAlignedRunning]]'s per-bucket streaming fold.
+    * Witness `run_ok` folds: no Window operator and no Exchange in
+    * the bare frame's plan, SORT-free inner per-bucket plans (the
+    * composite markers' skip-sort path), and a disabled-rule planner
+    * rerun matching rows and schema. At 100 TB this is the dashboard
+    * "cumulative per customer" query reading the table in place.
+    */
+  def u71SqlRunning(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.run8")
+    val src = graft.TempDirs.create("graft-sqlrun-orders")
+    Snapshots.commit(graft.Tables.orders(s, d)
+        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+          col("o_orderkey").as("oid"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      src, "overwrite", bucketBy = Some(("k", 8)),
+      sortBuckets = true, sortAlso = Seq("t"))
+    Snapshots.cloneShallow(s, src, s"$wh/db/run8")
+    val sql =
+      """SELECT k, t, oid, COUNT(*) OVER w AS rn,
+        |  SUM(price) OVER w AS rs, MAX(price) OVER w AS rmax
+        |FROM graft_demo.db.run8
+        |WINDOW w AS (PARTITION BY k ORDER BY t)""".stripMargin
+    val bare = s.sql(sql)
+    val plan = bare.queryExecution.executedPlan.toString
+    val ruleFired = !plan.contains("Window") && !plan.contains("Exchange")
+    val sortFree = Snapshots.alignedSortFree(bare)
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val alignedRows = rows(bare)
+    val alignedSchema = bare.schema
+    val (plannerRows, plannerSchema) = try {
+      s.conf.set("graft.sql.alignedRunning.enabled", "false")
+      val p = s.sql(sql)
+      require(p.queryExecution.executedPlan.toString.contains("Window"),
+        "the disable switch must restore the planner's window")
+      (rows(p), p.schema)
+    } finally s.conf.set("graft.sql.alignedRunning.enabled", "true")
+    val ok = if (ruleFired && sortFree && innerOk &&
+      alignedRows == plannerRows && alignedSchema == plannerSchema &&
+      alignedRows.nonEmpty) 1 else 0
+    bare.select(col("k"), col("t"), col("oid"), col("rn"),
+        col("rs").cast("double").as("rs"),
+        col("rmax").cast("double").as("rmax"))
+      .withColumn("run_ok", lit(ok).cast("int"))
+      .orderBy("k", "t", "oid")
+  }
+
+  /** Demo + oracle entry (`u70_sql_full_outer`): the FULL OUTER
+    * aligned join from PURE SQL (VERDICT r17 task #7) — the
+    * snapshot-reconciliation shape: two keyed slices of a fact table
+    * FULL JOINed to classify every key as a_only / b_only / both.
+    * The r18 leg runs in [[Snapshots.bucketAlignedJoin]]'s per-bucket
+    * zip with BOTH sides null-extending (merge path: a symmetric
+    * sorted merge; hash path: matched-key tracking + a lazy unmatched
+    * remainder), reached by the [[graft.plans.AlignedJoin]] rule —
+    * which hoists NEITHER side's filters over full outer, so the
+    * slice predicates live in the committed tables, not the query.
+    * Witness `full_ok` folds: no join operator in the executed plan,
+    * exchange-free inner per-bucket plans, and a disabled-rule rerun
+    * matching rows and schema. The rollup above moves three grouped
+    * rows. At 100 TB: day-over-day reconciliation of co-clustered
+    * snapshots reads both in place — zero network for table rows.
+    */
+  def u70SqlFullOuter(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val wh = demoWarehouse(s)
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.foa8")
+    s.sql("DROP TABLE IF EXISTS graft_demo.db.fob8")
+    val orders = graft.Tables.orders(s, d)
+    val a = graft.TempDirs.create("graft-fo-a")
+    Snapshots.commit(orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("okey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price")),
+      a, "overwrite", bucketBy = Some(("okey", 8)))
+    Snapshots.cloneShallow(s, a, s"$wh/db/foa8")
+    val b = graft.TempDirs.create("graft-fo-b")
+    Snapshots.commit(orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("bkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("bprice")),
+      b, "overwrite", bucketBy = Some(("bkey", 8)))
+    Snapshots.cloneShallow(s, b, s"$wh/db/fob8")
+    val sql =
+      """SELECT CASE WHEN a.okey IS NULL THEN 'b_only'
+        |       WHEN b.bkey IS NULL THEN 'a_only' ELSE 'both' END AS side,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(COALESCE(a.price, CAST(0 AS DECIMAL(18,2))) +
+        |           COALESCE(b.bprice, CAST(0 AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total
+        |FROM graft_demo.db.foa8 a FULL JOIN graft_demo.db.fob8 b
+        |  ON a.okey = b.bkey
+        |GROUP BY 1""".stripMargin
+    val recon = s.sql(sql)
+    val planStr = recon.queryExecution.executedPlan.toString
+    val ruleFired = !planStr.contains("Join")
+    val innerOk = Snapshots.alignedInnerShuffleFree()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    val alignedRows = rows(recon)
+    val alignedSchema = recon.schema
+    val (plannerRows, plannerSchema) = try {
+      s.conf.set("graft.sql.alignedJoin.enabled", "false")
+      val q = s.sql(sql)
+      require(q.queryExecution.executedPlan.toString.contains("Join"),
+        "the disable switch must restore the planner's join")
+      (rows(q), q.schema)
+    } finally s.conf.set("graft.sql.alignedJoin.enabled", "true")
+    // all three reconciliation classes must be present, or the
+    // fixture is vacuous
+    val sides = alignedRows.size == 3
+    val ok = if (ruleFired && innerOk && sides &&
+      alignedRows == plannerRows && alignedSchema == plannerSchema) 1
+    else 0
+    recon.withColumn("full_ok", lit(ok).cast("int")).orderBy("side")
+  }
+
   /** Demo + oracle entry (`u68_sql_join_residual`): MULTI-CONJUNCT
     * join conditions through the SQL aligned rewrite (VERDICT r17
     * task #4) — the attribution shape every event pipeline writes:
