@@ -103,19 +103,6 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
             (conjuncts.lengthCompare(1) > 0 && jt != Inner)) j
         else (AlignedSides.peel(lp), AlignedSides.peel(rp)) match {
           case (Some(ls), Some(rs)) =>
-            // INNER hoists both sides' filters above the replacement;
-            // LEFT OUTER hoists only the LEFT side's — the right's
-            // must mine EXACTLY into the pre-join range window or the
-            // rule leaves the planner's join in place. FULL OUTER
-            // (r18) can hoist NEITHER side (each side's filter
-            // defines that side BEFORE null-extension), so both must
-            // mine exactly.
-            val leftWindows: Option[Seq[(String, Any, Any)]] =
-              if (jt == FullOuter) RangeMining.exact(ls.filters)
-              else Some(RangeMining.relaxed(ls.filters))
-            val rightWindows: Option[Seq[(String, Any, Any)]] =
-              if (jt == Inner) Some(RangeMining.relaxed(rs.filters))
-              else RangeMining.exact(rs.filters)
             // the FIRST equi-conjunct that orients to the sides and
             // lands on their bucket keys becomes the zip key; the
             // other conjuncts (equalities included) join the residual
@@ -127,9 +114,33 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
                     spark, ls.g, lKey, rs.g, rKey) => (e, lKey, rKey)
               }
             }.nextOption()
+            // INNER hoists both sides' filters above the replacement;
+            // LEFT OUTER hoists only the LEFT side's — the right's
+            // must mine EXACTLY into the pre-join range window or the
+            // rule leaves the planner's join in place. FULL OUTER
+            // (r18) can hoist NEITHER side (each side's filter
+            // defines that side BEFORE null-extension), so both must
+            // mine exactly. `IS NOT NULL` on a dropped-at-scan join
+            // key is consumable (ADVICE r17): leftouter's right scan
+            // drops NULL keys, so InferFiltersFromConstraints'
+            // planted conjunct must not bail the rewrite — but FULL
+            // OUTER keeps NULL keys, so nothing is consumable there.
+            val windows: Option[(Seq[(String, Any, Any)],
+                Seq[(String, Any, Any)])] = choice.flatMap {
+              case (_, _, rKey) =>
+                val lw =
+                  if (jt == FullOuter) RangeMining.exact(ls.filters)
+                  else Some(RangeMining.relaxed(ls.filters))
+                val rw = jt match {
+                  case Inner => Some(RangeMining.relaxed(rs.filters))
+                  case FullOuter => RangeMining.exact(rs.filters)
+                  case _ => RangeMining.exact(rs.filters, Set(rKey))
+                }
+                lw.zip(rw)
+            }
             choice match {
-              case Some((eq, lKey, rKey))
-                  if leftWindows.isDefined && rightWindows.isDefined =>
+              case Some((eq, lKey, rKey)) if windows.isDefined =>
+                val (leftRanges, rightRanges) = windows.get
                 val residual = conjuncts.filterNot(_ eq eq)
                 // any operator refusal the probe could not foresee
                 // leaves the planner's join in place — the rewrite
@@ -143,8 +154,8 @@ case class AlignedJoin(spark: SparkSession) extends Rule[LogicalPlan]
                     leftVersion = Some(ls.g.version),
                     rightVersion = Some(rs.g.version),
                     joinType = typeName(jt),
-                    leftRanges = leftWindows.get,
-                    rightRanges = rightWindows.get))
+                    leftRanges = leftRanges,
+                    rightRanges = rightRanges))
                 if (alignedOpt.isEmpty) j else {
                 val aligned = alignedOpt.get
                 // the aligned output order is the JOIN's own: left

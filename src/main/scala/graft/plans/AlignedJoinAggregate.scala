@@ -86,15 +86,21 @@ case class AlignedJoinAggregate(spark: SparkSession)
                 // ([[RangeMining.exact]]: the per-file row filter is
                 // the lossless inclusive predicate), else the layered
                 // fallback serves ([[AlignedJoin]] hoists + the
-                // planner aggregates)
-                val windows = (RangeMining.exact(ls.filters),
-                  RangeMining.exact(rs.filters))
+                // planner aggregates). An inner join drops NULL keys
+                // at BOTH scans, so inferred IS NOT NULL conjuncts on
+                // the join keys are consumed (ADVICE r17).
                 AlignedSides.orient(a, b, ls.out, rs.out) match {
                   case Some((lKey, rKey))
-                      if windows._1.isDefined && windows._2.isDefined &&
+                      if RangeMining.exact(ls.filters, Set(lKey))
+                          .isDefined &&
+                        RangeMining.exact(rs.filters, Set(rKey))
+                          .isDefined &&
                         AlignedSides.alignablePair(spark, ls.g, lKey,
                           rs.g, rKey) &&
                         AggMining.mineFolds(items).isDefined =>
+                    val windows = (
+                      RangeMining.exact(ls.filters, Set(lKey)),
+                      RangeMining.exact(rs.filters, Set(rKey)))
                     // mined twice only on the fire path (guard + here)
                     // — the never-fire common case pays one walk
                     val folds = AggMining.mineFolds(items).get

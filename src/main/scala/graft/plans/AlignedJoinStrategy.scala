@@ -57,12 +57,15 @@ case class AlignedJoinStrategy(spark: SparkSession) extends SparkStrategy {
         if enabled && typeName(jt).nonEmpty =>
       (AlignedSides.peel(lp), AlignedSides.peel(rp)) match {
         case (Some(ls), Some(rs)) =>
-          val rightWindows = RangeMining.exact(rs.filters)
           AlignedSides.orient(a, b, ls.out, rs.out) match {
             case Some((lKey, rKey))
-                if rightWindows.isDefined &&
-                  AlignedSides.alignablePair(spark, ls.g, lKey,
-                    rs.g, rKey) =>
+                if AlignedSides.alignablePair(spark, ls.g, lKey,
+                    rs.g, rKey) &&
+                  // semi/anti drop NULL right keys at the scan, so an
+                  // inferred IS NOT NULL on the join key is consumed
+                  // rather than bailing the rewrite (ADVICE r17)
+                  RangeMining.exact(rs.filters, Set(rKey)).isDefined =>
+              val rightWindows = RangeMining.exact(rs.filters, Set(rKey))
               // any operator refusal the probe could not foresee
               // falls back to the planner's strategies (Nil) — the
               // rewrite must never turn a plannable query into an

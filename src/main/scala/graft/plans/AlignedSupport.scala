@@ -417,7 +417,20 @@ private[plans] object RangeMining extends PredicateHelper {
     }
   }
 
-  def exact(filters: Seq[Expression]): Option[Seq[(String, Any, Any)]] = {
+  /** `notNullOk` (r18, ADVICE r17): columns whose `IS NOT NULL` the
+    * CALLER's replacement implies independently of any window — the
+    * join rewrites pass the side's JOIN KEY when the aligned join
+    * drops that side's NULL keys at the scan (inner both sides,
+    * leftouter/semi/anti right side; NEVER full outer, whose NULL-key
+    * rows are output). Without it, the `IS NOT NULL` conjunct
+    * `InferFiltersFromConstraints` plants on a join key under
+    * semi/outer joins would bail the whole rewrite — a silently
+    * missed rewrite, and a plan witness fragile across Spark
+    * versions.
+    */
+  def exact(filters: Seq[Expression],
+            notNullOk: Set[String] = Set.empty)
+      : Option[Seq[(String, Any, Any)]] = {
     if (filters.isEmpty) return Some(Nil)
     val lo = scala.collection.mutable.LinkedHashMap.empty[String, Any]
     val hi = scala.collection.mutable.LinkedHashMap.empty[String, Any]
@@ -454,8 +467,10 @@ private[plans] object RangeMining extends PredicateHelper {
     // complete windows only: a one-sided bound has no exact BETWEEN
     // form here (the API's extreme-value escape is the caller's
     // explicit choice, not a rewrite's); every IS NOT NULL must be
-    // implied by a window on its column
-    if (allMined && lo.keySet == hi.keySet && nn.subsetOf(lo.keySet))
+    // implied by a window on its column or by the caller's
+    // replacement (`notNullOk` — the join-key case)
+    if (allMined && lo.keySet == hi.keySet &&
+        nn.forall(c => lo.keySet.contains(c) || notNullOk.contains(c)))
       Some(lo.keys.toSeq.map(c => (c, lo(c), hi(c))))
     else None
   }

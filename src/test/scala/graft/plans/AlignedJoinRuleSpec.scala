@@ -335,6 +335,11 @@ class AlignedJoinRuleSpec extends SparkSpec {
     // only keys 0..96 ∩ j<=150 — a REAL subset (some keys drop)
     parity("SELECT * FROM spjw_l WHERE k IN " +
       "(SELECT rk FROM spjw_r WHERE rt BETWEEN 0 AND 45)")
+    // an explicit IS NOT NULL on the join key is CONSUMED (the
+    // aligned semi scan drops NULL right keys anyway — ADVICE r17),
+    // so the rewrite still fires
+    parity("SELECT * FROM spjw_l WHERE k IN (SELECT rk FROM spjw_r " +
+      "WHERE rk IS NOT NULL AND rt BETWEEN 0 AND 45)")
     // anti against the same windowed subquery
     parity("SELECT * FROM spjw_l WHERE NOT EXISTS " +
       "(SELECT 1 FROM spjw_r WHERE rk = k AND rt BETWEEN 0 AND 45)")

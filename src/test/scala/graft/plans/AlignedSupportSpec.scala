@@ -63,6 +63,17 @@ class AlignedSupportSpec extends SparkSpec {
         EqualTo(a, lit(3))))).isEmpty)
     // empty input → empty windows (serves, nothing to mine)
     assert(RangeMining.exact(Nil) === Some(Nil))
+    // notNullOk (r18, ADVICE r17): a caller-implied IS NOT NULL (the
+    // join key a replacement drops at the scan) is consumed even
+    // with no window on its column ...
+    assert(RangeMining.exact(Seq[Expression](IsNotNull(b)),
+      notNullOk = Set("d")) === Some(Nil))
+    assert(RangeMining.exact(Seq[Expression](IsNotNull(b),
+      GreaterThanOrEqual(a, lit(1)), LessThanOrEqual(a, lit(2))),
+      notNullOk = Set("d")) === Some(Seq(("c", 1L, 2L))))
+    // ... while any OTHER windowless IS NOT NULL still bails
+    assert(RangeMining.exact(Seq[Expression](IsNotNull(a), IsNotNull(b)),
+      notNullOk = Set("d")).isEmpty)
   }
 
   test("RangeMining.relaxed: strict bounds relax inclusively, " +
