@@ -47,6 +47,27 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // `file:` scheme I/O matches production clients (r18): no .crc
+      // sidecar per file, no chmod fork per create — see
+      // graft.sources.FastLocalFileSystem. Scheme-scoped: hdfs://,
+      // s3a:// etc. resolve their own impls and are untouched.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCALFS",
+          "graft.sources.FastLocalFileSystem"))
+      // Output-committer work the snapshot protocol makes redundant
+      // (r18): graft readers gate visibility on the MANIFEST commit
+      // point, never on directory state, so v1's driver-serial
+      // commitJob rename pass buys nothing — v2 renames on task
+      // commit (parallel, executor-side). _SUCCESS markers are read
+      // by nothing in the engine (readers list *.parquet and plan
+      // from manifests). Both are the documented Spark/Hadoop knobs;
+      // deployments writing bare parquet dirs for OTHER consumers on
+      // rename-less object stores should prefer their store's
+      // committer instead.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
 
   /** The harness shape: local master with `cores` threads, UI off. */
   def local(cores: Int): SparkSession.Builder =
