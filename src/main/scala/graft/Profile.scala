@@ -28,9 +28,19 @@ object Profile {
     val taskNanos = new AtomicLong
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
+    val traceJobs = sys.env.contains("SPARK_GRAFT_PROF_TRACE")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (traceJobs) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          val site = j.stageInfos.map(_.name).mkString(" | ")
+          println(s"[job] ${j.jobId} stages=${j.stageInfos.size} " +
+            s"tasks=${j.stageInfos.map(_.numTasks).sum} site=$site desc=$desc")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         val m = s.stageInfo.taskMetrics

@@ -8,8 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan must only materialize the columns and row groups a query needs.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Parquet schema inference reads footers on the DRIVER on every
+    * `spark.read.parquet` call — measured ~50 ms per call (r18
+    * MicroBench: 85 ms scan-with-inference vs 34 ms with an explicit
+    * schema). The corpus directories are immutable for the life of a
+    * process, so the inferred schema is cached per path and every
+    * later read passes it explicitly. The first read still infers, so
+    * session semantics (nanosAsLong, NTZ inference off) are baked into
+    * the cached schema exactly as before.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    val sch = schemaCache.getOrElseUpdate(p, spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -2107,27 +2107,51 @@ object Snapshots {
     // RESTORE re-covers through the same segment, and collapsing
     // duplicate refs would lose one that a later version serves
     // through its OTHER (un-tombstoned) reference.
-    val fromSegs =
-      if (segRefs.isEmpty) spark.emptyDataset[CkptFile]
-      else spark.sparkContext
-        .parallelize(segRefs, math.min(segRefs.size, 64))
-        .flatMap { rel =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confPairs.foreach { case (k, x) => conf.set(k, x) }
-          val fsE = new Path(tdir).getFileSystem(conf)
-          parseSegment(fsE, new Path(tdir, rel)).entries.iterator
-            .map { e =>
-              val st = e.stats.iterator
-                .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
-                .toMap
-              val bl = e.blooms.iterator
-                .map { case (c, b) =>
-                  c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }
-                .toMap
-              CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
-                e.nulls.toMap, Some(rel), bl, e.sortedBy)
-            }
-        }.toDS()
+    // shared per-segment folds — one definition used by BOTH the
+    // distributed build and the small-table driver-side build below,
+    // so the two paths cannot drift
+    def ckptRowsOf(rel: String,
+                   entries: IndexedSeq[SegEntry]): Iterator[CkptFile] =
+      entries.iterator.map { e =>
+        val st = e.stats.iterator
+          .map { case (c, s0) => c -> CkptStat(s0.kind, s0.min, s0.max) }
+          .toMap
+        val bl = e.blooms.iterator
+          .map { case (c, b) =>
+            c -> CkptBloom(b.mBits, b.k, b.words.toIndexedSeq) }
+          .toMap
+        CkptFile(e.file, e.bucket, e.rows, e.bytes, st,
+          e.nulls.toMap, Some(rel), bl, e.sortedBy)
+      }
+    // Driver-side build for small segment counts (r18): dispatching a
+    // distributed job to parse a handful of segment files costs more
+    // (job scheduling + a full Hadoop-conf rebuild per task) than
+    // parsing them on the driver through the immutable-segment cache —
+    // which the table's next read warms from anyway. Large tables keep
+    // the distributed build: the cutover is segment COUNT, the unit
+    // the distributed job parallelizes over.
+    val driverFoldMax = spark.conf
+      .getOption("graft.checkpoint.driverFoldMaxSegs").map(_.toInt)
+      .getOrElse(16)
+    val localSegs: Option[Seq[(String, IndexedSeq[SegEntry])]] =
+      if (segRefs.size <= driverFoldMax)
+        Some(segRefs.map(rel =>
+          rel -> cachedSegment(f, tableDir, rel).entries))
+      else None
+    val fromSegs = localSegs match {
+      case Some(segs) =>
+        spark.createDataset(segs.flatMap {
+          case (rel, es) => ckptRowsOf(rel, es) })
+      case None =>
+        spark.sparkContext
+          .parallelize(segRefs, math.min(segRefs.size, 64))
+          .flatMap { rel =>
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confPairs.foreach { case (k, x) => conf.set(k, x) }
+            val fsE = new Path(tdir).getFileSystem(conf)
+            ckptRowsOf(rel, parseSegment(fsE, new Path(tdir, rel)).entries)
+          }.toDS()
+    }
     val ds =
       if (inline.isEmpty) fromSegs
       else fromSegs.unionByName(spark.createDataset(inline))
@@ -2158,15 +2182,8 @@ object Snapshots {
     // publish invariant makes that exactly-once. `all` records whether
     // EVERY entry in the segment carried the sketch — the poisoning
     // bit readers need without parsing the segment.
-    val sketchRows: Seq[(String, String, String, Boolean, Array[Byte])] =
-      if (segRefs.isEmpty) Nil
-      else spark.sparkContext
-        .parallelize(segRefs, math.min(segRefs.size, 64))
-        .flatMap { rel =>
-          val conf = new org.apache.hadoop.conf.Configuration(false)
-          confPairs.foreach { case (k, x) => conf.set(k, x) }
-          val fsE = new Path(tdir).getFileSystem(conf)
-          val entries = parseSegment(fsE, new Path(tdir, rel)).entries
+    def sketchRowsOf(rel: String, entries: IndexedSeq[SegEntry])
+        : Iterator[(String, String, String, Boolean, Array[Byte])] = {
           val ndvCols = entries.iterator.flatMap(_.ndvs.iterator.map(_._1)).toSet
           val ndvRows = ndvCols.iterator.map { c =>
             val sks = entries.flatMap(_.ndvs.collectFirst {
@@ -2221,7 +2238,21 @@ object Snapshots {
               payload.getBytes(StandardCharsets.UTF_8))
           }
           ndvRows ++ kllRows ++ rngRows
-        }.collect().toSeq // one row per (segment, column, kind), not per file
+    }
+    val sketchRows: Seq[(String, String, String, Boolean, Array[Byte])] =
+      localSegs match {
+        case Some(segs) =>
+          segs.flatMap { case (rel, es) => sketchRowsOf(rel, es) }
+        case None =>
+          spark.sparkContext
+            .parallelize(segRefs, math.min(segRefs.size, 64))
+            .flatMap { rel =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confPairs.foreach { case (k, x) => conf.set(k, x) }
+              val fsE = new Path(tdir).getFileSystem(conf)
+              sketchRowsOf(rel, parseSegment(fsE, new Path(tdir, rel)).entries)
+            }.collect().toSeq // one row per (segment, column, kind), not per file
+      }
     def writeSketchSidecar(name: String, kind: String): Unit = {
       val rows = sketchRows.filter(_._3 == kind)
       if (rows.isEmpty) return
@@ -2828,12 +2859,31 @@ object Snapshots {
     * consults (the column-pruning promise in the section comment; only
     * the keys planner opts in).
     */
+  /** Checkpoint parquet schema cache: a promoted checkpoint dir is
+    * immutable (written to a `.tmp-` dir, atomically renamed in), so
+    * its inferred schema can be reused across the many reads a
+    * protocol performs against one checkpoint — each inference is a
+    * ~50 ms driver footer pass (r18 MicroBench). Keyed by
+    * (path, dir mtime): a vacuumed-and-rebuilt checkpoint gets a new
+    * mtime and re-infers, so a rebuild with a different column set
+    * (e.g. blooms added) can never serve a stale schema. Bounded:
+    * cleared wholesale past 4096 entries (long-lived sessions over
+    * many tables).
+    */
+  private val ckptSchemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), org.apache.spark.sql.types.StructType]
+
   private def ckptDataset(spark: SparkSession, ck: Path,
                           withBlooms: Boolean = true)
       : org.apache.spark.sql.Dataset[CkptFile] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.typedlit
-    val raw = spark.read.parquet(ck.toString)
+    val ckFs = ck.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = (ck.toString, ckFs.getFileStatus(ck).getModificationTime)
+    if (ckptSchemaCache.size > 4096) ckptSchemaCache.clear()
+    val sch = ckptSchemaCache.getOrElseUpdate(key,
+      spark.read.parquet(ck.toString).schema)
+    val raw = spark.read.schema(sch).parquet(ck.toString)
     val framed0 =
       if (withBlooms && raw.columns.contains("blooms")) raw
       else raw.withColumn("blooms", typedlit(Map.empty[String, CkptBloom]))
@@ -6445,6 +6495,22 @@ object Snapshots {
   private val FpCol = "__graft_fp"
   private val RiCol = "__graft_ri"
 
+  /** The deletion-vector file schema — dv files are written exclusively
+    * by [[dvSizedForWrite]] from `(FpCol as file_path, RiCol as
+    * row_index)` projections, so every dv read can pass this schema
+    * explicitly and skip parquet schema inference (a ~50 ms driver
+    * footer pass PER READ — r18 MicroBench).
+    */
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_index",
+      org.apache.spark.sql.types.LongType)))
+
+  /** `spark.read.parquet` for dv files with the static [[DvSchema]]. */
+  private def readDvs(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.schema(DvSchema).parquet(paths: _*)
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.sources.Snapshots")
 
   /** Rough bytes one dv row costs the read-side mask join (a file URI
@@ -6548,7 +6614,7 @@ object Snapshots {
       warnIfPurgeOverdue(spark, tableDir, m)
       val dvAbs = m.dvs.map(rel =>
         if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-      val dv = spark.read.parquet(dvAbs: _*)
+      val dv = readDvs(spark, dvAbs)
       base.join(dv,
         base(FpCol) === dv("file_path") && base(RiCol) === dv("row_index"),
         "left_anti")
@@ -7519,7 +7585,7 @@ object Snapshots {
         m.copy(version = version, pendingMarker = None), Map.empty, Nil))
     val dvAbs = m.dvs.map(rel =>
       if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-    val maskedTails = spark.read.parquet(dvAbs: _*)
+    val maskedTails = readDvs(spark, dvAbs)
       .select(regexp_extract(col("file_path"), DataTailRe, 1).as("t"))
       .distinct().collect().map(_.getString(0)).toSet
     require(!maskedTails.contains(""),
@@ -7595,7 +7661,7 @@ object Snapshots {
     // bounded collect: one row per DISTINCT masked file — the set
     // being rewritten, whose names the manifest already holds
     // driver-side anyway
-    val maskedTails = spark.read.parquet(dvAbs: _*)
+    val maskedTails = readDvs(spark, dvAbs)
       .select(regexp_extract(col("file_path"), DataTailRe, 1).as("t"))
       .distinct().collect().map(_.getString(0)).toSet
     // invariant made LOUD: every dv file_path must match the data/v*/
@@ -8103,7 +8169,7 @@ object Snapshots {
     val keptTails = kept.map(dataTail)
     val dvAbs = m.dvs.map(rel =>
       if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-    val live = spark.read.parquet(dvAbs: _*)
+    val live = readDvs(spark, dvAbs)
       .withColumn("__rel", regexp_extract(col("file_path"), DataTailRe, 1))
       .filter(col("__rel").isin(keptTails: _*)).drop("__rel")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -8143,7 +8209,7 @@ object Snapshots {
       if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
     // isin compiles to an InSet hash probe past 10 values — O(1) per
     // row whatever the rewrite's size
-    val live = spark.read.parquet(dvAbs: _*)
+    val live = readDvs(spark, dvAbs)
       .withColumn("__rel", regexp_extract(col("file_path"), DataTailRe, 1))
       .filter(!col("__rel").isin(removedTails.toSeq: _*)).drop("__rel")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -8604,7 +8670,7 @@ object Snapshots {
       else {
         val dvAbs = addedDvs.map(rel =>
           if (isBorrowed(rel)) rel else new Path(tableDir, rel).toString)
-        val dv = spark.read.parquet(dvAbs: _*)
+        val dv = readDvs(spark, dvAbs)
         val base = readFilesMeta(spark, tableDir, from, from.files)
         Some(base.join(dv,
             base(FpCol) === dv("file_path") && base(RiCol) === dv("row_index"),
