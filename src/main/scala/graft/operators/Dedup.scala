@@ -583,13 +583,19 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(tokens)).as("tok"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, hexChars), 16, 10).cast("long"))
+    // per-bit ONES count: sum((h >> b) & 1) — two codegen'd integer ops
+    // per (token, bit) where the ±1 formulation spent four plus a
+    // branch (shiftright, %2, ===, when). The strict-majority rule is
+    // unchanged as integers: old vote sum = ones − (n − ones) =
+    // 2·ones − n, so `±1 sum > 0` ⟺ `2·ones > n` exactly.
     val votes = (0 until width).map(b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"s_$b"))
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"s_$b"))
     toks.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+      .agg(count(lit(1)).as("n_tok"), votes: _*)
       .select(
         col("doc_id"),
-        (0 until width).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until width).map(b =>
+          when(col(s"s_$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
   }
 

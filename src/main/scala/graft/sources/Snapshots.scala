@@ -1772,22 +1772,35 @@ object Snapshots {
     val covered = checkpointCoveredSegs(f, ck)
     val (segV, tombsV, _, _, inlineV) = manifestSkeleton(f, tableDir, version)
     if (inlineV.nonEmpty) return None // legacy inline: no segments
-    val segSetB = spark.sparkContext.broadcast(segV.toSet)
-    val tombsB = spark.sparkContext.broadcast(tombsV)
+    val segSet = segV.toSet
     val ws = withStats
+    def liveOf(r: CkptFile): LiveEntry = LiveEntry(r.file, r.seg.get,
+      r.bucket, r.rows, r.bytes, r.sortedBy,
+      if (ws) r.stats.keys.toSeq.sorted else Nil)
+    def keep(r: CkptFile): Boolean = r.seg.exists(rel =>
+      segSet.contains(rel) && !tombsV.contains((rel, r.file))) && pred(r)
     // sortedBy rides verbatim (PHYSICAL vocabulary, like the tail's
     // segment entries — consumers translate at their read version);
     // pre-r16 checkpoints surface it as None, costing only the
     // skip-sort shortcut, never correctness
-    val fromCkpt = ckptDataset(spark, ck, withBlooms = false)
-      .filter { r: CkptFile => r.seg.exists(rel =>
-          segSetB.value.contains(rel) &&
-            !tombsB.value.contains((rel, r.file))) && pred(r) }
-      .map { r: CkptFile => LiveEntry(r.file, r.seg.get, r.bucket,
-        r.rows, r.bytes, r.sortedBy,
-        if (ws) r.stats.keys.toSeq.sorted else Nil) }(
-        org.apache.spark.sql.Encoders.product[LiveEntry])
-      .collect().toSeq
+    val fromCkpt = cachedCkptRows(ck) match {
+      case Some(rows) =>
+        // small checkpoint, rows already driver-resident — the SAME
+        // verdict and projection, no Spark job
+        rows.iterator.filter(keep).map(liveOf).toSeq
+      case None =>
+        val segSetB = spark.sparkContext.broadcast(segSet)
+        val tombsB = spark.sparkContext.broadcast(tombsV)
+        ckptDataset(spark, ck, withBlooms = false)
+          .filter { r: CkptFile => r.seg.exists(rel =>
+              segSetB.value.contains(rel) &&
+                !tombsB.value.contains((rel, r.file))) && pred(r) }
+          .map { r: CkptFile => LiveEntry(r.file, r.seg.get, r.bucket,
+            r.rows, r.bytes, r.sortedBy,
+            if (ws) r.stats.keys.toSeq.sorted else Nil) }(
+            org.apache.spark.sql.Encoders.product[LiveEntry])
+          .collect().toSeq
+    }
     val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
       cachedSegment(f, tableDir, rel).entries.iterator
         .filter(e => !tombsV.contains((rel, e.file)))
@@ -2316,6 +2329,14 @@ object Snapshots {
       // between our two renames, un-nest our tmp and adopt the winner
       val nested = new Path(out, tmp.getName)
       if (f.exists(nested)) f.delete(nested, true)
+      else localSegs.foreach { segs =>
+        // OUR build installed `out` from the driver-side rows — cache
+        // them verbatim (the exact content the parquet write encoded)
+        // for the checkpoint-planned walks
+        ckptRowsCache.put(out.toString,
+          (segs.flatMap { case (rel, es) =>
+            ckptRowsOf(rel, es) } ++ inline).toIndexedSeq)
+      }
     }
     aside.foreach(a => f.delete(a, true))
     // backstop (ADVICE r13): whichever path installed `out`, the dir
@@ -2326,6 +2347,28 @@ object Snapshots {
       s"checkpoint install at $out did not produce a sidecar-bearing dir")
     out.toString
   }
+
+  /** Driver-side cache of a SMALL checkpoint's decoded rows, keyed by
+    * checkpoint dir (immutable once sidecar-bearing — the geometry
+    * cache's invariant). Populated ONLY by [[writeMetadataCheckpoint]]
+    * when (a) the driver-side small-table build ran (so the rows were
+    * already driver-resident — the cache never widens the driver's
+    * memory envelope) and (b) OUR rename installed the dir (the cached
+    * rows are byte-for-byte what the parquet file holds). The
+    * checkpoint-planned walks serve from it without a Spark job; large
+    * tables and checkpoints from other processes keep the distributed
+    * read. Bounded access-ordered LRU.
+    */
+  private val CkptRowsCacheMax = 8
+  private val ckptRowsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, IndexedSeq[CkptFile]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, IndexedSeq[CkptFile]]): Boolean =
+        size() > CkptRowsCacheMax
+    })
+
+  private def cachedCkptRows(ck: Path): Option[IndexedSeq[CkptFile]] =
+    Option(ckptRowsCache.get(ck.toString))
 
   private val CoveredSegsFile = "_covered_segs.txt"
   private val NdvSegsFile = "_ndv_segs.txt"
@@ -2817,18 +2860,27 @@ object Snapshots {
         FileStat(st.kind, st.min, st.max).overlaps(lo, hi))
     }
     import spark.implicits._
-    // withBlooms = false: a range prune never consults blooms — the
-    // scan must not read (or the decode materialize) the dominant
-    // bloom column
-    val ds = ckptDataset(spark, ck, withBlooms = false)
-    // broadcast the membership sets — after a big purge the tombstone
-    // set is O(removed files), too big to ship in every task closure
-    val segSetB = spark.sparkContext.broadcast(segSet)
-    val tombsB = spark.sparkContext.broadcast(tombsV)
-    val fromCkpt = ds
-      .filter { r: CkptFile => r.seg.exists(rel =>
-        segSetB.value.contains(rel) && !tombsB.value.contains((rel, r.file))) }
-      .map(toLogical _).filter(surviving _).map(_.file).collect().toSeq
+    val fromCkpt = cachedCkptRows(ck) match {
+      case Some(rows) =>
+        // small checkpoint, rows driver-resident — same verdicts, no job
+        rows.iterator
+          .filter(r => r.seg.exists(rel =>
+            segSet.contains(rel) && !tombsV.contains((rel, r.file))))
+          .map(toLogical).filter(surviving).map(_.file).toSeq
+      case None =>
+        // withBlooms = false: a range prune never consults blooms — the
+        // scan must not read (or the decode materialize) the dominant
+        // bloom column
+        val ds = ckptDataset(spark, ck, withBlooms = false)
+        // broadcast the membership sets — after a big purge the
+        // tombstone set is O(removed files), too big to ship in every
+        // task closure
+        val segSetB = spark.sparkContext.broadcast(segSet)
+        val tombsB = spark.sparkContext.broadcast(tombsV)
+        ds.filter { r: CkptFile => r.seg.exists(rel =>
+            segSetB.value.contains(rel) && !tombsB.value.contains((rel, r.file))) }
+          .map(toLogical _).filter(surviving _).map(_.file).collect().toSeq
+    }
     // the tail: segments committed (or folded in) after the checkpoint,
     // parsed through the shared driver cache — the Delta json-tail role
     val fromTail = segV.filterNot(covered).iterator.flatMap { rel =>
@@ -2981,9 +3033,11 @@ object Snapshots {
     // file only); per-file bucket ids ride the checkpoint rows
     val thin = readManifestThin(spark, tableDir, v)
     import spark.implicits._
+    val cachedRows = cachedCkptRows(ck)
     // a pure-range call never consults a bloom — don't decode the
-    // dominant bloom column for it (pruneFilesCheckpointed's rule)
-    val ds = ckptDataset(spark, ck, withBlooms = probes.nonEmpty)
+    // dominant bloom column for it (pruneFilesCheckpointed's rule);
+    // lazy: the driver-cached-rows path never resolves the Dataset
+    lazy val ds = ckptDataset(spark, ck, withBlooms = probes.nonEmpty)
     val tailEntries = segV.filterNot(covered).map(rel =>
       rel -> cachedSegment(f, tableDir, rel).entries)
     // per-probe precomputation (driver-side, all metadata-sized):
@@ -3023,12 +3077,18 @@ object Snapshots {
         if (degraded) Map.empty
         else {
           val ckptGeos = ckptGeosCached((ck.toString, keyPhys))(
-            ds.select(org.apache.spark.sql.functions.element_at(
-                org.apache.spark.sql.functions.col("blooms"),
-                keyPhys).as("b"))
-              .where(org.apache.spark.sql.functions.col("b").isNotNull)
-              .select($"b.mBits", $"b.k").distinct().collect()
-              .map(r => (r.getInt(0), r.getInt(1))).toSet)
+            cachedRows match {
+              case Some(rows) => // driver rows: no discovery job
+                rows.iterator.flatMap(_.blooms.get(keyPhys))
+                  .map(b => (b.mBits, b.k)).toSet
+              case None =>
+                ds.select(org.apache.spark.sql.functions.element_at(
+                    org.apache.spark.sql.functions.col("blooms"),
+                    keyPhys).as("b"))
+                  .where(org.apache.spark.sql.functions.col("b").isNotNull)
+                  .select($"b.mBits", $"b.k").distinct().collect()
+                  .map(r => (r.getInt(0), r.getInt(1))).toSet
+            })
           val tailGeos = tailEntries.iterator.flatMap(_._2).flatMap(_.blooms)
             .collect { case (c, b) if c == keyPhys => (b.mBits, b.k) }.toSet
           (ckptGeos ++ tailGeos).iterator.map(g =>
@@ -3037,9 +3097,7 @@ object Snapshots {
       ProbePlan(key, keyPhys, keys, keyType, statType, bucketWanted,
         probeBits, degraded)
     }
-    val plansB = spark.sparkContext.broadcast(plans)
-    val segSetB = spark.sparkContext.broadcast(segV.toSet)
-    val tombsB = spark.sparkContext.broadcast(tombsV)
+    val segSet = segV.toSet
     // range conjuncts, in both vocabularies (checkpoint rows/tail
     // speak physical, inline speaks logical); decimal-typed (or
     // unknown-typed with decimal bounds) columns never stat-prune —
@@ -3051,7 +3109,6 @@ object Snapshots {
         lo, hi) }
     val rangesPhys = statRanges.map { case (c, lo, hi) =>
       (colMapV.getOrElse(c, c), lo, hi) }
-    val rangesB = spark.sparkContext.broadcast(rangesPhys)
     def rangeSurvives(rs: Seq[(String, Any, Any)])(r: CkptFile): Boolean =
       rs.forall { case (c, lo, hi) =>
         r.stats.get(c).forall(st =>
@@ -3077,13 +3134,27 @@ object Snapshots {
           }
         }))
     }
-    val fromCkpt = ds
-      .filter { r: CkptFile => r.seg.exists(rel =>
-        segSetB.value.contains(rel) &&
-          !tombsB.value.contains((rel, r.file))) &&
-        plansB.value.forall(p => survivesPlan(p, p.phys)(r)) &&
-        rangeSurvives(rangesB.value)(r) }
-      .map(_.file).collect().toSeq
+    val fromCkpt = cachedRows match {
+      case Some(rows) =>
+        // small checkpoint, rows driver-resident — same verdicts, no job
+        rows.iterator
+          .filter(r => r.seg.exists(rel =>
+            segSet.contains(rel) && !tombsV.contains((rel, r.file))) &&
+            plans.forall(p => survivesPlan(p, p.phys)(r)) &&
+            rangeSurvives(rangesPhys)(r))
+          .map(_.file).toSeq
+      case None =>
+        val plansB = spark.sparkContext.broadcast(plans)
+        val segSetB = spark.sparkContext.broadcast(segSet)
+        val tombsB = spark.sparkContext.broadcast(tombsV)
+        val rangesB = spark.sparkContext.broadcast(rangesPhys)
+        ds.filter { r: CkptFile => r.seg.exists(rel =>
+            segSetB.value.contains(rel) &&
+              !tombsB.value.contains((rel, r.file))) &&
+            plansB.value.forall(p => survivesPlan(p, p.phys)(r)) &&
+            rangeSurvives(rangesB.value)(r) }
+          .map(_.file).collect().toSeq
+    }
     val fromTail = tailEntries.iterator.flatMap { case (rel, entries) =>
       entries.iterator
         .filter(e => !tombsV.contains((rel, e.file)))
