@@ -118,6 +118,26 @@ object DemoFixtures {
     dir
   }
 
+  /** [[seededOrders]]' pattern generalized (r18): a READ-ONLY derived
+    * seed table memoized per (tag, sf dir). Before this, the
+    * aligned-family demos re-committed their bucketed/sorted seed
+    * tables on EVERY invocation — at demo scale that seed write
+    * dominated several entries' cost while demonstrating nothing (the
+    * protocol each entry pins starts at the READ; the seed content is
+    * a deterministic projection of the corpus). Entries that MUTATE
+    * their table (u37/u52/u56, the DML family) or whose commits ARE
+    * the demonstrated protocol (the incremental-arrival loops
+    * d9/d10/sd2/s9/u5/u27, SQL DDL u40) keep building fresh — those
+    * writes are the thing being measured.
+    */
+  private def cachedSeed(tag: String, d: String)(build: String => Unit)
+      : String =
+    cache.getOrElseUpdate(s"$tag:$d", {
+      val dir = graft.TempDirs.create(tag)
+      build(dir)
+      dir
+    })
+
   /** The partitioned demo table (u32/u33): orders partitioned by
     * `o_orderstatus` as v0 plus a re-keyed partitioned late append as
     * v1 — built once, consumed read-only by both demos.
@@ -548,13 +568,14 @@ object DemoFixtures {
   def u42NullStats(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.TempDirs.create("graft-null-stats")
-    val orders = graft.Tables.orders(s, d).withColumn("note",
-      when(col("o_orderstatus") === "F", lit(null).cast("string"))
-        .otherwise(concat(lit("n"), col("o_orderkey"))))
-    Snapshots.commit(orders, dir, "overwrite",
-      partitionBy = Seq("o_orderstatus"),
-      statsColumns = Seq("o_orderkey", "note"))
+    val dir = cachedSeed("graft-null-stats", d) { dir =>
+      val orders = graft.Tables.orders(s, d).withColumn("note",
+        when(col("o_orderstatus") === "F", lit(null).cast("string"))
+          .otherwise(concat(lit("n"), col("o_orderkey"))))
+      Snapshots.commit(orders, dir, "overwrite",
+        partitionBy = Seq("o_orderstatus"),
+        statsColumns = Seq("o_orderkey", "note"))
+    }
     val m = Snapshots.readManifest(s, dir, 0L)
     val notNull = Snapshots.readVersionFiltered(s, dir, Some(0L),
       Seq(org.apache.spark.sql.sources.IsNotNull("note")))
@@ -1257,9 +1278,9 @@ object DemoFixtures {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val lhs = bucketedLineitem8(s, d)
-    val rhs = graft.TempDirs.create("graft-spj-orders")
-    Snapshots.commit(graft.Tables.orders(s, d), rhs, "overwrite",
-      bucketBy = Some(("o_orderkey", 8)))
+    val rhs = cachedSeed("graft-spj-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
+        bucketBy = Some(("o_orderkey", 8))))
     val joined = Snapshots.bucketAlignedJoin(
       s, lhs, rhs, "l_orderkey", "o_orderkey")
     // the REAL witness: outer plan AND the per-bucket inner plans —
@@ -1367,11 +1388,11 @@ object DemoFixtures {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val lhs = bucketedLineitem8(s, d)
-    val rhs = graft.TempDirs.create("graft-spjf-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .filter(col("o_orderkey") % 3 === 0)
-        .select(col("o_orderkey"), col("o_orderstatus")),
-      rhs, "overwrite", bucketBy = Some(("o_orderkey", 8)))
+    val rhs = cachedSeed("graft-spjf-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        dir, "overwrite", bucketBy = Some(("o_orderkey", 8))))
     def aligned(jt: String) = Snapshots.bucketAlignedJoin(
       s, lhs, rhs, "l_orderkey", "o_orderkey", joinType = jt)
     // alignedShuffleFree inspects the per-bucket INNER plans recorded
@@ -1430,11 +1451,12 @@ object DemoFixtures {
   def u54JoinPruning(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val factDir = graft.TempDirs.create("graft-dfp-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-      factDir, "overwrite", bucketBy = Some(("o_custkey", 16)))
-    Snapshots.writeMetadataCheckpoint(s, factDir)
+    val factDir = cachedSeed("graft-dfp-orders", d) { dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 16)))
+      Snapshots.writeMetadataCheckpoint(s, dir)
+    }
     val dim = graft.Tables.customer(s, d)
       .filter(col("c_custkey").isin(1L, 5L, 9L))
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -1484,11 +1506,11 @@ object DemoFixtures {
   def u55BucketAgg(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.TempDirs.create("graft-spa-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      dir, "overwrite", bucketBy = Some(("o_custkey", 16)))
+    val dir = cachedSeed("graft-spa-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 16))))
     val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
       ("count", "*", "n"), ("sum", "price", "total"),
       ("min", "price", "lo"), ("max", "price", "hi")))
@@ -1565,16 +1587,17 @@ object DemoFixtures {
   def u57SortedLayout(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.TempDirs.create("graft-sorted-orders")
-    val orders = graft.Tables.orders(s, d)
-      .select(col("o_custkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-    Snapshots.commit(orders.filter(col("o_custkey") % 3 =!= 0),
-      dir, "overwrite", bucketBy = Some(("o_custkey", 8)),
-      sortBuckets = true)
-    Snapshots.commit(orders.filter(col("o_custkey") % 3 === 0),
-      dir, "append", bucketBy = Some(("o_custkey", 8)),
-      sortBuckets = true)
+    val dir = cachedSeed("graft-sorted-orders", d) { dir =>
+      val orders = graft.Tables.orders(s, d)
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      Snapshots.commit(orders.filter(col("o_custkey") % 3 =!= 0),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 8)),
+        sortBuckets = true)
+      Snapshots.commit(orders.filter(col("o_custkey") % 3 === 0),
+        dir, "append", bucketBy = Some(("o_custkey", 8)),
+        sortBuckets = true)
+    }
     val m = Snapshots.readManifest(s, dir, 1L)
     val agg = Snapshots.bucketAlignedAggregate(s, dir, Seq(
       ("count", "*", "n"), ("sum", "price", "total")))
@@ -1605,18 +1628,18 @@ object DemoFixtures {
   def u58JoinAgg(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-ja-lineitem")
-    val rhs = graft.TempDirs.create("graft-ja-orders")
-    Snapshots.commit(graft.Tables.lineitem(s, d)
-        .select(col("l_orderkey"),
-          col("l_quantity").cast("decimal(18,2)").as("qty")),
-      lhs, "overwrite", bucketBy = Some(("l_orderkey", 8)),
-      sortBuckets = true)
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      rhs, "overwrite", bucketBy = Some(("o_orderkey", 8)),
-      sortBuckets = true)
+    val lhs = cachedSeed("graft-ja-lineitem", d)(dir =>
+      Snapshots.commit(graft.Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            col("l_quantity").cast("decimal(18,2)").as("qty")),
+        dir, "overwrite", bucketBy = Some(("l_orderkey", 8)),
+        sortBuckets = true))
+    val rhs = cachedSeed("graft-ja-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("o_orderkey", 8)),
+        sortBuckets = true))
     val fused = Snapshots.bucketAlignedJoinAggregate(s, lhs, rhs,
       "l_orderkey", "o_orderkey", Seq(
         ("count", "*", "n"), ("sum", "qty", "sum_qty"),
@@ -1647,13 +1670,13 @@ object DemoFixtures {
   def u59LatestByKey(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.TempDirs.create("graft-latest-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey").as("k"),
-          when(col("o_orderkey") % 11 === 0, lit(null))
-            .otherwise(col("o_orderkey")).as("ord"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      dir, "overwrite", bucketBy = Some(("k", 8)), sortBuckets = true)
+    val dir = cachedSeed("graft-latest-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey").as("k"),
+            when(col("o_orderkey") % 11 === 0, lit(null))
+              .otherwise(col("o_orderkey")).as("ord"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("k", 8)), sortBuckets = true))
     val latest = Snapshots.bucketAlignedLatest(s, dir, "ord")
     val latestOk =
       if (Snapshots.alignedShuffleFree(latest) &&
@@ -1675,22 +1698,22 @@ object DemoFixtures {
                         direction: String, tolerance: Option[Long],
                         okCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create(s"$tmpPrefix-purchases")
-    val rhs = graft.TempDirs.create(s"$tmpPrefix-clicks")
     val e = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts")),
-      lhs, "overwrite", bucketBy = Some(("user_id", 8)),
-      sortBuckets = true, sortAlso = Seq("purchase_ts"))
-    Snapshots.commit(
-      e.filter(col("event_type") === "click")
-        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
-        .agg(max(col("event_id")).as("click_id")),
-      rhs, "overwrite", bucketBy = Some(("ruid", 8)),
-      sortBuckets = true, sortAlso = Seq("click_ts"))
+    val lhs = cachedSeed(s"$tmpPrefix-purchases", d)(dir =>
+      Snapshots.commit(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts")),
+        dir, "overwrite", bucketBy = Some(("user_id", 8)),
+        sortBuckets = true, sortAlso = Seq("purchase_ts")))
+    val rhs = cachedSeed(s"$tmpPrefix-clicks", d)(dir =>
+      Snapshots.commit(
+        e.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_id")),
+        dir, "overwrite", bucketBy = Some(("ruid", 8)),
+        sortBuckets = true, sortAlso = Seq("click_ts")))
     val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
       "user_id", "ruid", "purchase_ts", "click_ts",
       direction = direction, tolerance = tolerance)
@@ -1770,9 +1793,9 @@ object DemoFixtures {
     s.sql("DROP TABLE IF EXISTS graft_demo.db.li8")
     s.sql("DROP TABLE IF EXISTS graft_demo.db.ord8")
     Snapshots.cloneShallow(s, bucketedLineitem8(s, d), s"$wh/db/li8")
-    val ord = graft.TempDirs.create("graft-sqlspj-orders")
-    Snapshots.commit(graft.Tables.orders(s, d), ord, "overwrite",
-      bucketBy = Some(("o_orderkey", 8)))
+    val ord = cachedSeed("graft-sqlspj-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
+        bucketBy = Some(("o_orderkey", 8))))
     Snapshots.cloneShallow(s, ord, s"$wh/db/ord8")
     val sql =
       """SELECT o_orderstatus, COUNT(*) AS n_items,
@@ -1832,12 +1855,12 @@ object DemoFixtures {
     import org.apache.spark.sql.functions._
     val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.agg16")
-    val src = graft.TempDirs.create("graft-sqlagg-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"),
-          col("o_orderkey").as("okey")),
-      src, "overwrite", bucketBy = Some(("o_custkey", 16)))
+    val src = cachedSeed("graft-sqlagg-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_orderkey").as("okey")),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 16))))
     Snapshots.cloneShallow(s, src, s"$wh/db/agg16")
     // AVG (r18): an integral AVG rides the decomposed sum+count folds
     // with the division re-applied above — integral (exact-sum) AVG
@@ -1921,8 +1944,6 @@ object DemoFixtures {
   def u63WindowedAsof(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val lhs = graft.TempDirs.create("graft-wasof-purchases")
-    val rhs = graft.TempDirs.create("graft-wasof-clicks")
     val e = graft.Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
     val slice1 = java.sql.Timestamp.valueOf("2024-01-11 00:00:00")
@@ -1941,14 +1962,16 @@ object DemoFixtures {
           statsColumns = Seq(tsCol))
       }
     }
-    sliced(e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("ts").as("purchase_ts")),
-      "purchase_ts", lhs, "user_id")
-    sliced(e.filter(col("event_type") === "click")
-        .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
-        .agg(max(col("event_id")).as("click_id")),
-      "click_ts", rhs, "ruid")
+    val lhs = cachedSeed("graft-wasof-purchases", d)(dir =>
+      sliced(e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts")),
+        "purchase_ts", dir, "user_id"))
+    val rhs = cachedSeed("graft-wasof-clicks", d)(dir =>
+      sliced(e.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("ruid"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_id")),
+        "click_ts", dir, "ruid"))
     val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
     val hi = java.sql.Timestamp.valueOf("2024-01-18 00:00:00")
     val asof = Snapshots.bucketAlignedAsof(s, lhs, rhs,
@@ -1990,13 +2013,13 @@ object DemoFixtures {
   def u61RunningWindow(s: SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val dir = graft.TempDirs.create("graft-running-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
-          col("o_orderkey").as("oid"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      dir, "overwrite", bucketBy = Some(("k", 8)),
-      sortBuckets = true, sortAlso = Seq("t"))
+    val dir = cachedSeed("graft-running-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+            col("o_orderkey").as("oid"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("k", 8)),
+        sortBuckets = true, sortAlso = Seq("t")))
     val run = Snapshots.bucketAlignedRunning(s, dir, "t", Seq(
       ("count", "*", "rn"), ("sum", "price", "rs"),
       ("max", "price", "rmax")))
@@ -2058,16 +2081,16 @@ object DemoFixtures {
     val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.fcust8")
     s.sql("DROP TABLE IF EXISTS graft_demo.db.fordc8")
-    val cust = graft.TempDirs.create("graft-sqlfused-cust")
-    Snapshots.commit(graft.Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_acctbal")),
-      cust, "overwrite", bucketBy = Some(("c_custkey", 8)))
+    val cust = cachedSeed("graft-sqlfused-cust", d)(dir =>
+      Snapshots.commit(graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal")),
+        dir, "overwrite", bucketBy = Some(("c_custkey", 8))))
     Snapshots.cloneShallow(s, cust, s"$wh/db/fcust8")
-    val ord = graft.TempDirs.create("graft-sqlfused-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      ord, "overwrite", bucketBy = Some(("o_custkey", 8)))
+    val ord = cachedSeed("graft-sqlfused-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 8))))
     Snapshots.cloneShallow(s, ord, s"$wh/db/fordc8")
     val sql =
       """SELECT c_custkey AS k, COUNT(*) AS n,
@@ -2124,13 +2147,13 @@ object DemoFixtures {
     val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.cust8")
     s.sql("DROP TABLE IF EXISTS graft_demo.db.ordc8")
-    val cust = graft.TempDirs.create("graft-sqlfam-cust")
-    Snapshots.commit(graft.Tables.customer(s, d), cust, "overwrite",
-      bucketBy = Some(("c_custkey", 8)))
+    val cust = cachedSeed("graft-sqlfam-cust", d)(dir =>
+      Snapshots.commit(graft.Tables.customer(s, d), dir, "overwrite",
+        bucketBy = Some(("c_custkey", 8))))
     Snapshots.cloneShallow(s, cust, s"$wh/db/cust8")
-    val ord = graft.TempDirs.create("graft-sqlfam-orders")
-    Snapshots.commit(graft.Tables.orders(s, d), ord, "overwrite",
-      bucketBy = Some(("o_custkey", 8)))
+    val ord = cachedSeed("graft-sqlfam-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d), dir, "overwrite",
+        bucketBy = Some(("o_custkey", 8))))
     Snapshots.cloneShallow(s, ord, s"$wh/db/ordc8")
     val outerSql =
       """SELECT c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
@@ -2204,12 +2227,12 @@ object DemoFixtures {
     import org.apache.spark.sql.functions._
     val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.cagg8")
-    val src = graft.TempDirs.create("graft-cagg-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate").as("day"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      src, "overwrite", bucketBy = Some(("o_custkey", 8)),
-      sortBuckets = true, sortAlso = Seq("day"))
+    val src = cachedSeed("graft-cagg-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate").as("day"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("o_custkey", 8)),
+        sortBuckets = true, sortAlso = Seq("day")))
     Snapshots.cloneShallow(s, src, s"$wh/db/cagg8")
     val sql =
       """SELECT o_custkey AS k, day, COUNT(*) AS n,
@@ -2259,13 +2282,13 @@ object DemoFixtures {
     import org.apache.spark.sql.functions._
     val wh = demoWarehouse(s)
     s.sql("DROP TABLE IF EXISTS graft_demo.db.run8")
-    val src = graft.TempDirs.create("graft-sqlrun-orders")
-    Snapshots.commit(graft.Tables.orders(s, d)
-        .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
-          col("o_orderkey").as("oid"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      src, "overwrite", bucketBy = Some(("k", 8)),
-      sortBuckets = true, sortAlso = Seq("t"))
+    val src = cachedSeed("graft-sqlrun-orders", d)(dir =>
+      Snapshots.commit(graft.Tables.orders(s, d)
+          .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+            col("o_orderkey").as("oid"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("k", 8)),
+        sortBuckets = true, sortAlso = Seq("t")))
     Snapshots.cloneShallow(s, src, s"$wh/db/run8")
     val sql =
       """SELECT k, t, oid, COUNT(*) OVER w AS rn,
@@ -2321,17 +2344,17 @@ object DemoFixtures {
     s.sql("DROP TABLE IF EXISTS graft_demo.db.foa8")
     s.sql("DROP TABLE IF EXISTS graft_demo.db.fob8")
     val orders = graft.Tables.orders(s, d)
-    val a = graft.TempDirs.create("graft-fo-a")
-    Snapshots.commit(orders.filter(col("o_orderkey") % 3 =!= 0)
-        .select(col("o_orderkey").as("okey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price")),
-      a, "overwrite", bucketBy = Some(("okey", 8)))
+    val a = cachedSeed("graft-fo-a", d)(dir =>
+      Snapshots.commit(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey").as("okey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price")),
+        dir, "overwrite", bucketBy = Some(("okey", 8))))
     Snapshots.cloneShallow(s, a, s"$wh/db/foa8")
-    val b = graft.TempDirs.create("graft-fo-b")
-    Snapshots.commit(orders.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey").as("bkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("bprice")),
-      b, "overwrite", bucketBy = Some(("bkey", 8)))
+    val b = cachedSeed("graft-fo-b", d)(dir =>
+      Snapshots.commit(orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("bkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("bprice")),
+        dir, "overwrite", bucketBy = Some(("bkey", 8))))
     Snapshots.cloneShallow(s, b, s"$wh/db/fob8")
     val sql =
       """SELECT CASE WHEN a.okey IS NULL THEN 'b_only'
@@ -2391,17 +2414,17 @@ object DemoFixtures {
     s.sql("DROP TABLE IF EXISTS graft_demo.db.rp8")
     s.sql("DROP TABLE IF EXISTS graft_demo.db.rc8")
     val e = graft.Tables.events(s, d)
-    val p = graft.TempDirs.create("graft-resid-purchases")
-    Snapshots.commit(e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id"),
-          col("ts").as("pts")),
-      p, "overwrite", bucketBy = Some(("user_id", 8)))
+    val p = cachedSeed("graft-resid-purchases", d)(dir =>
+      Snapshots.commit(e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            col("ts").as("pts")),
+        dir, "overwrite", bucketBy = Some(("user_id", 8))))
     Snapshots.cloneShallow(s, p, s"$wh/db/rp8")
-    val c = graft.TempDirs.create("graft-resid-clicks")
-    Snapshots.commit(e.filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id").as("cuid"),
-          col("ts").as("cts")),
-      c, "overwrite", bucketBy = Some(("cuid", 8)))
+    val c = cachedSeed("graft-resid-clicks", d)(dir =>
+      Snapshots.commit(e.filter(col("event_type") === "click")
+          .select(col("event_id").as("cid"), col("user_id").as("cuid"),
+            col("ts").as("cts")),
+        dir, "overwrite", bucketBy = Some(("cuid", 8))))
     Snapshots.cloneShallow(s, c, s"$wh/db/rc8")
     val sql =
       """SELECT p.user_id, COUNT(*) AS n_prior_clicks
