@@ -45,7 +45,12 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "8000")
+      // raised 8000 → 20000 at 197 queries (r18): the suite compiles
+      // >4000 units per pass and the bench runs 3 passes + retimes in
+      // one JVM; an eviction mid-run restarts a unit cold in the
+      // interpreter (the documented 5-20× md5-loop cliff). Cache
+      // entries are source strings + class refs — tens of MB at 20k.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .config("spark.cleaner.periodicGC.interval", "1min")
       // `file:` scheme I/O matches production clients (r18): no .crc
       // sidecar per file, no chmod fork per create — see

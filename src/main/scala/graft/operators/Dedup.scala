@@ -48,6 +48,28 @@ object Dedup {
   /** Word tokens of `text`. */
   private def tokens: Column = split(col("text"), " ")
 
+  /** Hash-repartition `docs` by doc_id at an EXPLICIT cores-scaled
+    * width (cores × `graft.shingle.partitionsPerCore`, default 2) for
+    * the CPU-dominant token/shingle hashing stages. AQE sizes its
+    * coalescing by shuffle BYTES, but these stages cost ~10 shingle
+    * rows and one md5 per input byte, so byte-proportional coalescing
+    * serializes the hashing onto 1-4 tasks (measured at sf0.1: family
+    * wall ≈ single-threaded task time). A user-specified count is
+    * exempt from AQE coalescing and scales with CLUSTER WIDTH
+    * (defaultParallelism = total cores) — the right unit for a
+    * compute-bound stage at any data size; the exchange itself moves
+    * compact (doc_id, text) rows once and pre-satisfies every
+    * downstream doc_id clustering requirement.
+    */
+  private def widenByDoc(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val perCore = docs.sparkSession.conf
+      .getOption("graft.shingle.partitionsPerCore").map(_.toInt)
+      .getOrElse(2)
+    docs.repartition(math.max(1, sc.defaultParallelism * perCore),
+      col("doc_id"))
+  }
+
   /** Exact dedup: one representative (min doc_id) per distinct text.
     * dropDuplicates("text") picks an arbitrary survivor; min(doc_id) is
     * the deterministic equivalent (same set of survivors, stable choice).
@@ -194,7 +216,7 @@ object Dedup {
   private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val toks = docs.repartition(col("doc_id"))
+    val toks = widenByDoc(docs)
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
     val withNext = (1 until n).foldLeft(toks)((df, o) =>
       df.withColumn(s"t_$o", lead(col("tok"), o).over(byDoc)))

@@ -14,7 +14,7 @@ class GraftSessionSpec extends AnyFunSuite {
     val s = SparkSpec.session
     assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
     assert(s.conf.get("spark.sql.shuffle.partitions") === "4")
-    assert(s.conf.get("spark.sql.codegen.cache.maxEntries") === "8000")
+    assert(s.conf.get("spark.sql.codegen.cache.maxEntries") === "20000")
     assert(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
     // the extension registered the native cosine for plain-SQL users
     val one = s.sql(
