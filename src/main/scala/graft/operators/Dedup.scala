@@ -213,10 +213,19 @@ object Dedup {
     * below reuse this frame 3-4×, and Spark self-joins re-execute
     * shared lineage without a materialization.
     */
-  private def hashedShingles(docs: DataFrame, n: Int): DataFrame = {
+  /** `wide = false` keeps the pre-r18 AQE-coalesced repartition — the
+    * incremental loops ([[d10IncrementalLsh]]) shingle SMALL per-step
+    * batches through MANY repeated stages, where a cores-scaled width
+    * multiplies per-task fixed costs instead of buying parallel
+    * hashing (measured: d10 total task time 7 s → 68 s from the widen
+    * with no wall win); one-shot full-table callers keep `wide`.
+    */
+  private def hashedShingles(docs: DataFrame, n: Int,
+                             wide: Boolean = true): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    val toks = widenByDoc(docs)
+    val toks = (if (wide) widenByDoc(docs)
+                else docs.repartition(col("doc_id")))
       .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
     val withNext = (1 until n).foldLeft(toks)((df, o) =>
       df.withColumn(s"t_$o", lead(col("tok"), o).over(byDoc)))
@@ -328,7 +337,7 @@ object Dedup {
     var shSeen = List.empty[DataFrame] // retained shingle checkpoints
     val stepPairs = (0L until nBatches).map { v =>
       val batch = Snapshots.readChanges(s, lakeDir, v - 1, v)
-      val shNew = hashedShingles(batch, 2)
+      val shNew = hashedShingles(batch, 2, wide = false)
       val sigs = minhashSigs(shNew, 12)
       val bandsNew = bandKeys(sigs, 12, 3)
       val within = bandsNew.as("a")
