@@ -2172,14 +2172,20 @@ object DemoFixtures {
     // per query: the rewrite fired (no join operator in the executed
     // plan) AND a disabled-rule rerun matches rows — collected while
     // the rule is ON (lazy frames re-optimize per execution)
-    def leg(sql: String): (Seq[String], Boolean) = {
+    def leg(sql: String): (Seq[String], Boolean, Long) = {
       val q = s.sql(sql)
       val fired = !q.queryExecution.executedPlan.toString.contains("Join")
-      (q.collect().map(_.toString).toSeq.sorted, fired)
+      val rows = q.collect()
+      // the scalar legs' single count rides the SAME collect the
+      // parity check needs — re-running the query just to read it
+      // again would execute the aligned join a third time (r18)
+      val scalar = if (rows.length == 1 && rows.head.size == 1)
+        rows.head.getLong(0) else -1L
+      (rows.map(_.toString).toSeq.sorted, fired, scalar)
     }
-    val (outerRows, outerFired) = leg(outerSql)
-    val (semiRows, semiFired) = leg(semiSql)
-    val (antiRows, antiFired) = leg(antiSql)
+    val (outerRows, outerFired, _) = leg(outerSql)
+    val (semiRows, semiFired, withWindow) = leg(semiSql)
+    val (antiRows, antiFired, noOrders) = leg(antiSql)
     val (pOuter, pSemi, pAnti) = try {
       s.conf.set("graft.sql.alignedJoin.enabled", "false")
       def planner(sql: String): Seq[String] = {
@@ -2195,8 +2201,6 @@ object DemoFixtures {
     // the scalar counts attach as literals (already collected for the
     // parity checks), so the ENTRY'S OWN final plan is the rewritten
     // outer rollup alone — no join operator anywhere in it
-    val withWindow = s.sql(semiSql).head().getLong(0)
-    val noOrders = s.sql(antiSql).head().getLong(0)
     s.sql(outerSql)
       .withColumn("with_window", lit(withWindow))
       .withColumn("no_orders", lit(noOrders))
