@@ -33,9 +33,17 @@ object Bench {
     // left to the ContextCleaner they pile up in the block manager
     // across 2×N query runs and degrade the whole JVM (measured
     // 30.8s → 116s across one bench run before this). Runs OUTSIDE the
-    // timed region so cleanup cost isn't attributed to the query.
-    def freeCheckpoints(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // timed region so cleanup cost isn't attributed to the query —
+    // which is why the unpersist must BLOCK (r18 measurement fix):
+    // async removal of a fat checkpoint set kept churning INSIDE the
+    // NEXT entry's timed slot (measured on the 8 dedup entries run
+    // back-to-back: 29.8s async vs 18.7s blocking, identical code).
+    // SPARK_GRAFT_ASYNC_UNPERSIST=1 reproduces the old timing boundary.
+    def freeCheckpoints(): Unit = {
+      val blocking = !sys.env.contains("SPARK_GRAFT_ASYNC_UNPERSIST")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking))
+    }
 
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — iteration tooling;
     // the recorded protocol is always the full suite

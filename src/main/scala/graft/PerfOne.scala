@@ -19,7 +19,7 @@ object PerfOne {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
         println(f"[perf] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
     spark.stop()

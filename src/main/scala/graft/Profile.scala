@@ -71,7 +71,7 @@ object Profile {
           f"stages=${stages.get} tasks=${tasks.get} " +
           f"taskTime=${taskNanos.get / 1e9}%.2fs " +
           f"shufR=${shuffleRead.get / 1024}KB shufW=${shuffleWrite.get / 1024}KB")
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       }
     }
     spark.stop()
